@@ -1,13 +1,95 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One `queries` entry per implemented operator from SURVEY.md §2, each a pure
+  * `(SparkSession, sfDir) => DataFrame`, plus DuckDB-dialect oracle SQL where
+  * the semantics are SQL-expressible. Column names are aliased identically on
+  * both sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's core computation — fact⋈dim join + grouped
+    * rollup + sorted report (src/snowflake_loader.py:140-155,179-185) — on
+    * sf0.001. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggregates.aggDailyRegion(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_fact_dim"       -> Joins.joinFactDim _,
+    "q_antijoin_new_facts"  -> Joins.antiJoinNewFacts _,
+    "q_merge_dim"           -> Joins.mergeDim _,
+    "q_agg_daily_region"    -> Aggregates.aggDailyRegion _,
+    "q_report_sorted"       -> Aggregates.reportSorted _,
+    "q_sentiment_dist"      -> Aggregates.sentimentDist _,
+    "q_scalar_subquery"     -> Aggregates.scalarSubquery _,
+    "q_distinct"            -> Aggregates.distinctRows _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_join_fact_dim" ->
+      """SELECT o.o_orderkey, n.n_name AS nation, o.o_orderstatus, o.o_totalprice
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_antijoin_new_facts" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders b
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND NOT EXISTS (SELECT 1 FROM orders t
+        |                  WHERE t.o_orderkey % 7 = 0 AND t.o_orderkey = b.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_merge_dim" ->
+      """WITH target AS (
+        |  SELECT c_custkey AS key, c_name AS t_name, c_acctbal AS t_acctbal,
+        |         '2024-01-01' AS t_first_seen
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |source AS (
+        |  SELECT c_custkey AS key, c_name || '#v2' AS s_name,
+        |         c_acctbal + 100.0 AS s_acctbal, '2024-06-01' AS s_first_seen
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT COALESCE(t.key, s.key) AS key,
+        |       COALESCE(s.s_name, t.t_name) AS name,
+        |       COALESCE(s.s_acctbal, t.t_acctbal) AS acctbal,
+        |       COALESCE(t.t_first_seen, s.s_first_seen) AS first_seen
+        |FROM target t FULL OUTER JOIN source s ON t.key = s.key
+        |ORDER BY key""".stripMargin,
+    "q_agg_daily_region" ->
+      """SELECT n.n_name AS nation, o.o_orderstatus,
+        |       COUNT(*) AS video_count,
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY n.n_name, o.o_orderstatus
+        |ORDER BY nation, o_orderstatus""".stripMargin,
+    "q_report_sorted" ->
+      """SELECT n.n_name AS nation, o.o_orderpriority,
+        |       COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name, o.o_orderpriority
+        |ORDER BY nation ASC, order_count DESC, o_orderpriority ASC""".stripMargin,
+    "q_sentiment_dist" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT (SELECT COUNT(*) FROM customer) AS channels,
+        |       (SELECT COUNT(*) FROM orders)   AS videos,
+        |       (SELECT COUNT(*) FROM nation)   AS aggregations""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+  )
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Tables}
+
+/** Aggregation operators.
+  *
+  * Reference semantics (file:line into /root/reference/):
+  *  - A1 daily rollup: GROUP BY (country, sentiment) with COUNT + 3 SUMs +
+  *    AVG over the fact⋈dim join (src/snowflake_loader.py:140-155).
+  *  - A4 count-distribution report with percentage-of-total
+  *    (src/youtube_collector.py:247-266).
+  *  - A5 scalar-subquery table counts in one row
+  *    (src/snowflake_loader.py:166-171).
+  *  - O1 multi-key mixed-direction sorted report
+  *    (src/snowflake_loader.py:179-185).
+  *
+  * All ride Spark's two-phase HashAggregate (map-side partial + final after
+  * shuffle), so at 100 TB the shuffle carries only one row per (group ×
+  * partition), not the fact rows.
+  */
+object Aggregates {
+
+  /** A1 `q_agg_daily_region`: orders⋈customer⋈nation rolled up by
+    * (nation, orderstatus). The date predicate mirrors the reference's
+    * "today only" filter (injected literal for determinism —
+    * src/snowflake_loader.py:153) and pushes down to the parquet scan. */
+  def aggDailyRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val dim = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(c("c_custkey"), n("n_name").as("nation"))
+    o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+      .groupBy(col("nation"), col("o_orderstatus"))
+      .agg(
+        Num.countStar.as("video_count"),
+        Num.sumMoney(col("o_totalprice")).as("total_price"),
+        (Num.sumMoney(col("o_totalprice")) / Num.countStar).as("avg_price"))
+      .orderBy(col("nation"), col("o_orderstatus"))
+  }
+
+  /** O1 `q_report_sorted`: per-nation report, mixed-direction sort
+    * (ORDER BY country ASC, video_count DESC in the reference). */
+  def reportSorted(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val dim = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(c("c_custkey"), n("n_name").as("nation"))
+    o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+      .groupBy(col("nation"), col("o_orderpriority"))
+      .agg(Num.countStar.as("order_count"),
+        Num.sumMoney(col("o_totalprice")).as("total_price"))
+      .orderBy(col("nation").asc, col("order_count").desc,
+        col("o_orderpriority").asc)
+  }
+
+  /** A4 `q_sentiment_dist`: histogram + percentage of grand total via a
+    * window over the empty partitioning (the report at
+    * src/youtube_collector.py:247-266). The percentage is derived from two
+    * exact longs, so the double division is deterministic cross-engine. */
+  def sentimentDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus")).agg(Num.countStar.as("n"))
+    // Grand total via an unpartitioned window: one extra lightweight exchange
+    // of the already-tiny grouped result, never of the fact table.
+    counts
+      .withColumn("pct",
+        round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 2))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A5 `q_scalar_subquery`: one row of table counts — Spark SQL supports
+    * scalar subqueries directly, mirroring the summary at
+    * src/snowflake_loader.py:166-171. */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("g_orders")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("g_nation")
+    spark.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM g_customer) AS channels,
+        |  (SELECT COUNT(*) FROM g_orders)   AS videos,
+        |  (SELECT COUNT(*) FROM g_nation)   AS aggregations""".stripMargin)
+  }
+
+  /** A2 `q_distinct`: SELECT DISTINCT (dedup pre-MERGE,
+    * function_app.py:442). Partial aggregation removes duplicates map-side
+    * before the shuffle. */
+  def distinctRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Join operators.
+  *
+  * Reference semantics (all file:line into /root/reference/):
+  *  - J1 inner equi-join fact⋈dim feeding the daily rollup
+  *    (src/snowflake_loader.py:151-152).
+  *  - J2 MERGE upsert of the channel dimension — an outer-join-shaped op
+  *    (src/snowflake_loader.py:86-104): source wins for updatable columns,
+  *    target keeps first_seen_date.
+  *  - J3 fact MERGE with only WHEN NOT MATCHED THEN INSERT
+  *    (azure-functions/function_app.py:439-482) — exactly a left anti join.
+  *
+  * Scale notes: the dimension side (customer⋈nation ≈ DIM_CHANNELS) is orders
+  * of magnitude smaller than the fact side, so Catalyst auto-broadcasts it
+  * (BroadcastHashJoin) under autoBroadcastJoinThreshold; at 100 TB fact the
+  * join never shuffles the fact table. The anti-join broadcasts the NEW side
+  * when small; AQE converts to broadcast at runtime otherwise.
+  */
+object Joins {
+
+  /** J1: fact(orders) ⋈ dim(customer⋈nation). orders ≈ FACT_VIDEOS,
+    * customer+nation ≈ DIM_CHANNELS with its country attribute. */
+  def joinFactDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    // dim = customer enriched with country, built once and broadcast.
+    val dim = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(c("c_custkey"), c("c_name"), n("n_name").as("nation"))
+    o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+      .select(o("o_orderkey"), dim("nation"), o("o_orderstatus"),
+        o("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J3: left anti join — insert-only MERGE dedup: "today's batch" (orders
+    * from 1999 on) minus keys already in the target (every 7th orderkey,
+    * simulating previously-loaded facts). First write wins, re-collections do
+    * not refresh — exactly WHEN NOT MATCHED THEN INSERT with no update clause
+    * (function_app.py:465-481). */
+  def antiJoinNewFacts(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val batch = o.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+    val target = o.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey"))
+    batch.join(target, Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J2: MERGE upsert semantics on vanilla parquet = full outer join +
+    * per-column precedence. Target = "previously seen" slice of customer
+    * (c_custkey % 3 == 0), source = "today's batch" (c_custkey % 2 == 0).
+    * Source wins for updatable attributes (last-write-wins, like DIM_CHANNELS
+    * at src/snowflake_loader.py:90-95); target keeps its first_seen marker.
+    *
+    * At scale both sides shuffle on the merge key once; with the target
+    * bucketed on the key the shuffle disappears entirely.
+    */
+  def mergeDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val target = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("key"),
+        col("c_name").as("t_name"), col("c_acctbal").as("t_acctbal"),
+        lit("2024-01-01").as("t_first_seen"))
+    val source = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"),
+        concat(col("c_name"), lit("#v2")).as("s_name"),
+        (col("c_acctbal") + 100.0).as("s_acctbal"),
+        lit("2024-06-01").as("s_first_seen"))
+    target.join(source, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("s_name"), col("t_name")).as("name"),
+        coalesce(col("s_acctbal"), col("t_acctbal")).as("acctbal"),
+        coalesce(col("t_first_seen"), col("s_first_seen")).as("first_seen"))
+      .orderBy(col("key"))
+  }
+}
