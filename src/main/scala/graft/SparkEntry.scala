@@ -23,10 +23,21 @@ object SparkEntry {
     "q_antijoin_new_facts"  -> Joins.antiJoinNewFacts _,
     "q_merge_dim"           -> Joins.mergeDim _,
     "q_agg_daily_region"    -> Aggregates.aggDailyRegion _,
+    "q_agg_pricing"         -> Aggregates.aggPricing _,
     "q_report_sorted"       -> Aggregates.reportSorted _,
     "q_sentiment_dist"      -> Aggregates.sentimentDist _,
     "q_scalar_subquery"     -> Aggregates.scalarSubquery _,
     "q_distinct"            -> Aggregates.distinctRows _,
+    "q_keyword_count"       -> Enrichment.keywordCountQ _,
+    "q_sentiment"           -> Enrichment.sentimentQ _,
+    "q_engagement"          -> Enrichment.engagementQ _,
+    "q_extract_cast"        -> Enrichment.extractCastQ _,
+    "q_flatten_record"      -> Enrichment.flattenRecordQ _,
+    "q_scan_meta"           -> Relational.scanMetaQ _,
+    "q_dedup_latest"        -> Relational.dedupLatestQ _,
+    "q_topk_per_group"      -> Relational.topkPerGroupQ _,
+    "q_explode"             -> Relational.explodeQ _,
+    "q_sink_partitioned"    -> Relational.sinkPartitionedQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -91,5 +102,16 @@ object SparkEntry {
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_agg_pricing"      -> Aggregates.aggPricingOracle,
+    "q_keyword_count"    -> Enrichment.keywordCountOracle,
+    "q_sentiment"        -> Enrichment.sentimentOracle,
+    "q_engagement"       -> Enrichment.engagementOracle,
+    "q_extract_cast"     -> Enrichment.extractCastOracle,
+    "q_flatten_record"   -> Enrichment.flattenRecordOracle,
+    "q_scan_meta"        -> Relational.scanMetaOracle,
+    "q_dedup_latest"     -> Relational.dedupLatestOracle,
+    "q_topk_per_group"   -> Relational.topkPerGroupOracle,
+    "q_explode"          -> Relational.explodeOracle,
+    "q_sink_partitioned" -> Relational.sinkPartitionedOracle,
   )
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Loaders for the harness-provided parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -20,7 +21,15 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame    = table(spark, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by default
+    * while DuckDB truncates to microseconds. Read the nanos as a long and
+    * floor-divide to µs — bit-identical to DuckDB's behavior — so oracle
+    * comparisons on anything derived from ts agree. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

@@ -88,6 +88,37 @@ object Aggregates {
         |  (SELECT COUNT(*) FROM g_nation)   AS aggregations""".stripMargin)
   }
 
+  /** A1-at-scale `q_agg_pricing`: the classic pricing-summary shape over the
+    * largest table (lineitem) — 2 grouping keys, count + sums + means — the
+    * headline scan-heavy aggregate for the bench. Quantities are
+    * integer-valued doubles (exact at any summation order); money columns go
+    * through the decimal-exact path. Map-side partial aggregation reduces the
+    * shuffle to (#groups × #partitions) rows. */
+  def aggPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        Num.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        (sum(col("l_quantity")) / Num.countStar).as("avg_qty"),
+        (Num.sumMoney(col("l_extendedprice")) / Num.countStar).as("avg_price"),
+        Num.countStar.as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val aggPricingOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | SUM(l_quantity) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | SUM(l_quantity) / COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** A2 `q_distinct`: SELECT DISTINCT (dedup pre-MERGE,
     * function_app.py:442). Partial aggregation removes duplicates map-side
     * before the shuffle. */

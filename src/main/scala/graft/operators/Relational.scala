@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Tables}
+
+/** Scan/window/sort/generator operators (SURVEY.md §2.1, §2.5, §2.6, §2.10).
+  */
+object Relational {
+
+  /** S1/S2 `q_scan_meta`: scan with file metadata + filename-family predicate
+    * (METADATA$FILENAME at src/snowflake_loader.py:52-60). The physical path
+    * differs per engine, so the output key is the basename. At scale the
+    * family filter should instead be a directory layout → partition pruning. */
+  def scanMetaQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .withColumn("file_name",
+        regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1))
+      .filter(col("file_name").contains("lineitem"))
+      .groupBy(col("file_name"))
+      .agg(Num.countStar.as("n"))
+      .orderBy(col("file_name"))
+
+  val scanMetaOracle: String =
+    "SELECT 'lineitem' AS file_name, COUNT(*) AS n FROM lineitem"
+
+  /** W1 `q_dedup_latest`: ROW_NUMBER dedup, latest-wins (QUALIFY pattern at
+    * src/snowflake_loader.py:82). Keeps each user's most recent event; the
+    * unique event_id breaks timestamp ties so the result is deterministic.
+    * One shuffle on the partition key; skewed hot keys at 100 TB would use
+    * AQE skew handling or pre-aggregation (max_by) instead. */
+  def dedupLatestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val dedupLatestOracle: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** O2 `q_topk_per_group`: per-group top-k (the reference's maxResults-per-
+    * (keyword,region) search cap, src/youtube_collector.py:21-23). row_number
+    * over (group, value desc) then filter — Spark pushes a per-partition
+    * top-k (WindowGroupLimit) below the shuffle, so only k rows per group per
+    * input split move. */
+  def topkPerGroupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  val topkPerGroupOracle: String =
+    """SELECT user_id, rn, event_id, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |                               ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events) t
+      |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
+  /** F1 `q_explode`: generator path — LATERAL FLATTEN of an array column
+    * (src/snowflake_loader.py:52-60) as posexplode over the embedding
+    * vectors. Restricted to 50 vectors to keep the oracle compare light. */
+  def explodeQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .orderBy(col("vec_id"), col("pos"))
+
+  /** DuckDB 1.0 has no UNNEST WITH ORDINALITY and no lateral generate_series;
+    * the embeddings are fixed length-64 so a constant series + bound filter
+    * is equivalent. */
+  val explodeOracle: String =
+    """SELECT vec_id, i AS pos, embedding[i+1] AS val
+      |FROM embeddings CROSS JOIN generate_series(0, 63) t(i)
+      |WHERE vec_id < 50 AND i < len(embedding)
+      |ORDER BY vec_id, pos""".stripMargin
+
+  /** S5/D1 `q_sink_partitioned`: date-partitioned sink + re-read (the blob
+    * layout raw/YYYY/MM/DD at src/youtube_collector.py:198-239 and the
+    * partition-overwrite daily refresh). Writes orders partitioned by year
+    * with dynamic partition overwrite, reads it back, and aggregates per
+    * partition — verifying layout + pruning end-to-end. */
+  def sinkPartitionedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orders_" +
+      Integer.toHexString(sfDir.hashCode)
+    Tables.orders(spark, sfDir)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("yr")
+      .parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("yr"))
+      .agg(Num.countStar.as("n"),
+        Num.sumMoney(col("o_totalprice")).as("total_price"))
+      .orderBy(col("yr"))
+  }
+
+  val sinkPartitionedOracle: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+}
