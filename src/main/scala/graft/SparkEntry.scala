@@ -38,6 +38,9 @@ object SparkEntry {
     "q_topk_per_group"      -> Relational.topkPerGroupQ _,
     "q_explode"             -> Relational.explodeQ _,
     "q_sink_partitioned"    -> Relational.sinkPartitionedQ _,
+    "q_dedup_hash"          -> Dedup.dedupHashQ _,
+    "q_text_stats"          -> TextAnalysis.textStatsQ _,
+    "q_sessionize"          -> Sessionize.sessionizeQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -113,5 +116,8 @@ object SparkEntry {
     "q_topk_per_group"   -> Relational.topkPerGroupOracle,
     "q_explode"          -> Relational.explodeOracle,
     "q_sink_partitioned" -> Relational.sinkPartitionedOracle,
+    "q_dedup_hash"       -> Dedup.dedupHashOracle,
+    "q_text_stats"       -> TextAnalysis.textStatsOracle,
+    "q_sessionize"       -> Sessionize.sessionizeOracle,
   )
 }

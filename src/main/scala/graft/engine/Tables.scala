@@ -22,14 +22,15 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by default
-    * while DuckDB truncates to microseconds. Read the nanos as a long and
-    * floor-divide to µs — bit-identical to DuckDB's behavior — so oracle
-    * comparisons on anything derived from ts agree. */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * while DuckDB truncates to microseconds. Read the nanos as a long
+    * (requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * build in Verify/Bench/tests — not mutated here) and divide to µs.
+    * `div` truncates toward zero, which equals floor for the post-epoch data
+    * the harness generates (min ts 2024-01-01); matches DuckDB's nanos→µs
+    * truncation. */
+  def events(spark: SparkSession, d: String): DataFrame =
     table(spark, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

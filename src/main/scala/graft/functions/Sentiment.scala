@@ -87,8 +87,11 @@ object Sentiment {
   // ---- DuckDB oracle SQL generators (single source of truth with the
   // ---- Column forms above; the driver compares the two engines' outputs).
 
+  /** SQL-string-literal escape for runtime lexicon words. */
+  private def sqlLit(w: String): String = "'" + w.replace("'", "''") + "'"
+
   def keywordCountSql(textExpr: String, lexicon: Seq[String]): String =
-    lexicon.map(w => s"CASE WHEN contains($textExpr, '$w') THEN 1 ELSE 0 END")
+    lexicon.map(w => s"CASE WHEN contains($textExpr, ${sqlLit(w)}) THEN 1 ELSE 0 END")
       .mkString("(", " + ", ")")
 
   def finalSentimentSql(catExpr: String, posExpr: String, negExpr: String,

@@ -32,9 +32,11 @@ object Aggregates {
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
+    // Broadcast hint only on bounded `nation`; customer-sized dim is left to
+    // autoBroadcastJoinThreshold/AQE (scales with SF — never force-broadcast).
     val dim = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(c("c_custkey"), n("n_name").as("nation"))
-    o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+    o.join(dim, o("o_custkey") === dim("c_custkey"))
       .groupBy(col("nation"), col("o_orderstatus"))
       .agg(
         Num.countStar.as("video_count"),
@@ -51,7 +53,7 @@ object Aggregates {
     val n = Tables.nation(spark, sfDir)
     val dim = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(c("c_custkey"), n("n_name").as("nation"))
-    o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+    o.join(dim, o("o_custkey") === dim("c_custkey"))
       .groupBy(col("nation"), col("o_orderpriority"))
       .agg(Num.countStar.as("order_count"),
         Num.sumMoney(col("o_totalprice")).as("total_price"))

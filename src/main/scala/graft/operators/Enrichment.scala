@@ -84,7 +84,7 @@ object Enrichment {
       | l_linenumber AS likes,
       | l_partkey % 10 AS comments,
       | CASE WHEN CAST(l_quantity AS INT) - 1 = 0 THEN 0.0
-      |      ELSE round(((l_linenumber + l_partkey % 10)
+      |      ELSE round_even(((l_linenumber + l_partkey % 10)
       |                  / (CAST(l_quantity AS INT) - 1)) * 100, 4)
       | END AS engagement_rate
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin

@@ -29,10 +29,13 @@ object Joins {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
-    // dim = customer enriched with country, built once and broadcast.
+    // dim = customer enriched with country. Only `nation` (bounded, 25 rows)
+    // gets an explicit broadcast hint; `customer` grows with scale factor, so
+    // the fact⋈dim strategy is left to autoBroadcastJoinThreshold/AQE — a
+    // forced broadcast there would OOM the driver at 100 TB.
     val dim = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(c("c_custkey"), c("c_name"), n("n_name").as("nation"))
-    o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+    o.join(dim, o("o_custkey") === dim("c_custkey"))
       .select(o("o_orderkey"), dim("nation"), o("o_orderstatus"),
         o("o_totalprice"))
       .orderBy(col("o_orderkey"))

@@ -87,21 +87,35 @@ object Relational {
       |WHERE vec_id < 50 AND i < len(embedding)
       |ORDER BY vec_id, pos""".stripMargin
 
-  /** S5/D1 `q_sink_partitioned`: date-partitioned sink + re-read (the blob
-    * layout raw/YYYY/MM/DD at src/youtube_collector.py:198-239 and the
-    * partition-overwrite daily refresh). Writes orders partitioned by year
-    * with dynamic partition overwrite, reads it back, and aggregates per
-    * partition — verifying layout + pruning end-to-end. */
+  /** S5/D1 `q_sink_partitioned`: date-partitioned sink + slice overwrite +
+    * re-read (the blob layout raw/YYYY/MM/DD at
+    * src/youtube_collector.py:198-239 and the DELETE-today-then-reinsert
+    * daily refresh at src/snowflake_loader.py:136-155). Hermetic: the output
+    * dir is unique per invocation (no state survives across runs). The query
+    * 1) writes all years partitioned by `yr`, 2) dynamically overwrites ONLY
+    * the latest year's slice (the "refresh today" semantics — other
+    * partitions must survive untouched), 3) reads back and aggregates per
+    * partition, verifying layout + slice-replacement end-to-end. */
   def sinkPartitionedQ(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orders_" +
-      Integer.toHexString(sfDir.hashCode)
-    Tables.orders(spark, sfDir)
+      java.util.UUID.randomUUID().toString
+    val orders = Tables.orders(spark, sfDir)
       .withColumn("yr", year(col("o_orderdate")).cast("long"))
+    orders.write.mode("overwrite")
+      .partitionBy("yr")
+      .parquet(path)
+    // D1: replace only the newest year's slice; dynamic mode leaves every
+    // other yr= directory in place (asserted by PartitionSinkSpec).
+    val maxYr = orders.agg(max(col("yr"))).head().getLong(0)
+    orders.filter(col("yr") === maxYr)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("yr")
       .parquet(path)
+    // Partition-column values re-infer as INT on read; cast back to the
+    // written LONG so the driver's schema compare is exact.
     spark.read.parquet(path)
+      .withColumn("yr", col("yr").cast("long"))
       .groupBy(col("yr"))
       .agg(Num.countStar.as("n"),
         Num.sumMoney(col("o_totalprice")).as("total_price"))
