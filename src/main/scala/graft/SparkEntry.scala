@@ -41,6 +41,8 @@ object SparkEntry {
     "q_dedup_hash"          -> Dedup.dedupHashQ _,
     "q_text_stats"          -> TextAnalysis.textStatsQ _,
     "q_sessionize"          -> Sessionize.sessionizeQ _,
+    "q_cosine_topk"         -> Similarity.cosineTopkQ _,
+    "q_dedup_minhash"       -> Dedup.dedupMinhashQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,5 +121,7 @@ object SparkEntry {
     "q_dedup_hash"       -> Dedup.dedupHashOracle,
     "q_text_stats"       -> TextAnalysis.textStatsOracle,
     "q_sessionize"       -> Sessionize.sessionizeOracle,
+    "q_cosine_topk"      -> Similarity.cosineTopkOracle,
+    "q_dedup_minhash"    -> Dedup.dedupMinhashOracle,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Num, Tables}
 
@@ -31,4 +31,131 @@ object Dedup {
     """SELECT sha256(text) AS content_hash,
       | MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // X2 `q_dedup_minhash`: banded MinHash/LSH near-duplicate detection.
+  //
+  // Pipeline (never all-pairs — all-pairs is O(n²) and dead at 100 TB):
+  //   words → distinct 3-word shingles → 60-bit md5-derived shingle hashes
+  //   → K=12 minhash signature (universal-hash permutations (a·h+b) mod p)
+  //   → 6 bands of 2 rows → groupBy band bucket → candidate pairs only from
+  //   shared buckets → exact shingle-Jaccard verification ≥ 0.8.
+  //
+  // Scale: the only wide operations are (1) the band-bucket self-join, whose
+  // input is 6 small (band, key) rows per document — not the text — and
+  // (2) the verify join back to shingle sets, a key-partitioned shuffle join
+  // on doc_id. A giant bucket (degenerate key) would be capped/salted at
+  // 100 TB; harness data has none. The signature computation itself is
+  // narrow, codegen'd Column work (no UDF).
+  //
+  // Determinism: the shingle hash is the first 15 hex chars of md5 parsed
+  // base-16 (60 bits, positive) — computable bit-identically in DuckDB via
+  // CAST(concat('0x', …) AS BIGINT) — then folded mod p = 2^31-1 so the
+  // permutation multiply stays within int64. The oracle replicates the FULL
+  // pipeline (including banding), so even the probabilistic misses match.
+  // ------------------------------------------------------------------
+
+  /** Universal-hash permutation constants (a, b) — fixed, shared verbatim
+    * with the oracle SQL. a odd, both < MinhashPrime. */
+  val Perms: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (214013L, 2531011L), (69069L, 362437L),
+    (1664525L, 1013904223L), (22695477L, 1L), (134775813L, 1L),
+    (214903917L, 11L), (100000007L, 999983L), (1299709L, 15485863L),
+    (179424673L, 32452843L), (15485867L, 49979687L), (32452867L, 67867967L))
+  val MinhashPrime: Long = 2147483647L // 2^31-1
+  val Bands = 6 // × 2 rows/band = 12 hashes; LSH threshold ≈ (1/6)^(1/2) ≈ 0.41
+  val JaccardThreshold = 0.8
+
+  /** 60-bit integer hash of a string: first 15 hex chars of md5, base-16.
+    * Oracle twin: CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT). */
+  private def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** doc_id + distinct 3-word shingle set (docs with <3 words drop out). */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - 2), i =>
+          concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2)))).as("sg"))
+  }
+
+  def dedupMinhashQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = MinhashPrime
+    val sh = shingled(spark, sfDir)
+      .withColumn("hs", transform(col("sg"), s => md5Hash60(s) % p))
+    val minhashes: Seq[Column] = Perms.map { case (a, b) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % p))
+    }
+    // 6 band keys, each the concatenation of 2 adjacent signature rows.
+    val bandKeys: Column = array((0 until Bands).map { j =>
+      concat_ws("_", minhashes(2 * j), minhashes(2 * j + 1))
+    }: _*)
+    val bands = sh
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val x = sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"))
+    cand.join(x, Seq("doc_a")).join(y, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sg_a"), col("sg_b"))).cast("double") /
+          size(array_union(col("sg_a"), col("sg_b")))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashOracle: String = {
+    val p = MinhashPrime
+    val minExprs = Perms.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (${a}*h + ${b}) % ${p}))"
+    }.mkString(",\n       ")
+    val bandExprs = (0 until Bands).map { j =>
+      s"mh[${2 * j + 1}] || '_' || mh[${2 * j + 2}]"
+    }.mkString(", ")
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(ws)-1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+       |  FROM words WHERE len(ws) >= 3
+       |), hashed AS (
+       |  SELECT doc_id, sg,
+       |    list_transform(sg, s ->
+       |      CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) % ${p}) AS hs
+       |  FROM sh
+       |), sigs AS (
+       |  SELECT doc_id, sg, [${minExprs}] AS mh
+       |  FROM hashed
+       |), bands AS (
+       |  SELECT doc_id, b.band, [${bandExprs}][b.band + 1] AS key
+       |  FROM sigs, (SELECT unnest(range(0, ${Bands})) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.sg, y.sg))) AS jaccard
+       |  FROM cand
+       |  JOIN sigs x ON x.doc_id = doc_a
+       |  JOIN sigs y ON y.doc_id = doc_b
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= ${JaccardThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }
