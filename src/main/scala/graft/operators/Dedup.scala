@@ -19,13 +19,17 @@ object Dedup {
     * map-side partial aggregation — the shuffle carries one row per distinct
     * content, not per document; at 100 TB the 64-hex-char key keeps the
     * exchange narrow (no full text moves). */
-  def dedupHashQ(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  /** Core over any (doc_id, text) frame. */
+  def dedupByHash(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         Num.countStar.as("n_copies"))
       .orderBy(col("keeper_doc_id"))
+
+  def dedupHashQ(spark: SparkSession, sfDir: String): DataFrame =
+    dedupByHash(Tables.documents(spark, sfDir))
 
   val dedupHashOracle: String =
     """SELECT sha256(text) AS content_hash,
@@ -72,9 +76,9 @@ object Dedup {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** doc_id + distinct 3-word shingle set (docs with <3 words drop out). */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
+  private def shingled(docs: DataFrame): DataFrame = {
     val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), array_distinct(
@@ -84,9 +88,10 @@ object Dedup {
             element_at(col("ws"), i + 2)))).as("sg"))
   }
 
-  def dedupMinhashQ(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Core over any (doc_id, text) frame. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
     val p = MinhashPrime
-    val sh = shingled(spark, sfDir)
+    val sh = shingled(docs)
       .withColumn("hs", transform(col("sg"), s => md5Hash60(s) % p))
     val minhashes: Seq[Column] = Perms.map { case (a, b) =>
       array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % p))
@@ -112,6 +117,9 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def dedupMinhashQ(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, sfDir))
 
   val dedupMinhashOracle: String = {
     val p = MinhashPrime

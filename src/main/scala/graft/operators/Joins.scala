@@ -50,7 +50,7 @@ object Joins {
     val o = Tables.orders(spark, sfDir)
     val batch = o.filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
     val target = o.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey"))
-    batch.join(target, Seq("o_orderkey"), "left_anti")
+    insertOnlyNew(batch, target, "o_orderkey")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
       .orderBy(col("o_orderkey"))
@@ -65,6 +65,23 @@ object Joins {
     * At scale both sides shuffle on the merge key once; with the target
     * bucketed on the key the shuffle disappears entirely.
     */
+  /** Core MERGE-upsert: full outer on `key`; source wins for every updatable
+    * column, target keeps its first_seen marker. Shapes: target(key, t_name,
+    * t_acctbal, t_first_seen), source(key, s_name, s_acctbal, s_first_seen). */
+  def mergeUpsert(target: DataFrame, source: DataFrame): DataFrame =
+    target.join(source, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("s_name"), col("t_name")).as("name"),
+        coalesce(col("s_acctbal"), col("t_acctbal")).as("acctbal"),
+        coalesce(col("t_first_seen"), col("s_first_seen")).as("first_seen"))
+      .orderBy(col("key"))
+
+  /** Core insert-only MERGE: rows of `batch` whose key is absent from
+    * `target` — first write wins, re-collections never refresh
+    * (function_app.py:465-481). */
+  def insertOnlyNew(batch: DataFrame, target: DataFrame, key: String): DataFrame =
+    batch.join(target.select(col(key)), Seq(key), "left_anti")
+
   def mergeDim(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val target = cust.filter(col("c_custkey") % 3 === 0)
@@ -76,11 +93,6 @@ object Joins {
         concat(col("c_name"), lit("#v2")).as("s_name"),
         (col("c_acctbal") + 100.0).as("s_acctbal"),
         lit("2024-06-01").as("s_first_seen"))
-    target.join(source, Seq("key"), "full_outer")
-      .select(col("key"),
-        coalesce(col("s_name"), col("t_name")).as("name"),
-        coalesce(col("s_acctbal"), col("t_acctbal")).as("acctbal"),
-        coalesce(col("t_first_seen"), col("s_first_seen")).as("first_seen"))
-      .orderBy(col("key"))
+    mergeUpsert(target, source)
   }
 }

@@ -28,14 +28,15 @@ object Sessionize {
     * threshold is a runtime parameter in spirit). */
   val GapMicros: Long = 24L * 3600 * 1000000
 
-  def sessionizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Core: sessionize any (user_id, ts, event_id) frame with a given gap. */
+  def sessionize(events: DataFrame, gapMicros: Long): DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val us = unix_micros(col("ts"))
     val isNew = when(
       lag(us, 1).over(byTime).isNull ||
-        (us - lag(us, 1).over(byTime)) > GapMicros, 1L).otherwise(0L)
-    Tables.events(spark, sfDir)
+        (us - lag(us, 1).over(byTime)) > gapMicros, 1L).otherwise(0L)
+    events
       .withColumn("session_id", sum(isNew).over(
         byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
@@ -45,6 +46,9 @@ object Sessionize {
         Num.countStar.as("n_events"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  def sessionizeQ(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(Tables.events(spark, sfDir), GapMicros)
 
   val sessionizeOracle: String =
     s"""WITH marked AS (

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** X1/X2 dedup semantics on crafted corpora. */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup: identical texts collapse, smallest doc_id is keeper") {
+    val docs = Seq(
+      (5L, "same text"), (3L, "same text"), (9L, "other text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupByHash(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (keeper, n_copies)
+    assert(out.toSet === Set((3L, 2L), (9L, 1L)))
+  }
+
+  test("exact dedup is content-sensitive: one-char difference survives") {
+    val docs = Seq((1L, "abc"), (2L, "abd")).toDF("doc_id", "text")
+    assert(Dedup.dedupByHash(docs).count() === 2)
+  }
+
+  test("minhash finds identical and near-identical docs, skips disjoint") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " changed"
+    val disjoint = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, nearDup), (4L, disjoint))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // disjoint excluded
+  }
+
+  test("minhash output is ordered pairs (doc_a < doc_b) with jaccard >= threshold") {
+    val t = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((10L, t), (2L, t)).toDF("doc_id", "text")
+    val rows = Dedup.minhashPairs(docs).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 2L && rows.head.getLong(1) === 10L)
+    assert(rows.head.getDouble(2) === 1.0)
+  }
+
+  test("docs with fewer than 3 words cannot shingle and never pair") {
+    val docs = Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(docs).count() === 0)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sessionize
+
+/** X5 gap-based sessionization edges: boundary gap (exactly the limit stays
+  * in-session, strictly greater splits), per-user independence, tie-breaking
+  * by event_id. */
+class SessionizeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+  private val Gap = 60L * 1000000 // 60s in micros
+
+  private def run(rows: Seq[(Long, Timestamp, Long)]) =
+    Sessionize.sessionize(rows.toDF("user_id", "ts", "event_id"), Gap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))) // user, session, n
+
+  test("gap exactly at the limit does NOT split; gap beyond it does") {
+    val out = run(Seq(
+      (1L, ts(0), 1L),
+      (1L, ts(60), 2L),   // gap == 60s -> same session
+      (1L, ts(121), 3L))) // gap 61s -> new session
+    assert(out.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 1L)))
+  }
+
+  test("sessions are independent per user") {
+    val out = run(Seq(
+      (1L, ts(0), 1L), (2L, ts(1), 2L),
+      (1L, ts(30), 3L), (2L, ts(500), 4L)))
+    assert(out.toSet === Set((1L, 1L, 2L), (2L, 1L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("single event forms a single session") {
+    assert(run(Seq((5L, ts(42), 1L))).toSeq === Seq((5L, 1L, 1L)))
+  }
+
+  test("session boundaries carry correct start/end") {
+    val rows = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(1000), 3L))
+    val out = Sessionize.sessionize(rows.toDF("user_id", "ts", "event_id"), Gap)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out(0) === ((1L, "1970-01-01 00:00:00.000000", "1970-01-01 00:00:10.000000")))
+    assert(out(1) === ((2L, "1970-01-01 00:16:40.000000", "1970-01-01 00:16:40.000000")))
+  }
+}
