@@ -43,6 +43,7 @@ object SparkEntry {
     "q_sessionize"          -> Sessionize.sessionizeQ _,
     "q_cosine_topk"         -> Similarity.cosineTopkQ _,
     "q_dedup_minhash"       -> Dedup.dedupMinhashQ _,
+    "q_pipeline_daily_agg"  -> graft.pipeline.Medallion.dailyAggQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -123,5 +124,6 @@ object SparkEntry {
     "q_sessionize"       -> Sessionize.sessionizeOracle,
     "q_cosine_topk"      -> Similarity.cosineTopkOracle,
     "q_dedup_minhash"    -> Dedup.dedupMinhashOracle,
+    "q_pipeline_daily_agg" -> graft.pipeline.Medallion.dailyAggOracle,
   )
 }
