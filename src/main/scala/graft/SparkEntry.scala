@@ -44,6 +44,13 @@ object SparkEntry {
     "q_cosine_topk"         -> Similarity.cosineTopkQ _,
     "q_dedup_minhash"       -> Dedup.dedupMinhashQ _,
     "q_pipeline_daily_agg"  -> graft.pipeline.Medallion.dailyAggQ _,
+    "q_token_stats"         -> TextAnalysis.tokenStatsQ _,
+    "q_lang_id"             -> TextAnalysis.langIdQ _,
+    "q_quality_score"       -> TextAnalysis.qualityScoreQ _,
+    "q_fingerprint"         -> TextAnalysis.fingerprintQ _,
+    "q_simhash"             -> TextAnalysis.simhashQ _,
+    "q_ann_lsh"             -> Similarity.annLshQ _,
+    "q_multimodal_meta"     -> MultiModal.multimodalMetaQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -125,5 +132,12 @@ object SparkEntry {
     "q_cosine_topk"      -> Similarity.cosineTopkOracle,
     "q_dedup_minhash"    -> Dedup.dedupMinhashOracle,
     "q_pipeline_daily_agg" -> graft.pipeline.Medallion.dailyAggOracle,
+    "q_token_stats"      -> TextAnalysis.tokenStatsOracle,
+    "q_lang_id"          -> TextAnalysis.langIdOracle,
+    "q_quality_score"    -> TextAnalysis.qualityScoreOracle,
+    "q_fingerprint"      -> TextAnalysis.fingerprintOracle,
+    "q_simhash"          -> TextAnalysis.simhashOracle,
+    "q_ann_lsh"          -> Similarity.annLshOracle,
+    "q_multimodal_meta"  -> MultiModal.multimodalMetaOracle,
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Multimodal-column operators (SURVEY.md §2.11 / the north-star's
+  * image/audio/video mandate): media rides as an opaque BINARY payload
+  * column with typed metadata beside it; decode/feature-extraction is a
+  * per-partition BATCH operation so a real codec drops in without changing
+  * the dataflow.
+  *
+  * The harness container has no image/audio codecs, so the decode itself is
+  * a clearly-marked DETERMINISTIC STUB (dimensions derived from payload
+  * bytes). Everything around it — the binary column, schema, partition
+  * preservation, batch shape — is real and tested (MultiModalSpec).
+  *
+  * Scale: payloads never shuffle here (all ops are narrow maps); a join
+  * would carry only (doc_id, metadata). At 100 TB the payload column's
+  * parquet pages are column-pruned away whenever a query touches metadata
+  * only — that is the point of keeping bytes and metadata side by side.
+  */
+object MultiModal {
+
+  /** One media row: opaque bytes + typed metadata. */
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte],
+      media_type: String)
+
+  /** Output of the (stubbed) decoder. */
+  final case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, n_frames: Int)
+
+  /** Batch size a real vectorized decoder would use (one codec call per
+    * batch, amortizing setup — the mapInPandas/Arrow batch shape). */
+  val DecodeBatchSize = 64
+
+  /** Builds the media table from `documents`: payload = utf-8 bytes of the
+    * text (stand-in for real media bytes), media_type round-robins the three
+    * modalities. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        encode(col("text"), "utf-8").as("payload"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder — stands in for the absent codec library. Deterministic:
+    * "dimensions" come from the payload's md5, frame count from its length.
+    * Processes the partition in DecodeBatchSize batches exactly like a
+    * vectorized decode would. */
+  def decodeStub(records: Dataset[MediaRecord]): Dataset[DecodedMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        // one "codec call" per batch
+        batch.map { r =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload)
+          val h = java.lang.Integer.toUnsignedLong(
+            java.nio.ByteBuffer.wrap(md, 0, 4).getInt)
+          DecodedMeta(r.doc_id, r.payload.length,
+            (h % 1920 + 1).toInt, (h % 1080 + 1).toInt,
+            (r.payload.length % 7 + 1))
+        }
+      }
+    }
+  }
+
+  /** `q_multimodal_meta`: the metadata extraction expressed as pure Columns
+    * (the oracle-checkable twin of decodeStub — same md5-derived fake dims,
+    * computed by both engines over the utf-8 payload). */
+  def multimodalMetaQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val h32 = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        length(encode(col("text"), "utf-8")).as("n_bytes"),
+        sha2(encode(col("text"), "utf-8"), 256).as("payload_sha"),
+        (h32 % 1920 + 1).cast("int").as("width"),
+        (h32 % 1080 + 1).cast("int").as("height"),
+        (length(col("text")) % 7 + 1).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalMetaOracle: String =
+    """SELECT doc_id,
+      | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      | octet_length(encode(text)) AS n_bytes,
+      | sha256(text) AS payload_sha,
+      | CAST(CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 1920 + 1 AS INT) AS width,
+      | CAST(CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 1080 + 1 AS INT) AS height,
+      | length(text) % 7 + 1 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -56,6 +56,90 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ------------------------------------------------------------------
+  // `q_ann_lsh`: the scale path — random-hyperplane LSH bucketing.
+  //
+  // Each vector gets a sign-bit signature against `Planes` fixed pseudo-
+  // random hyperplanes (weights derived deterministically from md5 of the
+  // (plane, dim) index, so the DuckDB oracle regenerates the identical
+  // planes). Only same-bucket pairs are scored with exact cosine — the
+  // candidate-generation shape that survives 100 TB: bucketing is a narrow
+  // map, the bucket join shuffles signature rows (17 bytes), never the
+  // corpus × corpus cross product. Recall tunes with plane count / multi-
+  // probe; at harness scale 4 planes ≈ 16 buckets. In production the plane
+  // matrix would be precomputed and broadcast instead of re-hashed per row
+  // (noted; the md5 re-derivation here keeps the oracle twin exact).
+  // ------------------------------------------------------------------
+
+  val Planes = 4
+  val AnnTopK = 3
+
+  /** Hyperplane weight w(p,i) in [-1, 1]: 32-bit md5 hash of "p{p}_{i}"
+    * mapped through mod 2001 — exact in double on both engines. */
+  private def weight(p: Int, i: Column): Column =
+    (conv(substring(md5(concat(lit(s"p${p}_"), i.cast("string"))), 1, 8),
+      16, 10).cast("long") % 2001 - 1000) / lit(1000.0)
+
+  private def weightSql(p: Int): String =
+    s"(CAST(concat('0x', substr(md5('p${p}_' || i),1,8)) AS BIGINT) % 2001 - 1000) / 1000.0"
+
+  def annLshQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nsq", foldSum(transform(col("emb"), x => x * x)))
+    val bucketBits = (0 until Planes).map { p =>
+      val dot = foldSum(transform(sequence(lit(0), lit(63)), i =>
+        element_at(col("emb"), i + 1) * weight(p, i)))
+      when(dot >= 0, "1").otherwise("0")
+    }
+    val signed = emb.withColumn("bucket", concat(bucketBits: _*))
+    val queries = signed.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"), col("bucket"))
+    val dot = foldSum(zip_with(col("q_emb"), col("emb"), (x, y) => x * y))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    signed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (dot / (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annLshOracle: String = {
+    val bitExprs = (0 until Planes).map { p =>
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, 64), i -> e[i+1] * ${weightSql(p)})),
+         |      (a,b) -> a+b) >= 0 THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" ||\n    ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq,
+       |    $bitExprs AS bucket
+       |  FROM emb
+       |), pairs AS (
+       |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.e)+1), i -> q.e[i]*b.e[i])),
+       |      (a,b) -> a+b) / (sqrt(q.nsq) * sqrt(b.nsq)) AS cosine
+       |  FROM n q JOIN n b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+       |  WHERE q.vec_id < ${QueryCount}
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= ${AnnTopK}
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val cosineTopkOracle: String =
     s"""WITH emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

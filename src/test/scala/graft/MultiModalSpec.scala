@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MultiModal
+
+/** The multimodal plumbing is real even though the codec is stubbed: binary
+  * payload column, typed metadata, per-partition batched decode, agreement
+  * between the Dataset stub and the Column-expression twin. */
+class MultiModalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("media table carries opaque bytes + typed metadata") {
+    val media = MultiModal.mediaTable(spark, sfDir)
+    val row = media.filter(_.doc_id == 0L).head()
+    assert(row.payload.nonEmpty)
+    assert(Set("image", "audio", "video").contains(row.media_type))
+    assert(media.count() === 500)
+  }
+
+  test("decodeStub output matches the Column-expression twin exactly") {
+    import spark.implicits._
+    val decoded = MultiModal.decodeStub(MultiModal.mediaTable(spark, sfDir))
+      .collect().map(d => d.doc_id -> ((d.n_bytes, d.width, d.height, d.n_frames)))
+      .toMap
+    val expr = MultiModal.multimodalMetaQ(spark, sfDir)
+      .select($"doc_id", $"n_bytes", $"width", $"height", $"n_frames")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(decoded === expr)
+  }
+
+  test("decode preserves partitioning (no shuffle) and is deterministic") {
+    val media = MultiModal.mediaTable(spark, sfDir).repartition(7)
+    val decoded = MultiModal.decodeStub(media)
+    assert(decoded.rdd.getNumPartitions === 7)
+    val a = decoded.collect().sortBy(_.doc_id).toSeq
+    val b = MultiModal.decodeStub(media).collect().sortBy(_.doc_id).toSeq
+    assert(a === b)
+  }
+}
