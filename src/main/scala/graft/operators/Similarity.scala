@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
+import graft.functions.VectorExprs
 
 /** Similarity-search operators over the `embeddings` vector column
   * (SURVEY.md §2.11 X3). Vectors are `array<float>`; all arithmetic is done
@@ -36,15 +37,18 @@ object Similarity {
     transform(arr, x => x.cast("double"))
 
   /** X3 `q_cosine_topk`: exact brute-force cosine top-k of every corpus
-    * vector against each query vector (self excluded). */
+    * vector against each query vector (self excluded). The dot/norm inner
+    * loops are the native codegen'd expressions from VectorExprs (bit-
+    * identical to the HOF fold they replaced — see VectorExprsSpec). */
   def cosineTopkQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-      .withColumn("nsq", foldSum(transform(col("emb"), x => x * x)))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
     val queries = emb.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"))
-    val dot = foldSum(zip_with(col("q_emb"), col("emb"), (x, y) => x * y))
+    val dot = VectorExprs.dot(col("q_emb"), col("emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -84,9 +88,10 @@ object Similarity {
     s"(CAST(concat('0x', substr(md5('p${p}_' || i),1,8)) AS BIGINT) % 2001 - 1000) / 1000.0"
 
   def annLshQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-      .withColumn("nsq", foldSum(transform(col("emb"), x => x * x)))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
     val bucketBits = (0 until Planes).map { p =>
       val dot = foldSum(transform(sequence(lit(0), lit(63)), i =>
         element_at(col("emb"), i + 1) * weight(p, i)))
@@ -96,7 +101,7 @@ object Similarity {
     val queries = signed.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"), col("bucket"))
-    val dot = foldSum(zip_with(col("q_emb"), col("emb"), (x, y) => x * y))
+    val dot = VectorExprs.dot(col("q_emb"), col("emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     signed.join(broadcast(queries), Seq("bucket"))

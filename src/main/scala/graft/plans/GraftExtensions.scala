@@ -1,0 +1,13 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.VectorExprs
+
+/** Session-extension injector (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  * registers the engine's native expressions at session build — the
+  * production wiring for a cluster where every session (including plain
+  * `spark.sql` users) should see `graft_dot` / `graft_normsq`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExprs.functions.foreach(ext.injectFunction)
+}
