@@ -51,6 +51,7 @@ object SparkEntry {
     "q_simhash"             -> TextAnalysis.simhashQ _,
     "q_ann_lsh"             -> Similarity.annLshQ _,
     "q_multimodal_meta"     -> MultiModal.multimodalMetaQ _,
+    "q_dedup_embedding"     -> Similarity.dedupEmbeddingQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,5 +140,6 @@ object SparkEntry {
     "q_simhash"          -> TextAnalysis.simhashOracle,
     "q_ann_lsh"          -> Similarity.annLshOracle,
     "q_multimodal_meta"  -> MultiModal.multimodalMetaOracle,
+    "q_dedup_embedding"  -> Similarity.dedupEmbeddingOracle,
   )
 }
