@@ -52,6 +52,9 @@ object SparkEntry {
     "q_ann_lsh"             -> Similarity.annLshQ _,
     "q_multimodal_meta"     -> MultiModal.multimodalMetaQ _,
     "q_dedup_embedding"     -> Similarity.dedupEmbeddingQ _,
+    "q_dedup_ngram"         -> Dedup.dedupNgramQ _,
+    "q_ann_ivf"             -> Similarity.annIvfQ _,
+    "q_agg_salted"          -> Aggregates.aggSalted _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -141,5 +144,8 @@ object SparkEntry {
     "q_ann_lsh"          -> Similarity.annLshOracle,
     "q_multimodal_meta"  -> MultiModal.multimodalMetaOracle,
     "q_dedup_embedding"  -> Similarity.dedupEmbeddingOracle,
+    "q_dedup_ngram"      -> Dedup.dedupNgramOracle,
+    "q_ann_ivf"          -> Similarity.annIvfOracle,
+    "q_agg_salted"       -> Aggregates.aggSaltedOracle,
   )
 }

@@ -121,6 +121,35 @@ object Aggregates {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Skew-safe two-stage aggregation (`q_agg_salted`): the salting idiom
+    * for hot grouping keys at 100 TB — `events.event_type` has only a
+    * handful of values, so a plain groupBy funnels the whole table into ~5
+    * reducers. Stage 1 aggregates by (key, salt) spreading each hot key
+    * over `Salts` reducers; stage 2 combines the per-salt partials. Result
+    * is identical to the direct groupBy (the oracle computes exactly that).
+    * The summed metric uses floor()+long so it is exact under any
+    * combination order AND any engine (double sums are order-dependent;
+    * double→long casts truncate in Spark but round in DuckDB — floor first
+    * sidesteps both). */
+  val Salts = 8
+
+  def aggSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val partial = Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(Num.countStar.as("pn"),
+        sum(floor(col("value")).cast("long")).as("psv"))
+    partial
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("psv")).as("sum_floor_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggSaltedOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | SUM(CAST(floor(value) AS BIGINT)) AS sum_floor_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** A2 `q_distinct`: SELECT DISTINCT (dedup pre-MERGE,
     * function_app.py:442). Partial aggregation removes duplicates map-side
     * before the shuffle. */

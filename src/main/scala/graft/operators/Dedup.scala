@@ -166,4 +166,78 @@ object Dedup {
        |WHERE jaccard >= ${JaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // `q_dedup_ngram`: exact n-gram-Jaccard near-dup detection with an
+  // INVERTED-INDEX candidate generator — the other scalable candidate
+  // pattern beside MinHash banding. Posting lists are built per shingle,
+  // shingles with document frequency outside [2, DfCap] are dropped (df=1
+  // cannot pair; df>DfCap are stop-shingles whose posting-list self-join
+  // would explode quadratically at 100 TB — the cap bounds each list's
+  // contribution to DfCap² pairs), candidates come from joining the
+  // surviving lists, and every candidate is verified with exact Jaccard.
+  // Near-dup pairs always share many RARE shingles, so the cap costs no
+  // recall at the target threshold.
+  // ------------------------------------------------------------------
+
+  val DfCap = 10
+
+  def ngramPairs(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs)
+    val postings = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+    val rare = postings.groupBy(col("s")).agg(Num.countStar.as("df"))
+      .filter(col("df") >= 2 && col("df") <= DfCap)
+      .select(col("s"))
+    val indexed = postings.join(rare, Seq("s"))
+    val cand = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val x = sh.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"))
+    cand.join(x, Seq("doc_a")).join(y, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sg_a"), col("sg_b"))).cast("double") /
+          size(array_union(col("sg_a"), col("sg_b")))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def dedupNgramQ(spark: SparkSession, sfDir: String): DataFrame =
+    ngramPairs(Tables.documents(spark, sfDir))
+
+  val dedupNgramOracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(ws)-1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+       |  FROM words WHERE len(ws) >= 3
+       |), postings AS (
+       |  SELECT doc_id, unnest(sg) AS s FROM sh
+       |), rare AS (
+       |  SELECT s FROM postings GROUP BY s
+       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= ${DfCap}
+       |), indexed AS (
+       |  SELECT p.doc_id, p.s FROM postings p JOIN rare r ON p.s = r.s
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM indexed a JOIN indexed b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.sg, y.sg))) AS jaccard
+       |  FROM cand
+       |  JOIN sh x ON x.doc_id = doc_a
+       |  JOIN sh y ON y.doc_id = doc_b
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= ${JaccardThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

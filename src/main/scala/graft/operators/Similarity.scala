@@ -146,6 +146,92 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // `q_ann_ivf`: IVF-style ANN — the other classic scale path beside LSH.
+  // Coarse quantization assigns every vector to its nearest centroid
+  // (inverted lists); a query probes only its own centroid's list and ranks
+  // members by exact cosine. At 100 TB: centroids are broadcast (bounded),
+  // assignment is one narrow pass, and the probe join shuffles on
+  // centroid_id so each query touches 1/C of the corpus (nprobe=1 here;
+  // recall tunes with nprobe). The "trained" centroids are a deterministic
+  // stand-in — the first IvfCentroids corpus vectors — because real k-means
+  // would be nondeterministic across engines; the assignment/probe dataflow
+  // is the deliverable.
+  // ------------------------------------------------------------------
+
+  val IvfCentroids = 8
+  val IvfQueryFrom = 100 // query ids [IvfQueryFrom, IvfQueryFrom + QueryCount)
+
+  def annIvfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
+    val cent = emb.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nsq").as("c_nsq"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("c_cos", VectorExprs.dot(col("emb"), col("c_emb")) /
+        (sqrt(col("nsq")) * sqrt(col("c_nsq"))))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("nsq"), col("c_id").as("centroid"))
+    val queries = assigned
+      .filter(col("vec_id") >= IvfQueryFrom &&
+        col("vec_id") < IvfQueryFrom + QueryCount)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"), col("centroid"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(queries), Seq("centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (VectorExprs.dot(col("q_emb"), col("emb")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annIvfOracle: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq
+       |  FROM emb
+       |), assigned AS (
+       |  SELECT vec_id, e, nsq, centroid FROM (
+       |    SELECT v.vec_id, v.e, v.nsq, c.vec_id AS centroid,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.e[i])),
+       |          (a,b) -> a+b) / (sqrt(v.nsq) * sqrt(c.nsq)) DESC,
+       |        c.vec_id ASC) AS rn
+       |    FROM n v JOIN n c ON c.vec_id < ${IvfCentroids}) t
+       |  WHERE rn = 1
+       |), pairs AS (
+       |  SELECT q.vec_id AS q_id, m.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.e)+1), i -> q.e[i]*m.e[i])),
+       |      (a,b) -> a+b) / (sqrt(q.nsq) * sqrt(m.nsq)) AS cosine
+       |  FROM assigned q JOIN assigned m
+       |    ON q.centroid = m.centroid AND m.vec_id <> q.vec_id
+       |  WHERE q.vec_id >= ${IvfQueryFrom}
+       |    AND q.vec_id < ${IvfQueryFrom + QueryCount}
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= ${AnnTopK}
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // `q_dedup_embedding`: embedding-cosine near-duplicate detection — the
   // vector twin of Dedup's MinHash banding. Banded hyperplane LSH:
   // EmbBands families × EmbRows sign bits each; two vectors are CANDIDATES
