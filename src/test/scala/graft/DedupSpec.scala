@@ -48,4 +48,29 @@ class DedupSpec extends AnyFunSuite {
     val docs = Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text")
     assert(Dedup.minhashPairs(docs).count() === 0)
   }
+
+  test("ngram inverted-index dedup finds near-dups and agrees with minhash") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " changed"
+    val disjoint = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, nearDup), (4L, disjoint))
+      .toDF("doc_id", "text")
+    val ngram = Dedup.ngramPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val minhash = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // inverted index is exact-recall at this scale; minhash pairs ⊆ ngram
+    assert(minhash.subsetOf(ngram))
+    assert(ngram.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("ngram df-cap drops stop-shingles: universally shared text can't pair") {
+    // one shingle shared by MORE than DfCap docs is a stop-shingle; docs
+    // sharing ONLY it generate no candidates
+    val common = "alpha beta gamma"
+    val docs = (1L to (Dedup.DfCap + 2L)).map(i => (i, s"$common unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramPairs(docs).collect()
+    assert(pairs.isEmpty)
+  }
 }
