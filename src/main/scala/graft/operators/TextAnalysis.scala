@@ -128,6 +128,17 @@ object TextAnalysis {
   /** Stopword set for the quality heuristic (vocabulary-tuned parameter). */
   val Stopwords: Seq[String] = Seq("the", "a")
 
+  /** Cross-engine-safe 4-decimal rounding: floor(x·10⁴ + 0.5)/10⁴. Library
+    * HALF_EVEN implementations diverge on exact .xxxx5 ties (Spark bround
+    * works on the exact binary value via BigDecimal; DuckDB round_even
+    * multiplies first — found live at sf0.1 on 0.1% of quality scores).
+    * This formula is the SAME double expression on both engines, so ties
+    * resolve identically by construction. */
+  private def round4(c: Column): Column =
+    floor(c * 10000.0 + 0.5) / 10000.0
+  private def round4Sql(e: String): String =
+    s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
   /** `q_quality_score`: length/punctuation/stopword heuristics combined into
     * a single rounded score — the shape of a pre-training quality filter
     * (length prior + cleanliness + naturalness), all in codegen'd Columns. */
@@ -142,10 +153,10 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         nWords.as("n_words"),
-        bround(punctRatio, 4).as("punct_ratio"),
-        bround(stopRatio, 4).as("stopword_ratio"),
-        bround(lengthPrior * 0.5 + (lit(1.0) - punctRatio) * 0.3 +
-          stopRatio * 0.2, 4).as("quality_score"))
+        round4(punctRatio).as("punct_ratio"),
+        round4(stopRatio).as("stopword_ratio"),
+        round4(lengthPrior * 0.5 + (lit(1.0) - punctRatio) * 0.3 +
+          stopRatio * 0.2).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -160,10 +171,10 @@ object TextAnalysis {
        |      / greatest(len($wordsSql), 1) AS stop_ratio
        |  FROM documents)
        |SELECT doc_id, n_words,
-       |  round_even(punct_ratio, 4) AS punct_ratio,
-       |  round_even(stop_ratio, 4) AS stopword_ratio,
-       |  round_even(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
-       |    + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2, 4) AS quality_score
+       |  ${round4Sql("punct_ratio")} AS punct_ratio,
+       |  ${round4Sql("stop_ratio")} AS stopword_ratio,
+       |  ${round4Sql("least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5" +
+            " + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2")} AS quality_score
        |FROM q ORDER BY doc_id""".stripMargin
   }
 
