@@ -79,13 +79,29 @@ object Similarity {
   val AnnTopK = 3
 
   /** Hyperplane weight w(p,i) in [-1, 1]: 32-bit md5 hash of "p{p}_{i}"
-    * mapped through mod 2001 — exact in double on both engines. */
-  private def weight(p: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(s"p${p}_"), i.cast("string"))), 1, 8),
-      16, 10).cast("long") % 2001 - 1000) / lit(1000.0)
+    * mapped through mod 2001. PRECOMPUTED on the driver (the "broadcast the
+    * plane matrix" production shape — hashing per row per dim would redo
+    * 512k md5s per pass) and shipped to the oracle as round-trip double
+    * literals, so all three computations (Scala, Spark literal, DuckDB
+    * parse) land on the identical IEEE double. */
+  private def planeWeights(p: Int): IndexedSeq[Double] = (0 until 64).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p${p}_$i".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(
+      md.take(4).map(b => f"$b%02x").mkString, 16)
+    (h % 2001 - 1000) / 1000.0
+  }
 
-  private def weightSql(p: Int): String =
-    s"(CAST(concat('0x', substr(md5('p${p}_' || i),1,8)) AS BIGINT) % 2001 - 1000) / 1000.0"
+  /** Signed dot against plane p via the native expression. */
+  private def planeDot(emb: Column, p: Int): Column =
+    VectorExprs.dot(emb, lit(planeWeights(p).toArray))
+
+  private def planeDotSql(e: String, p: Int): String = {
+    val lits = planeWeights(p).map(_.toString).mkString(", ")
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len($e)+1), i -> $e[i] * ([$lits])[i])),
+       |      (a,b) -> a+b)""".stripMargin
+  }
 
   def annLshQ(spark: SparkSession, sfDir: String): DataFrame = {
     VectorExprs.ensureRegistered(spark)
@@ -93,11 +109,12 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .withColumn("nsq", VectorExprs.normSq(col("emb")))
     val bucketBits = (0 until Planes).map { p =>
-      val dot = foldSum(transform(sequence(lit(0), lit(63)), i =>
-        element_at(col("emb"), i + 1) * weight(p, i)))
-      when(dot >= 0, "1").otherwise("0")
+      when(planeDot(col("emb"), p) >= 0, "1").otherwise("0")
     }
+    // materialized: the signature pass feeds both join sides (no cross-
+    // branch subtree reuse in Spark — see Dedup.materialize)
     val signed = emb.withColumn("bucket", concat(bucketBits: _*))
+      .localCheckpoint(true)
     val queries = signed.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"), col("bucket"))
@@ -116,9 +133,7 @@ object Similarity {
 
   val annLshOracle: String = {
     val bitExprs = (0 until Planes).map { p =>
-      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(0, 64), i -> e[i+1] * ${weightSql(p)})),
-         |      (a,b) -> a+b) >= 0 THEN '1' ELSE '0' END""".stripMargin
+      s"CASE WHEN ${planeDotSql("e", p)} >= 0 THEN '1' ELSE '0' END"
     }.mkString(" ||\n    ")
     s"""WITH emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -177,6 +192,7 @@ object Similarity {
       .withColumn("rn", row_number().over(assignW))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("emb"), col("nsq"), col("c_id").as("centroid"))
+      .localCheckpoint(true) // assignment feeds both probe-join sides
     val queries = assigned
       .filter(col("vec_id") >= IvfQueryFrom &&
         col("vec_id") < IvfQueryFrom + QueryCount)
@@ -257,15 +273,13 @@ object Similarity {
       .withColumn("nsq", VectorExprs.normSq(col("emb")))
     val bandKeys: Column = array((0 until EmbBands).map { f =>
       concat((0 until EmbRows).map { r =>
-        val p = f * EmbRows + r
-        val dot = foldSum(transform(sequence(lit(0), lit(63)), i =>
-          element_at(col("emb"), i + 1) * weight(p, i)))
-        when(dot >= 0, "1").otherwise("0")
+        when(planeDot(col("emb"), f * EmbRows + r) >= 0, "1").otherwise("0")
       }: _*)
     }: _*)
     val bands = emb
       .select(col("vec_id"), col("emb"), col("nsq"),
         posexplode(bandKeys).as(Seq("band", "key")))
+      .localCheckpoint(true) // band rows feed both sides of the pair join
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -282,11 +296,9 @@ object Similarity {
     val bandExprs = (0 until EmbBands).map { f =>
       (0 until EmbRows).map { r =>
         val p = f * EmbRows + r
-        s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |      list_transform(range(0, 64), i -> e[i+1] * ${weightSql(p)})),
-           |      (a,b) -> a+b) >= 0 THEN '1' ELSE '0' END""".stripMargin
+        s"CASE WHEN ${planeDotSql("e", p)} >= 0 THEN '1' ELSE '0' END"
       }.mkString(" || ")
-    }.zipWithIndex.map { case (expr, f) => s"($expr)" }.mkString(",\n    ")
+    }.map(expr => s"($expr)").mkString(",\n    ")
     s"""WITH emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
