@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guards: the properties that make these operators
+  * survive a 100× scale-up, asserted against the actual physical plans so a
+  * refactor can't silently regress them. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q_agg_pricing pushes the date filter into the parquet scan") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("l_shipdate"))
+  }
+
+  test("q_agg_daily_region reads only the referenced columns (pruning)") {
+    val p = plan("q_agg_daily_region")
+    // the orders scan must not read the unused o_orderkey/o_orderpriority
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("orders.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("o_orderpriority"))
+  }
+
+  test("dedup candidate generation is never a cartesian/all-pairs join") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_embedding")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plan contains a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a nested-loop join")
+    }
+  }
+
+  test("q_topk_per_group pushes a per-partition group limit below the shuffle") {
+    assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("no forced broadcast of the scale-proportional customer dim") {
+    // nation (25 rows) may broadcast; the plan must not *hint* customer.
+    // We assert on the analyzed plan: no ResolvedHint wrapping customer.
+    val analyzed = SparkEntry.queries("q_agg_daily_region")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    val hinted = analyzed.linesIterator.filter(_.contains("ResolvedHint")).toSeq
+    assert(!hinted.exists(_.contains("customer")),
+      "customer-sized dim is explicitly broadcast-hinted")
+  }
+}
