@@ -55,6 +55,7 @@ object SparkEntry {
     "q_dedup_ngram"         -> Dedup.dedupNgramQ _,
     "q_ann_ivf"             -> Similarity.annIvfQ _,
     "q_agg_salted"          -> Aggregates.aggSalted _,
+    "q_star_join"           -> Joins.starJoin _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -147,5 +148,6 @@ object SparkEntry {
     "q_dedup_ngram"      -> Dedup.dedupNgramOracle,
     "q_ann_ivf"          -> Similarity.annIvfOracle,
     "q_agg_salted"       -> Aggregates.aggSaltedOracle,
+    "q_star_join"        -> Joins.starJoinOracle,
   )
 }

@@ -56,6 +56,45 @@ object Joins {
       .orderBy(col("o_orderkey"))
   }
 
+  /** `q_star_join`: multi-dimensional star join — the fact table against
+    * two independent dimension arms, one of them two-hop
+    * (supplier→nation→region, the snowflake shape). Catalyst's join
+    * reordering + size-based strategy pick broadcast for every dim arm;
+    * the fact table is scanned once and never shuffled. This is the
+    * general form of the reference's single-dim rollup
+    * (src/snowflake_loader.py:140-155) at warehouse scale. */
+  def starJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+    val p = Tables.part(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    val supGeo = s
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(s("s_suppkey"), r("r_name").as("region"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(supGeo, l("l_suppkey") === supGeo("s_suppkey"))
+      .groupBy(col("p_brand"), col("region"))
+      .agg(graft.engine.Num.countStar.as("n_items"),
+        graft.engine.Num.sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("p_brand"), col("region"))
+  }
+
+  val starJoinOracle: String =
+    """SELECT p.p_brand, r.r_name AS region,
+      | COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY 1, 2
+      |ORDER BY p_brand, region""".stripMargin
+
   /** J2: MERGE upsert semantics on vanilla parquet = full outer join +
     * per-column precedence. Target = "previously seen" slice of customer
     * (c_custkey % 3 == 0), source = "today's batch" (c_custkey % 2 == 0).
