@@ -56,6 +56,7 @@ object SparkEntry {
     "q_ann_ivf"             -> Similarity.annIvfQ _,
     "q_agg_salted"          -> Aggregates.aggSalted _,
     "q_star_join"           -> Joins.starJoin _,
+    "q_rollup_text"         -> TextAnalysis.rollupTextQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -149,5 +150,6 @@ object SparkEntry {
     "q_ann_ivf"          -> Similarity.annIvfOracle,
     "q_agg_salted"       -> Aggregates.aggSaltedOracle,
     "q_star_join"        -> Joins.starJoinOracle,
+    "q_rollup_text"      -> TextAnalysis.rollupTextOracle,
   )
 }

@@ -39,6 +39,33 @@ object TextAnalysis {
       | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** `q_rollup_text`: hierarchical corpus reporting via ROLLUP
+    * (lang → lang×source → grand total) — one pass, Spark expands the
+    * grouping sets inside a single aggregate (no re-scan per level).
+    * Grouped keys are sentinel-coalesced through grouping() so the output
+    * carries no NULL group keys (cross-engine null ordering/hashing stays
+    * out of the comparison). */
+  def rollupTextQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .rollup(col("lang"), col("source"))
+      .agg(Num.countStar.as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        grouping(col("lang")).as("g_lang"),
+        grouping(col("source")).as("g_source"))
+      .select(
+        when(col("g_lang") === 1, "(all)").otherwise(col("lang")).as("lang"),
+        when(col("g_source") === 1, "(all)").otherwise(col("source")).as("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  val rollupTextOracle: String =
+    """SELECT
+      | CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+      | CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+      | COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      |FROM documents
+      |GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang, source""".stripMargin
+
   /** Words array (lower-cased, alnum runs) — shared by the per-doc ops.
     * Purely narrow Column work: no shuffle, stays in whole-stage codegen. */
   private val words: Column =
