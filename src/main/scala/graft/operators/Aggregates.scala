@@ -147,7 +147,7 @@ object Aggregates {
 
   val aggSaltedOracle: String =
     """SELECT event_type, COUNT(*) AS n,
-      | SUM(CAST(floor(value) AS BIGINT)) AS sum_floor_value
+      | CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** A2 `q_distinct`: SELECT DISTINCT (dedup pre-MERGE,

@@ -63,7 +63,7 @@ object Sessionize {
        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |                      ROWS UNBOUNDED PRECEDING) AS session_id
        |  FROM marked)
-       |SELECT user_id, session_id,
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        |  COUNT(*) AS n_events

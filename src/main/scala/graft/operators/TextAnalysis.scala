@@ -34,7 +34,7 @@ object TextAnalysis {
   val textStatsOracle: String =
     """SELECT lang, COUNT(*) AS n_docs,
       | COUNT(DISTINCT source) AS n_sources,
-      | SUM(n_chars) AS total_chars,
+      | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
       | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
@@ -61,7 +61,7 @@ object TextAnalysis {
     """SELECT
       | CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
       | CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
-      | COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |GROUP BY ROLLUP (lang, source)
       |ORDER BY lang, source""".stripMargin

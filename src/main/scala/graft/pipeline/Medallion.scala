@@ -315,9 +315,9 @@ object Medallion {
        |SELECT strftime(f.collected_date, '%Y-%m-%d') AS analysis_date,
        |  d.channel_country, f.final_sentiment,
        |  COUNT(*) AS video_count,
-       |  SUM(f.view_count) AS total_views,
-       |  SUM(f.like_count) AS total_likes,
-       |  SUM(f.comment_count) AS total_comments,
+       |  CAST(SUM(f.view_count) AS BIGINT) AS total_views,
+       |  CAST(SUM(f.like_count) AS BIGINT) AS total_likes,
+       |  CAST(SUM(f.comment_count) AS BIGINT) AS total_comments,
        |  CAST(SUM(CAST(f.engagement_rate AS DECIMAL(18,4))) AS DOUBLE)
        |    / COUNT(*) AS avg_engagement_rate
        |FROM deduped f JOIN dim d USING (channel_id)

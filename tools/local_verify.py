@@ -43,6 +43,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
             failures += 1
             continue
+        # The driver's value-hash is dtype-kind sensitive: DuckDB SUM(int)
+        # returns HUGEINT which pandas converts to float64 — hashing 5.0 vs
+        # Spark's int64 5 differs even though values compare equal. Mirror
+        # that: require the same dtype KIND (int vs float vs object) per
+        # column (int32 vs int64 is fine — observed to hash alike).
+        kinds_got = [got[c].dtype.kind for c in got.columns]
+        kinds_exp = [exp[c].dtype.kind for c in exp.columns]
+        if [k.replace('u', 'i') for k in kinds_got] != [k.replace('u', 'i') for k in kinds_exp]:
+            print(f"FAIL {name}: dtype kinds {list(zip(got.columns, kinds_got, kinds_exp))}")
+            failures += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
             failures += 1
