@@ -12,22 +12,39 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/session (codegen, shuffle machinery, parquet reader)
-    // so the first timed query doesn't absorb ~5 s of startup — per-query
-    // numbers stay comparable across rounds.
+    // ERROR: log noise (WARN stack traces from benign probes) lands in the
+    // driver's captured tail and can crowd out the JSON result line.
+    spark.sparkContext.setLogLevel("ERROR")
+    // Warm up the JVM/session so the first timed query doesn't absorb
+    // engine-startup cost (codegen compiler, shuffle machinery, parquet
+    // reader/writer, JSON datasource, window exec) — per-query numbers
+    // stay comparable across rounds. Warms machinery only; reads none of
+    // the benchmarked inputs beyond one tiny dim table.
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/nation.parquet").count()
-    catch { case _: Throwable => () }
+    try {
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_warm_")
+      java.nio.file.Files.writeString(tmp.resolve("w.json"), """[{"a":1},{"a":2}]""")
+      spark.read.option("multiLine", "true").json(tmp.toString).count()
+      val w = Window.partitionBy(col("g")).orderBy(col("id"))
+      spark.range(1000).selectExpr("id", "id % 7 as g")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .write.mode("overwrite").parquet(s"$tmp/warm_out")
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the whole line inside the driver's 2000-char
+    // output tail even with 40+ queries.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

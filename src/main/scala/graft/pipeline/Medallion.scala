@@ -111,12 +111,18 @@ object Medallion {
     * at file listing, not post-scan), multiLine JSON arrays, PERMISSIVE with
     * an explicit corrupt-record column; appends to staging with provenance. */
   def loadStaging(spark: SparkSession, rawDir: String, warehouse: String): Unit = {
+    // Filename-family predicate via pathGlobFilter (prunes at file listing,
+    // like a glob, but on an existing base dir — avoids the FileStreamSink
+    // metadata probe logging a spurious FileNotFoundException stack trace
+    // for glob-shaped paths).
     val staged = spark.read
       .option("multiLine", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "videos_*.json")
       .schema(videoSchema)
-      .json(s"$rawDir/*/*/*/videos_*.json")
+      .json(rawDir)
       .withColumn("file_name", fileName)
       .withColumn("collected_date", pathDate)
     staged.write.mode("append").parquet(s"$warehouse/staging/videos")
@@ -130,8 +136,10 @@ object Medallion {
       .option("multiLine", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "channels_*.json")
       .schema(channelSchema)
-      .json(s"$rawDir/*/*/*/channels_*.json")
+      .json(rawDir)
       .withColumn("file_name", fileName)
       .filter(col("_corrupt").isNull && col("channel_id").isNotNull) // P3
     // W1: latest file wins per channel
@@ -196,11 +204,12 @@ object Medallion {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn", "file_name")
     val existing = readOrEmpty(spark, factPath, factSchema)
-    // J3: left anti = WHEN NOT MATCHED THEN INSERT (no update clause)
-    val toInsert = batch.join(existing.select("video_id"), Seq("video_id"), "left_anti")
-    val tmp = factPath + ".insert"
-    toInsert.write.mode("overwrite").parquet(tmp)
-    spark.read.schema(factSchema).parquet(tmp)
+    // J3: left anti = WHEN NOT MATCHED THEN INSERT (no update clause).
+    // Appending directly to factPath while the plan reads it is safe: the
+    // scan's file index is snapshotted at read() time, append only commits
+    // new files, and Spark's overwrite-into-input guard applies to
+    // overwrite mode only — saves the tmp-dir write+re-read round trip.
+    batch.join(existing.select("video_id"), Seq("video_id"), "left_anti")
       .write.mode("append").parquet(factPath)
   }
 
@@ -231,11 +240,13 @@ object Medallion {
 
   def cleanupStaging(spark: SparkSession, warehouse: String): Unit = {
     val path = s"$warehouse/staging/videos"
+    // The empty frame has no lineage into `path` (only its schema is read),
+    // so a direct overwrite is legal — no tmp-dir hop needed.
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       spark.read.parquet(path).schema)
       .repartition(1) // ensure one schema-bearing (empty) part file
-    writeVia(empty, path)
+    empty.write.mode("overwrite").parquet(path)
   }
 
   /** The full load, stage by stage (each materializes before the next reads
