@@ -75,7 +75,13 @@ object Dedup {
   private def md5Hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** doc_id + distinct 3-word shingle set (docs with <3 words drop out). */
+  /** doc_id + distinct 3-word shingle set, each shingle already hashed to a
+    * 60-bit long (docs with <3 words drop out). Hashing BEFORE the first
+    * shuffle means no raw text ever moves between stages — at 100 TB the
+    * posting/band exchanges carry 8-byte keys, not strings — and the exact
+    * set ops (Jaccard intersect/union) run on longs. The oracle applies the
+    * identical hash, so even a (≈2⁻⁶⁰-rare) collision would produce the
+    * same result on both engines. */
   private def shingled(docs: DataFrame): DataFrame = {
     val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
     docs
@@ -83,9 +89,9 @@ object Dedup {
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), array_distinct(
         transform(sequence(lit(1), size(col("ws")) - 2), i =>
-          concat_ws(" ", element_at(col("ws"), i),
+          md5Hash60(concat_ws(" ", element_at(col("ws"), i),
             element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2)))).as("sg"))
+            element_at(col("ws"), i + 2))))).as("sg"))
   }
 
   /** Eagerly materialize a frame that several DAG branches reuse. Spark has
@@ -100,7 +106,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame): DataFrame = {
     val p = MinhashPrime
     val sh = materialize(shingled(docs)
-      .withColumn("hs", transform(col("sg"), s => md5Hash60(s) % p)))
+      .withColumn("hs", transform(col("sg"), s => s % p)))
     val minhashes: Seq[Column] = Perms.map { case (a, b) =>
       array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % p))
     }
@@ -145,12 +151,12 @@ object Dedup {
        |), sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, len(ws)-1),
-       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+       |      i -> CAST(concat('0x', substr(md5(
+       |             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,15)) AS BIGINT)
+       |      )) AS sg
        |  FROM words WHERE len(ws) >= 3
        |), hashed AS (
-       |  SELECT doc_id, sg,
-       |    list_transform(sg, s ->
-       |      CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) % ${p}) AS hs
+       |  SELECT doc_id, sg, list_transform(sg, s -> s % ${p}) AS hs
        |  FROM sh
        |), sigs AS (
        |  SELECT doc_id, sg, [${minExprs}] AS mh
@@ -200,14 +206,23 @@ object Dedup {
   def ngramPairs(docs: DataFrame): DataFrame = {
     val sh = materialize(shingled(docs))
     val postings = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+    // df gate first as a count-only aggregate (never materializes the
+    // stop-shingles' giant posting lists), semi-joined back — `rare` is a
+    // narrow key set, so Catalyst broadcasts it. The surviving lists are
+    // ≤ DfCap elements, so they are collected per shingle and the candidate
+    // pairs expanded in-line — replacing the posting-list self-join's second
+    // full shuffle with a bounded per-row expansion.
     val rare = postings.groupBy(col("s")).agg(Num.countStar.as("df"))
       .filter(col("df") >= 2 && col("df") <= DfCap)
       .select(col("s"))
-    val indexed = postings.join(rare, Seq("s"))
-    val cand = indexed.as("a")
-      .join(indexed.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val ds = array_sort(col("ds"))
+    val pairsOfList = flatten(transform(sequence(lit(1), size(ds) - 1), i =>
+      transform(sequence(i + 1, size(ds)), j =>
+        struct(element_at(ds, i).as("doc_a"), element_at(ds, j).as("doc_b")))))
+    val cand = postings.join(rare, Seq("s"))
+      .groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(pairsOfList).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(Num.countStar.as("n_shared"))
       .filter(col("n_shared") >= MinSharedRare)
       .select(col("doc_a"), col("doc_b"))
@@ -233,7 +248,9 @@ object Dedup {
        |), sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, len(ws)-1),
-       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+       |      i -> CAST(concat('0x', substr(md5(
+       |             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,15)) AS BIGINT)
+       |      )) AS sg
        |  FROM words WHERE len(ws) >= 3
        |), postings AS (
        |  SELECT doc_id, unnest(sg) AS s FROM sh
