@@ -57,6 +57,13 @@ object SparkEntry {
     "q_agg_salted"          -> Aggregates.aggSalted _,
     "q_star_join"           -> Joins.starJoin _,
     "q_rollup_text"         -> TextAnalysis.rollupTextQ _,
+    "q_asof_join"           -> Joins.asofJoinQ _,
+    "q_range_join"          -> Joins.rangeJoinQ _,
+    "q_percentiles"         -> Stats.percentilesQ _,
+    "q_kmv_distinct"        -> Stats.kmvDistinctQ _,
+    "q_word_topk"           -> TextAnalysis.wordTopkQ _,
+    "q_tfidf"               -> TextAnalysis.tfidfQ _,
+    "q_simhash_pairs"       -> TextAnalysis.simhashPairsQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -151,5 +158,12 @@ object SparkEntry {
     "q_agg_salted"       -> Aggregates.aggSaltedOracle,
     "q_star_join"        -> Joins.starJoinOracle,
     "q_rollup_text"      -> TextAnalysis.rollupTextOracle,
+    "q_asof_join"        -> Joins.asofJoinOracle,
+    "q_range_join"       -> Joins.rangeJoinOracle,
+    "q_percentiles"      -> Stats.percentilesOracle,
+    "q_kmv_distinct"     -> Stats.kmvDistinctOracle,
+    "q_word_topk"        -> TextAnalysis.wordTopkOracle,
+    "q_tfidf"            -> TextAnalysis.tfidfOracle,
+    "q_simhash_pairs"    -> TextAnalysis.simhashPairsOracle,
   )
 }

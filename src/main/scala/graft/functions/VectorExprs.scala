@@ -124,7 +124,82 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** 32-bit SimHash over an array of non-negative token hashes: bit j is
+    * set iff Σ_tokens (((h >> j) & 1)·2 − 1) > 0 — identical to the
+    * interpreted HOF formulation in TextAnalysis and the DuckDB oracle's
+    * list_reduce, but as one primitive loop (32 counters, single pass)
+    * instead of 32 interpreted lambda passes per row. */
+  case class SimHash32(child: Expression)
+      extends UnaryExpression {
+
+    private def isLongArray(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isLongArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash32 expects array<bigint>, got ${child.dataType}")
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "graft_simhash32"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val ones = new Array[Int](32)
+      var n = 0
+      var i = 0
+      while (i < x.numElements()) {
+        if (!x.isNullAt(i)) {
+          val h = x.getLong(i)
+          var j = 0
+          while (j < 32) { ones(j) += ((h >>> j) & 1L).toInt; j += 1 }
+          n += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 32) {
+        if (2 * ones(j) - n > 0) out |= (1L << j)
+        j += 1
+      }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val (ones, n, i, j, h, out) = (ctx.freshName("ones"), ctx.freshName("n"),
+          ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("h"),
+          ctx.freshName("out"))
+        s"""
+           |int[] $ones = new int[32];
+           |int $n = 0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  if (!$a.isNullAt($i)) {
+           |    long $h = $a.getLong($i);
+           |    for (int $j = 0; $j < 32; $j++) {
+           |      $ones[$j] += (int) (($h >>> $j) & 1L);
+           |    }
+           |    $n++;
+           |  }
+           |}
+           |long $out = 0L;
+           |for (int $j = 0; $j < 32; $j++) {
+           |  if (2 * $ones[$j] - $n > 0) $out |= (1L << $j);
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+      copy(child = newChild)
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (es: Seq[Expression]) => SimHash32(es(0))),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
@@ -148,4 +223,6 @@ object VectorExprs {
     call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
   def normSq(a: Column): Column =
     call_function("graft_normsq", a.cast("array<double>"))
+  def simhash32(tokenHashes: Column): Column =
+    call_function("graft_simhash32", tokenHashes)
 }

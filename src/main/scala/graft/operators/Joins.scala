@@ -121,6 +121,126 @@ object Joins {
   def insertOnlyNew(batch: DataFrame, target: DataFrame, key: String): DataFrame =
     batch.join(target.select(col(key)), Seq(key), "left_anti")
 
+  // ------------------------------------------------------------------
+  // `q_asof_join`: keyed as-of join — for each probe row, the latest state
+  // row of the same key with state.ts <= probe.ts (inclusive). Spark has no
+  // ASOF JOIN operator; a range join would be O(probe × state) per key. The
+  // scalable idiom is UNION + WINDOW: tag both streams, sort each key's
+  // timeline once, and carry the last non-null state forward — ONE shuffle
+  // on the key, no join at all. Equal timestamps order state (tag 0) before
+  // probe (tag 1), giving the inclusive >= semantics of DuckDB's ASOF JOIN.
+  // At 100 TB this is the plan you want: both inputs hash-partition by key,
+  // sort within partition, single pass; a hot key goes through AQE
+  // skew-split plus coarse time-bucketing.
+  // ------------------------------------------------------------------
+
+  /** Core: probe(key, ts, event_id) gets (state_ts, state_val) of the
+    * latest state(key, ts, sval) row at-or-before its ts. */
+  def asofJoin(probe: DataFrame, state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = state
+      .select(col("key"), col("ts"), lit(0).as("tag"), lit(-1L).as("event_id"),
+        col("sval"))
+      .unionByName(probe
+        .select(col("key"), col("ts"), lit(1).as("tag"), col("event_id"),
+          lit(null).cast("double").as("sval")))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("state_val", last(col("sval"), ignoreNulls = true).over(w))
+      .withColumn("state_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("key"), col("ts"), col("state_ts"),
+        col("state_val"))
+  }
+
+  /** `q_asof_join` over events: each purchase gets the user's most recent
+    * signup at-or-before it (state deduped to one row per (user, ts),
+    * latest event_id wins, for a well-defined as-of input). */
+  def asofJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val wD = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val state = ev.filter(col("event_type") === "signup")
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+      .select(col("user_id").as("key"), col("ts"), col("value").as("sval"))
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts"), col("event_id"))
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    asofJoin(probe, state)
+      .select(col("event_id"), col("key").as("user_id"),
+        date_format(col("ts"), fmt).as("ts"),
+        coalesce(date_format(col("state_ts"), fmt), lit("(none)")).as("state_ts"),
+        coalesce(col("state_val"), lit(-1.0)).as("state_val"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinOracle: String =
+    """WITH state AS (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |                         ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'signup') WHERE rn = 1),
+      |probe AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      |  COALESCE(strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f'), '(none)') AS state_ts,
+      |  COALESCE(s.value, -1.0) AS state_val
+      |FROM probe p ASOF LEFT JOIN state s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // `q_range_join`: interval/range join — fact rows against a dimension of
+  // (possibly OVERLAPPING) value ranges. The naive plan is a broadcast
+  // nested-loop with a theta predicate; the scalable plan used here is
+  // BIN ACCELERATION: each range explodes into the fixed-width bins it
+  // covers, the fact row computes its single bin, and the join becomes an
+  // EQUI-join on bin followed by the exact range filter. Each (row, range)
+  // match appears in exactly one bin (the row's), so no dedup is needed.
+  // At 100 TB the bin join hash-partitions like any equi-join; bin width
+  // trades dimension blowup against filter selectivity.
+  // ------------------------------------------------------------------
+
+  /** Price-tier ranges [lo, hi) — deliberately overlapping (a part can land
+    * in several tiers), shared verbatim with the oracle. */
+  val PriceTiers: Seq[(String, Int, Int)] =
+    Seq(("budget", 0, 1000), ("low", 800, 1200), ("mid", 1000, 1600),
+      ("high", 1500, 2100), ("luxury", 1800, 2500))
+  val BinWidth = 100
+
+  def rangeJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = PriceTiers.toDF("tier", "lo", "hi")
+      .withColumn("bin", explode(sequence(
+        (col("lo") / BinWidth).cast("int"),
+        ((col("hi") - 1) / BinWidth).cast("int"))))
+    val p = Tables.part(spark, sfDir)
+      .withColumn("bin", floor(col("p_retailprice") / BinWidth).cast("int"))
+    p.join(broadcast(tiers), p("bin") === tiers("bin") &&
+        p("p_retailprice") >= tiers("lo") && p("p_retailprice") < tiers("hi"))
+      .groupBy(col("tier"))
+      .agg(graft.engine.Num.countStar.as("n_parts"),
+        graft.engine.Num.sumMoney(col("p_retailprice")).as("total_price"))
+      .orderBy(col("tier"))
+  }
+
+  val rangeJoinOracle: String = {
+    val values = PriceTiers.map { case (t, lo, hi) => s"('$t', $lo, $hi)" }
+      .mkString(", ")
+    s"""SELECT t.tier, COUNT(*) AS n_parts,
+       | CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       |FROM part p
+       |JOIN (VALUES $values) AS t(tier, lo, hi)
+       |  ON p.p_retailprice >= t.lo AND p.p_retailprice < t.hi
+       |GROUP BY t.tier ORDER BY t.tier""".stripMargin
+  }
+
   def mergeDim(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val target = cust.filter(col("c_custkey") % 3 === 0)

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Tables}
+import graft.functions.KmvSketch
+
+/** Distribution statistics for the LLM-data-pipeline (SURVEY.md §2.11):
+  * exact discrete percentiles and a KMV approximate-distinct sketch. Both
+  * extend the reference's report surface (histograms + scalar counts,
+  * /root/reference/src/youtube_collector.py:241-268,
+  * src/snowflake_loader.py:166-171) to the shapes a corpus-curation job
+  * needs at scale.
+  */
+object Stats {
+
+  /** `q_percentiles`: exact DISCRETE percentiles (p50/p90 as the value at
+    * rank ceil(q·n) of the sorted multiset) per event_type over
+    * floor(value). Engine quantile builtins differ in interpolation rules
+    * across engines, so BOTH sides state the rank-selection definition
+    * explicitly — integer arithmetic end to end.
+    *
+    * Plan: one shuffle on the grouping key; rank + group size come from two
+    * window frames over the SAME partitioning (one exchange, one sort), the
+    * final groupBy reuses it. At 100 TB a hot key would move to an
+    * approx-quantile sketch; the exact-disc form is the oracle-able
+    * baseline. Ties share a value, so row_number ties are harmless: the
+    * value AT a rank is well-defined. */
+  def percentilesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = floor(col("value")).cast("long")
+    val byV = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val all = Window.partitionBy(col("event_type"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), v.as("v"))
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_events"),
+        min(col("v")).as("min_v"),
+        // `/` on Columns is double division; the cast("long") truncation
+        // makes it the integer ceil-rank formula (operands are positive).
+        max(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col("v")))
+          .as("p50"),
+        max(when(col("rn") === ((col("n") * 9 + 9) / 10).cast("long"), col("v")))
+          .as("p90"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("event_type"))
+  }
+
+  val percentilesOracle: String =
+    """WITH t AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+      |r AS (
+      |  SELECT event_type, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM t)
+      |SELECT event_type,
+      |  MAX(n) AS n_events,
+      |  MIN(v) AS min_v,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50,
+      |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN v END) AS p90,
+      |  MAX(v) AS max_v
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Sketch size: estimates engage once a group has >= k distinct hashes. */
+  val KmvK = 64
+
+  /** `q_kmv_distinct`: approximate COUNT(DISTINCT) per event_type via the
+    * KMV sketch (graft.functions.KmvSketch) over 60-bit md5 hashes of
+    * event_id. The estimate expression — fewer than k distinct -> exact,
+    * else (k-1)·2^60 / h_k — is the SAME double arithmetic on both engines,
+    * so the "approximate" result is still bit-exact cross-engine. The exact
+    * distinct count rides along for calibration display. */
+  def kmvDistinctQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val kmv = udaf(new KmvSketch(KmvK))
+    val h = conv(substring(md5(concat(lit("e"), col("event_id"))), 1, 15), 16, 10)
+      .cast("long")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), h.as("h"))
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("n_rows"),
+        countDistinct(col("h")).as("n_exact"),
+        kmv(col("h")).as("hs"))
+      .select(col("event_type"), col("n_rows"), col("n_exact"),
+        when(size(col("hs")) < KmvK, size(col("hs")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * pow(lit(2.0), 60)
+            / element_at(col("hs"), KmvK)).as("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+
+  val kmvDistinctOracle: String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    CAST(concat('0x', substr(md5('e' || event_id),1,15)) AS BIGINT) AS h
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, COUNT(*) AS n_rows,
+       |    COUNT(DISTINCT h) AS n_exact,
+       |    list_sort(list(DISTINCT h)) AS hs
+       |  FROM h GROUP BY 1)
+       |SELECT event_type, n_rows, n_exact,
+       |  CASE WHEN len(hs) < ${KmvK} THEN CAST(len(hs) AS DOUBLE)
+       |       ELSE (${KmvK - 1}.0 * POW(2.0, 60)) / hs[${KmvK}] END AS est_distinct
+       |FROM g ORDER BY event_type""".stripMargin
+}

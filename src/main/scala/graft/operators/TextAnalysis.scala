@@ -249,19 +249,16 @@ object TextAnalysis {
     * few bit positions (Hamming distance) — the pairing step would bucket on
     * bit-bands exactly like Dedup's MinHash banding. */
   def simhashQ(spark: SparkSession, sfDir: String): DataFrame = {
-    // 32-bit token hash (8 hex chars) so bit extraction via floor(h / 2^j)
-    // is exact in double arithmetic (mantissa headroom) — the shift builtins
-    // take literal bit counts and can't consume the lambda's j Column.
+    graft.functions.VectorExprs.ensureRegistered(spark)
     val hs = transform(words, w =>
       conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-    val bits = transform(sequence(lit(31), lit(0), lit(-1)), j =>
-      when(aggregate(col("hs"), lit(0L),
-        (acc, h) =>
-          acc + (floor(h / pow(lit(2.0), j)).cast("long") % 2) * 2 - 1) > 0,
-        "1").otherwise("0"))
+    // Native single-pass signature (VectorExprs.SimHash32); the MSB-first
+    // bit string is just the binary rendering of the value.
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), array_join(bits, "").as("simhash_bits"))
+      .select(col("doc_id"),
+        lpad(bin(graft.functions.VectorExprs.simhash32(col("hs"))), 32, "0")
+          .as("simhash_bits"))
       .orderBy(col("doc_id"))
   }
 
@@ -277,4 +274,132 @@ object TextAnalysis {
        |      list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)), (a,b) -> a+b) > 0
        |    THEN '1' ELSE '0' END), '') AS simhash_bits
        |FROM h ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // `q_simhash_pairs`: SimHash near-dup PAIRING — the banded-bucket
+  // candidate step on top of q_simhash's signature. 32-bit signature split
+  // into 4 byte bands; by pigeonhole any pair within Hamming distance
+  // HamMax=3 agrees on at least one whole band, so banding is LOSSLESS for
+  // the target radius — the banded plan computes exactly "all pairs with
+  // hamming(sim_a, sim_b) <= 3", which is what the oracle states
+  // brute-force. Scale: candidates come only from shared (band, byte)
+  // buckets (an equi-join), never from an all-pairs product; a stop-bucket
+  // (degenerate byte value) would be df-capped like Dedup's posting lists.
+  // ------------------------------------------------------------------
+
+  val SimBands = 4
+  val HamMax = 3
+
+  def simhashPairsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val hs = transform(words, w =>
+      conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    // simhash value via the native single-pass expression (VectorExprs.
+    // SimHash32) — the HOF formulation interprets 32 lambda passes per doc
+    // and dominated the whole query (measured ~10 s of 13.8 s at sf0.1).
+    val sim = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.simhash32(col("hs")).as("simv"))
+      .localCheckpoint(true) // reused by the band explode AND both verify joins
+    val bandKeys = array((0 until SimBands).map { j =>
+      pmod(shiftright(col("simv"), 8 * j), lit(256))
+    }: _*)
+    val bands = sim.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sim.select(col("doc_id").as("doc_a"), col("simv").as("sim_a")), Seq("doc_a"))
+      .join(sim.select(col("doc_id").as("doc_b"), col("simv").as("sim_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= HamMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: the DEFINITION the lossless banding implements — all pairs
+    * within the Hamming radius (brute-force is fine for an oracle). */
+  val simhashPairsOracle: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform($wordsSql,
+       |      w -> CAST(concat('0x', substr(md5(w),1,8)) AS BIGINT)) AS hs
+       |  FROM documents),
+       |sim AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, 32), j ->
+       |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)), (a,b) -> a+b) > 0
+       |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), (a,b) -> a+b) AS simv
+       |  FROM h)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(CAST(xor(a.simv, b.simv) AS BIGINT)) AS INT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(CAST(xor(a.simv, b.simv) AS BIGINT)) <= ${HamMax}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** `q_word_topk`: corpus-wide word frequency top-k — the classic
+    * two-phase count (map-side partial aggregation, one shuffle on word)
+    * with a deterministic total order (count desc, word asc) before the
+    * limit. At 100 TB the limit pushes into a TakeOrdered over the
+    * aggregated (vocabulary-sized) frame — no full sort of the corpus. */
+  val TopKWords = 20
+
+  def wordTopkQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(words).as("word"))
+      .groupBy(col("word"))
+      .agg(Num.countStar.as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(TopKWords)
+
+  val wordTopkOracle: String =
+    s"""SELECT w AS word, COUNT(*) AS n
+       |FROM (SELECT unnest($wordsSql) AS w FROM documents)
+       |GROUP BY 1 ORDER BY n DESC, word LIMIT ${TopKWords}""".stripMargin
+
+  /** `q_tfidf`: rarity-weighted top terms per document — tf from one
+    * explode+count, document frequency from the distinct (doc, term) frame,
+    * ranked per doc by (tf desc, df asc, term asc). The ordering IS tf-idf
+    * ordering (idf is monotone-decreasing in df) expressed in exact
+    * integers, so no cross-engine float-log drift can flip a rank. The df
+    * side is vocabulary-sized — broadcast to the tf frame; one shuffle on
+    * (doc_id, term), one vocabulary-sized aggregate, one window per doc. */
+  val TfidfTopTerms = 3
+
+  def tfidfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(Num.countStar.as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(Num.countStar.as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfTopTerms)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tfidfOracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rnk
+       |  FROM tf JOIN dfreq USING (term))
+       |SELECT doc_id, rnk, term, tf, df
+       |FROM ranked WHERE rnk <= ${TfidfTopTerms}
+       |ORDER BY doc_id, rnk""".stripMargin
 }

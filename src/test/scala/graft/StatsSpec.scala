@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.KmvSketch
+import graft.operators.Stats
+
+/** Percentile rank selection and the KMV sketch's lattice properties. */
+class StatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("discrete percentile = value at rank ceil(q*n) on a known multiset") {
+    // 10 values 1..10 -> p50 = v[5] = 5, p90 = v[9] = 9
+    val df = Seq.tabulate(10)(i => ("t", java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:00:${i}%02d"), (i + 1).toDouble))
+      .toDF("event_type", "ts", "value")
+    df.createOrReplaceTempView("stats_spec_events")
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("v"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val r = df.select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col("v"))).as("p50"),
+        max(when(col("rn") === ((col("n") * 9 + 9) / 10).cast("long"), col("v"))).as("p90"))
+      .collect().head
+    assert(r.getLong(1) === 5L && r.getLong(2) === 9L)
+  }
+
+  test("percentilesQ columns are ordered and keyed deterministically") {
+    val out = Stats.percentilesQ(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSeq === rows.map(_.getString(0)).toSeq.sorted)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4)
+        && r.getLong(4) <= r.getLong(5),
+        s"min <= p50 <= p90 <= max violated: $r")
+    }
+  }
+
+  test("KMV buffer is the k smallest distinct values, order-independent") {
+    val k = 8
+    val agg = new KmvSketch(k)
+    val xs = Seq(5L, 3L, 9L, 3L, 1L, 7L, 11L, 2L, 8L, 6L, 4L, 10L, 5L)
+    val expected = xs.distinct.sorted.take(k)
+    // sequential reduce in two different orders
+    val a = xs.foldLeft(agg.zero)(agg.reduce)
+    val b = xs.reverse.foldLeft(agg.zero)(agg.reduce)
+    assert(a === expected && b === expected)
+    // arbitrary split + merge = same result (partial-aggregation safety)
+    for (split <- Seq(1, 4, 7, 12)) {
+      val (l, r) = xs.splitAt(split)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m === expected, s"split at $split")
+    }
+  }
+
+  test("KMV estimate is exact below k and within 3x above k") {
+    val out = Stats.kmvDistinctQ(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getLong(2).toDouble
+      val est = r.getDouble(3)
+      if (exact < Stats.KmvK) assert(est === exact)
+      else assert(est > exact / 3 && est < exact * 3,
+        s"KMV estimate $est far from exact $exact")
+    }
+  }
+
+  test("simhash banding is lossless for the Hamming radius (pigeonhole)") {
+    // any two 32-bit values within hamming HamMax share >= 1 of the 4 bytes
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val a = rnd.nextInt() & 0xFFFFFFFFL
+      val flips = rnd.shuffle((0 until 32).toList)
+        .take(rnd.nextInt(graft.operators.TextAnalysis.HamMax + 1))
+      val b = flips.foldLeft(a)((v, j) => v ^ (1L << j))
+      val shared = (0 until graft.operators.TextAnalysis.SimBands)
+        .exists(j => ((a >> (8 * j)) & 255) == ((b >> (8 * j)) & 255))
+      assert(shared, f"a=$a%08x b=$b%08x")
+    }
+  }
+}
