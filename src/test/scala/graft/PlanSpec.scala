@@ -40,6 +40,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
   }
 
+  test("q_range_join is a hash join on the bin key, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join fell back to a theta-join product")
+  }
+
+  test("q_asof_join is join-free (union+window) with dedup group limits") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), "as-of should be the union+window idiom, not a join")
+    assert(p.contains("WindowGroupLimit"),
+      "state dedup rn=1 should push a group limit below the shuffle")
+  }
+
+  test("q_percentiles computes both window frames over one exchange") {
+    val p = plan("q_percentiles")
+    // exchanges: one hash partition for the windows, one final range
+    // partition for the orderBy — anything more means the two frames or the
+    // aggregate re-shuffled
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith(":- Exchange")
+        || l.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, saw $exchanges:\n$p")
+  }
+
+  test("q_word_topk pushes the limit into a TakeOrdered over the aggregate") {
+    assert(plan("q_word_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_tfidf and q_simhash_pairs use group limits / hash joins, no products") {
+    assert(plan("q_tfidf").contains("WindowGroupLimit"))
+    for (q <- Seq("q_tfidf", "q_simhash_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains an all-pairs product")
+    }
+  }
+
   test("no forced broadcast of the scale-proportional customer dim") {
     // nation (25 rows) may broadcast; the plan must not *hint* customer.
     // We assert on the analyzed plan: no ResolvedHint wrapping customer.
