@@ -64,6 +64,9 @@ object SparkEntry {
     "q_word_topk"           -> TextAnalysis.wordTopkQ _,
     "q_tfidf"               -> TextAnalysis.tfidfQ _,
     "q_simhash_pairs"       -> TextAnalysis.simhashPairsQ _,
+    "q_time_window"         -> Stats.timeWindowQ _,
+    "q_set_ops"             -> Aggregates.setOpsQ _,
+    "q_pivot"               -> Aggregates.pivotQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -165,5 +168,8 @@ object SparkEntry {
     "q_word_topk"        -> TextAnalysis.wordTopkOracle,
     "q_tfidf"            -> TextAnalysis.tfidfOracle,
     "q_simhash_pairs"    -> TextAnalysis.simhashPairsOracle,
+    "q_time_window"      -> Stats.timeWindowOracle,
+    "q_set_ops"          -> Aggregates.setOpsOracle,
+    "q_pivot"            -> Aggregates.pivotOracle,
   )
 }

@@ -158,4 +158,69 @@ object Aggregates {
       .select(col("o_orderstatus"), col("o_orderpriority"))
       .distinct()
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** `q_set_ops`: UNION / INTERSECT / EXCEPT over two key sets — recent
+    * customers (1997+ orders) vs customers with a finished order. Each set
+    * op is a distinct-aggregate-shaped shuffle on the key; the three counts
+    * union into one report row each. At scale every branch is a two-phase
+    * hash aggregate — the inputs are scanned once per op but only the key
+    * column moves. */
+  def setOpsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val recent = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val finished = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.distinct().agg(Num.countStar.as("n_keys"))
+        .select(lit(name).as("set_op"), col("n_keys"))
+    counted("except", recent.except(finished))
+      .unionByName(counted("intersect", recent.intersect(finished)))
+      .unionByName(counted("union", recent.union(finished)))
+      .orderBy(col("set_op"))
+  }
+
+  val setOpsOracle: String =
+    """WITH recent AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+      |finished AS (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'except' AS set_op,
+      |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM recent
+      |    EXCEPT SELECT DISTINCT o_custkey FROM finished)) AS n_keys
+      |UNION ALL SELECT 'intersect',
+      |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM recent
+      |    INTERSECT SELECT DISTINCT o_custkey FROM finished))
+      |UNION ALL SELECT 'union',
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM recent
+      |    UNION SELECT o_custkey FROM finished))
+      |ORDER BY set_op""".stripMargin
+
+  /** Known pivot keys — passing them to pivot() skips the extra
+    * distinct-values scan job AND fixes the output column order. */
+  val PivotStatuses: Seq[String] = Seq("F", "O", "P")
+
+  /** `q_pivot`: long→wide pivot — order counts per priority × status
+    * matrix, the reference's sentiment histogram (youtube_collector.py:
+    * 247-266) generalized to a cross-tab. Spark's pivot() compiles to ONE
+    * grouped aggregate whose aggregate list is the when()-projected status
+    * buckets (no join, no second shuffle); the oracle writes those
+    * conditional aggregates out explicitly. */
+  def pivotQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", PivotStatuses)
+      .agg(Num.countStar)
+      .select(col("o_orderpriority") +:
+        PivotStatuses.map(s => coalesce(col(s), lit(0L)).as(s"n_$s")): _*)
+      .orderBy(col("o_orderpriority"))
+
+  val pivotOracle: String = {
+    val cols = PivotStatuses.map(s =>
+      s"COALESCE(COUNT(*) FILTER (o_orderstatus = '$s'), 0) AS n_$s")
+      .mkString(",\n ")
+    s"""SELECT o_orderpriority,
+       | $cols
+       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+  }
 }

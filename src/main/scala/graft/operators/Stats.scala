@@ -91,6 +91,42 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Tumbling-window width (6 h) — epoch-aligned on both engines. */
+  val WindowHours = 6
+
+  /** `q_time_window`: tumbling-window aggregation over the event stream —
+    * the BATCH twin of the Structured Streaming rollup in
+    * graft.streaming.Incremental (same `window()` grouping, no watermark
+    * needed at rest). Spark's window() buckets align to the epoch in the
+    * session timezone (pinned UTC), which the oracle reproduces with
+    * integer epoch-microsecond arithmetic — no reliance on either engine's
+    * time_bucket origin conventions. One shuffle on (window, event_type)
+    * with map-side partial aggregation; at 100 TB the window column also
+    * serves as the natural partition key for the sink. */
+  def timeWindowQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), s"$WindowHours hours"), col("event_type"))
+      .agg(Num.countStar.as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_floor_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_floor_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val timeWindowOracle: String = {
+    val busec = WindowHours * 3600L * 1000000L
+    s"""SELECT
+       |  strftime(make_timestamp((epoch_us(ts) // ${busec}) * ${busec}),
+       |           '%Y-%m-%d %H:%M:%S') AS win_start,
+       |  strftime(make_timestamp((epoch_us(ts) // ${busec}) * ${busec} + ${busec}),
+       |           '%Y-%m-%d %H:%M:%S') AS win_end,
+       |  event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+       |FROM events
+       |GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin
+  }
+
   val kmvDistinctOracle: String =
     s"""WITH h AS (
        |  SELECT event_type,
