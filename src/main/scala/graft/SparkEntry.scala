@@ -67,6 +67,7 @@ object SparkEntry {
     "q_time_window"         -> Stats.timeWindowQ _,
     "q_set_ops"             -> Aggregates.setOpsQ _,
     "q_pivot"               -> Aggregates.pivotQ _,
+    "q_centroids"           -> Similarity.centroidsQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,5 +172,6 @@ object SparkEntry {
     "q_time_window"      -> Stats.timeWindowOracle,
     "q_set_ops"          -> Aggregates.setOpsOracle,
     "q_pivot"            -> Aggregates.pivotOracle,
+    "q_centroids"        -> Similarity.centroidsOracle,
   )
 }

@@ -324,6 +324,38 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** `q_centroids`: per-label elementwise centroid of the embedding
+    * column — the UPDATE step of a distributed k-means / class-prototype
+    * computation (assignment is X16's coarse quantization). posexplode
+    * turns vectors into (label, dim, v) triples; one shuffle on
+    * (label, dim) with the per-group sum ORDER-PINNED (sort the collected
+    * values, then left-fold) so the double result is bit-identical
+    * cross-engine regardless of partitioning. At 100 TB the groups are
+    * (labels × dims) — tiny — and the triples shuffle is the data bound;
+    * a production variant would partial-aggregate Kahan-style per
+    * partition, traded here for exact oracle-able determinism. */
+  def centroidsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(collect_list(col("v")).as("vs"))
+      .select(col("label"), col("dim"),
+        (aggregate(array_sort(col("vs")), lit(0.0), (a, b) => a + b) /
+          size(col("vs"))).as("centroid_v"))
+      .orderBy(col("label"), col("dim"))
+
+  val centroidsOracle: String =
+    """WITH exploded AS (
+      |  SELECT label, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |g AS (
+      |  SELECT label, dim, list_sort(list(v)) AS vs FROM exploded GROUP BY 1, 2)
+      |SELECT label, dim,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE), vs), (a,b) -> a + b)
+      |    / len(vs) AS centroid_v
+      |FROM g ORDER BY label, dim""".stripMargin
+
   val cosineTopkOracle: String =
     s"""WITH emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
