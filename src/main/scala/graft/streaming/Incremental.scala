@@ -60,6 +60,19 @@ object Incremental {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"))
 
+  /** Streaming exact dedup — the streaming twin of X1/J3 first-write-wins:
+    * only the first occurrence of each key within the watermark horizon is
+    * emitted; state for keys older than the watermark is evicted, which is
+    * the only way a dedup operator's state stays bounded on an unbounded
+    * stream (the batch dedup's "all history" becomes "watermark horizon" —
+    * the standard trade; cross-horizon exactness falls back to the batch
+    * anti-join against the served layer, exactly like Medallion.loadFacts). */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserCount(user_id: Long, n_events: Long)
 

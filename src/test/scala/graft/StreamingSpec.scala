@@ -54,6 +54,28 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:30:00.0", "click", 1L)))
   }
 
+  test("streaming dedup emits only the first occurrence per key across batches") {
+    val ms = MemoryStream[(Timestamp, Long, String)](spark, 3)
+    val deduped = Incremental.streamingDedup(
+      ms.toDF().toDF("ts", "user_id", "event_type"), Seq("user_id", "event_type"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    ms.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click"),
+      (Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "click"), // dup in batch
+      (Timestamp.valueOf("2024-01-01 00:02:00"), 2L, "view"))
+    q.processAllAvailable()
+    ms.addData(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click"), // dup across batch
+      (Timestamp.valueOf("2024-01-01 00:11:00"), 2L, "click")) // new key pair
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(got === Seq(1L -> "click", 2L -> "click", 2L -> "view"))
+  }
+
   test("mapGroupsWithState keeps per-user counts across micro-batches") {
     val ms = MemoryStream[Incremental.UserEvent](spark, 2)
     val counts = Incremental.runningUserCounts(ms.toDS())
