@@ -68,6 +68,10 @@ object SparkEntry {
     "q_set_ops"             -> Aggregates.setOpsQ _,
     "q_pivot"               -> Aggregates.pivotQ _,
     "q_centroids"           -> Similarity.centroidsQ _,
+    "q_split"               -> Curation.splitQ _,
+    "q_decontaminate"       -> Curation.decontaminateQ _,
+    "q_repetition"          -> Curation.repetitionQ _,
+    "q_redact"              -> Curation.redactQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -173,5 +177,9 @@ object SparkEntry {
     "q_set_ops"          -> Aggregates.setOpsOracle,
     "q_pivot"            -> Aggregates.pivotOracle,
     "q_centroids"        -> Similarity.centroidsOracle,
+    "q_split"            -> Curation.splitOracle,
+    "q_decontaminate"    -> Curation.decontaminateOracle,
+    "q_repetition"       -> Curation.repetitionOracle,
+    "q_redact"           -> Curation.redactOracle,
   )
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Tables}
+
+/** Corpus-curation operators (SURVEY.md §2.11) — the canonical pre-training
+  * quartet a 100 TB data pipeline runs after dedup: deterministic
+  * train/val/test splitting, eval-set decontamination, repetition (Gopher-
+  * style) quality metrics, and pattern redaction. All are pure Column
+  * programs or bounded broadcast joins; nothing all-pairs, nothing
+  * collected to the driver.
+  */
+object Curation {
+
+  /** Split fractions by hash bucket (out of 100): [0,80) train, [80,90)
+    * val, rest test. */
+  val TrainPct = 80
+  val ValPct = 90
+
+  /** `q_split`: deterministic train/val/test assignment by content-stable
+    * hash of the document key — the property that matters at scale is that
+    * the split is a PURE FUNCTION of the key (reshuffles, re-runs, and
+    * late-arriving shards land identically; no sampled state to persist).
+    * One narrow map + one 3-group aggregate. */
+  def splitQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("s"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+    Tables.documents(spark, sfDir)
+      .select(
+        when(bucket < TrainPct, "train")
+          .when(bucket < ValPct, "val")
+          .otherwise("test").as("split"),
+        col("n_chars"))
+      .groupBy(col("split"))
+      .agg(Num.countStar.as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .select(col("split"), col("n_docs"),
+        col("total_chars").cast("long").as("total_chars"))
+      .orderBy(col("split"))
+  }
+
+  val splitOracle: String =
+    s"""SELECT
+       |  CASE WHEN b < ${TrainPct} THEN 'train'
+       |       WHEN b < ${ValPct} THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM (SELECT n_chars,
+       |        CAST(concat('0x', substr(md5('s' || doc_id),1,15)) AS BIGINT)
+       |          % 100 AS b
+       |      FROM documents)
+       |GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** Eval-set membership predicate (doc_id % EvalMod == 0) — stands in for
+    * "the benchmark suite" at harness scale. */
+  val EvalMod = 97
+
+  /** `q_decontaminate`: n-gram decontamination — flag every corpus document
+    * sharing a 3-shingle with the eval set, with the shared-shingle count.
+    * The eval shingle set is distinct-hashed and BROADCAST (eval suites are
+    * bounded — MB-scale — regardless of corpus size); the corpus side is
+    * the same hashed-shingle postings stream the ngram dedup uses, so the
+    * whole check is one broadcast semi-join + one groupBy on doc_id. This
+    * is how you decontaminate 100 TB against a benchmark: never join
+    * corpus×corpus, always corpus×(small eval index). */
+  def decontaminateQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingled(Tables.documents(spark, sfDir))
+    val evalSet = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(col("sg")).as("s")).distinct()
+    sh.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), explode(col("sg")).as("s"))
+      .join(broadcast(evalSet), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(Num.countStar.as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH ${Dedup.shingleCteSql},
+       |eval AS (
+       |  SELECT DISTINCT unnest(sg) AS s FROM sh WHERE doc_id % ${EvalMod} = 0),
+       |corpus AS (
+       |  SELECT doc_id, unnest(sg) AS s FROM sh WHERE doc_id % ${EvalMod} <> 0)
+       |SELECT doc_id, COUNT(*) AS n_hits
+       |FROM corpus JOIN eval USING (s)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Cross-engine-safe 4-decimal rounding (same construction as
+    * TextAnalysis.round4 — identical double expression on both engines). */
+  private def round4(c: org.apache.spark.sql.Column) =
+    floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** `q_repetition`: Gopher-style repetition metrics per document —
+    * duplicate-word fraction and duplicate-3-gram fraction (1 − distinct/
+    * total). High values mark boilerplate/templated text for downpweighting
+    * or removal. Narrow Column work only; docs with <3 words drop out with
+    * the shingle path. */
+  def repetitionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val sg = transform(sequence(lit(1), size(col("ws")) - 2), i =>
+      concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+        element_at(col("ws"), i + 2)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("ws"), sg.as("sg"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        round4(lit(1.0) - size(array_distinct(col("ws"))).cast("double")
+          / size(col("ws"))).as("dup_word_ratio"),
+        round4(lit(1.0) - size(array_distinct(col("sg"))).cast("double")
+          / size(col("sg"))).as("dup_shingle_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                w -> w <> '') AS ws
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, ws,
+      |    list_transform(range(1, len(ws)-1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sg
+      |  FROM t WHERE len(ws) >= 3)
+      |SELECT doc_id,
+      |  len(ws) AS n_words,
+      |  floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+      |        * 10000.0 + 0.5) / 10000.0 AS dup_word_ratio,
+      |  floor((1.0 - CAST(len(list_distinct(sg)) AS DOUBLE) / len(sg))
+      |        * 10000.0 + 0.5) / 10000.0 AS dup_shingle_ratio
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** `q_redact`: pattern redaction over the event props payload — numeric
+    * identifiers masked, with a per-row redaction count (the PII-scrub
+    * shape: same plan with SSN/email/phone alternations in the pattern).
+    * Pure codegen'd Column work — regexp_replace replaces all occurrences
+    * on both engines (DuckDB needs the 'g' flag). */
+  val RedactPattern = "[0-9]+"
+
+  def redactQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        regexp_replace(col("props"), RedactPattern, "#").as("redacted"),
+        size(regexp_extract_all(col("props"), lit(RedactPattern), lit(0)))
+          .as("n_redactions"))
+      .orderBy(col("event_id"))
+
+  val redactOracle: String =
+    s"""SELECT event_id,
+       |  regexp_replace(props, '${RedactPattern}', '#', 'g') AS redacted,
+       |  len(regexp_extract_all(props, '${RedactPattern}')) AS n_redactions
+       |FROM events ORDER BY event_id""".stripMargin
+}

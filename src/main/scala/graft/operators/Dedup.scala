@@ -82,7 +82,7 @@ object Dedup {
     * set ops (Jaccard intersect/union) run on longs. The oracle applies the
     * identical hash, so even a (≈2⁻⁶⁰-rare) collision would produce the
     * same result on both engines. */
-  private def shingled(docs: DataFrame): DataFrame = {
+  private[operators] def shingled(docs: DataFrame): DataFrame = {
     val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
     docs
       .select(col("doc_id"), ws.as("ws"))
@@ -238,6 +238,24 @@ object Dedup {
 
   def dedupNgramQ(spark: SparkSession, sfDir: String): DataFrame =
     ngramPairs(Tables.documents(spark, sfDir))
+
+  /** Shared oracle CTE: doc_id + hashed distinct 3-shingle set — the SQL
+    * twin of `shingled` (used by the dedup oracles and Curation's
+    * decontamination oracle). */
+  val shingleCteSql: String =
+    """words AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                w -> w <> '') AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(ws)-1),
+      |      i -> CAST(concat('0x', substr(md5(
+      |             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,15)) AS BIGINT)
+      |      )) AS sg
+      |  FROM words WHERE len(ws) >= 3
+      |)""".stripMargin
 
   val dedupNgramOracle: String =
     s"""WITH words AS (

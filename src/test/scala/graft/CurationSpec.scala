@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** Curation-quartet semantics: split partition/determinism, decontamination
+  * scope, repetition bounds, redaction round-trip. */
+class CurationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("split partitions the corpus: counts sum to N, assignment is stable") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val a = Curation.splitQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.values.sum === total)
+    assert(a.keySet.subsetOf(Set("train", "val", "test")))
+    // deterministic: recomputing yields the identical assignment
+    val b = Curation.splitQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // roughly the configured proportions (hash uniformity, loose bounds)
+    val train = a.getOrElse("train", 0L).toDouble / total
+    assert(train > 0.6 && train < 0.95, s"train fraction $train")
+  }
+
+  test("decontamination never flags eval-set documents themselves") {
+    val flagged = Curation.decontaminateQ(spark, sfDir).collect()
+      .map(_.getLong(0))
+    assert(flagged.nonEmpty) // harness vocabulary guarantees shared shingles
+    assert(flagged.forall(_ % Curation.EvalMod != 0))
+  }
+
+  test("repetition ratios are in [0,1) and 0 for an all-distinct doc") {
+    val rows = Curation.repetitionQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s) = (r.getDouble(2), r.getDouble(3))
+      assert(w >= 0.0 && w < 1.0 && s >= 0.0 && s < 1.0, s"out of range: $r")
+    }
+    import spark.implicits._
+    val one = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    one.createOrReplaceTempView("curation_spec_docs")
+    val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val distinctRatio = one.select(
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("r"))
+      .collect().head.getDouble(0)
+    assert(distinctRatio === 1.0)
+  }
+
+  test("redaction masks every digit run and counts them") {
+    val out = Curation.redactQ(spark, sfDir)
+      .filter(col("n_redactions") > 0)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getString(1).exists(_.isDigit), s"digits survived: $r")
+    }
+  }
+}
