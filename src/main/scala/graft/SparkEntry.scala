@@ -72,6 +72,7 @@ object SparkEntry {
     "q_decontaminate"       -> Curation.decontaminateQ _,
     "q_repetition"          -> Curation.repetitionQ _,
     "q_redact"              -> Curation.redactQ _,
+    "q_knn_classify"        -> Similarity.knnClassifyQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -181,5 +182,6 @@ object SparkEntry {
     "q_decontaminate"    -> Curation.decontaminateOracle,
     "q_repetition"       -> Curation.repetitionOracle,
     "q_redact"           -> Curation.redactOracle,
+    "q_knn_classify"     -> Similarity.knnClassifyOracle,
   )
 }

@@ -60,6 +60,75 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Neighbors consulted per query for the kNN vote. */
+  val KnnK = 10
+
+  /** `q_knn_classify`: kNN label prediction — the end-use the similarity
+    * stack exists for. Queries (vec_id < QueryCount) are scored against the
+    * labeled remainder with the same broadcast-queries/native-dot plan as
+    * q_cosine_topk, the top KnnK neighbors vote, majority wins with ties to
+    * the smaller label. Per query: one corpus scan, one window, one
+    * vote aggregate — no shuffle of the corpus side beyond the top-k rows. */
+  def knnClassifyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
+    val queries = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+    val dot = VectorExprs.dot(col("q_emb"), col("emb"))
+    val byCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val byVotes = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("predicted_label").asc)
+    emb.filter(col("vec_id") >= QueryCount)
+      .crossJoin(broadcast(queries)) // bounded query side × corpus scan — the intended product
+      .select(col("q_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        (dot / (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cosine"))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= KnnK)
+      .groupBy(col("q_id"), col("true_label"), col("n_label").as("predicted_label"))
+      .agg(graft.engine.Num.countStar.as("votes"))
+      .withColumn("r", row_number().over(byVotes))
+      .filter(col("r") === 1)
+      .select(col("q_id"), col("true_label"), col("predicted_label"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
+  val knnClassifyOracle: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq
+       |  FROM emb
+       |), pairs AS (
+       |  SELECT q.vec_id AS q_id, q.label AS true_label,
+       |    b.vec_id AS neighbor_id, b.label AS n_label,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.e)+1), i -> q.e[i]*b.e[i])),
+       |      (a,b) -> a+b) / (sqrt(q.nsq) * sqrt(b.nsq)) AS cosine
+       |  FROM n q JOIN n b ON b.vec_id >= ${QueryCount}
+       |  WHERE q.vec_id < ${QueryCount}
+       |), top AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |    FROM pairs) t WHERE rnk <= ${KnnK}
+       |), votes AS (
+       |  SELECT q_id, true_label, n_label AS predicted_label, COUNT(*) AS votes
+       |  FROM top GROUP BY 1, 2, 3)
+       |SELECT q_id, true_label, predicted_label, votes FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY votes DESC, predicted_label ASC) AS r
+       |  FROM votes) t
+       |WHERE r = 1 ORDER BY q_id""".stripMargin
+
   // ------------------------------------------------------------------
   // `q_ann_lsh`: the scale path — random-hyperplane LSH bucketing.
   //
