@@ -65,7 +65,13 @@ object Curation {
     * is how you decontaminate 100 TB against a benchmark: never join
     * corpus×corpus, always corpus×(small eval index). */
   def decontaminateQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Dedup.shingled(Tables.documents(spark, sfDir))
+    // Materialized for the same two reasons as Dedup.materialize: the frame
+    // feeds both join branches (no cross-branch subtree reuse), and without
+    // a plan break CollapseProject inlines the words array into every
+    // element_at lambda of the pushed-down explode precondition — the
+    // shingle filter then recomputes split(lower(text)) PER ELEMENT,
+    // turning the scan quadratic (measured 25 s vs 1.5 s at sf0.1).
+    val sh = Dedup.shingled(Tables.documents(spark, sfDir)).localCheckpoint(true)
     val evalSet = sh.filter(col("doc_id") % EvalMod === 0)
       .select(explode(col("sg")).as("s")).distinct()
     sh.filter(col("doc_id") % EvalMod =!= 0)
