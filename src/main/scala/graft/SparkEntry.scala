@@ -73,6 +73,7 @@ object SparkEntry {
     "q_repetition"          -> Curation.repetitionQ _,
     "q_redact"              -> Curation.redactQ _,
     "q_knn_classify"        -> Similarity.knnClassifyQ _,
+    "q_multimodal_frames"   -> MultiModal.multimodalFramesQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -183,5 +184,6 @@ object SparkEntry {
     "q_repetition"       -> Curation.repetitionOracle,
     "q_redact"           -> Curation.redactOracle,
     "q_knn_classify"     -> Similarity.knnClassifyOracle,
+    "q_multimodal_frames" -> MultiModal.multimodalFramesOracle,
   )
 }

@@ -86,6 +86,61 @@ object MultiModal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame-sampling stride: keep every Nth frame. */
+  val FrameStride = 2
+  /** Fixed 25 fps stand-in: frame index → timestamp ms. */
+  val FrameMs = 40
+
+  final case class FrameMeta(doc_id: Long, frame_idx: Int, frame_ts_ms: Int,
+      frame_hash: String)
+
+  /** Frame sampling as REAL per-partition batch plumbing: video payloads
+    * decode (stub) to n_frames frames, every FrameStride-th is kept, each
+    * with a content address derived from (payload, frame index). A real
+    * codec replaces the inner function without touching the dataflow —
+    * payload bytes never shuffle, output is metadata rows only. */
+  def frameSampleStub(records: Dataset[MediaRecord]): Dataset[FrameMeta] = {
+    import records.sparkSession.implicits._
+    records.filter(_.media_type == "video").mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch => // one "codec call"/batch
+        batch.flatMap { r =>
+          val nFrames = r.payload.length % 7 + 1
+          (0 until nFrames).filter(_ % FrameStride == 0).map { i =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(r.payload ++ s":$i".getBytes("UTF-8"))
+            FrameMeta(r.doc_id, i, i * FrameMs,
+              md.take(8).map(b => f"$b%02x").mkString)
+          }
+        }
+      }
+    }
+  }
+
+  /** `q_multimodal_frames`: the oracle-checkable Column twin of
+    * frameSampleStub — identical frame set, timestamps, and content
+    * addresses, computed from the same utf-8 payload by both engines
+    * (MultiModalSpec asserts stub ≡ twin row-for-row, which is what makes
+    * the mapPartitions plumbing trustworthy). */
+  def multimodalFramesQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter((col("doc_id") % 3 + 1) === 3) // media_type == 'video'
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), (length(col("text")) % 7 + 1) - 1))
+          .as("frame_idx"))
+      .filter(col("frame_idx") % FrameStride === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * FrameMs).as("frame_ts_ms"),
+        substring(md5(concat(col("text"), lit(":"), col("frame_idx"))), 1, 16)
+          .as("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val multimodalFramesOracle: String =
+    s"""SELECT doc_id, i AS frame_idx, i * ${FrameMs} AS frame_ts_ms,
+       |  substr(md5(text || ':' || i), 1, 16) AS frame_hash
+       |FROM documents, UNNEST(range(0, length(text) % 7 + 1)) AS u(i)
+       |WHERE doc_id % 3 + 1 = 3 AND i % ${FrameStride} = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val multimodalMetaOracle: String =
     """SELECT doc_id,
       | ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,

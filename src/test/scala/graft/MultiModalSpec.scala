@@ -32,6 +32,20 @@ class MultiModalSpec extends AnyFunSuite {
     assert(decoded === expr)
   }
 
+  test("frameSampleStub output matches the Column-expression twin exactly") {
+    val stub = MultiModal.frameSampleStub(MultiModal.mediaTable(spark, sfDir))
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame_ts_ms, f.frame_hash))
+      .toSet
+    val twin = MultiModal.multimodalFramesQ(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(stub === twin)
+    assert(stub.nonEmpty)
+    // stride respected
+    assert(stub.forall(_._2 % MultiModal.FrameStride == 0))
+  }
+
   test("decode preserves partitioning (no shuffle) and is deterministic") {
     val media = MultiModal.mediaTable(spark, sfDir).repartition(7)
     val decoded = MultiModal.decodeStub(media)
