@@ -74,6 +74,7 @@ object SparkEntry {
     "q_redact"              -> Curation.redactQ _,
     "q_knn_classify"        -> Similarity.knnClassifyQ _,
     "q_multimodal_frames"   -> MultiModal.multimodalFramesQ _,
+    "q_semi_join"           -> Joins.semiJoinQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -185,5 +186,6 @@ object SparkEntry {
     "q_redact"           -> Curation.redactOracle,
     "q_knn_classify"     -> Similarity.knnClassifyOracle,
     "q_multimodal_frames" -> MultiModal.multimodalFramesOracle,
+    "q_semi_join"        -> Joins.semiJoinOracle,
   )
 }

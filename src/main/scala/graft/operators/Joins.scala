@@ -121,6 +121,27 @@ object Joins {
   def insertOnlyNew(batch: DataFrame, target: DataFrame, key: String): DataFrame =
     batch.join(target.select(col(key)), Seq(key), "left_anti")
 
+  /** `q_semi_join`: left semi join — EXISTS semantics (suppliers with at
+    * least one 1996+ shipment), the one join type the reference surface
+    * didn't exercise (J3 covers anti = NOT EXISTS). The probe side is
+    * deduplicated by the join itself (no distinct pass); the shipdate
+    * filter pushes into the lineitem scan. */
+  def semiJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+    s.join(l, s("s_suppkey") === l("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val semiJoinOracle: String =
+    """SELECT s_suppkey, s_name FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_suppkey = s.s_suppkey
+      |                AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+      |ORDER BY s_suppkey""".stripMargin
+
   // ------------------------------------------------------------------
   // `q_asof_join`: keyed as-of join — for each probe row, the latest state
   // row of the same key with state.ts <= probe.ts (inclusive). Spark has no

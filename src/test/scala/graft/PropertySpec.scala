@@ -76,6 +76,48 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("asof join equals the brute-force latest-at-or-before reference") {
+    import java.sql.Timestamp
+    val stateGen = Gen.listOfN(8, Gen.zip(Gen.chooseNum(1L, 3L),
+      Gen.chooseNum(0L, 50L), Gen.chooseNum(0, 999)))
+      .map(_.map { case (k, t, v) => (k, t, v.toDouble) }
+        .distinctBy(r => (r._1, r._2))) // unique (key, ts) per asof contract
+    val probeGen = Gen.listOfN(6, Gen.zip(Gen.chooseNum(1L, 3L),
+      Gen.chooseNum(0L, 50L)))
+    check(Prop.forAll(Gen.zip(stateGen, probeGen)) { case (states, probes) =>
+      probes.isEmpty || states.isEmpty || {
+        def ts(s: Long) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+        val stateDf = states.map { case (k, t, v) => (k, ts(t), v) }
+          .toDF("key", "ts", "sval")
+        val probeDf = probes.zipWithIndex
+          .map { case ((k, t), i) => (k, ts(t), i.toLong) }
+          .toDF("key", "ts", "event_id")
+        val got = graft.operators.Joins.asofJoin(probeDf, stateDf)
+          .collect()
+          .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double]))
+          .toMap
+        val want = probes.zipWithIndex.map { case ((k, t), i) =>
+          val eligible = states.filter(s => s._1 == k && s._2 <= t)
+          i.toLong -> (if (eligible.isEmpty) None
+                       else Some(eligible.maxBy(_._2)._3))
+        }.toMap
+        got == want
+      }
+    })
+  }
+
+  test("range-join bins: every (value, range) match lands in exactly one bin") {
+    val w = graft.operators.Joins.BinWidth
+    val rangeGen = Gen.zip(Gen.chooseNum(0, 2400), Gen.chooseNum(1, 800))
+      .map { case (lo, len) => (lo, lo + len) }
+    check(Prop.forAll(Gen.zip(Gen.chooseNum(0.0, 2600.0), rangeGen)) {
+      case (price, (lo, hi)) =>
+        val bins = (lo / w) to ((hi - 1) / w)
+        val hits = bins.count(_ == math.floor(price / w).toInt)
+        if (price >= lo && price < hi) hits == 1 else hits <= 1
+    })
+  }
+
   test("grouped sums equal the ungrouped total (agg consistency)") {
     val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 1000L))
     check(Prop.forAll(Gen.listOfN(30, rowGen)) { rows =>
