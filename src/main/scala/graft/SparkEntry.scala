@@ -75,6 +75,7 @@ object SparkEntry {
     "q_knn_classify"        -> Similarity.knnClassifyQ _,
     "q_multimodal_frames"   -> MultiModal.multimodalFramesQ _,
     "q_semi_join"           -> Joins.semiJoinQ _,
+    "q_bucketed_join"       -> Joins.bucketedJoinQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -187,5 +188,6 @@ object SparkEntry {
     "q_knn_classify"     -> Similarity.knnClassifyOracle,
     "q_multimodal_frames" -> MultiModal.multimodalFramesOracle,
     "q_semi_join"        -> Joins.semiJoinOracle,
+    "q_bucketed_join"    -> Joins.bucketedJoinOracle,
   )
 }

@@ -121,6 +121,44 @@ object Joins {
   def insertOnlyNew(batch: DataFrame, target: DataFrame, key: String): DataFrame =
     batch.join(target.select(col(key)), Seq(key), "left_anti")
 
+  /** Bucket count for the co-located join demo. */
+  val Buckets = 8
+
+  /** `q_bucketed_join`: SHUFFLE-FREE co-located join via bucketing — both
+    * sides are written `bucketBy(8, key).sortBy(key)` once, after which the
+    * join (and any same-key aggregate above it) needs NO exchange: the
+    * bucket layout IS the hash partitioning, persisted. This is the pattern
+    * that amortizes a 100 TB fact table's shuffle across every downstream
+    * join — pay the partitioned write once, join for free forever.
+    * PlanSpec asserts the plan has no hash-partition exchange. Tables are
+    * rewritten per run (overwrite, sfDir-keyed names) into the session's
+    * temp warehouse; at a real deployment they ARE the warehouse. */
+  def bucketedJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = math.abs(sfDir.hashCode).toString
+    val (tOrders, tCust) = (s"graft_bko_$tag", s"graft_bkc_$tag")
+    Tables.orders(spark, sfDir)
+      .write.mode("overwrite")
+      .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(tOrders)
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .write.mode("overwrite")
+      .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(tCust)
+    spark.table(tOrders)
+      .join(spark.table(tCust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(graft.engine.Num.countStar.as("n_orders"),
+        graft.engine.Num.sumMoney(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val bucketedJoinOracle: String =
+    """SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin
+
   /** `q_semi_join`: left semi join — EXISTS semantics (suppliers with at
     * least one 1996+ shipment), the one join type the reference surface
     * didn't exercise (J3 covers anti = NOT EXISTS). The probe side is

@@ -78,6 +78,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bucketed_join needs no hash-partition exchange (bucket co-location)") {
+    val p = plan("q_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "join/aggregate re-shuffled despite the bucketed layout")
+    assert(p.contains("SelectedBucketsCount"), "scan is not bucket-aware")
+  }
+
   test("no forced broadcast of the scale-proportional customer dim") {
     // nation (25 rows) may broadcast; the plan must not *hint* customer.
     // We assert on the analyzed plan: no ResolvedHint wrapping customer.
