@@ -76,6 +76,7 @@ object SparkEntry {
     "q_multimodal_frames"   -> MultiModal.multimodalFramesQ _,
     "q_semi_join"           -> Joins.semiJoinQ _,
     "q_bucketed_join"       -> Joins.bucketedJoinQ _,
+    "q_cube_text"           -> TextAnalysis.cubeTextQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,5 +190,6 @@ object SparkEntry {
     "q_multimodal_frames" -> MultiModal.multimodalFramesOracle,
     "q_semi_join"        -> Joins.semiJoinOracle,
     "q_bucketed_join"    -> Joins.bucketedJoinOracle,
+    "q_cube_text"        -> TextAnalysis.cubeTextOracle,
   )
 }

@@ -66,6 +66,33 @@ object TextAnalysis {
       |GROUP BY ROLLUP (lang, source)
       |ORDER BY lang, source""".stripMargin
 
+  /** `q_cube_text`: full CUBE (all 2ⁿ grouping sets — lang, source, both,
+    * neither) — completes the grouping-sets family next to X19's ROLLUP.
+    * Same single-pass expansion inside one aggregate; same
+    * grouping()-sentinel convention keeping NULL group keys out of the
+    * cross-engine compare. */
+  def cubeTextQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .cube(col("lang"), col("source"))
+      .agg(Num.countStar.as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        grouping(col("lang")).as("g_lang"),
+        grouping(col("source")).as("g_source"))
+      .select(
+        when(col("g_lang") === 1, "(all)").otherwise(col("lang")).as("lang"),
+        when(col("g_source") === 1, "(all)").otherwise(col("source")).as("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  val cubeTextOracle: String =
+    """SELECT
+      | CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+      | CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+      | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY CUBE (lang, source)
+      |ORDER BY lang, source""".stripMargin
+
   /** Words array (lower-cased, alnum runs) — shared by the per-doc ops.
     * Purely narrow Column work: no shuffle, stays in whole-stage codegen. */
   private val words: Column =
