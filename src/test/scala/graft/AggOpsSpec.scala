@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Aggregates, TextAnalysis}
+
+/** Algebraic identities for the set-op / pivot / cube reports. */
+class AggOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("inclusion-exclusion: |A union B| = |A| + |B| - |A intersect B|") {
+    val o = graft.engine.Tables.orders(spark, sfDir)
+    val a = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select("o_custkey").distinct().count()
+    val b = o.filter(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct().count()
+    val m = Aggregates.setOpsQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("union") === a + b - m("intersect"))
+    assert(m("except") === a - m("intersect"))
+  }
+
+  test("pivot row sums equal the per-priority order counts") {
+    val o = graft.engine.Tables.orders(spark, sfDir)
+    val direct = o.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Aggregates.pivotQ(spark, sfDir).collect().foreach { r =>
+      val rowSum = (1 to 3).map(r.getLong).sum
+      assert(rowSum === direct(r.getString(0)), s"row ${r.getString(0)}")
+    }
+  }
+
+  test("cube contains the rollup sets plus the source-only slice") {
+    val cube = TextAnalysis.cubeTextQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val rollup = TextAnalysis.rollupTextQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // every rollup cell appears identically in the cube
+    rollup.foreach { case (k, v) => assert(cube.get(k).contains(v), s"cell $k") }
+    // the cube's extra cells are exactly the (all, source) slice
+    val extra = cube.keySet -- rollup.keySet
+    assert(extra.nonEmpty && extra.forall { case (l, s) => l == "(all)" && s != "(all)" })
+    // grand total consistent
+    val total = cube(("(all)", "(all)"))._1
+    assert(total === graft.engine.Tables.documents(spark, sfDir).count())
+  }
+}
