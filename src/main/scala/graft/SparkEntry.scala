@@ -77,6 +77,7 @@ object SparkEntry {
     "q_semi_join"           -> Joins.semiJoinQ _,
     "q_bucketed_join"       -> Joins.bucketedJoinQ _,
     "q_cube_text"           -> TextAnalysis.cubeTextQ _,
+    "q_moving_sum"          -> Stats.movingSumQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -191,5 +192,6 @@ object SparkEntry {
     "q_semi_join"        -> Joins.semiJoinOracle,
     "q_bucketed_join"    -> Joins.bucketedJoinOracle,
     "q_cube_text"        -> TextAnalysis.cubeTextOracle,
+    "q_moving_sum"       -> Stats.movingSumOracle,
   )
 }

@@ -127,6 +127,45 @@ object Stats {
        |GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin
   }
 
+  /** Sliding-frame width in trailing buckets (current + 2 preceding). */
+  val MovingFrame = 2
+
+  /** `q_moving_sum`: sliding window FRAME analytics — per event_type daily
+    * totals with a trailing 3-day moving sum and count (`rowsBetween(-2,
+    * currentRow)`), the frame shape the window family was missing next to
+    * row_number (no frame) and the unbounded cumulative sum. Integer
+    * arithmetic end to end. Plan: the daily aggregate and the frame share
+    * one hash partitioning on event_type; within-partition sort by day
+    * orders the frame. */
+  def movingSumQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value")).cast("long")).as("day_total"),
+        Num.countStar.as("day_events"))
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-MovingFrame, Window.currentRow)
+    daily
+      .withColumn("moving_total", sum(col("day_total")).over(frame))
+      .withColumn("moving_events", sum(col("day_events")).over(frame))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("day_total"), col("moving_total"), col("moving_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val movingSumOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS day_total,
+       |    COUNT(*) AS day_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, day_total,
+       |  CAST(SUM(day_total) OVER w AS BIGINT) AS moving_total,
+       |  CAST(SUM(day_events) OVER w AS BIGINT) AS moving_events
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |             ROWS BETWEEN ${MovingFrame} PRECEDING AND CURRENT ROW)
+       |ORDER BY event_type, day""".stripMargin
+
   val kmvDistinctOracle: String =
     s"""WITH h AS (
        |  SELECT event_type,
