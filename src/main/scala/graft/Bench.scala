@@ -38,7 +38,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop this query's disk-backed materializations (graft.engine.
+      // Materialize) so 59 queries don't accumulate cached blocks.
+      try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+      name -> dt
     }
     // 3-decimal values keep the whole line inside the driver's 2000-char
     // output tail even with 40+ queries.

@@ -78,6 +78,9 @@ object SparkEntry {
     "q_bucketed_join"       -> Joins.bucketedJoinQ _,
     "q_cube_text"           -> TextAnalysis.cubeTextQ _,
     "q_moving_sum"          -> Stats.movingSumQ _,
+    "q_dedup_latest_salted" -> Relational.dedupLatestSaltedQ _,
+    "q_batched_lookup"      -> Joins.batchedLookupQ _,
+    "q_streaming_window"    -> graft.streaming.Incremental.streamingWindowQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -193,5 +196,10 @@ object SparkEntry {
     "q_bucketed_join"    -> Joins.bucketedJoinOracle,
     "q_cube_text"        -> TextAnalysis.cubeTextOracle,
     "q_moving_sum"       -> Stats.movingSumOracle,
+    "q_dedup_latest_salted" -> Relational.dedupLatestSaltedOracle,
+    "q_batched_lookup"   -> Joins.batchedLookupOracle,
+    // Streaming drains the same rows the batch window sees; the oracle IS
+    // the batch-twin SQL (complete-mode sink == all-data rollup).
+    "q_streaming_window" -> Stats.timeWindowOracle,
   )
 }

@@ -29,10 +29,21 @@ class KmvSketch(val k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
   private def insert(b: Seq[Long], x: Long): Seq[Long] =
     if (b.size >= k && x >= b.last) b // above the kth minimum: no-op
-    else if (b.contains(x)) b
     else {
-      val nb = (b :+ x).sorted
-      if (nb.size > k) nb.take(k) else nb
+      // The buffer is kept sorted, so position + membership come from one
+      // O(log k) binary search and the insert is a single O(k) patch —
+      // round 3 re-sorted the whole buffer per accepted element.
+      var lo = 0
+      var hi = b.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid) < x) lo = mid + 1 else hi = mid
+      }
+      if (lo < b.size && b(lo) == x) b // already present
+      else {
+        val nb = b.patch(lo, x :: Nil, 0)
+        if (nb.size > k) nb.take(k) else nb
+      }
     }
 
   def reduce(b: Seq[Long], x: Long): Seq[Long] = insert(b, x)

@@ -71,7 +71,8 @@ object Curation {
     // element_at lambda of the pushed-down explode precondition — the
     // shingle filter then recomputes split(lower(text)) PER ELEMENT,
     // turning the scan quadratic (measured 25 s vs 1.5 s at sf0.1).
-    val sh = Dedup.shingled(Tables.documents(spark, sfDir)).localCheckpoint(true)
+    val sh = graft.engine.Materialize.diskBacked(
+      Dedup.shingled(Tables.documents(spark, sfDir)))
     val evalSet = sh.filter(col("doc_id") % EvalMod === 0)
       .select(explode(col("sg")).as("s")).distinct()
     sh.filter(col("doc_id") % EvalMod =!= 0)

@@ -94,13 +94,10 @@ object Dedup {
             element_at(col("ws"), i + 2))))).as("sg"))
   }
 
-  /** Eagerly materialize a frame that several DAG branches reuse. Spark has
-    * no cross-branch common-subexpression reuse, so without this the
-    * shingle/signature computation re-runs once PER consuming join branch
-    * (measured 5-10× the whole-query cost at sf0.1). localCheckpoint is the
-    * single-JVM analogue of writing the signature table to a staging path,
-    * which is what a 1000-executor deployment would do between stages. */
-  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  /** Eagerly materialize a frame that several DAG branches reuse — see
+    * graft.engine.Materialize for why this is disk-backed. */
+  private def materialize(df: DataFrame): DataFrame =
+    graft.engine.Materialize.diskBacked(df)
 
   /** Core over any (doc_id, text) frame. */
   def minhashPairs(docs: DataFrame): DataFrame = {

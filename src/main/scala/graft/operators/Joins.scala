@@ -206,13 +206,18 @@ object Joins {
     val w = Window.partitionBy(col("key"))
       .orderBy(col("ts"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE carried struct, not independent (state_ts, state_val) windows:
+    // independent `last`s could pair the ts of a later state row with the
+    // sval of an earlier one when a state row carries a NULL sval — the
+    // struct is non-null for every state row, so ts and sval always come
+    // from the SAME (latest) state row.
     tagged
-      .withColumn("state_val", last(col("sval"), ignoreNulls = true).over(w))
-      .withColumn("state_ts",
-        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("st", last(
+        when(col("tag") === 0, struct(col("ts").as("s_ts"), col("sval").as("s_val"))),
+        ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
-      .select(col("event_id"), col("key"), col("ts"), col("state_ts"),
-        col("state_val"))
+      .select(col("event_id"), col("key"), col("ts"),
+        col("st.s_ts").as("state_ts"), col("st.s_val").as("state_val"))
   }
 
   /** `q_asof_join` over events: each purchase gets the user's most recent
@@ -299,6 +304,58 @@ object Joins {
        |  ON p.p_retailprice >= t.lo AND p.p_retailprice < t.hi
        |GROUP BY t.tier ORDER BY t.tier""".stripMargin
   }
+
+  /** Batch size of the reference's batched detail lookups (50 ids per API
+    * request: src/youtube_collector.py:38-64, function_app.py:84-116). */
+  val LookupBatchSize = 50
+
+  /** S3/S4 `q_batched_lookup`: the engine-side shape of the reference's one
+    * hand-built optimization — collect pending ids, fetch their details in
+    * batches of ≤50 per request instead of one call per id. Dataflow: the
+    * distinct id task list groups into deterministic ≤50-id batches
+    * (`id div 50` — contiguous blocks, so batch membership is partitioning-
+    * independent and oracle-able); each batch becomes ONE row whose id array
+    * is the request payload; `mapPartitions` is the imperative client
+    * boundary (one batched "call" per row — a real client would send the
+    * joined id list and stream back one record per id); the fetched rows
+    * then enrich against the details table with a plain equi-join that
+    * Catalyst broadcasts at dim size. Never a per-id driver loop: the
+    * batching, the calls, and the join are all executor-side and scale with
+    * partitions, not with the driver. */
+  def batchedLookupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tasks = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("id")).distinct()
+      .withColumn("batch_id", expr(s"id div $LookupBatchSize"))
+    val requests = tasks.groupBy(col("batch_id"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(col("batch_id"), col("ids"))
+    val fetched = requests.as[(Long, Seq[Long])]
+      .mapPartitions { batches =>
+        batches.flatMap { case (batchId, ids) =>
+          ids.iterator.map(id => (batchId, id))
+        }
+      }
+      .toDF("batch_id", "id")
+    val details = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    // LEFT join: ids the lookup source doesn't know stay visible (n_found
+    // vs n_ids is the reference's per-batch miss accounting).
+    fetched.join(details, fetched("id") === details("c_custkey"), "left")
+      .groupBy(col("batch_id"))
+      .agg(graft.engine.Num.countStar.as("n_ids"),
+        count(col("c_custkey")).as("n_found"),
+        graft.engine.Num.sumMoney(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("batch_id"))
+  }
+
+  val batchedLookupOracle: String =
+    s"""WITH tasks AS (SELECT DISTINCT o_custkey AS id FROM orders),
+       |b AS (SELECT id, id // $LookupBatchSize AS batch_id FROM tasks)
+       |SELECT b.batch_id, COUNT(*) AS n_ids, COUNT(c.c_custkey) AS n_found,
+       |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+       |FROM b LEFT JOIN customer c ON b.id = c.c_custkey
+       |GROUP BY 1 ORDER BY batch_id""".stripMargin
 
   def mergeDim(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)

@@ -82,7 +82,9 @@ object MultiModal {
         sha2(encode(col("text"), "utf-8"), 256).as("payload_sha"),
         (h32 % 1920 + 1).cast("int").as("width"),
         (h32 % 1080 + 1).cast("int").as("height"),
-        (length(col("text")) % 7 + 1).as("n_frames"))
+        // byte length, as the stub sees it — char length would silently
+        // diverge on any non-ASCII document
+        (length(encode(col("text"), "utf-8")) % 7 + 1).as("n_frames"))
       .orderBy(col("doc_id"))
   }
 
@@ -125,7 +127,9 @@ object MultiModal {
     Tables.documents(spark, sfDir)
       .filter((col("doc_id") % 3 + 1) === 3) // media_type == 'video'
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), (length(col("text")) % 7 + 1) - 1))
+        // frame count from the payload's BYTE length (what decodeStub and
+        // frameSampleStub use) — char length diverges on non-ASCII text
+        explode(sequence(lit(0), (length(encode(col("text"), "utf-8")) % 7 + 1) - 1))
           .as("frame_idx"))
       .filter(col("frame_idx") % FrameStride === 0)
       .select(col("doc_id"), col("frame_idx"),
@@ -137,7 +141,7 @@ object MultiModal {
   val multimodalFramesOracle: String =
     s"""SELECT doc_id, i AS frame_idx, i * ${FrameMs} AS frame_ts_ms,
        |  substr(md5(text || ':' || i), 1, 16) AS frame_hash
-       |FROM documents, UNNEST(range(0, length(text) % 7 + 1)) AS u(i)
+       |FROM documents, UNNEST(range(0, octet_length(encode(text)) % 7 + 1)) AS u(i)
        |WHERE doc_id % 3 + 1 = 3 AND i % ${FrameStride} = 0
        |ORDER BY doc_id, frame_idx""".stripMargin
 
@@ -148,6 +152,6 @@ object MultiModal {
       | sha256(text) AS payload_sha,
       | CAST(CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 1920 + 1 AS INT) AS width,
       | CAST(CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 1080 + 1 AS INT) AS height,
-      | length(text) % 7 + 1 AS n_frames
+      | octet_length(encode(text)) % 7 + 1 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -11,13 +11,18 @@ object Relational {
 
   /** S1/S2 `q_scan_meta`: scan with file metadata + filename-family predicate
     * (METADATA$FILENAME at src/snowflake_loader.py:52-60). The physical path
-    * differs per engine, so the output key is the basename. At scale the
-    * family filter should instead be a directory layout → partition pruning. */
+    * differs per engine, so the output key is the basename.
+    *
+    * The family predicate is applied at LISTING time (`pathGlobFilter`), not
+    * as a row filter after the scan: at 100 TB the filter must prune files
+    * before any byte is read — the round-3 form read every row and then
+    * filtered on `input_file_name()`, which is free at sf0.1 and a full-
+    * corpus scan at scale. `input_file_name()` survives only as an output
+    * column; PlanSpec asserts the plan has no post-scan Filter at all. */
   def scanMetaQ(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    spark.read.option("pathGlobFilter", "lineitem*.parquet").parquet(sfDir)
       .withColumn("file_name",
         regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1))
-      .filter(col("file_name").contains("lineitem"))
       .groupBy(col("file_name"))
       .agg(Num.countStar.as("n"))
       .orderBy(col("file_name"))
@@ -46,6 +51,38 @@ object Relational {
       |                               ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Salt fan-out for the skewed-key dedup variant. */
+  val DedupSalts = 8
+
+  /** `q_dedup_latest_salted`: the SKEW path for W1 — same latest-wins
+    * semantics as q_dedup_latest, computed in two phases so a hot key never
+    * lands on one reducer. Phase 1 partitions by (user_id, salt) — a
+    * deterministic spread of each user's rows across DedupSalts buckets —
+    * and keeps each bucket's winner; phase 2 runs the same window over the
+    * ≤ DedupSalts survivors per user. At 100 TB phase 1 bounds any
+    * reducer's input to 1/DedupSalts of the hot key (raise DedupSalts with
+    * skew), and phase 2's input is DedupSalts rows per user regardless of
+    * skew. row_number's (ts, event_id) total order makes the two-phase
+    * result provably identical to the one-shot form — the oracle is the
+    * UNSALTED definition, so the gate checks that equivalence. */
+  def dedupLatestSaltedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord: Seq[org.apache.spark.sql.Column] =
+      Seq(col("ts").desc, col("event_id").desc)
+    val perSalt = Window.partitionBy(col("user_id"), col("salt")).orderBy(ord: _*)
+    val perUser = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+    Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(DedupSalts)))
+      .withColumn("rn", row_number().over(perSalt))
+      .filter(col("rn") === 1)
+      .withColumn("rn2", row_number().over(perUser))
+      .filter(col("rn2") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Same oracle as the unsalted form — salting must not change results. */
+  val dedupLatestSaltedOracle: String = dedupLatestOracle
 
   /** O2 `q_topk_per_group`: per-group top-k (the reference's maxResults-per-
     * (keyword,region) search cap, src/youtube_collector.py:21-23). row_number

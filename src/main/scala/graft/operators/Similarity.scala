@@ -181,9 +181,9 @@ object Similarity {
       when(planeDot(col("emb"), p) >= 0, "1").otherwise("0")
     }
     // materialized: the signature pass feeds both join sides (no cross-
-    // branch subtree reuse in Spark — see Dedup.materialize)
-    val signed = emb.withColumn("bucket", concat(bucketBits: _*))
-      .localCheckpoint(true)
+    // branch subtree reuse in Spark — see graft.engine.Materialize)
+    val signed = graft.engine.Materialize.diskBacked(
+      emb.withColumn("bucket", concat(bucketBits: _*)))
     val queries = signed.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nsq").as("q_nsq"), col("bucket"))
@@ -255,13 +255,13 @@ object Similarity {
         col("nsq").as("c_nsq"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
-    val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("c_cos", VectorExprs.dot(col("emb"), col("c_emb")) /
-        (sqrt(col("nsq")) * sqrt(col("c_nsq"))))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("nsq"), col("c_id").as("centroid"))
-      .localCheckpoint(true) // assignment feeds both probe-join sides
+    val assigned = graft.engine.Materialize.diskBacked( // feeds both probe-join sides
+      emb.crossJoin(broadcast(cent))
+        .withColumn("c_cos", VectorExprs.dot(col("emb"), col("c_emb")) /
+          (sqrt(col("nsq")) * sqrt(col("c_nsq"))))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("nsq"), col("c_id").as("centroid")))
     val queries = assigned
       .filter(col("vec_id") >= IvfQueryFrom &&
         col("vec_id") < IvfQueryFrom + QueryCount)
@@ -345,10 +345,9 @@ object Similarity {
         when(planeDot(col("emb"), f * EmbRows + r) >= 0, "1").otherwise("0")
       }: _*)
     }: _*)
-    val bands = emb
-      .select(col("vec_id"), col("emb"), col("nsq"),
-        posexplode(bandKeys).as(Seq("band", "key")))
-      .localCheckpoint(true) // band rows feed both sides of the pair join
+    val bands = graft.engine.Materialize.diskBacked( // feeds both pair-join sides
+      emb.select(col("vec_id"), col("emb"), col("nsq"),
+        posexplode(bandKeys).as(Seq("band", "key"))))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -397,21 +396,28 @@ object Similarity {
     * column — the UPDATE step of a distributed k-means / class-prototype
     * computation (assignment is X16's coarse quantization). posexplode
     * turns vectors into (label, dim, v) triples; one shuffle on
-    * (label, dim) with the per-group sum ORDER-PINNED (sort the collected
-    * values, then left-fold) so the double result is bit-identical
-    * cross-engine regardless of partitioning. At 100 TB the groups are
-    * (labels × dims) — tiny — and the triples shuffle is the data bound;
-    * a production variant would partial-aggregate Kahan-style per
-    * partition, traded here for exact oracle-able determinism. */
+    * (label, dim) with map-side partial aggregation (two-phase
+    * HashAggregate — the shape that survives any group size).
+    *
+    * Cross-engine determinism without collecting values: each float-exact
+    * double is quantized to an integer at 1e9 scale with the identical
+    * expression on both engines (floor(v·1e9 + 0.5) — product and floor are
+    * single correctly-rounded IEEE ops), summed EXACTLY as DECIMAL
+    * (associative ⇒ partitioning/order independent; 38 digits of headroom
+    * vs ~19 for a long at 100 TB group sizes), then divided once in double.
+    * Round 3 used collect_list + sorted fold for the same determinism — at
+    * scale that is one array row holding every corpus value for a dim
+    * (executor OOM); this form aggregates in constant state per group. */
   def centroidsQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg(collect_list(col("v")).as("vs"))
+      .agg(
+        sum(floor(col("v") * 1e9 + 0.5).cast("decimal(28,0)")).as("s"),
+        graft.engine.Num.countStar.as("n"))
       .select(col("label"), col("dim"),
-        (aggregate(array_sort(col("vs")), lit(0.0), (a, b) => a + b) /
-          size(col("vs"))).as("centroid_v"))
+        (col("s").cast("double") / 1e9 / col("n")).as("centroid_v"))
       .orderBy(col("label"), col("dim"))
 
   val centroidsOracle: String =
@@ -419,10 +425,11 @@ object Similarity {
       |  SELECT label, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
       |g AS (
-      |  SELECT label, dim, list_sort(list(v)) AS vs FROM exploded GROUP BY 1, 2)
-      |SELECT label, dim,
-      |  list_reduce(list_prepend(CAST(0 AS DOUBLE), vs), (a,b) -> a + b)
-      |    / len(vs) AS centroid_v
+      |  SELECT label, dim,
+      |    SUM(CAST(floor(v * 1000000000.0 + 0.5) AS DECIMAL(28,0))) AS s,
+      |    COUNT(*) AS n
+      |  FROM exploded GROUP BY 1, 2)
+      |SELECT label, dim, CAST(s AS DOUBLE) / 1000000000.0 / n AS centroid_v
       |FROM g ORDER BY label, dim""".stripMargin
 
   val cosineTopkOracle: String =

@@ -72,8 +72,10 @@ object Stats {
     * KMV sketch (graft.functions.KmvSketch) over 60-bit md5 hashes of
     * event_id. The estimate expression — fewer than k distinct -> exact,
     * else (k-1)·2^60 / h_k — is the SAME double arithmetic on both engines,
-    * so the "approximate" result is still bit-exact cross-engine. The exact
-    * distinct count rides along for calibration display. */
+    * so the "approximate" result is still bit-exact cross-engine. No exact
+    * countDistinct rides along: at scale the exact pass would cost more
+    * than the sketch it calibrates (it was dropped in round 4 for exactly
+    * that reason); the sketch path is what the bench times. */
   def kmvDistinctQ(spark: SparkSession, sfDir: String): DataFrame = {
     val kmv = udaf(new KmvSketch(KmvK))
     val h = conv(substring(md5(concat(lit("e"), col("event_id"))), 1, 15), 16, 10)
@@ -82,9 +84,8 @@ object Stats {
       .select(col("event_type"), h.as("h"))
       .groupBy(col("event_type"))
       .agg(Num.countStar.as("n_rows"),
-        countDistinct(col("h")).as("n_exact"),
         kmv(col("h")).as("hs"))
-      .select(col("event_type"), col("n_rows"), col("n_exact"),
+      .select(col("event_type"), col("n_rows"),
         when(size(col("hs")) < KmvK, size(col("hs")).cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) * pow(lit(2.0), 60)
             / element_at(col("hs"), KmvK)).as("est_distinct"))
@@ -173,10 +174,9 @@ object Stats {
        |  FROM events),
        |g AS (
        |  SELECT event_type, COUNT(*) AS n_rows,
-       |    COUNT(DISTINCT h) AS n_exact,
        |    list_sort(list(DISTINCT h)) AS hs
        |  FROM h GROUP BY 1)
-       |SELECT event_type, n_rows, n_exact,
+       |SELECT event_type, n_rows,
        |  CASE WHEN len(hs) < ${KmvK} THEN CAST(len(hs) AS DOUBLE)
        |       ELSE (${KmvK - 1}.0 * POW(2.0, 60)) / hs[${KmvK}] END AS est_distinct
        |FROM g ORDER BY event_type""".stripMargin

@@ -324,11 +324,11 @@ object TextAnalysis {
     // simhash value via the native single-pass expression (VectorExprs.
     // SimHash32) — the HOF formulation interprets 32 lambda passes per doc
     // and dominated the whole query (measured ~10 s of 13.8 s at sf0.1).
-    val sim = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"),
-        graft.functions.VectorExprs.simhash32(col("hs")).as("simv"))
-      .localCheckpoint(true) // reused by the band explode AND both verify joins
+    val sim = graft.engine.Materialize.diskBacked( // band explode + both verify joins reuse it
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"),
+          graft.functions.VectorExprs.simhash32(col("hs")).as("simv")))
     val bandKeys = array((0 until SimBands).map { j =>
       pmod(shiftright(col("simv"), 8 * j), lit(256))
     }: _*)

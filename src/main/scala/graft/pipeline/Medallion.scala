@@ -205,12 +205,16 @@ object Medallion {
       .drop("rn", "file_name")
     val existing = readOrEmpty(spark, factPath, factSchema)
     // J3: left anti = WHEN NOT MATCHED THEN INSERT (no update clause).
-    // Appending directly to factPath while the plan reads it is safe: the
-    // scan's file index is snapshotted at read() time, append only commits
-    // new files, and Spark's overwrite-into-input guard applies to
-    // overwrite mode only — saves the tmp-dir write+re-read round trip.
-    batch.join(existing.select("video_id"), Seq("video_id"), "left_anti")
-      .write.mode("append").parquet(factPath)
+    // The anti-join result is MATERIALIZED (disk-backed, eager) before the
+    // append: writing into a path the plan also reads relies on the scan's
+    // file index being snapshotted at read() time — true today with an
+    // explicit schema, but undocumented, and a mid-write failure would
+    // otherwise interleave a half-appended table with a live read. After
+    // the count below, the append's input no longer touches factPath.
+    val toInsert = graft.engine.Materialize.diskBacked(
+      batch.join(existing.select("video_id"), Seq("video_id"), "left_anti"))
+    toInsert.write.mode("append").parquet(factPath)
+    toInsert.unpersist()
   }
 
   // ---- stage 4: daily agg slice overwrite (J1/A1/D1) -------------------

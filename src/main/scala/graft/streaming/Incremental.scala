@@ -47,6 +47,53 @@ object Incremental {
     query.awaitTermination()
   }
 
+  /** `q_streaming_window`: the oracle-gated streaming entry — every other
+    * capability sits behind the driver's DuckDB hash gate, so streaming
+    * does too. An AvailableNow file-source drain of the events table runs
+    * through a watermarked tumbling-window aggregate into a memory sink;
+    * the finished table comes back as a batch frame. Output mode is
+    * `complete`, so after the drain the sink holds exactly the all-data
+    * windowed rollup — semantically the batch twin `q_time_window`
+    * (graft.operators.Stats.timeWindowQ), whose SQL is this query's oracle.
+    *
+    * At scale this is the incremental-daily production shape (see the
+    * object Scaladoc): the file source lists only unprocessed files per
+    * activation, and a real deployment would run append mode over a
+    * checkpointed sink table; complete-mode-to-memory is the bounded test
+    * harness for the same plan (streaming aggregation state lives per
+    * (window, event_type) group — tiny — not per row). */
+  def streamingWindowQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"),
+        s"${graft.operators.Stats.WindowHours} hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("sum_floor_value"))
+    val sinkName = "graft_stream_win_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_floor_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** Watermarked tumbling-window rollup — the streaming twin of the daily
     * agg (A1): late events beyond the watermark are dropped, windows close
     * and emit exactly once in append mode. Works on a batch frame too

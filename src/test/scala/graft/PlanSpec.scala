@@ -85,6 +85,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SelectedBucketsCount"), "scan is not bucket-aware")
   }
 
+  test("q_scan_meta prunes the file family at listing time (no row Filter)") {
+    // The family predicate must be a pathGlobFilter (prunes files before a
+    // byte is read), never a post-scan filter on input_file_name(). Scan
+    // metadata prints as "PushedFilters:"/"DataFilters:" (plural, colon),
+    // so "Filter " only matches an actual Filter operator node.
+    val p = plan("q_scan_meta")
+    assert(!p.contains("Filter "),
+      s"q_scan_meta has a post-scan row filter:\n$p")
+  }
+
+  test("q_batched_lookup joins batched fetches, no per-id driver loop") {
+    val p = plan("q_batched_lookup")
+    assert(p.contains("BroadcastHashJoin"),
+      "details lookup should broadcast at dim size")
+    assert(p.contains("MapPartitions"),
+      "the batched client call boundary should be a MapPartitions stage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_dedup_latest_salted equals the unsalted dedup row for row") {
+    val salted = SparkEntry.queries("q_dedup_latest_salted")(spark, sfDir).collect()
+    val plain = SparkEntry.queries("q_dedup_latest")(spark, sfDir).collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("q_centroids is a two-phase hash aggregate, no collected arrays") {
+    val p = plan("q_centroids")
+    assert(p.contains("HashAggregate"), "centroid sum should hash-aggregate")
+    assert(!p.contains("collect_list") && !p.contains("ObjectHashAggregate"),
+      "centroids must not buffer per-group value arrays (OOM at scale)")
+  }
+
   test("no forced broadcast of the scale-proportional customer dim") {
     // nation (25 rows) may broadcast; the plan must not *hint* customer.
     // We assert on the analyzed plan: no ResolvedHint wrapping customer.

@@ -54,6 +54,13 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:30:00.0", "click", 1L)))
   }
 
+  test("q_streaming_window drain equals the batch tumbling window q_time_window") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = Incremental.streamingWindowQ(spark, sfDir).collect()
+    val batch = graft.operators.Stats.timeWindowQ(spark, sfDir).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming dedup emits only the first occurrence per key across batches") {
     val ms = MemoryStream[(Timestamp, Long, String)](spark, 3)
     val deduped = Incremental.streamingDedup(
