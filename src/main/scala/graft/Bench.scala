@@ -34,6 +34,17 @@ object Bench {
       spark.range(1000).selectExpr("id", "id % 7 as g")
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .write.mode("overwrite").parquet(s"$tmp/warm_out")
+      // Micro-batch engine + file stream source + memory sink (one-time
+      // startup ≈2-3 s that would otherwise land on q_streaming_window).
+      val sq = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/warm_out").schema)
+        .parquet(s"$tmp/warm_out")
+        .groupBy(col("g")).count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_warm_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -79,6 +79,7 @@ object SparkEntry {
     "q_cube_text"           -> TextAnalysis.cubeTextQ _,
     "q_moving_sum"          -> Stats.movingSumQ _,
     "q_dedup_latest_salted" -> Relational.dedupLatestSaltedQ _,
+    "q_keyword_count_ac"    -> Enrichment.keywordCountAcQ _,
     "q_batched_lookup"      -> Joins.batchedLookupQ _,
     "q_streaming_window"    -> graft.streaming.Incremental.streamingWindowQ _,
   )
@@ -197,6 +198,7 @@ object SparkEntry {
     "q_cube_text"        -> TextAnalysis.cubeTextOracle,
     "q_moving_sum"       -> Stats.movingSumOracle,
     "q_dedup_latest_salted" -> Relational.dedupLatestSaltedOracle,
+    "q_keyword_count_ac" -> Enrichment.keywordCountAcOracle,
     "q_batched_lookup"   -> Joins.batchedLookupOracle,
     // Streaming drains the same rows the batch window sees; the oracle IS
     // the batch-twin SQL (complete-mode sink == all-data rollup).

@@ -205,7 +205,11 @@ object VectorExprs {
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     (FunctionIdentifier("graft_normsq"),
       new ExpressionInfo(classOf[L2NormSq].getName, "graft_normsq"),
-      (es: Seq[Expression]) => L2NormSq(es(0))))
+      (es: Seq[Expression]) => L2NormSq(es(0))),
+    (FunctionIdentifier("graft_multi_contains_count"),
+      new ExpressionInfo(classOf[MultiContainsCount].getName,
+        "graft_multi_contains_count"),
+      (es: Seq[Expression]) => MultiContainsCount(es(0), es(1))))
 
   /** Idempotent registration into the current session's function registry. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -225,4 +229,10 @@ object VectorExprs {
     call_function("graft_normsq", a.cast("array<double>"))
   def simhash32(tokenHashes: Column): Column =
     call_function("graft_simhash32", tokenHashes)
+  /** Aho-Corasick lexicon containment count (see graft.functions.AhoCorasick);
+    * semantics identical to Sentiment.keywordCount. */
+  def multiContainsCount(text: Column, words: Seq[String]): Column =
+    call_function("graft_multi_contains_count", text,
+      org.apache.spark.sql.functions.array(
+        words.map(org.apache.spark.sql.functions.lit): _*))
 }

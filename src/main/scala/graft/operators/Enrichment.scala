@@ -37,6 +37,28 @@ object Enrichment {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** `q_keyword_count_ac`: the LARGE-LEXICON scale path for P8 — identical
+    * results to q_keyword_count, but both counts come from one Aho-Corasick
+    * automaton pass per row (graft.functions.AhoCorasick) instead of one
+    * `contains` scan per lexicon word: O(|text|) per row regardless of
+    * lexicon size, which is what a 10k-word blocklist/PII lexicon needs at
+    * 100 TB. The oracle is the SAME per-word SQL as q_keyword_count, so the
+    * gate proves automaton ≡ unrolled-contains. */
+  def keywordCountAcQ(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    val lex = Sentiment.Default
+    val txt = lower(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.multiContainsCount(txt, lex.positive)
+          .as("positive_keyword_count"),
+        graft.functions.VectorExprs.multiContainsCount(txt, lex.negative)
+          .as("negative_keyword_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  def keywordCountAcOracle: String = keywordCountOracle
+
   /** P9 `q_sentiment`: the full decision table (category sets → keyword vote
     * → UNKNOWN) with the classification method. */
   def sentimentQ(spark: SparkSession, sfDir: String): DataFrame = {
