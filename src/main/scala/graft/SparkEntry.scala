@@ -80,6 +80,8 @@ object SparkEntry {
     "q_moving_sum"          -> Stats.movingSumQ _,
     "q_dedup_latest_salted" -> Relational.dedupLatestSaltedQ _,
     "q_keyword_count_ac"    -> Enrichment.keywordCountAcQ _,
+    "q_sample_stratified"   -> Curation.sampleStratifiedQ _,
+    "q_pack_sequences"      -> Curation.packSequencesQ _,
     "q_batched_lookup"      -> Joins.batchedLookupQ _,
     "q_streaming_window"    -> graft.streaming.Incremental.streamingWindowQ _,
   )
@@ -199,6 +201,8 @@ object SparkEntry {
     "q_moving_sum"       -> Stats.movingSumOracle,
     "q_dedup_latest_salted" -> Relational.dedupLatestSaltedOracle,
     "q_keyword_count_ac" -> Enrichment.keywordCountAcOracle,
+    "q_sample_stratified" -> Curation.sampleStratifiedOracle,
+    "q_pack_sequences"   -> Curation.packSequencesOracle,
     "q_batched_lookup"   -> Joins.batchedLookupOracle,
     // Streaming drains the same rows the batch window sees; the oracle IS
     // the batch-twin SQL (complete-mode sink == all-data rollup).

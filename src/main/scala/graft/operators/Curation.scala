@@ -160,4 +160,81 @@ object Curation {
        |  regexp_replace(props, '${RedactPattern}', '#', 'g') AS redacted,
        |  len(regexp_extract_all(props, '${RedactPattern}')) AS n_redactions
        |FROM events ORDER BY event_id""".stripMargin
+
+  /** `q_sample_stratified`: deterministic per-stratum downsampling — each
+    * label keeps a DIFFERENT fraction ((label+1)·50‰ here, i.e. rebalancing
+    * toward rare classes / downweighting over-represented sources), decided
+    * by a content-stable hash of the row key. Like q_split, membership is a
+    * PURE FUNCTION of the key: re-runs, reshuffles, and late shards sample
+    * identically with no persisted RNG state, and the filter is a narrow
+    * codegen'd map evaluated AT THE SCAN (no shuffle at all) — the only way
+    * sampling stays exactly reproducible over 100 TB. */
+  val SamplePerMille = 50
+
+  def sampleStratifiedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = pmod(
+      conv(substring(md5(concat(lit("p"), col("vec_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(1000))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+      .filter(h < (col("label") + 1) * SamplePerMille)
+      .orderBy(col("vec_id"))
+  }
+
+  val sampleStratifiedOracle: String =
+    s"""SELECT vec_id, label FROM embeddings
+       |WHERE CAST(concat('0x', substr(md5('p' || vec_id),1,15)) AS BIGINT)
+       |        % 1000 < (label + 1) * ${SamplePerMille}
+       |ORDER BY vec_id""".stripMargin
+
+  /** Context-window token budget for sequence packing. */
+  val PackBudget = 1024
+  /** Packing shards — each worker packs its own shard independently. */
+  val PackShards = 8
+
+  /** `q_pack_sequences`: greedy sequence packing — documents are laid
+    * end-to-end in key order and cut into context-window bins of
+    * PackBudget tokens (the pre-training batch-construction step: bin =
+    * which context window a document starts in). Packing is a running
+    * token-count cumsum, so it is SEQUENTIAL per packing unit; the scale
+    * shape is to pack per SHARD (doc_id % PackShards) — each shard is one
+    * window partition, packed independently and in parallel, which is
+    * exactly how a 1000-executor packer works (a single global order would
+    * serialize on one reducer). Token counts are clamped ≥ 1 (an empty doc
+    * still occupies a slot), keeping the cumsum positive. One shuffle on
+    * shard; the bin aggregate reuses the same partitioning. */
+  def packSequencesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        greatest(size(ws), lit(1)).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      // bin = context window the document STARTS in (start offset = cum-toks)
+      .withColumn("bin", expr(s"(cum - toks) div $PackBudget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(Num.countStar.as("n_docs"),
+        sum(col("toks")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  val packSequencesOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % ${PackShards} AS shard,
+       |    greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      w -> w <> '')), 1) AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, toks,
+       |    CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT shard, (cum - toks) // ${PackBudget} AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
 }

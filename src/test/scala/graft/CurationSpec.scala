@@ -50,6 +50,37 @@ class CurationSpec extends AnyFunSuite {
     assert(distinctRatio === 1.0)
   }
 
+  test("stratified sample rate grows with label and is rerun-stable") {
+    val s1 = Curation.sampleStratifiedQ(spark, sfDir).collect()
+    val s2 = Curation.sampleStratifiedQ(spark, sfDir).collect()
+    assert(s1.toSeq == s2.toSeq) // pure function of the key
+    val total = graft.engine.Tables.embeddings(spark, sfDir).count()
+    assert(s1.length > 0 && s1.length < total)
+    // rate (label+1)*50 per mille: label 9 must keep more than label 0
+    val byLabel = s1.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    if (byLabel.contains(0) && byLabel.contains(9))
+      assert(byLabel(9) > byLabel(0))
+  }
+
+  test("sequence packing: bins are contiguous per shard and token-bounded") {
+    val rows = Curation.packSequencesQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, bins) =>
+      val ids = bins.map(_.getLong(1)).sorted.toSeq
+      assert(ids.headOption.contains(0L) && ids == (0L until ids.length).toSeq,
+        "bins must be contiguous from 0 within a shard")
+    }
+    // a bin's span never exceeds budget + one overhanging document
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val maxToks = docs.select(greatest(size(filter(
+      split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")), lit(1)).as("t"))
+      .agg(max(col("t"))).head().getInt(0)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= Curation.PackBudget + maxToks,
+        s"bin ${r.getLong(1)} holds ${r.getLong(3)} tokens")
+    }
+  }
+
   test("redaction masks every digit run and counts them") {
     val out = Curation.redactQ(spark, sfDir)
       .filter(col("n_redactions") > 0)
