@@ -117,6 +117,21 @@ class PlanSpec extends AnyFunSuite {
       "centroids must not buffer per-group value arrays (OOM at scale)")
   }
 
+  test("q_pack_sequences shares one hash exchange between window and aggregate") {
+    // hash(shard) clusters (shard, bin) too, so the bin aggregate must ride
+    // the window's exchange; the only other exchange is the output sort's
+    // range partitioning.
+    val p = plan("q_pack_sequences")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, saw $hashEx:\n$p")
+  }
+
+  test("q_sample_stratified is a narrow filter at the scan (no hash exchange)") {
+    val p = plan("q_sample_stratified")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling must not shuffle:\n$p")
+  }
+
   test("no forced broadcast of the scale-proportional customer dim") {
     // nation (25 rows) may broadcast; the plan must not *hint* customer.
     // We assert on the analyzed plan: no ResolvedHint wrapping customer.
