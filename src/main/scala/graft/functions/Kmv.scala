@@ -47,7 +47,24 @@ class KmvSketch(val k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     }
 
   def reduce(b: Seq[Long], x: Long): Seq[Long] = insert(b, x)
-  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+
+  /** Two-pointer merge of two sorted distinct buffers, keeping the k
+    * smallest — O(k) per partial-aggregate merge (the foldLeft-of-inserts
+    * form was O(k²)). */
+  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    var j = 0
+    while (out.size < k && (i < a.size || j < b.size)) {
+      val takeA = j >= b.size || (i < a.size && a(i) <= b(j))
+      val v = if (takeA) a(i) else b(j)
+      if (takeA) i += 1 else j += 1
+      if (out.isEmpty || out.last != v) out += v // drop cross-buffer dups
+    }
+    out.toVector
+  }
   def finish(r: Seq[Long]): Seq[Long] = r
 
   def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
