@@ -82,6 +82,7 @@ object SparkEntry {
     "q_keyword_count_ac"    -> Enrichment.keywordCountAcQ _,
     "q_sample_stratified"   -> Curation.sampleStratifiedQ _,
     "q_pack_sequences"      -> Curation.packSequencesQ _,
+    "q_cms_heavy"           -> Stats.cmsHeavyQ _,
     "q_batched_lookup"      -> Joins.batchedLookupQ _,
     "q_streaming_window"    -> graft.streaming.Incremental.streamingWindowQ _,
   )
@@ -203,6 +204,7 @@ object SparkEntry {
     "q_keyword_count_ac" -> Enrichment.keywordCountAcOracle,
     "q_sample_stratified" -> Curation.sampleStratifiedOracle,
     "q_pack_sequences"   -> Curation.packSequencesOracle,
+    "q_cms_heavy"        -> Stats.cmsHeavyOracle,
     "q_batched_lookup"   -> Joins.batchedLookupOracle,
     // Streaming drains the same rows the batch window sees; the oracle IS
     // the batch-twin SQL (complete-mode sink == all-data rollup).

@@ -167,6 +167,72 @@ object Stats {
        |             ROWS BETWEEN ${MovingFrame} PRECEDING AND CURRENT ROW)
        |ORDER BY event_type, day""".stripMargin
 
+  /** Count-Min Sketch geometry: CmsRows independent hash rows × CmsWidth
+    * buckets — 1024 cells total, REGARDLESS of corpus size. */
+  val CmsRows = 4
+  val CmsWidth = 256
+
+  /** Probe words whose frequencies the sketch estimates (the two Sentiment
+    * lexicons — bounded literals, like a heavy-hitter watchlist). */
+  def CmsProbes: Seq[String] =
+    graft.functions.Sentiment.Default.positive ++
+      graft.functions.Sentiment.Default.negative
+
+  /** `q_cms_heavy`: Count-Min Sketch frequency estimation — the heavy-hitter
+    * companion to the KMV distinct sketch. The corpus word stream folds into
+    * a CmsRows×CmsWidth count matrix (one groupBy whose key space is 1024
+    * cells — constant state no matter how many TB of text flow through);
+    * each probe word's estimate is min over rows of its bucket's count, the
+    * classic CMS upper bound (est ≥ true, overcount only from collisions).
+    *
+    * Like KMV, the sketch is DETERMINISTIC cross-engine: bucket hashes are
+    * the portable 60-bit md5 trick, counts are exact integers, min is min —
+    * so the oracle replicates the full pipeline bit for bit. Scale: exact
+    * per-word counting (q_word_topk) shuffles a vocabulary-sized aggregate;
+    * the CMS shuffles 1024 cells and answers any watchlist by broadcast
+    * lookup — the trade a 100 TB heavy-hitter monitor wants. */
+  def cmsHeavyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    def bucket(row: Int, word: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(lit(s"c${row}_"), word)), 1, 15), 16, 10)
+        .cast("long"), lit(CmsWidth))
+    val ws = F.filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val rowBuckets = array((0 until CmsRows).map(d => bucket(d, col("word"))): _*)
+    val cms = Tables.documents(spark, sfDir)
+      .select(explode(ws).as("word"))
+      .select(posexplode(rowBuckets).as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(Num.countStar.as("cnt"))
+    import spark.implicits._
+    val probeDf = CmsProbes.toDF("word")
+      .select(col("word"), posexplode(rowBuckets).as(Seq("d", "bucket")))
+    probeDf.join(broadcast(cms), Seq("d", "bucket"), "left")
+      .groupBy(col("word"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+      .orderBy(col("word"))
+  }
+
+  val cmsHeavyOracle: String = {
+    val probeValues = CmsProbes.map(w => s"('${w}')").mkString(", ")
+    s"""WITH words AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |    w -> w <> '')) AS word
+       |  FROM documents),
+       |cells AS (
+       |  SELECT d, CAST(concat('0x', substr(md5('c' || d || '_' || word),1,15))
+       |      AS BIGINT) % ${CmsWidth} AS bucket, COUNT(*) AS cnt
+       |  FROM words, (SELECT unnest(range(0, ${CmsRows})) AS d)
+       |  GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT word, d, CAST(concat('0x', substr(md5('c' || d || '_' || word),1,15))
+       |      AS BIGINT) % ${CmsWidth} AS bucket
+       |  FROM (VALUES $probeValues) AS p(word),
+       |       (SELECT unnest(range(0, ${CmsRows})) AS d))
+       |SELECT p.word, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+       |FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+       |GROUP BY 1 ORDER BY word""".stripMargin
+  }
+
   val kmvDistinctOracle: String =
     s"""WITH h AS (
        |  SELECT event_type,

@@ -77,6 +77,24 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS estimate is an upper bound on the exact count for every probe") {
+    val sfDir = "/root/testdata/sf0.01"
+    val est = Stats.cmsHeavyQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size === Stats.CmsProbes.size)
+    val exact = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        w => w =!= "")).as("word"))
+      .groupBy(col("word")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Stats.CmsProbes.foreach { w =>
+      assert(est(w) >= exact.getOrElse(w, 0L),
+        s"CMS underestimated '$w': ${est(w)} < ${exact.getOrElse(w, 0L)}")
+    }
+    // the probes include words that actually occur, so the sketch is live
+    assert(Stats.CmsProbes.exists(w => exact.getOrElse(w, 0L) > 0))
+  }
+
   test("simhash banding is lossless for the Hamming radius (pigeonhole)") {
     // any two 32-bit values within hamming HamMax share >= 1 of the 4 bytes
     val rnd = new scala.util.Random(42)
