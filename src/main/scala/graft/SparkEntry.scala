@@ -83,6 +83,7 @@ object SparkEntry {
     "q_sample_stratified"   -> Curation.sampleStratifiedQ _,
     "q_pack_sequences"      -> Curation.packSequencesQ _,
     "q_cms_heavy"           -> Stats.cmsHeavyQ _,
+    "q_dedup_clusters"      -> Dedup.dedupClustersQ _,
     "q_batched_lookup"      -> Joins.batchedLookupQ _,
     "q_streaming_window"    -> graft.streaming.Incremental.streamingWindowQ _,
   )
@@ -205,6 +206,7 @@ object SparkEntry {
     "q_sample_stratified" -> Curation.sampleStratifiedOracle,
     "q_pack_sequences"   -> Curation.packSequencesOracle,
     "q_cms_heavy"        -> Stats.cmsHeavyOracle,
+    "q_dedup_clusters"   -> Dedup.dedupClustersOracle,
     "q_batched_lookup"   -> Joins.batchedLookupOracle,
     // Streaming drains the same rows the batch window sees; the oracle IS
     // the batch-twin SQL (complete-mode sink == all-data rollup).

@@ -132,7 +132,10 @@ object Dedup {
   def dedupMinhashQ(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(Tables.documents(spark, sfDir))
 
-  val dedupMinhashOracle: String = {
+  /** The full MinHash pipeline as a reusable CTE chain (words → shingles →
+    * signatures → bands → candidates → exact-Jaccard `verified`) — shared
+    * by the pair oracle and the cluster oracle. */
+  private[operators] val minhashCteSql: String = {
     val p = MinhashPrime
     val minExprs = Perms.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> (${a}*h + ${b}) % ${p}))"
@@ -140,7 +143,7 @@ object Dedup {
     val bandExprs = (0 until Bands).map { j =>
       s"mh[${2 * j + 1}] || '_' || mh[${2 * j + 2}]"
     }.mkString(", ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                w -> w <> '') AS ws
@@ -172,11 +175,78 @@ object Dedup {
        |  FROM cand
        |  JOIN sigs x ON x.doc_id = doc_a
        |  JOIN sigs y ON y.doc_id = doc_b
-       |)
+       |)""".stripMargin
+  }
+
+  val dedupMinhashOracle: String =
+    s"""WITH $minhashCteSql
        |SELECT doc_a, doc_b, jaccard FROM verified
        |WHERE jaccard >= ${JaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** `q_dedup_clusters`: the CANONICALIZATION step the pair detectors feed —
+    * connected components over the verified MinHash near-dup pairs, mapping
+    * every clustered document to its component's minimum doc_id (the kept
+    * representative; everything else in the cluster is a drop candidate).
+    *
+    * Iterative min-label propagation: each round, every node takes the min
+    * of its own label and its neighbors' labels; converges to the
+    * component minimum in O(component diameter) rounds. The loop runs on
+    * the driver but each round is fully distributed (one join + one
+    * min-aggregate on (node, label)) — the standard shape of distributed
+    * connected components. At 100 TB the edge set (near-dup pairs) is
+    * orders of magnitude smaller than the corpus, every round's shuffle
+    * carries only (node, label) longs, and a production run would switch
+    * to the large-star/small-star variant for fewer rounds on high-
+    * diameter graphs. Deterministic (min is min), so the oracle states the
+    * same fixpoint with a recursive CTE. */
+  def dedupClustersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = materialize(
+      minhashPairs(Tables.documents(spark, sfDir))
+        .select(col("doc_a"), col("doc_b")))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    var labels = materialize(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val neighborLabels = edges
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .select(col("src").as("node"), col("label"))
+      val next = materialize(
+        labels.unionByName(neighborLabels)
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
+      val changed = next
+        .join(labels.select(col("node"), col("label").as("prev")), Seq("node"))
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
   }
+
+  val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashCteSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${JaccardThreshold}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+       |)
+       |SELECT node AS doc_id, MIN(label) AS cluster_rep
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // `q_dedup_ngram`: exact n-gram-Jaccard near-dup detection with an

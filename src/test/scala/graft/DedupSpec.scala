@@ -64,6 +64,22 @@ class DedupSpec extends AnyFunSuite {
     assert(ngram.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("clusters: reps are component minima, pair endpoints co-cluster") {
+    val sfDir = "/root/testdata/sf0.001"
+    val labels = Dedup.dedupClustersQ(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    labels.foreach { case (d, rep) =>
+      assert(rep <= d, s"rep $rep above member $d")
+      assert(labels(rep) == rep, s"rep $rep is not its own rep (not a fixpoint)")
+    }
+    // every verified near-dup pair must land in one cluster
+    Dedup.dedupMinhashQ(spark, sfDir).collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+  }
+
   test("ngram df-cap drops stop-shingles: universally shared text can't pair") {
     // one shingle shared by MORE than DfCap docs is a stop-shingle; docs
     // sharing ONLY it generate no candidates
