@@ -207,24 +207,32 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    var labels = materialize(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")))
+    // Convergence witness: labels are component-min candidates and only
+    // ever DECREASE, so Σ labels (exact, as decimal — a long Σ could
+    // overflow at 1e9 nodes × 1e12 ids) is strictly monotone until the
+    // fixpoint; an unchanged sum ⇒ every label unchanged. The sum is also
+    // the action that materializes each round's persist — one distributed
+    // pass per round instead of count + change-detection join.
+    def sumLabels(df: DataFrame): java.math.BigDecimal = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    }
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var prevSum = sumLabels(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 30) {
       val neighborLabels = edges
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .select(col("src").as("node"), col("label"))
-      val next = materialize(
-        labels.unionByName(neighborLabels)
-          .groupBy(col("node")).agg(min(col("label")).as("label")))
-      val changed = next
-        .join(labels.select(col("node"), col("label").as("prev")), Seq("node"))
-        .filter(col("label") =!= col("prev")).count()
+      val next = labels.unionByName(neighborLabels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      val s = sumLabels(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       rounds += 1
     }
     labels
