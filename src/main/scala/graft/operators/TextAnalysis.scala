@@ -324,26 +324,30 @@ object TextAnalysis {
     // simhash value via the native single-pass expression (VectorExprs.
     // SimHash32) — the HOF formulation interprets 32 lambda passes per doc
     // and dominated the whole query (measured ~10 s of 13.8 s at sf0.1).
-    val sim = graft.engine.Materialize.diskBacked( // band explode + both verify joins reuse it
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), hs.as("hs"))
-        .select(col("doc_id"),
-          graft.functions.VectorExprs.simhash32(col("hs")).as("simv")))
     val bandKeys = array((0 until SimBands).map { j =>
       pmod(shiftright(col("simv"), 8 * j), lit(256))
     }: _*)
-    val bands = sim.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
-    val cand = bands.as("a")
+    // Band rows CARRY the 8-byte signature, so the bucket join verifies
+    // Hamming distance inline — no post-candidate re-join against the
+    // signature table (the round-3 form paid two extra key-partitioned
+    // joins for it). This is the right trade exactly because a SimHash
+    // signature is one long; MinHash keeps the verify join because its
+    // shingle sets are too fat to duplicate per band row. Materialized:
+    // the band frame feeds both sides of the pair join.
+    val bands = graft.engine.Materialize.diskBacked(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"),
+          graft.functions.VectorExprs.simhash32(col("hs")).as("simv"))
+        .select(col("doc_id"), col("simv"),
+          posexplode(bandKeys).as(Seq("band", "key"))))
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sim.select(col("doc_id").as("doc_a"), col("simv").as("sim_a")), Seq("doc_a"))
-      .join(sim.select(col("doc_id").as("doc_b"), col("simv").as("sim_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simv").bitwiseXOR(col("b.simv"))).as("hamming"))
+      .distinct() // a pair can share several bands; hamming is pair-determined
       .filter(col("hamming") <= HamMax)
       .orderBy(col("doc_a"), col("doc_b"))
   }
