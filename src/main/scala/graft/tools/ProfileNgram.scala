@@ -27,7 +27,7 @@ object ProfileNgram {
         transform(sequence(lit(1), size(col("ws")) - 2), i =>
           concat_ws(" ", element_at(col("ws"), i),
             element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))).as("sg"))
-    val shc = time("shingle localCheckpoint")(sh.localCheckpoint(true))
+    val shc = time("shingle materialize")(graft.engine.Materialize.diskBacked(sh))
     time("shingle count")(shc.count())
     val postings = shc.select(col("doc_id"), explode(col("sg")).as("s"))
     time("postings count")(postings.count())
