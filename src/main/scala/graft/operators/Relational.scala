@@ -163,4 +163,58 @@ object Relational {
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** Bits per dimension of the Z-curve (16-bit z values, 64 buckets). */
+  val ZBits = 8
+  val ZBucketShift = 10 // bucket = z >> 10 → ≤ 64 buckets of 1024 z-cells
+
+  /** `q_zorder_layout`: Z-ORDER (Morton-curve) clustering — the
+    * multi-dimensional generalization of the sort-before-write layout step.
+    * A single-column sort makes file min/max stats tight on ONE column;
+    * interleaving the bits of two columns and sorting by the result makes
+    * every contiguous slice of the curve a small RECTANGLE in (x, y) space,
+    * so file-level min/max pruning works for predicates on EITHER
+    * dimension. That layout pass is how a 100 TB lakehouse gets data
+    * skipping on (customer, date) without writing the data twice.
+    *
+    * The query materializes exactly the property pruning relies on: group
+    * rows by curve slice (z >> ZBucketShift — the "file" a z-sorted writer
+    * would put them in) and emit each slice's bounding box. Tight per-
+    * slice min/max spans on BOTH x and y are the demonstrable outcome; a
+    * scan with a predicate on either column would skip every slice whose
+    * box misses it. Bit interleaving is 16 integer ops in codegen —
+    * identical arithmetic in the oracle, so the gate is exact. */
+  def zorderLayoutQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def zval(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      (0 until ZBits).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+    val o = Tables.orders(spark, sfDir)
+      .select(pmod(col("o_custkey"), lit(256L)).as("x"),
+        (year(col("o_orderdate")) - 1992).cast("long").as("y"))
+    o.select(col("x"), col("y"),
+        shiftright(zval(col("x"), col("y")), ZBucketShift).as("z_bucket"))
+      .groupBy(col("z_bucket"))
+      .agg(Num.countStar.as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("z_bucket"))
+  }
+
+  val zorderLayoutOracle: String = {
+    val terms = (0 until ZBits).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH pts AS (
+       |  SELECT o_custkey % 256 AS x,
+       |    CAST(year(o_orderdate) - 1992 AS BIGINT) AS y
+       |  FROM orders),
+       |z AS (
+       |  SELECT x, y, ($terms) >> ${ZBucketShift} AS z_bucket FROM pts)
+       |SELECT z_bucket, COUNT(*) AS n,
+       |  MIN(x) AS min_x, MAX(x) AS max_x,
+       |  MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+  }
 }

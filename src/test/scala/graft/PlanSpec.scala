@@ -132,6 +132,19 @@ class PlanSpec extends AnyFunSuite {
       s"sampling must not shuffle:\n$p")
   }
 
+  test("q_zorder_layout buckets are tight rectangles (the pruning property)") {
+    // An aligned 1024-cell slice of the 16-bit Z-curve is exactly a 32×32
+    // square in (x, y) space — every bucket's bounding box must fit it.
+    // That tightness is what lets file-level min/max stats prune on either
+    // dimension after a z-sorted write.
+    val rows = SparkEntry.queries("q_zorder_layout")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 31, s"x span loose in ${r}")
+      assert(r.getLong(5) - r.getLong(4) <= 31, s"y span loose in ${r}")
+    }
+  }
+
   test("no forced broadcast of the scale-proportional customer dim") {
     // nation (25 rows) may broadcast; the plan must not *hint* customer.
     // We assert on the analyzed plan: no ResolvedHint wrapping customer.
