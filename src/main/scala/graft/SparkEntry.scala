@@ -85,6 +85,7 @@ object SparkEntry {
     "q_cms_heavy"           -> Stats.cmsHeavyQ _,
     "q_dedup_clusters"      -> Dedup.dedupClustersQ _,
     "q_zorder_layout"       -> Relational.zorderLayoutQ _,
+    "q_window_analytics"    -> Stats.windowAnalyticsQ _,
     "q_batched_lookup"      -> Joins.batchedLookupQ _,
     "q_streaming_window"    -> graft.streaming.Incremental.streamingWindowQ _,
   )
@@ -209,6 +210,7 @@ object SparkEntry {
     "q_cms_heavy"        -> Stats.cmsHeavyOracle,
     "q_dedup_clusters"   -> Dedup.dedupClustersOracle,
     "q_zorder_layout"    -> Relational.zorderLayoutOracle,
+    "q_window_analytics" -> Stats.windowAnalyticsOracle,
     "q_batched_lookup"   -> Joins.batchedLookupOracle,
     // Streaming drains the same rows the batch window sees; the oracle IS
     // the batch-twin SQL (complete-mode sink == all-data rollup).

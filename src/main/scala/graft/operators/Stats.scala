@@ -167,6 +167,42 @@ object Stats {
        |             ROWS BETWEEN ${MovingFrame} PRECEDING AND CURRENT ROW)
        |ORDER BY event_type, day""".stripMargin
 
+  /** `q_window_analytics`: the analytic window functions the rest of the
+    * window family doesn't exercise — LAG (inter-event gap per user, exact
+    * integer microseconds), LEAD (next event type), and NTILE (value
+    * quartile within the event_type). One frame per partitioning; both
+    * window orders are TOTAL (event_id tiebreak), so lag/lead neighbors and
+    * ntile bucket boundaries are deterministic cross-engine — ntile's
+    * standard ceil/floor bucket sizing then matches row for row. Two
+    * shuffles (one per partitioning) + the output sort; at 100 TB each is
+    * an ordinary hash-partition-and-sort, with the same skew options as W1
+    * (a hot user/event_type salts or pre-aggregates). */
+  def windowAnalyticsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byTypeValue = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("t_us") - lag(col("t_us"), 1).over(byUser), lit(-1L))
+          .as("gap_us"),
+        coalesce(lead(col("event_type"), 1).over(byUser), lit("(none)"))
+          .as("next_event_type"),
+        ntile(4).over(byTypeValue).as("value_quartile"))
+      .orderBy(col("event_id"))
+  }
+
+  val windowAnalyticsOracle: String =
+    """SELECT event_id, user_id,
+      |  COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) AS gap_us,
+      |  COALESCE(LEAD(event_type) OVER w, '(none)') AS next_event_type,
+      |  NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+      |    AS value_quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   /** Count-Min Sketch geometry: CmsRows independent hash rows × CmsWidth
     * buckets — 1024 cells total, REGARDLESS of corpus size. */
   val CmsRows = 4
