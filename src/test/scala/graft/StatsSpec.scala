@@ -77,6 +77,32 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("window analytics: gaps non-negative, quartiles balanced per type") {
+    val rows = Stats.windowAnalyticsQ(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // -1 marks a user's first event; real gaps are non-negative (ts-ordered)
+    rows.foreach { r =>
+      val gap = r.getLong(2)
+      assert(gap >= -1, s"negative inter-event gap $gap")
+      val q = r.getInt(4)
+      assert(q >= 1 && q <= 4, s"quartile $q out of range")
+    }
+    // ntile buckets within a partition differ in size by at most one —
+    // check per event_type via an independent recount
+    val byType = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The partition key isn't in the output, so assert the global quartile
+    // counts: each quartile's total ≈ N/4 within ±1 per event_type partition.
+    val totals = rows.groupBy(_.getInt(4)).view.mapValues(_.length).toMap
+    val n = rows.length
+    val slack = byType.size // ±1 per event_type partition
+    (1 to 4).foreach { q =>
+      assert(math.abs(totals(q) - n / 4) <= slack + 3,
+        s"quartile $q count ${totals(q)} far from ${n / 4}")
+    }
+  }
+
   test("CMS estimate is an upper bound on the exact count for every probe") {
     val sfDir = "/root/testdata/sf0.01"
     val est = Stats.cmsHeavyQ(spark, sfDir).collect()
