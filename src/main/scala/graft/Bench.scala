@@ -71,12 +71,32 @@ object Bench {
       try { spark.catalog.clearCache() } catch { case _: Throwable => () }
       name -> dt
     }
-    // 3-decimal values keep the whole line inside the driver's 2000-char
-    // output tail even with 40+ queries.
+    // Re-time the slowest 5 queries 3× and report the MEDIAN next to the
+    // one-shot number: the driver runs this bench on a possibly loaded
+    // machine, and a median taken in the same process makes one-shot
+    // inflation self-documenting (no isolated re-run needed to adjudicate).
+    val medians = results.toSeq.sortBy(-_._2).take(5).map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> ts(1)
+    }
+    // Short values keep the final line inside the driver's 2000-char output
+    // tail even with 70+ queries; the medians ride a separate earlier line
+    // (the tail cuts line STARTS, never the final line, so the main JSON is
+    // safe and the medians line survives unless the tail is already full).
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val meds = medians.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    println(s"""{"metric":"slowest5_median","unit":"sec","queries":$meds}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

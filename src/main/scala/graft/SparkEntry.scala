@@ -88,6 +88,9 @@ object SparkEntry {
     "q_window_analytics"    -> Stats.windowAnalyticsQ _,
     "q_batched_lookup"      -> Joins.batchedLookupQ _,
     "q_streaming_window"    -> graft.streaming.Incremental.streamingWindowQ _,
+    "q_streaming_dedup"     -> graft.streaming.Incremental.streamingDedupQ _,
+    "q_search_matrix"       -> Relational.searchMatrixQ _,
+    "q_quantile_sketch"     -> Stats.quantileSketchQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -215,5 +218,9 @@ object SparkEntry {
     // Streaming drains the same rows the batch window sees; the oracle IS
     // the batch-twin SQL (complete-mode sink == all-data rollup).
     "q_streaming_window" -> Stats.timeWindowOracle,
+    // Key-only streaming dedup emits exactly the distinct key set.
+    "q_streaming_dedup"  -> graft.streaming.Incremental.streamingDedupOracle,
+    "q_search_matrix"    -> Relational.searchMatrixOracle,
+    "q_quantile_sketch"  -> Stats.quantileSketchOracle,
   )
 }

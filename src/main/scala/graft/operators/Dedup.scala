@@ -204,34 +204,52 @@ object Dedup {
     val pairs = materialize(
       minhashPairs(Tables.documents(spark, sfDir))
         .select(col("doc_a"), col("doc_b")))
-    val edges = pairs
+    // Symmetric closure PLUS self-loops: with (n, n) in the edge set, one
+    // propagation step is a SINGLE join+aggregate over the edges — the
+    // labels frame is consumed exactly once per step. (The union-with-self
+    // form consumed it twice, and Spark recomputes a subtree per consuming
+    // branch, so chaining two unmaterialized steps squared the work.)
+    val sym = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = materialize(sym.unionByName(
+      sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"))))
     // Convergence witness: labels are component-min candidates and only
     // ever DECREASE, so Σ labels (exact, as decimal — a long Σ could
     // overflow at 1e9 nodes × 1e12 ids) is strictly monotone until the
     // fixpoint; an unchanged sum ⇒ every label unchanged. The sum is also
     // the action that materializes each round's persist — one distributed
     // pass per round instead of count + change-detection join.
-    def sumLabels(df: DataFrame): java.math.BigDecimal = {
+    def sumLabels(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      p.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      (p, p.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
     }
+    // One min-label propagation step (lazy — no action, no materialization):
+    // node's next label = min over {label(m) : (node, m) ∈ edges}, which
+    // includes its own thanks to the self-loops.
+    def step(ls: DataFrame): DataFrame =
+      edges
+        .join(ls.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("label"))
+    // Each driver round is overhead-dominated at harness scale (job launch
+    // + tiny shuffles), so TWO propagation steps run per materialized
+    // action — label distance to the component minimum halves per job, and
+    // the initial labels carry no separate action at all (the first round's
+    // sum doubles as the baseline; a second unchanged sum is the fixpoint
+    // proof, since labels are monotone across every individual step).
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    var prevSum = sumLabels(labels)
+    var persisted: DataFrame = null
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 30) {
-      val neighborLabels = edges
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
-        .select(col("src").as("node"), col("label"))
-      val next = labels.unionByName(neighborLabels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-      val s = sumLabels(next)
-      labels.unpersist()
+    while (!converged && rounds < 15) {
+      val (next, s) = sumLabels(step(step(labels)))
+      if (persisted != null) persisted.unpersist()
+      persisted = next
       labels = next
-      converged = s.compareTo(prevSum) == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       rounds += 1
     }

@@ -217,4 +217,67 @@ object Relational {
        |  MIN(y) AS min_y, MAX(y) AS max_y
        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   }
+
+  /** Search-matrix keyword watchlist — a bounded literal task list, like the
+    * reference's configured search terms. */
+  val SearchKeywords: Seq[String] = Seq("join", "filter", "merge", "stream")
+  /** Results kept per (keyword, region) cell. */
+  val SearchTopN = 3
+
+  /** S3 `q_search_matrix`: the reference's search-source shape
+    * (/root/reference/src/youtube_collector.py:13-36 — a (keyword × region)
+    * task matrix where each cell returns its top-N most relevant results)
+    * re-expressed engine-side: the API's remote relevance ranking becomes a
+    * relevance score over the corpus (occurrence count of the keyword, with
+    * doc_id as the deterministic tiebreak the API's stable ordering
+    * provides) and each cell keeps its top SearchTopN.
+    *
+    * Plan shape, sized for 100 TB: the keyword list is a bounded literal
+    * watchlist, so corpus × keywords is a broadcast of a few rows with a
+    * containment predicate (the match is the product — same bounded-
+    * broadcast rationale as q_knn_classify); the region dim broadcasts as an
+    * equi-join; and the per-cell top-N is a row_number window whose rank
+    * filter pushes a WindowGroupLimit below the shuffle (PlanSpec-guarded),
+    * so each map task forwards at most N rows per cell — the matrix never
+    * materializes a full per-cell sort. */
+  def searchMatrixQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val kw = SearchKeywords.toDF("keyword")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val relevance = ((length(col("t")) - length(replace(col("t"), col("keyword"))))
+      / length(col("keyword"))).cast("long")
+    val region = Tables.region(spark, sfDir)
+      .select(col("r_regionkey"), col("r_name").as("region"))
+    val w = Window.partitionBy(col("keyword"), col("region"))
+      .orderBy(col("relevance").desc, col("doc_id"))
+    docs.join(broadcast(kw), contains(col("t"), col("keyword")))
+      .join(broadcast(region), col("r_regionkey") === col("doc_id") % 5)
+      .select(col("keyword"), col("region"), col("doc_id"), relevance.as("relevance"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= SearchTopN)
+      .select(col("keyword"), col("region"), col("rnk"), col("doc_id"),
+        col("relevance"))
+      .orderBy(col("keyword"), col("region"), col("rnk"))
+  }
+
+  val searchMatrixOracle: String = {
+    val kwValues = SearchKeywords.map(k => s"('$k')").mkString(", ")
+    s"""WITH kw(keyword) AS (VALUES $kwValues),
+       |hits AS (
+       |  SELECT k.keyword, r.r_name AS region, d.doc_id,
+       |    CAST((length(lower(d.text))
+       |          - length(replace(lower(d.text), k.keyword, '')))
+       |         / length(k.keyword) AS BIGINT) AS relevance
+       |  FROM documents d, kw k, region r
+       |  WHERE position(k.keyword IN lower(d.text)) > 0
+       |    AND r.r_regionkey = d.doc_id % 5),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY keyword, region
+       |    ORDER BY relevance DESC, doc_id) AS rnk
+       |  FROM hits)
+       |SELECT keyword, region, rnk, doc_id, relevance
+       |FROM ranked WHERE rnk <= ${SearchTopN}
+       |ORDER BY keyword, region, rnk""".stripMargin
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Num, Tables}
@@ -21,29 +21,36 @@ object Stats {
     * across engines, so BOTH sides state the rank-selection definition
     * explicitly — integer arithmetic end to end.
     *
-    * Plan: one shuffle on the grouping key; rank + group size come from two
-    * window frames over the SAME partitioning (one exchange, one sort), the
-    * final groupBy reuses it. At 100 TB a hot key would move to an
-    * approx-quantile sketch; the exact-disc form is the oracle-able
-    * baseline. Ties share a value, so row_number ties are harmless: the
-    * value AT a rank is well-defined. */
+    * Plan: VALUE-HISTOGRAM pre-aggregation. `partitionBy(event_type)` over
+    * the raw table would funnel every row through ~5 reducers (the canonical
+    * skewed-window scale-killer); instead the table folds to
+    * groupBy(event_type, v) counts FIRST — a two-phase, map-side-combined
+    * hash aggregate — and the window ranks only the distinct-value frame:
+    * cum(v) = rows at-or-below v, so the rank-r value is min v with
+    * cum(v) >= r. Reducer input drops from |rows| to |distinct v| per type
+    * (bounded by the value domain, not the data volume), which is what
+    * survives 100 TB. Same output, same oracle as the row-rank form. */
   def percentilesQ(spark: SparkSession, sfDir: String): DataFrame = {
     val v = floor(col("value")).cast("long")
     val byV = Window.partitionBy(col("event_type")).orderBy(col("v"))
     val all = Window.partitionBy(col("event_type"))
     Tables.events(spark, sfDir)
       .select(col("event_type"), v.as("v"))
-      .withColumn("rn", row_number().over(byV))
-      .withColumn("n", count(lit(1)).over(all))
+      .groupBy(col("event_type"), col("v"))
+      .agg(Num.countStar.as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n", sum(col("cnt")).over(all))
       .groupBy(col("event_type"))
       .agg(
         max(col("n")).as("n_events"),
         min(col("v")).as("min_v"),
         // `/` on Columns is double division; the cast("long") truncation
         // makes it the integer ceil-rank formula (operands are positive).
-        max(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col("v")))
+        // cum is cumulative count through v, so the first v whose cum
+        // reaches the rank IS the rank-r element of the sorted multiset.
+        min(when(col("cum") >= ((col("n") + 1) / 2).cast("long"), col("v")))
           .as("p50"),
-        max(when(col("rn") === ((col("n") * 9 + 9) / 10).cast("long"), col("v")))
+        min(when(col("cum") >= ((col("n") * 9 + 9) / 10).cast("long"), col("v")))
           .as("p90"),
         max(col("v")).as("max_v"))
       .orderBy(col("event_type"))
@@ -64,6 +71,71 @@ object Stats {
       |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN v END) AS p90,
       |  MAX(v) AS max_v
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Quantile-sketch geometry: SketchBins fixed-width bins over the value
+    * domain [0, SketchBins·SketchBinWidth); out-of-domain values clamp into
+    * the end bins. Constant state per group no matter the data volume. */
+  val SketchBins = 64
+  val SketchBinWidth = 16L
+
+  /** `q_quantile_sketch`: the approx-quantile SCALE path that
+    * `q_percentiles`' exact form calibrates — a fixed-boundary bin sketch as
+    * a typed Aggregator (graft.functions.BinHistogram, the histogram
+    * counterpart of the KMV sketch). One two-phase hash aggregate folds any
+    * number of rows into SketchBins counters per event_type (no window over
+    * data-proportional input anywhere); each quantile is then read off the
+    * finished sketch as the lower boundary of the first bin whose cumulative
+    * count reaches the rank — within one bin width of the exact discrete
+    * quantile (StatsSpec asserts the bound against percentilesQ).
+    *
+    * Deterministic cross-engine like KMV/CMS: the bins are fixed literals
+    * and the counts exact integers, so DuckDB replicates the sketch cell for
+    * cell and the gate hash-matches despite "approximate" semantics. The
+    * rank formulas are percentilesQ's, so both paths answer the same
+    * question. */
+  def quantileSketchQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = udaf(new graft.functions.BinHistogram(SketchBins))
+    val bin = greatest(lit(0),
+      least(lit(SketchBins - 1), floor(col("value") / SketchBinWidth).cast("int")))
+    val byBin = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val all = Window.partitionBy(col("event_type"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), bin.as("bin"))
+      .groupBy(col("event_type"))
+      .agg(hist(col("bin")).as("counts"))
+      // quantile read-off: SketchBins rows per type, never data-proportional
+      .select(col("event_type"), posexplode(col("counts")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_events"),
+        (min(when(col("cum") >= ((col("n") + 1) / 2).cast("long"), col("bin")))
+          * SketchBinWidth).cast("long").as("p50_lo"),
+        (min(when(col("cum") >= ((col("n") * 9 + 9) / 10).cast("long"), col("bin")))
+          * SketchBinWidth).cast("long").as("p90_lo"))
+      .orderBy(col("event_type"))
+  }
+
+  val quantileSketchOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    GREATEST(0, LEAST(${SketchBins - 1},
+       |      CAST(floor(value / ${SketchBinWidth}) AS BIGINT))) AS bin,
+       |    COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, bin, cnt,
+       |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM b)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       |  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END)
+       |       * ${SketchBinWidth} AS BIGINT) AS p50_lo,
+       |  CAST(MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN bin END)
+       |       * ${SketchBinWidth} AS BIGINT) AS p90_lo
+       |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** Sketch size: estimates engage once a group has >= k distinct hashes. */
   val KmvK = 64
@@ -170,26 +242,57 @@ object Stats {
   /** `q_window_analytics`: the analytic window functions the rest of the
     * window family doesn't exercise — LAG (inter-event gap per user, exact
     * integer microseconds), LEAD (next event type), and NTILE (value
-    * quartile within the event_type). One frame per partitioning; both
-    * window orders are TOTAL (event_id tiebreak), so lag/lead neighbors and
-    * ntile bucket boundaries are deterministic cross-engine — ntile's
-    * standard ceil/floor bucket sizing then matches row for row. Two
-    * shuffles (one per partitioning) + the output sort; at 100 TB each is
-    * an ordinary hash-partition-and-sort, with the same skew options as W1
-    * (a hot user/event_type salts or pre-aggregates). */
+    * quartile within the event_type). Both orders are TOTAL (event_id
+    * tiebreak), so lag/lead neighbors and quartile boundaries are
+    * deterministic cross-engine.
+    *
+    * The lag/lead legs partition by user_id — millions of small partitions,
+    * an ordinary hash-partition-and-sort. The NTILE leg, though, would
+    * funnel the whole table through ~5 reducers (`partitionBy(event_type)`
+    * total sort), so it is computed WITHOUT a per-type total sort, as a
+    * salted two-phase rank:
+    *   1. value histogram per type (two-phase hash agg) + cumulative counts
+    *      over the distinct-value frame → each value's global-rank offset
+    *      (`cum_prev`) and the type's row count n. The frame is bounded by
+    *      the value DOMAIN, and at dim size it broadcasts back.
+    *   2. row_number within (event_type, value) ordered by event_id — fine-
+    *      grained partitions (one per distinct value), no funnel — so a
+    *      row's global rank is cum_prev + local rank.
+    *   3. NTILE(k)'s standard sizing in closed form: the first n mod k
+    *      buckets take ceil(n/k) rows, the rest floor(n/k) — pure integer
+    *      arithmetic on (rank, n), matching the builtin row for row. */
   def windowAnalyticsQ(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val byTypeValue = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    Tables.events(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val byV = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val all = Window.partitionBy(col("event_type"))
+    val hist = ev.groupBy(col("event_type"), col("value"))
+      .agg(Num.countStar.as("cnt"))
+      .withColumn("cum_prev", sum(col("cnt")).over(byV) - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .select(col("event_type"), col("value"), col("cum_prev"), col("n"))
+    val byTypeVal = Window.partitionBy(col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+    // ceil-division on positive longs via double division + truncation
+    // (exact below 2^52 — rank arithmetic, not data values).
+    def ceilDiv(a: Column, b: Column): Column =
+      ((a + b - lit(1L)) / b).cast("long")
+    val n = col("n")
+    val rn = col("cum_prev") + row_number().over(byTypeVal)
+    val q = (n / 4).cast("long") // floor bucket size
+    val r = n % 4 // first r buckets take q+1 rows
+    val t = r * (q + lit(1L)) // rows covered by the q+1-sized buckets
+    val quartile = when(rn <= t, ceilDiv(rn, q + lit(1L)))
+      .otherwise(r + ceilDiv(rn - t, greatest(q, lit(1L))))
+    ev.join(broadcast(hist), Seq("event_type", "value"))
       .withColumn("t_us", unix_micros(col("ts")))
       .select(col("event_id"), col("user_id"),
         coalesce(col("t_us") - lag(col("t_us"), 1).over(byUser), lit(-1L))
           .as("gap_us"),
         coalesce(lead(col("event_type"), 1).over(byUser), lit("(none)"))
           .as("next_event_type"),
-        ntile(4).over(byTypeValue).as("value_quartile"))
+        quartile.cast("int").as("value_quartile"))
       .orderBy(col("event_id"))
   }
 

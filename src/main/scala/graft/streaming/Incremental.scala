@@ -94,6 +94,54 @@ object Incremental {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** `q_streaming_dedup`: oracle-gated streaming dedup — the second
+    * streaming entry behind the DuckDB hash gate (same AvailableNow →
+    * memory-sink pattern as q_streaming_window). The event stream is
+    * projected to its dedup key FIRST (every surviving row is then
+    * identical for its key, so WHICH physical row wins the arrival race is
+    * immaterial — the emitted set is deterministic), watermarked, and
+    * deduped with `dropDuplicatesWithinWatermark`; the append-mode memory
+    * sink accumulates exactly the distinct key set, which is the batch
+    * first-write-wins anti-join's key set — so the oracle is plain
+    * `SELECT DISTINCT`.
+    *
+    * At scale this is the bounded-state production shape: per-key state
+    * lives only within the watermark horizon (the batch dedup's "all
+    * history" becomes "horizon", with cross-horizon exactness falling back
+    * to the served-layer anti-join, exactly like Medallion.loadFacts). The
+    * key-only projection is also what you'd ship: dedup state stores the
+    * key, not the payload. */
+  def streamingDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
+    val deduped = src
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val sinkName = "graft_stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val streamingDedupOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Watermarked tumbling-window rollup — the streaming twin of the daily
     * agg (A1): late events beyond the watermark are dropped, windows close
     * and emit exactly once in append mode. Works on a batch frame too

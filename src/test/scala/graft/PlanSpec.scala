@@ -54,15 +54,71 @@ class PlanSpec extends AnyFunSuite {
       "state dedup rn=1 should push a group limit below the shuffle")
   }
 
-  test("q_percentiles computes both window frames over one exchange") {
+  /** True iff the (single-key) exchange matching `keyRe` is fed by a hash
+    * aggregate, not the raw scan — the guard that a few-reducer window's
+    * input is a pre-aggregated (domain-bounded) frame, not the data. The
+    * plan prints parent-then-children, so the exchange's input subtree is
+    * the lines after it; an aggregate line before the first scan line means
+    * the shuffle carries aggregated rows. */
+  private def exchangeFedByAggregate(p: String, keyRe: String): Boolean = {
+    val lines = p.linesIterator.toVector
+    val i = lines.indexWhere(_.matches(s".*Exchange hashpartitioning\\($keyRe.*"))
+    i >= 0 && {
+      val after = lines.drop(i + 1)
+      val agg = after.indexWhere(l =>
+        l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+      val scan = after.indexWhere(_.contains("Scan parquet"))
+      agg >= 0 && (scan < 0 || agg < scan)
+    }
+  }
+
+  /** The single-key event_type partitioning: exactly "(event_type#N, P)" —
+    * no second grouping column riding along. */
+  private val typeOnlyKey = "event_type#\\d+, \\d+\\)"
+
+  test("q_percentiles windows rank the value histogram, not the raw rows") {
     val p = plan("q_percentiles")
-    // exchanges: one hash partition for the windows, one final range
-    // partition for the orderBy — anything more means the two frames or the
-    // aggregate re-shuffled
-    val exchanges = p.linesIterator.count(l =>
-      l.trim.startsWith("+- Exchange") || l.trim.startsWith(":- Exchange")
-        || l.trim.startsWith("Exchange"))
-    assert(exchanges <= 2, s"expected <= 2 exchanges, saw $exchanges:\n$p")
+    // The ~5-key event_type window partitioning would funnel the whole
+    // table through ~5 reducers if it consumed the scan; it must consume
+    // the groupBy(event_type, v) histogram (|distinct v| rows per type).
+    assert(exchangeFedByAggregate(p, typeOnlyKey),
+      s"event_type window shuffle is not fed by the histogram aggregate:\n$p")
+    // histogram agg + window repartition + output range sort, nothing more
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"expected <= 3 exchanges, saw $exchanges:\n$p")
+  }
+
+  test("q_window_analytics ntile leg is histogram-ranked (no per-type sort)") {
+    val p = plan("q_window_analytics")
+    assert(!p.contains("ntile("),
+      "builtin ntile would total-sort each event_type on one reducer")
+    assert(p.contains("BroadcastHashJoin"),
+      "the value histogram should broadcast back onto the events")
+    // the only event_type-ONLY hash exchange belongs to the histogram
+    // frame (aggregated input); rank shuffles go by (event_type, value)
+    assert(exchangeFedByAggregate(p, typeOnlyKey),
+      s"per-type shuffle is not fed by the histogram aggregate:\n$p")
+  }
+
+  test("q_quantile_sketch windows read the sketch, never the data") {
+    val p = plan("q_quantile_sketch")
+    val lines = p.linesIterator.toVector
+    val lastWin = lines.lastIndexWhere(_.contains("Window"))
+    assert(lastWin >= 0)
+    val after = lines.drop(lastWin + 1)
+    val gen = after.indexWhere(_.contains("Generate"))
+    val scan = after.indexWhere(_.contains("Scan parquet"))
+    // below the windows: the posexplode of the finished per-group sketch
+    // (SketchBins rows/group), then the typed-Aggregator fold, then the scan
+    assert(gen >= 0 && (scan < 0 || gen < scan),
+      s"quantile read-off window consumes the raw table:\n$p")
+  }
+
+  test("q_search_matrix keeps top-N per (keyword, region) via group limits") {
+    val p = plan("q_search_matrix")
+    assert(p.contains("WindowGroupLimit"),
+      "per-cell top-N should push a group limit below the shuffle")
+    assert(p.contains("BroadcastHashJoin"), "region dim should broadcast")
   }
 
   test("q_word_topk pushes the limit into a TakeOrdered over the aggregate") {

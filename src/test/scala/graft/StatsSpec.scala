@@ -103,6 +103,38 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch is within one bin width of the exact percentiles") {
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = Stats.percentilesQ(spark, sfDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+      val sketch = Stats.quantileSketchQ(spark, sfDir).collect()
+      assert(sketch.nonEmpty)
+      sketch.foreach { r =>
+        val (p50, p90) = exact(r.getString(0))
+        val (lo50, lo90) = (r.getLong(2), r.getLong(3))
+        // the sketch reports the lower boundary of the bin holding the true
+        // rank, so exact ∈ [lo, lo + width) — the advertised error bound
+        assert(lo50 <= p50 && p50 < lo50 + Stats.SketchBinWidth,
+          s"p50 $p50 outside sketch bin [$lo50, ${lo50 + Stats.SketchBinWidth})")
+        assert(lo90 <= p90 && p90 < lo90 + Stats.SketchBinWidth,
+          s"p90 $p90 outside sketch bin [$lo90, ${lo90 + Stats.SketchBinWidth})")
+      }
+    }
+  }
+
+  test("histogram-ranked quartile equals the builtin ntile row for row") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ours = Stats.windowAnalyticsQ(spark, sfDir)
+      .select(col("event_id"), col("value_quartile")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val builtin = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_id"), ntile(4).over(w).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ours === builtin)
+  }
+
   test("CMS estimate is an upper bound on the exact count for every probe") {
     val sfDir = "/root/testdata/sf0.01"
     val est = Stats.cmsHeavyQ(spark, sfDir).collect()
