@@ -184,12 +184,32 @@ object Relational {
     * scan with a predicate on either column would skip every slice whose
     * box misses it. Bit interleaving is 16 integer ops in codegen —
     * identical arithmetic in the oracle, so the gate is exact. */
+  /** Morton interleave of two ZBits-wide columns — the curve both the
+    * layout query and the writer sort by. */
+  def zval(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The layout pass `q_zorder_layout` models, actually performed: range-
+    * partition the rows by their z-value and sort within each partition, so
+    * every output file covers a contiguous curve slice — a tight (x, y)
+    * rectangle — and file/row-group min-max stats prune scans filtered on
+    * EITHER dimension (ZorderWriteSpec measures the skipping through the
+    * parquet scan's row metrics). At 100 TB this is the periodic
+    * re-clustering job a lakehouse runs: one range exchange + local sort,
+    * no global sort bottleneck (range partitioning samples the z
+    * distribution; each partition sorts independently). */
+  def zorderWrite(points: DataFrame, outDir: String, files: Int): Unit =
+    points
+      .withColumn("z", zval(col("x"), col("y")))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(outDir)
+
   def zorderLayoutQ(spark: SparkSession, sfDir: String): DataFrame = {
-    def zval(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      (0 until ZBits).map { i =>
-        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-      }.reduce(_ + _)
     val o = Tables.orders(spark, sfDir)
       .select(pmod(col("o_custkey"), lit(256L)).as("x"),
         (year(col("o_orderdate")) - 1992).cast("long").as("y"))
