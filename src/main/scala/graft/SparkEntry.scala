@@ -91,6 +91,7 @@ object SparkEntry {
     "q_streaming_dedup"     -> graft.streaming.Incremental.streamingDedupQ _,
     "q_search_matrix"       -> Relational.searchMatrixQ _,
     "q_quantile_sketch"     -> Stats.quantileSketchQ _,
+    "q_ann_ivf2"            -> Similarity.annIvf2Q _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -222,5 +223,6 @@ object SparkEntry {
     "q_streaming_dedup"  -> graft.streaming.Incremental.streamingDedupOracle,
     "q_search_matrix"    -> Relational.searchMatrixOracle,
     "q_quantile_sketch"  -> Stats.quantileSketchOracle,
+    "q_ann_ivf2"         -> Similarity.annIvf2Oracle,
   )
 }

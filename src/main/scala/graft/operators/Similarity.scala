@@ -316,6 +316,104 @@ object Similarity {
        |WHERE rank <= ${AnnTopK}
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Probes per query for the multiprobe IVF variant. */
+  val IvfNprobe = 2
+
+  /** `q_ann_ivf2`: IVF with nprobe = 2 — the recall knob a production ANN
+    * deployment actually turns. Corpus vectors stay assigned to their single
+    * nearest centroid (the inverted lists are unchanged); each QUERY probes
+    * its IvfNprobe nearest lists, so recall rises at the cost of scanning
+    * nprobe/C of the corpus per query instead of 1/C. A corpus vector lives
+    * in exactly one list and a query's probe lists are distinct, so the
+    * candidate set is duplicate-free by construction — no dedup join.
+    *
+    * The cost side of the trade is made VISIBLE in the output:
+    * `n_candidates` counts the exact-scored vectors per query (the recall
+    * accounting — at fixed C it scales linearly with nprobe), hash-gated
+    * like every other column. Plan: the same broadcast shapes as nprobe=1 —
+    * centroids broadcast for assignment, the tiny probe table broadcast
+    * into the corpus scan; the per-query window ranks only the probed
+    * candidates. */
+  def annIvf2Q(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
+    val cent = emb.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nsq").as("c_nsq"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    def scored(rows: DataFrame) = rows.crossJoin(broadcast(cent))
+      .withColumn("c_cos", VectorExprs.dot(col("emb"), col("c_emb")) /
+        (sqrt(col("nsq")) * sqrt(col("c_nsq"))))
+      .withColumn("rn", row_number().over(assignW))
+    val assigned = scored(emb)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("nsq"), col("c_id").as("centroid"))
+    val probes = scored(
+      emb.filter(col("vec_id") >= IvfQueryFrom &&
+        col("vec_id") < IvfQueryFrom + QueryCount))
+      .filter(col("rn") <= IvfNprobe)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"), col("c_id").as("centroid"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val candW = Window.partitionBy(col("q_id"))
+    assigned.join(broadcast(probes), Seq("centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (VectorExprs.dot(col("q_emb"), col("emb")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cosine"))
+      .withColumn("n_candidates", count(lit(1)).over(candW))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"),
+        col("n_candidates"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annIvf2Oracle: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq
+       |  FROM emb
+       |), scored AS (
+       |  SELECT v.vec_id, v.e, v.nsq, c.vec_id AS centroid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, len(v.e)+1), i -> v.e[i]*c.e[i])),
+       |        (a,b) -> a+b) / (sqrt(v.nsq) * sqrt(c.nsq)) DESC,
+       |      c.vec_id ASC) AS rn
+       |  FROM n v JOIN n c ON c.vec_id < ${IvfCentroids}
+       |), assigned AS (
+       |  SELECT vec_id, e, nsq, centroid FROM scored WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, e AS qe, nsq AS qnsq, centroid
+       |  FROM scored
+       |  WHERE rn <= ${IvfNprobe} AND vec_id >= ${IvfQueryFrom}
+       |    AND vec_id < ${IvfQueryFrom + QueryCount}
+       |), pairs AS (
+       |  SELECT q.q_id, m.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.qe)+1), i -> q.qe[i]*m.e[i])),
+       |      (a,b) -> a+b) / (sqrt(q.qnsq) * sqrt(m.nsq)) AS cosine
+       |  FROM assigned m JOIN probes q ON m.centroid = q.centroid
+       |  WHERE m.vec_id <> q.q_id
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine, n_candidates FROM (
+       |  SELECT *,
+       |    CAST(COUNT(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_candidates,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= ${AnnTopK}
+       |ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------------------------
   // `q_dedup_embedding`: embedding-cosine near-duplicate detection — the
   // vector twin of Dedup's MinHash banding. Banded hyperplane LSH:
