@@ -92,6 +92,7 @@ object SparkEntry {
     "q_search_matrix"       -> Relational.searchMatrixQ _,
     "q_quantile_sketch"     -> Stats.quantileSketchQ _,
     "q_ann_ivf2"            -> Similarity.annIvf2Q _,
+    "q_ann_lsh_mp"          -> Similarity.annLshMpQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -224,5 +225,6 @@ object SparkEntry {
     "q_search_matrix"    -> Relational.searchMatrixOracle,
     "q_quantile_sketch"  -> Stats.quantileSketchOracle,
     "q_ann_ivf2"         -> Similarity.annIvf2Oracle,
+    "q_ann_lsh_mp"       -> Similarity.annLshMpOracle,
   )
 }

@@ -229,6 +229,93 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** `q_ann_lsh_mp`: MULTI-PROBE hyperplane LSH — the recall fix for LSH's
+    * boundary problem (a near neighbor one sign-flip away lands in a
+    * sibling bucket and nprobe=1 never sees it). Each query probes its own
+    * bucket plus every bucket at Hamming distance 1 — the Planes most
+    * likely misplacements — so recall rises WITHOUT rebucketing the corpus
+    * or adding hash tables (the classic multi-probe trade: probes are
+    * query-side only, corpus layout untouched). Probe buckets are pairwise
+    * distinct and each corpus vector lives in one bucket, so candidates
+    * are duplicate-free by construction; `n_candidates` exposes the
+    * scanned-vector count per query, the same recall accounting as
+    * `q_ann_ivf2`. Plan: the (Planes+1)·|Q| probe rows broadcast into one
+    * corpus-signature scan — still a single equi-join on bucket. */
+  def annLshMpQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
+    val bucketBits = (0 until Planes).map { p =>
+      when(planeDot(col("emb"), p) >= 0, "1").otherwise("0")
+    }
+    val signed = graft.engine.Materialize.diskBacked(
+      emb.withColumn("bucket", concat(bucketBits: _*)))
+    // probe 0 = own bucket; probe f in 1..Planes = bucket with bit f flipped
+    val probeBuckets = array(col("bucket") +: (1 to Planes).map { f =>
+      concat(substring(col("bucket"), 1, f - 1),
+        when(substring(col("bucket"), f, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), f + 1, Planes - f))
+    }: _*)
+    val queries = signed.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"), explode(probeBuckets).as("bucket"))
+    val dot = VectorExprs.dot(col("q_emb"), col("emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val candW = Window.partitionBy(col("q_id"))
+    signed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (dot / (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cosine"))
+      .withColumn("n_candidates", count(lit(1)).over(candW))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"),
+        col("n_candidates"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annLshMpOracle: String = {
+    val bitExprs = (0 until Planes).map { p =>
+      s"CASE WHEN ${planeDotSql("e", p)} >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" ||\n    ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq,
+       |    $bitExprs AS bucket
+       |  FROM emb
+       |), probes AS (
+       |  SELECT q.vec_id AS q_id, q.e AS qe, q.nsq AS qnsq,
+       |    CASE WHEN f = 0 THEN q.bucket
+       |         ELSE substr(q.bucket, 1, f - 1)
+       |              || (CASE WHEN substr(q.bucket, f, 1) = '1'
+       |                  THEN '0' ELSE '1' END)
+       |              || substr(q.bucket, f + 1) END AS bucket
+       |  FROM n q, (SELECT unnest(range(0, ${Planes + 1})) AS f)
+       |  WHERE q.vec_id < ${QueryCount}
+       |), pairs AS (
+       |  SELECT p.q_id, b.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(p.qe)+1), i -> p.qe[i]*b.e[i])),
+       |      (a,b) -> a+b) / (sqrt(p.qnsq) * sqrt(b.nsq)) AS cosine
+       |  FROM n b JOIN probes p ON b.bucket = p.bucket
+       |  WHERE b.vec_id <> p.q_id
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine, n_candidates FROM (
+       |  SELECT *,
+       |    CAST(COUNT(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_candidates,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= ${AnnTopK}
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // `q_ann_ivf`: IVF-style ANN — the other classic scale path beside LSH.
   // Coarse quantization assigns every vector to its nearest centroid
