@@ -93,6 +93,10 @@ object SparkEntry {
     "q_quantile_sketch"     -> Stats.quantileSketchQ _,
     "q_ann_ivf2"            -> Similarity.annIvf2Q _,
     "q_ann_lsh_mp"          -> Similarity.annLshMpQ _,
+    "q_streaming_state"     -> graft.streaming.Incremental.streamingStateQ _,
+    "q_bm25"                -> TextAnalysis.bm25Q _,
+    "q_scd2"                -> Joins.scd2Q _,
+    "q_profile"             -> Stats.profileQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -226,5 +230,10 @@ object SparkEntry {
     "q_quantile_sketch"  -> Stats.quantileSketchOracle,
     "q_ann_ivf2"         -> Similarity.annIvf2Oracle,
     "q_ann_lsh_mp"       -> Similarity.annLshMpOracle,
+    // Monotone running counts: the final state per key == the batch count.
+    "q_streaming_state"  -> graft.streaming.Incremental.streamingStateOracle,
+    "q_bm25"             -> TextAnalysis.bm25Oracle,
+    "q_scd2"             -> Joins.scd2Oracle,
+    "q_profile"          -> Stats.profileOracle,
   )
 }

@@ -370,4 +370,60 @@ object Joins {
         lit("2024-06-01").as("s_first_seen"))
     mergeUpsert(target, source)
   }
+
+  // ------------------------------------------------------------------
+  // `q_scd2`: slowly-changing-dimension TYPE-2 history — the dimension-
+  // management pattern one step past the reference's overwrite MERGE (J2,
+  // which is SCD1: update-in-place, history lost). Each attribute change
+  // becomes a VERSION ROW with a validity interval [valid_from, valid_to)
+  // and a current flag, which is what lets a fact row join the attribute
+  // AS OF its own timestamp (the warehouse twin of the as-of join above).
+  // Built from the change log in one pass: dedup to one change per (key,
+  // ts), then `lead(ts)` over each key's timeline closes every interval
+  // with the next change's start. ONE shuffle on the key — same exchange
+  // serves the dedup window, the lead window, and nothing else; no join,
+  // no second pass. At 100 TB the change log partitions by key and each
+  // key's timeline sorts within its partition; version numbering rides the
+  // same sort for free.
+  // ------------------------------------------------------------------
+
+  def scd2Q(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wD = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val wK = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc)
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("value").as("attr"))
+      .withColumn("version", row_number().over(wK))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(wK))
+      .select(col("user_id"), col("version"),
+        date_format(col("ts"), fmt).as("valid_from"),
+        coalesce(date_format(col("valid_to_ts"), fmt), lit("(current)"))
+          .as("valid_to"),
+        col("attr"),
+        (col("valid_to_ts").isNull).as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2Oracle: String =
+    """WITH chg AS (
+      |  SELECT user_id, ts, value AS attr FROM (
+      |    SELECT user_id, ts, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |                         ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'signup') WHERE rn = 1)
+      |SELECT user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC) AS version,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |  COALESCE(strftime(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC),
+      |                    '%Y-%m-%d %H:%M:%S.%f'), '(current)') AS valid_to,
+      |  attr,
+      |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+      |    AS is_current
+      |FROM chg
+      |ORDER BY user_id, version""".stripMargin
 }

@@ -385,4 +385,78 @@ object Stats {
        |  CASE WHEN len(hs) < ${KmvK} THEN CAST(len(hs) AS DOUBLE)
        |       ELSE (${KmvK - 1}.0 * POW(2.0, 60)) / hs[${KmvK}] END AS est_distinct
        |FROM g ORDER BY event_type""".stripMargin
+
+  /** `q_profile`: per-column data-quality profile (row count, null count,
+    * exact distinct count, min/max) over a mixed-type column set, emitted
+    * in long form — the schema-validation / ingest-gate summary every
+    * pipeline runs before accepting a batch (the reference's row-count +
+    * null-check prints at src/snowflake_loader.py:166-171, generalized).
+    *
+    * ONE pass over the table: a single multi-distinct aggregate (Catalyst
+    * plans n distinct columns as one Expand(×n) + two-phase aggregate —
+    * rows scan once, the expand factor is the column count, never a
+    * per-column rescan), then the 1-row wide result unpivots to (column,
+    * metrics) rows driver-free via explode of a 4-element literal array.
+    * Min/max render through type-pinned formats (decimal for doubles,
+    * date_format for timestamps) so the strings are cross-engine exact.
+    * At 100 TB: the distinct legs are the expensive part — swap in the X23
+    * KMV sketch per column when exactness isn't required; everything else
+    * is a map-side-combined scalar aggregate. */
+  def profileQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    def prof(name: String, minS: Column, maxS: Column): Column =
+      struct(lit(name).as("column"),
+        Num.countStar.as("n_rows"),
+        (Num.countStar - count(col(name))).as("n_nulls"),
+        countDistinct(col(name)).as("n_distinct"),
+        minS.as("min_value"), maxS.as("max_value"))
+    def dec(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(12, 2)).cast("string")
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    li.agg(
+        prof("l_orderkey", min(col("l_orderkey")).cast("string"),
+          max(col("l_orderkey")).cast("string")).as("p1"),
+        prof("l_quantity", dec(min(col("l_quantity"))),
+          dec(max(col("l_quantity")))).as("p2"),
+        prof("l_returnflag", min(col("l_returnflag")),
+          max(col("l_returnflag"))).as("p3"),
+        prof("l_shipdate", date_format(min(col("l_shipdate")), fmt),
+          date_format(max(col("l_shipdate")), fmt)).as("p4"))
+      .select(explode(array(col("p1"), col("p2"), col("p3"), col("p4")))
+        .as("p"))
+      .select(col("p.column").as("column"), col("p.n_rows"),
+        col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_value"), col("p.max_value"))
+      .orderBy(col("column"))
+  }
+
+  val profileOracle: String =
+    """SELECT * FROM (
+      |  SELECT 'l_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+      |    CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+      |    CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+      |    CAST(CAST(MIN(l_quantity) AS DECIMAL(12,2)) AS VARCHAR),
+      |    CAST(CAST(MAX(l_quantity) AS DECIMAL(12,2)) AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+      |    MIN(l_returnflag), MAX(l_returnflag)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+      |    strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+      |    strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+      |  FROM lineitem)
+      |ORDER BY "column"""".stripMargin
 }

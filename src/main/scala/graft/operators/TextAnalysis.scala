@@ -433,4 +433,95 @@ object TextAnalysis {
        |SELECT doc_id, rnk, term, tf, df
        |FROM ranked WHERE rnk <= ${TfidfTopTerms}
        |ORDER BY doc_id, rnk""".stripMargin
+
+  /** `q_bm25`: BM25 retrieval scoring per (query-term, doc) — the ranking
+    * function real retrieval pipelines layer over the X20 tf/df plumbing.
+    * Both BM25 refinements over raw tf-idf are exercised: tf SATURATION
+    * (k1: the 10th occurrence adds less than the 2nd) and document-LENGTH
+    * normalization (b: a term hit in a short doc outranks the same hit in a
+    * long one). The idf weight is Robertson's (N - df + ½)/(df + ½) WITHOUT
+    * the log — per term the log is monotone, so per-term rankings are
+    * BM25-identical, and it keeps every arithmetic step a raw IEEE op
+    * (ln is not bit-reproducible across engines; see q_tfidf for the same
+    * reasoning). Every input is an exact integer (tf, df, dl, N) cast once
+    * to double, every op is written in the same order in both engines, so
+    * the scores hash-match bit-for-bit.
+    *
+    * Plan shape: tf is one (doc, term) aggregate filtered to the query
+    * terms BEFORE the shuffle (the term filter prunes at the explode); dl
+    * is a narrow per-doc column; df and the (N, avgdl) scalars are
+    * vocabulary-sized/1-row broadcasts. One data-sized shuffle total. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("join", "merge", "scan", "window")
+  val Bm25TopDocs = 15
+
+  def bm25Q(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("term"),
+        size(col("ws")).cast("long").as("dl"))
+    val tf = docs.filter(col("term").isInCollection(Bm25Terms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(Num.countStar.as("tf"), min(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(Num.countStar.as("df"))
+    // corpus scalars: N docs and average doc length (exact longs, one
+    // division) — a 1-row broadcast, the A5 scalar-subquery shape
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(words).cast("long").as("dl"))
+      .agg(Num.countStar.as("n_docs"), sum(col("dl")).as("total_dl"))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val k1 = lit(Bm25K1)
+    val b = lit(Bm25B)
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val score = idf * (col("tf") * (k1 + lit(1))) /
+      (col("tf") + k1 * (lit(1) - b + b * col("dl") / col("avgdl")))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Bm25TopDocs)
+      .select(col("term"), col("rnk"), col("doc_id"), col("tf"), col("df"),
+        col("dl"), col("score"))
+      .orderBy(col("term"), col("rnk"))
+  }
+
+  val bm25Oracle: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dw AS (
+       |  SELECT doc_id, $wordsSql AS ws FROM documents),
+       |tf AS (
+       |  SELECT doc_id, w AS term, COUNT(*) AS tf, MIN(dl) AS dl
+       |  FROM (SELECT doc_id, unnest(ws) AS w, len(ws) AS dl FROM dw)
+       |  WHERE w IN ($terms)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |corpus AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dw),
+       |scored AS (
+       |  SELECT tf.term, tf.doc_id, tf.tf, dfreq.df, tf.dl,
+       |    -- literals CAST to DOUBLE: DuckDB parses bare 1.2/0.5/0.75 as
+       |    -- DECIMAL and would do exact-decimal sub-arithmetic, drifting
+       |    -- 1 ulp from Spark's IEEE doubles
+       |    (c.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+       |      / (dfreq.df + CAST(0.5 AS DOUBLE))
+       |      * (tf.tf * (CAST($Bm25K1 AS DOUBLE) + 1))
+       |      / (tf.tf + CAST($Bm25K1 AS DOUBLE)
+       |         * (1 - CAST($Bm25B AS DOUBLE)
+       |            + CAST($Bm25B AS DOUBLE) * tf.dl / c.avgdl))
+       |      AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus c)
+       |SELECT term, rnk, doc_id, CAST(tf AS BIGINT) AS tf,
+       |  CAST(df AS BIGINT) AS df, CAST(dl AS BIGINT) AS dl, score
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+       |        ORDER BY score DESC, doc_id ASC) AS rnk FROM scored) t
+       |WHERE rnk <= ${Bm25TopDocs}
+       |ORDER BY term, rnk""".stripMargin
+  }
 }

@@ -171,6 +171,52 @@ object Incremental {
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserCount(user_id: Long, n_events: Long)
 
+  /** `q_streaming_state`: oracle-gated custom streaming state — the third
+    * streaming entry behind the DuckDB hash gate, covering the one
+    * streaming capability the window/dedup entries don't:
+    * `mapGroupsWithState` (arbitrary per-key state that survives across
+    * micro-batches). An AvailableNow drain runs the event stream through
+    * `runningUserCounts`; update mode emits each key's running total once
+    * per micro-batch it appears in, and the memory sink accumulates those
+    * emissions. The counter is monotone, so `max(n_events)` per user is the
+    * FINAL state no matter how the file source split the drain into
+    * batches — which makes the batch `GROUP BY user_id COUNT(*)` the exact
+    * oracle, independent of micro-batch boundaries.
+    *
+    * At scale this is the production shape for streaming featurization /
+    * seen-set state: state is one long per key in the state store,
+    * partitioned by key, and each micro-batch touches only the keys it
+    * contains. */
+  def streamingStateQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), col("event_type"))
+      .as[UserEvent]
+    val counts = runningUserCounts(src)
+    val sinkName = "graft_stream_state_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = counts.toDF.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamingStateOracle: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
     * a running per-user event counter that survives across micro-batches —
     * the building block the reference's "dedup across days" would use in a
