@@ -97,6 +97,7 @@ object SparkEntry {
     "q_bm25"                -> TextAnalysis.bm25Q _,
     "q_scd2"                -> Joins.scd2Q _,
     "q_profile"             -> Stats.profileQ _,
+    "q_pagerank"            -> Graph.pagerankQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -235,5 +236,6 @@ object SparkEntry {
     "q_bm25"             -> TextAnalysis.bm25Oracle,
     "q_scd2"             -> Joins.scd2Oracle,
     "q_profile"          -> Stats.profileOracle,
+    "q_pagerank"         -> Graph.pagerankOracle,
   )
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.{Materialize, Num, Tables}
+
+/** Graph analytics over relationship tables (SURVEY.md §2.11). Second
+  * iterative-fixpoint operator family beside X45's connected components
+  * (`Dedup.dedupClustersQ`): where CC propagates min-labels to a fixpoint,
+  * PageRank propagates rank MASS a fixed number of rounds — the
+  * importance-scoring pass a curation pipeline runs over citation / link /
+  * co-occurrence graphs to weight documents before sampling.
+  *
+  * Scale shape per iteration: ranks join edges on src (both sides
+  * hash-partitioned on src; the edge table is materialized once and its
+  * partitioning reused every round), contributions aggregate on dst —
+  * exactly two shuffles of (node, value) longs per round, never the raw
+  * input table. The iteration count is FIXED (power-method truncation), so
+  * unlike CC there is no convergence probe — the plan is 3 identical
+  * stages, pipelined by the scheduler.
+  *
+  * Cross-engine determinism: per-edge contributions are quantized to 1e-12
+  * (`floor(x*1e12+0.5)` — identical single-rounded IEEE ops both engines)
+  * and summed as DECIMAL — associative and exact, so the per-dst sum is
+  * independent of Spark's partial-aggregation split, the same trick as
+  * X30's centroid means. The damping update is then one pinned-order
+  * double expression. The oracle unrolls the same three rounds in SQL.
+  */
+object Graph {
+
+  /** Fixed power-method rounds (truncation, not convergence — see above). */
+  val PrIters = 3
+  /** Top-k nodes reported. */
+  val PrTopK = 50
+  /** Contribution quantum: 1e-12 of rank mass (exact in DECIMAL sums). */
+  val PrQuantSql = "1e12"
+
+  /** `q_pagerank`: damped PageRank (d=0.85) over the symmetric
+    * part↔supplier co-occurrence graph from `lineitem` (part nodes = 2k,
+    * supplier nodes = 2k+1 — disjoint id spaces). Symmetry means every
+    * node has out-edges, so no dangling-mass redistribution is needed and
+    * rank mass is conserved up to quantization. */
+  def pagerankQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = Materialize.diskBacked(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    val deg = edges.groupBy(col("src")).agg(Num.countStar.as("outdeg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nRow = nodes.agg(Num.countStar.cast("double").as("n"))
+    var ranks = Materialize.diskBacked(
+      nodes.crossJoin(broadcast(nRow))
+        .select(col("node"), (lit(1.0) / col("n")).as("r")))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          floor(col("r") / col("outdeg") * lit(1e12) + lit(0.5))
+            .cast(DecimalType(28, 0)).as("qc"))
+        .groupBy(col("node")).agg(sum(col("qc")).as("qsum"))
+      val prev = ranks
+      ranks = Materialize.diskBacked(
+        nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(nRow))
+          .select(col("node"),
+            (lit(0.15) / col("n") + lit(0.85) *
+              (coalesce(col("qsum").cast("double"), lit(0.0)) / lit(1e12)))
+              .as("r")))
+      prev.unpersist()
+    }
+    val out = ranks.orderBy(col("r").desc, col("node").asc).limit(PrTopK)
+      .select(col("node"), col("r"))
+    out
+  }
+
+  val pagerankOracle: String = {
+    // one propagation round: ranks CTE `rin` -> new ranks CTE named `rout`
+    def round(rin: String, rout: String): String =
+      s"""c_$rout AS (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(FLOOR(r.r / d.outdeg * $PrQuantSql + CAST(0.5 AS DOUBLE))
+         |             AS DECIMAL(28,0))) AS qsum
+         |  FROM edges e
+         |  JOIN $rin r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY 1),
+         |$rout AS (
+         |  SELECT n.node,
+         |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + CAST(0.85 AS DOUBLE)
+         |      * (COALESCE(CAST(c.qsum AS DOUBLE), 0) / $PrQuantSql) AS r
+         |  FROM nodes n LEFT JOIN c_$rout c ON n.node = c.node)""".stripMargin
+    val rounds = (1 to PrIters)
+      .map(i => round(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      .mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, r FROM r$PrIters
+       |ORDER BY r DESC, node ASC LIMIT $PrTopK""".stripMargin
+  }
+}
