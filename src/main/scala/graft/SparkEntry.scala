@@ -98,6 +98,7 @@ object SparkEntry {
     "q_scd2"                -> Joins.scd2Q _,
     "q_profile"             -> Stats.profileQ _,
     "q_pagerank"            -> Graph.pagerankQ _,
+    "q_ann_pq"              -> Similarity.annPqQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -237,5 +238,6 @@ object SparkEntry {
     "q_scd2"             -> Joins.scd2Oracle,
     "q_profile"          -> Stats.profileOracle,
     "q_pagerank"         -> Graph.pagerankOracle,
+    "q_ann_pq"           -> Similarity.annPqOracle,
   )
 }

@@ -317,6 +317,138 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // `q_ann_pq`: product-quantization ANN — the memory-compression scale
+  // path beside LSH (bucketing) and IVF (list pruning). Each 64-dim vector
+  // splits into PqM=4 subvectors; each subvector is replaced by the id of
+  // its nearest codebook entry (PqCodebook=8 per subspace), so the corpus
+  // index stores 4 small ints per vector instead of 64 floats — at 100 TB
+  // THIS is what makes the index fit in memory (16-byte codes vs 256-byte
+  // vectors, and the scan reads only the codes column). Queries never
+  // decompress the corpus: ADC (asymmetric distance computation) builds a
+  // per-query 4×8 distance table against the codebook and scores every
+  // corpus vector with 4 table lookups + 3 adds.
+  //
+  // Determinism: sub-distances are quantized to 1e-12
+  // (floor(d*1e12+0.5), single-rounded IEEE ops both engines) BEFORE the
+  // argmin and the ADC sum, so encode ties break exactly (argmin over
+  // (quantized dist, code id) — the documented spec) and the ADC score is
+  // an exact BIGINT sum — order-independent, hash-gateable. The codebook is
+  // the first PqCodebook corpus vectors per subspace (same deterministic
+  // "trained" stand-in as IVF's centroids — real k-means wouldn't
+  // cross-engine-reproduce; the encode/ADC dataflow is the deliverable).
+  //
+  // Plan shape: encode = corpus exploded to (vec, m) subrows ⋈ broadcast
+  // 32-row codebook, then a two-phase min aggregate (never a window over
+  // the corpus); ADC = codes ⋈ broadcast 320-row query distance table on
+  // (m, code), then a two-phase sum aggregate per (query, vec). No
+  // corpus-sized shuffle carries vectors — only (ids, longs).
+  // ------------------------------------------------------------------
+
+  /** Subspace count (64-dim embeddings → 4×16). */
+  val PqM = 4
+  /** Dims per subspace. */
+  val PqSubDim = 16
+  /** Codebook entries per subspace. */
+  val PqCodebook = 8
+
+  /** Pinned-order L2² between two PqSubDim-dim slices: left fold of
+    * (x-y)² — same shape as the oracle's list_reduce. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, v) => acc + v)
+
+  /** (vec_id, m, sub) subvector rows of a (vec_id, emb) frame. */
+  private def subRows(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), explode(array((0 until PqM).map(lit): _*)).as("m"),
+        col("emb"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(emb, m * $PqSubDim + 1, $PqSubDim)").as("sub"))
+
+  def annPqQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    val subs = subRows(emb)
+    val cb = subRows(emb.filter(col("vec_id") < PqCodebook))
+      .select(col("vec_id").as("c_id"), col("m"), col("sub").as("csub"))
+    // quantized sub-distance, shared by encode and ADC
+    def qdist: Column =
+      floor(l2sq(col("sub"), col("csub")) * lit(1e12) + lit(0.5))
+    // encode: argmin over (quantized dist, code id) via a min() aggregate
+    // on the packed key — two-phase, no per-vector window
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        (qdist * lit(PqCodebook) + col("c_id")).as("key"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("key")).as("k"))
+      .select(col("vec_id"), col("m"), (col("k") % PqCodebook).as("code"))
+    // ADC table: each query's exact subvectors vs the codebook
+    val dtable = subRows(
+        emb.filter(col("vec_id") >= IvfQueryFrom &&
+          col("vec_id") < IvfQueryFrom + QueryCount))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("c_id").as("code"),
+        qdist.cast("long").as("qd"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_qd").asc, col("vec_id").asc)
+    codes.join(broadcast(dtable), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("approx_qd"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        (col("approx_qd").cast("double") / lit(1e12)).as("approx_l2sq"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // lazy: references IvfQueryFrom, declared further down the object — a
+  // strict val here would capture the uninitialized 0
+  lazy val annPqOracle: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), subs AS (
+       |  SELECT vec_id, m, e[m * ${PqSubDim} + 1 : m * ${PqSubDim} + ${PqSubDim}] AS sub
+       |  FROM emb, (SELECT unnest(range(0, ${PqM})) AS m)
+       |), cb AS (
+       |  SELECT vec_id AS c_id, m, sub AS csub FROM subs
+       |  WHERE vec_id < ${PqCodebook}
+       |), enc AS (
+       |  SELECT s.vec_id, s.m,
+       |    MIN(CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, ${PqSubDim + 1}),
+       |            i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i]))),
+       |          (a,b) -> a+b) * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |        * ${PqCodebook} + c.c_id) AS k
+       |  FROM subs s JOIN cb c ON s.m = c.m
+       |  GROUP BY 1, 2
+       |), codes AS (
+       |  SELECT vec_id, m, k % ${PqCodebook} AS code FROM enc
+       |), dtable AS (
+       |  SELECT s.vec_id AS q_id, s.m, c.c_id AS code,
+       |    CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, ${PqSubDim + 1}),
+       |            i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i]))),
+       |          (a,b) -> a+b) * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qd
+       |  FROM subs s JOIN cb c ON s.m = c.m
+       |  WHERE s.vec_id >= ${IvfQueryFrom}
+       |    AND s.vec_id < ${IvfQueryFrom + QueryCount}
+       |), adc AS (
+       |  SELECT d.q_id, co.vec_id, CAST(SUM(d.qd) AS BIGINT) AS approx_qd
+       |  FROM codes co JOIN dtable d ON co.m = d.m AND co.code = d.code
+       |  WHERE co.vec_id <> d.q_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, rank, neighbor_id, approx_l2sq FROM (
+       |  SELECT q_id, vec_id AS neighbor_id,
+       |    CAST(approx_qd AS DOUBLE) / 1e12 AS approx_l2sq,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY approx_qd ASC, vec_id ASC) AS rank
+       |  FROM adc) t
+       |WHERE rank <= ${AnnTopK}
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // `q_ann_ivf`: IVF-style ANN — the other classic scale path beside LSH.
   // Coarse quantization assigns every vector to its nearest centroid
   // (inverted lists); a query probes only its own centroid's list and ranks
