@@ -201,6 +201,45 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_pq scores the compressed index via broadcast tables only") {
+    val p = plan("q_ann_pq")
+    // encode and ADC both join a corpus-sized side to a broadcast table
+    // (32-row codebook / 320-row distance table) — never a shuffled or
+    // product join over vectors
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"),
+      s"PQ scoring fell back to a product join:\n$p")
+    // argmin-encode and ADC-sum must be two-phase hash aggregates, not
+    // object aggregates buffering rows
+    assert(!p.contains("ObjectHashAggregate"),
+      "PQ encode/ADC should be plain HashAggregate")
+  }
+
+  test("q_pagerank reuses the materialized edge table across rounds") {
+    val p = plan("q_pagerank")
+    // the final round's output must execute against the materialized ranks
+    // (its leaves are cached-table scans), never re-deriving the whole
+    // 3-round lineage from the lineitem file scan
+    assert(p.contains("InMemoryTableScan"),
+      "edges should be served from the materialized table")
+    val leaves = SparkEntry.queries("q_pagerank")(spark, sfDir)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.forall(_.nodeName.contains("InMemoryRelation")),
+      s"uncached leaf in final plan: ${leaves.map(_.nodeName)}")
+    // per-dst contribution sums are decimal hash aggregates
+    assert(!p.contains("ObjectHashAggregate"))
+  }
+
+  test("q_bm25 aggregates tf map-side and broadcasts the corpus scalars") {
+    val p = plan("q_bm25")
+    // the one data-sized aggregate (doc_id, term) must have a partial
+    // (map-side combine) phase; df/corpus stats join back as broadcasts
+    assert(p.contains("partial_count"),
+      "tf aggregate lost its map-side partial phase")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no forced broadcast of the scale-proportional customer dim") {
     // nation (25 rows) may broadcast; the plan must not *hint* customer.
     // We assert on the analyzed plan: no ResolvedHint wrapping customer.
