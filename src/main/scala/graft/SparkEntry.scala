@@ -99,6 +99,9 @@ object SparkEntry {
     "q_profile"             -> Stats.profileQ _,
     "q_pagerank"            -> Graph.pagerankQ _,
     "q_ann_pq"              -> Similarity.annPqQ _,
+    "q_hll_distinct"        -> Stats.hllDistinctQ _,
+    "q_gap_fill"            -> Sessionize.gapFillQ _,
+    "q_outliers"            -> Stats.outliersQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -239,5 +242,8 @@ object SparkEntry {
     "q_profile"          -> Stats.profileOracle,
     "q_pagerank"         -> Graph.pagerankOracle,
     "q_ann_pq"           -> Similarity.annPqOracle,
+    "q_hll_distinct"     -> Stats.hllDistinctOracle,
+    "q_gap_fill"         -> Sessionize.gapFillOracle,
+    "q_outliers"         -> Stats.outliersOracle,
   )
 }

@@ -70,4 +70,61 @@ object Sessionize {
        |FROM numbered
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
+
+  /** `q_gap_fill`: calendar gap-fill + last-observation-carried-forward —
+    * the time-series regularization pass a feature/metrics pipeline runs
+    * before windowed training data extraction (every key gets one row per
+    * calendar day between its first and last observation, missing days
+    * flagged and LOCF-filled).
+    *
+    * Plan shape: the ONLY data-sized operation is the first two-phase
+    * aggregate folding events to (user, day) rows; everything after runs on
+    * the calendar-bounded frame (|users| × ≤span rows — at 100 TB of
+    * events this is orders of magnitude smaller, e.g. 10M users × 365 days
+    * regardless of event volume). The per-key calendar comes from
+    * sequence() on the key's own [min, max] span — generated distributed,
+    * never a driver-side date table — and LOCF is last(ignoreNulls) over a
+    * per-key window (state O(1) per key, keys are the parallelism).
+    * Determinism: daily values are exact BIGINT sums of floor(value);
+    * date arithmetic is whole-day (both engines truncate the naive
+    * timestamp; the session zone is pinned UTC). */
+  def gapFillQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(sum(floor(col("value")).cast("long")).as("v"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        when(col("v").isNull, 0).otherwise(1).as("observed"),
+        last(col("v"), ignoreNulls = true).over(locf).as("v_locf"))
+      // date exported as a string: cross-engine date dtypes don't hash
+      // alike (same convention as the session timestamps)
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("observed"), col("v_locf"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  val gapFillOracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |         CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM span)
+      |SELECT c.user_id, strftime(c.d, '%Y-%m-%d') AS d,
+      |  CASE WHEN dl.v IS NULL THEN 0 ELSE 1 END AS observed,
+      |  last_value(dl.v IGNORE NULLS) OVER (
+      |    PARTITION BY c.user_id ORDER BY c.d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+      |FROM cal c LEFT JOIN daily dl ON c.user_id = dl.user_id AND c.d = dl.d
+      |ORDER BY c.user_id, c.d""".stripMargin
 }

@@ -164,6 +164,158 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** HLL precision: 2^6 = 64 registers (±13% standard error). */
+  val HllP = 6
+  val HllM = 1 << HllP
+  /** Remainder width of the 60-bit portable hash after bucket bits. */
+  private val HllRestBits = 60 - HllP
+  /** alpha_64 · m² · 2^(rest+1) — the whole estimator numerator as ONE
+    * double literal, interpolated verbatim into the oracle SQL so both
+    * engines divide the identical constant by the identical integer. */
+  private val HllNumer: Double =
+    0.709 * HllM * HllM * math.pow(2.0, HllRestBits + 1)
+
+  /** `q_hll_distinct`: HyperLogLog COUNT(DISTINCT) per event_type — the
+    * industry-standard distinct sketch beside X23's KMV. Spark's own
+    * `approx_count_distinct` IS HLL++ but its hash/bias tables aren't
+    * reproducible outside the JVM, so this is the transparent twin: 60-bit
+    * portable md5 hash → top-6 bits pick 1 of 64 registers, register keeps
+    * max(leading-zero rank rho) of the 54 remaining bits.
+    *
+    * Scale shape: groupBy(type, bucket).max(rho) is a two-phase hash
+    * aggregate whose state is ≤64 rows per group at ANY corpus size —
+    * registers merge by max, so map-side combine does almost all the work
+    * and the estimate is partition-order independent BY ALGEBRA (unlike
+    * a double sum). The harmonic mean is kept exact: registers fold to
+    * S = Σ 2^(55-rho) as a BIGINT (absent registers contribute 2^55), and
+    * the raw HLL estimate is one double division of a shared literal
+    * numerator by S — no libm (ln) anywhere, so even the "approximate"
+    * value hash-gates bit-exact. (The ln-based small-range correction is
+    * deliberately omitted: it's only needed below ~2.5·m distinct, where a
+    * KMV sketch — X23 — is exact anyway.) Rho arithmetic rides on
+    * length(bin(rest)): both engines print minimal-length binary, so
+    * 55 - bitlength(rest) IS the leading-zero count of the 54-bit field,
+    * with the rest=0 row pinned to rho=55 explicitly. */
+  def hllDistinctQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("e"), col("event_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val rest = col("h").bitwiseAND(lit((1L << HllRestBits) - 1))
+    val rho = when(rest === 0, lit(HllRestBits + 1))
+      .otherwise(lit(HllRestBits + 1) - length(bin(rest)))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), h.as("h"))
+      .select(col("event_type"), shiftright(col("h"), HllRestBits).as("bucket"),
+        rho.cast("int").as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("buckets_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRestBits + 1} - reg)"))
+          .cast("long").as("s_hit"))
+      .select(col("event_type"), col("buckets_hit"),
+        (col("s_hit") + (lit(HllM.toLong) - col("buckets_hit"))
+          * lit(1L << (HllRestBits + 1))).as("s_int"))
+      .select(col("event_type"), col("buckets_hit"), col("s_int"),
+        (lit(HllNumer) / col("s_int").cast("double")).as("est_hll"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllDistinctOracle: String = {
+    val div = 1L << HllRestBits
+    val full = 1L << (HllRestBits + 1)
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    CAST(concat('0x', substr(md5('e' || event_id), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h // ${div} AS bucket,
+       |    CASE WHEN h % ${div} = 0 THEN ${HllRestBits + 1}
+       |         ELSE ${HllRestBits + 1} - length(bin(h % ${div})) END AS rho
+       |  FROM h),
+       |regs AS (
+       |  SELECT event_type, bucket, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+       |s AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (${HllRestBits + 1} - reg)) AS BIGINT)
+       |      + (${HllM} - COUNT(*)) * ${full} AS s_int
+       |  FROM regs GROUP BY 1)
+       |SELECT event_type, buckets_hit, CAST(s_int AS BIGINT) AS s_int,
+       |  ${HllNumer} / CAST(s_int AS DOUBLE) AS est_hll
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
+  /** Outlier threshold in standard deviations. */
+  val OutlierSigma = 3.0
+  /** Value quantum for the moment sums (1e-6 of a unit). */
+  private val OutQ = 1e6
+
+  /** `q_outliers`: per-group z-score anomaly detection — flag events whose
+    * value sits more than OutlierSigma standard deviations from the
+    * group mean; the data-quality gate a curation pipeline runs to catch
+    * corrupted metrics / label noise before training extraction.
+    *
+    * The classic two-pass algorithm: pass 1 folds each group to exact
+    * moment sums (n, Σx, Σx²), pass 2 re-scans with the 5-row stats table
+    * broadcast back — both passes are narrow + one two-phase aggregate, no
+    * window anywhere, so group count and group size are both unbounded.
+    *
+    * Cross-engine exactness: values are quantized to integers
+    * (floor(v·1e6+0.5)) so Σx and Σx² are DECIMAL/HUGEINT sums — exact and
+    * order-independent where a double sum would drift per partition split.
+    * Mean/variance/z then come from ONE pinned sequence of IEEE double ops
+    * on those exact integers (single-rounded each, identical both
+    * engines), and the σ-threshold compare runs on bit-identical doubles,
+    * so even boundary rows agree. Variance uses the E[x²]−E[x]² form —
+    * numerically fine here because x is a bounded metric, and it keeps the
+    * one-aggregate shape (Welford/shifted-data variants trade this for
+    * stream stability a batch engine doesn't need). */
+  def outliersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = floor(col("value") * lit(OutQ) + lit(0.5))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), qv.as("qv"))
+    val stats = events.groupBy(col("event_type"))
+      .agg(Num.countStar.as("n"),
+        sum(col("qv")).as("s1"),
+        sum(col("qv") * col("qv")).as("s2"))
+      .select(col("event_type"),
+        ((col("s1").cast("double") / col("n").cast("double")) / lit(OutQ))
+          .as("mean"),
+        sqrt((col("s2").cast("double") / col("n").cast("double"))
+          / lit(OutQ * OutQ)
+          - ((col("s1").cast("double") / col("n").cast("double")) / lit(OutQ))
+            * ((col("s1").cast("double") / col("n").cast("double")) / lit(OutQ)))
+          .as("sd"))
+    val x = col("qv").cast("double") / lit(OutQ)
+    events.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(x - col("mean")) > lit(OutlierSigma) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("qv").cast("long").as("qv"),
+        ((x - col("mean")) / col("sd")).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val outliersOracle: String =
+    s"""WITH q AS (
+       |  SELECT event_id, event_type,
+       |    CAST(FLOOR(value * ${OutQ} + 0.5) AS HUGEINT) AS qv
+       |  FROM events),
+       |st AS (
+       |  SELECT event_type,
+       |    (CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / ${OutQ}
+       |      AS mean,
+       |    sqrt((CAST(SUM(qv * qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+       |        / ${OutQ * OutQ}
+       |      - ((CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / ${OutQ})
+       |        * ((CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / ${OutQ}))
+       |      AS sd
+       |  FROM q GROUP BY 1)
+       |SELECT q.event_id, q.event_type, CAST(q.qv AS BIGINT) AS qv,
+       |  (CAST(q.qv AS DOUBLE) / ${OutQ} - st.mean) / st.sd AS z
+       |FROM q JOIN st USING (event_type)
+       |WHERE abs(CAST(q.qv AS DOUBLE) / ${OutQ} - st.mean)
+       |      > ${OutlierSigma} * st.sd
+       |ORDER BY q.event_id""".stripMargin
+
   /** Tumbling-window width (6 h) — epoch-aligned on both engines. */
   val WindowHours = 6
 

@@ -45,4 +45,21 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out(0) === ((1L, "1970-01-01 00:00:00.000000", "1970-01-01 00:00:10.000000")))
     assert(out(1) === ((2L, "1970-01-01 00:16:40.000000", "1970-01-01 00:16:40.000000")))
   }
+
+  test("gap-fill: per-user calendar is hole-free and LOCF never null") {
+    val rows = Sessionize.gapFillQ(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getInt(2) == 0), "harness data should have gap days")
+    rows.groupBy(_.getLong(0)).foreach { case (_, days) =>
+      val ds = days.map(r => java.time.LocalDate.parse(r.getString(1))).sorted
+      // consecutive calendar days from first to last observation
+      assert(ds.last.toEpochDay - ds.head.toEpochDay + 1 === ds.length)
+      assert(ds.distinct.length === ds.length)
+    }
+    rows.foreach(r => assert(!r.isNullAt(3), s"LOCF null in $r"))
+    // first row per user is always an observed day (span starts there)
+    rows.groupBy(_.getLong(0)).foreach { case (_, days) =>
+      assert(days.minBy(_.getString(1)).getInt(2) === 1)
+    }
+  }
 }

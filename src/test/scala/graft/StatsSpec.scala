@@ -77,6 +77,45 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL estimate tracks exact distinct within the m=64 error band") {
+    val out = Stats.hllDistinctQ(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    val exactByType = graft.engine.Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val exact = exactByType(r.getString(0)).toDouble
+      val est = r.getDouble(3)
+      // sigma = 1.04/sqrt(64) = 13%; allow 4 sigma
+      assert(est > exact * 0.48 && est < exact * 1.52,
+        s"HLL estimate $est outside error band of exact $exact")
+      // registers are a 64-cell array at any cardinality
+      assert(r.getLong(1) <= Stats.HllM)
+    }
+  }
+
+  test("outliers: every flagged row is > 3 sd from its group mean (exact check)") {
+    val sf = "/root/testdata/sf0.01"
+    val flagged = Stats.outliersQ(spark, sf).collect()
+    assert(flagged.nonEmpty, "harness data should contain 3-sigma outliers")
+    // recompute naive per-type mean/sd on the driver from the same quantization
+    val rows = graft.engine.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1) * 1e6 + 0.5) / 1e6)
+    val byType = rows.groupBy(_._1).map { case (t, vs) =>
+      val xs = vs.map(_._2)
+      val m = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => x * x).sum / xs.length - m * m)
+      t -> (m, sd)
+    }
+    flagged.foreach { r =>
+      val (m, sd) = byType(r.getString(1))
+      val x = r.getLong(2) / 1e6
+      assert(math.abs(x - m) > 2.9 * sd, s"row $r not an outlier (m=$m sd=$sd)")
+    }
+  }
+
   test("window analytics: gaps non-negative, quartiles balanced per type") {
     val rows = Stats.windowAnalyticsQ(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
