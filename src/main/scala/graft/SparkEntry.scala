@@ -102,6 +102,8 @@ object SparkEntry {
     "q_hll_distinct"        -> Stats.hllDistinctQ _,
     "q_gap_fill"            -> Sessionize.gapFillQ _,
     "q_outliers"            -> Stats.outliersQ _,
+    "q_bloom_join"          -> Joins.bloomJoinQ _,
+    "q_triangles"           -> Graph.trianglesQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -245,5 +247,7 @@ object SparkEntry {
     "q_hll_distinct"     -> Stats.hllDistinctOracle,
     "q_gap_fill"         -> Sessionize.gapFillOracle,
     "q_outliers"         -> Stats.outliersOracle,
+    "q_bloom_join"       -> Joins.bloomJoinOracle,
+    "q_triangles"        -> Graph.trianglesOracle,
   )
 }

@@ -114,4 +114,104 @@ object Graph {
        |SELECT node, r FROM r$PrIters
        |ORDER BY r DESC, node ASC LIMIT $PrTopK""".stripMargin
   }
+
+  /** Supplier panel: every 1/TriPanelMod-th supplier (keeps the
+    * co-occurrence subgraph dense enough for triangles at every SF while
+    * bounding wedge cost). */
+  val TriPanelMod = 3
+  /** Top-k nodes reported by triangle participation. */
+  val TriTopK = 20
+
+  /** `q_triangles`: exact triangle counting over the supplier
+    * co-occurrence graph (suppliers co-supplying an order, panel-sampled
+    * 1-in-TriPanelMod) — the clustering-structure primitive for community
+    * detection / graph curation, third graph operator beside X45's
+    * connected components and X53's PageRank.
+    *
+    * The scale algorithm is degree orientation: every undirected edge
+    * points from its lower-(degree, id) endpoint to the higher one, which
+    * makes the oriented out-degree O(√m) on ANY graph — so wedge
+    * generation (the only superlinear step, Σ C(outdeg⁺,2)) is bounded
+    * regardless of hub skew, and each triangle is found exactly once (its
+    * orientation-minimal corner). Dataflow: oriented edges self-join on
+    * the wedge apex (shuffle on node longs), then one equi-join probes the
+    * closing edge — hash joins end to end, no products, counts exact.
+    *
+    * Edge derivation is itself bounded: per-order supplier pairs fan out
+    * quadratically in lineitems-per-order, which TPC-H-shape caps at ~7
+    * (real pipelines cap the group or df-filter it like X15's postings). */
+  def trianglesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_suppkey") % TriPanelMod === 0)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+      .distinct()
+    // canonical undirected edge set (u < v) — feeds degree counting,
+    // orientation, AND the closing-edge probe, so it is materialized once
+    val edges = Materialize.diskBacked(
+      li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
+        .filter(col("a.s") < col("b.s"))
+        .select(col("a.s").as("u"), col("b.s").as("v"))
+        .distinct())
+    // orientation rank = (degree, id): lower endpoint -> higher endpoint
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val ranked = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = Materialize.diskBacked(ranked.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("dst")))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    // closing-edge probe: wedges carry b < c and the undirected edge set
+    // is canonical u < v, so closure is a pure EQUI semi-join (an OR-form
+    // "either direction" probe would degrade to a nested loop)
+    val tris = wedges.join(edges,
+      col("b") === col("u") && col("c") === col("v"), "left_semi")
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node").asc)
+      .limit(TriTopK)
+  }
+
+  val trianglesOracle: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+       |  WHERE l_suppkey % ${TriPanelMod} = 0),
+       |edges AS (
+       |  SELECT DISTINCT a.s AS u, b.s AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
+       |deg AS (
+       |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+       |  GROUP BY 1),
+       |oriented AS (
+       |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+       |              THEN e.u ELSE e.v END AS src,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+       |              THEN e.v ELSE e.u END AS dst
+       |  FROM edges e
+       |  JOIN deg du ON e.u = du.n
+       |  JOIN deg dv ON e.v = dv.n),
+       |wedges AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM oriented e1 JOIN oriented e2
+       |    ON e1.src = e2.src AND e1.dst < e2.dst),
+       |tris AS (
+       |  SELECT w.a, w.b, w.c FROM wedges w
+       |  WHERE EXISTS (SELECT 1 FROM edges o
+       |    WHERE o.u = w.b AND o.v = w.c))
+       |SELECT node, COUNT(*) AS n_tri FROM (
+       |  SELECT a AS node FROM tris
+       |  UNION ALL SELECT b FROM tris
+       |  UNION ALL SELECT c FROM tris)
+       |GROUP BY 1 ORDER BY n_tri DESC, node ASC LIMIT ${TriTopK}""".stripMargin
 }

@@ -426,4 +426,92 @@ object Joins {
       |    AS is_current
       |FROM chg
       |ORDER BY user_id, version""".stripMargin
+
+  /** Bloom bit-array size (2^16 bits) and hash count. */
+  val BloomBits = 1 << 16
+  val BloomK = 3
+  /** The dim-side predicate the filter summarizes. */
+  val BloomSegment = "BUILDING"
+
+  /** Position columns of the k Bloom hashes for a key column (portable
+    * 60-bit md5 hash per seed, mod m — nonneg, so % == pmod on both
+    * engines). */
+  private def bloomPos(key: org.apache.spark.sql.Column) =
+    (0 until BloomK).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"bf${i}_"), key)), 1, 15), 16, 10)
+        .cast("long"), lit(BloomBits.toLong)))
+
+  /** `q_bloom_join`: Bloom-filter join pruning — the runtime-filter
+    * technique that makes selective fact⋈dim joins survive 100 TB: the
+    * dim side's join keys fold into a fixed-size bit array, the fact scan
+    * drops rows that cannot match BEFORE the shuffle, and only the
+    * survivors (true matches + a measured trickle of false positives) pay
+    * join cost. Spark's own engine does this opaquely (AQE runtime bloom /
+    * DPP); this is the transparent twin with the same dataflow, and it
+    * EXPOSES the thing that matters operationally — the false-positive
+    * count per group — instead of hiding it.
+    *
+    * Shape: filter = distinct set positions of the dim keys (k·|dim| ints,
+    * broadcast — the ≤8 KiB bitmask stand-in); probe rows explode to k
+    * position rows (narrow), broadcast-semi-join against the filter, and a
+    * count==k aggregate on the probe key keeps rows whose every position
+    * hit. The verify join against the real dim then runs on the pruned
+    * candidates only. All positions are exact integers → the pass/fail
+    * decision (and thus even which false positives survive) hash-gates
+    * cross-engine. */
+  def bloomJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dimKeys = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === BloomSegment)
+      .select(col("c_custkey"))
+    val filterBits = dimKeys
+      .select(explode(array(bloomPos(col("c_custkey")): _*)).as("pos"))
+      .distinct()
+    val probe = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val candidates = probe
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        explode(array(bloomPos(col("o_custkey")): _*)).as("pos"))
+      .join(broadcast(filterBits), Seq("pos"), "left_semi")
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomK)
+    val verified = candidates
+      .join(broadcast(dimKeys.withColumnRenamed("c_custkey", "o_custkey")),
+        Seq("o_custkey"), "left_semi")
+    candidates.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_candidates"))
+      .join(verified.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_actual")),
+        Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("n_candidates"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        (col("n_candidates") - coalesce(col("n_actual"), lit(0L)))
+          .as("n_false_pos"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bloomJoinOracle: String = {
+    def posSql(seed: Int, key: String) =
+      s"CAST(concat('0x', substr(md5('bf${seed}_' || $key), 1, 15)) AS BIGINT) % ${BloomBits}"
+    val dimPos = (0 until BloomK)
+      .map(i => s"SELECT ${posSql(i, "c_custkey")} AS pos FROM dim")
+      .mkString("\n  UNION\n  ")
+    val probeChecks = (0 until BloomK)
+      .map(i => s"${posSql(i, "o_custkey")} IN (SELECT pos FROM bits)")
+      .mkString("\n    AND ")
+    s"""WITH dim AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = '${BloomSegment}'),
+       |bits AS (
+       |  ${dimPos}),
+       |cand AS (
+       |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+       |  WHERE ${probeChecks})
+       |SELECT o_orderpriority,
+       |  COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM dim)
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+       |  COUNT(*) - CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM dim)
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |FROM cand GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+  }
 }

@@ -240,6 +240,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_bloom_join prunes via broadcast semi-joins, never a product") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("LeftSemi"), "filter membership should be a semi-join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe degraded to a product join:\n$p")
+  }
+
+  test("q_triangles closes wedges with equi hash joins (no OR-join product)") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle closure degraded to a product join:\n$p")
+  }
+
   test("no forced broadcast of the scale-proportional customer dim") {
     // nation (25 rows) may broadcast; the plan must not *hint* customer.
     // We assert on the analyzed plan: no ResolvedHint wrapping customer.
