@@ -48,12 +48,19 @@ object Graph {
     val edges = Materialize.diskBacked(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))))
-    val deg = edges.groupBy(col("src")).agg(Num.countStar.as("outdeg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // deg and nodes feed EVERY round, so they are materialized once; the
+    // rounds themselves stay LAZY — ranks is consumed exactly once per
+    // round (fixed iteration count, no convergence probe), so the whole
+    // 3-round propagation is one linear plan executed as one job, with no
+    // per-round action barrier / disk round-trip (that barrier is what CC
+    // pays for its fixpoint check; a truncated power method doesn't need it)
+    val deg = Materialize.diskBacked(
+      edges.groupBy(col("src")).agg(Num.countStar.as("outdeg")))
+    val nodes = Materialize.diskBacked(
+      edges.select(col("src")).distinct().select(col("src").as("node")))
     val nRow = nodes.agg(Num.countStar.cast("double").as("n"))
-    var ranks = Materialize.diskBacked(
-      nodes.crossJoin(broadcast(nRow))
-        .select(col("node"), (lit(1.0) / col("n")).as("r")))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -62,19 +69,15 @@ object Graph {
           floor(col("r") / col("outdeg") * lit(1e12) + lit(0.5))
             .cast(DecimalType(28, 0)).as("qc"))
         .groupBy(col("node")).agg(sum(col("qc")).as("qsum"))
-      val prev = ranks
-      ranks = Materialize.diskBacked(
-        nodes.join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(nRow))
-          .select(col("node"),
-            (lit(0.15) / col("n") + lit(0.85) *
-              (coalesce(col("qsum").cast("double"), lit(0.0)) / lit(1e12)))
-              .as("r")))
-      prev.unpersist()
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("node"),
+          (lit(0.15) / col("n") + lit(0.85) *
+            (coalesce(col("qsum").cast("double"), lit(0.0)) / lit(1e12)))
+            .as("r"))
     }
-    val out = ranks.orderBy(col("r").desc, col("node").asc).limit(PrTopK)
+    ranks.orderBy(col("r").desc, col("node").asc).limit(PrTopK)
       .select(col("node"), col("r"))
-    out
   }
 
   val pagerankOracle: String = {
