@@ -104,6 +104,7 @@ object SparkEntry {
     "q_outliers"            -> Stats.outliersQ _,
     "q_bloom_join"          -> Joins.bloomJoinQ _,
     "q_triangles"           -> Graph.trianglesQ _,
+    "q_dedup_incremental"   -> Dedup.dedupIncrementalQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -249,5 +250,6 @@ object SparkEntry {
     "q_outliers"         -> Stats.outliersOracle,
     "q_bloom_join"       -> Joins.bloomJoinOracle,
     "q_triangles"        -> Graph.trianglesOracle,
+    "q_dedup_incremental" -> Dedup.dedupIncrementalOracle,
   )
 }

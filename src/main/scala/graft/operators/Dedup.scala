@@ -184,6 +184,80 @@ object Dedup {
        |WHERE jaccard >= ${JaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Deterministic batch membership: every 1-in-IncrBatchMod doc plays the
+    * "newly arrived" batch; the rest are the historical corpus. */
+  val IncrBatchMod = 5
+
+  /** `q_dedup_incremental`: near-dup dedup of an INCOMING BATCH against the
+    * historical corpus — the production shape of X2: a daily ingest must
+    * not re-pair history against itself (that quadratic work was already
+    * paid), it only asks "is each new doc a near-dup of anything we
+    * already hold?".
+    *
+    * Shape: one shared signature pass (shingle → minhash → bands, longs
+    * only), then candidates come from history-bands ⋈ batch-bands on
+    * (band, key) — the join output is bounded by the BATCH's bucket
+    * collisions, not the corpus pair count, and at 100 TB the history
+    * band index is the precomputed artifact a real pipeline keeps
+    * partitioned on key while only the (small) batch side is fresh work.
+    * Exact-Jaccard verify runs on the candidates only; each batch doc then
+    * keeps its best match (max jaccard, min history id — a window over
+    * candidate matches, batch-sized input) as the drop-decision evidence. */
+  def dedupIncrementalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = MinhashPrime
+    val sh = materialize(shingled(Tables.documents(spark, sfDir))
+      .withColumn("hs", transform(col("sg"), s => s % p)))
+    val minhashes: Seq[Column] = Perms.map { case (a, b) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % p))
+    }
+    val bandKeys: Column = array((0 until Bands).map { j =>
+      concat_ws("_", minhashes(2 * j), minhashes(2 * j + 1))
+    }: _*)
+    val bands = sh.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    val isBatch = col("doc_id") % IncrBatchMod === 0
+    val cand = bands.filter(!isBatch).as("h")
+      .join(bands.filter(isBatch).as("n"),
+        col("h.band") === col("n.band") && col("h.key") === col("n.key"))
+      .select(col("n.doc_id").as("batch_doc"), col("h.doc_id").as("match_doc"))
+      .distinct()
+    val x = sh.select(col("doc_id").as("batch_doc"), col("sg").as("sg_n"))
+    val y = sh.select(col("doc_id").as("match_doc"), col("sg").as("sg_h"))
+    val best = Window.partitionBy(col("batch_doc"))
+      .orderBy(col("jaccard").desc, col("match_doc").asc)
+    cand.join(x, Seq("batch_doc")).join(y, Seq("match_doc"))
+      .select(col("batch_doc"), col("match_doc"),
+        (size(array_intersect(col("sg_n"), col("sg_h"))).cast("double") /
+          size(array_union(col("sg_n"), col("sg_h")))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("batch_doc"))
+  }
+
+  val dedupIncrementalOracle: String =
+    s"""WITH $minhashCteSql,
+       |xcand AS (
+       |  SELECT DISTINCT n.doc_id AS batch_doc, h.doc_id AS match_doc
+       |  FROM bands h JOIN bands n
+       |    ON h.band = n.band AND h.key = n.key
+       |  WHERE h.doc_id % ${IncrBatchMod} <> 0
+       |    AND n.doc_id % ${IncrBatchMod} = 0),
+       |xver AS (
+       |  SELECT batch_doc, match_doc,
+       |    CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.sg, y.sg))) AS jaccard
+       |  FROM xcand
+       |  JOIN sigs x ON x.doc_id = batch_doc
+       |  JOIN sigs y ON y.doc_id = match_doc)
+       |SELECT batch_doc, match_doc, jaccard FROM (
+       |  SELECT batch_doc, match_doc, jaccard,
+       |    ROW_NUMBER() OVER (PARTITION BY batch_doc
+       |      ORDER BY jaccard DESC, match_doc ASC) AS rn
+       |  FROM xver WHERE jaccard >= ${JaccardThreshold})
+       |WHERE rn = 1
+       |ORDER BY batch_doc""".stripMargin
+
   /** `q_dedup_clusters`: the CANONICALIZATION step the pair detectors feed —
     * connected components over the verified MinHash near-dup pairs, mapping
     * every clustered document to its component's minimum doc_id (the kept

@@ -27,7 +27,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup candidate generation is never a cartesian/all-pairs join") {
-    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_embedding")) {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_embedding",
+        "q_dedup_incremental")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plan contains a cartesian product")
