@@ -105,6 +105,9 @@ object SparkEntry {
     "q_bloom_join"          -> Joins.bloomJoinQ _,
     "q_triangles"           -> Graph.trianglesQ _,
     "q_dedup_incremental"   -> Dedup.dedupIncrementalQ _,
+    "q_hll_merge"           -> Stats.hllMergeQ _,
+    "q_streaming_join"      -> graft.streaming.Incremental.streamingJoinQ _,
+    "q_skew_profile"        -> Stats.skewProfileQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -251,5 +254,8 @@ object SparkEntry {
     "q_bloom_join"       -> Joins.bloomJoinOracle,
     "q_triangles"        -> Graph.trianglesOracle,
     "q_dedup_incremental" -> Dedup.dedupIncrementalOracle,
+    "q_hll_merge"        -> Stats.hllMergeOracle,
+    "q_streaming_join"   -> graft.streaming.Incremental.streamingJoinOracle,
+    "q_skew_profile"     -> Stats.skewProfileOracle,
   )
 }

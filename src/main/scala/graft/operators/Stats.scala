@@ -244,6 +244,119 @@ object Stats {
        |FROM s ORDER BY event_type""".stripMargin
   }
 
+  /** `q_hll_merge`: HLL MERGEABILITY — the property that makes sketches
+    * the scale answer: registers merge by per-bucket max, so the global
+    * sketch is computed FROM the per-group sketches (≤64 rows each), never
+    * by re-scanning the data. This is exactly how a 1000-executor cluster
+    * assembles one cardinality from per-partition sketches, and how a
+    * dashboard rolls daily sketches into monthly ones without touching the
+    * corpus again. Output = every per-type row of X56 plus an `__all__`
+    * row whose registers are max-merged from the type rows; the merged
+    * estimate is ALGEBRAICALLY identical to sketching the union directly
+    * (max is associative/commutative — StatsSpec asserts it). */
+  def hllMergeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("e"), col("event_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val rest = col("h").bitwiseAND(lit((1L << HllRestBits) - 1))
+    val rho = when(rest === 0, lit(HllRestBits + 1))
+      .otherwise(lit(HllRestBits + 1) - length(bin(rest)))
+    val regs = Tables.events(spark, sfDir)
+      .select(col("event_type"), h.as("h"))
+      .select(col("event_type"), shiftright(col("h"), HllRestBits).as("bucket"),
+        rho.cast("int").as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    // the merge: per-group registers fold again by max — data never rescanned
+    val merged = regs.groupBy(col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .select(lit("__all__").as("event_type"), col("bucket"), col("reg"))
+    def estimate(r: DataFrame): DataFrame = r
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("buckets_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRestBits + 1} - reg)"))
+          .cast("long").as("s_hit"))
+      .select(col("event_type"), col("buckets_hit"),
+        (col("s_hit") + (lit(HllM.toLong) - col("buckets_hit"))
+          * lit(1L << (HllRestBits + 1))).as("s_int"))
+      .select(col("event_type"), col("buckets_hit"), col("s_int"),
+        (lit(HllNumer) / col("s_int").cast("double")).as("est_hll"))
+    estimate(regs.unionByName(merged)).orderBy(col("event_type"))
+  }
+
+  val hllMergeOracle: String = {
+    val div = 1L << HllRestBits
+    val full = 1L << (HllRestBits + 1)
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    CAST(concat('0x', substr(md5('e' || event_id), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h // ${div} AS bucket,
+       |    CASE WHEN h % ${div} = 0 THEN ${HllRestBits + 1}
+       |         ELSE ${HllRestBits + 1} - length(bin(h % ${div})) END AS rho
+       |  FROM h),
+       |regs AS (
+       |  SELECT event_type, bucket, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+       |allregs AS (
+       |  SELECT event_type, bucket, reg FROM regs
+       |  UNION ALL
+       |  SELECT '__all__' AS event_type, bucket, MAX(reg) AS reg
+       |  FROM regs GROUP BY 2),
+       |s AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (${HllRestBits + 1} - reg)) AS BIGINT)
+       |      + (${HllM} - COUNT(*)) * ${full} AS s_int
+       |  FROM allregs GROUP BY 1)
+       |SELECT event_type, buckets_hit, CAST(s_int AS BIGINT) AS s_int,
+       |  ${HllNumer} / CAST(s_int AS DOUBLE) AS est_hll
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
+  /** `q_skew_profile`: join-key skew diagnostics — the pre-flight check
+    * that decides salting / broadcast / AQE-skew-join strategy BEFORE a
+    * 100-TB shuffle burns a day: for each candidate join key, the key
+    * count, the heaviest key's row count, and the skew ratio
+    * (max·keys/rows — 1.0 means perfectly uniform). Each profile is one
+    * two-phase count aggregate over (key) followed by a 1-row rollup —
+    * the same pass AQE's runtime stats do opaquely, surfaced as a table
+    * (and exactly the evidence behind this repo's own salted variants,
+    * W1's `q_dedup_latest_salted` and A1's `q_agg_salted`). */
+  def skewProfileQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(label: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(Num.countStar.as("cnt"))
+        .agg(sum(col("cnt")).cast("long").as("n_rows"),
+          Num.countStar.as("n_keys"),
+          max(col("cnt")).as("max_per_key"))
+        .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_per_key"),
+          (col("max_per_key").cast("double") * col("n_keys").cast("double")
+            / col("n_rows").cast("double")).as("skew_ratio"))
+    profile("events.user_id", Tables.events(spark, sfDir), "user_id")
+      .unionByName(profile("lineitem.l_partkey",
+        Tables.lineitem(spark, sfDir), "l_partkey"))
+      .unionByName(profile("lineitem.l_suppkey",
+        Tables.lineitem(spark, sfDir), "l_suppkey"))
+      .unionByName(profile("orders.o_custkey",
+        Tables.orders(spark, sfDir), "o_custkey"))
+      .orderBy(col("key_col"))
+  }
+
+  val skewProfileOracle: String = {
+    def one(label: String, table: String, key: String) =
+      s"""SELECT '$label' AS key_col,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+         |  CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+         |    / CAST(SUM(cnt) AS DOUBLE) AS skew_ratio
+         |FROM (SELECT $key, COUNT(*) AS cnt FROM $table GROUP BY 1)""".stripMargin
+    Seq(one("events.user_id", "events", "user_id"),
+      one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      one("orders.o_custkey", "orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
   /** Outlier threshold in standard deviations. */
   val OutlierSigma = 3.0
   /** Value quantum for the moment sums (1e-6 of a unit). */

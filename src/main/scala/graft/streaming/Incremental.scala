@@ -217,6 +217,70 @@ object Incremental {
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Attribution horizon for the stream-stream join (µs). */
+  val JoinHorizonMicros: Long = 2L * 3600 * 1000000
+
+  /** `q_streaming_join`: oracle-gated STREAM-STREAM inner join — the fourth
+    * streaming entry behind the DuckDB hash gate, covering the last major
+    * streaming capability (joins). The classic attribution shape: each
+    * `purchase` event matches the same user's `view` events from the
+    * preceding JoinHorizonMicros — an equi-join on user_id plus an
+    * event-time range condition, with watermarks on BOTH sides so the join
+    * state (buffered unmatched rows) is evicted once the other side's
+    * watermark passes the horizon. That bounded buffer is the whole point
+    * at scale: an unbounded stream join without the time constraint would
+    * hold both streams forever; with it, state is one horizon's worth of
+    * rows per side, partitioned by key.
+    *
+    * Inner-join append output emits each matched pair exactly once, so the
+    * drained sink holds precisely the batch range-join's row set —
+    * micro-batch boundaries can delay but never change matches — making
+    * the batch SQL (same µs arithmetic) the exact oracle. */
+  def streamingJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    def src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + sqlExpr(
+          s"interval ${JoinHorizonMicros / 1000000} seconds"))
+    val sinkName = "graft_stream_join_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  val streamingJoinOracle: String =
+    s"""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+       |FROM events v JOIN events p
+       |  ON v.user_id = p.user_id
+       | AND v.event_type = 'view' AND p.event_type = 'purchase'
+       | AND epoch_us(p.ts) >= epoch_us(v.ts)
+       | AND epoch_us(p.ts) <= epoch_us(v.ts) + ${JoinHorizonMicros}
+       |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
+
   /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
     * a running per-user event counter that survives across micro-batches —
     * the building block the reference's "dedup across days" would use in a

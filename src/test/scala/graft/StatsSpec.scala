@@ -95,6 +95,34 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL merged __all__ row equals sketching the ungrouped union directly") {
+    val sf = "/root/testdata/sf0.001"
+    val allRow = Stats.hllMergeQ(spark, sf)
+      .filter(col("event_type") === "__all__").collect().head
+    // sketch the whole table as ONE group by collapsing the type first
+    val union = graft.engine.Tables.events(spark, sf)
+      .withColumn("event_type", lit("__all__"))
+    val viaOneGroup = {
+      val h = conv(substring(md5(concat(lit("e"), col("event_id"))), 1, 15), 16, 10)
+        .cast("long")
+      val rest = col("h").bitwiseAND(lit((1L << 54) - 1))
+      val rho = when(rest === 0, lit(55)).otherwise(lit(55) - length(bin(rest)))
+      union.select(col("event_type"), h.as("h"))
+        .select(col("event_type"), shiftright(col("h"), 54).as("bucket"),
+          rho.cast("int").as("rho"))
+        .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("reg"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("buckets_hit"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - reg)")).cast("long").as("s_hit"))
+        .select(col("buckets_hit"),
+          (col("s_hit") + (lit(64L) - col("buckets_hit")) * lit(1L << 55)).as("s_int"))
+        .collect().head
+    }
+    assert(allRow.getLong(1) === viaOneGroup.getLong(0), "buckets_hit differ")
+    assert(allRow.getLong(2) === viaOneGroup.getLong(1),
+      "merged register sum != direct union sketch — merge identity broken")
+  }
+
   test("outliers: every flagged row is > 3 sd from its group mean (exact check)") {
     val sf = "/root/testdata/sf0.01"
     val flagged = Stats.outliersQ(spark, sf).collect()
