@@ -85,10 +85,11 @@ object Bench {
       }.sorted
       name -> ts(1)
     }
-    // Short values keep the final line inside the driver's 2000-char output
-    // tail even with 70+ queries; the medians ride a separate earlier line
-    // (the tail cuts line STARTS, never the final line, so the main JSON is
-    // safe and the medians line survives unless the tail is already full).
+    // The driver captures only the LAST 2000 chars of output, and at ~90
+    // queries the per-query map alone approaches that. Key order makes the
+    // line truncation-proof: the map comes FIRST and the scalar fields
+    // (value/unit/sf/n_queries) LAST, so if the tail ever cuts the line it
+    // eats map entries at the head, never the total.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
@@ -97,7 +98,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"slowest5_median","unit":"sec","queries":$meds}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"value":${f3(total)},"unit":"sec"}""")
     spark.stop()
   }
 }
