@@ -148,13 +148,21 @@ object Graph {
       .filter(col("l_suppkey") % TriPanelMod === 0)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
       .distinct()
+    val raw = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
+      .filter(col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+    triangleCounts(raw)
+      .orderBy(col("n_tri").desc, col("node").asc)
+      .limit(TriTopK)
+  }
+
+  /** Core: per-node triangle participation counts over a canonical
+    * (u < v) undirected edge frame. Unit-tested on known graphs. */
+  def triangleCounts(rawEdges: DataFrame): DataFrame = {
     // canonical undirected edge set (u < v) — feeds degree counting,
     // orientation, AND the closing-edge probe, so it is materialized once
-    val edges = Materialize.diskBacked(
-      li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
-        .filter(col("a.s") < col("b.s"))
-        .select(col("a.s").as("u"), col("b.s").as("v"))
-        .distinct())
+    val edges = Materialize.diskBacked(rawEdges)
     // orientation rank = (degree, id): lower endpoint -> higher endpoint
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -181,8 +189,6 @@ object Graph {
     tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("node").asc)
-      .limit(TriTopK)
   }
 
   val trianglesOracle: String =

@@ -80,6 +80,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: matches cross the split, one best match per batch doc") {
+    val out = graft.operators.Dedup
+      .dedupIncrementalQ(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % graft.operators.Dedup.IncrBatchMod === 0,
+        s"batch doc ${r.getLong(0)} not in the batch split")
+      assert(r.getLong(1) % graft.operators.Dedup.IncrBatchMod !== 0,
+        s"match doc ${r.getLong(1)} not in history")
+      assert(r.getDouble(2) >= graft.operators.Dedup.JaccardThreshold)
+    }
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length, "a batch doc matched twice")
+  }
+
   test("ngram df-cap drops stop-shingles: universally shared text can't pair") {
     // one shingle shared by MORE than DfCap docs is a stop-shingle; docs
     // sharing ONLY it generate no candidates

