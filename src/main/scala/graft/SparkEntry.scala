@@ -108,6 +108,8 @@ object SparkEntry {
     "q_hll_merge"           -> Stats.hllMergeQ _,
     "q_streaming_join"      -> graft.streaming.Incremental.streamingJoinQ _,
     "q_skew_profile"        -> Stats.skewProfileQ _,
+    "q_basket_pairs"        -> Aggregates.basketPairsQ _,
+    "q_vocab_encode"        -> TextAnalysis.vocabEncodeQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -257,5 +259,7 @@ object SparkEntry {
     "q_hll_merge"        -> Stats.hllMergeOracle,
     "q_streaming_join"   -> graft.streaming.Incremental.streamingJoinOracle,
     "q_skew_profile"     -> Stats.skewProfileOracle,
+    "q_basket_pairs"     -> Aggregates.basketPairsOracle,
+    "q_vocab_encode"     -> TextAnalysis.vocabEncodeOracle,
   )
 }

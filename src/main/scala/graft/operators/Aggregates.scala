@@ -223,4 +223,66 @@ object Aggregates {
        | $cols
        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   }
+
+  /** Top pair count reported by the basket miner. */
+  val BasketTopK = 25
+
+  /** `q_basket_pairs`: market-basket pair mining (the Apriori 2-itemset
+    * step) with lift — which brand pairs co-occur in an order more than
+    * their independent popularity predicts. The association-rule primitive
+    * a recommendation / curation pipeline runs over transaction logs.
+    *
+    * Scale shape: the transaction frame folds to distinct (order, brand)
+    * FIRST (brand is a bounded domain, so per-order fan-out is capped at
+    * the domain size like X60's per-order supplier pairs), the pair
+    * self-join is an equi-join on the order key, and the support aggregate
+    * is two-phase over a domain-bounded (brand, brand) key space. Brand
+    * marginals and the order count broadcast back as 1-row/25-row frames.
+    * Lift is one pinned IEEE expression over exact counts, so ranking and
+    * ties hash-gate cross-engine. */
+  def basketPairsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ob = graft.engine.Materialize.diskBacked(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p_partkey"))
+        .join(Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand")), Seq("p_partkey"))
+        .select(col("ok"), col("p_brand").as("b"))
+        .distinct())
+    val nOrders = ob.select(col("ok")).distinct()
+      .agg(Num.countStar.as("n_orders"))
+    val brandCnt = ob.groupBy(col("b")).agg(Num.countStar.as("cnt"))
+    ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
+      .agg(Num.countStar.as("support"))
+      .join(broadcast(brandCnt
+        .select(col("b").as("brand_a"), col("cnt").as("ca"))), Seq("brand_a"))
+      .join(broadcast(brandCnt
+        .select(col("b").as("brand_b"), col("cnt").as("cb"))), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        ((col("support").cast("double") * col("n_orders").cast("double"))
+          / (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
+      .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
+      .limit(BasketTopK)
+  }
+
+  val basketPairsOracle: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+       |bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM ob GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.b AS brand_a, y.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+       |  GROUP BY 1, 2)
+       |SELECT brand_a, brand_b, support,
+       |  (CAST(support AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+       |    / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) AS lift
+       |FROM pairs
+       |JOIN bc ca ON ca.b = brand_a
+       |JOIN bc cb ON cb.b = brand_b, n
+       |ORDER BY support DESC, brand_a, brand_b
+       |LIMIT ${BasketTopK}""".stripMargin
 }

@@ -524,4 +524,60 @@ object TextAnalysis {
        |WHERE rnk <= ${Bm25TopDocs}
        |ORDER BY term, rnk""".stripMargin
   }
+
+  /** Kept vocabulary size; id 1 is reserved for OOV, word ids start at 2. */
+  val VocabSize = 24
+
+  /** `q_vocab_encode`: corpus-frequency vocabulary + id encoding — the
+    * actual tokenize-to-ids step of training-data prep: build the top-K
+    * vocabulary from the corpus (frequency-ranked, lexicographic
+    * tie-break), then map every document to its id sequence with unknowns
+    * collapsed to the OOV id.
+    *
+    * Scale shape: the vocabulary aggregate is two-phase over the WORD
+    * domain (bounded by the language, not the corpus), and its ranking
+    * window runs on that domain-bounded frame — the one single-partition
+    * window in the repo, legal because its input can't exceed |vocabulary|
+    * (a real 50k-token vocab is still one executor's work). Encoding is
+    * then fully narrow: the vocab ships as ONE broadcast map row and each
+    * document transforms in place — order preserved by construction
+    * (transform, not explode/reassemble), no shuffle touches a document.
+    * Ids ride as a space-joined string (id sequences hash-gate as text;
+    * cross-engine array hashing does not). */
+  def vocabEncodeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words.as("ws"))
+    val vocab = docs.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(Num.countStar.as("cnt"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)) + 1)
+      .filter(col("id") <= VocabSize + 1)
+    val vmap = vocab
+      .agg(map_from_entries(collect_list(struct(col("w"), col("id"))))
+        .as("vmap"))
+    docs.crossJoin(broadcast(vmap))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        concat_ws(" ", transform(col("ws"),
+          w => coalesce(element_at(col("vmap"), w), lit(1)).cast("string")))
+          .as("input_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabEncodeOracle: String =
+    s"""WITH dw AS (
+       |  SELECT doc_id, $wordsSql AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM dw),
+       |vocab AS (
+       |  SELECT w AS word,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) + 1 AS id
+       |  FROM (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1)
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) <= ${VocabSize}),
+       |m AS (SELECT map(list(word ORDER BY id), list(id ORDER BY id)) AS vmap
+       |      FROM vocab)
+       |SELECT doc_id, len(ws) AS n_tokens,
+       |  array_to_string(list_transform(ws,
+       |    w -> CAST(coalesce(map_extract(vmap, w)[1], 1) AS VARCHAR)), ' ')
+       |    AS input_ids
+       |FROM dw, m ORDER BY doc_id""".stripMargin
 }
