@@ -110,6 +110,7 @@ object SparkEntry {
     "q_skew_profile"        -> Stats.skewProfileQ _,
     "q_basket_pairs"        -> Aggregates.basketPairsQ _,
     "q_vocab_encode"        -> TextAnalysis.vocabEncodeQ _,
+    "q_join_card_est"       -> Stats.joinCardEstQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -261,5 +262,6 @@ object SparkEntry {
     "q_skew_profile"     -> Stats.skewProfileOracle,
     "q_basket_pairs"     -> Aggregates.basketPairsOracle,
     "q_vocab_encode"     -> TextAnalysis.vocabEncodeOracle,
+    "q_join_card_est"    -> Stats.joinCardEstOracle,
   )
 }

@@ -312,6 +312,95 @@ object Stats {
        |FROM s ORDER BY event_type""".stripMargin
   }
 
+  /** `q_join_card_est`: pre-join cardinality estimation from HLL sketches —
+    * the planner-side use of X56/X62's mergeability: before paying for a
+    * 100-TB shuffle, estimate how many join keys the two sides SHARE using
+    * only their 64-register sketches and inclusion–exclusion
+    * (|A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    * per-bucket register max — no row of either side crosses the network).
+    * Both sides hash the key with the SAME seed, so shared keys land on
+    * identical (bucket, rho) cells by construction. Output is sketch-side
+    * only (registers + 3 estimates + their difference); the exact-overlap
+    * calibration lives in StatsSpec, not here — an exact rider would cost
+    * the join this operator exists to avoid (the X23 lesson). */
+  def joinCardEstQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def regs(df: DataFrame, key: String, side: String): DataFrame = {
+      val h = conv(substring(md5(concat(lit("k"), col(key))), 1, 15), 16, 10)
+        .cast("long")
+      val rest = col("h").bitwiseAND(lit((1L << HllRestBits) - 1))
+      val rho = when(rest === 0, lit(HllRestBits + 1))
+        .otherwise(lit(HllRestBits + 1) - length(bin(rest)))
+      df.select(h.as("h"))
+        .select(shiftright(col("h"), HllRestBits).as("bucket"),
+          rho.cast("int").as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+        .select(lit(side).as("side"), col("bucket"), col("reg"))
+    }
+    // each side's 64-row register table feeds both the union sketch and
+    // the estimate union — materialized so the source tables scan ONCE
+    val a = graft.engine.Materialize.diskBacked(
+      regs(Tables.orders(spark, sfDir), "o_custkey", "a"))
+    // one segment's customers: a genuinely partial overlap with the fact
+    // side (the every-key-matches case would make all four estimates equal)
+    val b = graft.engine.Materialize.diskBacked(
+      regs(Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === Joins.BloomSegment), "c_custkey", "b"))
+    val u = a.unionByName(b).groupBy(col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .select(lit("u").as("side"), col("bucket"), col("reg"))
+    val ests = a.unionByName(b).unionByName(u)
+      .groupBy(col("side"))
+      .agg(Num.countStar.as("buckets_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRestBits + 1} - reg)"))
+          .cast("long").as("s_hit"))
+      .select(col("side"),
+        (lit(HllNumer) / (col("s_hit")
+          + (lit(HllM.toLong) - col("buckets_hit"))
+            * lit(1L << (HllRestBits + 1))).cast("double")).as("est"))
+    ests.groupBy()
+      .pivot("side", Seq("a", "b", "u")).agg(first(col("est")))
+      .select(col("a").as("est_keys_a"), col("b").as("est_keys_b"),
+        col("u").as("est_union"),
+        (col("a") + col("b") - col("u")).as("est_intersect"))
+  }
+
+  val joinCardEstOracle: String = {
+    val div = 1L << HllRestBits
+    val full = 1L << (HllRestBits + 1)
+    def regsSql(table: String, key: String, side: String) =
+      s"""SELECT '$side' AS side, h // ${div} AS bucket,
+         |  MAX(CASE WHEN h % ${div} = 0 THEN ${HllRestBits + 1}
+         |      ELSE ${HllRestBits + 1} - length(bin(h % ${div})) END) AS reg
+         |FROM (SELECT CAST(concat('0x', substr(md5('k' || $key), 1, 15))
+         |             AS BIGINT) AS h FROM $table)
+         |GROUP BY 2""".stripMargin
+    s"""WITH bcust AS (
+       |  SELECT c_custkey FROM customer
+       |  WHERE c_mktsegment = '${Joins.BloomSegment}'),
+       |ra AS (${regsSql("orders", "o_custkey", "a")}),
+       |rb AS (${regsSql("bcust", "c_custkey", "b")}),
+       |ru AS (
+       |  SELECT 'u' AS side, bucket, MAX(reg) AS reg FROM (
+       |    SELECT bucket, reg FROM ra UNION ALL SELECT bucket, reg FROM rb)
+       |  GROUP BY 2),
+       |ests AS (
+       |  SELECT side,
+       |    ${HllNumer} / CAST(
+       |      CAST(SUM(CAST(1 AS BIGINT) << (${HllRestBits + 1} - reg)) AS BIGINT)
+       |      + (${HllM} - COUNT(*)) * ${full} AS DOUBLE) AS est
+       |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb
+       |        UNION ALL SELECT * FROM ru)
+       |  GROUP BY 1)
+       |SELECT
+       |  MAX(CASE WHEN side = 'a' THEN est END) AS est_keys_a,
+       |  MAX(CASE WHEN side = 'b' THEN est END) AS est_keys_b,
+       |  MAX(CASE WHEN side = 'u' THEN est END) AS est_union,
+       |  MAX(CASE WHEN side = 'a' THEN est END)
+       |    + MAX(CASE WHEN side = 'b' THEN est END)
+       |    - MAX(CASE WHEN side = 'u' THEN est END) AS est_intersect
+       |FROM ests""".stripMargin
+  }
+
   /** `q_skew_profile`: join-key skew diagnostics — the pre-flight check
     * that decides salting / broadcast / AQE-skew-join strategy BEFORE a
     * 100-TB shuffle burns a day: for each candidate join key, the key

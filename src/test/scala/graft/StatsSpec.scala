@@ -123,6 +123,26 @@ class StatsSpec extends AnyFunSuite {
       "merged register sum != direct union sketch — merge identity broken")
   }
 
+  test("join-cardinality estimate tracks exact key overlap within the band") {
+    val sf = "/root/testdata/sf0.01"
+    val r = Stats.joinCardEstQ(spark, sf).collect().head
+    // exact calibration (the join the operator exists to avoid) lives here
+    val orders = graft.engine.Tables.orders(spark, sf)
+      .select(col("o_custkey").as("k")).distinct()
+    val cust = graft.engine.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === graft.operators.Joins.BloomSegment)
+      .select(col("c_custkey").as("k")).distinct()
+    val exactA = orders.count().toDouble
+    val exactB = cust.count().toDouble
+    val exactI = orders.join(cust, Seq("k"), "left_semi").count().toDouble
+    // m=64 -> sigma 13%; inclusion-exclusion compounds three estimates, so
+    // allow a wide but meaningful band (each leg 4 sigma, intersect ~60%)
+    assert(r.getDouble(0) > exactA * 0.48 && r.getDouble(0) < exactA * 1.52)
+    assert(r.getDouble(1) > exactB * 0.48 && r.getDouble(1) < exactB * 1.52)
+    assert(r.getDouble(3) > exactI * 0.4 && r.getDouble(3) < exactI * 1.6,
+      s"intersect estimate ${r.getDouble(3)} far from exact $exactI")
+  }
+
   test("outliers: every flagged row is > 3 sd from its group mean (exact check)") {
     val sf = "/root/testdata/sf0.01"
     val flagged = Stats.outliersQ(spark, sf).collect()
