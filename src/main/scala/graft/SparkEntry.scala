@@ -111,6 +111,7 @@ object SparkEntry {
     "q_basket_pairs"        -> Aggregates.basketPairsQ _,
     "q_vocab_encode"        -> TextAnalysis.vocabEncodeQ _,
     "q_join_card_est"       -> Stats.joinCardEstQ _,
+    "q_forget"              -> Curation.forgetQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -263,5 +264,6 @@ object SparkEntry {
     "q_basket_pairs"     -> Aggregates.basketPairsOracle,
     "q_vocab_encode"     -> TextAnalysis.vocabEncodeOracle,
     "q_join_card_est"    -> Stats.joinCardEstOracle,
+    "q_forget"           -> Curation.forgetOracle,
   )
 }

@@ -237,4 +237,44 @@ object Curation {
        |  CAST(SUM(toks) AS BIGINT) AS bin_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
+  /** Deterministic stand-in for the erasure-request list: every
+    * 1-in-ForgetMod-th user has asked to be forgotten. */
+  val ForgetMod = 37
+
+  /** `q_forget`: right-to-be-forgotten propagation — the compliance pass a
+    * training-data pipeline must run BEFORE extraction: given an erasure
+    * list, remove every event of the listed users and report, per
+    * downstream partition (event_type), exactly what changed
+    * (rows before / erased / after, users erased) so the rebuild can
+    * target only touched partitions instead of rewriting the corpus.
+    *
+    * Shape: the erasure list is dim-sized → broadcast; the fact side is
+    * ONE scan with the membership flag computed inline (a broadcast
+    * LEFT SEMI twin via conditional aggregation — erased and retained
+    * counted in the same two-phase aggregate, no second pass, no join
+    * output materialized). At 100 TB the report drives partition-slice
+    * rewrites (D1's overwrite) of only the touched slices. */
+  def forgetQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val erased = col("user_id") % ForgetMod === 0
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), erased.as("gone"))
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("rows_before"),
+        sum(when(col("gone"), 1L).otherwise(0L)).cast("long").as("rows_erased"),
+        sum(when(!col("gone"), 1L).otherwise(0L)).cast("long").as("rows_after"),
+        countDistinct(when(col("gone"), col("user_id"))).as("users_erased"))
+      .orderBy(col("event_type"))
+  }
+
+  val forgetOracle: String =
+    s"""SELECT event_type,
+       |  COUNT(*) AS rows_before,
+       |  CAST(SUM(CASE WHEN user_id % ${ForgetMod} = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS rows_erased,
+       |  CAST(SUM(CASE WHEN user_id % ${ForgetMod} = 0 THEN 0 ELSE 1 END)
+       |       AS BIGINT) AS rows_after,
+       |  CAST(COUNT(DISTINCT CASE WHEN user_id % ${ForgetMod} = 0
+       |       THEN user_id END) AS BIGINT) AS users_erased
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 }

@@ -81,6 +81,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("forget report: erased + after = before, erased users all on the list") {
+    val rows = Curation.forgetQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"rows_before != erased + after in $r")
+    }
+    // cross-check one partition against a direct semi-join count
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val direct = ev
+      .filter(col("user_id") % Curation.ForgetMod === 0)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === direct.getOrElse(r.getString(0), 0L))
+    }
+  }
+
   test("redaction masks every digit run and counts them") {
     val out = Curation.redactQ(spark, sfDir)
       .filter(col("n_redactions") > 0)
