@@ -112,6 +112,16 @@ object SparkEntry {
     "q_vocab_encode"        -> TextAnalysis.vocabEncodeQ _,
     "q_join_card_est"       -> Stats.joinCardEstQ _,
     "q_forget"              -> Curation.forgetQ _,
+    "q_funnel"              -> Behavior.funnelQ _,
+    "q_cohort_retention"    -> Behavior.cohortRetentionQ _,
+    "q_event_paths"         -> Behavior.eventPathsQ _,
+    "q_mad_outliers"        -> Stats.madOutliersQ _,
+    "q_linfit"              -> Stats.linfitQ _,
+    "q_cdc_diff"            -> Joins.cdcDiffQ _,
+    "q_ngram_lm"            -> TextAnalysis.ngramLmQ _,
+    "q_domain_cap"          -> Curation.domainCapQ _,
+    "q_embed_quantize"      -> Similarity.embedQuantizeQ _,
+    "q_chunk_cdc"           -> Dedup.chunkCdcQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -265,5 +275,15 @@ object SparkEntry {
     "q_vocab_encode"     -> TextAnalysis.vocabEncodeOracle,
     "q_join_card_est"    -> Stats.joinCardEstOracle,
     "q_forget"           -> Curation.forgetOracle,
+    "q_funnel"           -> Behavior.funnelOracle,
+    "q_cohort_retention" -> Behavior.cohortRetentionOracle,
+    "q_event_paths"      -> Behavior.eventPathsOracle,
+    "q_mad_outliers"     -> Stats.madOutliersOracle,
+    "q_linfit"           -> Stats.linfitOracle,
+    "q_cdc_diff"         -> Joins.cdcDiffOracle,
+    "q_ngram_lm"         -> TextAnalysis.ngramLmOracle,
+    "q_domain_cap"       -> Curation.domainCapOracle,
+    "q_embed_quantize"   -> Similarity.embedQuantizeOracle,
+    "q_chunk_cdc"        -> Dedup.chunkCdcOracle,
   )
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Tables}
+
+/** Behavioral analytics over the `events` stream table — the funnel /
+  * cohort / path reports an analytics warehouse derives from the same
+  * event firehose the reference's trending pipeline consumes
+  * (/root/reference/src/snowflake_loader.py builds daily engagement
+  * reports; these are the standard next three reports in that family).
+  *
+  * All three share one plan discipline: every window partitions by
+  * `user_id` (millions of small partitions — the parallelism, never a
+  * funnel), sequential window layers reuse the SAME exchange, and the
+  * final rollups run on per-user or per-cell frames that are orders of
+  * magnitude smaller than the event volume. Timestamps compare in exact
+  * microseconds; counts are exact BIGINTs — no doubles anywhere, so the
+  * DuckDB gate hash-matches bit for bit.
+  */
+object Behavior {
+
+  /** `q_funnel`: ordered-stage conversion — signup → first view at-or-after
+    * the signup → first purchase at-or-after that view, per user, counted
+    * per stage. The stage timestamps are per-user window minima computed in
+    * three sequential window layers over ONE hash exchange on user_id
+    * (layer n+1's predicate reads layer n's column, so Catalyst stacks
+    * three Window nodes on the same partitioning); the per-user rollup
+    * reuses the exchange again, and the final single-row count is a
+    * partial-aggregated tree. At 100 TB nothing here sorts or funnels —
+    * per-user state is three timestamps. */
+  def funnelQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view" && col("ts") >= col("t_signup"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t_view"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_signup")).as("t_signup"),
+        max(col("t_view")).as("t_view"),
+        max(col("t_purchase")).as("t_purchase"))
+    perUser.agg(
+      Num.countStar.as("n_users"),
+      count(col("t_signup")).as("n_signup"),
+      count(col("t_view")).as("n_view_after"),
+      count(col("t_purchase")).as("n_purchase_after"))
+  }
+
+  val funnelOracle: String =
+    """WITH w1 AS (
+      |  SELECT user_id, event_type, ts,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_signup
+      |  FROM events),
+      |w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t_signup
+      |                     THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_view FROM w1),
+      |w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t_view
+      |                     THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_purchase FROM w2),
+      |u AS (
+      |  SELECT user_id, MAX(t_signup) AS t_signup, MAX(t_view) AS t_view,
+      |    MAX(t_purchase) AS t_purchase
+      |  FROM w3 GROUP BY 1)
+      |SELECT COUNT(*) AS n_users, COUNT(t_signup) AS n_signup,
+      |  COUNT(t_view) AS n_view_after, COUNT(t_purchase) AS n_purchase_after
+      |FROM u""".stripMargin
+
+  /** `q_cohort_retention`: the classic cohort × offset retention matrix —
+    * users grouped by the ISO week of their first event, each later active
+    * day attributed to its whole-week offset from that first day, cells =
+    * distinct active users. The first-event date is a per-user window min
+    * (per-user partitions); the matrix rollup is a two-phase
+    * count-distinct over (cohort_week, offset_week) — cell count is
+    * bounded by weeks², data-independent. Dates export as strings (the
+    * cross-engine date-dtype hashing convention). */
+  def cohortRetentionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("first_d", min(col("d")).over(wU))
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("first_d")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        (datediff(col("d"), col("first_d")) / 7).cast("long").as("offset_week"))
+      .groupBy(col("cohort_week"), col("offset_week"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("offset_week"))
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH act AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_d
+      |  FROM events)
+      |SELECT strftime(date_trunc('week', first_d), '%Y-%m-%d') AS cohort_week,
+      |  (d - first_d) // 7 AS offset_week,
+      |  COUNT(DISTINCT user_id) AS n_active
+      |FROM act
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** `q_event_paths`: the first-order journey graph — counts of each
+    * (event_type → next event_type) transition across all per-user
+    * timelines, with the source's outgoing total beside each edge (the
+    * Markov transition numerator/denominator as exact integers; the
+    * division is the caller's). One lead() over the per-user ordered
+    * window (total order: ts then event_id), then a two-phase count on
+    * the ≤ types² edge frame; the per-source totals come from a window
+    * over that already-tiny aggregate, not the raw data. */
+  def eventPathsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bySrc = Window.partitionBy(col("src"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(Num.countStar.as("n"))
+      .withColumn("src_total", sum(col("n")).over(bySrc))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val eventPathsOracle: String =
+    """WITH hops AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |edges AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM hops
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS src_total
+      |FROM edges ORDER BY src, dst""".stripMargin
+}

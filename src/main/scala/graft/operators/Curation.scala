@@ -277,4 +277,55 @@ object Curation {
        |  CAST(COUNT(DISTINCT CASE WHEN user_id % ${ForgetMod} = 0
        |       THEN user_id END) AS BIGINT) AS users_erased
        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Per-source document quota. */
+  val DomainCapK = 10
+
+  /** `q_domain_cap`: per-domain quota subsampling — the pretraining-mix
+    * balancing pass that caps any one source's contribution: each source
+    * keeps its DomainCapK best documents by a deterministic priority
+    * (longest first, doc_id tiebreak), so no domain can dominate the mix.
+    *
+    * Same semantics as `ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+    * n_chars DESC, doc_id)` ≤ K — but NOT computed that way: a giant
+    * source would funnel through one reducer. Instead the
+    * histogram-rank decomposition (the `q_window_analytics` NTILE trick):
+    * a (source, n_chars) count histogram gives each length its global
+    * rank offset over the distinct-length frame (domain-bounded, then
+    * broadcast back), and a row_number within (source, n_chars) — fine
+    * partitions — completes the exact rank. The quota filter then drops
+    * everything below the cut before any further stage sees it. */
+  def domainCapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLenDesc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val hist = docs.groupBy(col("source"), col("n_chars"))
+      .agg(Num.countStar.as("cnt"))
+      .withColumn("cum_prev", sum(col("cnt")).over(byLenDesc) - col("cnt"))
+      .select(col("source"), col("n_chars"), col("cum_prev"))
+      // quota pre-prune: a length bucket whose offset is already past the
+      // cap can't contribute a kept row — the broadcast stays ≤ K buckets
+      // per source no matter how long the length tail is
+      .filter(col("cum_prev") < DomainCapK)
+    val byBucket = Window.partitionBy(col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+    docs.join(broadcast(hist), Seq("source", "n_chars"))
+      .withColumn("rnk", col("cum_prev") + row_number().over(byBucket))
+      .filter(col("rnk") <= DomainCapK)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val domainCapOracle: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY n_chars DESC, doc_id) AS rnk
+       |  FROM documents)
+       |SELECT source, doc_id, n_chars, rnk FROM r
+       |WHERE rnk <= ${DomainCapK}
+       |ORDER BY source, rnk""".stripMargin
 }

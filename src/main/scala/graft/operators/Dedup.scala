@@ -461,4 +461,73 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM verified
        |WHERE jaccard >= ${JaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** `q_chunk_cdc`: content-defined chunking — each document split at
+    * rolling-hash-determined boundaries (graft.functions.Chunker, a native
+    * codegen Expression; see its scaladoc for the exact Horner/rolling
+    * definition), reported as per-doc chunk count, boundary checksum, and
+    * max chunk length. CDC is the storage/dedup splitter whose boundaries
+    * survive insertions — the chunk-level companion to the document-level
+    * MinHash/SimHash family (LBFS-style anchoring, public rsync/casync
+    * lineage).
+    *
+    * Plan: ONE narrow, codegen'd pass over the corpus — the expression
+    * rolls the hash in O(n) per document and returns boundary positions;
+    * the per-doc stats are array ops on that (bounded ~n/64 elements). No
+    * shuffle at all until the final display sort. The DuckDB oracle
+    * recomputes every window independently (O(n·W)) — same polynomial,
+    * same boundaries, which is the cross-engine proof the rolling update
+    * is algebraically right. */
+  def chunkCdcQ(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Chunker.ensureRegistered(spark)
+    val bs = graft.functions.Chunker.chunkBoundaries(col("text"))
+    val bsL = transform(col("bs"), x => (x + 1).cast("long"))
+    val starts = concat(array(lit(0L)), bsL)
+    val ends = concat(bsL, array(col("n_cp")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_cp"),
+        bs.as("bs"))
+      .select(col("doc_id"), col("n_cp"),
+        (size(col("bs")) + 1).cast("long").as("n_chunks"),
+        coalesce(aggregate(col("bs"), lit(0L), (a, x) => a + x), lit(0L))
+          .as("boundary_checksum"),
+        array_max(zip_with(starts, ends, (s, e) => e - s)).as("max_chunk"))
+      .orderBy(col("doc_id"))
+  }
+
+  val chunkCdcOracle: String = {
+    import graft.functions.Chunker.{Base => B, BoundaryMod => M, Prime => P, Window => W}
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, i
+       |  FROM documents, UNNEST(range(${W - 1}, length(text))) AS u(i)),
+       |hv AS (
+       |  SELECT doc_id, i,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, ${W}),
+       |        j -> CAST(unicode(substr(text, CAST(i AS INT) - ${W} + 2
+       |               + CAST(j AS INT), 1)) AS BIGINT))),
+       |      (acc, c) -> (acc * ${B} + c) % ${P}) AS h
+       |  FROM pos),
+       |b AS (SELECT doc_id, i FROM hv WHERE h % ${M} = 0),
+       |bl AS (SELECT doc_id, list(i ORDER BY i) AS bs FROM b GROUP BY 1),
+       |d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_cp
+       |      FROM documents),
+       |f AS (
+       |  SELECT d.doc_id, d.n_cp,
+       |    COALESCE(bs, CAST([] AS BIGINT[])) AS bs
+       |  FROM d LEFT JOIN bl USING (doc_id)),
+       |sp AS (
+       |  SELECT doc_id, n_cp,
+       |    CAST(len(bs) + 1 AS BIGINT) AS n_chunks,
+       |    CAST(COALESCE(list_sum(bs), 0) AS BIGINT) AS boundary_checksum,
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(bs, x -> x + 1)) AS starts,
+       |    list_append(list_transform(bs, x -> x + 1), n_cp) AS ends
+       |  FROM f)
+       |SELECT doc_id, n_cp, n_chunks, boundary_checksum,
+       |  CAST(list_max(list_transform(range(1, len(starts) + 1),
+       |    k -> ends[CAST(k AS INT)] - starts[CAST(k AS INT)])) AS BIGINT)
+       |    AS max_chunk
+       |FROM sp ORDER BY doc_id""".stripMargin
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.Tables
+import graft.engine.{Num, Tables}
 
 /** Join operators.
   *
@@ -514,4 +514,64 @@ object Joins {
        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
        |FROM cand GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   }
+
+  /** Deterministic synthetic second snapshot for the CDC diff: customers
+    * churn at key % 97 == 0, balances move at key % 13 == 0, and a
+    * disjoint id range (key % 89 == 0, shifted by CdcAddOffset) arrives
+    * new — the three mutation classes a snapshot diff must classify. */
+  val CdcAddOffset = 1000000L
+
+  /** `q_cdc_diff`: change-data-capture by snapshot comparison — the
+    * reconciliation report a warehouse runs when an upstream can't emit a
+    * change log: full-outer join old vs. new snapshot on the key, classify
+    * each key as added / removed / changed / unchanged from the tracked
+    * attribute tuple, and roll up count + key-checksum per class (the
+    * checksums are what an auditor diffs against the next run).
+    *
+    * Plan: ONE co-partitioned shuffle join (both snapshots hash on the
+    * key — the canonical CDC shape; with bucketed snapshots, as in
+    * `q_bucketed_join`, the exchange disappears entirely) followed by a
+    * 4-group two-phase aggregate. No broadcast — both sides are
+    * table-sized by construction. */
+  def cdcDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val snap = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val next = snap.filter(col("k") % 97 =!= 0)
+      .withColumn("bal",
+        when(col("k") % 13 === 0, col("bal") + 100).otherwise(col("bal")))
+      .unionByName(snap.filter(col("k") % 89 === 0)
+        .select((col("k") + CdcAddOffset).as("k"), col("bal"), col("seg")))
+    snap.as("o").join(next.as("n"), col("o.k") === col("n.k"), "full_outer")
+      .select(
+        when(col("o.k").isNull, "added")
+          .when(col("n.k").isNull, "removed")
+          .when(col("o.bal") === col("n.bal") && col("o.seg") === col("n.seg"),
+            "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("o.k"), col("n.k")).as("k"))
+      .groupBy(col("status"))
+      .agg(Num.countStar.as("n"), sum(col("k")).as("key_checksum"))
+      .orderBy(col("status"))
+  }
+
+  val cdcDiffOracle: String =
+    s"""WITH snap AS (
+       |  SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg
+       |  FROM customer),
+       |nxt AS (
+       |  SELECT k, CASE WHEN k % 13 = 0 THEN bal + 100 ELSE bal END AS bal,
+       |    seg
+       |  FROM snap WHERE k % 97 <> 0
+       |  UNION ALL
+       |  SELECT k + ${CdcAddOffset} AS k, bal, seg
+       |  FROM snap WHERE k % 89 = 0)
+       |SELECT CASE WHEN o.k IS NULL THEN 'added'
+       |            WHEN n.k IS NULL THEN 'removed'
+       |            WHEN o.bal = n.bal AND o.seg = n.seg THEN 'unchanged'
+       |            ELSE 'changed' END AS status,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(COALESCE(o.k, n.k)) AS BIGINT) AS key_checksum
+       |FROM snap o FULL OUTER JOIN nxt n ON o.k = n.k
+       |GROUP BY 1 ORDER BY status""".stripMargin
 }

@@ -772,4 +772,71 @@ object Similarity {
        |  FROM pairs) t
        |WHERE rank <= ${TopK}
        |ORDER BY q_id, rank""".stripMargin
+
+  /** Quantization levels (int8 code space). */
+  val QuantLevels = 256
+
+  /** `q_embed_quantize`: per-dimension min-max scalar quantization of the
+    * embedding corpus to int8 codes — the 4-8× memory compression every
+    * large-scale ANN index applies before serving (PQ's scalar cousin;
+    * `q_ann_pq` quantizes subspaces, this quantizes dimensions). Per-vector
+    * code aggregates (sum / min / max) are the gate's exact-integer
+    * witness that every code matches cross-engine.
+    *
+    * Plan: per-dim min/max is one posexplode + two-phase aggregate folding
+    * the corpus into a DIM-sized frame (64 rows); the dim stats pack into
+    * two arrays on one row and broadcast; encoding is then a narrow,
+    * codegen'd transform-with-index over each vector — no join, no
+    * shuffle, each executor encodes its partition against the broadcast
+    * scale. Division is guarded for constant dims (code 0). The double
+    * arithmetic is the same literal expression tree on both engines
+    * (IEEE-deterministic), and codes are exact integers after floor. */
+  def embedQuantizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val stats = emb.select(posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(
+        array_sort(collect_list(struct(col("dim"), col("mn")))).as("mns"),
+        array_sort(collect_list(struct(col("dim"), col("mx")))).as("mxs"))
+      .select(transform(col("mns"), s => s.getField("mn")).as("mns"),
+        transform(col("mxs"), s => s.getField("mx")).as("mxs"))
+    val code = (x: Column, i: Column) => {
+      val mn = element_at(col("mns"), i + 1)
+      val mx = element_at(col("mxs"), i + 1)
+      when(mx > mn,
+        least(lit(255L), floor((x - mn) / (mx - mn) * QuantLevels).cast("long")))
+        .otherwise(lit(0L))
+    }
+    emb.crossJoin(broadcast(stats))
+      .select(col("vec_id"), transform(col("e"), code).as("codes"))
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        size(col("codes")).cast("long").as("n_dims"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedQuantizeOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, i AS dim, e[i + 1] AS v
+       |  FROM e, UNNEST(range(0, len(e))) AS u(i)),
+       |s AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY 1),
+       |codes AS (
+       |  SELECT x.vec_id,
+       |    CASE WHEN s.mx > s.mn
+       |      THEN LEAST(255, CAST(FLOOR((x.v - s.mn) / (s.mx - s.mn)
+       |             * ${QuantLevels}) AS BIGINT))
+       |      ELSE 0 END AS code
+       |  FROM x JOIN s USING (dim))
+       |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+       |  MIN(code) AS code_min, MAX(code) AS code_max,
+       |  COUNT(*) AS n_dims
+       |FROM codes GROUP BY 1 ORDER BY vec_id""".stripMargin
 }

@@ -784,6 +784,136 @@ object Stats {
       .orderBy(col("column"))
   }
 
+  /** `q_mad_outliers`: robust (median / MAD) outlier detection per
+    * event_type — the companion to `q_outliers`' mean/stddev z-score, for
+    * the heavy-tailed distributions where mean and stddev are themselves
+    * dragged by the outliers. median = rank-(n+1)/2 of floor(value); MAD =
+    * the same rank over |v − median|; outliers = rows with |v − median| >
+    * 3·MAD.
+    *
+    * Plan: the value-HISTOGRAM rank pattern (`q_percentiles`) applied
+    * TWICE, chained — the raw table folds once into (event_type, v)
+    * counts, the median is read off the cumulative distinct-value frame,
+    * the deviation histogram derives from the value histogram (never from
+    * the raw data again — |hist| rows, not |rows|), and the MAD and
+    * outlier count read off that. One data-sized pass total; every window
+    * input is bounded by the value domain. Integer-exact end to end. */
+  def madOutliersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = floor(col("value")).cast("long")
+    val byV = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val byDev = Window.partitionBy(col("event_type")).orderBy(col("dev"))
+    val all = Window.partitionBy(col("event_type"))
+    val rank = ((col("n") + 1) / 2).cast("long") // ceil-rank of the median
+    val hist = Tables.events(spark, sfDir)
+      .select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(Num.countStar.as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n", sum(col("cnt")).over(all))
+    val med = hist.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        min(when(col("cum") >= rank, col("v"))).as("median"))
+    val devHist = hist
+      .join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("v") - col("median")).as("dev"),
+        col("cnt"))
+      .groupBy(col("event_type"), col("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byDev))
+      .withColumn("n", sum(col("cnt")).over(all))
+    val mad = devHist.groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= rank, col("dev"))).as("mad"))
+    devHist.select(col("event_type"), col("dev"), col("cnt"))
+      .join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        coalesce(sum(when(col("dev") > col("mad") * 3, col("cnt"))), lit(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersOracle: String =
+    """WITH t AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+      |h AS (SELECT event_type, v, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, v, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |med AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median
+      |  FROM c GROUP BY 1),
+      |h2 AS (
+      |  SELECT c.event_type, ABS(c.v - m.median) AS dev,
+      |    CAST(SUM(c.cnt) AS BIGINT) AS cnt
+      |  FROM c JOIN med m USING (event_type) GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT event_type, dev, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h2),
+      |madt AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+      |  FROM c2 GROUP BY 1)
+      |SELECT m.event_type, m.n_events, m.median, d.mad,
+      |  CAST(COALESCE(SUM(CASE WHEN h2.dev > 3 * d.mad THEN h2.cnt END), 0)
+      |    AS BIGINT) AS n_outliers
+      |FROM med m JOIN madt d USING (event_type) JOIN h2 USING (event_type)
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
+  /** `q_linfit`: per-group least-squares trend (value vs. day) from EXACT
+    * integer moment sums — n, Σx, Σy, Σxx, Σxy over (x = days since
+    * 2024-01-01, y = floor(value)) — plus the closed-form slope as an exact
+    * rational (slope_num / slope_den = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²));
+    * intercept = (Σy − slope·Σx)/n is the caller's one division. The whole
+    * fit is ONE two-phase hash aggregate — the textbook
+    * reduce-to-sufficient-statistics pattern that makes regression free at
+    * 100 TB (constant state per group; map-side combine does nearly all the
+    * work). BIGINT is safe to ~10¹⁸ products at harness scale; a
+    * petabyte-rows run would lift the sums to decimal like
+    * `q_dedup_clusters`' convergence witness. */
+  def linfitQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val y = floor(col("value")).cast("long")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .orderBy(col("event_type"))
+  }
+
+  val linfitOracle: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS x,
+      |    CAST(floor(value) AS BIGINT) AS y
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM t GROUP BY 1)
+      |SELECT event_type, n, sx, sy, sxx, sxy,
+      |  n * sxy - sx * sy AS slope_num,
+      |  n * sxx - sx * sx AS slope_den
+      |FROM s ORDER BY event_type""".stripMargin
+
   val profileOracle: String =
     """SELECT * FROM (
       |  SELECT 'l_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,

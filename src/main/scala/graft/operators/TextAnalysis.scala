@@ -580,4 +580,50 @@ object TextAnalysis {
        |    w -> CAST(coalesce(map_extract(vmap, w)[1], 1) AS VARCHAR)), ' ')
        |    AS input_ids
        |FROM dw, m ORDER BY doc_id""".stripMargin
+
+  /** Bigram report size. */
+  val NgramLmTopK = 25
+
+  /** `q_ngram_lm`: corpus bigram language-model counts — the top-K word
+    * bigrams with their left-context totals, i.e. the numerator and
+    * denominator of the conditional probability P(w2 | w1) = n / w1_total
+    * as exact integers (the division — and any smoothing constant — is the
+    * caller's; integer counts are what keep the gate bit-exact and what a
+    * real LM trainer ships between stages anyway).
+    *
+    * Plan: bigrams come from zip_with over each doc's own token array (a
+    * narrow, codegen'd projection — no self-join, no window), then ONE
+    * two-phase count on (w1, w2); the left totals aggregate from that
+    * already-vocabulary-sized frame, not from the corpus, and broadcast
+    * back. The final top-K is a global sort of a vocab²-bounded frame with
+    * TakeOrderedAndProject doing a per-partition heap. */
+  def ngramLmQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = Tables.documents(spark, sfDir)
+      .select(words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(Num.countStar.as("n"))
+    val totals = bi.groupBy(col("w1")).agg(sum(col("n")).as("w1_total"))
+    bi.join(broadcast(totals), Seq("w1"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(NgramLmTopK)
+      .select(col("w1"), col("w2"), col("n"), col("w1_total"))
+  }
+
+  val ngramLmOracle: String =
+    s"""WITH d AS (SELECT $wordsSql AS ws FROM documents),
+       |bg AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM d, UNNEST(range(1, len(ws))) AS u(i)
+       |  WHERE len(ws) >= 2),
+       |c AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+       |p AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS w1_total FROM c GROUP BY 1)
+       |SELECT c.w1, c.w2, c.n, p.w1_total
+       |FROM c JOIN p USING (w1)
+       |ORDER BY n DESC, w1, w2 LIMIT ${NgramLmTopK}""".stripMargin
 }

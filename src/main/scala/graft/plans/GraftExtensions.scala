@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.VectorExprs
+import graft.functions.{Chunker, VectorExprs}
 
 /** Session-extension injector (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * registers the engine's native expressions at session build — the
@@ -9,5 +9,5 @@ import graft.functions.VectorExprs
   * `spark.sql` users) should see `graft_dot` / `graft_normsq`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    VectorExprs.functions.foreach(ext.injectFunction)
+    (VectorExprs.functions ++ Chunker.functions).foreach(ext.injectFunction)
 }
