@@ -122,6 +122,9 @@ object SparkEntry {
     "q_domain_cap"          -> Curation.domainCapQ _,
     "q_embed_quantize"      -> Similarity.embedQuantizeQ _,
     "q_chunk_cdc"           -> Dedup.chunkCdcQ _,
+    "q_audience_overlap"    -> Behavior.audienceOverlapQ _,
+    "q_concentration"       -> Stats.concentrationQ _,
+    "q_schema_merge"        -> Relational.schemaMergeQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -285,5 +288,8 @@ object SparkEntry {
     "q_domain_cap"       -> Curation.domainCapOracle,
     "q_embed_quantize"   -> Similarity.embedQuantizeOracle,
     "q_chunk_cdc"        -> Dedup.chunkCdcOracle,
+    "q_audience_overlap" -> Behavior.audienceOverlapOracle,
+    "q_concentration"    -> Stats.concentrationOracle,
+    "q_schema_merge"     -> Relational.schemaMergeOracle,
   )
 }

@@ -142,4 +142,50 @@ object Behavior {
       |SELECT src, dst, n,
       |  CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS src_total
       |FROM edges ORDER BY src, dst""".stripMargin
+
+  /** `q_audience_overlap`: the audience-overlap matrix — for every ordered
+    * pair of event types, how many distinct users did BOTH (the
+    * segment-intersection report behind "viewers who also purchased"),
+    * with each side's audience size for the Jaccard the caller derives.
+    *
+    * Plan: the corpus folds to the distinct (event_type, user_id) frame
+    * first (two-phase, map-side combined — at most |types| rows per user
+    * survive); the pair expansion self-joins THAT frame on user_id, so
+    * each user contributes at most types² pair rows, and the matrix
+    * rollup is bounded by types². The per-type audience sizes come from
+    * the same distinct frame and broadcast onto the matrix. */
+  def audienceOverlapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val tu = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type"))
+      .agg(Num.countStar.as("n_users"))
+    tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(Num.countStar.as("overlap"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("users_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("users_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("overlap"),
+        col("users_a"), col("users_b"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val audienceOverlapOracle: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |s AS (SELECT event_type, COUNT(*) AS n_users FROM tu GROUP BY 1),
+      |m AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS overlap
+      |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT m.type_a, m.type_b, m.overlap,
+      |  sa.n_users AS users_a, sb.n_users AS users_b
+      |FROM m JOIN s sa ON sa.event_type = m.type_a
+      |       JOIN s sb ON sb.event_type = m.type_b
+      |ORDER BY type_a, type_b""".stripMargin
 }

@@ -307,11 +307,12 @@ object Dedup {
         .join(ls.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("label")).as("label"))
     // Each driver round is overhead-dominated at harness scale (job launch
-    // + tiny shuffles), so TWO propagation steps run per materialized
-    // action — label distance to the component minimum halves per job, and
-    // the initial labels carry no separate action at all (the first round's
-    // sum doubles as the baseline; a second unchanged sum is the fixpoint
-    // proof, since labels are monotone across every individual step).
+    // + tiny shuffles), so THREE propagation steps run per materialized
+    // action — label distance to the component minimum shrinks 3 hops per
+    // job (diameter/3 actions instead of diameter), and the initial labels
+    // carry no separate action at all (the first round's sum doubles as
+    // the baseline; a second unchanged sum is the fixpoint proof, since
+    // labels are monotone across every individual step).
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var persisted: DataFrame = null
@@ -319,7 +320,7 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 15) {
-      val (next, s) = sumLabels(step(step(labels)))
+      val (next, s) = sumLabels(step(step(step(labels))))
       if (persisted != null) persisted.unpersist()
       persisted = next
       labels = next

@@ -48,23 +48,28 @@ object Graph {
     val edges = Materialize.diskBacked(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))))
-    // deg and nodes feed EVERY round, so they are materialized once; the
-    // rounds themselves stay LAZY — ranks is consumed exactly once per
-    // round (fixed iteration count, no convergence probe), so the whole
-    // 3-round propagation is one linear plan executed as one job, with no
-    // per-round action barrier / disk round-trip (that barrier is what CC
-    // pays for its fixpoint check; a truncated power method doesn't need it)
-    val deg = Materialize.diskBacked(
-      edges.groupBy(col("src")).agg(Num.countStar.as("outdeg")))
+    // The out-degree joins EVERY round, so it is pre-joined onto the edge
+    // table ONCE and the result persisted PRE-PARTITIONED on src: the
+    // cached relation keeps its HashPartitioning, so each round's
+    // edge ⋈ ranks join shuffles only the node-sized rank vector, never
+    // the edge table — the exact partition-reuse discipline a
+    // 1000-executor pagerank lives by. The rounds themselves stay LAZY —
+    // ranks is consumed exactly once per round (fixed iteration count, no
+    // convergence probe), so the whole propagation is one linear plan
+    // executed as one job, with no per-round action barrier (that barrier
+    // is what CC pays for its fixpoint check; a truncated power method
+    // doesn't need it).
+    val deg = edges.groupBy(col("src")).agg(Num.countStar.as("outdeg"))
+    val edgesDeg = Materialize.diskBacked(
+      edges.join(deg, Seq("src")).repartition(col("src")))
     val nodes = Materialize.diskBacked(
       edges.select(col("src")).distinct().select(col("src").as("node")))
     val nRow = nodes.agg(Num.countStar.cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = edges
+      val contrib = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"),
           floor(col("r") / col("outdeg") * lit(1e12) + lit(0.5))
             .cast(DecimalType(28, 0)).as("qc"))

@@ -300,4 +300,50 @@ object Relational {
        |FROM ranked WHERE rnk <= ${SearchTopN}
        |ORDER BY keyword, region, rnk""".stripMargin
   }
+
+  /** Generation boundary for the schema-evolution fixture: rows before
+    * this year were written by the "v1" producer (narrow schema). */
+  val SchemaV2Year = 1995
+
+  /** `q_schema_merge`: schema evolution across file generations — the
+    * staging reality every long-lived warehouse scan faces: an old
+    * producer wrote files WITHOUT a column, a new producer added it, and
+    * one read must span both. The fixture writes two deterministic
+    * parquet generations from `orders` (v1: key+price only, pre-1995;
+    * v2: +o_orderpriority), reads them back as ONE `mergeSchema` scan
+    * (missing columns null-fill per file footer — no rewrite of old
+    * data), and rolls up per coalesced priority.
+    *
+    * Plan: the merged scan stays a plain columnar parquet read (schema
+    * union happens at footer level, planning time); the rollup is one
+    * two-phase hash aggregate. At 100 TB this is the zero-cost backfill
+    * answer: no old file is touched when a column lands. */
+  def schemaMergeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_schema_gen_" +
+      java.util.UUID.randomUUID().toString
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("yr", year(col("o_orderdate")))
+    orders.filter(col("yr") < SchemaV2Year)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    orders.filter(col("yr") >= SchemaV2Year)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/gen=1", s"$path/gen=2")
+      .select(coalesce(col("o_orderpriority"), lit("(legacy)")).as("priority"),
+        col("o_totalprice"))
+      .groupBy(col("priority"))
+      .agg(Num.countStar.as("n"),
+        Num.sumMoney(col("o_totalprice")).as("total_price"))
+      .orderBy(col("priority"))
+  }
+
+  val schemaMergeOracle: String =
+    s"""SELECT CASE WHEN year(o_orderdate) >= ${SchemaV2Year}
+       |            THEN o_orderpriority ELSE '(legacy)' END AS priority,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_price
+       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 }

@@ -896,6 +896,43 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** `q_concentration`: activity-concentration (Herfindahl) report per
+    * event_type — is the type's volume spread across many users or
+    * dominated by a few? HHI = Σ (cntᵤ/n)² emitted as the exact rational
+    * (ssq, n²); n_users beside it gives the 1/n_users perfectly-even
+    * floor. The skew diagnosis a pipeline runs BEFORE picking salting
+    * constants (`q_skew_profile`'s per-key cousin, keyed by user).
+    *
+    * Plan: two chained two-phase hash aggregates — (type, user) counts,
+    * then per-type moments over that user-sized frame. Constant state per
+    * group, no window, no distinct-expansion. Exact integers end to end
+    * (BIGINT holds ssq to ~3·10⁹ events per user-type; decimal beyond,
+    * as in `q_linfit`). */
+  def concentrationQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(Num.countStar.as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        Num.countStar.as("n_users"),
+        sum(col("cnt") * col("cnt")).as("hhi_num"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("hhi_num"),
+        (col("n_events") * col("n_events")).as("hhi_den"))
+      .orderBy(col("event_type"))
+  }
+
+  val concentrationOracle: String =
+    """WITH u AS (
+      |  SELECT event_type, user_id, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_events,
+      |  COUNT(*) AS n_users,
+      |  CAST(SUM(cnt * cnt) AS BIGINT) AS hhi_num,
+      |  CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT) AS hhi_den
+      |FROM u GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val linfitOracle: String =
     """WITH t AS (
       |  SELECT event_type,

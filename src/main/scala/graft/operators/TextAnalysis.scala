@@ -595,10 +595,13 @@ object TextAnalysis {
     * narrow, codegen'd projection — no self-join, no window), then ONE
     * two-phase count on (w1, w2); the left totals aggregate from that
     * already-vocabulary-sized frame, not from the corpus, and broadcast
-    * back. The final top-K is a global sort of a vocab²-bounded frame with
+    * back. The bigram frame is disk-materialized so the totals branch
+    * reuses it instead of re-tokenizing the corpus (Spark has no
+    * cross-branch subtree reuse — see graft.engine.Materialize). The final
+    * top-K is a global sort of a vocab²-bounded frame with
     * TakeOrderedAndProject doing a per-partition heap. */
   def ngramLmQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val bi = Tables.documents(spark, sfDir)
+    val bi = graft.engine.Materialize.diskBacked(Tables.documents(spark, sfDir)
       .select(words.as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(zip_with(
@@ -607,7 +610,7 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
-      .agg(Num.countStar.as("n"))
+      .agg(Num.countStar.as("n")))
     val totals = bi.groupBy(col("w1")).agg(sum(col("n")).as("w1_total"))
     bi.join(broadcast(totals), Seq("w1"))
       .orderBy(col("n").desc, col("w1"), col("w2"))

@@ -264,4 +264,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!hinted.exists(_.contains("customer")),
       "customer-sized dim is explicitly broadcast-hinted")
   }
+
+  test("q_funnel stacks all three stage windows on ONE user_id exchange") {
+    val p = plan("q_funnel")
+    val userExchanges = p.linesIterator
+      .count(_.matches(".*Exchange hashpartitioning\\(user_id#\\d+.*"))
+    assert(userExchanges == 1,
+      s"expected 1 user_id exchange shared by 3 windows + rollup, saw $userExchanges:\n$p")
+    assert("Window".r.findAllMatchIn(p).size >= 3,
+      s"expected the three stacked stage windows in one plan:\n$p")
+  }
+
+  test("q_chunk_cdc is a single narrow pass (no hash exchange at all)") {
+    val p = plan("q_chunk_cdc")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"CDC chunking must not shuffle — boundaries are per-row work:\n$p")
+    assert(p.contains("graft_chunks") || p.contains("chunkboundaries"),
+      s"native chunk expression missing from the plan:\n$p")
+  }
+
+  test("q_domain_cap ranks via the histogram, never a per-source total sort") {
+    val p = plan("q_domain_cap")
+    // the only source-ONLY exchange must carry the aggregated length
+    // histogram; the data-sized rank shuffle goes by (source, n_chars)
+    assert(exchangeFedByAggregate(p, "source#\\d+, \\d+\\)"),
+      s"per-source shuffle is not fed by the length histogram:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the pre-pruned histogram should broadcast back onto documents")
+  }
+
+  test("q_cdc_diff reconciles snapshots with one co-partitioned full-outer join") {
+    val p = plan("q_cdc_diff")
+    assert(p.contains("FullOuter"), s"snapshot diff needs a full-outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "snapshot diff must stay a key-partitioned equi-join")
+  }
+
+  test("q_ngram_lm reads the corpus once and heap-selects the top-K") {
+    val p = plan("q_ngram_lm")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-K should be a per-partition heap, not a full sort:\n$p")
+    // both join branches must read the materialized bigram frame (the
+    // cached relation prints its own lineage, so count table scans of the
+    // cache rather than parquet scans inside the description)
+    val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 2,
+      s"bigram frame must be materialized and reused by both branches:\n$p")
+  }
+
+  test("q_embed_quantize encodes against a broadcast scale (no per-row join)") {
+    val p = plan("q_embed_quantize")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "dim stats should attach as a single broadcast row")
+    // per-dim stats must be aggregated before broadcast: no second
+    // data-sized exchange beyond the stats aggregate + final sort
+    assert(exchangeFedByAggregate(p, "") || p.contains("BroadcastExchange"),
+      s"stats side is not an aggregated frame:\n$p")
+  }
 }
