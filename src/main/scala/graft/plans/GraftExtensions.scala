@@ -6,8 +6,12 @@ import graft.functions.{Chunker, VectorExprs}
 /** Session-extension injector (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * registers the engine's native expressions at session build — the
   * production wiring for a cluster where every session (including plain
-  * `spark.sql` users) should see `graft_dot` / `graft_normsq`. */
+  * `spark.sql` users) should see `graft_dot` / `graft_normsq` — and the
+  * HofVectorize optimizer rule that rewrites the interpreted HOF spellings
+  * of those hot paths into the native codegen forms automatically. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     (VectorExprs.functions ++ Chunker.functions).foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => HofVectorize)
+  }
 }

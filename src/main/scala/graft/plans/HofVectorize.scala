@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.VectorExprs.{DotProduct, L2NormSq}
+
+/** Optimizer auto-vectorization: rewrites the canonical higher-order-function
+  * spellings of the vector hot paths into the engine's native codegen
+  * expressions, so a user who writes the idiomatic-but-interpreted
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)
+  *   aggregate(transform(a, x -> x * x),        0.0d, (acc, v) -> acc + v)
+  *
+  * gets `graft_dot(a, b)` / `graft_normsq(a)` — one primitive double loop
+  * inside whole-stage codegen instead of a per-element interpreted lambda
+  * (ArrayAggregate is CodegenFallback) — without changing a line of query
+  * code. Injected through `GraftExtensions.injectOptimizerRule`, the
+  * engine-extension layer beside the function registry.
+  *
+  * Safety: the rewrite fires only on the EXACT shape above with
+  * array<double> inputs and a 0.0 double seed. The native expressions
+  * accumulate strictly left-to-right in double — the same fold order as
+  * ArrayAggregate — and IEEE multiply/add are commutative in their operand
+  * pair, so accepting (x·y | y·x) and (acc+v | v+acc) cannot change a bit
+  * of the result. Null-element handling differs in one documented corner:
+  * the HOF propagates a null element into a null total, the native loop
+  * skips null elements — so the rewrite additionally requires
+  * `containsNull = false` on the array types (harness vectors; anything
+  * nullable keeps the HOF). HofVectorizeSpec asserts plan shape AND
+  * bit-identical results both ways.
+  */
+object HofVectorize extends Rule[LogicalPlan] {
+
+  private def nonNullDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  /** (x, y) -> x * y (either operand order), over exactly the two lambda
+    * args. */
+  private def isPairProduct(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(a: NamedLambdaVariable, b: NamedLambdaVariable, _),
+        Seq(p: NamedLambdaVariable, q: NamedLambdaVariable), _) =>
+      Set(a.exprId, b.exprId) == Set(p.exprId, q.exprId)
+    case _ => false
+  }
+
+  /** x -> x * x over the single lambda arg. */
+  private def isSquare(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(a: NamedLambdaVariable, b: NamedLambdaVariable, _),
+        Seq(p: NamedLambdaVariable), _) =>
+      a.exprId == p.exprId && b.exprId == p.exprId
+    case _ => false
+  }
+
+  /** (acc, v) -> acc + v (either order). */
+  private def isSumMerge(f: Expression): Boolean = f match {
+    case LambdaFunction(Add(a: NamedLambdaVariable, b: NamedLambdaVariable, _),
+        Seq(p: NamedLambdaVariable, q: NamedLambdaVariable), _) =>
+      Set(a.exprId, b.exprId) == Set(p.exprId, q.exprId)
+    case _ => false
+  }
+
+  /** acc -> acc (the identity finish `aggregate` builds without an
+    * explicit finish lambda). */
+  private def isIdentityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(a: NamedLambdaVariable, Seq(p: NamedLambdaVariable), _) =>
+      a.exprId == p.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(ZipWith(l, r, prod), Literal(0.0, DoubleType), merge, fin)
+          if nonNullDoubleArray(l) && nonNullDoubleArray(r) &&
+            isPairProduct(prod) && isSumMerge(merge) && isIdentityFinish(fin) =>
+        DotProduct(l, r)
+      case ArrayAggregate(ArrayTransform(a, sq), Literal(0.0, DoubleType), merge, fin)
+          if nonNullDoubleArray(a) &&
+            isSquare(sq) && isSumMerge(merge) && isIdentityFinish(fin) =>
+        L2NormSq(a)
+    }
+}

@@ -238,6 +238,22 @@ object Incremental {
     * the batch SQL (same µs arithmetic) the exact oracle. */
   def streamingJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
+    // State-store sizing: a symmetric stream-stream join keeps FOUR state
+    // stores per shuffle partition, and every micro-batch commits a delta
+    // file to each — store-count, not data volume, dominates at this
+    // state size. Production sizes stateful-join partitions to the state
+    // budget (the count is frozen into the checkpoint at first run
+    // anyway); 8 partitions = 32 stores instead of 128 for the same
+    // 600 k-row drain. Restored after the drain — batch queries keep the
+    // session default.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamingJoinDrain(spark, sfDir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def streamingJoinDrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
     val schema = spark.read
       .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
     def src = spark.readStream
