@@ -125,6 +125,9 @@ object SparkEntry {
     "q_audience_overlap"    -> Behavior.audienceOverlapQ _,
     "q_concentration"       -> Stats.concentrationQ _,
     "q_schema_merge"        -> Relational.schemaMergeQ _,
+    "q_session_paths"       -> Sessionize.sessionPathsQ _,
+    "q_stream_backfill"     -> graft.streaming.Incremental.streamBackfillQ _,
+    "q_spearman"            -> Stats.spearmanQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -291,5 +294,8 @@ object SparkEntry {
     "q_audience_overlap" -> Behavior.audienceOverlapOracle,
     "q_concentration"    -> Stats.concentrationOracle,
     "q_schema_merge"     -> Relational.schemaMergeOracle,
+    "q_session_paths"    -> Sessionize.sessionPathsOracle,
+    "q_stream_backfill"  -> graft.streaming.Incremental.streamBackfillOracle,
+    "q_spearman"         -> Stats.spearmanOracle,
   )
 }

@@ -127,4 +127,82 @@ object Sessionize {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
       |FROM cal c LEFT JOIN daily dl ON c.user_id = dl.user_id AND c.d = dl.d
       |ORDER BY c.user_id, c.d""".stripMargin
+
+  /** Journey prefix length and report size for `q_session_paths`. */
+  val PathLen = 5
+  val PathTopK = 20
+
+  /** `q_session_paths`: top user journeys — each session's first PathLen
+    * event types joined into a path string ("signup>view>purchase"), the
+    * PathTopK most common paths reported with their frequencies. The
+    * product-analytics view of the X70 transition matrix: whole prefixes
+    * instead of single hops.
+    *
+    * Plan: session assignment and the per-session event rank share the
+    * sessionize exchange — HashPartitioning(user_id) satisfies the
+    * (user_id, session_id) clustering, so ALL three windows and the
+    * prefix pivot run on ONE shuffle. The prefix is rank-bounded (rn ≤
+    * PathLen) BEFORE the pivot, so no session contributes more than
+    * PathLen rows, and the pivot is a fixed-width conditional-max
+    * aggregate — never a collected list. Path frequency is a two-phase
+    * count on the (types^PathLen)-bounded path domain; top-K via
+    * per-partition heap. */
+  def sessionPathsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val isNew = when(
+      lag(us, 1).over(byTime).isNull ||
+        (us - lag(us, 1).over(byTime)) > GapMicros, 1L).otherwise(0L)
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prefix = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("session_id", sum(isNew).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(bySession))
+      .filter(col("rn") <= PathLen)
+    val slots = (1 to PathLen).map(i =>
+      max(when(col("rn") === i, col("event_type"))).as(s"e$i"))
+    prefix
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(concat_ws(">", (1 to PathLen).map(i => col(s"e$i")): _*).as("path"))
+      .groupBy(col("path"))
+      .agg(Num.countStar.as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+  }
+
+  val sessionPathsOracle: String = {
+    val slots = (1 to PathLen)
+      .map(i => s"MAX(CASE WHEN rn = $i THEN event_type END) AS e$i")
+      .mkString(",\n       |    ")
+    val cols = (1 to PathLen).map(i => s"e$i").mkString(", ")
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${GapMicros}
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM marked
+       |), ranked AS (
+       |  SELECT user_id, session_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+       |                       ORDER BY ts, event_id) AS rn
+       |  FROM numbered
+       |), pfx AS (
+       |  SELECT user_id, session_id,
+       |    $slots
+       |  FROM ranked WHERE rn <= ${PathLen} GROUP BY 1, 2)
+       |SELECT concat_ws('>', $cols) AS path, COUNT(*) AS n
+       |FROM pfx GROUP BY 1
+       |ORDER BY n DESC, path LIMIT ${PathTopK}""".stripMargin
+  }
 }

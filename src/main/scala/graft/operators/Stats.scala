@@ -933,6 +933,71 @@ object Stats {
       |  CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT) AS hhi_den
       |FROM u GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** `q_spearman`: Spearman rank correlation between floor(value) and
+    * hour-of-day per event_type — the robust (monotone-invariant)
+    * dependence measure beside `q_linfit`'s linear fit, computed EXACTLY:
+    * tie-averaged ranks come from the X22 value-histogram pattern (avg
+    * rank of v, doubled to stay integral: r2 = 2·cum_prev + cnt + 1 over
+    * the distinct-value frame), the two domain-sized rank maps broadcast
+    * back onto the rows, and one two-phase aggregate folds the exact rank
+    * moment sums (n, Σx, Σy, Σxx, Σyy, Σxy over the doubled ranks).
+    * ρ = (n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²)) is the caller's
+    * one irrational op — everything emitted here is an exact BIGINT, so
+    * the gate is bit-exact where a float-rank implementation would drift.
+    *
+    * Plan: two histogram aggregates (domain-bounded), two broadcast
+    * joins, one data-sized moment fold — no window ever touches
+    * row-proportional input (the classic rank() implementation would
+    * total-sort each type through one reducer). */
+  def spearmanQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"),
+        hour(col("ts")).cast("long").as("h"))
+    def rank2(df: DataFrame, key: String, out: String): DataFrame = {
+      val byK = Window.partitionBy(col("event_type")).orderBy(col(key))
+      df.groupBy(col("event_type"), col(key))
+        .agg(Num.countStar.as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(byK))
+        .select(col("event_type"), col(key),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1).as(out))
+    }
+    base
+      .join(broadcast(rank2(base, "v", "rx")), Seq("event_type", "v"))
+      .join(broadcast(rank2(base, "h", "ry")), Seq("event_type", "h"))
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .orderBy(col("event_type"))
+  }
+
+  val spearmanOracle: String =
+    """WITH base AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+      |    CAST(hour(ts) AS BIGINT) AS h
+      |  FROM events),
+      |rv AS (
+      |  SELECT event_type, v,
+      |    2 * (SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) - cnt)
+      |      + cnt + 1 AS rx
+      |  FROM (SELECT event_type, v, COUNT(*) AS cnt FROM base GROUP BY 1, 2)),
+      |rh AS (
+      |  SELECT event_type, h,
+      |    2 * (SUM(cnt) OVER (PARTITION BY event_type ORDER BY h) - cnt)
+      |      + cnt + 1 AS ry
+      |  FROM (SELECT event_type, h, COUNT(*) AS cnt FROM base GROUP BY 1, 2))
+      |SELECT b.event_type, COUNT(*) AS n,
+      |  CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+      |  CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+      |  CAST(SUM(ry * ry) AS BIGINT) AS syy,
+      |  CAST(SUM(rx * ry) AS BIGINT) AS sxy
+      |FROM base b
+      |JOIN rv ON rv.event_type = b.event_type AND rv.v = b.v
+      |JOIN rh ON rh.event_type = b.event_type AND rh.h = b.h
+      |GROUP BY 1 ORDER BY b.event_type""".stripMargin
+
   val linfitOracle: String =
     """WITH t AS (
       |  SELECT event_type,

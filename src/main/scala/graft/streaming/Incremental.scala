@@ -312,4 +312,63 @@ object Incremental {
           UserCount(user, total)
       }
   }
+
+  /** Backfill boundary: history strictly before this date is served by the
+    * batch path, the tail from it onward by the streaming path. */
+  val BackfillCutoff = "2024-01-20"
+
+  /** `q_stream_backfill`: the kappa/lambda unification — one report served
+    * from BATCH history (days < cutoff) merged with a STREAMING drain of
+    * the tail (days ≥ cutoff), proving the two paths compose into exactly
+    * the all-data batch answer (the oracle is the plain SQL over
+    * everything). This is how a production pipeline bootstraps a streaming
+    * job: backfill the past with the batch engine, stream from the
+    * cutoff, and MERGE PARTIAL AGGREGATES — counts and sums re-aggregate
+    * by key, the algebraic-merge property that also powers X62's sketch
+    * rollup.
+    *
+    * Plan: batch leg is a filtered two-phase aggregate; streaming leg
+    * drains AvailableNow through a complete-mode grouped aggregate
+    * (partials per micro-batch merged by the state store — same algebra);
+    * the union re-aggregates a 2×|types| frame. The filters on both legs
+    * sit at the scans. */
+  def streamBackfillQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
+    val cut = lit(BackfillCutoff).cast("date")
+    val batch = graft.engine.Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) < cut)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value")).cast("long")).as("sum_v"))
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    val tail = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
+      .filter(to_date(col("ts")) >= cut)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value")).cast("long")).as("sum_v"))
+    val sinkName = "graft_backfill_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = tail.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batch.unionByName(spark.table(sinkName))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sum_v")).as("sum_floor_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamBackfillOracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 }

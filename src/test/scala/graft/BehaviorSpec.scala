@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Behavior, Sessionize, Stats}
+
+/** Semantic invariants of the behavioral/statistical report family — the
+  * properties that must hold on ANY input, checked on the harness data
+  * (cross-engine equality is the DuckDB gate's job; these pin meaning). */
+class BehaviorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("funnel stages are monotone: users >= signup >= view >= purchase") {
+    val r = Behavior.funnelQ(spark, sfDir).collect()(0)
+    val (users, s, v, p) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= s && s >= v && v >= p,
+      s"funnel not monotone: $users >= $s >= $v >= $p")
+    assert(p > 0, "harness data should convert some users end to end")
+  }
+
+  test("cohort retention: offset-0 cell equals the cohort's user count") {
+    val rows = Behavior.cohortRetentionQ(spark, sfDir).collect()
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (_, cells) =>
+      val zero = cells.find(_.getLong(1) == 0L)
+      assert(zero.isDefined, "every cohort is active in its first week")
+      val peak = cells.map(_.getLong(2)).max
+      assert(zero.get.getLong(2) == peak,
+        "offset-0 must be the cohort's maximum (everyone active at start)")
+    }
+  }
+
+  test("audience overlap is bounded by both audience sizes") {
+    Behavior.audienceOverlapQ(spark, sfDir).collect().foreach { r =>
+      val (ov, a, b) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ov > 0 && ov <= math.min(a, b), s"overlap $ov vs sizes $a/$b")
+    }
+  }
+
+  test("event paths: per-source edge counts sum to the source total") {
+    val rows = Behavior.eventPathsQ(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, edges) =>
+      assert(edges.map(_.getLong(2)).sum == edges.head.getLong(3))
+    }
+  }
+
+  test("session paths: frequencies positive, paths non-empty, limit respected") {
+    val rows = Sessionize.sessionPathsQ(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Sessionize.PathTopK)
+    assert(rows.forall(r => r.getString(0).nonEmpty && r.getLong(1) > 0))
+    // ordered by frequency desc
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("spearman sums satisfy rank algebra (Σ2r = n(n+1)) and |rho| <= 1") {
+    Stats.spearmanQ(spark, sfDir).collect().foreach { r =>
+      val n = r.getLong(1).toDouble
+      val (sx, sy) = (r.getLong(2), r.getLong(3))
+      // doubled tie-averaged ranks over n rows always sum to n(n+1)
+      assert(sx == (n * (n + 1)).toLong, s"sx $sx != n(n+1)")
+      assert(sy == (n * (n + 1)).toLong, s"sy $sy != n(n+1)")
+      val num = n * r.getLong(6) - sx.toDouble * sy
+      val dx = n * r.getLong(4) - sx.toDouble * sx
+      val dy = n * r.getLong(5) - sy.toDouble * sy
+      val rho = num / math.sqrt(dx * dy)
+      assert(rho.abs <= 1.0001, s"rho $rho out of range")
+    }
+  }
+
+  test("mad outliers: mad >= 0 and outliers < group size") {
+    Stats.madOutliersQ(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(3) >= 0) // mad
+      assert(r.getLong(4) < r.getLong(1)) // outliers < n_events
+    }
+  }
+}

@@ -42,6 +42,26 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rolling == recompute on random unicode strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val cpGen = Gen.frequency(
+      (8, Gen.choose(32, 126)), // ASCII
+      (2, Gen.choose(0x4e00, 0x4fff)), // CJK (BMP multibyte)
+      (1, Gen.const(0x1f600)), // emoji (surrogate pair)
+      (1, Gen.choose(0, 0x10)), // control chars
+    )
+    val strGen = Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, cpGen).map(cps =>
+        new String(cps.toArray, 0, cps.length)))
+    val prop = Prop.forAll(strGen) { s =>
+      val got = Chunker.boundaries(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until got.numElements()).map(got.getInt) == reference(s)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("boundary density is ~1/BoundaryMod on long mixed text") {
     val long = (0 until 20000)
       .map(i => ('a' + math.floorMod(scala.util.hashing.byteswap32(i), 26)).toChar)
