@@ -128,6 +128,8 @@ object SparkEntry {
     "q_session_paths"       -> Sessionize.sessionPathsQ _,
     "q_stream_backfill"     -> graft.streaming.Incremental.streamBackfillQ _,
     "q_spearman"            -> Stats.spearmanQ _,
+    "q_churn"               -> Behavior.churnQ _,
+    "q_ab_lift"             -> Behavior.abLiftQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -297,5 +299,7 @@ object SparkEntry {
     "q_session_paths"    -> Sessionize.sessionPathsOracle,
     "q_stream_backfill"  -> graft.streaming.Incremental.streamBackfillOracle,
     "q_spearman"         -> Stats.spearmanOracle,
+    "q_churn"            -> Behavior.churnOracle,
+    "q_ab_lift"          -> Behavior.abLiftOracle,
   )
 }

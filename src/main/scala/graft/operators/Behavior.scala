@@ -188,4 +188,91 @@ object Behavior {
       |FROM m JOIN s sa ON sa.event_type = m.type_a
       |       JOIN s sb ON sb.event_type = m.type_b
       |ORDER BY type_a, type_b""".stripMargin
+
+  /** `q_churn`: weekly churn/retention ledger — for each ISO week, how many
+    * of its active users stayed active the NEXT week vs. churned. The
+    * week-over-week set difference every growth dashboard tracks.
+    *
+    * Plan: the corpus folds to distinct (user, week) once; the
+    * week-vs-next comparison is a self left-join of that frame on
+    * (user, week+1) — both sides hash on user, weeks²-free (the join key
+    * includes the week, so state is one row per (user, week)); the ledger
+    * rollup is weeks-bounded. No window over row-proportional input. */
+  def churnQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"),
+        date_format(date_trunc("week", col("ts")) + expr("interval 7 days"),
+          "yyyy-MM-dd").as("wk_next"))
+      .distinct()
+    val nxt = uw.select(col("user_id"), col("wk").as("wk_next"))
+      .withColumn("active_next", lit(1L))
+    uw.join(nxt, Seq("user_id", "wk_next"), "left")
+      .groupBy(col("wk"))
+      .agg(Num.countStar.as("n_active"),
+        coalesce(sum(col("active_next")), lit(0L)).as("n_retained"),
+        (Num.countStar - coalesce(sum(col("active_next")), lit(0L)))
+          .as("n_churned"))
+      .orderBy(col("wk"))
+  }
+
+  val churnOracle: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+      |    strftime(date_trunc('week', ts) + INTERVAL 7 DAY, '%Y-%m-%d')
+      |      AS wk_next
+      |  FROM events)
+      |SELECT a.wk, COUNT(*) AS n_active,
+      |  CAST(COALESCE(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 END), 0)
+      |    AS BIGINT) AS n_retained,
+      |  COUNT(*) - CAST(COALESCE(SUM(CASE WHEN b.user_id IS NOT NULL
+      |    THEN 1 END), 0) AS BIGINT) AS n_churned
+      |FROM uw a LEFT JOIN uw b
+      |  ON b.user_id = a.user_id AND b.wk = a.wk_next
+      |GROUP BY 1 ORDER BY a.wk""".stripMargin
+
+  /** Experiment arms for the A/B report. */
+  val AbArms = 2
+
+  /** `q_ab_lift`: deterministic experiment readout — users hash-assigned
+    * to AbArms arms (the same split-by-hash discipline as X31's
+    * train/val/test split: assignment is a pure function of the id, stable
+    * across reruns and machines), each arm reporting exposed users,
+    * converters (≥1 purchase), and conversion events; the lift ratio's
+    * exact numerators/denominators, division left to the caller.
+    *
+    * Plan: ONE two-phase aggregate over (arm, user) then (arm) — the
+    * assignment is a narrow hash projection at the scan, never a join
+    * against an assignment table. */
+  def abLiftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val arm = pmod(
+      conv(substring(md5(concat(lit("ab"), col("user_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(AbArms))
+    Tables.events(spark, sfDir)
+      .select(arm.as("arm"), col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("is_conv"))
+      .groupBy(col("arm"), col("user_id"))
+      .agg(sum(col("is_conv")).as("conv_events"))
+      .groupBy(col("arm"))
+      .agg(Num.countStar.as("n_users"),
+        sum((col("conv_events") > 0).cast("long")).as("n_converters"),
+        sum(col("conv_events")).as("n_conversions"))
+      .orderBy(col("arm"))
+  }
+
+  val abLiftOracle: String =
+    s"""WITH t AS (
+       |  SELECT CAST(concat('0x', substr(md5('ab' || user_id), 1, 15))
+       |           AS BIGINT) % ${AbArms} AS arm,
+       |    user_id,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+       |  FROM events),
+       |u AS (SELECT arm, user_id, SUM(is_conv) AS conv_events
+       |      FROM t GROUP BY 1, 2)
+       |SELECT arm, COUNT(*) AS n_users,
+       |  CAST(SUM(CASE WHEN conv_events > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_converters,
+       |  CAST(SUM(conv_events) AS BIGINT) AS n_conversions
+       |FROM u GROUP BY 1 ORDER BY arm""".stripMargin
 }

@@ -312,6 +312,35 @@ class PlanSpec extends AnyFunSuite {
       s"bigram frame must be materialized and reused by both branches:\n$p")
   }
 
+  test("q_spearman windows rank histograms only; rank maps broadcast back") {
+    val p = plan("q_spearman")
+    assert(exchangeFedByAggregate(p, typeOnlyKey),
+      s"rank window input is not the aggregated histogram:\n$p")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2,
+      s"both rank maps should broadcast onto the rows:\n$p")
+  }
+
+  test("q_session_paths shares one user exchange across windows and pivot") {
+    val p = plan("q_session_paths")
+    val userExchanges = p.linesIterator
+      .count(_.matches(".*Exchange hashpartitioning\\(user_id#\\d+.*"))
+    assert(userExchanges == 1,
+      s"session windows + prefix pivot must share one exchange, saw $userExchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "path top-K should be a per-partition heap")
+  }
+
+  test("q_ab_lift assigns arms at the scan (no assignment-table join)") {
+    val p = plan("q_ab_lift")
+    assert(!p.contains("Join"), s"hash assignment must not join:\n$p")
+  }
+
+  test("q_churn joins the distinct week frame with equi hash joins only") {
+    val p = plan("q_churn")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"week-over-week comparison must stay an equi join:\n$p")
+  }
+
   test("q_embed_quantize encodes against a broadcast scale (no per-row join)") {
     val p = plan("q_embed_quantize")
     assert(p.contains("BroadcastNestedLoopJoin"),
