@@ -130,6 +130,8 @@ object SparkEntry {
     "q_spearman"            -> Stats.spearmanQ _,
     "q_churn"               -> Behavior.churnQ _,
     "q_ab_lift"             -> Behavior.abLiftQ _,
+    "q_csv_roundtrip"       -> Relational.csvRoundtripQ _,
+    "q_corrupt_audit"       -> Relational.corruptAuditQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -301,5 +303,7 @@ object SparkEntry {
     "q_spearman"         -> Stats.spearmanOracle,
     "q_churn"            -> Behavior.churnOracle,
     "q_ab_lift"          -> Behavior.abLiftOracle,
+    "q_csv_roundtrip"    -> Relational.csvRoundtripOracle,
+    "q_corrupt_audit"    -> Relational.corruptAuditOracle,
   )
 }

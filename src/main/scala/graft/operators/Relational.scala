@@ -346,4 +346,80 @@ object Relational {
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
        |    AS total_price
        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
+  /** `q_csv_roundtrip`: the CSV source/sink leg of the format matrix
+    * (parquet and JSON are exercised throughout; CSV is the interchange
+    * format every warehouse still ingests). Orders round-trip through a
+    * header CSV with an EXPLICIT read schema (header inference is a full
+    * extra pass at 100 TB — schema-on-read is the production discipline),
+    * then roll up per status. Doubles survive textually via Java's
+    * shortest-roundtrip formatting; the money sum re-enters decimal after
+    * the trip, so the gate proves the whole codec path is lossless. */
+  def csvRoundtripQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+      java.util.UUID.randomUUID().toString
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .write.option("header", "true").mode("overwrite").csv(path)
+    spark.read
+      .option("header", "true")
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, d STRING")
+      .csv(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(Num.countStar.as("n"),
+        Num.sumMoney(col("o_totalprice")).as("total_price"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val csvRoundtripOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+      |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  /** Corruption rule for the permissive-read audit fixture. */
+  val CorruptMod = 23
+
+  /** `q_corrupt_audit`: PERMISSIVE JSON ingestion with a corrupt-record
+    * column — the poison-row reality of any 100 TB raw-zone ingest: bad
+    * rows must neither kill the job (FAILFAST) nor vanish silently
+    * (DROPMALFORMED); they land in `_corrupt_record` and are COUNTED into
+    * a quarantine ledger beside the good-row rollup. The fixture derives
+    * deterministically from orders (every CorruptMod-th key written as a
+    * broken line), so DuckDB states the expected ledger from the rule.
+    * One narrow scan; the audit is a single global aggregate. */
+  def corruptAuditQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_corrupt_" +
+      java.util.UUID.randomUUID().toString
+    Tables.orders(spark, sfDir)
+      .select(
+        when(col("o_orderkey") % CorruptMod === 0, lit("{\"o_orderkey\": BROKEN"))
+          .otherwise(to_json(struct(col("o_orderkey"), col("o_totalprice"))))
+          .as("value"))
+      .write.mode("overwrite").text(path)
+    spark.read
+      .schema("o_orderkey LONG, o_totalprice DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .agg(Num.countStar.as("n_rows"),
+        count(col("_corrupt_record")).as("n_quarantined"),
+        count(col("o_orderkey")).as("n_good"),
+        Num.sumMoney(col("o_totalprice")).as("good_total"))
+  }
+
+  val corruptAuditOracle: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN o_orderkey % ${CorruptMod} = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_quarantined,
+       |  CAST(SUM(CASE WHEN o_orderkey % ${CorruptMod} = 0 THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_good,
+       |  CAST(SUM(CASE WHEN o_orderkey % ${CorruptMod} <> 0
+       |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+       |    AS good_total
+       |FROM orders""".stripMargin
 }
