@@ -132,6 +132,7 @@ object SparkEntry {
     "q_ab_lift"             -> Behavior.abLiftQ _,
     "q_csv_roundtrip"       -> Relational.csvRoundtripQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
+    "q_twap"                -> Stats.twapQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -305,5 +306,6 @@ object SparkEntry {
     "q_ab_lift"          -> Behavior.abLiftOracle,
     "q_csv_roundtrip"    -> Relational.csvRoundtripOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
+    "q_twap"             -> Stats.twapOracle,
   )
 }

@@ -998,6 +998,60 @@ object Stats {
       |JOIN rh ON rh.event_type = b.event_type AND rh.h = b.h
       |GROUP BY 1 ORDER BY b.event_type""".stripMargin
 
+  /** `q_twap`: time-weighted average — the metric that de-biases
+    * irregular sampling (a value that held for 6 hours must outweigh one
+    * that held for 6 seconds; the plain AVG the naive report would take is
+    * wrong whenever arrival rate correlates with level — the classic
+    * finance/metrics trap). Per (user, day): each event's floored value
+    * weighted by its exact microsecond holding time (gap to the next
+    * event that day; the day's last observation closes at the day end),
+    * emitted as the exact integer (Σ v·Δt, Σ Δt) pair — the division is
+    * the caller's, the gate stays bit-exact.
+    *
+    * Plan: one lead() over the per-user ordered window (fine-grained
+    * partitions), then a two-phase (user, day) aggregate sharing the same
+    * user-hash exchange. BIGINT holds v·Δt to ~10¹⁵ µs·unit comfortably;
+    * decimal beyond, as documented for X72. */
+  def twapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val dayEndUs = unix_micros(
+      date_trunc("day", col("ts")) + expr("interval 1 day"))
+    val nextUs = lead(us, 1).over(byUser)
+    val holdUs = when(
+      nextUs.isNotNull && (nextUs < dayEndUs), nextUs - us)
+      .otherwise(dayEndUs - us)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value")).cast("long").as("v"))
+      .withColumn("hold_us", holdUs)
+      .groupBy(col("user_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(Num.countStar.as("n_obs"),
+        sum(col("v") * col("hold_us")).as("twap_num"),
+        sum(col("hold_us")).as("twap_den"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val twapOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, CAST(floor(value) AS BIGINT) AS v,
+      |    epoch_us(ts) AS us,
+      |    epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS day_end_us,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id) AS next_us
+      |  FROM events),
+      |h AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, v,
+      |    CASE WHEN next_us IS NOT NULL AND next_us < day_end_us
+      |         THEN next_us - us ELSE day_end_us - us END AS hold_us
+      |  FROM t)
+      |SELECT user_id, strftime(d, '%Y-%m-%d') AS day, COUNT(*) AS n_obs,
+      |  CAST(SUM(v * hold_us) AS BIGINT) AS twap_num,
+      |  CAST(SUM(hold_us) AS BIGINT) AS twap_den
+      |FROM h GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
+
   val linfitOracle: String =
     """WITH t AS (
       |  SELECT event_type,
