@@ -133,6 +133,7 @@ object SparkEntry {
     "q_csv_roundtrip"       -> Relational.csvRoundtripQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
     "q_twap"                -> Stats.twapQ _,
+    "q_unpivot"             -> Aggregates.unpivotQ _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -307,5 +308,6 @@ object SparkEntry {
     "q_csv_roundtrip"    -> Relational.csvRoundtripOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
     "q_twap"             -> Stats.twapOracle,
+    "q_unpivot"          -> Aggregates.unpivotOracle,
   )
 }

@@ -285,4 +285,41 @@ object Aggregates {
        |JOIN bc cb ON cb.b = brand_b, n
        |ORDER BY support DESC, brand_a, brand_b
        |LIMIT ${BasketTopK}""".stripMargin
+
+  /** `q_unpivot`: UNPIVOT/melt — the inverse of `q_pivot` and the other
+    * half of the reshape pair: a wide per-returnflag metrics row (3
+    * aggregates) melts to long (flag, metric, value) form via the native
+    * `Dataset.unpivot` operator — the shape metric stores and chart
+    * layers ingest.
+    *
+    * Plan: one two-phase aggregate builds the wide frame (flags-bounded),
+    * then unpivot is a narrow Expand projection (×metrics) over that tiny
+    * frame — the row multiplication happens AFTER aggregation, so it costs
+    * |flags|·|metrics| rows, not |data|·|metrics|. */
+  def unpivotQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        Num.countStar.as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("n_rows"), col("n_parts")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val unpivotOracle: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    COUNT(*) AS n_rows,
+      |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'n_rows', n_rows FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'n_parts', n_parts FROM w
+      |ORDER BY l_returnflag, metric""".stripMargin
 }

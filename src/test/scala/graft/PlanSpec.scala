@@ -341,6 +341,26 @@ class PlanSpec extends AnyFunSuite {
       s"week-over-week comparison must stay an equi join:\n$p")
   }
 
+  test("q_twap shares the user exchange between the lead window and rollup") {
+    val p = plan("q_twap")
+    val userExchanges = p.linesIterator
+      .count(_.matches(".*Exchange hashpartitioning\\(user_id#\\d+.*"))
+    assert(userExchanges == 1,
+      s"lead window and (user, day) rollup must share one exchange:\n$p")
+  }
+
+  test("q_unpivot expands AFTER aggregation (flags-bounded, not data-sized)") {
+    val p = plan("q_unpivot")
+    val lines = p.linesIterator.toVector
+    val expand = lines.indexWhere(_.contains("Expand"))
+    assert(expand >= 0, s"native unpivot should plan an Expand:\n$p")
+    val below = lines.drop(expand + 1)
+    val agg = below.indexWhere(_.contains("HashAggregate"))
+    val scan = below.indexWhere(_.contains("Scan parquet"))
+    assert(agg >= 0 && (scan < 0 || agg < scan),
+      s"Expand must consume the aggregated frame, not the scan:\n$p")
+  }
+
   test("q_embed_quantize encodes against a broadcast scale (no per-row join)") {
     val p = plan("q_embed_quantize")
     assert(p.contains("BroadcastNestedLoopJoin"),
