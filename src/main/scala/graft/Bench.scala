@@ -11,6 +11,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // STATIC conf, default 100: the generated-class cache. 115 plans ×
+      // several codegen stages each ≈ 400+ classes, so at the default the
+      // sf0.001 warmup sweep evicts early entries and the timed run itself
+      // thrashes — queries re-pay Janino compilation mid-bench (r5: four
+      // unchanged queries regressed 2-3×; TimeQuery isolation matched r4).
+      // A long-lived cluster job holds its handful of plans resident; the
+      // bench should model that steady state, not cache-eviction churn.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
@@ -56,12 +64,17 @@ object Bench {
     // streaming queries are run-unique (UUID paths/sinks), so the extra
     // pass is side-effect-safe.
     val warmSf = "/root/testdata/sf0.001"
+    val warmT0 = System.nanoTime()
     if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmSf).count() catch { case _: Throwable => () }
       }
       try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
+    // Reported so environment drift is self-documenting round-over-round:
+    // the sweep runs identical work every round, so its time is a pure
+    // machine-load/JVM barometer independent of the timed numbers.
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -85,20 +98,24 @@ object Bench {
       }.sorted
       name -> ts(1)
     }
-    // The driver captures only the LAST 2000 chars of output, and at ~90
-    // queries the per-query map alone approaches that. Key order makes the
-    // line truncation-proof: the map comes FIRST and the scalar fields
-    // (value/unit/sf/n_queries) LAST, so if the tail ever cuts the line it
-    // eats map entries at the head, never the total.
+    // The driver captures only the LAST 2000 chars of output; at 115
+    // queries the full per-query map alone exceeds that (r5's line was cut
+    // mid-map and failed to parse). So: the FULL map goes to a file read
+    // whole, and stdout gets exactly ONE short final JSON line — total,
+    // warmup barometer, the slowest 10, and the slowest-5 medians — that
+    // always fits the tail.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
-    val meds = medians.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def jmap(m: Seq[(String, Double)], f: Double => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"slowest5_median","unit":"sec","queries":$meds}""")
-    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"value":${f3(total)},"unit":"sec"}""")
+    val fullPath = "/root/repo/BENCH_FULL.json"
+    val fullJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_sec":${f2(warmupSec)},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
+    catch { case _: Throwable => () }
+    val slowest10 = results.toSeq.sortBy(-_._2).take(10)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_sec":${f2(warmupSec)},"full_map":"$fullPath","queries":${jmap(slowest10, f2)},"slowest5_median":${jmap(medians, f3)}}""")
     spark.stop()
   }
 }

@@ -31,8 +31,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 object VectorExprs {
 
-  /** Left-to-right Σ aᵢ·bᵢ over two double arrays (null elements skipped,
-    * shorter length wins — harness vectors are fixed 64-dim). */
+  /** Left-to-right Σ aᵢ·bᵢ over two double arrays (null elements skipped;
+    * UNEQUAL lengths → NULL, matching the HOF `aggregate(zip_with(...))`
+    * contract where zip_with null-pads the shorter side and the fold
+    * propagates that null into a null total — the HofVectorize rewrite must
+    * not turn a ragged pair's NULL into a finite partial sum). */
   private def isDoubleArray(dt: DataType): Boolean = dt match {
     case ArrayType(DoubleType, _) => true
     case _ => false
@@ -48,11 +51,14 @@ object VectorExprs {
         s"graft_dot expects (array<double>, array<double>), " +
           s"got (${left.dataType}, ${right.dataType}) — cast at the call site")
     override def dataType: DataType = DoubleType
+    // Null on length mismatch even when both inputs are non-null.
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_dot"
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-      val n = math.min(x.numElements(), y.numElements())
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var sum = 0.0
       var i = 0
       while (i < n) {
@@ -67,14 +73,18 @@ object VectorExprs {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val (n, i, sum) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("sum"))
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $sum = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-           |    $sum += $a.getDouble($i) * $b.getDouble($i);
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $sum = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |      $sum += $a.getDouble($i) * $b.getDouble($i);
+           |    }
            |  }
+           |  ${ev.value} = $sum;
            |}
-           |${ev.value} = $sum;
          """.stripMargin
       })
 

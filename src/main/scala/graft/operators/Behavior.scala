@@ -155,8 +155,11 @@ object Behavior {
     * rollup is bounded by types². The per-type audience sizes come from
     * the same distinct frame and broadcast onto the matrix. */
   def audienceOverlapQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val tu = Tables.events(spark, sfDir)
-      .select(col("event_type"), col("user_id")).distinct()
+    // Three consumers (both self-join sides + the sizes rollup) —
+    // materialize the distinct frame once instead of re-folding events.
+    val tu = graft.engine.Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), col("user_id")).distinct())
     val sizes = tu.groupBy(col("event_type"))
       .agg(Num.countStar.as("n_users"))
     tu.as("a").join(tu.as("b"),
@@ -197,7 +200,12 @@ object Behavior {
     * week-vs-next comparison is a self left-join of that frame on
     * (user, week+1) — both sides hash on user, weeks²-free (the join key
     * includes the week, so state is one row per (user, week)); the ledger
-    * rollup is weeks-bounded. No window over row-proportional input. */
+    * rollup is weeks-bounded. No window over row-proportional input.
+    *
+    * The newest week is RIGHT-CENSORED — no following week exists yet, so
+    * its retention is unknowable, not zero. It is excluded from the ledger
+    * (the max week still contributes as the "next week" of its
+    * predecessor) rather than reported as a misleading 100%-churn row. */
   def churnQ(spark: SparkSession, sfDir: String): DataFrame = {
     val uw = Tables.events(spark, sfDir)
       .select(col("user_id"),
@@ -207,7 +215,11 @@ object Behavior {
       .distinct()
     val nxt = uw.select(col("user_id"), col("wk").as("wk_next"))
       .withColumn("active_next", lit(1L))
+    // 1-row broadcast of the censoring horizon; no driver-side action.
+    val horizon = uw.agg(max(col("wk")).as("max_wk"))
     uw.join(nxt, Seq("user_id", "wk_next"), "left")
+      .join(broadcast(horizon))
+      .filter(col("wk") < col("max_wk"))
       .groupBy(col("wk"))
       .agg(Num.countStar.as("n_active"),
         coalesce(sum(col("active_next")), lit(0L)).as("n_retained"),
@@ -230,6 +242,7 @@ object Behavior {
       |    THEN 1 END), 0) AS BIGINT) AS n_churned
       |FROM uw a LEFT JOIN uw b
       |  ON b.user_id = a.user_id AND b.wk = a.wk_next
+      |WHERE a.wk < (SELECT MAX(wk) FROM uw)
       |GROUP BY 1 ORDER BY a.wk""".stripMargin
 
   /** Experiment arms for the A/B report. */

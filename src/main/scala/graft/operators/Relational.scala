@@ -127,15 +127,16 @@ object Relational {
   /** S5/D1 `q_sink_partitioned`: date-partitioned sink + slice overwrite +
     * re-read (the blob layout raw/YYYY/MM/DD at
     * src/youtube_collector.py:198-239 and the DELETE-today-then-reinsert
-    * daily refresh at src/snowflake_loader.py:136-155). Hermetic: the output
-    * dir is unique per invocation (no state survives across runs). The query
+    * daily refresh at src/snowflake_loader.py:136-155). Hermetic: step 1's
+    * static-mode overwrite clears the whole fixture dir, so the fixed
+    * per-sf path carries no state across runs (and re-runs don't leak a
+    * fresh orders-sized directory each iteration). The query
     * 1) writes all years partitioned by `yr`, 2) dynamically overwrites ONLY
     * the latest year's slice (the "refresh today" semantics — other
     * partitions must survive untouched), 3) reads back and aggregates per
     * partition, verifying layout + slice-replacement end-to-end. */
   def sinkPartitionedQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orders_" +
-      java.util.UUID.randomUUID().toString
+    val path = fixturePath("sink_orders", sfDir)
     val orders = Tables.orders(spark, sfDir)
       .withColumn("yr", year(col("o_orderdate")).cast("long"))
     orders.write.mode("overwrite")
@@ -305,6 +306,16 @@ object Relational {
     * this year were written by the "v1" producer (narrow schema). */
   val SchemaV2Year = 1995
 
+  /** Deterministic fixture directory per (query, input-sf): re-runs
+    * overwrite in place instead of leaking a fresh UUID-named orders-sized
+    * directory into tmpdir on every correctness/bench iteration. The sf
+    * token keeps concurrent-sf runs (warmup at sf0.001 vs timed sf0.1)
+    * from clobbering each other's fixtures. */
+  private def fixturePath(tag: String, sfDir: String): String = {
+    val sfTok = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_fix_${tag}_$sfTok"
+  }
+
   /** `q_schema_merge`: schema evolution across file generations — the
     * staging reality every long-lived warehouse scan faces: an old
     * producer wrote files WITHOUT a column, a new producer added it, and
@@ -319,8 +330,7 @@ object Relational {
     * two-phase hash aggregate. At 100 TB this is the zero-cost backfill
     * answer: no old file is touched when a column lands. */
   def schemaMergeQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_schema_gen_" +
-      java.util.UUID.randomUUID().toString
+    val path = fixturePath("schema_gen", sfDir)
     val orders = Tables.orders(spark, sfDir)
       .withColumn("yr", year(col("o_orderdate")))
     orders.filter(col("yr") < SchemaV2Year)
@@ -356,8 +366,7 @@ object Relational {
     * shortest-roundtrip formatting; the money sum re-enters decimal after
     * the trip, so the gate proves the whole codec path is lossless. */
   def csvRoundtripQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-      java.util.UUID.randomUUID().toString
+    val path = fixturePath("csv", sfDir)
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
@@ -393,8 +402,7 @@ object Relational {
     * broken line), so DuckDB states the expected ledger from the rule.
     * One narrow scan; the audit is a single global aggregate. */
   def corruptAuditQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_corrupt_" +
-      java.util.UUID.randomUUID().toString
+    val path = fixturePath("corrupt", sfDir)
     Tables.orders(spark, sfDir)
       .select(
         when(col("o_orderkey") % CorruptMod === 0, lit("{\"o_orderkey\": BROKEN"))

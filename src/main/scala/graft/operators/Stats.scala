@@ -950,9 +950,12 @@ object Stats {
     * row-proportional input (the classic rank() implementation would
     * total-sort each type through one reducer). */
   def spearmanQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.events(spark, sfDir)
-      .select(col("event_type"), floor(col("value")).cast("long").as("v"),
-        hour(col("ts")).cast("long").as("h"))
+    // Three consumers (two rank2 histograms + the moment fold) — materialize
+    // once so the events scan/projection doesn't run three times.
+    val base = graft.engine.Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"),
+          hour(col("ts")).cast("long").as("h")))
     def rank2(df: DataFrame, key: String, out: String): DataFrame = {
       val byK = Window.partitionBy(col("event_type")).orderBy(col(key))
       df.groupBy(col("event_type"), col(key))

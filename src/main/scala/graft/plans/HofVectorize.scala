@@ -28,7 +28,10 @@ import graft.functions.VectorExprs.{DotProduct, L2NormSq}
   * the HOF propagates a null element into a null total, the native loop
   * skips null elements — so the rewrite additionally requires
   * `containsNull = false` on the array types (harness vectors; anything
-  * nullable keeps the HOF). HofVectorizeSpec asserts plan shape AND
+  * nullable keeps the HOF). Unequal lengths need no schema guard because
+  * DotProduct itself returns NULL on length mismatch — the same value the
+  * HOF produces when zip_with null-pads the shorter array (jagged case in
+  * HofVectorizeSpec). HofVectorizeSpec asserts plan shape AND
   * bit-identical results both ways.
   */
 object HofVectorize extends Rule[LogicalPlan] {

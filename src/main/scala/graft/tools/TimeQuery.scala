@@ -24,11 +24,15 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[timeq] $name rep$i ${(System.nanoTime() - t0) / 1e9}%7.3f s ($n rows)")
+    // Comma-separated names time several queries in one JVM (shared warmup).
+    name.split(',').foreach { nm =>
+      val fn = SparkEntry.queries(nm)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[timeq] $nm rep$i ${(System.nanoTime() - t0) / 1e9}%7.3f s ($n rows)")
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+      }
     }
     spark.stop()
   }

@@ -51,6 +51,21 @@ class HofVectorizeSpec extends AnyFunSuite {
     }
   }
 
+  test("jagged (unequal-length) arrays: native matches the HOF's NULL") {
+    // zip_with null-pads the shorter array, so the HOF fold returns NULL;
+    // DotProduct must return NULL too — not a truncated partial sum.
+    val jagged = spark.range(3).select(col("id"),
+      array((col("id") + 1).cast("double"), lit(2.0), lit(3.0)).as("a"),
+      array(lit(0.5), (col("id") + 4).cast("double")).as("b"))
+    val rows = jagged.select(
+      hofDot.as("hof"),
+      graft.functions.VectorExprs.dot(col("a"), col("b")).as("native")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0), "HOF over jagged arrays should be NULL")
+      assert(r.isNullAt(1), "native dot over jagged arrays should be NULL")
+    }
+  }
+
   test("near-miss shapes are left alone") {
     // wrong seed (1.0), subtraction merge, and a sum-of-elements (no
     // product) must all stay HOFs
