@@ -42,12 +42,14 @@ object Graph {
     * node has out-edges, so no dangling-mass redistribution is needed and
     * rank mass is conserved up to quantization. */
   def pagerankQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, sfDir)
-      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    val edges = Materialize.diskBacked(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    // pairs feeds BOTH union sides of the symmetric edge set — materialized
+    // once so the lineitem distinct doesn't run twice.
+    val pairs = Materialize.diskBacked(
+      Tables.lineitem(spark, sfDir)
+        .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct())
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     // The out-degree joins EVERY round, so it is pre-joined onto the edge
     // table ONCE and the result persisted PRE-PARTITIONED on src: the
     // cached relation keeps its HashPartitioning, so each round's
@@ -59,14 +61,17 @@ object Graph {
     // executed as one job, with no per-round action barrier (that barrier
     // is what CC pays for its fixpoint check; a truncated power method
     // doesn't need it).
-    val deg = edges.groupBy(col("src")).agg(Num.countStar.as("outdeg"))
+    //
+    // deg doubles as the NODE SET (its keys are exactly the nodes: the
+    // graph is symmetric, so src values cover every endpoint) — one
+    // node-sized materialization instead of separate edges + nodes caches.
+    val deg = Materialize.diskBacked(
+      edges.groupBy(col("src")).agg(Num.countStar.as("outdeg")))
     val edgesDeg = Materialize.diskBacked(
       edges.join(deg, Seq("src")).repartition(col("src")))
-    val nodes = Materialize.diskBacked(
-      edges.select(col("src")).distinct().select(col("src").as("node")))
-    val nRow = nodes.agg(Num.countStar.cast("double").as("n"))
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    val nRow = deg.agg(Num.countStar.cast("double").as("n"))
+    var ranks = deg.crossJoin(broadcast(nRow))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -74,12 +79,16 @@ object Graph {
           floor(col("r") / col("outdeg") * lit(1e12) + lit(0.5))
             .cast(DecimalType(28, 0)).as("qc"))
         .groupBy(col("node")).agg(sum(col("qc")).as("qsum"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      // No resurrection join against the node set: symmetry gives every
+      // node in-degree ≥ 1, so contrib's key set IS the node set and the
+      // damping update is a pure projection (the left-join the general
+      // algorithm needs only revives zero-in-degree nodes, which this
+      // graph cannot have).
+      ranks = contrib
         .crossJoin(broadcast(nRow))
         .select(col("node"),
           (lit(0.15) / col("n") + lit(0.85) *
-            (coalesce(col("qsum").cast("double"), lit(0.0)) / lit(1e12)))
-            .as("r"))
+            (col("qsum").cast("double") / lit(1e12))).as("r"))
     }
     ranks.orderBy(col("r").desc, col("node").asc).limit(PrTopK)
       .select(col("node"), col("r"))
@@ -168,19 +177,29 @@ object Graph {
     // canonical undirected edge set (u < v) — feeds degree counting,
     // orientation, AND the closing-edge probe, so it is materialized once
     val edges = Materialize.diskBacked(rawEdges)
-    // orientation rank = (degree, id): lower endpoint -> higher endpoint
-    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orientation rank = (degree, id): lower endpoint -> higher endpoint.
+    // deg is node-sized and MATERIALIZED so the cache's accurate size
+    // statistics let Catalyst pick broadcast joins for the two orientation
+    // lookups when the node set is small (the un-cached aggregate's
+    // estimate is too pessimistic to broadcast) — while staying a plain
+    // shuffle join when a billion-node graph makes broadcast impossible.
+    val deg = Materialize.diskBacked(
+      edges.select(col("u").as("n")).unionAll(edges.select(col("v")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d")))
     val ranked = edges
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    // Pre-partitioned on the wedge apex before caching: InMemoryRelation
+    // preserves the HashPartitioning, so NEITHER side of the self-join
+    // below needs an exchange (same discipline as pagerank's edgesDeg).
     val oriented = Materialize.diskBacked(ranked.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("u"))
         .otherwise(col("v")).as("src"),
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("v"))
-        .otherwise(col("u")).as("dst")))
+        .otherwise(col("u")).as("dst"))
+      .repartition(col("src")))
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
       .filter(col("e1.dst") < col("e2.dst"))
