@@ -134,6 +134,68 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Left-to-right Σ (aᵢ−bᵢ)² — pairwise squared L2 distance, the PQ
+    * encode/ADC inner loop (X55). Same contracts as DotProduct: null
+    * elements skipped, UNEQUAL lengths → NULL (the HOF
+    * `aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)),0.0,+)` it replaces
+    * null-pads and folds to null). (x−y)² is a single-rounded IEEE
+    * multiply of an exact-negation pair, so the fold is bit-identical to
+    * the HOF and the DuckDB list_reduce with the same operand order. */
+  case class L2DistSq(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq expects (array<double>, array<double>), " +
+          s"got (${left.dataType}, ${right.dataType}) — cast at the call site")
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_l2sq"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i)) {
+          val d = x.getDouble(i) - y.getDouble(i)
+          sum += d * d
+        }
+        i += 1
+      }
+      sum
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (n, i, sum, d) = (ctx.freshName("n"), ctx.freshName("i"),
+          ctx.freshName("sum"), ctx.freshName("d"))
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $sum = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |      double $d = $a.getDouble($i) - $b.getDouble($i);
+           |      $sum += $d * $d;
+           |    }
+           |  }
+           |  ${ev.value} = $sum;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): L2DistSq =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** 32-bit SimHash over an array of non-negative token hashes: bit j is
     * set iff Σ_tokens (((h >> j) & 1)·2 − 1) > 0 — identical to the
     * interpreted HOF formulation in TextAnalysis and the DuckDB oracle's
@@ -216,6 +278,9 @@ object VectorExprs {
     (FunctionIdentifier("graft_normsq"),
       new ExpressionInfo(classOf[L2NormSq].getName, "graft_normsq"),
       (es: Seq[Expression]) => L2NormSq(es(0))),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2DistSq].getName, "graft_l2sq"),
+      (es: Seq[Expression]) => L2DistSq(es(0), es(1))),
     (FunctionIdentifier("graft_multi_contains_count"),
       new ExpressionInfo(classOf[MultiContainsCount].getName,
         "graft_multi_contains_count"),
@@ -237,6 +302,8 @@ object VectorExprs {
     call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
   def normSq(a: Column): Column =
     call_function("graft_normsq", a.cast("array<double>"))
+  def l2DistSq(a: Column, b: Column): Column =
+    call_function("graft_l2sq", a.cast("array<double>"), b.cast("array<double>"))
   def simhash32(tokenHashes: Column): Column =
     call_function("graft_simhash32", tokenHashes)
   /** Aho-Corasick lexicon containment count (see graft.functions.AhoCorasick);

@@ -344,18 +344,26 @@ object Similarity {
   // corpus-sized shuffle carries vectors — only (ids, longs).
   // ------------------------------------------------------------------
 
-  /** Subspace count (64-dim embeddings → 4×16). */
-  val PqM = 4
+  /** Subspace count (64-dim embeddings → 16×4). Finer subspaces + a larger
+    * codebook than the classic 4×16/8 demo shape: with a random-sample
+    * codebook (deterministic stand-in for k-means), 16-dim cells quantize
+    * the harness's unstructured vectors so coarsely that ADC ranking was
+    * measured near-random (recall@3 = 0.00 vs exact L2; SimilaritySpec).
+    * 4-dim cells × 32 codewords lift recall@3 to 0.20 on data whose
+    * neighbor margins sit barely above the cosine bulk (no cluster
+    * structure to exploit) — the honest ceiling for one-stage ADC here.
+    * Encode flops rise 4× but run in the native L2DistSq codegen loop. */
+  val PqM = 16
   /** Dims per subspace. */
-  val PqSubDim = 16
+  val PqSubDim = 4
   /** Codebook entries per subspace. */
-  val PqCodebook = 8
+  val PqCodebook = 32
 
-  /** Pinned-order L2² between two PqSubDim-dim slices: left fold of
-    * (x-y)² — same shape as the oracle's list_reduce. */
+  /** Pinned-order L2² between two PqSubDim-dim slices — the native codegen
+    * expression (bit-identical to the HOF fold and the oracle's
+    * list_reduce; see VectorExprs.L2DistSq). */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
-      (acc, v) => acc + v)
+    VectorExprs.l2DistSq(a, b)
 
   /** (vec_id, m, sub) subvector rows of a (vec_id, emb) frame. */
   private def subRows(df: DataFrame): DataFrame =
@@ -365,6 +373,7 @@ object Similarity {
         expr(s"slice(emb, m * $PqSubDim + 1, $PqSubDim)").as("sub"))
 
   def annPqQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
     val subs = subRows(emb)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.VectorExprs.{DotProduct, L2NormSq}
+import graft.functions.VectorExprs.{DotProduct, L2DistSq, L2NormSq}
 
 /** Optimizer auto-vectorization: rewrites the canonical higher-order-function
   * spellings of the vector hot paths into the engine's native codegen
@@ -50,6 +50,19 @@ object HofVectorize extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** (x, y) -> (x - y) * (x - y): both factors the SAME subtraction (either
+    * operand orientation — (x−y)² ≡ (y−x)² exactly: IEEE negation is exact
+    * and the square is a single rounding either way). */
+  private def isPairDiffSquare(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(
+        Subtract(a1: NamedLambdaVariable, b1: NamedLambdaVariable, _),
+        Subtract(a2: NamedLambdaVariable, b2: NamedLambdaVariable, _), _),
+        Seq(p: NamedLambdaVariable, q: NamedLambdaVariable), _) =>
+      a1.exprId == a2.exprId && b1.exprId == b2.exprId &&
+        Set(a1.exprId, b1.exprId) == Set(p.exprId, q.exprId)
+    case _ => false
+  }
+
   /** x -> x * x over the single lambda arg. */
   private def isSquare(f: Expression): Boolean = f match {
     case LambdaFunction(Multiply(a: NamedLambdaVariable, b: NamedLambdaVariable, _),
@@ -84,5 +97,9 @@ object HofVectorize extends Rule[LogicalPlan] {
           if nonNullDoubleArray(a) &&
             isSquare(sq) && isSumMerge(merge) && isIdentityFinish(fin) =>
         L2NormSq(a)
+      case ArrayAggregate(ZipWith(l, r, dsq), Literal(0.0, DoubleType), merge, fin)
+          if nonNullDoubleArray(l) && nonNullDoubleArray(r) &&
+            isPairDiffSquare(dsq) && isSumMerge(merge) && isIdentityFinish(fin) =>
+        L2DistSq(l, r)
     }
 }

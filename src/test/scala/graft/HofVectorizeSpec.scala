@@ -51,6 +51,22 @@ class HofVectorizeSpec extends AnyFunSuite {
     }
   }
 
+  test("L2-distance HOF rewrites to graft_l2sq, bit-identical") {
+    val hofL2 = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val opt = vecs.select(hofL2.as("d"))
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_l2sq"), s"l2sq not vectorized:\n$opt")
+    val rows = vecs.select(hofL2.as("hof"),
+      graft.functions.VectorExprs.l2DistSq(col("a"), col("b")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("jagged (unequal-length) arrays: native matches the HOF's NULL") {
     // zip_with null-pads the shorter array, so the HOF fold returns NULL;
     // DotProduct must return NULL too — not a truncated partial sum.

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorExprs
+import graft.operators.Similarity
+
+/** Retrieval-quality gate for the ANN index family (X8/X16/X54/X55).
+  *
+  * Every ANN query hash-matches its own DuckDB definition in the driver
+  * gate, but that only proves the index IS what it says it is — not that it
+  * retrieves good neighbors. This spec grades each index against the exact
+  * brute-force top-k computed over ITS OWN query set and metric (LSH/IVF
+  * rank by cosine over queries 0..9 / 100..109 respectively; PQ by L2):
+  * recall@k = mean over queries of |ANN top-k ∩ exact top-k| / k.
+  *
+  * Two kinds of assertion:
+  *  - STRUCTURAL orderings that hold by construction: multi-probe LSH scans
+  *    a strict superset of nprobe=1 LSH's candidates (own bucket + every
+  *    Hamming-1 sibling), and IVF nprobe=2 a strict superset of nprobe=1 —
+  *    a superset candidate pool can only improve the retrieved top-k.
+  *  - ABSOLUTE floors per index at sf0.001 (500 vectors, 10 queries, k=3;
+  *    measured: LSH 0.13, MP 0.50, IVF1 0.23, IVF2 0.40, PQ 0.20), set a
+  *    step below the measured values so data-regen jitter doesn't flake
+  *    while an index that degrades toward random (k/N ≈ 0.006) fails
+  *    loudly — which is exactly how the original 4×16/8 PQ shape was
+  *    caught at recall 0.00.
+  *
+  * Context for the absolute levels: the harness embeddings are
+  * UNSTRUCTURED (within-label cosine ≈ cross-label ≈ 0; nearest-neighbor
+  * cosines ~0.35 vs a bulk σ of 0.125), so neighbor margins are tiny and
+  * every quantizing index pays for it. These floors grade index sanity on
+  * worst-case data, not headline recall on clustered corpora.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def emb: DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
+  }
+
+  /** Exact brute-force top-AnnTopK neighbor sets for the query ids
+    * [from, from+QueryCount), ranked by `metric` descending (pass negated
+    * L2 for distance metrics). */
+  private def exactTopk(from: Long, metric: (Column, Column, Column, Column) => Column)
+      : Map[Long, Set[Long]] = {
+    val e = emb
+    val queries = e.filter(col("vec_id") >= from &&
+        col("vec_id") < from + Similarity.QueryCount)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        metric(col("q_emb"), col("emb"), col("q_nsq"), col("nsq")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Similarity.AnnTopK)
+      .select("q_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+  }
+
+  private def cosine(qe: Column, ne: Column, qn: Column, nn: Column): Column =
+    VectorExprs.dot(qe, ne) / (sqrt(qn) * sqrt(nn))
+  private def negL2sq(qe: Column, ne: Column, qn: Column, nn: Column): Column =
+    -(qn + nn - lit(2.0) * VectorExprs.dot(qe, ne))
+
+  private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.filter(col("rank") <= Similarity.AnnTopK)
+      .select("q_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+
+  private def recall(exact: Map[Long, Set[Long]], ann: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, ex) =>
+      ann.getOrElse(q, Set.empty).count(ex.contains).toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  // exact references: one per (query set, metric) family
+  private lazy val exactCos0 = exactTopk(0L, cosine)
+  private lazy val exactCos100 = exactTopk(Similarity.IvfQueryFrom.toLong, cosine)
+  private lazy val exactL2_100 = exactTopk(Similarity.IvfQueryFrom.toLong, negL2sq)
+
+  private lazy val rLsh = recall(exactCos0, topkSets(Similarity.annLshQ(spark, sfDir)))
+  private lazy val rMp = recall(exactCos0, topkSets(Similarity.annLshMpQ(spark, sfDir)))
+  private lazy val rIvf1 = recall(exactCos100, topkSets(Similarity.annIvfQ(spark, sfDir)))
+  private lazy val rIvf2 = recall(exactCos100, topkSets(Similarity.annIvf2Q(spark, sfDir)))
+  private lazy val rPq = recall(exactL2_100, topkSets(Similarity.annPqQ(spark, sfDir)))
+
+  test("superset candidate pools never lose recall (MP ≥ LSH, IVF2 ≥ IVF1)") {
+    info(f"recall@${Similarity.AnnTopK}: lsh=$rLsh%.2f mp=$rMp%.2f " +
+      f"ivf1=$rIvf1%.2f ivf2=$rIvf2%.2f pq=$rPq%.2f")
+    assert(rMp >= rLsh,
+      f"multi-probe recall $rMp%.2f < single-bucket LSH $rLsh%.2f")
+    assert(rIvf2 >= rIvf1,
+      f"IVF nprobe=2 recall $rIvf2%.2f < nprobe=1 $rIvf1%.2f")
+  }
+
+  test("absolute recall floors per index") {
+    assert(rLsh >= 0.05, f"LSH recall $rLsh%.2f below floor")
+    assert(rMp >= 0.35, f"LSH-MP recall $rMp%.2f below floor")
+    assert(rIvf1 >= 0.10, f"IVF1 recall $rIvf1%.2f below floor")
+    assert(rIvf2 >= 0.25, f"IVF2 recall $rIvf2%.2f below floor")
+    assert(rPq >= 0.10, f"PQ recall $rPq%.2f below floor")
+  }
+}
