@@ -215,16 +215,19 @@ object Behavior {
       .distinct()
     val nxt = uw.select(col("user_id"), col("wk").as("wk_next"))
       .withColumn("active_next", lit(1L))
-    // 1-row broadcast of the censoring horizon; no driver-side action.
-    val horizon = uw.agg(max(col("wk")).as("max_wk"))
+    // Censoring happens AFTER the rollup, on the weeks-bounded ledger: a
+    // global max window over <= |weeks| rows is free, needs no extra scan
+    // or join of the data-sized frame, and drops exactly the max-week row.
+    val allWk = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     uw.join(nxt, Seq("user_id", "wk_next"), "left")
-      .join(broadcast(horizon))
-      .filter(col("wk") < col("max_wk"))
       .groupBy(col("wk"))
       .agg(Num.countStar.as("n_active"),
         coalesce(sum(col("active_next")), lit(0L)).as("n_retained"),
         (Num.countStar - coalesce(sum(col("active_next")), lit(0L)))
           .as("n_churned"))
+      .withColumn("max_wk", max(col("wk")).over(allWk))
+      .filter(col("wk") < col("max_wk")).drop("max_wk")
       .orderBy(col("wk"))
   }
 

@@ -203,6 +203,9 @@ object Dedup {
     * Exact-Jaccard verify runs on the candidates only; each batch doc then
     * keeps its best match (max jaccard, min history id — a window over
     * candidate matches, batch-sized input) as the drop-decision evidence. */
+  /** Bucket count for the persisted history band index. */
+  val IncrBandBuckets = 8
+
   def dedupIncrementalQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = MinhashPrime
@@ -216,7 +219,22 @@ object Dedup {
     }: _*)
     val bands = sh.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
     val isBatch = col("doc_id") % IncrBatchMod === 0
-    val cand = bands.filter(!isBatch).as("h")
+    // The history band index is the PERSISTED artifact of this pipeline: a
+    // daily run must not re-shuffle the (corpus-sized) index to join a
+    // small batch against it. Written once `bucketBy(band, key)` (X38's
+    // discipline — the bucket layout IS the hash partitioning, kept on
+    // disk), so the candidate join needs no exchange on the history side;
+    // only the fresh batch bands shuffle, and they are batch-sized. The
+    // bucket columns are exactly the join keys (band, key): a subset
+    // bucketing is not co-partition-compatible and the planner would
+    // disable the bucketed scan entirely.
+    // PlanSpec asserts the history side scans bucketed with no exchange.
+    val tHist = s"graft_bandidx_${math.abs(sfDir.hashCode)}"
+    bands.filter(!isBatch)
+      .write.mode("overwrite")
+      .bucketBy(IncrBandBuckets, "band", "key").sortBy("band", "key")
+      .saveAsTable(tHist)
+    val cand = spark.table(tHist).as("h")
       .join(bands.filter(isBatch).as("n"),
         col("h.band") === col("n.band") && col("h.key") === col("n.key"))
       .select(col("n.doc_id").as("batch_doc"), col("h.doc_id").as("match_doc"))

@@ -37,6 +37,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_incremental: history band index joins exchange-free (bucketed)") {
+    // The candidate join's history side must come straight from the
+    // persisted bucketBy(band, key) table — no exchange — so a daily batch
+    // run never re-shuffles the corpus-sized index. Broadcast is disabled
+    // for the assertion: at sf0.001 the tiny history side would broadcast
+    // (correct locally) and the scale shape would go untested.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_dedup_incremental")
+      val scanLine = p.linesIterator.find(_.contains("graft_bandidx")).getOrElse("")
+      assert(scanLine.contains("Bucketed: true"),
+        s"history band index not read through its bucket layout:\n$scanLine")
+      val bandKeyExchanges = p.linesIterator
+        .count(_.matches(".*Exchange hashpartitioning\\(band#\\d+, key#\\d+.*"))
+      assert(bandKeyExchanges == 1,
+        s"expected exactly the batch-side (band, key) exchange, saw $bandKeyExchanges:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_topk_per_group pushes a per-partition group limit below the shuffle") {
     assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
   }
