@@ -34,6 +34,7 @@ object SparkEntry {
     "q_extract_cast"        -> Enrichment.extractCastQ _,
     "q_flatten_record"      -> Enrichment.flattenRecordQ _,
     "q_scan_meta"           -> Relational.scanMetaQ _,
+    "q_scan_meta_footer"    -> Relational.scanMetaFooterQ _,
     "q_dedup_latest"        -> Relational.dedupLatestQ _,
     "q_topk_per_group"      -> Relational.topkPerGroupQ _,
     "q_explode"             -> Relational.explodeQ _,
@@ -205,6 +206,7 @@ object SparkEntry {
     "q_extract_cast"     -> Enrichment.extractCastOracle,
     "q_flatten_record"   -> Enrichment.flattenRecordOracle,
     "q_scan_meta"        -> Relational.scanMetaOracle,
+    "q_scan_meta_footer" -> Relational.scanMetaOracle,
     "q_dedup_latest"     -> Relational.dedupLatestOracle,
     "q_topk_per_group"   -> Relational.topkPerGroupOracle,
     "q_explode"          -> Relational.explodeOracle,

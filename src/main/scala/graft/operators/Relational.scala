@@ -30,6 +30,40 @@ object Relational {
   val scanMetaOracle: String =
     "SELECT 'lineitem' AS file_name, COUNT(*) AS n FROM lineitem"
 
+  /** `q_scan_meta_footer`: the METADATA-ONLY form of S1 — per-file row
+    * counts read from the parquet FOOTERS, no row scanned. At 100 TB the
+    * row-scan form above is a full-corpus read for a number the format
+    * already stores; this is the production audit path: list files (glob
+    * pruning, same as S2), distribute the paths, and read each footer's
+    * row-group counts (a few KB of I/O per file regardless of file size).
+    * The footer reads run on EXECUTORS (paths dataset → per-partition
+    * reader loop), not a driver loop — millions of files distribute like
+    * any other dataset. Gated against the SAME oracle as q_scan_meta: the
+    * footer-declared counts must equal the counted rows, which is also an
+    * end-to-end integrity check of the files themselves. */
+  def scanMetaFooterQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val glob = new Path(sfDir, "lineitem*.parquet")
+    val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.globStatus(glob).toSeq.map(_.getPath.toString)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val n = try r.getRecordCount finally r.close()
+          (p.replaceAll(".*/", "").replaceAll("\\.parquet$", ""), n)
+        }
+      }
+      .toDF("file_name", "n")
+      .groupBy(col("file_name")).agg(sum(col("n")).as("n"))
+      .orderBy(col("file_name"))
+  }
+
   /** W1 `q_dedup_latest`: ROW_NUMBER dedup, latest-wins (QUALIFY pattern at
     * src/snowflake_loader.py:82). Keeps each user's most recent event; the
     * unique event_id breaks timestamp ties so the result is deterministic.

@@ -190,6 +190,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram-rank precondition: events.value domain is bounded and quantized") {
+    // q_percentiles / q_window_analytics / q_mad_outliers rank a
+    // (event_type, value) HISTOGRAM instead of the raw rows — scale-safe
+    // ONLY while the ranked value domain stays far below the row count.
+    // That holds because value is 2-decimal-quantized on a bounded range
+    // (≤ ~56k cells however many TB of events flow through); this guards
+    // the data contract the plans rely on. A continuous domain would make
+    // the histogram row-sized — the documented fallback is the
+    // constant-state bin sketch (q_quantile_sketch, Stats.scala).
+    val ev = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+    val bad = ev.filter(
+      col("value") < 0 || col("value") > 1000 ||
+        abs(col("value") * 100 - round(col("value") * 100, 0)) > lit(1e-9))
+      .count()
+    assert(bad === 0L,
+      "events.value left its quantized bounded domain — histogram-rank " +
+        "plans (q_percentiles/q_window_analytics/q_mad_outliers) must " +
+        "switch to the q_quantile_sketch bin-sketch path")
+    val cells = ev.select(col("event_type"), col("value")).distinct().count()
+    assert(cells <= 60000L * 5,
+      s"histogram cardinality $cells exceeds the documented domain bound")
+  }
+
   test("quantile sketch is within one bin width of the exact percentiles") {
     for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val exact = Stats.percentilesQ(spark, sfDir).collect()
