@@ -100,6 +100,7 @@ object SparkEntry {
     "q_profile"             -> Stats.profileQ _,
     "q_pagerank"            -> Graph.pagerankQ _,
     "q_ann_pq"              -> Similarity.annPqQ _,
+    "q_ann_pq_rerank"       -> Similarity.annPqRerankQ _,
     "q_hll_distinct"        -> Stats.hllDistinctQ _,
     "q_gap_fill"            -> Sessionize.gapFillQ _,
     "q_outliers"            -> Stats.outliersQ _,
@@ -132,6 +133,7 @@ object SparkEntry {
     "q_churn"               -> Behavior.churnQ _,
     "q_ab_lift"             -> Behavior.abLiftQ _,
     "q_csv_roundtrip"       -> Relational.csvRoundtripQ _,
+    "q_orc_roundtrip"       -> Relational.orcRoundtripQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
     "q_twap"                -> Stats.twapQ _,
     "q_unpivot"             -> Aggregates.unpivotQ _,
@@ -276,6 +278,7 @@ object SparkEntry {
     "q_profile"          -> Stats.profileOracle,
     "q_pagerank"         -> Graph.pagerankOracle,
     "q_ann_pq"           -> Similarity.annPqOracle,
+    "q_ann_pq_rerank"    -> Similarity.annPqRerankOracle,
     "q_hll_distinct"     -> Stats.hllDistinctOracle,
     "q_gap_fill"         -> Sessionize.gapFillOracle,
     "q_outliers"         -> Stats.outliersOracle,
@@ -308,6 +311,7 @@ object SparkEntry {
     "q_churn"            -> Behavior.churnOracle,
     "q_ab_lift"          -> Behavior.abLiftOracle,
     "q_csv_roundtrip"    -> Relational.csvRoundtripOracle,
+    "q_orc_roundtrip"    -> Relational.orcRoundtripOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
     "q_twap"             -> Stats.twapOracle,
     "q_unpivot"          -> Aggregates.unpivotOracle,

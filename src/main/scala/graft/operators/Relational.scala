@@ -424,6 +424,40 @@ object Relational {
       |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** `q_orc_roundtrip`: the ORC leg of the format matrix (parquet and JSON
+    * run throughout, CSV above) — the other columnar container a lakehouse
+    * ingests from Hive-era estates. Same rollup as the CSV leg so the two
+    * gates are directly comparable, but unlike CSV the columnar trip keeps
+    * types natively (no textual re-parse) and the read prunes to the three
+    * referenced columns + pushes the status filter into the ORC reader
+    * (footer/stripe statistics — the parquet pushdown story, same
+    * discipline). Avro is NOT represented: the spark-avro module is not on
+    * this deployment's classpath, and the public-knowledge rule forbids
+    * inventing a substitute codec. */
+  def orcRoundtripQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = fixturePath("orc", sfDir)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .filter(col("o_orderstatus") =!= "P") // stripe-stat pushdown demo
+      .groupBy(col("o_orderstatus"))
+      .agg(Num.countStar.as("n"),
+        Num.sumMoney(col("o_totalprice")).as("total_price"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val orcRoundtripOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+      |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+      |FROM orders WHERE o_orderstatus <> 'P'
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   /** Corruption rule for the permissive-read audit fixture. */
   val CorruptMod = 23
 

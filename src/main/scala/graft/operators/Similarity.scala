@@ -372,7 +372,9 @@ object Similarity {
       .select(col("vec_id"), col("m"),
         expr(s"slice(emb, m * $PqSubDim + 1, $PqSubDim)").as("sub"))
 
-  def annPqQ(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared PQ machinery: (corpus emb frame, per-(query, vector) ADC
+    * approximate distance frame `(q_id, vec_id, approx_qd)`). */
+  private def pqAdc(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     VectorExprs.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
@@ -397,12 +399,18 @@ object Similarity {
       .join(broadcast(cb), Seq("m"))
       .select(col("vec_id").as("q_id"), col("m"), col("c_id").as("code"),
         qdist.cast("long").as("qd"))
-    val rankW = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx_qd").asc, col("vec_id").asc)
-    codes.join(broadcast(dtable), Seq("m", "code"))
+    val adc = codes.join(broadcast(dtable), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("qd")).as("approx_qd"))
+    (emb, adc)
+  }
+
+  def annPqQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, adc) = pqAdc(spark, sfDir)
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_qd").asc, col("vec_id").asc)
+    adc
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= AnnTopK)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -410,9 +418,47 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Shortlist size the ADC pass hands to the exact re-rank. */
+  val PqRerankR = 30
+
+  /** `q_ann_pq_rerank`: the production two-stage retrieval — the compressed
+    * ADC scan produces a per-query TOP-PqRerankR SHORTLIST (still never
+    * touching a float vector), and only those |Q|·R candidates are re-ranked
+    * by EXACT L2 against the full vectors. Quantization error then only
+    * costs recall when a true neighbor misses the shortlist entirely, not
+    * when it's mis-ordered inside it — SimilaritySpec measures the lift over
+    * one-stage ADC. Plan: the shortlist (bounded, broadcast) probes the
+    * corpus scan for candidate vectors, queries broadcast on top, one
+    * window over |Q|·R rows. The expensive full-vector work is R rows per
+    * query, independent of corpus size. */
+  def annPqRerankQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, adc) = pqAdc(spark, sfDir)
+    val shortW = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_qd").asc, col("vec_id").asc)
+    val shortlist = adc
+      .withColumn("srank", row_number().over(shortW))
+      .filter(col("srank") <= PqRerankR)
+      .select(col("q_id"), col("vec_id"))
+    val queries = emb.filter(col("vec_id") >= IvfQueryFrom &&
+        col("vec_id") < IvfQueryFrom + QueryCount)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2sq").asc, col("neighbor_id").asc)
+    emb.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        VectorExprs.l2DistSq(col("q_emb"), col("emb")).as("l2sq"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("l2sq"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // lazy: references IvfQueryFrom, declared further down the object — a
   // strict val here would capture the uninitialized 0
-  lazy val annPqOracle: String =
+  /** Shared WITH-chain through the per-(query, vector) ADC frame — prefix
+    * of both PQ oracles. */
+  private lazy val pqAdcCteSql: String =
     s"""WITH emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
@@ -447,13 +493,43 @@ object Similarity {
        |  FROM codes co JOIN dtable d ON co.m = d.m AND co.code = d.code
        |  WHERE co.vec_id <> d.q_id
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  // lazy: references IvfQueryFrom via pqAdcCteSql (declared further down)
+  lazy val annPqOracle: String =
+    s"""$pqAdcCteSql
        |SELECT q_id, rank, neighbor_id, approx_l2sq FROM (
        |  SELECT q_id, vec_id AS neighbor_id,
        |    CAST(approx_qd AS DOUBLE) / 1e12 AS approx_l2sq,
        |    ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY approx_qd ASC, vec_id ASC) AS rank
        |  FROM adc) t
+       |WHERE rank <= ${AnnTopK}
+       |ORDER BY q_id, rank""".stripMargin
+
+  lazy val annPqRerankOracle: String =
+    s"""$pqAdcCteSql,
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY approx_qd ASC, vec_id ASC) AS srank
+       |    FROM adc) t
+       |  WHERE srank <= ${PqRerankR}
+       |), rer AS (
+       |  SELECT s.q_id, s.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.e)+1),
+       |        i -> (q.e[i] - b.e[i]) * (q.e[i] - b.e[i]))),
+       |      (a,b) -> a+b) AS l2sq
+       |  FROM short s
+       |  JOIN emb q ON q.vec_id = s.q_id
+       |  JOIN emb b ON b.vec_id = s.vec_id
+       |)
+       |SELECT q_id, rank, neighbor_id, l2sq FROM (
+       |  SELECT q_id, neighbor_id, l2sq,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY l2sq ASC, neighbor_id ASC) AS rank
+       |  FROM rer) t
        |WHERE rank <= ${AnnTopK}
        |ORDER BY q_id, rank""".stripMargin
 

@@ -99,14 +99,17 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val rIvf1 = recall(exactCos100, topkSets(Similarity.annIvfQ(spark, sfDir)))
   private lazy val rIvf2 = recall(exactCos100, topkSets(Similarity.annIvf2Q(spark, sfDir)))
   private lazy val rPq = recall(exactL2_100, topkSets(Similarity.annPqQ(spark, sfDir)))
+  private lazy val rPqR = recall(exactL2_100, topkSets(Similarity.annPqRerankQ(spark, sfDir)))
 
   test("superset candidate pools never lose recall (MP ≥ LSH, IVF2 ≥ IVF1)") {
     info(f"recall@${Similarity.AnnTopK}: lsh=$rLsh%.2f mp=$rMp%.2f " +
-      f"ivf1=$rIvf1%.2f ivf2=$rIvf2%.2f pq=$rPq%.2f")
+      f"ivf1=$rIvf1%.2f ivf2=$rIvf2%.2f pq=$rPq%.2f pq_rerank=$rPqR%.2f")
     assert(rMp >= rLsh,
       f"multi-probe recall $rMp%.2f < single-bucket LSH $rLsh%.2f")
     assert(rIvf2 >= rIvf1,
       f"IVF nprobe=2 recall $rIvf2%.2f < nprobe=1 $rIvf1%.2f")
+    assert(rPqR >= rPq,
+      f"exact re-rank of the ADC shortlist lost recall: $rPqR%.2f < $rPq%.2f")
   }
 
   test("absolute recall floors per index") {
@@ -115,5 +118,6 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rIvf1 >= 0.10, f"IVF1 recall $rIvf1%.2f below floor")
     assert(rIvf2 >= 0.25, f"IVF2 recall $rIvf2%.2f below floor")
     assert(rPq >= 0.10, f"PQ recall $rPq%.2f below floor")
+    assert(rPqR >= 0.50, f"PQ+rerank recall $rPqR%.2f below floor (measured 0.67)")
   }
 }
