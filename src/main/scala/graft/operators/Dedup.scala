@@ -304,9 +304,20 @@ object Dedup {
     val sym = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = materialize(sym.unionByName(
+    // The near-dup graph is orders of magnitude smaller than the corpus,
+    // so the loop's parallelism is sized to the EDGE COUNT, not inherited
+    // from the corpus-scale session default: persisted plans bypass AQE
+    // coalescing (canChangeCachedPlanOutputPartitioning=false), and a
+    // 32-way shuffle of a ~1k-row frame per propagation step turns the
+    // whole fixpoint into task-scheduling overhead. ~1M edges/partition,
+    // capped at the session default for genuinely large graphs.
+    val sessParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edgesRaw = materialize(sym.unionByName(
       sym.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst"))))
+    val nParts = math.max(1L,
+      math.min(sessParts.toLong, edgesRaw.count() / 1000000L + 1L)).toInt
+    val edges = edgesRaw.repartition(nParts, col("dst"))
     // Convergence witness: labels are component-min candidates and only
     // ever DECREASE, so Σ labels (exact, as decimal — a long Σ could
     // overflow at 1e9 nodes × 1e12 ids) is strictly monotone until the
@@ -320,9 +331,13 @@ object Dedup {
     // One min-label propagation step (lazy — no action, no materialization):
     // node's next label = min over {label(m) : (node, m) ∈ edges}, which
     // includes its own thanks to the self-loops.
+    // The explicit repartition pins the aggregate's exchange to nParts
+    // (HashPartitioning(src, nParts) satisfies the agg's clustering, so no
+    // second corpus-width exchange is inserted).
     def step(ls: DataFrame): DataFrame =
       edges
         .join(ls.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .repartition(nParts, col("src"))
         .groupBy(col("src").as("node")).agg(min(col("label")).as("label"))
     // Each driver round is overhead-dominated at harness scale (job launch
     // + tiny shuffles), so THREE propagation steps run per materialized
