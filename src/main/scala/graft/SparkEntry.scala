@@ -121,6 +121,8 @@ object SparkEntry {
     "q_linfit"              -> Stats.linfitQ _,
     "q_cdc_diff"            -> Joins.cdcDiffQ _,
     "q_ngram_lm"            -> TextAnalysis.ngramLmQ _,
+    "q_lm_quality"          -> TextAnalysis.lmQualityQ _,
+    "q_streaming_sessions"  -> graft.streaming.Incremental.streamingSessionsQ _,
     "q_domain_cap"          -> Curation.domainCapQ _,
     "q_embed_quantize"      -> Similarity.embedQuantizeQ _,
     "q_chunk_cdc"           -> Dedup.chunkCdcQ _,
@@ -299,6 +301,8 @@ object SparkEntry {
     "q_linfit"           -> Stats.linfitOracle,
     "q_cdc_diff"         -> Joins.cdcDiffOracle,
     "q_ngram_lm"         -> TextAnalysis.ngramLmOracle,
+    "q_lm_quality"       -> TextAnalysis.lmQualityOracle,
+    "q_streaming_sessions" -> graft.streaming.Incremental.streamingSessionsOracle,
     "q_domain_cap"       -> Curation.domainCapOracle,
     "q_embed_quantize"   -> Similarity.embedQuantizeOracle,
     "q_chunk_cdc"        -> Dedup.chunkCdcOracle,

@@ -629,4 +629,59 @@ object TextAnalysis {
        |SELECT c.w1, c.w2, c.n, p.w1_total
        |FROM c JOIN p USING (w1)
        |ORDER BY n DESC, w1, w2 LIMIT ${NgramLmTopK}""".stripMargin
+
+  /** A bigram whose corpus count is ≤ this is "rare" for the LM filter. */
+  val LmRareMax = 2
+
+  /** `q_lm_quality`: the LM-based quality filter every pretraining corpus
+    * runs — score each document by how far its bigrams sit from the
+    * corpus's own language model, flag the outliers. A true perplexity
+    * needs log-probabilities, whose last-ulp behavior is not identical
+    * across engines; the gate-stable surrogate is the RARE-BIGRAM
+    * FRACTION: per doc, the share of its bigram occurrences whose corpus
+    * frequency is ≤ LmRareMax. Gibberish and boilerplate-mangled docs
+    * score high; the flag is the exact integer comparison
+    * 2·n_rare > n_bigrams (no float division anywhere near the gate).
+    *
+    * Plan: doc bigrams explode once (data-sized, materialized for the two
+    * consumers), fold to the vocab²-bounded corpus LM, then ONE shuffle
+    * join of doc-bigrams against the LM on (w1, w2) and a per-doc rollup.
+    * At 100 TB the LM side's materialized stats let the optimizer
+    * broadcast it when the vocabulary allows; nothing row-proportional is
+    * ever windowed. */
+  def lmQualityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docBg = graft.engine.Materialize.diskBacked(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), words.as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val lm = docBg.groupBy(col("w1"), col("w2")).agg(Num.countStar.as("n"))
+    docBg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(Num.countStar.as("n_bigrams"),
+        sum((col("n") <= LmRareMax).cast("long")).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare") * 2 > col("n_bigrams")).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmQualityOracle: String =
+    s"""WITH d AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |bg AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM d, UNNEST(range(1, len(ws))) AS u(i)
+       |  WHERE len(ws) >= 2),
+       |c AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+       |s AS (
+       |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN c.n <= ${LmRareMax} THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_rare
+       |  FROM bg JOIN c USING (w1, w2)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_rare, n_rare * 2 > n_bigrams AS flagged
+       |FROM s ORDER BY doc_id""".stripMargin
 }

@@ -371,4 +371,71 @@ object Incremental {
     """SELECT event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** `q_streaming_sessions`: native SESSION WINDOWS — the streaming twin of
+    * X5's gap sessionization via `session_window`, Spark's merging-window
+    * state machine (sessions extend while consecutive events arrive within
+    * the gap, windows merge as micro-batches fill holes; state per open
+    * session, evicted once the watermark passes the session end). The gap
+    * equals X5's GapMicros, so the emitted (user, session) set is exactly
+    * the batch two-window idiom's — which is the DuckDB oracle. Boundaries
+    * are reported as min/max EVENT time (not the window struct's
+    * gap-padded end) so batch and stream state the same session.
+    *
+    * One documented edge: a gap of exactly GapMicros splits the session
+    * here (session_window is end-exclusive) but not in X5's `> gap` test —
+    * impossible at microsecond-resolution harness data, noted for reuse. */
+  def streamingSessionsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
+    val gapExpr = s"${graft.operators.Sessionize.GapMicros} microseconds"
+    val sessions = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gapExpr))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        count(lit(1)).as("n_events"))
+    val sinkName = "graft_stream_sess_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = sessions.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val streamingSessionsOracle: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+       |              >= ${graft.operators.Sessionize.GapMicros}
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, ts,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM marked)
+       |SELECT user_id,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       |  COUNT(*) AS n_events
+       |FROM numbered
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_start""".stripMargin
 }
