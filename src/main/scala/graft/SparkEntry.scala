@@ -122,6 +122,7 @@ object SparkEntry {
     "q_cdc_diff"            -> Joins.cdcDiffQ _,
     "q_ngram_lm"            -> TextAnalysis.ngramLmQ _,
     "q_lm_quality"          -> TextAnalysis.lmQualityQ _,
+    "q_mix_sources"         -> Curation.mixSourcesQ _,
     "q_streaming_sessions"  -> graft.streaming.Incremental.streamingSessionsQ _,
     "q_domain_cap"          -> Curation.domainCapQ _,
     "q_embed_quantize"      -> Similarity.embedQuantizeQ _,
@@ -302,6 +303,7 @@ object SparkEntry {
     "q_cdc_diff"         -> Joins.cdcDiffOracle,
     "q_ngram_lm"         -> TextAnalysis.ngramLmOracle,
     "q_lm_quality"       -> TextAnalysis.lmQualityOracle,
+    "q_mix_sources"      -> Curation.mixSourcesOracle,
     "q_streaming_sessions" -> graft.streaming.Incremental.streamingSessionsOracle,
     "q_domain_cap"       -> Curation.domainCapOracle,
     "q_embed_quantize"   -> Similarity.embedQuantizeOracle,

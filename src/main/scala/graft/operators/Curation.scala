@@ -328,4 +328,71 @@ object Curation {
        |SELECT source, doc_id, n_chars, rnk FROM r
        |WHERE rnk <= ${DomainCapK}
        |ORDER BY source, rnk""".stripMargin
+
+  /** `q_mix_sources`: TEMPERATURE-WEIGHTED SOURCE MIXING — the data-mixture
+    * step that decides how much of each source a pretraining run sees.
+    * Raw-proportional sampling lets the biggest source drown the mixture;
+    * the standard fix reweights source s ∝ n_s^α with α < 1 (α = 1/2 here,
+    * the multilingual-sampling classic — smaller sources get upsampled
+    * relative to their share).
+    *
+    * Everything near the gate is INTEGER: weight_s = floor(sqrt(n_s))
+    * (sqrt of an integer-valued double is correctly rounded IEEE in both
+    * engines, floor pins it), the budget split target_s =
+    * (B·w_s) div Σw (exact bigint arithmetic — no float summation-order
+    * hazard), and membership is the md5 per-mille hash rule from X42
+    * (thresh_s = 1000·target_s div n_s), so the sampled set is a pure
+    * function of (doc_id, thresholds) — stable across engines, reruns and
+    * partitionings. Hash-proportion selection lands ~target_s rows rather
+    * than exactly target_s; that is the scalable trade (an exact-count cut
+    * would rank every source's rows — X75's machinery — for no training
+    * benefit).
+    *
+    * Plan: one two-phase count per source (bounded frame), the allocation
+    * arithmetic on that bounded frame (the Σw "grand total" window runs
+    * over |sources| rows, not data), one broadcast join of thresholds back
+    * onto the scan, one bounded rollup of the sampled set. */
+  def mixSourcesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(Num.countStar.as("n_total"))
+      .withColumn("w", floor(sqrt(col("n_total").cast("double"))).cast("long"))
+    val allW = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val alloc = counts
+      .withColumn("sum_w", sum(col("w")).over(allW))
+      .withColumn("sum_nt", sum(col("n_total")).over(allW))
+      .withColumn("target", expr("((sum_nt div 2) * w) div sum_w"))
+      .withColumn("thresh", expr("(1000 * target) div n_total"))
+      .select(col("source"), col("n_total"), col("w"), col("target"), col("thresh"))
+    val h = pmod(
+      conv(substring(md5(concat(lit("mix"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(1000))
+    docs.join(broadcast(alloc), Seq("source"))
+      .filter(h < col("thresh"))
+      .groupBy(col("source"))
+      .agg(max(col("n_total")).as("n_total"), max(col("w")).as("weight"),
+        max(col("target")).as("target"), Num.countStar.as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val mixSourcesOracle: String =
+    """WITH c AS (
+      |  SELECT source, COUNT(*) AS n_total,
+      |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1),
+      |a AS (
+      |  SELECT source, n_total, w,
+      |    CAST((CAST((SELECT SUM(n_total) FROM c) AS BIGINT) // 2) * w
+      |      // CAST((SELECT SUM(w) FROM c) AS BIGINT) AS BIGINT) AS target
+      |  FROM c),
+      |t AS (
+      |  SELECT source, n_total, w, target,
+      |    CAST(1000 * target // n_total AS BIGINT) AS thresh
+      |  FROM a)
+      |SELECT d.source, MAX(t.n_total) AS n_total, MAX(t.w) AS weight,
+      |  MAX(t.target) AS target, COUNT(*) AS n_sampled
+      |FROM documents d JOIN t USING (source)
+      |WHERE CAST(concat('0x', substr(md5('mix' || d.doc_id),1,15)) AS BIGINT)
+      |        % 1000 < t.thresh
+      |GROUP BY 1 ORDER BY d.source""".stripMargin
 }
