@@ -20,7 +20,7 @@ object Bench {
       // bench should model that steady state, not cache-eviction churn.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+        graft.engine.TempWarehouse.createManaged())
       .getOrCreate()
     // ERROR: log noise (WARN stack traces from benign probes) lands in the
     // driver's captured tail and can crowd out the JSON result line.

@@ -1,0 +1,26 @@
+package graft.engine
+
+/** Per-session temp warehouse dir that CLEANS UP AFTER ITSELF: the bucketed
+  * fixture tables (X38's co-located join, X61's band index) are
+  * saveAsTable'd into the session warehouse, and a fresh
+  * createTempDirectory per JVM run was accumulating orders-sized directories
+  * in tmpdir forever (114 of them measured during one build round — the
+  * same leak class ADVICE flagged for the UUID fixture paths). A shutdown
+  * hook removes the directory when the JVM exits; the in-memory catalog
+  * dies with the session anyway, so nothing can dangle. */
+object TempWarehouse {
+  def createManaged(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+    dir.toString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+  }
+}

@@ -15,7 +15,7 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+        graft.engine.TempWarehouse.createManaged())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.tail.foreach { q =>

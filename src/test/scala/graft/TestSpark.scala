@@ -16,7 +16,7 @@ object TestSpark {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+        graft.engine.TempWarehouse.createManaged())
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
