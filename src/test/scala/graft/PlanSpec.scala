@@ -57,6 +57,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_mix_sources: allocation is bounded-frame work, thresholds broadcast") {
+    val p = plan("q_mix_sources")
+    // thresholds reach the doc scan via broadcast, never by re-shuffling it
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join should broadcast the sources-bounded alloc frame:\n$p")
+    // the grand-total window must consume the per-source aggregate — its
+    // single-partition exchange carries |sources| rows, not documents
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    assert(winIdx >= 0)
+    val below = lines.drop(winIdx + 1)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val scanIdx = below.indexWhere(_.contains("Scan parquet"))
+    assert(aggIdx >= 0 && (scanIdx < 0 || aggIdx < scanIdx),
+      s"allocation window consumes the raw scan, not the source counts:\n$p")
+  }
+
+  test("new joins never degrade to products (lm_quality, pq_rerank, orc)") {
+    for (q <- Seq("q_lm_quality", "q_ann_pq_rerank", "q_orc_roundtrip")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a join product:\n$p")
+    }
+  }
+
   test("q_topk_per_group pushes a per-partition group limit below the shuffle") {
     assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
   }
