@@ -109,7 +109,9 @@ object Bench {
     def jmap(m: Seq[(String, Double)], f: Double => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fullPath = "/root/repo/BENCH_FULL.json"
+    // cwd-anchored (sbt runs from the repo root) so the artifact lands next
+    // to the bench on any checkout, not a hardcoded machine path
+    val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
     val fullJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_sec":${f2(warmupSec)},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")

@@ -24,9 +24,14 @@ import org.apache.spark.storage.StorageLevel
   * it back per consumer.
   */
 object Materialize {
-  def diskBacked(df: DataFrame): DataFrame = {
+  def diskBacked(df: DataFrame): DataFrame = diskBackedWithCount(df)._1
+
+  /** Same, returning the row count the forcing action already computed —
+    * callers that need the cardinality (e.g. to size downstream
+    * parallelism) must not pay a second count job for it. */
+  def diskBackedWithCount(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist(StorageLevel.DISK_ONLY)
-    p.count() // force materialization now, not at first (possibly concurrent) use
-    p
+    val n = p.count() // force materialization now, not at first (possibly concurrent) use
+    (p, n)
   }
 }

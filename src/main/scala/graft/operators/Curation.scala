@@ -361,7 +361,14 @@ object Curation {
     val alloc = counts
       .withColumn("sum_w", sum(col("w")).over(allW))
       .withColumn("sum_nt", sum(col("n_total")).over(allW))
-      .withColumn("target", expr("((sum_nt div 2) * w) div sum_w"))
+      // target capped at the source's size: this op SELECTS (keeps at most
+      // every row once, no replication), so an upsampled small source whose
+      // α-share exceeds its row count delivers all its rows and the mixture
+      // under-fills rather than silently over-sampling nothing — without
+      // the cap the per-mille threshold would exceed 999 and quietly turn
+      // the allocation into "take everything" with no visible signal.
+      .withColumn("target",
+        expr("least(((sum_nt div 2) * w) div sum_w, n_total)"))
       .withColumn("thresh", expr("(1000 * target) div n_total"))
       .select(col("source"), col("n_total"), col("w"), col("target"), col("thresh"))
     val h = pmod(
@@ -382,8 +389,9 @@ object Curation {
       |  FROM documents GROUP BY 1),
       |a AS (
       |  SELECT source, n_total, w,
-      |    CAST((CAST((SELECT SUM(n_total) FROM c) AS BIGINT) // 2) * w
-      |      // CAST((SELECT SUM(w) FROM c) AS BIGINT) AS BIGINT) AS target
+      |    LEAST(CAST((CAST((SELECT SUM(n_total) FROM c) AS BIGINT) // 2) * w
+      |      // CAST((SELECT SUM(w) FROM c) AS BIGINT) AS BIGINT), n_total)
+      |      AS target
       |  FROM c),
       |t AS (
       |  SELECT source, n_total, w, target,

@@ -312,11 +312,12 @@ object Dedup {
     // whole fixpoint into task-scheduling overhead. ~1M edges/partition,
     // capped at the session default for genuinely large graphs.
     val sessParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val edgesRaw = materialize(sym.unionByName(
-      sym.select(col("src")).distinct()
-        .select(col("src"), col("src").as("dst"))))
+    val (edgesRaw, nEdges) = graft.engine.Materialize.diskBackedWithCount(
+      sym.unionByName(
+        sym.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst"))))
     val nParts = math.max(1L,
-      math.min(sessParts.toLong, edgesRaw.count() / 1000000L + 1L)).toInt
+      math.min(sessParts.toLong, nEdges / 1000000L + 1L)).toInt
     val edges = edgesRaw.repartition(nParts, col("dst"))
     // Convergence witness: labels are component-min candidates and only
     // ever DECREASE, so Σ labels (exact, as decimal — a long Σ could

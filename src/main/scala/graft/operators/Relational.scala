@@ -44,23 +44,40 @@ object Relational {
   def scanMetaFooterQ(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
+    val hadoopConf = spark.sessionState.newHadoopConf()
     val glob = new Path(sfDir, "lineitem*.parquet")
-    val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.globStatus(glob).toSeq.map(_.getPath.toString)
-    spark.createDataset(files)
-      .repartition(math.min(files.size, 32))
-      .mapPartitions { paths =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        paths.map { p =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new Path(p), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val n = try r.getRecordCount finally r.close()
-          (p.replaceAll(".*/", "").replaceAll("\\.parquet$", ""), n)
-        }
+    val fs = glob.getFileSystem(hadoopConf)
+    val files = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .toSeq.map(_.getPath.toString)
+    // The SESSION's Hadoop conf must reach the executor-side readers (a
+    // default Configuration would drop fs credentials/endpoints the
+    // listing above used) — shipped as a plain string map because the
+    // Configuration class itself isn't serializable.
+    val confMap = {
+      import scala.jdk.CollectionConverters._
+      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    }
+    val perFile =
+      if (files.isEmpty) {
+        // empty glob → empty result, not repartition(0)
+        spark.emptyDataset[(String, Long)].toDF("file_name", "n")
+      } else {
+        spark.createDataset(files)
+          .repartition(math.min(files.size, 32))
+          .mapPartitions { paths =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confMap.foreach { case (k, v) => conf.set(k, v) }
+            paths.map { p =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new Path(p), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              val n = try r.getRecordCount finally r.close()
+              (p.replaceAll(".*/", "").replaceAll("\\.parquet$", ""), n)
+            }
+          }
+          .toDF("file_name", "n")
       }
-      .toDF("file_name", "n")
-      .groupBy(col("file_name")).agg(sum(col("n")).as("n"))
+    perFile.groupBy(col("file_name")).agg(sum(col("n")).as("n"))
       .orderBy(col("file_name"))
   }
 

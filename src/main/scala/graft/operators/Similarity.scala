@@ -319,14 +319,15 @@ object Similarity {
   // ------------------------------------------------------------------
   // `q_ann_pq`: product-quantization ANN — the memory-compression scale
   // path beside LSH (bucketing) and IVF (list pruning). Each 64-dim vector
-  // splits into PqM=4 subvectors; each subvector is replaced by the id of
-  // its nearest codebook entry (PqCodebook=8 per subspace), so the corpus
-  // index stores 4 small ints per vector instead of 64 floats — at 100 TB
-  // THIS is what makes the index fit in memory (16-byte codes vs 256-byte
-  // vectors, and the scan reads only the codes column). Queries never
-  // decompress the corpus: ADC (asymmetric distance computation) builds a
-  // per-query 4×8 distance table against the codebook and scores every
-  // corpus vector with 4 table lookups + 3 adds.
+  // splits into PqM=16 subvectors; each subvector is replaced by the id of
+  // its nearest codebook entry (PqCodebook=32 per subspace), so the corpus
+  // index stores 16 small codes per vector instead of 64 floats — at
+  // 100 TB THIS is what makes the index fit in memory (16 one-byte codes
+  // vs 256-byte vectors, and the scan reads only the codes column).
+  // Queries never decompress the corpus: ADC (asymmetric distance
+  // computation) builds a per-query 16×32 distance table against the
+  // codebook and scores every corpus vector with 16 table lookups +
+  // 15 adds.
   //
   // Determinism: sub-distances are quantized to 1e-12
   // (floor(d*1e12+0.5), single-rounded IEEE ops both engines) BEFORE the
@@ -338,10 +339,11 @@ object Similarity {
   // cross-engine-reproduce; the encode/ADC dataflow is the deliverable).
   //
   // Plan shape: encode = corpus exploded to (vec, m) subrows ⋈ broadcast
-  // 32-row codebook, then a two-phase min aggregate (never a window over
-  // the corpus); ADC = codes ⋈ broadcast 320-row query distance table on
-  // (m, code), then a two-phase sum aggregate per (query, vec). No
-  // corpus-sized shuffle carries vectors — only (ids, longs).
+  // PqM·PqCodebook-row (= 512) codebook, then a two-phase min aggregate
+  // (never a window over the corpus); ADC = codes ⋈ broadcast
+  // |Q|·PqM·PqCodebook-row (= 5120) query distance table on (m, code),
+  // then a two-phase sum aggregate per (query, vec). No corpus-sized
+  // shuffle carries vectors — only (ids, longs).
   // ------------------------------------------------------------------
 
   /** Subspace count (64-dim embeddings → 16×4). Finer subspaces + a larger

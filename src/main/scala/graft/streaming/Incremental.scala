@@ -382,9 +382,17 @@ object Incremental {
     * are reported as min/max EVENT time (not the window struct's
     * gap-padded end) so batch and stream state the same session.
     *
-    * One documented edge: a gap of exactly GapMicros splits the session
-    * here (session_window is end-exclusive) but not in X5's `> gap` test —
-    * impossible at microsecond-resolution harness data, noted for reuse. */
+    * Exact-gap edge, verified against Spark 4.1.2's
+    * UpdatingSessionsIterator: the merge condition is
+    * `newSessionStart <= currentSessionEnd`, so two events exactly
+    * GapMicros apart MERGE into one session — the same `> gap` split rule
+    * as X5's batch sessionizer, and the oracle below uses `>` to match.
+    *
+    * Complete-mode note: the AvailableNow → complete-mode → memory-sink
+    * drain is the bounded TEST harness (complete mode retains and re-emits
+    * all session state, so the watermark does not evict here); a
+    * production deployment runs append mode over a checkpointed sink,
+    * where closed sessions emit once and state IS watermark-evicted. */
   def streamingSessionsQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
     val schema = spark.read
@@ -422,7 +430,7 @@ object Incremental {
        |  SELECT user_id, ts, event_id,
        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-       |              >= ${graft.operators.Sessionize.GapMicros}
+       |              > ${graft.operators.Sessionize.GapMicros}
        |         THEN 1 ELSE 0 END AS is_new
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

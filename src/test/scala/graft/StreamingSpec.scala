@@ -83,6 +83,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq(1L -> "click", 2L -> "click", 2L -> "view"))
   }
 
+  test("session_window merges events exactly gap apart (oracle uses > gap)") {
+    // Pins the exact-gap semantics q_streaming_sessions' oracle depends
+    // on: Spark's merge condition is newSessionStart <= currentSessionEnd
+    // (currentEnd = lastEvent + gap), so a pair exactly gap apart MERGES —
+    // the batch sessionizer's `> gap` split rule, NOT an end-exclusive
+    // split. Batch session_window runs the same UpdatingSessionsIterator.
+    import org.apache.spark.sql.functions.{col, count, lit, session_window, timestamp_seconds}
+    import spark.implicits._
+    val df = Seq(0L, 10L, 21L).toDF("s") // gaps: exactly 10s, then 11s
+      .select(lit(1L).as("user_id"), timestamp_seconds(col("s")).as("ts"))
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    assert(sessions.length === 2,
+      s"expected [0,10] merged and 21 separate, got ${sessions.length} sessions")
+    assert(sessions.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("mapGroupsWithState keeps per-user counts across micro-batches") {
     val ms = MemoryStream[Incremental.UserEvent](spark, 2)
     val counts = Incremental.runningUserCounts(ms.toDS())
