@@ -118,6 +118,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("vector expressions: dot/l2sq lattice properties on random vectors") {
+    // graft_dot and graft_l2sq are the similarity stack's inner loops;
+    // their algebraic identities must hold for arbitrary finite doubles:
+    // l2sq(a,a)=0, l2sq symmetric, dot symmetric... — dot/l2sq are
+    // FOLD-ORDER-PINNED, so symmetry is only guaranteed where each
+    // elementwise term is symmetric: x*y==y*x and (x-y)^2==(y-x)^2 exactly
+    // (IEEE), so both hold bitwise. Length mismatch must yield NULL.
+    val vGen = Gen.listOfN(8, Gen.chooseNum(-1e6, 1e6).map(_.toDouble))
+    check(Prop.forAll(vGen, vGen) { (a: List[Double], b: List[Double]) =>
+      import graft.functions.VectorExprs
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val r = df.select(
+        VectorExprs.l2DistSq(col("a"), col("a")).as("self"),
+        VectorExprs.l2DistSq(col("a"), col("b")).as("ab"),
+        VectorExprs.l2DistSq(col("b"), col("a")).as("ba"),
+        VectorExprs.dot(col("a"), col("b")).as("dab"),
+        VectorExprs.dot(col("b"), col("a")).as("dba"),
+        VectorExprs.dot(col("a"), expr("slice(b, 1, 7)")).as("jag")).head()
+      r.getDouble(0) == 0.0 &&
+        java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)) &&
+        java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(4)) &&
+        r.isNullAt(5)
+    })
+  }
+
   test("grouped sums equal the ungrouped total (agg consistency)") {
     val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 1000L))
     check(Prop.forAll(Gen.listOfN(30, rowGen)) { rows =>
