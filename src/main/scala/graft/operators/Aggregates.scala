@@ -241,13 +241,17 @@ object Aggregates {
     * Lift is one pinned IEEE expression over exact counts, so ranking and
     * ties hash-gate cross-engine. */
   def basketPairsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // Cached PRE-PARTITIONED on the basket key: the pair self-join below
+    // then runs exchange-free on both sides (same discipline as pagerank's
+    // edgesDeg / triangles' oriented frame).
     val ob = graft.engine.Materialize.diskBacked(
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p_partkey"))
         .join(Tables.part(spark, sfDir)
           .select(col("p_partkey"), col("p_brand")), Seq("p_partkey"))
         .select(col("ok"), col("p_brand").as("b"))
-        .distinct())
+        .distinct()
+        .repartition(col("ok")))
     val nOrders = ob.select(col("ok")).distinct()
       .agg(Num.countStar.as("n_orders"))
     val brandCnt = ob.groupBy(col("b")).agg(Num.countStar.as("cnt"))

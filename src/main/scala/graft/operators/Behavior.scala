@@ -156,10 +156,13 @@ object Behavior {
     * the same distinct frame and broadcast onto the matrix. */
   def audienceOverlapQ(spark: SparkSession, sfDir: String): DataFrame = {
     // Three consumers (both self-join sides + the sizes rollup) —
-    // materialize the distinct frame once instead of re-folding events.
+    // materialize the distinct frame once instead of re-folding events,
+    // pre-partitioned on the overlap key so the self-join below runs
+    // exchange-free on both sides.
     val tu = graft.engine.Materialize.diskBacked(
       Tables.events(spark, sfDir)
-        .select(col("event_type"), col("user_id")).distinct())
+        .select(col("event_type"), col("user_id")).distinct()
+        .repartition(col("user_id")))
     val sizes = tu.groupBy(col("event_type"))
       .agg(Num.countStar.as("n_users"))
     tu.as("a").join(tu.as("b"),
