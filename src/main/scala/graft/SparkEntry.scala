@@ -137,6 +137,7 @@ object SparkEntry {
     "q_ab_lift"             -> Behavior.abLiftQ _,
     "q_csv_roundtrip"       -> Relational.csvRoundtripQ _,
     "q_orc_roundtrip"       -> Relational.orcRoundtripQ _,
+    "q_compact"             -> Relational.compactQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
     "q_twap"                -> Stats.twapQ _,
     "q_unpivot"             -> Aggregates.unpivotQ _,
@@ -318,6 +319,7 @@ object SparkEntry {
     "q_ab_lift"          -> Behavior.abLiftOracle,
     "q_csv_roundtrip"    -> Relational.csvRoundtripOracle,
     "q_orc_roundtrip"    -> Relational.orcRoundtripOracle,
+    "q_compact"          -> Relational.compactOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
     "q_twap"             -> Stats.twapOracle,
     "q_unpivot"          -> Aggregates.unpivotOracle,

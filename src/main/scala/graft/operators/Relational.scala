@@ -475,6 +475,59 @@ object Relational {
       |FROM orders WHERE o_orderstatus <> 'P'
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** Fragment count the compaction fixture writes, and the compacted
+    * target file count. */
+  val CompactFragments = 64
+  val CompactTarget = 4
+
+  /** `q_compact`: SMALL-FILE COMPACTION — the operational layout pass every
+    * long-lived lakehouse table needs: streaming/micro-batch ingest leaves
+    * thousands of KB-sized files per partition, and at 100 TB the
+    * file-open/footer overhead (plus the driver's listing memory) comes to
+    * dominate scan cost long before the bytes do. The fixture fragments
+    * orders into CompactFragments files (round-robin repartition — the
+    * worst layout ingest produces), then compacts to CompactTarget files
+    * RANGE-partitioned on the sort key — so the rewrite also leaves
+    * file-level min/max statistics tight for key-range pruning (the same
+    * motivation as X46's Z-order, one dimension here).
+    *
+    * The DuckDB gate proves the rewrite is LOSSLESS (row count + money sum
+    * + key min/max survive the round trip byte-exactly); CompactionSpec
+    * asserts the mechanical half the oracle can't see — fragment count
+    * before, file count after. */
+  def compactQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val fragPath = fixturePath("compact_frag", sfDir)
+    val outPath = fixturePath("compact_out", sfDir)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(CompactFragments)
+      .write.mode("overwrite").parquet(fragPath)
+    spark.read.parquet(fragPath)
+      .repartitionByRange(CompactTarget, col("o_orderkey"))
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+      .agg(Num.countStar.as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  val compactOracle: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders""".stripMargin
+
+  /** Parquet data file listing for a written dataset (spec support). */
+  def parquetDataFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+
+  /** Fixture paths for the spec's mechanical assertions. */
+  def compactPaths(sfDir: String): (String, String) =
+    (fixturePath("compact_frag", sfDir), fixturePath("compact_out", sfDir))
+
   /** Corruption rule for the permissive-read audit fixture. */
   val CorruptMod = 23
 
