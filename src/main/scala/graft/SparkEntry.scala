@@ -138,6 +138,7 @@ object SparkEntry {
     "q_csv_roundtrip"       -> Relational.csvRoundtripQ _,
     "q_orc_roundtrip"       -> Relational.orcRoundtripQ _,
     "q_compact"             -> Relational.compactQ _,
+    "q_image_decode"        -> MultiModal.imageDecodeQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
     "q_twap"                -> Stats.twapQ _,
     "q_unpivot"             -> Aggregates.unpivotQ _,
@@ -320,6 +321,7 @@ object SparkEntry {
     "q_csv_roundtrip"    -> Relational.csvRoundtripOracle,
     "q_orc_roundtrip"    -> Relational.orcRoundtripOracle,
     "q_compact"          -> Relational.compactOracle,
+    "q_image_decode"     -> MultiModal.imageDecodeOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
     "q_twap"             -> Stats.twapOracle,
     "q_unpivot"          -> Aggregates.unpivotOracle,

@@ -10,10 +10,13 @@ import graft.engine.Tables
   * per-partition BATCH operation so a real codec drops in without changing
   * the dataflow.
   *
-  * The harness container has no image/audio codecs, so the decode itself is
-  * a clearly-marked DETERMINISTIC STUB (dimensions derived from payload
-  * bytes). Everything around it — the binary column, schema, partition
-  * preservation, batch shape — is real and tested (MultiModalSpec).
+  * The harness container has no video/audio codecs, so those decodes are
+  * clearly-marked DETERMINISTIC STUBS (dimensions derived from payload
+  * bytes) — but the IMAGE leg is REAL: the JDK ships a PNG codec
+  * (javax.imageio), and `q_image_decode` gates an actual executor-side
+  * encode → decode round trip. Everything around the stubs — the binary
+  * column, schema, partition preservation, batch shape — is real and
+  * tested (MultiModalSpec).
   *
   * Scale: payloads never shuffle here (all ops are narrow maps); a join
   * would carry only (doc_id, metadata). At 100 TB the payload column's
@@ -153,5 +156,88 @@ object MultiModal {
       | CAST(CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 1920 + 1 AS INT) AS width,
       | CAST(CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 1080 + 1 AS INT) AS height,
       | octet_length(encode(text)) % 7 + 1 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // `q_image_decode`: a REAL codec round trip — unlike the stubbed
+  // video/audio paths above, the JDK ships an actual PNG codec
+  // (javax.imageio), so the image leg needs no stub at all. Executors
+  // ENCODE a real PNG per document (dimensions and solid RGB fill derived
+  // from doc_id by a stated rule), and a second per-partition batch pass
+  // DECODES the bytes back — ImageIO.read, real pixel access. The DuckDB
+  // oracle states the expected (width, height, rgb) from the generation
+  // rule alone: any defect in the encode→decode path (dimension swap,
+  // channel order, color-space mangling) breaks the hash gate. Byte size
+  // is deliberately NOT gated — PNG encoder output is
+  // implementation-defined; decoded CONTENT is the contract.
+  //
+  // Scale shape: identical to the stub ops — payload bytes are produced
+  // and consumed inside narrow per-partition maps, never shuffled; only
+  // (doc_id, metadata) rows leave the partition.
+  // ------------------------------------------------------------------
+
+  final case class PngRecord(doc_id: Long, png: Array[Byte])
+  final case class PngDecoded(doc_id: Long, width: Int, height: Int,
+      r: Int, g: Int, b: Int)
+
+  /** Generation rule (shared verbatim with the oracle SQL). */
+  def pngWidth(id: Long): Int = (id % 16 + 8).toInt
+  def pngHeight(id: Long): Int = (id % 8 + 8).toInt
+  def pngRgb(id: Long): (Int, Int, Int) =
+    (((id * 37) % 256).toInt, ((id * 59) % 256).toInt, ((id * 83) % 256).toInt)
+
+  /** Executor-side PNG encode: one BufferedImage per doc, solid fill. */
+  def pngTable(spark: SparkSession, sfDir: String): Dataset[PngRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = (pngWidth(id), pngHeight(id))
+          val (r, g, b) = pngRgb(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (r << 16) | (g << 8) | b
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngRecord(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Executor-side PNG decode in DecodeBatchSize batches. */
+  def pngDecode(records: Dataset[PngRecord]): Dataset[PngDecoded] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { rec =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.png))
+          val px = img.getRGB(img.getWidth / 2, img.getHeight / 2)
+          PngDecoded(rec.doc_id, img.getWidth, img.getHeight,
+            (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+        }
+      }
+    }
+  }
+
+  def imageDecodeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngDecode(pngTable(spark, sfDir)).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val imageDecodeOracle: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 16 + 8 AS INT) AS width,
+      |  CAST(doc_id % 8 + 8 AS INT) AS height,
+      |  CAST((doc_id * 37) % 256 AS INT) AS r,
+      |  CAST((doc_id * 59) % 256 AS INT) AS g,
+      |  CAST((doc_id * 83) % 256 AS INT) AS b
       |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -46,6 +46,20 @@ class MultiModalSpec extends AnyFunSuite {
     assert(stub.forall(_._2 % MultiModal.FrameStride == 0))
   }
 
+  test("png table holds REAL PNG bytes (magic header) that ImageIO round-trips") {
+    val rows = graft.operators.MultiModal
+      .pngTable(spark, "/root/testdata/sf0.001").limit(5).collect()
+    val magic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte) // \x89PNG
+    rows.foreach { r =>
+      assert(r.png.take(4).sameElements(magic),
+        s"doc ${r.doc_id}: payload is not a PNG")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.png))
+      assert(img.getWidth == graft.operators.MultiModal.pngWidth(r.doc_id))
+      assert(img.getHeight == graft.operators.MultiModal.pngHeight(r.doc_id))
+    }
+  }
+
   test("decode preserves partitioning (no shuffle) and is deterministic") {
     val media = MultiModal.mediaTable(spark, sfDir).repartition(7)
     val decoded = MultiModal.decodeStub(media)
