@@ -139,6 +139,7 @@ object SparkEntry {
     "q_orc_roundtrip"       -> Relational.orcRoundtripQ _,
     "q_compact"             -> Relational.compactQ _,
     "q_image_decode"        -> MultiModal.imageDecodeQ _,
+    "q_audio_decode"        -> MultiModal.audioDecodeQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
     "q_twap"                -> Stats.twapQ _,
     "q_unpivot"             -> Aggregates.unpivotQ _,
@@ -322,6 +323,7 @@ object SparkEntry {
     "q_orc_roundtrip"    -> Relational.orcRoundtripOracle,
     "q_compact"          -> Relational.compactOracle,
     "q_image_decode"     -> MultiModal.imageDecodeOracle,
+    "q_audio_decode"     -> MultiModal.audioDecodeOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
     "q_twap"             -> Stats.twapOracle,
     "q_unpivot"          -> Aggregates.unpivotOracle,

@@ -10,13 +10,14 @@ import graft.engine.Tables
   * per-partition BATCH operation so a real codec drops in without changing
   * the dataflow.
   *
-  * The harness container has no video/audio codecs, so those decodes are
-  * clearly-marked DETERMINISTIC STUBS (dimensions derived from payload
-  * bytes) — but the IMAGE leg is REAL: the JDK ships a PNG codec
-  * (javax.imageio), and `q_image_decode` gates an actual executor-side
-  * encode → decode round trip. Everything around the stubs — the binary
-  * column, schema, partition preservation, batch shape — is real and
-  * tested (MultiModalSpec).
+  * The IMAGE and AUDIO legs are REAL: the JDK ships a PNG codec
+  * (javax.imageio) and a WAV/PCM codec (javax.sound.sampled), and
+  * `q_image_decode` / `q_audio_decode` gate actual executor-side
+  * encode → decode round trips. Only VIDEO decode is a clearly-marked
+  * DETERMINISTIC STUB (the JDK has no video codec; dimensions derive from
+  * payload bytes). Everything around the stub — the binary column, schema,
+  * partition preservation, batch shape — is real and tested
+  * (MultiModalSpec).
   *
   * Scale: payloads never shuffle here (all ops are narrow maps); a join
   * would carry only (doc_id, metadata). At 100 TB the payload column's
@@ -240,4 +241,86 @@ object MultiModal {
       |  CAST((doc_id * 59) % 256 AS INT) AS g,
       |  CAST((doc_id * 83) % 256 AS INT) AS b
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // `q_audio_decode`: the audio twin of the PNG round trip — the JDK also
+  // ships a real WAV/PCM codec (javax.sound.sampled), so the audio leg is
+  // REAL as well: executors synthesize a deterministic 16-bit mono PCM
+  // waveform per document (integer sawtooth from a stated doc_id rule —
+  // no trig, so the samples are exact on any engine), container-encode it
+  // to WAV bytes via AudioSystem, and a second batch pass decodes the
+  // container back: format fields, frame count, and the exact integer sum
+  // of the decoded samples. The oracle recomputes frame count and sample
+  // sum from the rule — a byte-order or header defect in the codec path
+  // breaks the gate. Only video remains a stub (the JDK has no video
+  // codec; documented honestly above).
+  // ------------------------------------------------------------------
+
+  val AudioRate = 8000f
+  final case class WavRecord(doc_id: Long, wav: Array[Byte])
+  final case class WavDecoded(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, sample_sum: Long)
+
+  /** Generation rule (shared verbatim with the oracle). */
+  def wavFrames(id: Long): Int = (id % 50 + 10).toInt
+  def wavSample(id: Long, i: Int): Short =
+    (((id * 31 + i.toLong * 17) % 65536) - 32768).toShort
+
+  /** Executor-side WAV encode of the rule waveform. */
+  def wavTable(spark: SparkSession, sfDir: String): Dataset[WavRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(AudioRate, 16, 1, true, false)
+        ids.map { id =>
+          val n = wavFrames(id)
+          val pcm = java.nio.ByteBuffer.allocate(n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0 until n).foreach(i => pcm.putShort(wavSample(id, i)))
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavRecord(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Executor-side WAV decode in DecodeBatchSize batches. */
+  def wavDecode(records: Dataset[WavRecord]): Dataset[WavDecoded] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { rec =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.wav))
+          val fmt = ais.getFormat
+          val nFrames = ais.getFrameLength
+          val bytes = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sum = 0L
+          while (bb.remaining() >= 2) sum += bb.getShort
+          WavDecoded(rec.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, nFrames, sum)
+        }
+      }
+    }
+  }
+
+  def audioDecodeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wavDecode(wavTable(spark, sfDir)).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val audioDecodeOracle: String =
+    s"""SELECT doc_id,
+       |  ${AudioRate.toInt} AS sample_rate, 1 AS channels, 16 AS bits,
+       |  doc_id % 50 + 10 AS n_frames,
+       |  CAST((SELECT SUM((doc_id * 31 + i * 17) % 65536 - 32768)
+       |        FROM UNNEST(range(0, doc_id % 50 + 10)) AS u(i)) AS BIGINT)
+       |    AS sample_sum
+       |FROM documents ORDER BY doc_id""".stripMargin
 }

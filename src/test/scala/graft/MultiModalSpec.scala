@@ -60,6 +60,20 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("wav table holds REAL RIFF/WAVE bytes that AudioSystem round-trips") {
+    val rows = graft.operators.MultiModal
+      .wavTable(spark, "/root/testdata/sf0.001").limit(5).collect()
+    rows.foreach { r =>
+      assert(new String(r.wav.take(4), "US-ASCII") == "RIFF" &&
+        new String(r.wav.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${r.doc_id}: payload is not a WAV container")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.wav))
+      assert(ais.getFrameLength ==
+        graft.operators.MultiModal.wavFrames(r.doc_id))
+    }
+  }
+
   test("decode preserves partitioning (no shuffle) and is deterministic") {
     val media = MultiModal.mediaTable(spark, sfDir).repartition(7)
     val decoded = MultiModal.decodeStub(media)
