@@ -140,6 +140,7 @@ object SparkEntry {
     "q_compact"             -> Relational.compactQ _,
     "q_image_decode"        -> MultiModal.imageDecodeQ _,
     "q_audio_decode"        -> MultiModal.audioDecodeQ _,
+    "q_image_resize"        -> MultiModal.imageResizeQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
     "q_twap"                -> Stats.twapQ _,
     "q_unpivot"             -> Aggregates.unpivotQ _,
@@ -324,6 +325,7 @@ object SparkEntry {
     "q_compact"          -> Relational.compactOracle,
     "q_image_decode"     -> MultiModal.imageDecodeOracle,
     "q_audio_decode"     -> MultiModal.audioDecodeOracle,
+    "q_image_resize"     -> MultiModal.imageResizeOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
     "q_twap"             -> Stats.twapOracle,
     "q_unpivot"          -> Aggregates.unpivotOracle,

@@ -315,6 +315,48 @@ object MultiModal {
       .orderBy(col("doc_id"))
   }
 
+  /** `q_image_resize`: the resize stage of the image pipeline, REAL as
+    * well — decode (ImageIO), scale to ceil(dims/2) with Graphics2D, and
+    * re-measure the result. Solid-fill inputs make the expected output
+    * statable in SQL regardless of the interpolation kernel (any weighted
+    * average of one color is that color), so the gate checks the resize
+    * geometry and that the pixel pipeline preserved the channels. The
+    * resize runs inside the same per-partition batch map as the decode —
+    * one pass, payloads never shuffle. */
+  def imageResizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val resized = pngTable(spark, sfDir).mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { rec =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.png))
+          val (w2, h2) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
+          val out = new java.awt.image.BufferedImage(
+            w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.drawImage(img, 0, 0, w2, h2, null)
+          g2.dispose()
+          val px = out.getRGB(w2 / 2, h2 / 2)
+          PngDecoded(rec.doc_id, w2, h2,
+            (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+        }
+      }
+    }
+    resized.toDF()
+      .select(col("doc_id"), col("width").as("out_w"), col("height").as("out_h"),
+        col("r"), col("g"), col("b"))
+      .orderBy(col("doc_id"))
+  }
+
+  val imageResizeOracle: String =
+    """SELECT doc_id,
+      |  CAST((doc_id % 16 + 8 + 1) // 2 AS INT) AS out_w,
+      |  CAST((doc_id % 8 + 8 + 1) // 2 AS INT) AS out_h,
+      |  CAST((doc_id * 37) % 256 AS INT) AS r,
+      |  CAST((doc_id * 59) % 256 AS INT) AS g,
+      |  CAST((doc_id * 83) % 256 AS INT) AS b
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val audioDecodeOracle: String =
     s"""SELECT doc_id,
        |  ${AudioRate.toInt} AS sample_rate, 1 AS channels, 16 AS bits,
