@@ -10,14 +10,17 @@ import graft.engine.Tables
   * per-partition BATCH operation so a real codec drops in without changing
   * the dataflow.
   *
-  * The IMAGE and AUDIO legs are REAL: the JDK ships a PNG codec
-  * (javax.imageio) and a WAV/PCM codec (javax.sound.sampled), and
-  * `q_image_decode` / `q_audio_decode` gate actual executor-side
-  * encode → decode round trips. Only VIDEO decode is a clearly-marked
-  * DETERMINISTIC STUB (the JDK has no video codec; dimensions derive from
-  * payload bytes). Everything around the stub — the binary column, schema,
-  * partition preservation, batch shape — is real and tested
-  * (MultiModalSpec).
+  * Two layers coexist here. The GENERIC media plumbing
+  * (decodeStub / frameSampleStub and their gated Column twins
+  * `q_multimodal_meta` / `q_multimodal_frames`) treats ALL modalities
+  * through a clearly-marked DETERMINISTIC STUB — it exists to prove the
+  * binary-column dataflow (schema, partition preservation, batch shape)
+  * independent of any codec, and stays the only option for VIDEO (the JDK
+  * has no video codec). SEPARATELY, the IMAGE and AUDIO legs also have
+  * REAL codec paths: the JDK ships PNG (javax.imageio) and WAV/PCM
+  * (javax.sound.sampled), and `q_image_decode` / `q_image_resize` /
+  * `q_audio_decode` gate actual executor-side encode → decode round
+  * trips. MultiModalSpec covers both layers.
   *
   * Scale: payloads never shuffle here (all ops are narrow maps); a join
   * would carry only (doc_id, metadata). At 100 TB the payload column's
@@ -181,18 +184,27 @@ object MultiModal {
   final case class PngDecoded(doc_id: Long, width: Int, height: Int,
       r: Int, g: Int, b: Int)
 
-  /** 1-in-ImgMod of documents get an image payload: ImageIO costs ~1 ms
-    * per PNG round trip, and gating EVERY document at bench scale spends
-    * seconds re-proving the same codec path — the sample keeps the gate's
-    * coverage (all rule branches exercised: id mod 16/8/256 cycle well
-    * within any 4-stride sample) at a quarter the cost. */
-  val ImgMod = 4
+  /** 1-in-ImgMod of documents get an image payload: ImageIO costs real
+    * time per PNG round trip, and gating EVERY document at bench scale
+    * spends seconds re-proving the same codec path. The stride is COPRIME
+    * to the dimension moduli (gcd(5, 16) = gcd(5, 8) = 1), so the sample
+    * still walks EVERY width/height branch — including odd dimensions,
+    * which is what exercises the resize's ceil-divide — a power-of-two
+    * stride would alias to even dims only. */
+  val ImgMod = 5
 
-  /** Generation rule (shared verbatim with the oracle SQL). */
+  /** Generation rule (shared with the oracle SQL via interpolation). */
   def pngWidth(id: Long): Int = (id % 16 + 8).toInt
   def pngHeight(id: Long): Int = (id % 8 + 8).toInt
   def pngRgb(id: Long): (Int, Int, Int) =
     (((id * 37) % 256).toInt, ((id * 59) % 256).toInt, ((id * 83) % 256).toInt)
+
+  /** ImageIO defaults to a DISK-backed stream cache — one temp-file
+    * create/write/delete per encode/decode call. Per-image file I/O is
+    * exactly the wrong trade for in-memory byte arrays; this pins the
+    * in-memory cache once per executor JVM (idempotent, thread-safe). */
+  private def imageIoNoDiskCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** Executor-side PNG encode: one BufferedImage per doc, solid fill. */
   def pngTable(spark: SparkSession, sfDir: String): Dataset[PngRecord] = {
@@ -201,6 +213,7 @@ object MultiModal {
       .filter(col("doc_id") % ImgMod === 0)
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        imageIoNoDiskCache()
         ids.map { id =>
           val (w, h) = (pngWidth(id), pngHeight(id))
           val (r, g, b) = pngRgb(id)
@@ -220,18 +233,27 @@ object MultiModal {
       }
   }
 
+  /** Decode one PNG payload and unpack its center pixel — the single
+    * decode path both image queries share (a fix here reaches both). */
+  private def decodeCenterPixel(rec: PngRecord): (java.awt.image.BufferedImage, PngDecoded) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rec.png))
+    (img, centerPixel(rec.doc_id, img))
+  }
+
+  private def centerPixel(id: Long, img: java.awt.image.BufferedImage): PngDecoded = {
+    val px = img.getRGB(img.getWidth / 2, img.getHeight / 2)
+    PngDecoded(id, img.getWidth, img.getHeight,
+      (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+  }
+
   /** Executor-side PNG decode in DecodeBatchSize batches. */
   def pngDecode(records: Dataset[PngRecord]): Dataset[PngDecoded] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      imageIoNoDiskCache()
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        batch.map { rec =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(rec.png))
-          val px = img.getRGB(img.getWidth / 2, img.getHeight / 2)
-          PngDecoded(rec.doc_id, img.getWidth, img.getHeight,
-            (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
-        }
+        batch.map(rec => decodeCenterPixel(rec)._2)
       }
     }
   }
@@ -243,13 +265,13 @@ object MultiModal {
   }
 
   val imageDecodeOracle: String =
-    """SELECT doc_id,
-      |  CAST(doc_id % 16 + 8 AS INT) AS width,
-      |  CAST(doc_id % 8 + 8 AS INT) AS height,
-      |  CAST((doc_id * 37) % 256 AS INT) AS r,
-      |  CAST((doc_id * 59) % 256 AS INT) AS g,
-      |  CAST((doc_id * 83) % 256 AS INT) AS b
-      |FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(doc_id % 16 + 8 AS INT) AS width,
+       |  CAST(doc_id % 8 + 8 AS INT) AS height,
+       |  CAST((doc_id * 37) % 256 AS INT) AS r,
+       |  CAST((doc_id * 59) % 256 AS INT) AS g,
+       |  CAST((doc_id * 83) % 256 AS INT) AS b
+       |FROM documents WHERE doc_id % ${ImgMod} = 0 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // `q_audio_decode`: the audio twin of the PNG round trip — the JDK also
@@ -335,19 +357,17 @@ object MultiModal {
   def imageResizeQ(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val resized = pngTable(spark, sfDir).mapPartitions { it =>
+      imageIoNoDiskCache()
       it.grouped(DecodeBatchSize).flatMap { batch =>
         batch.map { rec =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(rec.png))
+          val img = decodeCenterPixel(rec)._1 // shared decode path
           val (w2, h2) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
           val out = new java.awt.image.BufferedImage(
             w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g2 = out.createGraphics()
           g2.drawImage(img, 0, 0, w2, h2, null)
           g2.dispose()
-          val px = out.getRGB(w2 / 2, h2 / 2)
-          PngDecoded(rec.doc_id, w2, h2,
-            (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+          centerPixel(rec.doc_id, out)
         }
       }
     }
@@ -358,13 +378,13 @@ object MultiModal {
   }
 
   val imageResizeOracle: String =
-    """SELECT doc_id,
-      |  CAST((doc_id % 16 + 8 + 1) // 2 AS INT) AS out_w,
-      |  CAST((doc_id % 8 + 8 + 1) // 2 AS INT) AS out_h,
-      |  CAST((doc_id * 37) % 256 AS INT) AS r,
-      |  CAST((doc_id * 59) % 256 AS INT) AS g,
-      |  CAST((doc_id * 83) % 256 AS INT) AS b
-      |FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST((doc_id % 16 + 8 + 1) // 2 AS INT) AS out_w,
+       |  CAST((doc_id % 8 + 8 + 1) // 2 AS INT) AS out_h,
+       |  CAST((doc_id * 37) % 256 AS INT) AS r,
+       |  CAST((doc_id * 59) % 256 AS INT) AS g,
+       |  CAST((doc_id * 83) % 256 AS INT) AS b
+       |FROM documents WHERE doc_id % ${ImgMod} = 0 ORDER BY doc_id""".stripMargin
 
   val audioDecodeOracle: String =
     s"""SELECT doc_id,
