@@ -197,7 +197,8 @@ object SparkEntry {
         |ORDER BY nation ASC, order_count DESC, o_orderpriority ASC""".stripMargin,
     "q_sentiment_dist" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
+        |  floor(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER () * 100.0 + 0.5)
+        |    / 100.0 AS pct
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

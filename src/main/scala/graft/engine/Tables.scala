@@ -14,6 +14,13 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Identifier-safe tag for sfDir-keyed table/fixture names. Injective on
+    * path content modulo the substituted chars — unlike a 32-bit hashCode,
+    * two different sfDirs can't silently share (and clobber) a
+    * saveAsTable'd fixture, and the result is always a legal identifier
+    * (hashCode could yield Int.MinValue, whose abs is negative). */
+  def sfTag(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")

@@ -63,8 +63,13 @@ object Aggregates {
 
   /** A4 `q_sentiment_dist`: histogram + percentage of grand total via a
     * window over the empty partitioning (the report at
-    * src/youtube_collector.py:247-266). The percentage is derived from two
-    * exact longs, so the double division is deterministic cross-engine. */
+    * src/youtube_collector.py:247-266). The percentage division is
+    * deterministic cross-engine (two exact longs), but the 2-decimal
+    * rounding must use the floor(x·100 + 0.5)/100 idiom on BOTH engines:
+    * Spark's round() rounds the shortest-decimal rendering while DuckDB's
+    * ROUND multiplies first, and the two diverge on reachable count/total
+    * pairs (e.g. 1783/20000 → 8.92 vs 8.91) — the same divergence class
+    * TextAnalysis.round4 documents. */
   def sentimentDist(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderstatus")).agg(Num.countStar.as("n"))
@@ -72,7 +77,8 @@ object Aggregates {
     // of the already-tiny grouped result, never of the fact table.
     counts
       .withColumn("pct",
-        round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 2))
+        floor(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy())
+          * 100.0 + 0.5) / 100.0)
       .orderBy(col("o_orderstatus"))
   }
 

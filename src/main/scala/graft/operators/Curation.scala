@@ -104,7 +104,7 @@ object Curation {
     * or removal. Narrow Column work only; docs with <3 words drop out with
     * the shingle path. */
   def repetitionQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val ws = graft.engine.Text.words
     val sg = transform(sequence(lit(1), size(col("ws")) - 2), i =>
       concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
         element_at(col("ws"), i + 2)))
@@ -205,7 +205,7 @@ object Curation {
     * shard; the bin aggregate reuses the same partitioning. */
   def packSequencesQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val ws = graft.engine.Text.words
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)

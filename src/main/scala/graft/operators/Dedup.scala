@@ -83,7 +83,7 @@ object Dedup {
     * identical hash, so even a (≈2⁻⁶⁰-rare) collision would produce the
     * same result on both engines. */
   private[operators] def shingled(docs: DataFrame): DataFrame = {
-    val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val ws = graft.engine.Text.words
     docs
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -99,8 +99,12 @@ object Dedup {
   private def materialize(df: DataFrame): DataFrame =
     graft.engine.Materialize.diskBacked(df)
 
-  /** Core over any (doc_id, text) frame. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  /** The shingle → minhash-signature → banded-key front shared by every
+    * MinHash consumer (pair detection, clustering, the incremental
+    * batch-vs-corpus variant): returns the MATERIALIZED shingle frame and
+    * the (doc_id, band, key) rows. One definition — a banding change can't
+    * silently fork the detectors. */
+  private[operators] def bandedSignatures(docs: DataFrame): (DataFrame, DataFrame) = {
     val p = MinhashPrime
     val sh = materialize(shingled(docs)
       .withColumn("hs", transform(col("sg"), s => s % p)))
@@ -111,8 +115,12 @@ object Dedup {
     val bandKeys: Column = array((0 until Bands).map { j =>
       concat_ws("_", minhashes(2 * j), minhashes(2 * j + 1))
     }: _*)
-    val bands = sh
-      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    (sh, sh.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key"))))
+  }
+
+  /** Core over any (doc_id, text) frame. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val (sh, bands) = bandedSignatures(docs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -132,6 +140,24 @@ object Dedup {
   def dedupMinhashQ(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(Tables.documents(spark, sfDir))
 
+  /** Shared oracle CTE: doc_id + hashed distinct 3-shingle set — the SQL
+    * twin of `shingled` (used by the dedup oracles and Curation's
+    * decontamination oracle). */
+  val shingleCteSql: String =
+    """words AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                w -> w <> '') AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(ws)-1),
+      |      i -> CAST(concat('0x', substr(md5(
+      |             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,15)) AS BIGINT)
+      |      )) AS sg
+      |  FROM words WHERE len(ws) >= 3
+      |)""".stripMargin
+
   /** The full MinHash pipeline as a reusable CTE chain (words → shingles →
     * signatures → bands → candidates → exact-Jaccard `verified`) — shared
     * by the pair oracle and the cluster oracle. */
@@ -143,19 +169,7 @@ object Dedup {
     val bandExprs = (0 until Bands).map { j =>
       s"mh[${2 * j + 1}] || '_' || mh[${2 * j + 2}]"
     }.mkString(", ")
-    s"""words AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-       |                w -> w <> '') AS ws
-       |  FROM documents
-       |), sh AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, len(ws)-1),
-       |      i -> CAST(concat('0x', substr(md5(
-       |             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,15)) AS BIGINT)
-       |      )) AS sg
-       |  FROM words WHERE len(ws) >= 3
-       |), hashed AS (
+    s"""$shingleCteSql, hashed AS (
        |  SELECT doc_id, sg, list_transform(sg, s -> s % ${p}) AS hs
        |  FROM sh
        |), sigs AS (
@@ -208,16 +222,7 @@ object Dedup {
 
   def dedupIncrementalQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = MinhashPrime
-    val sh = materialize(shingled(Tables.documents(spark, sfDir))
-      .withColumn("hs", transform(col("sg"), s => s % p)))
-    val minhashes: Seq[Column] = Perms.map { case (a, b) =>
-      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % p))
-    }
-    val bandKeys: Column = array((0 until Bands).map { j =>
-      concat_ws("_", minhashes(2 * j), minhashes(2 * j + 1))
-    }: _*)
-    val bands = sh.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    val (sh, bands) = bandedSignatures(Tables.documents(spark, sfDir))
     val isBatch = col("doc_id") % IncrBatchMod === 0
     // The history band index is the PERSISTED artifact of this pipeline: a
     // daily run must not re-shuffle the (corpus-sized) index to join a
@@ -229,7 +234,7 @@ object Dedup {
     // bucketing is not co-partition-compatible and the planner would
     // disable the bucketed scan entirely.
     // PlanSpec asserts the history side scans bucketed with no exchange.
-    val tHist = s"graft_bandidx_${math.abs(sfDir.hashCode)}"
+    val tHist = s"graft_bandidx_${Tables.sfTag(sfDir)}"
     bands.filter(!isBatch)
       .write.mode("overwrite")
       .bucketBy(IncrBandBuckets, "band", "key").sortBy("band", "key")
@@ -353,7 +358,8 @@ object Dedup {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 15) {
+    val maxRounds = 15 // 45 propagation hops ≫ any expected near-dup diameter
+    while (!converged && rounds < maxRounds) {
       val (next, s) = sumLabels(step(step(step(labels))))
       if (persisted != null) persisted.unpersist()
       persisted = next
@@ -362,6 +368,14 @@ object Dedup {
       prevSum = s
       rounds += 1
     }
+    // A silent cap-exit would return labels that are NOT component minima
+    // (possible on a >45-hop duplicate chain) and quietly canonicalize to
+    // the wrong representative — fail loudly instead; the caller raises
+    // the cap or switches to large-star/small-star.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds " +
+          s"(${3 * maxRounds} hops) — component diameter exceeds the cap")
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy(col("doc_id"))
@@ -441,38 +455,8 @@ object Dedup {
   def dedupNgramQ(spark: SparkSession, sfDir: String): DataFrame =
     ngramPairs(Tables.documents(spark, sfDir))
 
-  /** Shared oracle CTE: doc_id + hashed distinct 3-shingle set — the SQL
-    * twin of `shingled` (used by the dedup oracles and Curation's
-    * decontamination oracle). */
-  val shingleCteSql: String =
-    """words AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-      |                w -> w <> '') AS ws
-      |  FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(ws)-1),
-      |      i -> CAST(concat('0x', substr(md5(
-      |             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,15)) AS BIGINT)
-      |      )) AS sg
-      |  FROM words WHERE len(ws) >= 3
-      |)""".stripMargin
-
   val dedupNgramOracle: String =
-    s"""WITH words AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-       |                w -> w <> '') AS ws
-       |  FROM documents
-       |), sh AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, len(ws)-1),
-       |      i -> CAST(concat('0x', substr(md5(
-       |             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),1,15)) AS BIGINT)
-       |      )) AS sg
-       |  FROM words WHERE len(ws) >= 3
-       |), postings AS (
+    s"""WITH $shingleCteSql, postings AS (
        |  SELECT doc_id, unnest(sg) AS s FROM sh
        |), rare AS (
        |  SELECT s FROM postings GROUP BY s

@@ -134,7 +134,7 @@ object Joins {
     * rewritten per run (overwrite, sfDir-keyed names) into the session's
     * temp warehouse; at a real deployment they ARE the warehouse. */
   def bucketedJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = math.abs(sfDir.hashCode).toString
+    val tag = Tables.sfTag(sfDir)
     val (tOrders, tCust) = (s"graft_bko_$tag", s"graft_bkc_$tag")
     Tables.orders(spark, sfDir)
       .write.mode("overwrite")

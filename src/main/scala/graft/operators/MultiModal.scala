@@ -61,13 +61,15 @@ object MultiModal {
   def decodeStub(records: Dataset[MediaRecord]): Dataset[DecodedMeta] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      // one digest instance per partition (reset between rows) — per-record
+      // getInstance would pay the JCA lookup the batching exists to amortize
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.grouped(DecodeBatchSize).flatMap { batch =>
         // one "codec call" per batch
         batch.map { r =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest(r.payload)
+          md.reset()
           val h = java.lang.Integer.toUnsignedLong(
-            java.nio.ByteBuffer.wrap(md, 0, 4).getInt)
+            java.nio.ByteBuffer.wrap(md.digest(r.payload), 0, 4).getInt)
           DecodedMeta(r.doc_id, r.payload.length,
             (h % 1920 + 1).toInt, (h % 1080 + 1).toInt,
             (r.payload.length % 7 + 1))
@@ -111,14 +113,15 @@ object MultiModal {
   def frameSampleStub(records: Dataset[MediaRecord]): Dataset[FrameMeta] = {
     import records.sparkSession.implicits._
     records.filter(_.media_type == "video").mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per partition
       it.grouped(DecodeBatchSize).flatMap { batch => // one "codec call"/batch
         batch.flatMap { r =>
           val nFrames = r.payload.length % 7 + 1
           (0 until nFrames).filter(_ % FrameStride == 0).map { i =>
-            val md = java.security.MessageDigest.getInstance("MD5")
-              .digest(r.payload ++ s":$i".getBytes("UTF-8"))
+            md.reset()
+            val d = md.digest(r.payload ++ s":$i".getBytes("UTF-8"))
             FrameMeta(r.doc_id, i, i * FrameMs,
-              md.take(8).map(b => f"$b%02x").mkString)
+              d.take(8).map(b => f"$b%02x").mkString)
           }
         }
       }

@@ -28,17 +28,25 @@ object Sessionize {
     * threshold is a runtime parameter in spirit). */
   val GapMicros: Long = 24L * 3600 * 1000000
 
-  /** Core: sessionize any (user_id, ts, event_id) frame with a given gap. */
-  def sessionize(events: DataFrame, gapMicros: Long): DataFrame = {
+  /** Adds `session_id` to an events frame — the gap-split assignment (lag
+    * marks starts, running sum numbers them) every sessionization consumer
+    * shares; a gap-semantics fix here reaches q_sessionize AND
+    * q_session_paths (they diverged silently when this logic was inlined
+    * twice). */
+  def withSessionIds(events: DataFrame, gapMicros: Long): DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val us = unix_micros(col("ts"))
     val isNew = when(
       lag(us, 1).over(byTime).isNull ||
         (us - lag(us, 1).over(byTime)) > gapMicros, 1L).otherwise(0L)
-    events
-      .withColumn("session_id", sum(isNew).over(
-        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events.withColumn("session_id", sum(isNew).over(
+      byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Core: sessionize any (user_id, ts, event_id) frame with a given gap. */
+  def sessionize(events: DataFrame, gapMicros: Long): DataFrame = {
+    withSessionIds(events, gapMicros)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
@@ -148,19 +156,13 @@ object Sessionize {
     * count on the (types^PathLen)-bounded path domain; top-K via
     * per-partition heap. */
   def sessionPathsQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val byTime = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val us = unix_micros(col("ts"))
-    val isNew = when(
-      lag(us, 1).over(byTime).isNull ||
-        (us - lag(us, 1).over(byTime)) > GapMicros, 1L).otherwise(0L)
     val bySession = Window
       .partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts"), col("event_id"))
-    val prefix = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("session_id", sum(isNew).over(
-        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val prefix = withSessionIds(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      GapMicros)
       .withColumn("rn", row_number().over(bySession))
       .filter(col("rn") <= PathLen)
     val slots = (1 to PathLen).map(i =>

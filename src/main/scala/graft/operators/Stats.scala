@@ -689,7 +689,7 @@ object Stats {
     def bucket(row: Int, word: org.apache.spark.sql.Column) =
       pmod(conv(substring(md5(concat(lit(s"c${row}_"), word)), 1, 15), 16, 10)
         .cast("long"), lit(CmsWidth))
-    val ws = F.filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    val ws = graft.engine.Text.words
     val rowBuckets = array((0 until CmsRows).map(d => bucket(d, col("word"))): _*)
     val cms = Tables.documents(spark, sfDir)
       .select(explode(ws).as("word"))

@@ -95,10 +95,8 @@ object TextAnalysis {
 
   /** Words array (lower-cased, alnum runs) — shared by the per-doc ops.
     * Purely narrow Column work: no shuffle, stays in whole-stage codegen. */
-  private val words: Column =
-    filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
-  private val wordsSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+  private val words: Column = graft.engine.Text.words
+  private val wordsSql = graft.engine.Text.wordsSql
 
   /** BPE-ish tokenizer regex: letter runs, digit runs, or single
     * non-alnum-non-space chars — a deterministic stand-in for a real BPE
