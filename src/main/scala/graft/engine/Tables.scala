@@ -14,12 +14,15 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Identifier-safe tag for sfDir-keyed table/fixture names. Injective on
-    * path content modulo the substituted chars — unlike a 32-bit hashCode,
-    * two different sfDirs can't silently share (and clobber) a
-    * saveAsTable'd fixture, and the result is always a legal identifier
-    * (hashCode could yield Int.MinValue, whose abs is negative). */
-  def sfTag(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Identifier-safe tag for sfDir-keyed table/fixture names. Lower-cased
+    * up front because Spark's catalog folds identifiers case-insensitively.
+    * Distinct for any two dirs that differ in an alphanumeric — unlike a
+    * 32-bit hashCode, which collides on arbitrary unrelated paths (and
+    * whose abs(Int.MinValue) is negative, an illegal identifier). Dirs
+    * differing ONLY in substituted punctuation (a/sf0.1 vs a/sf0_1) still
+    * fold together — don't run those concurrently in one session. */
+  def sfTag(sfDir: String): String =
+    sfDir.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]", "_")
 
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")

@@ -161,7 +161,13 @@ object Similarity {
     (h % 2001 - 1000) / 1000.0
   }
 
-  /** Signed dot against plane p via the native expression. */
+  /** Signed dot against plane p via the native expression. The plane
+    * literal is EmbeddingDim-wide, and graft_dot returns NULL on length
+    * mismatch — so a wrong-dimension corpus yields all-NULL cosines (loud,
+    * caught immediately) rather than the silently-truncated partial sums
+    * the old min-length contract produced. These harness ANN ops assume
+    * the fixed 64-dim embedding schema throughout (planes, PQ subspaces,
+    * IVF centroids). */
   private def planeDot(emb: Column, p: Int): Column =
     VectorExprs.dot(emb, lit(planeWeights(p).toArray))
 

@@ -21,6 +21,39 @@ import graft.pipeline.Medallion
   */
 object Incremental {
 
+  /** The streaming events source every gated streaming query reads:
+    * schema from a batch peek, listing-time file pruning, and (unless
+    * `withTs = false` — for key-only consumers like the arbitrary-state
+    * query) the nanos→timestamp conversion. ONE definition: the ts unit /
+    * glob / schema contract can't silently fork across the six drains. */
+  private def eventsStream(spark: SparkSession, sfDir: String,
+      withTs: Boolean = true): DataFrame = {
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (withTs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else src
+  }
+
+  /** AvailableNow drain into a uniquely-named in-memory sink; returns the
+    * drained table. The run-unique name keeps repeated bench/verify
+    * invocations from colliding in the shared session catalog. */
+  private def drainToTable(df: DataFrame, mode: String, prefix: String): DataFrame = {
+    val sinkName = prefix + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    df.sparkSession.table(sinkName)
+  }
+
   /** Streaming staging load: drains new videos_* JSON files into the
     * medallion staging table and returns when caught up. Re-running with an
     * unchanged raw dir appends nothing (checkpoint = processed-file log). */
@@ -63,30 +96,13 @@ object Incremental {
     * harness for the same plan (streaming aggregation state lives per
     * (window, event_type) group — tiny — not per row). */
   def streamingWindowQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
-    val src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
-    val agg = src
+    val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"),
         s"${graft.operators.Stats.WindowHours} hours"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col("value")).cast("long")).as("sum_floor_value"))
-    val sinkName = "graft_stream_win_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    spark.table(sinkName)
+    drainToTable(agg, "complete", "graft_stream_win")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("win_end"),
@@ -112,28 +128,11 @@ object Incremental {
     * key-only projection is also what you'd ship: dedup state stores the
     * key, not the payload. */
   def streamingDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
-    val src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
-    val deduped = src
+    val deduped = eventsStream(spark, sfDir)
       .select(col("ts"), col("user_id"), col("event_type"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    val sinkName = "graft_stream_dedup_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    spark.table(sinkName)
+    drainToTable(deduped, "append", "graft_stream_dedup")
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
   }
@@ -189,25 +188,10 @@ object Incremental {
     * contains. */
   def streamingStateQ(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
-    val src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val src = eventsStream(spark, sfDir, withTs = false)
       .select(col("user_id"), col("event_type"))
       .as[UserEvent]
-    val counts = runningUserCounts(src)
-    val sinkName = "graft_stream_state_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = counts.toDF.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    spark.table(sinkName)
+    drainToTable(runningUserCounts(src).toDF, "update", "graft_stream_state")
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
@@ -253,14 +237,7 @@ object Incremental {
   }
 
   private def streamingJoinDrain(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
-    def src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
+    def src = eventsStream(spark, sfDir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -272,18 +249,9 @@ object Incremental {
     val joined = views.join(purchases,
       col("v_user") === col("p_user") &&
         col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + sqlExpr(
+        col("purchase_ts") <= col("view_ts") + expr(
           s"interval ${JoinHorizonMicros / 1000000} seconds"))
-    val sinkName = "graft_stream_join_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    spark.table(sinkName)
+    drainToTable(joined, "append", "graft_stream_join")
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
   }
@@ -333,34 +301,18 @@ object Incremental {
     * the union re-aggregates a 2×|types| frame. The filters on both legs
     * sit at the scans. */
   def streamBackfillQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
     val cut = lit(BackfillCutoff).cast("date")
     val batch = graft.engine.Tables.events(spark, sfDir)
       .filter(to_date(col("ts")) < cut)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value")).cast("long")).as("sum_v"))
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
-    val tail = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
+    val tail = eventsStream(spark, sfDir)
       .filter(to_date(col("ts")) >= cut)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value")).cast("long")).as("sum_v"))
-    val sinkName = "graft_backfill_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = tail.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    batch.unionByName(spark.table(sinkName))
+    batch.unionByName(drainToTable(tail, "complete", "graft_backfill"))
       .groupBy(col("event_type"))
       .agg(sum(col("n")).as("n_events"),
         sum(col("sum_v")).as("sum_floor_value"))
@@ -394,32 +346,20 @@ object Incremental {
     * production deployment runs append mode over a checkpointed sink,
     * where closed sessions emit once and state IS watermark-evicted. */
   def streamingSessionsQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
-    val src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(sqlExpr("ts div 1000")))
     val gapExpr = s"${graft.operators.Sessionize.GapMicros} microseconds"
-    val sessions = src
-      .withWatermark("ts", "1 hour")
+    // NO watermark: the session restore operator drops watermark-late rows
+    // even in complete mode (SessionWindowStateStoreRestoreExec filters
+    // late events unconditionally), so on a multi-micro-batch drain a
+    // watermark could silently lose batch-2 events older than batch-1's
+    // max ts. Complete mode retains all state anyway; the watermark bought
+    // nothing here and carried a data-loss trap.
+    val sessions = eventsStream(spark, sfDir)
       .groupBy(col("user_id"), session_window(col("ts"), gapExpr))
       .agg(
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
         count(lit(1)).as("n_events"))
-    val sinkName = "graft_stream_sess_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = sessions.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    spark.table(sinkName)
+    drainToTable(sessions, "complete", "graft_stream_sess")
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
