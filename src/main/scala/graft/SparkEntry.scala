@@ -141,6 +141,12 @@ object SparkEntry {
     "q_image_decode"        -> MultiModal.imageDecodeQ _,
     "q_audio_decode"        -> MultiModal.audioDecodeQ _,
     "q_image_resize"        -> MultiModal.imageResizeQ _,
+    "q_gif_frames"          -> MultiModal.gifFramesQ _,
+    "q_concurrency"         -> Sessionize.peakConcurrencyQ _,
+    "q_pps_sample"          -> Curation.ppsSampleQ _,
+    "q_table_checksum"      -> Relational.tableChecksumQ _,
+    "q_grouping_sets"       -> Aggregates.groupingSetsQ _,
+    "q_cumulative_users"    -> Behavior.cumulativeUsersQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
     "q_twap"                -> Stats.twapQ _,
     "q_unpivot"             -> Aggregates.unpivotQ _,
@@ -327,6 +333,12 @@ object SparkEntry {
     "q_image_decode"     -> MultiModal.imageDecodeOracle,
     "q_audio_decode"     -> MultiModal.audioDecodeOracle,
     "q_image_resize"     -> MultiModal.imageResizeOracle,
+    "q_gif_frames"       -> MultiModal.gifFramesOracle,
+    "q_concurrency"      -> Sessionize.peakConcurrencyOracle,
+    "q_pps_sample"       -> Curation.ppsSampleOracle,
+    "q_table_checksum"   -> Relational.tableChecksumOracle,
+    "q_grouping_sets"    -> Aggregates.groupingSetsOracle,
+    "q_cumulative_users" -> Behavior.cumulativeUsersOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
     "q_twap"             -> Stats.twapOracle,
     "q_unpivot"          -> Aggregates.unpivotOracle,

@@ -332,4 +332,40 @@ object Aggregates {
       |UNION ALL
       |SELECT l_returnflag, 'n_parts', n_parts FROM w
       |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** X106 `q_grouping_sets`: arbitrary GROUPING SETS — the general form
+    * behind X19's ROLLUP and X39's CUBE, for reports that want chosen
+    * aggregation levels rather than a full lattice: here (type, day),
+    * (type), and the grand total, but NOT the (day)-only marginal a CUBE
+    * would force (on a 100 TB firehose that skipped marginal is real
+    * work). One pass: Expand replicates each input row once per matching
+    * set BEFORE the partial aggregate, so the shuffle carries
+    * |sets| × |groups| partial rows, never |sets| × |data| (the X89
+    * discipline). Subtotal rows surface through the standard NULL-fill,
+    * re-labeled '(all)' — the harness columns are never themselves NULL,
+    * so the sentinel is unambiguous and hash-stable cross-engine. */
+  def groupingSetsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        floor(col("value")).cast("long").as("v"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")), Seq()),
+        col("event_type"), col("day"))
+      .agg(Num.countStar.as("n_events"), sum(col("v")).as("sum_floor_value"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), lit("(all)")).as("day"),
+        col("n_events"), col("sum_floor_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val groupingSetsOracle: String =
+    """SELECT COALESCE(event_type, '(all)') AS event_type,
+      |  COALESCE(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m-%d')),
+      |                        (event_type), ())
+      |ORDER BY event_type, day""".stripMargin
 }

@@ -294,4 +294,51 @@ object Behavior {
        |    AS n_converters,
        |  CAST(SUM(conv_events) AS BIGINT) AS n_conversions
        |FROM u GROUP BY 1 ORDER BY arm""".stripMargin
+
+  /** X107 `q_cumulative_users`: daily active / new / cumulative-distinct
+    * users — the growth-accounting report whose naive form is a running
+    * COUNT(DISTINCT) over an ever-growing window: state grows with the
+    * corpus and the work is quadratic in days. The scale-correct
+    * decomposition: cumulative distinct users through day d ≡ users whose
+    * FIRST event is ≤ d, so (1) fold the firehose once to the distinct
+    * (user, day) frame, (2) per-user min(day) = first appearance — both
+    * two-phase aggregates on the same user-keyed exchange, (3) count
+    * first-appearances per day and prefix-sum them over the DAYS-bounded
+    * ledger (the frame is |days| rows — 365/year regardless of event
+    * volume — so its single-partition running window is legal by the
+    * repo's own bounded-domain rule, same as X22/X47). n_active joins in
+    * from the same (user, day) frame; days where only returning users
+    * showed up get n_new = 0 via the left join's null-fill. */
+  def cumulativeUsersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val userDay = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val active = userDay.groupBy(col("day"))
+      .agg(Num.countStar.as("n_active"))
+    val firstDay = userDay.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(Num.countStar.as("n_new"))
+    val ledger = active.join(firstDay, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    ledger.withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeUsersOracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |act AS (SELECT day, COUNT(*) AS n_active FROM ud GROUP BY 1),
+      |fst AS (
+      |  SELECT day, COUNT(*) AS n_new FROM (
+      |    SELECT user_id, MIN(day) AS day FROM ud GROUP BY 1) GROUP BY 1)
+      |SELECT a.day, a.n_active,
+      |  CAST(COALESCE(f.n_new, 0) AS BIGINT) AS n_new,
+      |  CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY a.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM act a LEFT JOIN fst f USING (day)
+      |ORDER BY day""".stripMargin
 }

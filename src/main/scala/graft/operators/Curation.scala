@@ -403,4 +403,55 @@ object Curation {
       |WHERE CAST(concat('0x', substr(md5('mix' || d.doc_id),1,15)) AS BIGINT)
       |        % 1000 < t.thresh
       |GROUP BY 1 ORDER BY d.source""".stripMargin
+
+  /** PPS inclusion scale: p(doc) = n_chars / PpsDen. Chosen above the
+    * corpus's max n_chars (577 at every sf) so every probability stays
+    * < 1 and the length gradient is live across the whole corpus — a
+    * doc twice as long is exactly twice as likely to be kept. */
+  val PpsDen = 600L
+  /** Hash-uniform domain for the inclusion draw (µ = micro-probability). */
+  val PpsDomain = 1000000L
+
+  /** X104 `q_pps_sample`: probability-proportional-to-size (Poisson/PPS)
+    * sampling — the unequal-probability companion to X42's equal-rate
+    * stratified sample. Long documents carry more of a pretraining
+    * token budget than short ones; sampling docs UNIFORMLY under-weights
+    * exactly the docs that matter. PPS keeps doc i with p_i ∝ its size
+    * (here n_chars), which is the design that makes the Horvitz–Thompson
+    * estimator Σ 1/p_i unbiased for corpus totals from the sample alone.
+    *
+    * Scale/determinism shape (the X31/X42 discipline): membership is a
+    * PURE FUNCTION of the row — u(doc) = md5('pps'‖doc_id) mod 1e6,
+    * keep iff u · PpsDen < n_chars · 1e6, all-BIGINT exact compare (no
+    * float probability, no RNG state, no assignment table, no join).
+    * Inclusion evaluates inline at the scan; re-running the extraction
+    * reproduces the identical sample on any cluster. The report rolls up
+    * drawn vs total count and weight-mass per source in ONE two-phase
+    * aggregate, so the gate checks both the rule and that sampled weight
+    * tracks p_i across every source. */
+  def ppsSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = pmod(
+      conv(substring(md5(concat(lit("pps"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(PpsDomain))
+    val keep = (u * PpsDen) < (col("n_chars") * PpsDomain)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"), keep.cast("long").as("k"))
+      .groupBy(col("source"))
+      .agg(Num.countStar.as("n_docs"),
+        sum(col("n_chars")).as("w_total"),
+        sum(col("k")).as("n_sampled"),
+        sum(col("k") * col("n_chars")).as("w_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val ppsSampleOracle: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS w_total,
+       |  CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('pps' || doc_id),1,15)) AS BIGINT)
+       |        % ${PpsDomain} * ${PpsDen} < n_chars * ${PpsDomain}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5('pps' || doc_id),1,15)) AS BIGINT)
+       |        % ${PpsDomain} * ${PpsDen} < n_chars * ${PpsDomain}
+       |      THEN n_chars ELSE 0 END) AS BIGINT) AS w_sampled
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }

@@ -15,12 +15,16 @@ import graft.engine.Tables
   * `q_multimodal_meta` / `q_multimodal_frames`) treats ALL modalities
   * through a clearly-marked DETERMINISTIC STUB — it exists to prove the
   * binary-column dataflow (schema, partition preservation, batch shape)
-  * independent of any codec, and stays the only option for VIDEO (the JDK
-  * has no video codec). SEPARATELY, the IMAGE and AUDIO legs also have
-  * REAL codec paths: the JDK ships PNG (javax.imageio) and WAV/PCM
-  * (javax.sound.sampled), and `q_image_decode` / `q_image_resize` /
-  * `q_audio_decode` gate actual executor-side encode → decode round
-  * trips. MultiModalSpec covers both layers.
+  * independent of any codec. SEPARATELY, each modality also has a REAL
+  * codec path: the JDK ships PNG (javax.imageio), WAV/PCM
+  * (javax.sound.sampled), and a multi-frame GIF container (javax.imageio's
+  * sequence writer/reader) — `q_image_decode` / `q_image_resize` /
+  * `q_audio_decode` / `q_gif_frames` gate actual executor-side
+  * encode → decode round trips. The GIF leg stands in for video: it is a
+  * real timed multi-image CONTAINER (open, count frames, seek, decode
+  * pixels — the structure of frame sampling), though not a motion-
+  * compressed codec (no H.264 in the JDK; documented honestly).
+  * MultiModalSpec covers both layers.
   *
   * Scale: payloads never shuffle here (all ops are narrow maps); a join
   * would carry only (doc_id, metadata). At 100 TB the payload column's
@@ -397,4 +401,137 @@ object MultiModal {
        |        FROM UNNEST(range(0, doc_id % 50 + 10)) AS u(i)) AS BIGINT)
        |    AS sample_sum
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // `q_gif_frames`: the video leg made REAL at the container level — the
+  // JDK's ImageIO ships a multi-frame GIF writer/reader
+  // (prepareWriteSequence / getNumImages / read(i)), which is the actual
+  // structure of video frame sampling: open a container, count frames,
+  // seek to a frame, decode its pixels. Executors ENCODE an animated GIF
+  // per sampled video document (frame count, dimensions, and each frame's
+  // solid palette color from stated doc_id rules), and a second batch
+  // pass OPENS the container, reads the frame count from the stream, and
+  // decodes every FrameStride-th frame's pixels. The oracle states the
+  // expected (n_frames, frame_idx, dims, rgb) per sampled frame from the
+  // rules alone — a palette-quantization, frame-ordering, or seek defect
+  // breaks the hash gate. Frames are written TYPE_BYTE_INDEXED with an
+  // exact palette so GIF's 8-bit color model loses nothing.
+  //
+  // What remains un-real is only motion COMPRESSION (H.264/VP9 — no such
+  // codec in the JDK); the container plumbing, frame iteration, and
+  // pixel decode are genuine. Scale shape: same as every media op here —
+  // payloads live and die inside narrow per-partition maps, only
+  // (doc_id, frame metadata) rows ever leave.
+  // ------------------------------------------------------------------
+
+  /** Video docs are doc_id % 3 == 2; a stride-5 sample of those keeps
+    * ids ≡ 2 (mod 15). The rule moduli below (4, 13, 7, 256) are each
+    * COPRIME to 15, so the sample still walks every frame-count, width,
+    * height, and color branch (a shared factor would alias some branches
+    * out of the gate entirely — the ImgMod lesson). */
+  val GifMod = 15
+
+  def gifFrameCount(id: Long): Int = (id % 4 + 2).toInt
+  def gifW(id: Long): Int = (id % 13 + 4).toInt
+  def gifH(id: Long): Int = (id % 7 + 4).toInt
+  def gifRgb(id: Long, f: Int): (Int, Int, Int) =
+    (((id * 37 + f * 11) % 256).toInt, ((id * 59 + f * 23) % 256).toInt,
+      ((id * 83 + f * 31) % 256).toInt)
+
+  final case class GifRecord(doc_id: Long, gif: Array[Byte])
+  final case class GifFrame(doc_id: Long, n_frames: Int, frame_idx: Int,
+      w: Int, h: Int, r: Int, g: Int, b: Int)
+
+  /** Executor-side animated-GIF encode of the rule frames. */
+  def gifTable(spark: SparkSession, sfDir: String): Dataset[GifRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % GifMod === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        imageIoNoDiskCache()
+        ids.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer =
+            javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          val (w, h) = (gifW(id), gifH(id))
+          (0 until gifFrameCount(id)).foreach { f =>
+            val (r, g, b) = gifRgb(id, f)
+            // 2-entry exact palette (frame color + black), every pixel at
+            // index 0: GIF stores palettes verbatim, so the color survives
+            // the trip bit-exactly — an RGB input image would instead be
+            // quantized to whatever palette the writer invents.
+            val icm = new java.awt.image.IndexColorModel(8, 2,
+              Array((r << 16) | (g << 8) | b, 0), 0, false, -1,
+              java.awt.image.DataBuffer.TYPE_BYTE)
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            // raster defaults to index 0 already; fill anyway so the frame
+            // content is explicit, not an initialization artifact
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { raster.setSample(x, y, 0, 0); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          GifRecord(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Executor-side container open + frame-sampled decode: one reader per
+    * partition (setInput resets it per record), DecodeBatchSize batches. */
+  def gifDecode(records: Dataset[GifRecord]): Dataset[GifFrame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      imageIoNoDiskCache()
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.flatMap { rec =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(rec.gif))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val frames = (0 until n).filter(_ % FrameStride == 0).map { i =>
+            val img = reader.read(i)
+            val px = img.getRGB(img.getWidth / 2, img.getHeight / 2)
+            GifFrame(rec.doc_id, n, i, img.getWidth, img.getHeight,
+              (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+          }
+          iis.close()
+          frames
+        }
+      }
+    }
+  }
+
+  def gifFramesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    gifDecode(gifTable(spark, sfDir)).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val gifFramesOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(doc_id % 4 + 2 AS INT) AS n_frames,
+       |  CAST(i AS INT) AS frame_idx,
+       |  CAST(doc_id % 13 + 4 AS INT) AS w,
+       |  CAST(doc_id % 7 + 4 AS INT) AS h,
+       |  CAST((doc_id * 37 + i * 11) % 256 AS INT) AS r,
+       |  CAST((doc_id * 59 + i * 23) % 256 AS INT) AS g,
+       |  CAST((doc_id * 83 + i * 31) % 256 AS INT) AS b
+       |FROM documents, UNNEST(range(0, doc_id % 4 + 2)) AS u(i)
+       |WHERE doc_id % ${GifMod} = 2 AND i % ${FrameStride} = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
 }

@@ -568,4 +568,50 @@ object Relational {
        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
        |    AS good_total
        |FROM orders""".stripMargin
+
+  /** Reconciliation buckets — small enough to eyeball, enough that a
+    * single-row defect pins to 1/16th of the keyspace. */
+  val ChecksumBuckets = 16
+
+  /** X105 `q_table_checksum`: cross-system table reconciliation digest —
+    * "do these two copies of a 100 TB table hold the same rows?" answered
+    * WITHOUT moving either copy: each system computes per-bucket
+    * (row count, order-independent content checksum) locally and only the
+    * ${ChecksumBuckets}-row digest travels. A mismatched bucket then scopes
+    * the expensive row-level diff (X73) to 1/${ChecksumBuckets}th of the
+    * keyspace. The correctness gate IS the reconciliation demonstrated for
+    * real: DuckDB independently digests the same parquet and must land on
+    * identical checksums.
+    *
+    * The digest hashes a PINNED serialization — every column rendered
+    * through an explicitly-specified text form (money via DECIMAL(12,2)
+    * canonical text, never raw double formatting; dates as ISO) with a
+    * field separator — because "same rows" across engines is only testable
+    * against a byte-level serialization contract. Per-row md5 folds to a
+    * bucket SUM of its leading 8 hex bytes: addition commutes, so the
+    * checksum is row-order independent (no sort anywhere) and the whole
+    * query is one narrow projection + one two-phase aggregate. */
+  def tableChecksumQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val serialized = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      col("o_orderpriority"))
+    Tables.orders(spark, sfDir)
+      .select(pmod(col("o_orderkey"), lit(ChecksumBuckets.toLong)).as("bucket"),
+        conv(substring(md5(serialized), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy(col("bucket"))
+      .agg(Num.countStar.as("n_rows"), sum(col("h")).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
+  val tableChecksumOracle: String =
+    s"""SELECT o_orderkey % ${ChecksumBuckets} AS bucket,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(concat('0x', substr(md5(
+       |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+       |      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+       |      strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+       |    ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 }

@@ -207,4 +207,91 @@ object Sessionize {
        |FROM pfx GROUP BY 1
        |ORDER BY n DESC, path LIMIT ${PathTopK}""".stripMargin
   }
+
+  /** X103 `q_concurrency`: peak concurrent sessions per day — the interval
+    * sweep-line (capacity planning: "how many sessions were open at once?")
+    * computed by a DISTRIBUTED PREFIX SUM, not a global window.
+    *
+    * A running sum over one global order is the textbook answer and the
+    * textbook scale trap: `sum() OVER (ORDER BY t)` with no partition key
+    * funnels the whole table through one task. The scan-algorithm answer
+    * (Blelloch) is two passes: (1) range-partition the ±1 boundary deltas
+    * by (t, d) and fold each partition to its local sum — P scalars, P =
+    * partition count; (2) exclusive-scan those P sums on the driver (P
+    * values, not data) and broadcast the carry offsets; each partition then
+    * emits its running counter seeded by its offset. Wall-clock is two
+    * narrow passes over the deltas regardless of cluster width — this IS
+    * how prefix aggregation parallelizes on 1000 executors.
+    *
+    * Correctness notes: the carry pass must see the SAME partition layout
+    * the sum pass saw — the sorted deltas are persisted once (DISK_ONLY,
+    * same rationale as Materialize) so both passes read identical blocks
+    * rather than trusting two range-shuffles to sample identical bounds.
+    * Sessions are [start, end] closed: +1 at start, −1 at end+1µs, ties
+    * ordered (t, d) so a −1 at instant t lands before a +1 at t and the
+    * counter never momentarily double-counts a dead session. Day peaks are
+    * the counter's max at that day's boundary events; within an equal
+    * (t, d) run the counter's intermediate VALUES are the same set under
+    * any tie order, so the per-day max is deterministic. */
+  def peakConcurrencyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = withSessionIds(Tables.events(spark, sfDir), GapMicros)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("s"),
+        max(unix_micros(col("ts"))).as("e"))
+    val deltas = sessions.select(col("s").as("t"), lit(1L).as("d"))
+      .unionAll(sessions.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sorted = deltas.repartitionByRange(nPart, col("t"), col("d"))
+      .sortWithinPartitions(col("t"), col("d"))
+      .select(col("t"), col("d")).as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // pass 1: per-partition sums — P scalars to the driver, never data
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    // exclusive scan of P scalars → carry offset per partition
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    // pass 2: seeded running counter, emitted beside each boundary instant
+    val running = spark.createDataset(
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = offsetsB.value(pid)
+        it.map { case (t, d) => run += d; (t, run) }
+      }).toDF("t", "c")
+    running
+      .groupBy(date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("day"))
+      .agg(max(col("c")).as("peak_concurrent"))
+      .orderBy(col("day"))
+  }
+
+  val peakConcurrencyOracle: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${GapMicros}
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, ts,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM marked
+       |), sessions AS (
+       |  SELECT user_id, session_id,
+       |    MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+       |  FROM numbered GROUP BY 1, 2
+       |), deltas AS (
+       |  SELECT s AS t, 1 AS d FROM sessions
+       |  UNION ALL
+       |  SELECT e + 1 AS t, -1 AS d FROM sessions
+       |), running AS (
+       |  SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM deltas)
+       |SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+       |  CAST(MAX(c) AS BIGINT) AS peak_concurrent
+       |FROM running GROUP BY 1
+       |ORDER BY day""".stripMargin
 }

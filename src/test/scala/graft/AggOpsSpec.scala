@@ -9,6 +9,25 @@ class AggOpsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("grouping sets: exactly the declared levels, and subtotals re-add") {
+    val rows = Aggregates.groupingSetsQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // no (day)-only marginal: a '(all)' type row must be the grand total
+    assert(rows.filter(_._1 == "(all)").forall(_._2 == "(all)"))
+    val grand = rows.filter(r => r._1 == "(all)" && r._2 == "(all)")
+    assert(grand.length == 1)
+    val detail = rows.filter(r => r._1 != "(all)" && r._2 != "(all)")
+    val perType = rows.filter(r => r._1 != "(all)" && r._2 == "(all)")
+    // detail rows re-aggregate to the per-type level, per-type to grand
+    assert(detail.map(_._3).sum == grand.head._3)
+    assert(perType.map(_._3).sum == grand.head._3)
+    assert(detail.map(_._4).sum == grand.head._4)
+    detail.groupBy(_._1).foreach { case (t, rs) =>
+      val pt = perType.find(_._1 == t).get
+      assert(rs.map(_._3).sum == pt._3 && rs.map(_._4).sum == pt._4)
+    }
+  }
+
   test("inclusion-exclusion: |A union B| = |A| + |B| - |A intersect B|") {
     val o = graft.engine.Tables.orders(spark, sfDir)
     val a = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))

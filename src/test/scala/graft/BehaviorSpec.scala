@@ -10,6 +10,21 @@ class BehaviorSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("cumulative users: monotone, n_new sums to final, bounded by actives") {
+    val rows = Behavior.cumulativeUsersQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4; case _ => true }) // cum monotone
+    assert(rows.map(_._3).sum == rows.last._4) // Σ n_new = final cumulative
+    assert(rows.forall(r => r._3 <= r._2)) // new users were active that day
+    val totalUsers = graft.engine.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.last._4 == totalUsers)
+    // day 1: everyone seen is new
+    assert(rows.head._2 == rows.head._3 && rows.head._3 == rows.head._4)
+  }
+
   test("funnel stages are monotone: users >= signup >= view >= purchase") {
     val r = Behavior.funnelQ(spark, sfDir).collect()(0)
     val (users, s, v, p) =

@@ -62,6 +62,23 @@ class CurationSpec extends AnyFunSuite {
       assert(byLabel(9) > byLabel(0))
   }
 
+  test("pps sample: per-doc rate tracks n_chars and weight-mass share exceeds count share") {
+    val rows = Curation.ppsSampleQ(spark, sfDir).collect()
+    assert(rows.length > 0)
+    val nDocs = rows.map(_.getLong(1)).sum
+    val wTotal = rows.map(_.getLong(2)).sum
+    val nSampled = rows.map(_.getLong(3)).sum
+    val wSampled = rows.map(_.getLong(4)).sum
+    assert(nSampled > 0 && nSampled < nDocs)
+    // PPS keeps long docs preferentially: the sample's weight share must
+    // exceed its count share (equality would mean uniform sampling)
+    assert(wSampled.toDouble / wTotal > nSampled.toDouble / nDocs)
+    // expected draw count ≈ Σ p_i = w_total / PpsDen; allow ±20%
+    val expected = wTotal.toDouble / Curation.PpsDen
+    assert(math.abs(nSampled - expected) < 0.2 * expected,
+      s"drew $nSampled, expected ≈ $expected")
+  }
+
   test("sequence packing: bins are contiguous per shard and token-bounded") {
     val rows = Curation.packSequencesQ(spark, sfDir).collect()
     assert(rows.nonEmpty)

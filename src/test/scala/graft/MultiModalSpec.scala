@@ -74,6 +74,40 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("gif table holds REAL multi-frame GIF containers (magic + frame count)") {
+    val rows = graft.operators.MultiModal
+      .gifTable(spark, "/root/testdata/sf0.001").limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(new String(r.gif.take(4), "US-ASCII") == "GIF8",
+        s"doc ${r.doc_id}: payload is not a GIF container")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.gif))
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(iis)
+      // the container really holds n independent frames, not one
+      assert(reader.getNumImages(true) ==
+        graft.operators.MultiModal.gifFrameCount(r.doc_id))
+      iis.close()
+    }
+  }
+
+  test("gif frame-sample decodes exact rule pixels at every sampled index") {
+    val frames = graft.operators.MultiModal.gifDecode(
+      graft.operators.MultiModal.gifTable(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % MultiModal.FrameStride == 0))
+    frames.foreach { f =>
+      val (r, g, b) = graft.operators.MultiModal.gifRgb(f.doc_id, f.frame_idx)
+      assert((f.r, f.g, f.b) == ((r, g, b)),
+        s"doc ${f.doc_id} frame ${f.frame_idx}: palette did not round-trip")
+      assert(f.w == graft.operators.MultiModal.gifW(f.doc_id))
+      assert(f.h == graft.operators.MultiModal.gifH(f.doc_id))
+    }
+  }
+
   test("decode preserves partitioning (no shuffle) and is deterministic") {
     val media = MultiModal.mediaTable(spark, sfDir).repartition(7)
     val decoded = MultiModal.decodeStub(media)

@@ -46,6 +46,36 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out(1) === ((2L, "1970-01-01 00:16:40.000000", "1970-01-01 00:16:40.000000")))
   }
 
+  test("distributed prefix-sum peaks match a sequential sweep at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Sessionize.peakConcurrencyQ(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sequential reference: same sessions, one in-memory scan
+    val sessions = Sessionize
+      .withSessionIds(graft.engine.Tables.events(spark, sfDir),
+        Sessionize.GapMicros)
+      .groupBy($"user_id", $"session_id")
+      .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.unix_micros($"ts")).as("s"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.unix_micros($"ts")).as("e"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val deltas = (sessions.map(x => (x._1, 1L)) ++
+      sessions.map(x => (x._2 + 1, -1L))).sortBy(d => (d._1, d._2))
+    var run = 0L
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val expected = scala.collection.mutable.Map.empty[String, Long]
+    deltas.foreach { case (t, d) =>
+      run += d
+      val day = fmt.format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(t, 1000000L)))
+      expected(day) = math.max(expected.getOrElse(day, Long.MinValue), run)
+    }
+    assert(got === expected.toMap)
+    assert(got.values.forall(_ >= 0))
+  }
+
   test("gap-fill: per-user calendar is hole-free and LOCF never null") {
     val rows = Sessionize.gapFillQ(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
