@@ -147,6 +147,8 @@ object SparkEntry {
     "q_table_checksum"      -> Relational.tableChecksumQ _,
     "q_grouping_sets"       -> Aggregates.groupingSetsQ _,
     "q_cumulative_users"    -> Behavior.cumulativeUsersQ _,
+    "q_winsorize"           -> Stats.winsorizeQ _,
+    "q_wau"                 -> Behavior.wauQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
     "q_twap"                -> Stats.twapQ _,
     "q_unpivot"             -> Aggregates.unpivotQ _,
@@ -339,6 +341,8 @@ object SparkEntry {
     "q_table_checksum"   -> Relational.tableChecksumOracle,
     "q_grouping_sets"    -> Aggregates.groupingSetsOracle,
     "q_cumulative_users" -> Behavior.cumulativeUsersOracle,
+    "q_winsorize"        -> Stats.winsorizeOracle,
+    "q_wau"              -> Behavior.wauOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
     "q_twap"             -> Stats.twapOracle,
     "q_unpivot"          -> Aggregates.unpivotOracle,

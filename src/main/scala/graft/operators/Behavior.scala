@@ -341,4 +341,50 @@ object Behavior {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM act a LEFT JOIN fst f USING (day)
       |ORDER BY day""".stripMargin
+
+  /** Trailing window for the rolling-actives ledger, in days (WAU). */
+  val WauWindowDays = 7
+
+  /** X109 `q_wau`: trailing-7-day distinct actives per day (WAU) — the
+    * sliding COUNT(DISTINCT) that cannot be a window function at scale
+    * (per-day distinct state is corpus-sized and non-subtractable).
+    * Decomposition: user u is WAU-active on day d iff some activity day
+    * of u lies in [d−6, d] — so the distinct (user, day) frame EXPANDS
+    * each activity day to the ≤7 window-end days it serves, re-distincts
+    * (adjacent activity days serve overlapping windows), and counts per
+    * window day. Cost is bounded by 7·|user-days| — a fold of the
+    * firehose dwarfs it — and every step is a plain two-phase
+    * aggregate/expand, no global order anywhere. The same shape serves
+    * MAU (stride 30); for windows long enough that W·|user-days| hurts,
+    * the move is per-day user SETS merged by the X62 sketch algebra
+    * (exact → approximate trade, same dataflow). Window days are clamped
+    * to the observed calendar so every reported day aggregates a full
+    * 7-day trailing span of real data. */
+  def wauQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"),
+          date_add(col("day"), WauWindowDays - 1))).as("wday"))
+      .distinct()
+      .join(broadcast(bounds))
+      .filter(col("wday") >= col("lo") && col("wday") <= col("hi"))
+      .groupBy(col("wday"))
+      .agg(Num.countStar.as("wau"))
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  val wauOracle: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+       |w AS (
+       |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
+       |  FROM ud, UNNEST(range(0, ${WauWindowDays})) AS u(i))
+       |SELECT strftime(w.wday, '%Y-%m-%d') AS day, COUNT(*) AS wau
+       |FROM w, b WHERE w.wday BETWEEN b.lo AND b.hi
+       |GROUP BY 1 ORDER BY day""".stripMargin
 }

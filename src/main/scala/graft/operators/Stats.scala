@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{Num, Tables}
+import graft.engine.{Materialize, Num, Tables}
 import graft.functions.KmvSketch
 
 /** Distribution statistics for the LLM-data-pipeline (SURVEY.md §2.11):
@@ -1102,4 +1102,80 @@ object Stats {
       |    strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
       |  FROM lineitem)
       |ORDER BY "column"""".stripMargin
+
+  /** X108 `q_winsorize`: winsorized aggregation — robust totals that
+    * survive fat-tailed/corrupt value distributions by clamping to the
+    * [p05, p95] band instead of dropping rows (trimming loses mass;
+    * winsorizing preserves row count, the standard robust-metrics trade).
+    *
+    * The scale shape is the X22/X71 histogram-rank discipline, extended to
+    * the AGGREGATE itself: the only data-sized operation is the one
+    * two-phase fold to the per-(type, value) histogram. Thresholds read off
+    * the cumulative histogram (ceil-rank formula), and — the point — the
+    * winsorized sum is computed FROM THE HISTOGRAM (Σ cnt·clamp(v)), never
+    * by re-scanning events with a clamp expression, so the clamped rollup
+    * costs |domain| rows. A naive clamp-then-sum would pay a second full
+    * pass + carry the thresholds through a data-sized join; here the join
+    * is histogram ⋈ broadcast(5-row thresholds). All arithmetic exact
+    * BIGINT on the floor-quantized domain (the percentilesQ convention).
+    * The histogram feeds two consumers (threshold window + clamped rollup)
+    * — materialized once, the multi-consumer rule. */
+  def winsorizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(Num.countStar.as("cnt")))
+    val byV = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val all = Window.partitionBy(col("event_type"))
+    // v is unique per type in the histogram, so the RANGE-frame cumulative
+    // has no peer ambiguity on either engine
+    val thr = hist
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        // ceil(p·n) as (p_num·n + 99) / 100 — integer ceil-rank
+        min(when(col("cum") >= ((col("n") * 5 + 99) / 100).cast("long"),
+          col("v"))).as("lo"),
+        min(when(col("cum") >= ((col("n") * 95 + 99) / 100).cast("long"),
+          col("v"))).as("hi"))
+    val clamped = greatest(least(col("v"), col("hi")), col("lo"))
+    hist.join(broadcast(thr), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(col("cnt") * col("v")).as("sum_raw"),
+        sum(col("cnt") * clamped).as("sum_winsorized"),
+        sum(when(col("v") < col("lo"), col("cnt")).otherwise(lit(0L)))
+          .as("n_clamped_lo"),
+        sum(when(col("v") > col("hi"), col("cnt")).otherwise(lit(0L)))
+          .as("n_clamped_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizeOracle: String =
+    """WITH t AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+      |h AS (SELECT event_type, v, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+      |c AS (SELECT event_type, v, cnt,
+      |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |      FROM h),
+      |thr AS (SELECT event_type, MAX(n) AS n_events,
+      |        MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN v END) AS lo,
+      |        MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END) AS hi
+      |        FROM c GROUP BY 1)
+      |SELECT h.event_type,
+      |  CAST(MAX(thr.n_events) AS BIGINT) AS n_events,
+      |  MAX(thr.lo) AS lo, MAX(thr.hi) AS hi,
+      |  CAST(SUM(h.cnt * h.v) AS BIGINT) AS sum_raw,
+      |  CAST(SUM(h.cnt * GREATEST(LEAST(h.v, thr.hi), thr.lo)) AS BIGINT)
+      |    AS sum_winsorized,
+      |  CAST(SUM(CASE WHEN h.v < thr.lo THEN h.cnt ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_lo,
+      |  CAST(SUM(CASE WHEN h.v > thr.hi THEN h.cnt ELSE 0 END) AS BIGINT)
+      |    AS n_clamped_hi
+      |FROM h JOIN thr USING (event_type)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
 }

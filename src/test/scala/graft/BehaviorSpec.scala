@@ -25,6 +25,21 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.head._2 == rows.head._3 && rows.head._3 == rows.head._4)
   }
 
+  test("wau: bounded by cumulative users, >= daily actives, full-ledger days") {
+    val wau = Behavior.wauQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cum = Behavior.cumulativeUsersQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(wau.nonEmpty)
+    cum.foreach { case (day, nActive, cumUsers) =>
+      val w = wau(day) // every active day appears in the WAU ledger
+      assert(w >= nActive, s"$day: wau $w < daily active $nActive")
+      assert(w <= cumUsers, s"$day: wau $w > cumulative $cumUsers")
+    }
+    // trailing window only ever ADDS days relative to the active ledger
+    assert(wau.keySet.size >= cum.length)
+  }
+
   test("funnel stages are monotone: users >= signup >= view >= purchase") {
     val r = Behavior.funnelQ(spark, sfDir).collect()(0)
     val (users, s, v, p) =

@@ -29,6 +29,22 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getLong(1) === 5L && r.getLong(2) === 9L)
   }
 
+  test("winsorize: clamped sum bounded by raw extremes, thresholds are real percentiles") {
+    val rows = Stats.winsorizeQ(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (raw, win) = (r.getLong(4), r.getLong(5))
+      val (nLo, nHi) = (r.getLong(6), r.getLong(7))
+      assert(lo <= hi)
+      assert(win >= n * lo && win <= n * hi) // all values inside [lo, hi] after clamp
+      if (nLo == 0 && nHi == 0) assert(win == raw) // nothing clamped -> identity
+      // at most 5% of mass below lo (strictly-below is what gets clamped)
+      assert(nLo * 20 <= n && nHi * 20 <= n,
+        s"${r.getString(0)}: clamped ($nLo, $nHi) of $n exceeds 5% per side")
+    }
+  }
+
   test("percentilesQ columns are ordered and keyed deterministically") {
     val out = Stats.percentilesQ(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
