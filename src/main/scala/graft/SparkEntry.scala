@@ -149,6 +149,8 @@ object SparkEntry {
     "q_cumulative_users"    -> Behavior.cumulativeUsersQ _,
     "q_winsorize"           -> Stats.winsorizeQ _,
     "q_wau"                 -> Behavior.wauQ _,
+    "q_pseudonymize"        -> Curation.pseudonymizeQ _,
+    "q_jsonl_roundtrip"     -> Relational.jsonlRoundtripQ _,
     "q_corrupt_audit"       -> Relational.corruptAuditQ _,
     "q_twap"                -> Stats.twapQ _,
     "q_unpivot"             -> Aggregates.unpivotQ _,
@@ -343,6 +345,8 @@ object SparkEntry {
     "q_cumulative_users" -> Behavior.cumulativeUsersOracle,
     "q_winsorize"        -> Stats.winsorizeOracle,
     "q_wau"              -> Behavior.wauOracle,
+    "q_pseudonymize"     -> Curation.pseudonymizeOracle,
+    "q_jsonl_roundtrip"  -> Relational.jsonlRoundtripOracle,
     "q_corrupt_audit"    -> Relational.corruptAuditOracle,
     "q_twap"             -> Stats.twapOracle,
     "q_unpivot"          -> Aggregates.unpivotOracle,

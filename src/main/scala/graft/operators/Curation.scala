@@ -454,4 +454,46 @@ object Curation {
        |        % ${PpsDomain} * ${PpsDen} < n_chars * ${PpsDomain}
        |      THEN n_chars ELSE 0 END) AS BIGINT) AS w_sampled
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Pseudonymization pepper. In production this is a managed secret,
+    * rotated per policy; a literal here keeps the gate deterministic. */
+  val TokenPepper = "pepper-2024"
+  /** Token width in hex chars (64 bits — collision-safe to ~10^9 users). */
+  val TokenHex = 16
+
+  /** X110 `q_pseudonymize`: deterministic PII tokenization — the
+    * governance transform between X34's redaction (destroys utility) and
+    * X97's erasure (removes rows): user ids are replaced by
+    * HMAC-style tokens substr(sha256(pepper ‖ id), 16 hex) that are (a)
+    * irreversible without the pepper, (b) CONSISTENT — the same user maps
+    * to the same token in every table tokenized with the same pepper, so
+    * joins, sessionization, and per-user aggregation still work on the
+    * pseudonymized copy, and (c) revocable wholesale by rotating the
+    * pepper. Tokenization is a pure codegen'd scan expression — no
+    * mapping table to secure, replicate, or join (a 10^9-row lookup table
+    * is itself PII); the rollup gates the injectivity that consistency
+    * relies on: per event_type, distinct tokens ≡ distinct raw users
+    * (any collision would shrink n_tokens below n_users and break the
+    * hash gate). */
+  def pseudonymizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val token = substring(
+      sha2(concat(lit(TokenPepper), col("user_id")), 256), 1, TokenHex)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), token.as("tok"))
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("tok")).as("n_tokens"),
+        min(col("tok")).as("first_token"))
+      .orderBy(col("event_type"))
+  }
+
+  val pseudonymizeOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(COUNT(DISTINCT substr(sha256('${TokenPepper}' || user_id), 1,
+       |    ${TokenHex})) AS BIGINT) AS n_tokens,
+       |  MIN(substr(sha256('${TokenPepper}' || user_id), 1, ${TokenHex}))
+       |    AS first_token
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 }

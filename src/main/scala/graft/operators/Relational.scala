@@ -475,6 +475,41 @@ object Relational {
       |FROM orders WHERE o_orderstatus <> 'P'
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** X111 `q_jsonl_roundtrip`: the LINE-DELIMITED JSON leg of the format
+    * matrix — the interchange format that actually scales. Spark's default
+    * JSON writer emits one object per line (JSONL), which is SPLITTABLE:
+    * a 100 TB export parallelizes by byte range, every line a record
+    * boundary. The medallion pipeline's multiLine ingest (one document per
+    * FILE, required for pretty-printed API dumps) is the deliberate
+    * non-splittable exception, not the rule — this gate pins the rule.
+    * Same rollup as the CSV/ORC legs so the three format gates are
+    * directly comparable; the read-back uses an EXPLICIT schema (schema
+    * inference = a wasted full pass at scale) and doubles survive via
+    * shortest-roundtrip text exactly as in the CSV leg. */
+  def jsonlRoundtripQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = fixturePath("jsonl", sfDir)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .write.mode("overwrite").json(path)
+    spark.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, d STRING")
+      .json(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(Num.countStar.as("n"),
+        Num.sumMoney(col("o_totalprice")).as("total_price"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val jsonlRoundtripOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+      |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   /** Fragment count the compaction fixture writes, and the compacted
     * target file count. */
   val CompactFragments = 64

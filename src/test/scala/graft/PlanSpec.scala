@@ -9,8 +9,14 @@ class PlanSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def plan(q: String): String =
+  private def plan(q: String): String = {
+    // Verify/Bench clear the cache between queries; mirror that isolation
+    // here, or one query's Materialize.diskBacked frame substitutes into a
+    // LATER query's identical subtree (Spark's cache manager rewrites any
+    // matching fragment) and reshapes the plan under assertion.
+    spark.catalog.clearCache()
     SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+  }
 
   test("q_agg_pricing pushes the date filter into the parquet scan") {
     val p = plan("q_agg_pricing")
@@ -415,5 +421,51 @@ class PlanSpec extends AnyFunSuite {
     // data-sized exchange beyond the stats aggregate + final sort
     assert(exchangeFedByAggregate(p, "") || p.contains("BroadcastExchange"),
       s"stats side is not an aggregated frame:\n$p")
+  }
+
+  test("q_winsorize: clamped rollup reads the cached histogram, thresholds broadcast") {
+    val p = plan("q_winsorize")
+    // both consumers (threshold window + clamped sum) read the persisted
+    // histogram, so a refactor can't silently re-scan the corpus twice.
+    // (InMemoryRelation's rendering embeds the original FileScan, so count
+    // the cache READS rather than asserting the scan string's absence.)
+    val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 2,
+      s"both histogram consumers should read the cache, saw $cacheReads:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"5-row threshold frame should broadcast onto the histogram:\n$p")
+  }
+
+  test("q_pseudonymize / q_pps_sample / q_table_checksum are single-scan, single-agg programs") {
+    for ((q, table) <- Seq(("q_pseudonymize", "events.parquet"),
+        ("q_pps_sample", "documents.parquet"),
+        ("q_table_checksum", "orders.parquet"))) {
+      val p = plan(q)
+      val scans = p.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains(table))
+      assert(scans == 1, s"$q: expected one $table scan, saw $scans:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q: tokenization/membership must be inline, not a join:\n$p")
+    }
+  }
+
+  test("q_grouping_sets expands BEFORE the partial aggregate (one pass)") {
+    val p = plan("q_grouping_sets")
+    val lines = p.linesIterator.toVector
+    val expand = lines.indexWhere(_.contains("Expand"))
+    assert(expand >= 0, s"grouping sets should plan an Expand:\n$p")
+    // exactly one data-sized exchange: the partial-agg shuffle on the
+    // expanded grouping keys (plus nothing else data-wide)
+    val exchanges = lines.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"grouping-sets report should shuffle once (partials), saw $exchanges:\n$p")
+  }
+
+  test("q_wau: window expansion is generator-based, never a calendar join") {
+    val p = plan("q_wau")
+    assert(p.contains("Generate explode"),
+      s"activity days must expand via a generator:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no data-sized join belongs in the WAU ledger:\n$p")
   }
 }
