@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{Num, Tables}
+import graft.engine.{Materialize, Num, Tables}
 
 /** Behavioral analytics over the `events` stream table — the funnel /
   * cohort / path reports an analytics warehouse derives from the same
@@ -311,9 +311,12 @@ object Behavior {
     * showed up get n_new = 0 via the left join's null-fill. */
   def cumulativeUsersQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val userDay = Tables.events(spark, sfDir)
-      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .distinct()
+    // the distinct (user, day) frame feeds BOTH the active and first-seen
+    // branches — materialized once (the multi-consumer rule)
+    val userDay = Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .distinct())
     val active = userDay.groupBy(col("day"))
       .agg(Num.countStar.as("n_active"))
     val firstDay = userDay.groupBy(col("user_id"))
@@ -358,19 +361,24 @@ object Behavior {
     * MAU (stride 30); for windows long enough that W·|user-days| hurts,
     * the move is per-day user SETS merged by the X62 sketch algebra
     * (exact → approximate trade, same dataflow). Window days are clamped
-    * to the observed calendar so every reported day aggregates a full
-    * 7-day trailing span of real data. */
+    * to [first_day + 6, last_day] so every reported day aggregates a FULL
+    * 7-day trailing span of real data — a partial leading window would
+    * read as artificially depressed WAU. The distinct (user, day) frame
+    * feeds both the bounds aggregate and the expansion — materialized
+    * once (the multi-consumer rule). */
   def wauQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val ud = Tables.events(spark, sfDir)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
+    val ud = Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct())
     val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     ud.select(col("user_id"),
         explode(sequence(col("day"),
           date_add(col("day"), WauWindowDays - 1))).as("wday"))
       .distinct()
       .join(broadcast(bounds))
-      .filter(col("wday") >= col("lo") && col("wday") <= col("hi"))
+      .filter(col("wday") >= date_add(col("lo"), WauWindowDays - 1) &&
+        col("wday") <= col("hi"))
       .groupBy(col("wday"))
       .agg(Num.countStar.as("wau"))
       .select(date_format(col("wday"), "yyyy-MM-dd").as("day"), col("wau"))
@@ -385,6 +393,7 @@ object Behavior {
        |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
        |  FROM ud, UNNEST(range(0, ${WauWindowDays})) AS u(i))
        |SELECT strftime(w.wday, '%Y-%m-%d') AS day, COUNT(*) AS wau
-       |FROM w, b WHERE w.wday BETWEEN b.lo AND b.hi
+       |FROM w, b
+       |WHERE w.wday BETWEEN b.lo + ${WauWindowDays - 1} AND b.hi
        |GROUP BY 1 ORDER BY day""".stripMargin
 }

@@ -450,11 +450,15 @@ object MultiModal {
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         imageIoNoDiskCache()
+        // one writer per partition (setOutput resets it per record) — the
+        // same hoist gifDecode applies to its reader; a per-record
+        // getImageWritersByFormatName pays the plugin-registry scan and
+        // writer allocation inside the hot encode loop
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         ids.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          val writer =
-            javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           val (w, h) = (gifW(id), gifH(id))
@@ -482,7 +486,6 @@ object MultiModal {
               new javax.imageio.IIOImage(img, null, null), null)
           }
           writer.endWriteSequence()
-          writer.dispose()
           ios.close()
           GifRecord(id, bos.toByteArray)
         }

@@ -627,11 +627,20 @@ object Relational {
     * checksum is row-order independent (no sort anywhere) and the whole
     * query is one narrow projection + one two-phase aggregate. */
   def tableChecksumQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // Every field renders through an explicit NULL sentinel before joining:
+    // concat_ws alone SKIPS nulls (field and separator), which both
+    // diverges from ||-style NULL propagation on the other engine and
+    // makes the serialization non-injective ('a'|null|'b' = 'a'|'b'|null).
+    // The '\N' sentinel is the classic dump convention; the digest
+    // contract requires it not to occur as real data (true of every
+    // column here, and documented as part of the pinned serialization).
+    def f(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit("\\N"))
     val serialized = concat_ws("|",
-      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-      col("o_totalprice").cast("decimal(12,2)"),
-      date_format(col("o_orderdate"), "yyyy-MM-dd"),
-      col("o_orderpriority"))
+      f(col("o_orderkey")), f(col("o_custkey")), f(col("o_orderstatus")),
+      f(col("o_totalprice").cast("decimal(12,2)")),
+      f(date_format(col("o_orderdate"), "yyyy-MM-dd")),
+      f(col("o_orderpriority")))
     Tables.orders(spark, sfDir)
       .select(pmod(col("o_orderkey"), lit(ChecksumBuckets.toLong)).as("bucket"),
         conv(substring(md5(serialized), 1, 8), 16, 10).cast("long").as("h"))
@@ -644,9 +653,13 @@ object Relational {
     s"""SELECT o_orderkey % ${ChecksumBuckets} AS bucket,
        |  COUNT(*) AS n_rows,
        |  CAST(SUM(CAST(concat('0x', substr(md5(
-       |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
-       |      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
-       |      strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+       |      COALESCE(CAST(o_orderkey AS VARCHAR), '\\N') || '|' ||
+       |      COALESCE(CAST(o_custkey AS VARCHAR), '\\N') || '|' ||
+       |      COALESCE(o_orderstatus, '\\N') || '|' ||
+       |      COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+       |        '\\N') || '|' ||
+       |      COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '\\N') || '|' ||
+       |      COALESCE(o_orderpriority, '\\N')
        |    ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 }

@@ -235,10 +235,15 @@ object Sessionize {
     * any tie order, so the per-day max is deterministic. */
   def peakConcurrencyQ(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sessions = withSessionIds(Tables.events(spark, sfDir), GapMicros)
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(unix_micros(col("ts"))).as("s"),
-        max(unix_micros(col("ts"))).as("e"))
+    // the session frame feeds BOTH unionAll delta branches — materialized
+    // once, or the data-sized sessionization (sort + two windows + agg)
+    // executes twice (the multi-consumer rule; exchange reuse alone does
+    // not dedupe the window passes)
+    val sessions = graft.engine.Materialize.diskBacked(
+      withSessionIds(Tables.events(spark, sfDir), GapMicros)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as("s"),
+          max(unix_micros(col("ts"))).as("e")))
     val deltas = sessions.select(col("s").as("t"), lit(1L).as("d"))
       .unionAll(sessions.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
     val nPart = spark.sessionState.conf.numShufflePartitions

@@ -25,19 +25,23 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.head._2 == rows.head._3 && rows.head._3 == rows.head._4)
   }
 
-  test("wau: bounded by cumulative users, >= daily actives, full-ledger days") {
+  test("wau: bounded by cumulative users, >= daily actives, full windows only") {
     val wau = Behavior.wauQ(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val cum = Behavior.cumulativeUsersQ(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
     assert(wau.nonEmpty)
-    cum.foreach { case (day, nActive, cumUsers) =>
-      val w = wau(day) // every active day appears in the WAU ledger
+    // the ledger starts only once a FULL trailing window exists: the first
+    // WauWindowDays-1 calendar days are excluded, nothing after is
+    val firstFull = java.time.LocalDate.parse(cum.head._1)
+      .plusDays(Behavior.WauWindowDays - 1).toString
+    assert(wau.keySet.min == firstFull)
+    assert(wau.keySet.forall(_ >= firstFull))
+    cum.filter(_._1 >= firstFull).foreach { case (day, nActive, cumUsers) =>
+      val w = wau(day) // every active day past the ramp appears
       assert(w >= nActive, s"$day: wau $w < daily active $nActive")
       assert(w <= cumUsers, s"$day: wau $w > cumulative $cumUsers")
     }
-    // trailing window only ever ADDS days relative to the active ledger
-    assert(wau.keySet.size >= cum.length)
   }
 
   test("funnel stages are monotone: users >= signup >= view >= purchase") {
