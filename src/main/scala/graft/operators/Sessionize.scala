@@ -221,7 +221,10 @@ object Sessionize {
     * values, not data) and broadcast the carry offsets; each partition then
     * emits its running counter seeded by its offset. Wall-clock is two
     * narrow passes over the deltas regardless of cluster width — this IS
-    * how prefix aggregation parallelizes on 1000 executors.
+    * how prefix aggregation parallelizes on 1000 executors. The carry
+    * machinery is the shared scan primitive (`graft.engine.Scan`),
+    * instantiated here with the (+, 0) monoid; X112's skyline uses the
+    * same primitive with (min, +∞).
     *
     * Correctness notes: the carry pass must see the SAME partition layout
     * the sum pass saw — the sorted deltas are persisted once (DISK_ONLY,
@@ -251,20 +254,12 @@ object Sessionize {
       .sortWithinPartitions(col("t"), col("d"))
       .select(col("t"), col("d")).as[(Long, Long)]
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // pass 1: per-partition sums — P scalars to the driver, never data
-    val partSums = sorted.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
-      }.collect().sortBy(_._1).map(_._2)
-    // exclusive scan of P scalars → carry offset per partition
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val offsetsB = spark.sparkContext.broadcast(offsets)
-    // pass 2: seeded running counter, emitted beside each boundary instant
+    // the scan primitive with the (+, 0) monoid: exclusive carry + own
+    // delta = the counter value at each boundary instant
     val running = spark.createDataset(
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var run = offsetsB.value(pid)
-        it.map { case (t, d) => run += d; (t, run) }
-      }).toDF("t", "c")
+      graft.engine.Scan.exclusivePrefix[(Long, Long), Long](
+        sorted.rdd, 0L, _._2, _ + _)
+        .map { case (pre, (t, d)) => (t, pre + d) }).toDF("t", "c")
     running
       .groupBy(date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("day"))
       .agg(max(col("c")).as("peak_concurrent"))

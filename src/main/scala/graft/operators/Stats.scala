@@ -1178,4 +1178,60 @@ object Stats {
       |    AS n_clamped_hi
       |FROM h JOIN thr USING (event_type)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** X112 `q_skyline`: 2-D Pareto frontier (skyline) — customers no other
+    * customer beats on BOTH axes (spend higher-or-equal AND order count
+    * lower-or-equal, strictly better somewhere): the multi-objective
+    * "best trade-offs" query behind pricing/efficiency analyses, and the
+    * second instantiation of the distributed scan primitive.
+    *
+    * The textbook sequential rule: sort by (spend DESC, n ASC); a point is
+    * on the frontier iff its n is strictly below the running MIN(n) of
+    * everything before it. That running min over one global order is
+    * `graft.engine.Scan.exclusivePrefix` with the (min, +∞) monoid — the
+    * exact machinery X103 uses with (+, 0) — so the frontier costs two
+    * narrow passes over the DISTINCT (spend, n) frame, never a
+    * single-partition window and never the O(n²) NOT-EXISTS join.
+    * Dominance is decided on the distinct frame (duplicates of a frontier
+    * point must all survive — neither dominates the other), then survivors
+    * join back to customers. Spend stays exact DECIMAL end to end; the
+    * double cast happens only at emission (the money convention). */
+  def skylineQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Materialize.diskBacked(
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"),
+          Num.countStar.as("n")))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sorted = pts.select(col("spend"), col("n")).distinct()
+      .repartitionByRange(nPart, col("spend").desc, col("n").asc)
+      .sortWithinPartitions(col("spend").desc, col("n").asc)
+      .as[(BigDecimal, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sky = spark.createDataset(
+      graft.engine.Scan.exclusivePrefix[(BigDecimal, Long), Long](
+        sorted.rdd, Long.MaxValue, _._2, math.min)
+        .filter { case (preMin, (_, n)) => n < preMin }
+        .map(_._2)).toDF("spend", "n")
+    pts.join(sky, Seq("spend", "n"))
+      .select(col("o_custkey"), col("spend").cast("double").as("spend"),
+        col("n").as("n_orders"))
+      .orderBy(col("spend").desc, col("n_orders"), col("o_custkey"))
+  }
+
+  val skylineOracle: String =
+    """WITH pts AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |d AS (SELECT DISTINCT spend, n FROM pts),
+      |m AS (SELECT spend, n,
+      |        MIN(n) OVER (ORDER BY spend DESC, n ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS premin
+      |      FROM d),
+      |sky AS (SELECT spend, n FROM m WHERE premin IS NULL OR n < premin)
+      |SELECT p.o_custkey, CAST(p.spend AS DOUBLE) AS spend, p.n AS n_orders
+      |FROM pts p JOIN sky s ON p.spend = s.spend AND p.n = s.n
+      |ORDER BY spend DESC, n_orders, o_custkey""".stripMargin
 }

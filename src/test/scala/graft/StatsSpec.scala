@@ -29,6 +29,28 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getLong(1) === 5L && r.getLong(2) === 9L)
   }
 
+  test("skyline: survivors undominated, eliminated points each dominated (brute force)") {
+    val sfDir = "/root/testdata/sf0.001"
+    // match by customer id — the query emits spend as double, so exact
+    // tuples must come from the decimal-exact reference frame
+    val skyIds = Stats.skylineQ(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val all = graft.engine.Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("spend"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDecimal(1)), r.getLong(2)))
+    def dominates(a: (Long, BigDecimal, Long), b: (Long, BigDecimal, Long)) =
+      a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3)
+    assert(skyIds.nonEmpty && skyIds.size < all.length)
+    // no frontier point is dominated by ANY point
+    all.filter(s => skyIds(s._1)).foreach(s =>
+      assert(!all.exists(a => dominates(a, s)), s"frontier point $s is dominated"))
+    // every eliminated point is dominated by SOME point
+    all.filterNot(a => skyIds(a._1)).foreach(a =>
+      assert(all.exists(b => dominates(b, a)), s"$a eliminated but undominated"))
+  }
+
   test("winsorize: clamped sum bounded by raw extremes, thresholds are real percentiles") {
     val rows = Stats.winsorizeQ(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
