@@ -461,6 +461,17 @@ class PlanSpec extends AnyFunSuite {
       s"grouping-sets report should shuffle once (partials), saw $exchanges:\n$p")
   }
 
+  test("q_skyline: no quadratic dominance join, no global window") {
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dominance must come from the scan primitive, not an all-pairs join:\n$p")
+    // the only Window anywhere would be a single-partition global sort
+    // funnel — the scan primitive replaces it entirely
+    assert(!p.contains("Window ["),
+      s"skyline must not plan a window:\n$p")
+  }
+
   test("q_wau: window expansion is generator-based, never a calendar join") {
     val p = plan("q_wau")
     assert(p.contains("Generate explode"),

@@ -156,4 +156,25 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("Scan.exclusivePrefix == sequential scanLeft for any data/partitioning/monoid") {
+    val dataGen = for {
+      xs <- Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))
+      nPart <- Gen.chooseNum(1, 7)
+    } yield (xs, nPart)
+    check(Prop.forAll(dataGen) { case (xs, nPart) =>
+      // parallelize preserves element order across the partition cut, so
+      // the global order is xs's order — the helper's contract input
+      val rdd = spark.sparkContext.parallelize(xs, nPart)
+      val sumGot = graft.engine.Scan
+        .exclusivePrefix[Long, Long](rdd, 0L, identity, _ + _)
+        .collect().toList
+      val sumExp = xs.scanLeft(0L)(_ + _).init.zip(xs)
+      val minGot = graft.engine.Scan
+        .exclusivePrefix[Long, Long](rdd, Long.MaxValue, identity, math.min)
+        .collect().toList
+      val minExp = xs.scanLeft(Long.MaxValue)(math.min).init.zip(xs)
+      sumGot == sumExp && minGot == minExp
+    })
+  }
 }
