@@ -82,7 +82,7 @@ object Dedup {
     * set ops (Jaccard intersect/union) run on longs. The oracle applies the
     * identical hash, so even a (≈2⁻⁶⁰-rare) collision would produce the
     * same result on both engines. */
-  private[operators] def shingled(docs: DataFrame): DataFrame = {
+  private[graft] def shingled(docs: DataFrame): DataFrame = {
     val ws = graft.engine.Text.words
     docs
       .select(col("doc_id"), ws.as("ws"))

@@ -95,6 +95,34 @@ class DedupSpec extends AnyFunSuite {
     assert(ids.distinct.length === ids.length, "a batch doc matched twice")
   }
 
+  test("banding recall vs exact all-pairs Jaccard: >= 0.95, precision exactly 1") {
+    // the dedup analogue of SimilaritySpec's ANN recall gates: banding is
+    // the only approximate stage (verification re-checks exact Jaccard),
+    // so precision is 1 BY CONSTRUCTION and the number that needs
+    // measuring is candidate-generation RECALL. At J >= 0.8 with 6 bands
+    // x 2 rows the collision bound is 1-(1-J^2)^6 >= 0.998, so a 0.95
+    // floor has real slack only for tiny true-pair counts.
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sgById = Dedup.shingled(docs)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](r.fieldIndex("sg")).toSet).toMap
+    val ids = sgById.keys.toArray.sorted
+    val exact = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      a = sgById(ids(i)); b = sgById(ids(j))
+      inter = (a & b).size
+      if inter.toDouble / (a.size + b.size - inter) >= Dedup.JaccardThreshold
+    } yield (ids(i), ids(j))).toSet
+    val found = Dedup.dedupMinhashQ(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no true near-dup pairs to measure")
+    assert(found.subsetOf(exact), // exact-verify stage => no false positives
+      s"verified pairs outside the exact set: ${found.diff(exact).take(3)}")
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.95, s"banding recall $recall (${found.size}/${exact.size})")
+  }
+
   test("ngram df-cap drops stop-shingles: universally shared text can't pair") {
     // one shingle shared by MORE than DfCap docs is a stop-shingle; docs
     // sharing ONLY it generate no candidates
