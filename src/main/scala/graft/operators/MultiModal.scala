@@ -450,13 +450,15 @@ object MultiModal {
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         imageIoNoDiskCache()
-        // one writer per partition (setOutput resets it per record) — the
-        // same hoist gifDecode applies to its reader; a per-record
-        // getImageWritersByFormatName pays the plugin-registry scan and
-        // writer allocation inside the hot encode loop
+        // one writer per partition — the same hoist gifDecode applies to
+        // its reader; a per-record getImageWritersByFormatName pays the
+        // plugin-registry scan and writer allocation inside the hot
+        // encode loop. Per-record reuse is sound because
+        // prepareWriteSequence() clears the sequence state each time
+        // (GIFImageWriter.resetLocal); setOutput only swaps the stream.
         val writer =
           javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        ids.map { id =>
+        val out = ids.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
           writer.setOutput(ios)
@@ -489,6 +491,9 @@ object MultiModal {
           ios.close()
           GifRecord(id, bos.toByteArray)
         }
+        // ++'s right side is by-name: dispose fires once the partition's
+        // records are exhausted, restoring the ImageWriter lifecycle
+        out ++ { writer.dispose(); Iterator.empty }
       }
   }
 
