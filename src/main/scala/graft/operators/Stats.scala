@@ -1234,4 +1234,72 @@ object Stats {
       |SELECT p.o_custkey, CAST(p.spend AS DOUBLE) AS spend, p.n AS n_orders
       |FROM pts p JOIN sky s ON p.spend = s.spend AND p.n = s.n
       |ORDER BY spend DESC, n_orders, o_custkey""".stripMargin
+
+  /** The two samples whose value distributions the KS gate compares. */
+  val KsSampleA = "view"
+  val KsSampleB = "purchase"
+
+  /** X113 `q_ks_test`: exact two-sample Kolmogorov–Smirnov distance — the
+    * distribution-drift detector a training-data pipeline runs between
+    * yesterday's corpus and today's (here: between two event populations):
+    * D = max over the merged value domain of |F_A(v) − F_B(v)|. Drift
+    * monitors usually bin and approximate; on a QUANTIZED value domain the
+    * X22 histogram-rank discipline gives the EXACT statistic in one data
+    * pass — per-sample value histograms (the only data-sized fold), full
+    * outer merge on the ≤56k-cell domain, cumulative counts, and the
+    * supremum as the all-integer cross-product |cumA·n_B − cumB·n_A| (the
+    * float division D itself is left to the caller: num/(n_A·n_B) — the
+    * exact-rational convention X72/X79 follow). Ties in the supremum
+    * resolve to the smallest attaining value, so the gate pins WHERE the
+    * distributions diverge most, not just by how much. Windows run on the
+    * merged DISTINCT-VALUE frame only (domain-bounded single partition —
+    * the X22/X107 rule). */
+  def ksTestQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = floor(col("value")).cast("long")
+    val hist = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(KsSampleA, KsSampleB))
+      .select(col("event_type"), v.as("v"))
+      .groupBy(col("v"))
+      .agg(
+        sum(when(col("event_type") === KsSampleA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === KsSampleB, 1L).otherwise(0L)).as("cb"))
+    val byV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val scored = hist
+      .withColumn("cuma", sum(col("ca")).over(byV))
+      .withColumn("cumb", sum(col("cb")).over(byV))
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+      .withColumn("d", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .withColumn("dmax", max(col("d")).over(all))
+    scored.groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(max(col("d")).as("d_num"),
+        min(when(col("d") === col("dmax"), col("v"))).as("at_v"))
+      .orderBy(col("n_a"))
+  }
+
+  val ksTestOracle: String =
+    s"""WITH h AS (
+       |  SELECT CAST(floor(value) AS BIGINT) AS v,
+       |    CAST(SUM(CASE WHEN event_type = '${KsSampleA}' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN event_type = '${KsSampleB}' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM events WHERE event_type IN ('${KsSampleA}', '${KsSampleB}')
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT v,
+       |    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+       |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+       |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+       |  FROM h),
+       |s AS (
+       |  SELECT v, na, nb, ABS(cuma * nb - cumb * na) AS d,
+       |    MAX(ABS(cuma * nb - cumb * na)) OVER () AS dmax
+       |  FROM c)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  CAST(MAX(d) AS BIGINT) AS d_num,
+       |  MIN(CASE WHEN d = dmax THEN v END) AS at_v
+       |FROM s GROUP BY na, nb ORDER BY n_a""".stripMargin
 }

@@ -29,6 +29,24 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getLong(1) === 5L && r.getLong(2) === 9L)
   }
 
+  test("ks: d_num matches a brute-force supremum over the empirical CDFs") {
+    val sfDir = "/root/testdata/sf0.001"
+    val row = Stats.ksTestQ(spark, sfDir).head()
+    val (na, nb, dNum) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val vals = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(Stats.KsSampleA, Stats.KsSampleB))
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = vals.filter(_._1 == Stats.KsSampleA).map(_._2)
+    val b = vals.filter(_._1 == Stats.KsSampleB).map(_._2)
+    assert(na == a.length && nb == b.length)
+    val dBrute = (a ++ b).distinct.map { v =>
+      math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na)
+    }.max
+    assert(dNum == dBrute, s"engine $dNum vs brute $dBrute")
+    assert(dNum >= 0 && dNum <= na * nb) // D = d_num/(na*nb) ∈ [0, 1]
+  }
+
   test("skyline: survivors undominated, eliminated points each dominated (brute force)") {
     val sfDir = "/root/testdata/sf0.001"
     // match by customer id — the query emits spend as double, so exact
