@@ -281,26 +281,89 @@ object Dedup {
        |WHERE rn = 1
        |ORDER BY batch_doc""".stripMargin
 
+  /** Edge-count threshold below which connected components runs as a
+    * single-task union-find over the whole pair set — the broadcast-join
+    * analogue for graphs. 10M edges is ~160 MB of long pairs plus the
+    * union-find table: comfortably one executor's working set, and the
+    * near-dup pair graph of even a 100 TB corpus is usually far smaller
+    * than the corpus (pairs exist only where near-dups exist). Above the
+    * threshold the distributed min-label fixpoint takes over. */
+  val LocalCcMaxEdges: Long = 10000000L
+
   /** `q_dedup_clusters`: the CANONICALIZATION step the pair detectors feed —
     * connected components over the verified MinHash near-dup pairs, mapping
     * every clustered document to its component's minimum doc_id (the kept
     * representative; everything else in the cluster is a drop candidate).
-    *
-    * Iterative min-label propagation: each round, every node takes the min
-    * of its own label and its neighbors' labels; converges to the
-    * component minimum in O(component diameter) rounds. The loop runs on
-    * the driver but each round is fully distributed (one join + one
-    * min-aggregate on (node, label)) — the standard shape of distributed
-    * connected components. At 100 TB the edge set (near-dup pairs) is
-    * orders of magnitude smaller than the corpus, every round's shuffle
-    * carries only (node, label) longs, and a production run would switch
-    * to the large-star/small-star variant for fewer rounds on high-
-    * diameter graphs. Deterministic (min is min), so the oracle states the
-    * same fixpoint with a recursive CTE. */
-  def dedupClustersQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = materialize(
+    * Deterministic (min is min), so the oracle states the same fixpoint
+    * with a recursive CTE regardless of which path below computed it. */
+  def dedupClustersQ(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(spark,
       minhashPairs(Tables.documents(spark, sfDir))
-        .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_a"), col("doc_b")),
+      LocalCcMaxEdges)
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+
+  /** Connected components over an undirected pair set; every endpoint node
+    * comes back labeled with its component MINIMUM. Size-adaptive, the same
+    * way Spark picks broadcast vs shuffle joins by size:
+    *
+    *  - pair count ≤ `localMaxEdges`: ALL pairs shuffle to one task and a
+    *    path-compressed union-find labels them in O(m α(m)) — one narrow
+    *    exchange and zero driver rounds. (Union always attaches the larger
+    *    root under the smaller, so a component's root is its min id.)
+    *  - above the threshold: iterative min-label propagation — each round,
+    *    every node takes the min of its own label and its neighbors';
+    *    converges to the component minimum in O(component diameter)
+    *    rounds. The loop runs on the driver but each round is fully
+    *    distributed (one join + one min-aggregate on (node, label)); a
+    *    production run on a high-diameter graph would switch to the
+    *    large-star/small-star variant for fewer rounds.
+    *
+    * The adaptive switch matters because the fixpoint's floor cost is
+    * multiple scheduled jobs: on the small graphs near-dup detection
+    * actually emits, the loop is pure scheduling overhead, while the
+    * union-find path is one job. Both paths compute the identical
+    * fixpoint (DedupSpec pins the equivalence by forcing each path). */
+  private[graft] def connectedComponents(
+      spark: SparkSession, pairsIn: DataFrame,
+      localMaxEdges: Long): DataFrame = {
+    val (pairs, nPairs) = graft.engine.Materialize.diskBackedWithCount(pairsIn)
+    if (nPairs <= localMaxEdges) localCc(spark, pairs)
+    else distributedCc(spark, pairs)
+  }
+
+  /** Single-task union-find CC (the ≤-threshold path). */
+  private def localCc(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x0
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        // snapshot the keys first — find() path-compresses (mutates) as
+        // the final labels are read off
+        parent.keys.toArray.iterator.map(n => (n, find(n)))
+      }
+      .toDF("node", "label")
+  }
+
+  /** Distributed min-label fixpoint CC (the above-threshold path). */
+  private def distributedCc(spark: SparkSession, pairs: DataFrame): DataFrame = {
     // Symmetric closure PLUS self-loops: with (n, n) in the edge set, one
     // propagation step is a SINGLE join+aggregate over the edges — the
     // labels frame is consumed exactly once per step. (The union-with-self

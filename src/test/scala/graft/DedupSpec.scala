@@ -80,6 +80,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: union-find and fixpoint paths agree exactly") {
+    // A multi-hop chain (1-7-3-9, min 1), a disjoint pair (2-8, min 2), and
+    // a triangle with a redundant edge (4-5, 5-6, 4-6, min 4). The chain's
+    // diameter exercises real propagation; the redundant edge exercises
+    // union of already-joined roots.
+    val pairs = Seq(
+      (7L, 1L), (3L, 7L), (9L, 3L),
+      (2L, 8L),
+      (4L, 5L), (5L, 6L), (4L, 6L)
+    ).toDF("doc_a", "doc_b")
+    val expected = Map(
+      1L -> 1L, 7L -> 1L, 3L -> 1L, 9L -> 1L,
+      2L -> 2L, 8L -> 2L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L)
+    def run(localMaxEdges: Long) =
+      Dedup.connectedComponents(spark, pairs, localMaxEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(Long.MaxValue) // forces the single-task union-find
+    val dist  = run(0L)            // forces the distributed fixpoint
+    assert(local === expected)
+    assert(dist === expected)
+  }
+
   test("incremental dedup: matches cross the split, one best match per batch doc") {
     val out = graft.operators.Dedup
       .dedupIncrementalQ(spark, "/root/testdata/sf0.01").collect()
