@@ -36,18 +36,95 @@ object Graph {
   /** Contribution quantum: 1e-12 of rank mass (exact in DECIMAL sums). */
   val PrQuantSql = "1e12"
 
+  /** Pair-count threshold below which the power method runs in a single
+    * task — the same size-adaptive switch as `Dedup.connectedComponents`,
+    * and for the same reason: the quantized rounds are bit-reproducible in
+    * either engine, and on a small co-occurrence graph the distributed
+    * path's cost is all scheduling (per-round shuffles of tiny frames),
+    * not compute. 5M undirected pairs = 10M directed edges ≈ 160 MB of
+    * longs plus the rank/degree tables: one executor's working set. */
+  val LocalPrMaxPairs: Long = 5000000L
+
   /** `q_pagerank`: damped PageRank (d=0.85) over the symmetric
     * part↔supplier co-occurrence graph from `lineitem` (part nodes = 2k,
     * supplier nodes = 2k+1 — disjoint id spaces). Symmetry means every
     * node has out-edges, so no dangling-mass redistribution is needed and
     * rank mass is conserved up to quantization. */
-  def pagerankQ(spark: SparkSession, sfDir: String): DataFrame = {
-    // pairs feeds BOTH union sides of the symmetric edge set — materialized
-    // once so the lineitem distinct doesn't run twice.
-    val pairs = Materialize.diskBacked(
+  def pagerankQ(spark: SparkSession, sfDir: String): DataFrame =
+    pagerank(spark,
       Tables.lineitem(spark, sfDir)
         .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct())
+        .distinct(),
+      LocalPrMaxPairs)
+      .orderBy(col("r").desc, col("node").asc).limit(PrTopK)
+      .select(col("node"), col("r"))
+
+  /** `PrIters` quantized power-method rounds over the symmetric closure of
+    * an undirected pair set; returns the full (node, r) rank vector.
+    * Size-adaptive like `Dedup.connectedComponents`: single-task iteration
+    * under `localMaxPairs` pairs, the distributed two-shuffles-per-round
+    * dataflow above it. Both paths apply the SAME single-rounded IEEE ops
+    * in the same order (quantize → exact integer sum → damp), so they are
+    * bit-identical — GraphSpec pins the equivalence by forcing each. */
+  private[graft] def pagerank(
+      spark: SparkSession, pairsIn: DataFrame,
+      localMaxPairs: Long): DataFrame = {
+    // pairs feeds BOTH union sides of the symmetric edge set — materialized
+    // once so the upstream distinct doesn't run twice (and the count that
+    // picks the path is read off the same materialization).
+    val (pairs, nPairs) = Materialize.diskBackedWithCount(pairsIn)
+    if (nPairs <= localMaxPairs) localPagerank(spark, pairs)
+    else distributedPagerank(spark, pairs)
+  }
+
+  /** Single-task quantized power method (the ≤-threshold path). Mirrors
+    * the distributed path's arithmetic exactly: contributions are
+    * `floor(r/outdeg * 1e12 + 0.5)` as a Long (the engine's DECIMAL(28,0)
+    * sum is exact and total mass ≤ ~1e12, so Long cannot overflow), and
+    * the damping update reuses the engine's `a + b*c` evaluation order. */
+  private def localPagerank(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pairs.select(col("a"), col("b")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val srcs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val dsts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (a, b) =>
+          srcs += a; dsts += b
+          srcs += b; dsts += a
+        }
+        val outdeg = scala.collection.mutable.LongMap.empty[Long]
+        var i = 0
+        while (i < srcs.length) {
+          outdeg(srcs(i)) = outdeg.getOrElse(srcs(i), 0L) + 1L; i += 1
+        }
+        val n = outdeg.size.toDouble
+        var ranks = scala.collection.mutable.LongMap.empty[Double]
+        outdeg.foreachKey(k => ranks(k) = 1.0 / n)
+        var round = 0
+        while (round < PrIters) {
+          val qsum = scala.collection.mutable.LongMap.empty[Long]
+          var j = 0
+          while (j < srcs.length) {
+            val qc = math.floor(
+              ranks(srcs(j)) / outdeg(srcs(j)) * 1e12 + 0.5).toLong
+            qsum(dsts(j)) = qsum.getOrElse(dsts(j), 0L) + qc
+            j += 1
+          }
+          val next = scala.collection.mutable.LongMap.empty[Double]
+          qsum.foreach { case (node, q) =>
+            next(node) = 0.15 / n + 0.85 * (q.toDouble / 1e12)
+          }
+          ranks = next
+          round += 1
+        }
+        ranks.iterator
+      }
+      .toDF("node", "r")
+  }
+
+  /** Distributed power method (the above-threshold path). */
+  private def distributedPagerank(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     // The out-degree joins EVERY round, so it is pre-joined onto the edge
@@ -90,8 +167,7 @@ object Graph {
           (lit(0.15) / col("n") + lit(0.85) *
             (col("qsum").cast("double") / lit(1e12))).as("r"))
     }
-    ranks.orderBy(col("r").desc, col("node").asc).limit(PrTopK)
-      .select(col("node"), col("r"))
+    ranks
   }
 
   val pagerankOracle: String = {
@@ -171,12 +247,80 @@ object Graph {
       .limit(TriTopK)
   }
 
+  /** Edge-count threshold for the single-task triangle path — the same
+    * size-adaptive switch as `pagerank`/`Dedup.connectedComponents`.
+    * Triangle counts are exact integers on both paths, so the switch is
+    * purely a scheduling decision: below it, one task replaces three
+    * materializations plus a self-join pipeline. */
+  val LocalTriMaxEdges: Long = 5000000L
+
   /** Core: per-node triangle participation counts over a canonical
     * (u < v) undirected edge frame. Unit-tested on known graphs. */
-  def triangleCounts(rawEdges: DataFrame): DataFrame = {
+  def triangleCounts(rawEdges: DataFrame): DataFrame =
+    triangleCounts(rawEdges, LocalTriMaxEdges)
+
+  /** Size-adaptive dispatch (GraphSpec forces each path on known graphs). */
+  private[graft] def triangleCounts(
+      rawEdges: DataFrame, localMaxEdges: Long): DataFrame = {
     // canonical undirected edge set (u < v) — feeds degree counting,
     // orientation, AND the closing-edge probe, so it is materialized once
-    val edges = Materialize.diskBacked(rawEdges)
+    // (and the path-picking count reads off the same materialization)
+    val (edges, nEdges) = Materialize.diskBackedWithCount(rawEdges)
+    if (nEdges <= localMaxEdges) localTriangles(edges)
+    else distributedTriangles(edges)
+  }
+
+  /** Single-task degree-oriented triangle counting (the ≤-threshold path):
+    * the same algorithm as the distributed dataflow — orient each edge
+    * from its lower-(degree, id) endpoint, enumerate wedges at the
+    * orientation apex, probe the canonical edge set for the closing edge —
+    * so each triangle is found exactly once at its orientation-minimal
+    * corner, identically to the join pipeline. */
+  private def localTriangles(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        val edgeSet = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { case (u, v) =>
+          edgeSet += ((u, v))
+          deg(u) = deg.getOrElse(u, 0L) + 1L
+          deg(v) = deg.getOrElse(v, 0L) + 1L
+        }
+        val out = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        es.foreach { case (u, v) =>
+          val uFirst = deg(u) < deg(v) || (deg(u) == deg(v) && u < v)
+          val (s, d) = if (uFirst) (u, v) else (v, u)
+          out.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+        }
+        val nTri = scala.collection.mutable.LongMap.empty[Long]
+        out.foreach { case (a, ds) =>
+          var i = 0
+          while (i < ds.length) {
+            var j = i + 1
+            while (j < ds.length) {
+              val b = math.min(ds(i), ds(j)); val c = math.max(ds(i), ds(j))
+              if (edgeSet.contains((b, c))) {
+                nTri(a) = nTri.getOrElse(a, 0L) + 1L
+                nTri(b) = nTri.getOrElse(b, 0L) + 1L
+                nTri(c) = nTri.getOrElse(c, 0L) + 1L
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        nTri.iterator
+      }
+      .toDF("node", "n_tri")
+  }
+
+  /** Distributed degree-oriented triangle counting (above-threshold). */
+  private def distributedTriangles(edges: DataFrame): DataFrame = {
     // orientation rank = (degree, id): lower endpoint -> higher endpoint.
     // deg is node-sized and MATERIALIZED so the cache's accurate size
     // statistics let Catalyst pick broadcast joins for the two orientation

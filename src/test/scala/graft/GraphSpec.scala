@@ -30,6 +30,42 @@ class GraphSpec extends AnyFunSuite {
     assert(t.values.sum % 3 === 0, "corner counts must be 3x the triangle count")
   }
 
+  test("triangles: local and distributed paths agree on all known graphs") {
+    val graphs = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)), // square+diagonal
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)),                     // path
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) // K4
+    )
+    graphs.foreach { g =>
+      def run(localMaxEdges: Long) =
+        Graph.triangleCounts(g.toDF("u", "v"), localMaxEdges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(run(Long.MaxValue) === run(0L))
+    }
+  }
+
+  test("pagerank: local and distributed paths are bit-identical") {
+    // A star (1 hub, 3 leaves) glued to a 2-cycle through node 10 — mixed
+    // degrees so quantized contributions differ per edge. Pair ids use the
+    // odd/even spaces the production graph uses (irrelevant to the math).
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (2L, 5L), (2L, 10L), (10L, 11L)
+    ).toDF("a", "b")
+    def run(localMaxPairs: Long) =
+      Graph.pagerank(spark, pairs, localMaxPairs)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = run(Long.MaxValue) // forces the single-task power method
+    val dist  = run(0L)            // forces the distributed rounds
+    assert(local.keySet === dist.keySet)
+    // bit-identical, not approximately equal: both paths promise the same
+    // single-rounded IEEE ops in the same order
+    local.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(dist(k)), s"node $k: $v vs ${dist(k)}")
+    }
+    assert(math.abs(local.values.sum - 1.0) < 1e-9, "rank mass conserved")
+  }
+
   test("pagerank ranks sum to ~1 and are all positive") {
     val rows = Graph.pagerankQ(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
