@@ -256,8 +256,13 @@ object Aggregates {
         .join(Tables.part(spark, sfDir)
           .select(col("p_partkey"), col("p_brand")), Seq("p_partkey"))
         .select(col("ok"), col("p_brand").as("b"))
-        .distinct()
-        .repartition(col("ok")))
+        // repartition BEFORE dedup: HashPartitioning(ok) satisfies the
+        // (ok, b) aggregate's clustering (subset partitioning), so the
+        // dedup runs exchange-free on the basket-keyed layout the pair
+        // self-join needs anyway — one shuffle where distinct-then-
+        // repartition paid two.
+        .repartition(col("ok"))
+        .dropDuplicates("ok", "b"))
     val nOrders = ob.select(col("ok")).distinct()
       .agg(Num.countStar.as("n_orders"))
     val brandCnt = ob.groupBy(col("b")).agg(Num.countStar.as("cnt"))
