@@ -496,4 +496,71 @@ object Curation {
        |  MIN(substr(sha256('${TokenPepper}' || user_id), 1, ${TokenHex}))
        |    AS first_token
        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Fixed token capacity of one packed training sequence. */
+  val PackCap = 2048L
+
+  /** `q_seq_pack`: GLOBAL token-stream layout — the concat-and-chunk
+    * assignment GPT-style pretraining uses: documents are laid out
+    * end-to-end in ONE global token stream (doc_id order) and the stream
+    * is cut at fixed `PackCap`-token boundaries; each document's
+    * assignment is (start offset, first/last chunk, chunks spanned).
+    * Complements `q_pack_sequences`, which packs greedy per-shard bins
+    * (parallel but shard-local): here the offsets are a pure function of
+    * the single global order — the layout a trainer needs when chunk ids
+    * must be stable across reshuffles and documents may straddle chunk
+    * boundaries — which per-shard windows cannot produce.
+    *
+    * Scale shape: the global running token offset is the textbook trap of
+    * a single-partition `SUM OVER (ORDER BY ...)` window; instead it is
+    * the shared scan primitive `engine/Scan.exclusivePrefix` with the
+    * (+, 0) monoid — X103's carry machinery — two narrow passes over the
+    * range-sorted (doc_id, n_tokens) frame, parallelism preserved at any
+    * corpus width. Token counts reuse X6's BPE-ish `TokenRegex` so the
+    * stream the packer cuts is the one the token-stats op measures.
+    * Integer chunk math only (non-negative longs, floor division), so the
+    * oracle's window form matches bit-for-bit. Zero-token docs are
+    * excluded on both sides (they occupy no stream positions). */
+  def seqPackQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit(TextAnalysis.TokenRegex), lit(0))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // persisted so both scan passes read identical blocks (Scan's contract)
+    val sorted = toks.repartitionByRange(nPart, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    spark.createDataset(
+      graft.engine.Scan.exclusivePrefix[(Long, Long), Long](
+        sorted.rdd, 0L, _._2, _ + _)
+        .map { case (start, (id, n)) =>
+          (id, n, start, start / PackCap, (start + n - 1) / PackCap)
+        })
+      .toDF("doc_id", "n_tokens", "start_tok", "first_chunk", "last_chunk")
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
+      .orderBy(col("doc_id"))
+  }
+
+  val seqPackOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '${TextAnalysis.TokenRegex}')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
+       |  FROM toks WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens, start_tok,
+       |  start_tok // ${PackCap} AS first_chunk,
+       |  (start_tok + n_tokens - 1) // ${PackCap} AS last_chunk,
+       |  (start_tok + n_tokens - 1) // ${PackCap}
+       |    - start_tok // ${PackCap} + 1 AS n_chunks
+       |FROM pos ORDER BY doc_id""".stripMargin
 }

@@ -26,6 +26,34 @@ class CurationSpec extends AnyFunSuite {
     assert(train > 0.6 && train < 0.95, s"train fraction $train")
   }
 
+  test("sequence packing: contiguous stream, exact chunk spans, full coverage") {
+    val rows = Curation.seqPackQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // contiguity: each doc starts exactly where the previous one ended —
+    // the stream has no gaps and no overlaps in doc_id order
+    rows.sliding(2).foreach {
+      case Array((_, n0, s0, _, _, _), (d1, _, s1, _, _, _)) =>
+        assert(s1 === s0 + n0, s"doc $d1 starts at $s1, expected ${s0 + n0}")
+      case _ => ()
+    }
+    val cap = Curation.PackCap
+    rows.foreach { case (d, n, s, first, last, span) =>
+      assert(n > 0, s"doc $d zero tokens")
+      assert(first === s / cap)
+      assert(last === (s + n - 1) / cap)
+      assert(span === last - first + 1)
+      // a doc spans k chunks iff its token range crosses k-1 boundaries:
+      // at least ceil(n/cap), at most one more (a short doc can straddle)
+      assert(span >= (n + cap - 1) / cap, s"doc $d spans too few chunks")
+      assert(span <= (n + cap - 2) / cap + 1, s"doc $d spans too many chunks")
+    }
+    // the stream's total length is the sum of all token counts
+    val (_, nLastTok, sLast, _, _, _) = rows.last
+    assert(sLast + nLastTok === rows.map(_._2).sum)
+  }
+
   test("decontamination never flags eval-set documents themselves") {
     val flagged = Curation.decontaminateQ(spark, sfDir).collect()
       .map(_.getLong(0))
