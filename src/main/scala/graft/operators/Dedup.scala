@@ -612,4 +612,96 @@ object Dedup {
        |    AS max_chunk
        |FROM sp ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // `q_substr_dupes`: SUBSTRING-level duplication (winnowing fingerprints)
+
+  /** Character n-gram length for substring fingerprinting. */
+  val SubstrN = 20
+  /** Winnowing window: a position is SELECTED when its gram is the
+    * lexicographic minimum of the trailing `SubstrW`-position window — any
+    * two identical spans of length ≥ SubstrN + SubstrW − 1 therefore share
+    * at least one selected position, with selection density ~2/(SubstrW+1)
+    * on non-repetitive text. The gram string itself is the winnowing
+    * order: selection needs any content-determined total order, and the
+    * raw string avoids per-position hashing entirely (and hash-collision
+    * merges, since the aggregate groups the same strings the order is
+    * defined on). The cost is biased sampling (grams opening with
+    * low-codepoint chars are over-selected), which matters not at all for
+    * shared-span detection — both copies of a span bias identically. */
+  val SubstrW = 8
+  /** Most-duplicated substrings reported. */
+  val SubstrTopK = 20
+
+  /** `q_substr_dupes`: cross-document REPEATED-SUBSTRING detection — the
+    * substring-level pass of training-data dedup (boilerplate headers,
+    * license blocks, templated spans that doc-level MinHash can't see
+    * because the surrounding document differs). Every character position
+    * yields a `SubstrN`-gram fingerprint; winnowing keeps only trailing-
+    * window minima, and the kept grams aggregate to (distinct docs,
+    * occurrences) with the multi-doc top-K reported.
+    *
+    * Scale shape: position explosion is linear in corpus characters but
+    * PIPELINED (one codegen stage from scan to the winnow shuffle — the
+    * full text never duplicates per position; the projection narrows to
+    * (doc_id, pos, gram, fp) before the exchange). The only wide ops are
+    * the per-doc winnow window and the gram aggregate, both on selected
+    * rows ~2/(W+1) of positions — and the window itself is exchange-FREE:
+    * the doc frame repartitions by doc_id BEFORE the position explode, so
+    * the only shuffles are one pass of texts and the selected grams. */
+  def substrDupesQ(spark: SparkSession, sfDir: String): DataFrame =
+    substrDupes(Tables.documents(spark, sfDir))
+
+  /** Core over any (doc_id, text) frame. */
+  def substrDupes(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Repartition the DOC frame (one text per row) before exploding: the
+    // Generate preserves the hash partitioning, so the per-doc winnow
+    // window needs no exchange over the position rows — the only position-
+    // level wide op left is the selected-gram aggregate. Shuffling texts
+    // once beats shuffling |text| position rows (~50× the bytes).
+    val grams = docs
+      .filter(length(col("text")) >= SubstrN)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - SubstrN + 1)).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $SubstrN)").as("gram"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-(SubstrW - 1), Window.currentRow)
+    grams
+      .withColumn("wmin", min(col("gram")).over(w))
+      // nullif-form equality: a plain `gram === wmin` lets constraint
+      // inference substitute gram's substring definition into the post-
+      // window filter, recomputing it over EVERY position row a second
+      // time (observed in the physical plan); the nullif shape carries no
+      // attribute-level equality to infer from
+      .filter(isnull(nullif(col("gram"), col("wmin"))))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        Num.countStar.as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+      .limit(SubstrTopK)
+  }
+
+  val substrDupesOracle: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, LENGTH(text) - ${SubstrN} + 1)) AS i,
+       |    text
+       |  FROM documents WHERE LENGTH(text) >= ${SubstrN}),
+       |grams AS (
+       |  SELECT doc_id, i, substr(text, i, ${SubstrN}) AS gram
+       |  FROM pos),
+       |sel AS (
+       |  SELECT doc_id, gram,
+       |    MIN(gram) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN ${SubstrW - 1} PRECEDING AND CURRENT ROW) AS wmin
+       |  FROM grams)
+       |SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occ
+       |FROM sel WHERE gram = wmin
+       |GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT ${SubstrTopK}""".stripMargin
 }

@@ -103,6 +103,32 @@ class DedupSpec extends AnyFunSuite {
     assert(dist === expected)
   }
 
+  test("substring dupes: a planted shared span surfaces, unique text never pairs") {
+    // two docs share an exact 60-char boilerplate span inside different
+    // surroundings (doc-level near-dup would miss them: jaccard is low);
+    // the third doc is entirely unique
+    val boiler = "LICENSE: redistribution permitted with attribution only."
+      .padTo(60, 'x').mkString
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $boiler delta echo foxtrot"),
+      (2L, s"one two three four five six seven $boiler eight nine"),
+      (3L, "totally original content with no repeats of any kind here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDupes(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "planted shared span produced no fingerprint hits")
+    // every reported gram is multi-doc and must come from the planted span
+    // (the winnowing guarantee: shared spans >= N+W-1 chars always select)
+    // the full shared span includes the single space on each side of the
+    // planted block (both docs embed " $boiler ")
+    val shared = s" $boiler "
+    out.foreach { case (gram, nDocs, nOcc) =>
+      assert(nDocs >= 2)
+      assert(nOcc >= nDocs)
+      assert(shared.contains(gram), s"unexpected multi-doc gram '$gram'")
+    }
+  }
+
   test("incremental dedup: matches cross the split, one best match per batch doc") {
     val out = graft.operators.Dedup
       .dedupIncrementalQ(spark, "/root/testdata/sf0.01").collect()
