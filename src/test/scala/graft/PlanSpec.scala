@@ -472,6 +472,27 @@ class PlanSpec extends AnyFunSuite {
       s"skyline must not plan a window:\n$p")
   }
 
+  test("q_substr_dupes: winnow window exchange-free; no hash recompute in filter") {
+    val p = plan("q_substr_dupes")
+    val lines = p.linesIterator.toSeq
+    // the position explode must sit ABOVE the doc-keyed exchange: texts
+    // shuffle once (doc rows), position rows never do — between Generate
+    // and Window there must be no Exchange
+    val gen = lines.indexWhere(_.contains("Generate explode"))
+    val win = lines.indexWhere(_.contains("Window ["))
+    assert(gen >= 0 && win >= 0, s"expected Generate and Window:\n$p")
+    assert(win < gen, // plans print top-down: Window appears before Generate
+      s"winnow Window must consume the Generate directly:\n$p")
+    assert(!lines.slice(win, gen).exists(_.contains("Exchange")),
+      s"position rows must not shuffle into the winnow window:\n$p")
+    // the post-window filter must compare attributes, not re-derive the
+    // gram (constraint inference once doubled the per-position compute)
+    val filterLines = lines.filter(l =>
+      l.contains("Filter") && l.contains("wmin"))
+    assert(filterLines.forall(l => !l.contains("substring(text")),
+      s"post-window filter recomputes the gram:\n$p")
+  }
+
   test("q_wau: window expansion is generator-based, never a calendar join") {
     val p = plan("q_wau")
     assert(p.contains("Generate explode"),
