@@ -373,4 +373,60 @@ object Aggregates {
       |GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m-%d')),
       |                        (event_type), ())
       |ORDER BY event_type, day""".stripMargin
+
+  /** MV refresh split point: history strictly before, delta on/after. */
+  val IvmSplitDate = "2024-01-25"
+
+  /** `q_ivm_refresh`: incremental materialized-view maintenance — the
+    * nightly pattern that makes a 100 TB rollup affordable: the stored MV
+    * holds ALGEBRAIC partial aggregates (count + exact DECIMAL sum, both
+    * mergeable), a delta batch aggregates alone, and refresh is a
+    * key-level merge of the two — the history rows are never rescanned.
+    * The gate proves the whole point: the oracle is a FULL recompute over
+    * all events, and the hash must match, so merge(base, delta) ≡
+    * recompute exactly (decimal addition is associative; the cast to
+    * double happens only at emission, never inside the stored state).
+    *
+    * Scale shape: the MV stays partitioned by its group key; the delta
+    * aggregate is days-bounded and tiny relative to the MV; the merge is
+    * one full-outer join on the group key (null-safe, so null-keyed
+    * groups merge too, and full-outer because either side can hold keys
+    * the other lacks). An all-null-valued group must stay NULL after the
+    * merge (as a recompute would report it), hence the both-null guard
+    * rather than a bare coalesce-to-zero. */
+  def ivmRefreshQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val split = lit(IvmSplitDate).cast("date")
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(Num.countStar.as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("s"))
+    // the stored MV: materialized partial aggregates over history only
+    val base = graft.engine.Materialize.diskBacked(
+      aggOf(ev.filter(col("day") < split)))
+    val delta = aggOf(ev.filter(col("day") >= split))
+    base.as("b").join(delta.as("d"),
+        col("b.event_type") <=> col("d.event_type") &&
+          col("b.day") <=> col("d.day"),
+        "full_outer")
+      .select(
+        coalesce(col("b.event_type"), col("d.event_type")).as("event_type"),
+        date_format(coalesce(col("b.day"), col("d.day")), "yyyy-MM-dd")
+          .as("day"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+          .as("n_events"),
+        when(col("b.s").isNull && col("d.s").isNull, lit(null))
+          .otherwise(coalesce(col("b.s"), lit(0)) + coalesce(col("d.s"), lit(0)))
+          .cast("double").as("sum_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ivmRefreshOracle: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY event_type, day""".stripMargin
 }

@@ -662,4 +662,69 @@ object Relational {
        |      COALESCE(o_orderpriority, '\\N')
        |    ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Range bound for the events.value sanity check. */
+  val DqValueMax = 10000.0
+
+  /** `q_dq_audit`: the data-contract audit a pipeline runs before
+    * promoting a load — uniqueness, null, range, and referential checks
+    * reported as one (check_name, n_violations) table. The shapes that
+    * matter at 100 TB: all single-table checks over `events` FUSE into ONE
+    * conditional-aggregation pass (one scan, one 1-row result, melted via
+    * `stack` — not one job per check), and each referential check is a
+    * LEFT ANTI join counting orphans, where Catalyst broadcasts the
+    * key-side when small and falls back to a key-partitioned shuffle when
+    * not. Zero-violation checks still report (a missing row and a zero
+    * mean different things to an auditor). */
+  def dqAuditQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val evChecks = ev.agg(
+        (Num.countStar - countDistinct(col("event_id")))
+          .as("event_id_duplicates"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L))
+          .as("null_user_id"),
+        sum(when(col("value").isNull, 1L).otherwise(0L))
+          .as("null_value"),
+        sum(when(col("value") < 0.0 || col("value") > DqValueMax, 1L)
+          .otherwise(0L)).as("value_out_of_range"))
+      .selectExpr("""stack(4,
+        'event_id_duplicates', event_id_duplicates,
+        'null_user_id', null_user_id,
+        'null_value', null_value,
+        'value_out_of_range', value_out_of_range)
+        AS (check_name, n_violations)""")
+    val orphanOrders = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(Num.countStar.as("n_violations"))
+      .select(lit("orders_orphan_custkey").as("check_name"),
+        col("n_violations"))
+    val orphanLines = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(Num.countStar.as("n_violations"))
+      .select(lit("lineitem_orphan_orderkey").as("check_name"),
+        col("n_violations"))
+    evChecks.unionByName(orphanOrders).unionByName(orphanLines)
+      .orderBy(col("check_name"))
+  }
+
+  val dqAuditOracle: String =
+    s"""SELECT * FROM (
+       |  SELECT 'event_id_duplicates' AS check_name,
+       |    COUNT(*) - COUNT(DISTINCT event_id) AS n_violations FROM events
+       |  UNION ALL
+       |  SELECT 'null_user_id', COUNT(*) FILTER (user_id IS NULL) FROM events
+       |  UNION ALL
+       |  SELECT 'null_value', COUNT(*) FILTER (value IS NULL) FROM events
+       |  UNION ALL
+       |  SELECT 'value_out_of_range',
+       |    COUNT(*) FILTER (value < 0 OR value > ${DqValueMax}) FROM events
+       |  UNION ALL
+       |  SELECT 'orders_orphan_custkey', COUNT(*) FROM orders
+       |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+       |  UNION ALL
+       |  SELECT 'lineitem_orphan_orderkey', COUNT(*) FROM lineitem
+       |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+       |) ORDER BY check_name""".stripMargin
 }
