@@ -177,4 +177,53 @@ class PropertySpec extends AnyFunSuite {
       sumGot == sumExp && minGot == minExp
     })
   }
+
+  test("connected components: both paths equal a brute-force reference") {
+    // random small multigraphs (dupes and self-pairs allowed); reference =
+    // naive label propagation to fixpoint on the driver
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(1L, 9L), Gen.chooseNum(1L, 9L)))
+    check(Prop.forAll(edgeGen) { es =>
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      var ref = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        es.foreach { case (a, b) =>
+          val m = math.min(ref(a), ref(b))
+          if (ref(a) != m || ref(b) != m) {
+            ref += a -> m; ref += b -> m; changed = true
+          }
+        }
+        // propagate through representatives too (path compression)
+        nodes.foreach { n =>
+          if (ref(ref(n)) != ref(n)) { ref += n -> ref(ref(n)); changed = true }
+        }
+      }
+      val pairs = es.toDF("doc_a", "doc_b")
+      def run(localMax: Long) =
+        Dedup.connectedComponents(spark, pairs, localMax)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      run(Long.MaxValue) == ref && run(0L) == ref
+    })
+  }
+
+  test("pagerank: paths bit-identical and mass-conserving on random graphs") {
+    val pairGen = Gen.listOfN(8,
+      Gen.zip(Gen.chooseNum(1L, 7L), Gen.chooseNum(8L, 14L)))
+    check(Prop.forAll(pairGen) { ps =>
+      val pairs = ps.toDF("a", "b")
+      def run(localMax: Long) =
+        graft.operators.Graph.pagerank(spark, pairs, localMax)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val local = run(Long.MaxValue)
+      val dist = run(0L)
+      local.keySet == dist.keySet &&
+        local.forall { case (k, v) =>
+          java.lang.Double.doubleToLongBits(v) ==
+            java.lang.Double.doubleToLongBits(dist(k))
+        } &&
+        math.abs(local.values.sum - 1.0) < 1e-9
+    })
+  }
 }
