@@ -386,4 +386,48 @@ object Incremental {
        |FROM numbered
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_start""".stripMargin
+
+  /** `q_streaming_enrich`: STREAM-STATIC enrichment — the eighth streaming
+    * shape and the most common production one: each micro-batch of the
+    * event stream joins a static dimension (customer→nation, synthetic FK
+    * `user_id % |customer| + 1` since the harness tables share no key) via
+    * a per-batch BROADCAST hash join, and the enriched append-mode sink
+    * rolls up per nation. Stateless: no watermarks, no state stores — the
+    * dimension is resolved at micro-batch planning time, which is exactly
+    * why production caches the dim table (it would otherwise re-read per
+    * batch; at 100 TB/day the dim broadcast is the only non-stream data
+    * movement). The rollup runs as a BATCH aggregate over the drained
+    * sink, mirroring the reference's stage separation. */
+  def streamingEnrichQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.engine.{Num, Tables}
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    // synthetic-FK modulus: one metadata-scale scalar, same precedent as
+    // the sink fixture's max-year (never data rows to the driver)
+    val nCust = cust.count()
+    val dim = cust.join(
+        broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val src = eventsStream(spark, sfDir, withTs = false)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("fk", pmod(col("user_id"), lit(nCust)) + 1)
+    val joined = src.join(broadcast(dim), col("fk") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("n_name"))
+    drainToTable(joined, "append", "graft_stream_enrich")
+      .groupBy(col("n_name").as("nation"))
+      .agg(Num.countStar.as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("nation"))
+  }
+
+  val streamingEnrichOracle: String =
+    """SELECT n.n_name AS nation, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM events e
+      |JOIN customer c
+      |  ON c.c_custkey = (e.user_id % (SELECT COUNT(*) FROM customer)) + 1
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
 }
