@@ -403,9 +403,13 @@ object Aggregates {
       df.groupBy(col("event_type"), col("day"))
         .agg(Num.countStar.as("n"),
           sum(col("value").cast(DecimalType(18, 2))).as("s"))
-    // the stored MV: materialized partial aggregates over history only
+    // the stored MV: materialized partial aggregates over history only.
+    // The split must PARTITION the rows: a bare `day < split` silently
+    // drops null-day rows from both sides (NULL comparisons are neither
+    // true nor false), so nulls are routed explicitly to the base side —
+    // a recompute-oracle group must come from exactly one of the inputs.
     val base = graft.engine.Materialize.diskBacked(
-      aggOf(ev.filter(col("day") < split)))
+      aggOf(ev.filter(col("day") < split || col("day").isNull)))
     val delta = aggOf(ev.filter(col("day") >= split))
     base.as("b").join(delta.as("d"),
         col("b.event_type") <=> col("d.event_type") &&

@@ -336,10 +336,13 @@ object Dedup {
   /** Single-task union-find CC (the ≤-threshold path). */
   private def localCc(spark: SparkSession, pairs: DataFrame): DataFrame = {
     import spark.implicits._
+    import graft.engine.Primitives
     pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.LongMap.empty[Long]
+        // primitive long→long parent table (node-sized, ~24 B/entry) —
+        // the boxed LongMap alternative triples that
+        val parent = new Primitives.LongLongMap()
         def find(x0: Long): Long = {
           var r = x0
           while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -357,7 +360,9 @@ object Dedup {
         }
         // snapshot the keys first — find() path-compresses (mutates) as
         // the final labels are read off
-        parent.keys.toArray.iterator.map(n => (n, find(n)))
+        val ks = new scala.collection.mutable.ArrayBuilder.ofLong
+        parent.foreachEntry((k, _) => ks += k)
+        ks.result().iterator.map(n => (n, find(n)))
       }
       .toDF("node", "label")
   }
@@ -439,9 +444,8 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge within $maxRounds rounds " +
           s"(${3 * maxRounds} hops) — component diameter exceeds the cap")
+    // same (node, label) contract as localCc — the caller renames/orders
     labels
-      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
-      .orderBy(col("doc_id"))
   }
 
   val dedupClustersOracle: String =

@@ -84,41 +84,47 @@ object Graph {
     * the damping update reuses the engine's `a + b*c` evaluation order. */
   private def localPagerank(spark: SparkSession, pairs: DataFrame): DataFrame = {
     import spark.implicits._
+    import graft.engine.Primitives
+    import java.lang.Double.{doubleToRawLongBits, longBitsToDouble}
     pairs.select(col("a"), col("b")).as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
-        val srcs = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val dsts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // primitive arrays/maps only — edge-proportional boxed collections
+        // would multiply the working set the threshold budget is based on
+        val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+        val db = new scala.collection.mutable.ArrayBuilder.ofLong
         it.foreach { case (a, b) =>
-          srcs += a; dsts += b
-          srcs += b; dsts += a
+          sb += a; db += b
+          sb += b; db += a
         }
-        val outdeg = scala.collection.mutable.LongMap.empty[Long]
+        val srcs = sb.result(); val dsts = db.result()
+        val outdeg = new Primitives.LongLongMap()
         var i = 0
-        while (i < srcs.length) {
-          outdeg(srcs(i)) = outdeg.getOrElse(srcs(i), 0L) + 1L; i += 1
-        }
+        while (i < srcs.length) { outdeg.addTo(srcs(i), 1L); i += 1 }
         val n = outdeg.size.toDouble
-        var ranks = scala.collection.mutable.LongMap.empty[Double]
-        outdeg.foreachKey(k => ranks(k) = 1.0 / n)
+        // rank doubles ride the long map bit-exactly via raw-bits casts
+        var ranks = new Primitives.LongLongMap(outdeg.size)
+        outdeg.foreachEntry((k, _) =>
+          ranks(k) = doubleToRawLongBits(1.0 / n))
         var round = 0
         while (round < PrIters) {
-          val qsum = scala.collection.mutable.LongMap.empty[Long]
+          val qsum = new Primitives.LongLongMap(outdeg.size)
           var j = 0
           while (j < srcs.length) {
             val qc = math.floor(
-              ranks(srcs(j)) / outdeg(srcs(j)) * 1e12 + 0.5).toLong
-            qsum(dsts(j)) = qsum.getOrElse(dsts(j), 0L) + qc
+              longBitsToDouble(ranks(srcs(j))) / outdeg(srcs(j)) * 1e12 + 0.5)
+              .toLong
+            qsum.addTo(dsts(j), qc)
             j += 1
           }
-          val next = scala.collection.mutable.LongMap.empty[Double]
-          qsum.foreach { case (node, q) =>
-            next(node) = 0.15 / n + 0.85 * (q.toDouble / 1e12)
+          val next = new Primitives.LongLongMap(outdeg.size)
+          qsum.foreachEntry { (node, q) =>
+            next(node) = doubleToRawLongBits(0.15 / n + 0.85 * (q.toDouble / 1e12))
           }
           ranks = next
           round += 1
         }
-        ranks.iterator
+        ranks.iterator.map { case (k, bits) => (k, longBitsToDouble(bits)) }
       }
       .toDF("node", "r")
   }
@@ -279,40 +285,54 @@ object Graph {
   private def localTriangles(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    import graft.engine.Primitives
     edges.select(col("u"), col("v")).as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
-        val es = it.toArray
-        val edgeSet = scala.collection.mutable.HashSet.empty[(Long, Long)]
-        val deg = scala.collection.mutable.LongMap.empty[Long]
-        es.foreach { case (u, v) =>
-          edgeSet += ((u, v))
-          deg(u) = deg.getOrElse(u, 0L) + 1L
-          deg(v) = deg.getOrElse(v, 0L) + 1L
+        // primitive parallel arrays end to end: sorted canonical edges give
+        // binary-searchable closure membership, sorted oriented edges give
+        // contiguous per-apex runs — no boxed tuples/sets at edge scale
+        val ub = new scala.collection.mutable.ArrayBuilder.ofLong
+        val vb = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (u, v) => ub += u; vb += v }
+        val us = ub.result(); val vs = vb.result()
+        val deg = new Primitives.LongLongMap()
+        var i = 0
+        while (i < us.length) {
+          deg.addTo(us(i), 1L); deg.addTo(vs(i), 1L); i += 1
         }
-        val out = scala.collection.mutable.LongMap
-          .empty[scala.collection.mutable.ArrayBuffer[Long]]
-        es.foreach { case (u, v) =>
+        val os = new Array[Long](us.length)
+        val od = new Array[Long](us.length)
+        i = 0
+        while (i < us.length) {
+          val u = us(i); val v = vs(i)
           val uFirst = deg(u) < deg(v) || (deg(u) == deg(v) && u < v)
-          val (s, d) = if (uFirst) (u, v) else (v, u)
-          out.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+          os(i) = if (uFirst) u else v
+          od(i) = if (uFirst) v else u
+          i += 1
         }
-        val nTri = scala.collection.mutable.LongMap.empty[Long]
-        out.foreach { case (a, ds) =>
-          var i = 0
-          while (i < ds.length) {
-            var j = i + 1
-            while (j < ds.length) {
-              val b = math.min(ds(i), ds(j)); val c = math.max(ds(i), ds(j))
-              if (edgeSet.contains((b, c))) {
-                nTri(a) = nTri.getOrElse(a, 0L) + 1L
-                nTri(b) = nTri.getOrElse(b, 0L) + 1L
-                nTri(c) = nTri.getOrElse(c, 0L) + 1L
+        Primitives.sortPairs(us, vs) // canonical (u<v) membership order
+        Primitives.sortPairs(os, od) // apex-grouped, dsts ascending per run
+        val nTri = new Primitives.LongLongMap()
+        var runStart = 0
+        while (runStart < os.length) {
+          var runEnd = runStart + 1
+          while (runEnd < os.length && os(runEnd) == os(runStart)) runEnd += 1
+          var j = runStart
+          while (j < runEnd) {
+            var k = j + 1
+            while (k < runEnd) {
+              // run sorted by dst and edges distinct → od(j) < od(k)
+              if (Primitives.containsPair(us, vs, od(j), od(k))) {
+                nTri.addTo(os(runStart), 1L)
+                nTri.addTo(od(j), 1L)
+                nTri.addTo(od(k), 1L)
               }
-              j += 1
+              k += 1
             }
-            i += 1
+            j += 1
           }
+          runStart = runEnd
         }
         nTri.iterator
       }

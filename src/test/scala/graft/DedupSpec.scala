@@ -94,9 +94,13 @@ class DedupSpec extends AnyFunSuite {
       1L -> 1L, 7L -> 1L, 3L -> 1L, 9L -> 1L,
       2L -> 2L, 8L -> 2L,
       4L -> 4L, 5L -> 4L, 6L -> 4L)
-    def run(localMaxEdges: Long) =
-      Dedup.connectedComponents(spark, pairs, localMaxEdges)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def run(localMaxEdges: Long) = {
+      val df = Dedup.connectedComponents(spark, pairs, localMaxEdges)
+      // schema is part of the contract: dedupClustersQ renames these —
+      // a diverging path would pass positional checks yet crash the query
+      assert(df.columns.toSeq === Seq("node", "label"))
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     val local = run(Long.MaxValue) // forces the single-task union-find
     val dist  = run(0L)            // forces the distributed fixpoint
     assert(local === expected)

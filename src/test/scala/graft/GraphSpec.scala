@@ -37,9 +37,11 @@ class GraphSpec extends AnyFunSuite {
       Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) // K4
     )
     graphs.foreach { g =>
-      def run(localMaxEdges: Long) =
-        Graph.triangleCounts(g.toDF("u", "v"), localMaxEdges)
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def run(localMaxEdges: Long) = {
+        val df = Graph.triangleCounts(g.toDF("u", "v"), localMaxEdges)
+        assert(df.columns.toSeq === Seq("node", "n_tri"))
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
       assert(run(Long.MaxValue) === run(0L))
     }
   }
@@ -51,9 +53,11 @@ class GraphSpec extends AnyFunSuite {
     val pairs = Seq(
       (2L, 1L), (2L, 3L), (2L, 5L), (2L, 10L), (10L, 11L)
     ).toDF("a", "b")
-    def run(localMaxPairs: Long) =
-      Graph.pagerank(spark, pairs, localMaxPairs)
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def run(localMaxPairs: Long) = {
+      val df = Graph.pagerank(spark, pairs, localMaxPairs)
+      assert(df.columns.toSeq === Seq("node", "r"))
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
     val local = run(Long.MaxValue) // forces the single-task power method
     val dist  = run(0L)            // forces the distributed rounds
     assert(local.keySet === dist.keySet)

@@ -178,6 +178,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("LongLongMap and sortPairs/containsPair match library references") {
+    import graft.engine.Primitives
+    val opGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(-5L, 5L), Gen.chooseNum(-100L, 100L)))
+    check(Prop.forAll(opGen) { ops =>
+      val m = new Primitives.LongLongMap(4) // tiny start forces growth
+      val ref = scala.collection.mutable.Map.empty[Long, Long]
+      ops.foreach { case (k, v) =>
+        if (v % 3 == 0) { m(k) = v; ref(k) = v }
+        else { m.addTo(k, v); ref(k) = ref.getOrElse(k, 0L) + v }
+      }
+      var same = m.size == ref.size
+      m.foreachEntry((k, v) => same &&= ref.get(k).contains(v))
+      same && ref.forall { case (k, v) =>
+        m.contains(k) && m.getOrElse(k, Long.MinValue) == v }
+    })
+    val pairsGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(-9L, 9L), Gen.chooseNum(-9L, 9L)))
+    check(Prop.forAll(pairsGen) { ps =>
+      val a = ps.map(_._1).toArray
+      val b = ps.map(_._2).toArray
+      Primitives.sortPairs(a, b)
+      val expect = ps.sorted
+      val sortedOk = a.zip(b).toList == expect
+      val set = ps.toSet
+      val memberOk = (-10L to 10L).forall(x => (-10L to 10L).forall(y =>
+        Primitives.containsPair(a, b, x, y) == set.contains((x, y))))
+      sortedOk && memberOk
+    })
+  }
+
   test("connected components: both paths equal a brute-force reference") {
     // random small multigraphs (dupes and self-pairs allowed); reference =
     // naive label propagation to fixpoint on the driver
