@@ -109,15 +109,23 @@ object Bench {
     def jmap(m: Seq[(String, Double)], f: Double => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // BASELINE.md's environment-drift decision rule, applied in-artifact:
+    // the warmup sweep runs identical work every round, with an observed
+    // idle band around 60 s — totals scale ≈ linearly with ambient load,
+    // so total / (warmup_sec / 60) estimates the idle-machine total. The
+    // raw total stays the headline; this is the documented normalization
+    // precomputed so drift adjudication needs no side math.
+    val normTotal =
+      if (warmupSec > 0) total / (warmupSec / 60.0) else total
     // cwd-anchored (sbt runs from the repo root) so the artifact lands next
     // to the bench on any checkout, not a hardcoded machine path
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_sec":${f2(warmupSec)},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () }
     val slowest10 = results.toSeq.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_sec":${f2(warmupSec)},"full_map":"$fullPath","queries":${jmap(slowest10, f2)},"slowest5_median":${jmap(medians, f3)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"full_map":"$fullPath","queries":${jmap(slowest10, f2)},"slowest5_median":${jmap(medians, f3)}}""")
     spark.stop()
   }
 }
