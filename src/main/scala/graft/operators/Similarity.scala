@@ -393,10 +393,13 @@ object Similarity {
     def qdist: Column =
       floor(l2sq(col("sub"), col("csub")) * lit(1e12) + lit(0.5))
     // encode: argmin over (quantized dist, code id) via a min() aggregate
-    // on the packed key — two-phase, no per-vector window
+    // on the packed key — two-phase, no per-vector window. The pack runs
+    // in LONG (matching the oracle's BIGINT): a double key silently drops
+    // the code-id low bits past 2^53 (sub-vector l2sq ≳ 281), diverging
+    // from the oracle on higher-magnitude embeddings
     val codes = subs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"),
-        (qdist * lit(PqCodebook) + col("c_id")).as("key"))
+        (qdist.cast("long") * lit(PqCodebook) + col("c_id")).as("key"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(col("key")).as("k"))
       .select(col("vec_id"), col("m"), (col("k") % PqCodebook).as("code"))

@@ -196,34 +196,50 @@ object Stats {
     * length(bin(rest)): both engines print minimal-length binary, so
     * 55 - bitlength(rest) IS the leading-zero count of the 54-bit field,
     * with the rest=0 row pinned to rho=55 explicitly. */
-  def hllDistinctQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = conv(substring(md5(concat(lit("e"), col("event_id"))), 1, 15), 16, 10)
+  /** Shared HLL front for X56/X62/X67: (group, bucket, reg) register table
+    * from a seeded key hash — ONE definition, so a sketch-spec change
+    * (HllP, the rho rule) can't silently fork the three consumers (the
+    * same hazard Text.words centralizes the tokenizer against). */
+  private def hllRegs(df: DataFrame, group: Column, key: Column,
+      seed: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), key)), 1, 15), 16, 10)
       .cast("long")
     val rest = col("h").bitwiseAND(lit((1L << HllRestBits) - 1))
     val rho = when(rest === 0, lit(HllRestBits + 1))
       .otherwise(lit(HllRestBits + 1) - length(bin(rest)))
-    Tables.events(spark, sfDir)
-      .select(col("event_type"), h.as("h"))
-      .select(col("event_type"), shiftright(col("h"), HllRestBits).as("bucket"),
+    df.select(group.as("g"), h.as("h"))
+      .select(col("g"), shiftright(col("h"), HllRestBits).as("bucket"),
         rho.cast("int").as("rho"))
-      .groupBy(col("event_type"), col("bucket"))
+      .groupBy(col("g"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
-      .groupBy(col("event_type"))
-      .agg(Num.countStar.as("buckets_hit"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRestBits + 1} - reg)"))
-          .cast("long").as("s_hit"))
-      .select(col("event_type"), col("buckets_hit"),
-        (col("s_hit") + (lit(HllM.toLong) - col("buckets_hit"))
-          * lit(1L << (HllRestBits + 1))).as("s_int"))
-      .select(col("event_type"), col("buckets_hit"), col("s_int"),
-        (lit(HllNumer) / col("s_int").cast("double")).as("est_hll"))
-      .orderBy(col("event_type"))
   }
 
-  val hllDistinctOracle: String = {
+  /** Shared estimator: (g, buckets_hit, s_int, est_hll) from a
+    * (g, bucket, reg) register table — the exact-integer denominator
+    * discipline in one place. */
+  private def hllEstimate(regs: DataFrame): DataFrame = regs
+    .groupBy(col("g"))
+    .agg(Num.countStar.as("buckets_hit"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRestBits + 1} - reg)"))
+        .cast("long").as("s_hit"))
+    .select(col("g"), col("buckets_hit"),
+      (col("s_hit") + (lit(HllM.toLong) - col("buckets_hit"))
+        * lit(1L << (HllRestBits + 1))).as("s_int"))
+    .select(col("g"), col("buckets_hit"), col("s_int"),
+      (lit(HllNumer) / col("s_int").cast("double")).as("est_hll"))
+
+  def hllDistinctQ(spark: SparkSession, sfDir: String): DataFrame =
+    hllEstimate(hllRegs(Tables.events(spark, sfDir),
+      col("event_type"), col("event_id"), "e"))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
+
+  /** Shared oracle fragment: the (event_type, bucket, reg) register CTEs
+    * over events with seed 'e' — the SQL twin of `hllRegs`, used by both
+    * the X56 and X62 oracles so the two can't fork. */
+  private val hllEventRegsSql: String = {
     val div = 1L << HllRestBits
-    val full = 1L << (HllRestBits + 1)
-    s"""WITH h AS (
+    s"""h AS (
        |  SELECT event_type,
        |    CAST(concat('0x', substr(md5('e' || event_id), 1, 15)) AS BIGINT) AS h
        |  FROM events),
@@ -233,16 +249,25 @@ object Stats {
        |         ELSE ${HllRestBits + 1} - length(bin(h % ${div})) END AS rho
        |  FROM h),
        |regs AS (
-       |  SELECT event_type, bucket, MAX(rho) AS reg FROM r GROUP BY 1, 2),
-       |s AS (
+       |  SELECT event_type, bucket, MAX(rho) AS reg FROM r GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Shared oracle fragment: the estimator tail over a register CTE —
+    * the SQL twin of `hllEstimate`. */
+  private def hllEstimateSql(from: String): String = {
+    val full = 1L << (HllRestBits + 1)
+    s"""s AS (
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
        |    CAST(SUM(CAST(1 AS BIGINT) << (${HllRestBits + 1} - reg)) AS BIGINT)
        |      + (${HllM} - COUNT(*)) * ${full} AS s_int
-       |  FROM regs GROUP BY 1)
+       |  FROM $from GROUP BY 1)
        |SELECT event_type, buckets_hit, CAST(s_int AS BIGINT) AS s_int,
        |  ${HllNumer} / CAST(s_int AS DOUBLE) AS est_hll
        |FROM s ORDER BY event_type""".stripMargin
   }
+
+  val hllDistinctOracle: String =
+    s"WITH $hllEventRegsSql,\n${hllEstimateSql("regs")}"
 
   /** `q_hll_merge`: HLL MERGEABILITY — the property that makes sketches
     * the scale answer: registers merge by per-bucket max, so the global
@@ -255,62 +280,30 @@ object Stats {
     * estimate is ALGEBRAICALLY identical to sketching the union directly
     * (max is associative/commutative — StatsSpec asserts it). */
   def hllMergeQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = conv(substring(md5(concat(lit("e"), col("event_id"))), 1, 15), 16, 10)
-      .cast("long")
-    val rest = col("h").bitwiseAND(lit((1L << HllRestBits) - 1))
-    val rho = when(rest === 0, lit(HllRestBits + 1))
-      .otherwise(lit(HllRestBits + 1) - length(bin(rest)))
-    val regs = Tables.events(spark, sfDir)
-      .select(col("event_type"), h.as("h"))
-      .select(col("event_type"), shiftright(col("h"), HllRestBits).as("bucket"),
-        rho.cast("int").as("rho"))
-      .groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("reg"))
+    // MATERIALIZED: regs feeds both the union leg and the merged fold —
+    // without it the events scan is embedded twice and "data never
+    // rescanned" would rest on ReuseExchange firing (the reuse
+    // Materialize.scala documents as untrustworthy)
+    val regs = graft.engine.Materialize.diskBacked(
+      hllRegs(Tables.events(spark, sfDir),
+        col("event_type"), col("event_id"), "e"))
     // the merge: per-group registers fold again by max — data never rescanned
     val merged = regs.groupBy(col("bucket"))
       .agg(max(col("reg")).as("reg"))
-      .select(lit("__all__").as("event_type"), col("bucket"), col("reg"))
-    def estimate(r: DataFrame): DataFrame = r
-      .groupBy(col("event_type"))
-      .agg(Num.countStar.as("buckets_hit"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRestBits + 1} - reg)"))
-          .cast("long").as("s_hit"))
-      .select(col("event_type"), col("buckets_hit"),
-        (col("s_hit") + (lit(HllM.toLong) - col("buckets_hit"))
-          * lit(1L << (HllRestBits + 1))).as("s_int"))
-      .select(col("event_type"), col("buckets_hit"), col("s_int"),
-        (lit(HllNumer) / col("s_int").cast("double")).as("est_hll"))
-    estimate(regs.unionByName(merged)).orderBy(col("event_type"))
+      .select(lit("__all__").as("g"), col("bucket"), col("reg"))
+    hllEstimate(regs.unionByName(merged))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
   }
 
-  val hllMergeOracle: String = {
-    val div = 1L << HllRestBits
-    val full = 1L << (HllRestBits + 1)
-    s"""WITH h AS (
-       |  SELECT event_type,
-       |    CAST(concat('0x', substr(md5('e' || event_id), 1, 15)) AS BIGINT) AS h
-       |  FROM events),
-       |r AS (
-       |  SELECT event_type, h // ${div} AS bucket,
-       |    CASE WHEN h % ${div} = 0 THEN ${HllRestBits + 1}
-       |         ELSE ${HllRestBits + 1} - length(bin(h % ${div})) END AS rho
-       |  FROM h),
-       |regs AS (
-       |  SELECT event_type, bucket, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+  val hllMergeOracle: String =
+    s"""WITH $hllEventRegsSql,
        |allregs AS (
        |  SELECT event_type, bucket, reg FROM regs
        |  UNION ALL
        |  SELECT '__all__' AS event_type, bucket, MAX(reg) AS reg
        |  FROM regs GROUP BY 2),
-       |s AS (
-       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
-       |    CAST(SUM(CAST(1 AS BIGINT) << (${HllRestBits + 1} - reg)) AS BIGINT)
-       |      + (${HllM} - COUNT(*)) * ${full} AS s_int
-       |  FROM allregs GROUP BY 1)
-       |SELECT event_type, buckets_hit, CAST(s_int AS BIGINT) AS s_int,
-       |  ${HllNumer} / CAST(s_int AS DOUBLE) AS est_hll
-       |FROM s ORDER BY event_type""".stripMargin
-  }
+       |${hllEstimateSql("allregs")}""".stripMargin
 
   /** `q_join_card_est`: pre-join cardinality estimation from HLL sketches —
     * the planner-side use of X56/X62's mergeability: before paying for a
@@ -324,41 +317,23 @@ object Stats {
     * calibration lives in StatsSpec, not here — an exact rider would cost
     * the join this operator exists to avoid (the X23 lesson). */
   def joinCardEstQ(spark: SparkSession, sfDir: String): DataFrame = {
-    def regs(df: DataFrame, key: String, side: String): DataFrame = {
-      val h = conv(substring(md5(concat(lit("k"), col(key))), 1, 15), 16, 10)
-        .cast("long")
-      val rest = col("h").bitwiseAND(lit((1L << HllRestBits) - 1))
-      val rho = when(rest === 0, lit(HllRestBits + 1))
-        .otherwise(lit(HllRestBits + 1) - length(bin(rest)))
-      df.select(h.as("h"))
-        .select(shiftright(col("h"), HllRestBits).as("bucket"),
-          rho.cast("int").as("rho"))
-        .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
-        .select(lit(side).as("side"), col("bucket"), col("reg"))
-    }
     // each side's 64-row register table feeds both the union sketch and
     // the estimate union — materialized so the source tables scan ONCE
     val a = graft.engine.Materialize.diskBacked(
-      regs(Tables.orders(spark, sfDir), "o_custkey", "a"))
+      hllRegs(Tables.orders(spark, sfDir), lit("a"), col("o_custkey"), "k"))
     // one segment's customers: a genuinely partial overlap with the fact
     // side (the every-key-matches case would make all four estimates equal)
     val b = graft.engine.Materialize.diskBacked(
-      regs(Tables.customer(spark, sfDir)
-        .filter(col("c_mktsegment") === Joins.BloomSegment), "c_custkey", "b"))
+      hllRegs(Tables.customer(spark, sfDir)
+          .filter(col("c_mktsegment") === Joins.BloomSegment),
+        lit("b"), col("c_custkey"), "k"))
     val u = a.unionByName(b).groupBy(col("bucket"))
       .agg(max(col("reg")).as("reg"))
-      .select(lit("u").as("side"), col("bucket"), col("reg"))
-    val ests = a.unionByName(b).unionByName(u)
-      .groupBy(col("side"))
-      .agg(Num.countStar.as("buckets_hit"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRestBits + 1} - reg)"))
-          .cast("long").as("s_hit"))
-      .select(col("side"),
-        (lit(HllNumer) / (col("s_hit")
-          + (lit(HllM.toLong) - col("buckets_hit"))
-            * lit(1L << (HllRestBits + 1))).cast("double")).as("est"))
-    ests.groupBy()
-      .pivot("side", Seq("a", "b", "u")).agg(first(col("est")))
+      .select(lit("u").as("g"), col("bucket"), col("reg"))
+    hllEstimate(a.unionByName(b).unionByName(u))
+      .select(col("g"), col("est_hll").as("est"))
+      .groupBy()
+      .pivot("g", Seq("a", "b", "u")).agg(first(col("est")))
       .select(col("a").as("est_keys_a"), col("b").as("est_keys_b"),
         col("u").as("est_union"),
         (col("a") + col("b") - col("u")).as("est_intersect"))
@@ -608,7 +583,13 @@ object Stats {
     *   1. value histogram per type (two-phase hash agg) + cumulative counts
     *      over the distinct-value frame → each value's global-rank offset
     *      (`cum_prev`) and the type's row count n. The frame is bounded by
-    *      the value DOMAIN, and at dim size it broadcasts back.
+    *      the value DOMAIN, and at dim size it broadcasts back. This
+    *      histogram is on the RAW value (NTILE needs the exact order), so
+    *      the domain bound is LOAD-BEARING: it holds for quantized
+    *      metrics columns (StatsSpec gates cells ≪ rows on the fixture);
+    *      a genuinely continuous column must go through X48's
+    *      fixed-width-bin quantile sketch instead — a corpus-sized
+    *      broadcast is exactly what this rewrite exists to avoid.
     *   2. row_number within (event_type, value) ordered by event_id — fine-
     *      grained partitions (one per distinct value), no funnel — so a
     *      row's global rank is cum_prev + local rank.
@@ -685,7 +666,6 @@ object Stats {
     * the CMS shuffles 1024 cells and answers any watchlist by broadcast
     * lookup — the trade a 100 TB heavy-hitter monitor wants. */
   def cmsHeavyQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.{functions => F}
     def bucket(row: Int, word: org.apache.spark.sql.Column) =
       pmod(conv(substring(md5(concat(lit(s"c${row}_"), word)), 1, 15), 16, 10)
         .cast("long"), lit(CmsWidth))
@@ -804,23 +784,28 @@ object Stats {
     val byDev = Window.partitionBy(col("event_type")).orderBy(col("dev"))
     val all = Window.partitionBy(col("event_type"))
     val rank = ((col("n") + 1) / 2).cast("long") // ceil-rank of the median
-    val hist = Tables.events(spark, sfDir)
-      .select(col("event_type"), v.as("v"))
-      .groupBy(col("event_type"), col("v"))
-      .agg(Num.countStar.as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(byV))
-      .withColumn("n", sum(col("cnt")).over(all))
+    // hist feeds the median probe AND the deviation fold; devHist feeds
+    // the MAD probe AND the final rollup — both MATERIALIZED per the
+    // multi-consumer rule (winsorizeQ/spearmanQ discipline), or the
+    // data-sized histogram aggregation re-executes per consuming branch
+    val hist = graft.engine.Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), v.as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(Num.countStar.as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(byV))
+        .withColumn("n", sum(col("cnt")).over(all)))
     val med = hist.groupBy(col("event_type"))
       .agg(max(col("n")).as("n_events"),
         min(when(col("cum") >= rank, col("v"))).as("median"))
-    val devHist = hist
+    val devHist = graft.engine.Materialize.diskBacked(hist
       .join(broadcast(med), Seq("event_type"))
       .select(col("event_type"), abs(col("v") - col("median")).as("dev"),
         col("cnt"))
       .groupBy(col("event_type"), col("dev"))
       .agg(sum(col("cnt")).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(byDev))
-      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("n", sum(col("cnt")).over(all)))
     val mad = devHist.groupBy(col("event_type"))
       .agg(min(when(col("cum") >= rank, col("dev"))).as("mad"))
     devHist.select(col("event_type"), col("dev"), col("cnt"))
