@@ -210,12 +210,16 @@ object Behavior {
     * (the max week still contributes as the "next week" of its
     * predecessor) rather than reported as a misleading 100%-churn row. */
   def churnQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val uw = Tables.events(spark, sfDir)
-      .select(col("user_id"),
-        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"),
-        date_format(date_trunc("week", col("ts")) + expr("interval 7 days"),
-          "yyyy-MM-dd").as("wk_next"))
-      .distinct()
+    // MATERIALIZED: uw feeds both join sides (the ledger and its own
+    // next-week probe) — the events fold must not run twice (the
+    // multi-consumer rule the file's other ledgers follow)
+    val uw = graft.engine.Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"),
+          date_format(date_trunc("week", col("ts")) + expr("interval 7 days"),
+            "yyyy-MM-dd").as("wk_next"))
+        .distinct())
     val nxt = uw.select(col("user_id"), col("wk").as("wk_next"))
       .withColumn("active_next", lit(1L))
     // Censoring happens AFTER the rollup, on the weeks-bounded ledger: a

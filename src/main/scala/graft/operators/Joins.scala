@@ -108,10 +108,18 @@ object Joins {
     * column, target keeps its first_seen marker. Shapes: target(key, t_name,
     * t_acctbal, t_first_seen), source(key, s_name, s_acctbal, s_first_seen). */
   def mergeUpsert(target: DataFrame, source: DataFrame): DataFrame =
-    target.join(source, Seq("key"), "full_outer")
+    // MERGE UPDATE semantics need an explicit match flag: the coalesce
+    // shortcut would silently keep the target value when a matched source
+    // column is NULL (a real upsert clearing a field) — last write must
+    // win INCLUDING null writes. first_seen is the one first-write-wins
+    // column, so it stays a coalesce by design.
+    target.join(source.withColumn("s_present", lit(true)),
+        Seq("key"), "full_outer")
       .select(col("key"),
-        coalesce(col("s_name"), col("t_name")).as("name"),
-        coalesce(col("s_acctbal"), col("t_acctbal")).as("acctbal"),
+        when(col("s_present"), col("s_name"))
+          .otherwise(col("t_name")).as("name"),
+        when(col("s_present"), col("s_acctbal"))
+          .otherwise(col("t_acctbal")).as("acctbal"),
         coalesce(col("t_first_seen"), col("s_first_seen")).as("first_seen"))
       .orderBy(col("key"))
 
@@ -468,13 +476,16 @@ object Joins {
       .distinct()
     val probe = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
-    val candidates = probe
+    // MATERIALIZED: candidates feeds both the n_candidates rollup and the
+    // verified branch — unmaterialized, the fact scan + k-way explode +
+    // semi-join + aggregate would execute twice (the multi-consumer rule)
+    val candidates = graft.engine.Materialize.diskBacked(probe
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
         explode(array(bloomPos(col("o_custkey")): _*)).as("pos"))
       .join(broadcast(filterBits), Seq("pos"), "left_semi")
       .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
       .agg(count(lit(1)).as("hits"))
-      .filter(col("hits") === BloomK)
+      .filter(col("hits") === BloomK))
     val verified = candidates
       .join(broadcast(dimKeys.withColumnRenamed("c_custkey", "o_custkey")),
         Seq("o_custkey"), "left_semi")
@@ -517,9 +528,11 @@ object Joins {
 
   /** Deterministic synthetic second snapshot for the CDC diff: customers
     * churn at key % 97 == 0, balances move at key % 13 == 0, and a
-    * disjoint id range (key % 89 == 0, shifted by CdcAddOffset) arrives
-    * new — the three mutation classes a snapshot diff must classify. */
-  val CdcAddOffset = 1000000L
+    * disjoint id range (key % 89 == 0, shifted past the observed max key)
+    * arrives new — the three mutation classes a snapshot diff must
+    * classify. The shift is MAX(k), not a constant: a fixed offset stops
+    * being disjoint once the table outgrows it (TPC-H customer passes
+    * 1M keys at SF≈7) and added rows would collide with live ones. */
 
   /** `q_cdc_diff`: change-data-capture by snapshot comparison — the
     * reconciliation report a warehouse runs when an upstream can't emit a
@@ -537,11 +550,13 @@ object Joins {
     val snap = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
         col("c_mktsegment").as("seg"))
+    val maxK = snap.agg(max(col("k")).as("mk"))
     val next = snap.filter(col("k") % 97 =!= 0)
       .withColumn("bal",
         when(col("k") % 13 === 0, col("bal") + 100).otherwise(col("bal")))
       .unionByName(snap.filter(col("k") % 89 === 0)
-        .select((col("k") + CdcAddOffset).as("k"), col("bal"), col("seg")))
+        .crossJoin(broadcast(maxK))
+        .select((col("k") + col("mk")).as("k"), col("bal"), col("seg")))
     snap.as("o").join(next.as("n"), col("o.k") === col("n.k"), "full_outer")
       .select(
         when(col("o.k").isNull, "added")
@@ -564,7 +579,7 @@ object Joins {
        |    seg
        |  FROM snap WHERE k % 97 <> 0
        |  UNION ALL
-       |  SELECT k + ${CdcAddOffset} AS k, bal, seg
+       |  SELECT k + (SELECT MAX(k) FROM snap) AS k, bal, seg
        |  FROM snap WHERE k % 89 = 0)
        |SELECT CASE WHEN o.k IS NULL THEN 'added'
        |            WHEN n.k IS NULL THEN 'removed'

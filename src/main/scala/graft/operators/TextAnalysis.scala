@@ -196,8 +196,11 @@ object TextAnalysis {
     * (length prior + cleanliness + naturalness), all in codegen'd Columns. */
   def qualityScoreQ(spark: SparkSession, sfDir: String): DataFrame = {
     val nWords = size(words)
-    val nPunct = length(col("text")) -
-      length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    // punctuation = chars that survive stripping alnum/space (an earlier
+    // form subtracted the wrong way round and measured CLEANLINESS —
+    // rewarding "!!!###" as maximally clean; both engines agreed so the
+    // cross-engine gate could never see it)
+    val nPunct = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
     val punctRatio = nPunct.cast("double") / greatest(length(col("text")), lit(1))
     val stopRatio = size(filter(words, w => w.isin(Stopwords: _*))).cast("double") /
       greatest(nWords, lit(1))
@@ -217,7 +220,7 @@ object TextAnalysis {
     s"""WITH q AS (
        |  SELECT doc_id,
        |    len($wordsSql) AS n_words,
-       |    CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+       |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
        |         AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
        |    CAST(len(list_filter($wordsSql, w -> w IN ($stopIn))) AS DOUBLE)
        |      / greatest(len($wordsSql), 1) AS stop_ratio
@@ -246,7 +249,9 @@ object TextAnalysis {
       .select(col("doc_id"), sg4.as("sg4"))
       .select(col("doc_id"),
         element_at(hashes, 1).as("fp1"),
-        element_at(hashes, 2).as("fp2"),
+        // try_: a 4-word doc has ONE shingle, and under ANSI a plain
+        // element_at(hashes, 2) throws where the oracle's hs[2] is NULL
+        try_element_at(hashes, lit(2)).as("fp2"),
         size(col("sg4")).as("n_shingles"))
       .orderBy(col("doc_id"))
   }
@@ -403,10 +408,14 @@ object TextAnalysis {
 
   def tfidfQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(words).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(Num.countStar.as("tf"))
+    // MATERIALIZED: tf feeds both the dfreq aggregate and the join probe —
+    // unmaterialized, the corpus tokenize + shuffle executes twice (the
+    // multi-consumer rule ngramLmQ documents)
+    val tf = graft.engine.Materialize.diskBacked(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(words).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(Num.countStar.as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(Num.countStar.as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
@@ -460,9 +469,13 @@ object TextAnalysis {
       .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"), explode(col("ws")).as("term"),
         size(col("ws")).cast("long").as("dl"))
-    val tf = docs.filter(col("term").isInCollection(Bm25Terms))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(Num.countStar.as("tf"), min(col("dl")).as("dl"))
+    // MATERIALIZED: tf feeds both the dfreq aggregate and the scoring
+    // join — the watchlist-filtered fold of the tokenized corpus must not
+    // run twice (the multi-consumer rule)
+    val tf = graft.engine.Materialize.diskBacked(
+      docs.filter(col("term").isInCollection(Bm25Terms))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(Num.countStar.as("tf"), min(col("dl")).as("dl")))
     val dfreq = tf.groupBy(col("term")).agg(Num.countStar.as("df"))
     // corpus scalars: N docs and average doc length (exact longs, one
     // division) — a 1-row broadcast, the A5 scalar-subquery shape

@@ -28,6 +28,19 @@ class MergeSpec extends AnyFunSuite {
     assert(out(2L) === (("brand-new", 5.0, "2024-06-01")))
   }
 
+  test("dim merge: a NULL source write clears the field (last write wins)") {
+    val target = Seq((1L, "old-name", 10.0, "2024-01-01"))
+      .toDF("key", "t_name", "t_acctbal", "t_first_seen")
+    val source = Seq((1L, Option.empty[String], Option.empty[Double], "2024-06-01"))
+      .toDF("key", "s_name", "s_acctbal", "s_first_seen")
+    val row = Joins.mergeUpsert(target, source).head()
+    // MERGE UPDATE sets the column to the source value even when NULL —
+    // a coalesce-based merge would silently keep the old values
+    assert(row.isNullAt(1), "name must be cleared by the NULL write")
+    assert(row.isNullAt(2), "acctbal must be cleared by the NULL write")
+    assert(row.getString(3) === "2024-01-01", "first_seen stays first-write")
+  }
+
   test("dim merge: target-only rows survive untouched") {
     val target = Seq((7L, "keep-me", 1.0, "2023-12-31"))
       .toDF("key", "t_name", "t_acctbal", "t_first_seen")
