@@ -563,4 +563,51 @@ object Curation {
        |  (start_tok + n_tokens - 1) // ${PackCap}
        |    - start_tok // ${PackCap} + 1 AS n_chunks
        |FROM pos ORDER BY doc_id""".stripMargin
+
+  /** Number of length buckets per language for the batching report. */
+  val LenBuckets = 8
+
+  /** X123 `q_length_buckets`: length-bucketed batching report — assign
+    * each document to one of [[LenBuckets]] equal-count buckets by length
+    * within its language (ntile over (n_chars, doc_id) — the doc_id
+    * tiebreak makes the tiling a pure function of the data), and report
+    * per bucket the padding waste a fixed-shape batch of that bucket
+    * would pay: max_len·count − sum_len, in exact integers. This is the
+    * planning surface for length-grouped batching (the standard trick for
+    * cutting padding FLOPs in training and batched inference): the waste
+    * column quantifies what bucketing buys vs. one global batch shape.
+    *
+    * Scale shape: the window input is the (lang, n_chars, doc_id)
+    * METADATA projection — 16 bytes/doc, not the corpus — so a per-lang
+    * sort-window holds to corpus sizes where doc COUNT per language fits
+    * a task's sort budget (~10⁹ docs/lang per task at 16 B/row); past
+    * that, swap ntile for rank-over-histogram as q_percentiles does. */
+  def lengthBucketsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("bucket", ntile(LenBuckets).over(w))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(Num.countStar.as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        (max(col("n_chars")) * Num.countStar - sum(col("n_chars")))
+          .as("pad_waste"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val lengthBucketsOracle: String =
+    s"""WITH b AS (
+       |  SELECT lang, n_chars,
+       |    NTILE(${LenBuckets}) OVER (PARTITION BY lang
+       |      ORDER BY n_chars, doc_id) AS bucket
+       |  FROM documents)
+       |SELECT lang, bucket, COUNT(*) AS n_docs,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(MAX(n_chars) * COUNT(*) - SUM(n_chars) AS BIGINT) AS pad_waste
+       |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 }

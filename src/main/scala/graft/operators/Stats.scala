@@ -1287,4 +1287,57 @@ object Stats {
        |  CAST(MAX(d) AS BIGINT) AS d_num,
        |  MIN(CASE WHEN d = dmax THEN v END) AS at_v
        |FROM s GROUP BY na, nb ORDER BY n_a""".stripMargin
+
+  /** X120 `q_chi2`: χ² test of independence between two categorical
+    * columns (documents lang × source) — the standard "did my corpus mix
+    * shift" / "is this attribute correlated with that one" check a data
+    * pipeline runs per snapshot.
+    *
+    * Scale shape: the raw table folds to the CONTINGENCY TABLE first (one
+    * map-side-combined groupBy → |lang|·|source| cells, bounded by the
+    * category domains, not the data volume); marginals and the grand total
+    * are windows OVER THE CELLS. Everything after the first aggregate
+    * touches ≤ domain² rows — this is what survives 100 TB, vs. the
+    * textbook per-row expected-count join.
+    *
+    * Numeric contract: each cell's χ² term is (n·o − rl·cs)²/(n·rl·cs) —
+    * numerator and the three factors stay EXACT 64-bit integers (bounded:
+    * n·o ≤ n² and n³ < 2⁶³ up to n ≈ 2M docs per verify scale; at larger
+    * corpora the counts themselves become the cells and the same algebra
+    * runs in DECIMAL); only the final division and per-lang sum are
+    * floating, collapsed with the repo's cross-engine round6. */
+  def chi2Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    val bySource = Window.partitionBy(col("source"))
+    val all = Window.partitionBy()
+    val num = col("n") * col("o") - col("rl") * col("cs")
+    val contrib = (num * num).cast("double") /
+      (col("n") * col("rl") * col("cs")).cast("double")
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(Num.countStar.as("o"))
+      .withColumn("rl", sum(col("o")).over(byLang))
+      .withColumn("cs", sum(col("o")).over(bySource))
+      .withColumn("n", sum(col("o")).over(all))
+      .groupBy(col("lang"))
+      .agg(max(col("rl")).as("n_docs"),
+        Num.countStar.as("n_cells"),
+        (floor(sum(contrib) * 1e6 + 0.5) / 1e6).as("chi2_part"))
+      .orderBy(col("lang"))
+  }
+
+  val chi2Oracle: String =
+    """WITH cells AS (
+      |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |t AS (
+      |  SELECT lang, o,
+      |    SUM(o) OVER (PARTITION BY lang) AS rl,
+      |    SUM(o) OVER (PARTITION BY source) AS cs,
+      |    SUM(o) OVER () AS n
+      |  FROM cells)
+      |SELECT lang, CAST(MAX(rl) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_cells,
+      |  floor(SUM(CAST((n*o - rl*cs)*(n*o - rl*cs) AS DOUBLE)
+      |            / CAST(n*rl*cs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chi2_part
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 }

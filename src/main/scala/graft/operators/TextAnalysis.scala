@@ -695,4 +695,111 @@ object TextAnalysis {
        |  GROUP BY 1)
        |SELECT doc_id, n_bigrams, n_rare, n_rare * 2 > n_bigrams AS flagged
        |FROM s ORDER BY doc_id""".stripMargin
+
+  /** X121 `q_entropy`: per-document token Shannon entropy rolled up per
+    * language — the "is this text natural or degenerate" quality signal
+    * (boilerplate, keyword-stuffed, and template docs all crater it)
+    * curation stacks filter on alongside the X9 heuristics.
+    *
+    * H(doc) = ln(n) − Σ tf·ln(tf) / n over the term-frequency vector —
+    * one corpus tokenize → (doc, term) count → per-doc fold → per-lang
+    * average. Every count is exact; ln enters only in the last two steps
+    * and the per-lang averages are collapsed with the repo's cross-engine
+    * round6 (ln is not bit-reproducible across engines — same reasoning
+    * as q_tfidf, which avoids logs entirely; an AVERAGE of log terms
+    * cannot, so it is rounded instead). The type-token ratio rides along
+    * for free from the same fold. Docs with zero alphanumeric tokens have
+    * no entropy and drop out of the fold (explode emits nothing). */
+  def entropyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val round6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(Num.countStar.as("tf"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("n_words"),
+        Num.countStar.as("n_terms"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double")))
+          .as("s"))
+      .select(col("lang"),
+        (log(col("n_words").cast("double")) -
+          col("s") / col("n_words").cast("double")).as("ent"),
+        (col("n_terms").cast("double") / col("n_words").cast("double"))
+          .as("ttr"))
+      .groupBy(col("lang"))
+      .agg(Num.countStar.as("n_docs"),
+        round6(sum(col("ent")) / count(lit(1))).as("avg_entropy"),
+        round6(sum(col("ttr")) / count(lit(1))).as("avg_ttr"))
+      .orderBy(col("lang"))
+  }
+
+  val entropyOracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, lang, w AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, lang, unnest($wordsSql) AS w FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |d AS (
+       |  SELECT doc_id, lang, SUM(tf) AS n_words, COUNT(*) AS n_terms,
+       |    SUM(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS s
+       |  FROM tf GROUP BY 1, 2),
+       |e AS (
+       |  SELECT lang,
+       |    ln(CAST(n_words AS DOUBLE)) - s / CAST(n_words AS DOUBLE) AS ent,
+       |    CAST(n_terms AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr
+       |  FROM d)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  floor(SUM(ent) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_entropy,
+       |  floor(SUM(ttr) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_ttr
+       |FROM e GROUP BY 1 ORDER BY lang""".stripMargin
+
+  /** Inverted-index report bounds: hapax terms pruned, top terms by df. */
+  val IdxMinDf = 2
+  val IdxTopTerms = 40
+  val IdxPostingsHead = 5
+
+  /** X122 `q_inverted_index`: term → (document frequency, head of the
+    * sorted postings list) — the retrieval-index build step (and the
+    * exploratory "which docs contain this term" surface) over the same
+    * tokenize → distinct (term, doc) stream the dedup and tf-idf
+    * operators share. Postings are materialized per term by a sorted
+    * collect bounded to [[IdxPostingsHead]] ids; hapax terms (df <
+    * [[IdxMinDf]] — the long tail that dominates vocabulary size) are
+    * pruned BEFORE the global ranking window, so the single-task
+    * row_number sees the pruned vocabulary, not the corpus. At 100 TB the
+    * same plan holds: postings build is one (term)-keyed shuffle of
+    * (term, doc) pairs; only the bounded report passes a single task. */
+  def invertedIndexQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("df").desc, col("term").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(Num.countStar.as("df"),
+        array_join(
+          slice(sort_array(collect_list(col("doc_id"))), 1, IdxPostingsHead)
+            .cast("array<string>"), ",")
+          .as("postings_head"))
+      .filter(col("df") >= IdxMinDf)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IdxTopTerms)
+      .select(col("rnk"), col("term"), col("df"), col("postings_head"))
+      .orderBy(col("rnk"))
+  }
+
+  val invertedIndexOracle: String =
+    s"""WITH posting AS (
+       |  SELECT DISTINCT w AS term, doc_id
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents)),
+       |agg AS (
+       |  SELECT term, COUNT(*) AS df,
+       |    array_to_string((list_sort(list(doc_id)))[1:${IdxPostingsHead}], ',')
+       |      AS postings_head
+       |  FROM posting GROUP BY 1
+       |  HAVING COUNT(*) >= ${IdxMinDf}),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rnk
+       |  FROM agg)
+       |SELECT rnk, term, df, postings_head
+       |FROM ranked WHERE rnk <= ${IdxTopTerms} ORDER BY rnk""".stripMargin
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.StringExprs
+import graft.operators.{Curation, Joins, Stats, TextAnalysis}
+
+/** X119–X123: hamming expression, deletion-neighborhood fuzzy join, χ²
+  * independence, token entropy, inverted index, length-bucket batching. */
+class EntityStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("graft_hamming: distance, symmetry, length-mismatch null") {
+    StringExprs.ensureRegistered(spark)
+    val df = Seq(
+      ("abcdef", "abcdef"),
+      ("abcdef", "abcdez"),
+      ("000111", "010101"),
+      ("abc", "abcd")).toDF("a", "b")
+    val out = df.select(
+      StringExprs.hamming(col("a"), col("b")).as("d"),
+      StringExprs.hamming(col("b"), col("a")).as("rev")).collect()
+    assert(out(0).getInt(0) == 0)
+    assert(out(1).getInt(0) == 1)
+    assert(out(2).getInt(0) == 2)
+    assert(out(3).isNullAt(0))
+    // symmetry on the defined rows
+    out.take(3).foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("fuzzy join: blocking result equals the brute-force all-pairs scan") {
+    StringExprs.ensureRegistered(spark)
+    val c = graft.engine.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val brute = c.as("a").crossJoin(c.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(StringExprs.hamming(col("a.name"), col("b.name")).as("dist"))
+      .filter(col("dist") <= Joins.FuzzyMaxDist && col("dist") > 0)
+      .groupBy(col("dist")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val blocked = Joins.fuzzyJoinQ(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(blocked == brute)
+  }
+
+  test("chi2: per-lang parts recompute from the contingency table") {
+    val cells = graft.engine.Tables.documents(spark, sfDir)
+      .groupBy("lang", "source").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.map(_._3).sum
+    val rl = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cs = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val expected = cells.groupBy(_._1).view.mapValues { cl =>
+      cl.map { case (l, s, o) =>
+        val num = n * o - rl(l) * cs(s)
+        (num.toDouble * num.toDouble) / (n * rl(l) * cs(s)).toDouble
+      }.sum
+    }.toMap
+    Stats.chi2Q(spark, sfDir).collect().foreach { r =>
+      val (lang, part) = (r.getString(0), r.getDouble(3))
+      assert(math.abs(part - expected(lang)) < 1e-4, lang)
+      assert(r.getLong(1) == rl(lang))
+    }
+  }
+
+  test("entropy: bounds and a direct per-doc recompute") {
+    val rows = TextAnalysis.entropyQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ent, ttr) = (r.getDouble(2), r.getDouble(3))
+      assert(ent >= 0.0 && ttr > 0.0 && ttr <= 1.0, r.getString(0))
+    }
+    // direct recompute of one language's average from the tf vectors
+    val lang = rows.head.getString(0)
+    val tf = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("lang") === lang)
+      .select(col("doc_id"), explode(graft.engine.Text.words).as("t"))
+      .groupBy("doc_id", "t").count()
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val perDoc = tf.groupBy(_._1).map { case (_, ts) =>
+      val nW = ts.map(_._2).sum.toDouble
+      math.log(nW) - ts.map(c => c._2 * math.log(c._2.toDouble)).sum / nW
+    }
+    val avg = perDoc.sum / perDoc.size
+    assert(math.abs(rows.head.getDouble(2) - avg) < 1e-4)
+  }
+
+  test("inverted index: sorted capped postings, df ranking, df recompute") {
+    val rows = TextAnalysis.invertedIndexQ(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.IdxTopTerms)
+    // ranks are dense from 1, df non-increasing
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val dfs = rows.map(_.getLong(2))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val ids = r.getString(3).split(",").map(_.toLong)
+      assert(ids.length <= TextAnalysis.IdxPostingsHead)
+      assert(ids.sorted.sameElements(ids), r.getString(1))
+    }
+    // spot-check df of the top term against a direct count
+    val top = rows.head.getString(1)
+    val direct = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(graft.engine.Text.words).as("t"))
+      .filter(col("t") === top).select("doc_id").distinct().count()
+    assert(rows.head.getLong(2) == direct)
+  }
+
+  test("length buckets: partition of each language, ordered, exact waste") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Curation.lengthBucketsQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._3).sum == docs(lang))
+      // equal-count tiling: bucket sizes differ by at most 1
+      assert(bs.map(_._3).max - bs.map(_._3).min <= 1)
+      // buckets ordered by length: ranges are non-decreasing
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo._5 <= hi._4, s"$lang ${lo._2}")
+        case _ =>
+      }
+      // pad_waste identity
+      sorted.foreach(b => assert(b._7 == b._5 * b._3 - b._6))
+    }
+  }
+}
