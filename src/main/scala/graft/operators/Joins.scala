@@ -606,17 +606,26 @@ object Joins {
     * equi-join on (block, remainder) that shuffles 36·n small rows
     * instead of comparing n²/2 pairs. Per-block fan-in is bounded by the
     * key-domain structure (≤10² rows for decimal tails), so no block
-    * degenerates into a quadratic island. The Hamming verify runs in the
-    * native codegen expression [[graft.functions.StringExprs.HammingDist]]
-    * (the blocking already guarantees dist ≤ 2; the expression computes
-    * the exact distance for the report and guards the invariant).
-    * A pair at distance 1 matches 8 blocking keys, distance 2 exactly 1 —
-    * the distinct() collapses the duplicates before counting. */
+    * degenerates into a quadratic island.
+    *
+    * Within a block the two sides agree everywhere OUTSIDE the dropped
+    * positions, so the pair's full Hamming distance is just two char
+    * compares on the dropped characters — each row carries only (id, the
+    * two dropped chars), never the name. A pair at distance 1 matches 8
+    * blocking keys and a distance-2 pair exactly 1; rather than a
+    * multi-million-row distinct() to collapse the duplicates, each pair
+    * is accepted in exactly ONE canonical block — the mismatch-position
+    * pair for distance 2, (p, p+1) for a single mismatch at p (or (8,9)
+    * for p = L) — making the pipeline shuffle-free after the candidate
+    * join: candidates stream through a codegen filter straight into the
+    * bounded aggregate. The native [[graft.functions.StringExprs]]
+    * `graft_hamming` expression computes the same distance from the full
+    * strings; the ScalaTest spec uses it to pin this blocked plan to the
+    * brute-force all-pairs scan. */
   val FuzzyTailLen = 9
   val FuzzyMaxDist = 2
 
   def fuzzyJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.StringExprs.ensureRegistered(spark)
     val L = FuzzyTailLen
     // c_name = "Customer#ddddddddd" — the 9-digit tail is the match key.
     val tailCol = substring(col("c_name"), 10, L)
@@ -625,28 +634,37 @@ object Joins {
         substring(col("tail"), 1, i - 1),
         substring(col("tail"), i + 1, j - i - 1),
         substring(col("tail"), j + 1, L - j))
-      struct(lit(i * 10 + j).as("blk"), rem.as("rem"))
+      struct(lit(i * 10 + j).as("blk"), rem.as("rem"),
+        substring(col("tail"), i, 1).as("ci"),
+        substring(col("tail"), j, 1).as("cj"))
     }
     // MATERIALIZED: the exploded blocking frame feeds both join sides —
     // without the plan break the 36-way explode over the scan runs twice.
+    // Repartition BEFORE the explode: the single-file dim scan is one
+    // partition, and the 36× string-building fan-out is the query's only
+    // heavy map work — spread it across the cluster, not one task.
     val exploded = graft.engine.Materialize.diskBacked(
       Tables.customer(spark, sfDir)
-        .select(col("c_custkey").as("id"), col("c_name").as("name"),
-          tailCol.as("tail"))
-        .select(col("id"), col("name"), explode(array(keys: _*)).as("k"))
-        .select(col("id"), col("name"),
-          col("k.blk").as("blk"), col("k.rem").as("rem")))
-    val a = exploded.select(col("blk"), col("rem"),
-      col("id").as("id_a"), col("name").as("name_a"))
-    val b = exploded.select(col("blk"), col("rem"),
-      col("id").as("id_b"), col("name").as("name_b"))
+        .select(col("c_custkey").as("id"), tailCol.as("tail"))
+        .repartition(32)
+        .select(col("id"), explode(array(keys: _*)).as("k"))
+        .select(col("id"), col("k.blk").as("blk"), col("k.rem").as("rem"),
+          col("k.ci").as("ci"), col("k.cj").as("cj")))
+    val a = exploded.select(col("blk"), col("rem"), col("id").as("id_a"),
+      col("ci").as("ci_a"), col("cj").as("cj_a"))
+    val b = exploded.select(col("blk"), col("rem"), col("id").as("id_b"),
+      col("ci").as("ci_b"), col("cj").as("cj_b"))
+    val di = col("ci_a") =!= col("ci_b") // mismatch at dropped position i
+    val dj = col("cj_a") =!= col("cj_b") // mismatch at dropped position j
+    // blk = i*10 + j (Column `/` is double division — truncate back to int)
+    val (bi, bj) = ((col("blk") / 10).cast("int"), col("blk") % 10)
+    val canonical = (di && dj) ||
+      (di && !dj && bj === bi + 1) ||
+      (!di && dj && col("blk") === (L - 1) * 10 + L)
     a.join(b, Seq("blk", "rem"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") && canonical)
       .select(col("id_a"), col("id_b"),
-        graft.functions.StringExprs.hamming(col("name_a"), col("name_b"))
-          .as("dist"))
-      .filter(col("dist") <= FuzzyMaxDist && col("dist") > 0)
-      .distinct()
+        (di.cast("int") + dj.cast("int")).as("dist"))
       .groupBy(col("dist"))
       .agg(Num.countStar.as("n_pairs"),
         countDistinct(col("id_a")).as("n_left"))

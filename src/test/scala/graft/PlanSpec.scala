@@ -347,9 +347,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_cdc_diff reconciles snapshots with one co-partitioned full-outer join") {
     val p = plan("q_cdc_diff")
-    assert(p.contains("FullOuter"), s"snapshot diff needs a full-outer join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "snapshot diff must stay a key-partitioned equi-join")
+    // the diff itself must be the key-partitioned equi full-outer join;
+    // the 1-row max(k) offset broadcast (IdentityBroadcastMode under a
+    // keyless aggregate) is the one nested-loop allowed in this plan
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"snapshot diff needs an equi full-outer join:\n$p")
+    assert(!p.matches("(?s).*BroadcastNestedLoopJoin[^,]*, FullOuter.*"),
+      "the snapshot diff must not degrade to a nested-loop full-outer")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnlj <= 1 && (bnlj == 0 || p.contains("IdentityBroadcastMode")),
+      s"only the scalar offset broadcast may nested-loop:\n$p")
   }
 
   test("q_ngram_lm reads the corpus once and heap-selects the top-K") {
