@@ -610,4 +610,82 @@ object Curation {
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        |  CAST(MAX(n_chars) * COUNT(*) - SUM(n_chars) AS BIGINT) AS pad_waste
        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
+  /** Candidate slots drawn per user and negatives kept (slots > kept gives
+    * headroom for candidates knocked out as true interactions). */
+  val NegSlots = 8
+  val NegKeep = 3
+
+  /** X125 `q_negative_sample`: deterministic negative sampling for
+    * recommender / contrastive training data — for every customer, draw
+    * candidate items by content-stable hash, remove the ones the customer
+    * actually interacted with (orders⋈lineitem), keep the first
+    * [[NegKeep]] surviving slots. The properties that matter at 100 TB
+    * are the same as X31's split: the sample is a PURE FUNCTION of
+    * (user, slot) — re-runs, reshuffles and late shards reproduce it
+    * bit-for-bit with no sampled state to persist — and the anti-join is
+    * the ONLY data-sized operation (users × slots is bounded fan-out;
+    * candidates join interactions key-partitioned).
+    *
+    * Duplicate candidates (two slots hashing to one item) collapse to
+    * their first slot before ranking, so the kept set is always
+    * [[NegKeep]] DISTINCT items per user (or fewer when the headroom
+    * runs out). */
+  def negativeSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxPk = Tables.part(spark, sfDir).agg(max(col("p_partkey")).as("mpk"))
+    val cand = pmod(
+      conv(substring(md5(concat(lit("ns"), col("custkey"), lit("_"),
+        col("slot"))), 1, 15), 16, 10).cast("long"),
+      col("mpk")) + 1
+    val candidates = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("custkey"))
+      .crossJoin(broadcast(maxPk))
+      .select(col("custkey"),
+        explode(sequence(lit(1), lit(NegSlots))).as("slot"), col("mpk"))
+      .select(col("custkey"), col("slot"), cand.as("cand"))
+    val interactions = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("cand"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("slot"))
+    candidates
+      .join(interactions, Seq("custkey", "cand"), "left_anti")
+      .groupBy(col("custkey"), col("cand"))
+      .agg(min(col("slot")).as("slot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= NegKeep)
+      .groupBy(col("custkey"))
+      .agg(Num.countStar.as("n_neg"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("slot"), col("cand")))),
+          s => s.getField("cand").cast("string")), ",").as("neg_items"))
+      .orderBy(col("custkey"))
+  }
+
+  val negativeSampleOracle: String =
+    s"""WITH mx AS (SELECT MAX(p_partkey) AS mpk FROM part),
+       |cand AS (
+       |  SELECT c.c_custkey AS custkey, s.slot,
+       |    CAST(concat('0x', substr(md5('ns' || c.c_custkey || '_' || s.slot),
+       |      1, 15)) AS BIGINT) % mx.mpk + 1 AS cand
+       |  FROM customer c, mx,
+       |    (SELECT unnest(generate_series(1, ${NegSlots})) AS slot) s),
+       |inter AS (
+       |  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS cand
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |neg AS (
+       |  SELECT custkey, cand, MIN(slot) AS slot
+       |  FROM cand
+       |  WHERE NOT EXISTS (SELECT 1 FROM inter i
+       |    WHERE i.custkey = cand.custkey AND i.cand = cand.cand)
+       |  GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT custkey, cand, slot,
+       |    ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY slot) AS rnk
+       |  FROM neg)
+       |SELECT custkey, COUNT(*) AS n_neg,
+       |  string_agg(CAST(cand AS VARCHAR), ',' ORDER BY slot) AS neg_items
+       |FROM kept WHERE rnk <= ${NegKeep}
+       |GROUP BY 1 ORDER BY custkey""".stripMargin
 }

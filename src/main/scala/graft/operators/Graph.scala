@@ -411,4 +411,38 @@ object Graph {
        |  UNION ALL SELECT b FROM tris
        |  UNION ALL SELECT c FROM tris)
        |GROUP BY 1 ORDER BY n_tri DESC, node ASC LIMIT ${TriTopK}""".stripMargin
+
+  /** X124 `q_degree_dist`: degree distribution of the part↔supplier
+    * co-occurrence graph, split by node side — the first diagnostic run
+    * on any production graph (hub detection, skew sizing for the
+    * iterative ops above, power-law sanity check). Two bounded
+    * aggregates: degree per node (map-side combined on the symmetric
+    * edge stream), then nodes per (side, degree) — output is
+    * |distinct degrees|-sized, never node-sized, so the report holds at
+    * any graph scale. Shares the X44/X46 edge definition, so its hub
+    * counts directly size those operators' skew handling. */
+  def degreeDistQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // Both endpoints come off the distinct frame via ONE explode — a
+    // two-branch union would make the pair distinct a two-consumer
+    // subtree and run the lineitem scan + shuffle twice (and a
+    // materialization to dodge that costs more than the recompute here).
+    val ends = Tables.lineitem(spark, sfDir)
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+      .select(explode(array(col("a"), col("b"))).as("node"))
+    ends.groupBy(col("node"))
+      .agg(Num.countStar.as("deg"))
+      .groupBy((col("node") % 2 === 0).as("is_part"), col("deg"))
+      .agg(Num.countStar.as("n_nodes"))
+      .orderBy(col("is_part"), col("deg"))
+  }
+
+  val degreeDistOracle: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |  FROM lineitem),
+      |ends AS (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM ends GROUP BY 1)
+      |SELECT node % 2 = 0 AS is_part, deg, COUNT(*) AS n_nodes
+      |FROM deg GROUP BY 1, 2 ORDER BY is_part, deg""".stripMargin
 }

@@ -1340,4 +1340,36 @@ object Stats {
       |  floor(SUM(CAST((n*o - rl*cs)*(n*o - rl*cs) AS DOUBLE)
       |            / CAST(n*rl*cs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chi2_part
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** X126 `q_label_weights`: class distribution + inverse-frequency
+    * training weights over the embeddings labels — the step every
+    * classifier pipeline runs before sampling (weight = n/(k·n_c), the
+    * "balanced" class-weight formula: rare classes upweighted so each
+    * class contributes equal total mass). One map-side-combined count per
+    * label; the k-and-n normalizer is a window over the label-sized frame.
+    * All inputs exact integers; the single division is collapsed with the
+    * cross-engine round6. */
+  def labelWeightsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Window.partitionBy()
+    Tables.embeddings(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(Num.countStar.as("n"))
+      .withColumn("n_total", sum(col("n")).over(all))
+      .withColumn("n_classes", Num.countStar.over(all))
+      .select(col("label"), col("n"),
+        (floor(col("n_total").cast("double") /
+          (col("n_classes") * col("n")).cast("double") * 1e6 + 0.5) / 1e6)
+          .as("weight"))
+      .orderBy(col("label"))
+  }
+
+  val labelWeightsOracle: String =
+    """WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+      |t AS (
+      |  SELECT label, n, SUM(n) OVER () AS n_total, COUNT(*) OVER () AS n_classes
+      |  FROM c)
+      |SELECT label, n,
+      |  floor(CAST(n_total AS DOUBLE) / CAST(n_classes * n AS DOUBLE)
+      |    * 1e6 + 0.5) / 1e6 AS weight
+      |FROM t ORDER BY label""".stripMargin
 }

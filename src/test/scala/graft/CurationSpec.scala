@@ -153,4 +153,26 @@ class CurationSpec extends AnyFunSuite {
       assert(!r.getString(1).exists(_.isDigit), s"digits survived: $r")
     }
   }
+
+  test("negative sampling: disjoint from interactions, deterministic, capped") {
+    val rows = Curation.negativeSampleQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val interactions = graft.engine.Tables.orders(spark, sfDir)
+      .join(graft.engine.Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (cust, nNeg, items) =>
+      val ids = items.split(",").map(_.toLong)
+      assert(ids.length == nNeg && nNeg <= Curation.NegKeep)
+      assert(ids.distinct.length == ids.length, s"dup negatives for $cust")
+      ids.foreach(i => assert(!interactions.contains((cust, i)),
+        s"sampled a true interaction: ($cust, $i)"))
+    }
+    // pure function of the data: a second run reproduces it exactly
+    val again = Curation.negativeSampleQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.sameElements(again))
+  }
 }

@@ -77,4 +77,22 @@ class GraphSpec extends AnyFunSuite {
     // top-50 of a larger node set sums below 1; each rank is bounded by 1
     rows.foreach(r => assert(r.getDouble(1) <= 1.0))
   }
+
+  test("degree distribution: handshake identity and per-side node totals") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Graph.degreeDistQ(spark, sfDir).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+    val pairs = graft.engine.Tables.lineitem(spark, sfDir)
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val nEdges = pairs.count()
+    // Σ deg·n_nodes over both sides = 2·|E| (each edge has one end per side)
+    assert(rows.map(t => t._2 * t._3).sum == 2 * nEdges)
+    assert(rows.filter(_._1).map(t => t._2 * t._3).sum == nEdges)
+    // node totals per side match the distinct endpoint counts
+    val nParts = pairs.select("a").distinct().count()
+    val nSupps = pairs.select("b").distinct().count()
+    assert(rows.filter(_._1).map(_._3).sum == nParts)
+    assert(rows.filter(!_._1).map(_._3).sum == nSupps)
+  }
 }

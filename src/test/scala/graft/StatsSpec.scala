@@ -332,4 +332,20 @@ class StatsSpec extends AnyFunSuite {
       assert(shared, f"a=$a%08x b=$b%08x")
     }
   }
+
+  test("label weights: balanced reweighting makes class masses equal") {
+    val rows = Stats.labelWeightsQ(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    // each class's total mass n_c·w_c = n/k: equal across classes (up to
+    // the 1e-6 output rounding), and all masses sum back to ~n
+    val masses = rows.map(t => t._2 * t._3)
+    val expected = total.toDouble / rows.length
+    masses.foreach(m => assert(math.abs(m - expected) < 1e-4 * expected))
+    assert(math.abs(masses.sum - total) < 1e-3 * total)
+    // rarest class gets the largest weight
+    val byN = rows.sortBy(_._2)
+    assert(byN.head._3 >= byN.last._3)
+  }
 }
