@@ -787,6 +787,59 @@ object TextAnalysis {
       .orderBy(col("rnk"))
   }
 
+  /** X127 `q_source_overlap`: pairwise vocabulary-overlap matrix between
+    * sources — the "which feeds duplicate each other" diagnostic a corpus
+    * curator reads before weighting or dropping a source (high overlap
+    * coefficient = one source is near-contained in the other). Shared-term
+    * counts come from a self-join of the distinct (source, term) vocabulary
+    * frame ON THE TERM: per-term fan-out is bounded by |sources|² — a
+    * category-domain constant — so the join output is |vocab|·C(s,2) at
+    * worst, never corpus-sized. The overlap coefficient |A∩B| / min(|A|,|B|)
+    * uses exact integer counts with one rounded division; vocabulary sizes
+    * broadcast back onto the source-pair frame. */
+  def sourceOverlapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // MATERIALIZED: the vocabulary frame feeds both self-join sides AND
+    // the per-source size aggregate — three consumers of one tokenize.
+    val vocab = graft.engine.Materialize.diskBacked(
+      Tables.documents(spark, sfDir)
+        .select(col("source"), explode(words).as("term"))
+        .distinct())
+    val sizes = vocab.groupBy(col("source")).agg(Num.countStar.as("v"))
+    val a = vocab.select(col("term"), col("source").as("source_a"))
+    val b = vocab.select(col("term"), col("source").as("source_b"))
+    a.join(b, Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(Num.countStar.as("shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("v").as("vocab_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("v").as("vocab_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("vocab_a"), col("vocab_b"),
+        (floor(col("shared").cast("double") /
+          least(col("vocab_a"), col("vocab_b")).cast("double") * 1e6 + 0.5)
+          / 1e6).as("overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapOracle: String =
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT source, w AS term
+       |  FROM (SELECT source, unnest($wordsSql) AS w FROM documents)),
+       |sizes AS (SELECT source, COUNT(*) AS v FROM vocab GROUP BY 1),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+       |  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, shared, sa.v AS vocab_a, sb.v AS vocab_b,
+       |  floor(CAST(shared AS DOUBLE) / least(sa.v, sb.v) * 1e6 + 0.5) / 1e6
+       |    AS overlap
+       |FROM p
+       |JOIN sizes sa ON sa.source = p.source_a
+       |JOIN sizes sb ON sb.source = p.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   val invertedIndexOracle: String =
     s"""WITH posting AS (
        |  SELECT DISTINCT w AS term, doc_id

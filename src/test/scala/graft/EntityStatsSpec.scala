@@ -107,6 +107,29 @@ class EntityStatsSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) == direct)
   }
 
+  test("source overlap: bounds, pair coverage, and a direct recompute") {
+    val rows = TextAnalysis.sourceOverlapQ(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), (shared, va, vb, ovl)) =>
+      assert(a < b)
+      assert(shared <= math.min(va, vb), s"($a,$b)")
+      assert(ovl > 0.0 && ovl <= 1.0, s"($a,$b)")
+    }
+    // direct recompute for the lexicographically first reported pair
+    val ((sa, sb), (shared, va, vb, _)) = rows.minBy(_._1)
+    val vocab = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(graft.engine.Text.words).as("t"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val setA = vocab.filter(_._1 == sa).map(_._2).toSet
+    val setB = vocab.filter(_._1 == sb).map(_._2).toSet
+    assert(setA.size == va && setB.size == vb)
+    assert((setA & setB).size == shared)
+  }
+
   test("length buckets: partition of each language, ordered, exact waste") {
     val docs = graft.engine.Tables.documents(spark, sfDir)
       .groupBy("lang").count()

@@ -345,6 +345,41 @@ class PlanSpec extends AnyFunSuite {
       "the pre-pruned histogram should broadcast back onto documents")
   }
 
+  test("q_fuzzy_join candidates come from an equi-join, never all-pairs") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct"),
+      s"fuzzy join plan contains a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join plan contains a nested-loop join:\n$p")
+    // canonical-block acceptance replaced the pair distinct: no exchange
+    // may carry the (id_a, id_b) pair stream
+    assert(!p.matches("(?s).*Exchange hashpartitioning\\(id_a#\\d+L, id_b#\\d+L.*"),
+      s"pair stream must not shuffle (distinct crept back in):\n$p")
+  }
+
+  test("q_chi2 windows run over contingency cells, not raw rows") {
+    val p = plan("q_chi2")
+    assert(exchangeFedByAggregate(p, "lang#\\d+"),
+      s"marginal windows must consume the (lang, source) cell aggregate:\n$p")
+  }
+
+  test("q_inverted_index heap-selects the top terms off the pruned vocabulary") {
+    val p = plan("q_inverted_index")
+    // the rank-≤-K window collapses to a per-partition top-K heap (no
+    // single-partition exchange ever carries the vocabulary), and the
+    // hapax Filter(df >= 2) sits below the heap so it sees the pruned
+    // vocabulary, not the corpus
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-K should be a per-partition heap, not a full sort:\n$p")
+    val lines = p.linesIterator.toVector
+    val heap = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    val after = lines.drop(heap + 1)
+    val filt = after.indexWhere(l => l.contains("Filter") && l.contains("df#"))
+    val scan = after.indexWhere(_.contains("Scan parquet"))
+    assert(filt >= 0 && (scan < 0 || filt < scan),
+      s"hapax filter must feed the top-K heap:\n$p")
+  }
+
   test("q_cdc_diff reconciles snapshots with one co-partitioned full-outer join") {
     val p = plan("q_cdc_diff")
     // the diff itself must be the key-partitioned equi full-outer join;
