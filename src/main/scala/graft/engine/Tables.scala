@@ -1,7 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness-provided parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -31,16 +32,25 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by default
-    * while DuckDB truncates to microseconds. Read the nanos as a long
-    * (requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * build in Verify/Bench/tests — not mutated here) and divide to µs.
-    * `div` truncates toward zero, which equals floor for the post-epoch data
-    * the harness generates (min ts 2024-01-01); matches DuckDB's nanos→µs
-    * truncation. */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as a nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build in
+    * Verify/Bench/tests) and parquet TIMESTAMP(MICROS) (read as Spark
+    * TIMESTAMP_NTZ). Normalize either to the engine's ONE ts contract —
+    * TIMESTAMP (LTZ) at microsecond precision — so operators never see the
+    * file encoding. Same instants either way: the nanos `div` truncation
+    * equals floor for the post-epoch data the harness generates (min ts
+    * 2024-01-01) and matches DuckDB's nanos→µs truncation, and the NTZ→LTZ
+    * cast is identity under the fixed UTC session timezone (DuckDB reads
+    * MICROS natively, so the oracle side is unchanged too). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
+  }
+
   def events(spark: SparkSession, d: String): DataFrame =
-    table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(spark, d, "events"))
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

@@ -34,7 +34,7 @@ object Incremental {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    if (withTs) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (withTs) graft.engine.Tables.normalizeTs(src)
     else src
   }
 
