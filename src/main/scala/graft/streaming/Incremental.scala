@@ -54,6 +54,24 @@ object Incremental {
     df.sparkSession.table(sinkName)
   }
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
+    * session default after. Stateful streaming drains size partitions to
+    * their STATE budget, not the CPU count: every state store pays a
+    * per-partition delta-file commit + fsync each micro-batch (including
+    * the no-data watermark-finalize batch), so at the horizon-bounded
+    * state sizes here (≤ tens of thousands of rows) store-count overhead
+    * dominates long before compute parallelism matters. The count is
+    * frozen into a checkpoint at first run in production, which is exactly
+    * why it must be chosen from state volume up front — profiled on the
+    * stream-stream join: 32 stores (8 partitions × 4 stores/partition)
+    * ≈ 4.4 s warm, 8 stores ≈ 3.0 s, same answer. Batch queries in the
+    * same session keep the session default. */
+  private def withDrainParts[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming staging load: drains new videos_* JSON files into the
     * medallion staging table and returns when caught up. Re-running with an
     * unchanged raw dir appends nothing (checkpoint = processed-file log). */
@@ -95,7 +113,8 @@ object Incremental {
     * checkpointed sink table; complete-mode-to-memory is the bounded test
     * harness for the same plan (streaming aggregation state lives per
     * (window, event_type) group — tiny — not per row). */
-  def streamingWindowQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingWindowQ(spark: SparkSession, sfDir: String): DataFrame =
+    withDrainParts(spark, 4) {
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"),
@@ -108,7 +127,7 @@ object Incremental {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("win_end"),
         col("event_type"), col("n_events"), col("sum_floor_value"))
       .orderBy(col("win_start"), col("event_type"))
-  }
+    }
 
   /** `q_streaming_dedup`: oracle-gated streaming dedup — the second
     * streaming entry behind the DuckDB hash gate (same AvailableNow →
@@ -127,7 +146,8 @@ object Incremental {
     * to the served-layer anti-join, exactly like Medallion.loadFacts). The
     * key-only projection is also what you'd ship: dedup state stores the
     * key, not the payload. */
-  def streamingDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingDedupQ(spark: SparkSession, sfDir: String): DataFrame =
+    withDrainParts(spark, 4) {
     val deduped = eventsStream(spark, sfDir)
       .select(col("ts"), col("user_id"), col("event_type"))
       .withWatermark("ts", "1 hour")
@@ -135,7 +155,7 @@ object Incremental {
     drainToTable(deduped, "append", "graft_stream_dedup")
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
-  }
+    }
 
   val streamingDedupOracle: String =
     """SELECT DISTINCT user_id, event_type FROM events
@@ -186,7 +206,8 @@ object Incremental {
     * seen-set state: state is one long per key in the state store,
     * partitioned by key, and each micro-batch touches only the keys it
     * contains. */
-  def streamingStateQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingStateQ(spark: SparkSession, sfDir: String): DataFrame =
+    withDrainParts(spark, 4) {
     import spark.implicits._
     val src = eventsStream(spark, sfDir, withTs = false)
       .select(col("user_id"), col("event_type"))
@@ -195,7 +216,7 @@ object Incremental {
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
-  }
+    }
 
   val streamingStateOracle: String =
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
@@ -220,21 +241,12 @@ object Incremental {
     * drained sink holds precisely the batch range-join's row set —
     * micro-batch boundaries can delay but never change matches — making
     * the batch SQL (same µs arithmetic) the exact oracle. */
-  def streamingJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{timestamp_micros, expr => sqlExpr}
-    // State-store sizing: a symmetric stream-stream join keeps FOUR state
-    // stores per shuffle partition, and every micro-batch commits a delta
-    // file to each — store-count, not data volume, dominates at this
-    // state size. Production sizes stateful-join partitions to the state
-    // budget (the count is frozen into the checkpoint at first run
-    // anyway); 8 partitions = 32 stores instead of 128 for the same
-    // 600 k-row drain. Restored after the drain — batch queries keep the
-    // session default.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamingJoinDrain(spark, sfDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  def streamingJoinQ(spark: SparkSession, sfDir: String): DataFrame =
+    // A symmetric stream-stream join keeps FOUR state stores per shuffle
+    // partition (key-to-count + key-with-index-to-value per side), the
+    // highest store multiplier of any drain here — 2 partitions = 8
+    // stores for ~40 k state rows (see withDrainParts).
+    withDrainParts(spark, 2)(streamingJoinDrain(spark, sfDir))
 
   private def streamingJoinDrain(spark: SparkSession, sfDir: String): DataFrame = {
     def src = eventsStream(spark, sfDir)
@@ -301,6 +313,7 @@ object Incremental {
     * the union re-aggregates a 2×|types| frame. The filters on both legs
     * sit at the scans. */
   def streamBackfillQ(spark: SparkSession, sfDir: String): DataFrame = {
+    withDrainParts(spark, 4) {
     val cut = lit(BackfillCutoff).cast("date")
     val batch = graft.engine.Tables.events(spark, sfDir)
       .filter(to_date(col("ts")) < cut)
@@ -317,6 +330,7 @@ object Incremental {
       .agg(sum(col("n")).as("n_events"),
         sum(col("sum_v")).as("sum_floor_value"))
       .orderBy(col("event_type"))
+    }
   }
 
   val streamBackfillOracle: String =
@@ -345,7 +359,8 @@ object Incremental {
     * all session state, so the watermark does not evict here); a
     * production deployment runs append mode over a checkpointed sink,
     * where closed sessions emit once and state IS watermark-evicted. */
-  def streamingSessionsQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingSessionsQ(spark: SparkSession, sfDir: String): DataFrame =
+    withDrainParts(spark, 4) {
     val gapExpr = s"${graft.operators.Sessionize.GapMicros} microseconds"
     // NO watermark: the session restore operator drops watermark-late rows
     // even in complete mode (SessionWindowStateStoreRestoreExec filters
@@ -363,7 +378,7 @@ object Incremental {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
-  }
+    }
 
   val streamingSessionsOracle: String =
     s"""WITH marked AS (
