@@ -645,42 +645,31 @@ object Dedup {
     * window minima, and the kept grams aggregate to (distinct docs,
     * occurrences) with the multi-doc top-K reported.
     *
-    * Scale shape: position explosion is linear in corpus characters but
-    * PIPELINED (one codegen stage from scan to the winnow shuffle — the
-    * full text never duplicates per position; the projection narrows to
-    * (doc_id, pos, gram, fp) before the exchange). The only wide ops are
-    * the per-doc winnow window and the gram aggregate, both on selected
-    * rows ~2/(W+1) of positions — and the window itself is exchange-FREE:
-    * the doc frame repartitions by doc_id BEFORE the position explode, so
-    * the only shuffles are one pass of texts and the selected grams. */
-  def substrDupesQ(spark: SparkSession, sfDir: String): DataFrame =
+    * Scale shape: the winnow runs INSIDE the scan stage — the native
+    * `graft_winnow` expression (functions/Winnow.scala) selects positions
+    * in one monotonic-deque pass per document, so only the ~2/(W+1)
+    * selected positions ever become rows and no gram string materializes
+    * for a discarded position. NO repartition, NO sort, NO window exec:
+    * the single wide op in the whole query is the selected-gram
+    * aggregate. (The declarative twin — explode every position, string
+    * window min, filter — is what the DuckDB oracle still runs, so the
+    * correctness gate doubles as the native/declarative equivalence
+    * proof; DedupSpec pins the same equivalence inside Spark.) */
+  def substrDupesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Winnow.ensureRegistered(spark)
     substrDupes(Tables.documents(spark, sfDir))
+  }
 
-  /** Core over any (doc_id, text) frame. */
+  /** Core over any (doc_id, text) frame (session must have
+    * `graft_winnow` registered — `Winnow.ensureRegistered`). */
   def substrDupes(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Repartition the DOC frame (one text per row) before exploding: the
-    // Generate preserves the hash partitioning, so the per-doc winnow
-    // window needs no exchange over the position rows — the only position-
-    // level wide op left is the selected-gram aggregate. Shuffling texts
-    // once beats shuffling |text| position rows (~50× the bytes).
-    val grams = docs
+    graft.functions.Winnow.ensureRegistered(docs.sparkSession)
+    docs
       .filter(length(col("text")) >= SubstrN)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - SubstrN + 1)).as("i"))
-      .select(col("doc_id"), col("i"),
+        explode(graft.functions.Winnow.winnowSelect(col("text"), SubstrN, SubstrW)).as("i"))
+      .select(col("doc_id"),
         expr(s"substring(text, i, $SubstrN)").as("gram"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(-(SubstrW - 1), Window.currentRow)
-    grams
-      .withColumn("wmin", min(col("gram")).over(w))
-      // nullif-form equality: a plain `gram === wmin` lets constraint
-      // inference substitute gram's substring definition into the post-
-      // window filter, recomputing it over EVERY position row a second
-      // time (observed in the physical plan); the nullif shape carries no
-      // attribute-level equality to infer from
-      .filter(isnull(nullif(col("gram"), col("wmin"))))
       .groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         Num.countStar.as("n_occ"))

@@ -107,6 +107,39 @@ class DedupSpec extends AnyFunSuite {
     assert(dist === expected)
   }
 
+  test("native winnow selection equals the declarative window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // tie-heavy corpus: 4-letter alphabet makes equal grams routine, so
+    // the equal-min selection rule is exercised constantly; lengths span
+    // below-N through hundreds; one doc carries supplementary-plane chars
+    // to pin the code-point (not UTF-16-unit) position/order contract
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 40).map { i =>
+      val len = rnd.nextInt(220)
+      (i.toLong, (0 until len).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString)
+    } :+ (99L, "a😀bca😀bcaab😀caXbc" * 4)
+    val docs = texts.toDF("doc_id", "text")
+    val (n, w) = (3, 4)
+    graft.functions.Winnow.ensureRegistered(spark)
+    val native = docs.filter(length(col("text")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnowSelect(col("text"), n, w)).as("i"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val declarative = docs.filter(length(col("text")) >= n)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - n + 1)).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $n)").as("gram"))
+      .withColumn("wmin", min(col("gram")).over(win))
+      .filter(col("gram") === col("wmin"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(native === declarative)
+    assert(native.nonEmpty)
+  }
+
   test("substring dupes: a planted shared span surfaces, unique text never pairs") {
     // two docs share an exact 60-char boilerplate span inside different
     // surroundings (doc-level near-dup would miss them: jaccard is low);

@@ -514,25 +514,24 @@ class PlanSpec extends AnyFunSuite {
       s"skyline must not plan a window:\n$p")
   }
 
-  test("q_substr_dupes: winnow window exchange-free; no hash recompute in filter") {
+  test("q_substr_dupes: native winnow — no window, no sort, one exchange") {
     val p = plan("q_substr_dupes")
+    // the native graft_winnow expression selects positions inside the
+    // scan stage; the declarative window formulation (explode-all +
+    // string window min + filter) must NOT be planned
+    assert(p.contains("graft_winnow"),
+      s"winnow must run through the native expression:\n$p")
+    assert(!p.contains("Window ["),
+      s"native winnow must not plan a window exec:\n$p")
+    // only selected positions become rows, so the sole wide op is the
+    // gram aggregate: below (after, top-down) the LAST HashAggregate
+    // there must be neither a Sort nor a round-trip repartition of texts
     val lines = p.linesIterator.toSeq
-    // the position explode must sit ABOVE the doc-keyed exchange: texts
-    // shuffle once (doc rows), position rows never do — between Generate
-    // and Window there must be no Exchange
-    val gen = lines.indexWhere(_.contains("Generate explode"))
-    val win = lines.indexWhere(_.contains("Window ["))
-    assert(gen >= 0 && win >= 0, s"expected Generate and Window:\n$p")
-    assert(win < gen, // plans print top-down: Window appears before Generate
-      s"winnow Window must consume the Generate directly:\n$p")
-    assert(!lines.slice(win, gen).exists(_.contains("Exchange")),
-      s"position rows must not shuffle into the winnow window:\n$p")
-    // the post-window filter must compare attributes, not re-derive the
-    // gram (constraint inference once doubled the per-position compute)
-    val filterLines = lines.filter(l =>
-      l.contains("Filter") && l.contains("wmin"))
-    assert(filterLines.forall(l => !l.contains("substring(text")),
-      s"post-window filter recomputes the gram:\n$p")
+    val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(lastAgg >= 0, s"expected the gram HashAggregate:\n$p")
+    val below = lines.drop(lastAgg + 1)
+    assert(!below.exists(l => l.contains("Sort ") || l.contains("REPARTITION")),
+      s"nothing below the gram aggregate may sort or repartition:\n$p")
   }
 
   test("q_wau: window expansion is generator-based, never a calendar join") {
