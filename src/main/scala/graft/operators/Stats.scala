@@ -1372,4 +1372,80 @@ object Stats {
       |  floor(CAST(n_total AS DOUBLE) / CAST(n_classes * n AS DOUBLE)
       |    * 1e6 + 0.5) / 1e6 AS weight
       |FROM t ORDER BY label""".stripMargin
+
+  // `q_corr_matrix`: one-pass pairwise correlation moments
+
+  /** Numeric lineitem columns for the moment matrix, sorted so the pair
+    * enumeration (i < j) and the output order agree. */
+  val CorrCols: Seq[String] =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  private def corrPairs: Seq[(String, String)] =
+    for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
+      yield (CorrCols(i), CorrCols(j))
+
+  /** `q_corr_matrix`: the full pairwise Pearson moment matrix over k
+    * numeric columns in ONE pass — the feature-diagnostics job a training
+    * pipeline runs before deciding what correlates with quality/label
+    * signals. Emits, per unordered column pair, the exact sufficient
+    * statistics (n, Σa, Σb, Σa², Σb², Σab); corr(a,b) is then
+    * (n·Σab − Σa·Σb)/√((n·Σa²−Σa²)(n·Σb²−Σb²)) for the caller — the
+    * spearman/linfit convention: exact integers cross the engine
+    * boundary, float division stays caller-side.
+    *
+    * Scale shape: a SINGLE map-side-combined aggregate computes all
+    * k + k·(k+1)/2 + 1 moments in one scan (two-phase partial/final hash
+    * aggregate, 1-row output) — NOT k² scans or a per-pair job; the pair
+    * reshape explodes the one aggregate row into k·(k−1)/2 rows, free at
+    * any scale. Exactness: values are 2-decimal, so ×100 quantization
+    * through DECIMAL(18,2) is exact integers; per-row products stay below
+    * 2^63 (quantized |x| ≤ ~10⁷); sums run as DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — associative, order-independent — and only the
+    * final exact integer converts to double (Num.sumMoney discipline). */
+  def corrMatrixQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val quantized = Tables.lineitem(spark, sfDir).select(
+      CorrCols.map(c =>
+        (col(c).cast(DecimalType(18, 2)) * 100).cast("long").as(c)): _*)
+    def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 0))).cast("double")
+    val moments: Seq[Column] =
+      Seq(Num.countStar.as("n")) ++
+        CorrCols.flatMap(c => Seq(
+          exactSum(col(c)).as(s"s1_$c"),
+          exactSum(col(c) * col(c)).as(s"s2_$c"))) ++
+        corrPairs.map { case (a, b) =>
+          exactSum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val agg = quantized.agg(moments.head, moments.tail: _*)
+    val pairStructs = corrPairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        col(s"s1_$a").as("s_a"), col(s"s1_$b").as("s_b"),
+        col(s"s2_$a").as("s_aa"), col(s"s2_$b").as("s_bb"),
+        col(s"sp_${a}_$b").as("s_ab"))
+    }
+    agg.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  val corrMatrixOracle: String = {
+    val sel = CorrCols.map(c =>
+      s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS $c").mkString(", ")
+    val moments =
+      ("CAST(COUNT(*) AS BIGINT) AS n" +:
+        CorrCols.flatMap(c => Seq(
+          s"CAST(SUM($c) AS DOUBLE) AS s1_$c",
+          s"CAST(SUM($c * $c) AS DOUBLE) AS s2_$c")) ++:
+        corrPairs.map { case (a, b) =>
+          s"CAST(SUM($a * $b) AS DOUBLE) AS sp_${a}_$b" }).mkString(",\n    ")
+    val rows = corrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n, s1_$a AS s_a, s1_$b AS s_b,
+         |  s2_$a AS s_aa, s2_$b AS s_bb, sp_${a}_$b AS s_ab FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT $sel FROM lineitem),
+       |m AS (
+       |  SELECT $moments
+       |  FROM q)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 }

@@ -840,6 +840,52 @@ object TextAnalysis {
        |JOIN sizes sb ON sb.source = p.source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  // `q_bpe_pairs`: BPE merge-pair counting (tokenizer-training step)
+
+  /** Merge candidates reported. */
+  val BpePairTopK = 30
+
+  /** `q_bpe_pairs`: the counting step of one BPE training iteration — the
+    * distributed job a tokenizer build runs over the full corpus: count
+    * adjacent symbol pairs (here: character bigrams inside words) weighted
+    * by word frequency; the argmax pair is the next merge rule.
+    *
+    * Scale shape — the whole point of the word-frequency detour: the
+    * corpus collapses to its VOCABULARY first (one map-side-combined
+    * aggregate; vocab ≪ corpus tokens, and it only shrinks relatively as
+    * the corpus grows), so the pair explode fans out Σ|word| over
+    * DISTINCT words, not over corpus tokens — at 100 TB the second stage's
+    * input is megabytes. The pair aggregate's output is alphabet²-bounded.
+    * Real BPE iterates merge→recount; each iteration is this same shape
+    * over the current symbol sequences, so the one-iteration query is the
+    * scalability proof for the loop. Length-1 words carry no pair and are
+    * filtered BEFORE the explode (also keeps Spark's `sequence(1, 0)`
+    * descending-step edge out of the plan). */
+  def bpePairsQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(words).as("word"))
+      .groupBy(col("word")).agg(Num.countStar.as("freq"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpePairTopK)
+
+  val bpePairsOracle: String =
+    s"""WITH vocab AS (
+       |  SELECT w AS word, COUNT(*) AS freq
+       |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+       |  GROUP BY 1),
+       |pos AS (
+       |  SELECT word, freq,
+       |    unnest(generate_series(1, length(word) - 1)) AS i
+       |  FROM vocab WHERE length(word) >= 2)
+       |SELECT substr(word, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
+       |FROM pos GROUP BY 1
+       |ORDER BY n DESC, pair LIMIT ${BpePairTopK}""".stripMargin
+
   val invertedIndexOracle: String =
     s"""WITH posting AS (
        |  SELECT DISTINCT w AS term, doc_id

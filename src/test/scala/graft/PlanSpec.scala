@@ -534,6 +534,33 @@ class PlanSpec extends AnyFunSuite {
       s"nothing below the gram aggregate may sort or repartition:\n$p")
   }
 
+  test("q_corr_matrix: one scan, one aggregate pair, no join") {
+    val p = plan("q_corr_matrix")
+    // all k + k(k+1)/2 moments must come from a SINGLE two-phase
+    // aggregate over one scan — never per-pair jobs or a self-join
+    assert(!p.contains("Join"), s"moment matrix must not join:\n$p")
+    val nAgg = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(nAgg == 2, s"expected one partial+final aggregate pair, got $nAgg:\n$p")
+    assert(p.linesIterator.count(_.contains("parquet")) <= 2,
+      s"moment matrix must scan lineitem once:\n$p")
+  }
+
+  test("q_bpe_pairs: corpus collapses to vocab before the pair explode") {
+    val p = plan("q_bpe_pairs")
+    val lines = p.linesIterator.toSeq
+    // plans print top-down: the vocab aggregate must sit BELOW (after)
+    // the pair Generate — i.e. the explode consumes aggregated words,
+    // not corpus tokens
+    val gen = lines.indexWhere(l => l.contains("Generate explode") &&
+      l.contains("sequence"))
+    assert(gen >= 0, s"expected the pair-position Generate:\n$p")
+    assert(lines.drop(gen).exists(_.contains("HashAggregate")),
+      s"pair explode must consume the vocab aggregate, not raw tokens:\n$p")
+    assert(!p.contains("Join"), s"BPE counting must not join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be a TakeOrdered, not a global sort:\n$p")
+  }
+
   test("q_wau: window expansion is generator-based, never a calendar join") {
     val p = plan("q_wau")
     assert(p.contains("Generate explode"),
