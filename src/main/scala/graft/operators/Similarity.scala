@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.Tables
+import graft.engine.{Num, Tables}
 import graft.functions.VectorExprs
 
 /** Similarity-search operators over the `embeddings` vector column
@@ -935,4 +935,162 @@ object Similarity {
        |  MIN(code) AS code_min, MAX(code) AS code_max,
        |  COUNT(*) AS n_dims
        |FROM codes GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  // `q_rrf_fusion`: reciprocal-rank fusion of two retrieval channels
+
+  /** RRF smoothing constant (the standard k = 60). */
+  val RrfK = 60
+  /** Per-channel list depth fused. */
+  val RrfDepth = 50
+  /** Fused results reported. */
+  val RrfTopK = 20
+  /** The lexical channel's query term / the semantic channel's query id. */
+  val RrfTerm = "join"
+  val RrfQueryId = 0L
+
+  /** `q_rrf_fusion`: reciprocal-rank fusion — the standard way a hybrid
+    * retrieval stack (lexical + embedding) merges channel rankings
+    * without comparable scores: fused(i) = Σ_channels 1/(k + rank_c(i)),
+    * items missing from a channel contribute nothing. Channels here:
+    * term-frequency ranking of the documents matching one query term, and
+    * the cosine ranking for one query vector (the q_cosine_topk plan with
+    * a single broadcast query).
+    *
+    * Scale shape: each channel's ranked frame is CANDIDATE-bounded before
+    * its rank window — the lexical frame by the term's document frequency
+    * (posting-list length), the semantic frame by the ANN candidate set
+    * (brute-force over all vectors here, IVF/LSH buckets at scale — X16/
+    * X54's path); the rank windows and the full-outer fuse join then run
+    * over list-depth-sized data, never the corpus. Ranks cross the engine
+    * boundary as exact integers (0 = absent); the fused double is two
+    * identical IEEE divisions and one add on both engines. */
+  def rrfFusionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val lex = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(graft.engine.Text.words).as("term"))
+      .filter(col("term") === RrfTerm)
+      .groupBy(col("doc_id")).agg(Num.countStar.as("tf"))
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("tf").desc, col("doc_id").asc)))
+      .filter(col("r_lex") <= RrfDepth)
+      .select(col("doc_id").as("item_id"), col("r_lex").cast("long").as("r_lex"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
+    val q = emb.filter(col("vec_id") === RrfQueryId)
+      .select(col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+    val sem = emb.filter(col("vec_id") =!= RrfQueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("item_id"),
+        (VectorExprs.dot(col("q_emb"), col("emb")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cosine"))
+      .withColumn("r_sem", row_number().over(
+        Window.orderBy(col("cosine").desc, col("item_id").asc)))
+      .filter(col("r_sem") <= RrfDepth)
+      .select(col("item_id"), col("r_sem").cast("long").as("r_sem"))
+    def contrib(r: Column): Column =
+      when(r === 0L, lit(0.0)).otherwise(lit(1.0) / (lit(RrfK) + r))
+    lex.join(sem, Seq("item_id"), "full_outer")
+      .select(col("item_id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"))
+      .withColumn("fused", contrib(col("r_lex")) + contrib(col("r_sem")))
+      .orderBy(col("fused").desc, col("item_id"))
+      .limit(RrfTopK)
+  }
+
+  val rrfFusionOracle: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id AS item_id,
+       |    ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id ASC) AS r_lex
+       |  FROM (SELECT doc_id, COUNT(*) AS tf
+       |        FROM (SELECT doc_id, unnest(${graft.engine.Text.wordsSql}) AS w
+       |              FROM documents)
+       |        WHERE w = '${RrfTerm}' GROUP BY 1)
+       |  QUALIFY r_lex <= ${RrfDepth}),
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq
+       |  FROM emb),
+       |sem AS (
+       |  SELECT b.vec_id AS item_id,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, len(q.e)+1), i -> q.e[i]*b.e[i])),
+       |        (a,b) -> a+b) / (sqrt(q.nsq) * sqrt(b.nsq)) DESC,
+       |      b.vec_id ASC) AS r_sem
+       |  FROM n q JOIN n b ON b.vec_id <> q.vec_id
+       |  WHERE q.vec_id = ${RrfQueryId}
+       |  QUALIFY r_sem <= ${RrfDepth})
+       |SELECT COALESCE(l.item_id, s.item_id) AS item_id,
+       |  CAST(COALESCE(l.r_lex, 0) AS BIGINT) AS r_lex,
+       |  CAST(COALESCE(s.r_sem, 0) AS BIGINT) AS r_sem,
+       |  (CASE WHEN l.r_lex IS NULL THEN 0
+       |        ELSE 1.0 / (${RrfK} + l.r_lex) END) +
+       |  (CASE WHEN s.r_sem IS NULL THEN 0
+       |        ELSE 1.0 / (${RrfK} + s.r_sem) END) AS fused
+       |FROM lex l FULL OUTER JOIN sem s ON l.item_id = s.item_id
+       |ORDER BY fused DESC, item_id LIMIT ${RrfTopK}""".stripMargin
+
+  // `q_hard_negatives`: contrastive hard-negative mining
+
+  /** `q_hard_negatives`: per query, the nearest neighbor with a DIFFERENT
+    * label — the hard-negative mining step of contrastive/metric training
+    * data construction (the informative negatives are the closest wrong
+    * ones, not random draws — random negatives are what X125 provides).
+    * Same broadcast-queries/native-dot plan as q_cosine_topk with the
+    * label-inequality predicate in the join, ranked to top-1; brute-force
+    * scoring here, with the IVF/LSH candidate path (X16/X54) as the
+    * at-scale candidate generator, exactly as for q_knn_classify. */
+  def hardNegativesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
+    val queries = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nsq").as("q_nsq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    emb.join(broadcast(queries),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        (VectorExprs.dot(col("q_emb"), col("emb")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("q_label"), col("neighbor_id"),
+        col("neg_label"), col("cosine"))
+      .orderBy(col("q_id"))
+  }
+
+  val hardNegativesOracle: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq
+       |  FROM emb),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label,
+       |    b.vec_id AS neighbor_id, b.label AS neg_label,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.e)+1), i -> q.e[i]*b.e[i])),
+       |      (a,b) -> a+b) / (sqrt(q.nsq) * sqrt(b.nsq)) AS cosine
+       |  FROM n q JOIN n b
+       |    ON b.vec_id <> q.vec_id AND b.label <> q.label
+       |  WHERE q.vec_id < ${QueryCount})
+       |SELECT q_id, q_label, neighbor_id, neg_label, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM pairs) t
+       |WHERE rnk = 1 ORDER BY q_id""".stripMargin
 }

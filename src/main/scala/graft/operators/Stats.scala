@@ -1373,6 +1373,63 @@ object Stats {
       |    * 1e6 + 0.5) / 1e6 AS weight
       |FROM t ORDER BY label""".stripMargin
 
+  // `q_autocorr`: lag-k autocorrelation moments of the daily series
+
+  /** Maximum lag (days) reported. */
+  val AutocorrMaxLag = 7
+
+  /** `q_autocorr`: lag-1..k autocorrelation sufficient statistics of the
+    * daily event-count series — the seasonality/trend diagnostic behind
+    * traffic anomaly detection and forecast sanity checks (lag-7 spikes =
+    * weekly cycle). Emits exact integer moments per lag (n, Σx, Σy, Σx²,
+    * Σy², Σxy over the (day, day−lag) count pairs); the correlation
+    * division stays caller-side (spearman/linfit convention).
+    *
+    * Scale shape: the corpus collapses to the DATE DOMAIN first (one
+    * map-side-combined aggregate — days, not events), so everything after
+    * runs on a calendar-bounded frame: the lag pairing is a self-join of
+    * the daily frame against its date_sub image (gaps in the calendar
+    * drop out naturally, no densification step needed), fanned by the k
+    * lags — k·|days| rows total. The daily frame is materialized once
+    * because it feeds both sides of the pairing (the multi-consumer
+    * rule). */
+  def autocorrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = graft.engine.Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(Num.countStar.as("c")))
+    val lags = spark.range(1, AutocorrMaxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    daily.as("x")
+      .crossJoin(broadcast(lags))
+      .join(daily.as("y"),
+        col("y.day") === date_sub(col("x.day"), col("lag")))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(Num.countStar.as("n"),
+        sum(col("x.c")).as("s_x"), sum(col("y.c")).as("s_y"),
+        sum(col("x.c") * col("x.c")).as("s_xx"),
+        sum(col("y.c") * col("y.c")).as("s_yy"),
+        sum(col("x.c") * col("y.c")).as("s_xy"))
+      .orderBy(col("lag"))
+  }
+
+  val autocorrOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+       |  FROM events GROUP BY 1),
+       |lags AS (SELECT unnest(generate_series(1, ${AutocorrMaxLag})) AS lag),
+       |pairs AS (
+       |  SELECT l.lag, x.c AS cx, y.c AS cy
+       |  FROM daily x
+       |  CROSS JOIN lags l
+       |  JOIN daily y ON y.day = x.day - CAST(l.lag AS INTEGER))
+       |SELECT CAST(lag AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(cx) AS BIGINT) AS s_x, CAST(SUM(cy) AS BIGINT) AS s_y,
+       |  CAST(SUM(cx * cx) AS BIGINT) AS s_xx,
+       |  CAST(SUM(cy * cy) AS BIGINT) AS s_yy,
+       |  CAST(SUM(cx * cy) AS BIGINT) AS s_xy
+       |FROM pairs GROUP BY 1 ORDER BY lag""".stripMargin
+
   // `q_corr_matrix`: one-pass pairwise correlation moments
 
   /** Numeric lineitem columns for the moment matrix, sorted so the pair

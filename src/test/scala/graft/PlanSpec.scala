@@ -561,6 +561,27 @@ class PlanSpec extends AnyFunSuite {
       s"top-K must be a TakeOrdered, not a global sort:\n$p")
   }
 
+  test("q_autocorr: events collapse to the date domain before lag pairing") {
+    val p = plan("q_autocorr")
+    // the daily aggregate is materialized once and feeds both pairing
+    // sides through the cache (each InMemoryRelation PRINTOUT repeats the
+    // cached subtree's scan line, so count cache reads, not scan lines)
+    assert(p.contains("InMemoryTableScan"),
+      s"lag pairing must consume the materialized daily frame:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"lag fan-out must be a broadcast, not a cartesian:\n$p")
+  }
+
+  test("q_rrf_fusion / q_hard_negatives: no cartesian; queries broadcast") {
+    for (q <- Seq("q_rrf_fusion", "q_hard_negatives")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must broadcast its query side:\n$p")
+      assert(p.contains("Broadcast"),
+        s"$q's query side must be a broadcast:\n$p")
+    }
+  }
+
   test("q_wau: window expansion is generator-based, never a calendar join") {
     val p = plan("q_wau")
     assert(p.contains("Generate explode"),
