@@ -15,7 +15,9 @@ object TempWarehouse {
     dir.toString
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  /** Also used by operators that retire generation directories inline
+    * (q_stream_upsert's table-format commit discipline). */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

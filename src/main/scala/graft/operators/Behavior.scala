@@ -400,4 +400,62 @@ object Behavior {
        |FROM w, b
        |WHERE w.wday BETWEEN b.lo + ${WauWindowDays - 1} AND b.hi
        |GROUP BY 1 ORDER BY day""".stripMargin
+
+  // `q_activity_bitmap`: bitmap-index retention
+
+  /** Day-offset domain the bitmask covers (bits 0..62 of a BIGINT; the
+    * corpus epoch is the generator's start date). Offsets outside the
+    * domain are filtered — the documented contract of a single-word
+    * bitmap; longer horizons shard the mask by (user, epoch-week) rows. */
+  val BitmapEpoch = "2024-01-01"
+  val BitmapMaxDay = 62
+  /** Day-k retention checkpoints reported. */
+  val BitmapRetentionDays: Seq[Int] = Seq(1, 7, 14)
+
+  /** `q_activity_bitmap`: X69's cohort-retention question answered by a
+    * BITMAP INDEX instead of k self-joins — the bitmap-index trick every
+    * serious analytics store uses for audience/retention math: each
+    * user's activity history collapses to ONE 64-bit day-position mask
+    * (`bit_or(1 << day_offset)`, a two-phase map-side-combined
+    * aggregate), and any cohort intersection ("active day 0 AND day k")
+    * is then a bitwise AND over the user-sized mask frame — no joins, no
+    * second pass over events, and adding a checkpoint costs one more AND,
+    * not one more join. At 100 TB: one shuffle of (user, mask-partial)
+    * words replaces k event-table self-joins; the mask frame is the
+    * reusable asset (audience overlap, streaks, churn all read it). */
+  def activityBitmapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = datediff(to_date(col("ts")), lit(BitmapEpoch).cast("date"))
+    val masks = Tables.events(spark, sfDir)
+      .select(col("user_id"), d.as("d"))
+      .filter(col("d") >= 0 && col("d") <= BitmapMaxDay)
+      .groupBy(col("user_id"))
+      .agg(bit_or(expr("shiftleft(1L, d)")).as("mask"))
+    def bitSet(k: Int) = col("mask").bitwiseAND(lit(1L << k)) =!= lit(0L)
+    val aggs =
+      sum(when(bitSet(0), 1L).otherwise(0L)).as("day0_actives") +:
+        BitmapRetentionDays.map(k =>
+          sum(when(bitSet(0) && bitSet(k), 1L).otherwise(0L))
+            .as(s"retained_d$k"))
+    masks.agg(aggs.head, aggs.tail: _*)
+  }
+
+  val activityBitmapOracle: String = {
+    val checkpoints = BitmapRetentionDays.map(k =>
+      s"""CAST(SUM(CASE WHEN (mask & 1) <> 0 AND (mask & ${1L << k}) <> 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS retained_d$k""".stripMargin)
+      .mkString(",\n  ")
+    s"""WITH masks AS (
+       |  SELECT user_id,
+       |    bit_or(1::BIGINT << CAST(date_diff('day', DATE '${BitmapEpoch}',
+       |      CAST(ts AS DATE)) AS INTEGER)) AS mask
+       |  FROM events
+       |  WHERE date_diff('day', DATE '${BitmapEpoch}', CAST(ts AS DATE))
+       |    BETWEEN 0 AND ${BitmapMaxDay}
+       |  GROUP BY 1)
+       |SELECT
+       |  CAST(SUM(CASE WHEN (mask & 1) <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS day0_actives,
+       |  $checkpoints
+       |FROM masks""".stripMargin
+  }
 }

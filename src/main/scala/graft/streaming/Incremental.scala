@@ -445,4 +445,84 @@ object Incremental {
       |  ON c.c_custkey = (e.user_id % (SELECT COUNT(*) FROM customer)) + 1
       |JOIN nation n ON n.n_nationkey = c.c_nationkey
       |GROUP BY 1 ORDER BY nation""".stripMargin
+
+  /** `q_stream_upsert`: streaming MERGE upsert — the CDC-apply production
+    * shape missing from the append-only drains: each micro-batch folds
+    * into a keyed SERVED table by MERGE (new keys insert, existing keys
+    * update) through `foreachBatch` + the J2 full-outer/coalesce writer.
+    * The served table is bootstrapped from the batch engine (history
+    * before the X82 cutoff), so the merge branch genuinely exercises —
+    * the stream leg's first batch merges into a non-empty table rather
+    * than degenerating to an insert.
+    *
+    * The per-key merge algebra is ASSOCIATIVE — counts add, "latest"
+    * resolves by max over the (ts, event_id, type) struct (event_id
+    * breaks ts ties, so the third field never decides) — which makes the
+    * final table independent of micro-batch boundaries, and the plain
+    * batch GROUP BY over all events the exact oracle.
+    *
+    * At scale the served table is the production asset (the thing a
+    * feature store serves); each activation rewrites it key-merged — the
+    * generation paths model a table-format commit (write new snapshot,
+    * retire the old), and the previous generation is deleted as soon as
+    * its successor lands. */
+  def streamUpsertQ(spark: SparkSession, sfDir: String): DataFrame =
+    withDrainParts(spark, 4) {
+    val cutoff = lit(BackfillCutoff).cast("date")
+    def keyAgg(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_upsert_${graft.engine.Tables.sfTag(sfDir)}").getAbsolutePath
+    def gen(i: Long): String = s"$base/gen_$i"
+    // fixed per-sf base, wiped up front: a rerun must not accumulate the
+    // previous run's final generation (the ADVICE fixture-leak class)
+    graft.engine.TempWarehouse.deleteRecursively(java.nio.file.Paths.get(base))
+    // bootstrap: batch history strictly before the cutoff → generation 0
+    keyAgg(graft.engine.Tables.events(spark, sfDir)
+        .filter(to_date(col("ts")) < cutoff))
+      .write.mode("overwrite").parquet(gen(0))
+    @volatile var current = 0L
+    val q = eventsStream(spark, sfDir)
+      .filter(to_date(col("ts")) >= cutoff)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val served = sp.read.parquet(gen(current))
+        val upd = keyAgg(batch)
+        val merged = served.as("t").join(upd.as("u"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("t.n_events"), lit(0L)) +
+              coalesce(col("u.n_events"), lit(0L))).as("n_events"),
+            greatest(col("t.last"), col("u.last")).as("last"))
+        merged.write.mode("overwrite").parquet(gen(current + 1))
+        // table-format commit discipline: successor landed → retire
+        graft.engine.TempWarehouse.deleteRecursively(
+          java.nio.file.Paths.get(gen(current)))
+        current += 1
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(gen(current))
+      .select(col("user_id"), col("n_events"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamUpsertOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events, ts AS last_ts,
+      |  event_id AS last_event_id, event_type AS last_type
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
 }
