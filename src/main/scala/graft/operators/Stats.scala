@@ -1457,14 +1457,17 @@ object Stats {
     * any scale. Exactness: values are 2-decimal, so ×100 quantization
     * through DECIMAL(18,2) is exact integers; per-row products stay below
     * 2^63 (quantized |x| ≤ ~10⁷); sums run as DECIMAL(38,0) (Spark) /
-    * HUGEINT (DuckDB) — associative, order-independent — and only the
-    * final exact integer converts to double (Num.sumMoney discipline). */
+    * HUGEINT (DuckDB) — associative, order-independent — and the moments
+    * cross the engine boundary as exact decimal STRINGS: Σx² exceeds 2^53
+    * at sf0.1 already, where Spark's BigDecimal→double (correctly
+    * rounded) and DuckDB's HUGEINT→double diverge in the last ulp — the
+    * X105 pinned-serialization rule, applied to sufficient statistics. */
   def corrMatrixQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val quantized = Tables.lineitem(spark, sfDir).select(
       CorrCols.map(c =>
         (col(c).cast(DecimalType(18, 2)) * 100).cast("long").as(c)): _*)
-    def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 0))).cast("double")
+    def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 0))).cast("string")
     val moments: Seq[Column] =
       Seq(Num.countStar.as("n")) ++
         CorrCols.flatMap(c => Seq(
@@ -1490,10 +1493,10 @@ object Stats {
     val moments =
       ("CAST(COUNT(*) AS BIGINT) AS n" +:
         CorrCols.flatMap(c => Seq(
-          s"CAST(SUM($c) AS DOUBLE) AS s1_$c",
-          s"CAST(SUM($c * $c) AS DOUBLE) AS s2_$c")) ++:
+          s"CAST(SUM($c) AS VARCHAR) AS s1_$c",
+          s"CAST(SUM($c * $c) AS VARCHAR) AS s2_$c")) ++:
         corrPairs.map { case (a, b) =>
-          s"CAST(SUM($a * $b) AS DOUBLE) AS sp_${a}_$b" }).mkString(",\n    ")
+          s"CAST(SUM($a * $b) AS VARCHAR) AS sp_${a}_$b" }).mkString(",\n    ")
     val rows = corrPairs.map { case (a, b) =>
       s"""SELECT '$a' AS col_a, '$b' AS col_b, n, s1_$a AS s_a, s1_$b AS s_b,
          |  s2_$a AS s_aa, s2_$b AS s_bb, sp_${a}_$b AS s_ab FROM m""".stripMargin
