@@ -466,13 +466,29 @@ object Incremental {
     * generation paths model a table-format commit (write new snapshot,
     * retire the old), and the previous generation is deleted as soon as
     * its successor lands. */
+  /** Per-batch partial of the upsert's merge algebra: per key, the event
+    * count and the max (ts, event_id, type) struct (event_id breaks ts
+    * ties; the type field never decides). */
+  private[graft] def upsertKeyAgg(df: DataFrame): DataFrame = df
+    .groupBy(col("user_id"))
+    .agg(count(lit(1)).as("n_events"),
+      max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+
+  /** One MERGE step of the upsert: fold a batch partial into the served
+    * table. Associative and commutative (counts add, latest = struct
+    * greatest), so any batch split folds to the same table —
+    * StreamingSpec pins this against the single-batch answer. */
+  private[graft] def upsertMerge(served: DataFrame, upd: DataFrame): DataFrame =
+    served.as("t").join(upd.as("u"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("t.n_events"), lit(0L)) +
+          coalesce(col("u.n_events"), lit(0L))).as("n_events"),
+        greatest(col("t.last"), col("u.last")).as("last"))
+
   def streamUpsertQ(spark: SparkSession, sfDir: String): DataFrame =
     withDrainParts(spark, 4) {
     val cutoff = lit(BackfillCutoff).cast("date")
-    def keyAgg(df: DataFrame): DataFrame = df
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+    def keyAgg(df: DataFrame): DataFrame = upsertKeyAgg(df)
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_upsert_${graft.engine.Tables.sfTag(sfDir)}").getAbsolutePath
@@ -493,12 +509,7 @@ object Incremental {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
         val served = sp.read.parquet(gen(current))
-        val upd = keyAgg(batch)
-        val merged = served.as("t").join(upd.as("u"), Seq("user_id"), "full_outer")
-          .select(col("user_id"),
-            (coalesce(col("t.n_events"), lit(0L)) +
-              coalesce(col("u.n_events"), lit(0L))).as("n_events"),
-            greatest(col("t.last"), col("u.last")).as("last"))
+        val merged = upsertMerge(served, keyAgg(batch))
         merged.write.mode("overwrite").parquet(gen(current + 1))
         // table-format commit discipline: successor landed → retire
         graft.engine.TempWarehouse.deleteRecursively(

@@ -120,4 +120,38 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(latest === Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("upsert merge algebra: any batch split folds to the single-batch table") {
+    // the gated q_stream_upsert run exercises bootstrap + ONE micro-batch;
+    // this pins the associativity claim the oracle relies on — folding
+    // arbitrary splits through upsertMerge equals the one-shot aggregate
+    // (including a key appearing in several batches and ts ties broken by
+    // event_id)
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, 10L, "view"),
+      (ts("2024-01-02 09:00:00"), 1L, 11L, "purchase"),
+      (ts("2024-01-02 09:00:00"), 1L, 12L, "view"), // ts tie → event_id wins
+      (ts("2024-01-03 08:00:00"), 2L, 13L, "view"),
+      (ts("2024-01-01 07:00:00"), 3L, 14L, "click"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("n_events"),
+          col("last.ts"), col("last.event_id"), col("last.event_type"))
+        .collect().map(_.toSeq).toSet
+    val oneShot = Incremental.upsertKeyAgg(rows)
+    for (split <- Seq(Seq(2, 3), Seq(1, 1, 3), Seq(4, 1))) {
+      var parts = rows.collect().toSeq
+      var folded: Option[org.apache.spark.sql.DataFrame] = None
+      for (n <- split) {
+        val (h, t) = parts.splitAt(n)
+        parts = t
+        val batch = spark.createDataFrame(
+          spark.sparkContext.parallelize(h), rows.schema)
+        val agg = Incremental.upsertKeyAgg(batch)
+        folded = Some(folded.fold(agg)(f => Incremental.upsertMerge(f, agg)))
+      }
+      assert(canon(folded.get) === canon(oneShot), s"split $split diverged")
+    }
+  }
 }
