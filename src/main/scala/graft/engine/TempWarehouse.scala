@@ -15,6 +15,18 @@ object TempWarehouse {
     dir.toString
   }
 
+  private val managed = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Register an existing path for deletion at JVM exit (idempotent per
+    * path) — for operators whose working directories live under tmpdir
+    * with a fixed name (q_stream_upsert's generation base): within a run
+    * the operator retires generations itself; this hook stops the FINAL
+    * generation outliving the JVM. */
+  def manageExisting(path: String): Unit =
+    if (managed.putIfAbsent(path, true) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(java.nio.file.Paths.get(path))))
+
   /** Also used by operators that retire generation directories inline
     * (q_stream_upsert's table-format commit discipline). */
   def deleteRecursively(p: java.nio.file.Path): Unit = {

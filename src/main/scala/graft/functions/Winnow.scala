@@ -106,9 +106,22 @@ object Winnow {
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow"),
       (args: Seq[Expression]) => {
-        val n = args(1).eval().asInstanceOf[Int]
-        val w = args(2).eval().asInstanceOf[Int]
-        WinnowSelect(args.head, n, w)
+        // validated here, not in checkInputDataTypes: n and w are frozen
+        // into the expression at build, so a bad literal must fail the
+        // SQL call with a real message, not a late ClassCastException
+        if (args.length != 3)
+          throw new IllegalArgumentException(
+            s"graft_winnow(text, n, w) expects 3 arguments, got ${args.length}")
+        def intLit(e: Expression, name: String): Int = {
+          if (!e.foldable || e.dataType != IntegerType)
+            throw new IllegalArgumentException(
+              s"graft_winnow: $name must be an INT literal, got ${e.sql}")
+          val v = e.eval().asInstanceOf[Int]
+          if (v < 1) throw new IllegalArgumentException(
+            s"graft_winnow: $name must be >= 1, got $v")
+          v
+        }
+        WinnowSelect(args.head, intLit(args(1), "n"), intLit(args(2), "w"))
       }))
 
   /** Idempotent registration (same defensive pattern as Chunker). */

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{Chunker, StringExprs, VectorExprs}
+import graft.functions.{Chunker, StringExprs, VectorExprs, Winnow}
 
 /** Session-extension injector (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * registers the engine's native expressions at session build — the
@@ -11,7 +11,8 @@ import graft.functions.{Chunker, StringExprs, VectorExprs}
   * of those hot paths into the native codegen forms automatically. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    (VectorExprs.functions ++ Chunker.functions ++ StringExprs.functions)
+    (VectorExprs.functions ++ Chunker.functions ++ StringExprs.functions ++
+        Winnow.functions)
       .foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => HofVectorize)
   }

@@ -248,7 +248,10 @@ object Incremental {
     // stores for ~40 k state rows (see withDrainParts).
     withDrainParts(spark, 2)(streamingJoinDrain(spark, sfDir))
 
-  private def streamingJoinDrain(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The join's streaming plan pre-drain — ONE definition shared by the
+    * gated drain and the ProfileStreamJoin store-sizing profiler, so the
+    * partition-sizing numbers can never be derived from a drifted copy. */
+  private[graft] def streamingJoinPlan(spark: SparkSession, sfDir: String): DataFrame = {
     def src = eventsStream(spark, sfDir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -258,15 +261,17 @@ object Incremental {
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
-    val joined = views.join(purchases,
+    views.join(purchases,
       col("v_user") === col("p_user") &&
         col("purchase_ts") >= col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr(
           s"interval ${JoinHorizonMicros / 1000000} seconds"))
-    drainToTable(joined, "append", "graft_stream_join")
+  }
+
+  private def streamingJoinDrain(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(streamingJoinPlan(spark, sfDir), "append", "graft_stream_join")
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
       .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
-  }
 
   val streamingJoinOracle: String =
     s"""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
@@ -488,16 +493,18 @@ object Incremental {
   def streamUpsertQ(spark: SparkSession, sfDir: String): DataFrame =
     withDrainParts(spark, 4) {
     val cutoff = lit(BackfillCutoff).cast("date")
-    def keyAgg(df: DataFrame): DataFrame = upsertKeyAgg(df)
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_upsert_${graft.engine.Tables.sfTag(sfDir)}").getAbsolutePath
     def gen(i: Long): String = s"$base/gen_$i"
-    // fixed per-sf base, wiped up front: a rerun must not accumulate the
-    // previous run's final generation (the ADVICE fixture-leak class)
+    // fixed per-sf base, wiped up front (a rerun must not accumulate the
+    // previous run's final generation — the ADVICE fixture-leak class)
+    // and deleted again at JVM exit so the final generation can't outlive
+    // the process either
     graft.engine.TempWarehouse.deleteRecursively(java.nio.file.Paths.get(base))
+    graft.engine.TempWarehouse.manageExisting(base)
     // bootstrap: batch history strictly before the cutoff → generation 0
-    keyAgg(graft.engine.Tables.events(spark, sfDir)
+    upsertKeyAgg(graft.engine.Tables.events(spark, sfDir)
         .filter(to_date(col("ts")) < cutoff))
       .write.mode("overwrite").parquet(gen(0))
     @volatile var current = 0L
@@ -509,7 +516,7 @@ object Incremental {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
         val served = sp.read.parquet(gen(current))
-        val merged = upsertMerge(served, keyAgg(batch))
+        val merged = upsertMerge(served, upsertKeyAgg(batch))
         merged.write.mode("overwrite").parquet(gen(current + 1))
         // table-format commit discipline: successor landed → retire
         graft.engine.TempWarehouse.deleteRecursively(

@@ -1,12 +1,14 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev profiler for the stream-stream interval join (q_streaming_join):
-  * drains the same plan with progress capture so per-micro-batch
-  * durations (addBatch / getBatch / walCommit / stateMemory) are visible.
-  * Run: sbt "runMain graft.tools.ProfileStreamJoin /root/testdata/sf0.1 8"
+  * drains Incremental's OWN join plan (one definition — no drifted copy)
+  * with progress capture so per-micro-batch durations (addBatch /
+  * getBatch / walCommit / state commit) are visible at a chosen shuffle
+  * partition count. This is the tool behind withDrainParts' store-sizing
+  * numbers. Run:
+  * sbt "runMain graft.tools.ProfileStreamJoin /root/testdata/sf0.1 8"
   */
 object ProfileStreamJoin {
   def main(args: Array[String]): Unit = {
@@ -22,23 +24,7 @@ object ProfileStreamJoin {
         graft.engine.TempWarehouse.createManaged())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
-    def src = graft.engine.Tables.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
-    val views = src.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-        col("ts").as("view_ts"))
-      .withWatermark("view_ts", "1 hour")
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    val joined = views.join(purchases,
-      col("v_user") === col("p_user") &&
-        col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr("interval 86400 seconds"))
+    val joined = graft.streaming.Incremental.streamingJoinPlan(spark, sfDir)
     for (rep <- 1 to 3) {
       val t0 = System.nanoTime()
       val q = joined.writeStream.outputMode("append").format("memory")
