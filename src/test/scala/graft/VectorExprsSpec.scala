@@ -59,4 +59,22 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(df.select(VectorExprs.dot(col("a"), col("b"))).head().isNullAt(0))
     assert(df.select(VectorExprs.dot(col("a"), col("a"))).head().getDouble(0) === 10.0)
   }
+
+  test("graft_winnow resolves via the session extension; bad args fail at build") {
+    // wiring: available to plain spark.sql users without ensureRegistered
+    // (the GraftExtensions injection the README documents)
+    val out = spark.sql("SELECT graft_winnow('abab', 2, 2) AS p").head()
+    // grams ab,ba,ab: 'ab'<'ba' selects pos 1; pos2 'ba' loses to window
+    // {ab,ba}; pos3 'ab' == min of trailing {ba,ab} → selected
+    assert(out.getSeq[Int](0) === Seq(1, 3))
+    // validation: arity / non-literal / non-positive all fail with the
+    // build-time message, not a late ClassCastException
+    for (bad <- Seq(
+        "SELECT graft_winnow('abc')",
+        "SELECT graft_winnow('abc', 3L, 4)",
+        "SELECT graft_winnow('abc', 3, 0)")) {
+      val e = intercept[Exception](spark.sql(bad).head())
+      assert(e.getMessage.contains("graft_winnow"), s"$bad: ${e.getMessage}")
+    }
+  }
 }
