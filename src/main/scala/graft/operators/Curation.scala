@@ -688,4 +688,47 @@ object Curation {
        |  string_agg(CAST(cand AS VARCHAR), ',' ORDER BY slot) AS neg_items
        |FROM kept WHERE rnk <= ${NegKeep}
        |GROUP BY 1 ORDER BY custkey""".stripMargin
+
+  // `q_kshot_sample`: exact-k per-class deterministic subset
+
+  /** Items kept per label. */
+  val KshotK = 5
+
+  /** `q_kshot_sample`: EXACT-k per-class sampling — few-shot eval-set and
+    * balanced-probe construction, where each class must contribute
+    * exactly k items (X42's Bernoulli sampling gives a random-sized
+    * fraction; this gives a fixed-size panel). Selection order is the
+    * shared md5-prefix hash (X31's cross-engine convention) with id as
+    * the total-order tiebreak, so the panel is a pure function of
+    * (id, seed): re-runs, reshuffles, and engine choice all reproduce it
+    * bit-for-bit, and adding non-panel items to the corpus never evicts a
+    * selected one whose hash rank still clears k.
+    *
+    * Scale shape: the rank-limit filter compiles to WindowGroupLimit
+    * (PlanSpec-guarded) — each input partition pre-prunes to its own
+    * top-k per label BEFORE the exchange, so the per-label sort touches
+    * ≤ k·partitions rows, never the label's full population — the same
+    * map-side top-k that powers q_topk_per_group. */
+  def kshotSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("k"), col("vec_id"))), 1, 15), 16, 10)
+      .cast("long")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), h.as("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("h"), col("vec_id"))))
+      .filter(col("rnk") <= KshotK)
+      .select(col("label"), col("rnk").cast("long").as("rnk"), col("vec_id"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
+  val kshotSampleOracle: String =
+    s"""SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id FROM (
+       |  SELECT label, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY CAST(concat('0x', substr(md5('k' || vec_id), 1, 15))
+       |        AS BIGINT), vec_id) AS rnk
+       |  FROM embeddings) t
+       |WHERE rnk <= ${KshotK}
+       |ORDER BY label, rnk""".stripMargin
 }

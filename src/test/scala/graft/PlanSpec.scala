@@ -582,6 +582,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_kshot_sample: rank limit pushes into WindowGroupLimit") {
+    val p = plan("q_kshot_sample")
+    // each partition must pre-prune to its own top-k per label before the
+    // exchange — the map-side top-k that keeps exact-k sampling off the
+    // per-label sort funnel
+    assert(p.contains("WindowGroupLimit"),
+      s"k-shot rank filter must compile to WindowGroupLimit:\n$p")
+  }
+
   test("q_wau: window expansion is generator-based, never a calendar join") {
     val p = plan("q_wau")
     assert(p.contains("Generate explode"),
