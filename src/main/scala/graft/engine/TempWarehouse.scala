@@ -10,9 +10,9 @@ package graft.engine
   * dies with the session anyway, so nothing can dangle. */
 object TempWarehouse {
   def createManaged(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_wh_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
-    dir.toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    manageExisting(dir)
+    dir
   }
 
   private val managed = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()

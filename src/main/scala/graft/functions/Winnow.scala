@@ -116,7 +116,10 @@ object Winnow {
           if (!e.foldable || e.dataType != IntegerType)
             throw new IllegalArgumentException(
               s"graft_winnow: $name must be an INT literal, got ${e.sql}")
-          val v = e.eval().asInstanceOf[Int]
+          val raw = e.eval()
+          if (raw == null) throw new IllegalArgumentException(
+            s"graft_winnow: $name must be a non-NULL INT literal")
+          val v = raw.asInstanceOf[Int]
           if (v < 1) throw new IllegalArgumentException(
             s"graft_winnow: $name must be >= 1, got $v")
           v

@@ -62,10 +62,11 @@ object Incremental {
     * state sizes here (≤ tens of thousands of rows) store-count overhead
     * dominates long before compute parallelism matters. The count is
     * frozen into a checkpoint at first run in production, which is exactly
-    * why it must be chosen from state volume up front — profiled on the
-    * stream-stream join: 32 stores (8 partitions × 4 stores/partition)
-    * ≈ 4.4 s warm, 8 stores ≈ 3.0 s, same answer. Batch queries in the
-    * same session keep the session default. */
+    * why it must be chosen from state volume up front — profiled with
+    * ProfileStreamJoin on the real join plan (2 h horizon): 32 stores
+    * (8 partitions × 4 stores/partition) ≈ 2.9-3.2 s warm, 8 stores
+    * ≈ 2.4-2.7 s, same answer. Batch queries in the same session keep the
+    * session default. */
   private def withDrainParts[T](spark: SparkSession, n: Int)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)

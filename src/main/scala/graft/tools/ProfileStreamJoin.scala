@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * with progress capture so per-micro-batch durations (addBatch /
   * getBatch / walCommit / state commit) are visible at a chosen shuffle
   * partition count. This is the tool behind withDrainParts' store-sizing
-  * numbers. Run:
+  * numbers (re-measured on this shared plan after an earlier drifted
+  * copy profiled a 24 h horizon). Run:
   * sbt "runMain graft.tools.ProfileStreamJoin /root/testdata/sf0.1 8"
   */
 object ProfileStreamJoin {
