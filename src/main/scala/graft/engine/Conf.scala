@@ -1,0 +1,21 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Scoped session-conf overrides. */
+object Conf {
+  /** Runs `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
+    * session default after. For operators whose working set is orders of
+    * magnitude below the session's CPU-sized default — fixture-scale
+    * pipeline stages, state-store-bounded streaming drains — where each
+    * shuffle partition costs a task launch plus a sink file and the data
+    * would fit in one. Production gets this from AQE partition coalescing;
+    * a fixed local[32] session does not, so the operator states its own
+    * volume. The body must FORCE its work (write/count) before returning:
+    * the conf is read at execution, not plan, time. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

@@ -279,8 +279,17 @@ object Medallion {
     val base = Files.createTempDirectory("graft_pipeline_").toString
     val raw = Fixtures.writeRaw(base)
     val warehouse = s"$base/warehouse"
-    run(spark, raw, warehouse)
-    run(spark, raw, warehouse) // second run must change nothing
+    // Fixture-scale stages: every shuffle in the ten stage executions
+    // (5 stages × 2 runs) moves tens of rows, so the session's CPU-sized
+    // partition count is pure task/file overhead — 2 partitions keeps the
+    // same plans at stage-data volume (production gets this from AQE
+    // coalescing; see Conf.withShufflePartitions). Both run()s force
+    // their writes inside the scope; only the lazy final read sees the
+    // session default.
+    graft.engine.Conf.withShufflePartitions(spark, 2) {
+      run(spark, raw, warehouse)
+      run(spark, raw, warehouse) // second run must change nothing
+    }
     readAgg(spark, warehouse)
   }
 

@@ -67,11 +67,8 @@ object Incremental {
     * (8 partitions × 4 stores/partition) ≈ 2.9-3.2 s warm, 8 stores
     * ≈ 2.4-2.7 s, same answer. Batch queries in the same session keep the
     * session default. */
-  private def withDrainParts[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def withDrainParts[T](spark: SparkSession, n: Int)(body: => T): T =
+    graft.engine.Conf.withShufflePartitions(spark, n)(body)
 
   /** Streaming staging load: drains new videos_* JSON files into the
     * medallion staging table and returns when caught up. Re-running with an
