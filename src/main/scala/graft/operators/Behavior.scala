@@ -401,6 +401,59 @@ object Behavior {
        |WHERE w.wday BETWEEN b.lo + ${WauWindowDays - 1} AND b.hi
        |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // `q_streaks`: gaps-and-islands longest consecutive-day streak
+
+  /** `q_streaks`: longest consecutive-DAY activity streak per user, rolled
+    * up to a streak-length histogram — the classic gaps-and-islands
+    * pattern (engagement/retention's "current streak" metric), distinct
+    * from X5's time-gap sessionization: islands are calendar-day runs, so
+    * the island id is day_offset − dense_rank(day) per user (constant
+    * within a run, jumps at every gap), needing no gap threshold and no
+    * lag comparison.
+    *
+    * Scale shape: events collapse to distinct (user, day) FIRST (one
+    * map-side-combined aggregate — user-days, not events); the
+    * dense_rank window and both rollups run on that calendar-bounded
+    * frame (≤ |days| rows per user), and the report is
+    * |distinct streak lengths|-sized. One exchange on user_id serves the
+    * window and the per-user max (the shared-partitioning discipline). */
+  def streaksQ(spark: SparkSession, sfDir: String): DataFrame =
+    streaks(Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct())
+
+  /** Core over any distinct (user_id, day DATE) frame. */
+  def streaks(userDays: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    userDays
+      .withColumn("island",
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          - dense_rank().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(Num.countStar.as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("best"))
+      .groupBy(col("best").as("streak_len"))
+      .agg(Num.countStar.as("n_users"))
+      .orderBy(col("streak_len"))
+  }
+
+  val streaksOracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |islands AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '2024-01-01', day)
+      |      - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM ud),
+      |runs AS (
+      |  SELECT user_id, island, COUNT(*) AS len
+      |  FROM islands GROUP BY 1, 2),
+      |best AS (
+      |  SELECT user_id, MAX(len) AS best FROM runs GROUP BY 1)
+      |SELECT best AS streak_len, COUNT(*) AS n_users
+      |FROM best GROUP BY 1 ORDER BY streak_len""".stripMargin
+
   // `q_activity_bitmap`: bitmap-index retention
 
   /** Day-offset domain the bitmask covers (bits 0..62 of a BIGINT; the

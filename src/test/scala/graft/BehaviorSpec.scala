@@ -109,4 +109,22 @@ class BehaviorSpec extends AnyFunSuite {
       assert(r.getLong(4) < r.getLong(1)) // outliers < n_events
     }
   }
+
+  test("streaks: crafted islands produce the expected best-run histogram") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // user 1: 1-2-3, gap, 5-6, gap, 10 → best 3
+    // user 2: alternating days → best 1
+    // user 3: 5 consecutive → best 5
+    val days = Seq(
+      (1L, 1), (1L, 2), (1L, 3), (1L, 5), (1L, 6), (1L, 10),
+      (2L, 1), (2L, 3), (2L, 5),
+      (3L, 11), (3L, 12), (3L, 13), (3L, 14), (3L, 15))
+    val ud = days.toDF("user_id", "d")
+      .select(col("user_id"),
+        date_add(lit("2024-01-01").cast("date"), col("d")).as("day"))
+    val out = Behavior.streaks(ud).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
 }
