@@ -611,8 +611,12 @@ object TextAnalysis {
     * cross-branch subtree reuse — see graft.engine.Materialize). The final
     * top-K is a global sort of a vocab²-bounded frame with
     * TakeOrderedAndProject doing a per-partition heap. */
-  def ngramLmQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val bi = graft.engine.Materialize.diskBacked(Tables.documents(spark, sfDir)
+  /** The materialized (w1, w2, n) bigram-count frame — ONE front shared by
+    * the LM counts (ngramLmQ) and the collocation miner (collocationsQ):
+    * corpus tokenize → adjacent-pair explode → map-side-combined count,
+    * disk-backed because every consumer fans it into several branches. */
+  private def bigramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.Materialize.diskBacked(Tables.documents(spark, sfDir)
       .select(words.as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(zip_with(
@@ -622,6 +626,18 @@ object TextAnalysis {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(Num.countStar.as("n")))
+
+  /** The bigram-count CTEs (`d`, `bg`, `c`) shared by both oracles. */
+  private val bigramCteSql: String =
+    s"""d AS (SELECT $wordsSql AS ws FROM documents),
+       |bg AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM d, UNNEST(range(1, len(ws))) AS u(i)
+       |  WHERE len(ws) >= 2),
+       |c AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2)""".stripMargin
+
+  def ngramLmQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = bigramCounts(spark, sfDir)
     val totals = bi.groupBy(col("w1")).agg(sum(col("n")).as("w1_total"))
     bi.join(broadcast(totals), Seq("w1"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
@@ -630,16 +646,63 @@ object TextAnalysis {
   }
 
   val ngramLmOracle: String =
-    s"""WITH d AS (SELECT $wordsSql AS ws FROM documents),
-       |bg AS (
-       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
-       |  FROM d, UNNEST(range(1, len(ws))) AS u(i)
-       |  WHERE len(ws) >= 2),
-       |c AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    s"""WITH $bigramCteSql,
        |p AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS w1_total FROM c GROUP BY 1)
        |SELECT c.w1, c.w2, c.n, p.w1_total
        |FROM c JOIN p USING (w1)
        |ORDER BY n DESC, w1, w2 LIMIT ${NgramLmTopK}""".stripMargin
+
+  // `q_collocations`: PMI-style collocation mining in exact integers
+
+  /** Minimum bigram count / rational lift threshold (num/den = 1.5×,
+    * chosen against the corpus: the synthetic text is near-independent,
+    * so ≥ 2× lift leaves a 1-row report at sf0.1) / rows reported. */
+  val CollocMinCount = 3
+  val CollocLiftNum = 3
+  val CollocLiftDen = 2
+  val CollocTopK = 30
+
+  /** `q_collocations`: collocation extraction — bigrams whose observed
+    * count beats independence by ≥ Num/Den× (the PMI > log(lift)
+    * filter every phrase-mining / tokenizer-vocab pipeline runs), with
+    * ALL arithmetic exact: the lift test den·n_ab·N ≥ num·n_a·n_b is
+    * integer CROSS-MULTIPLICATION (no log, no division — products stay
+    * < 2⁶³ at any realistic corpus), marginals n_a/n_b are
+    * the bigram frame's own position totals (one consistent probability
+    * space, no second corpus pass), and the report orders by exact count.
+    * PMI itself is left to the caller (spearman/corr convention).
+    *
+    * Scale shape: everything downstream of the shared bigram front runs
+    * on the vocabulary-bounded count frame — two marginal aggregates
+    * broadcast back, a 1-row total, a TakeOrdered. */
+  def collocationsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = bigramCounts(spark, sfDir)
+    val m1 = bi.groupBy(col("w1")).agg(sum(col("n")).as("n_a"))
+    val m2 = bi.groupBy(col("w2")).agg(sum(col("n")).as("n_b"))
+    val tot = bi.agg(sum(col("n")).as("n_total"))
+    bi.join(broadcast(m1), Seq("w1"))
+      .join(broadcast(m2), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n") >= CollocMinCount &&
+        lit(CollocLiftDen) * col("n") * col("n_total") >=
+          lit(CollocLiftNum) * col("n_a") * col("n_b"))
+      .select(col("w1"), col("w2"), col("n").as("n_ab"),
+        col("n_a"), col("n_b"), col("n_total"))
+      .orderBy(col("n_ab").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
+  val collocationsOracle: String =
+    s"""WITH $bigramCteSql,
+       |m1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_a FROM c GROUP BY 1),
+       |m2 AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS n_b FROM c GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+       |SELECT c.w1, c.w2, c.n AS n_ab, m1.n_a, m2.n_b, t.n_total
+       |FROM c JOIN m1 USING (w1) JOIN m2 USING (w2), t
+       |WHERE c.n >= ${CollocMinCount}
+       |  AND ${CollocLiftDen} * c.n * t.n_total
+       |    >= ${CollocLiftNum} * m1.n_a * m2.n_b
+       |ORDER BY n_ab DESC, w1, w2 LIMIT ${CollocTopK}""".stripMargin
 
   /** A bigram whose corpus count is ≤ this is "rare" for the LM filter. */
   val LmRareMax = 2
