@@ -12,7 +12,13 @@ object Conf {
     * would fit in one. Production gets this from AQE partition coalescing;
     * a fixed local[32] session does not, so the operator states its own
     * volume. The body must FORCE its work (write/count) before returning:
-    * the conf is read at execution, not plan, time. */
+    * the conf is read at execution, not plan, time.
+    *
+    * SINGLE-THREADED assumption: the override mutates the session-global
+    * conf, so concurrent queries on the same session (or nested scopes
+    * with different `n`) would race on the value. The harness executes
+    * queries sequentially; introduce a lock here before ever driving the
+    * session from multiple threads. */
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)

@@ -642,11 +642,12 @@ object Joins {
     // without the plan break the 36-way explode over the scan runs twice.
     // Repartition BEFORE the explode: the single-file dim scan is one
     // partition, and the 36× string-building fan-out is the query's only
-    // heavy map work — spread it across the cluster, not one task.
+    // heavy map work — spread it across the cluster, not one task. Width
+    // follows the cluster (defaultParallelism), not a hard-coded core count.
     val exploded = graft.engine.Materialize.diskBacked(
       Tables.customer(spark, sfDir)
         .select(col("c_custkey").as("id"), tailCol.as("tail"))
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("id"), explode(array(keys: _*)).as("k"))
         .select(col("id"), col("k.blk").as("blk"), col("k.rem").as("rem"),
           col("k.ci").as("ci"), col("k.cj").as("cj")))

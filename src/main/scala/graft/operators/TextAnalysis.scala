@@ -666,8 +666,11 @@ object TextAnalysis {
     * count beats independence by ≥ Num/Den× (the PMI > log(lift)
     * filter every phrase-mining / tokenizer-vocab pipeline runs), with
     * ALL arithmetic exact: the lift test den·n_ab·N ≥ num·n_a·n_b is
-    * integer CROSS-MULTIPLICATION (no log, no division — products stay
-    * < 2⁶³ at any realistic corpus), marginals n_a/n_b are
+    * integer CROSS-MULTIPLICATION (no log, no division) carried in
+    * DECIMAL(38,0) — n_ab·N can approach N², past 2⁶³ once the corpus
+    * holds ~3·10⁹ bigram tokens, so 128-bit headroom is required at the
+    * 100 TB design point (same convention as the corr-matrix exact
+    * sums), marginals n_a/n_b are
     * the bigram frame's own position totals (one consistent probability
     * space, no second corpus pass), and the report orders by exact count.
     * PMI itself is left to the caller (spearman/corr convention).
@@ -684,8 +687,8 @@ object TextAnalysis {
       .join(broadcast(m2), Seq("w2"))
       .crossJoin(broadcast(tot))
       .filter(col("n") >= CollocMinCount &&
-        lit(CollocLiftDen) * col("n") * col("n_total") >=
-          lit(CollocLiftNum) * col("n_a") * col("n_b"))
+        lit(CollocLiftDen).cast("decimal(38,0)") * col("n") * col("n_total") >=
+          lit(CollocLiftNum).cast("decimal(38,0)") * col("n_a") * col("n_b"))
       .select(col("w1"), col("w2"), col("n").as("n_ab"),
         col("n_a"), col("n_b"), col("n_total"))
       .orderBy(col("n_ab").desc, col("w1"), col("w2"))
@@ -700,8 +703,8 @@ object TextAnalysis {
        |SELECT c.w1, c.w2, c.n AS n_ab, m1.n_a, m2.n_b, t.n_total
        |FROM c JOIN m1 USING (w1) JOIN m2 USING (w2), t
        |WHERE c.n >= ${CollocMinCount}
-       |  AND ${CollocLiftDen} * c.n * t.n_total
-       |    >= ${CollocLiftNum} * m1.n_a * m2.n_b
+       |  AND CAST(${CollocLiftDen} AS DECIMAL(38,0)) * c.n * t.n_total
+       |    >= CAST(${CollocLiftNum} AS DECIMAL(38,0)) * m1.n_a * m2.n_b
        |ORDER BY n_ab DESC, w1, w2 LIMIT ${CollocTopK}""".stripMargin
 
   /** A bigram whose corpus count is ≤ this is "rare" for the LM filter. */

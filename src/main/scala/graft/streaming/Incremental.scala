@@ -493,12 +493,14 @@ object Incremental {
     val cutoff = lit(BackfillCutoff).cast("date")
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_upsert_${graft.engine.Tables.sfTag(sfDir)}").getAbsolutePath
+      s"graft_upsert_${graft.engine.Tables.sfTag(sfDir)}_" +
+        java.lang.ProcessHandle.current().pid()).getAbsolutePath
     def gen(i: Long): String = s"$base/gen_$i"
-    // fixed per-sf base, wiped up front (a rerun must not accumulate the
-    // previous run's final generation — the ADVICE fixture-leak class)
-    // and deleted again at JVM exit so the final generation can't outlive
-    // the process either
+    // per-sf AND per-process base (PID-suffixed: two JVMs benching the
+    // same sf must not retire each other's live generations), wiped up
+    // front (a rerun in THIS process must not accumulate the previous
+    // run's final generation — the ADVICE fixture-leak class) and deleted
+    // again at JVM exit so the final generation can't outlive the process
     graft.engine.TempWarehouse.deleteRecursively(java.nio.file.Paths.get(base))
     graft.engine.TempWarehouse.manageExisting(base)
     // bootstrap: batch history strictly before the cutoff → generation 0
