@@ -22,8 +22,16 @@ import graft.functions.Sentiment
   *
   * Idempotence: re-running the whole load leaves every layer byte-identical
   * (anti-join inserts nothing; the agg rewrite regenerates the same slices) —
-  * asserted by PipelineSpec and demonstrated by `q_pipeline_daily_agg`,
-  * which runs the load TWICE before returning the analytics table.
+  * asserted by PipelineSpec's rerun test.
+  *
+  * Atomicity: the dim MERGE, fact append, and agg slice refresh all commit
+  * through [[graft.engine.TableCommit]] — copy-on-write batches adopted by
+  * an atomic manifest rename — so a crash inside any stage leaves that
+  * table at its previous version (the reference gets this from Snowflake's
+  * MERGE transactionality, snowflake_loader.py:86-104, plus per-step
+  * commit/rollback, function_app.py:304-355). PipelineSpec's crash test
+  * kills a simulated load between the dim data write and its commit and
+  * asserts nothing moved.
   *
   * Scale: each stage is a narrow scan + one keyed shuffle at most; stages
   * materialize to parquet exactly where the reference commits per step, so
@@ -80,24 +88,15 @@ object Medallion {
     StructField("classification_method", StringType),
     StructField("collection_date", StringType)))
 
-  // ---- helpers ---------------------------------------------------------
-
-  private def readOrEmpty(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    if (new java.io.File(path).exists())
-      spark.read.schema(schema).parquet(path)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-
-  /** Write `df` to `path` going through a tmp dir, because the new content
-    * is derived FROM `path` (Spark refuses to overwrite an input path). This
-    * is the parquet analogue of the reference's temp-table-then-MERGE. */
-  private def writeVia(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
-    val tmp = path + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-  }
+  val aggSchema: StructType = StructType(Seq(
+    StructField("analysis_date", StringType),
+    StructField("channel_country", StringType),
+    StructField("final_sentiment", StringType),
+    StructField("video_count", LongType),
+    StructField("total_views", LongType),
+    StructField("total_likes", LongType),
+    StructField("total_comments", LongType),
+    StructField("avg_engagement_rate", DoubleType)))
 
   private val fileName = regexp_extract(input_file_name(), "([^/]+)$", 1)
   /** raw/YYYY/MM/DD/ path segment -> collection date (P12 reversed + P5). */
@@ -152,7 +151,7 @@ object Medallion {
         coalesce(col("channel_country"), lit("UNKNOWN")).as("channel_country"),
         col("subscriber_count"), col("video_count"))
     // J2: MERGE upsert — source wins updatable cols, target keeps first_seen
-    val target = readOrEmpty(spark, dimPath, dimSchema)
+    val target = graft.engine.TableCommit.read(spark, dimPath, dimSchema)
     val merged = target.as("t")
       .join(batch.as("s"), Seq("channel_id"), "full_outer")
       .select(col("channel_id"),
@@ -161,7 +160,11 @@ object Medallion {
         coalesce(col("s.subscriber_count"), col("t.subscriber_count")).as("subscriber_count"),
         coalesce(col("s.video_count"), col("t.video_count")).as("video_count"),
         coalesce(col("t.first_seen_date"), lit(Today)).as("first_seen_date"))
-    writeVia(merged, dimPath)
+    // COW commit: the merged snapshot stages into a fresh batch dir while
+    // the plan reads the live files (immutable — no temp-table hop needed),
+    // then adopts atomically. A crash mid-write leaves the old version
+    // intact; PipelineSpec's crash test pins this.
+    graft.engine.TableCommit.commitOverwrite(merged, dimPath)
   }
 
   // ---- stage 3: enrichment + fact insert-only (P2..P10, A2, P3, J3) ----
@@ -203,25 +206,27 @@ object Medallion {
       .distinct()
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn", "file_name")
-    val existing = readOrEmpty(spark, factPath, factSchema)
+    val existing = graft.engine.TableCommit.read(spark, factPath, factSchema)
     // J3: left anti = WHEN NOT MATCHED THEN INSERT (no update clause).
-    // The anti-join result is MATERIALIZED (disk-backed, eager) before the
-    // append: writing into a path the plan also reads relies on the scan's
-    // file index being snapshotted at read() time — true today with an
-    // explicit schema, but undocumented, and a mid-write failure would
-    // otherwise interleave a half-appended table with a live read. After
-    // the count below, the append's input no longer touches factPath.
-    val toInsert = graft.engine.Materialize.diskBacked(
-      batch.join(existing.select("video_id"), Seq("video_id"), "left_anti"))
-    toInsert.write.mode("append").parquet(factPath)
-    toInsert.unpersist()
+    // COW append commit: the anti-join's build side reads the table's
+    // CURRENT committed files — immutable, and still referenced by the
+    // successor manifest — while the insert batch stages into its own
+    // directory, so the old read-while-append hazard (and the defensive
+    // disk materialization it forced) is gone by construction. A crash
+    // before publish leaves the table at the old version with an orphan
+    // batch the next commit sweeps.
+    graft.engine.TableCommit.commitAppend(
+      batch.join(existing.select("video_id"), Seq("video_id"), "left_anti"),
+      factPath)
   }
 
   // ---- stage 4: daily agg slice overwrite (J1/A1/D1) -------------------
 
   def refreshAgg(spark: SparkSession, warehouse: String): Unit = {
-    val fact = spark.read.schema(factSchema).parquet(s"$warehouse/core/fact_videos")
-    val dim = spark.read.schema(dimSchema).parquet(s"$warehouse/core/dim_channels")
+    val fact = graft.engine.TableCommit.read(
+      spark, s"$warehouse/core/fact_videos", factSchema)
+    val dim = graft.engine.TableCommit.read(
+      spark, s"$warehouse/core/dim_channels", dimSchema)
     val agg = fact.join(dim, Seq("channel_id"))
       .groupBy(col("collection_date").as("analysis_date"),
         col("channel_country"), col("final_sentiment"))
@@ -234,10 +239,13 @@ object Medallion {
         // cast is lossless-enough to be order-independent and cross-engine
         (sum(col("engagement_rate").cast(DecimalType(18, 4))).cast("double")
           / count(lit(1))).as("avg_engagement_rate"))
-    agg.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("analysis_date")
-      .parquet(s"$warehouse/analytics/agg_daily_by_region")
+    // D1 as a COW partition-slice commit: the slices this load computed
+    // swap wholesale (the replaced set comes from the staged batch's own
+    // partition dirs — data-driven, like dynamic partitionOverwriteMode),
+    // untouched days carry their files forward, and the swap is one atomic
+    // manifest rename instead of a delete-then-write window.
+    graft.engine.TableCommit.commitReplacePartitions(
+      agg, s"$warehouse/analytics/agg_daily_by_region", "analysis_date")
   }
 
   // ---- stage 5: cleanup (S7 TRUNCATE) ----------------------------------
@@ -263,9 +271,18 @@ object Medallion {
     cleanupStaging(spark, warehouse)
   }
 
+  /** Current committed core layers (spec + tooling surface). */
+  def readDim(spark: SparkSession, warehouse: String): DataFrame =
+    graft.engine.TableCommit.read(
+      spark, s"$warehouse/core/dim_channels", dimSchema)
+  def readFact(spark: SparkSession, warehouse: String): DataFrame =
+    graft.engine.TableCommit.read(
+      spark, s"$warehouse/core/fact_videos", factSchema)
+
   /** Reads back the analytics layer in driver-comparable form. */
   def readAgg(spark: SparkSession, warehouse: String): DataFrame =
-    spark.read.parquet(s"$warehouse/analytics/agg_daily_by_region")
+    graft.engine.TableCommit.read(
+        spark, s"$warehouse/analytics/agg_daily_by_region", aggSchema)
       .withColumn("analysis_date", col("analysis_date").cast("string"))
       .select(col("analysis_date"), col("channel_country"),
         col("final_sentiment"), col("video_count"), col("total_views"),

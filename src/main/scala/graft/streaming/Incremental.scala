@@ -465,10 +465,10 @@ object Incremental {
     * batch GROUP BY over all events the exact oracle.
     *
     * At scale the served table is the production asset (the thing a
-    * feature store serves); each activation rewrites it key-merged — the
-    * generation paths model a table-format commit (write new snapshot,
-    * retire the old), and the previous generation is deleted as soon as
-    * its successor lands. */
+    * feature store serves); each activation rewrites it key-merged through
+    * [[graft.engine.TableCommit]] — write a new snapshot batch, adopt it
+    * with an atomic manifest rename, retire the predecessor — so a crash
+    * mid-activation leaves the previous generation serving. */
   /** Per-batch partial of the upsert's merge algebra: per key, the event
     * count and the max (ts, event_id, type) struct (event_id breaks ts
     * ties; the type field never decides). */
@@ -495,19 +495,17 @@ object Incremental {
       sys.props("java.io.tmpdir"),
       s"graft_upsert_${graft.engine.Tables.sfTag(sfDir)}_" +
         java.lang.ProcessHandle.current().pid()).getAbsolutePath
-    def gen(i: Long): String = s"$base/gen_$i"
-    // per-sf AND per-process base (PID-suffixed: two JVMs benching the
-    // same sf must not retire each other's live generations), wiped up
+    // per-sf AND per-process table root (PID-suffixed: two JVMs benching
+    // the same sf must not retire each other's live generations), wiped up
     // front (a rerun in THIS process must not accumulate the previous
     // run's final generation — the ADVICE fixture-leak class) and deleted
     // again at JVM exit so the final generation can't outlive the process
     graft.engine.TempWarehouse.deleteRecursively(java.nio.file.Paths.get(base))
     graft.engine.TempWarehouse.manageExisting(base)
-    // bootstrap: batch history strictly before the cutoff → generation 0
-    upsertKeyAgg(graft.engine.Tables.events(spark, sfDir)
-        .filter(to_date(col("ts")) < cutoff))
-      .write.mode("overwrite").parquet(gen(0))
-    @volatile var current = 0L
+    // bootstrap: batch history strictly before the cutoff → version 1
+    graft.engine.TableCommit.commitOverwrite(
+      upsertKeyAgg(graft.engine.Tables.events(spark, sfDir)
+        .filter(to_date(col("ts")) < cutoff)), base)
     val q = eventsStream(spark, sfDir)
       .filter(to_date(col("ts")) >= cutoff)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -515,17 +513,16 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
-        val served = sp.read.parquet(gen(current))
-        val merged = upsertMerge(served, upsertKeyAgg(batch))
-        merged.write.mode("overwrite").parquet(gen(current + 1))
-        // table-format commit discipline: successor landed → retire
-        graft.engine.TempWarehouse.deleteRecursively(
-          java.nio.file.Paths.get(gen(current)))
-        current += 1
+        val served = graft.engine.TableCommit.readCurrent(sp, base)
+        // MERGE-apply = overwrite commit of the folded successor: stage,
+        // atomic adopt, predecessor retired by the commit itself.
+        graft.engine.TableCommit.commitOverwrite(
+          upsertMerge(served, upsertKeyAgg(batch)), base)
+        ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(gen(current))
+    graft.engine.TableCommit.readCurrent(spark, base)
       .select(col("user_id"), col("n_events"),
         col("last.ts").as("last_ts"),
         col("last.event_id").as("last_event_id"),

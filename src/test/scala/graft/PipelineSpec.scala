@@ -26,18 +26,46 @@ class PipelineSpec extends AnyFunSuite {
     val (raw, wh) = freshRun()
     Medallion.run(spark, raw, wh)
     val agg1 = canon(Medallion.readAgg(spark, wh))
-    val dim1 = canon(spark.read.parquet(s"$wh/core/dim_channels"))
-    val fact1 = canon(spark.read.parquet(s"$wh/core/fact_videos"))
+    val dim1 = canon(Medallion.readDim(spark, wh))
+    val fact1 = canon(Medallion.readFact(spark, wh))
     Medallion.run(spark, raw, wh)
     assert(canon(Medallion.readAgg(spark, wh)) === agg1)
-    assert(canon(spark.read.parquet(s"$wh/core/dim_channels")) === dim1)
-    assert(canon(spark.read.parquet(s"$wh/core/fact_videos")) === fact1)
+    assert(canon(Medallion.readDim(spark, wh)) === dim1)
+    assert(canon(Medallion.readFact(spark, wh)) === fact1)
+  }
+
+  test("crash between the dim data write and its commit leaves every layer intact") {
+    val (raw, wh) = freshRun()
+    Medallion.run(spark, raw, wh)
+    val agg1 = canon(Medallion.readAgg(spark, wh))
+    val dim1 = canon(Medallion.readDim(spark, wh))
+    val fact1 = canon(Medallion.readFact(spark, wh))
+    // Simulate a second load killed AFTER writing the dim MERGE snapshot
+    // files but BEFORE the atomic manifest rename: stage a batch (with
+    // content that would be visibly wrong if adopted), never publish.
+    val dimPath = s"$wh/core/dim_channels"
+    val staged = graft.engine.TableCommit.stageBatch(
+      Medallion.readDim(spark, wh).limit(1), dimPath)
+    assert(staged.nonEmpty)
+    // The orphan batch is on disk but invisible: readers still resolve the
+    // committed version.
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dimPath/${staged.head.path}")))
+    assert(canon(Medallion.readDim(spark, wh)) === dim1)
+    // Recovery = just rerun the load: every layer converges to the same
+    // state, and the successor commit sweeps the orphan files.
+    Medallion.run(spark, raw, wh)
+    assert(canon(Medallion.readAgg(spark, wh)) === agg1)
+    assert(canon(Medallion.readDim(spark, wh)) === dim1)
+    assert(canon(Medallion.readFact(spark, wh)) === fact1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dimPath/${staged.head.path}")))
   }
 
   test("dim: latest file wins; missing country defaults to UNKNOWN") {
     val (raw, wh) = freshRun()
     Medallion.run(spark, raw, wh)
-    val dim = spark.read.parquet(s"$wh/core/dim_channels").collect()
+    val dim = Medallion.readDim(spark, wh).collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
     assert(dim("C2") === (("Beta v2", "IN"))) // file-2 version won
     assert(dim("C5")._2 === "UNKNOWN") // null country defaulted
@@ -47,7 +75,7 @@ class PipelineSpec extends AnyFunSuite {
   test("fact: first write wins and null video_id rows are rejected") {
     val (raw, wh) = freshRun()
     Medallion.run(spark, raw, wh)
-    val fact = spark.read.parquet(s"$wh/core/fact_videos")
+    val fact = Medallion.readFact(spark, wh)
     // V1 appears in both files; the day-1 counts must have won
     val v1 = fact.filter(col("video_id") === "V1").head()
     assert(v1.getAs[Long]("view_count") === 1000L)

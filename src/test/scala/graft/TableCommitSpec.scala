@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TableCommit
+
+/** The copy-on-write table format (SURVEY §5: MERGE/D1 atomicity):
+  * versioned manifests, atomic adoption, retention, partition-slice
+  * replace, crash invisibility. */
+class TableCommitSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def root(): String =
+    Files.createTempDirectory("graft_tc_spec_").toString
+
+  test("virgin root reads empty with the given schema; no version exists") {
+    val r = root()
+    assert(TableCommit.currentVersion(r).isEmpty)
+    val df = TableCommit.read(spark, r, schema)
+    assert(df.schema === schema && df.count() === 0)
+  }
+
+  test("overwrite commit round-trips, bumps the version, retires the predecessor's files") {
+    val r = root()
+    val v1 = TableCommit.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r)
+    assert(v1 === 1L)
+    val gen1Files = TableCommit.entries(r).map(_.path)
+    assert(gen1Files.nonEmpty)
+    val v2 = TableCommit.commitOverwrite(Seq((3L, "c")).toDF("k", "v"), r)
+    assert(v2 === 2L)
+    assert(TableCommit.read(spark, r, schema).collect().map(_.getLong(0)).toSet
+      === Set(3L))
+    // predecessor data files and manifest are gone
+    gen1Files.foreach(p => assert(!Files.exists(Paths.get(s"$r/$p"))))
+    assert(TableCommit.currentVersion(r) === Some(2L))
+  }
+
+  test("append commit accumulates rows and keeps prior files live") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
+    val before = TableCommit.entries(r).map(_.path).toSet
+    TableCommit.commitAppend(Seq((2L, "b")).toDF("k", "v"), r)
+    val after = TableCommit.entries(r).map(_.path).toSet
+    assert(before.subsetOf(after) && after.size > before.size)
+    assert(TableCommit.read(spark, r, schema).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+  }
+
+  test("replacePartitions swaps only the slices present in the new data") {
+    val r = root()
+    TableCommit.commitReplacePartitions(
+      Seq(("d1", 1L), ("d2", 2L)).toDF("day", "n"), r, "day")
+    // second load recomputes d2 only (new value) — d1 must survive untouched
+    val d1Files = TableCommit.entries(r)
+      .filter(_.part.contains("d1")).map(_.path).toSet
+    TableCommit.commitReplacePartitions(
+      Seq(("d2", 20L)).toDF("day", "n"), r, "day")
+    val got = TableCommit.readCurrent(spark, r)
+      .collect().map(x => x.getAs[String]("day") -> x.getAs[Long]("n")).toMap
+    assert(got === Map("d1" -> 1L, "d2" -> 20L))
+    assert(TableCommit.entries(r)
+      .filter(_.part.contains("d1")).map(_.path).toSet === d1Files)
+    // manifest-pruned read: listing-time file pruning, no post-scan filter
+    val pruned = TableCommit.readPruned(spark, r,
+      StructType(Seq(StructField("day", StringType),
+        StructField("n", LongType))))(_ == "d2")
+    assert(pruned.collect().map(_.getAs[Long]("n")).toSet === Set(20L))
+  }
+
+  test("a staged-but-unpublished batch is invisible and swept by the next commit") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
+    val orphan = TableCommit.stageBatch(
+      Seq((99L, "crash")).toDF("k", "v"), r)
+    assert(orphan.nonEmpty)
+    assert(Files.exists(Paths.get(s"$r/${orphan.head.path}")))
+    // invisible to readers
+    assert(TableCommit.read(spark, r, schema).collect().map(_.getLong(0)).toSet
+      === Set(1L))
+    // next successful commit garbage-collects the orphan
+    TableCommit.commitAppend(Seq((2L, "b")).toDF("k", "v"), r)
+    assert(!Files.exists(Paths.get(s"$r/${orphan.head.path}")))
+    assert(TableCommit.read(spark, r, schema).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+  }
+
+  test("partition values with JSON-active characters survive the manifest") {
+    val r = root()
+    TableCommit.commitReplacePartitions(
+      Seq(("""quo"te""", 1L)).toDF("day", "n"), r, "day")
+    val es = TableCommit.entries(r)
+    assert(es.nonEmpty)
+    // value round-trips through the escaped manifest line (still in
+    // Spark's escaped dir-name form, but lossless)
+    assert(es.head.part.isDefined)
+    assert(TableCommit.readCurrent(spark, r).count() === 1L)
+  }
+}
