@@ -19,9 +19,19 @@ object Conf {
     * with different `n`) would race on the value. The harness executes
     * queries sequentially; introduce a lock here before ever driving the
     * session from multiple threads. */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    scoped(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Runs `body` with the given session-conf overrides, restoring (or
+    * unsetting) each after. Same execution-time and single-threaded
+    * caveats as [[withShufflePartitions]]: the body must force its work
+    * inside the scope, and the session must not run concurrent queries. */
+  def scoped[T](spark: SparkSession, kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => try spark.conf.unset(k) catch { case _: Throwable => () }
+    }
   }
 }

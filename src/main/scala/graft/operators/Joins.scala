@@ -683,4 +683,95 @@ object Joins {
        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey)
        |WHERE dist <= ${FuzzyMaxDist} AND dist > 0
        |GROUP BY 1 ORDER BY dist""".stripMargin
+
+  // ------------------------------------------------------------------
+  // `q_skew_join` / `q_skew_join_plain`: hot-key join under AQE skew split
+  // ------------------------------------------------------------------
+
+  /** The classic UNKNOWN-member fact skew: every fact row without a
+    * resolvable dimension key collapses onto the sentinel member (-1), so
+    * one join key carries a third of the table while real keys carry ~600
+    * rows each (`q_skew_profile` is the diagnostic that would surface
+    * this). The lazy plan: facts (lineitem, with `l_returnflag = 'N'`
+    * standing in deterministically for "supplier attribution missing")
+    * joined to the supplier dim extended with the UNKNOWN row, rolled up
+    * per nation. */
+  private[graft] def skewJoinPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    // AQE splits a skewed REDUCE partition at map-output granularity: it
+    // regroups the map chunks that hash-landed together, so the hot key is
+    // only divisible if many map tasks produced it. A 100 TB scan gives
+    // thousands of map tasks for free; the bench fixture is ONE parquet
+    // row group = one scan task = one indivisible chunk, so spread the
+    // fact side across the cluster width first (at scale this exchange is
+    // what the scan's own task fan-out already provides).
+    val facts = Tables.lineitem(spark, sfDir).select(
+      when(col("l_returnflag") === "N", lit(-1L))
+        .otherwise(col("l_suppkey")).as("supp_key"),
+      col("l_extendedprice"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val dim = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("supp_key"),
+        col("s_nationkey").cast("long").as("nation_key"))
+      .unionByName(spark.range(1).select(
+        lit(-1L).as("supp_key"), lit(-1L).as("nation_key")))
+    facts.join(dim, Seq("supp_key"))
+      .groupBy(col("nation_key"))
+      .agg(Num.countStar.as("n_items"),
+        Num.sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("nation_key"))
+  }
+
+  /** Confs that make the hot key OBSERVABLE at bench scale: broadcast off
+    * (the dim would otherwise broadcast and no shuffle would exist to
+    * skew — at 100 TB the dim may not fit, which is when skew bites), and
+    * the AQE skew thresholds scaled from their production defaults
+    * (256 MB partitions) down to bench bytes so the optimizer classifies
+    * the sentinel partition exactly as it would the real thing. */
+  private[graft] val skewScaleConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    // The join feeds a rollup whose re-shuffle the skew split would add
+    // anyway; without force, OptimizeSkewedJoin vetoes itself whenever the
+    // split changes the join's output partitioning that a downstream
+    // exchange must then restore. One straggler partition costs more than
+    // one extra small exchange — the trade this conf exists to take.
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+
+  /** `q_skew_join`: the hot-key join executed WITH AQE's skew-join split —
+    * the runtime answer to skew (the planned-ahead answers are the salted
+    * variants, W1/A1). AQE observes the finished map stage, sees the
+    * sentinel partition at ~N/3 of the table, and splits it into
+    * advisory-sized chunks each joined against a replicated copy of the
+    * dim's matching partition — no code change, no salt column, identical
+    * results (same oracle as the plain variant; PlanSpec pins that the
+    * split actually engaged, not just that AQE was on).
+    *
+    * The result materializes INSIDE the conf scope (the scoped confs are
+    * read at execution time, and the caller counts after the scope ends). */
+  def skewJoinQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.Conf.scoped(spark, skewScaleConfs: _*) {
+      graft.engine.Materialize.diskBacked(skewJoinPlan(spark, sfDir))
+    }
+
+  /** `q_skew_join_plain`: identical plan with the skew split DISABLED —
+    * the baseline an un-tuned engine runs, where the sentinel partition
+    * serializes one straggler task. Gated against the same oracle: the
+    * optimization must never change the answer. */
+  def skewJoinPlainQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.Conf.scoped(spark,
+      skewScaleConfs :+ ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+      graft.engine.Materialize.diskBacked(skewJoinPlan(spark, sfDir))
+    }
+
+  val skewJoinOracle: String =
+    """SELECT nation_key, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM (SELECT CASE WHEN l_returnflag = 'N' THEN -1 ELSE l_suppkey END
+      |        AS supp_key, l_extendedprice FROM lineitem) f
+      |JOIN (SELECT s_suppkey AS supp_key,
+      |        CAST(s_nationkey AS BIGINT) AS nation_key FROM supplier
+      |      UNION ALL SELECT -1, -1) d USING (supp_key)
+      |GROUP BY nation_key ORDER BY nation_key""".stripMargin
 }

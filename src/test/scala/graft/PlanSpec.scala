@@ -598,4 +598,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"no data-sized join belongs in the WAU ledger:\n$p")
   }
+
+  test("q_skew_join: AQE's skew split engages on the sentinel partition; plain variant stays unsplit") {
+    import graft.operators.Joins
+    // sf0.001's hot partition is a few KB, so scope the byte thresholds
+    // below it — same mechanism the gated query scales for sf0.1 bytes.
+    // 32 shuffle partitions (the spec session defaults to 4): with only 4,
+    // the uniform remainder inflates every partition and the hot one no
+    // longer exceeds median × factor — exactly how skew hides on
+    // under-partitioned shuffles.
+    val tiny = Seq(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024")
+    def executed(extra: (String, String)*): String = {
+      spark.catalog.clearCache()
+      graft.engine.Conf.scoped(spark,
+        (Joins.skewScaleConfs ++ tiny ++ extra): _*) {
+        val df = Joins.skewJoinPlan(spark, sfDir)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+    }
+    val split = executed()
+    assert(split.contains("skew=true"),
+      s"AQE skew split did not engage:\n${split.take(4000)}")
+    val plain = executed("spark.sql.adaptive.skewJoin.enabled" -> "false")
+    assert(!plain.contains("skew=true"),
+      s"skew split engaged with skewJoin disabled:\n${plain.take(4000)}")
+  }
 }
