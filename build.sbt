@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 28g models a production executor's heap (16-64 GB is the normal
+  // band) on the 128 GiB bench machine; at 8g the 32-thread shuffle
+  // working set kept G1 collecting mid-query — round 7 measured random
+  // 3-4 s one-shot spikes (q_grouping_sets 3.84 s vs its own 0.20 s
+  // same-process median) that vanish with headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -13,12 +13,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // STATIC conf, default 100: the generated-class cache. 115 plans ×
       // several codegen stages each ≈ 400+ classes, so at the default the
-      // sf0.001 warmup sweep evicts early entries and the timed run itself
+      // warmup sweep evicts early entries and the timed run itself
       // thrashes — queries re-pay Janino compilation mid-bench (r5: four
       // unchanged queries regressed 2-3×; TimeQuery isolation matched r4).
       // A long-lived cluster job holds its handful of plans resident; the
       // bench should model that steady state, not cache-eviction churn.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
+      // The app-status store retains per-task/stage/job rows for ALL prior
+      // executions (defaults: 100k tasks, 1000 stages/jobs) even with the
+      // UI off, and its eviction scans run synchronously with event
+      // processing — after ~700 executions the churn taxes every new job
+      // launch, hardest on many-job queries (r7: the 30-job pipeline ran
+      // 1.6 s isolated but 3.9 s median late in the bench session). A
+      // long-lived production driver caps these the same way.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .config("spark.sql.warehouse.dir",
         graft.engine.TempWarehouse.createManaged())
       .getOrCreate()
@@ -54,16 +65,52 @@ object Bench {
         .start()
       sq.awaitTermination()
     } catch { case _: Throwable => () }
-    // Per-PLAN warmup: run every query once at the tiny sf0.001 (different
-    // input files, so none of the benchmarked data pages are touched) to
+    // FIXED-WORK load barometer, timed before the suite-sized warmup.
+    // The old barometer was the per-plan warmup sweep itself, whose
+    // "identical work every round" premise silently broke as the suite
+    // grew (136→163 queries moved the sweep from ~67 s to ~118 s on an
+    // IDLE machine — round 7 measured it — so dividing by sweep/60
+    // over-corrected a clean run into a fictional 2× load). This workload
+    // never changes with the suite: a CPU-bound hash-agg reduction, a
+    // 32-way shuffle, and a parquet write+read, ~4-5 s at idle. Its
+    // round-7 IDLE calibration on the bench machine (local[32], load-avg
+    // <2) is ~4.5 s — recorded with the run ledger in BASELINE.md; totals
+    // scale ≈ linearly with ambient load, so total/(barometer/CAL)
+    // estimates the idle-machine total.
+    val BarometerIdleCal = 4.5
+    val barT0 = System.nanoTime()
+    try {
+      // xxhash64 % bound keeps the running sum ≤ 4e14 — a plain id
+      // product overflowed Long and ANSI-threw, silently zeroing the
+      // barometer on its first outing.
+      spark.range(400000000L).selectExpr("sum(xxhash64(id) % 1000000)")
+        .collect()
+      spark.range(20000000L)
+        .selectExpr("id % 100000 as k", "id as v")
+        .groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect()
+      val bTmp = java.nio.file.Files.createTempDirectory("graft_bench_bar_")
+      spark.range(2000000L).selectExpr("id", "id % 97 as p")
+        .write.mode("overwrite").parquet(s"$bTmp/bar")
+      spark.read.parquet(s"$bTmp/bar").selectExpr("sum(p)").collect()
+    } catch { case _: Throwable => () }
+    val barometerSec = (System.nanoTime() - barT0) / 1e9
+    // Per-PLAN warmup: run every query once at sf0.01 (different input
+    // files, so none of the benchmarked sf0.1 data pages are touched) to
     // compile each plan's whole-stage-codegen classes before timing. The
     // gap between a query's first in-session run and its steady state is
     // 2-4× (q_dedup_ngram: 5.8 s cold vs 2.0 s warm) and is pure JVM/
     // Janino cost that a long-running cluster job amortizes to zero — the
-    // timed numbers should measure the PLAN, not the compiler. Write/
-    // streaming queries are run-unique (UUID paths/sinks), so the extra
-    // pass is side-effect-safe.
-    val warmSf = "/root/testdata/sf0.001"
+    // timed numbers should measure the PLAN, not the compiler. sf0.01
+    // (not sf0.001, rounds 1-6) because AQE replans per runtime sizes:
+    // at 1/100 of the timed volume most stage shapes (broadcast picks,
+    // skew splits) match the sf0.1 run and their generated classes are
+    // cache hits; at 1/1000 they often don't, and the timed one-shot
+    // re-paid Janino mid-measurement (idle r7: one-shot 1.5-2.8× its
+    // own same-process median on the slow tail). Write/streaming queries
+    // are run-unique (UUID paths/sinks), so the extra pass is
+    // side-effect-safe. NOTE this sweep's duration grows with the suite —
+    // it is NOT the load barometer; `barometer_sec` above is.
+    val warmSf = "/root/testdata/sf0.01"
     val warmT0 = System.nanoTime()
     if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -71,9 +118,6 @@ object Bench {
       }
       try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
-    // Reported so environment drift is self-documenting round-over-round:
-    // the sweep runs identical work every round, so its time is a pure
-    // machine-load/JVM barometer independent of the timed numbers.
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -110,22 +154,24 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // BASELINE.md's environment-drift decision rule, applied in-artifact:
-    // the warmup sweep runs identical work every round, with an observed
-    // idle band around 60 s — totals scale ≈ linearly with ambient load,
-    // so total / (warmup_sec / 60) estimates the idle-machine total. The
+    // the fixed-work barometer has a round-7 idle calibration of
+    // ~3.4 s — totals scale ≈ linearly with ambient load, so
+    // total / (barometer_sec / cal) estimates the idle-machine total. The
     // raw total stays the headline; this is the documented normalization
-    // precomputed so drift adjudication needs no side math.
+    // precomputed so drift adjudication needs no side math. (Never
+    // normalize by warmup_sec — its work grows with the suite.)
     val normTotal =
-      if (warmupSec > 0) total / (warmupSec / 60.0) else total
+      if (barometerSec > 0) total / (barometerSec / BarometerIdleCal)
+      else total
     // cwd-anchored (sbt runs from the repo root) so the artifact lands next
     // to the bench on any checkout, not a hardcoded machine path
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () }
     val slowest10 = results.toSeq.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"full_map":"$fullPath","queries":${jmap(slowest10, f2)},"slowest5_median":${jmap(medians, f3)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"full_map":"$fullPath","queries":${jmap(slowest10, f2)},"slowest5_median":${jmap(medians, f3)}}""")
     spark.stop()
   }
 }

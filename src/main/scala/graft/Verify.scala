@@ -20,7 +20,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // generated-class cache sized for 120+ distinct plans (see Bench)
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.sql.warehouse.dir",
         graft.engine.TempWarehouse.createManaged())
       .getOrCreate()

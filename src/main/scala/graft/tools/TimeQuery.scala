@@ -24,6 +24,16 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Optional: mimic the bench's per-plan warmup pass at another sf
+    // first (SPARK_GRAFT_WARM_SF=/root/testdata/sf0.01) — for chasing
+    // timings that only reproduce in the bench's session context.
+    sys.env.get("SPARK_GRAFT_WARM_SF").foreach { wsf =>
+      name.split(',').foreach { nm =>
+        try SparkEntry.queries(nm)(spark, wsf).count()
+        catch { case _: Throwable => () }
+      }
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+    }
     // Comma-separated names time several queries in one JVM (shared warmup).
     name.split(',').foreach { nm =>
       val fn = SparkEntry.queries(nm)
