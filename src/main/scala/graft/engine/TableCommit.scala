@@ -47,10 +47,13 @@ import scala.jdk.CollectionConverters._
   *     HDFS. An object store without atomic rename needs a conditional
   *     PUT or a catalog CAS on the version pointer — the `publish` seam
   *     is where that swap would go.
-  *   - Retention is deliberately minimal (current version only, the
+  *   - Retention defaults to minimal (current version only, the
   *     predecessor dies at publish): SINGLE WRITER, and readers re-resolve
-  *     the pointer per query. Production formats keep N versions for
-  *     snapshot isolation and time travel; the seam is `retire`.
+  *     the pointer per query. Commits accept `retain = N` to keep the
+  *     last N snapshots live — [[readAt]] then time-travels to any
+  *     retained version (what production formats call snapshot
+  *     isolation / VERSION AS OF); files referenced by NO retained
+  *     manifest are still swept.
   */
 object TableCommit {
 
@@ -127,7 +130,8 @@ object TableCommit {
     * temp name, atomically rename it onto `v<N+1>.json`, then retire
     * everything the new version no longer references. The rename IS the
     * commit point — before it, readers resolve N; after it, N+1. */
-  private[graft] def publish(root: String, newEntries: Seq[Entry]): Long = {
+  private[graft] def publish(root: String, newEntries: Seq[Entry],
+      retain: Int = 1): Long = {
     val next = currentVersion(root).getOrElse(0L) + 1L
     Files.createDirectories(logDir(root))
     // Minimal JSON writer: paths are uuid/part-file names and parts are
@@ -146,23 +150,27 @@ object TableCommit {
       throw new IllegalStateException(
         s"concurrent commit detected at $root v$next — TableCommit is single-writer")
     }
-    retire(root, next, newEntries)
+    retire(root, next, retain.max(1))
     next
   }
 
-  /** Delete superseded manifests and every data file the new version does
-    * not reference (covers both retired predecessors and orphan batches
-    * from crashed commits), then prune empty directories. Best-effort:
-    * a crash mid-retire leaves garbage the NEXT commit removes, never a
-    * broken table. */
-  private def retire(root: String, current: Long, live: Seq[Entry]): Unit = {
+  /** Delete manifests older than the retention window and every data file
+    * no RETAINED version references (covers both retired predecessors and
+    * orphan batches from crashed commits), then prune empty directories.
+    * Best-effort: a crash mid-retire leaves garbage the NEXT commit
+    * removes, never a broken table. */
+  private def retire(root: String, current: Long, retain: Int): Unit = {
     try {
+      val oldest = current - retain + 1
       Files.list(logDir(root)).iterator().asScala.toSeq.foreach { p =>
         p.getFileName.toString match {
-          case VersionRe(d) if d.toLong < current => Files.deleteIfExists(p)
-          case n if n.startsWith(".tmp-")         => Files.deleteIfExists(p)
-          case _                                  => ()
+          case VersionRe(d) if d.toLong < oldest => Files.deleteIfExists(p)
+          case n if n.startsWith(".tmp-")        => Files.deleteIfExists(p)
+          case _                                 => ()
         }
+      }
+      val live = (oldest to current).flatMap { v =>
+        try readManifest(root, v) catch { case _: Throwable => Seq.empty }
       }
       val dataDir = Paths.get(root, "data")
       if (Files.isDirectory(dataDir)) {
@@ -178,17 +186,19 @@ object TableCommit {
     } catch { case _: Throwable => () }
   }
 
-  /** Full-table replace: new snapshot's files are exactly this batch. */
-  def commitOverwrite(df: DataFrame, root: String): Long =
-    publish(root, stageBatch(df, root))
+  /** Full-table replace: new snapshot's files are exactly this batch.
+    * `retain` > 1 keeps that many trailing snapshots readable via
+    * [[readAt]]. */
+  def commitOverwrite(df: DataFrame, root: String, retain: Int = 1): Long =
+    publish(root, stageBatch(df, root), retain)
 
   /** Insert-only append: new snapshot = predecessor's files + this batch.
     * Nothing is rewritten, so the J3 anti-join's build side can read the
     * live table while the batch stages — the files it reads are immutable
     * and stay referenced. */
-  def commitAppend(df: DataFrame, root: String): Long = {
+  def commitAppend(df: DataFrame, root: String, retain: Int = 1): Long = {
     val staged = stageBatch(df, root)
-    publish(root, entries(root) ++ staged)
+    publish(root, entries(root) ++ staged, retain)
   }
 
   /** D1 partition-slice replace: slices present in `df` swap wholesale,
@@ -212,6 +222,22 @@ object TableCommit {
       case es =>
         spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
     }
+
+  /** Time-travel read: the table AS OF `version`. The version must still
+    * be inside the retention window its commits were made with —
+    * manifests outside it are gone (that is what retention means), and
+    * the error says so rather than returning an empty frame. */
+  def readAt(spark: SparkSession, root: String, schema: StructType,
+      version: Long): DataFrame = {
+    require(Files.exists(manifestPath(root, version)),
+      s"version $version not retained at $root " +
+        s"(current: ${currentVersion(root).getOrElse(-1L)})")
+    val es = readManifest(root, version)
+    if (es.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
+  }
 
   /** Read the current version, inferring the schema (requires at least one
     * committed version — the streaming upsert always bootstraps one). */

@@ -511,4 +511,175 @@ object Behavior {
        |  $checkpoints
        |FROM masks""".stripMargin
   }
+
+  // `q_cuped`: variance-reduced experiment readout (CUPED)
+
+  /** Boundary between the pre-experiment covariate period and the
+    * experiment period (events are a fixed 2024-01 synthetic month). */
+  val CupedSplitDate = "2024-01-15"
+
+  /** `q_cuped`: CUPED-adjusted A/B readout (Deng et al., WSDM'13) — the
+    * standard variance-reduction layer over X85's raw lift readout: each
+    * user's pre-experiment spend X is a covariate for their experiment
+    * spend Y, theta = cov(X,Y)/var(X) fit on ALL users (arm-blind, so
+    * the adjustment cannot bias the contrast), and each arm reports
+    * mean(Y) alongside mean(Y) - theta*(mean(X)_arm - mean(X)) — same
+    * expectation, (1-corr^2) of the variance.
+    *
+    * Scale shape: one shuffle to the per-user ledger (user-keyed
+    * aggregate over the firehose), then two tiny reductions off it — the
+    * global moment row (broadcast back as a 1-row crossJoin) and the
+    * per-arm sums; the firehose is scanned once. Cross-engine: spend is
+    * exact cents (DECIMAL), every moment (n, SX, SY, SXX, SXY and the
+    * theta numerator/denominator cross-products) is an exact integer in
+    * DECIMAL(38,0), and the only doubles are the final pinned-order
+    * division chain — the X72 linfit convention applied to covariate
+    * adjustment. */
+  def cupedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val arm = pmod(
+      conv(substring(md5(concat(lit("cu"), col("user_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(AbArms))
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(38, 0))
+    val perUser = Tables.events(spark, sfDir)
+      .select(arm.as("arm"), col("user_id"),
+        when(col("ts") < lit(CupedSplitDate).cast("timestamp"), cents)
+          .otherwise(lit(0).cast(DecimalType(38, 0))).as("xc"),
+        when(col("ts") >= lit(CupedSplitDate).cast("timestamp"), cents)
+          .otherwise(lit(0).cast(DecimalType(38, 0))).as("yc"))
+      .groupBy(col("arm"), col("user_id"))
+      .agg(sum(col("xc")).cast(DecimalType(38, 0)).as("x"),
+        sum(col("yc")).cast(DecimalType(38, 0)).as("y"))
+    val moments = perUser.agg(
+      Num.countStar.as("n"),
+      sum(col("x")).cast(DecimalType(38, 0)).as("sx"),
+      sum(col("y")).cast(DecimalType(38, 0)).as("sy"),
+      sum(col("x") * col("x")).cast(DecimalType(38, 0)).as("sxx"),
+      sum(col("x") * col("y")).cast(DecimalType(38, 0)).as("sxy"))
+    perUser.groupBy(col("arm"))
+      .agg(Num.countStar.as("n_users"),
+        sum(col("x")).cast(DecimalType(38, 0)).as("sxa"),
+        sum(col("y")).cast(DecimalType(38, 0)).as("sya"))
+      .crossJoin(broadcast(moments))
+      .select(col("arm"), col("n_users"),
+        (col("sya").cast("double") / lit(100.0) / col("n_users"))
+          .as("mean_post"),
+        ((col("sya").cast("double") / lit(100.0) / col("n_users"))
+          - ((col("n").cast(DecimalType(38, 0)) * col("sxy")
+                - col("sx") * col("sy")).cast("double")
+             / (col("n").cast(DecimalType(38, 0)) * col("sxx")
+                - col("sx") * col("sx")).cast("double"))
+            * ((col("sxa").cast("double") / lit(100.0) / col("n_users"))
+               - (col("sx").cast("double") / lit(100.0) / col("n"))))
+          .as("mean_adjusted"))
+      .orderBy(col("arm"))
+  }
+
+  val cupedOracle: String =
+    s"""WITH e AS (
+       |  SELECT CAST(concat('0x', substr(md5('cu' || user_id), 1, 15))
+       |           AS BIGINT) % ${AbArms} AS arm,
+       |    user_id,
+       |    CASE WHEN ts < TIMESTAMP '${CupedSplitDate} 00:00:00'
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END AS xc,
+       |    CASE WHEN ts >= TIMESTAMP '${CupedSplitDate} 00:00:00'
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END AS yc
+       |  FROM events),
+       |u AS (
+       |  SELECT arm, user_id, CAST(SUM(xc) AS DECIMAL(38,0)) AS x,
+       |    CAST(SUM(yc) AS DECIMAL(38,0)) AS y
+       |  FROM e GROUP BY 1, 2),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+       |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+       |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+       |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+       |  FROM u),
+       |a AS (
+       |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(SUM(x) AS DECIMAL(38,0)) AS sxa,
+       |    CAST(SUM(y) AS DECIMAL(38,0)) AS sya
+       |  FROM u GROUP BY 1)
+       |SELECT arm, n_users,
+       |  CAST(sya AS DOUBLE) / 100.0 / n_users AS mean_post,
+       |  (CAST(sya AS DOUBLE) / 100.0 / n_users)
+       |    - (CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+       |       / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+       |      * ((CAST(sxa AS DOUBLE) / 100.0 / n_users)
+       |         - (CAST(sx AS DOUBLE) / 100.0 / n))
+       |    AS mean_adjusted
+       |FROM a, m ORDER BY arm""".stripMargin
+
+  // `q_attribution`: conversion credit assignment
+
+  /** `q_attribution`: first-touch vs last-touch conversion attribution —
+    * for every purchase, credit (a) the user's most recent preceding
+    * non-purchase interaction and (b) their first-ever preceding
+    * interaction; purchases with no preceding interaction credit
+    * 'direct'. The two models ship as one long-form report
+    * (model, channel, n_conversions, revenue), the side-by-side the
+    * reference's engagement reports would feed a marketing-mix reader.
+    *
+    * Scale shape: ONE shuffle on user_id serves both attribution windows
+    * (same partition key, frames differ only in direction), then a
+    * channels-bounded aggregate per model — the firehose is scanned
+    * once, and no self-join (the naive form joins purchases back to the
+    * event table) ever materializes. Revenue is exact cents via the
+    * sumMoney convention. */
+  def attributionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val attributed = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"),
+        coalesce(last(touch, ignoreNulls = true).over(byUser), lit("direct"))
+          .as("last_touch"),
+        coalesce(first(touch, ignoreNulls = true).over(byUser), lit("direct"))
+          .as("first_touch"))
+      .filter(col("event_type") === "purchase")
+    attributed
+      .groupBy(col("last_touch").as("channel"))
+      .agg(Num.countStar.as("n_conversions"),
+        Num.sumMoney(col("value")).as("revenue"))
+      .select(lit("last").as("model"), col("channel"),
+        col("n_conversions"), col("revenue"))
+      .unionByName(attributed
+        .groupBy(col("first_touch").as("channel"))
+        .agg(Num.countStar.as("n_conversions"),
+          Num.sumMoney(col("value")).as("revenue"))
+        .select(lit("first").as("model"), col("channel"),
+          col("n_conversions"), col("revenue")))
+      .orderBy(col("model"), col("channel"))
+  }
+
+  val attributionOracle: String =
+    """WITH a AS (
+      |  SELECT event_type, value,
+      |    COALESCE(last_value(CASE WHEN event_type <> 'purchase'
+      |        THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      'direct') AS last_touch,
+      |    COALESCE(first_value(CASE WHEN event_type <> 'purchase'
+      |        THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      'direct') AS first_touch
+      |  FROM events),
+      |p AS (SELECT * FROM a WHERE event_type = 'purchase')
+      |SELECT 'last' AS model, last_touch AS channel,
+      |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM p GROUP BY 2
+      |UNION ALL
+      |SELECT 'first', first_touch, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM p GROUP BY 2
+      |ORDER BY model, channel""".stripMargin
 }

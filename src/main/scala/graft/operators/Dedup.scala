@@ -697,4 +697,117 @@ object Dedup {
        |FROM sel WHERE gram = wmin
        |GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
        |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT ${SubstrTopK}""".stripMargin
+
+  // `q_setsim_prefix`: exact set-similarity join via prefix filtering
+
+  /** Signature size: each doc is represented by its K globally-rarest
+    * distinct 3-word shingle hashes (rarity = corpus document frequency,
+    * ties by hash value — one deterministic total order for everyone).
+    * Shingles, not unigrams: the synthetic corpus vocabulary is small
+    * enough that rarest-word signatures collapse onto each other (the
+    * unigram form emitted 72k "pairs" from 500 docs), while the shingle
+    * space is sparse — exactly why every detector in this file keys on
+    * shingles. */
+  val SetsimSigK = 12
+  /** Jaccard threshold over signatures. 1/2 keeps the qualifying test an
+    * exact integer comparison: J ≥ 1/2 ⟺ 3·|x∩y| ≥ |x|+|y|. */
+  val SetsimTauNum = 1
+  val SetsimTauDen = 2
+
+  /** `q_setsim_prefix`: EXACT Jaccard set-similarity self-join with
+    * prefix filtering (SSJoin/PPJoin candidate pruning — Chaudhuri et
+    * al. ICDE'06, Xiao et al. WWW'08) — the third near-dup detector
+    * family beside MinHash (X2, probabilistic) and fixed n-gram blocking
+    * (X15): zero false negatives, no verification-of-everything. The
+    * prefix principle: order every signature by one global rarity order;
+    * if J(x,y) ≥ τ then |x∩y| ≥ ⌈τ·|x|⌉, and two sets overlapping that
+    * much MUST share a token inside their first |x| − ⌈τ·|x|⌉ + 1
+    * tokens — so equi-joining on prefix tokens finds every qualifying
+    * pair while hub tokens (stopwords are everyone's suffix, never a
+    * prefix, because prefixes hold the RAREST tokens) generate no
+    * candidates.
+    *
+    * Scale shape: shingle once → explode to (doc, shingle-hash) →
+    * shingle-keyed df aggregate joined back on the SAME exchange (the
+    * shingle vocabulary grows with the corpus, so this is a
+    * key-partitioned shuffle join, never a broadcast) → per-doc rank
+    * window (doc-keyed, K-truncated) → prefix equi-join (rare-shingle
+    * buckets only) → candidate-bounded verify join. No all-pairs product
+    * anywhere; the verify cost is |candidates| × K. */
+  /** (doc_id, w, rn, sz): each doc's rarest-K shingle signature with the
+    * global rarity rank and the doc's signature size. Exposed
+    * `private[graft]` so the losslessness test can brute-force the same
+    * signatures without the prefix filter. */
+  private[graft] def setsimSignatures(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = shingled(docs).select(col("doc_id"), explode(col("sg")).as("w"))
+    val dfreq = tok.groupBy(col("w")).agg(Num.countStar.as("df"))
+    tok.join(dfreq, Seq("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("w").asc)))
+      .filter(col("rn") <= SetsimSigK)
+      .withColumn("sz", max(col("rn")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("w"), col("rn"), col("sz"))
+  }
+
+  def setsimPrefixQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // sig carries each doc's size so the prefix length and the verify
+    // test never need a second lookup
+    val sig = graft.engine.Materialize.diskBacked(
+      setsimSignatures(Tables.documents(spark, sfDir)))
+    // prefix length |x| - ceil(tau*|x|) + 1, integer-exact:
+    // ceil(n/d * sz) = (num*sz + den - 1) div den
+    val prefLen = col("sz") -
+      expr(s"(${SetsimTauNum} * sz + ${SetsimTauDen} - 1) div ${SetsimTauDen}") +
+      lit(1)
+    val pref = sig.filter(col("rn") <= prefLen)
+      .select(col("doc_id"), col("w"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(sig.select(col("doc_id").as("da"), col("w"), col("sz").as("sa")),
+        Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("w"), col("sz").as("sb")),
+        Seq("db", "w"))
+      .groupBy(col("da"), col("db"))
+      .agg(Num.countStar.as("n_shared"),
+        max(col("sa")).as("sa"), max(col("sb")).as("sb"))
+    inter
+      .filter(col("n_shared") * (SetsimTauNum + SetsimTauDen)
+        >= (col("sa") + col("sb")) * SetsimTauNum)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n_shared"),
+        (col("sa") + col("sb") - col("n_shared")).as("n_union"),
+        (col("n_shared").cast("double")
+          / (col("sa") + col("sb") - col("n_shared"))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: brute-force the same signature Jaccard (prefix filtering is
+    * lossless, so the exact join IS the spec). */
+  val setsimPrefixOracle: String =
+    s"""WITH $shingleCteSql,
+       |tok AS (SELECT doc_id, unnest(sg) AS w FROM sh),
+       |dfq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY 1),
+       |r AS (
+       |  SELECT t.doc_id, t.w,
+       |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |      ORDER BY d.df ASC, t.w ASC) AS rn
+       |  FROM tok t JOIN dfq d USING (w)),
+       |sig AS (SELECT doc_id, w FROM r WHERE rn <= ${SetsimSigK}),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM sig GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS da, y.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM sig x JOIN sig y ON x.w = y.w AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da AS doc_a, db AS doc_b, i AS n_shared,
+       |  (sx.s + sy.s - i) AS n_union,
+       |  CAST(i AS DOUBLE) / (sx.s + sy.s - i) AS jaccard
+       |FROM inter
+       |JOIN sz sx ON sx.doc_id = da
+       |JOIN sz sy ON sy.doc_id = db
+       |WHERE i * ${SetsimTauNum + SetsimTauDen} >= (sx.s + sy.s) * ${SetsimTauNum}
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

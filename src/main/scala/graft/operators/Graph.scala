@@ -445,4 +445,132 @@ object Graph {
       |deg AS (SELECT node, COUNT(*) AS deg FROM ends GROUP BY 1)
       |SELECT node % 2 = 0 AS is_part, deg, COUNT(*) AS n_nodes
       |FROM deg GROUP BY 1, 2 ORDER BY is_part, deg""".stripMargin
+
+  // `q_bfs_levels`: breadth-first reach frontier
+
+  /** Fixed BFS radius (hop truncation, like PrIters — no convergence
+    * probe; the plan is MaxHops identical stages). */
+  val BfsMaxHops = 3
+
+  /** `q_bfs_levels`: hop-distance histogram from a seed node over the
+    * part↔supplier graph — the reachability probe (is the graph one
+    * blob? how fast does a neighborhood saturate?) run before committing
+    * to diameter-sensitive algorithms like X45's label propagation.
+    * Min-hop semantics: a node's level is its FIRST reach.
+    *
+    * Scale shape per round: frontier ⋈ edges on src (the frontier is the
+    * small side every round), minus already-visited via left_anti, then
+    * distinct — all equi-joins on node ids; the raw table never re-enters
+    * after the edge projection. The visited set is materialized each
+    * round (it feeds both the anti-join and the next union — the
+    * multi-consumer rule). The seed is the min part id, computed in-plan
+    * as a 1-row broadcast, never collect()ed. The oracle is the same
+    * fixpoint as a recursive CTE with per-iteration dedup. */
+  def bfsLevelsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = Materialize.diskBacked(
+      pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"))))
+    val seed = Tables.lineitem(spark, sfDir)
+      .agg((min(col("l_partkey")) * 2).as("node"))
+    var visited = Materialize.diskBacked(
+      seed.select(col("node"), lit(0L).as("lvl")))
+    var frontier = visited
+    (1 to BfsMaxHops).foreach { hop =>
+      val next = frontier.select(col("node").as("f_node"))
+        .join(edges.as("e"), col("f_node") === col("e.src"))
+        .select(col("e.dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("lvl"))
+      visited = Materialize.diskBacked(visited.unionByName(next))
+      frontier = next
+    }
+    visited.groupBy(col("lvl")).agg(Num.countStar.as("n_nodes"))
+      .orderBy(col("lvl"))
+  }
+
+  val bfsLevelsOracle: String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+       |  FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT 2 * l_suppkey + 1, 2 * l_partkey FROM lineitem),
+       |walk AS (
+       |  SELECT CAST(2 * MIN(l_partkey) AS BIGINT) AS node,
+       |    CAST(0 AS BIGINT) AS lvl
+       |  FROM lineitem
+       |  UNION
+       |  SELECT e.dst AS node, w.lvl + 1 AS lvl
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.lvl < ${BfsMaxHops}),
+       |lv AS (SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY 1)
+       |SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM lv GROUP BY 1 ORDER BY lvl""".stripMargin
+
+  // `q_ra_links`: resource-allocation link prediction
+
+  /** Hub cap: parts shared by more than this many suppliers are dropped
+    * from scoring. Not (only) a performance guard — RA's 1/deg weight
+    * already sends hub contributions toward zero, and capping is how the
+    * published large-graph evaluations bound the deg² pair fan-out. */
+  val RaDegCap = 32
+  /** Reported pair count. */
+  val RaTopK = 30
+  /** Weight quantum denominator: weight(p) = 1e12 div deg(p), an exact
+    * integer — the ln-free cousin of Adamic-Adar (Zhou et al.'s resource
+    * allocation index), chosen because 1/ln(deg) is not bit-reproducible
+    * across engines while integer division is. */
+  val RaQuant = 1000000000000L
+
+  /** `q_ra_links`: resource-allocation link prediction over the
+    * supplier–part bipartite graph — score supplier pairs by
+    * sum over shared parts of 1/deg(part), the "how much exclusive
+    * inventory do we share" signal that predicts which two suppliers an
+    * assortment graph will link next. Hot-key discipline: deg ≤ RaDegCap
+    * bounds the per-part pair fan-out (deg choose 2) BEFORE the
+    * self-join, the X65 basket trick with an explicit cap.
+    *
+    * Scale shape: one distinct (part, supplier) projection; the degree
+    * aggregate is part-keyed on the same exchange; the capped self-join
+    * emits at most RaDegCap²/2 pairs per part; the pair aggregate sums
+    * exact integer weights (order-independent). Only the final /1e12 is
+    * floating point. */
+  def raLinksQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = Materialize.diskBacked(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        .repartition(col("p")))
+    val deg = ps.groupBy(col("p")).agg(Num.countStar.as("deg"))
+      .filter(col("deg").between(2, RaDegCap))
+      .withColumn("wq", expr(s"${RaQuant}L div deg"))
+    ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.p").as("p"), col("x.s").as("s_a"), col("y.s").as("s_b"))
+      .join(deg, Seq("p"))
+      .groupBy(col("s_a"), col("s_b"))
+      .agg(Num.countStar.as("n_shared"), sum(col("wq")).as("score_q"))
+      .select(col("s_a"), col("s_b"), col("n_shared"),
+        (col("score_q").cast("double") / lit(1e12)).as("score"))
+      .orderBy(col("score").desc, col("s_a"), col("s_b"))
+      .limit(RaTopK)
+  }
+
+  val raLinksOracle: String =
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |deg AS (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM ps GROUP BY 1),
+       |capped AS (
+       |  SELECT p, ${RaQuant} // deg AS wq FROM deg
+       |  WHERE deg BETWEEN 2 AND ${RaDegCap}),
+       |pairs AS (
+       |  SELECT x.p AS p, x.s AS s_a, y.s AS s_b
+       |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s)
+       |SELECT s_a, s_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+       |  CAST(SUM(wq) AS DOUBLE) / 1e12 AS score
+       |FROM pairs JOIN capped USING (p)
+       |GROUP BY 1, 2
+       |ORDER BY score DESC, s_a, s_b
+       |LIMIT ${RaTopK}""".stripMargin
 }

@@ -727,4 +727,82 @@ object Relational {
        |  SELECT 'lineitem_orphan_orderkey', COUNT(*) FROM lineitem
        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
        |) ORDER BY check_name""".stripMargin
+
+  // `q_time_travel`: snapshot-isolation read over the commit log
+
+  /** `q_time_travel`: VERSION AS OF over the copy-on-write commit log —
+    * commit a dimension snapshot (v1, retain=2), apply a MERGE upsert
+    * (v2), then read BOTH versions back from the same table root: the
+    * audit/"what did the join see yesterday" capability the reference
+    * delegates to its warehouse's Time Travel, done here by pinning a
+    * manifest version instead of resolving the newest
+    * (`engine/TableCommit.readAt`; reference MERGE at
+    * /root/reference/src/snowflake_loader.py:86-104).
+    *
+    * Scale shape: time travel is METADATA work — v1 stays readable
+    * because its manifest and files survive the retention window, not
+    * because anything was copied; the cost of keeping it is the manifest
+    * file plus only the data files v2 rewrote. The MERGE itself is the
+    * J2 full-outer/coalesce shape. Exact cents keep the readout
+    * hash-stable. */
+  def timeTravelQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tt_").toString + "/dim"
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val base = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"), cents)
+    val upd = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (cents + lit(1000L)).as("cents"))
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_mktsegment", StringType),
+      StructField("cents", LongType)))
+    val v1 = graft.engine.TableCommit.commitOverwrite(base, root, retain = 2)
+    val merged = graft.engine.TableCommit.read(spark, root, schema).as("o")
+      .join(upd.as("u"), col("o.c_custkey") === col("u.c_custkey"),
+        "full_outer")
+      .select(
+        coalesce(col("u.c_custkey"), col("o.c_custkey")).as("c_custkey"),
+        coalesce(col("u.c_mktsegment"), col("o.c_mktsegment"))
+          .as("c_mktsegment"),
+        coalesce(col("u.cents"), col("o.cents")).as("cents"))
+    val v2 = graft.engine.TableCommit.commitOverwrite(merged, root, retain = 2)
+    Seq(v1, v2).map { v =>
+      graft.engine.TableCommit.readAt(spark, root, schema, v)
+        .groupBy(col("c_mktsegment"))
+        .agg(Num.countStar.as("n_rows"), sum(col("cents")).as("bal_cents"))
+        .select(lit(v).as("version"), col("c_mktsegment"), col("n_rows"),
+          col("bal_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("version"), col("c_mktsegment"))
+  }
+
+  val timeTravelOracle: String =
+    """WITH v1 AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |upd AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000
+      |      AS cents
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |v2 AS (
+      |  SELECT COALESCE(u.c_custkey, o.c_custkey) AS c_custkey,
+      |    COALESCE(u.c_mktsegment, o.c_mktsegment) AS c_mktsegment,
+      |    COALESCE(u.cents, o.cents) AS cents
+      |  FROM v1 o FULL OUTER JOIN upd u ON o.c_custkey = u.c_custkey)
+      |SELECT CAST(1 AS BIGINT) AS version, c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS bal_cents
+      |FROM v1 GROUP BY 2
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), c_mktsegment, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT)
+      |FROM v2 GROUP BY 2
+      |ORDER BY version, c_mktsegment""".stripMargin
 }

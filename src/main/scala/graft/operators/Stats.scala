@@ -1508,4 +1508,67 @@ object Stats {
        |$rows
        |ORDER BY col_a, col_b""".stripMargin
   }
+
+  // `q_ewma`: finite-window exponential smoothing
+
+  /** Decay per step (newest event weighted 1/2, next 1/4, ...). A dyadic
+    * factor is the determinism trick: pow(0.5, k) is an EXACT power of
+    * two, and value * 2^-k is a pure exponent shift — no mantissa
+    * rounding — so the only rounded ops are the shared quantization
+    * sequence (*1e9, +0.5, floor), identical single IEEE ops both
+    * engines. */
+  val EwmaDecay = 0.5
+  /** Events per user in the smoothing window (the operator is DEFINED as
+    * the K-term truncated EWMA — the streaming-state-bounded form — not
+    * an approximation of the infinite recursion). */
+  val EwmaWindow = 16
+
+  /** `q_ewma`: per-user exponentially weighted moving average of event
+    * value over the K most recent events — the recency-weighted activity
+    * score that feeds engagement ranking and churn features. The
+    * recursive form s_i = a*v_i + (1-a)*s_{i-1} is sequential per key;
+    * the closed form sum_k v_k * a^k (k = recency rank) is one window
+    * rank + one aggregate — embarrassingly parallel.
+    *
+    * Scale shape: one shuffle on user_id; the row_number window and both
+    * per-user aggregates reuse that exchange (same key), and the window
+    * frame is truncated to K rows per user before any arithmetic — state
+    * is O(K) per key exactly like the mapGroupsWithState form a streaming
+    * twin would keep. Cross-engine: terms quantized to 1e-9 and summed as
+    * DECIMAL (associative, order-independent); final /1e9 is one double
+    * division. */
+  def ewmaQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wAll = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value"),
+        row_number().over(w).as("rn"),
+        Num.countStar.over(wAll).as("n_events"))
+      .filter(col("rn") <= EwmaWindow)
+      .select(col("user_id"), col("n_events"),
+        floor(col("value") * pow(lit(EwmaDecay), col("rn")) * lit(1e9)
+          + lit(0.5)).cast(DecimalType(38, 0)).as("tq"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        (sum(col("tq")).cast("double") / lit(1e9)).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  val ewmaOracle: String =
+    s"""WITH r AS (
+       |  SELECT user_id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+       |  FROM events),
+       |t AS (
+       |  SELECT user_id, n_events,
+       |    CAST(FLOOR(value * POWER(${EwmaDecay}, rn) * 1e9 + 0.5)
+       |      AS DECIMAL(38,0)) AS tq
+       |  FROM r WHERE rn <= ${EwmaWindow})
+       |SELECT user_id, CAST(MAX(n_events) AS BIGINT) AS n_events,
+       |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS ewma
+       |FROM t GROUP BY 1 ORDER BY user_id""".stripMargin
 }

@@ -102,4 +102,42 @@ class TableCommitSpec extends AnyFunSuite {
     assert(es.head.part.isDefined)
     assert(TableCommit.readCurrent(spark, r).count() === 1L)
   }
+
+  test("retain=2 keeps the predecessor readable via readAt; the window slides") {
+    val r = root()
+    val v1 = TableCommit.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r, retain = 2)
+    val gen1Files = TableCommit.entries(r).map(_.path)
+    val v2 = TableCommit.commitOverwrite(
+      Seq((3L, "c")).toDF("k", "v"), r, retain = 2)
+    // both versions resolve; v1's files still on disk
+    assert(TableCommit.readAt(spark, r, schema, v1)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(TableCommit.readAt(spark, r, schema, v2)
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+    gen1Files.foreach(p => assert(Files.exists(Paths.get(s"$r/$p"))))
+    // current read is unaffected by retention
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+    // third commit slides the window: v1 expires (manifest + files), v2 lives
+    TableCommit.commitOverwrite(Seq((4L, "d")).toDF("k", "v"), r, retain = 2)
+    gen1Files.foreach(p => assert(!Files.exists(Paths.get(s"$r/$p"))))
+    intercept[IllegalArgumentException] {
+      TableCommit.readAt(spark, r, schema, v1)
+    }
+    assert(TableCommit.readAt(spark, r, schema, v2)
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
+  test("retained snapshots share unrewritten files under append without double-delete") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r, retain = 2)
+    TableCommit.commitAppend(Seq((2L, "b")).toDF("k", "v"), r, retain = 2)
+    TableCommit.commitAppend(Seq((3L, "c")).toDF("k", "v"), r, retain = 2)
+    // v2 (=1,2) and v3 (=1,2,3) both live and share the v1/v2 batches
+    assert(TableCommit.readAt(spark, r, schema, 2L)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
 }
