@@ -635,14 +635,18 @@ object Behavior {
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = when(col("event_type") =!= "purchase", col("event_type"))
-    val attributed = Tables.events(spark, sfDir)
+    // MATERIALIZED: the attributed-purchases frame feeds BOTH model
+    // rollups — unmaterialized, the scan + user exchange + window
+    // subtree executes twice (the multi-consumer rule; PlanSpec counts
+    // the exchanges)
+    val attributed = Materialize.diskBacked(Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"),
         coalesce(last(touch, ignoreNulls = true).over(byUser), lit("direct"))
           .as("last_touch"),
         coalesce(first(touch, ignoreNulls = true).over(byUser), lit("direct"))
           .as("first_touch"))
-      .filter(col("event_type") === "purchase")
+      .filter(col("event_type") === "purchase"))
     attributed
       .groupBy(col("last_touch").as("channel"))
       .agg(Num.countStar.as("n_conversions"),

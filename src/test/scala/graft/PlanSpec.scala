@@ -627,4 +627,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!plain.contains("skew=true"),
       s"skew split engaged with skewJoin disabled:\n${plain.take(4000)}")
   }
+
+  test("round-7 pair generators never degrade to cartesian/all-pairs") {
+    for (q <- Seq("q_setsim_prefix", "q_ra_links", "q_bfs_levels")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plan contains a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a nested-loop join")
+    }
+  }
+
+  test("q_ewma: one user_id exchange serves the rank window and the aggregate") {
+    // Window partitioning satisfies the groupBy clustering (same key), so
+    // the plan must hold exactly ONE user_id hash exchange.
+    val p = plan("q_ewma")
+    val userExchanges = p.linesIterator
+      .count(_.matches(".*Exchange hashpartitioning\\(user_id#\\d+.*"))
+    assert(userExchanges === 1,
+      s"expected one user_id exchange, got $userExchanges:\n$p")
+  }
+
+  test("q_attribution: both window frames ride one user_id exchange, no self-join") {
+    val p = plan("q_attribution")
+    // last-touch and first-touch are frames of the same window spec — one
+    // Window exec evaluates both above one exchange, and the attributed
+    // frame is MATERIALIZED before fanning out to the two model rollups,
+    // so both consumers print the SAME cached subtree (its AQE dump shows
+    // the executed exchange plus its never-run Initial Plan twin — hence
+    // <= 2 distinct ids). Unmaterialized, the subtree would be cloned per
+    // branch: no InMemoryTableScan and 4 distinct exchange ids.
+    assert(p.contains("InMemoryTableScan"),
+      "attributed frame must be materialized before the two model rollups")
+    val userExchanges = p.linesIterator
+      .filter(_.matches(".*Exchange hashpartitioning\\(user_id#\\d+.*"))
+      .map(_.trim).toSet.size
+    assert(userExchanges <= 2,
+      s"attributed subtree cloned per model branch ($userExchanges distinct user_id exchanges)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "attribution must not self-join the event table")
+  }
+
+  test("q_setsim_prefix: the df-join is a shuffle join, never a vocab broadcast") {
+    // The shingle vocabulary grows with the corpus — broadcasting the df
+    // side would ship a corpus-proportional table to every task at 100 TB.
+    // The prefix/verify joins on bounded keys MAY broadcast; the df join
+    // keys on the raw shingle hash `w` with a count aggregate beneath, so
+    // assert no BroadcastExchange feeds a HashAggregate-derived frame.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_setsim_prefix")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
