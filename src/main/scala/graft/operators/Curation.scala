@@ -731,4 +731,70 @@ object Curation {
        |  FROM embeddings) t
        |WHERE rnk <= ${KshotK}
        |ORDER BY label, rnk""".stripMargin
+
+  // `q_coherent_sample`: join-preserving universe sampling
+
+  /** Kept fraction of the key universe, in percent. */
+  val CoherentPct = 20
+
+  /** `q_coherent_sample`: universe (coherent) sampling — hash the JOIN KEY
+    * into [0,100) and keep the same slice on every table (the
+    * BlinkDB/Quickr discipline for approximating joins): because both
+    * sides keep exactly the customers whose key-hash lands under the
+    * cutoff, the join of the samples IS the sample of the join — no
+    * cross-table coordination, no foreign-key lookup, and the estimator
+    * scales counts by one known inverse inclusion probability.
+    * Independent per-table Bernoulli sampling destroys this (a kept
+    * order's customer is dropped with probability 1-p).
+    *
+    * Scale shape: the hash predicate evaluates inside each scan's
+    * projection (no shuffle, no sample table to join); the report joins
+    * the two sampled sides on the shared key slice and compares the
+    * scaled estimate against the true join count — the validation a
+    * sampling pipeline ships alongside the estimator. All counts exact
+    * ints; the estimate's one division is the only double. */
+  def coherentSampleQ(spark: SparkSession, sfDir: String): DataFrame = {
+    def keep(c: org.apache.spark.sql.Column) = pmod(
+      conv(substring(md5(concat(lit("cs"), c)), 1, 15), 16, 10)
+        .cast("long"), lit(100)) < CoherentPct
+    val cust = Tables.customer(spark, sfDir)
+      .filter(keep(col("c_custkey"))).select(col("c_custkey"))
+    val ords = Tables.orders(spark, sfDir)
+      .filter(keep(col("o_custkey")))
+      .select(col("o_custkey"), col("o_totalprice"))
+    val sampled = cust.join(ords, col("c_custkey") === col("o_custkey"))
+      .agg(Num.countStar.as("joined_rows"),
+        Num.sumMoney(col("o_totalprice")).as("joined_price"))
+    val truth = Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .agg(Num.countStar.as("true_rows"))
+    sampled.crossJoin(broadcast(truth))
+      .select(col("joined_rows"), col("joined_price"),
+        (col("joined_rows").cast("double") * lit(100.0) / lit(CoherentPct))
+          .as("est_rows"),
+        col("true_rows"))
+  }
+
+  val coherentSampleOracle: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey FROM customer
+       |  WHERE CAST(concat('0x', substr(md5('cs' || c_custkey), 1, 15))
+       |          AS BIGINT) % 100 < ${CoherentPct}),
+       |ords AS (
+       |  SELECT o_custkey, o_totalprice FROM orders
+       |  WHERE CAST(concat('0x', substr(md5('cs' || o_custkey), 1, 15))
+       |          AS BIGINT) % 100 < ${CoherentPct}),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS joined_rows,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |      AS joined_price
+       |  FROM cust JOIN ords ON c_custkey = o_custkey),
+       |t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS true_rows
+       |  FROM customer JOIN orders ON c_custkey = o_custkey)
+       |SELECT joined_rows, joined_price,
+       |  CAST(joined_rows AS DOUBLE) * 100.0 / ${CoherentPct} AS est_rows,
+       |  true_rows
+       |FROM s, t""".stripMargin
 }

@@ -1571,4 +1571,81 @@ object Stats {
        |SELECT user_id, CAST(MAX(n_events) AS BIGINT) AS n_events,
        |  CAST(SUM(tq) AS DOUBLE) / 1e9 AS ewma
        |FROM t GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // `q_mannwhitney`: exact rank-sum drift test
+
+  /** The two event populations compared (distribution of `value`). */
+  val MwGroupX = "click"
+  val MwGroupY = "view"
+
+  /** `q_mannwhitney`: exact Mann-Whitney U (Wilcoxon rank-sum) between
+    * two event types' value distributions — the nonparametric drift test
+    * beside X113's KS statistic: KS asks "how far apart do the CDFs
+    * get", U asks "how often does one population exceed the other"
+    * (U/(n_x*n_y) is the win probability). Doubled-rank trick keeps tie
+    * handling exact: a tie group's average rank is (first+last)/2, so
+    * 2*rank is always an integer — R2 = sum of doubled ranks and
+    * U2 = R2 - n_x*(n_x+1) stay in exact integer arithmetic end to end;
+    * the halving is the caller-facing division, done once.
+    *
+    * Scale shape: the X22 histogram-rank discipline — pooled rows
+    * collapse to the (value, per-group counts) histogram FIRST (one
+    * two-phase aggregate), and the running cumulative-count window walks
+    * the value-DOMAIN-bounded histogram, never the rows; a naive global
+    * row rank would total-sort the table through one reducer. */
+  def mannwhitneyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val hist = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(MwGroupX, MwGroupY))
+      .groupBy(col("value"))
+      .agg(
+        sum((col("event_type") === MwGroupX).cast("long")).as("cx"),
+        sum((col("event_type") === MwGroupY).cast("long")).as("cy"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("cum", coalesce(sum(col("cx") + col("cy")).over(w), lit(0L)))
+      // doubled average rank of this tie group: (first + last) =
+      // (cum+1) + (cum + cx + cy)
+      .withColumn("r2", lit(2) * col("cum") + col("cx") + col("cy") + lit(1))
+    ranked.agg(
+        sum(col("cx")).as("n_x"), sum(col("cy")).as("n_y"),
+        sum((col("r2") * col("cx")).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("r2x"))
+      .select(col("n_x"), col("n_y"),
+        (col("r2x") - col("n_x").cast(DecimalType(38, 0))
+          * (col("n_x") + 1).cast(DecimalType(38, 0)))
+          .cast("long").as("u2_x"))
+      .select(col("n_x"), col("n_y"), col("u2_x"),
+        (col("u2_x").cast("double") / lit(2.0)
+          / (col("n_x") * col("n_y")).cast("double")).as("win_prob_x"))
+  }
+
+  val mannwhitneyOracle: String =
+    s"""WITH hist AS (
+       |  SELECT value,
+       |    CAST(SUM(CASE WHEN event_type = '${MwGroupX}' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cx,
+       |    CAST(SUM(CASE WHEN event_type = '${MwGroupY}' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cy
+       |  FROM events WHERE event_type IN ('${MwGroupX}', '${MwGroupY}')
+       |  GROUP BY 1),
+       |ranked AS (
+       |  SELECT cx, cy,
+       |    COALESCE(SUM(cx + cy) OVER (ORDER BY value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM hist),
+       |m AS (
+       |  SELECT CAST(SUM(cx) AS BIGINT) AS n_x,
+       |    CAST(SUM(cy) AS BIGINT) AS n_y,
+       |    CAST(SUM(CAST((2 * cum + cx + cy + 1) * cx AS DECIMAL(38,0)))
+       |      AS DECIMAL(38,0)) AS r2x
+       |  FROM ranked)
+       |SELECT n_x, n_y,
+       |  CAST(r2x - CAST(n_x AS DECIMAL(38,0))
+       |    * CAST(n_x + 1 AS DECIMAL(38,0)) AS BIGINT) AS u2_x,
+       |  CAST(r2x - CAST(n_x AS DECIMAL(38,0))
+       |      * CAST(n_x + 1 AS DECIMAL(38,0)) AS DOUBLE) / 2.0
+       |    / CAST(n_x * n_y AS DOUBLE) AS win_prob_x
+       |FROM m""".stripMargin
 }

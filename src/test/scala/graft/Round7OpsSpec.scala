@@ -152,4 +152,41 @@ class Round7OpsSpec extends AnyFunSuite {
       rows.filter(_._1 == 1L).map(_._4).sum
     assert(delta === deltaExpected)
   }
+
+  test("coherent sample: every sampled customer keeps ALL their orders") {
+    val row = graft.operators.Curation.coherentSampleQ(spark, sf).head()
+    val joined = row.getLong(0)
+    // recompute: sampled custkeys, then their FULL order counts — if
+    // sampling were per-table-independent this would overcount vs the
+    // sampled join; universe sampling makes them equal
+    val keep = (c: org.apache.spark.sql.Column) => pmod(
+      conv(substring(md5(concat(lit("cs"), c)), 1, 15), 16, 10)
+        .cast("long"), lit(100)) < graft.operators.Curation.CoherentPct
+    val sampledCust = Tables.customer(spark, sf)
+      .filter(keep(col("c_custkey"))).select(col("c_custkey"))
+    val fullOrdersOfSampled = Tables.orders(spark, sf)
+      .join(sampledCust, col("o_custkey") === col("c_custkey")).count()
+    assert(joined === fullOrdersOfSampled)
+    // the estimator is the advertised inverse-probability scale-up
+    assert(math.abs(row.getDouble(2) - joined * 5.0) < 1e-9)
+  }
+
+  test("mannwhitney: doubled U matches the brute-force pair count") {
+    val row = graft.operators.Stats.mannwhitneyQ(spark, sf).head()
+    val (nx, ny, u2) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin(
+        graft.operators.Stats.MwGroupX, graft.operators.Stats.MwGroupY))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val xs = vals.filter(_._1 == graft.operators.Stats.MwGroupX).map(_._2)
+    val ys = vals.filter(_._1 == graft.operators.Stats.MwGroupY).map(_._2)
+    assert(nx === xs.length.toLong && ny === ys.length.toLong)
+    // U = #(x>y) + 0.5*#(x==y), doubled to stay integral
+    val u2Brute = xs.iterator.map { x =>
+      2L * ys.count(x > _) + ys.count(x == _)
+    }.sum
+    assert(u2 === u2Brute)
+    assert(math.abs(row.getDouble(3) - u2.toDouble / 2.0 / (nx * ny)) < 1e-12)
+  }
 }
