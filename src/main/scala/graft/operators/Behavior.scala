@@ -75,6 +75,83 @@ object Behavior {
       |  COUNT(t_view) AS n_view_after, COUNT(t_purchase) AS n_purchase_after
       |FROM u""".stripMargin
 
+  /** Per-step conversion window for `q_window_funnel`, in seconds (24 h —
+    * the events table spans ~30 days). */
+  val FunnelGapSec = 86400L
+
+  /** `q_window_funnel`: the TIMED variant of `q_funnel` — each stage must
+    * land within [`FunnelGapSec`] of the previous stage's timestamp
+    * (ClickHouse `windowFunnel` / product-analytics "conversion window"
+    * semantics), vs `q_funnel`'s unbounded at-or-after chain. Deterministic
+    * earliest-chain rule: each stage binds to the EARLIEST qualifying
+    * event after the previous stage; the chain never backtracks (a user
+    * who would convert only via a later signup does not count — pinned,
+    * documented, and mirrored in the oracle).
+    *
+    * Scale shape: identical to `q_funnel` — the three stage minima are
+    * stacked window layers over ONE user_id hash exchange (layer n+1's
+    * predicate reads layer n's column), the per-user rollup reuses the
+    * exchange, the stage report is a partial-aggregated single row.
+    * Per-user state = three timestamps at any scale. */
+  def windowFunnelQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val gap = expr(s"INTERVAL ${FunnelGapSec} SECOND")
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view" && col("ts") >= col("t_signup")
+          && col("ts") <= col("t_signup") + gap, col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t_view")
+          && col("ts") <= col("t_view") + gap, col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_signup")).as("t_signup"),
+        max(col("t_view")).as("t_view"),
+        max(col("t_purchase")).as("t_purchase"))
+    perUser.agg(
+      Num.countStar.as("n_users"),
+      count(col("t_signup")).as("n_signup"),
+      count(col("t_view")).as("n_view_24h"),
+      count(col("t_purchase")).as("n_purchase_24h"),
+      // total seconds from signup to purchase over full converters —
+      // exact integer sum; the mean is the one closing division
+      sum(unix_timestamp(col("t_purchase"))
+        - unix_timestamp(col("t_signup"))).as("convert_sec_sum"))
+      .withColumn("mean_convert_sec",
+        col("convert_sec_sum").cast("double")
+          / col("n_purchase_24h").cast("double"))
+  }
+
+  val windowFunnelOracle: String =
+    s"""WITH w1 AS (
+       |  SELECT user_id, event_type, ts,
+       |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+       |      OVER (PARTITION BY user_id) AS t_signup
+       |  FROM events),
+       |w2 AS (
+       |  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t_signup
+       |      AND ts <= t_signup + INTERVAL ${FunnelGapSec} SECOND
+       |      THEN ts END)
+       |    OVER (PARTITION BY user_id) AS t_view FROM w1),
+       |w3 AS (
+       |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t_view
+       |      AND ts <= t_view + INTERVAL ${FunnelGapSec} SECOND
+       |      THEN ts END)
+       |    OVER (PARTITION BY user_id) AS t_purchase FROM w2),
+       |u AS (
+       |  SELECT user_id, MAX(t_signup) AS t_signup, MAX(t_view) AS t_view,
+       |    MAX(t_purchase) AS t_purchase
+       |  FROM w3 GROUP BY 1)
+       |SELECT COUNT(*) AS n_users, COUNT(t_signup) AS n_signup,
+       |  COUNT(t_view) AS n_view_24h, COUNT(t_purchase) AS n_purchase_24h,
+       |  CAST(SUM(date_diff('second', t_signup, t_purchase)) AS BIGINT)
+       |    AS convert_sec_sum,
+       |  CAST(SUM(date_diff('second', t_signup, t_purchase)) AS DOUBLE)
+       |    / COUNT(t_purchase) AS mean_convert_sec
+       |FROM u""".stripMargin
+
   /** `q_cohort_retention`: the classic cohort × offset retention matrix —
     * users grouped by the ISO week of their first event, each later active
     * day attributed to its whole-week offset from that first day, cells =
@@ -686,4 +763,226 @@ object Behavior {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
       |FROM p GROUP BY 2
       |ORDER BY model, channel""".stripMargin
+
+  // `q_survival`: discrete survival / hazard table
+
+  /** Interval width for the life table, in days (quarters). */
+  val SurvIntervalDays = 90
+  /** A customer whose LAST order falls within this many days of the
+    * dataset's end is right-censored (lifetime still open), the standard
+    * Kaplan-Meier censoring rule for observation-window truncation. */
+  val SurvCensorDays = 180
+
+  /** `q_survival`: discrete life table over customer lifetimes (first to
+    * last order) — the survival-analysis counterpart of X84's calendar
+    * churn ledger: churn counts WHO left each week; the life table says
+    * how long a relationship LASTS — per 90-day interval, who was still
+    * at risk, who churned there, who aged out of the observation window
+    * (right-censored). Per-interval hazard d/n_risk is the
+    * Kaplan-Meier ingredient; it ships as exact integer-division ppm —
+    * the cumulative survival PRODUCT is left to the caller (it is a
+    * rational with an unboundedly growing denominator, exactly the kind
+    * of value the cross-engine gate can't pin bit-for-bit; X140's EWMA
+    * quantization solved this for a FIXED window, a life table has none).
+    *
+    * Scale shape: orders fold to per-customer (first, last) in ONE
+    * customer-keyed aggregate; the observation end is a 1-row broadcast
+    * crossJoin (X141's global-moment pattern, no data-sized window); the
+    * life table itself is an INTERVAL-domain histogram (lifetimes/90d —
+    * dozens of rows at any scale) and n_risk is a suffix sum walking that
+    * domain. Nothing after the first fold is data-sized. */
+  def survivalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+    val end = Tables.orders(spark, sfDir)
+      .agg(max(to_date(col("o_orderdate"))).as("end_d"))
+    val hist = perCust.crossJoin(broadcast(end))
+      .select(
+        (datediff(col("last_d"), col("first_d")) / SurvIntervalDays)
+          .cast("long").as("k"),
+        (datediff(col("end_d"), col("last_d")) < SurvCensorDays)
+          .as("censored"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("n_deaths"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    val all = Window.partitionBy()
+    val after = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("total", sum(col("n_deaths") + col("n_censored")).over(all))
+      .withColumn("gone", coalesce(
+        sum(col("n_deaths") + col("n_censored")).over(after), lit(0L)))
+      .select(col("k"), (col("total") - col("gone")).as("n_risk"),
+        col("n_deaths"), col("n_censored"))
+      .withColumn("hazard_ppm", expr("(n_deaths * 1000000) div n_risk"))
+      .orderBy(col("k"))
+  }
+
+  val survivalOracle: String =
+    s"""WITH pc AS (
+       |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+       |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+       |  FROM orders GROUP BY 1),
+       |e AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS end_d FROM orders),
+       |h AS (
+       |  SELECT date_diff('day', first_d, last_d) // ${SurvIntervalDays} AS k,
+       |    CAST(SUM(CASE WHEN date_diff('day', last_d, end_d)
+       |      < ${SurvCensorDays} THEN 0 ELSE 1 END) AS BIGINT) AS n_deaths,
+       |    CAST(SUM(CASE WHEN date_diff('day', last_d, end_d)
+       |      < ${SurvCensorDays} THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+       |  FROM pc, e GROUP BY 1),
+       |w AS (
+       |  SELECT k, n_deaths, n_censored,
+       |    CAST(SUM(n_deaths + n_censored) OVER () AS BIGINT) AS total,
+       |    CAST(COALESCE(SUM(n_deaths + n_censored) OVER (ORDER BY k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS gone
+       |  FROM h)
+       |SELECT k, total - gone AS n_risk, n_deaths, n_censored,
+       |  (n_deaths * 1000000) // (total - gone) AS hazard_ppm
+       |FROM w ORDER BY k""".stripMargin
+
+  // `q_rfm`: recency/frequency/monetary quintile segmentation
+
+  /** Monetary scoring resolution: customer lifetime spend is quantized to
+    * $100 units before the quintile histogram, bounding the threshold
+    * window's input by the SPEND DOMAIN (tens of thousands of cells), not
+    * the customer count. */
+  val RfmMonetaryUnitCents = 10000L
+
+  /** `q_rfm`: RFM (recency / frequency / monetary) customer segmentation —
+    * the standard CRM scoring grid, built the exact-percentile way: each
+    * metric's quintile thresholds t20..t80 come from a VALUE-HISTOGRAM
+    * rank walk (X22's discipline — `ntile(5)` over customers would
+    * total-sort a warehouse-scale customer frame through one reducer and
+    * tie-break nondeterministically; threshold scoring is deterministic,
+    * histogram-bounded, and reproducible cross-engine). Scores: higher
+    * spend/orders → higher F/M; more RECENT → higher R (days compare
+    * BELOW thresholds). Marquee segments (champions / at-risk /
+    * hibernating / new) are a pinned CASE over the score grid.
+    *
+    * Scale shape: one customer-keyed fold builds the (recency, frequency,
+    * monetary) ledger, materialized once for its four consumers (three
+    * metric histograms + the final scoring pass). Thresholds are 1-row
+    * frames broadcast back (X141's global-moment pattern). Histogram
+    * windows walk bounded domains: days (calendar), order counts (small),
+    * $100 spend units. Money is exact cents end to end; the threshold
+    * rank is the X22 ceil formula in integer arithmetic. */
+  def rfmQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val end = Tables.orders(spark, sfDir)
+      .agg(max(to_date(col("o_orderdate"))).as("end_d"))
+    val ledger = Materialize.diskBacked(
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          Num.countStar.as("frequency"),
+          sum(cents).as("monetary_cents"))
+        .crossJoin(broadcast(end))
+        .select(col("o_custkey"),
+          datediff(col("end_d"), col("last_d")).cast("long").as("recency_d"),
+          col("frequency"),
+          col("monetary_cents"),
+          (col("monetary_cents") / lit(RfmMonetaryUnitCents)).cast("long")
+            .as("monetary_u")))
+    // quintile thresholds of metric column `m`: min v with cum >= ceil(k*n/5)
+    def thresholds(m: String, pfx: String): DataFrame = {
+      val byV = Window.orderBy(col("v"))
+      val all = Window.partitionBy()
+      ledger.select(col(m).as("v"))
+        .groupBy(col("v")).agg(Num.countStar.as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(byV))
+        .withColumn("n", sum(col("cnt")).over(all))
+        .groupBy(lit(1).as("one"))
+        .agg(
+          min(when(col("cum") >= expr("(n * 1 + 4) div 5"), col("v")))
+            .as(s"${pfx}1"),
+          (2 to 4).map { k =>
+            min(when(col("cum") >= expr(s"(n * $k + 4) div 5"), col("v")))
+              .as(s"${pfx}$k")
+          }: _*)
+        .drop("one")
+    }
+    val scored = ledger
+      .crossJoin(broadcast(thresholds("recency_d", "tr")))
+      .crossJoin(broadcast(thresholds("frequency", "tf")))
+      .crossJoin(broadcast(thresholds("monetary_u", "tm")))
+      .select(col("monetary_cents"),
+        (lit(1) + (1 to 4).map(k =>
+          when(col("recency_d") < col(s"tr$k"), 1).otherwise(0))
+          .reduce(_ + _)).as("r_score"),
+        (lit(1) + (1 to 4).map(k =>
+          when(col("frequency") > col(s"tf$k"), 1).otherwise(0))
+          .reduce(_ + _)).as("f_score"),
+        (lit(1) + (1 to 4).map(k =>
+          when(col("monetary_u") > col(s"tm$k"), 1).otherwise(0))
+          .reduce(_ + _)).as("m_score"))
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(Num.countStar.as("n_customers"),
+        sum(col("monetary_cents").cast(DecimalType(38, 0))).cast("long")
+          .as("monetary_cents"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4
+          && col("m_score") >= 4, "champions")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .otherwise(lit("core")))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val rfmOracle: String = {
+    def thr(src: String, pfx: String): String =
+      s"""(SELECT ${(1 to 4).map(k =>
+        s"MIN(CASE WHEN cum >= (n * $k + 4) // 5 THEN v END) AS ${pfx}$k")
+        .mkString(", ")}
+         | FROM (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+         |   SUM(cnt) OVER () AS n
+         |   FROM (SELECT $src AS v, COUNT(*) AS cnt FROM ledger GROUP BY 1)))"""
+        .stripMargin
+    s"""WITH e AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS end_d FROM orders),
+       |ledger AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+       |      (SELECT end_d FROM e)) AS recency_d,
+       |    COUNT(*) AS frequency,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS monetary_cents,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) // ${RfmMonetaryUnitCents} AS monetary_u
+       |  FROM orders GROUP BY 1),
+       |tr AS ${thr("recency_d", "tr")},
+       |tf AS ${thr("frequency", "tf")},
+       |tm AS ${thr("monetary_u", "tm")},
+       |scored AS (
+       |  SELECT monetary_cents,
+       |    1 + ${(1 to 4).map(k =>
+      s"(CASE WHEN recency_d < tr$k THEN 1 ELSE 0 END)").mkString(" + ")}
+       |      AS r_score,
+       |    1 + ${(1 to 4).map(k =>
+      s"(CASE WHEN frequency > tf$k THEN 1 ELSE 0 END)").mkString(" + ")}
+       |      AS f_score,
+       |    1 + ${(1 to 4).map(k =>
+      s"(CASE WHEN monetary_u > tm$k THEN 1 ELSE 0 END)").mkString(" + ")}
+       |      AS m_score
+       |  FROM ledger, tr, tf, tm)
+       |SELECT r_score, f_score, m_score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  CAST(SUM(CAST(monetary_cents AS DECIMAL(38,0))) AS BIGINT)
+       |    AS monetary_cents,
+       |  CASE
+       |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+       |      THEN 'champions'
+       |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+       |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+       |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+       |    ELSE 'core' END AS segment
+       |FROM scored GROUP BY 1, 2, 3
+       |ORDER BY r_score, f_score, m_score""".stripMargin
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.engine.{Materialize, Num, Tables}
@@ -573,4 +574,85 @@ object Graph {
        |GROUP BY 1, 2
        |ORDER BY score DESC, s_a, s_b
        |LIMIT ${RaTopK}""".stripMargin
+
+  // `q_hits`: HITS hubs & authorities (exact-integer power rounds)
+
+  /** Full mutual-reinforcement rounds (auth pass + hub pass each). */
+  val HitsIters = 2
+  /** Nodes reported per role. */
+  val HitsTopK = 25
+
+  /** `q_hits`: Kleinberg's HITS over the directed supplier→part bipartite
+    * graph from `lineitem` — the second link-analysis scorer beside X53's
+    * PageRank, answering a different question: PageRank scores GLOBAL
+    * importance under random walks; HITS separates HUBS (suppliers whose
+    * shipments touch well-sourced parts) from AUTHORITIES (parts stocked
+    * by strong hubs), the directory-vs-content split. Unnormalized
+    * iterates are PURE INTEGER sums (hub₀=1 ⇒ auth₁=indegree; each pass
+    * is one equi-join + sum), so unlike PageRank's 1e-12 quantization no
+    * rounding exists at all — DECIMAL(38,0) carries the growth (score ≤
+    * deg^(2·iters)·n, inside 38 digits for any realistic degree) and both
+    * engines agree bit-for-bit. Normalization is the caller-facing
+    * `score_frac` = score/max, one decimal→double division per role.
+    *
+    * Scale shape: edges = DISTINCT (s,p) materialized ONCE and reused by
+    * all 2·HitsIters passes; each pass shuffles only (node, score) pairs —
+    * two exchanges per round, the raw table never re-enters (X53's
+    * discipline). Rank vectors stay node-sized; the final per-role top-K
+    * is a TakeOrdered, never a global sort. */
+  def hitsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Materialize.diskBacked(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct())
+    val dec = DecimalType(38, 0)
+    // hub0 = 1 for every supplier ⇒ auth1 = indegree(p)
+    var auth = edges.groupBy(col("p"))
+      .agg(Num.countStar.cast(dec).as("score"))
+    var hub = edges.join(auth, Seq("p"))
+      .groupBy(col("s")).agg(sum(col("score")).cast(dec).as("score"))
+    for (_ <- 2 to HitsIters) {
+      auth = edges.join(hub, Seq("s"))
+        .groupBy(col("p")).agg(sum(col("score")).cast(dec).as("score"))
+      hub = edges.join(auth, Seq("p"))
+        .groupBy(col("s")).agg(sum(col("score")).cast(dec).as("score"))
+    }
+    def top(df: DataFrame, role: String, node: Column): DataFrame = {
+      val all = Window.partitionBy()
+      df.withColumn("m", max(col("score")).over(all))
+        .orderBy(col("score").desc, node.asc).limit(HitsTopK)
+        .select(lit(role).as("role"), node.as("node"),
+          col("score").cast("long").as("score"),
+          (col("score").cast("double") / col("m").cast("double"))
+            .as("score_frac"))
+    }
+    top(auth, "auth", col("p")).unionAll(top(hub, "hub", col("s")))
+      .orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  val hitsOracle: String =
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |a1 AS (
+       |  SELECT p, CAST(COUNT(*) AS DECIMAL(38,0)) AS score FROM e GROUP BY 1),
+       |h1 AS (
+       |  SELECT s, CAST(SUM(score) AS DECIMAL(38,0)) AS score
+       |  FROM e JOIN a1 USING (p) GROUP BY 1),
+       |a2 AS (
+       |  SELECT p, CAST(SUM(score) AS DECIMAL(38,0)) AS score
+       |  FROM e JOIN h1 USING (s) GROUP BY 1),
+       |h2 AS (
+       |  SELECT s, CAST(SUM(score) AS DECIMAL(38,0)) AS score
+       |  FROM e JOIN a2 USING (p) GROUP BY 1),
+       |ta AS (
+       |  SELECT 'auth' AS role, p AS node, CAST(score AS BIGINT) AS score,
+       |    CAST(score AS DOUBLE) / CAST(MAX(score) OVER () AS DOUBLE)
+       |      AS score_frac
+       |  FROM a2 ORDER BY score DESC, node LIMIT ${HitsTopK}),
+       |th AS (
+       |  SELECT 'hub' AS role, s AS node, CAST(score AS BIGINT) AS score,
+       |    CAST(score AS DOUBLE) / CAST(MAX(score) OVER () AS DOUBLE)
+       |      AS score_frac
+       |  FROM h2 ORDER BY score DESC, node LIMIT ${HitsTopK})
+       |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+       |ORDER BY role, score DESC, node""".stripMargin
 }

@@ -1648,4 +1648,341 @@ object Stats {
        |      * CAST(n_x + 1 AS DECIMAL(38,0)) AS DOUBLE) / 2.0
        |    / CAST(n_x * n_y AS DOUBLE) AS win_prob_x
        |FROM m""".stripMargin
+
+  // `q_tvd_drift`: binned total-variation distance between two periods
+
+  /** Period boundary: orders strictly before this date are population A,
+    * at-or-after are population B (the dataset spans 1995-01..2001-08, so
+    * this is roughly the midpoint). */
+  val TvdSplitDate = "1998-04-15"
+  /** Bin width for the price histogram: $25,000 in cents (~20 bins over
+    * the o_totalprice domain). */
+  val TvdBucketCents = 2500000L
+
+  /** `q_tvd_drift`: binned total-variation distance between the order-price
+    * distributions of two time periods — the third leg of the drift-test
+    * family (X113 KS = CDF supremum, q_mannwhitney = rank dominance; TVD =
+    * half the L1 gap between the binned PMFs, the "what fraction of mass
+    * moved" number a corpus monitor alarms on). Unlike PSI/KL it needs no
+    * logarithm, so the statistic stays EXACT: per-bin deviation
+    * |ca·n_b − cb·n_a| and its sum are integer arithmetic; the single
+    * closing division by 2·n_a·n_b is the only float. Ties in the largest
+    * deviation resolve to the smallest bucket, pinning WHERE the mass
+    * moved.
+    *
+    * Scale shape: the X22/X113 histogram discipline — orders fold to the
+    * (bucket, per-period counts) histogram in one map-side-combined
+    * aggregate; everything after touches ≤ price-domain/25k rows. The
+    * windows run over the bin domain, never the data. Counts cross-multiply
+    * below 2^53 through the verify scales; the sums carry DECIMAL(38,0) so
+    * the same algebra survives warehouse-scale row counts. */
+  def tvdDriftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val isA = col("o_orderdate") < lit(TvdSplitDate).cast("timestamp")
+    val hist = Tables.orders(spark, sfDir)
+      .select((cents / lit(TvdBucketCents)).cast("long").as("bucket"),
+        isA.as("is_a"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val all = Window.partitionBy()
+    val scored = hist
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+      .withColumn("dev", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      .withColumn("devmax", max(col("dev")).over(all))
+    scored.groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(Num.countStar.as("n_buckets"),
+        sum(col("dev").cast(DecimalType(38, 0))).cast("long").as("tvd_num"),
+        min(when(col("dev") === col("devmax"), col("bucket"))).as("at_bucket"))
+      .withColumn("tvd", col("tvd_num").cast("double")
+        / (lit(2.0) * (col("n_a") * col("n_b")).cast("double")))
+      .orderBy(col("n_a"))
+  }
+
+  val tvdDriftOracle: String =
+    s"""WITH h AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      // ${TvdBucketCents} AS bucket,
+       |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '${TvdSplitDate} 00:00:00'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '${TvdSplitDate} 00:00:00'
+       |      THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |  FROM orders GROUP BY 1),
+       |t AS (
+       |  SELECT bucket, ca, cb,
+       |    CAST(SUM(ca) OVER () AS BIGINT) AS na,
+       |    CAST(SUM(cb) OVER () AS BIGINT) AS nb
+       |  FROM h),
+       |s AS (
+       |  SELECT bucket, na, nb, ABS(ca * nb - cb * na) AS dev,
+       |    MAX(ABS(ca * nb - cb * na)) OVER () AS devmax
+       |  FROM t)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  COUNT(*) AS n_buckets,
+       |  CAST(SUM(CAST(dev AS DECIMAL(38,0))) AS BIGINT) AS tvd_num,
+       |  MIN(CASE WHEN dev = devmax THEN bucket END) AS at_bucket,
+       |  CAST(SUM(CAST(dev AS DECIMAL(38,0))) AS DOUBLE)
+       |    / (2.0 * CAST(na * nb AS DOUBLE)) AS tvd
+       |FROM s GROUP BY na, nb ORDER BY n_a""".stripMargin
+
+  // `q_benford`: first-significant-digit audit
+
+  /** Benford expected first-digit probabilities log10(1+1/d), pinned as
+    * parts-per-million INTEGER literals so no engine evaluates a log:
+    * d=1..9. round(log10(1+1/d)·1e6) computed once, offline. */
+  val BenfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** `q_benford`: first-significant-digit distribution of order totals
+    * against Benford's law — the classic fraud/synthetic-data audit (a
+    * generated or truncated money column fails it instantly; TPC-H prices
+    * are sums of uniform parts, so the gated report SHOWS the deviation
+    * rather than asserting conformance). Everything is exact integers: the
+    * first digit comes from a magnitude CASE ladder over the cents value
+    * (no log10 — Math.log10 and libm disagree in the last ulp near powers
+    * of ten), shares are integer-division parts-per-million, and the
+    * expected column is a pinned literal table, so the per-digit deviation
+    * obs_ppm − exp_ppm is bit-identical cross-engine.
+    *
+    * Scale shape: one map-side-combined fold to the 9-row digit histogram;
+    * the share window runs over those 9 rows. Nothing after the first
+    * aggregate is data-sized. */
+  def benfordQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    // Magnitude ladder: leading digit of a positive integer < 10^12. The
+    // double division is exact-truncating here: a true quotient in [1,10)
+    // sits at least 1/p >= 1e-11 away from the next integer unless it IS
+    // one (both operands integral), and IEEE round-to-nearest moves it by
+    // < 5e-16 — so cast("long") truncation equals DuckDB's `//`.
+    val digit = {
+      val x = col("cents")
+      val pows = Seq(1e11, 1e10, 1e9, 1e8, 1e7, 1e6, 1e5, 1e4, 1e3, 100.0, 10.0)
+        .map(_.toLong)
+      pows.foldLeft(when(x < 10L, x)) { (acc, p) =>
+        acc.when(x >= p && x < p * 10, (x / p).cast("long"))
+      }.otherwise(lit(null))
+    }
+    val exp = BenfordPpm.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (ppm, i)) =>
+        when(col("digit") === (i + 1), lit(ppm)).otherwise(acc)
+      }
+    val all = Window.partitionBy()
+    Tables.orders(spark, sfDir)
+      .select(cents.as("cents"))
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(Num.countStar.as("observed"))
+      .withColumn("n_orders", sum(col("observed")).over(all))
+      .withColumn("obs_ppm",
+        expr("(observed * 1000000) div n_orders"))
+      .withColumn("exp_ppm", exp)
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordOracle: String = {
+    val expCase = BenfordPpm.zipWithIndex
+      .map { case (ppm, i) => s"WHEN ${i + 1} THEN ${ppm}" }
+      .mkString(" ")
+    s"""WITH c AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |    AS cents FROM orders),
+       |d AS (
+       |  SELECT CASE
+       |    WHEN cents < 10 THEN cents
+       |    WHEN cents < 100 THEN cents // 10
+       |    WHEN cents < 1000 THEN cents // 100
+       |    WHEN cents < 10000 THEN cents // 1000
+       |    WHEN cents < 100000 THEN cents // 10000
+       |    WHEN cents < 1000000 THEN cents // 100000
+       |    WHEN cents < 10000000 THEN cents // 1000000
+       |    WHEN cents < 100000000 THEN cents // 10000000
+       |    WHEN cents < 1000000000 THEN cents // 100000000
+       |    WHEN cents < 10000000000 THEN cents // 1000000000
+       |    WHEN cents < 100000000000 THEN cents // 10000000000
+       |    WHEN cents < 1000000000000 THEN cents // 100000000000
+       |    END AS digit
+       |  FROM c),
+       |h AS (
+       |  SELECT digit, COUNT(*) AS observed FROM d GROUP BY 1),
+       |w AS (
+       |  SELECT digit, observed,
+       |    CAST(SUM(observed) OVER () AS BIGINT) AS n_orders
+       |  FROM h)
+       |SELECT digit, observed, n_orders,
+       |  (observed * 1000000) // n_orders AS obs_ppm,
+       |  CASE digit ${expCase} END AS exp_ppm,
+       |  (observed * 1000000) // n_orders
+       |    - CASE digit ${expCase} END AS dev_ppm
+       |FROM w ORDER BY digit""".stripMargin
+  }
+
+  // `q_abc_pareto`: cumulative-share ABC classification
+
+  /** Revenue-histogram bin width for the ABC scan: $1,000 in cents. */
+  val AbcBucketCents = 100000L
+
+  /** `q_abc_pareto`: ABC (Pareto / 80-15-5) classification of parts by
+    * revenue — the "which 20% of the catalog carries 80% of the business"
+    * report beside X79's HHI scalar: HHI says HOW concentrated, ABC says
+    * WHICH items make up each concentration tier. Class A = parts in
+    * revenue buckets whose preceding cumulative share is under 80% of
+    * total, B under 95%, C the tail; boundaries compare exact integers
+    * (cum·20 vs total·16, cum·20 vs total·19 — no percentage floats).
+    *
+    * Scale shape: lineitem folds to per-part revenue (one shuffle at
+    * catalog cardinality), parts fold to a $1,000-bucket revenue HISTOGRAM
+    * (bounded by the price domain, not the catalog — this is what keeps
+    * the cumulative window off a 200M-part total sort at warehouse scale),
+    * the running share walks the bucket domain descending, and parts join
+    * their bucket's class back by broadcast. Revenue is exact cents via
+    * DECIMAL sums at every level. */
+  def abcParetoQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(38, 0))
+    val perPart = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents).cast("long").as("rev_cents"))
+    val hist = perPart
+      .groupBy((col("rev_cents") / lit(AbcBucketCents)).cast("long")
+        .as("bucket"))
+      .agg(Num.countStar.as("n_parts"),
+        sum(col("rev_cents").cast(DecimalType(38, 0))).as("rev_sum"))
+    val desc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val classed = hist
+      .withColumn("total", sum(col("rev_sum")).over(all))
+      .withColumn("cum_prev", coalesce(sum(col("rev_sum")).over(desc),
+        lit(0).cast(DecimalType(38, 0))))
+      .withColumn("cls",
+        when(col("cum_prev") * 20 < col("total") * 16, "A")
+          .when(col("cum_prev") * 20 < col("total") * 19, "B")
+          .otherwise(lit("C")))
+    classed.groupBy(col("cls"))
+      .agg(sum(col("n_parts")).as("n_parts"),
+        sum(col("rev_sum")).cast("long").as("rev_cents"),
+        // exact-decimal sums -> double, then ONE division: deterministic
+        // cross-engine (the Num.sumMoney convention) and overflow-free at
+        // any scale, unlike a x1e6 bigint ppm product
+        (sum(col("rev_sum")).cast("double")
+          / max(col("total")).cast("double")).as("share"))
+      .orderBy(col("cls"))
+  }
+
+  val abcParetoOracle: String =
+    s"""WITH pp AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+       |      AS BIGINT) AS rev_cents
+       |  FROM lineitem GROUP BY 1),
+       |h AS (
+       |  SELECT rev_cents // ${AbcBucketCents} AS bucket,
+       |    COUNT(*) AS n_parts,
+       |    CAST(SUM(CAST(rev_cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |      AS rev_sum
+       |  FROM pp GROUP BY 1),
+       |c AS (
+       |  SELECT bucket, n_parts, rev_sum,
+       |    SUM(rev_sum) OVER () AS total,
+       |    COALESCE(SUM(rev_sum) OVER (ORDER BY bucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      CAST(0 AS DECIMAL(38,0))) AS cum_prev
+       |  FROM h),
+       |k AS (
+       |  SELECT CASE
+       |      WHEN cum_prev * 20 < total * 16 THEN 'A'
+       |      WHEN cum_prev * 20 < total * 19 THEN 'B'
+       |      ELSE 'C' END AS cls,
+       |    n_parts, rev_sum, total
+       |  FROM c)
+       |SELECT cls, CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+       |  CAST(SUM(rev_sum) AS BIGINT) AS rev_cents,
+       |  CAST(SUM(rev_sum) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS share
+       |FROM k GROUP BY cls ORDER BY cls""".stripMargin
+
+  // `q_seasonal_anomaly`: day-of-week baseline + deviation census
+
+  /** Weekday epoch anchor: 1995-01-01 was a SUNDAY, so
+    * datediff(d, anchor) % 7 gives 0=Sun..6=Sat in pure integer
+    * arithmetic — engines disagree on `dayofweek()` numbering (Spark
+    * 1=Sun..7, DuckDB 0=Sun..6), an epoch modulus sidesteps the function
+    * entirely. */
+  val SeasonalAnchor = "1995-01-01"
+
+  /** `q_seasonal_anomaly`: seasonality-aware deviation census — per
+    * WEEKDAY median of daily order revenue as the baseline, then each
+    * day flagged high (>1.5× its weekday median) or low (<0.5×): the
+    * "is Tuesday unusually quiet FOR A TUESDAY" monitor that a global
+    * z-score (X58) gets wrong when weekends are structurally slower.
+    * Medians are exact X22 rank-walks and the flags exact integer
+    * cross-products (2·t > 3·m, 2·t < m) — no float thresholds.
+    *
+    * Scale shape: the raw table folds to the CALENDAR-day revenue frame
+    * first (one map-side-combined aggregate, ≤ days-domain rows forever);
+    * the per-weekday median window and the flag join both walk that
+    * bounded frame. The weekday medians (7 rows) broadcast back. */
+  def seasonalAnomalyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val daily = Materialize.diskBacked(
+      Tables.orders(spark, sfDir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(cents).as("t"))
+        .withColumn("dow",
+          pmod(datediff(col("d"), lit(SeasonalAnchor).cast("date")), lit(7))))
+    val byV = Window.partitionBy(col("dow")).orderBy(col("t"))
+    val all = Window.partitionBy(col("dow"))
+    val medians = daily
+      .groupBy(col("dow"), col("t")).agg(Num.countStar.as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(col("dow"))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("t")))
+        .as("median_cents"))
+    daily.join(broadcast(medians), Seq("dow"))
+      .groupBy(col("dow"))
+      .agg(Num.countStar.as("n_days"),
+        max(col("median_cents")).as("median_cents"),
+        sum(when(col("t") * 2 > col("median_cents") * 3, 1L).otherwise(0L))
+          .as("n_high"),
+        sum(when(col("t") * 2 < col("median_cents"), 1L).otherwise(0L))
+          .as("n_low"))
+      .orderBy(col("dow"))
+  }
+
+  val seasonalAnomalyOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS t,
+       |    date_diff('day', DATE '${SeasonalAnchor}',
+       |      CAST(o_orderdate AS DATE)) % 7 AS dow
+       |  FROM orders GROUP BY 1, 3),
+       |h AS (
+       |  SELECT dow, t, COUNT(*) AS cnt FROM daily GROUP BY 1, 2),
+       |c AS (
+       |  SELECT dow, t,
+       |    SUM(cnt) OVER (PARTITION BY dow ORDER BY t) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY dow) AS n
+       |  FROM h),
+       |m AS (
+       |  SELECT dow, CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN t END)
+       |    AS BIGINT) AS median_cents
+       |  FROM c GROUP BY 1)
+       |SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  MAX(median_cents) AS median_cents,
+       |  CAST(SUM(CASE WHEN t * 2 > median_cents * 3 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_high,
+       |  CAST(SUM(CASE WHEN t * 2 < median_cents THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_low
+       |FROM daily JOIN m USING (dow)
+       |GROUP BY 1 ORDER BY dow""".stripMargin
 }

@@ -682,4 +682,83 @@ class PlanSpec extends AnyFunSuite {
         !p.contains("BroadcastNestedLoopJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** Every single-partition exchange in `p` (the global-window funnels)
+    * must carry aggregated rows, never the scan — the X22 histogram rule
+    * for partitionBy() windows. */
+  private def singlePartitionFedByAggregate(p: String): Boolean = {
+    val lines = p.linesIterator.toVector
+    val idxs = lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition")).map(_._2)
+    idxs.nonEmpty && idxs.forall { i =>
+      val after = lines.drop(i + 1)
+      val agg = after.indexWhere(l =>
+        l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+      val scan = after.indexWhere(_.contains("Scan parquet"))
+      agg >= 0 && (scan < 0 || agg < scan)
+    }
+  }
+
+  test("drift/audit/pareto/survival report windows walk histograms, not rows") {
+    for (q <- Seq("q_tvd_drift", "q_benford", "q_abc_pareto", "q_survival")) {
+      val p = plan(q)
+      assert(singlePartitionFedByAggregate(p),
+        s"$q: a global window consumes un-aggregated rows:\n$p")
+    }
+  }
+
+  test("q_survival: only the 1-row observation-end broadcast may nested-loop") {
+    val p = plan("q_survival")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnlj <= 1 && !p.contains("CartesianProduct"),
+      s"life table must not cross-join data-sized frames:\n$p")
+  }
+
+  test("q_rfm: ledger materialized once; only 1-row frames nested-loop") {
+    val p = plan("q_rfm")
+    // the customer ledger feeds 4 consumers (3 metric histograms + the
+    // scoring pass) — materialized, not recomputed per branch
+    assert(p.contains("InMemoryTableScan"),
+      s"RFM ledger must be materialized once:\n$p")
+    // the only nested-loop joins are the 1-row broadcasts: the three
+    // quintile-threshold frames (the end-date join lives inside the
+    // cached ledger). Count the TOP-LEVEL plan only — the cached
+    // relation's stored dump re-prints its own subtree below.
+    val topLevel = p.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).toVector
+    assert(topLevel.count(_.contains("BroadcastNestedLoopJoin")) <= 3 &&
+      !p.contains("CartesianProduct"),
+      s"RFM must not cross-join data-sized frames:\n$p")
+    assert(singlePartitionFedByAggregate(p),
+      s"threshold windows must walk metric histograms, not customers:\n$p")
+  }
+
+  test("q_window_funnel: stage layers stack on one user_id exchange") {
+    val p = plan("q_window_funnel")
+    val userExchanges = p.linesIterator
+      .count(_.matches(".*Exchange hashpartitioning\\(user_id#\\d+.*"))
+    assert(userExchanges === 1,
+      s"expected one user_id exchange, got $userExchanges:\n$p")
+  }
+
+  test("q_seasonal_anomaly: median window walks the calendar-day frame") {
+    val p = plan("q_seasonal_anomaly")
+    // the per-weekday rank window consumes the cached daily fold (its
+    // exchange reads the InMemoryTableScan, not a raw parquet scan)
+    assert(exchangeFedByAggregate(p, "dow#\\d+") ||
+      p.contains("InMemoryTableScan"),
+      s"weekday median must rank the daily frame, not raw orders:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 7-row median frame must broadcast back:\n$p")
+  }
+
+  test("q_hits: edge frame materialized once; all rank passes equi-join") {
+    val p = plan("q_hits")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"HITS passes must stay equi-join-shaped:\n$p")
+    // 4 score passes + the top-K legs all read the one cached edge frame
+    assert(p.contains("InMemoryTableScan"),
+      s"edges must be materialized once and reused:\n$p")
+  }
 }

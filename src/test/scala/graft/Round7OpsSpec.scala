@@ -189,4 +189,230 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(u2 === u2Brute)
     assert(math.abs(row.getDouble(3) - u2.toDouble / 2.0 / (nx * ny)) < 1e-12)
   }
+
+  test("tvd drift: statistic matches a brute-force binned recompute and is in [0,1]") {
+    val row = Stats.tvdDriftQ(spark, sf).head()
+    val (na, nb, num, tvd) =
+      (row.getLong(0), row.getLong(1), row.getLong(3), row.getDouble(5))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_totalprice"),
+        (col("o_orderdate") < lit(Stats.TvdSplitDate).cast("timestamp"))
+          .as("is_a"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val bucketOf = (p: Double) =>
+      (BigDecimal(p).setScale(2) * 100).toLongExact / Stats.TvdBucketCents
+    val a = orders.filter(_._2).map(o => bucketOf(o._1))
+    val b = orders.filterNot(_._2).map(o => bucketOf(o._1))
+    assert(na === a.length.toLong && nb === b.length.toLong)
+    val buckets = (a ++ b).distinct
+    val numBrute = buckets.map { k =>
+      math.abs(a.count(_ == k).toLong * nb - b.count(_ == k).toLong * na)
+    }.sum
+    assert(num === numBrute)
+    assert(math.abs(tvd - num.toDouble / (2.0 * na * nb)) < 1e-15)
+    assert(tvd >= 0.0 && tvd <= 1.0)
+  }
+
+  test("benford: digit histogram matches string-leading-digit brute force") {
+    val rows = Stats.benfordQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val cents = Tables.orders(spark, sf).select(col("o_totalprice")).collect()
+      .map(r => (BigDecimal(r.getDouble(0)).setScale(2) * 100).toLongExact)
+    val brute = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_._1).toSet === brute.keySet)
+    rows.foreach { case (d, obs, obsPpm, expPpm) =>
+      assert(obs === brute(d), s"digit $d")
+      assert(obsPpm === obs * 1000000L / cents.length)
+      assert(expPpm === Stats.BenfordPpm(d.toInt - 1))
+    }
+    // the pinned expectation table is a probability vector (ppm sums to 1e6)
+    assert(Stats.BenfordPpm.sum === 1000000L)
+  }
+
+  test("abc pareto: classes partition the catalog and match brute force") {
+    val rows = Stats.abcParetoQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq("A", "B", "C"))
+    val perPart = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_extendedprice")).collect()
+      .map(r => r.getLong(0) ->
+        (BigDecimal(r.getDouble(1)).setScale(2) * 100).toLongExact)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.map(_._2).sum === perPart.size.toLong)
+    val total = perPart.values.map(BigInt(_)).sum
+    assert(rows.map(r => BigInt(r._3)).sum === total)
+    // brute: bucket histogram desc, preceding-cum thresholds at 80/95%
+    val byBucket = perPart.values.groupBy(_ / Stats.AbcBucketCents).toSeq
+      .sortBy(-_._1)
+    val cls = scala.collection.mutable.Map[String, (Long, BigInt)]()
+      .withDefaultValue((0L, BigInt(0)))
+    var cum = BigInt(0)
+    byBucket.foreach { case (_, revs) =>
+      val k = if (cum * 20 < total * 16) "A"
+        else if (cum * 20 < total * 19) "B" else "C"
+      val (n0, r0) = cls(k)
+      cls(k) = (n0 + revs.size, r0 + revs.map(BigInt(_)).sum)
+      cum += revs.map(BigInt(_)).sum
+    }
+    rows.foreach { case (k, n, rev, share) =>
+      assert((n, BigInt(rev)) === cls(k), s"class $k")
+      assert(math.abs(share - BigDecimal(rev).toDouble / total.toDouble) < 1e-12)
+    }
+  }
+
+  test("hits: scores match a brute-force two-round mutual reinforcement") {
+    val rows = Graph.hitsQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var auth = edges.groupBy(_._2).view.mapValues(es => BigInt(es.length)).toMap
+    var hub = edges.groupBy(_._1).view
+      .mapValues(_.map(e => auth(e._2)).sum).toMap
+    for (_ <- 2 to Graph.HitsIters) {
+      auth = edges.groupBy(_._2).view
+        .mapValues(_.map(e => hub(e._1)).sum).toMap
+      hub = edges.groupBy(_._1).view
+        .mapValues(_.map(e => auth(e._2)).sum).toMap
+    }
+    val topAuth = auth.toSeq.sortBy { case (n, s) => (-s, n) }
+      .take(Graph.HitsTopK)
+    val topHub = hub.toSeq.sortBy { case (n, s) => (-s, n) }
+      .take(Graph.HitsTopK)
+    assert(rows.filter(_._1 == "auth").map(r => r._2 -> BigInt(r._3)).toSeq
+      .sortBy(x => (-x._2, x._1)) === topAuth)
+    assert(rows.filter(_._1 == "hub").map(r => r._2 -> BigInt(r._3)).toSeq
+      .sortBy(x => (-x._2, x._1)) === topHub)
+    val maxA = auth.values.max
+    rows.filter(_._1 == "auth").foreach { case (_, n, s, f) =>
+      assert(math.abs(f - BigDecimal(s).toDouble / maxA.toDouble) < 1e-12,
+        s"auth $n")
+    }
+  }
+
+  test("survival: life table accounts for every customer and n_risk telescopes") {
+    val rows = Behavior.survivalQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    // interval 0's at-risk pool is everyone; each interval's exits
+    // (deaths + censored) are exactly the n_risk drop to the next row
+    assert(rows.head._1 === 0L && rows.head._2 === nCust)
+    rows.sliding(2).foreach {
+      case Array((_, r1, d1, c1, _), (_, r2, _, _, _)) =>
+        assert(r2 <= r1 - d1 - c1) // gaps allowed: empty intervals skipped
+      case _ => ()
+    }
+    assert(rows.map(r => r._3 + r._4).sum === nCust)
+    rows.foreach { case (k, r, d, _, h) =>
+      assert(h === d * 1000000L / r, s"interval $k")
+    }
+  }
+
+  test("rfm: grid covers every customer and scores match brute-force quintiles") {
+    val rows = Behavior.rfmQ(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    val ledger = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      .select(
+        datediff(max(col("last_d")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()),
+          col("last_d")).cast("long").as("rec"),
+        col("freq"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.values.map(_._1).sum === ledger.length.toLong)
+    assert(rows.values.map(v => BigInt(v._2)).sum ===
+      ledger.map(l => BigInt(l._3)).sum)
+    // brute quintile thresholds: min v with rank >= ceil(k*n/5)
+    def thr(vs: Seq[Long]): Seq[Long] = {
+      val s = vs.sorted; val n = s.length
+      (1 to 4).map(k => s(((k * n + 4) / 5 - 1).max(0)))
+    }
+    val (tr, tf, tm) = (thr(ledger.map(_._1)), thr(ledger.map(_._2)),
+      thr(ledger.map(_._3 / Behavior.RfmMonetaryUnitCents)))
+    val brute = ledger.groupBy { case (rec, f, cents) =>
+      (1 + tr.count(rec < _), 1 + tf.count(f > _),
+        1 + tm.count(cents / Behavior.RfmMonetaryUnitCents > _))
+    }.view.mapValues(_.length.toLong).toMap
+    assert(rows.view.mapValues(_._1).toMap === brute)
+    rows.foreach { case ((r, f, m), (_, _, seg)) =>
+      val expectSeg =
+        if (r >= 4 && f >= 4 && m >= 4) "champions"
+        else if (r <= 2 && f >= 4) "at_risk"
+        else if (r <= 2 && f <= 2) "hibernating"
+        else if (r >= 4 && f <= 2) "new"
+        else "core"
+      assert(seg === expectSeg, s"segment of ($r,$f,$m)")
+    }
+  }
+
+  test("window funnel: matches brute-force earliest-chain and bounds q_funnel") {
+    val row = Behavior.windowFunnelQ(spark, sf).head()
+    val (nu, n1, n2, n3) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(n3 <= n2 && n2 <= n1 && n1 <= nu)
+    // the timed funnel can never beat the unbounded one, stage for stage
+    val unb = Behavior.funnelQ(spark, sf).head()
+    assert(n1 === unb.getLong(1))
+    assert(n2 <= unb.getLong(2) && n3 <= unb.getLong(3))
+    // brute force: earliest chain with the 24h per-step cap, compared at
+    // the engine's full microsecond resolution
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val gap = Behavior.FunnelGapSec * 1000000L
+    var (b1, b2, b3) = (0L, 0L, 0L)
+    var secSum = 0L
+    evs.groupBy(_._1).foreach { case (_, es) =>
+      val t1 = es.filter(_._2 == "signup").map(_._3).minOption
+      t1.foreach { s =>
+        b1 += 1
+        val t2 = es.filter(e => e._2 == "view" && e._3 >= s && e._3 <= s + gap)
+          .map(_._3).minOption
+        t2.foreach { v =>
+          b2 += 1
+          val t3 = es.filter(e =>
+            e._2 == "purchase" && e._3 >= v && e._3 <= v + gap)
+            .map(_._3).minOption
+          // the reported duration is floor-second, like unix_timestamp
+          t3.foreach { p => b3 += 1; secSum += p / 1000000L - s / 1000000L }
+        }
+      }
+    }
+    assert((n1, n2, n3) === ((b1, b2, b3)))
+    assert(row.getLong(4) === secSum)
+  }
+
+  test("seasonal anomaly: weekday medians and flags match brute force") {
+    val rows = Stats.seasonalAnomalyQ(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === (0 to 6))
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("t"))
+      .select(
+        pmod(datediff(col("d"),
+          lit(Stats.SeasonalAnchor).cast("date")), lit(7)).as("dow"),
+        col("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.map(_._2).sum === daily.length.toLong)
+    rows.foreach { case (dow, nDays, med, nHigh, nLow) =>
+      val ts = daily.filter(_._1 == dow).map(_._2).sorted
+      assert(nDays === ts.length.toLong)
+      assert(med === ts((ts.length + 1) / 2 - 1), s"dow $dow median")
+      assert(nHigh === ts.count(t => 2 * t > 3 * med).toLong)
+      assert(nLow === ts.count(t => 2 * t < med).toLong)
+    }
+  }
 }
