@@ -581,6 +581,14 @@ object Graph {
   val HitsIters = 2
   /** Nodes reported per role. */
   val HitsTopK = 25
+  /** Edge threshold for the single-task path — the same size-adaptive
+    * switch as CC/PageRank, and with a bonus: below it every HITS score
+    * is provably Long-safe. For iters=2 any rank value is ≤ E² (h1(s) =
+    * Σ_{p∈N(s)} indeg(p) ≤ E; a2 ≤ indeg·E ≤ E²; h2 ≤ Σ_p a2(p) =
+    * Σ_s deg(s)·h1(s) ≤ E²), so E ≤ 5M keeps everything under 2.5e13 —
+    * far inside 2⁶³ — and the local Long arithmetic is bit-identical to
+    * the distributed DECIMAL sums. */
+  val LocalHitsMaxEdges: Long = 5000000L
 
   /** `q_hits`: Kleinberg's HITS over the directed supplier→part bipartite
     * graph from `lineitem` — the second link-analysis scorer beside X53's
@@ -601,33 +609,108 @@ object Graph {
     * discipline). Rank vectors stay node-sized; the final per-role top-K
     * is a TakeOrdered, never a global sort. */
   def hitsQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Materialize.diskBacked(
+    val (auth, hub) = hitsRanks(spark,
       Tables.lineitem(spark, sfDir)
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-        .distinct())
-    val dec = DecimalType(38, 0)
-    // hub0 = 1 for every supplier ⇒ auth1 = indegree(p)
-    var auth = edges.groupBy(col("p"))
-      .agg(Num.countStar.cast(dec).as("score"))
-    var hub = edges.join(auth, Seq("p"))
-      .groupBy(col("s")).agg(sum(col("score")).cast(dec).as("score"))
-    for (_ <- 2 to HitsIters) {
-      auth = edges.join(hub, Seq("s"))
-        .groupBy(col("p")).agg(sum(col("score")).cast(dec).as("score"))
-      hub = edges.join(auth, Seq("p"))
-        .groupBy(col("s")).agg(sum(col("score")).cast(dec).as("score"))
-    }
-    def top(df: DataFrame, role: String, node: Column): DataFrame = {
+        .distinct(),
+      LocalHitsMaxEdges)
+    def top(df: DataFrame, role: String): DataFrame = {
       val all = Window.partitionBy()
       df.withColumn("m", max(col("score")).over(all))
-        .orderBy(col("score").desc, node.asc).limit(HitsTopK)
-        .select(lit(role).as("role"), node.as("node"),
+        .orderBy(col("score").desc, col("node").asc).limit(HitsTopK)
+        .select(lit(role).as("role"), col("node"),
           col("score").cast("long").as("score"),
           (col("score").cast("double") / col("m").cast("double"))
             .as("score_frac"))
     }
-    top(auth, "auth", col("p")).unionAll(top(hub, "hub", col("s")))
+    top(auth, "auth").unionAll(top(hub, "hub"))
       .orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  /** `HitsIters` exact-integer HITS rounds over directed (s → p) edges;
+    * returns the full (node, score) authority and hub vectors. Size
+    * adaptive like CC/PageRank: single-task primitive-map iteration under
+    * `localMaxEdges`, the distributed dataflow above it — both paths are
+    * pure integer sums of the same recurrence, so they agree exactly
+    * (GraphSpec pins the equivalence by forcing each). */
+  private[graft] def hitsRanks(
+      spark: SparkSession, edgesIn: DataFrame,
+      localMaxEdges: Long): (DataFrame, DataFrame) = {
+    val (edges, nEdges) = Materialize.diskBackedWithCount(edgesIn)
+    if (nEdges <= localMaxEdges) localHits(spark, edges)
+    else distributedHits(spark, edges)
+  }
+
+  /** Single-task exact-integer HITS (the ≤-threshold path). Long
+    * accumulators are exact here: every score is ≤ E² by the bound in
+    * [[LocalHitsMaxEdges]]'s doc. */
+  private def localHits(
+      spark: SparkSession, edges: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    import graft.engine.Primitives
+    val ranks = edges.select(col("s"), col("p")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+        val pb = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (s, p) => sb += s; pb += p }
+        val ss = sb.result(); val ps = pb.result()
+        // hub0 = 1 for every supplier ⇒ auth1 = indegree(p)
+        var auth = new Primitives.LongLongMap()
+        var i = 0
+        while (i < ps.length) { auth.addTo(ps(i), 1L); i += 1 }
+        var hub = new Primitives.LongLongMap()
+        i = 0
+        while (i < ss.length) { hub.addTo(ss(i), auth(ps(i))); i += 1 }
+        var round = 2
+        while (round <= HitsIters) {
+          val a = new Primitives.LongLongMap(auth.size)
+          i = 0
+          while (i < ps.length) { a.addTo(ps(i), hub(ss(i))); i += 1 }
+          auth = a
+          val h = new Primitives.LongLongMap(hub.size)
+          i = 0
+          while (i < ss.length) { h.addTo(ss(i), auth(ps(i))); i += 1 }
+          hub = h
+          round += 1
+        }
+        auth.iterator.map { case (n, sc) => ("auth", n, sc) } ++
+          hub.iterator.map { case (n, sc) => ("hub", n, sc) }
+      }
+      .toDF("role", "node", "score")
+    val both = Materialize.diskBacked(
+      ranks.select(col("role"), col("node"),
+        col("score").cast(DecimalType(38, 0)).as("score")))
+    (both.filter(col("role") === "auth").drop("role"),
+      both.filter(col("role") === "hub").drop("role"))
+  }
+
+  /** Distributed HITS (the above-threshold path). The edge table is
+    * materialized PRE-PARTITIONED on each of its two join keys — HITS
+    * alternates sides every half-round, and re-shuffling a 100 TB edge
+    * table twice per round is exactly what the two cached copies avoid:
+    * every pass shuffles only the node-sized rank vector. Rounds stay
+    * LAZY (one linear plan per output leg, PageRank's discipline); only
+    * the final authority vector materializes, because both the last hub
+    * pass and its own top-K leg consume it. */
+  private def distributedHits(
+      spark: SparkSession, edges: DataFrame): (DataFrame, DataFrame) = {
+    val dec = DecimalType(38, 0)
+    val byP = Materialize.diskBacked(edges.repartition(col("p")))
+    val byS = Materialize.diskBacked(edges.repartition(col("s")))
+    var auth = byP.groupBy(col("p"))
+      .agg(Num.countStar.cast(dec).as("score"))
+    var hub: DataFrame = null
+    for (r <- 1 to HitsIters) {
+      if (r > 1)
+        auth = byS.join(hub, Seq("s"))
+          .groupBy(col("p")).agg(sum(col("score")).cast(dec).as("score"))
+      if (r == HitsIters)
+        auth = Materialize.diskBacked(auth)
+      hub = byP.join(auth, Seq("p"))
+        .groupBy(col("s")).agg(sum(col("score")).cast(dec).as("score"))
+    }
+    (auth.withColumnRenamed("p", "node"), hub.withColumnRenamed("s", "node"))
   }
 
   val hitsOracle: String =

@@ -70,6 +70,33 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(local.values.sum - 1.0) < 1e-9, "rank mass conserved")
   }
 
+  test("hits: local and distributed paths agree exactly") {
+    // bipartite with mixed degrees: s1 ships 3 parts, s2 ships 2, s3 one;
+    // p10 stocked by everyone, the rest sparse
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L), (3L, 10L)
+    ).toDF("s", "p")
+    def run(localMax: Long) = {
+      val (a, h) = Graph.hitsRanks(spark, edges, localMax)
+      (a.collect().map(r => r.getLong(0) -> r.getDecimal(1).longValueExact())
+        .toMap,
+        h.collect().map(r => r.getLong(0) -> r.getDecimal(1).longValueExact())
+          .toMap)
+    }
+    val (la, lh) = run(Long.MaxValue) // forces the single-task path
+    val (da, dh) = run(0L)            // forces the distributed rounds
+    assert(la === da)
+    assert(lh === dh)
+    // hand-check round 1: auth1 = indegree, hub1 = sum of neighbor indegs
+    // round 2: auth2 = sum of neighbor hub1, hub2 = sum of neighbor auth2
+    val auth1 = Map(10L -> 3L, 11L -> 2L, 12L -> 1L)
+    val hub1 = Map(1L -> 6L, 2L -> 5L, 3L -> 3L)
+    val auth2 = Map(10L -> 14L, 11L -> 11L, 12L -> 6L)
+    val hub2 = Map(1L -> 31L, 2L -> 25L, 3L -> 14L)
+    assert(la === auth2 && lh === hub2)
+    assert(auth1(10L) === 3L && hub1(1L) === 6L) // (documents the chain)
+  }
+
   test("pagerank ranks sum to ~1 and are all positive") {
     val rows = Graph.pagerankQ(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
