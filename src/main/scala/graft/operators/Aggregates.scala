@@ -433,4 +433,57 @@ object Aggregates {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2
       |ORDER BY event_type, day""".stripMargin
+
+  // `q_trend_movers`: period-over-period demand shift top-k
+
+  /** Movers reported. */
+  val TrendTopK = 20
+
+  /** `q_trend_movers`: the parts whose shipped quantity shifted most
+    * between two halves of the order history — the "what's trending"
+    * report beside X149's distribution-level TVD: TVD says THAT the mix
+    * moved, this says WHICH items moved it. Period comes from the order
+    * date, so the shape is the engine's standard fact⋈fact co-partitioned
+    * equi-join (lineitem⋈orders on orderkey — only the date column rides
+    * the shuffle), folded straight to the (part, period) quantity matrix
+    * via conditional sums (one part-keyed aggregate, no pivot exec).
+    * Quantities are integer-valued doubles (exact at any summation order
+    * below 2^53); the top-k by absolute delta is a TakeOrdered heap with
+    * a pinned partkey tie-break, never a catalog sort. */
+  def trendMoversQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val isA = col("o_orderdate") <
+      lit(graft.operators.Stats.TvdSplitDate).cast("timestamp")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), isA.as("is_a")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(when(col("is_a"), col("l_quantity")).otherwise(0.0))
+          .cast("long").as("qty_a"),
+        sum(when(!col("is_a"), col("l_quantity")).otherwise(0.0))
+          .cast("long").as("qty_b"))
+      .withColumn("delta", col("qty_b") - col("qty_a"))
+      .orderBy(abs(col("delta")).desc, col("l_partkey").asc)
+      .limit(TrendTopK)
+      .orderBy(col("delta").desc, col("l_partkey").asc)
+  }
+
+  val trendMoversOracle: String =
+    s"""WITH m AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CASE WHEN o_orderdate
+       |        < TIMESTAMP '${graft.operators.Stats.TvdSplitDate} 00:00:00'
+       |      THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_a,
+       |    CAST(SUM(CASE WHEN o_orderdate
+       |        < TIMESTAMP '${graft.operators.Stats.TvdSplitDate} 00:00:00'
+       |      THEN 0 ELSE l_quantity END) AS BIGINT) AS qty_b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT l_partkey, qty_a, qty_b, qty_b - qty_a AS delta FROM m
+       |  ORDER BY ABS(qty_b - qty_a) DESC, l_partkey
+       |  LIMIT ${TrendTopK})
+       |SELECT * FROM t ORDER BY delta DESC, l_partkey""".stripMargin
 }

@@ -797,4 +797,85 @@ object Curation {
        |  CAST(joined_rows AS DOUBLE) * 100.0 / ${CoherentPct} AS est_rows,
        |  true_rows
        |FROM s, t""".stripMargin
+
+  // `q_poststrat`: post-stratified estimation over the universe sample
+
+  /** `q_poststrat`: post-stratified revenue estimation from X147's 20%
+    * universe sample — the estimator a sampling pipeline actually ships:
+    * within each customer stratum (mktsegment), scale the sampled
+    * customers' revenue by N_h/n_h (known population counts over realized
+    * sample counts), correcting the raw inverse-probability estimate for
+    * the sample's per-stratum imbalance. The gated report carries the
+    * truth column per stratum, so the artifact IS the estimator-quality
+    * ledger. Coherence matters: the same key slice on customers and
+    * orders (X147) means a sampled customer contributes ALL their orders
+    * — independent per-table sampling would bias every stratum downward.
+    *
+    * Scale shape: ONE fact⋈dim join (orders⋈customer on custkey, the
+    * engine's standard co-partitioned equi-join) aggregated to the
+    * 5-row stratum frame with conditional sums; population/sample counts
+    * fold off the dimension alone. Revenue exact cents in DECIMAL; the
+    * N_h/n_h scaling is decimal-product-then-one-division; no float
+    * enters before the last two columns. */
+  def poststratQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def keep(c: org.apache.spark.sql.Column) = pmod(
+      conv(substring(md5(concat(lit("cs"), c)), 1, 15), 16, 10)
+        .cast("long"), lit(100)) < CoherentPct
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        keep(col("c_custkey")).as("in_sample"))
+    val counts = cust.groupBy(col("c_mktsegment"))
+      .agg(Num.countStar.as("n_pop"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
+    val rev = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), cents.as("cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("cents").cast(DecimalType(38, 0))).cast("long")
+          .as("true_rev_cents"),
+        sum(when(col("in_sample"), col("cents")).otherwise(0L)
+          .cast(DecimalType(38, 0))).cast("long").as("sample_rev_cents"))
+    counts.join(rev, Seq("c_mktsegment"))
+      .select(col("c_mktsegment").as("segment"), col("n_pop"),
+        col("n_sampled"), col("sample_rev_cents"), col("true_rev_cents"))
+      .withColumn("est_rev_cents",
+        (col("sample_rev_cents").cast(DecimalType(38, 0)) * col("n_pop"))
+          .cast("double") / col("n_sampled").cast("double"))
+      .withColumn("err",
+        col("est_rev_cents") / col("true_rev_cents").cast("double") - 1.0)
+      .orderBy(col("segment"))
+  }
+
+  val poststratOracle: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |    CAST(concat('0x', substr(md5('cs' || c_custkey), 1, 15))
+       |      AS BIGINT) % 100 < ${CoherentPct} AS in_sample
+       |  FROM customer),
+       |counts AS (
+       |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_pop,
+       |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_sampled
+       |  FROM cust GROUP BY 1),
+       |rev AS (
+       |  SELECT c_mktsegment,
+       |    CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS true_rev_cents,
+       |    CAST(SUM(CAST(CASE WHEN in_sample
+       |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      ELSE 0 END AS DECIMAL(38,0))) AS BIGINT) AS sample_rev_cents
+       |  FROM orders JOIN cust ON o_custkey = c_custkey
+       |  GROUP BY 1)
+       |SELECT c_mktsegment AS segment, n_pop, n_sampled, sample_rev_cents,
+       |  true_rev_cents,
+       |  CAST(CAST(sample_rev_cents AS DECIMAL(38,0)) * n_pop AS DOUBLE)
+       |    / CAST(n_sampled AS DOUBLE) AS est_rev_cents,
+       |  CAST(CAST(sample_rev_cents AS DECIMAL(38,0)) * n_pop AS DOUBLE)
+       |    / CAST(n_sampled AS DOUBLE) / CAST(true_rev_cents AS DOUBLE)
+       |    - 1.0 AS err
+       |FROM counts JOIN rev USING (c_mktsegment)
+       |ORDER BY segment""".stripMargin
 }

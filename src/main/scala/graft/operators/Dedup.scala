@@ -740,7 +740,14 @@ object Dedup {
     * signatures without the prefix filter. */
   private[graft] def setsimSignatures(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = shingled(docs).select(col("doc_id"), explode(col("sg")).as("w"))
+    // The shingle frame MUST materialize before the explode: unfenced,
+    // CollapseProject inlines the array-building transform into the
+    // Generate so every emitted row re-evaluates the whole md5 array —
+    // O(len²) hashing per doc (measured 65 s vs 1.5 s at sf0.1 for the
+    // token fold alone). Also serves tok's two consumers (dfreq + probe
+    // side) one computation. Same discipline as bandedSignatures.
+    val tok = materialize(shingled(docs))
+      .select(col("doc_id"), explode(col("sg")).as("w"))
     val dfreq = tok.groupBy(col("w")).agg(Num.countStar.as("df"))
     tok.join(dfreq, Seq("w"))
       .withColumn("rn", row_number().over(

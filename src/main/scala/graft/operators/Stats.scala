@@ -1985,4 +1985,69 @@ object Stats {
        |    AS BIGINT) AS n_low
        |FROM daily JOIN m USING (dow)
        |GROUP BY 1 ORDER BY dow""".stripMargin
+
+  // `q_boxplot`: exact Tukey five-number + fence census per group
+
+  /** `q_boxplot`: the boxplot report per event_type — exact discrete Q1/Q3
+    * (X22's ceil-rank selection at 25/75%), IQR, and Tukey-fence outlier
+    * counts. X58's z-score and X71's MAD flag individual outliers; this is
+    * the five-number SUMMARY a dashboard draws, with the fences kept in
+    * EXACT integer arithmetic: the 1.5·IQR whiskers are compared as
+    * 2v < 2·Q1 − 3·IQR and 2v > 2·Q3 + 3·IQR, so no float threshold
+    * exists anywhere.
+    *
+    * Scale shape: the X22 value-histogram discipline verbatim — one
+    * map-side-combined fold to (event_type, v) counts, rank windows over
+    * the value domain, then the fence census walks the SAME histogram
+    * (cnt-weighted conditional sums), so the raw table is scanned once
+    * and nothing downstream is data-sized. */
+  def boxplotQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = floor(col("value")).cast("long")
+    val byV = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val all = Window.partitionBy(col("event_type"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(Num.countStar.as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("q1", min(when(col("cum") >= expr("(n + 3) div 4"),
+        col("v"))).over(all))
+      .withColumn("q3", min(when(col("cum") >= expr("(n * 3 + 3) div 4"),
+        col("v"))).over(all))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        (max(col("q3")) - max(col("q1"))).as("iqr"),
+        sum(when(col("v") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3,
+          col("cnt")).otherwise(0L)).as("n_low_outliers"),
+        sum(when(col("v") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3,
+          col("cnt")).otherwise(0L)).as("n_high_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val boxplotOracle: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, v, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |q AS (
+      |  SELECT event_type, v, cnt, n,
+      |    MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END)
+      |      OVER (PARTITION BY event_type) AS q1,
+      |    MIN(CASE WHEN cum >= (n * 3 + 3) // 4 THEN v END)
+      |      OVER (PARTITION BY event_type) AS q3
+      |  FROM c)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |  MAX(q1) AS q1, MAX(q3) AS q3, MAX(q3) - MAX(q1) AS iqr,
+      |  CAST(SUM(CASE WHEN v * 2 < q1 * 2 - (q3 - q1) * 3 THEN cnt
+      |    ELSE 0 END) AS BIGINT) AS n_low_outliers,
+      |  CAST(SUM(CASE WHEN v * 2 > q3 * 2 + (q3 - q1) * 3 THEN cnt
+      |    ELSE 0 END) AS BIGINT) AS n_high_outliers
+      |FROM q GROUP BY 1 ORDER BY event_type""".stripMargin
 }

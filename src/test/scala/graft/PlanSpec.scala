@@ -752,6 +752,29 @@ class PlanSpec extends AnyFunSuite {
       s"the 7-row median frame must broadcast back:\n$p")
   }
 
+  test("q_boxplot: rank windows and fence census walk the value histogram") {
+    val p = plan("q_boxplot")
+    assert(exchangeFedByAggregate(p, typeOnlyKey),
+      s"q_boxplot must shuffle the histogram, not the rows:\n$p")
+  }
+
+  test("q_trend_movers: equi-join + heap top-k, never a catalog sort") {
+    val p = plan("q_trend_movers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_poststrat: one equi-join, no cartesian, sample predicate in-scan") {
+    val p = plan("q_poststrat")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the hash-slice predicate must not appear as a separate exchange-fed
+    // filter stage on orders: it rides the customer projection
+    assert(p.contains("md5"), s"hash-slice predicate missing:\n$p")
+  }
+
   test("q_hits: edge frame materialized once; all rank passes equi-join") {
     val p = plan("q_hits")
     assert(!p.contains("CartesianProduct") &&

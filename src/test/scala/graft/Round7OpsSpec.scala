@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Behavior, Dedup, Graph, Relational, Stats}
+import graft.operators.{Aggregates, Behavior, Dedup, Graph, Relational, Stats}
 import graft.engine.Tables
 
 /** Semantic invariants for the round-7 operators: EWMA smoothing, CUPED
@@ -413,6 +413,66 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(med === ts((ts.length + 1) / 2 - 1), s"dow $dow median")
       assert(nHigh === ts.count(t => 2 * t > 3 * med).toLong)
       assert(nLow === ts.count(t => 2 * t < med).toLong)
+    }
+  }
+
+  test("poststrat: estimator algebra and stratum accounting are exact") {
+    val rows = graft.operators.Curation.poststratQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.map(_._2).sum === nCust)
+    rows.foreach { case (seg, nPop, nSmp, sampleRev, trueRev, est, err) =>
+      assert(nSmp <= nPop && nSmp > 0, s"$seg sample counts")
+      assert(sampleRev <= trueRev, s"$seg sample revenue bound")
+      assert(est === BigDecimal(sampleRev).*(BigDecimal(nPop)).toDouble / nSmp,
+        s"$seg estimate")
+      assert(math.abs(err - (est / trueRev - 1.0)) < 1e-15, s"$seg err")
+    }
+    // the coherent slice means total sampled revenue / total true revenue
+    // lands near the 20% inclusion rate (loose sanity band)
+    val ratio = rows.map(_._4).sum.toDouble / rows.map(_._5).sum
+    assert(ratio > 0.05 && ratio < 0.5)
+  }
+
+  test("trend movers: top-k matches a brute-force period pivot") {
+    val rows = Aggregates.trendMoversQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === Aggregates.TrendTopK)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"),
+        (col("o_orderdate") < lit(Stats.TvdSplitDate).cast("timestamp"))
+          .as("is_a")),
+        col("l_orderkey") === col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2).toLong, r.getBoolean(4)))
+    val byPart = li.groupBy(_._1).view.mapValues { es =>
+      (es.filter(_._3).map(_._2).sum, es.filterNot(_._3).map(_._2).sum)
+    }.toMap
+    val brute = byPart.toSeq
+      .map { case (p, (a, b)) => (p, a, b, b - a) }
+      .sortBy { case (p, _, _, d) => (-math.abs(d), p) }
+      .take(Aggregates.TrendTopK)
+      .sortBy { case (p, _, _, d: Long) => (-d, p) }
+    assert(rows.toSeq === brute)
+  }
+
+  test("boxplot: quartiles and fence census match brute force") {
+    val rows = Stats.boxplotQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { case (et, n, q1, q3, iqr, lo, hi) =>
+      val vs = vals.filter(_._1 == et).map(_._2).sorted
+      assert(n === vs.length.toLong)
+      assert(q1 === vs(((vs.length + 3) / 4 - 1).max(0)), s"$et q1")
+      assert(q3 === vs(((vs.length * 3 + 3) / 4 - 1).max(0)), s"$et q3")
+      assert(iqr === q3 - q1)
+      assert(lo === vs.count(v => 2 * v < 2 * q1 - 3 * iqr).toLong, s"$et lo")
+      assert(hi === vs.count(v => 2 * v > 2 * q3 + 3 * iqr).toLong, s"$et hi")
     }
   }
 }
