@@ -459,36 +459,109 @@ object Graph {
     * to diameter-sensitive algorithms like X45's label propagation.
     * Min-hop semantics: a node's level is its FIRST reach.
     *
-    * Scale shape per round: frontier ⋈ edges on src (the frontier is the
+    * Size-adaptive like CC/PageRank/HITS: single-task array BFS under
+    * `LocalPrMaxPairs` undirected pairs, the distributed frontier
+    * dataflow above it (GraphSpec pins the equivalence). Distributed
+    * scale shape per round: frontier ⋈ edges on src (the frontier is the
     * small side every round), minus already-visited via left_anti, then
     * distinct — all equi-joins on node ids; the raw table never re-enters
-    * after the edge projection. The visited set is materialized each
-    * round (it feeds both the anti-join and the next union — the
-    * multi-consumer rule). The seed is the min part id, computed in-plan
-    * as a 1-row broadcast, never collect()ed. The oracle is the same
-    * fixpoint as a recursive CTE with per-iteration dedup. */
+    * after the edge projection. The frontier AND the visited set
+    * materialize each round (each feeds two consumers — an unfenced
+    * frontier_k lineage contains frontier_{k-1} contains ... and the
+    * expansion recomputes ~2^hop times). The seed is the min part id,
+    * computed in-plan as a 1-row broadcast, never collect()ed. The
+    * oracle is the same fixpoint as a recursive CTE with per-iteration
+    * dedup. */
   def bfsLevelsQ(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, sfDir)
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = Materialize.diskBacked(
-      pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"))))
     val seed = Tables.lineitem(spark, sfDir)
       .agg((min(col("l_partkey")) * 2).as("node"))
+    bfsLevels(spark, pairs, seed, LocalPrMaxPairs)
+      .groupBy(col("lvl")).agg(Num.countStar.as("n_nodes"))
+      .orderBy(col("lvl"))
+  }
+
+  /** Min-hop (node, lvl) reach set within `BfsMaxHops` of the 1-row
+    * `seed` frame, over the symmetric closure of directed (src, dst)
+    * pairs. Size-adaptive: single-task array BFS under `localMaxPairs`
+    * pairs, frontier-join rounds above it. */
+  private[graft] def bfsLevels(
+      spark: SparkSession, pairsIn: DataFrame, seed: DataFrame,
+      localMaxPairs: Long): DataFrame = {
+    val (pairs, nPairs) = Materialize.diskBackedWithCount(pairsIn)
+    if (nPairs <= localMaxPairs) localBfs(spark, pairs, seed)
+    else distributedBfs(spark, pairs, seed)
+  }
+
+  /** Single-task BFS (the ≤-threshold path): one pass builds primitive
+    * adjacency via sorted parallel arrays, then `BfsMaxHops` frontier
+    * sweeps — identical min-hop semantics to the distributed rounds. */
+  private def localBfs(
+      spark: SparkSession, pairs: DataFrame, seed: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Primitives
+    pairs.crossJoin(broadcast(seed))
+      .select(col("src"), col("dst"), col("node").as("seed"))
+      .as[(Long, Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+        val db = new scala.collection.mutable.ArrayBuilder.ofLong
+        var seed = Long.MinValue
+        it.foreach { case (s, d, sd) =>
+          sb += s; db += d
+          sb += d; db += s
+          seed = sd
+        }
+        if (seed == Long.MinValue) Iterator.empty
+        else {
+          val srcs = sb.result(); val dsts = db.result()
+          val lvl = new Primitives.LongLongMap()
+          lvl(seed) = 0L
+          var frontier = Array(seed)
+          var hop = 1L
+          while (hop <= BfsMaxHops && frontier.nonEmpty) {
+            val nb = new scala.collection.mutable.ArrayBuilder.ofLong
+            val inF = new Primitives.LongLongMap(frontier.length)
+            frontier.foreach(inF(_) = 1L)
+            var i = 0
+            while (i < srcs.length) {
+              if (inF.contains(srcs(i)) && !lvl.contains(dsts(i))) {
+                lvl(dsts(i)) = hop
+                nb += dsts(i)
+              }
+              i += 1
+            }
+            frontier = nb.result()
+            hop += 1
+          }
+          lvl.iterator
+        }
+      }
+      .toDF("node", "lvl")
+  }
+
+  /** Distributed frontier-expansion BFS (the above-threshold path). */
+  private def distributedBfs(
+      spark: SparkSession, pairs: DataFrame, seed: DataFrame): DataFrame = {
+    val edges = Materialize.diskBacked(
+      pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"))))
     var visited = Materialize.diskBacked(
       seed.select(col("node"), lit(0L).as("lvl")))
     var frontier = visited
     (1 to BfsMaxHops).foreach { hop =>
-      val next = frontier.select(col("node").as("f_node"))
-        .join(edges.as("e"), col("f_node") === col("e.src"))
-        .select(col("e.dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .select(col("node"), lit(hop.toLong).as("lvl"))
+      val next = Materialize.diskBacked(
+        frontier.select(col("node").as("f_node"))
+          .join(edges.as("e"), col("f_node") === col("e.src"))
+          .select(col("e.dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop.toLong).as("lvl")))
       visited = Materialize.diskBacked(visited.unionByName(next))
       frontier = next
     }
-    visited.groupBy(col("lvl")).agg(Num.countStar.as("n_nodes"))
-      .orderBy(col("lvl"))
+    visited
   }
 
   val bfsLevelsOracle: String =
@@ -546,10 +619,13 @@ object Graph {
     val deg = ps.groupBy(col("p")).agg(Num.countStar.as("deg"))
       .filter(col("deg").between(2, RaDegCap))
       .withColumn("wq", expr(s"${RaQuant}L div deg"))
-    ps.as("x").join(ps.as("y"),
+    // The cap must land BEFORE pair generation (the documented hub-cap
+    // contract): joining deg onto the x side first drops hub parts from
+    // the build, so their deg² fan-out never materializes — the y side
+    // follows for free (its hub rows find no x match).
+    ps.join(deg, Seq("p")).as("x").join(ps.as("y"),
         col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.p").as("p"), col("x.s").as("s_a"), col("y.s").as("s_b"))
-      .join(deg, Seq("p"))
+      .select(col("x.s").as("s_a"), col("y.s").as("s_b"), col("x.wq").as("wq"))
       .groupBy(col("s_a"), col("s_b"))
       .agg(Num.countStar.as("n_shared"), sum(col("wq")).as("score_q"))
       .select(col("s_a"), col("s_b"), col("n_shared"),

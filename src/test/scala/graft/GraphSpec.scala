@@ -70,6 +70,21 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(local.values.sum - 1.0) < 1e-9, "rank mass conserved")
   }
 
+  test("bfs: local and distributed paths agree exactly") {
+    // path 1-2-3-4-5 plus a branch 2-6: from seed 1 the hop levels are
+    // 0:{1} 1:{2} 2:{3,6} 3:{4}; 5 is beyond BfsMaxHops=3
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L))
+      .toDF("src", "dst")
+    val seed = pairs.agg(min(col("src")).as("node"))
+    def run(localMax: Long) =
+      Graph.bfsLevels(spark, pairs, seed, localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(local === dist)
+    assert(local === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L, 4L -> 3L))
+  }
+
   test("hits: local and distributed paths agree exactly") {
     // bipartite with mixed degrees: s1 ships 3 parts, s2 ships 2, s3 one;
     // p10 stocked by everyone, the rest sparse

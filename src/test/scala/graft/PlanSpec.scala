@@ -629,13 +629,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("round-7 pair generators never degrade to cartesian/all-pairs") {
-    for (q <- Seq("q_setsim_prefix", "q_ra_links", "q_bfs_levels")) {
+    for (q <- Seq("q_setsim_prefix", "q_ra_links")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q plan contains a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q plan contains a nested-loop join")
     }
+    // BFS's local path broadcasts the 1-row seed frame (keyless aggregate
+    // → IdentityBroadcastMode) — the one nested-loop allowed, same rule
+    // as q_cdc_diff's scalar offset
+    val p = plan("q_bfs_levels")
+    assert(!p.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnlj <= 1 && (bnlj == 0 || p.contains("IdentityBroadcastMode")),
+      s"only the 1-row seed broadcast may nested-loop:\n$p")
   }
 
   test("q_ewma: one user_id exchange serves the rank window and the aggregate") {
