@@ -761,6 +761,69 @@ object Graph {
       both.filter(col("role") === "hub").drop("role"))
   }
 
+  // `q_assortativity`: bipartite degree assortativity
+
+  /** `q_assortativity`: degree assortativity of the supplier→part graph —
+    * the Pearson correlation of (deg(s), deg(p)) across EDGES (Newman
+    * 2002): do high-volume suppliers stock popular parts (assortative,
+    * r>0) or niche ones (disassortative, r<0)? The one-number structure
+    * summary beside X124's full degree histogram; it decides whether
+    * hub-capping (X144) or skew salting will matter before running them.
+    *
+    * Numeric contract: the five sufficient statistics (E, Σx, Σy, Σxy,
+    * Σx², Σy²) are exact integer sums carried in DECIMAL(38,0) — the
+    * X129 moment-matrix convention — and the closing r is a pinned-order
+    * double expression whose only non-exact steps are two correctly-
+    * rounded IEEE sqrts, so both engines agree bit for bit.
+    *
+    * Scale shape: edges materialized once (it feeds both degree folds
+    * AND the join chain), degrees attach via two node-keyed equi-joins,
+    * and everything folds to ONE 1-row moment frame. */
+  def assortativityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val edges = Materialize.diskBacked(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct())
+    val degS = edges.groupBy(col("s")).agg(Num.countStar.as("x"))
+    val degP = edges.groupBy(col("p")).agg(Num.countStar.as("y"))
+    val m = edges.join(degS, Seq("s")).join(degP, Seq("p"))
+      .agg(Num.countStar.cast(dec).as("e"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    m.select(
+      col("e").cast("long").as("n_edges"),
+      (col("sx").cast("double") / col("e").cast("double")).as("mean_deg_s"),
+      (col("sy").cast("double") / col("e").cast("double")).as("mean_deg_p"),
+      ((col("e") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (sqrt((col("e") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((col("e") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("assortativity"))
+  }
+
+  val assortativityOracle: String =
+    """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      |ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1),
+      |dp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS en,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      |  FROM e JOIN ds USING (s) JOIN dp USING (p))
+      |SELECT CAST(en AS BIGINT) AS n_edges,
+      |  CAST(sx AS DOUBLE) / CAST(en AS DOUBLE) AS mean_deg_s,
+      |  CAST(sy AS DOUBLE) / CAST(en AS DOUBLE) AS mean_deg_p,
+      |  CAST(en * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(en * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(en * syy - sy * sy AS DOUBLE))) AS assortativity
+      |FROM m""".stripMargin
+
   /** Distributed HITS (the above-threshold path). The edge table is
     * materialized PRE-PARTITIONED on each of its two join keys — HITS
     * alternates sides every half-round, and re-shuffling a 100 TB edge

@@ -2050,4 +2050,164 @@ object Stats {
       |  CAST(SUM(CASE WHEN v * 2 > q3 * 2 + (q3 - q1) * 3 THEN cnt
       |    ELSE 0 END) AS BIGINT) AS n_high_outliers
       |FROM q GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // `q_kmv_intersect`: KMV sketch set algebra (theta-sketch style)
+
+  /** The two user populations whose overlap is estimated. */
+  val KmvSetA = "click"
+  val KmvSetB = "purchase"
+
+  /** `q_kmv_intersect`: set-operation estimates from MERGED KMV sketches —
+    * the theta-sketch discipline (Dasgupta et al., DataSketches): build a
+    * k-min-values sketch per population ONCE, then answer union,
+    * intersection, and Jaccard questions by sketch algebra alone, no
+    * second scan of the raw data. The union sketch is the k smallest of
+    * the merged value sets; the intersection estimate is the union
+    * estimate scaled by the fraction of the union SAMPLE present in both
+    * sketches (each union-sample value is a uniform sample of A∪B, so
+    * membership in both sketches is an unbiased Jaccard estimator).
+    * X78's bitmap overlap is the EXACT form of this question; the sketch
+    * form costs O(k) state per population at any scale. Deterministic
+    * cross-engine like X23/X56: fixed md5-derived hashes, the same array
+    * algebra both engines, so "approximate" still hash-matches.
+    *
+    * Scale shape: one two-phase sketch aggregate per population (64-long
+    * state), a 1-row × 1-row join, then pure array expressions. Nothing
+    * after the fold is data-sized. */
+  def kmvIntersectQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val kmv = udaf(new KmvSketch(KmvK))
+    val h = conv(substring(md5(concat(lit("u"), col("user_id"))), 1, 15), 16, 10)
+      .cast("long")
+    def sketch(et: String, name: String): DataFrame =
+      Tables.events(spark, sfDir)
+        .filter(col("event_type") === et)
+        .select(h.as("h"))
+        .agg(kmv(col("h")).as(name))
+    def est(hs: Column): Column =
+      when(size(hs) < KmvK, size(hs).cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * pow(lit(2.0), 60)
+          / element_at(hs, KmvK))
+    val joined = sketch(KmvSetA, "ha").crossJoin(broadcast(sketch(KmvSetB, "hb")))
+      .withColumn("hu", slice(array_sort(array_union(col("ha"), col("hb"))),
+        1, KmvK))
+      .withColumn("n_common_sample",
+        size(filter(col("hu"), x =>
+          array_contains(col("ha"), x) && array_contains(col("hb"), x))))
+    joined.select(
+      size(col("ha")).as("k_a"), size(col("hb")).as("k_b"),
+      est(col("ha")).as("est_a"), est(col("hb")).as("est_b"),
+      est(col("hu")).as("est_union"),
+      col("n_common_sample"),
+      (col("n_common_sample").cast("double") / size(col("hu")).cast("double"))
+        .as("jaccard_est"),
+      (col("n_common_sample").cast("double") / size(col("hu")).cast("double")
+        * est(col("hu"))).as("est_intersection"))
+  }
+
+  val kmvIntersectOracle: String = {
+    val estSql = (hs: String) =>
+      s"""CASE WHEN len($hs) < ${KmvK} THEN CAST(len($hs) AS DOUBLE)
+         |  ELSE (${KmvK - 1}.0 * POW(2.0, 60)) / $hs[${KmvK}] END""".stripMargin
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    CAST(concat('0x', substr(md5('u' || user_id),1,15)) AS BIGINT) AS h
+       |  FROM events WHERE event_type IN ('${KmvSetA}', '${KmvSetB}')),
+       |ka AS (
+       |  SELECT list_sort(list(DISTINCT h))[1:${KmvK}] AS hs FROM h
+       |  WHERE event_type = '${KmvSetA}'),
+       |kb AS (
+       |  SELECT list_sort(list(DISTINCT h))[1:${KmvK}] AS hs FROM h
+       |  WHERE event_type = '${KmvSetB}'),
+       |j AS (
+       |  SELECT ka.hs AS ha, kb.hs AS hb,
+       |    list_sort(list_distinct(list_concat(ka.hs, kb.hs)))[1:${KmvK}] AS hu
+       |  FROM ka, kb),
+       |m AS (
+       |  SELECT ha, hb, hu,
+       |    len(list_filter(hu, x -> list_contains(ha, x)
+       |      AND list_contains(hb, x))) AS n_common_sample
+       |  FROM j)
+       |SELECT CAST(len(ha) AS INT) AS k_a, CAST(len(hb) AS INT) AS k_b,
+       |  ${estSql("ha")} AS est_a,
+       |  ${estSql("hb")} AS est_b,
+       |  ${estSql("hu")} AS est_union,
+       |  CAST(n_common_sample AS INT) AS n_common_sample,
+       |  CAST(n_common_sample AS DOUBLE) / CAST(len(hu) AS DOUBLE)
+       |    AS jaccard_est,
+       |  CAST(n_common_sample AS DOUBLE) / CAST(len(hu) AS DOUBLE)
+       |    * (${estSql("hu")}) AS est_intersection
+       |FROM m""".stripMargin
+  }
+
+  // `q_gini`: exact Gini coefficient of quantized customer spend
+
+  /** Gini scoring resolution: customer lifetime spend quantized to $100
+    * units (the X154 convention) so the rank walk runs on the spend
+    * DOMAIN, not the customer count. */
+  val GiniUnitCents = 10000L
+
+  /** `q_gini`: Gini coefficient of customer lifetime spend — the
+    * inequality complement to X79's HHI concentration (HHI weights the
+    * TOP of the distribution; Gini measures the whole curve). Computed
+    * EXACTLY on the $100-quantized spend via the grouped-data identity
+    * G = Σ v_b·cnt_b·(2·cumprev_b + cnt_b + 1 − (n+1)) / (n·Σ v_b·cnt_b):
+    * every term is integer (the doubled-average-rank trick X148 uses for
+    * ties), numerator and denominator carry DECIMAL(38,0), and the
+    * single closing division is the only float.
+    *
+    * Scale shape: one customer-keyed fold to spend, one fold to the
+    * spend-unit histogram (bounded by the spend domain), and the rank
+    * walk is a window over that histogram — the X154/X22 discipline. */
+  def giniQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val hist = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents).as("spend"))
+      .groupBy((col("spend") / lit(GiniUnitCents)).cast("long").as("v"))
+      .agg(Num.countStar.as("cnt"))
+    val byV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = DecimalType(38, 0)
+    hist
+      .withColumn("cumprev", coalesce(sum(col("cnt")).over(byV), lit(0L)))
+      .agg(
+        sum(col("cnt")).as("n_customers"),
+        sum((col("v") * col("cnt")).cast(dec)).as("wsum"),
+        sum((col("v") * col("cnt")).cast(dec)
+          * (lit(2) * col("cumprev") + col("cnt")).cast(dec)).as("rterm"))
+      .select(col("n_customers"),
+        col("wsum").cast("long").as("spend_units"),
+        // G = (rterm - n*wsum) / (n*wsum)  [since Σ v·cnt·(2cum+cnt+1-(n+1))
+        //   = rterm - n·wsum], exact integers until this division
+        ((col("rterm") - col("wsum") * col("n_customers")).cast("double")
+          / (col("wsum") * col("n_customers")).cast("double")).as("gini"))
+  }
+
+  val giniOracle: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS spend
+       |  FROM orders GROUP BY 1),
+       |h AS (
+       |  SELECT spend // ${GiniUnitCents} AS v, COUNT(*) AS cnt
+       |  FROM spend GROUP BY 1),
+       |c AS (
+       |  SELECT v, cnt,
+       |    COALESCE(SUM(cnt) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+       |  FROM h),
+       |m AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_customers,
+       |    CAST(SUM(CAST(v * cnt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS wsum,
+       |    CAST(SUM(CAST(v * cnt AS DECIMAL(38,0))
+       |      * CAST(2 * cumprev + cnt AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |      AS rterm
+       |  FROM c)
+       |SELECT n_customers, CAST(wsum AS BIGINT) AS spend_units,
+       |  CAST(rterm - wsum * n_customers AS DOUBLE)
+       |    / CAST(wsum * n_customers AS DOUBLE) AS gini
+       |FROM m""".stripMargin
 }

@@ -783,6 +783,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("md5"), s"hash-slice predicate missing:\n$p")
   }
 
+  test("q_kmv_intersect / q_gini / q_assortativity plan shapes hold") {
+    val pk = plan("q_kmv_intersect")
+    // two 1-row sketch frames meet in the one permitted nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(pk).size <= 1 &&
+      !pk.contains("CartesianProduct"),
+      s"sketch algebra must join 1-row frames only:\n$pk")
+    val pg = plan("q_gini")
+    assert(singlePartitionFedByAggregate(pg),
+      s"gini rank walk must consume the spend histogram:\n$pg")
+    val pa = plan("q_assortativity")
+    assert(!pa.contains("CartesianProduct") &&
+      !pa.contains("BroadcastNestedLoopJoin"),
+      s"assortativity joins must stay equi:\n$pa")
+    assert(pa.contains("InMemoryTableScan"),
+      s"edge frame must be materialized for its three consumers:\n$pa")
+  }
+
   test("q_hits: edge frame materialized once; all rank passes equi-join") {
     val p = plan("q_hits")
     assert(!p.contains("CartesianProduct") &&

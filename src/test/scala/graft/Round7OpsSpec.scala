@@ -475,4 +475,66 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(hi === vs.count(v => 2 * v > 2 * q3 + 3 * iqr).toLong, s"$et hi")
     }
   }
+
+  test("kmv intersect: sketch algebra matches a hand-built replica and brackets truth") {
+    val row = Stats.kmvIntersectQ(spark, sf).head()
+    val users = Tables.events(spark, sf)
+      .filter(col("event_type").isin(Stats.KmvSetA, Stats.KmvSetB))
+      .select(col("event_type"),
+        conv(substring(md5(concat(lit("u"), col("user_id"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val k = Stats.KmvK
+    val ha = users.filter(_._1 == Stats.KmvSetA).map(_._2).distinct.sorted.take(k)
+    val hb = users.filter(_._1 == Stats.KmvSetB).map(_._2).distinct.sorted.take(k)
+    val hu = (ha ++ hb).distinct.sorted.take(k)
+    def est(hs: Array[Long]): Double =
+      if (hs.length < k) hs.length.toDouble
+      else (k - 1).toDouble * math.pow(2.0, 60) / hs(k - 1)
+    val common = hu.count(x => ha.contains(x) && hb.contains(x))
+    assert(row.getInt(0) === ha.length && row.getInt(1) === hb.length)
+    assert(row.getDouble(2) === est(ha) && row.getDouble(3) === est(hb))
+    assert(row.getDouble(4) === est(hu))
+    assert(row.getInt(5) === common)
+    // the estimates should bracket the exact values loosely (k=64 sketch)
+    val trueA = users.count(_._1 == Stats.KmvSetA).toDouble
+    assert(row.getDouble(2) > trueA * 0.5 && row.getDouble(2) < trueA * 2.0)
+  }
+
+  test("gini: matches the sorted-list formula on quantized spends") {
+    val row = Stats.giniQ(spark, sf).head()
+    val spends = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("spend"))
+      .select((col("spend") / Stats.GiniUnitCents).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = spends.length
+    assert(row.getLong(0) === n.toLong)
+    val sx = spends.map(BigInt(_)).sum
+    val num = spends.zipWithIndex
+      .map { case (x, i) => BigInt(x) * (2 * (i + 1) - n - 1) }.sum
+    val brute = num.toDouble / (BigDecimal(sx) * n).toDouble
+    assert(math.abs(row.getDouble(2) - brute) < 1e-12)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 1.0)
+  }
+
+  test("assortativity: matches brute-force edge-degree Pearson, r in [-1,1]") {
+    val row = Graph.assortativityQ(spark, sf).head()
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ds = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val dp = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val xs = edges.map(e => ds(e._1).toDouble)
+    val ys = edges.map(e => dp(e._2).toDouble)
+    val e = edges.length.toDouble
+    assert(row.getLong(0) === edges.length.toLong)
+    assert(math.abs(row.getDouble(1) - xs.sum / e) < 1e-9)
+    val num = e * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+    val den = math.sqrt(e * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+      math.sqrt(e * ys.map(y => y * y).sum - ys.sum * ys.sum)
+    assert(math.abs(row.getDouble(3) - num / den) < 1e-9)
+    assert(row.getDouble(3) >= -1.0 && row.getDouble(3) <= 1.0)
+  }
 }
