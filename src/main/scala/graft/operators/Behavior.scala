@@ -844,6 +844,78 @@ object Behavior {
        |  (n_deaths * 1000000) // (total - gone) AS hazard_ppm
        |FROM w ORDER BY k""".stripMargin
 
+  // `q_bursts`: above-median activity run census per event type
+
+  /** `q_bursts`: burst census over the daily event series — per event
+    * type, the days whose count exceeds the type's own MEDIAN daily
+    * count, collapsed into consecutive-day runs (how many bursts, how
+    * long the longest) — X136's gaps-and-islands machinery lifted from
+    * per-user streaks to the series level, with the threshold derived
+    * from the data (exact X22 median) rather than pinned. An exact,
+    * reproducible stand-in for Kleinberg burst detection's state machine.
+    *
+    * Scale shape: events fold to the (type × day) count frame (calendar-
+    * bounded forever); the median walks the per-type count histogram; the
+    * island key is day_number − rank over the above-median subset of the
+    * day frame. Everything after the first fold is day-domain-sized. */
+  def burstsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(Num.countStar.as("c"))
+        .withColumn("dn", datediff(col("d"), lit("1995-01-01").cast("date"))))
+    val byC = Window.partitionBy(col("event_type")).orderBy(col("c"))
+    val all = Window.partitionBy(col("event_type"))
+    val med = daily
+      .groupBy(col("event_type"), col("c")).agg(Num.countStar.as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byC))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("c")))
+        .as("median_c"))
+    val byD = Window.partitionBy(col("event_type")).orderBy(col("dn"))
+    val runs = daily.join(broadcast(med), Seq("event_type"))
+      .filter(col("c") > col("median_c"))
+      .withColumn("grp", col("dn") - row_number().over(byD))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(Num.countStar.as("len"))
+    runs.groupBy(col("event_type"))
+      .agg(Num.countStar.as("n_bursts"),
+        sum(col("len")).as("n_burst_days"),
+        max(col("len")).as("longest_burst"))
+      .orderBy(col("event_type"))
+  }
+
+  val burstsOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c,
+      |    date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS dn
+      |  FROM events GROUP BY 1, 2, 4),
+      |h AS (
+      |  SELECT event_type, c, COUNT(*) AS cnt FROM daily GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, c,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |med AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS median_c
+      |  FROM w GROUP BY 1),
+      |above AS (
+      |  SELECT daily.event_type, dn,
+      |    dn - ROW_NUMBER() OVER (PARTITION BY daily.event_type
+      |      ORDER BY dn) AS grp
+      |  FROM daily JOIN med USING (event_type)
+      |  WHERE c > median_c),
+      |runs AS (
+      |  SELECT event_type, grp, COUNT(*) AS len
+      |  FROM above GROUP BY 1, 2)
+      |SELECT event_type, COUNT(*) AS n_bursts,
+      |  CAST(SUM(len) AS BIGINT) AS n_burst_days,
+      |  CAST(MAX(len) AS BIGINT) AS longest_burst
+      |FROM runs GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // `q_rfm`: recency/frequency/monetary quintile segmentation
 
   /** Monetary scoring resolution: customer lifetime spend is quantized to

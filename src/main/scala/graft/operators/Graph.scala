@@ -824,6 +824,72 @@ object Graph {
       |       * sqrt(CAST(en * syy - sy * sy AS DOUBLE))) AS assortativity
       |FROM m""".stripMargin
 
+  // `q_kcore`: fixed-round k-core peeling
+
+  /** Minimum degree kept by each peel round. */
+  val KcoreK = 8
+  /** Fixed peel rounds (truncation, X53's fixed-iteration discipline —
+    * a convergence probe would add a per-round action barrier). */
+  val KcoreRounds = 3
+
+  /** `q_kcore`: k-core peeling over the supplier↔part graph — iteratively
+    * drop endpoints with degree < K; what survives is the dense backbone
+    * (the "core" retailers/parts whose relationships don't evaporate when
+    * marginal players leave). Third structure probe beside X124 (degree
+    * histogram: how skewed) and X162 (assortativity: who connects to
+    * whom); k-core says how DEEP the density goes. Rounds are FIXED like
+    * X53's power method, so the plan is `KcoreRounds` identical stages
+    * and the oracle unrolls them; the gated artifact reports each round's
+    * survivor census, making the convergence trajectory itself the
+    * verified output.
+    *
+    * Scale shape per round: two node-keyed degree folds + two semi-join
+    * shaped equi-joins back onto the edge frame, which is materialized
+    * every round (it feeds both degree folds AND the next filter — the
+    * multi-consumer rule); the census is one aggregate per round off the
+    * materialized frame. Nothing is ever node²-sized. */
+  def kcoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    var cur = Materialize.diskBacked(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct())
+    val rounds = (1 to KcoreRounds).map { r =>
+      val degS = cur.groupBy(col("s")).agg(Num.countStar.as("ds"))
+        .filter(col("ds") >= KcoreK).select(col("s"))
+      val degP = cur.groupBy(col("p")).agg(Num.countStar.as("dp"))
+        .filter(col("dp") >= KcoreK).select(col("p"))
+      cur = Materialize.diskBacked(
+        cur.join(degS, Seq("s")).join(degP, Seq("p")))
+      cur.agg(countDistinct(col("s")).as("n_supp"),
+          countDistinct(col("p")).as("n_part"),
+          Num.countStar.as("n_edges"))
+        .select(lit(r).as("round"), col("n_supp"), col("n_part"),
+          col("n_edges"))
+    }
+    rounds.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  val kcoreOracle: String = {
+    def round(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT s, p FROM $prev
+         |  WHERE s IN (SELECT s FROM $prev GROUP BY s
+         |              HAVING COUNT(*) >= ${KcoreK})
+         |    AND p IN (SELECT p FROM $prev GROUP BY p
+         |              HAVING COUNT(*) >= ${KcoreK}))""".stripMargin
+    val stats = (1 to KcoreRounds).map { r =>
+      s"""SELECT $r AS round, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_supp,
+         |  CAST(COUNT(DISTINCT p) AS BIGINT) AS n_part,
+         |  CAST(COUNT(*) AS BIGINT) AS n_edges FROM e$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+       |  FROM lineitem),
+       |${round("e0", "e1")},
+       |${round("e1", "e2")},
+       |${round("e2", "e3")}
+       |SELECT * FROM ($stats) ORDER BY round""".stripMargin
+  }
+
   /** Distributed HITS (the above-threshold path). The edge table is
     * materialized PRE-PARTITIONED on each of its two join keys — HITS
     * alternates sides every half-round, and re-shuffling a 100 TB edge

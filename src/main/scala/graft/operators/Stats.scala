@@ -2210,4 +2210,76 @@ object Stats {
        |  CAST(rterm - wsum * n_customers AS DOUBLE)
        |    / CAST(wsum * n_customers AS DOUBLE) AS gini
        |FROM m""".stripMargin
+
+  // `q_cusum`: exact CUSUM changepoint locator over the daily series
+
+  /** `q_cusum`: cumulative-sum changepoint detection over daily order
+    * revenue — WHERE did the level shift, completing the drift family
+    * (X113/X148/X149 ask whether two KNOWN windows differ; CUSUM scans
+    * all n-1 split points in one pass): the maximizer of
+    * |cum_k − k·mean| is the most likely changepoint. Kept EXACT by
+    * clearing denominators — dev_k = n·cum_k − k·total is pure integer
+    * (DECIMAL(38,0)), the argmax resolves ties to the earliest day, and
+    * the normalized statistic divides once at the end.
+    *
+    * Scale shape: the raw table folds to the CALENDAR-day frame first;
+    * the running sum, row index, and argmax all walk that bounded
+    * domain (X22's rule). One scan, one day-domain window pass. */
+  def cusumQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(cents).as("x"))
+    val byD = Window.orderBy(col("d"))
+    val all = Window.partitionBy()
+    val scored = daily
+      .withColumn("cum", sum(col("x")).over(byD).cast(dec))
+      .withColumn("k", row_number().over(byD).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("total", sum(col("x")).over(all).cast(dec))
+      .withColumn("dev",
+        col("cum") * col("n").cast(dec) - col("total") * col("k").cast(dec))
+      .withColumn("adev", abs(col("dev")))
+      .withColumn("devmax", max(abs(col("dev"))).over(all))
+    scored
+      .groupBy(col("n").as("n_days"))
+      .agg(max(col("total")).cast("long").as("total_cents"),
+        min(when(col("adev") === col("devmax"),
+          date_format(col("d"), "yyyy-MM-dd"))).as("at_day"),
+        max(col("adev")).as("devq"))
+      .select(col("n_days"), col("total_cents"), col("at_day"),
+        // normalized to [0,1): max_k |cum_k/total - k/n|
+        (col("devq").cast("double")
+          / (col("total_cents").cast("double") * col("n_days").cast("double")))
+          .as("cusum"))
+  }
+
+  val cusumOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT d,
+      |    CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      |      AS DECIMAL(38,0)) AS cum,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+      |    CAST(SUM(x) OVER () AS DECIMAL(38,0)) AS total
+      |  FROM daily),
+      |v AS (
+      |  SELECT d, n, total,
+      |    ABS(cum * n - total * k) AS adev,
+      |    MAX(ABS(cum * n - total * k)) OVER () AS devmax
+      |  FROM s)
+      |SELECT n AS n_days, CAST(MAX(total) AS BIGINT) AS total_cents,
+      |  MIN(CASE WHEN adev = devmax THEN strftime(d, '%Y-%m-%d') END)
+      |    AS at_day,
+      |  CAST(MAX(adev) AS DOUBLE)
+      |    / (CAST(MAX(total) AS DOUBLE) * CAST(n AS DOUBLE)) AS cusum
+      |FROM v GROUP BY n""".stripMargin
 }

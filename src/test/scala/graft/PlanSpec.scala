@@ -800,6 +800,27 @@ class PlanSpec extends AnyFunSuite {
       s"edge frame must be materialized for its three consumers:\n$pa")
   }
 
+  test("q_cusum / q_bursts windows walk calendar-domain frames") {
+    val pc = plan("q_cusum")
+    assert(singlePartitionFedByAggregate(pc),
+      s"cusum scan must walk the daily fold, not raw orders:\n$pc")
+    val pb = plan("q_bursts")
+    // both the median histogram and the island rank ride type-keyed
+    // exchanges fed by the cached daily fold, never the event scan
+    assert(pb.contains("InMemoryTableScan"),
+      s"bursts daily frame must be materialized for its consumers:\n$pb")
+    assert(!pb.contains("CartesianProduct"))
+  }
+
+  test("q_kcore: peel rounds are equi-joins off materialized edge frames") {
+    val p = plan("q_kcore")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"peeling must stay equi-join-shaped:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"per-round edge frames must be materialized:\n$p")
+  }
+
   test("q_hits: edge frame materialized once; all rank passes equi-join") {
     val p = plan("q_hits")
     assert(!p.contains("CartesianProduct") &&

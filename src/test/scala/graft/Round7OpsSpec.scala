@@ -537,4 +537,76 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - num / den) < 1e-9)
     assert(row.getDouble(3) >= -1.0 && row.getDouble(3) <= 1.0)
   }
+
+  test("cusum: locator matches the brute-force scan of all split points") {
+    val row = Stats.cusumQ(spark, sf).head()
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("x"))
+      .orderBy(col("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd"), col("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = daily.length
+    val total = daily.map(e => BigInt(e._2)).sum
+    var cum = BigInt(0)
+    val devs = daily.zipWithIndex.map { case ((day, x), i) =>
+      cum += x
+      (day, (cum * n - total * (i + 1)).abs)
+    }
+    val devmax = devs.map(_._2).max
+    assert(row.getLong(0) === n.toLong)
+    assert(BigInt(row.getLong(1)) === total)
+    assert(row.getString(2) === devs.find(_._2 == devmax).get._1)
+    assert(math.abs(row.getDouble(3)
+      - devmax.toDouble / (total.toDouble * n)) < 1e-12)
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
+
+  test("bursts: runs match a brute-force island scan per type") {
+    val rows = Behavior.burstsQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("1995-01-01").cast("date")).as("dn"), col("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    rows.foreach { case (et, nBursts, nDays, longest) =>
+      val ds = daily.filter(_._1 == et)
+      val cs = ds.map(_._3).sorted
+      val med = cs((cs.length + 1) / 2 - 1)
+      val above = ds.filter(_._3 > med).map(_._2).sorted
+      // island lengths from consecutive day numbers
+      val runs = above.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, d) if d == e + 1 => (s, d) :: rest
+        case (acc, d) => (d, d) :: acc
+      }.map { case (s, e) => (e - s + 1).toLong }
+      assert(nBursts === runs.length.toLong, s"$et bursts")
+      assert(nDays === above.length.toLong, s"$et days")
+      assert(longest === runs.max, s"$et longest")
+    }
+  }
+
+  test("kcore: peeling is monotone and matches a brute-force simultaneous peel") {
+    val rows = Graph.kcoreQ(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1 to Graph.KcoreRounds))
+    rows.sliding(2).foreach {
+      case Array((_, s1, p1, e1), (_, s2, p2, e2)) =>
+        assert(s2 <= s1 && p2 <= p1 && e2 <= e1)
+      case _ => ()
+    }
+    var edges = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (r, nS, nP, nE) =>
+      val okS = edges.groupBy(_._1).filter(_._2.length >= Graph.KcoreK).keySet
+      val okP = edges.groupBy(_._2).filter(_._2.length >= Graph.KcoreK).keySet
+      edges = edges.filter(e => okS(e._1) && okP(e._2))
+      assert(nE === edges.length.toLong, s"round $r edges")
+      assert(nS === edges.map(_._1).distinct.length.toLong, s"round $r supp")
+      assert(nP === edges.map(_._2).distinct.length.toLong, s"round $r part")
+    }
+  }
 }
