@@ -185,6 +185,63 @@ object Behavior {
       |FROM act
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** `q_cohort_ltv`: cumulative revenue per signup cohort — X69's
+    * retention matrix with MONEY in the cells: users grouped by first-
+    * event week, purchase revenue attributed to its week offset from
+    * that first day, then the running cumulative per cohort — the "LTV
+    * curve" a growth team reads next to retention. Revenue is exact
+    * cents (DECIMAL sums at both levels); the cumulative window walks
+    * the (cohort × offset) matrix frame, bounded by weeks², never the
+    * events.
+    *
+    * Scale shape: one user-keyed window pins first_d (the X69 exchange),
+    * the matrix fold is two-phase, and the running sum rides the
+    * cohort-partitioned offset order over matrix cells. */
+  def cohortLtvQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wU = Window.partitionBy(col("user_id"))
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val cells = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), cents.as("cents"))
+      .withColumn("first_d", min(col("d")).over(wU))
+      .filter(col("event_type") === "purchase")
+      .select(
+        date_format(date_trunc("week", col("first_d")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        (datediff(col("d"), col("first_d")) / 7).cast("long")
+          .as("offset_week"),
+        col("cents"))
+      .groupBy(col("cohort_week"), col("offset_week"))
+      .agg(sum(col("cents").cast(DecimalType(38, 0))).as("rev"))
+    val cum = Window.partitionBy(col("cohort_week")).orderBy(col("offset_week"))
+    cells
+      .withColumn("cum_rev", sum(col("rev")).over(cum))
+      .select(col("cohort_week"), col("offset_week"),
+        col("rev").cast("long").as("rev_cents"),
+        col("cum_rev").cast("long").as("cum_rev_cents"))
+      .orderBy(col("cohort_week"), col("offset_week"))
+  }
+
+  val cohortLtvOracle: String =
+    """WITH act AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_d
+      |  FROM events),
+      |cells AS (
+      |  SELECT strftime(date_trunc('week', first_d), '%Y-%m-%d')
+      |      AS cohort_week,
+      |    (d - first_d) // 7 AS offset_week,
+      |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rev
+      |  FROM act WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, offset_week,
+      |  CAST(rev AS BIGINT) AS rev_cents,
+      |  CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY offset_week
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+      |FROM cells ORDER BY cohort_week, offset_week""".stripMargin
+
   /** `q_event_paths`: the first-order journey graph — counts of each
     * (event_type → next event_type) transition across all per-user
     * timelines, with the source's outgoing total beside each edge (the

@@ -798,6 +798,63 @@ object Curation {
        |  true_rows
        |FROM s, t""".stripMargin
 
+  // `q_kanon`: k-anonymity / l-diversity audit
+
+  /** Anonymity threshold audited. */
+  val KanonK = 5
+  /** Diversity threshold audited (distinct sensitive values per class). */
+  val KanonL = 3
+
+  /** `q_kanon`: k-anonymity + l-diversity audit over the released view
+    * (customer joined to nation) — the privacy gate beside X34 redaction,
+    * X110 pseudonymization, and X97 erasure: BEFORE release, how many
+    * quasi-identifier equivalence classes (nation × mktsegment) are
+    * smaller than k (re-identifiable), and how many fail l-diversity on
+    * the sensitive column (order priority — a class where everyone
+    * shares the sensitive value leaks it even at size ≥ k)?
+    *
+    * Scale shape: one fact⋈dim⋈dim join chain folds straight to the
+    * equivalence-class frame (bounded by the quasi-identifier domain,
+    * |nation|·|segment| cells); the audit report is a second fold over
+    * those cells. Exact integer counts end to end. */
+  def kanonQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val classes = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(Num.countStar.as("class_size"),
+        countDistinct(col("o_orderpriority")).as("n_sensitive"))
+    classes.agg(
+      Num.countStar.as("n_classes"),
+      sum(when(col("class_size") < KanonK, 1L).otherwise(0L))
+        .as("n_below_k"),
+      sum(when(col("class_size") < KanonK, col("class_size"))
+        .otherwise(0L)).as("n_rows_at_risk"),
+      sum(when(col("n_sensitive") < KanonL, 1L).otherwise(0L))
+        .as("n_below_l"),
+      min(col("class_size")).as("min_class_size"))
+  }
+
+  val kanonOracle: String =
+    s"""WITH cls AS (
+       |  SELECT n_name, c_mktsegment, COUNT(*) AS class_size,
+       |    COUNT(DISTINCT o_orderpriority) AS n_sensitive
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT COUNT(*) AS n_classes,
+       |  CAST(SUM(CASE WHEN class_size < ${KanonK} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_below_k,
+       |  CAST(SUM(CASE WHEN class_size < ${KanonK} THEN class_size
+       |    ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       |  CAST(SUM(CASE WHEN n_sensitive < ${KanonL} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_below_l,
+       |  CAST(MIN(class_size) AS BIGINT) AS min_class_size
+       |FROM cls""".stripMargin
+
   // `q_poststrat`: post-stratified estimation over the universe sample
 
   /** `q_poststrat`: post-stratified revenue estimation from X147's 20%

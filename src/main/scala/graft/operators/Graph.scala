@@ -843,16 +843,74 @@ object Graph {
     * survivor census, making the convergence trajectory itself the
     * verified output.
     *
-    * Scale shape per round: two node-keyed degree folds + two semi-join
-    * shaped equi-joins back onto the edge frame, which is materialized
-    * every round (it feeds both degree folds AND the next filter — the
-    * multi-consumer rule); the census is one aggregate per round off the
-    * materialized frame. Nothing is ever node²-sized. */
-  def kcoreQ(spark: SparkSession, sfDir: String): DataFrame = {
-    var cur = Materialize.diskBacked(
+    * Size-adaptive like CC/PageRank/HITS/BFS: single-task primitive-map
+    * peel under `LocalPrMaxPairs` edges (GraphSpec pins the equivalence),
+    * the distributed rounds above it. Distributed scale shape per round:
+    * two node-keyed degree folds + two semi-join shaped equi-joins back
+    * onto the edge frame, which is materialized every round (it feeds
+    * both degree folds AND the next filter — the multi-consumer rule);
+    * the census is one aggregate per round off the materialized frame.
+    * Nothing is ever node²-sized. */
+  def kcoreQ(spark: SparkSession, sfDir: String): DataFrame =
+    kcore(spark,
       Tables.lineitem(spark, sfDir)
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-        .distinct())
+        .distinct(),
+      LocalPrMaxPairs)
+
+  /** Per-round peel census over directed (s, p) edges; size-adaptive. */
+  private[graft] def kcore(
+      spark: SparkSession, edgesIn: DataFrame,
+      localMaxEdges: Long): DataFrame = {
+    val (edges, nEdges) = Materialize.diskBackedWithCount(edgesIn)
+    val out =
+      if (nEdges <= localMaxEdges) localKcore(spark, edges)
+      else distributedKcore(spark, edges)
+    out.orderBy(col("round"))
+  }
+
+  /** Single-task peel (the ≤-threshold path — CC/PageRank/HITS/BFS's
+    * switch): primitive arrays + degree maps, `KcoreRounds` sweeps,
+    * identical simultaneous-peel semantics to the distributed rounds
+    * (GraphSpec pins the equivalence). */
+  private def localKcore(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.engine.Primitives
+    edges.select(col("s"), col("p")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+        val pb = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (s, p) => sb += s; pb += p }
+        var ss = sb.result(); var ps = pb.result()
+        (1 to KcoreRounds).iterator.map { r =>
+          val ds = new Primitives.LongLongMap()
+          val dp = new Primitives.LongLongMap()
+          var i = 0
+          while (i < ss.length) { ds.addTo(ss(i), 1L); dp.addTo(ps(i), 1L); i += 1 }
+          val ns = new scala.collection.mutable.ArrayBuilder.ofLong
+          val np = new scala.collection.mutable.ArrayBuilder.ofLong
+          i = 0
+          while (i < ss.length) {
+            if (ds(ss(i)) >= KcoreK && dp(ps(i)) >= KcoreK) {
+              ns += ss(i); np += ps(i)
+            }
+            i += 1
+          }
+          ss = ns.result(); ps = np.result()
+          val us = new Primitives.LongLongMap()
+          val up = new Primitives.LongLongMap()
+          i = 0
+          while (i < ss.length) { us(ss(i)) = 1L; up(ps(i)) = 1L; i += 1 }
+          (r, us.size.toLong, up.size.toLong, ss.length.toLong)
+        }
+      }
+      .toDF("round", "n_supp", "n_part", "n_edges")
+  }
+
+  /** Distributed peel rounds (the above-threshold path). */
+  private def distributedKcore(spark: SparkSession, edgesIn: DataFrame): DataFrame = {
+    var cur = edgesIn
     val rounds = (1 to KcoreRounds).map { r =>
       val degS = cur.groupBy(col("s")).agg(Num.countStar.as("ds"))
         .filter(col("ds") >= KcoreK).select(col("s"))
@@ -866,7 +924,7 @@ object Graph {
         .select(lit(r).as("round"), col("n_supp"), col("n_part"),
           col("n_edges"))
     }
-    rounds.reduce(_ unionAll _).orderBy(col("round"))
+    rounds.reduce(_ unionAll _)
   }
 
   val kcoreOracle: String = {

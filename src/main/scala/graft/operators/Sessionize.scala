@@ -294,4 +294,57 @@ object Sessionize {
        |  CAST(MAX(c) AS BIGINT) AS peak_concurrent
        |FROM running GROUP BY 1
        |ORDER BY day""".stripMargin
+
+  // `q_disorder`: event-time disorder audit (watermark sizing input)
+
+  /** `q_disorder`: out-of-order-arrival audit — per event type, how many
+    * events arrive (by `event_id` ingestion order) with an event time
+    * EARLIER than something already seen from the same user, and how far
+    * back the worst straggler reaches. This is the measurement that
+    * SIZES a streaming watermark (`streaming/Incremental`'s windows
+    * currently pin delays by convention; this query derives the
+    * empirical delay distribution the convention should come from).
+    *
+    * Scale shape: ONE user-keyed exchange carries the running event-time
+    * maximum (ordered by ingestion id, per user — never a global or
+    * per-type ordering, which would funnel the table through a handful
+    * of reducers); lateness folds per type in a second bounded
+    * aggregate. Lateness is exact integer microseconds → whole seconds
+    * by integer division. */
+  def disorderQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val byArrival = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("seen_max", max(col("us")).over(byArrival))
+      .withColumn("late_us",
+        when(col("seen_max") > col("us"), col("seen_max") - col("us"))
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        expr("max(late_us) div 1000000").as("max_delay_s"),
+        expr("(sum(late_us) div 1000000)").as("total_delay_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val disorderOracle: String =
+    """WITH t AS (
+      |  SELECT event_type, user_id, event_id,
+      |    epoch_us(ts) AS us,
+      |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    CASE WHEN seen_max > us THEN seen_max - us ELSE 0 END AS late_us
+      |  FROM t)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  MAX(late_us) // 1000000 AS max_delay_s,
+      |  CAST(SUM(late_us) AS BIGINT) // 1000000 AS total_delay_s
+      |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin
 }

@@ -85,6 +85,23 @@ class GraphSpec extends AnyFunSuite {
     assert(local === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L, 4L -> 3L))
   }
 
+  test("kcore: local and distributed paths agree exactly") {
+    // K(8,8) complete bipartite — every degree is exactly K=8, so the
+    // core survives all rounds — plus a pendant supplier 99→p10 (degree
+    // 1, peeled in round 1; p10 drops from 9 back to 8 and stays).
+    val base = for (s <- 1L to 8L; p <- 10L to 17L) yield (s, p)
+    val all = base :+ ((99L, 10L))
+    val edges = all.toDF("s", "p")
+    def run(localMax: Long) =
+      Graph.kcore(spark, edges, localMax)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val local = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(local === dist)
+    assert(local === (1 to Graph.KcoreRounds).map(r => (r, 8L, 8L, 64L)))
+  }
+
   test("hits: local and distributed paths agree exactly") {
     // bipartite with mixed degrees: s1 ships 3 parts, s2 ships 2, s3 one;
     // p10 stocked by everyone, the rest sparse

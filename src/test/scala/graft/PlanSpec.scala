@@ -821,6 +821,24 @@ class PlanSpec extends AnyFunSuite {
       s"per-round edge frames must be materialized:\n$p")
   }
 
+  test("q_kanon / q_disorder / q_cohort_ltv ride bounded exchanges") {
+    val pk = plan("q_kanon")
+    assert(!pk.contains("CartesianProduct") &&
+      !pk.contains("BroadcastNestedLoopJoin"),
+      s"kanon joins must stay equi:\n$pk")
+    val pd = plan("q_disorder")
+    // the running max must ride ONE user_id exchange — a per-type
+    // ordering would funnel the table through a handful of reducers
+    val userExchanges = pd.linesIterator
+      .count(_.matches(".*Exchange hashpartitioning\\(user_id#\\d+.*"))
+    assert(userExchanges === 1,
+      s"disorder must ride one user_id exchange, got $userExchanges:\n$pd")
+    val pl = plan("q_cohort_ltv")
+    assert(pl.linesIterator.count(
+      _.matches(".*Exchange hashpartitioning\\(user_id#\\d+.*")) === 1,
+      s"cohort ltv first-touch must ride one user_id exchange:\n$pl")
+  }
+
   test("q_hits: edge frame materialized once; all rank passes equi-join") {
     val p = plan("q_hits")
     assert(!p.contains("CartesianProduct") &&

@@ -609,4 +609,69 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(nP === edges.map(_._2).distinct.length.toLong, s"round $r part")
     }
   }
+
+  test("kanon: audit matches a brute-force equivalence-class census") {
+    val row = graft.operators.Curation.kanonQ(spark, sf).head()
+    val rel = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"), col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val classes = rel.groupBy(e => (e._1, e._2)).values.toSeq
+    assert(row.getLong(0) === classes.length.toLong)
+    assert(row.getLong(1) ===
+      classes.count(_.length < graft.operators.Curation.KanonK).toLong)
+    assert(row.getLong(2) === classes.filter(_.length <
+      graft.operators.Curation.KanonK).map(_.length.toLong).sum)
+    assert(row.getLong(3) === classes.count(
+      _.map(_._3).distinct.length < graft.operators.Curation.KanonL).toLong)
+    assert(row.getLong(4) === classes.map(_.length).min.toLong)
+  }
+
+  test("disorder: lateness matches a brute-force per-user running max") {
+    val rows = graft.operators.Sessionize.disorderQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val late = scala.collection.mutable.Map[String, List[Long]]()
+      .withDefaultValue(Nil)
+    evs.groupBy(_._2).foreach { case (_, es) =>
+      var seen = Long.MinValue
+      es.sortBy(_._3).foreach { case (et, _, _, us) =>
+        val l = if (seen > us) seen - us else 0L
+        late(et) = l :: late(et)
+        seen = math.max(seen, us)
+      }
+    }
+    rows.foreach { case (et, n, nLate, maxS, totS) =>
+      val ls = late(et)
+      assert(n === ls.length.toLong, s"$et count")
+      assert(nLate === ls.count(_ > 0L).toLong, s"$et late")
+      assert(maxS === ls.max / 1000000L, s"$et max")
+      assert(totS === ls.sum / 1000000L, s"$et total")
+    }
+  }
+
+  test("cohort ltv: cumulative curve is monotone and conserves purchase revenue") {
+    val rows = Behavior.cohortLtvQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalCents = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_._3).sum === totalCents)
+    rows.groupBy(_._1).foreach { case (cw, cells) =>
+      val sorted = cells.sortBy(_._2)
+      // cum at each offset = running sum of the rev column
+      var run = 0L
+      sorted.foreach { case (_, off, rev, cum) =>
+        run += rev
+        assert(cum === run, s"cohort $cw offset $off")
+      }
+    }
+  }
 }
