@@ -434,6 +434,58 @@ object Aggregates {
       |FROM events GROUP BY 1, 2
       |ORDER BY event_type, day""".stripMargin
 
+  // `q_above_avg`: correlated-subquery decorrelation
+
+  /** `q_above_avg`: "customers above their own nation's average balance"
+    * — the canonical CORRELATED scalar subquery (`WHERE c_acctbal >
+    * (SELECT AVG(...) WHERE same nation)`), re-expressed the way an
+    * engine must run it at scale: decorrelate to one per-nation
+    * aggregate joined back (A5 `q_scalar_subquery` covers the
+    * UNcorrelated form; this is the correlated half of that SQL
+    * surface). The comparison clears the division — c_cents·n >
+    * sum_cents — so the "above average" predicate is EXACT integer
+    * arithmetic, immune to both engines' avg() rounding.
+    *
+    * Scale shape: one nation-keyed fold (≤25 rows) broadcast back onto
+    * the customer scan, then a nation-keyed report fold. The dimension
+    * join for names is a second broadcast. */
+  def aboveAvgQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), cents.as("cents"))
+    val natAvg = cust.groupBy(col("c_nationkey"))
+      .agg(Num.countStar.as("n"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("sum_cents"))
+    cust.join(broadcast(natAvg), Seq("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(max(col("n")).as("n_customers"),
+        sum(when(col("cents").cast(DecimalType(38, 0)) * col("n")
+          > col("sum_cents"), 1L).otherwise(0L)).as("n_above_avg"))
+      .orderBy(col("n_name"))
+  }
+
+  val aboveAvgOracle: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |na AS (
+      |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+      |      AS sum_cents
+      |  FROM cust GROUP BY 1)
+      |SELECT n_name, MAX(n) AS n_customers,
+      |  CAST(SUM(CASE WHEN CAST(cents AS DECIMAL(38,0)) * n > sum_cents
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+      |FROM cust
+      |JOIN na USING (c_nationkey)
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY n_name""".stripMargin
+
   // `q_trend_movers`: period-over-period demand shift top-k
 
   /** Movers reported. */

@@ -2051,6 +2051,62 @@ object Stats {
       |    ELSE 0 END) AS BIGINT) AS n_high_outliers
       |FROM q GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // `q_trailing_range`: RANGE-interval window frame (gap-aware)
+
+  /** Trailing window width in days (inclusive of the current day). */
+  val TrailingDays = 7
+
+  /** `q_trailing_range`: 7-day trailing revenue per day via a RANGE
+    * frame over the day index — the gap-AWARE counterpart of X40's
+    * ROWS-frame moving sum: a ROWS frame slides over whatever rows
+    * exist (after a holiday gap it silently reaches further back in
+    * time); a RANGE frame bounds the frame by VALUE distance, so missing
+    * days shrink the window instead of stretching it — the correct
+    * semantics for any trailing-window metric over a sparse series, and
+    * the `rangeBetween` surface X40 deliberately does not exercise.
+    * `days_present` (count over the same frame) makes the gap behavior
+    * itself part of the gated artifact.
+    *
+    * Scale shape: one fold to the calendar-day frame, then the RANGE
+    * window walks that bounded domain (X22's rule). Revenue exact cents
+    * at both levels. */
+  def trailingRangeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val w = Window.orderBy(col("dn"))
+      .rangeBetween(-(TrailingDays - 1), Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(cents).as("rev"))
+      .withColumn("dn",
+        datediff(col("d"), lit("1995-01-01").cast("date")).cast("long"))
+      .withColumn("trailing_cents",
+        sum(col("rev").cast(DecimalType(38, 0))).over(w).cast("long"))
+      .withColumn("days_present", count(lit(1)).over(w))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("rev").as("rev_cents"), col("trailing_cents"),
+        col("days_present"))
+      .orderBy(col("day"))
+  }
+
+  val trailingRangeOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS rev,
+       |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+       |      AS dn
+       |  FROM orders GROUP BY 1, 3)
+       |SELECT strftime(d, '%Y-%m-%d') AS day, rev AS rev_cents,
+       |  CAST(SUM(CAST(rev AS DECIMAL(38,0))) OVER (ORDER BY dn
+       |    RANGE BETWEEN ${TrailingDays - 1} PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS trailing_cents,
+       |  CAST(COUNT(*) OVER (ORDER BY dn
+       |    RANGE BETWEEN ${TrailingDays - 1} PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS days_present
+       |FROM daily ORDER BY day""".stripMargin
+
   // `q_kmv_intersect`: KMV sketch set algebra (theta-sketch style)
 
   /** The two user populations whose overlap is estimated. */

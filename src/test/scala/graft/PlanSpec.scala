@@ -839,6 +839,17 @@ class PlanSpec extends AnyFunSuite {
       s"cohort ltv first-touch must ride one user_id exchange:\n$pl")
   }
 
+  test("q_above_avg: decorrelated aggregate broadcasts; q_trailing_range walks the day frame") {
+    val pa = plan("q_above_avg")
+    assert(pa.contains("BroadcastHashJoin"),
+      s"the per-nation aggregate must broadcast back:\n$pa")
+    assert(!pa.contains("CartesianProduct") &&
+      !pa.contains("BroadcastNestedLoopJoin"))
+    val pt = plan("q_trailing_range")
+    assert(singlePartitionFedByAggregate(pt),
+      s"the RANGE frame must consume the daily fold:\n$pt")
+  }
+
   test("q_hits: edge frame materialized once; all rank passes equi-join") {
     val p = plan("q_hits")
     assert(!p.contains("CartesianProduct") &&

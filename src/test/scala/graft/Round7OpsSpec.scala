@@ -674,4 +674,37 @@ class Round7OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("above avg: counts match brute force and the predicate is division-free") {
+    val rows = Aggregates.aboveAvgQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cust = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byNat = cust.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.map(_._1).toSet === byNat.keySet)
+    rows.foreach { case (nat, n, above) =>
+      val cs = byNat(nat)
+      assert(n === cs.length.toLong, s"$nat count")
+      val sum = cs.map(BigInt(_)).sum
+      assert(above === cs.count(c => BigInt(c) * cs.length > sum).toLong,
+        s"$nat above")
+    }
+  }
+
+  test("trailing range: frame shrinks over gaps instead of reaching back") {
+    val rows = Stats.trailingRangeQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val daily = rows.map(r => java.time.LocalDate.parse(r._1) -> r._2).toMap
+    rows.foreach { case (dayS, _, trailing, present) =>
+      val day = java.time.LocalDate.parse(dayS)
+      val window = (0 until Stats.TrailingDays)
+        .flatMap(k => daily.get(day.minusDays(k.toLong)))
+      assert(trailing === window.sum, s"$dayS trailing")
+      assert(present === window.length.toLong, s"$dayS present")
+      assert(present <= Stats.TrailingDays.toLong)
+    }
+  }
 }
