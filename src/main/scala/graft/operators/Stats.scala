@@ -2051,6 +2051,63 @@ object Stats {
       |    ELSE 0 END) AS BIGINT) AS n_high_outliers
       |FROM q GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // `q_weighted_median`: weight-histogram weighted percentiles
+
+  /** Price resolution for the weighted rank walk: $10 buckets bound the
+    * histogram by the price domain, not the row count. */
+  val WMedianBucketCents = 1000L
+
+  /** `q_weighted_median`: QUANTITY-weighted price percentiles per return
+    * flag — "the price point below which half the shipped VOLUME sits",
+    * which is not X22's row median (a million one-unit lines shouldn't
+    * outvote one million-unit line). The X22 rank walk generalizes: the
+    * histogram accumulates WEIGHT (total quantity) per price bucket and
+    * the percentile is the first bucket whose cumulative weight crosses
+    * the rank — 2·cum ≥ W for the median, 10·cum ≥ 9·W for p90 — all
+    * exact integers (quantities are integer-valued).
+    *
+    * Scale shape: one map-side-combined fold to (flag × price-bucket)
+    * weights, per-flag windows over the bounded bucket domain. */
+  def weightedMedianQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bucket = ((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long") / lit(WMedianBucketCents)).cast("long")
+    val byV = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+    val all = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), bucket.as("b"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"), col("b"))
+      .agg(sum(col("q")).as("w"))
+      .withColumn("cum", sum(col("w")).over(byV))
+      .withColumn("tw", sum(col("w")).over(all))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("tw")).as("total_qty"),
+        min(when(col("cum") * 2 >= col("tw"), col("b")))
+          .as("wmedian_bucket"),
+        min(when(col("cum") * 10 >= col("tw") * 9, col("b")))
+          .as("wp90_bucket"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val weightedMedianOracle: String =
+    s"""WITH h AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      // ${WMedianBucketCents} AS b,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |c AS (
+       |  SELECT l_returnflag, b, w,
+       |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY b)
+       |      AS BIGINT) AS cum,
+       |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+       |  FROM h)
+       |SELECT l_returnflag, MAX(tw) AS total_qty,
+       |  MIN(CASE WHEN cum * 2 >= tw THEN b END) AS wmedian_bucket,
+       |  MIN(CASE WHEN cum * 10 >= tw * 9 THEN b END) AS wp90_bucket
+       |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   // `q_trailing_range`: RANGE-interval window frame (gap-aware)
 
   /** Trailing window width in days (inclusive of the current day). */

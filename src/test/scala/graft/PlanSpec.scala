@@ -850,6 +850,12 @@ class PlanSpec extends AnyFunSuite {
       s"the RANGE frame must consume the daily fold:\n$pt")
   }
 
+  test("q_weighted_median: rank walk consumes the weight histogram") {
+    val p = plan("q_weighted_median")
+    assert(exchangeFedByAggregate(p, "l_returnflag#\\d+, \\d+\\)"),
+      s"weighted rank walk must shuffle the bucket histogram, not rows:\n$p")
+  }
+
   test("q_hits: edge frame materialized once; all rank passes equi-join") {
     val p = plan("q_hits")
     assert(!p.contains("CartesianProduct") &&

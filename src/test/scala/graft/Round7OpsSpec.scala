@@ -707,4 +707,31 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(present <= Stats.TrailingDays.toLong)
     }
   }
+
+  test("weighted median: crossing buckets match a brute-force weight walk") {
+    val rows = Stats.weightedMedianQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          / Stats.WMedianBucketCents).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (flag, tw, wmed, wp90) =>
+      val hist = li.filter(_._1 == flag).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toMap.toSeq.sortBy(_._1)
+      val total = hist.map(_._2).sum
+      assert(tw === total, s"$flag total")
+      var cum = 0L
+      var (m, p) = (Option.empty[Long], Option.empty[Long])
+      hist.foreach { case (b, w) =>
+        cum += w
+        if (m.isEmpty && cum * 2 >= total) m = Some(b)
+        if (p.isEmpty && cum * 10 >= total * 9) p = Some(b)
+      }
+      assert(wmed === m.get, s"$flag median")
+      assert(wp90 === p.get, s"$flag p90")
+      assert(wmed <= wp90)
+    }
+  }
 }
