@@ -486,6 +486,96 @@ object Aggregates {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY n_name""".stripMargin
 
+  // `q_mode`: deterministic modal value per group
+
+  /** `q_mode`: the most frequent (floored) value per event type with a
+    * PINNED tie-break (smallest value wins) — engines' `mode()` builtins
+    * leave ties implementation-defined, so the deterministic form is the
+    * histogram argmax both engines state explicitly. Report carries the
+    * modal count and its share of the group as one closing division.
+    *
+    * Scale shape: the X22 histogram fold, then the argmax is a per-group
+    * min-over-filtered-window on the bounded value domain. */
+  def modeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = floor(col("value")).cast("long")
+    val all = Window.partitionBy(col("event_type"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(Num.countStar.as("cnt"))
+      .withColumn("m", max(col("cnt")).over(all))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        min(when(col("cnt") === col("m"), col("v"))).as("mode_v"),
+        max(col("m")).as("mode_count"))
+      .withColumn("mode_share",
+        col("mode_count").cast("double") / col("n_events").cast("double"))
+      .orderBy(col("event_type"))
+  }
+
+  val modeOracle: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, v, cnt,
+      |    MAX(cnt) OVER (PARTITION BY event_type) AS m,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |  MIN(CASE WHEN cnt = m THEN v END) AS mode_v,
+      |  CAST(MAX(m) AS BIGINT) AS mode_count,
+      |  CAST(MAX(m) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mode_share
+      |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // `q_string_agg`: ordered, bounded list aggregation
+
+  /** Names kept per group in the `q_string_agg` roster. */
+  val StringAggTopN = 5
+
+  /** `q_string_agg`: LISTAGG / string_agg with DETERMINISTIC order and a
+    * BOUNDED prefix — the roster report (first-N members alphabetically,
+    * joined into one cell). Unordered string_agg is nondeterministic
+    * under parallel aggregation, and unbounded agg strings grow with the
+    * data; sort_array over collect_list + slice pins both: per-group
+    * state is the member set (collected only at nation cardinality ≤
+    * group membership), the emitted cell is the fixed-N prefix.
+    *
+    * Scale note: collect_list state is group-membership-sized; for the
+    * customer-per-nation roster that is the fan-out a roster REPORT
+    * inherently needs. At unbounded group sizes the bounded prefix
+    * should push down (a per-group top-N heap before the collect) —
+    * here the window rank does exactly that BEFORE collecting. */
+  def stringAggQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val byName = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_name"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_name"))
+      .withColumn("rk", row_number().over(byName))
+      .filter(col("rk") <= StringAggTopN)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Num.countStar.as("n_listed"),
+        concat_ws(",", array_sort(collect_list(col("c_name"))))
+          .as("roster"))
+      .orderBy(col("n_name"))
+  }
+
+  val stringAggOracle: String =
+    s"""WITH r AS (
+       |  SELECT c_nationkey, c_name,
+       |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_name)
+       |      AS rk
+       |  FROM customer)
+       |SELECT n_name, COUNT(*) AS n_listed,
+       |  array_to_string(list_sort(list(c_name)), ',') AS roster
+       |FROM r JOIN nation ON c_nationkey = n_nationkey
+       |WHERE rk <= ${StringAggTopN}
+       |GROUP BY 1 ORDER BY n_name""".stripMargin
+
   // `q_trend_movers`: period-over-period demand shift top-k
 
   /** Movers reported. */

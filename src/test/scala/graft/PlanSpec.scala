@@ -856,6 +856,15 @@ class PlanSpec extends AnyFunSuite {
       s"weighted rank walk must shuffle the bucket histogram, not rows:\n$p")
   }
 
+  test("q_mode walks the histogram; q_string_agg prunes via a rank heap") {
+    val pm = plan("q_mode")
+    assert(exchangeFedByAggregate(pm, typeOnlyKey),
+      s"mode argmax must consume the value histogram:\n$pm")
+    val ps = plan("q_string_agg")
+    assert(ps.contains("WindowGroupLimit"),
+      s"the rank<=N filter must prune via a per-group heap BEFORE collect:\n$ps")
+  }
+
   test("q_hits: edge frame materialized once; all rank passes equi-join") {
     val p = plan("q_hits")
     assert(!p.contains("CartesianProduct") &&

@@ -734,4 +734,37 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(wmed <= wp90)
     }
   }
+
+  test("mode: histogram argmax with the pinned smallest-value tie-break") {
+    val rows = Aggregates.modeQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { case (et, n, modeV, modeC, share) =>
+      val hist = vals.filter(_._1 == et).groupBy(_._2).view
+        .mapValues(_.length.toLong).toMap
+      assert(n === hist.values.sum)
+      val m = hist.values.max
+      assert(modeC === m, s"$et count")
+      assert(modeV === hist.filter(_._2 == m).keys.min, s"$et tie-break")
+      assert(share === m.toDouble / n.toDouble)
+    }
+  }
+
+  test("string agg: roster is the first-N alphabetical members, pinned order") {
+    val rows = Aggregates.stringAggQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val cust = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { case (nat, nListed, roster) =>
+      val names = cust.filter(_._1 == nat).map(_._2).sorted
+        .take(Aggregates.StringAggTopN)
+      assert(nListed === names.length.toLong, s"$nat count")
+      assert(roster === names.mkString(","), s"$nat roster")
+    }
+  }
 }
