@@ -185,6 +185,86 @@ object Behavior {
       |FROM act
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** `q_growth_accounting`: the growth-accounting decomposition of weekly
+    * actives — every WAU number split into NEW (first week ever),
+    * RETAINED (also active the week before), and RESURRECTED (active
+    * before, but not last week), plus CHURNED (active last week, gone
+    * now) attributed to the week the user went missing — the standard
+    * growth-team ledger (Social-Capital-style accounting) beside X84's
+    * churn-only view and X107's cumulative counts. Identity per week:
+    * WAU_w = new + retained + resurrected, and
+    * WAU_w = WAU_{w-1} − churned_w + new_w + resurrected_w — the second
+    * law is what the unit test pins.
+    *
+    * Scale shape: the (user × week) distinct frame folds once; lag/lead
+    * per user ride ONE user-keyed exchange; the observation-end guard is
+    * a 1-row broadcast (X141); the ledger fold is week-domain-bounded. */
+  def growthAccountingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"),
+          date_trunc("week", to_date(col("ts"))).cast("date").as("w"))
+        .distinct())
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("w"))
+    val marked = weekly
+      .withColumn("prev", lag(col("w"), 1).over(byU))
+      .withColumn("next", lead(col("w"), 1).over(byU))
+    val statuses = marked.select(col("w"),
+      when(col("prev").isNull, "new")
+        .when(datediff(col("w"), col("prev")) === 7, "retained")
+        .otherwise(lit("resurrected")).as("status"))
+    val maxW = weekly.agg(max(col("w")).as("max_w"))
+    val churn = marked.crossJoin(broadcast(maxW))
+      .filter(col("next").isNull ||
+        datediff(col("next"), col("w")) > 7)
+      .select(date_add(col("w"), 7).as("w"), col("max_w"))
+      .filter(col("w") <= col("max_w"))
+      .select(col("w"), lit("churned").as("status"))
+    statuses.unionByName(churn)
+      .groupBy(date_format(col("w"), "yyyy-MM-dd").as("week"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("status") === "churned", 1L).otherwise(0L))
+          .as("n_churned"))
+      .orderBy(col("week"))
+  }
+
+  val growthAccountingOracle: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, w,
+      |    LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS prev,
+      |    LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS next
+      |  FROM weekly),
+      |statuses AS (
+      |  SELECT w, CASE WHEN prev IS NULL THEN 'new'
+      |    WHEN w - prev = 7 THEN 'retained'
+      |    ELSE 'resurrected' END AS status
+      |  FROM marked),
+      |mx AS (SELECT MAX(w) AS max_w FROM weekly),
+      |churn AS (
+      |  SELECT w + 7 AS w, 'churned' AS status
+      |  FROM marked, mx
+      |  WHERE (next IS NULL OR next - w > 7) AND w + 7 <= max_w),
+      |u AS (SELECT * FROM statuses UNION ALL SELECT * FROM churn)
+      |SELECT strftime(w, '%Y-%m-%d') AS week,
+      |  CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_retained,
+      |  CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_resurrected,
+      |  CAST(SUM(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_churned
+      |FROM u GROUP BY 1 ORDER BY week""".stripMargin
+
   /** `q_cohort_ltv`: cumulative revenue per signup cohort — X69's
     * retention matrix with MONEY in the cells: users grouped by first-
     * event week, purchase revenue attributed to its week offset from

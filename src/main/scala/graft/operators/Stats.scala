@@ -2324,6 +2324,90 @@ object Stats {
        |    / CAST(wsum * n_customers AS DOUBLE) AS gini
        |FROM m""".stripMargin
 
+  // `q_lorenz`: Lorenz curve deciles (the curve behind X161's Gini)
+
+  /** `q_lorenz`: Lorenz curve at decile resolution — X161's Gini is the
+    * area under this curve; the curve itself says WHERE the inequality
+    * lives ("the bottom half of customers carries 9% of spend"). Each
+    * decile boundary is an X22 ceil-rank over the $100-quantized spend
+    * histogram; customers are assigned to deciles by bucket position
+    * against the boundaries (threshold classification, X154's rule —
+    * sizes aren't exactly n/10 with ties, which is the honest grouped
+    * answer), and each row carries exact counts/cents plus the one
+    * cumulative-share division.
+    *
+    * Scale shape: the X161 spend histogram reused verbatim — one
+    * customer fold, one bucket fold, windows on the bucket domain. */
+  def lorenzQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val hist = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents).as("spend"))
+      .groupBy((col("spend") / lit(GiniUnitCents)).cast("long").as("v"))
+      .agg(Num.countStar.as("cnt"),
+        sum(col("spend").cast(dec)).as("wealth"))
+    val byV = Window.orderBy(col("v"))
+    val all = Window.partitionBy()
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("total", sum(col("wealth")).over(all))
+      // decile of a bucket: smallest d in 1..10 with cum <= ceil(d*n/10)
+      // — i.e. the bucket whose cumulative population position lands in
+      // the d-th tenth; ties at boundaries stay in the lower decile
+      .withColumn("decile",
+        (1 to 10).foldLeft(lit(10)) { (acc, d) =>
+          if (d == 10) acc
+          else when(col("cum") <= expr(s"(n * $d + 9) div 10"),
+            least(acc, lit(d))).otherwise(acc)
+        })
+    val byDecile = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.groupBy(col("decile"))
+      .agg(sum(col("cnt")).as("n_customers"),
+        sum(col("wealth")).cast("long").as("spend_cents"))
+      .withColumn("cum_share",
+        sum(col("spend_cents")).over(byDecile).cast("double")
+          / sum(col("spend_cents")).over(Window.partitionBy())
+            .cast("double"))
+      .orderBy(col("decile"))
+  }
+
+  val lorenzOracle: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS spend
+       |  FROM orders GROUP BY 1),
+       |h AS (
+       |  SELECT spend // ${GiniUnitCents} AS v, COUNT(*) AS cnt,
+       |    CAST(SUM(CAST(spend AS DECIMAL(38,0))) AS DECIMAL(38,0))
+       |      AS wealth
+       |  FROM spend GROUP BY 1),
+       |r AS (
+       |  SELECT v, cnt, wealth,
+       |    SUM(cnt) OVER (ORDER BY v) AS cum,
+       |    SUM(cnt) OVER () AS n
+       |  FROM h),
+       |d AS (
+       |  SELECT cnt, wealth,
+       |    LEAST(${(1 to 9).map(k =>
+      s"CASE WHEN cum <= (n * $k + 9) // 10 THEN $k ELSE 10 END")
+      .mkString(", ")}, 10) AS decile
+       |  FROM r),
+       |g AS (
+       |  SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_customers,
+       |    CAST(SUM(wealth) AS BIGINT) AS spend_cents
+       |  FROM d GROUP BY 1)
+       |SELECT decile, n_customers, spend_cents,
+       |  CAST(SUM(spend_cents) OVER (ORDER BY decile
+       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |    / CAST(SUM(spend_cents) OVER () AS DOUBLE) AS cum_share
+       |FROM g ORDER BY decile""".stripMargin
+
   // `q_cusum`: exact CUSUM changepoint locator over the daily series
 
   /** `q_cusum`: cumulative-sum changepoint detection over daily order

@@ -856,6 +856,18 @@ class PlanSpec extends AnyFunSuite {
       s"weighted rank walk must shuffle the bucket histogram, not rows:\n$p")
   }
 
+  test("q_lorenz / q_growth_accounting ride bounded frames") {
+    val pl = plan("q_lorenz")
+    assert(singlePartitionFedByAggregate(pl),
+      s"lorenz decile walk must consume the spend histogram:\n$pl")
+    val pg = plan("q_growth_accounting")
+    assert(pg.contains("InMemoryTableScan"),
+      s"(user, week) frame must be materialized for lag/lead + churn:\n$pg")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(pg).size
+    assert(bnlj <= 1 && !pg.contains("CartesianProduct"),
+      s"only the 1-row max-week broadcast may nested-loop:\n$pg")
+  }
+
   test("q_mode walks the histogram; q_string_agg prunes via a rank heap") {
     val pm = plan("q_mode")
     assert(exchangeFedByAggregate(pm, typeOnlyKey),

@@ -767,4 +767,49 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(roster === names.mkString(","), s"$nat roster")
     }
   }
+
+  test("lorenz: deciles partition customers, shares are monotone to 1.0") {
+    val rows = Stats.lorenzQ(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._2).sum === nCust)
+    // the curve is convex-ish monotone: shares rise to exactly 1.0
+    rows.sliding(2).foreach {
+      case Array((_, _, _, s1), (_, _, _, s2)) => assert(s2 >= s1)
+      case _ => ()
+    }
+    assert(math.abs(rows.last._4 - 1.0) < 1e-12)
+    // Gini consistency: the curve and X161's coefficient describe the
+    // same distribution — cum share of the bottom half is well below it
+    val gini = Stats.giniQ(spark, sf).head().getDouble(2)
+    if (gini > 0.1) {
+      val bottomHalf = rows.filter(_._1 <= 5).map(_._3).sum.toDouble /
+        rows.map(_._3).sum
+      assert(bottomHalf < 0.5)
+    }
+  }
+
+  test("growth accounting: WAU identity holds week over week") {
+    val rows = Behavior.growthAccountingQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // WAU_w = new + retained + resurrected; and the flow identity
+    // WAU_w = WAU_{w-1} + new_w + resurrected_w - churned_w for
+    // CONSECUTIVE weeks
+    val wau = rows.map(r => r._1 -> (r._2 + r._3 + r._4)).toMap
+    rows.sliding(2).foreach {
+      case Array((w1, _, _, _, _), (w2, nNew, nRet, nRes, nChu)) =>
+        val d1 = java.time.LocalDate.parse(w1)
+        val d2 = java.time.LocalDate.parse(w2)
+        if (java.time.temporal.ChronoUnit.DAYS.between(d1, d2) == 7L) {
+          assert(wau(w2) === wau(w1) + nNew + nRes - nChu,
+            s"flow identity at $w2")
+          assert(nRet === wau(w1) - nChu, s"retained identity at $w2")
+        }
+      case _ => ()
+    }
+    // every first-week user is 'new': week 1 has no retained/resurrected
+    assert(rows.head._3 === 0L && rows.head._4 === 0L)
+  }
 }
