@@ -2324,6 +2324,84 @@ object Stats {
        |    / CAST(wsum * n_customers AS DOUBLE) AS gini
        |FROM m""".stripMargin
 
+  // `q_range_planner`: range-partition boundary planning + balance audit
+
+  /** Planned range partitions. */
+  val RangePlanN = 16
+
+  /** `q_range_planner`: plan `RangePlanN` range-partition boundaries over
+    * the order-key domain and AUDIT the plan's balance — the layout
+    * decision a warehouse-scale `repartitionByRange` / Z-order write
+    * (X46) makes by sampling, done here exactly: boundary b_i = the
+    * ceil(i·n/N)-th order statistic (X22 rank walk over the key
+    * histogram), then each planned bucket's actual fill, max/min
+    * imbalance as exact integers. With heavy key duplication a boundary
+    * key's whole run lands in one bucket — the audit SHOWS that skew
+    * instead of assuming uniformity (this is why engines sample: the
+    * report quantifies what sampling risks missing).
+    *
+    * Scale shape: one fold to the key histogram (domain-bounded), the
+    * boundary walk and the bucket census both ride it; the boundary
+    * table (N rows) broadcasts back. */
+  def rangePlannerQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Materialize.diskBacked(
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(Num.countStar.as("cnt")))
+    val byK = Window.orderBy(col("k"))
+    val all = Window.partitionBy()
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(byK))
+      .withColumn("n", sum(col("cnt")).over(all))
+    // boundary i = smallest key whose cumulative count reaches ceil(i*n/N)
+    val bexprs = (1 to RangePlanN).map { i =>
+      min(when(col("cum") >=
+        expr(s"(n * $i + ${RangePlanN - 1}) div ${RangePlanN}"),
+        col("k"))).as(s"b$i")
+    }
+    val bounds = ranked
+      .groupBy(lit(1).as("one"))
+      .agg(bexprs.head, bexprs.tail: _*)
+      .drop("one")
+    // Assign each key run to its bucket: first i with k <= b_i. The
+    // boundaries ascend, so a FLAT first-match when-chain (linear-sized
+    // CaseWhen) gives the smallest i — never a fold that re-embeds the
+    // accumulator per level (that tree is 2^N nodes and hangs Catalyst's
+    // common-subexpression pass).
+    val bucketOf = (1 until RangePlanN)
+      .foldLeft(when(col("k") <= col("b1"), 1)) { (acc, i) =>
+        if (i == 1) acc
+        else acc.when(col("k") <= col(s"b$i"), i)
+      }
+      .otherwise(lit(RangePlanN))
+    hist.crossJoin(broadcast(bounds))
+      .select(bucketOf.as("bucket"), col("cnt"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"), Num.countStar.as("n_keys"))
+      .orderBy(col("bucket"))
+  }
+
+  val rangePlannerOracle: String = {
+    val bDefs = (1 to RangePlanN).map(i =>
+      s"MIN(CASE WHEN cum >= (n * $i + ${RangePlanN - 1}) // ${RangePlanN} " +
+        s"THEN k END) AS b$i").mkString(", ")
+    val bucketExpr = s"CASE ${(1 until RangePlanN).map(i =>
+      s"WHEN k <= b$i THEN $i").mkString(" ")} ELSE ${RangePlanN} END"
+    s"""WITH h AS (
+       |  SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT k, cnt,
+       |    SUM(cnt) OVER (ORDER BY k) AS cum,
+       |    SUM(cnt) OVER () AS n
+       |  FROM h),
+       |b AS (SELECT $bDefs FROM r),
+       |assigned AS (
+       |  SELECT $bucketExpr AS bucket, cnt FROM h, b)
+       |SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |  COUNT(*) AS n_keys
+       |FROM assigned GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   // `q_lorenz`: Lorenz curve deciles (the curve behind X161's Gini)
 
   /** `q_lorenz`: Lorenz curve at decile resolution — X161's Gini is the
@@ -2355,15 +2433,16 @@ object Stats {
       .withColumn("cum", sum(col("cnt")).over(byV))
       .withColumn("n", sum(col("cnt")).over(all))
       .withColumn("total", sum(col("wealth")).over(all))
-      // decile of a bucket: smallest d in 1..10 with cum <= ceil(d*n/10)
-      // — i.e. the bucket whose cumulative population position lands in
-      // the d-th tenth; ties at boundaries stay in the lower decile
+      // Decile of a bucket: smallest d in 1..10 with cum <= ceil(d*n/10)
+      // — the bucket whose cumulative population position lands in the
+      // d-th tenth; ties at boundaries stay in the lower decile. Flat
+      // first-match when-chain (the thresholds ascend) — a fold that
+      // re-embeds the accumulator doubles the tree per level.
       .withColumn("decile",
-        (1 to 10).foldLeft(lit(10)) { (acc, d) =>
-          if (d == 10) acc
-          else when(col("cum") <= expr(s"(n * $d + 9) div 10"),
-            least(acc, lit(d))).otherwise(acc)
-        })
+        (2 to 9).foldLeft(
+          when(col("cum") <= expr("(n * 1 + 9) div 10"), 1)) { (acc, d) =>
+          acc.when(col("cum") <= expr(s"(n * $d + 9) div 10"), d)
+        }.otherwise(lit(10)))
     val byDecile = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked.groupBy(col("decile"))

@@ -856,6 +856,15 @@ class PlanSpec extends AnyFunSuite {
       s"weighted rank walk must shuffle the bucket histogram, not rows:\n$p")
   }
 
+  test("q_range_planner: histogram-fed walk; N-row boundary broadcast only") {
+    val p = plan("q_range_planner")
+    assert(singlePartitionFedByAggregate(p),
+      s"boundary walk must consume the key histogram:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnlj <= 1 && !p.contains("CartesianProduct"),
+      s"only the 1-row boundary frame may nested-loop:\n$p")
+  }
+
   test("q_lorenz / q_growth_accounting ride bounded frames") {
     val pl = plan("q_lorenz")
     assert(singlePartitionFedByAggregate(pl),

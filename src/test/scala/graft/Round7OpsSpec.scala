@@ -812,4 +812,30 @@ class Round7OpsSpec extends AnyFunSuite {
     // every first-week user is 'new': week 1 has no retained/resurrected
     assert(rows.head._3 === 0L && rows.head._4 === 0L)
   }
+
+  test("range planner: buckets partition the table and match brute boundaries") {
+    val rows = Stats.rangePlannerQ(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val keys = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = keys.map(_._2).sum
+    assert(rows.map(_._2).sum === n)
+    assert(rows.map(_._3).sum === keys.length.toLong)
+    // brute boundaries: b_i = smallest key with cum >= ceil(i*n/16)
+    val nP = Stats.RangePlanN
+    var cum = 0L
+    val cums = keys.map { case (k, c) => cum += c; (k, cum) }
+    val bounds = (1 to nP).map { i =>
+      val rank = (n * i + nP - 1) / nP
+      cums.find(_._2 >= rank).get._1
+    }
+    val brute = keys.groupBy { case (k, _) =>
+      bounds.zipWithIndex.find { case (b, _) => k <= b }
+        .map(_._2 + 1).getOrElse(nP)
+    }.view.mapValues(es => (es.map(_._2).sum, es.length.toLong)).toMap
+    rows.foreach { case (b, nr, nk) =>
+      assert((nr, nk) === brute(b), s"bucket $b")
+    }
+  }
 }
