@@ -160,8 +160,12 @@ object Bench {
     // raw total stays the headline; this is the documented normalization
     // precomputed so drift adjudication needs no side math. (Never
     // normalize by warmup_sec — its work grows with the suite.)
+    // Clamped at 1: a barometer FASTER than the idle calibration means a
+    // quiet machine (or measurement noise), not a reason to inflate the
+    // total — normalization only corrects loaded runs downward.
     val normTotal =
-      if (barometerSec > 0) total / (barometerSec / BarometerIdleCal)
+      if (barometerSec > BarometerIdleCal)
+        total / (barometerSec / BarometerIdleCal)
       else total
     // cwd-anchored (sbt runs from the repo root) so the artifact lands next
     // to the bench on any checkout, not a hardcoded machine path

@@ -1093,4 +1093,102 @@ object Similarity {
        |    ORDER BY cosine DESC, neighbor_id ASC) AS rnk
        |  FROM pairs) t
        |WHERE rnk = 1 ORDER BY q_id""".stripMargin
+
+  // `q_knn_graph`: mutual-kNN graph construction + degree census
+
+  /** Neighbors kept per node before the mutuality filter. */
+  val KnnGraphK = 3
+
+  /** `q_knn_graph`: mutual k-nearest-neighbor graph over the embedding
+    * corpus — the structure underlying density clustering (DBSCAN-kin),
+    * manifold methods (UMAP's first step), and coreset pruning: an edge
+    * survives only if EACH endpoint ranks the other in its top-K, which
+    * strips the hub edges a one-directional kNN keeps. Candidates come
+    * from the X8 sign-plane buckets (never corpus×corpus — two vectors
+    * compare only inside a shared bucket); per-node ranking windows are
+    * bucket-bounded; mutuality is one equi-self-join of the directed
+    * top-K on the reversed pair. The gated artifact is the mutual-degree
+    * HISTOGRAM (degree 0..K), which pins graph structure, not just edge
+    * existence.
+    *
+    * Scale note: like X8, bucket occupancy is corpus/2^Planes — the
+    * within-bucket quadratic is the deliberate LSH trade, and the
+    * signature frame is materialized once for both join sides. */
+  def knnGraphQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
+    val bucketBits = (0 until Planes).map { p =>
+      when(planeDot(col("emb"), p) >= 0, "1").otherwise("0")
+    }
+    val signed = graft.engine.Materialize.diskBacked(
+      emb.withColumn("bucket", concat(bucketBits: _*)))
+    val dot = VectorExprs.dot(col("a_emb"), col("emb"))
+    val bySrc = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val topk = signed
+      .select(col("bucket"), col("vec_id").as("src"),
+        col("emb").as("a_emb"), col("nsq").as("a_nsq"))
+      .join(signed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        (dot / (sqrt(col("a_nsq")) * sqrt(col("nsq")))).as("cosine"))
+      .withColumn("rnk", row_number().over(bySrc))
+      .filter(col("rnk") <= KnnGraphK)
+    val mutual = topk.as("x").join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
+          && col("x.src") < col("x.dst"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"))
+    val deg = mutual.select(col("a").as("node"))
+      .unionByName(mutual.select(col("b").as("node")))
+      .groupBy(col("node")).agg(Num.countStar.as("degree"))
+    signed.select(col("vec_id").as("node"))
+      .join(deg, Seq("node"), "left_outer")
+      .select(coalesce(col("degree"), lit(0L)).as("mutual_degree"))
+      .groupBy(col("mutual_degree"))
+      .agg(Num.countStar.as("n_nodes"))
+      .orderBy(col("mutual_degree"))
+  }
+
+  val knnGraphOracle: String = {
+    val bitExprs = (0 until Planes).map { p =>
+      s"CASE WHEN ${planeDotSql("e", p)} >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" ||\n    ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq,
+       |    $bitExprs AS bucket
+       |  FROM emb
+       |), pairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])),
+       |      (x,y) -> x+y) / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |), topk AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst ASC) AS rnk
+       |    FROM pairs) t
+       |  WHERE rnk <= ${KnnGraphK}
+       |), mutual AS (
+       |  SELECT x.src AS a, x.dst AS b
+       |  FROM topk x JOIN topk y ON x.src = y.dst AND x.dst = y.src
+       |  WHERE x.src < x.dst
+       |), deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS node FROM mutual
+       |    UNION ALL SELECT b FROM mutual) u
+       |  GROUP BY 1
+       |)
+       |SELECT COALESCE(degree, 0) AS mutual_degree,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM n LEFT JOIN deg ON n.vec_id = deg.node
+       |GROUP BY 1 ORDER BY mutual_degree""".stripMargin
+  }
 }

@@ -856,6 +856,15 @@ class PlanSpec extends AnyFunSuite {
       s"weighted rank walk must shuffle the bucket histogram, not rows:\n$p")
   }
 
+  test("q_knn_graph: candidates are bucket-joined, never corpus-cross") {
+    val p = plan("q_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN-graph candidates must come from bucket equi-joins:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the signature frame must be materialized for both join sides:\n$p")
+  }
+
   test("q_range_planner: histogram-fed walk; N-row boundary broadcast only") {
     val p = plan("q_range_planner")
     assert(singlePartitionFedByAggregate(p),

@@ -838,4 +838,18 @@ class Round7OpsSpec extends AnyFunSuite {
       assert((nr, nk) === brute(b), s"bucket $b")
     }
   }
+
+  test("knn graph: degree census obeys the mutual-graph laws") {
+    val rows = graft.operators.Similarity.knnGraphQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    // the histogram partitions every node, degrees are bounded by K, and
+    // the handshake sum is even (each mutual edge contributes 2)
+    assert(rows.map(_._2).sum === nVecs)
+    assert(rows.forall(_._1 <= graft.operators.Similarity.KnnGraphK.toLong))
+    assert(rows.map { case (d, n) => d * n }.sum % 2 === 0L)
+    // mutuality strictly prunes: mutual edges <= directed top-K edges / 2
+    val handshake = rows.map { case (d, n) => d * n }.sum / 2
+    assert(handshake <= nVecs * graft.operators.Similarity.KnnGraphK / 2)
+  }
 }
