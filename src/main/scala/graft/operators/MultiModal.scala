@@ -402,6 +402,64 @@ object MultiModal {
        |    AS sample_sum
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  final case class WavStats(doc_id: Long, n_frames: Long, peak: Long,
+    energy: Long, sign_flips: Long)
+
+  /** `q_audio_stats`: REAL audio feature extraction — the stage after
+    * X100's decode roundtrip: per clip, peak amplitude, total energy
+    * (Σ sample², the RMS numerator), and sign flips (the zero-crossing
+    * count, the classic cheap pitch/noisiness signal) computed from the
+    * PCM the JDK codec actually decodes out of the WAV container. The
+    * synthesized waveform is closed-form in doc_id, so the oracle states
+    * the same three features in pure SQL over generate-series — the gate
+    * proves the codec round trip AND the feature math together, to the
+    * exact integer.
+    *
+    * Scale shape: encode→decode→extract all inside one per-partition
+    * batch map (payload bytes never shuffle — X99/X100's discipline);
+    * the output frame is one row of exact integers per clip. */
+  def audioStatsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wavTable(spark, sfDir).mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { rec =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.wav))
+          val bytes = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var n = 0L; var peak = 0L; var energy = 0L; var flips = 0L
+          var prev = 0L; var first = true
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toLong
+            n += 1
+            if (math.abs(s) > peak) peak = math.abs(s)
+            energy += s * s
+            if (!first && s * prev < 0) flips += 1
+            prev = s; first = false
+          }
+          WavStats(rec.doc_id, n, peak, energy, flips)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val audioStatsOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, i,
+      |    (doc_id * 31 + i * 17) % 65536 - 32768 AS v
+      |  FROM documents, UNNEST(range(0, doc_id % 50 + 10)) AS u(i)),
+      |w AS (
+      |  SELECT doc_id, i, v,
+      |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+      |  CAST(SUM(v * v) AS BIGINT) AS energy,
+      |  CAST(SUM(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS sign_flips
+      |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   // `q_gif_frames`: the video leg made REAL at the container level — the
   // JDK's ImageIO ships a multi-frame GIF writer/reader

@@ -852,4 +852,25 @@ class Round7OpsSpec extends AnyFunSuite {
     val handshake = rows.map { case (d, n) => d * n }.sum / 2
     assert(handshake <= nVecs * graft.operators.Similarity.KnnGraphK / 2)
   }
+
+  test("audio stats: decoded features match the closed-form waveform exactly") {
+    import graft.operators.MultiModal
+    val rows = MultiModal.audioStatsQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.size.toLong === nDocs)
+    // recompute a handful of clips from the waveform rule, bit-exact
+    rows.keys.toSeq.sorted.take(5).foreach { id =>
+      val samples = (0 until MultiModal.wavFrames(id))
+        .map(i => MultiModal.wavSample(id, i).toLong)
+      val flips = samples.sliding(2).count {
+        case Seq(a, b) => a * b < 0
+        case _ => false
+      }
+      assert(rows(id) === ((samples.length.toLong,
+        samples.map(math.abs).max, samples.map(s => s * s).sum,
+        flips.toLong)), s"clip $id")
+    }
+  }
 }
