@@ -137,6 +137,66 @@ object Stats {
        |       * ${SketchBinWidth} AS BIGINT) AS p90_lo
        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** `q_quantile_merge`: quantile-sketch MERGE — the rollup-without-rescan
+    * completion of the mergeable-sketch family (X62 merges HLL distinct
+    * sketches, X160 intersects KMV sketches; this merges X48's bin
+    * histograms): the per-type sketches fold element-wise into ONE global
+    * sketch — never re-reading a row — and the global quantiles read off
+    * the merged cells. The gated law IS merge-invariance: the oracle
+    * computes the global histogram directly from the rows, so the gate
+    * proves merged == direct, cell for cell and quantile for quantile.
+    *
+    * Scale shape: one two-phase sketch aggregate (64 counters per type),
+    * then everything operates on type×bins cells — the merge is the
+    * whole point: a 1000-partition or day-partitioned corpus rolls up
+    * from stored sketches alone. */
+  def quantileMergeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = udaf(new graft.functions.BinHistogram(SketchBins))
+    val bin = greatest(lit(0),
+      least(lit(SketchBins - 1), floor(col("value") / SketchBinWidth).cast("int")))
+    val perType = Tables.events(spark, sfDir)
+      .select(col("event_type"), bin.as("bin"))
+      .groupBy(col("event_type"))
+      .agg(hist(col("bin")).as("counts"))
+    val byBin = Window.orderBy(col("bin"))
+    val all = Window.partitionBy()
+    perType
+      .select(posexplode(col("counts")).as(Seq("bin", "cnt")))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cnt"), Num.countStar.as("n_sketches"))
+      .filter(col("cnt") > 0)
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(lit(1).as("one"))
+      .agg(max(col("n")).as("n_events"),
+        max(col("n_sketches")).as("n_sketches"),
+        (min(when(col("cum") >= expr("(n + 1) div 2"), col("bin")))
+          * SketchBinWidth).cast("long").as("p50_lo"),
+        (min(when(col("cum") >= expr("(n * 9 + 9) div 10"), col("bin")))
+          * SketchBinWidth).cast("long").as("p90_lo"))
+      .drop("one")
+  }
+
+  val quantileMergeOracle: String =
+    s"""WITH b AS (
+       |  SELECT GREATEST(0, LEAST(${SketchBins - 1},
+       |      CAST(floor(value / ${SketchBinWidth}) AS BIGINT))) AS bin,
+       |    COUNT(*) AS cnt,
+       |    COUNT(DISTINCT event_type) AS n_types
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT bin, cnt,
+       |    SUM(cnt) OVER (ORDER BY bin) AS cum,
+       |    SUM(cnt) OVER () AS n
+       |  FROM b)
+       |SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+       |  (SELECT COUNT(DISTINCT event_type) FROM events) AS n_sketches,
+       |  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END)
+       |       * ${SketchBinWidth} AS BIGINT) AS p50_lo,
+       |  CAST(MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN bin END)
+       |       * ${SketchBinWidth} AS BIGINT) AS p90_lo
+       |FROM c""".stripMargin
+
   /** Sketch size: estimates engage once a group has >= k distinct hashes. */
   val KmvK = 64
 

@@ -873,4 +873,23 @@ class Round7OpsSpec extends AnyFunSuite {
         flips.toLong)), s"clip $id")
     }
   }
+
+  test("quantile merge: merged-sketch quantiles equal a direct global recompute") {
+    val row = Stats.quantileMergeQ(spark, sf).head()
+    val vals = Tables.events(spark, sf).select(col("value")).collect()
+      .map(_.getDouble(0))
+    val bins = vals.map { v =>
+      math.max(0, math.min(Stats.SketchBins - 1,
+        math.floor(v / Stats.SketchBinWidth).toInt))
+    }
+    assert(row.getLong(0) === bins.length.toLong)
+    val nTypes = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    assert(row.getLong(1) === nTypes)
+    val sorted = bins.sorted
+    val p50 = sorted((bins.length + 1) / 2 - 1).toLong * Stats.SketchBinWidth
+    val p90 = sorted((bins.length * 9 + 9) / 10 - 1).toLong * Stats.SketchBinWidth
+    assert(row.getLong(2) === p50)
+    assert(row.getLong(3) === p90)
+  }
 }
