@@ -774,4 +774,40 @@ object Joins {
       |        CAST(s_nationkey AS BIGINT) AS nation_key FROM supplier
       |      UNION ALL SELECT -1, -1) d USING (supp_key)
       |GROUP BY nation_key ORDER BY nation_key""".stripMargin
+
+  // `q_left_outer`: preserved-row outer join coverage report
+
+  /** `q_left_outer`: the LEFT OUTER leg of the join-type surface (inner
+    * J1, semi X37, anti J3, full-outer J2/X73 are gated elsewhere) — the
+    * dimension-coverage report it exists for: every customer preserved,
+    * order activity null-filled, so "how many customers in each segment
+    * have never ordered" falls out of counting the null side. The fact
+    * side pre-aggregates to per-customer counts BEFORE the join (a
+    * customer-keyed fold), so the outer join matches at most one row per
+    * customer — no fan-out, no null-fill ambiguity.
+    *
+    * Scale shape: fact folds to the dimension's key first; the outer
+    * join is key-to-key; the report fold is segment-bounded. */
+  def leftOuterQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(Num.countStar.as("n_orders"))
+    Tables.customer(spark, sfDir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(Num.countStar.as("n_customers"),
+        sum(when(col("n_orders").isNull, 1L).otherwise(0L))
+          .as("n_never_ordered"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val leftOuterOracle: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+      |SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_never_ordered,
+      |  CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS n_orders
+      |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 }

@@ -892,4 +892,18 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(row.getLong(2) === p50)
     assert(row.getLong(3) === p90)
   }
+
+  test("left outer: preserved rows reconcile with the anti-join count") {
+    val rows = graft.operators.Joins.leftOuterQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum === nCust)
+    assert(rows.map(_._4).sum === nOrders)
+    // the null side IS the anti join
+    val nNever = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(rows.map(_._3).sum === nNever)
+  }
 }
