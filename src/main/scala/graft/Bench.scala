@@ -154,8 +154,9 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // BASELINE.md's environment-drift decision rule, applied in-artifact:
-    // the fixed-work barometer has a round-7 idle calibration of
-    // ~3.4 s — totals scale ≈ linearly with ambient load, so
+    // the fixed-work barometer's round-7 idle calibration is
+    // BarometerIdleCal (4.5 s; measured 3.1-5.0 across idle sessions) —
+    // totals scale ≈ linearly with ambient load, so
     // total / (barometer_sec / cal) estimates the idle-machine total. The
     // raw total stays the headline; this is the documented normalization
     // precomputed so drift adjudication needs no side math. (Never
