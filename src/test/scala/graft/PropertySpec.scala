@@ -257,4 +257,87 @@ class PropertySpec extends AnyFunSuite {
         math.abs(local.values.sum - 1.0) < 1e-9
     })
   }
+
+  // Pure-algebra laws behind the round-7 exact statistics: the engine
+  // queries state these identities in SQL/Column form; these properties
+  // protect the DERIVATIONS on arbitrary multisets.
+
+  test("grouped-data Gini identity equals the sorted-list formula (X161)") {
+    val valsGen = Gen.listOfN(30, Gen.chooseNum(0L, 50L))
+    check(Prop.forAll(valsGen) { vs =>
+      vs.map(BigInt(_)).sum == 0 || {
+        // engine form: histogram walk with doubled-average ranks
+        val hist = vs.groupBy(identity).view.mapValues(_.length.toLong)
+          .toSeq.sortBy(_._1)
+        var cumprev = 0L
+        var rterm = BigInt(0); var wsum = BigInt(0)
+        hist.foreach { case (v, cnt) =>
+          rterm += BigInt(v) * cnt * (2 * cumprev + cnt)
+          wsum += BigInt(v) * cnt
+          cumprev += cnt
+        }
+        val n = vs.length
+        val grouped = (rterm - wsum * n).toDouble / (wsum * n).toDouble
+        // textbook form: sorted list, G = sum x_i (2i - n - 1) / (n sum x)
+        val s = vs.sorted
+        val num = s.zipWithIndex
+          .map { case (x, i) => BigInt(x) * (2 * (i + 1) - n - 1) }.sum
+        val direct = num.toDouble / (wsum * n).toDouble
+        math.abs(grouped - direct) < 1e-12
+      }
+    })
+  }
+
+  test("doubled-rank U equals the brute pair count at any tie structure (X148)") {
+    val g = Gen.listOfN(20, Gen.zip(Gen.oneOf(true, false),
+      Gen.chooseNum(0L, 6L))) // tiny domain forces heavy ties
+    check(Prop.forAll(g) { rows =>
+      val xs = rows.filter(_._1).map(_._2)
+      val ys = rows.filterNot(_._1).map(_._2)
+      xs.isEmpty || ys.isEmpty || {
+        // engine form: histogram + doubled average ranks
+        val hist = (xs ++ ys).groupBy(identity).view.mapValues { _ => () }
+          .keys.toSeq.sorted
+        var cum = 0L
+        var r2x = 0L
+        hist.foreach { v =>
+          val cx = xs.count(_ == v).toLong
+          val cy = ys.count(_ == v).toLong
+          r2x += (2 * cum + cx + cy + 1) * cx
+          cum += cx + cy
+        }
+        val u2 = r2x - xs.length.toLong * (xs.length + 1)
+        // brute: 2*#(x>y) + #(x==y)
+        val brute = xs.map { x =>
+          2L * ys.count(x > _) + ys.count(x == _)
+        }.sum
+        u2 == brute
+      }
+    })
+  }
+
+  test("integer TVD is symmetric, bounded, and zero iff distributions equal (X149)") {
+    val g = Gen.listOfN(25, Gen.zip(Gen.oneOf(true, false),
+      Gen.chooseNum(0L, 4L)))
+    check(Prop.forAll(g) { rows =>
+      val a = rows.filter(_._1).map(_._2)
+      val b = rows.filterNot(_._1).map(_._2)
+      a.isEmpty || b.isEmpty || {
+        def num(p: List[Long], q: List[Long]): Long =
+          (p ++ q).distinct.map { v =>
+            math.abs(p.count(_ == v).toLong * q.length -
+              q.count(_ == v).toLong * p.length)
+          }.sum
+        val nab = num(a, b)
+        val tvd = nab.toDouble / (2.0 * a.length * b.length)
+        num(b, a) * 1L == nab &&
+          tvd >= 0.0 && tvd <= 1.0 &&
+          ((tvd == 0.0) == {
+            (a ++ b).distinct.forall(v =>
+              a.count(_ == v).toLong * b.length ==
+                b.count(_ == v).toLong * a.length)
+          })
+      }
+    })
+  }
 }
