@@ -2462,6 +2462,82 @@ object Stats {
        |FROM assigned GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // `q_zone_map`: manifest zone-map stats + pruning decisions
+
+  /** The pinned probe predicate: `o_custkey BETWEEN lo AND hi`. */
+  val ZoneProbeLo = 100L
+  val ZoneProbeHi = 200L
+
+  /** `q_zone_map`: the zone-map (manifest statistics) table for X176's
+    * planned range layout, plus the pruning DECISION a scan would make —
+    * per planned bucket: row count, min/max key, and whether the pinned
+    * probe predicate `BETWEEN [ZoneProbeLo, ZoneProbeHi]` can skip the
+    * bucket entirely (max < lo OR min > hi). This is the
+    * Delta/Iceberg-style file-skipping contract made relational: X90
+    * reads REAL parquet footers; this op states what the manifest would
+    * CONTAIN and what the planner would do with it — the gated artifact
+    * shows most buckets pruned for a narrow probe, which is the entire
+    * point of range layout.
+    *
+    * Scale shape: X176's boundary walk (histogram-fed), the N-row
+    * boundary broadcast, one bucket-domain fold. All exact integers. */
+  def zoneMapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Materialize.diskBacked(
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(Num.countStar.as("cnt")))
+    val byK = Window.orderBy(col("k"))
+    val all = Window.partitionBy()
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(byK))
+      .withColumn("n", sum(col("cnt")).over(all))
+    val bexprs = (1 to RangePlanN).map { i =>
+      min(when(col("cum") >=
+        expr(s"(n * $i + ${RangePlanN - 1}) div ${RangePlanN}"),
+        col("k"))).as(s"b$i")
+    }
+    val bounds = ranked
+      .groupBy(lit(1).as("one"))
+      .agg(bexprs.head, bexprs.tail: _*)
+      .drop("one")
+    val bucketOf = (1 until RangePlanN)
+      .foldLeft(when(col("k") <= col("b1"), 1)) { (acc, i) =>
+        if (i == 1) acc
+        else acc.when(col("k") <= col(s"b$i"), i)
+      }
+      .otherwise(lit(RangePlanN))
+    hist.crossJoin(broadcast(bounds))
+      .select(bucketOf.as("bucket"), col("k"), col("cnt"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("pruned",
+        col("max_k") < ZoneProbeLo || col("min_k") > ZoneProbeHi)
+      .orderBy(col("bucket"))
+  }
+
+  val zoneMapOracle: String = {
+    val bDefs = (1 to RangePlanN).map(i =>
+      s"MIN(CASE WHEN cum >= (n * $i + ${RangePlanN - 1}) // ${RangePlanN} " +
+        s"THEN k END) AS b$i").mkString(", ")
+    val bucketExpr = s"CASE ${(1 until RangePlanN).map(i =>
+      s"WHEN k <= b$i THEN $i").mkString(" ")} ELSE ${RangePlanN} END"
+    s"""WITH h AS (
+       |  SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT k, cnt,
+       |    SUM(cnt) OVER (ORDER BY k) AS cum,
+       |    SUM(cnt) OVER () AS n
+       |  FROM h),
+       |b AS (SELECT $bDefs FROM r),
+       |assigned AS (
+       |  SELECT $bucketExpr AS bucket, k, cnt FROM h, b)
+       |SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |  MIN(k) AS min_k, MAX(k) AS max_k,
+       |  (MAX(k) < ${ZoneProbeLo} OR MIN(k) > ${ZoneProbeHi}) AS pruned
+       |FROM assigned GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   // `q_lorenz`: Lorenz curve deciles (the curve behind X161's Gini)
 
   /** `q_lorenz`: Lorenz curve at decile resolution — X161's Gini is the

@@ -906,4 +906,35 @@ class Round7OpsSpec extends AnyFunSuite {
         col("c_custkey") === col("o_custkey"), "left_anti").count()
     assert(rows.map(_._3).sum === nNever)
   }
+
+  test("zone map: stats are consistent with the planner and pruning is sound") {
+    val rows = Stats.zoneMapQ(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val planner = Stats.rangePlannerQ(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the zone map describes exactly the planner's buckets
+    rows.foreach { case (b, nr, _, _, _) =>
+      assert(nr === planner(b), s"bucket $b rows")
+    }
+    // zones tile the key space: min <= max, consecutive zones don't overlap
+    rows.sliding(2).foreach {
+      case Array((_, _, _, max1, _), (_, _, min2, _, _)) =>
+        assert(min2 > max1)
+      case _ => ()
+    }
+    // pruning soundness: a pruned zone really contains no probe key
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0))
+    val probeKeys = keys.filter(k =>
+      k >= Stats.ZoneProbeLo && k <= Stats.ZoneProbeHi)
+    rows.filter(_._5).foreach { case (b, _, mn, mx, _) =>
+      assert(!probeKeys.exists(k => k >= mn && k <= mx), s"bucket $b")
+    }
+    // and the probe keys all live in unpruned zones
+    val kept = rows.filterNot(_._5)
+    probeKeys.foreach { k =>
+      assert(kept.exists { case (_, _, mn, mx, _) => k >= mn && k <= mx })
+    }
+  }
 }
