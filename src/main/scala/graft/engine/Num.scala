@@ -34,4 +34,16 @@ object Num {
 
   /** COUNT(*) as long — matches DuckDB BIGINT count. */
   def countStar: Column = count(lit(1))
+
+  /** TRUE integer division of a non-negative long by a positive long
+    * constant — `x div d`, matching DuckDB's `//` at ANY magnitude.
+    * The tempting `(x / d).cast("long")` goes through double division and
+    * only equals `//` while the dividend stays below 2^53 (above that the
+    * rounded double quotient can truncate to the wrong integer); `div` is
+    * exact 64-bit arithmetic with no such precondition. Non-negative only:
+    * for negative dividends `div` truncates toward zero while some engines'
+    * `//` floors — every engine call site divides a sum of prices/counts,
+    * which is ≥ 0. */
+  def divLong(x: Column, d: Long): Column =
+    call_function("div", x, lit(d)).cast("long")
 }

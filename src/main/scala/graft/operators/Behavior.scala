@@ -1096,7 +1096,7 @@ object Behavior {
           datediff(col("end_d"), col("last_d")).cast("long").as("recency_d"),
           col("frequency"),
           col("monetary_cents"),
-          (col("monetary_cents") / lit(RfmMonetaryUnitCents)).cast("long")
+          Num.divLong(col("monetary_cents"), RfmMonetaryUnitCents)
             .as("monetary_u")))
     // quintile thresholds of metric column `m`: min v with cum >= ceil(k*n/5)
     def thresholds(m: String, pfx: String): DataFrame = {

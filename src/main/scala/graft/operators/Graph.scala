@@ -502,17 +502,28 @@ object Graph {
       spark: SparkSession, pairs: DataFrame, seed: DataFrame): DataFrame = {
     import spark.implicits._
     import graft.engine.Primitives
-    pairs.crossJoin(broadcast(seed))
-      .select(col("src"), col("dst"), col("node").as("seed"))
-      .as[(Long, Long, Long)]
+    // The seed travels as its own marker row (is_edge = false) rather than
+    // only via the crossJoin: with an EMPTY pairs frame the crossJoin
+    // yields zero rows and the old formulation lost the seed entirely,
+    // while distributedBfs correctly returns it at lvl 0 — the two
+    // size-adaptive paths must agree on every input, degenerate included.
+    val seedRows = seed.select(lit(0L).as("src"), lit(0L).as("dst"),
+      col("node").as("seed"), lit(false).as("is_edge"))
+    val edgeRows = pairs.crossJoin(broadcast(seed))
+      .select(col("src"), col("dst"), col("node").as("seed"),
+        lit(true).as("is_edge"))
+    seedRows.unionByName(edgeRows)
+      .as[(Long, Long, Long, Boolean)]
       .repartition(1)
       .mapPartitions { it =>
         val sb = new scala.collection.mutable.ArrayBuilder.ofLong
         val db = new scala.collection.mutable.ArrayBuilder.ofLong
         var seed = Long.MinValue
-        it.foreach { case (s, d, sd) =>
-          sb += s; db += d
-          sb += d; db += s
+        it.foreach { case (s, d, sd, isEdge) =>
+          if (isEdge) {
+            sb += s; db += d
+            sb += d; db += s
+          }
           seed = sd
         }
         if (seed == Long.MinValue) Iterator.empty

@@ -1733,9 +1733,13 @@ object Stats {
     * Scale shape: the X22/X113 histogram discipline — orders fold to the
     * (bucket, per-period counts) histogram in one map-side-combined
     * aggregate; everything after touches ≤ price-domain/25k rows. The
-    * windows run over the bin domain, never the data. Counts cross-multiply
-    * below 2^53 through the verify scales; the sums carry DECIMAL(38,0) so
-    * the same algebra survives warehouse-scale row counts. */
+    * windows run over the bin domain, never the data. The per-bin
+    * cross-multiply and its sum BOTH carry DECIMAL: ca/cb/na/nb are cast to
+    * DECIMAL(19,0) before the product (two 19-digit operands → a 38-digit
+    * result in both engines, so ca·n_b never wraps a Long even at
+    * warehouse-scale row counts), and the deviation sum stays DECIMAL(38,0).
+    * The closing division goes through per-factor double casts (never a
+    * Long n_a·n_b product). */
   def tvdDriftQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
@@ -1751,14 +1755,17 @@ object Stats {
     val scored = hist
       .withColumn("na", sum(col("ca")).over(all))
       .withColumn("nb", sum(col("cb")).over(all))
-      .withColumn("dev", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      .withColumn("dev", abs(
+        col("ca").cast(DecimalType(19, 0)) * col("nb").cast(DecimalType(19, 0))
+          - col("cb").cast(DecimalType(19, 0))
+          * col("na").cast(DecimalType(19, 0))))
       .withColumn("devmax", max(col("dev")).over(all))
     scored.groupBy(col("na").as("n_a"), col("nb").as("n_b"))
       .agg(Num.countStar.as("n_buckets"),
-        sum(col("dev").cast(DecimalType(38, 0))).cast("long").as("tvd_num"),
+        sum(col("dev")).cast("long").as("tvd_num"),
         min(when(col("dev") === col("devmax"), col("bucket"))).as("at_bucket"))
       .withColumn("tvd", col("tvd_num").cast("double")
-        / (lit(2.0) * (col("n_a") * col("n_b")).cast("double")))
+        / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
       .orderBy(col("n_a"))
   }
 
@@ -1777,15 +1784,19 @@ object Stats {
        |    CAST(SUM(cb) OVER () AS BIGINT) AS nb
        |  FROM h),
        |s AS (
-       |  SELECT bucket, na, nb, ABS(ca * nb - cb * na) AS dev,
-       |    MAX(ABS(ca * nb - cb * na)) OVER () AS devmax
+       |  SELECT bucket, na, nb,
+       |    ABS(CAST(ca AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+       |      - CAST(cb AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0))) AS dev,
+       |    MAX(ABS(CAST(ca AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+       |      - CAST(cb AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0))))
+       |      OVER () AS devmax
        |  FROM t)
        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        |  COUNT(*) AS n_buckets,
-       |  CAST(SUM(CAST(dev AS DECIMAL(38,0))) AS BIGINT) AS tvd_num,
+       |  CAST(SUM(dev) AS BIGINT) AS tvd_num,
        |  MIN(CASE WHEN dev = devmax THEN bucket END) AS at_bucket,
-       |  CAST(SUM(CAST(dev AS DECIMAL(38,0))) AS DOUBLE)
-       |    / (2.0 * CAST(na * nb AS DOUBLE)) AS tvd
+       |  CAST(SUM(dev) AS DOUBLE)
+       |    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
        |FROM s GROUP BY na, nb ORDER BY n_a""".stripMargin
 
   // `q_benford`: first-significant-digit audit
@@ -1910,7 +1921,7 @@ object Stats {
       .groupBy(col("l_partkey"))
       .agg(sum(cents).cast("long").as("rev_cents"))
     val hist = perPart
-      .groupBy((col("rev_cents") / lit(AbcBucketCents)).cast("long")
+      .groupBy(Num.divLong(col("rev_cents"), AbcBucketCents)
         .as("bucket"))
       .agg(Num.countStar.as("n_parts"),
         sum(col("rev_cents").cast(DecimalType(38, 0))).as("rev_sum"))
@@ -2338,7 +2349,7 @@ object Stats {
     val hist = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
       .agg(sum(cents).as("spend"))
-      .groupBy((col("spend") / lit(GiniUnitCents)).cast("long").as("v"))
+      .groupBy(Num.divLong(col("spend"), GiniUnitCents).as("v"))
       .agg(Num.countStar.as("cnt"))
     val byV = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2403,7 +2414,15 @@ object Stats {
     * Scale shape: one fold to the key histogram (domain-bounded), the
     * boundary walk and the bucket census both ride it; the boundary
     * table (N rows) broadcasts back. */
-  def rangePlannerQ(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared boundary planning for X176 (`q_range_planner`) and X181
+    * (`q_zone_map`): fold orders to the `o_custkey` histogram, walk the
+    * `RangePlanN` ceil-rank boundaries over it, and assign every key run
+    * to its planned bucket. Returns the assigned frame
+    * `(bucket, k, cnt)`. ONE definition on purpose — the two gated
+    * queries previously duplicated this walk verbatim, and a change to
+    * `RangePlanN` or the ceil-rank formula in one copy would silently
+    * skew the other. */
+  private def rangeAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val hist = Materialize.diskBacked(
       Tables.orders(spark, sfDir)
         .groupBy(col("o_custkey").as("k"))
@@ -2435,13 +2454,13 @@ object Stats {
       }
       .otherwise(lit(RangePlanN))
     hist.crossJoin(broadcast(bounds))
-      .select(bucketOf.as("bucket"), col("cnt"))
-      .groupBy(col("bucket"))
-      .agg(sum(col("cnt")).as("n_rows"), Num.countStar.as("n_keys"))
-      .orderBy(col("bucket"))
+      .select(bucketOf.as("bucket"), col("k"), col("cnt"))
   }
 
-  val rangePlannerOracle: String = {
+  /** Oracle CTE mirror of [[rangeAssigned]] — yields `assigned(bucket, k,
+    * cnt)`; both oracles SELECT from it. Kept beside the Spark helper so
+    * the two walks change together. */
+  private val rangeAssignedCte: String = {
     val bDefs = (1 to RangePlanN).map(i =>
       s"MIN(CASE WHEN cum >= (n * $i + ${RangePlanN - 1}) // ${RangePlanN} " +
         s"THEN k END) AS b$i").mkString(", ")
@@ -2456,11 +2475,20 @@ object Stats {
        |  FROM h),
        |b AS (SELECT $bDefs FROM r),
        |assigned AS (
-       |  SELECT $bucketExpr AS bucket, cnt FROM h, b)
+       |  SELECT $bucketExpr AS bucket, k, cnt FROM h, b)""".stripMargin
+  }
+
+  def rangePlannerQ(spark: SparkSession, sfDir: String): DataFrame =
+    rangeAssigned(spark, sfDir)
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"), Num.countStar.as("n_keys"))
+      .orderBy(col("bucket"))
+
+  val rangePlannerOracle: String =
+    s"""$rangeAssignedCte
        |SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_rows,
        |  COUNT(*) AS n_keys
        |FROM assigned GROUP BY 1 ORDER BY bucket""".stripMargin
-  }
 
   // `q_zone_map`: manifest zone-map stats + pruning decisions
 
@@ -2481,62 +2509,21 @@ object Stats {
     *
     * Scale shape: X176's boundary walk (histogram-fed), the N-row
     * boundary broadcast, one bucket-domain fold. All exact integers. */
-  def zoneMapQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val hist = Materialize.diskBacked(
-      Tables.orders(spark, sfDir)
-        .groupBy(col("o_custkey").as("k"))
-        .agg(Num.countStar.as("cnt")))
-    val byK = Window.orderBy(col("k"))
-    val all = Window.partitionBy()
-    val ranked = hist
-      .withColumn("cum", sum(col("cnt")).over(byK))
-      .withColumn("n", sum(col("cnt")).over(all))
-    val bexprs = (1 to RangePlanN).map { i =>
-      min(when(col("cum") >=
-        expr(s"(n * $i + ${RangePlanN - 1}) div ${RangePlanN}"),
-        col("k"))).as(s"b$i")
-    }
-    val bounds = ranked
-      .groupBy(lit(1).as("one"))
-      .agg(bexprs.head, bexprs.tail: _*)
-      .drop("one")
-    val bucketOf = (1 until RangePlanN)
-      .foldLeft(when(col("k") <= col("b1"), 1)) { (acc, i) =>
-        if (i == 1) acc
-        else acc.when(col("k") <= col(s"b$i"), i)
-      }
-      .otherwise(lit(RangePlanN))
-    hist.crossJoin(broadcast(bounds))
-      .select(bucketOf.as("bucket"), col("k"), col("cnt"))
+  def zoneMapQ(spark: SparkSession, sfDir: String): DataFrame =
+    rangeAssigned(spark, sfDir)
       .groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("n_rows"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .withColumn("pruned",
         col("max_k") < ZoneProbeLo || col("min_k") > ZoneProbeHi)
       .orderBy(col("bucket"))
-  }
 
-  val zoneMapOracle: String = {
-    val bDefs = (1 to RangePlanN).map(i =>
-      s"MIN(CASE WHEN cum >= (n * $i + ${RangePlanN - 1}) // ${RangePlanN} " +
-        s"THEN k END) AS b$i").mkString(", ")
-    val bucketExpr = s"CASE ${(1 until RangePlanN).map(i =>
-      s"WHEN k <= b$i THEN $i").mkString(" ")} ELSE ${RangePlanN} END"
-    s"""WITH h AS (
-       |  SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
-       |r AS (
-       |  SELECT k, cnt,
-       |    SUM(cnt) OVER (ORDER BY k) AS cum,
-       |    SUM(cnt) OVER () AS n
-       |  FROM h),
-       |b AS (SELECT $bDefs FROM r),
-       |assigned AS (
-       |  SELECT $bucketExpr AS bucket, k, cnt FROM h, b)
+  val zoneMapOracle: String =
+    s"""$rangeAssignedCte
        |SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_rows,
        |  MIN(k) AS min_k, MAX(k) AS max_k,
        |  (MAX(k) < ${ZoneProbeLo} OR MIN(k) > ${ZoneProbeHi}) AS pruned
        |FROM assigned GROUP BY 1 ORDER BY bucket""".stripMargin
-  }
 
   // `q_lorenz`: Lorenz curve deciles (the curve behind X161's Gini)
 
@@ -2560,7 +2547,7 @@ object Stats {
     val hist = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
       .agg(sum(cents).as("spend"))
-      .groupBy((col("spend") / lit(GiniUnitCents)).cast("long").as("v"))
+      .groupBy(Num.divLong(col("spend"), GiniUnitCents).as("v"))
       .agg(Num.countStar.as("cnt"),
         sum(col("spend").cast(dec)).as("wealth"))
     val byV = Window.orderBy(col("v"))
