@@ -28,8 +28,10 @@ import scala.jdk.CollectionConverters._
   * then (b) publishes by atomically renaming a staged manifest to
   * `v<N+1>.json`. A crash before (b) leaves an orphan batch that no
   * manifest references: readers still see version N, a rerun republishes
-  * from scratch, and the next successful commit's retention pass deletes
-  * the orphan. This is exactly the generation discipline the streaming
+  * from scratch, and an age-gated [[vacuum]] deletes the orphan (commits
+  * themselves delete only files the LOG proves dead — an unreferenced
+  * file may be a concurrent writer's in-flight stage, not garbage).
+  * This is exactly the generation discipline the streaming
   * CDC upsert pioneered (write successor snapshot, atomically adopt,
   * retire predecessor), promoted to a reusable utility.
   *
@@ -47,8 +49,13 @@ import scala.jdk.CollectionConverters._
   *     HDFS. An object store without atomic rename needs a conditional
   *     PUT or a catalog CAS on the version pointer — the `publish` seam
   *     is where that swap would go.
-  *   - Retention defaults to minimal (current version only, the
-  *     predecessor dies at publish): SINGLE WRITER, and readers re-resolve
+  *   - Writers are OPTIMISTICALLY CONCURRENT: every commit pins the
+  *     version it read at transaction start, publish re-checks it, and
+  *     the atomic rename onto `v<N+1>.json` arbitrates ties — the loser
+  *     gets [[ConcurrentCommitException]] with the table at the winner's
+  *     consistent version (retry = re-read + re-stage). Retention
+  *     defaults to minimal (current version only, the predecessor dies
+  *     at publish), and readers re-resolve
   *     the pointer per query. Commits accept `retain = N` to keep the
   *     last N snapshots live — [[readAt]] then time-travels to any
   *     retained version (what production formats call snapshot
@@ -56,6 +63,19 @@ import scala.jdk.CollectionConverters._
   *     manifest are still swept.
   */
 object TableCommit {
+
+  /** Thrown when a commit loses the optimistic-concurrency race: the
+    * table's version at publish time differs from the version the
+    * transaction read at its start (or another writer won the atomic
+    * rename to the same next version). The reference gets this semantic
+    * for free from its warehouse's transactional per-step commits
+    * (/root/reference/src/snowflake_loader.py:20-40,
+    * /root/reference/azure-functions/function_app.py:304-355); here the
+    * loser fails CLEANLY with the table left at the winner's consistent
+    * version — it must re-read and retry, never silently base a manifest
+    * on a stale snapshot (the lost-update anomaly). */
+  final class ConcurrentCommitException(msg: String)
+      extends IllegalStateException(msg)
 
   /** One committed data file: root-relative path + the `_p=` directory
     * segment it was written under (None for unpartitioned commits). */
@@ -129,10 +149,28 @@ object TableCommit {
   /** Publish `newEntries` as the next version: stage the manifest to a
     * temp name, atomically rename it onto `v<N+1>.json`, then retire
     * everything the new version no longer references. The rename IS the
-    * commit point — before it, readers resolve N; after it, N+1. */
+    * commit point — before it, readers resolve N; after it, N+1.
+    *
+    * Optimistic concurrency, two layers:
+    *   1. `expected` (the version the transaction READ at its start) is
+    *      re-checked against the live version here — a cheap early abort
+    *      for the common stale-writer case, before any manifest I/O.
+    *   2. The ATOMIC_MOVE onto `v<N+1>.json` is the true arbiter: two
+    *      writers that both pass check 1 with the same base race the
+    *      rename, exactly one wins, and the loser's
+    *      FileAlreadyExistsException becomes a clean
+    *      [[ConcurrentCommitException]]. The check-then-rename gap is
+    *      therefore safe — the filesystem's rename atomicity, not the
+    *      check, decides the winner. */
   private[graft] def publish(root: String, newEntries: Seq[Entry],
-      retain: Int = 1): Long = {
-    val next = currentVersion(root).getOrElse(0L) + 1L
+      retain: Int = 1, expected: Option[Long] = None): Long = {
+    val base = currentVersion(root).getOrElse(0L)
+    expected.foreach { e =>
+      if (base != e) throw new ConcurrentCommitException(
+        s"concurrent commit detected at $root: transaction read v$e " +
+          s"but the table is at v$base — re-read and retry")
+    }
+    val next = base + 1L
     Files.createDirectories(logDir(root))
     // Minimal JSON writer: paths are uuid/part-file names and parts are
     // partition values — escape the two JSON-active characters anyway so
@@ -147,70 +185,148 @@ object TableCommit {
     try Files.move(tmp, manifestPath(root, next), StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp)
-      throw new IllegalStateException(
-        s"concurrent commit detected at $root v$next — TableCommit is single-writer")
+      throw new ConcurrentCommitException(
+        s"concurrent commit detected at $root: another writer published " +
+          s"v$next first — re-read and retry")
     }
     retire(root, next, retain.max(1))
     next
   }
 
-  /** Delete manifests older than the retention window and every data file
-    * no RETAINED version references (covers both retired predecessors and
-    * orphan batches from crashed commits), then prune empty directories.
-    * Best-effort: a crash mid-retire leaves garbage the NEXT commit
-    * removes, never a broken table. */
+  /** Delete manifests older than the retention window, plus every data
+    * file those RETIRED manifests reference that no retained manifest
+    * still does — i.e. only files the log PROVES dead. Files the log has
+    * never heard of (a concurrent transaction's in-flight staged batch, a
+    * crashed commit's orphan) are deliberately NOT touched: under
+    * optimistic concurrency "unreferenced" does not mean "garbage" — the
+    * first concurrent-append test caught this retire sweeping another
+    * writer's mid-stage batch out from under it. Unknown files are
+    * [[vacuum]]'s job, behind an age gate, exactly the commit/vacuum
+    * split production table formats make. Best-effort: a crash mid-retire
+    * leaves garbage a later retire/vacuum removes, never a broken table. */
   private def retire(root: String, current: Long, retain: Int): Unit = {
     try {
       val oldest = current - retain + 1
-      Files.list(logDir(root)).iterator().asScala.toSeq.foreach { p =>
-        p.getFileName.toString match {
-          case VersionRe(d) if d.toLong < oldest => Files.deleteIfExists(p)
-          case n if n.startsWith(".tmp-")        => Files.deleteIfExists(p)
-          case _                                 => ()
+      val retiredFiles = Files.list(logDir(root)).iterator().asScala.toSeq
+        .flatMap { p =>
+          p.getFileName.toString match {
+            case VersionRe(d) if d.toLong < oldest =>
+              val fs = try readManifest(root, d.toLong)
+                       catch { case _: Throwable => Seq.empty }
+              Files.deleteIfExists(p)
+              fs
+            case _ => Seq.empty
+          }
         }
-      }
-      val live = (oldest to current).flatMap { v =>
-        try readManifest(root, v) catch { case _: Throwable => Seq.empty }
-      }
-      val dataDir = Paths.get(root, "data")
-      if (Files.isDirectory(dataDir)) {
-        val keep = live.map(e => Paths.get(root, e.path).toAbsolutePath).toSet
-        val all = Files.walk(dataDir).iterator().asScala.toSeq
-        all.filter(p => Files.isRegularFile(p) &&
-            !keep.contains(p.toAbsolutePath))
-          .foreach(p => Files.deleteIfExists(p))
-        // empty dirs, deepest first
-        all.filter(Files.isDirectory(_)).sortBy(-_.getNameCount)
-          .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+      if (retiredFiles.nonEmpty) {
+        val live = (oldest to current).flatMap { v =>
+          try readManifest(root, v) catch { case _: Throwable => Seq.empty }
+        }.map(_.path).toSet
+        retiredFiles.filterNot(e => live(e.path)).foreach { e =>
+          try Files.deleteIfExists(Paths.get(root, e.path))
+          catch { case _: Throwable => () }
+        }
+        pruneEmptyDirs(Paths.get(root, "data"))
       }
     } catch { case _: Throwable => () }
   }
 
+  /** Delete data files (and stray `.tmp-` manifests) that NO retained
+    * manifest references and whose last-modified time is at least
+    * `minAgeMs` old — the crashed-commit orphan sweep. The age gate is
+    * what makes this safe beside live writers: an in-flight transaction's
+    * staged batch is unreferenced too, and only time distinguishes it
+    * from a crash's leftovers (a table-format vacuum retention window).
+    * Call with 0 only when no commit can be in flight. */
+  def vacuum(root: String, minAgeMs: Long = 3600000L): Unit = {
+    try {
+      val cutoff = System.currentTimeMillis() - minAgeMs
+      def oldEnough(p: Path): Boolean =
+        try Files.getLastModifiedTime(p).toMillis <= cutoff
+        catch { case _: Throwable => false }
+      if (Files.isDirectory(logDir(root))) {
+        Files.list(logDir(root)).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
+            oldEnough(p))
+          .foreach(p => try Files.deleteIfExists(p)
+            catch { case _: Throwable => () })
+      }
+      val live = (currentVersion(root).toSeq.flatMap { cur =>
+        // every still-present manifest is retained by definition
+        Files.list(logDir(root)).iterator().asScala.toSeq.flatMap { p =>
+          p.getFileName.toString match {
+            case VersionRe(d) =>
+              try readManifest(root, d.toLong)
+              catch { case _: Throwable => Seq.empty }
+            case _ => Seq.empty
+          }
+        }
+      }).map(e => Paths.get(root, e.path).toAbsolutePath).toSet
+      val dataDir = Paths.get(root, "data")
+      if (Files.isDirectory(dataDir)) {
+        Files.walk(dataDir).iterator().asScala.toSeq
+          .filter(p => Files.isRegularFile(p) &&
+            !live.contains(p.toAbsolutePath) && oldEnough(p))
+          .foreach(p => try Files.deleteIfExists(p)
+            catch { case _: Throwable => () })
+        pruneEmptyDirs(dataDir)
+      }
+    } catch { case _: Throwable => () }
+  }
+
+  /** Remove now-empty directories under `dir`, deepest first. */
+  private def pruneEmptyDirs(dir: Path): Unit = {
+    if (!Files.isDirectory(dir)) return
+    Files.walk(dir).iterator().asScala.toSeq
+      .filter(Files.isDirectory(_)).sortBy(-_.getNameCount)
+      .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+  }
+
+  /** Manifest of a specific base version (empty for the virgin v0). */
+  private def entriesAt(root: String, base: Long): Seq[Entry] =
+    if (base == 0L) Seq.empty else readManifest(root, base)
+
   /** Full-table replace: new snapshot's files are exactly this batch.
     * `retain` > 1 keeps that many trailing snapshots readable via
-    * [[readAt]]. */
-  def commitOverwrite(df: DataFrame, root: String, retain: Int = 1): Long =
-    publish(root, stageBatch(df, root), retain)
+    * [[readAt]]. Pins the version observed at transaction start — a
+    * commit landing while the batch stages aborts this one with
+    * [[ConcurrentCommitException]] rather than silently burying it. */
+  def commitOverwrite(df: DataFrame, root: String, retain: Int = 1): Long = {
+    val base = currentVersion(root).getOrElse(0L)
+    publish(root, stageBatch(df, root), retain, expected = Some(base))
+  }
 
   /** Insert-only append: new snapshot = predecessor's files + this batch.
     * Nothing is rewritten, so the J3 anti-join's build side can read the
     * live table while the batch stages — the files it reads are immutable
-    * and stay referenced. */
+    * and stay referenced.
+    *
+    * Read-modify-write transaction: the predecessor file list is taken
+    * from the version read at START, and publish verifies that version is
+    * still current — a concurrent committer would otherwise have its
+    * files dropped from the merged manifest (the lost update). */
   def commitAppend(df: DataFrame, root: String, retain: Int = 1): Long = {
+    val base = currentVersion(root).getOrElse(0L)
+    val prior = entriesAt(root, base)
     val staged = stageBatch(df, root)
-    publish(root, entries(root) ++ staged, retain)
+    publish(root, prior ++ staged, retain, expected = Some(base))
   }
 
   /** D1 partition-slice replace: slices present in `df` swap wholesale,
     * untouched slices carry their existing files forward. The replaced
     * set is derived from the staged batch's own `_p=` directories, so
-    * "which slices does this load touch" is data-driven, never guessed. */
+    * "which slices does this load touch" is data-driven, never guessed.
+    * Same read-modify-write discipline as [[commitAppend]]: the carried-
+    * forward files come from the transaction-start version, verified
+    * still current at publish. */
   def commitReplacePartitions(df: DataFrame, root: String,
       partCol: String): Long = {
+    val base = currentVersion(root).getOrElse(0L)
+    val prior = entriesAt(root, base)
     val staged = stageBatch(df, root, Some(partCol))
     val replaced = staged.flatMap(_.part).toSet
-    val kept = entries(root).filterNot(_.part.exists(replaced))
-    publish(root, kept ++ staged)
+    val kept = prior.filterNot(_.part.exists(replaced))
+    publish(root, kept ++ staged, expected = Some(base))
   }
 
   /** Read the current version; empty-with-schema for a virgin root (the

@@ -53,13 +53,17 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dimPath/${staged.head.path}")))
     assert(canon(Medallion.readDim(spark, wh)) === dim1)
     // Recovery = just rerun the load: every layer converges to the same
-    // state, and the successor commit sweeps the orphan files.
+    // state. Successor commits deliberately leave the orphan alone (it
+    // is indistinguishable from a concurrent writer's in-flight stage);
+    // the age-gated vacuum is what sweeps crash leftovers.
     Medallion.run(spark, raw, wh)
     assert(canon(Medallion.readAgg(spark, wh)) === agg1)
     assert(canon(Medallion.readDim(spark, wh)) === dim1)
     assert(canon(Medallion.readFact(spark, wh)) === fact1)
+    graft.engine.TableCommit.vacuum(dimPath, minAgeMs = 0L)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dimPath/${staged.head.path}")))
+    assert(canon(Medallion.readDim(spark, wh)) === dim1)
   }
 
   test("dim: latest file wins; missing country defaults to UNKNOWN") {

@@ -74,7 +74,7 @@ class TableCommitSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getAs[Long]("n")).toSet === Set(20L))
   }
 
-  test("a staged-but-unpublished batch is invisible and swept by the next commit") {
+  test("a staged-but-unpublished batch is invisible; vacuum sweeps it, commits leave it alone") {
     val r = root()
     TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
     val orphan = TableCommit.stageBatch(
@@ -84,8 +84,15 @@ class TableCommitSpec extends AnyFunSuite {
     // invisible to readers
     assert(TableCommit.read(spark, r, schema).collect().map(_.getLong(0)).toSet
       === Set(1L))
-    // next successful commit garbage-collects the orphan
+    // a commit does NOT touch the unreferenced batch — it cannot tell a
+    // crash orphan from a concurrent writer's in-flight stage
     TableCommit.commitAppend(Seq((2L, "b")).toDF("k", "v"), r)
+    assert(Files.exists(Paths.get(s"$r/${orphan.head.path}")))
+    // a fresh vacuum with a real retention age also leaves it (too young)
+    TableCommit.vacuum(r)
+    assert(Files.exists(Paths.get(s"$r/${orphan.head.path}")))
+    // an age-0 vacuum (quiesced table) garbage-collects it
+    TableCommit.vacuum(r, minAgeMs = 0L)
     assert(!Files.exists(Paths.get(s"$r/${orphan.head.path}")))
     assert(TableCommit.read(spark, r, schema).collect().map(_.getLong(0)).toSet
       === Set(1L, 2L))
@@ -127,6 +134,60 @@ class TableCommitSpec extends AnyFunSuite {
     }
     assert(TableCommit.readAt(spark, r, schema, v2)
       .collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
+  test("two-writer conflict: the stale writer aborts cleanly, the table stays at the winner's version") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
+    // Writer A begins an append transaction: reads v1's state, stages.
+    val aBase = TableCommit.currentVersion(r).get
+    val aPrior = TableCommit.entries(r)
+    val aStaged = TableCommit.stageBatch(Seq((2L, "A")).toDF("k", "v"), r)
+    // Writer B lands a full commit while A is still staging.
+    TableCommit.commitAppend(Seq((3L, "B")).toDF("k", "v"), r)
+    assert(TableCommit.currentVersion(r) === Some(2L))
+    // A's publish must detect the stale base and abort — last-rename-wins
+    // here would drop B's file from the manifest (the lost update).
+    intercept[TableCommit.ConcurrentCommitException] {
+      TableCommit.publish(r, aPrior ++ aStaged, expected = Some(aBase))
+    }
+    // Table is at B's consistent version; A's batch is an invisible orphan.
+    assert(TableCommit.currentVersion(r) === Some(2L))
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // Commits leave the aborted batch alone (it is indistinguishable from
+    // a live writer's in-flight stage); an age-0 vacuum sweeps it.
+    TableCommit.commitAppend(Seq((4L, "c")).toDF("k", "v"), r)
+    TableCommit.vacuum(r, minAgeMs = 0L)
+    aStaged.foreach(e => assert(!Files.exists(Paths.get(s"$r/${e.path}"))))
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L))
+  }
+
+  test("concurrent appends from two threads never lose an update") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((0L, "base")).toDF("k", "v"), r)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val oks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq(1L, 2L).map { k =>
+      new Thread(() => {
+        gate.await()
+        try { TableCommit.commitAppend(Seq((k, s"w$k")).toDF("k", "v"), r); oks.incrementAndGet() }
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    // Every failure must be the CLEAN conflict signal, never corruption…
+    errors.forEach(e =>
+      assert(e.isInstanceOf[TableCommit.ConcurrentCommitException],
+        s"unexpected failure class: $e"))
+    // …and every writer that REPORTED success has its row in the table
+    // (no lost update), with the version advanced once per success.
+    val got = TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(0L) && (got - 0L).size === oks.get())
+    assert(TableCommit.currentVersion(r) === Some(1L + oks.get()))
   }
 
   test("retained snapshots share unrewritten files under append without double-delete") {
