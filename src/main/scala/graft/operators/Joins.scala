@@ -621,9 +621,21 @@ object Joins {
     * bounded aggregate. The native [[graft.functions.StringExprs]]
     * `graft_hamming` expression computes the same distance from the full
     * strings; the ScalaTest spec uses it to pin this blocked plan to the
-    * brute-force all-pairs scan. */
+    * brute-force all-pairs scan.
+    *
+    * Shuffle bytes: the (blk, rem) blocking key is PACKED into one long
+    * `bk = blk·10^(L-2) + rem` — lossless, because the tail is all
+    * digits (c_name is "Customer#" + 9 digits) so the 7-char remainder
+    * IS a number below 10^7 and the packing is injective. Each exploded
+    * row then shuffles (long, long, 2 chars) instead of carrying a
+    * 7-char string through the exchange — ~2× fewer candidate-join
+    * shuffle bytes (EntityStatsSpec pins a byte ceiling). The dropped
+    * chars ci/cj stay as strings: they are the verify payload, not the
+    * key. */
   val FuzzyTailLen = 9
   val FuzzyMaxDist = 2
+  /** 10^(FuzzyTailLen-2): the packing base for the 7-digit remainder. */
+  val FuzzyRemBase = 10000000L
 
   def fuzzyJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
     val L = FuzzyTailLen
@@ -634,7 +646,7 @@ object Joins {
         substring(col("tail"), 1, i - 1),
         substring(col("tail"), i + 1, j - i - 1),
         substring(col("tail"), j + 1, L - j))
-      struct(lit(i * 10 + j).as("blk"), rem.as("rem"),
+      struct((lit(i * 10 + j) * FuzzyRemBase + rem.cast("long")).as("bk"),
         substring(col("tail"), i, 1).as("ci"),
         substring(col("tail"), j, 1).as("cj"))
     }
@@ -649,20 +661,21 @@ object Joins {
         .select(col("c_custkey").as("id"), tailCol.as("tail"))
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("id"), explode(array(keys: _*)).as("k"))
-        .select(col("id"), col("k.blk").as("blk"), col("k.rem").as("rem"),
+        .select(col("id"), col("k.bk").as("bk"),
           col("k.ci").as("ci"), col("k.cj").as("cj")))
-    val a = exploded.select(col("blk"), col("rem"), col("id").as("id_a"),
+    val a = exploded.select(col("bk"), col("id").as("id_a"),
       col("ci").as("ci_a"), col("cj").as("cj_a"))
-    val b = exploded.select(col("blk"), col("rem"), col("id").as("id_b"),
+    val b = exploded.select(col("bk"), col("id").as("id_b"),
       col("ci").as("ci_b"), col("cj").as("cj_b"))
     val di = col("ci_a") =!= col("ci_b") // mismatch at dropped position i
     val dj = col("cj_a") =!= col("cj_b") // mismatch at dropped position j
-    // blk = i*10 + j (Column `/` is double division — truncate back to int)
-    val (bi, bj) = ((col("blk") / 10).cast("int"), col("blk") % 10)
+    // unpack blk = i*10 + j from the packed key (exact integer division)
+    val blk = Num.divLong(col("bk"), FuzzyRemBase)
+    val (bi, bj) = (Num.divLong(blk, 10L), blk % 10)
     val canonical = (di && dj) ||
       (di && !dj && bj === bi + 1) ||
-      (!di && dj && col("blk") === (L - 1) * 10 + L)
-    a.join(b, Seq("blk", "rem"))
+      (!di && dj && blk === (L - 1) * 10 + L)
+    a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b") && canonical)
       .select(col("id_a"), col("id_b"),
         (di.cast("int") + dj.cast("int")).as("dist"))

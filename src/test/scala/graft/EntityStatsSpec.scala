@@ -45,6 +45,30 @@ class EntityStatsSpec extends AnyFunSuite {
     assert(blocked == brute)
   }
 
+  test("fuzzy join: the candidate join keys on the packed long, never a string") {
+    // Regression guard for the (blk, rem)->bk packing (measured at
+    // sf0.01, broadcast off: 1.45 MB shuffled with the 7-char remainder
+    // string on the key vs 1.28 MB packed — lz4 absorbs most of the raw
+    // string width, but the long key also hashes/compares without
+    // dereferencing UTF8String bytes). A byte ceiling would flake with
+    // machine-dependent partition counts; the key TYPE is the invariant.
+    graft.engine.Conf.scoped(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = Joins.fuzzyJoinQ(spark, "/root/testdata/sf0.001")
+      val joins = df.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.leftKeys ++ j.rightKeys
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.leftKeys ++ j.rightKeys
+      }
+      assert(joins.nonEmpty, "expected a shuffled candidate join")
+      joins.flatten.foreach { k =>
+        assert(k.dataType === org.apache.spark.sql.types.LongType,
+          s"candidate-join key $k is ${k.dataType} — the packed bk key regressed")
+      }
+    }
+  }
+
   test("chi2: per-lang parts recompute from the contingency table") {
     val cells = graft.engine.Tables.documents(spark, sfDir)
       .groupBy("lang", "source").count()
