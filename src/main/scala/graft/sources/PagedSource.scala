@@ -1,0 +1,201 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Num, Tables}
+
+/** Engine half of a paged REST collection source — the structural twin of
+  * the reference's YouTube API client (`search().list` page-token walking
+  * at /root/reference/src/youtube_collector.py:16-25, retry/batching in
+  * /root/reference/azure-functions/function_app.py:60-116), with the
+  * socket replaced by a pluggable [[PageTransport]] seam.
+  *
+  * What is REAL here (and gated): the paging protocol (opaque token
+  * chain, terminated by None), bounded retry of transient failures,
+  * per-call quota accounting with a hard budget, and the Spark-side
+  * plumbing — each chain walks on an EXECUTOR (chains partition across
+  * the cluster like the reference's region×keyword task matrix; the
+  * driver never loops over pages), and the fetched rows land as a plain
+  * DataFrame that downstream joins/aggregates treat like any scan. What
+  * is stubbed: the HTTP socket itself ([[StubTransport]] replays a
+  * canned corpus deterministically — no network library in this
+  * container, and SURVEY §2.1 scopes the live client out of the
+  * engine). A production transport implements [[PageTransport]] over a
+  * real connection; nothing else changes.
+  *
+  * Scale shape: one task per chain (the protocol is sequential WITHIN a
+  * chain — page N+1's token comes from page N, exactly the API
+  * contract), chains spread by repartition, results are executor-local
+  * rows. Quota is per-chain, mirroring per-key API budgets; a global
+  * budget would need a shared accumulator and is deliberately out of
+  * scope (the reference budgets per run, not globally).
+  */
+object PagedSource {
+
+  /** One fetched page: record ids, the next page's token (None = chain
+    * end). Ids stand in for full records — the reference joins fetched
+    * ids back to a details call (S4 `q_batched_lookup`); this source is
+    * the listing half. */
+  final case class Page(ids: Array[Long], nextToken: Option[String])
+
+  /** A transport attempt: Right(page) or Left(transient error message).
+    * Non-transient failures should throw — the client does not retry
+    * those. */
+  type FetchResult = Either[String, Page]
+
+  /** The socket seam. Implementations must be usable from executor code;
+    * the FACTORY is what ships in the closure (a transport may hold
+    * per-task connection state). */
+  trait PageTransport extends Serializable {
+    /** Fetch one page of `chain`, `token` = None for the first page. */
+    def fetch(chain: String, token: Option[String]): FetchResult
+  }
+
+  /** Deterministic canned-corpus transport: serves `chains` (chain →
+    * ascending record ids) in pages of `pageSize`, and injects a
+    * TRANSIENT failure on the FIRST attempt of every page whose 0-based
+    * index ≡ 1 (mod 3) — so retry behavior is exercised on a closed-form
+    * schedule an oracle can price (pages failing once = ⌊(n_pages+1)/3⌋).
+    * Stateful per INSTANCE (first-attempt memory); build one per task via
+    * the factory so the schedule is deterministic within a chain walk. */
+  final class StubTransport(chains: Map[String, Array[Long]], pageSize: Int)
+      extends PageTransport {
+    private val attempted = scala.collection.mutable.Set.empty[(String, Int)]
+    def fetch(chain: String, token: Option[String]): FetchResult = {
+      val pageNo = token.map(_.toInt).getOrElse(0)
+      if (pageNo % 3 == 1 && attempted.add((chain, pageNo)))
+        return Left(s"503 transient: $chain page $pageNo")
+      val ids = chains.getOrElse(chain, Array.empty[Long])
+      val from = pageNo * pageSize
+      val slice = ids.slice(from, from + pageSize)
+      val next = if (from + pageSize < ids.length) Some((pageNo + 1).toString)
+                 else None
+      Right(Page(slice, next))
+    }
+  }
+
+  /** Raised when a page keeps failing transiently past `maxAttempts` —
+    * the clean "the source is down" signal (the reference lets the
+    * googleapiclient raise after its own retries). */
+  final class RetriesExhausted(msg: String) extends RuntimeException(msg)
+
+  /** Walk every chain's token sequence executor-side. Returns one row per
+    * fetched record: (chain, id, page_no, page_attempts) — provenance
+    * that makes paging, retry, and quota OBSERVABLE columns rather than
+    * client-log trivia. Each transport call costs `unitsPerCall` against
+    * `quotaPerChain`; a chain stops CLEANLY before the call that would
+    * overdraw (partial results, like an API key hitting its daily cap
+    * mid-collection — the reference's quota note at
+    * /root/reference/src/config.py:42-44 sizes its matrix under the same
+    * budget). Transient failures retry up to `maxAttempts` per page. */
+  def fetchChains(
+      spark: SparkSession,
+      chains: Seq[String],
+      transportFactory: () => PageTransport,
+      maxAttempts: Int = 3,
+      unitsPerCall: Long = 100L,
+      quotaPerChain: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val width = math.min(chains.size.max(1), spark.sparkContext.defaultParallelism)
+    spark.createDataset(chains).repartition(width)
+      .mapPartitions { it =>
+        val transport = transportFactory()
+        it.flatMap { chain =>
+          val out = Iterator.unfold((Option.empty[String], 0, 0L, true)) {
+            case (_, _, _, false) => None
+            case (token, pageNo, spent, true) =>
+              if (spent + unitsPerCall > quotaPerChain) None // budget stop
+              else {
+                var attempts = 0
+                var result: FetchResult = Left("unattempted")
+                var cost = 0L
+                while (attempts < maxAttempts && result.isLeft) {
+                  attempts += 1
+                  cost += unitsPerCall
+                  // each RETRY also bills — quota is per call, not per page
+                  result = transport.fetch(chain, token)
+                }
+                result match {
+                  case Left(err) => throw new RetriesExhausted(
+                    s"chain $chain page $pageNo failed $attempts attempts: $err")
+                  case Right(page) =>
+                    val rows = page.ids.map(id => (chain, id, pageNo, attempts))
+                    Some((rows, (page.nextToken, pageNo + 1, spent + cost,
+                      page.nextToken.isDefined)))
+                }
+              }
+          }
+          out.flatten
+        }
+      }
+      .toDF("chain", "id", "page_no", "page_attempts")
+  }
+
+  // ------------------------------------------------------------------
+  // `q_source_paged`: the gated end-to-end drive of the source
+  // ------------------------------------------------------------------
+
+  val SourcePageSize = 4
+  val SourceNumChains = 10
+  val SourceUnitsPerCall = 100L
+
+  /** `q_source_paged`: drive the paged client through a canned corpus —
+    * suppliers dealt to [[SourceNumChains]] chains by `s_suppkey % 10` —
+    * and report per chain: rows fetched, pages walked, transport calls
+    * made (retries included), quota spent, and an id checksum. Every
+    * column is closed-form from the supplier table (the oracle prices
+    * the deterministic failure schedule as ⌊(n_pages+1)/3⌋ extra calls),
+    * so a paging bug — skipped page, duplicated row, unbilled retry —
+    * breaks the gate.
+    *
+    * The canned corpus collects to a broadcast ONLY to build the fake
+    * remote server (the fixture IS the server's dataset); the client
+    * path stays executor-side and driver-loop-free. */
+  def sourcePagedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus: Map[String, Array[Long]] =
+      Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey").cast("long").as("id"))
+        .collect().map(_.getLong(0))
+        .groupBy(id => s"c${id % SourceNumChains}")
+        .map { case (c, ids) => c -> ids.sorted }
+    val served = spark.sparkContext.broadcast(corpus)
+    val chains = (0 until SourceNumChains).map(i => s"c$i")
+    val fetched = fetchChains(spark, chains,
+      () => new StubTransport(served.value, SourcePageSize),
+      unitsPerCall = SourceUnitsPerCall)
+    fetched
+      .groupBy(col("chain"), col("page_no"))
+      .agg(Num.countStar.as("rows_in_page"),
+        max(col("page_attempts")).as("attempts"),
+        sum(col("id")).as("id_sum"))
+      .groupBy(col("chain"))
+      .agg(sum(col("rows_in_page")).as("n_rows"),
+        Num.countStar.as("n_pages"),
+        sum(col("attempts")).as("n_calls"),
+        (sum(col("attempts")) * SourceUnitsPerCall).as("quota_units"),
+        sum(col("id_sum")).as("id_sum"))
+      .orderBy(col("chain"))
+  }
+
+  /** Closed-form oracle: chain membership, page count, and the failure
+    * schedule all derive from supplier alone. */
+  val sourcePagedOracle: String =
+    s"""WITH m AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS id,
+       |         s_suppkey % ${SourceNumChains} AS c
+       |  FROM supplier),
+       |per_chain AS (
+       |  SELECT c, COUNT(*) AS n_rows, SUM(id) AS id_sum FROM m GROUP BY c),
+       |paged AS (
+       |  SELECT c, n_rows, id_sum,
+       |    (n_rows + ${SourcePageSize} - 1) // ${SourcePageSize} AS n_pages
+       |  FROM per_chain)
+       |SELECT 'c' || CAST(c AS VARCHAR) AS chain,
+       |  CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_pages AS BIGINT) AS n_pages,
+       |  CAST(n_pages + (n_pages + 1) // 3 AS BIGINT) AS n_calls,
+       |  CAST((n_pages + (n_pages + 1) // 3) * ${SourceUnitsPerCall}
+       |    AS BIGINT) AS quota_units,
+       |  CAST(id_sum AS BIGINT) AS id_sum
+       |FROM paged ORDER BY chain""".stripMargin
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.PagedSource
+import graft.sources.PagedSource.{Page, PageTransport, StubTransport}
+
+/** The paged-source client: token-chain integrity, retry billing, quota
+  * stop, and the clean failure mode (the engine half of the reference's
+  * API client, with the socket behind the transport seam). */
+class PagedSourceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def corpus(n: Int): Map[String, Array[Long]] =
+    Map("a" -> (1L to n).toArray)
+
+  test("chain walk fetches every id exactly once, in page order") {
+    val m = corpus(11)
+    val df = PagedSource.fetchChains(spark, Seq("a"),
+      () => new StubTransport(m, 4))
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to 11L))
+    // page boundaries: 4, 4, 3
+    val perPage = rows.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(perPage === Map(0 -> 4, 1 -> 4, 2 -> 3))
+  }
+
+  test("transient failures retry and each retry is billed as a call") {
+    val m = corpus(11)
+    val df = PagedSource.fetchChains(spark, Seq("a"),
+      () => new StubTransport(m, 4), unitsPerCall = 7L)
+    // stub fails first attempt of pages ≡ 1 (mod 3): page 1 costs 2 calls
+    val attempts = df.groupBy("page_no")
+      .agg(max("page_attempts").as("att")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(attempts === Map(0 -> 1, 1 -> 2, 2 -> 1))
+    // total calls 4 -> 28 units, the number the gated query's oracle prices
+    assert(attempts.values.sum * 7L === 28L)
+  }
+
+  test("a chain stops cleanly before the first attempt that would overdraw quota") {
+    // 40 ids / pageSize 4 = 10 pages; with retries pages cost
+    // 1,2,1,1,2,1,1,2,1,1 calls. Budget 3 calls: page 0 (1 call) +
+    // page 1 (2 calls, retry allowed to overdraw? no: spent=1, +1 <= 3 ok,
+    // retry bills to 3) then page 2 needs spent+1 > 3 -> stop.
+    val m = corpus(40)
+    val df = PagedSource.fetchChains(spark, Seq("a"),
+      () => new StubTransport(m, 4),
+      unitsPerCall = 1L, quotaPerChain = 3L)
+    val pages = df.select("page_no").distinct().collect().map(_.getInt(0)).sorted
+    assert(pages.toSeq === Seq(0, 1))
+    assert(df.count() === 8L) // two full pages, nothing from page 2
+  }
+
+  test("retries exhausted surfaces as the clean failure signal") {
+    class DownTransport extends PageTransport {
+      def fetch(chain: String, token: Option[String]) = Left("503 down")
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      PagedSource.fetchChains(spark, Seq("a"),
+        () => new DownTransport, maxAttempts = 2).count()
+    }
+    assert(e.getMessage.contains("RetriesExhausted") ||
+      Option(e.getCause).exists(_.toString.contains("RetriesExhausted")) ||
+      e.toString.contains("failed 2 attempts"))
+  }
+
+  test("an empty chain yields one empty page and no rows") {
+    class EmptyTransport extends PageTransport {
+      def fetch(chain: String, token: Option[String]) =
+        Right(Page(Array.empty[Long], None))
+    }
+    val df = PagedSource.fetchChains(spark, Seq("a"),
+      () => new EmptyTransport)
+    assert(df.count() === 0L)
+  }
+
+  test("chains partition across tasks; results are chain-disjoint and complete") {
+    val many = (0 until 8).map(i => s"c$i")
+    val served = many.zipWithIndex.map { case (c, i) =>
+      c -> (1L to (i + 1).toLong).map(_ + i * 100).toArray
+    }.toMap
+    val df = PagedSource.fetchChains(spark, many,
+      () => new StubTransport(served, 3))
+    val got = df.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(got === served.view.mapValues(_.toSeq).toMap)
+  }
+}
