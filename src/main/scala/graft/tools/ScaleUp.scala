@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off sf-multiplier for the local scale soak: replicate the sf0.1
+  * tables `mult`× with key shifts so referential joins hold per replica,
+  * writing an sf1-equivalent directory the SCALING.md runs read.
+  *
+  * Replication is NOT naive copying — a verbatim copy would create `mult`
+  * exact duplicates of every document/embedding and the dedup/ANN soak
+  * would measure an artificial quadratic pair explosion instead of scale:
+  *   - every foreign/primary key shifts by replica·(max_key+1), so each
+  *     replica is a self-consistent island and cross-replica joins miss;
+  *   - `c_name` is rebuilt from the shifted key (the fuzzy join's 9-digit
+  *     tail contract holds: keys stay well under 10^9);
+  *   - document text gets a replica-unique lead token (shingle sets stay
+  *     ~identical within a replica, exact-hash cross-replica dups vanish);
+  *   - embeddings are circularly ROTATED by replica index — an orthogonal
+  *     transform, so within-replica geometry (and thus neighbor structure)
+  *     is exactly preserved while cross-replica cosine drops to noise;
+  *   - events shift user/event ids but keep the time window (more users,
+  *     same days — how production traffic actually grows).
+  * Replica 0 is the original data byte-for-byte in values.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def keyShift(df: DataFrame, col0: String): Long =
+      df.agg(max(col(col0))).head().getLong(0) + 1L
+    /** replica-expanded frame: one copy per r in [0, mult) with `shifts`
+      * applied (column -> base offset; actual shift = r * base). */
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+        extra: (DataFrame, org.apache.spark.sql.Column) => DataFrame =
+          (d, _) => d): DataFrame = {
+      val reps = spark.range(mult).select(col("id").cast("int").as("_r"))
+      val joined = df.crossJoin(broadcast(reps))
+      val shifted = shifts.foldLeft(joined) { case (d, (c, base)) =>
+        d.withColumn(c, col(c) + col("_r").cast("long") * base)
+      }
+      extra(shifted, col("_r")).drop("_r")
+    }
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    // fixed dims copy as-is
+    write(t("region"), "region")
+    write(t("nation"), "nation")
+
+    val custShift = keyShift(t("customer"), "c_custkey")
+    write(replicate(t("customer"), Map("c_custkey" -> custShift),
+      (d, _) => d.withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))),
+      "customer")
+
+    val suppShift = keyShift(t("supplier"), "s_suppkey")
+    write(replicate(t("supplier"), Map("s_suppkey" -> suppShift)), "supplier")
+
+    val partShift = keyShift(t("part"), "p_partkey")
+    write(replicate(t("part"), Map("p_partkey" -> partShift)), "part")
+
+    val orderShift = keyShift(t("orders"), "o_orderkey")
+    write(replicate(t("orders"),
+      Map("o_orderkey" -> orderShift, "o_custkey" -> custShift)), "orders")
+
+    write(replicate(t("lineitem"),
+      Map("l_orderkey" -> orderShift, "l_partkey" -> partShift,
+        "l_suppkey" -> suppShift)), "lineitem")
+
+    val eventShift = keyShift(t("events"), "event_id")
+    val userShift = keyShift(t("events"), "user_id")
+    write(replicate(t("events"),
+      Map("event_id" -> eventShift, "user_id" -> userShift)), "events")
+
+    val docShift = keyShift(t("documents"), "doc_id")
+    write(replicate(t("documents"), Map("doc_id" -> docShift),
+      (d, r) => d.withColumn("text",
+          concat(lit("rep"), r.cast("string"), lit(" "), col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+
+    val vecShift = keyShift(t("embeddings"), "vec_id")
+    write(replicate(t("embeddings"), Map("vec_id" -> vecShift),
+      (d, r) => d.withColumn("embedding",
+        // circular rotation by replica index: slice+concat, orthogonal
+        when(r === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), r + lit(1),
+            size(col("embedding")) - r),
+          slice(col("embedding"), lit(1), r))))), "embeddings")
+
+    spark.stop()
+  }
+}
