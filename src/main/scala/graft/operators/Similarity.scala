@@ -1111,15 +1111,30 @@ object Similarity {
     * HISTOGRAM (degree 0..K), which pins graph structure, not just edge
     * existence.
     *
-    * Scale note: like X8, bucket occupancy is corpus/2^Planes — the
-    * within-bucket quadratic is the deliberate LSH trade, and the
-    * signature frame is materialized once for both join sides. */
+    * Scale note: unlike the query-bounded ANN ops (X8/X54, whose
+    * candidate volume is queries × occupancy — linear in the corpus),
+    * this SELF-join's candidate volume is Σ bucket² ≈ n²/2^planes:
+    * with a FIXED plane count it grows quadratically (the round-8 10×
+    * soak measured 14.9× wall time at 10× vectors). So the plane count
+    * is sized to the corpus the way production indexes size nlist/nbits:
+    * beyond [[KnnCalibCorpus]] vectors, ⌈log₂(n/calib)⌉ extra hash
+    * planes keep expected occupancy — and therefore total candidate
+    * pairs per vector — constant. At every oracle-gated fixture
+    * (n ≤ calib) the extra term is 0, so the DuckDB oracle's fixed
+    * bucket expression stays exact; the corpus count is one metadata-
+    * cheap aggregate, the same 1-row-scalar pattern as the CC
+    * convergence witness. */
+  val KnnCalibCorpus = 2048L
+
   def knnGraphQ(spark: SparkSession, sfDir: String): DataFrame = {
     VectorExprs.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .withColumn("nsq", VectorExprs.normSq(col("emb")))
-    val bucketBits = (0 until Planes).map { p =>
+    val n = Tables.embeddings(spark, sfDir).count()
+    var extra = 0
+    while ((KnnCalibCorpus << extra) < n) extra += 1
+    val bucketBits = (0 until Planes + extra).map { p =>
       when(planeDot(col("emb"), p) >= 0, "1").otherwise("0")
     }
     val signed = graft.engine.Materialize.diskBacked(

@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   *     replica is a self-consistent island and cross-replica joins miss;
   *   - `c_name` is rebuilt from the shifted key (the fuzzy join's 9-digit
   *     tail contract holds: keys stay well under 10^9);
-  *   - document text gets a replica-unique lead token (shingle sets stay
-  *     ~identical within a replica, exact-hash cross-replica dups vanish);
+  *   - document text is CAESAR-CIPHERED per replica (letters rotated by
+  *     the replica index) — a bijection on strings, so every within-replica
+  *     shingle/word equality relation is preserved exactly while
+  *     cross-replica overlap drops to punctuation. A replica-unique lead
+  *     token is NOT enough: it perturbs only the first few shingles, the
+  *     10 copies of each doc stay Jaccard-~0.95 near-dups of each other,
+  *     and the first soak measured a 1000× (quadratic-in-replicas) pair
+  *     explosion manufactured by the DATA, not the algorithms;
   *   - embeddings are circularly ROTATED by replica index — an orthogonal
   *     transform, so within-replica geometry (and thus neighbor structure)
   *     is exactly preserved while cross-replica cosine drops to noise;
@@ -90,10 +96,14 @@ object ScaleUp {
       Map("event_id" -> eventShift, "user_id" -> userShift)), "events")
 
     val docShift = keyShift(t("documents"), "doc_id")
+    val al = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
     write(replicate(t("documents"), Map("doc_id" -> docShift),
       (d, r) => d.withColumn("text",
-          concat(lit("rep"), r.cast("string"), lit(" "), col("text")))
-        .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+        (1 until mult).foldLeft(when(r === 0, col("text"))) { (acc, i) =>
+          acc.when(r === i, translate(col("text"),
+            al + al.toUpperCase, rot(al, i) + rot(al.toUpperCase, i)))
+        }.otherwise(col("text")))), "documents")
 
     val vecShift = keyShift(t("embeddings"), "vec_id")
     write(replicate(t("embeddings"), Map("vec_id" -> vecShift),
