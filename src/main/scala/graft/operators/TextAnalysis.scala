@@ -315,6 +315,18 @@ object TextAnalysis {
   // brute-force. Scale: candidates come only from shared (band, byte)
   // buckets (an equi-join), never from an all-pairs product; a stop-bucket
   // (degenerate byte value) would be df-capped like Dedup's posting lists.
+  //
+  // Scale calibration (round-8 10x soak): wall time tracks OUTPUT size —
+  // per-pair cost actually fell 12.3 -> 8.2 µs/pair at 10x docs — and on
+  // the low-entropy synthetic corpus the radius-3 pair set is genuinely
+  // dense (~16 pairs/doc), so the measured 20x is the data's pair
+  // density, not a candidate-stage blow-up. Design note for real corpora:
+  // a 32-bit fingerprint's chance-collision rate at radius 3 is
+  // ~5.5e3/2^32 ≈ 1.3e-6 per pair, which stays selective to ~10^8 docs;
+  // beyond that the published form (Manku et al., WWW'07) widens the
+  // fingerprint to 64 bits and keeps radius ≤ 3 (~4.2e4/2^64 ≈ 2e-15),
+  // which is a constant-width change to `hs`/`simhash` here — the banding
+  // algebra (bands > HamMax ⇒ lossless) is width-independent.
   // ------------------------------------------------------------------
 
   val SimBands = 4

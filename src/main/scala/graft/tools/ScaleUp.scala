@@ -62,7 +62,10 @@ object ScaleUp {
       extra(shifted, col("_r")).drop("_r")
     }
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      // spread the replicated frame before writing: the input is one file
+      // (one split), and a 100x expansion written by one task serializes
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
 
@@ -97,22 +100,34 @@ object ScaleUp {
 
     val docShift = keyShift(t("documents"), "doc_id")
     val al = "abcdefghijklmnopqrstuvwxyz"
-    def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
+    // per-replica substitution cipher: a SEEDED alphabet permutation, not a
+    // rotation — rotations alias at 26 replicas (rot 0 == rot 26) and the
+    // aliased replicas would reintroduce exact cross-replica duplicates
+    def perm(i: Int): String =
+      new scala.util.Random(i).shuffle(al.toList).mkString
     write(replicate(t("documents"), Map("doc_id" -> docShift),
       (d, r) => d.withColumn("text",
         (1 until mult).foldLeft(when(r === 0, col("text"))) { (acc, i) =>
+          val p = perm(i)
           acc.when(r === i, translate(col("text"),
-            al + al.toUpperCase, rot(al, i) + rot(al.toUpperCase, i)))
+            al + al.toUpperCase, p + p.toUpperCase))
         }.otherwise(col("text")))), "documents")
 
     val vecShift = keyShift(t("embeddings"), "vec_id")
     write(replicate(t("embeddings"), Map("vec_id" -> vecShift),
-      (d, r) => d.withColumn("embedding",
-        // circular rotation by replica index: slice+concat, orthogonal
-        when(r === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), r + lit(1),
-            size(col("embedding")) - r),
-          slice(col("embedding"), lit(1), r))))), "embeddings")
+      (d, r) => {
+        // circular rotation by replica%dim (orthogonal); replicas past one
+        // full cycle additionally NEGATE the vector (also orthogonal) so
+        // no two of up to 2·dim replicas share a transform
+        val dim = size(col("embedding"))
+        val rr = r % dim
+        val rotated = when(rr === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), rr + lit(1), dim - rr),
+          slice(col("embedding"), lit(1), rr)))
+        d.withColumn("embedding",
+          when((r / dim) % 2 === 0, rotated)
+            .otherwise(transform(rotated, x => -x)))
+      }), "embeddings")
 
     spark.stop()
   }
