@@ -177,6 +177,57 @@ object PagedSource {
       .orderBy(col("chain"))
   }
 
+  // ------------------------------------------------------------------
+  // `q_source_dsv2`: the SAME protocol through the real DataSourceV2
+  // ------------------------------------------------------------------
+
+  val Dsv2Chains = 10
+  val Dsv2RowsPerChain = 987L // odd on purpose: the last page is partial
+  val Dsv2PageSize = 50
+
+  /** `q_source_dsv2`: drive [[PagedTableProvider]] — one InputPartition
+    * per chain, lazy executor-side page walking, the deterministic retry
+    * schedule — through `spark.read.format(...)`, and aggregate the same
+    * per-chain report as `q_source_paged`. The corpus is closed-form
+    * (chain c serves c + k·chains), so the oracle is PURE ARITHMETIC
+    * over the option values: n_pages = ⌈R/P⌉, n_calls = n_pages +
+    * ⌊(n_pages+1)/3⌋, id_sum = R·c + C·R(R−1)/2. A planner or reader
+    * defect — dropped partition, re-read page, unbilled retry, off-by-one
+    * on the partial last page — breaks the gate. */
+  def sourceDsv2Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = spark.read.format("graft.sources.PagedTableProvider")
+      .option("chains", Dsv2Chains.toString)
+      .option("rowsPerChain", Dsv2RowsPerChain.toString)
+      .option("pageSize", Dsv2PageSize.toString)
+      .load()
+    df.groupBy(col("chain"), col("page_no"))
+      .agg(Num.countStar.as("rows_in_page"),
+        max(col("page_attempts")).as("attempts"),
+        sum(col("id")).as("id_sum"))
+      .groupBy(col("chain"))
+      .agg(sum(col("rows_in_page")).as("n_rows"),
+        Num.countStar.as("n_pages"),
+        sum(col("attempts")).as("n_calls"),
+        (sum(col("attempts")) * SourceUnitsPerCall).as("quota_units"),
+        sum(col("id_sum")).as("id_sum"))
+      .orderBy(col("chain"))
+  }
+
+  /** Table-free arithmetic oracle (the options ARE the data). */
+  val sourceDsv2Oracle: String = {
+    val r = Dsv2RowsPerChain
+    val np = (r + Dsv2PageSize - 1) / Dsv2PageSize
+    val calls = np + (np + 1) / 3
+    s"""SELECT 'c' || CAST(c AS VARCHAR) AS chain,
+       |  CAST($r AS BIGINT) AS n_rows,
+       |  CAST($np AS BIGINT) AS n_pages,
+       |  CAST($calls AS BIGINT) AS n_calls,
+       |  CAST(${calls * SourceUnitsPerCall} AS BIGINT) AS quota_units,
+       |  CAST($r * c + ${Dsv2Chains.toLong * r * (r - 1) / 2} AS BIGINT)
+       |    AS id_sum
+       |FROM range(0, ${Dsv2Chains}) AS t(c) ORDER BY chain""".stripMargin
+  }
+
   /** Closed-form oracle: chain membership, page count, and the failure
     * schedule all derive from supplier alone. */
   val sourcePagedOracle: String =

@@ -75,6 +75,26 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(df.count() === 0L)
   }
 
+  test("DataSourceV2: one input partition per chain, rows complete, retries page-exact") {
+    val df = spark.read.format("graft.sources.PagedTableProvider")
+      .option("chains", "4").option("rowsPerChain", "7")
+      .option("pageSize", "3").load()
+    // the planner must see chains as splits — that IS the DSv2 point
+    assert(df.rdd.getNumPartitions === 4)
+    val rows = df.collect()
+    assert(rows.length === 28)
+    val byChain = rows.groupBy(_.getString(0))
+    assert(byChain.keySet === Set("c0", "c1", "c2", "c3"))
+    byChain.foreach { case (c, rs) =>
+      val ci = c.drop(1).toInt
+      assert(rs.map(_.getLong(1)).sorted.toSeq ===
+        (0 until 7).map(k => ci + k * 4L), c)
+    }
+    // pages 0(3 rows), 1(3), 2(1); page 1's first attempt fails -> 2 calls
+    val att = rows.groupBy(_.getInt(2)).view.mapValues(_.map(_.getInt(3)).max)
+    assert(att.toMap === Map(0 -> 1, 1 -> 2, 2 -> 1))
+  }
+
   test("chains partition across tasks; results are chain-disjoint and complete") {
     val many = (0 until 8).map(i => s"c$i")
     val served = many.zipWithIndex.map { case (c, i) =>
