@@ -329,6 +329,28 @@ object TableCommit {
     publish(root, kept ++ staged, expected = Some(base))
   }
 
+  /** Run `txn` (a full read-stage-publish transaction body) and, when it
+    * loses the optimistic race, RE-RUN it against the new current version
+    * — the retry loop every optimistic-concurrency writer needs, provided
+    * once so callers don't hand-roll it wrong. The body MUST re-read
+    * table state on each attempt (that is the point: the loser's world
+    * changed), which the commit* methods do by construction. Bounded and
+    * jitter-free: conflicts here come from a handful of concurrent
+    * batch writers, not high-frequency contention — if `attempts`
+    * straight losses occur the caller has a design problem and gets the
+    * LAST ConcurrentCommitException rather than an infinite loop. */
+  def withConflictRetry[T](attempts: Int = 3)(txn: => T): T = {
+    var left = attempts
+    while (true) {
+      try return txn
+      catch { case e: ConcurrentCommitException =>
+        left -= 1
+        if (left <= 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Read the current version; empty-with-schema for a virgin root (the
     * readOrEmpty idiom the MERGE bootstrap needs). */
   def read(spark: SparkSession, root: String, schema: StructType): DataFrame =

@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,17 +73,28 @@ private class PagedTable(properties: util.Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new PagedScan(c)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // Column pruning reaches the READER: a projection of (chain, id)
+      // never materializes page_no/page_attempts — for a remote source
+      // this is the difference between shipping provenance metadata per
+      // row and not (PlanSpec-style assertion in PagedSourceSpec: the
+      // BatchScan's ReadSchema shrinks to the projected set).
+      private var required: StructType = PagedTableProvider.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new PagedScan(c, required)
     }
 }
 
-private class PagedScan(c: PagedTableProvider.Conf) extends Scan with Batch {
-  override def readSchema(): StructType = PagedTableProvider.Schema
+private class PagedScan(c: PagedTableProvider.Conf, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // one partition per chain — chains schedule like file splits
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until c.chains).map(i => ChainPartition(i, c): InputPartition).toArray
+    (0 until c.chains)
+      .map(i => ChainPartition(i, c, required.fieldNames): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -91,8 +102,8 @@ private class PagedScan(c: PagedTableProvider.Conf) extends Scan with Batch {
     }
 }
 
-private case class ChainPartition(chain: Int, c: PagedTableProvider.Conf)
-    extends InputPartition
+private case class ChainPartition(chain: Int, c: PagedTableProvider.Conf,
+    fields: Array[String]) extends InputPartition
 
 /** Executor-side lazy chain walk: `next()` pulls the following page only
   * when the current one is exhausted — a production reader streams the
@@ -140,7 +151,14 @@ private class ChainReader(p: ChainPartition)
     val k = pageNo.toLong * c.pageSize + idxInPage
     val id = p.chain.toLong + k * c.chains
     idxInPage += 1
-    InternalRow(chainName, id, pageNo, attempts)
+    // pruned projection: emit only the fields the scan asked for, in its
+    // order — the reader is where pruning must land for a remote source
+    InternalRow.fromSeq(p.fields.toSeq.map {
+      case "chain"         => chainName
+      case "id"            => id
+      case "page_no"       => pageNo
+      case "page_attempts" => attempts
+    })
   }
 
   override def close(): Unit = ()

@@ -62,10 +62,31 @@ object ScaleUp {
       extra(shifted, col("_r")).drop("_r")
     }
     def write(df: DataFrame, name: String): Unit = {
-      // spread the replicated frame before writing: the input is one file
-      // (one split), and a 100x expansion written by one task serializes
+      // Match the testdata layout EXACTLY: one plain FILE per table named
+      // `<name>.parquet` — the streaming source lists the sf dir with
+      // pathGlobFilter=<name>.parquet, which matches files, not dirs (a
+      // directory-per-table corpus broke the streaming soak tier).
+      // repartition spreads the replicate/shift compute across the
+      // cluster (shuffle map side); the coalesce(1) only serializes the
+      // final read+write of the shuffled rows.
+      import java.nio.file.{Files, Paths}
+      val tmp = s"$dst/_tmp_$name"
       df.repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator()
+      var moved = false
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, Paths.get(s"$dst/$name.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        }
+      }
+      require(moved, s"no part file produced for $name")
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
       println(s"[scaleup] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
 

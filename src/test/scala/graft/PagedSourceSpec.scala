@@ -95,6 +95,22 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(att.toMap === Map(0 -> 1, 1 -> 2, 2 -> 1))
   }
 
+  test("DataSourceV2: column pruning reaches the scan's read schema") {
+    val df = spark.read.format("graft.sources.PagedTableProvider")
+      .option("chains", "2").option("rowsPerChain", "5")
+      .option("pageSize", "5").load()
+      .select("chain", "id")
+    val plan = df.queryExecution.executedPlan.toString
+    // the BatchScan's own output must be the 2-column schema — pruning at
+    // the reader, not a post-scan project over 4 materialized columns
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("chain#") && scanLine.contains("id#") &&
+      !scanLine.contains("page_no#") && !scanLine.contains("page_attempts#"),
+      s"scan did not prune:\n$plan")
+    assert(df.collect().map(_.getLong(1)).sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
+
   test("chains partition across tasks; results are chain-disjoint and complete") {
     val many = (0 until 8).map(i => s"c$i")
     val served = many.zipWithIndex.map { case (c, i) =>

@@ -190,6 +190,25 @@ class TableCommitSpec extends AnyFunSuite {
     assert(TableCommit.currentVersion(r) === Some(1L + oks.get()))
   }
 
+  test("withConflictRetry: contending appends all land; their rows accumulate") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((0L, "base")).toDF("k", "v"), r)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1L to 4L).map { k =>
+      new Thread(() => {
+        gate.await()
+        try TableCommit.withConflictRetry(attempts = 8) {
+          TableCommit.commitAppend(Seq((k, s"w$k")).toDF("k", "v"), r)
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(failures.isEmpty, s"retry loop leaked a failure: ${failures.peek()}")
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("retained snapshots share unrewritten files under append without double-delete") {
     val r = root()
     TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r, retain = 2)
