@@ -4,7 +4,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,7 +74,8 @@ private class PagedTable(properties: util.Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       // Column pruning reaches the READER: a projection of (chain, id)
       // never materializes page_no/page_attempts — for a remote source
       // this is the difference between shipping provenance metadata per
@@ -82,17 +84,45 @@ private class PagedTable(properties: util.Map[String, String])
       private var required: StructType = PagedTableProvider.Schema
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new PagedScan(c, required)
+      // Chain-equality filters prune at PLANNING time — whole chains
+      // never become InputPartitions, the connector analogue of S2's
+      // filename-predicate listing-time pruning (a remote source skips
+      // the API calls entirely, not just the rows). Only `chain = 'cN'`
+      // / `chain IN (...)` are consumed; everything else stays with
+      // Spark (pushedFilters still reports them consumed=false via the
+      // leftover return). Spec asserts partition count 1 for one chain.
+      private var keepChains: Option[Set[String]] = None
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (consumed, leftover) = filters.partition {
+          case EqualTo("chain", _: String) => true
+          case In("chain", vs) if vs.forall(_.isInstanceOf[String]) => true
+          case _ => false
+        }
+        val sets = consumed.map {
+          case EqualTo("chain", v: String) => Set(v)
+          case In("chain", vs) => vs.map(_.asInstanceOf[String]).toSet
+          case f => throw new MatchError(f)
+        }
+        if (sets.nonEmpty)
+          keepChains = Some(sets.reduce(_ intersect _))
+        pushed = consumed
+        leftover
+      }
+      private var pushed: Array[Filter] = Array.empty
+      override def pushedFilters(): Array[Filter] = pushed
+      override def build(): Scan = new PagedScan(c, required, keepChains)
     }
 }
 
-private class PagedScan(c: PagedTableProvider.Conf, required: StructType)
-    extends Scan with Batch {
+private class PagedScan(c: PagedTableProvider.Conf, required: StructType,
+    keepChains: Option[Set[String]]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  // one partition per chain — chains schedule like file splits
+  // one partition per chain — chains schedule like file splits; pushed
+  // chain predicates drop whole chains before they become partitions
   override def planInputPartitions(): Array[InputPartition] =
     (0 until c.chains)
+      .filter(i => keepChains.forall(_.contains(s"c$i")))
       .map(i => ChainPartition(i, c, required.fieldNames): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =

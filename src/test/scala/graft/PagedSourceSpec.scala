@@ -111,6 +111,24 @@ class PagedSourceSpec extends AnyFunSuite {
       Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  test("DataSourceV2: a chain-equality filter prunes input partitions at planning time") {
+    val base = spark.read.format("graft.sources.PagedTableProvider")
+      .option("chains", "8").option("rowsPerChain", "6")
+      .option("pageSize", "4").load()
+    val one = base.filter(col("chain") === "c5")
+    assert(one.rdd.getNumPartitions === 1, "EqualTo should plan 1 chain")
+    assert(one.collect().map(_.getLong(1)).sorted.toSeq ===
+      (0 until 6).map(k => 5L + k * 8L))
+    val two = base.filter(col("chain").isin("c1", "c6"))
+    assert(two.rdd.getNumPartitions === 2, "In should plan 2 chains")
+    assert(two.count() === 12L)
+    // a non-chain filter is NOT consumed: full partition fan-out, Spark
+    // evaluates it post-scan, results still correct
+    val residual = base.filter(col("id") === 5L)
+    assert(residual.rdd.getNumPartitions === 8)
+    assert(residual.count() === 1L)
+  }
+
   test("chains partition across tasks; results are chain-disjoint and complete") {
     val many = (0 until 8).map(i => s"c$i")
     val served = many.zipWithIndex.map { case (c, i) =>
