@@ -904,4 +904,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       s"edges must be materialized once and reused:\n$p")
   }
+
+  test("paged-source queries: pure aggregates over the fetch, DSv2 scan present") {
+    for (q <- Seq("q_source_paged", "q_source_dsv2")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q must be fetch → two-level aggregate, no join at all:\n$p")
+    }
+    // the DSv2 leg must actually go through the connector scan node
+    assert(plan("q_source_dsv2").contains("BatchScan"),
+      "q_source_dsv2 must read through the DataSourceV2 BatchScan")
+  }
 }
