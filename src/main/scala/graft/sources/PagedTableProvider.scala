@@ -4,7 +4,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,7 +77,33 @@ private class PagedTable(properties: util.Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownFilters {
+        with SupportsPushDownFilters with SupportsPushDownAggregates {
+      // COUNT(*) [GROUP BY chain] pushes COMPLETELY into the source: a
+      // paged REST collection answers counts WITHOUT paging (the
+      // reference's API ships pageInfo.totalResults on the first
+      // response — /root/reference/src/youtube_collector.py's result
+      // envelope), so the scan emits one pre-counted row per chain and
+      // Spark's aggregate disappears from the plan entirely.
+      private var countMode = false
+      private def isCountStarByChain(agg: Aggregation): Boolean = {
+        val aggsOk = agg.aggregateExpressions.nonEmpty &&
+          agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+        val groupOk = agg.groupByExpressions.isEmpty ||
+          (agg.groupByExpressions.length == 1 &&
+            (agg.groupByExpressions.head match {
+              case r: NamedReference => r.fieldNames.sameElements(Array("chain"))
+              case _ => false
+            }))
+        aggsOk && groupOk
+      }
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        isCountStarByChain(agg)
+      override def pushAggregation(agg: Aggregation): Boolean =
+        if (isCountStarByChain(agg)) {
+          countMode = true
+          countGrouped = agg.groupByExpressions.nonEmpty
+          true
+        } else false
       // Column pruning reaches the READER: a projection of (chain, id)
       // never materializes page_no/page_attempts — for a remote source
       // this is the difference between shipping provenance metadata per
@@ -110,7 +138,10 @@ private class PagedTable(properties: util.Map[String, String])
       }
       private var pushed: Array[Filter] = Array.empty
       override def pushedFilters(): Array[Filter] = pushed
-      override def build(): Scan = new PagedScan(c, required, keepChains)
+      private var countGrouped = false
+      override def build(): Scan =
+        if (countMode) new PagedCountScan(c, keepChains, countGrouped)
+        else new PagedScan(c, required, keepChains)
     }
 }
 
@@ -134,6 +165,50 @@ private class PagedScan(c: PagedTableProvider.Conf, required: StructType,
 
 private case class ChainPartition(chain: Int, c: PagedTableProvider.Conf,
     fields: Array[String]) extends InputPartition
+
+/** Complete-pushdown COUNT scan: the "server" answers counts from its
+  * collection envelope (the reference API's `pageInfo.totalResults`)
+  * without walking a single page — no transport calls, no retries, no
+  * quota. Grouped → one 1-row partition per kept chain; global → one
+  * partition carrying the summed count. */
+private class PagedCountScan(c: PagedTableProvider.Conf,
+    keep: Option[Set[String]], grouped: Boolean) extends Scan with Batch {
+  private val chains =
+    (0 until c.chains).filter(i => keep.forall(_.contains(s"c$i")))
+  override def readSchema(): StructType =
+    if (grouped) StructType(Seq(
+      StructField("chain", StringType, nullable = false),
+      StructField("count", LongType, nullable = false)))
+    else StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    if (grouped)
+      chains.map(i => CountPartition(Seq(i), c, grouped): InputPartition).toArray
+    else Array(CountPartition(chains, c, grouped))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new CountReader(p.asInstanceOf[CountPartition])
+    }
+  override def description(): String =
+    s"PagedCountScan(grouped=$grouped, chains=${chains.size})"
+}
+
+private case class CountPartition(chains: Seq[Int],
+    c: PagedTableProvider.Conf, grouped: Boolean) extends InputPartition
+
+private class CountReader(p: CountPartition)
+    extends PartitionReader[InternalRow] {
+  private var cur = -1
+  private val nRows = if (p.grouped) p.chains.length else 1
+  override def next(): Boolean = { cur += 1; cur < nRows }
+  override def get(): InternalRow =
+    if (p.grouped)
+      InternalRow(UTF8String.fromString(s"c${p.chains(cur)}"),
+        p.c.rowsPerChain)
+    else InternalRow(p.chains.length.toLong * p.c.rowsPerChain)
+  override def close(): Unit = ()
+}
 
 /** Executor-side lazy chain walk: `next()` pulls the following page only
   * when the current one is exhausted — a production reader streams the

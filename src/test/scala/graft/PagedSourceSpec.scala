@@ -129,6 +129,24 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(residual.count() === 1L)
   }
 
+  test("DataSourceV2: COUNT(*) pushes completely — no aggregate, no page walk") {
+    val base = spark.read.format("graft.sources.PagedTableProvider")
+      .option("chains", "6").option("rowsPerChain", "1000")
+      .option("pageSize", "7").load()
+    // grouped: one pre-counted row per chain, Spark's aggregate GONE
+    val grouped = base.groupBy("chain").count()
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("HashAggregate"),
+      s"grouped count must push completely:\n$gPlan")
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === (0 until 6).map(i => s"c$i" -> 1000L).toMap)
+    // global: one row, also no aggregate in the plan
+    val total = base.count()
+    assert(total === 6000L)
+    // composes with chain pruning: count of one chain = rowsPerChain
+    assert(base.filter(col("chain") === "c2").count() === 1000L)
+  }
+
   test("chains partition across tasks; results are chain-disjoint and complete") {
     val many = (0 until 8).map(i => s"c$i")
     val served = many.zipWithIndex.map { case (c, i) =>
