@@ -222,11 +222,12 @@ object TableCommit {
         val live = (oldest to current).flatMap { v =>
           try readManifest(root, v) catch { case _: Throwable => Seq.empty }
         }.map(_.path).toSet
-        retiredFiles.filterNot(e => live(e.path)).foreach { e =>
+        val dead = retiredFiles.filterNot(e => live(e.path))
+        dead.foreach { e =>
           try Files.deleteIfExists(Paths.get(root, e.path))
           catch { case _: Throwable => () }
         }
-        pruneEmptyDirs(Paths.get(root, "data"))
+        pruneParentsOf(root, dead.map(e => Paths.get(root, e.path)))
       }
     } catch { case _: Throwable => () }
   }
@@ -264,22 +265,39 @@ object TableCommit {
       }).map(e => Paths.get(root, e.path).toAbsolutePath).toSet
       val dataDir = Paths.get(root, "data")
       if (Files.isDirectory(dataDir)) {
-        Files.walk(dataDir).iterator().asScala.toSeq
+        val doomed = Files.walk(dataDir).iterator().asScala.toSeq
           .filter(p => Files.isRegularFile(p) &&
             !live.contains(p.toAbsolutePath) && oldEnough(p))
-          .foreach(p => try Files.deleteIfExists(p)
-            catch { case _: Throwable => () })
-        pruneEmptyDirs(dataDir)
+        doomed.foreach(p => try Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+        pruneParentsOf(root, doomed)
       }
     } catch { case _: Throwable => () }
   }
 
-  /** Remove now-empty directories under `dir`, deepest first. */
-  private def pruneEmptyDirs(dir: Path): Unit = {
-    if (!Files.isDirectory(dir)) return
-    Files.walk(dir).iterator().asScala.toSeq
-      .filter(Files.isDirectory(_)).sortBy(-_.getNameCount)
-      .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+  /** Remove now-empty ANCESTOR directories of exactly the files a sweep
+    * just deleted, bottom-up, stopping at the table root's `data` dir.
+    * Deliberately NOT a walk-and-delete-all-empties: a concurrent
+    * writer's just-created commit scaffolding (Hadoop's `_temporary`
+    * tree, an about-to-be-filled batch dir) is empty too, and the
+    * round-8 full-suite run caught the broad sweep deleting another
+    * thread's `_temporary` out from under its in-flight write.
+    * `Files.delete` on a non-empty dir throws and is caught — emptiness
+    * is checked by the filesystem atomically, not by a racy listing. */
+  private def pruneParentsOf(root: String, deleted: Seq[Path]): Unit = {
+    val stop = Paths.get(root, "data").toAbsolutePath
+    deleted.foreach { f =>
+      var dir = f.toAbsolutePath.getParent
+      var go = dir != null && dir.startsWith(stop) && dir != stop
+      while (go) {
+        go = try { Files.delete(dir); true }
+             catch { case _: Throwable => false }
+        if (go) {
+          dir = dir.getParent
+          go = dir != null && dir.startsWith(stop) && dir != stop
+        }
+      }
+    }
   }
 
   /** Manifest of a specific base version (empty for the virgin v0). */
