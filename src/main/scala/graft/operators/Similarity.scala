@@ -742,6 +742,15 @@ object Similarity {
   // so the threshold is tuned down to exercise the path end-to-end; the
   // mechanism — banded candidate generation + exact verify — is the
   // deliverable, and the oracle replicates it including the recall misses.
+  //
+  // Scale: the band SELF-join has the same Σ bucket² ≈ B·n²/2^rows
+  // candidate algebra the kNN graph had, so band WIDTH is sized to the
+  // corpus exactly like [[KnnCalibCorpus]]: past the calibration size each
+  // band gains ⌈log₂(n/calib)⌉ sign bits, holding expected per-band
+  // occupancy (candidate pairs per vector) constant. Narrower buckets
+  // trade recall — the standard LSH dial; add bands to buy it back. All
+  // oracle-gated fixtures sit under the calibration, so the fixed-width
+  // oracle SQL stays exact.
   // ------------------------------------------------------------------
 
   val EmbBands = 3
@@ -753,9 +762,13 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .withColumn("nsq", VectorExprs.normSq(col("emb")))
+    val n = Tables.embeddings(spark, sfDir).count()
+    var extra = 0
+    while ((KnnCalibCorpus << extra) < n) extra += 1
+    val rows = EmbRows + extra
     val bandKeys: Column = array((0 until EmbBands).map { f =>
-      concat((0 until EmbRows).map { r =>
-        when(planeDot(col("emb"), f * EmbRows + r) >= 0, "1").otherwise("0")
+      concat((0 until rows).map { r =>
+        when(planeDot(col("emb"), f * rows + r) >= 0, "1").otherwise("0")
       }: _*)
     }: _*)
     val bands = graft.engine.Materialize.diskBacked( // feeds both pair-join sides
