@@ -340,4 +340,25 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("Num.divLong is exact past 2^53, where double division goes wrong") {
+    val d = 10000L
+    // scalacheck over the hazardous magnitudes: dividends up to Long.MaxValue
+    check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue - 1)) { x =>
+      val got = Seq(x).toDF("x")
+        .select(graft.engine.Num.divLong(col("x"), d)).head().getLong(0)
+      got == x / d
+    })
+    // and the pre-fix formula (double divide, cast long) is DEMONSTRABLY
+    // wrong in that range -- this is what the round-8 ADVICE item was about.
+    // Divergence needs x just BELOW a multiple of d: the float rounding of
+    // x (ulp 1024 at 9e18) carries the quotient ACROSS the integer
+    // boundary, so truncation lands one too high.
+    val hazard = Seq(900000000000000L * d - 1, 700000000000000L * d - 1,
+      (1L << 59) / d * d - 1)
+    val bad = hazard.toDF("x")
+      .select((col("x") / lit(d)).cast("long").as("bad")).collect().map(_.getLong(0))
+    assert(hazard.zip(bad).exists { case (x, b) => b != x / d },
+      "expected the double-division formula to diverge somewhere past 2^53")
+  }
 }
