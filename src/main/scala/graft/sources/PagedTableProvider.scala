@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -77,7 +77,17 @@ private class PagedTable(properties: util.Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownFilters with SupportsPushDownAggregates {
+        with SupportsPushDownFilters with SupportsPushDownAggregates
+        with SupportsPushDownLimit {
+      // LIMIT n caps each chain's PAGE WALK: the reader stops requesting
+      // pages once it has emitted n rows — for a paged API that is fewer
+      // transport calls, the entire point (Spark still applies the global
+      // limit across partitions; this is the per-partition partial limit
+      // the API contract allows). isPartiallyPushed=true tells Spark to
+      // keep its own limit on top.
+      private var limit: Option[Int] = None
+      override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+      override def isPartiallyPushed: Boolean = true
       // COUNT(*) [GROUP BY chain] pushes COMPLETELY into the source: a
       // paged REST collection answers counts WITHOUT paging (the
       // reference's API ships pageInfo.totalResults on the first
@@ -141,12 +151,13 @@ private class PagedTable(properties: util.Map[String, String])
       private var countGrouped = false
       override def build(): Scan =
         if (countMode) new PagedCountScan(c, keepChains, countGrouped)
-        else new PagedScan(c, required, keepChains)
+        else new PagedScan(c, required, keepChains, limit)
     }
 }
 
 private class PagedScan(c: PagedTableProvider.Conf, required: StructType,
-    keepChains: Option[Set[String]]) extends Scan with Batch {
+    keepChains: Option[Set[String]], limit: Option[Int])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // one partition per chain — chains schedule like file splits; pushed
@@ -154,7 +165,8 @@ private class PagedScan(c: PagedTableProvider.Conf, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     (0 until c.chains)
       .filter(i => keepChains.forall(_.contains(s"c$i")))
-      .map(i => ChainPartition(i, c, required.fieldNames): InputPartition)
+      .map(i =>
+        ChainPartition(i, c, required.fieldNames, limit): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -164,7 +176,7 @@ private class PagedScan(c: PagedTableProvider.Conf, required: StructType,
 }
 
 private case class ChainPartition(chain: Int, c: PagedTableProvider.Conf,
-    fields: Array[String]) extends InputPartition
+    fields: Array[String], limit: Option[Int] = None) extends InputPartition
 
 /** Complete-pushdown COUNT scan: the "server" answers counts from its
   * collection envelope (the reference API's `pageInfo.totalResults`)
@@ -225,6 +237,7 @@ private class ChainReader(p: ChainPartition)
   private var idxInPage = 0
   private var attempts = 0
   private var rowsInPage = 0
+  private var emitted = 0
 
   private def loadPage(): Unit = {
     // transient-failure schedule + bounded retry, every attempt billed
@@ -244,6 +257,9 @@ private class ChainReader(p: ChainPartition)
   }
 
   override def next(): Boolean = {
+    // pushed partial limit: stop BEFORE loading further pages — fewer
+    // transport calls, which is what limit pushdown buys on a paged API
+    if (p.limit.exists(emitted >= _)) return false
     while (pageNo < nPages) {
       if (idxInPage == 0 && rowsInPage == 0) loadPage()
       if (idxInPage < rowsInPage) return true
@@ -256,6 +272,7 @@ private class ChainReader(p: ChainPartition)
     val k = pageNo.toLong * c.pageSize + idxInPage
     val id = p.chain.toLong + k * c.chains
     idxInPage += 1
+    emitted += 1
     // pruned projection: emit only the fields the scan asked for, in its
     // order — the reader is where pruning must land for a remote source
     InternalRow.fromSeq(p.fields.toSeq.map {

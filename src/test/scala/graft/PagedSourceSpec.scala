@@ -147,6 +147,19 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(base.filter(col("chain") === "c2").count() === 1000L)
   }
 
+  test("DataSourceV2: LIMIT caps each chain's page walk (partial pushdown)") {
+    val base = spark.read.format("graft.sources.PagedTableProvider")
+      .option("chains", "3").option("rowsPerChain", "100")
+      .option("pageSize", "4").load()
+    val limited = base.limit(5)
+    assert(limited.count() === 5L)
+    // the reader stopped paging: each partition emitted at most 5 rows
+    // (2 pages of 4), never the full 25-page chain — observable because
+    // page_no stays under 2 everywhere in the limited result
+    val pages = limited.collect().map(_.getInt(2))
+    assert(pages.forall(_ <= 1), s"reader paged past the limit: ${pages.toSeq}")
+  }
+
   test("chains partition across tasks; results are chain-disjoint and complete") {
     val many = (0 until 8).map(i => s"c$i")
     val served = many.zipWithIndex.map { case (c, i) =>
