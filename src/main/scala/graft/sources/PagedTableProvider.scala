@@ -37,7 +37,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Options: `chains` (default 10), `rowsPerChain` (1000), `pageSize`
   * (50), `unitsPerCall` (100), `maxAttempts` (3).
   */
-class PagedTableProvider extends TableProvider {
+class PagedTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** Short name via the standard ServiceLoader registration
+    * (META-INF/services/org.apache.spark.sql.sources.DataSourceRegister):
+    * `spark.read.format("graft-paged")`. */
+  override def shortName(): String = "graft-paged"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PagedTableProvider.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

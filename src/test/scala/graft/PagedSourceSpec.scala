@@ -160,6 +160,15 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(pages.forall(_ <= 1), s"reader paged past the limit: ${pages.toSeq}")
   }
 
+  test("DataSourceV2: short name resolves through the ServiceLoader registry") {
+    val df = spark.read.format("graft-paged")
+      .option("chains", "2").option("rowsPerChain", "3")
+      .option("pageSize", "3").load()
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("chain", "id", "page_no", "page_attempts"))
+    assert(df.count() === 6L)
+  }
+
   test("chains partition across tasks; results are chain-disjoint and complete") {
     val many = (0 until 8).map(i => s"c$i")
     val served = many.zipWithIndex.map { case (c, i) =>
