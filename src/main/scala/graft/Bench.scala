@@ -167,7 +167,17 @@ object Bench {
       "q_agg_pricing", "q_distinct", "q_sentiment_dist", "q_agg_daily_region",
       "q_sink_partitioned", "q_explode", "q_report_sorted", "q_engagement",
       "q_flatten_record", "q_join_fact_dim", "q_scan_meta", "q_merge_dim")
-    val baselineSubsetTotal = baselineQueries.flatMap(results.get).sum
+    // baseline_subset_n reports the MATCHED count, not the frozen list's
+    // size: if a rename ever drops a frozen query from `results`, the
+    // subset total shrinks and the artifact must say so (n < 19) rather
+    // than claim full coverage over a smaller sum (ADVICE r8). A shortfall
+    // is also shouted to stderr so it can't pass silently.
+    val baselineMatched = baselineQueries.filter(results.contains)
+    if (baselineMatched.size != baselineQueries.size)
+      System.err.println(
+        s"[bench] WARNING: frozen baseline queries missing from results: " +
+          baselineQueries.filterNot(results.contains).mkString(","))
+    val baselineSubsetTotal = baselineMatched.flatMap(results.get).sum
     // BASELINE.md's environment-drift decision rule, applied in-artifact:
     // the fixed-work barometer's round-7 idle calibration is
     // BarometerIdleCal (4.5 s; measured 3.1-5.0 across idle sessions) —
@@ -187,11 +197,11 @@ object Bench {
     // to the bench on any checkout, not a hardcoded machine path
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"baseline_subset_total":${f3(baselineSubsetTotal)},"baseline_subset_n":${baselineQueries.size},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"baseline_subset_total":${f3(baselineSubsetTotal)},"baseline_subset_n":${baselineMatched.size},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () }
     val slowest10 = results.toSeq.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"baseline_subset_total":${f3(baselineSubsetTotal)},"baseline_subset_n":${baselineQueries.size},"full_map":"$fullPath","queries":${jmap(slowest10, f2)},"slowest5_median":${jmap(medians, f3)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"baseline_subset_total":${f3(baselineSubsetTotal)},"baseline_subset_n":${baselineMatched.size},"full_map":"$fullPath","queries":${jmap(slowest10, f2)},"slowest5_median":${jmap(medians, f3)}}""")
     spark.stop()
   }
 }

@@ -659,6 +659,18 @@ object Joins {
     val exploded = graft.engine.Materialize.diskBacked(
       Tables.customer(spark, sfDir)
         .select(col("c_custkey").as("id"), tailCol.as("tail"))
+        // Precondition guard, LOUD not silent: the packed-long blocking
+        // key casts the deletion-neighborhood remainder to long, so a
+        // non-digit tail would cast to NULL and silently vanish from the
+        // pair space (the r7 string-keyed join tolerated arbitrary tails;
+        // the r8 packed key narrowed the domain — ADVICE r8 asked for the
+        // assumption to be checked, not assumed). Or short-circuits in
+        // both codegen and interpreted eval, so raise_error fires only on
+        // a violating row; cost is one anchored regex per dim row, before
+        // the 36× explode.
+        .filter(col("tail").rlike("^[0-9]{" + L + "}$") ||
+          raise_error(concat(lit("fuzzyJoin: non-digit c_name tail: "),
+            col("tail"))).isNotNull)
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("id"), explode(array(keys: _*)).as("k"))
         .select(col("id"), col("k.bk").as("bk"),

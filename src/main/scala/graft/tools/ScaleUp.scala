@@ -145,8 +145,13 @@ object ScaleUp {
         val rotated = when(rr === 0, col("embedding")).otherwise(concat(
           slice(col("embedding"), rr + lit(1), dim - rr),
           slice(col("embedding"), lit(1), rr)))
+        // cycle index = FLOOR(r / dim): Column `/` on ints is DOUBLE
+        // division, so the previous `(r / dim) % 2` was 0 only at exact
+        // even multiples of dim — replicas r and r+dim applied identical
+        // transforms and the 100× tier's replicas 65..99 aliased 1..35
+        // (ADVICE r8). floor() restores the intended alternation.
         d.withColumn("embedding",
-          when((r / dim) % 2 === 0, rotated)
+          when(floor(r / dim).cast("long") % 2 === 0, rotated)
             .otherwise(transform(rotated, x => -x)))
       }), "embeddings")
 

@@ -69,6 +69,26 @@ class EntityStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy join: a non-digit c_name tail fails loudly, never a silent drop") {
+    // The packed-long blocking key casts the deletion remainder to long;
+    // on the r7 string-keyed join a non-digit tail still matched, on the
+    // r8 packed key it would cast to NULL and silently vanish from the
+    // pair space (ADVICE r8). The query now guards the precondition with
+    // raise_error — prove it fires on crafted data and names the tail.
+    val bad = java.nio.file.Files.createTempDirectory("graft_fuzzy_bad_")
+    spark.createDataFrame(Seq(
+      (1L, "Customer#000000001"),
+      (2L, "Customer#00000000X"))).toDF("c_custkey", "c_name")
+      .coalesce(1).write.parquet(s"$bad/customer.parquet")
+    val e = intercept[Exception] {
+      Joins.fuzzyJoinQ(spark, bad.toString).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("non-digit c_name tail")),
+      s"expected the precondition error, got: $e")
+  }
+
   test("chi2: per-lang parts recompute from the contingency table") {
     val cells = graft.engine.Tables.documents(spark, sfDir)
       .groupBy("lang", "source").count()
