@@ -249,4 +249,72 @@ object PagedSource {
        |    AS BIGINT) AS quota_units,
        |  CAST(id_sum AS BIGINT) AS id_sum
        |FROM paged ORDER BY chain""".stripMargin
+
+  // ------------------------------------------------------------------
+  // `q_source_stream`: the connector's MICRO_BATCH_READ facet
+  // ------------------------------------------------------------------
+
+  val StreamChains = 6
+  val StreamRowsPerChain = 523L // odd: partial last page crosses batches
+  val StreamPageSize = 40      // → 14 pages per chain
+  val StreamMaxPagesPerTrigger = 4 // → 4 micro-batches under AvailableNow
+
+  /** `q_source_stream`: the reference's ACTUAL operating mode — a timer
+    * re-polls the paged collections and resumes from the page token it
+    * left off at (/root/reference/azure-functions/function_app.py:540-541)
+    * — as the connector's `MICRO_BATCH_READ` facet. `readStream` on the
+    * same provider, offset = the page-token watermark,
+    * `maxPagesPerTrigger` bounding each poll's quota spend, AvailableNow
+    * draining the 14-page horizon across 4 micro-batches into a memory
+    * sink. The gate: the drain's per-chain report (rows, pages, transport
+    * calls incl. retries, quota, id checksum) must equal the BATCH read's
+    * — the same pure-arithmetic oracle shape as `q_source_dsv2`, so a
+    * dropped batch, a re-read page boundary, or a retry schedule that
+    * diverges across batch restarts all break the hash. */
+  def sourceStreamQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = "graft_source_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream.format("graft-paged")
+      .option("chains", StreamChains.toString)
+      .option("rowsPerChain", StreamRowsPerChain.toString)
+      .option("pageSize", StreamPageSize.toString)
+      .option("maxPagesPerTrigger", StreamMaxPagesPerTrigger.toString)
+      .load()
+    val query = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .groupBy(col("chain"), col("page_no"))
+      .agg(Num.countStar.as("rows_in_page"),
+        max(col("page_attempts")).as("attempts"),
+        sum(col("id")).as("id_sum"))
+      .groupBy(col("chain"))
+      .agg(sum(col("rows_in_page")).as("n_rows"),
+        Num.countStar.as("n_pages"),
+        sum(col("attempts")).as("n_calls"),
+        (sum(col("attempts")) * SourceUnitsPerCall).as("quota_units"),
+        sum(col("id_sum")).as("id_sum"))
+      .orderBy(col("chain"))
+  }
+
+  /** Table-free arithmetic oracle: identical pricing to the batch DSv2
+    * gate at the stream's constants — the stream facet must change
+    * NOTHING about what is read, only when. */
+  val sourceStreamOracle: String = {
+    val r = StreamRowsPerChain
+    val np = (r + StreamPageSize - 1) / StreamPageSize
+    val calls = np + (np + 1) / 3
+    s"""SELECT 'c' || CAST(c AS VARCHAR) AS chain,
+       |  CAST($r AS BIGINT) AS n_rows,
+       |  CAST($np AS BIGINT) AS n_pages,
+       |  CAST($calls AS BIGINT) AS n_calls,
+       |  CAST(${calls * SourceUnitsPerCall} AS BIGINT) AS quota_units,
+       |  CAST($r * c + ${StreamChains.toLong * r * (r - 1) / 2} AS BIGINT)
+       |    AS id_sum
+       |FROM range(0, ${StreamChains}) AS t(c) ORDER BY chain""".stripMargin
+  }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,7 +60,12 @@ object PagedTableProvider {
     StructField("page_attempts", IntegerType, nullable = false)))
 
   final case class Conf(chains: Int, rowsPerChain: Long, pageSize: Int,
-      unitsPerCall: Long, maxAttempts: Int)
+      unitsPerCall: Long, maxAttempts: Int,
+      maxPagesPerTrigger: Option[Int]) {
+    /** Pages per chain — ⌈rowsPerChain / pageSize⌉, the collection's
+      * fixed page-token horizon. */
+    def nPages: Int = ((rowsPerChain + pageSize - 1) / pageSize).toInt
+  }
 
   def conf(m: util.Map[String, String]): Conf = Conf(
     chains = Option(m.get("chains")).map(_.toInt).getOrElse(10),
@@ -70,7 +76,9 @@ object PagedTableProvider {
     unitsPerCall = Option(m.get("unitspercall")).map(_.toLong)
       .orElse(Option(m.get("unitsPerCall")).map(_.toLong)).getOrElse(100L),
     maxAttempts = Option(m.get("maxattempts")).map(_.toInt)
-      .orElse(Option(m.get("maxAttempts")).map(_.toInt)).getOrElse(3))
+      .orElse(Option(m.get("maxAttempts")).map(_.toInt)).getOrElse(3),
+    maxPagesPerTrigger = Option(m.get("maxpagespertrigger")).map(_.toInt)
+      .orElse(Option(m.get("maxPagesPerTrigger")).map(_.toInt)))
 }
 
 private class PagedTable(properties: util.Map[String, String])
@@ -79,7 +87,8 @@ private class PagedTable(properties: util.Map[String, String])
   override def name(): String = s"paged(${c.chains}×${c.rowsPerChain})"
   override def schema(): StructType = PagedTableProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters with SupportsPushDownAggregates
@@ -101,8 +110,13 @@ private class PagedTable(properties: util.Map[String, String])
       // Spark's aggregate disappears from the plan entirely.
       private var countMode = false
       private def isCountStarByChain(agg: Aggregation): Boolean = {
-        val aggsOk = agg.aggregateExpressions.nonEmpty &&
-          agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+        // exactly ONE CountStar: PagedCountScan's readSchema emits a
+        // single count column, so claiming complete pushdown for e.g.
+        // SELECT count(*), count(*) would hand Spark a schema-arity
+        // mismatch (ADVICE r8) — multi-agg shapes fall through to the
+        // unpushed path instead.
+        val aggsOk = agg.aggregateExpressions.length == 1 &&
+          agg.aggregateExpressions.head.isInstanceOf[CountStar]
         val groupOk = agg.groupByExpressions.isEmpty ||
           (agg.groupByExpressions.length == 1 &&
             (agg.groupByExpressions.head match {
@@ -174,14 +188,72 @@ private class PagedScan(c: PagedTableProvider.Conf, required: StructType,
         ChainPartition(i, c, required.fieldNames, limit): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new ChainReader(p.asInstanceOf[ChainPartition])
-    }
+    PagedReaderFactory
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedMicroBatchStream(c, keepChains, required)
+}
+
+private object PagedReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ChainReader(p.asInstanceOf[ChainPartition])
+}
+
+/** Stream offset = the PAGE TOKEN WATERMARK: pages [0, page) of every
+  * chain are committed. The reference's operating mode is exactly this —
+  * a daily timer re-polls the same collections and resumes from the page
+  * token it left off at (/root/reference/azure-functions/
+  * function_app.py:540-541); the micro-batch boundary is the page
+  * boundary because the page is the API's atomic unit of progress. */
+private case class PageOffset(page: Int) extends Offset {
+  override def json(): String = s"""{"page":$page}"""
+}
+
+/** MICRO_BATCH_READ facet: each micro-batch walks pages
+  * [start, end) of every kept chain — one InputPartition per chain per
+  * batch, the same executor-side lazy page walk as the batch reader
+  * (same deterministic retry schedule, so a full AvailableNow drain is
+  * row-for-row AND attempt-for-attempt identical to the batch read —
+  * that equivalence is the `q_source_stream` gate). `maxPagesPerTrigger`
+  * bounds a batch's page span (the `maxFilesPerTrigger` analogue for a
+  * paged API: bound the quota a single poll may spend);
+  * [[SupportsTriggerAvailableNow]] then drains the horizon across
+  * ⌈nPages/maxPagesPerTrigger⌉ batches. Stateless beyond the offset —
+  * commit/stop have nothing to clean. */
+private class PagedMicroBatchStream(c: PagedTableProvider.Conf,
+    keepChains: Option[Set[String]], required: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val horizon = c.nPages
+  override def initialOffset(): Offset = PageOffset(0)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control path")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[PageOffset].page
+    val span = c.maxPagesPerTrigger.getOrElse(horizon)
+    PageOffset(math.min(from.toLong + span, horizon.toLong).toInt)
+  }
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def deserializeOffset(json: String): Offset =
+    PageOffset("""\d+""".r.findFirstIn(json).get.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[PageOffset].page
+    val until = end.asInstanceOf[PageOffset].page
+    if (from >= until) Array.empty
+    else (0 until c.chains)
+      .filter(i => keepChains.forall(_.contains(s"c$i")))
+      .map(i => ChainPartition(i, c, required.fieldNames, limit = None,
+        fromPage = from, untilPage = Some(until)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    PagedReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class ChainPartition(chain: Int, c: PagedTableProvider.Conf,
-    fields: Array[String], limit: Option[Int] = None) extends InputPartition
+    fields: Array[String], limit: Option[Int] = None,
+    fromPage: Int = 0, untilPage: Option[Int] = None) extends InputPartition
 
 /** Complete-pushdown COUNT scan: the "server" answers counts from its
   * collection envelope (the reference API's `pageInfo.totalResults`)
@@ -236,9 +308,10 @@ private class ChainReader(p: ChainPartition)
     extends PartitionReader[InternalRow] {
   private val c = p.c
   private val chainName = UTF8String.fromString(s"c${p.chain}")
-  private val nPages =
-    ((c.rowsPerChain + c.pageSize - 1) / c.pageSize).toInt
-  private var pageNo = 0
+  // page range: batch partitions walk the whole chain; a micro-batch
+  // partition walks [fromPage, untilPage) — its offset slice
+  private val nPages = p.untilPage.fold(c.nPages)(math.min(_, c.nPages))
+  private var pageNo = p.fromPage
   private var idxInPage = 0
   private var attempts = 0
   private var rowsInPage = 0

@@ -145,6 +145,52 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(total === 6000L)
     // composes with chain pruning: count of one chain = rowsPerChain
     assert(base.filter(col("chain") === "c2").count() === 1000L)
+    // SELECT count(*), count(*): Catalyst dedupes the identical
+    // CountStars BEFORE offering the aggregation, so the scan still sees
+    // arity 1, claims complete pushdown legally, and the duplicate is a
+    // post-scan Project of the single pushed count column. The arity
+    // guard in isCountStarByChain (ADVICE r8) is therefore defensive —
+    // this pins the observed contract: correct values, no page walk,
+    // and the pushed schema stays one count column.
+    val twoCounts = base.groupBy("chain")
+      .agg(count(lit(1)).as("a"), count(lit(1)).as("b"))
+      .filter(col("chain") === "c3")
+    val tPlan = twoCounts.queryExecution.executedPlan.toString
+    assert(!tPlan.contains("HashAggregate"),
+      s"deduped two-count should still push completely:\n$tPlan")
+    assert(twoCounts.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1000L, 1000L)))
+  }
+
+  test("DataSourceV2 streaming: AvailableNow drains in page-bounded micro-batches and equals the batch read") {
+    // The reference's operating mode is a timer re-poll resuming from a
+    // page token; the MICRO_BATCH_READ facet models it with offset = page
+    // watermark and maxPagesPerTrigger as the per-poll quota bound. Pin:
+    // (a) multiple micro-batches, (b) each batch spans ≤ maxPages pages,
+    // (c) the full drain is row-identical to the batch read — including
+    // page_attempts, i.e. the retry schedule is batch-boundary-invariant.
+    val opts = Map("chains" -> "4", "rowsPerChain" -> "97",
+      "pageSize" -> "10", "maxPagesPerTrigger" -> "3")
+    val sinkName = "graft_paged_stream_spec"
+    val q = spark.readStream.format("graft-paged").options(opts).load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 10 pages at 3/trigger → 4 data micro-batches
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    assert(prog.length === 4, s"expected 4 data batches, got ${prog.length}")
+    // offsets advance by ≤ 3 pages per batch and end at the horizon
+    val ends = prog.flatMap(_.sources.headOption)
+      .map(s => """\d+""".r.findFirstIn(s.endOffset).get.toInt)
+    assert(ends.toSeq === Seq(3, 6, 9, 10), s"page watermarks: ${ends.toSeq}")
+    val drained = spark.table(sinkName)
+    val batch = spark.read.format("graft-paged").options(opts).load()
+    // row-for-row identical, attempts included
+    assert(drained.exceptAll(batch).isEmpty && batch.exceptAll(drained).isEmpty,
+      "stream drain and batch read diverge")
+    spark.catalog.dropTempView(sinkName)
   }
 
   test("DataSourceV2: LIMIT caps each chain's page walk (partial pushdown)") {
