@@ -1098,28 +1098,47 @@ object Behavior {
           col("monetary_cents"),
           Num.divLong(col("monetary_cents"), RfmMonetaryUnitCents)
             .as("monetary_u")))
-    // quintile thresholds of metric column `m`: min v with cum >= ceil(k*n/5)
-    def thresholds(m: String, pfx: String): DataFrame = {
-      val byV = Window.orderBy(col("v"))
-      val all = Window.partitionBy()
-      ledger.select(col(m).as("v"))
-        .groupBy(col("v")).agg(Num.countStar.as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(byV))
-        .withColumn("n", sum(col("cnt")).over(all))
-        .groupBy(lit(1).as("one"))
-        .agg(
-          min(when(col("cum") >= expr("(n * 1 + 4) div 5"), col("v")))
-            .as(s"${pfx}1"),
-          (2 to 4).map { k =>
-            min(when(col("cum") >= expr(s"(n * $k + 4) div 5"), col("v")))
-              .as(s"${pfx}$k")
-          }: _*)
-        .drop("one")
-    }
+    // Quintile thresholds of ALL THREE metrics in ONE histogram pass:
+    // melt the ledger to (metric, v), histogram per (metric, v), rank-walk
+    // per metric with the window PARTITIONED by metric (each partition is
+    // one metric's domain-bounded value histogram — days / order counts /
+    // $100 units — so no data-sized window appears), then fold the 3×4
+    // thresholds into a single 1-row broadcast. Threshold formula per
+    // quintile k: min v with cum >= ceil(k·n/5), X22's exact-integer rank.
+    // One shuffle where the r8 shape ran three separate histogram jobs
+    // over the same ledger (the only >25% bench drifter of round 8 —
+    // VERDICT r8 item 4).
+    val melted = ledger.select(explode(array(
+        struct(lit("r").as("metric"), col("recency_d").as("v")),
+        struct(lit("f").as("metric"), col("frequency").as("v")),
+        struct(lit("m").as("metric"), col("monetary_u").as("v"))))
+        .as("mv"))
+      .select(col("mv.metric").as("metric"), col("mv.v").as("v"))
+    val byV = Window.partitionBy(col("metric")).orderBy(col("v"))
+    val all = Window.partitionBy(col("metric"))
+    val perMetric = melted
+      .groupBy(col("metric"), col("v")).agg(Num.countStar.as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(col("metric"))
+      .agg(min(when(col("cum") >= expr("(n * 1 + 4) div 5"), col("v")))
+          .as("t1"),
+        (2 to 4).map { k =>
+          min(when(col("cum") >= expr(s"(n * $k + 4) div 5"), col("v")))
+            .as(s"t$k")
+        }: _*)
+    val thRow = perMetric
+      .groupBy(lit(1).as("one"))
+      .agg(
+        max(when(col("metric") === "r", col("t1"))).as("tr1"),
+        (for {
+          (m, pfx) <- Seq("r" -> "tr", "f" -> "tf", "m" -> "tm")
+          k <- 1 to 4
+          if !(m == "r" && k == 1)
+        } yield max(when(col("metric") === m, col(s"t$k"))).as(s"$pfx$k")): _*)
+      .drop("one")
     val scored = ledger
-      .crossJoin(broadcast(thresholds("recency_d", "tr")))
-      .crossJoin(broadcast(thresholds("frequency", "tf")))
-      .crossJoin(broadcast(thresholds("monetary_u", "tm")))
+      .crossJoin(broadcast(thRow))
       .select(col("monetary_cents"),
         (lit(1) + (1 to 4).map(k =>
           when(col("recency_d") < col(s"tr$k"), 1).otherwise(0))
