@@ -301,6 +301,99 @@ object Aggregates {
        |ORDER BY support DESC, brand_a, brand_b
        |LIMIT ${BasketTopK}""".stripMargin
 
+  // ------------------------------------------------------------------
+  // `q_itemsets3` (X186): Apriori level-3 frequent itemsets
+  // ------------------------------------------------------------------
+
+  /** Minimum support as an exact per-mille of baskets (1‰): the compare
+    * is integer cross-multiplication, never a double ratio. */
+  val Itemset3MinPermille = 1
+  val Itemset3TopK = 20
+
+  /** `q_itemsets3`: frequent brand TRIPLES by level-wise Apriori — the
+    * step past X65's pair mining that makes the candidate-pruning
+    * algebra visible. L2 = support-filtered pairs; candidate triples =
+    * L2 ⋈ L2 on the shared first item (b < c) with the THIRD sub-pair
+    * (b, c) membership-checked against L2 (the full Apriori property:
+    * every subset of a frequent set is frequent); only candidate triples
+    * are then counted against the baskets.
+    *
+    * Scale: the pruning order is the whole point — the basket fan-out
+    * runs pair-first restricted to L2 members (broadcast semi-join, so
+    * infrequent brands never enter the triple explode), the L2 ⋈ L2
+    * candidate build is frequent-pairs-sized (brand-domain bounded, a
+    * broadcast), and the triple count groups on a candidate-bounded key
+    * set. Brute-forcing C(items,3) per basket instead is the shape that
+    * dies at warehouse scale; the oracle MAY brute-force because Apriori
+    * pruning is lossless, which is exactly what the gate proves. */
+  def itemsets3Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val ob = graft.engine.Materialize.diskBacked(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p_partkey"))
+        .join(Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand")), Seq("p_partkey"))
+        .select(col("ok"), col("p_brand").as("b"))
+        .repartition(col("ok"))
+        .dropDuplicates("ok", "b"))
+    val nOrders = ob.select(col("ok")).distinct()
+      .agg(Num.countStar.as("n_orders"))
+    // L2: support-filtered pairs (i1 < i2), exchange-free on the basket key
+    val l2 = ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("i1"), col("y.b").as("i2"))
+      .agg(Num.countStar.as("s2"))
+      .crossJoin(broadcast(nOrders))
+      .filter(col("s2") * 1000 >= col("n_orders") * Itemset3MinPermille)
+      .select(col("i1"), col("i2"))
+    // candidate triples: {a,b} ⋈ {a,c}, b < c, with {b,c} ∈ L2 (Apriori)
+    val cand = l2.as("p").join(l2.as("q"),
+        col("p.i1") === col("q.i1") && col("p.i2") < col("q.i2"))
+      .select(col("p.i1").as("brand_a"), col("p.i2").as("brand_b"),
+        col("q.i2").as("brand_c"))
+      .join(l2.select(col("i1").as("brand_b"), col("i2").as("brand_c")),
+        Seq("brand_b", "brand_c"), "left_semi")
+    // count ONLY candidate triples: pair step semi-joins L2 first so
+    // infrequent brands never fan out, then extend by one item
+    val pairsL2 = ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .select(col("x.ok").as("ok"), col("x.b").as("brand_a"),
+        col("y.b").as("brand_b"))
+      .join(broadcast(l2.select(col("i1").as("brand_a"),
+        col("i2").as("brand_b"))), Seq("brand_a", "brand_b"), "left_semi")
+    pairsL2
+      .join(ob.select(col("ok"), col("b").as("brand_c")), Seq("ok"))
+      .filter(col("brand_c") > col("brand_b"))
+      .join(broadcast(cand), Seq("brand_a", "brand_b", "brand_c"), "left_semi")
+      .groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
+      .agg(Num.countStar.as("support"))
+      .crossJoin(broadcast(nOrders))
+      .filter(col("support") * 1000 >= col("n_orders") * Itemset3MinPermille)
+      .select(col("brand_a"), col("brand_b"), col("brand_c"), col("support"))
+      .orderBy(col("support").desc, col("brand_a"), col("brand_b"),
+        col("brand_c"))
+      .limit(Itemset3TopK)
+  }
+
+  /** Oracle: Apriori pruning is lossless, so the spec is the brute-force
+    * triple join with the same integer support gate. */
+  val itemsets3Oracle: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+       |tri AS (
+       |  SELECT x.b AS brand_a, y.b AS brand_b, z.b AS brand_c,
+       |    CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM ob x
+       |  JOIN ob y ON x.ok = y.ok AND x.b < y.b
+       |  JOIN ob z ON y.ok = z.ok AND y.b < z.b
+       |  GROUP BY 1, 2, 3)
+       |SELECT brand_a, brand_b, brand_c, support
+       |FROM tri, n
+       |WHERE support * 1000 >= n_orders * ${Itemset3MinPermille}
+       |ORDER BY support DESC, brand_a, brand_b, brand_c
+       |LIMIT ${Itemset3TopK}""".stripMargin
+
   /** `q_unpivot`: UNPIVOT/melt — the inverse of `q_pivot` and the other
     * half of the reshape pair: a wide per-returnflag metrics row (3
     * aggregates) melts to long (flag, metric, value) form via the native

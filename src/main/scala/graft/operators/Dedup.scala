@@ -794,6 +794,113 @@ object Dedup {
 
   /** Oracle: brute-force the same signature Jaccard (prefix filtering is
     * lossless, so the exact join IS the spec). */
+  // ------------------------------------------------------------------
+  // `q_dedup_containment` (X185): asymmetric near-containment
+  // ------------------------------------------------------------------
+
+  /** Containment threshold 9/10 as an exact integer ratio (the double
+    * 0.9 never appears in a comparison on either engine). */
+  val ContainNum = 9
+  val ContainDen = 10
+
+  /** `q_dedup_containment`: DIRECTED near-containment detection —
+    * ordered pairs (a, b), a ≠ b, where C(a,b) =
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ 9/10: document a is
+    * (near-)contained in document b. This is the decontamination-grade
+    * primitive Jaccard dedup cannot express: a benchmark prompt pasted
+    * into a 100×-longer web page has Jaccard ≈ 0.01 against it but
+    * containment ≈ 1.0 — the standard reason training-data pipelines run
+    * a containment pass beside the symmetric near-dup pass. Downstream of
+    * the reference's scope but squarely in SURVEY §2's LLM-pipeline
+    * charter (X32's exact decontamination is the k=0 special case).
+    *
+    * Candidate generation is the asymmetric prefix filter: order every
+    * doc's shingles by GLOBAL rarity (df asc, shingle asc) and probe with
+    * only the first |a| − ⌈t·|a|⌉ + 1 = ⌊|a|/10⌋+1 rarest shingles —
+    * pigeonhole: a container missing ALL of them misses > ⌊|a|/10⌋
+    * shingles, i.e. containment < t, so the filter is LOSSLESS for any
+    * prefix subset; rarity ordering is purely the performance choice
+    * (the probe joins the SHORTEST posting lists, PPJoin's discipline
+    * pointed one-directionally). The index side must stay full — the
+    * container has no prefix bound (that asymmetry IS the difference
+    * from X145's symmetric Jaccard prefix join). Verify is exact set
+    * intersection on the hashed shingle arrays; the threshold compare is
+    * integer cross-multiplication (n_shared·10 ≥ n_a·9).
+    *
+    * Scale: candidates = Σ over probe-prefix shingles of that shingle's
+    * posting length — rare-first probes keep each term near-minimal, and
+    * the one data-sized shuffle is the (w)-keyed probe join; the window
+    * rank is per-doc (bounded by doc length). 100 TB shape: identical to
+    * the X145 prefix join it shares its frame with, plus the full-postings
+    * index side whose hot shingles are exactly the ones NO probe prefix
+    * selects. */
+  def dedupContainmentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = materialize(shingled(Tables.documents(spark, sfDir)))
+    val tok = sh.select(col("doc_id"), explode(col("sg")).as("w"))
+    val dfreq = tok.groupBy(col("w")).agg(Num.countStar.as("df"))
+    val ranked = tok.join(dfreq, Seq("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("w").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // probe prefix length: n − ⌈t·n⌉ + 1, integer-exact ceil
+    val prefLen = col("n") -
+      expr(s"(${ContainNum} * n + ${ContainDen} - 1) div ${ContainDen}") +
+      lit(1)
+    val prefix = ranked.filter(col("rn") <= prefLen)
+      .select(col("doc_id").as("doc_a"), col("w"))
+    val cand = prefix
+      .join(tok.select(col("doc_id").as("doc_b"), col("w")), Seq("w"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sg").as("sa")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sg").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long")
+          .as("n_shared"),
+        size(col("sa")).cast("long").as("n_a"))
+      .filter(col("n_shared") * ContainDen >= col("n_a") * ContainNum)
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_a"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: the prefix filter is lossless (pigeonhole above), so the
+    * spec is the exact all-candidate containment join — same shingle CTE,
+    * same integer threshold. */
+  val dedupContainmentOracle: String =
+    s"""WITH $shingleCteSql,
+       |tok AS (SELECT doc_id, unnest(sg) AS w FROM sh),
+       |dfq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY 1),
+       |r AS (
+       |  SELECT t.doc_id, t.w,
+       |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |      ORDER BY d.df ASC, t.w ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+       |  FROM tok t JOIN dfq d USING (w)),
+       |pref AS (
+       |  SELECT doc_id AS doc_a, w FROM r
+       |  WHERE rn <= n - (${ContainNum} * n + ${ContainDen} - 1)
+       |    // ${ContainDen} + 1),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_a, t.doc_id AS doc_b
+       |  FROM pref p JOIN tok t USING (w)
+       |  WHERE p.doc_a <> t.doc_id),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(x.sg, y.sg)) AS BIGINT) AS n_shared,
+       |    CAST(len(x.sg) AS BIGINT) AS n_a
+       |  FROM cand
+       |  JOIN sh x ON x.doc_id = doc_a
+       |  JOIN sh y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_shared, n_a,
+       |  CAST(n_shared AS DOUBLE) / n_a AS containment
+       |FROM v WHERE n_shared * ${ContainDen} >= n_a * ${ContainNum}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val setsimPrefixOracle: String =
     s"""WITH $shingleCteSql,
        |tok AS (SELECT doc_id, unnest(sg) AS w FROM sh),

@@ -637,7 +637,12 @@ object Joins {
   /** 10^(FuzzyTailLen-2): the packing base for the 7-digit remainder. */
   val FuzzyRemBase = 10000000L
 
-  def fuzzyJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The fuzzy join's 36-way deletion-neighborhood blocking frame —
+    * (id, bk packed long, dropped chars ci/cj) per (i,j) key. Factored so
+    * `graft.tools.ScaleProbe fuzzy` can measure the CANDIDATE-PAIR volume
+    * (Σ_bk c·(c−1)/2) of the exact production frame across scale tiers
+    * (VERDICT r8 item 5: measure, don't argue, the second decade). */
+  private[graft] def fuzzyBlocked(spark: SparkSession, sfDir: String): DataFrame = {
     val L = FuzzyTailLen
     // c_name = "Customer#ddddddddd" — the 9-digit tail is the match key.
     val tailCol = substring(col("c_name"), 10, L)
@@ -650,31 +655,36 @@ object Joins {
         substring(col("tail"), i, 1).as("ci"),
         substring(col("tail"), j, 1).as("cj"))
     }
-    // MATERIALIZED: the exploded blocking frame feeds both join sides —
-    // without the plan break the 36-way explode over the scan runs twice.
     // Repartition BEFORE the explode: the single-file dim scan is one
     // partition, and the 36× string-building fan-out is the query's only
     // heavy map work — spread it across the cluster, not one task. Width
     // follows the cluster (defaultParallelism), not a hard-coded core count.
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), tailCol.as("tail"))
+      // Precondition guard, LOUD not silent: the packed-long blocking
+      // key casts the deletion-neighborhood remainder to long, so a
+      // non-digit tail would cast to NULL and silently vanish from the
+      // pair space (the r7 string-keyed join tolerated arbitrary tails;
+      // the r8 packed key narrowed the domain — ADVICE r8 asked for the
+      // assumption to be checked, not assumed). Or short-circuits in
+      // both codegen and interpreted eval, so raise_error fires only on
+      // a violating row; cost is one anchored regex per dim row, before
+      // the 36× explode.
+      .filter(col("tail").rlike("^[0-9]{" + L + "}$") ||
+        raise_error(concat(lit("fuzzyJoin: non-digit c_name tail: "),
+          col("tail"))).isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), explode(array(keys: _*)).as("k"))
+      .select(col("id"), col("k.bk").as("bk"),
+        col("k.ci").as("ci"), col("k.cj").as("cj"))
+  }
+
+  def fuzzyJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val L = FuzzyTailLen
+    // MATERIALIZED: the exploded blocking frame feeds both join sides —
+    // without the plan break the 36-way explode over the scan runs twice.
     val exploded = graft.engine.Materialize.diskBacked(
-      Tables.customer(spark, sfDir)
-        .select(col("c_custkey").as("id"), tailCol.as("tail"))
-        // Precondition guard, LOUD not silent: the packed-long blocking
-        // key casts the deletion-neighborhood remainder to long, so a
-        // non-digit tail would cast to NULL and silently vanish from the
-        // pair space (the r7 string-keyed join tolerated arbitrary tails;
-        // the r8 packed key narrowed the domain — ADVICE r8 asked for the
-        // assumption to be checked, not assumed). Or short-circuits in
-        // both codegen and interpreted eval, so raise_error fires only on
-        // a violating row; cost is one anchored regex per dim row, before
-        // the 36× explode.
-        .filter(col("tail").rlike("^[0-9]{" + L + "}$") ||
-          raise_error(concat(lit("fuzzyJoin: non-digit c_name tail: "),
-            col("tail"))).isNotNull)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("id"), explode(array(keys: _*)).as("k"))
-        .select(col("id"), col("k.bk").as("bk"),
-          col("k.ci").as("ci"), col("k.cj").as("cj")))
+      fuzzyBlocked(spark, sfDir))
     val a = exploded.select(col("bk"), col("id").as("id_a"),
       col("ci").as("ci_a"), col("cj").as("cj_a"))
     val b = exploded.select(col("bk"), col("id").as("id_b"),

@@ -757,7 +757,17 @@ object Similarity {
   val EmbRows = 2 // planes per family; plane index = band*EmbRows + row
   val EmbThreshold = 0.45
 
-  def dedupEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupEmbeddingQ(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEmbeddingWith(spark, sfDir, EmbBands)
+
+  /** Band-count-parameterized body of [[dedupEmbeddingQ]] — the gate runs
+    * it at [[EmbBands]]; `graft.tools.ScaleProbe embrecall` sweeps the
+    * band count to put NUMBERS on the recall dial (VERDICT r8 item 6:
+    * the corpus-calibrated width trades recall for candidate volume, and
+    * "add bands to buy it back" needs a measured exchange rate — see the
+    * recall table in SCALING.md). */
+  private[graft] def dedupEmbeddingWith(spark: SparkSession, sfDir: String,
+      bandCount: Int): DataFrame = {
     VectorExprs.ensureRegistered(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
@@ -766,7 +776,7 @@ object Similarity {
     var extra = 0
     while ((KnnCalibCorpus << extra) < n) extra += 1
     val rows = EmbRows + extra
-    val bandKeys: Column = array((0 until EmbBands).map { f =>
+    val bandKeys: Column = array((0 until bandCount).map { f =>
       concat((0 until rows).map { r =>
         when(planeDot(col("emb"), f * rows + r) >= 0, "1").otherwise("0")
       }: _*)

@@ -2235,6 +2235,94 @@ object Stats {
        |    AS BIGINT) AS days_present
        |FROM daily ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // `q_trailing_p90` (X187): trailing-window EXACT percentile
+  // ------------------------------------------------------------------
+
+  /** Trailing window width for the sliding percentile (days). */
+  val TrailP90Days = 7
+
+  /** `q_trailing_p90`: per (event_type, day), the EXACT p90 of event
+    * values over the trailing 7 days — the sliding-window percentile a
+    * latency/SLO dashboard needs, built so the window math never touches
+    * row-level data. X170's trailing RANGE frame works because sum is an
+    * algebra over one number per day; a percentile has no such scalar, so
+    * the naive forms are collect_list-per-window (state = window row
+    * count — dies at scale) or percentile_approx (not oracle-exact).
+    * Instead: values quantize to cents, fold ONCE to a daily value
+    * HISTOGRAM (event_type × day × distinct cents — domain-bounded), each
+    * histogram cell fans out to the ≤7 trailing target days it serves
+    * (a bounded explode of day offsets — no range join, no re-scan), the
+    * fanned cells re-aggregate to per-(type, target-day) histograms, and
+    * the p90 is X22's exact integer rank walk (min v with cum ≥
+    * ⌈0.9·n⌉) over each one.
+    *
+    * Scale shape: one data-sized fold (map-side combined), then
+    * everything downstream is histogram-cell-sized ×7; the rank-walk
+    * window partitions by (type, day) over value cells. The 7× fan-out
+    * trades compute for the re-scan a self-join window would do — the
+    * standard streaming-rollup trick, here in batch form. */
+  def trailingP90Q(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"),
+        cents.as("v"))
+      .agg(Num.countStar.as("cnt"))
+    // observed-day spine: a trailing window is reported for every day
+    // the table actually contains (type-independent calendar)
+    val spine = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day")).distinct()
+    val fanned = daily
+      .select(col("event_type"), col("v"), col("cnt"),
+        explode(sequence(col("d"),
+          date_add(col("d"), TrailP90Days - 1))).as("day"))
+      .join(spine, Seq("day"), "left_semi")
+      .groupBy(col("event_type"), col("day"), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val byV = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("v"))
+    val all = Window.partitionBy(col("event_type"), col("day"))
+    fanned
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(col("event_type"), col("day"))
+      .agg(min(when(col("cum") * 10 >= col("n") * 9, col("v")))
+          .as("p90_cents"),
+        max(col("n")).as("n_events"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("p90_cents"), col("n_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Oracle: the same histogram/fan-out/rank-walk in SQL — cum·10 ≥ n·9
+    * is the exact-integer form of cum ≥ ⌈0.9n⌉. */
+  val trailingP90Oracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2, 3),
+       |spine AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+       |fanned AS (
+       |  SELECT d.event_type, d.d + CAST(o.off AS INTEGER) AS day, d.v,
+       |    CAST(SUM(d.cnt) AS BIGINT) AS cnt
+       |  FROM daily d,
+       |    (SELECT unnest(range(0, ${TrailP90Days})) AS off) o
+       |  WHERE d.d + CAST(o.off AS INTEGER) IN (SELECT day FROM spine)
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT event_type, day, v, cnt,
+       |    SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY v) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY event_type, day) AS n
+       |  FROM fanned)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS BIGINT)
+       |    AS p90_cents,
+       |  CAST(MAX(n) AS BIGINT) AS n_events
+       |FROM ranked GROUP BY 1, 2
+       |ORDER BY event_type, day""".stripMargin
+
   // `q_kmv_intersect`: KMV sketch set algebra (theta-sketch style)
 
   /** The two user populations whose overlap is estimated. */

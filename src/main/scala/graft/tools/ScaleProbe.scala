@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence probes that measure INTERNAL volumes the wall-clock
+  * soak can only argue about (VERDICT r8 items 5-6).
+  *
+  * {{{
+  * sbt "runMain graft.tools.ScaleProbe fuzzy dir1 dir2 ..."
+  *   — candidate-pair volume of the fuzzy join's production blocking
+  *     frame per tier: Σ over blocking keys of c·(c−1)/2 (the exact
+  *     pair count the bk self-join produces before the canonical/
+  *     distance filters). Linear growth across tiers proves the 36·n
+  *     shuffle-floor argument; superlinear means the key domain is
+  *     saturating and the blocking key needs widening.
+  *
+  * sbt "runMain graft.tools.ScaleProbe embrecall dir bands1 bands2 ..."
+  *   — embedding-dedup pairs found per band count at the corpus-
+  *     calibrated band width, with wall time. Recall is reported
+  *     relative to the widest sweep point (more bands only ADD candidate
+  *     coverage, so the widest setting is the best available proxy for
+  *     the full pair set without an n² ground-truth pass).
+  * }}}
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        graft.engine.TempWarehouse.createManaged())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    mode match {
+      case "fuzzy" =>
+        args.drop(1).foreach { dir =>
+          val t0 = System.nanoTime()
+          val row = graft.operators.Joins.fuzzyBlocked(spark, dir)
+            .groupBy(col("bk")).agg(count(lit(1)).as("c"))
+            .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand"),
+              count(lit(1)).as("n_keys"), max(col("c")).as("max_occ"))
+            .head()
+          val n = graft.engine.Tables.customer(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] fuzzy $dir: customers=$n%,d candidates=${row.getLong(0)}%,d " +
+            f"distinct_bk=${row.getLong(1)}%,d max_occupancy=${row.getLong(2)}%,d " +
+            f"cand_per_cust=${row.getLong(0).toDouble / n}%.2f (${dt}%.1f s)")
+        }
+      case "embrecall" =>
+        val dir = args(1)
+        val sweeps = args.drop(2).map(_.toInt)
+        val found = sweeps.map { b =>
+          val t0 = System.nanoTime()
+          val pairs = graft.operators.Similarity
+            .dedupEmbeddingWith(spark, dir, b).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
+          println(f"[probe] embrecall $dir bands=$b: pairs=$pairs%,d (${dt}%.1f s)")
+          b -> pairs
+        }
+        val base = found.map(_._2).max.toDouble
+        found.foreach { case (b, p) =>
+          println(f"[probe] embrecall $dir bands=$b: relative_recall=${p / base * 100}%.1f%%")
+        }
+      case other =>
+        System.err.println(s"unknown probe: $other")
+        sys.exit(1)
+    }
+    spark.stop()
+  }
+}

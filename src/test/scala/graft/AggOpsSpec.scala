@@ -66,4 +66,33 @@ class AggOpsSpec extends AnyFunSuite {
     val total = cube(("(all)", "(all)"))._1
     assert(total === graft.engine.Tables.documents(spark, sfDir).count())
   }
+  test("itemsets3: Apriori property holds — every reported triple's sub-pairs are frequent") {
+    val sfDir = "/root/testdata/sf0.001"
+    val spark2 = TestSpark.spark
+    val tri = Aggregates.itemsets3Q(spark2, sfDir).collect()
+    assert(tri.nonEmpty, "no frequent triples at sf0.001")
+    // recompute L2 support directly and check every sub-pair clears the gate
+    val ob = graft.engine.Tables.lineitem(spark2, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p_partkey"))
+      .join(graft.engine.Tables.part(spark2, sfDir)
+        .select(col("p_partkey"), col("p_brand")), Seq("p_partkey"))
+      .select(col("ok"), col("p_brand").as("b")).distinct()
+    val baskets = ob.collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val nOrders = baskets.size
+    def support(items: Set[String]): Long =
+      baskets.count { case (_, bs) => items.subsetOf(bs) }.toLong
+    tri.foreach { r =>
+      val (a, b, c) = (r.getString(0), r.getString(1), r.getString(2))
+      // ordering canonical
+      assert(a < b && b < c, s"triple not canonical: ($a,$b,$c)")
+      // reported support is the true triple support
+      assert(r.getLong(3) === support(Set(a, b, c)), s"support of ($a,$b,$c)")
+      // Apriori: each sub-pair at least as frequent as the triple, and frequent
+      Seq(Set(a, b), Set(a, c), Set(b, c)).foreach { pair =>
+        assert(support(pair) >= r.getLong(3))
+        assert(support(pair) * 1000 >= nOrders * Aggregates.Itemset3MinPermille)
+      }
+    }
+  }
 }

@@ -209,6 +209,31 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"banding recall $recall (${found.size}/${exact.size})")
   }
 
+  test("containment: prefix filter is lossless vs brute force, and the relation is directed") {
+    val sfDir = "/root/testdata/sf0.001"
+    val found = Dedup.dedupContainmentQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force the same spec: every ordered pair sharing >=1 shingle,
+    // exact set intersection over the hashed shingle arrays
+    val sets = Dedup.shingled(
+      graft.engine.Tables.documents(spark, sfDir))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && (sa & sb).size * Dedup.ContainDen >= sa.size * Dedup.ContainNum
+    } yield (a, b)).toSet
+    assert(found === brute,
+      s"prefix filter diverged: missing=${(brute -- found).take(3)} " +
+        s"extra=${(found -- brute).take(3)}")
+    // directionality: the pair set is NOT forced symmetric (containment
+    // of a short doc in a long one rarely reverses); assert at least one
+    // one-way pair exists in the fixture so the asymmetry is exercised
+    assert(found.nonEmpty, "fixture has no containment pairs")
+    assert(found.exists { case (a, b) => !found.contains((b, a)) },
+      "every pair symmetric — fixture no longer exercises directedness")
+  }
+
   test("ngram df-cap drops stop-shingles: universally shared text can't pair") {
     // one shingle shared by MORE than DfCap docs is a stop-shingle; docs
     // sharing ONLY it generate no candidates

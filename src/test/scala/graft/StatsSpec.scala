@@ -348,4 +348,31 @@ class StatsSpec extends AnyFunSuite {
     val byN = rows.sortBy(_._2)
     assert(byN.head._3 >= byN.last._3)
   }
+  test("trailing p90: histogram fan-out equals a direct per-window recomputation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val spark2 = TestSpark.spark
+    val got = Stats.trailingP90Q(spark2, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // direct recomputation: for each (type, day), gather raw cents of the
+    // trailing 7 days and take min v with cum >= ceil(0.9 n)
+    val raw = graft.engine.Tables.events(spark2, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val days = raw.map(_._2).distinct
+    val expected = (for {
+      t <- raw.map(_._1).distinct; day <- days
+      vs = raw.filter { case (tt, d, _) =>
+        tt == t && !d.isAfter(day) && d.isAfter(day.minusDays(Stats.TrailP90Days))
+      }.map(_._3).sorted
+      if vs.nonEmpty
+    } yield {
+      val n = vs.length
+      val rank = (9 * n + 9) / 10 // ceil(0.9 n)
+      (t, day.toString) -> (vs(rank - 1), n.toLong)
+    }).toMap
+    assert(got === expected,
+      s"mismatch sample: ${(expected.toSet -- got.toSet).take(2)} vs ${(got.toSet -- expected.toSet).take(2)}")
+  }
 }
