@@ -448,9 +448,8 @@ object Relational {
     * types natively (no textual re-parse) and the read prunes to the three
     * referenced columns + pushes the status filter into the ORC reader
     * (footer/stripe statistics — the parquet pushdown story, same
-    * discipline). Avro is NOT represented: the spark-avro module is not on
-    * this deployment's classpath, and the public-knowledge rule forbids
-    * inventing a substitute codec. */
+    * discipline). The Avro leg runs through the Avro CORE library (the
+    * spark-avro DATASOURCE is not deployed) — see [[avroRoundtripQ]]. */
   def orcRoundtripQ(spark: SparkSession, sfDir: String): DataFrame = {
     val path = fixturePath("orc", sfDir)
     Tables.orders(spark, sfDir)
@@ -503,6 +502,124 @@ object Relational {
   }
 
   val jsonlRoundtripOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+      |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------------------
+  // `q_avro_roundtrip` (X188): the Avro leg of the format matrix
+  // ------------------------------------------------------------------
+
+  /** Avro record schema for the roundtrip projection — built as JSON text
+    * because the JSON string (not the parsed `Schema`) is what rides into
+    * executor closures: Schema parses locally on each side, no
+    * serialization assumptions. */
+  private val AvroOrdersSchemaJson: String =
+    """{"type":"record","name":"orders","fields":[
+      |{"name":"o_orderkey","type":"long"},
+      |{"name":"o_orderstatus","type":"string"},
+      |{"name":"o_totalprice","type":"double"},
+      |{"name":"d","type":"string"}]}""".stripMargin.replace("\n", "")
+
+  /** `q_avro_roundtrip`: the AVRO leg of the interchange matrix (CSV /
+    * ORC / JSONL above). Earlier rounds recorded this leg absent because
+    * the `spark-avro` DATASOURCE is not deployed — but the Avro CORE
+    * library (`org.apache.avro`, the public Apache artifact Spark itself
+    * ships for its shuffle/IPC uses) is, and the container format needs
+    * nothing more: the write side streams each partition through a
+    * `DataFileWriter[GenericRecord]` into one object-container file per
+    * partition (snappy-coded, schema embedded in the header — the
+    * interchange contract that makes `.avro` self-describing), and the
+    * read side walks the container blocks with `DataFileReader`. Both
+    * halves run EXECUTOR-side (one task per file; the driver only lists
+    * the directory — the file-split scheduling shape of every other
+    * source here). Same rollup and oracle as the other legs, so the four
+    * format gates stay directly comparable; a record dropped or a double
+    * re-encoded breaks the hash.
+    *
+    * Scale notes: Avro containers are SPLITTABLE by sync markers, so a
+    * production reader would hand block ranges to tasks the way the
+    * parquet reader hands row groups; one-file-per-task is the right
+    * granularity at the fixture's size and keeps the reader dependency-
+    * free. Local `java.io` is the storage seam (this deployment's
+    * warehouse is a local path everywhere else too); an object-store
+    * deployment swaps the stream constructors, not the operator. */
+  def avroRoundtripQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val path = fixturePath("avro", sfDir)
+    val dir = new java.io.File(path)
+    // overwrite semantics: clear prior fixture files (run-unique temp root)
+    if (dir.isDirectory)
+      dir.listFiles().foreach(f => { f.delete(); () })
+    dir.mkdirs()
+    val schemaJson = AvroOrdersSchemaJson
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+    // WRITE: one container file per partition, executor-side
+    src.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      w.create(schema, new java.io.File(f"$path/part-$idx%05d.avro"))
+      var n = 0L
+      rows.foreach { r =>
+        val rec = new GenericData.Record(schema)
+        rec.put("o_orderkey", r.getLong(0))
+        rec.put("o_orderstatus", r.getString(1))
+        rec.put("o_totalprice", r.getDouble(2))
+        rec.put("d", r.getString(3))
+        w.append(rec); n += 1
+      }
+      w.close()
+      Iterator.single(n)
+    }.count() // materialize the write (count of partitions, not rows)
+    // READ: list container files on the driver, parse blocks per task
+    val files = dir.listFiles().map(_.getAbsolutePath)
+      .filter(_.endsWith(".avro")).sorted
+    val rowsRdd = spark.sparkContext
+      .parallelize(files.toIndexedSeq, files.length.max(1))
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val schema = new Schema.Parser().parse(schemaJson)
+          val rd = new DataFileReader[GenericRecord](
+            new java.io.File(p), new GenericDatumReader[GenericRecord](schema))
+          val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          while (rd.hasNext) {
+            val rec = rd.next()
+            out += org.apache.spark.sql.Row(
+              rec.get("o_orderkey").asInstanceOf[Long],
+              rec.get("o_orderstatus").toString, // Utf8 → String
+              rec.get("o_totalprice").asInstanceOf[Double],
+              rec.get("d").toString)
+          }
+          rd.close()
+          out.iterator
+        }
+      }
+    spark.createDataFrame(rowsRdd, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.StringType))))
+      .groupBy(col("o_orderstatus"))
+      .agg(Num.countStar.as("n"),
+        Num.sumMoney(col("o_totalprice")).as("total_price"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val avroRoundtripOracle: String =
     """SELECT o_orderstatus, COUNT(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS total_price,
