@@ -46,4 +46,9 @@ object Num {
     * which is ≥ 0. */
   def divLong(x: Column, d: Long): Column =
     call_function("div", x, lit(d)).cast("long")
+
+  /** Column-divisor overload — same exact integral `div`, for divisors
+    * computed in the plan (e.g. a broadcast corpus total). */
+  def divLong(x: Column, d: Column): Column =
+    call_function("div", x, d).cast("long")
 }

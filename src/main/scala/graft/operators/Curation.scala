@@ -935,4 +935,224 @@ object Curation {
        |    - 1.0 AS err
        |FROM counts JOIN rev USING (c_mktsegment)
        |ORDER BY segment""".stripMargin
+  // ------------------------------------------------------------------
+  // `q_quality_waterfall` (X189): first-fail filter-rule accounting
+  // ------------------------------------------------------------------
+
+  /** Waterfall bounds — integer cross-multiplied at compare time so the
+    * thresholds are exact on both engines. */
+  val WfMinWords = 16
+  val WfMaxWords = 95
+  val WfMeanLenMaxTenths = 48 // mean word length ≤ 4.8 chars
+  val WfMinStopwords = 1
+
+  /** `q_quality_waterfall`: Gopher/C4-style quality filtering as a
+    * WATERFALL — ordered rules, each document charged to the FIRST rule
+    * that rejects it, with per-rule kill counts, corpus share, and the
+    * cumulative survivor count after each stage. X9 (`q_quality_score`)
+    * scores documents; a production cleaning pipeline additionally needs
+    * this accounting form — "which rule costs how much corpus" is what a
+    * data engineer tunes against (the published C4/Gopher/RefinedWeb
+    * pipelines all report exactly this waterfall), and charging to the
+    * first failing rule makes the stages sum to the corpus, unlike
+    * per-rule independent counts that double-bill a doc failing two
+    * rules.
+    *
+    * Rules (ordered): too_short (< 16 words), too_long (> 95),
+    * mean_word_len (> 4.8 chars/word — templated/codey text),
+    * low_stopword (< 1 of the corpus stopwords: function-word absence =
+    * non-prose). Every ratio compare is integer cross-multiplied
+    * (chars·10 > 48·words; never a double threshold), so the gate is
+    * exact cross-engine.
+    *
+    * Scale shape: ONE narrow codegen pass computes all rule inputs per
+    * doc (no shuffle until the final rules-bounded groupBy), the
+    * waterfall CASE is a per-row expression, and the output is
+    * |rules|+1 rows — the cumulative column comes from a window over
+    * that bounded frame, not the data. */
+  def qualityWaterfallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = graft.engine.Text.words
+    val nWords = size(col("ws")).cast("long")
+    val nChars = aggregate(transform(col("ws"), w => length(w)),
+      lit(0L), (acc, x) => acc + x)
+    val nStop = size(filter(col("ws"),
+      w => w.isin(graft.operators.TextAnalysis.Stopwords: _*))).cast("long")
+    val outcome = when(nWords < WfMinWords, "1_too_short")
+      .when(nWords > WfMaxWords, "2_too_long")
+      .when(nChars * 10 > nWords * WfMeanLenMaxTenths, "3_mean_word_len")
+      .when(nStop < WfMinStopwords, "4_low_stopword")
+      .otherwise("5_pass")
+    val total = Tables.documents(spark, sfDir)
+      .agg(Num.countStar.as("n_total"))
+    val byStage = Window.orderBy(col("outcome"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(outcome.as("outcome"), nWords.as("nw"))
+      .groupBy(col("outcome"))
+      .agg(Num.countStar.as("n_docs"), sum(col("nw")).as("n_words_total"))
+      .crossJoin(broadcast(total))
+      .withColumn("pct_of_corpus",
+        floor(col("n_docs") * 1000000.0 / col("n_total") + 0.5) / 10000.0)
+      .withColumn("killed_so_far",
+        sum(when(col("outcome") =!= "5_pass", col("n_docs"))
+          .otherwise(lit(0L))).over(byStage))
+      .select(col("outcome"), col("n_docs"), col("n_words_total"),
+        col("pct_of_corpus"),
+        (col("n_total") - col("killed_so_far")).as("survivors_after"))
+      .orderBy(col("outcome"))
+  }
+
+  val qualityWaterfallOracle: String = {
+    val stopIn = graft.operators.TextAnalysis.Stopwords
+      .map(s => s"'$s'").mkString(", ")
+    val wordsSql = graft.engine.Text.wordsSql
+    s"""WITH d AS (
+       |  SELECT doc_id, $wordsSql AS ws FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+       |    CAST(list_reduce(list_prepend(0, list_transform(ws,
+       |      w -> length(w))), (a, b) -> a + b) AS BIGINT) AS nc,
+       |    CAST(len(list_filter(ws, w -> w IN ($stopIn))) AS BIGINT)
+       |      AS nstop
+       |  FROM d),
+       |o AS (
+       |  SELECT CASE
+       |    WHEN nw < ${WfMinWords} THEN '1_too_short'
+       |    WHEN nw > ${WfMaxWords} THEN '2_too_long'
+       |    WHEN nc * 10 > nw * ${WfMeanLenMaxTenths} THEN '3_mean_word_len'
+       |    WHEN nstop < ${WfMinStopwords} THEN '4_low_stopword'
+       |    ELSE '5_pass' END AS outcome, nw
+       |  FROM m),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM o),
+       |g AS (
+       |  SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(nw) AS BIGINT) AS n_words_total
+       |  FROM o GROUP BY 1)
+       |SELECT outcome, n_docs, n_words_total,
+       |  floor(n_docs * 1000000.0 / n_total + 0.5) / 10000.0
+       |    AS pct_of_corpus,
+       |  n_total - CAST(SUM(CASE WHEN outcome <> '5_pass' THEN n_docs
+       |    ELSE 0 END) OVER (ORDER BY outcome
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS survivors_after
+       |FROM g, t ORDER BY outcome""".stripMargin
+  }
+  // ------------------------------------------------------------------
+  // `q_shard_assign` (X190): deterministic training-shard assignment
+  // ------------------------------------------------------------------
+
+  val ShardCount = 16
+
+  /** `q_shard_assign`: the WRITE side of a training run — deal the corpus
+    * into [[ShardCount]] shards by a salted content-independent hash of
+    * the document key and account each shard's budget (docs, tokens,
+    * chars) plus its per-mille deviation from the mean token load. The
+    * deviation column is what a data engineer actually reads: a skewed
+    * shard stalls the trailing data-parallel rank every epoch, so "how
+    * unbalanced is the deal" must be part of the artifact, not a
+    * separate query. Hash-dealing (vs round-robin) keeps assignment
+    * STABLE under corpus append — adding documents never moves an
+    * existing one (the property that lets shard-level dedup/packing
+    * caches survive incremental rebuilds).
+    *
+    * Scale: one narrow pass computes (shard, tokens, chars) per doc, one
+    * |shards|-bounded aggregate, and the mean joins back as a broadcast
+    * 1-row frame. Deterministic cross-engine by the md5/conv salt idiom
+    * (X31's split discipline); deviation is integer per-mille via
+    * divLong, never a double ratio. */
+  def shardAssignQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = graft.engine.Text.words
+    val shard = pmod(
+      conv(substring(md5(concat(lit("shard"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(ShardCount.toLong))
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(shard.as("shard"),
+        size(ws).cast("long").as("nw"),
+        length(col("text")).cast("long").as("nc"))
+    val shards = perDoc.groupBy(col("shard"))
+      .agg(Num.countStar.as("n_docs"), sum(col("nw")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"))
+    val mean = shards.agg(
+      sum(col("n_tokens")).as("tok_total"),
+      Num.countStar.as("n_shards"))
+    shards.crossJoin(broadcast(mean))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        // |n_tokens·n_shards − tok_total| · 1000 / tok_total, floored —
+        // exact integer per-mille deviation from the mean token load
+        Num.divLong(
+          abs(col("n_tokens") * col("n_shards") - col("tok_total")) * 1000,
+          col("tok_total")).as("dev_permille"))
+      .orderBy(col("shard"))
+  }
+
+  val shardAssignOracle: String = {
+    val wordsSql = graft.engine.Text.wordsSql
+    s"""WITH d AS (
+       |  SELECT CAST(concat('0x', substr(md5('shard' || CAST(doc_id AS
+       |      VARCHAR)), 1, 15)) AS BIGINT) % ${ShardCount} AS shard,
+       |    CAST(len($wordsSql) AS BIGINT) AS nw,
+       |    CAST(length(text) AS BIGINT) AS nc
+       |  FROM documents),
+       |g AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(nw) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(nc) AS BIGINT) AS n_chars
+       |  FROM d GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shards FROM g)
+       |SELECT shard, n_docs, n_tokens, n_chars,
+       |  abs(n_tokens * n_shards - tok_total) * 1000 // tok_total
+       |    AS dev_permille
+       |FROM g, t ORDER BY shard""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // `q_ngram_novelty` (X191): first-occurrence novelty curve
+  // ------------------------------------------------------------------
+
+  /** `q_ngram_novelty`: per document (in doc_id ingestion order), the
+    * fraction of its distinct 3-gram shingles NEVER seen in any earlier
+    * document — the novelty curve data-mixing work reads to decide when a
+    * source is mined out (novelty → 0 means additional documents only
+    * repeat the prefix corpus; the published dedup/mixing pipelines
+    * track exactly this saturation signal). Reported as a per-mille
+    * integer so the gate is exact.
+    *
+    * Scale shape: novelty-by-first-occurrence looks sequential but
+    * reduces to one aggregate + one join: each shingle's FIRST owner is
+    * min(doc_id) over its postings (map-side-combined), and a doc's
+    * novel count is how many of those minima land on it. No per-prefix
+    * rescans, no window over the corpus — the 100 TB form is two
+    * shuffles on the shingle key and one on the doc key. */
+  def ngramNoveltyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = graft.engine.Materialize.diskBacked(
+      graft.operators.Dedup.shingled(Tables.documents(spark, sfDir)))
+    val postings = sh.select(col("doc_id"), explode(col("sg")).as("s"))
+    val firstOwner = postings.groupBy(col("s"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val novel = firstOwner.groupBy(col("first_doc").as("doc_id"))
+      .agg(Num.countStar.as("n_novel"))
+    sh.select(col("doc_id"), size(col("sg")).cast("long").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_permille",
+        Num.divLong(col("n_novel") * 1000, col("n_shingles")))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramNoveltyOracle: String =
+    s"""WITH ${graft.operators.Dedup.shingleCteSql},
+       |postings AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+       |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM postings GROUP BY 1),
+       |novel AS (
+       |  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+       |  FROM fo GROUP BY 1)
+       |SELECT sh.doc_id, CAST(len(sh.sg) AS BIGINT) AS n_shingles,
+       |  COALESCE(n.n_novel, 0) AS n_novel,
+       |  COALESCE(n.n_novel, 0) * 1000 // len(sh.sg) AS novelty_permille
+       |FROM sh LEFT JOIN novel n ON n.doc_id = sh.doc_id
+       |ORDER BY sh.doc_id""".stripMargin
 }

@@ -175,4 +175,34 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(rows.sameElements(again))
   }
+  test("quality waterfall: stages partition the corpus, survivors decrease monotonically") {
+    val sfDir = "/root/testdata/sf0.001"
+    val spark2 = TestSpark.spark
+    val rows = Curation.qualityWaterfallQ(spark2, sfDir).collect()
+    val total = graft.engine.Tables.documents(spark2, sfDir).count()
+    // first-fail charging => the stage counts sum to the corpus exactly
+    assert(rows.map(_.getLong(1)).sum === total)
+    // survivor column is non-increasing along the waterfall and ends at the pass count
+    val survivors = rows.map(_.getLong(4))
+    assert(survivors.zip(survivors.tail).forall { case (a, b) => a >= b })
+    assert(rows.last.getString(0) === "5_pass" &&
+      survivors.last === rows.last.getLong(1))
+  }
+
+  test("shard assignment is stable under corpus append (hash-dealt, not round-robin)") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    // the same doc_id lands on the same shard regardless of what else is
+    // in the frame — recompute the hash directly for a sample
+    val got = Curation.shardAssignQ(spark2, "/root/testdata/sf0.001").collect()
+    assert(got.map(_.getLong(0)).toSeq === (0L until Curation.ShardCount.toLong))
+    assert(got.map(_.getLong(1)).sum ===
+      graft.engine.Tables.documents(spark2, "/root/testdata/sf0.001").count())
+    // deviation column is the integer per-mille |n_tokens*S - total|*1000/total
+    val totalTok = got.map(_.getLong(2)).sum
+    got.foreach { r =>
+      val expect = math.abs(r.getLong(2) * Curation.ShardCount - totalTok) * 1000 / totalTok
+      assert(r.getLong(4) === expect, s"shard ${r.getLong(0)} deviation")
+    }
+  }
 }
