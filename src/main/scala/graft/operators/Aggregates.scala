@@ -337,10 +337,18 @@ object Aggregates {
         .dropDuplicates("ok", "b"))
     val nOrders = ob.select(col("ok")).distinct()
       .agg(Num.countStar.as("n_orders"))
-    // L2: support-filtered pairs (i1 < i2), exchange-free on the basket key
-    val l2 = ob.as("x").join(ob.as("y"),
-        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
-      .groupBy(col("x.b").as("i1"), col("y.b").as("i2"))
+    // The basket PAIR frame feeds both L2 (support filter) and the triple
+    // extend — materialize it once (the ob self-join is the op's only
+    // data-sized shuffle; round-9 bench caught the unfenced form running
+    // it twice, 3.6 s → the fenced form halves the heavy work)
+    val pairs = graft.engine.Materialize.diskBacked(
+      ob.as("x").join(ob.as("y"),
+          col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .select(col("x.ok").as("ok"), col("x.b").as("brand_a"),
+          col("y.b").as("brand_b")))
+    // L2: support-filtered pairs (brand-domain bounded)
+    val l2 = pairs
+      .groupBy(col("brand_a").as("i1"), col("brand_b").as("i2"))
       .agg(Num.countStar.as("s2"))
       .crossJoin(broadcast(nOrders))
       .filter(col("s2") * 1000 >= col("n_orders") * Itemset3MinPermille)
@@ -354,10 +362,7 @@ object Aggregates {
         Seq("brand_b", "brand_c"), "left_semi")
     // count ONLY candidate triples: pair step semi-joins L2 first so
     // infrequent brands never fan out, then extend by one item
-    val pairsL2 = ob.as("x").join(ob.as("y"),
-        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
-      .select(col("x.ok").as("ok"), col("x.b").as("brand_a"),
-        col("y.b").as("brand_b"))
+    val pairsL2 = pairs
       .join(broadcast(l2.select(col("i1").as("brand_a"),
         col("i2").as("brand_b"))), Seq("brand_a", "brand_b"), "left_semi")
     pairsL2
