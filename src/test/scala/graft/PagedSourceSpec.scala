@@ -193,6 +193,34 @@ class PagedSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView(sinkName)
   }
 
+  test("DataSourceV2 streaming: a restart resumes from the committed page offset (no re-poll)") {
+    // The reference's timer re-poll only works because the page token
+    // survives across activations; the stream facet's offset must do the
+    // same through a checkpoint. Drain to a FILE sink (recovery-capable),
+    // then restart against the same checkpoint: the second run must find
+    // the offset at the horizon and fetch NOTHING new.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_paged_ckpt_")
+    val out = java.nio.file.Files.createTempDirectory("graft_paged_out_")
+    val opts = Map("chains" -> "3", "rowsPerChain" -> "40",
+      "pageSize" -> "10", "maxPagesPerTrigger" -> "2")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-paged").options(opts).load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out.toString).count() === 120L)
+    // restart: offset is committed at the horizon — zero new rows, and
+    // the sink is not double-appended
+    drain()
+    assert(spark.read.parquet(out.toString).count() === 120L,
+      "restart re-polled already-committed pages")
+  }
+
   test("DataSourceV2: LIMIT caps each chain's page walk (partial pushdown)") {
     val base = spark.read.format("graft.sources.PagedTableProvider")
       .option("chains", "3").option("rowsPerChain", "100")

@@ -915,4 +915,47 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_source_dsv2").contains("BatchScan"),
       "q_source_dsv2 must read through the DataSourceV2 BatchScan")
   }
+  test("round-9 ops: no products, histogram/candidate discipline holds") {
+    // candidate generation and window math never degrade to all-pairs or
+    // data-sized frames. The no-BNLJ assertion applies only to queries
+    // without the 1-row-broadcast crossJoin idiom (itemsets3 / waterfall
+    // / shard_assign broadcast a 1-row totals frame, which PLANS as a
+    // BuildRight-Cross BNLJ of one row — the suite-approved global-moment
+    // pattern, not a product).
+    for (q <- Seq("q_dedup_containment", "q_itemsets3", "q_trailing_p90",
+        "q_quality_waterfall", "q_ngram_novelty", "q_shard_assign")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plan contains a cartesian product:\n$p")
+    }
+    for (q <- Seq("q_dedup_containment", "q_trailing_p90",
+        "q_ngram_novelty")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a nested-loop join:\n$p")
+    }
+    // itemsets3: the L2 membership and candidate checks must be
+    // broadcast semi-joins (infrequent brands pruned map-side, the
+    // Apriori point), and the triple extend must not re-shuffle the
+    // basket key it inherited from the materialized pair frame
+    val i3 = plan("q_itemsets3")
+    assert(i3.contains("BroadcastHashJoin") &&
+      i3.matches("(?s).*BroadcastHashJoin.*LeftSemi.*"),
+      s"itemsets3 must prune via broadcast semi-joins:\n$i3")
+    // trailing p90: the rank walk windows over the fanned histogram —
+    // whose key is (event_type, day) — never over raw event rows
+    val tp = plan("q_trailing_p90")
+    assert(tp.matches(
+      "(?s).*Window.*windowspecdefinition\\(event_type#\\d+, day#\\d+,.*"),
+      s"trailing p90 window must partition by (event_type, day):\n$tp")
+  }
+
+  test("q_avro_roundtrip aggregates through the same rollup shape as the other legs") {
+    // the avro leg runs through RDD scan nodes (core-library reader);
+    // the aggregate must still be two-phase (map-side partial + final),
+    // whatever physical form the planner picks for the decimal sum
+    val p = plan("q_avro_roundtrip")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"avro rollup lost its map-side partial aggregation:\n$p")
+  }
 }
