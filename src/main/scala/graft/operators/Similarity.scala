@@ -892,6 +892,127 @@ object Similarity {
        |WHERE rank <= ${TopK}
        |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // `q_ann_recall` (X192) / `q_ndcg` (X193): index-quality evaluation
+  // ------------------------------------------------------------------
+
+  /** Rank discounts 1/log₂(i+1) for i = 1..AnnTopK, and their prefix
+    * sums, PRECOMPUTED to double literals embedded in both engines'
+    * expressions — log() is libm-dependent and must never be evaluated
+    * inside either engine (the planeWeights discipline applied to NDCG
+    * weights). */
+  private val RankDiscounts: IndexedSeq[Double] =
+    (1 to AnnTopK).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val DiscountPrefix: IndexedSeq[Double] =
+    RankDiscounts.scanLeft(0.0)(_ + _).tail
+
+  /** `q_ann_recall`: recall@k of the LSH index against the exact top-k —
+    * EVALUATION as a first-class operator, built by JOINING two gated
+    * operators' outputs (X8's index ranking vs X3's brute-force truth).
+    * An index you cannot measure inside the engine gets measured never
+    * or wrong; this is the recall half of the SCALING.md band-dial work
+    * promoted into the gated surface. Per query: hits in the exact
+    * top-k, exact k, and integer per-mille recall.
+    *
+    * Scale: both inputs are the already-audited query-bounded plans;
+    * the evaluation join is (queries × k)-sized — nothing data-sized is
+    * added. The exact side is the oracle-affordable truth at gate scale;
+    * at corpus scale the same operator runs against a held-out labeled
+    * sample (the standard recall-estimation protocol). */
+  def annRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = annLshQ(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id"))
+    val exact = cosineTopkQ(spark, sfDir)
+      .filter(col("rank") <= AnnTopK)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(lsh, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(Num.countStar.as("n_hits"))
+    exact.groupBy(col("q_id")).agg(Num.countStar.as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_permille",
+        Num.divLong(col("n_hits") * 1000, col("n_exact")))
+      .orderBy(col("q_id"))
+  }
+
+  val annRecallOracle: String =
+    s"""WITH lsh AS ($annLshOracle),
+       |exact AS ($cosineTopkOracle),
+       |ek AS (SELECT q_id, neighbor_id FROM exact WHERE rank <= ${AnnTopK}),
+       |hits AS (
+       |  SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ek e JOIN lsh l
+       |    ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY 1),
+       |base AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM ek GROUP BY 1)
+       |SELECT b.q_id, b.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) * 1000 // b.n_exact AS recall_permille
+       |FROM base b LEFT JOIN hits h USING (q_id) ORDER BY q_id""".stripMargin
+
+  /** `q_ndcg`: NDCG@k of the LSH ranking under label relevance (a
+    * retrieved neighbor is relevant iff it shares the query's class
+    * label) — the graded companion to [[annRecallQ]]: recall asks "did
+    * the right ids surface", NDCG asks "were they ranked FIRST". IDCG
+    * uses the retrieved-set convention (ideal reordering of the k
+    * retrieved relevances), so the metric is self-contained per query;
+    * zero relevant retrieved defines ndcg = 0. All discount arithmetic
+    * uses the precomputed literal weights — no log() in either engine.
+    *
+    * Scale: the ranking is X8's query-bounded plan; labels join on the
+    * (queries × k) result and the per-query fold is a k-bounded
+    * aggregate. */
+  def ndcgQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val discounts = array(RankDiscounts.map(lit): _*)
+    val prefix = array(DiscountPrefix.map(lit): _*)
+    annLshQ(spark, sfDir)
+      .join(broadcast(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"))), Seq("q_id"))
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))), Seq("neighbor_id"))
+      .select(col("q_id"),
+        when(col("q_label") === col("n_label"), 1L).otherwise(0L).as("rel"),
+        element_at(discounts, col("rank").cast("int")).as("disc"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(col("rel") * col("disc")).as("dcg"))
+      .select(col("q_id"), col("n_rel"),
+        floor(col("dcg") * 10000.0 + 0.5) / 10000.0 as "dcg",
+        when(col("n_rel") === 0L, lit(0.0)).otherwise(
+          floor(col("dcg") /
+            element_at(prefix, greatest(col("n_rel").cast("int"), lit(1)))
+            * 10000.0 + 0.5) / 10000.0).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
+  val ndcgOracle: String = {
+    val dList = RankDiscounts.mkString("[", ", ", "]")
+    val pList = DiscountPrefix.mkString("[", ", ", "]")
+    s"""WITH lsh AS ($annLshOracle),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |scored AS (
+       |  SELECT l.q_id,
+       |    CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel,
+       |    ($dList)[l.rank] AS disc
+       |  FROM lsh l
+       |  JOIN lab ql ON ql.vec_id = l.q_id
+       |  JOIN lab nl ON nl.vec_id = l.neighbor_id),
+       |g AS (
+       |  SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+       |    SUM(rel * disc) AS dcg
+       |  FROM scored GROUP BY 1)
+       |SELECT q_id, n_rel,
+       |  floor(dcg * 10000.0 + 0.5) / 10000.0 AS dcg,
+       |  CASE WHEN n_rel = 0 THEN 0.0 ELSE
+       |    floor(dcg / ($pList)[CAST(greatest(n_rel, 1) AS INTEGER)]
+       |      * 10000.0 + 0.5) / 10000.0 END AS ndcg
+       |FROM g ORDER BY q_id""".stripMargin
+  }
+
   /** Quantization levels (int8 code space). */
   val QuantLevels = 256
 
