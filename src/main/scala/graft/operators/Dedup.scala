@@ -465,6 +465,74 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // `q_dedup_purgelist` (X194): cluster → keep/purge ACTIONS
+  // ------------------------------------------------------------------
+
+  /** `q_dedup_purgelist`: the ACTIONABLE half of near-dup clustering —
+    * X45 labels each doc with its component, but a pipeline executes a
+    * DELETE list, not a labeling: per cluster, keep ONE canonical
+    * representative (longest text wins — the standard keep-the-richest
+    * rule; ties break to the smaller doc_id for determinism) and emit
+    * every other member as a purge row naming the doc it duplicates.
+    * Singleton docs never appear (nothing to purge), so the output IS
+    * the delete set a D1-style partition rewrite consumes.
+    *
+    * Plan: the component labeling is X45's size-adaptive CC; the rep
+    * choice is one max_by-shaped aggregate over (cluster → (n_chars,
+    * −doc_id)) and a broadcast-back join — cluster-bounded, nothing
+    * data-sized beyond the labeling it already shares. */
+  def dedupPurgelistQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val labeled = connectedComponents(spark,
+      minhashPairs(docs).select(col("doc_a"), col("doc_b")),
+      LocalCcMaxEdges)
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    // canonical rep per cluster: longest text, ties to the smaller id —
+    // arg-max on the packed score n_chars·10^10 − doc_id (exact int64:
+    // chars ≤ 10^5, ids ≪ 10^10 at any soak tier; the identical packed
+    // expression runs on both engines, so tie-breaking matches exactly)
+    val reps = labeled.groupBy(col("cluster_rep"))
+      .agg(max_by(col("doc_id"),
+        col("n_chars") * lit(10000000000L) - col("doc_id")).as("keep_doc"))
+    labeled.join(broadcast(reps), Seq("cluster_rep"))
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id").as("purge_doc"), col("keep_doc"),
+        col("cluster_rep"), col("n_chars").as("purge_chars"))
+      .orderBy(col("purge_doc"))
+  }
+
+  /** Oracle: X45's recursive-CC CTE extended with the same arg-max. */
+  val dedupPurgelistOracle: String =
+    s"""WITH RECURSIVE $minhashCteSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${JaccardThreshold}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+       |), labeled AS (
+       |  SELECT r.node AS doc_id, MIN(r.label) AS cluster_rep
+       |  FROM reach r GROUP BY 1
+       |), sized AS (
+       |  SELECT l.doc_id, l.cluster_rep, d.n_chars
+       |  FROM labeled l JOIN documents d ON d.doc_id = l.doc_id
+       |), reps AS (
+       |  SELECT cluster_rep,
+       |    arg_max(doc_id, n_chars * 10000000000 - doc_id) AS keep_doc
+       |  FROM sized GROUP BY 1
+       |)
+       |SELECT s.doc_id AS purge_doc, r.keep_doc, s.cluster_rep,
+       |  s.n_chars AS purge_chars
+       |FROM sized s JOIN reps r USING (cluster_rep)
+       |WHERE s.doc_id <> r.keep_doc
+       |ORDER BY purge_doc""".stripMargin
+
+  // ------------------------------------------------------------------
   // `q_dedup_ngram`: exact n-gram-Jaccard near-dup detection with an
   // INVERTED-INDEX candidate generator — the other scalable candidate
   // pattern beside MinHash banding. Posting lists are built per shingle,
