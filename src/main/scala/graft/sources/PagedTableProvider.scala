@@ -174,16 +174,59 @@ private class PagedTable(properties: util.Map[String, String])
     }
 }
 
+/** Test-observability seam for the runtime-filter path: execution-time
+  * pruning happens inside Spark's BatchScanExec re-plan, so the spec
+  * reads the recorded post-filter chain count instead of guessing from
+  * metrics. */
+private[graft] object PagedScanProbe {
+  @volatile var lastRuntimeKept: Option[Int] = None
+}
+
 private class PagedScan(c: PagedTableProvider.Conf, required: StructType,
     keepChains: Option[Set[String]], limit: Option[Int])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  // Planning-time chain set, further refined by RUNTIME filters: the
+  // dynamic-partition-pruning analogue for a remote collection — a
+  // broadcast join whose build side resolves to few chains hands the
+  // scan an IN-filter at EXECUTION time, and whole chains drop before a
+  // single transport call is issued (listing-time pruning, but with
+  // values only the running query knows). Mirrors what DPP does for
+  // Hive-partitioned parquet; for a quota-billed API it is quota saved,
+  // not just I/O.
+  @volatile private var effectiveChains: Option[Set[String]] = keepChains
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("chain"))
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val sets = predicates.flatMap { p =>
+      val litStrings = p.children().collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case s: String => s
+          case other => other.toString
+          }
+      }
+      p.name() match {
+        case "IN" | "=" if litStrings.nonEmpty => Some(litStrings.toSet)
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty) {
+      val runtime = sets.reduce(_ intersect _)
+      effectiveChains = Some(effectiveChains.fold(runtime)(_ intersect runtime))
+    }
+    PagedScanProbe.lastRuntimeKept = Some(
+      (0 until c.chains).count(i => effectiveChains.forall(_.contains(s"c$i"))))
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // one partition per chain — chains schedule like file splits; pushed
   // chain predicates drop whole chains before they become partitions
   override def planInputPartitions(): Array[InputPartition] =
     (0 until c.chains)
-      .filter(i => keepChains.forall(_.contains(s"c$i")))
+      .filter(i => effectiveChains.forall(_.contains(s"c$i")))
       .map(i =>
         ChainPartition(i, c, required.fieldNames, limit): InputPartition)
       .toArray

@@ -193,6 +193,33 @@ class PagedSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView(sinkName)
   }
 
+  test("DataSourceV2: a broadcast join runtime-filters chains before any transport call") {
+    // DPP for a remote collection: the build side of a broadcast join
+    // resolves to few chains at EXECUTION time, and SupportsRuntimeV2
+    // Filtering hands the scan that IN-set — whole chains drop before a
+    // single page is requested (for a quota-billed API, quota saved).
+    graft.sources.PagedScanProbe.lastRuntimeKept = None
+    val base = spark.read.format("graft-paged")
+      .option("chains", "6").option("rowsPerChain", "100")
+      .option("pageSize", "10").load()
+    // DPP's planner heuristic requires a SELECTIVE predicate on the
+    // build side (an unfiltered dim is assumed non-pruning), and the dim
+    // must be RDD-backed — a LocalRelation folds the filter away before
+    // the pruning rule can see it. Production shape: dim filtered by the
+    // query, fact pruned by the surviving keys.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val dim = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("c4", 1), Row("c5", 2))),
+      StructType(Seq(StructField("chain", StringType),
+        StructField("grp", IntegerType))))
+      .filter(col("grp") === 1)
+    val joined = base.join(broadcast(dim), Seq("chain"))
+    assert(joined.count() === 100L)
+    assert(graft.sources.PagedScanProbe.lastRuntimeKept === Some(1),
+      "runtime filter did not prune to the single joined chain")
+  }
+
   test("DataSourceV2 streaming: a restart resumes from the committed page offset (no re-poll)") {
     // The reference's timer re-poll only works because the page token
     // survives across activations; the stream facet's offset must do the
