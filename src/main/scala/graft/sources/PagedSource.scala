@@ -301,6 +301,60 @@ object PagedSource {
       .orderBy(col("chain"))
   }
 
+  // ------------------------------------------------------------------
+  // `q_source_stream_enrich`: stream-static join THROUGH the connector
+  // ------------------------------------------------------------------
+
+  val EnrichChains = 5
+  val EnrichRowsPerChain = 200L // ids partition 0..999 exactly once
+
+  /** `q_source_stream_enrich`: the reference's fetch-then-enrich loop
+    * (page the API, join each batch against a warehouse dimension —
+    * `function_app.py`'s per-batch region/keyword annotation) as a
+    * STREAM-STATIC JOIN through the connector's micro-batch facet: the
+    * paged stream broadcast-joins the `nation` dim INSIDE the streaming
+    * query (per micro-batch, the X118 enrich discipline), the enriched
+    * rows drain AvailableNow to a memory sink, and the gate aggregates
+    * the drain per nation. The connector's closed-form ids partition
+    * 0..chains·R−1 exactly once, so the oracle is a range() join against
+    * the REAL nation table — half arithmetic, half warehouse data: a
+    * page lost in any micro-batch, a join dropped on a batch boundary,
+    * or a double-enriched retry all break the hash. */
+  def sourceStreamEnrichQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val sinkName = "graft_source_stream_enrich_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val dim = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    val stream = spark.readStream.format("graft-paged")
+      .option("chains", EnrichChains.toString)
+      .option("rowsPerChain", EnrichRowsPerChain.toString)
+      .option("pageSize", "30")
+      .option("maxPagesPerTrigger", "2")
+      .load()
+      .select(col("id"))
+      .join(broadcast(dim), col("id") % 25 === col("nk"))
+    val query = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .groupBy(col("n_name").as("nation"))
+      .agg(Num.countStar.as("n_rows"), sum(col("id")).as("id_sum"))
+      .orderBy(col("nation"))
+  }
+
+  /** Oracle: the connector's ids are exactly 0..chains·R−1, so the
+    * enriched rollup prices as a range() join against nation. */
+  val sourceStreamEnrichOracle: String =
+    s"""SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(t.i) AS BIGINT) AS id_sum
+       |FROM range(0, ${EnrichChains * EnrichRowsPerChain}) AS t(i)
+       |JOIN nation n ON t.i % 25 = n.n_nationkey
+       |GROUP BY 1 ORDER BY nation""".stripMargin
+
   /** Table-free arithmetic oracle: identical pricing to the batch DSv2
     * gate at the stream's constants — the stream facet must change
     * NOTHING about what is read, only when. */
