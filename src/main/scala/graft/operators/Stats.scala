@@ -365,6 +365,76 @@ object Stats {
        |  FROM regs GROUP BY 2),
        |${hllEstimateSql("allregs")}""".stripMargin
 
+  /** Trailing window width for the rolling sketch (days). */
+  val RollingHllDays = 7
+
+  /** `q_rolling_hll` (X196): trailing-7-day DISTINCT USERS per day by
+    * HLL register merge — the scalable form of the rolling-MAU family.
+    * X109's WAU expands exact (user, day) activity ×7 — correct, but the
+    * shuffle carries user-cardinality rows; a COUNT(DISTINCT) has no
+    * per-day scalar algebra, so the exact form is the expensive one at
+    * warehouse scale. Sketches restore the algebra: ONE fold to ≤64
+    * registers per day, each register row fans to the ≤7 target days it
+    * serves (the X187 histogram fan-out applied to sketch state), and
+    * per-day max-merge yields the sketch OF THE UNION of the 7 daily
+    * user sets exactly (max is associative/commutative — X62's law, used
+    * on a sliding window). Everything after the first fold is
+    * (days × 64)-sized. Deterministic cross-engine like X56: fixed md5
+    * hash, exact-integer harmonic denominator, one closing division by a
+    * shared literal numerator — the "approximate" estimate hash-gates
+    * bit-exact; StatsSpec calibrates it against the exact trailing
+    * distinct. */
+  def rollingHllQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = graft.engine.Materialize.diskBacked(
+      hllRegs(Tables.events(spark, sfDir),
+        to_date(col("ts")), col("user_id"), "rw"))
+    val spine = daily.select(col("g").as("day")).distinct()
+    val fanned = daily
+      .select(explode(sequence(col("g"),
+        date_add(col("g"), RollingHllDays - 1))).as("day"),
+        col("bucket"), col("reg"))
+      .join(spine, Seq("day"), "left_semi")
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    hllEstimate(fanned.withColumnRenamed("day", "g"))
+      .select(date_format(col("g"), "yyyy-MM-dd").as("day"),
+        col("buckets_hit"), col("s_int"), col("est_hll"))
+      .orderBy(col("day"))
+  }
+
+  val rollingHllOracle: String = {
+    val div = 1L << HllRestBits
+    val full = 1L << (HllRestBits + 1)
+    s"""WITH h AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |    CAST(concat('0x', substr(md5('rw' || user_id), 1, 15)) AS BIGINT)
+       |      AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT d, h // ${div} AS bucket,
+       |    CASE WHEN h % ${div} = 0 THEN ${HllRestBits + 1}
+       |         ELSE ${HllRestBits + 1} - length(bin(h % ${div})) END AS rho
+       |  FROM h),
+       |dregs AS (SELECT d, bucket, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+       |spine AS (SELECT DISTINCT d FROM h),
+       |fanned AS (
+       |  SELECT dr.d + CAST(o.off AS INTEGER) AS day, bucket,
+       |    MAX(reg) AS reg
+       |  FROM dregs dr,
+       |    (SELECT unnest(range(0, ${RollingHllDays})) AS off) o
+       |  WHERE dr.d + CAST(o.off AS INTEGER) IN (SELECT d FROM spine)
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (${HllRestBits + 1} - reg)) AS BIGINT)
+       |      + (${HllM} - COUNT(*)) * ${full} AS s_int
+       |  FROM fanned GROUP BY 1)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, buckets_hit,
+       |  CAST(s_int AS BIGINT) AS s_int,
+       |  ${HllNumer} / CAST(s_int AS DOUBLE) AS est_hll
+       |FROM s ORDER BY day""".stripMargin
+  }
+
   /** `q_join_card_est`: pre-join cardinality estimation from HLL sketches —
     * the planner-side use of X56/X62's mergeability: before paying for a
     * 100-TB shuffle, estimate how many join keys the two sides SHARE using

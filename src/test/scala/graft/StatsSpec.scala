@@ -375,4 +375,37 @@ class StatsSpec extends AnyFunSuite {
     assert(got === expected,
       s"mismatch sample: ${(expected.toSet -- got.toSet).take(2)} vs ${(got.toSet -- expected.toSet).take(2)}")
   }
+  test("rolling HLL: merged-sketch estimate tracks the exact trailing distinct") {
+    val sfDir = "/root/testdata/sf0.001"
+    val spark2 = TestSpark.spark
+    // Read the sketch the way a consumer must (X56's design note): below
+    // ~2.5·m the raw harmonic estimate overshoots and the standard
+    // linear-counting read m·ln(m/(m−hit)) applies — ln lives HERE in
+    // the consumer, never in the gated engine artifact (the artifact is
+    // registers + exact-integer denominator + one literal division).
+    val m = Stats.HllM.toDouble
+    val est = Stats.rollingHllQ(spark2, sfDir).collect()
+      .map { r =>
+        val hit = r.getLong(1).toDouble
+        val corrected =
+          if (hit < m) m * math.log(m / (m - hit)) else r.getDouble(3)
+        r.getString(0) -> corrected
+      }.toMap
+    // exact trailing-7d distinct users per day, recomputed directly
+    val raw = graft.engine.Tables.events(spark2, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct().collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    val days = raw.map(_._1).distinct
+    days.foreach { day =>
+      val exact = raw.filter { case (d, _) =>
+        !d.isAfter(day) && d.isAfter(day.minusDays(Stats.RollingHllDays))
+      }.map(_._2).distinct.length
+      val e = est(day.toString)
+      // 64-register HLL: ~13% standard error; allow 3 sigma
+      assert(math.abs(e - exact) <= 0.4 * exact + 5,
+        s"day $day: est $e vs exact $exact")
+    }
+    assert(est.size === days.size)
+  }
 }
