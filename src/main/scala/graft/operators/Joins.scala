@@ -268,6 +268,99 @@ object Joins {
       |ORDER BY p.event_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // `q_asof_forward` (X197): FORWARD as-of join with a tolerance bound
+  // ------------------------------------------------------------------
+
+  /** Tolerance for the forward match (seconds): a next-state further out
+    * is treated as no match — pandas merge_asof(direction='forward',
+    * tolerance=...) semantics. Applying the bound POST-match is exact:
+    * the forward match is the MINIMUM state ts ≥ probe ts, so if it
+    * exceeds the tolerance no other candidate can be inside it. */
+  val AsofForwardTolSecs = 21600L // 6 h
+
+  /** Core: probe(key, ts, event_id) gets (state_ts, state_val) of the
+    * EARLIEST state(key, ts, sval) row at-or-after its ts — X20's
+    * union+window idiom with the timeline walked in reverse (ts DESC,
+    * state still ordered before probe at equal ts, giving inclusive <=).
+    * Same scale shape: one shuffle on the key, no join at all. The
+    * forward direction is the event-outcome attribution primitive
+    * ("first response after each request", "next deploy after each
+    * alert") that the backward join cannot express. */
+  def asofForwardJoin(probe: DataFrame, state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = state
+      .select(col("key"), col("ts"), lit(0).as("tag"), lit(-1L).as("event_id"),
+        col("sval"))
+      .unionByName(probe
+        .select(col("key"), col("ts"), lit(1).as("tag"), col("event_id"),
+          lit(null).cast("double").as("sval")))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("st", last(
+        when(col("tag") === 0, struct(col("ts").as("s_ts"), col("sval").as("s_val"))),
+        ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("key"), col("ts"),
+        col("st.s_ts").as("state_ts"), col("st.s_val").as("state_val"))
+  }
+
+  /** `q_asof_forward`: each signup gets the user's FIRST purchase at-or-
+    * after it, but only within [[AsofForwardTolSecs]] — the
+    * conversion-latency attribution question. Beyond-tolerance matches
+    * null out post-carry (exact, see [[AsofForwardTolSecs]]); the gated
+    * artifact carries the latency seconds so a match at the wrong
+    * distance breaks the hash. */
+  def asofForwardQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val wD = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val state = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+      .select(col("user_id").as("key"), col("ts"), col("value").as("sval"))
+    val probe = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("key"), col("ts"), col("event_id"))
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val lagSecs = unix_timestamp(col("state_ts")) - unix_timestamp(col("ts"))
+    val inTol = col("state_ts").isNotNull && lagSecs <= AsofForwardTolSecs
+    asofForwardJoin(probe, state)
+      .select(col("event_id"), col("key").as("user_id"),
+        date_format(col("ts"), fmt).as("ts"),
+        when(inTol, date_format(col("state_ts"), fmt))
+          .otherwise(lit("(none)")).as("next_ts"),
+        when(inTol, col("state_val")).otherwise(lit(-1.0)).as("next_val"),
+        when(inTol, lagSecs).otherwise(lit(-1L)).as("lag_secs"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofForwardOracle: String =
+    s"""WITH state AS (
+      |  SELECT user_id, ts, value FROM (
+      |    SELECT user_id, ts, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |                         ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+      |probe AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+      |m AS (
+      |  SELECT p.event_id, p.user_id, p.ts, s.ts AS s_ts, s.value AS s_val,
+      |    date_diff('second', p.ts, s.ts) AS lag
+      |  FROM probe p ASOF LEFT JOIN state s
+      |    ON p.user_id = s.user_id AND p.ts <= s.ts)
+      |SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      |  CASE WHEN s_ts IS NOT NULL AND lag <= ${AsofForwardTolSecs}
+      |    THEN strftime(s_ts, '%Y-%m-%d %H:%M:%S.%f') ELSE '(none)' END
+      |    AS next_ts,
+      |  CASE WHEN s_ts IS NOT NULL AND lag <= ${AsofForwardTolSecs}
+      |    THEN s_val ELSE -1.0 END AS next_val,
+      |  CASE WHEN s_ts IS NOT NULL AND lag <= ${AsofForwardTolSecs}
+      |    THEN lag ELSE -1 END AS lag_secs
+      |FROM m ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // `q_range_join`: interval/range join — fact rows against a dimension of
   // (possibly OVERLAPPING) value ranges. The naive plan is a broadcast
   // nested-loop with a theta predicate; the scalable plan used here is
