@@ -130,6 +130,82 @@ object Similarity {
        |WHERE r = 1 ORDER BY q_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // `q_classifier_prf` (X198): confusion-matrix P/R/F1 evaluation
+  // ------------------------------------------------------------------
+
+  /** `q_classifier_prf`: per-class precision / recall / F1 of the X35
+    * kNN classifier — the CLASSIFICATION leg of the evaluation family
+    * (X192 measures retrieval, X193 ranking). Built by aggregating the
+    * gated classifier's own output: per-class true positives from the
+    * (true = predicted) diagonal, false negatives from the true-label
+    * marginal, false positives from the predicted-label marginal, merged
+    * with one label-keyed full-outer join (a class can appear only as a
+    * prediction or only as truth — both sides must survive). All three
+    * metrics are exact integer per-mille via divLong — no doubles, so
+    * the "score" hash-gates bit-exact; zero denominators (a class never
+    * predicted / never true) report 0, the sklearn zero_division=0
+    * convention.
+    *
+    * Scale: the input is (queries)-sized; the metric fold is
+    * label-domain-bounded. The same aggregation applied to a
+    * billion-prediction frame is one two-phase groupBy per marginal —
+    * nothing here holds per-query state. */
+  def classifierPrfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val preds = knnClassifyQ(spark, sfDir)
+      .select(col("true_label"), col("predicted_label"))
+    val byTrue = preds.groupBy(col("true_label").as("label"))
+      .agg(sum(when(col("predicted_label") === col("true_label"), 1L)
+        .otherwise(0L)).as("tp_t"),
+        Num.countStar.as("n_true"))
+    val byPred = preds.groupBy(col("predicted_label").as("label"))
+      .agg(Num.countStar.as("n_pred"))
+    byTrue.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("tp_t"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp_t"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp_t"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision_permille",
+        when(col("tp") + col("fp") === 0L, 0L).otherwise(
+          Num.divLong(col("tp") * 1000, col("tp") + col("fp"))))
+      .withColumn("recall_permille",
+        when(col("tp") + col("fn") === 0L, 0L).otherwise(
+          Num.divLong(col("tp") * 1000, col("tp") + col("fn"))))
+      .withColumn("f1_permille",
+        when(col("tp") * 2 + col("fp") + col("fn") === 0L, 0L).otherwise(
+          Num.divLong(col("tp") * 2000,
+            col("tp") * 2 + col("fp") + col("fn"))))
+      .orderBy(col("label"))
+  }
+
+  val classifierPrfOracle: String =
+    s"""WITH preds AS ($knnClassifyOracle),
+       |bt AS (
+       |  SELECT true_label AS label,
+       |    CAST(SUM(CASE WHEN predicted_label = true_label THEN 1
+       |      ELSE 0 END) AS BIGINT) AS tp_t,
+       |    CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM preds GROUP BY 1),
+       |bp AS (
+       |  SELECT predicted_label AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+       |  FROM preds GROUP BY 1),
+       |m AS (
+       |  SELECT COALESCE(bt.label, bp.label) AS label,
+       |    COALESCE(tp_t, 0) AS tp,
+       |    COALESCE(n_pred, 0) - COALESCE(tp_t, 0) AS fp,
+       |    COALESCE(n_true, 0) - COALESCE(tp_t, 0) AS fn
+       |  FROM bt FULL JOIN bp ON bt.label = bp.label)
+       |SELECT label, tp, fp, fn,
+       |  CASE WHEN tp + fp = 0 THEN 0
+       |    ELSE tp * 1000 // (tp + fp) END AS precision_permille,
+       |  CASE WHEN tp + fn = 0 THEN 0
+       |    ELSE tp * 1000 // (tp + fn) END AS recall_permille,
+       |  CASE WHEN tp * 2 + fp + fn = 0 THEN 0
+       |    ELSE tp * 2000 // (tp * 2 + fp + fn) END AS f1_permille
+       |FROM m ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
   // `q_ann_lsh`: the scale path — random-hyperplane LSH bucketing.
   //
   // Each vector gets a sign-bit signature against `Planes` fixed pseudo-

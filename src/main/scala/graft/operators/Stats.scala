@@ -435,6 +435,73 @@ object Stats {
        |FROM s ORDER BY day""".stripMargin
   }
 
+  /** Calibration binning: predictions quantized to per-mille, 10 bins. */
+  val CalibBins = 10
+  /** The pseudo-model's scale: p = clamp(value / 200, 0, 1). */
+  val CalibValueScale = 200.0
+
+  /** `q_calibration` (X199): reliability diagram + expected calibration
+    * error — the CALIBRATION leg of the evaluation family (X192
+    * retrieval, X193 ranking, X198 classification): does a score of 0.7
+    * mean 70%? The "model" is a deterministic monotone score over event
+    * value (p = clamp(value/200, 0, 1)) predicting the purchase outcome;
+    * the operator is the mechanism every model-eval pipeline needs:
+    * per-mille-quantized predictions bucket into 10 bins, each bin
+    * reports its size, mean predicted per-mille (exact integer mean),
+    * empirical positive rate, and absolute gap; ECE = Σ n_b·gap_b / N
+    * rides along as one more exact integer division. No doubles survive
+    * past the initial quantization, so the whole diagram hash-gates.
+    *
+    * Scale: one narrow pass quantizes and bins (codegen'd CASE-free
+    * integer arithmetic), one 10-row aggregate, one broadcast total —
+    * the same shape at any prediction volume. */
+  def calibrationQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val predM = least(floor(col("value") * 1000.0 / CalibValueScale)
+      .cast("long"), lit(999L))
+    val bins = Tables.events(spark, sfDir)
+      .select(predM.as("pm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(Num.divLong(col("pm"), 1000L / CalibBins).as("bin"))
+      .agg(Num.countStar.as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("pm")).as("pm_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        Num.divLong(col("pm_sum"), col("n")).as("mean_pred_permille"),
+        Num.divLong(col("n_pos") * 1000, col("n")).as("pos_rate_permille"))
+      .withColumn("gap_permille",
+        abs(col("mean_pred_permille") - col("pos_rate_permille")))
+    val ece = bins
+      .agg(Num.divLong(sum(col("n") * col("gap_permille")), sum(col("n")))
+        .as("ece_permille"))
+    bins.crossJoin(broadcast(ece)).orderBy(col("bin"))
+  }
+
+  val calibrationOracle: String =
+    s"""WITH q AS (
+       |  SELECT least(CAST(FLOOR(value * 1000.0 / ${CalibValueScale})
+       |      AS BIGINT), 999) AS pm,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |b AS (
+       |  SELECT pm // ${1000 / CalibBins} AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(pm) AS BIGINT) AS pm_sum
+       |  FROM q GROUP BY 1),
+       |g AS (
+       |  SELECT bin, n, n_pos,
+       |    pm_sum // n AS mean_pred_permille,
+       |    n_pos * 1000 // n AS pos_rate_permille
+       |  FROM b),
+       |w AS (
+       |  SELECT g.*, abs(mean_pred_permille - pos_rate_permille)
+       |    AS gap_permille FROM g),
+       |e AS (
+       |  SELECT CAST(SUM(n * gap_permille) // SUM(n) AS BIGINT)
+       |    AS ece_permille FROM w)
+       |SELECT bin, n, n_pos, mean_pred_permille, pos_rate_permille,
+       |  gap_permille, ece_permille
+       |FROM w, e ORDER BY bin""".stripMargin
+
   /** `q_join_card_est`: pre-join cardinality estimation from HLL sketches —
     * the planner-side use of X56/X62's mergeability: before paying for a
     * 100-TB shuffle, estimate how many join keys the two sides SHARE using
