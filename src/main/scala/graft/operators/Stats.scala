@@ -435,6 +435,104 @@ object Stats {
        |FROM s ORDER BY day""".stripMargin
   }
 
+  /** Bootstrap replicate count. */
+  val BootReplicates = 32
+  /** Poisson(1) CDF thresholds on a per-mille uniform — P(X≤k)·1000 for
+    * k = 0..4, shared verbatim with the oracle so the deterministic
+    * "draw" is identical on both engines. */
+  val BootPoissonCdf: Seq[Int] = Seq(368, 736, 920, 981, 996)
+
+  /** `q_bootstrap_ci` (X200): POISSON-BOOTSTRAP confidence interval for
+    * the mean event value — uncertainty estimation that survives scale.
+    * Classical bootstrap resamples n rows B times (B shuffles of the
+    * corpus — dead at 100 TB); the Poisson bootstrap replaces each
+    * replicate's multinomial row counts with independent Poisson(1)
+    * weights, so ALL B replicates compute in ONE pass as B weighted
+    * sums (the published massively-parallel technique for exactly this
+    * problem). Determinism: the "draw" is a per-(event, replicate)
+    * md5-uniform per-mille mapped through the pinned Poisson(1) CDF
+    * ladder — both engines draw the identical weights, so even the
+    * randomized estimator hash-gates. Money stays exact cents; each
+    * replicate's mean is one exact integer division; the interval is the
+    * rank-walk over the 32 replicate means (2nd..31st — the 93.75%
+    * rank-based interval at B = 32, extremes excluded).
+    *
+    * Scale: the ×B explode is a bounded fan-out on the narrow
+    * (weight, cents) projection, folded by ONE two-phase aggregate to B
+    * rows; everything after is replicate-bounded. */
+  def bootstrapCiQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val reps = Tables.events(spark, sfDir)
+      .select(col("event_id"), cents.as("c"))
+      .select(col("event_id"), col("c"),
+        explode(sequence(lit(1), lit(BootReplicates))).as("b"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("boot"), col("event_id"),
+          lit("_"), col("b"))), 1, 15), 16, 10).cast("long") % 1000)
+      .withColumn("w",
+        // first-match when-CHAIN (ascending thresholds), not a fold of
+        // otherwise-nests — a fold would wrap later (larger) thresholds
+        // OUTSIDE earlier ones and shadow them
+        BootPoissonCdf.zipWithIndex.tail
+          .foldLeft(when(col("u") < BootPoissonCdf.head, 0L)) {
+            case (acc, (t, k)) => acc.when(col("u") < t, k.toLong)
+          }.otherwise(5L))
+    val repMeans = reps
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("c")).as("wc"), sum(col("w")).as("wn"))
+      .select(col("b"), col("wn").as("n_eff"),
+        Num.divLong(col("wc"), col("wn")).as("mean_cents"))
+    val byMean = Window.orderBy(col("mean_cents"), col("b"))
+    val ranked = repMeans.withColumn("rn", row_number().over(byMean))
+    val ci = ranked.agg(
+      min(when(col("rn") === 2, col("mean_cents"))).as("ci_lo_cents"),
+      min(when(col("rn") === BootReplicates - 1, col("mean_cents")))
+        .as("ci_hi_cents"))
+    val point = Tables.events(spark, sfDir)
+      .agg(Num.divLong(sum(cents), Num.countStar).as("point_mean_cents"))
+    repMeans
+      .crossJoin(broadcast(ci))
+      .crossJoin(broadcast(point))
+      .select(col("b"), col("n_eff"), col("mean_cents"),
+        col("point_mean_cents"), col("ci_lo_cents"), col("ci_hi_cents"))
+      .orderBy(col("b"))
+  }
+
+  val bootstrapCiOracle: String = {
+    val ladder = BootPoissonCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""WITH e AS (
+       |  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS c
+       |  FROM events),
+       |reps AS (
+       |  SELECT e.event_id, e.c, b.b,
+       |    CAST(concat('0x', substr(md5('boot' || e.event_id || '_' || b.b),
+       |      1, 15)) AS BIGINT) % 1000 AS u
+       |  FROM e, (SELECT unnest(range(1, ${BootReplicates + 1})) AS b) b),
+       |w AS (
+       |  SELECT b, c, CASE $ladder ELSE 5 END AS w FROM reps),
+       |rm AS (
+       |  SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+       |    CAST(SUM(w * c) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+       |      AS mean_cents
+       |  FROM w GROUP BY 1),
+       |rk AS (
+       |  SELECT rm.*, ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rn
+       |  FROM rm),
+       |ci AS (
+       |  SELECT MIN(CASE WHEN rn = 2 THEN mean_cents END) AS ci_lo_cents,
+       |    MIN(CASE WHEN rn = ${BootReplicates - 1} THEN mean_cents END)
+       |      AS ci_hi_cents
+       |  FROM rk),
+       |pt AS (
+       |  SELECT CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+       |    // COUNT(*) AS point_mean_cents
+       |  FROM events)
+       |SELECT rm.b, rm.n_eff, rm.mean_cents, pt.point_mean_cents,
+       |  ci.ci_lo_cents, ci.ci_hi_cents
+       |FROM rm, ci, pt ORDER BY rm.b""".stripMargin
+  }
+
   /** Calibration binning: predictions quantized to per-mille, 10 bins. */
   val CalibBins = 10
   /** The pseudo-model's scale: p = clamp(value / 200, 0, 1). */
