@@ -1155,4 +1155,70 @@ object Curation {
        |  COALESCE(n.n_novel, 0) * 1000 // len(sh.sg) AS novelty_permille
        |FROM sh LEFT JOIN novel n ON n.doc_id = sh.doc_id
        |ORDER BY sh.doc_id""".stripMargin
+  // ------------------------------------------------------------------
+  // `q_temporal_split` (X201): time-based split + leakage audit
+  // ------------------------------------------------------------------
+
+  /** Split boundary: events strictly before this date train, the rest
+    * test — pinned so the oracle shares it. */
+  val TemporalSplitDate = "2024-01-22"
+
+  /** `q_temporal_split`: the TIME-based train/test split — the split
+    * X31's hash split must NOT be used for when the model will be asked
+    * about the future (a hash split leaks tomorrow into training; every
+    * forecasting/recsys eval protocol splits on time instead) — plus the
+    * LEAKAGE AUDIT that has to ship with it: how many users span both
+    * sides (their test rows are partially memorable from training — the
+    * entity-overlap statistic an honest eval reports), and each side's
+    * volume/user/value profile. One pass classifies rows against the
+    * pinned boundary; the span audit is a per-user two-sided flag fold
+    * (map-side combined) re-aggregated to one row per split — nothing
+    * data-sized after the first fold.
+    *
+    * Output: per split (train/test): n_events, n_users, value_cents,
+    * n_spanning_users (identical on both rows — the overlap is a
+    * property of the PAIR), span_pct_permille of that side's users. */
+  def temporalSplitQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val side = when(to_date(col("ts")) < lit(TemporalSplitDate).cast("date"),
+      "train").otherwise("test")
+    val cents = floor(col("value") * 100).cast("long")
+    val ev = Tables.events(spark, sfDir)
+      .select(side.as("split"), col("user_id"), cents.as("c"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("in_tr"),
+        max(when(col("split") === "test", 1L).otherwise(0L)).as("in_te"))
+    val spanning = perUser
+      .agg(sum(col("in_tr") * col("in_te")).as("n_spanning_users"))
+    ev.groupBy(col("split"))
+      .agg(Num.countStar.as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("c")).as("value_cents"))
+      .crossJoin(broadcast(spanning))
+      .withColumn("span_pct_permille",
+        Num.divLong(col("n_spanning_users") * 1000, col("n_users")))
+      .orderBy(col("split").desc) // train before test
+  }
+
+  val temporalSplitOracle: String =
+    s"""WITH ev AS (
+       |  SELECT CASE WHEN CAST(ts AS DATE) < DATE '${TemporalSplitDate}'
+       |      THEN 'train' ELSE 'test' END AS split,
+       |    user_id, CAST(FLOOR(value * 100) AS BIGINT) AS c
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+       |    MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+       |  FROM ev GROUP BY 1),
+       |sp AS (
+       |  SELECT CAST(SUM(in_tr * in_te) AS BIGINT) AS n_spanning_users
+       |  FROM pu),
+       |g AS (
+       |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |    CAST(SUM(c) AS BIGINT) AS value_cents
+       |  FROM ev GROUP BY 1)
+       |SELECT split, n_events, n_users, value_cents, sp.n_spanning_users,
+       |  sp.n_spanning_users * 1000 // n_users AS span_pct_permille
+       |FROM g, sp ORDER BY split DESC""".stripMargin
 }
