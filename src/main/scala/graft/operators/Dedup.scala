@@ -465,6 +465,79 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // `q_minhash_est` (X202): sketch-accuracy evaluation for MinHash
+  // ------------------------------------------------------------------
+
+  /** `q_minhash_est`: per candidate pair, the MinHash JACCARD ESTIMATE
+    * (matching signature positions / K) beside the exact Jaccard and
+    * their per-mille error — the sketch-accuracy leg of the evaluation
+    * family applied to the dedup stack: K = 12 permutations give the
+    * estimate a ~1/√12 ≈ 29% standard error, and whether that is
+    * acceptable for a given dedup threshold is a MEASURED question, not
+    * a belief (the X192 recall discipline pointed at X2's sketch).
+    * Candidates are the banded pairs (no threshold filter — the
+    * accuracy profile must include the pairs the threshold would
+    * reject); the estimate is an exact integer (match count), so the
+    * artifact hash-gates including the error column.
+    *
+    * Scale: everything rides the existing banded-candidate machinery;
+    * the signature comparison is a 12-element zip per candidate pair. */
+  def minhashEstQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = MinhashPrime
+    val (sh, bands) = bandedSignatures(Tables.documents(spark, sfDir))
+    val sig = sh.select(col("doc_id"), col("sg"),
+      array(Perms.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % p))
+      }: _*).as("mh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = aggregate(
+      zip_with(col("mh_a"), col("mh_b"), (x, y) =>
+        when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sg").as("sg_a"),
+        col("mh").as("mh_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sg").as("sg_b"),
+        col("mh").as("mh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        matches.as("sig_match"),
+        (size(array_intersect(col("sg_a"), col("sg_b"))).cast("long") * 1000)
+          .as("i1000"),
+        (size(array_union(col("sg_a"), col("sg_b"))).cast("long")).as("u"))
+      .select(col("doc_a"), col("doc_b"), col("sig_match"),
+        Num.divLong(col("sig_match") * 1000, Perms.size.toLong)
+          .as("est_permille"),
+        Num.divLong(col("i1000"), col("u")).as("jaccard_permille"))
+      .withColumn("err_permille",
+        abs(col("est_permille") - col("jaccard_permille")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: the shared MinHash CTE chain already carries the signatures
+    * and the exact-Jaccard verify — add the positionwise match count. */
+  val minhashEstOracle: String =
+    s"""WITH $minhashCteSql,
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_filter(range(1, ${Perms.size + 1}),
+       |      i -> x.mh[i] = y.mh[i])) AS BIGINT) AS sig_match,
+       |    CAST(len(list_intersect(x.sg, y.sg)) AS BIGINT) * 1000 AS i1000,
+       |    CAST(len(list_distinct(list_concat(x.sg, y.sg))) AS BIGINT) AS u
+       |  FROM cand c
+       |  JOIN sigs x ON x.doc_id = c.doc_a
+       |  JOIN sigs y ON y.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, sig_match,
+       |  sig_match * 1000 // ${Perms.size} AS est_permille,
+       |  i1000 // u AS jaccard_permille,
+       |  abs(sig_match * 1000 // ${Perms.size} - i1000 // u) AS err_permille
+       |FROM est ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
   // `q_dedup_purgelist` (X194): cluster → keep/purge ACTIONS
   // ------------------------------------------------------------------
 

@@ -435,6 +435,79 @@ object Stats {
        |FROM s ORDER BY day""".stripMargin
   }
 
+  /** Laplace prior pseudo-counts (α successes, β failures). */
+  val SmoothAlpha = 1L
+  val SmoothBeta = 1L
+  val SmoothTopK = 20
+
+  /** `q_rate_smoothing` (X203): Laplace-smoothed success-rate ranking —
+    * the small-sample correction every rate leaderboard needs: an item
+    * with 1/1 purchases must not outrank one with 90/100, so each
+    * item's purchase rate is shrunk toward the prior by pseudo-counts
+    * ((s+α)/(n+α+β)) and the artifact carries BOTH rankings plus the
+    * rank displacement — the gated evidence that smoothing actually
+    * reordered the small-sample items. Rates are exact integer
+    * per-mille; both rank columns are deterministic row_numbers with
+    * full tiebreaks. Item key = the `k` field of the event props
+    * payload (the reference's VARIANT-extract discipline, P1).
+    *
+    * Scale: one groupBy over the item domain, two windows over the
+    * item-bounded aggregate, a top-K heap — nothing data-sized past the
+    * first fold. */
+  def rateSmoothingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val item = get_json_object(col("props"), "$.k").cast("long")
+    val agg = Tables.events(spark, sfDir)
+      .select(item.as("item"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item"))
+      .agg(Num.countStar.as("n"), sum(col("pos")).as("s"))
+      .select(col("item"), col("n"), col("s"),
+        Num.divLong(col("s") * 1000, col("n")).as("raw_permille"),
+        Num.divLong((col("s") + SmoothAlpha) * 1000,
+          col("n") + SmoothAlpha + SmoothBeta).as("smooth_permille"))
+    val byRaw = Window.orderBy(col("raw_permille").desc, col("n").desc,
+      col("item"))
+    val bySmooth = Window.orderBy(col("smooth_permille").desc,
+      col("n").desc, col("item"))
+    agg
+      .withColumn("rank_raw", row_number().over(byRaw))
+      .withColumn("rank_smooth", row_number().over(bySmooth))
+      .withColumn("displacement",
+        abs(col("rank_raw") - col("rank_smooth")).cast("long"))
+      .filter(col("rank_smooth") <= SmoothTopK)
+      .orderBy(col("rank_smooth"))
+  }
+
+  val rateSmoothingOracle: String =
+    s"""WITH a AS (
+       |  SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |g AS (
+       |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(pos) AS BIGINT) AS s
+       |  FROM a WHERE item IS NOT NULL GROUP BY 1),
+       |r AS (
+       |  SELECT item, n, s,
+       |    s * 1000 // n AS raw_permille,
+       |    (s + ${SmoothAlpha}) * 1000 // (n + ${SmoothAlpha + SmoothBeta})
+       |      AS smooth_permille
+       |  FROM g),
+       |rk AS (
+       |  SELECT r.*,
+       |    ROW_NUMBER() OVER (ORDER BY raw_permille DESC, n DESC, item)
+       |      AS rank_raw,
+       |    ROW_NUMBER() OVER (ORDER BY smooth_permille DESC, n DESC, item)
+       |      AS rank_smooth
+       |  FROM r)
+       |SELECT item, n, s, raw_permille, smooth_permille,
+       |  CAST(rank_raw AS INTEGER) AS rank_raw,
+       |  CAST(rank_smooth AS INTEGER) AS rank_smooth,
+       |  CAST(abs(rank_raw - rank_smooth) AS BIGINT) AS displacement
+       |FROM rk WHERE rank_smooth <= ${SmoothTopK}
+       |ORDER BY rank_smooth""".stripMargin
+
   /** Bootstrap replicate count. */
   val BootReplicates = 32
   /** Poisson(1) CDF thresholds on a per-mille uniform — P(X≤k)·1000 for
