@@ -561,23 +561,47 @@ object Relational {
     val src = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
-    // WRITE: one container file per partition, executor-side
+    // WRITE: one container file per partition, executor-side. Each task
+    // ATTEMPT writes an attempt-unique temp name and atomically renames
+    // onto the final part file only after a clean close (ADVICE r9): a
+    // retried or speculative attempt otherwise truncates the final name
+    // while a sibling attempt may hold it open, leaving a corrupt
+    // container. Rename-onto-existing is the DESIRED semantics here —
+    // partition content is deterministic, so whichever attempt lands last
+    // wins with identical bytes (the task-commit protocol in one move).
+    // Local-FS seam: executors share the driver's filesystem in this
+    // deployment (local[*]); an object-store deployment swaps these
+    // java.io/nio calls for a committer, not the operator.
     src.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
+      val attempt = java.util.UUID.randomUUID().toString.replace("-", "")
+      // temp name carries no .avro suffix so a crashed attempt's leftover
+      // never matches the read side's *.avro listing filter
+      val tmp = new java.io.File(f"$path/.tmp-part-$idx%05d-$attempt")
+      val fin = new java.io.File(f"$path/part-$idx%05d.avro")
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-      w.create(schema, new java.io.File(f"$path/part-$idx%05d.avro"))
+      w.create(schema, tmp)
       var n = 0L
-      rows.foreach { r =>
-        val rec = new GenericData.Record(schema)
-        rec.put("o_orderkey", r.getLong(0))
-        rec.put("o_orderstatus", r.getString(1))
-        rec.put("o_totalprice", r.getDouble(2))
-        rec.put("d", r.getString(3))
-        w.append(rec); n += 1
+      try {
+        rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("o_orderkey", r.getLong(0))
+          rec.put("o_orderstatus", r.getString(1))
+          rec.put("o_totalprice", r.getDouble(2))
+          rec.put("d", r.getString(3))
+          w.append(rec); n += 1
+        }
+        w.close()
+        java.nio.file.Files.move(tmp.toPath, fin.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable =>
+        try w.close() catch { case _: Throwable => () }
+        tmp.delete()
+        throw e
       }
-      w.close()
       Iterator.single(n)
     }.count() // materialize the write (count of partitions, not rows)
     // READ: list container files on the driver, parse blocks per task

@@ -973,14 +973,19 @@ object Similarity {
   // ------------------------------------------------------------------
 
   /** Rank discounts 1/log₂(i+1) for i = 1..AnnTopK, and their prefix
-    * sums, PRECOMPUTED to double literals embedded in both engines'
-    * expressions — log() is libm-dependent and must never be evaluated
-    * inside either engine (the planeWeights discipline applied to NDCG
-    * weights). */
-  private val RankDiscounts: IndexedSeq[Double] =
-    (1 to AnnTopK).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
-  private val DiscountPrefix: IndexedSeq[Double] =
-    RankDiscounts.scanLeft(0.0)(_ + _).tail
+    * sums, PRECOMPUTED — log() is libm-dependent and must never be
+    * evaluated inside either engine (the planeWeights discipline applied
+    * to NDCG weights). Scaled to exact 1e-12 INTEGER weights (ADVICE r9):
+    * the per-query DCG fold is then a Long sum whose value is independent
+    * of summation order, so the hash gate is exact by construction rather
+    * than riding on both engines happening to add doubles in the same
+    * order. Rounding to a double happens ONCE, at output. */
+  private[operators] val DiscScale = 1000000000000L // 1e12
+  private val RankDiscounts: IndexedSeq[Long] =
+    (1 to AnnTopK).map(i =>
+      math.round(DiscScale / (math.log(i + 1.0) / math.log(2.0))))
+  private val DiscountPrefix: IndexedSeq[Long] =
+    RankDiscounts.scanLeft(0L)(_ + _).tail
 
   /** `q_ann_recall`: recall@k of the LSH index against the exact top-k —
     * EVALUATION as a first-class operator, built by JOINING two gated
@@ -1035,7 +1040,9 @@ object Similarity {
     * uses the retrieved-set convention (ideal reordering of the k
     * retrieved relevances), so the metric is self-contained per query;
     * zero relevant retrieved defines ndcg = 0. All discount arithmetic
-    * uses the precomputed literal weights — no log() in either engine.
+    * uses the precomputed scaled-integer weights — no log() and no
+    * order-dependent double fold in either engine; the only double ops
+    * are the final exact small-int/1e4 conversions.
     *
     * Scale: the ranking is X8's query-bounded plan; labels join on the
     * (queries × k) result and the per-query fold is a k-bounded
@@ -1055,13 +1062,18 @@ object Similarity {
         element_at(discounts, col("rank").cast("int")).as("disc"))
       .groupBy(col("q_id"))
       .agg(sum(col("rel")).as("n_rel"),
-        sum(col("rel") * col("disc")).as("dcg"))
+        sum(col("rel") * col("disc")).as("dcgs"))
       .select(col("q_id"), col("n_rel"),
-        floor(col("dcg") * 10000.0 + 0.5) / 10000.0 as "dcg",
-        when(col("n_rel") === 0L, lit(0.0)).otherwise(
-          floor(col("dcg") /
-            element_at(prefix, greatest(col("n_rel").cast("int"), lit(1)))
-            * 10000.0 + 0.5) / 10000.0).as("ndcg"))
+        // round-half-up to 4 dp in EXACT integer arithmetic, then one
+        // exact small-int → double conversion (dcgs ≤ k·1e12, no overflow)
+        (Num.divLong(col("dcgs") * 10000L + DiscScale / 2, DiscScale)
+          / 10000.0).as("dcg"),
+        when(col("n_rel") === 0L, lit(0.0)).otherwise {
+          val p = element_at(prefix,
+            greatest(col("n_rel").cast("int"), lit(1)))
+          // floor(dcgs/p·1e4 + 1/2) = (2·dcgs·1e4 + p) div (2p), exact
+          Num.divLong(col("dcgs") * 20000L + p, p * 2L) / 10000.0
+        }.as("ndcg"))
       .orderBy(col("q_id"))
   }
 
@@ -1079,13 +1091,15 @@ object Similarity {
        |  JOIN lab nl ON nl.vec_id = l.neighbor_id),
        |g AS (
        |  SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
-       |    SUM(rel * disc) AS dcg
+       |    CAST(SUM(rel * disc) AS BIGINT) AS dcgs
        |  FROM scored GROUP BY 1)
        |SELECT q_id, n_rel,
-       |  floor(dcg * 10000.0 + 0.5) / 10000.0 AS dcg,
+       |  CAST((dcgs * 10000 + ${DiscScale / 2}) // ${DiscScale} AS BIGINT)
+       |    / 10000.0 AS dcg,
        |  CASE WHEN n_rel = 0 THEN 0.0 ELSE
-       |    floor(dcg / ($pList)[CAST(greatest(n_rel, 1) AS INTEGER)]
-       |      * 10000.0 + 0.5) / 10000.0 END AS ndcg
+       |    CAST((dcgs * 20000 + ($pList)[CAST(greatest(n_rel, 1) AS INTEGER)])
+       |      // (2 * ($pList)[CAST(greatest(n_rel, 1) AS INTEGER)]) AS BIGINT)
+       |      / 10000.0 END AS ndcg
        |FROM g ORDER BY q_id""".stripMargin
   }
 
@@ -1351,14 +1365,40 @@ object Similarity {
     * index) so it legitimately runs a job — but only once per corpus per
     * JVM: repeated query construction (bench reps, plan-only explains of
     * a previously built query) reuses the cached size instead of
-    * re-reading the table (ADVICE r8). Keyed by path: a different sfDir
-    * is a different corpus and re-counts. */
+    * re-reading the table (ADVICE r8). Keyed by path PLUS a cheap
+    * filesystem fingerprint of the embeddings table (file count, total
+    * bytes, max mtime — one directory listing, no data read), so a corpus
+    * regenerated or appended AT THE SAME PATH within one JVM re-counts
+    * instead of silently calibrating band width off the stale size
+    * (ADVICE r9). */
   private val corpusSizeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** (file count, total size, max mtime) of the embeddings table path —
+    * metadata-only, the same signals file-based catalogs use for cache
+    * invalidation. Fail-open to a constant: an unreadable path will fail
+    * loudly in the count itself, not here. */
+  private def corpusFingerprint(sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val p = Paths.get(s"$sfDir/embeddings.parquet")
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        val fs = try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        } finally s.close()
+        val sz = fs.map(f => Files.size(f)).sum
+        val mt = if (fs.isEmpty) 0L
+                 else fs.map(f => Files.getLastModifiedTime(f).toMillis).max
+        s"d:${fs.size}:$sz:$mt"
+      } else s"f:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    } catch { case _: Throwable => "unknown" }
+  }
+
   private def embeddingCorpusSize(spark: SparkSession, sfDir: String): Long =
-    corpusSizeMemo.computeIfAbsent(sfDir,
-      d => Tables.embeddings(spark, d).count())
+    corpusSizeMemo.computeIfAbsent(s"$sfDir#${corpusFingerprint(sfDir)}",
+      _ => Tables.embeddings(spark, sfDir).count())
 
   def knnGraphQ(spark: SparkSession, sfDir: String): DataFrame = {
     VectorExprs.ensureRegistered(spark)

@@ -287,7 +287,7 @@ object PagedSource {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.table(sinkName)
+    val rollup = spark.table(sinkName)
       .groupBy(col("chain"), col("page_no"))
       .agg(Num.countStar.as("rows_in_page"),
         max(col("page_attempts")).as("attempts"),
@@ -299,6 +299,23 @@ object PagedSource {
         (sum(col("attempts")) * SourceUnitsPerCall).as("quota_units"),
         sum(col("id_sum")).as("id_sum"))
       .orderBy(col("chain"))
+    detachFromSink(spark, sinkName, rollup)
+  }
+
+  /** Materialize a memory-sink rollup into a LocalRelation and DROP the
+    * sink's temp view — each drain registers a UUID-named sink, and
+    * without the drop repeated bench/soak reps accumulate every drained
+    * row in driver memory for the JVM lifetime (ADVICE r9). The rollup is
+    * chain-cardinality (single digits), so the collect is a few rows; the
+    * returned frame re-asserts the total order since a LocalRelation
+    * carries rows, not the plan that ordered them. */
+  private def detachFromSink(spark: SparkSession, sinkName: String,
+      rollup: DataFrame, orderCol: String = "chain"): DataFrame = {
+    val rows = rollup.collect().toIndexedSeq
+    val schema = rollup.schema
+    spark.catalog.dropTempView(sinkName)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema).orderBy(col(orderCol))
   }
 
   // ------------------------------------------------------------------
@@ -340,10 +357,11 @@ object PagedSource {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.table(sinkName)
+    val rollup = spark.table(sinkName)
       .groupBy(col("n_name").as("nation"))
       .agg(Num.countStar.as("n_rows"), sum(col("id")).as("id_sum"))
       .orderBy(col("nation"))
+    detachFromSink(spark, sinkName, rollup, orderCol = "nation")
   }
 
   /** Oracle: the connector's ids are exactly 0..chains·R−1, so the
