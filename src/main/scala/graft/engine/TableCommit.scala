@@ -79,9 +79,38 @@ object TableCommit {
   final class ConcurrentCommitException(msg: String)
       extends IllegalStateException(msg)
 
-  /** One committed data file: root-relative path + the `_p=` directory
-    * segment it was written under (None for unpartitioned commits). */
-  final case class Entry(path: String, part: Option[String])
+  /** Thrown when a manifest file fails its integrity check (missing or
+    * count-mismatched terminator line, unparseable entry line): the
+    * CREATE_NEW fallback publish path has a documented microsecond window
+    * where a reader can observe a claimed-but-partially-written manifest,
+    * and a crashed fallback writer can leave one permanently. Readers
+    * RETRY briefly (the in-flight-writer case resolves in microseconds)
+    * then fail LOUDLY with this — never surface a partial file list as if
+    * it were the committed state. Recovery from a permanently torn top
+    * manifest is [[vacuum]]'s job, behind its age gate. */
+  final class TornManifestException(msg: String)
+      extends java.io.IOException(msg)
+
+  /** Per-file column statistics carried in the manifest: min/max in a
+    * CANONICAL STRING form fixed at commit time from the parquet footer —
+    * ISO dates for DATE columns (lexical order = date order), decimal
+    * text for integer columns, the value itself for UTF8 strings,
+    * `Double.toString` for floating point. The canonical form is what
+    * [[pruneEntries]] predicates compare against; which comparator is
+    * right is the CALLER's knowledge (they declared the column). */
+  final case class ColStats(min: String, max: String)
+
+  /** One committed data file: root-relative path, the `_p=` directory
+    * segment it was written under (None for unpartitioned commits), and
+    * optional per-column min/max stats captured from the file footer at
+    * commit time — the micro-partition metadata that lets a predicate
+    * skip files at PLANNING time without touching a single footer
+    * (Snowflake's pruning, Delta's dataSkippingNumIndexedCols, Iceberg's
+    * manifest ranges). Stats are strictly OPTIONAL per (file, column):
+    * pruning treats a missing stat as "might match" — lossless by
+    * construction. */
+  final case class Entry(path: String, part: Option[String],
+      stats: Map[String, ColStats] = Map.empty)
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
 
@@ -118,18 +147,118 @@ object TableCommit {
   /** Committed file list of the current version (empty if none). */
   def entries(root: String): Seq[Entry] = currentVersion(root) match {
     case None    => Seq.empty
-    case Some(v) => readManifest(root, v)
+    case Some(v) => readManifestChecked(root, v)
   }
 
   private def manifestPath(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%020d.json")
 
-  private def readManifest(root: String, v: Long): Seq[Entry] = {
-    val PartRe = """\{"path": "([^"]*)", "part": (null|"([^"]*)")\}""".r
-    Files.readAllLines(manifestPath(root, v)).asScala.toSeq.collect {
-      case PartRe(path, p, value) =>
-        Entry(path, if (p == "null") None else Some(value))
+  /** Minimal scanner for the controlled JSON subset the writer emits —
+    * one object per line, fixed key order, string values escaped for
+    * `\` and `"` only. Hand-rolled on purpose: the reader must DETECT
+    * malformed input (a torn fallback write) rather than best-effort
+    * skip it, and the format is ours end to end. */
+  private final class LineParser(s: String) {
+    private var i = 0
+    private def ws(): Unit =
+      while (i < s.length && s.charAt(i) == ' ') i += 1
+    def lit(t: String): Boolean = {
+      ws(); if (s.startsWith(t, i)) { i += t.length; true } else false
     }
+    def str(): Option[String] = {
+      ws()
+      if (i >= s.length || s.charAt(i) != '"') return None
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+        else if (c == '"') { i += 1; return Some(sb.toString) }
+        else { sb.append(c); i += 1 }
+      }
+      None // unterminated string = torn line
+    }
+    def long(): Option[Long] = {
+      ws(); val st = i
+      while (i < s.length && s.charAt(i).isDigit) i += 1
+      if (i == st) None else Some(s.substring(st, i).toLong)
+    }
+    def atEnd: Boolean = { ws(); i == s.length }
+  }
+
+  /** Entry line: `{"path": <s>, "part": null|<s>[, "stats": {"c": [<s>, <s>], …}]}` */
+  private def parseEntryLine(line: String): Option[Entry] = {
+    val p = new LineParser(line)
+    if (!p.lit("{\"path\":")) return None
+    val path = p.str().getOrElse(return None)
+    if (!p.lit(", \"part\":")) return None
+    val part =
+      if (p.lit("null")) None
+      else Some(p.str().getOrElse(return None))
+    var stats = Map.empty[String, ColStats]
+    if (p.lit(", \"stats\": {")) {
+      var first = true
+      var done = false
+      while (!done) {
+        if (p.lit("}")) done = true
+        else {
+          if (!first && !p.lit(", ")) return None
+          first = false
+          val c = p.str().getOrElse(return None)
+          if (!p.lit(": [")) return None
+          val mn = p.str().getOrElse(return None)
+          if (!p.lit(", ")) return None
+          val mx = p.str().getOrElse(return None)
+          if (!p.lit("]")) return None
+          stats += (c -> ColStats(mn, mx))
+        }
+      }
+    }
+    if (!p.lit("}") || !p.atEnd) return None
+    Some(Entry(path, part, stats))
+  }
+
+  /** Terminator line: `{"n": <entryCount>}` — the manifest's integrity
+    * witness. A manifest whose last line is not a terminator matching its
+    * entry count is TORN (a fallback-path partial write or a truncating
+    * crash) and must never be surfaced as a file list. */
+  private def parseTerminator(line: String): Option[Long] = {
+    val p = new LineParser(line)
+    if (!p.lit("{\"n\":")) return None
+    val n = p.long().getOrElse(return None)
+    if (!p.lit("}") || !p.atEnd) None else Some(n)
+  }
+
+  /** Strict read: parse every line, demand the terminator. */
+  private def readManifest(root: String, v: Long): Seq[Entry] = {
+    val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
+    def torn(why: String): Nothing = throw new TornManifestException(
+      s"manifest v$v at $root is incomplete ($why) — a fallback-path " +
+        "write may be in flight (readers retry) or a writer crashed " +
+        "mid-publish (vacuum reclaims it after the age gate)")
+    if (lines.isEmpty) torn("empty file")
+    val n = parseTerminator(lines.last).getOrElse(torn("no terminator"))
+    val es = lines.init.map(l => parseEntryLine(l)
+      .getOrElse(torn(s"unparseable entry line")))
+    if (es.size != n.toInt) torn(s"terminator says $n entries, read ${es.size}")
+    es
+  }
+
+  /** Reader-facing manifest resolve: brief bounded retry over
+    * [[TornManifestException]] — the benign cause (a CREATE_NEW-fallback
+    * writer between claim and body) lasts microseconds; anything that
+    * survives the retries is a crashed commit and fails loudly. */
+  private def readManifestChecked(root: String, v: Long): Seq[Entry] = {
+    var left = 5
+    while (true) {
+      try return readManifest(root, v)
+      catch { case e: TornManifestException =>
+        left -= 1
+        if (left <= 0) throw e
+        Thread.sleep(20)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Stage a new immutable batch directory for `df` WITHOUT publishing it
@@ -141,7 +270,8 @@ object TableCommit {
     * by `partitionBy`, so the real column survives inside the files and
     * the directory layout still names each slice. */
   private[graft] def stageBatch(df: DataFrame, root: String,
-      partCol: Option[String] = None): Seq[Entry] = {
+      partCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Seq[Entry] = {
     val batch = s"data/b_${UUID.randomUUID().toString.replace("-", "")}"
     val dest = s"$root/$batch"
     partCol match {
@@ -150,6 +280,7 @@ object TableCommit {
       case None =>
         df.write.parquet(dest)
     }
+    val conf = df.sparkSession.sessionState.newHadoopConf()
     val base = Paths.get(dest)
     walkFiles(base)
       .filter(p => Files.isRegularFile(p) &&
@@ -160,8 +291,96 @@ object TableCommit {
         // in Spark's escaped-dir-name form — both the replace set and the
         // pruning predicate see the same encoding, so matching is exact.
         val part = rel.split('/').find(_.startsWith("_p=")).map(_.drop(3))
-        Entry(s"$batch/$rel", part)
+        val stats = if (statsCols.isEmpty) Map.empty[String, ColStats]
+                    else footerStats(conf, p, statsCols)
+        Entry(s"$batch/$rel", part, stats)
       }.toSeq.sortBy(_.path)
+  }
+
+  /** Per-file min/max for `statsCols`, read from the parquet FOOTER the
+    * write just produced — metadata-only (no data pages touched), one
+    * footer per file, exactly what a write task would report to the
+    * driver on a cluster. Row-group stats merge per file; a column whose
+    * stats any row group lacks (nulls-only group, truncated binary stats,
+    * unsupported physical type) is simply omitted for that file — pruning
+    * then keeps the file, so stats collection can never lose rows.
+    *
+    * Canonical string forms (what [[ColStats]] promises): INT32 DATE →
+    * ISO `LocalDate` (lexical = chronological), other INT32/INT64 →
+    * decimal text (callers parse Long), BINARY UTF8 → the string itself,
+    * FLOAT/DOUBLE → `Double.toString`. INT64 timestamps are surfaced as
+    * raw micros/nanos decimal text — the epoch-scale compare callers do
+    * is numeric either way. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, statsCols: Seq[String]): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val want = statsCols.toSet
+    try {
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        // col -> per-row-group (min, max, numericCompare) triples
+        val acc = scala.collection.mutable.Map
+          .empty[String, List[(String, String, Boolean)]]
+        var bad = Set.empty[String]
+        for (b <- blocks; cc <- b.getColumns.asScala) {
+          val name = cc.getPath.toDotString
+          if (want(name) && !bad(name)) {
+            val st = cc.getStatistics
+            val pt = cc.getPrimitiveType
+            val canon: Option[(String, String, Boolean)] =
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else pt.getPrimitiveTypeName match {
+                case INT32 | INT64 =>
+                  val num = (mn: Any, mx: Any) =>
+                    Some((mn.toString, mx.toString, true))
+                  pt.getLogicalTypeAnnotation match {
+                    case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                      def d(v: Any) = java.time.LocalDate
+                        .ofEpochDay(v.asInstanceOf[Number].longValue()).toString
+                      Some((d(st.genericGetMin), d(st.genericGetMax), false))
+                    case _ => num(st.genericGetMin, st.genericGetMax)
+                  }
+                case BINARY =>
+                  pt.getLogicalTypeAnnotation match {
+                    case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                      def s(v: Any) = v
+                        .asInstanceOf[org.apache.parquet.io.api.Binary]
+                        .toStringUsingUTF8
+                      Some((s(st.genericGetMin), s(st.genericGetMax), false))
+                    case _ => None
+                  }
+                case FLOAT | DOUBLE =>
+                  Some((st.genericGetMin.toString, st.genericGetMax.toString,
+                    true))
+                case _ => None
+              }
+            canon match {
+              case Some(t) => acc(name) = t :: acc.getOrElse(name, Nil)
+              case None    => bad += name; acc -= name
+            }
+          }
+        }
+        acc.view.mapValues { ts =>
+          def lt(a: String, b: String, num: Boolean): Boolean =
+            if (num) {
+              // integer text compares exactly as Long; doubles via toDouble
+              if (a.exists(c => c == '.' || c == 'E' || c == 'e') ||
+                  b.exists(c => c == '.' || c == 'E' || c == 'e'))
+                a.toDouble < b.toDouble
+              else a.toLong < b.toLong
+            } else a < b
+          val num = ts.head._3
+          val mn = ts.map(_._1).reduce((a, b) => if (lt(a, b, num)) a else b)
+          val mx = ts.map(_._2).reduce((a, b) => if (lt(a, b, num)) b else a)
+          ColStats(mn, mx)
+        }.toMap
+      } finally rd.close()
+    } catch { case _: Throwable => Map.empty } // stats are an optimization
   }
 
   /** Test-only seam: invoked after the expected-version re-check and
@@ -225,21 +444,48 @@ object TableCommit {
     // a hostile partition value cannot corrupt the manifest.
     def js(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val body = newEntries.map(e =>
-      s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}}""")
+    def statsJs(m: Map[String, ColStats]): String =
+      if (m.isEmpty) ""
+      else m.toSeq.sortBy(_._1).map { case (c, cs) =>
+        s"${js(c)}: [${js(cs.min)}, ${js(cs.max)}]"
+      }.mkString(""", "stats": {""", ", ", "}")
+    val body = (newEntries.map(e =>
+      s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}${statsJs(e.stats)}}""")
+      :+ s"""{"n": ${newEntries.size}}""") // integrity terminator
       .mkString("", "\n", "\n")
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = logDir(root).resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, body)
+    // fsync the staged body BEFORE the link so "complete and durable
+    // before the commit point" holds under power loss, not just process
+    // crash (ADVICE r9) — then best-effort fsync the _log dir after the
+    // link so the new NAME itself survives too.
+    writeFsynced(tmp, bytes)
     publishRaceHook()
     try {
-      try Files.createLink(manifestPath(root, next), tmp)
-      catch { case _: UnsupportedOperationException =>
+      try {
+        Files.createLink(manifestPath(root, next), tmp)
+        fsyncDir(logDir(root))
+      } catch { case _: UnsupportedOperationException =>
         // No hard links on this FS: claim the name with O_CREAT|O_EXCL.
-        val out = Files.newOutputStream(manifestPath(root, next),
+        // The claim and the body are no longer one atomic step, so (a)
+        // readers tolerate the mid-write window via the terminator check
+        // + retry, and (b) a FAILED body write must not leave the claimed
+        // name as a permanently torn top manifest — delete it before
+        // rethrowing (only the EEXIST loss is a concurrent commit).
+        val claimed = manifestPath(root, next)
+        val ch = java.nio.channels.FileChannel.open(claimed,
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
-        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        try {
+          ch.write(java.nio.ByteBuffer.wrap(bytes))
+          ch.force(true)
+        } catch { case e: Throwable =>
+          try ch.close() catch { case _: Throwable => () }
+          try Files.deleteIfExists(claimed) catch { case _: Throwable => () }
+          throw e
+        }
+        ch.close()
+        fsyncDir(logDir(root))
       }
       Files.deleteIfExists(tmp)
     } catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -251,6 +497,27 @@ object TableCommit {
     retire(root, next, retain.max(1))
     next
   }
+
+  /** Write bytes then `force(true)` before close — the staged manifest
+    * must be ON DISK before the hard link makes it the committed state. */
+  private def writeFsynced(p: Path, bytes: Array[Byte]): Unit = {
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+    finally ch.close()
+  }
+
+  /** Best-effort directory fsync (the POSIX step that makes a new name
+    * durable). Some filesystems refuse a read channel on a directory —
+    * durability of the name then degrades to the FS's own ordering, which
+    * is the pre-existing behavior, so swallow. */
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Throwable => () }
 
   /** Delete manifests older than the retention window, plus every data
     * file those RETIRED manifests reference that no retained manifest
@@ -278,15 +545,25 @@ object TableCommit {
           }
         }
       if (retiredFiles.nonEmpty) {
+        // A TORN retained manifest makes liveness unjudgeable (its files
+        // would all look dead) — skip the file deletion, leave garbage
+        // for a later retire/vacuum, never risk a referenced file.
+        var unknownLiveness = false
         val live = (oldest to current).flatMap { v =>
-          try readManifest(root, v) catch { case _: Throwable => Seq.empty }
+          try readManifest(root, v)
+          catch {
+            case _: TornManifestException => unknownLiveness = true; Seq.empty
+            case _: Throwable => Seq.empty
+          }
         }.map(_.path).toSet
-        val dead = retiredFiles.filterNot(e => live(e.path))
-        dead.foreach { e =>
-          try Files.deleteIfExists(Paths.get(root, e.path))
-          catch { case _: Throwable => () }
+        if (!unknownLiveness) {
+          val dead = retiredFiles.filterNot(e => live(e.path))
+          dead.foreach { e =>
+            try Files.deleteIfExists(Paths.get(root, e.path))
+            catch { case _: Throwable => () }
+          }
+          pruneParentsOf(root, dead.map(e => Paths.get(root, e.path)))
         }
-        pruneParentsOf(root, dead.map(e => Paths.get(root, e.path)))
       }
     } catch { case _: Throwable => () }
   }
@@ -322,19 +599,36 @@ object TableCommit {
           .foreach(p => try Files.deleteIfExists(p)
             catch { case _: Throwable => () })
       }
+      // Torn manifests (a crashed CREATE_NEW-fallback commit): behind the
+      // same age gate, DELETE them — readers were failing loudly on them,
+      // never surfacing partial lists, and removing the file restores the
+      // table to its highest INTACT version (the crash-recovery half of
+      // the terminator contract). A torn manifest YOUNGER than the gate
+      // may be a fallback writer mid-body: leave it AND skip this pass's
+      // data sweep entirely — liveness can't be judged while a manifest
+      // is unreadable (its files would all look dead).
+      var unknownLiveness = false
       val live = (currentVersion(root).toSeq.flatMap { cur =>
         // every still-present manifest is retained by definition
         listDir(logDir(root)).flatMap { p =>
           p.getFileName.toString match {
             case VersionRe(d) =>
               try readManifest(root, d.toLong)
-              catch { case _: Throwable => Seq.empty }
+              catch {
+                case _: TornManifestException =>
+                  if (oldEnough(p))
+                    try { Files.deleteIfExists(p); () }
+                    catch { case _: Throwable => unknownLiveness = true }
+                  else unknownLiveness = true
+                  Seq.empty
+                case _: Throwable => Seq.empty
+              }
             case _ => Seq.empty
           }
         }
       }).map(e => Paths.get(root, e.path).toAbsolutePath).toSet
       val dataDir = Paths.get(root, "data")
-      if (Files.isDirectory(dataDir)) {
+      if (Files.isDirectory(dataDir) && !unknownLiveness) {
         val doomed = walkFiles(dataDir)
           .filter(p => Files.isRegularFile(p) &&
             !live.contains(p.toAbsolutePath) && oldEnough(p))
@@ -372,16 +666,18 @@ object TableCommit {
 
   /** Manifest of a specific base version (empty for the virgin v0). */
   private def entriesAt(root: String, base: Long): Seq[Entry] =
-    if (base == 0L) Seq.empty else readManifest(root, base)
+    if (base == 0L) Seq.empty else readManifestChecked(root, base)
 
   /** Full-table replace: new snapshot's files are exactly this batch.
     * `retain` > 1 keeps that many trailing snapshots readable via
     * [[readAt]]. Pins the version observed at transaction start — a
     * commit landing while the batch stages aborts this one with
     * [[ConcurrentCommitException]] rather than silently burying it. */
-  def commitOverwrite(df: DataFrame, root: String, retain: Int = 1): Long = {
+  def commitOverwrite(df: DataFrame, root: String, retain: Int = 1,
+      statsCols: Seq[String] = Nil): Long = {
     val base = currentVersion(root).getOrElse(0L)
-    publish(root, stageBatch(df, root), retain, expected = Some(base))
+    publish(root, stageBatch(df, root, None, statsCols), retain,
+      expected = Some(base))
   }
 
   /** Insert-only append: new snapshot = predecessor's files + this batch.
@@ -393,10 +689,11 @@ object TableCommit {
     * from the version read at START, and publish verifies that version is
     * still current — a concurrent committer would otherwise have its
     * files dropped from the merged manifest (the lost update). */
-  def commitAppend(df: DataFrame, root: String, retain: Int = 1): Long = {
+  def commitAppend(df: DataFrame, root: String, retain: Int = 1,
+      statsCols: Seq[String] = Nil): Long = {
     val base = currentVersion(root).getOrElse(0L)
     val prior = entriesAt(root, base)
-    val staged = stageBatch(df, root)
+    val staged = stageBatch(df, root, None, statsCols)
     publish(root, prior ++ staged, retain, expected = Some(base))
   }
 
@@ -408,10 +705,10 @@ object TableCommit {
     * forward files come from the transaction-start version, verified
     * still current at publish. */
   def commitReplacePartitions(df: DataFrame, root: String,
-      partCol: String): Long = {
+      partCol: String, statsCols: Seq[String] = Nil): Long = {
     val base = currentVersion(root).getOrElse(0L)
     val prior = entriesAt(root, base)
-    val staged = stageBatch(df, root, Some(partCol))
+    val staged = stageBatch(df, root, Some(partCol), statsCols)
     val replaced = staged.flatMap(_.part).toSet
     val kept = prior.filterNot(_.part.exists(replaced))
     publish(root, kept ++ staged, expected = Some(base))
@@ -458,7 +755,7 @@ object TableCommit {
     require(Files.exists(manifestPath(root, version)),
       s"version $version not retained at $root " +
         s"(current: ${currentVersion(root).getOrElse(-1L)})")
-    val es = readManifest(root, version)
+    val es = readManifestChecked(root, version)
     if (es.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
@@ -485,4 +782,41 @@ object TableCommit {
     else
       spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
   }
+
+  /** The manifest-stats analogue of [[readPruned]]'s listing decision:
+    * current entries whose `column` stats CANNOT rule the file out under
+    * `mightMatch` (a predicate over the file's [[ColStats]] range —
+    * return true to keep). Files with no stats for `column` always
+    * survive, so pruning is LOSSLESS by construction: it may read too
+    * much, never too little. Exposed (not just the read wrapper) so
+    * specs and planners can count exactly which files a predicate keeps
+    * without building a scan. */
+  def pruneEntries(root: String, column: String)(
+      mightMatch: ColStats => Boolean): Seq[Entry] =
+    entries(root).filter(_.stats.get(column).forall(mightMatch))
+
+  /** Manifest-stats pruned read: plan the scan from ONLY the files whose
+    * per-file min/max admit the predicate — `WHERE date = X` over a
+    * 100k-file table then reads the manifest, not 100k footers (the
+    * micro-partition pruning every warehouse table format does; the
+    * reference leans on Snowflake's at
+    * /root/reference/src/snowflake_loader.py:125-160). The caller still
+    * applies the ROW-level filter on the result — file stats bound what
+    * the files might contain, they don't filter rows. */
+  def readPrunedStats(spark: SparkSession, root: String, schema: StructType,
+      column: String)(mightMatch: ColStats => Boolean): DataFrame = {
+    val es = pruneEntries(root, column)(mightMatch)
+    if (es.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
+  }
+
+  /** Range overlap helper for [[pruneEntries]] predicates over the
+    * canonical-string stats: keep the file iff [min,max] ∩ [lo,hi] ≠ ∅
+    * under the caller-chosen ordering (lexical for ISO dates/strings,
+    * numeric-after-parse for integer columns). */
+  def rangeOverlaps(cs: ColStats, lo: String, hi: String,
+      lt: (String, String) => Boolean): Boolean =
+    !(lt(cs.max, lo) || lt(hi, cs.min))
 }

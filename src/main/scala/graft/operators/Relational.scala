@@ -922,6 +922,72 @@ object Relational {
       .orderBy(col("version"), col("c_mktsegment"))
   }
 
+  // `q_manifest_prune`: manifest min/max stats → planning-time file skip
+
+  /** Inclusive ISO-date window the pruned read asks for — one year out of
+    * the ~6.5 the orders table spans, so most range-partitioned files are
+    * skippable and the spec's strictly-fewer-files assertion has teeth. */
+  val MpLo = "1997-01-01"
+  val MpHi = "1997-12-31"
+
+  /** `q_manifest_prune`: PLANNING-TIME FILE SKIPPING from committed-table
+    * metadata — the micro-partition pruning that makes the reference's
+    * daily-date queries cheap on its warehouse
+    * (/root/reference/src/snowflake_loader.py:125-160), done here from
+    * per-file min/max stats the commit wrote into the manifest
+    * (`engine/TableCommit.footerStats`): a `WHERE date BETWEEN …` over a
+    * 100k-file table consults the manifest, not 100k footers and not a
+    * directory listing. The fixture commits orders RANGE-PARTITIONED on
+    * the ISO date string (tight, disjoint per-file ranges — what a
+    * clustered/Z-ordered layout gives stats naturally), reads back
+    * through `readPrunedStats` with a one-year window, then applies the
+    * exact row filter and aggregates. The oracle runs the same
+    * filter+rollup over the RAW table, so a pruning decision that drops
+    * one matching file breaks rows/hash — the gate proves pruning is
+    * LOSSLESS, while ManifestStatsSpec asserts the mechanical half the
+    * oracle can't see (strictly fewer files planned than committed).
+    *
+    * Scale shape: the pruned scan's file list is built from ONE small
+    * manifest read on the driver; everything data-sized stays in the
+    * pruned parquet scan. Stats collection at commit time is one footer
+    * read per just-written file — metadata-only, no data pages. */
+  def manifestPruneQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mp_").toString + "/orders"
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      .repartitionByRange(8, col("od"))
+    TableCommit.commitOverwrite(src, root,
+      statsCols = Seq("od", "o_orderkey"))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType),
+      StructField("od", StringType)))
+    TableCommit.readPrunedStats(spark, root, schema, "od")(
+        cs => TableCommit.rangeOverlaps(cs, MpLo, MpHi, _ < _))
+      .filter(col("od") >= MpLo && col("od") <= MpHi)
+      .groupBy(col("o_orderstatus"))
+      .agg(Num.countStar.as("n"), sum(col("cents")).as("cents"),
+        min(col("od")).as("first_day"), max(col("od")).as("last_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val manifestPruneOracle: String =
+    s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |    AS BIGINT) AS cents,
+       |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+       |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+       |FROM orders
+       |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '$MpLo' AND '$MpHi'
+       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val timeTravelOracle: String =
     """WITH v1 AS (
       |  SELECT c_custkey, c_mktsegment,

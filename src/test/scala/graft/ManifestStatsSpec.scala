@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TableCommit
+import graft.engine.TableCommit.{ColStats, TornManifestException}
+
+/** Round-10 TableCommit capabilities: per-file min/max stats in the
+  * manifest (planning-time file skipping) and the manifest integrity
+  * terminator (torn-read safety on filesystems where the CREATE_NEW
+  * fallback's claim/body window exists).
+  *
+  * The two contracts under test, from both sides:
+  *   - stats pruning is LOSSLESS (never drops a matching row) AND
+  *     effective (opens strictly fewer files than the manifest lists);
+  *   - readers NEVER surface a partial file list from a torn manifest —
+  *     they retry then fail loudly — and an AGED torn manifest is
+  *     vacuum-reclaimable, restoring the highest intact version.
+  */
+class ManifestStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def root(): String =
+    Files.createTempDirectory("graft_ms_spec_").toString
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  /** 40 rows over 4 disjoint key/day ranges, range-partitioned so each
+    * file's min/max are tight — the clustered layout stats want. */
+  private def clusteredCommit(r: String): Unit = {
+    val df = (0L until 40L).map(i =>
+        (i, f"2024-01-${i / 10 + 1}%02d", s"v$i"))
+      .toDF("k", "day", "v")
+      .repartitionByRange(4, col("k"))
+    TableCommit.commitOverwrite(df, r, statsCols = Seq("k", "day"))
+  }
+
+  test("commit writes per-file footer min/max into the manifest") {
+    val r = root()
+    clusteredCommit(r)
+    val es = TableCommit.entries(r)
+    assert(es.nonEmpty)
+    // every file carries stats for both declared columns
+    es.foreach { e =>
+      val k = e.stats("k"); val d = e.stats("day")
+      assert(k.min.toLong <= k.max.toLong)
+      assert(d.min <= d.max)
+    }
+    // global envelope matches the data exactly
+    assert(es.map(_.stats("k").min.toLong).min === 0L)
+    assert(es.map(_.stats("k").max.toLong).max === 39L)
+    assert(es.map(_.stats("day").min).min === "2024-01-01")
+    assert(es.map(_.stats("day").max).max === "2024-01-04")
+  }
+
+  test("stats pruning opens strictly fewer files and loses no matching row") {
+    val r = root()
+    clusteredCommit(r)
+    val all = TableCommit.entries(r)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("day", StringType), StructField("v", StringType)))
+    // one day out of four: range-clustered files make most skippable
+    val kept = TableCommit.pruneEntries(r, "day")(
+      cs => TableCommit.rangeOverlaps(cs, "2024-01-02", "2024-01-02", _ < _))
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"expected a strict subset, got ${kept.size} of ${all.size}")
+    // LOSSLESS: pruned-scan + row filter == full-scan + row filter
+    val pruned = TableCommit.readPrunedStats(spark, r, schema, "day")(
+        cs => TableCommit.rangeOverlaps(cs, "2024-01-02", "2024-01-02", _ < _))
+      .filter(col("day") === "2024-01-02")
+      .select("k").as[Long].collect().sorted
+    val full = TableCommit.read(spark, r, schema)
+      .filter(col("day") === "2024-01-02")
+      .select("k").as[Long].collect().sorted
+    assert(pruned.toSeq === full.toSeq && full.length === 10)
+    // numeric column prunes on Long order, not string order
+    val keptK = TableCommit.pruneEntries(r, "k")(
+      cs => TableCommit.rangeOverlaps(cs, "5", "9", (a, b) => a.toLong < b.toLong))
+    assert(keptK.nonEmpty && keptK.size < all.size)
+    val prunedK = TableCommit.readPrunedStats(spark, r, schema, "k")(
+        cs => TableCommit.rangeOverlaps(cs, "5", "9", (a, b) => a.toLong < b.toLong))
+      .filter(col("k").between(5, 9)).count()
+    assert(prunedK === 5L)
+  }
+
+  test("a column without collected stats never prunes (lossless fallback)") {
+    val r = root()
+    clusteredCommit(r)
+    // 'v' was not in statsCols — every file must survive a predicate on it
+    val kept = TableCommit.pruneEntries(r, "v")(_ => false)
+    assert(kept.size === TableCommit.entries(r).size)
+  }
+
+  test("stats survive append-merge republish and quote/backslash escaping") {
+    val r = root()
+    clusteredCommit(r)
+    val before = TableCommit.entries(r).map(e => e.path -> e.stats).toMap
+    // append a batch whose stats values contain JSON-active characters
+    val tricky = Seq(("""a"quote""", 1L), ("""b\slash""", 2L)).toDF("v", "k")
+    TableCommit.commitAppend(tricky, r, statsCols = Seq("v", "k"))
+    val after = TableCommit.entries(r)
+    // prior entries carried their stats through the manifest rewrite
+    before.foreach { case (p, st) =>
+      assert(after.find(_.path == p).get.stats === st)
+    }
+    val fresh = after.filterNot(e => before.contains(e.path))
+    assert(fresh.nonEmpty)
+    val vs = fresh.flatMap(_.stats.get("v"))
+    assert(vs.map(_.min).min === """a"quote""")
+    assert(vs.map(_.max).max === """b\slash""")
+  }
+
+  test("readers never surface a torn manifest: retry then fail loudly") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r)
+    val v1Files = TableCommit.entries(r).map(_.path)
+    // a crashed CREATE_NEW-fallback writer: claimed v2, body truncated
+    // mid-entry — no terminator line
+    val torn = Paths.get(r, "_log", f"v${2L}%020d.json")
+    Files.writeString(torn,
+      """{"path": "data/b_dead/part-0.parquet", "part": null}""" + "\n" +
+        """{"path": "data/b_dead/part-""") // torn mid-line
+    val e1 = intercept[TornManifestException](TableCommit.entries(r))
+    assert(e1.getMessage.contains("incomplete"))
+    intercept[TornManifestException](
+      TableCommit.readAt(spark, r, kvSchema, 2L).collect())
+    // terminator count mismatch is torn too, not best-effort-parsed
+    Files.writeString(torn,
+      """{"path": "data/b_dead/part-0.parquet", "part": null}""" + "\n" +
+        """{"n": 5}""" + "\n")
+    intercept[TornManifestException](TableCommit.entries(r))
+    // vacuum behind the age gate reclaims it → table back at intact v1
+    TableCommit.vacuum(r, minAgeMs = 0L)
+    assert(TableCommit.currentVersion(r) === Some(1L))
+    assert(TableCommit.entries(r).map(_.path) === v1Files)
+    assert(TableCommit.read(spark, r, kvSchema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("a YOUNG torn manifest freezes vacuum's data sweep (liveness unknown)") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
+    // an AGED orphan (mtime pushed an hour back) that a normal vacuum
+    // pass at minAgeMs=60s would sweep…
+    val orphan = TableCommit.stageBatch(Seq((9L, "x")).toDF("k", "v"), r)
+    val orphanPath = Paths.get(r, orphan.head.path)
+    val hourAgo = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 3600000L)
+    Files.setLastModifiedTime(orphanPath, hourAgo)
+    // …but a YOUNG torn manifest (fresh mtime — a fallback writer may be
+    // mid-body right now) must freeze the data sweep entirely
+    val torn = Paths.get(r, "_log", f"v${2L}%020d.json")
+    Files.writeString(torn, """{"path": "q", "part": null}""")
+    TableCommit.vacuum(r, minAgeMs = 60000L)
+    assert(Files.exists(orphanPath),
+      "vacuum swept a data file while a young torn manifest made liveness unjudgeable")
+    // control: with the torn manifest gone the same pass sweeps the orphan
+    Files.delete(torn)
+    TableCommit.vacuum(r, minAgeMs = 60000L)
+    assert(!Files.exists(orphanPath))
+  }
+}
