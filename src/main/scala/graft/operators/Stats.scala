@@ -673,6 +673,83 @@ object Stats {
        |  gap_permille, ece_permille
        |FROM w, e ORDER BY bin""".stripMargin
 
+  /** AUC output scale: per-million (1e6/2 premultiplier — the U statistic
+    * arrives doubled to keep midranks integral). */
+  val AucScale = 500000L
+
+  /** `q_auc` (X204): exact rank-based ROC-AUC of the X199 pseudo-model —
+    * the threshold-free companion that completes the evaluation family
+    * (X192 recall, X193 NDCG, X198 precision/recall/F1, X199
+    * calibration, X148's U machinery): AUC = U/(n₁·n₀) with U the
+    * Mann-Whitney statistic under MIDRANKS, i.e. the probability a
+    * random positive outscores a random negative with ties counted half
+    * — the quantity behind every "the sentiment model separates classes"
+    * claim like /root/reference/README.md's quality discussion. Per
+    * user-cohort (macro view), over the same deterministic scorer as
+    * X199 (p = clamp(value/200), positive = purchase).
+    *
+    * Exactness discipline: scores quantize to per-mille up front, so
+    * ranking reduces to a 1000-bucket HISTOGRAM per cohort — midrank of
+    * bucket s is cum_before(s) + (n_s+1)/2, and summing the DOUBLED rank
+    * (2·cum + n_s + 1) keeps every intermediate a Long: no double ever
+    * enters, ties are corrected by construction, and both engines fold
+    * the same integers. AUC lands as exact per-million via one integral
+    * division (u2·5e5 stays far under Long range up to ~4M rows/cohort;
+    * the histogram itself is unbounded).
+    *
+    * Scale shape: ONE data-sized pass builds the (cohort × ≤1000)-row
+    * histogram with map-side partial aggregation; the rank windows and
+    * final fold run on histogram rows, never data rows — the X22/X186
+    * fan-out discipline applied to ranking statistics. */
+  def aucQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pm = least(floor(col("value") * 1000.0 / CalibValueScale)
+      .cast("long"), lit(999L))
+    val hist = Tables.events(spark, sfDir)
+      .select((col("user_id") % 4).as("cohort"), pm.as("pm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("cohort"), col("pm"))
+      .agg(Num.countStar.as("n_s"), sum(col("pos")).as("pos_s"))
+    val before = Window.partitionBy(col("cohort")).orderBy(col("pm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum", coalesce(sum(col("n_s")).over(before), lit(0L)))
+      .groupBy(col("cohort"))
+      .agg(sum(col("pos_s")).as("n_pos"),
+        (sum(col("n_s")) - sum(col("pos_s"))).as("n_neg"),
+        sum(col("pos_s") * (col("cum") * 2 + col("n_s") + 1)).as("r2"))
+      .select(col("cohort"), col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+      .withColumn("auc_ppm",
+        Num.divLong(col("u2") * AucScale, col("n_pos") * col("n_neg")))
+      .orderBy(col("cohort"))
+  }
+
+  val aucOracle: String =
+    s"""WITH q AS (
+       |  SELECT user_id % 4 AS cohort,
+       |    least(CAST(FLOOR(value * 1000.0 / ${CalibValueScale})
+       |      AS BIGINT), 999) AS pm,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |h AS (
+       |  SELECT cohort, pm, CAST(COUNT(*) AS BIGINT) AS n_s,
+       |    CAST(SUM(pos) AS BIGINT) AS pos_s
+       |  FROM q GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, COALESCE(SUM(n_s) OVER (PARTITION BY cohort ORDER BY pm
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM h),
+       |g AS (
+       |  SELECT cohort, CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+       |    CAST(SUM(n_s) - SUM(pos_s) AS BIGINT) AS n_neg,
+       |    CAST(SUM(pos_s * (cum * 2 + n_s + 1)) AS BIGINT) AS r2
+       |  FROM r GROUP BY 1)
+       |SELECT cohort, n_pos, n_neg,
+       |  r2 - n_pos * (n_pos + 1) AS u2,
+       |  (r2 - n_pos * (n_pos + 1)) * ${AucScale} // (n_pos * n_neg)
+       |    AS auc_ppm
+       |FROM g ORDER BY cohort""".stripMargin
+
   /** `q_join_card_est`: pre-join cardinality estimation from HLL sketches —
     * the planner-side use of X56/X62's mergeability: before paying for a
     * 100-TB shuffle, estimate how many join keys the two sides SHARE using

@@ -408,4 +408,34 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(est.size === days.size)
   }
+
+  test("q_auc matches brute-force pairwise AUC (ties counted half) per cohort") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Stats.aucQ(spark, sf).collect()
+      .map(r => r.getAs[Long]("cohort") ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Long]("auc_ppm"))).toMap
+    // independent truth: AUC = (#(pos>neg) + ½·#(pos==neg)) / (n1·n0)
+    // over the SAME per-mille-quantized scores, brute-forced driver-side
+    val rows = graft.engine.Tables.events(spark, sf)
+      .select((col("user_id") % 4).as("cohort"),
+        least(floor(col("value") * 1000.0 / Stats.CalibValueScale)
+          .cast("long"), lit(999L)).as("pm"),
+        (col("event_type") === "purchase").as("pos"))
+      .collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("pm"),
+        r.getAs[Boolean]("pos")))
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val p = rs.filter(_._3).map(_._2)
+      val n = rs.filterNot(_._3).map(_._2)
+      var wins2 = 0L // doubled: win=2, tie=1
+      for (a <- p; b <- n)
+        wins2 += (if (a > b) 2L else if (a == b) 1L else 0L)
+      val (n1, n0, aucPpm) = got(cohort)
+      assert(n1 === p.length.toLong && n0 === n.length.toLong)
+      assert(aucPpm === wins2 * 500000L / (n1 * n0),
+        s"cohort $cohort: rank-based vs pairwise disagree")
+    }
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+  }
 }
