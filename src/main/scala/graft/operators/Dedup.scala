@@ -104,18 +104,28 @@ object Dedup {
     * batch-vs-corpus variant): returns the MATERIALIZED shingle frame and
     * the (doc_id, band, key) rows. One definition — a banding change can't
     * silently fork the detectors. */
+  /** The Bands-element band-key array derived from a doc's reduced shingle
+    * array `hs` — ONE definition of the banding for the in-flight path
+    * ([[bandedSignatures]]) and the persisted index ([[sigIndexFrame]]),
+    * so a banding change can't silently make a committed index and a
+    * fresh batch disagree on bucket keys. */
+  private def bandKeysExpr(hs: Column): Column = {
+    val p = MinhashPrime
+    val minhashes: Seq[Column] = Perms.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % p))
+    }
+    // 6 band keys, each the concatenation of 2 adjacent signature rows.
+    array((0 until Bands).map { j =>
+      concat_ws("_", minhashes(2 * j), minhashes(2 * j + 1))
+    }: _*)
+  }
+
   private[operators] def bandedSignatures(docs: DataFrame): (DataFrame, DataFrame) = {
     val p = MinhashPrime
     val sh = materialize(shingled(docs)
       .withColumn("hs", transform(col("sg"), s => s % p)))
-    val minhashes: Seq[Column] = Perms.map { case (a, b) =>
-      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % p))
-    }
-    // 6 band keys, each the concatenation of 2 adjacent signature rows.
-    val bandKeys: Column = array((0 until Bands).map { j =>
-      concat_ws("_", minhashes(2 * j), minhashes(2 * j + 1))
-    }: _*)
-    (sh, sh.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key"))))
+    (sh, sh.select(col("doc_id"),
+      posexplode(bandKeysExpr(col("hs"))).as(Seq("band", "key"))))
   }
 
   /** Core over any (doc_id, text) frame. */
@@ -239,13 +249,25 @@ object Dedup {
       .write.mode("overwrite")
       .bucketBy(IncrBandBuckets, "band", "key").sortBy("band", "key")
       .saveAsTable(tHist)
-    val cand = spark.table(tHist).as("h")
-      .join(bands.filter(isBatch).as("n"),
+    bestBatchMatches(spark.table(tHist), bands.filter(isBatch), sh, sh)
+  }
+
+  /** Shared incremental-dedup tail: (band,key) candidate join between a
+    * HISTORY band index and a fresh BATCH's bands, exact-Jaccard verify
+    * on the hashed shingle sets, then each batch doc keeps its best match
+    * (max jaccard, min history id). One definition for the bucketed-table
+    * variant (X61) and the committed-index resume variant (X205), so the
+    * two can't drift semantically. */
+  private def bestBatchMatches(bandsH: DataFrame, bandsN: DataFrame,
+      sigsN: DataFrame, sigsH: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = bandsH.as("h")
+      .join(bandsN.as("n"),
         col("h.band") === col("n.band") && col("h.key") === col("n.key"))
       .select(col("n.doc_id").as("batch_doc"), col("h.doc_id").as("match_doc"))
       .distinct()
-    val x = sh.select(col("doc_id").as("batch_doc"), col("sg").as("sg_n"))
-    val y = sh.select(col("doc_id").as("match_doc"), col("sg").as("sg_h"))
+    val x = sigsN.select(col("doc_id").as("batch_doc"), col("sg").as("sg_n"))
+    val y = sigsH.select(col("doc_id").as("match_doc"), col("sg").as("sg_h"))
     val best = Window.partitionBy(col("batch_doc"))
       .orderBy(col("jaccard").desc, col("match_doc").asc)
     cand.join(x, Seq("batch_doc")).join(y, Seq("match_doc"))
@@ -256,6 +278,73 @@ object Dedup {
       .withColumn("rn", row_number().over(best))
       .filter(col("rn") === 1).drop("rn")
       .orderBy(col("batch_doc"))
+  }
+
+  /** Persisted-signature-index schema: the hashed shingle set (the exact-
+    * verify artifact — 8-byte longs, never raw text) plus the Bands
+    * precomputed band keys per doc. */
+  private[graft] val SigIndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sg", ArrayType(LongType)),
+      StructField("bands", ArrayType(StringType))))
+  }
+
+  /** The PERSISTABLE form of [[bandedSignatures]]: one row per doc with
+    * its hashed shingle set and precomputed band keys — what a production
+    * dedup service checkpoints so tomorrow's run never re-shingles
+    * yesterday's corpus. */
+  private[graft] def sigIndexFrame(docs: DataFrame): DataFrame = {
+    val p = MinhashPrime
+    shingled(docs)
+      .withColumn("hs", transform(col("sg"), s => s % p))
+      .select(col("doc_id"), col("sg"), bandKeysExpr(col("hs")).as("bands"))
+  }
+
+  /** `q_dedup_index_resume` (X205): X61's incremental dedup with the
+    * signature index PERSISTED as a TableCommit table instead of
+    * recomputed per run — the operating mode of a production dedup
+    * service at 100 TB, where re-shingling the historical corpus daily
+    * is the dominant (and pointless) cost. Day 1 ingests the history and
+    * commits its signature index (v1). Day 2 — [[dedupIndexResumeDay2]],
+    * which by CONSTRUCTION receives only the batch documents and the
+    * table root — time-travels to v1 for the history signatures, computes
+    * signatures for the fresh batch only, appends them to the index in
+    * one transaction (v2 = tomorrow's history), and runs the candidate
+    * join + exact verify. The gate shares X61's oracle verbatim: the
+    * resumed two-batch run must hash-match the from-scratch incremental
+    * dedup — a stale index, a dropped append, or a banding drift between
+    * committed and fresh signatures all break it. DedupSpec proves the
+    * "never recomputes" half structurally: day 2 still produces the
+    * correct result when every history document's TEXT is corrupted,
+    * because history flows only through the committed index. */
+  def dedupIndexResumeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sigidx_").toString + "/sig_index"
+    val docs = Tables.documents(spark, sfDir)
+    val isBatch = col("doc_id") % IncrBatchMod === 0
+    // DAY 1: history ingest — commit the signature index, retain 2 so the
+    // day-2 read can pin v1 while the append publishes v2
+    val v1 = graft.engine.TableCommit.commitOverwrite(
+      sigIndexFrame(docs.filter(!isBatch)), root, retain = 2)
+    dedupIndexResumeDay2(spark, root, v1, docs.filter(isBatch))
+  }
+
+  /** Day-2 of the resumed incremental dedup. Takes ONLY the batch
+    * documents and the committed index root — history text is
+    * unreachable from here, which IS the no-recompute guarantee. */
+  private[graft] def dedupIndexResumeDay2(spark: SparkSession, root: String,
+      v1: Long, batchDocs: DataFrame): DataFrame = {
+    val hist = graft.engine.TableCommit.readAt(spark, root, SigIndexSchema, v1)
+    val batchIdx = materialize(sigIndexFrame(batchDocs))
+    // the same run extends the index: v2 = v1 ⊎ batch, one transaction —
+    // tomorrow resumes from v2 exactly as today resumed from v1
+    graft.engine.TableCommit.commitAppend(batchIdx, root, retain = 2)
+    def explodeBands(idx: DataFrame): DataFrame =
+      idx.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    bestBatchMatches(explodeBands(hist), explodeBands(batchIdx),
+      batchIdx, hist)
   }
 
   val dedupIncrementalOracle: String =
