@@ -79,6 +79,13 @@ object PagedSource {
     * googleapiclient raise after its own retries). */
   final class RetriesExhausted(msg: String) extends RuntimeException(msg)
 
+  /** Thrown by the streaming facet's admission control when advancing the
+    * page watermark by even one page would overrun the account-scoped
+    * `quotaBudget` — the connector analogue of the reference API's
+    * dailyLimitExceeded error. Fails the poll LOUDLY instead of silently
+    * stalling an AvailableNow drain. */
+  final class QuotaExhausted(msg: String) extends RuntimeException(msg)
+
   /** Walk every chain's token sequence executor-side. Returns one row per
     * fetched record: (chain, id, page_no, page_attempts) — provenance
     * that makes paging, retry, and quota OBSERVABLE columns rather than
@@ -362,6 +369,115 @@ object PagedSource {
       .agg(Num.countStar.as("n_rows"), sum(col("id")).as("id_sum"))
       .orderBy(col("nation"))
     detachFromSink(spark, sinkName, rollup, orderCol = "nation")
+  }
+
+  // ------------------------------------------------------------------
+  // `q_source_stream_resume`: the quota LEDGER survives a mid-drain crash
+  // ------------------------------------------------------------------
+
+  /** Page watermark at which run 1's driver "dies" — mid-horizon (14
+    * pages at the stream constants), after two committed micro-batches. */
+  val StreamCrashAtPage = 8
+
+  /** `q_source_stream_resume` (X206): the connector's account-scoped
+    * QUOTA LEDGER across process restarts — the reference's daily quota
+    * belongs to the API account, not to whichever function invocation is
+    * currently polling (/root/reference/azure-functions/
+    * function_app.py:88-116), so the cumulative spend rides in the
+    * CHECKPOINT next to the page watermark (`PageOffset{page, quota}`).
+    * The gate runs the drain twice against one checkpoint: run 1 is
+    * killed deterministically at page 8 of 14 (a crash seam in the
+    * admission-control path — two micro-batches committed, ledger
+    * persisted), run 2 resumes and finishes the horizon into an
+    * exactly-once file sink. The readout is the per-chain transport
+    * report (rows, pages, calls incl. retries, quota) PLUS the final
+    * checkpointed ledger: rows/attempts prove the restart re-read
+    * nothing and dropped nothing; `ledger_units` equals the single-run
+    * arithmetic total ONLY if the resumed run continued the dead run's
+    * ledger instead of starting a fresh one. */
+  def sourceStreamResumeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_stream_resume_").toString
+    val ckpt = s"$work/ckpt"
+    val out = s"$work/out"
+    def drain(crashAt: Option[Int]): Unit = {
+      val reader = spark.readStream.format("graft-paged")
+        .option("chains", StreamChains.toString)
+        .option("rowsPerChain", StreamRowsPerChain.toString)
+        .option("pageSize", StreamPageSize.toString)
+        .option("maxPagesPerTrigger", StreamMaxPagesPerTrigger.toString)
+      val withCrash = crashAt.fold(reader)(p =>
+        reader.option("simulateCrashAtPage", p.toString))
+      val q = withCrash.load().writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        // run 1's simulated process death — checkpoint keeps the
+        // committed prefix and the ledger
+        case _: org.apache.spark.sql.streaming.StreamingQueryException
+          if crashAt.nonEmpty => ()
+      }
+    }
+    drain(crashAt = Some(StreamCrashAtPage))
+    drain(crashAt = None)
+    val ledger = checkpointLedger(ckpt)
+    spark.read.parquet(out)
+      .groupBy(col("chain"), col("page_no"))
+      .agg(Num.countStar.as("rows_in_page"),
+        max(col("page_attempts")).as("attempts"),
+        sum(col("id")).as("id_sum"))
+      .groupBy(col("chain"))
+      .agg(sum(col("rows_in_page")).as("n_rows"),
+        Num.countStar.as("n_pages"),
+        sum(col("attempts")).as("n_calls"),
+        (sum(col("attempts")) * SourceUnitsPerCall).as("quota_units"),
+        sum(col("id_sum")).as("id_sum"))
+      .withColumn("ledger_units", lit(ledger))
+      .orderBy(col("chain"))
+  }
+
+  /** Final cumulative quota from the checkpoint: the `quota` field of the
+    * highest-numbered offsets entry — what the next restart would resume
+    * from. Driver-side metadata read, same trust base as the engine's own
+    * offset recovery. */
+  private[graft] def checkpointLedger(ckpt: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(ckpt, "offsets")
+    val s = java.nio.file.Files.list(dir)
+    val latest = try {
+      s.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+    } finally s.close()
+    val QuotaRe = """"quota":(\d+)""".r
+    QuotaRe.findAllMatchIn(java.nio.file.Files.readString(latest))
+      .map(_.group(1).toLong).toSeq.lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no quota ledger in $latest"))
+  }
+
+  /** Oracle: identical per-chain pricing to `q_source_stream` (the resume
+    * must change NOTHING about what is read or billed) plus the ledger
+    * total — all chains' calls at the stream constants. */
+  val sourceStreamResumeOracle: String = {
+    val r = StreamRowsPerChain
+    val np = (r + StreamPageSize - 1) / StreamPageSize
+    val calls = np + (np + 1) / 3
+    s"""SELECT 'c' || CAST(c AS VARCHAR) AS chain,
+       |  CAST($r AS BIGINT) AS n_rows,
+       |  CAST($np AS BIGINT) AS n_pages,
+       |  CAST($calls AS BIGINT) AS n_calls,
+       |  CAST(${calls * SourceUnitsPerCall} AS BIGINT) AS quota_units,
+       |  CAST($r * c + ${StreamChains.toLong * r * (r - 1) / 2} AS BIGINT)
+       |    AS id_sum,
+       |  CAST(${StreamChains * calls * SourceUnitsPerCall} AS BIGINT)
+       |    AS ledger_units
+       |FROM range(0, ${StreamChains}) AS t(c) ORDER BY chain""".stripMargin
   }
 
   /** Oracle: the connector's ids are exactly 0..chains·R−1, so the

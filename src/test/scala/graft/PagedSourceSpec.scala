@@ -281,4 +281,68 @@ class PagedSourceSpec extends AnyFunSuite {
       .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
     assert(got === served.view.mapValues(_.toSeq).toMap)
   }
+
+  // ---- streaming quota ledger across restarts (VERDICT r9 task 8) ----
+
+  private def drainOnce(ckpt: String, out: String,
+      opts: Map[String, String]): Either[Throwable, Unit] = {
+    val reader = opts.foldLeft(
+      spark.readStream.format("graft-paged")
+        .option("chains", "3").option("rowsPerChain", "523")
+        .option("pageSize", "40").option("maxPagesPerTrigger", "4")
+    ) { case (r, (k, v)) => r.option(k, v) }
+    val q = reader.load().writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination(); Right(()) }
+    catch { case e: Throwable => Left(e) }
+  }
+
+  test("a killed-and-resumed drain bills exactly the single-run quota") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ledger_spec_").toString
+    // reference run: one uninterrupted drain
+    assert(drainOnce(s"$base/ckptA", s"$base/outA", Map.empty).isRight)
+    val single = PagedSource.checkpointLedger(s"$base/ckptA")
+    assert(single > 0L)
+    // crash run: dies at page 8 of 14, then resumes on the same checkpoint
+    val crashed = drainOnce(s"$base/ckptB", s"$base/outB",
+      Map("simulateCrashAtPage" -> "8"))
+    assert(crashed.isLeft, "the crash seam must kill run 1 mid-horizon")
+    val midLedger = PagedSource.checkpointLedger(s"$base/ckptB")
+    assert(midLedger > 0L && midLedger < single,
+      s"mid-crash ledger $midLedger should be a strict prefix of $single")
+    assert(drainOnce(s"$base/ckptB", s"$base/outB", Map.empty).isRight)
+    // the resumed ledger CONTINUED the dead run's spend — equal billing
+    assert(PagedSource.checkpointLedger(s"$base/ckptB") === single)
+    // and the data halves stitched exactly-once
+    val a = spark.read.parquet(s"$base/outA")
+      .agg(count(lit(1)), sum(col("id"))).collect().head
+    val b = spark.read.parquet(s"$base/outB")
+      .agg(count(lit(1)), sum(col("id"))).collect().head
+    assert(a === b)
+  }
+
+  test("quota budget is account-scoped admission control: too small fails loudly before overspend") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_budget_spec_").toString
+    // 14 pages × (1 + retry on ≡1 mod 3) = 19 calls × 3 chains × 100 units
+    // = 5700 total; 2000 affords the first batches then must refuse
+    val r = drainOnce(s"$base/ckpt", s"$base/out",
+      Map("quotaBudget" -> "2000"))
+    assert(r.isLeft)
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(r.left.toOption.get)
+      .isInstanceOf[PagedSource.QuotaExhausted])
+    // the ledger never passed the budget
+    assert(PagedSource.checkpointLedger(s"$base/ckpt") <= 2000L)
+    // a budget covering the horizon admits everything
+    val ok = drainOnce(s"$base/ckpt2", s"$base/out2",
+      Map("quotaBudget" -> "5700"))
+    assert(ok.isRight)
+    assert(PagedSource.checkpointLedger(s"$base/ckpt2") === 5700L)
+  }
 }
