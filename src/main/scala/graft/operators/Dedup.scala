@@ -1064,7 +1064,51 @@ object Dedup {
     * the X145 prefix join it shares its frame with, plus the full-postings
     * index side whose hot shingles are exactly the ones NO probe prefix
     * selects. */
-  def dedupContainmentQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupContainmentQ(spark: SparkSession, sfDir: String): DataFrame =
+    dedupContainmentWith(spark, sfDir, bloomPrune = false)
+
+  /** Coverage diagnosis for the Bloom-prune decision (ScaleProbe
+    * `containcover`): shares of the index side's distinct shingles and
+    * posting ROWS that the probe-prefix shingle set selects. */
+  private[graft] def containmentCoverage(spark: SparkSession,
+      sfDir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = materialize(shingled(Tables.documents(spark, sfDir)))
+    val tok = sh.select(col("doc_id"), explode(col("sg")).as("w"))
+    val dfreq = tok.groupBy(col("w")).agg(Num.countStar.as("df"))
+    val ranked = tok.join(dfreq, Seq("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("w").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefLen = col("n") -
+      expr(s"(${ContainNum} * n + ${ContainDen} - 1) div ${ContainDen}") +
+      lit(1)
+    val prefW = materialize(
+      ranked.filter(col("rn") <= prefLen).select(col("w")).distinct())
+    val totalW = dfreq.count()
+    val coveredW = prefW.count()
+    val totalRows = tok.count()
+    val coveredRows = tok.join(prefW, Seq("w"), "left_semi").count()
+    f"distinct_shingles=$totalW%,d prefix_covered=$coveredW%,d " +
+      f"(${coveredW * 100.0 / totalW}%.1f%%), posting_rows=$totalRows%,d " +
+      f"covered_rows=$coveredRows%,d (${coveredRows * 100.0 / totalRows}%.1f%%)"
+  }
+
+  /** Bitmap size of the prefix-shingle Bloom prune (2^20 positions). */
+  val ContainBloomBits: Long = 1L << 20
+
+  /** One-hash Bloom position of a shingle for the index-side prune —
+    * xxhash64 (codegen'd, executor-cheap); no oracle twin is needed
+    * because the prune is RESULT-INVARIANT: the candidate join matches on
+    * `w` itself, so a Bloom false positive is an index posting that joins
+    * nothing, never a wrong pair. */
+  private def containBloomPos(w: Column): Column =
+    pmod(xxhash64(lit("cb"), w), lit(ContainBloomBits))
+
+  /** `bloomPrune` toggles the index-side Bloom discipline so ScaleProbe
+    * can measure the shuffle-bytes delta; production path is ON. */
+  private[graft] def dedupContainmentWith(spark: SparkSession, sfDir: String,
+      bloomPrune: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = materialize(shingled(Tables.documents(spark, sfDir)))
     val tok = sh.select(col("doc_id"), explode(col("sg")).as("w"))
@@ -1077,10 +1121,29 @@ object Dedup {
     val prefLen = col("n") -
       expr(s"(${ContainNum} * n + ${ContainDen} - 1) div ${ContainDen}") +
       lit(1)
-    val prefix = ranked.filter(col("rn") <= prefLen)
-      .select(col("doc_id").as("doc_a"), col("w"))
+    // materialized: feeds both the candidate probe and the Bloom build
+    val prefix = materialize(ranked.filter(col("rn") <= prefLen)
+      .select(col("doc_id").as("doc_a"), col("w")))
+    // Index-side Bloom prune (VERDICT r9 task 6 / the X59 discipline):
+    // the probe side is prefix-bounded but the index side would shuffle
+    // EVERY posting on `w`, including the hot shingles no rare-first
+    // prefix ever selects — and hot shingles are exactly where the
+    // posting ROWS are. Summarize the distinct prefix shingles into a
+    // fixed-size position set (map-side combine caps it at 2^20 rows ≈
+    // the bitmask a real impl broadcasts) and semi-join the index scan
+    // against it BEFORE the w-keyed exchange: no false negatives, so
+    // every true candidate survives; a false positive is a posting that
+    // joins nothing. Result-invariant by construction — the gate hash
+    // cannot move, only the shuffled bytes can (measured in SCALING.md).
+    val idxTok =
+      if (!bloomPrune) tok
+      else {
+        val bits = prefix.select(containBloomPos(col("w")).as("pos")).distinct()
+        tok.join(broadcast(bits), containBloomPos(col("w")) === col("pos"),
+          "left_semi")
+      }
     val cand = prefix
-      .join(tok.select(col("doc_id").as("doc_b"), col("w")), Seq("w"))
+      .join(idxTok.select(col("doc_id").as("doc_b"), col("w")), Seq("w"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     cand

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *     relative to the widest sweep point (more bands only ADD candidate
   *     coverage, so the widest setting is the best available proxy for
   *     the full pair set without an n² ground-truth pass).
+  *
+  * sbt "runMain graft.tools.ScaleProbe containbytes dir1 dir2 ..."
+  *   — q_dedup_containment's total shuffle WRITE bytes and wall time,
+  *     with and without the index-side Bloom prune (VERDICT r9 task 6),
+  *     plus the row count as the result-invariance witness. Shuffle
+  *     bytes come from a SparkListener summing per-task shuffle write
+  *     metrics — the quantity the prune exists to cut.
   * }}}
   */
 object ScaleProbe {
@@ -69,6 +76,47 @@ object ScaleProbe {
         val base = found.map(_._2).max.toDouble
         found.foreach { case (b, p) =>
           println(f"[probe] embrecall $dir bands=$b: relative_recall=${p / base * 100}%.1f%%")
+        }
+      case "containbytes" =>
+        // per-task shuffle-write accumulator; reset between variants
+        val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+        val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null) {
+                bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+                recs.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+              }
+          })
+        args.drop(1).foreach { dir =>
+          Seq(false, true).foreach { prune =>
+            // warm pass so parquet/codegen costs don't skew wall time
+            graft.operators.Dedup.dedupContainmentWith(spark, dir, prune).count()
+            try spark.catalog.clearCache() catch { case _: Throwable => () }
+            bytes.set(0L); recs.set(0L)
+            val t0 = System.nanoTime()
+            val n = graft.operators.Dedup
+              .dedupContainmentWith(spark, dir, prune).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            // listener events drain asynchronously; settle before reading
+            // (the bus API is private[spark] — a bounded sleep is the
+            // probe-grade substitute)
+            Thread.sleep(1500)
+            try spark.catalog.clearCache() catch { case _: Throwable => () }
+            println(f"[probe] containbytes $dir bloom=$prune: " +
+              f"shuffle_bytes=${bytes.get()}%,d shuffle_rows=${recs.get()}%,d " +
+              f"result_rows=$n%,d (${dt}%.1f s)")
+          }
+        }
+      case "containcover" =>
+        // why the Bloom prune is (or isn't) moot: what fraction of the
+        // index side's DISTINCT shingles — and, the quantity that pays,
+        // POSTING ROWS — the probe-prefix shingle set covers
+        args.drop(1).foreach { dir =>
+          val r = graft.operators.Dedup.containmentCoverage(spark, dir)
+          println(s"[probe] containcover $dir: $r")
         }
       case other =>
         System.err.println(s"unknown probe: $other")

@@ -244,6 +244,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.isEmpty)
   }
 
+  test("containment Bloom prune is result-invariant (flag changes bytes, never rows)") {
+    val sf = "/root/testdata/sf0.001"
+    val off = Dedup.dedupContainmentWith(spark, sf, bloomPrune = false)
+      .collect().map(_.toString).toSeq
+    val on = Dedup.dedupContainmentWith(spark, sf, bloomPrune = true)
+      .collect().map(_.toString).toSeq
+    assert(on === off && off.nonEmpty)
+  }
+
   test("index resume: day 2 never recomputes history signatures (corrupted-history proof)") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
