@@ -178,6 +178,24 @@ object Bench {
         s"[bench] WARNING: frozen baseline queries missing from results: " +
           baselineQueries.filterNot(results.contains).mkString(","))
     val baselineSubsetTotal = baselineMatched.flatMap(results.get).sum
+    // Noise-robust gate number (VERDICT r9 item 4): the one-shot subset
+    // total swung 0.135×–0.171× on identical code with ambient load, so
+    // re-run the frozen 19 three times IN-RUN (~6 s/rep — affordable) and
+    // report the MEDIAN rep total alongside. BASELINE.md adjudicates the
+    // 2× gate on the median; the one-shot stays for continuity. All three
+    // rep totals ride in the artifact so a drifting machine is visible in
+    // the spread, not just suspected.
+    val subsetReps = (1 to 3).map { _ =>
+      val t = baselineMatched.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sum
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      t
+    }
+    val baselineSubsetMedian = subsetReps.sorted.apply(subsetReps.size / 2)
     // BASELINE.md's environment-drift decision rule, applied in-artifact:
     // the fixed-work barometer's round-7 idle calibration is
     // BarometerIdleCal (4.5 s; measured 3.1-5.0 across idle sessions) —
@@ -196,12 +214,13 @@ object Bench {
     // cwd-anchored (sbt runs from the repo root) so the artifact lands next
     // to the bench on any checkout, not a hardcoded machine path
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
+    val repsJson = subsetReps.map(f3).mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"baseline_subset_total":${f3(baselineSubsetTotal)},"baseline_subset_n":${baselineMatched.size},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"baseline_subset_total":${f3(baselineSubsetTotal)},"baseline_subset_median":${f3(baselineSubsetMedian)},"baseline_subset_reps":$repsJson,"baseline_subset_n":${baselineMatched.size},"queries":${jmap(results.toSeq, f3)},"slowest5_median":${jmap(medians, f3)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case _: Throwable => () }
     val slowest10 = results.toSeq.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"baseline_subset_total":${f3(baselineSubsetTotal)},"baseline_subset_n":${baselineMatched.size},"full_map":"$fullPath","queries":${jmap(slowest10, f2)},"slowest5_median":${jmap(medians, f3)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"barometer_sec":${f2(barometerSec)},"warmup_sec":${f2(warmupSec)},"norm_total":${f3(normTotal)},"baseline_subset_total":${f3(baselineSubsetTotal)},"baseline_subset_median":${f3(baselineSubsetMedian)},"baseline_subset_reps":$repsJson,"baseline_subset_n":${baselineMatched.size},"full_map":"$fullPath","queries":${jmap(slowest10, f2)},"slowest5_median":${jmap(medians, f3)}}""")
     spark.stop()
   }
 }

@@ -705,13 +705,24 @@ object TableCommit {
     * forward files come from the transaction-start version, verified
     * still current at publish. */
   def commitReplacePartitions(df: DataFrame, root: String,
-      partCol: String, statsCols: Seq[String] = Nil): Long = {
+      partCol: String, statsCols: Seq[String] = Nil,
+      retain: Int = 1): Long = {
     val base = currentVersion(root).getOrElse(0L)
     val prior = entriesAt(root, base)
     val staged = stageBatch(df, root, Some(partCol), statsCols)
     val replaced = staged.flatMap(_.part).toSet
     val kept = prior.filterNot(_.part.exists(replaced))
-    publish(root, kept ++ staged, expected = Some(base))
+    publish(root, kept ++ staged, retain, expected = Some(base))
+  }
+
+  /** Manifest of a RETAINED version, for version-to-version diff tooling
+    * (which files a commit added/removed — the file-level half of a
+    * snapshot diff; the row-level half reads both versions via
+    * [[readAt]]). Same retention contract as readAt. */
+  def entriesAtVersion(root: String, version: Long): Seq[Entry] = {
+    require(Files.exists(manifestPath(root, version)),
+      s"version $version not retained at $root")
+    readManifestChecked(root, version)
   }
 
   /** Run `txn` (a full read-stage-publish transaction body) and, when it

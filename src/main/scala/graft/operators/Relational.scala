@@ -922,6 +922,96 @@ object Relational {
       .orderBy(col("version"), col("c_mktsegment"))
   }
 
+  // `q_commit_diff` (X208): version-to-version diff via time travel
+
+  /** `q_commit_diff`: CDC BETWEEN COMMITTED VERSIONS — given only a
+    * committed table with two retained snapshots, classify every key as
+    * added / removed / changed / unchanged across v1→v2 and roll the
+    * deltas up per partition. X72's `q_cdc_diff` reconciles two EXTERNAL
+    * snapshots; this one needs no upstream at all — the table's own
+    * retention IS the change log (what `DESCRIBE HISTORY` + `VERSION AS
+    * OF` diffing gives users of production table formats, and the audit
+    * the reference would run against Snowflake Time Travel after a
+    * MERGE, /root/reference/src/snowflake_loader.py:86-104). The fixture
+    * replace-commits one status slice with a deterministic mutation mix
+    * (reprice every even key +5 cents, drop every key ≡ 0 mod 31, add
+    * one synthetic key past the max) so all four classes are non-empty
+    * in the mutated slice and exactly empty outside it.
+    *
+    * Scale shape: both sides are manifest-pinned parquet scans (time
+    * travel is metadata); the diff is ONE co-partitioned full-outer join
+    * on the key plus a partition-grained rollup — the q_cdc_diff plan,
+    * fed by snapshots that cost nothing to "retain". File-level half
+    * (which files the commit swapped) is spec'd via `entriesAtVersion`,
+    * not gated — DuckDB can't see manifests. */
+  def commitDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdiff_").toString + "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), cents)
+    val v1 = TableCommit.commitReplacePartitions(src, root,
+      "o_orderstatus", retain = 2)
+    val maxKey = src.agg(max(col("o_orderkey"))).head().getLong(0)
+    val mutated = src.filter(col("o_orderstatus") === "O")
+      .filter(col("o_orderkey") % 31 =!= 0) // dropped rows
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 2 === 0, col("cents") + 5L)
+          .otherwise(col("cents")).as("cents")) // repriced rows
+      .unionByName(spark.range(1).select(
+        lit(maxKey + 1L).as("o_orderkey"), lit("O").as("o_orderstatus"),
+        lit(9999L).as("cents"))) // one added row
+    val v2 = TableCommit.commitReplacePartitions(mutated, root,
+      "o_orderstatus", retain = 2)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType)))
+    val a = TableCommit.readAt(spark, root, schema, v1).as("a")
+    val b = TableCommit.readAt(spark, root, schema, v2).as("b")
+    a.join(b, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("a.o_orderstatus"), col("b.o_orderstatus")).as("part"),
+        when(col("a.o_orderkey").isNull, "added")
+          .when(col("b.o_orderkey").isNull, "removed")
+          .when(col("a.cents") =!= col("b.cents"), "changed")
+          .otherwise("unchanged").as("class"),
+        coalesce(col("b.cents"), lit(0L)) - coalesce(col("a.cents"), lit(0L)))
+      .toDF("part", "class", "delta")
+      .groupBy(col("part"), col("class"))
+      .agg(Num.countStar.as("n_keys"), sum(col("delta")).as("delta_cents"))
+      .orderBy(col("part"), col("class"))
+  }
+
+  val commitDiffOracle: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN cents + 5 ELSE cents END AS cents
+      |  FROM v1 WHERE o_orderstatus = 'O' AND o_orderkey % 31 <> 0
+      |  UNION ALL
+      |  SELECT (SELECT MAX(o_orderkey) + 1 FROM v1), 'O', 9999
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, cents FROM v1
+      |  WHERE o_orderstatus <> 'O'),
+      |d AS (
+      |  SELECT COALESCE(a.o_orderstatus, b.o_orderstatus) AS part,
+      |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |         WHEN b.o_orderkey IS NULL THEN 'removed'
+      |         WHEN a.cents <> b.cents THEN 'changed'
+      |         ELSE 'unchanged' END AS class,
+      |    COALESCE(b.cents, 0) - COALESCE(a.cents, 0) AS delta
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+      |SELECT part, class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(delta) AS BIGINT) AS delta_cents
+      |FROM d GROUP BY 1, 2 ORDER BY part, class""".stripMargin
+
   // `q_manifest_prune`: manifest min/max stats → planning-time file skip
 
   /** Inclusive ISO-date window the pruned read asks for — one year out of

@@ -979,4 +979,80 @@ object TextAnalysis {
        |  FROM agg)
        |SELECT rnk, term, df, postings_head
        |FROM ranked WHERE rnk <= ${IdxTopTerms} ORDER BY rnk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // `q_readability` (X209): integer Flesch reading-ease bands
+  // ------------------------------------------------------------------
+
+  /** `q_readability`: Flesch reading-ease per document, folded to band
+    * histograms per source — the classic quality-filter signal corpus
+    * pipelines run next to X9's ratio score (C4/Gopher-style filters cut
+    * on readability-adjacent stats; a score of 30 vs 90 separates legal
+    * boilerplate from conversational text). Flesch = 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), computed ENTIRELY
+    * in milli-scaled integer arithmetic (two exact integral divisions per
+    * doc, subtraction in Longs): no float ever enters, so the per-band
+    * counts and mean hash-gate cross-engine. Proxies are the standard
+    * text-stat ones, one regex pass each: sentences = `[.!?]+` runs
+    * (min 1), syllables = `[aeiouy]+` vowel runs in the lowered text —
+    * deterministic and tokenizer-consistent ([[graft.engine.Text]] for
+    * words).
+    *
+    * Scale shape: one narrow codegen'd pass per doc (regexp counts +
+    * two divs), then a (source × 4-band)-bounded aggregate — nothing
+    * data-sized after the scan. */
+  def readabilityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = size(graft.engine.Text.words).cast("long")
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val y = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+      lit(0))).cast("long")
+    val score = lit(206835L) - Num.divLong(lit(1015L) * col("w"), col("s")) -
+      Num.divLong(lit(84600L) * col("y"), col("w"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), w.as("w"), s.as("s"), y.as("y"))
+      .filter(col("w") >= 1L)
+      .select(col("source"), col("w"), score.as("score_milli"))
+      .select(col("source"), col("score_milli"),
+        when(col("score_milli") >= 90000L, "A_very_easy")
+          .when(col("score_milli") >= 60000L, "B_standard")
+          .when(col("score_milli") >= 30000L, "C_difficult")
+          .otherwise("D_very_difficult").as("band"))
+      .groupBy(col("source"), col("band"))
+      // sum, not mean: scores can be negative and integral division of a
+      // negative dividend truncates in Spark but floors in DuckDB — the
+      // exact Long sum sidesteps the divergence (Num.divLong's documented
+      // nonneg-only contract)
+      .agg(Num.countStar.as("n_docs"),
+        sum(col("score_milli")).as("sum_milli"),
+        min(col("score_milli")).as("min_milli"),
+        max(col("score_milli")).as("max_milli"))
+      .orderBy(col("source"), col("band"))
+  }
+
+  val readabilityOracle: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(len($wordsSql) AS BIGINT) AS w,
+       |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+       |      AS BIGINT)) AS s,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |      AS BIGINT) AS y
+       |  FROM documents),
+       |sc AS (
+       |  SELECT source,
+       |    206835 - (1015 * w) // s - (84600 * y) // w AS score_milli
+       |  FROM t WHERE w >= 1),
+       |b AS (
+       |  SELECT source, score_milli,
+       |    CASE WHEN score_milli >= 90000 THEN 'A_very_easy'
+       |         WHEN score_milli >= 60000 THEN 'B_standard'
+       |         WHEN score_milli >= 30000 THEN 'C_difficult'
+       |         ELSE 'D_very_difficult' END AS band
+       |  FROM sc)
+       |SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(score_milli) AS BIGINT) AS sum_milli,
+       |  CAST(MIN(score_milli) AS BIGINT) AS min_milli,
+       |  CAST(MAX(score_milli) AS BIGINT) AS max_milli
+       |FROM b GROUP BY 1, 2 ORDER BY source, band""".stripMargin
 }

@@ -141,6 +141,28 @@ class ManifestStatsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("version-to-version manifest diff: replaced slices swap files, others carry forward") {
+    val r = root()
+    val v1 = TableCommit.commitReplacePartitions(
+      Seq(("p1", 1L), ("p2", 2L)).toDF("part", "v"), r, "part", retain = 2)
+    val v2 = TableCommit.commitReplacePartitions(
+      Seq(("p2", 20L)).toDF("part", "v"), r, "part", retain = 2)
+    val e1 = TableCommit.entriesAtVersion(r, v1)
+    val e2 = TableCommit.entriesAtVersion(r, v2)
+    def files(es: Seq[TableCommit.Entry], p: String) =
+      es.filter(_.part.contains(p)).map(_.path).toSet
+    // untouched partition: identical files (no rewrite happened)
+    assert(files(e1, "p1") === files(e2, "p1") && files(e1, "p1").nonEmpty)
+    // replaced partition: fully swapped (copy-on-write, disjoint batches)
+    assert(files(e1, "p2").nonEmpty && files(e2, "p2").nonEmpty)
+    assert((files(e1, "p2") intersect files(e2, "p2")).isEmpty)
+    // both versions stay readable for the row-level diff (the X208 gate)
+    val s = StructType(Seq(StructField("part", StringType),
+      StructField("v", LongType)))
+    assert(TableCommit.readAt(spark, r, s, v1).count() === 2L)
+    assert(TableCommit.readAt(spark, r, s, v2).count() === 2L)
+  }
+
   test("a YOUNG torn manifest freezes vacuum's data sweep (liveness unknown)") {
     val r = root()
     TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
