@@ -690,10 +690,11 @@ object TableCommit {
     * still current — a concurrent committer would otherwise have its
     * files dropped from the merged manifest (the lost update). */
   def commitAppend(df: DataFrame, root: String, retain: Int = 1,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      partCol: Option[String] = None): Long = {
     val base = currentVersion(root).getOrElse(0L)
     val prior = entriesAt(root, base)
-    val staged = stageBatch(df, root, None, statsCols)
+    val staged = stageBatch(df, root, partCol, statsCols)
     publish(root, prior ++ staged, retain, expected = Some(base))
   }
 

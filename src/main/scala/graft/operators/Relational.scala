@@ -1078,6 +1078,71 @@ object Relational {
        |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '$MpLo' AND '$MpHi'
        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // `q_partition_evolution` (X210): layout change without rewrite
+
+  /** Boundary between the table's two partition-layout generations, and
+    * the query window that deliberately STRADDLES it. */
+  val EvoCut = "1998-01-01"
+  val EvoLo = "1997-07-01"
+  val EvoHi = "1998-06-30"
+
+  /** `q_partition_evolution`: PARTITION EVOLUTION — the table changes its
+    * partition layout mid-life (here: status-partitioned history, then
+    * month-partitioned appends — the "we partitioned wrong at the start"
+    * fix every long-lived table eventually needs) WITHOUT rewriting old
+    * files, and reads stay correct AND pruned across both generations.
+    * The mechanism is the X207 manifest stats: `readPrunedStats` skips
+    * files by per-file min/max of the QUERY column, so the directory
+    * scheme a file happened to be written under is irrelevant to pruning
+    * — exactly how Iceberg makes spec evolution a metadata operation.
+    * The gate's window straddles the generation boundary, so a pruning
+    * or read path that privileged either layout drops rows and breaks
+    * the hash; ManifestStatsSpec asserts the mixed layout is real (both
+    * partition-value schemes present) and the pruned read opens strictly
+    * fewer files than the manifest lists. */
+  def partitionEvolutionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_evo_").toString + "/orders"
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    // generation 1: the original status layout
+    TableCommit.commitReplacePartitions(src.filter(col("od") < EvoCut),
+      root, "o_orderstatus", statsCols = Seq("od"))
+    // generation 2: the layout EVOLVED to month partitioning — appended
+    // to the same table, old files untouched
+    TableCommit.commitAppend(src.filter(col("od") >= EvoCut), root,
+      statsCols = Seq("od"), partCol = Some("month"))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType),
+      StructField("od", StringType),
+      StructField("month", StringType)))
+    TableCommit.readPrunedStats(spark, root, schema, "od")(
+        cs => TableCommit.rangeOverlaps(cs, EvoLo, EvoHi, _ < _))
+      .filter(col("od") >= EvoLo && col("od") <= EvoHi)
+      .groupBy(col("o_orderstatus"))
+      .agg(Num.countStar.as("n"), sum(col("cents")).as("cents"),
+        min(col("od")).as("first_day"), max(col("od")).as("last_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val partitionEvolutionOracle: String =
+    s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |    AS BIGINT) AS cents,
+       |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+       |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+       |FROM orders
+       |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '$EvoLo' AND '$EvoHi'
+       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val timeTravelOracle: String =
     """WITH v1 AS (
       |  SELECT c_custkey, c_mktsegment,

@@ -944,6 +944,93 @@ object Similarity {
       |SELECT label, dim, CAST(s AS DOUBLE) / 1000000000.0 / n AS centroid_v
       |FROM g ORDER BY label, dim""".stripMargin
 
+  /** `q_cluster_purity` (X211): centroid-nearest purity — the cluster-
+    * quality leg of the evaluation family, pointed at X30's prototypes:
+    * for every vector, is its OWN label's centroid strictly nearer
+    * (squared euclidean) than every other label's? The per-label purity
+    * rate is the deployable health check for prototype classifiers and
+    * IVF-style partitions (a label whose members sit nearer foreign
+    * centroids is mislabeled, drifted, or unclusterable). The gate is
+    * INTEGER at the decision boundary: distances are doubles, but both
+    * engines build them from the identical exact-decimal centroids and
+    * fold the same per-dimension terms in index order (the X3 dot-product
+    * discipline), so the strict `<` comparison — and therefore every
+    * count — matches exactly; ties count as impure in both.
+    *
+    * Scale shape: centroids are (labels × dims) tiny and broadcast; the
+    * one data-sized pass computes |labels| fold distances per vector
+    * map-side and aggregates (vec_id)-locally — no shuffle grows with
+    * corpus size beyond the label-bounded rollup. */
+  def clusterPurityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cent = Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum(floor(col("v") * 1e9 + 0.5).cast("decimal(28,0)")).as("s"),
+        graft.engine.Num.countStar.as("n"))
+      .select(col("label"),  col("dim"),
+        (col("s").cast("double") / 1e9 / col("n")).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        s => s.getField("cv")).as("cent"))
+      .withColumnRenamed("label", "c_label")
+    val d2 = aggregate(
+      zip_with(col("e"), col("cent"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("c_label") === col("label"), col("d2"))).as("own_d2"),
+        min(when(col("c_label") =!= col("label"), col("d2"))).as("other_d2"))
+      .groupBy(col("label"))
+      .agg(Num.countStar.as("n_vectors"),
+        sum(when(col("own_d2") < col("other_d2"), 1L).otherwise(0L))
+          .as("n_pure"))
+      .withColumn("purity_permille",
+        Num.divLong(col("n_pure") * 1000L, col("n_vectors")))
+      .orderBy(col("label"))
+  }
+
+  val clusterPurityOracle: String =
+    """WITH exploded AS (
+      |  SELECT label, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |g AS (
+      |  SELECT label, dim,
+      |    SUM(CAST(floor(v * 1000000000.0 + 0.5) AS DECIMAL(28,0))) AS s,
+      |    COUNT(*) AS n
+      |  FROM exploded GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT label AS c_label,
+      |    array_agg(CAST(s AS DOUBLE) / 1000000000.0 / n ORDER BY dim) AS c
+      |  FROM g GROUP BY 1),
+      |v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT v.vec_id, v.label, ct.c_label,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(v.e) + 1),
+      |        i -> (v.e[i] - ct.c[i]) * (v.e[i] - ct.c[i]))),
+      |      (a, b) -> a + b) AS d2
+      |  FROM v, cent ct),
+      |p AS (
+      |  SELECT vec_id, label,
+      |    MIN(CASE WHEN c_label = label THEN d2 END) AS own_d2,
+      |    MIN(CASE WHEN c_label <> label THEN d2 END) AS other_d2
+      |  FROM d GROUP BY 1, 2)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |  CAST(SUM(CASE WHEN own_d2 < other_d2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_pure,
+      |  CAST(SUM(CASE WHEN own_d2 < other_d2 THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS purity_permille
+      |FROM p GROUP BY 1 ORDER BY label""".stripMargin
+
   val cosineTopkOracle: String =
     s"""WITH emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -163,6 +163,35 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(TableCommit.readAt(spark, r, s, v2).count() === 2L)
   }
 
+  test("partition evolution: mixed layouts coexist and stats still prune across both") {
+    val r = root()
+    // generation 1: partitioned by CATEGORY; generation 2 appends the
+    // later keys partitioned by BUCKET — the layout changed mid-life
+    val g1 = (0L until 20L).map(i => (i, s"cat${i % 2}", f"k$i%03d"))
+      .toDF("k", "cat", "kd").repartitionByRange(2, col("k"))
+    val g2 = (20L until 40L).map(i => (i, s"b${i % 4}", f"k$i%03d"))
+      .toDF("k", "cat", "kd").repartitionByRange(2, col("k"))
+    TableCommit.commitReplacePartitions(g1, r, "cat", statsCols = Seq("kd"))
+    TableCommit.commitAppend(g2, r, statsCols = Seq("kd"),
+      partCol = Some("cat"))
+    val es = TableCommit.entries(r)
+    val partVals = es.flatMap(_.part).toSet
+    assert(partVals.exists(_.startsWith("cat")) &&
+      partVals.exists(_.startsWith("b")),
+      s"both layout generations must be present, got $partVals")
+    // a key window straddling the generation cut prunes files from BOTH
+    val kept = TableCommit.pruneEntries(r, "kd")(
+      cs => TableCommit.rangeOverlaps(cs, "k015", "k025", _ < _))
+    assert(kept.nonEmpty && kept.size < es.size)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("cat", StringType), StructField("kd", StringType)))
+    val rows = TableCommit.readPrunedStats(spark, r, schema, "kd")(
+        cs => TableCommit.rangeOverlaps(cs, "k015", "k025", _ < _))
+      .filter(col("kd") >= "k015" && col("kd") <= "k025")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(rows === (15L to 25L).toSeq)
+  }
+
   test("a YOUNG torn manifest freezes vacuum's data sweep (liveness unknown)") {
     val r = root()
     TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
