@@ -726,6 +726,33 @@ object TableCommit {
     readManifestChecked(root, version)
   }
 
+  /** OPTIMIZE: rewrite the current snapshot's files into `targetFiles`
+    * range-ordered files in ONE transaction — the small-file compaction a
+    * long-lived table needs after streaming/micro-batch ingest (each
+    * commitAppend leaves its own files; at 100k commits the per-file
+    * footer/listing overhead dominates scan cost long before the bytes
+    * do). Content is untouched by construction (read-current → coalesce →
+    * replace-all), concurrent writers are honored by the same optimistic
+    * check every commit makes (a commit landing mid-compaction aborts the
+    * compaction, never the reverse — maintenance yields to progress), and
+    * `sortCol`/`statsCols` re-cluster the layout so the X207 stats come
+    * out TIGHT (compaction is when zone metadata is cheapest to repair).
+    * Returns the new version. */
+  def commitCompact(spark: SparkSession, root: String, targetFiles: Int,
+      sortCol: Option[String] = None, statsCols: Seq[String] = Nil,
+      retain: Int = 1): Long = {
+    val base = currentVersion(root).getOrElse(0L)
+    val es = entriesAt(root, base)
+    require(es.nonEmpty, s"nothing to compact at $root")
+    val cur = spark.read.parquet(es.map(e => s"$root/${e.path}"): _*)
+    val arranged = sortCol match {
+      case Some(c) => cur.repartitionByRange(targetFiles, col(c))
+      case None    => cur.coalesce(targetFiles)
+    }
+    publish(root, stageBatch(arranged, root, None, statsCols), retain,
+      expected = Some(base))
+  }
+
   /** Run `txn` (a full read-stage-publish transaction body) and, when it
     * loses the optimistic race, RE-RUN it against the new current version
     * — the retry loop every optimistic-concurrency writer needs, provided

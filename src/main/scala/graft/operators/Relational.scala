@@ -1078,6 +1078,58 @@ object Relational {
        |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '$MpLo' AND '$MpHi'
        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // `q_table_optimize` (X212): transactional small-file compaction
+
+  /** Simulated ingest commits and the compaction's target file count. */
+  val OptIngestBatches = 6
+  val OptTargetFiles = 2
+
+  /** `q_table_optimize`: OPTIMIZE for the commit layer — X187's small-file
+    * compaction done as ONE TableCommit transaction on a live table:
+    * micro-batch ingest leaves a file pile (here 6 appends × 4 round-robin
+    * files — the worst layout ingest produces), `commitCompact` rewrites
+    * the snapshot into 2 range-ordered files keyed on `o_orderkey` and
+    * re-collects X207 stats while it's touching every byte anyway
+    * (compaction is when zone metadata is cheapest to repair). Readers
+    * never see an intermediate state — the rewrite is the same
+    * stage-then-publish commit as any write, arbitrated against
+    * concurrent writers (ManifestStatsSpec forces a mid-compaction commit
+    * through the race hook: maintenance ABORTS, the writer's data
+    * survives). The gate proves losslessness: the post-optimize readout
+    * must equal the raw-table rollup byte-for-byte; the spec asserts the
+    * mechanical half (24 files → 2, stats tight enough that a key window
+    * prunes to a strict subset). */
+  def tableOptimizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.engine.TableCommit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_opt_").toString + "/orders"
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+    (0 until OptIngestBatches).foreach { b =>
+      TableCommit.commitAppend(
+        src.filter(col("o_orderkey") % OptIngestBatches === b)
+          .repartition(4), root)
+    }
+    TableCommit.commitCompact(spark, root, OptTargetFiles,
+      sortCol = Some("o_orderkey"), statsCols = Seq("o_orderkey"))
+    TableCommit.readCurrent(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(Num.countStar.as("n"), sum(col("cents")).as("cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val tableOptimizeOracle: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   // `q_partition_evolution` (X210): layout change without rewrite
 
   /** Boundary between the table's two partition-layout generations, and

@@ -192,6 +192,53 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(rows === (15L to 25L).toSeq)
   }
 
+  test("commitCompact: file pile shrinks to target, content exact, stats tight") {
+    val r = root()
+    (0 until 5).foreach { b =>
+      TableCommit.commitAppend(
+        (0L until 50L).filter(_ % 5 == b).map(i => (i, s"v$i"))
+          .toDF("k", "v").repartition(3), r)
+    }
+    val before = TableCommit.entries(r)
+    assert(before.size >= 10, s"ingest should leave a file pile, got ${before.size}")
+    TableCommit.commitCompact(spark, r, targetFiles = 2,
+      sortCol = Some("k"), statsCols = Seq("k"))
+    val after = TableCommit.entries(r)
+    assert(after.size <= 2 && after.nonEmpty)
+    // lossless: every key survives exactly once
+    assert(TableCommit.read(spark, r, kvSchema)
+      .select("k").as[Long].collect().sorted.toSeq === (0L until 50L))
+    // range-sorted rewrite leaves tight stats: a narrow window prunes
+    val kept = TableCommit.pruneEntries(r, "k")(
+      cs => TableCommit.rangeOverlaps(cs, "0", "5",
+        (a, b) => a.toLong < b.toLong))
+    assert(kept.size < after.size || after.size == 1)
+    assert(kept.size == 1)
+  }
+
+  test("commitCompact yields to a concurrent writer: maintenance aborts, data wins") {
+    val r = root()
+    TableCommit.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(2), r)
+    // a writer lands BETWEEN the compaction's read and its publish —
+    // forced deterministically through the race hook (fires once; the
+    // inner commit's own publish sees the flag already set)
+    @volatile var fired = false
+    TableCommit.publishRaceHook = () => {
+      if (!fired) {
+        fired = true
+        TableCommit.commitAppend(Seq((3L, "c")).toDF("k", "v"), r)
+      }
+    }
+    try {
+      intercept[TableCommit.ConcurrentCommitException](
+        TableCommit.commitCompact(spark, r, targetFiles = 1))
+    } finally TableCommit.publishRaceHook = () => ()
+    // the concurrent writer's row is live; nothing was lost to maintenance
+    assert(TableCommit.read(spark, r, kvSchema)
+      .select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("a YOUNG torn manifest freezes vacuum's data sweep (liveness unknown)") {
     val r = root()
     TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
