@@ -1190,6 +1190,87 @@ object Similarity {
        |FROM g ORDER BY q_id""".stripMargin
   }
 
+  /** `q_ivf_recall` (X213): recall@k of the IVF index against the exact
+    * top-k over the SAME query set — X192's evaluation discipline applied
+    * to the engine's second index family, so both ANN paths carry a
+    * measured-quality gate, not just the LSH one. IVF recall has a
+    * different failure mode than LSH (a query whose true neighbors live
+    * in a DIFFERENT Voronoi cell than the query scores 0 — the nprobe=1
+    * blind spot X16's second probe exists to cover), which is exactly why
+    * its recall must be measured separately. Per query: hits in the exact
+    * top-k, exact k, integer per-mille recall.
+    *
+    * Scale: the IVF side is X16's query-bounded plan; the exact side is
+    * the QueryCount × n brute force — the oracle-affordable truth at gate
+    * scale (at corpus scale the identical operator runs against a
+    * held-out labeled sample, the standard protocol). */
+  def ivfRecallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val ivf = annIvfQ(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .withColumn("nsq", VectorExprs.normSq(col("emb")))
+    val qs = emb.filter(col("vec_id") >= IvfQueryFrom &&
+        col("vec_id") < IvfQueryFrom + QueryCount)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nsq").as("q_nsq"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val exact = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (VectorExprs.dot(col("q_emb"), col("emb")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = exact.join(ivf, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(Num.countStar.as("n_hits"))
+    exact.groupBy(col("q_id")).agg(Num.countStar.as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_permille",
+        Num.divLong(col("n_hits") * 1000, col("n_exact")))
+      .orderBy(col("q_id"))
+  }
+
+  val ivfRecallOracle: String =
+    s"""WITH ivf AS ($annIvfOracle),
+       |embq AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |nq AS (
+       |  SELECT vec_id, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq
+       |  FROM embq),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(q.e)+1), i -> q.e[i]*b.e[i])),
+       |      (a,b) -> a+b) / (sqrt(q.nsq) * sqrt(b.nsq)) AS cosine
+       |  FROM nq q JOIN nq b ON b.vec_id <> q.vec_id
+       |  WHERE q.vec_id >= ${IvfQueryFrom}
+       |    AND q.vec_id < ${IvfQueryFrom + QueryCount}),
+       |ek AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    FROM pairs) t
+       |  WHERE rank <= ${AnnTopK}),
+       |hits AS (
+       |  SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ek e JOIN ivf l
+       |    ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY 1),
+       |base AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM ek GROUP BY 1)
+       |SELECT b.q_id, b.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+       |  COALESCE(h.n_hits, 0) * 1000 // b.n_exact AS recall_permille
+       |FROM base b LEFT JOIN hits h USING (q_id) ORDER BY q_id""".stripMargin
+
   /** Quantization levels (int8 code space). */
   val QuantLevels = 256
 
