@@ -1213,4 +1213,67 @@ object Behavior {
        |FROM scored GROUP BY 1, 2, 3
        |ORDER BY r_score, f_score, m_score""".stripMargin
   }
+  // ------------------------------------------------------------------
+  // `q_training_examples` (X216): next-event prediction pairs
+  // ------------------------------------------------------------------
+
+  /** Context length of the next-event examples. */
+  val ExampleCtx = 3
+
+  /** `q_training_examples`: TRAINING-EXAMPLE CONSTRUCTION from behavioral
+    * logs — the supervised-pair builder behind every next-action /
+    * session-recommendation model: per user, order events by (ts,
+    * event_id) and emit one example per position with a full
+    * ExampleCtx-length context — (ctx = the previous 3 event_types
+    * joined '>', label = the current event_type). The gate is the
+    * (ctx, label) CO-OCCURRENCE TABLE with per-context label share
+    * (integer per-mille) — the dataset card a training run ships:
+    * example volume per pattern, class balance per context, nothing
+    * about the model. Windows are the only machinery: three lags over
+    * the user partition, the X5 ordering discipline (ties broken by
+    * event_id) so the example set is a pure function of the data.
+    *
+    * Scale shape: one user-partitioned window pass (the sessionize
+    * shuffle), then a (|event_type|^4)-bounded rollup — example
+    * construction at 100 TB is exactly this shape, with the window key
+    * carrying the parallelism. */
+  def trainingExamplesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lags = (1 to ExampleCtx).reverse.map(i => lag(col("event_type"), i).over(w))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("ctx", concat_ws(">", lags: _*))
+      .withColumn("have", lags.map(_.isNotNull.cast("int")).reduce(_ + _))
+      .filter(col("have") === ExampleCtx) // only full-context examples
+      .groupBy(col("ctx"), col("event_type").as("label"))
+      .agg(Num.countStar.as("n_examples"))
+      .withColumn("ctx_total",
+        sum(col("n_examples")).over(Window.partitionBy(col("ctx"))))
+      .withColumn("label_share_permille",
+        Num.divLong(col("n_examples") * 1000, col("ctx_total")))
+      .orderBy(col("ctx"), col("label"))
+  }
+
+  val trainingExamplesOracle: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_type,
+       |    LAG(event_type, 3) OVER w AS l3,
+       |    LAG(event_type, 2) OVER w AS l2,
+       |    LAG(event_type, 1) OVER w AS l1
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |ex AS (
+       |  SELECT l3 || '>' || l2 || '>' || l1 AS ctx, event_type AS label
+       |  FROM ordered
+       |  WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL),
+       |g AS (
+       |  SELECT ctx, label, CAST(COUNT(*) AS BIGINT) AS n_examples
+       |  FROM ex GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *, CAST(SUM(n_examples) OVER (PARTITION BY ctx) AS BIGINT)
+       |    AS ctx_total
+       |  FROM g)
+       |SELECT ctx, label, n_examples, ctx_total,
+       |  n_examples * 1000 // ctx_total AS label_share_permille
+       |FROM t ORDER BY ctx, label""".stripMargin
 }

@@ -1221,4 +1221,69 @@ object Curation {
        |SELECT split, n_events, n_users, value_cents, sp.n_spanning_users,
        |  sp.n_spanning_users * 1000 // n_users AS span_pct_permille
        |FROM g, sp ORDER BY split DESC""".stripMargin
+  // ------------------------------------------------------------------
+  // `q_curation_pipeline` (X214): end-to-end training-data export
+  // ------------------------------------------------------------------
+
+  /** Minimum word count a kept document needs, and the export shard
+    * count. */
+  val CurMinWords = 10
+  val CurShards = 4
+
+  /** `q_curation_pipeline`: the training-data EXPORT pipeline as one
+    * gated composition — the flow every corpus team runs nightly:
+    * language filter (keep `en`) -> quality floor (>= CurMinWords
+    * tokenizer words) -> EXACT dedup (md5(text) groups, min doc_id
+    * survives, the X1 discipline) -> token accounting -> deterministic
+    * hash sharding (md5-hash60 mod CurShards, the X190 assignment made
+    * content-addressed) -> per-shard manifest rollup (docs, tokens, id
+    * checksum). One gate proves the STAGES COMPOSE: a filter applied in
+    * the wrong order (dedup before language filter changes survivors),
+    * a tokenizer fork, or a shard function drift each moves the hash.
+    * Every stage is the production-shaped primitive already gated alone
+    * (X7/X9/X1/X6/X190); this is the assembled artifact a user ships.
+    *
+    * Scale shape: narrow per-doc work + one dedup aggregate on the text
+    * hash + one shard-bounded rollup; nothing pairwise, nothing
+    * collected. */
+  def curationPipelineQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = graft.engine.Text.words
+    val kept = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"), size(words).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= CurMinWords)
+    val deduped = kept
+      .groupBy(md5(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"), max(col("n_tokens")).as("n_tokens"))
+    deduped
+      .select(col("doc_id"), col("n_tokens"),
+        pmod(conv(substring(md5(concat(lit("shard_"),
+          col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long"), lit(CurShards.toLong)).as("shard"))
+      .groupBy(col("shard"))
+      .agg(Num.countStar.as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  val curationPipelineOracle: String =
+    s"""WITH kept AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(${graft.engine.Text.wordsSql}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE lang = 'en'
+       |    AND len(${graft.engine.Text.wordsSql}) >= ${CurMinWords}),
+       |dd AS (
+       |  SELECT MIN(doc_id) AS doc_id, MAX(n_tokens) AS n_tokens
+       |  FROM kept GROUP BY md5(text)),
+       |sh AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(concat('0x', substr(md5('shard_' || doc_id), 1, 15))
+       |      AS BIGINT) % ${CurShards} AS shard
+       |  FROM dd)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin
 }

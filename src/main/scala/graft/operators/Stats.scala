@@ -673,6 +673,69 @@ object Stats {
        |  gap_permille, ece_permille
        |FROM w, e ORDER BY bin""".stripMargin
 
+  /** Deterministic missingness mask for the imputation fixture: every
+    * 1-in-ImputeMod event's value plays "missing". */
+  val ImputeMod = 17
+
+  /** `q_impute` (X215): group-mean NULL imputation — the feature-prep
+    * step every tabular training pipeline runs before a model sees the
+    * data: missing values fill with their GROUP's mean (per event_type
+    * here — the grouped version is what production does, a global mean
+    * washes out the signal the group structure carries). The harness
+    * corpus ships complete, so missingness is masked in deterministically
+    * (event_id ≡ 0 mod ImputeMod — the X61 batch-membership idiom), and
+    * the group means come from OBSERVED rows only, as exact integer cents
+    * (sum/count integral division, no float drift). The readout per
+    * group: observed/imputed counts, the imputed mean, and the post-fill
+    * totals — an imputation that leaked masked rows into its own mean, or
+    * filled from the wrong group, breaks the hash.
+    *
+    * Scale shape: one pass builds per-group (sum, count) over observed
+    * rows (group-bounded aggregate), means broadcast back, one narrow
+    * fill pass — no window, no shuffle beyond the two group-bounded
+    * aggregates. */
+  def imputeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val masked = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        when(col("event_id") % ImputeMod === 0, lit(null).cast("long"))
+          .otherwise(cents).as("c"))
+    val means = masked.filter(col("c").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(Num.divLong(sum(col("c")), Num.countStar).as("mean_c"))
+    masked.join(broadcast(means), Seq("event_type"))
+      .select(col("event_type"),
+        col("c").isNotNull.cast("long").as("observed"),
+        coalesce(col("c"), col("mean_c")).as("filled"),
+        col("mean_c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("observed")).as("n_observed"),
+        (Num.countStar - sum(col("observed"))).as("n_imputed"),
+        min(col("mean_c")).as("imputed_mean_cents"),
+        sum(col("filled")).as("total_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val imputeOracle: String =
+    s"""WITH m AS (
+       |  SELECT event_type, event_id,
+       |    CASE WHEN event_id % ${ImputeMod} = 0 THEN NULL
+       |         ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS c
+       |  FROM events),
+       |mn AS (
+       |  SELECT event_type,
+       |    CAST(SUM(c) AS BIGINT) // COUNT(*) AS mean_c
+       |  FROM m WHERE c IS NOT NULL GROUP BY 1)
+       |SELECT m.event_type,
+       |  CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_observed,
+       |  CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_imputed,
+       |  MIN(mn.mean_c) AS imputed_mean_cents,
+       |  CAST(SUM(COALESCE(c, mn.mean_c)) AS BIGINT) AS total_cents
+       |FROM m JOIN mn USING (event_type)
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** AUC output scale: per-million (1e6/2 premultiplier — the U statistic
     * arrives doubled to keep midranks integral). */
   val AucScale = 500000L
