@@ -1078,6 +1078,67 @@ object Relational {
        |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '$MpLo' AND '$MpHi'
        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // `q_stable_ids` (X217): incremental surrogate-key assignment
+
+  /** `q_stable_ids`: SURROGATE-KEY ASSIGNMENT through the committed
+    * dimension — the warehouse primitive behind every dim load: natural
+    * keys get compact, STABLE integer ids, and an id once assigned never
+    * changes or recycles across runs (downstream facts hold these ids
+    * forever — the whole point). Day 1 bootstraps the mapping for the
+    * initial members (rank over the sorted natural key) and commits it;
+    * day 2 anti-joins the new batch against the COMMITTED mapping, ranks
+    * only the genuinely-new keys from max(sk)+1, and appends them in one
+    * transaction. The gate reads back the final mapping: the oracle
+    * states the incremental semantics directly (batch-1 keys keep their
+    * bootstrap ranks, new keys stack above them), so an id that shifted,
+    * recycled, or double-assigned breaks the hash.
+    *
+    * Scale shape: the rank window runs over the NEW members only — the
+    * day-over-day delta of a dimension, small by nature (the day-1
+    * bootstrap is a one-time backfill). The anti-join is
+    * broadcast-friendly in the common small-delta case; the committed
+    * mapping itself is never re-ranked, only read and extended. */
+  def stableIdsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.engine.TableCommit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sk_").toString + "/dim_sk"
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_name").as("nk"), col("c_custkey"))
+    def assignFrom(keys: DataFrame, offset: Long): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      keys.select(col("nk")).distinct()
+        .withColumn("sk", lit(offset) +
+          row_number().over(Window.orderBy(col("nk"))).cast("long"))
+    }
+    // day 1: bootstrap the mapping for the initial membership
+    TableCommit.commitOverwrite(
+      assignFrom(cust.filter(col("c_custkey") % 3 =!= 0), 0L),
+      root, retain = 2)
+    // day 2: only genuinely-new keys rank, from max(sk)+1
+    val existing = TableCommit.readCurrent(spark, root)
+    val maxSk = existing.agg(max(col("sk"))).head().getLong(0)
+    val fresh = cust.filter(col("c_custkey") % 3 === 0)
+      .join(existing.select(col("nk")), Seq("nk"), "left_anti")
+    TableCommit.commitAppend(assignFrom(fresh, maxSk), root, retain = 2)
+    TableCommit.readCurrent(spark, root).orderBy(col("sk"))
+  }
+
+  val stableIdsOracle: String =
+    """WITH b1 AS (
+      |  SELECT DISTINCT c_name AS nk FROM customer WHERE c_custkey % 3 <> 0),
+      |b2 AS (
+      |  SELECT DISTINCT c_name AS nk FROM customer WHERE c_custkey % 3 = 0
+      |  AND c_name NOT IN (SELECT nk FROM b1)),
+      |m1 AS (
+      |  SELECT nk, ROW_NUMBER() OVER (ORDER BY nk) AS sk FROM b1),
+      |m2 AS (
+      |  SELECT nk, (SELECT COUNT(*) FROM b1) +
+      |    ROW_NUMBER() OVER (ORDER BY nk) AS sk FROM b2)
+      |SELECT nk, CAST(sk AS BIGINT) AS sk FROM m1
+      |UNION ALL
+      |SELECT nk, CAST(sk AS BIGINT) AS sk FROM m2
+      |ORDER BY sk""".stripMargin
+
   // `q_table_optimize` (X212): transactional small-file compaction
 
   /** Simulated ingest commits and the compaction's target file count. */

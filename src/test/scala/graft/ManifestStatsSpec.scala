@@ -239,6 +239,22 @@ class ManifestStatsSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("stable surrogate ids: a second run never moves or recycles an assigned id") {
+    val sf = "/root/testdata/sf0.001"
+    val full = graft.operators.Relational.stableIdsQ(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ids are a dense 1..n permutation — no gap, no recycle, no dup
+    assert(full.values.toSeq.sorted === (1L to full.size.toLong))
+    // the bootstrap members' ids survive the append run untouched: the
+    // first |b1| ids are exactly the sorted batch-1 keys
+    val b1 = graft.engine.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select("c_name").as[String].collect().distinct.sorted
+    b1.zipWithIndex.foreach { case (nk, i) =>
+      assert(full(nk) === i + 1L, s"bootstrap id for $nk moved")
+    }
+  }
+
   test("a YOUNG torn manifest freezes vacuum's data sweep (liveness unknown)") {
     val r = root()
     TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
