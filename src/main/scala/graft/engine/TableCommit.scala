@@ -110,7 +110,8 @@ object TableCommit {
     * pruning treats a missing stat as "might match" — lossless by
     * construction. */
   final case class Entry(path: String, part: Option[String],
-      stats: Map[String, ColStats] = Map.empty)
+      stats: Map[String, ColStats] = Map.empty,
+      rows: Option[Long] = None)
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
 
@@ -195,6 +196,9 @@ object TableCommit {
     val part =
       if (p.lit("null")) None
       else Some(p.str().getOrElse(return None))
+    val rows =
+      if (p.lit(""", "rows":""")) Some(p.long().getOrElse(return None))
+      else None
     var stats = Map.empty[String, ColStats]
     if (p.lit(", \"stats\": {")) {
       var first = true
@@ -215,7 +219,7 @@ object TableCommit {
       }
     }
     if (!p.lit("}") || !p.atEnd) return None
-    Some(Entry(path, part, stats))
+    Some(Entry(path, part, stats, rows))
   }
 
   /** Terminator line: `{"n": <entryCount>}` — the manifest's integrity
@@ -291,9 +295,10 @@ object TableCommit {
         // in Spark's escaped-dir-name form — both the replace set and the
         // pruning predicate see the same encoding, so matching is exact.
         val part = rel.split('/').find(_.startsWith("_p=")).map(_.drop(3))
-        val stats = if (statsCols.isEmpty) Map.empty[String, ColStats]
-                    else footerStats(conf, p, statsCols)
-        Entry(s"$batch/$rel", part, stats)
+        val (stats, rows) =
+          if (statsCols.isEmpty) (Map.empty[String, ColStats], None)
+          else footerStats(conf, p, statsCols)
+        Entry(s"$batch/$rel", part, stats, rows)
       }.toSeq.sortBy(_.path)
   }
 
@@ -312,7 +317,7 @@ object TableCommit {
     * raw micros/nanos decimal text — the epoch-scale compare callers do
     * is numeric either way. */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
-      file: Path, statsCols: Seq[String]): Map[String, ColStats] = {
+      file: Path, statsCols: Seq[String]): (Map[String, ColStats], Option[Long]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -323,6 +328,9 @@ object TableCommit {
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
       try {
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        // exact per-file row count — the footer states it per row group,
+        // so metadata-only COUNT(*) needs no file read ever again
+        val fileRows = Some(blocks.map(_.getRowCount).sum)
         // col -> per-row-group (min, max, numericCompare) triples
         val acc = scala.collection.mutable.Map
           .empty[String, List[(String, String, Boolean)]]
@@ -365,7 +373,7 @@ object TableCommit {
             }
           }
         }
-        acc.view.mapValues { ts =>
+        (acc.view.mapValues { ts =>
           def lt(a: String, b: String, num: Boolean): Boolean =
             if (num) {
               // integer text compares exactly as Long; doubles via toDouble
@@ -378,9 +386,28 @@ object TableCommit {
           val mn = ts.map(_._1).reduce((a, b) => if (lt(a, b, num)) a else b)
           val mx = ts.map(_._2).reduce((a, b) => if (lt(a, b, num)) b else a)
           ColStats(mn, mx)
-        }.toMap
+        }.toMap, fileRows)
       } finally rd.close()
-    } catch { case _: Throwable => Map.empty } // stats are an optimization
+    } catch { case _: Throwable => (Map.empty, None) } // stats are an optimization
+  }
+
+  /** METADATA-ONLY aggregate over the current version: exact total row
+    * count plus the global [min, max] of `column`, computed from the
+    * manifest alone — zero data files opened (the reason warehouses
+    * answer `COUNT(*)` and `MIN/MAX(clustered_col)` instantly at any
+    * table size). Returns None unless EVERY current entry carries both a
+    * row count and stats for the column — a partial answer would be a
+    * wrong answer, so the caller falls back to a scan. `lt` is the
+    * caller's ordering over the canonical stat strings. */
+  def statsEnvelope(root: String, column: String,
+      lt: (String, String) => Boolean): Option[(Long, String, String)] = {
+    val es = entries(root)
+    if (es.isEmpty ||
+        es.exists(e => e.rows.isEmpty || !e.stats.contains(column))) None
+    else Some((
+      es.map(_.rows.get).sum,
+      es.map(_.stats(column).min).reduce((a, b) => if (lt(a, b)) a else b),
+      es.map(_.stats(column).max).reduce((a, b) => if (lt(a, b)) b else a)))
   }
 
   /** Test-only seam: invoked after the expected-version re-check and
@@ -449,8 +476,10 @@ object TableCommit {
       else m.toSeq.sortBy(_._1).map { case (c, cs) =>
         s"${js(c)}: [${js(cs.min)}, ${js(cs.max)}]"
       }.mkString(""", "stats": {""", ", ", "}")
+    def rowsJs(r: Option[Long]): String =
+      r.map(n => s""", "rows": $n""").getOrElse("")
     val body = (newEntries.map(e =>
-      s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}${statsJs(e.stats)}}""")
+      s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}${rowsJs(e.rows)}${statsJs(e.stats)}}""")
       :+ s"""{"n": ${newEntries.size}}""") // integrity terminator
       .mkString("", "\n", "\n")
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)

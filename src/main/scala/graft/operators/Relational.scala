@@ -1078,6 +1078,46 @@ object Relational {
        |WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN '$MpLo' AND '$MpHi'
        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // `q_manifest_agg` (X218): metadata-only COUNT/MIN/MAX
+
+  /** `q_manifest_agg`: the SCAN-FREE aggregate — exact `COUNT(*)`,
+    * `MIN(od)`, `MAX(od)`, `MIN/MAX(o_orderkey)` answered from the
+    * committed table's MANIFEST alone: per-file row counts and min/max
+    * stats land at commit time (X207), so these queries open ZERO data
+    * files at any table size — the reason a warehouse answers them
+    * instantly on a petabyte table, and the table-format twin of the
+    * connector's complete COUNT pushdown (X183). Refuses partial answers
+    * by construction: `statsEnvelope` returns None unless EVERY current
+    * file carries rows + stats (a fallback-to-scan seam, never a wrong
+    * number). ManifestStatsSpec proves the zero-read claim the strong
+    * way: the answer survives DELETING every data file. */
+  def manifestAggQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.engine.TableCommit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_magg_").toString + "/orders"
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      .repartition(8)
+    TableCommit.commitOverwrite(src, root,
+      statsCols = Seq("od", "o_orderkey"))
+    val Some((n, odMin, odMax)) =
+      TableCommit.statsEnvelope(root, "od", _ < _)
+    val Some((_, kMin, kMax)) = TableCommit.statsEnvelope(root,
+      "o_orderkey", (a, b) => a.toLong < b.toLong)
+    import spark.implicits._
+    Seq((n, odMin, odMax, kMin.toLong, kMax.toLong))
+      .toDF("n_rows", "first_day", "last_day", "min_key", "max_key")
+      .orderBy(col("n_rows"))
+  }
+
+  val manifestAggOracle: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+      |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders ORDER BY n_rows""".stripMargin
+
   // `q_stable_ids` (X217): incremental surrogate-key assignment
 
   /** `q_stable_ids`: SURROGATE-KEY ASSIGNMENT through the committed

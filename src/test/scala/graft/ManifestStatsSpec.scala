@@ -239,6 +239,27 @@ class ManifestStatsSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("statsEnvelope answers COUNT/MIN/MAX with every data file DELETED (metadata-only)") {
+    val r = root()
+    clusteredCommit(r)
+    val expected = TableCommit.statsEnvelope(r, "k",
+      (a, b) => a.toLong < b.toLong)
+    assert(expected === Some((40L, "0", "39")))
+    // the strong zero-read proof: remove every data file; the manifest
+    // alone must still answer, while an actual scan now CANNOT
+    val dataDir = Paths.get(r, "data")
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(dataDir)
+    try s.iterator().asScala.toSeq.reverse.foreach(p =>
+      Files.deleteIfExists(p)) finally s.close()
+    assert(TableCommit.statsEnvelope(r, "k",
+      (a, b) => a.toLong < b.toLong) === expected)
+    assert(TableCommit.statsEnvelope(r, "day", _ < _)
+      === Some((40L, "2024-01-01", "2024-01-04")))
+    // a column without stats refuses rather than answering partially
+    assert(TableCommit.statsEnvelope(r, "v", _ < _).isEmpty)
+  }
+
   test("stable surrogate ids: a second run never moves or recycles an assigned id") {
     val sf = "/root/testdata/sf0.001"
     val full = graft.operators.Relational.stableIdsQ(spark, sf)
