@@ -1276,4 +1276,76 @@ object Behavior {
        |SELECT ctx, label, n_examples, ctx_total,
        |  n_examples * 1000 // ctx_total AS label_share_permille
        |FROM t ORDER BY ctx, label""".stripMargin
+  // ------------------------------------------------------------------
+  // `q_did` (X219): difference-in-differences readout
+  // ------------------------------------------------------------------
+
+  /** Pre/post boundary of the DiD windows (events span 2024-01). */
+  val DidCut = "2024-01-16"
+
+  /** `q_did`: DIFFERENCE-IN-DIFFERENCES — the experimentation family's
+    * (X158 lift, X141 CUPED, X166 post-stratification) estimator for
+    * launches WITHOUT a holdout randomized at exposure time: users
+    * hash-split into treat/control (the X31 assignment discipline),
+    * value compared pre vs post a fixed cut, and the causal readout is
+    * (ΔT) − (ΔC) — secular drift that hits both groups cancels. All four
+    * cell means are exact integer cents (sum/count integral division),
+    * so the DiD estimate is arithmetic on Longs and the gate hashes
+    * exactly; the four cells ride along so a reviewer can audit the
+    * parallel-trends inputs, with the estimate broadcast onto each row
+    * (the suite's 1-row global-moment idiom).
+    *
+    * Plan: one narrow classify pass, one 4-cell aggregate, one 1-row
+    * broadcast — shape-invariant at any event volume. */
+  def didQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val treat = pmod(
+      conv(substring(md5(concat(lit("did"), col("user_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(2L))
+    val cells = Tables.events(spark, sfDir)
+      .select(treat.as("treat"),
+        when(col("ts") < lit(DidCut).cast("timestamp"), "pre")
+          .otherwise("post").as("period"),
+        floor(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("treat"), col("period"))
+      .agg(Num.countStar.as("n_events"),
+        sum(col("c")).as("sum_cents"))
+      .withColumn("mean_cents", Num.divLong(col("sum_cents"), col("n_events")))
+    val did = cells.agg(
+      (sum(when(col("treat") === 1 && col("period") === "post",
+          col("mean_cents")).otherwise(0L)) -
+        sum(when(col("treat") === 1 && col("period") === "pre",
+          col("mean_cents")).otherwise(0L)) -
+        sum(when(col("treat") === 0 && col("period") === "post",
+          col("mean_cents")).otherwise(0L)) +
+        sum(when(col("treat") === 0 && col("period") === "pre",
+          col("mean_cents")).otherwise(0L))).as("did_cents"))
+    cells.crossJoin(broadcast(did))
+      .select(col("treat"), col("period"), col("n_events"),
+        col("sum_cents"), col("mean_cents"), col("did_cents"))
+      .orderBy(col("treat"), col("period"))
+  }
+
+  val didOracle: String =
+    s"""WITH base AS (
+       |  SELECT CAST(concat('0x', substr(md5('did' || user_id), 1, 15))
+       |           AS BIGINT) % 2 AS treat,
+       |    CASE WHEN ts < TIMESTAMP '${DidCut}' THEN 'pre' ELSE 'post' END
+       |      AS period,
+       |    CAST(FLOOR(value * 100) AS BIGINT) AS c
+       |  FROM events),
+       |cells AS (
+       |  SELECT treat, period, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(SUM(c) AS BIGINT) AS sum_cents,
+       |    CAST(SUM(c) AS BIGINT) // COUNT(*) AS mean_cents
+       |  FROM base GROUP BY 1, 2),
+       |d AS (
+       |  SELECT CAST(
+       |    SUM(CASE WHEN treat = 1 AND period = 'post' THEN mean_cents ELSE 0 END)
+       |    - SUM(CASE WHEN treat = 1 AND period = 'pre' THEN mean_cents ELSE 0 END)
+       |    - SUM(CASE WHEN treat = 0 AND period = 'post' THEN mean_cents ELSE 0 END)
+       |    + SUM(CASE WHEN treat = 0 AND period = 'pre' THEN mean_cents ELSE 0 END)
+       |    AS BIGINT) AS did_cents
+       |  FROM cells)
+       |SELECT treat, period, n_events, sum_cents, mean_cents, d.did_cents
+       |FROM cells, d ORDER BY treat, period""".stripMargin
 }
