@@ -958,4 +958,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") && p.contains("partial_sum"),
       s"avro rollup lost its map-side partial aggregation:\n$p")
   }
+
+  test("round-10 ops: broadcast/window/product discipline holds") {
+    // impute: the group-means fill must come back as a BROADCAST join —
+    // a sort-merge exchange on the 5-value group key would shuffle the
+    // firehose to deliver 5 numbers
+    val imp = plan("q_impute")
+    assert(imp.contains("BroadcastHashJoin") && !imp.contains("SortMergeJoin"),
+      s"impute means must broadcast back:\n$imp")
+    // training examples: the data-sized window partitions by user_id
+    // (the sessionize shuffle); the share window runs on the bounded
+    // (ctx,label) rollup after aggregation
+    val tex = plan("q_training_examples")
+    assert(tex.matches("(?s).*Window.*windowspecdefinition\\(user_id#\\d+L?,.*"),
+      s"training-example lags must window over user_id:\n$tex")
+    // DiD: a classify pass + 4-cell aggregate + 1-row broadcast — no
+    // data-sized join of any kind
+    val did = plan("q_did")
+    assert(!did.contains("SortMergeJoin") && !did.contains("CartesianProduct"),
+      s"DiD must not join data-sized sides:\n$did")
+    // curation pipeline + readability + AUC: straight-line aggregates,
+    // no products, no nested loops on data-sized sides
+    for (q <- Seq("q_curation_pipeline", "q_readability", "q_auc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q must stay join-free:\n$p")
+    }
+    // cluster purity: the centroid side rides a broadcast (the |labels|-
+    // row build side), never a shuffle join against the corpus
+    val cp = plan("q_cluster_purity")
+    assert(cp.contains("Broadcast") && !cp.contains("SortMergeJoin"),
+      s"cluster purity centroids must broadcast:\n$cp")
+  }
 }
