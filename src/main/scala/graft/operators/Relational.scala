@@ -1101,10 +1101,16 @@ object Relational {
       .repartition(8)
     TableCommit.commitOverwrite(src, root,
       statsCols = Seq("od", "o_orderkey"))
-    val Some((n, odMin, odMax)) =
-      TableCommit.statsEnvelope(root, "od", _ < _)
-    val Some((_, kMin, kMax)) = TableCommit.statsEnvelope(root,
-      "o_orderkey", (a, b) => a.toLong < b.toLong)
+    // statsEnvelope is None when any current file lacks rows/stats — for
+    // a query whose CONTRACT is metadata-only, the correct response is a
+    // loud error naming the fallback, never a silent scan or a MatchError
+    def env(c: String, lt: (String, String) => Boolean) =
+      TableCommit.statsEnvelope(root, c, lt).getOrElse(
+        throw new IllegalStateException(
+          s"manifest stats incomplete for '$c' at $root — " +
+            "fall back to a scan-based aggregate"))
+    val (n, odMin, odMax) = env("od", _ < _)
+    val (_, kMin, kMax) = env("o_orderkey", (a, b) => a.toLong < b.toLong)
     import spark.implicits._
     Seq((n, odMin, odMax, kMin.toLong, kMax.toLong))
       .toDF("n_rows", "first_day", "last_day", "min_key", "max_key")
