@@ -320,8 +320,7 @@ object Dedup {
     * correct result when every history document's TEXT is corrupted,
     * because history flows only through the committed index. */
   def dedupIndexResumeQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_sigidx_").toString + "/sig_index"
+    val root = graft.engine.TempWarehouse.createManaged("graft_sigidx_") + "/sig_index"
     val docs = Tables.documents(spark, sfDir)
     val isBatch = col("doc_id") % IncrBatchMod === 0
     // DAY 1: history ingest — commit the signature index, retain 2 so the

@@ -888,8 +888,7 @@ object Relational {
     * hash-stable. */
   def timeTravelQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_tt_").toString + "/dim"
+    val root = graft.engine.TempWarehouse.createManaged("graft_tt_") + "/dim"
     val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
       .cast("long").as("cents")
     val base = Tables.customer(spark, sfDir)
@@ -947,8 +946,7 @@ object Relational {
   def commitDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
     import graft.engine.TableCommit
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_cdiff_").toString + "/orders"
+    val root = graft.engine.TempWarehouse.createManaged("graft_cdiff_") + "/orders"
     val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
       .cast("long").as("cents")
     val src = Tables.orders(spark, sfDir)
@@ -1044,8 +1042,7 @@ object Relational {
   def manifestPruneQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
     import graft.engine.TableCommit
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_mp_").toString + "/orders"
+    val root = graft.engine.TempWarehouse.createManaged("graft_mp_") + "/orders"
     val src = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
@@ -1093,8 +1090,7 @@ object Relational {
     * way: the answer survives DELETING every data file. */
   def manifestAggQ(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.engine.TableCommit
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_magg_").toString + "/orders"
+    val root = graft.engine.TempWarehouse.createManaged("graft_magg_") + "/orders"
     val src = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
@@ -1146,8 +1142,7 @@ object Relational {
     * mapping itself is never re-ranked, only read and extended. */
   def stableIdsQ(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.engine.TableCommit
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_sk_").toString + "/dim_sk"
+    val root = graft.engine.TempWarehouse.createManaged("graft_sk_") + "/dim_sk"
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_name").as("nk"), col("c_custkey"))
     def assignFrom(keys: DataFrame, offset: Long): DataFrame = {
@@ -1209,8 +1204,7 @@ object Relational {
   def tableOptimizeQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import graft.engine.TableCommit
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_opt_").toString + "/orders"
+    val root = graft.engine.TempWarehouse.createManaged("graft_opt_") + "/orders"
     val src = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
@@ -1262,8 +1256,7 @@ object Relational {
   def partitionEvolutionQ(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
     import graft.engine.TableCommit
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_evo_").toString + "/orders"
+    val root = graft.engine.TempWarehouse.createManaged("graft_evo_") + "/orders"
     val src = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)

@@ -396,8 +396,7 @@ object PagedSource {
     * arithmetic total ONLY if the resumed run continued the dead run's
     * ledger instead of starting a fresh one. */
   def sourceStreamResumeQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_stream_resume_").toString
+    val work = graft.engine.TempWarehouse.createManaged("graft_stream_resume_")
     val ckpt = s"$work/ckpt"
     val out = s"$work/out"
     def drain(crashAt: Option[Int]): Unit = {
