@@ -1120,9 +1120,11 @@ object Dedup {
     val prefLen = col("n") -
       expr(s"(${ContainNum} * n + ${ContainDen} - 1) div ${ContainDen}") +
       lit(1)
-    // materialized: feeds both the candidate probe and the Bloom build
-    val prefix = materialize(ranked.filter(col("rn") <= prefLen)
-      .select(col("doc_id").as("doc_a"), col("w")))
+    // materialized ONLY when the Bloom build makes this a two-consumer
+    // frame; the default single-consumer path must not pay a disk persist
+    val prefixRaw = ranked.filter(col("rn") <= prefLen)
+      .select(col("doc_id").as("doc_a"), col("w"))
+    val prefix = if (bloomPrune) materialize(prefixRaw) else prefixRaw
     // Index-side Bloom prune (VERDICT r9 task 6 / the X59 discipline):
     // the probe side is prefix-bounded but the index side would shuffle
     // EVERY posting on `w`, including the hot shingles no rare-first
