@@ -1055,4 +1055,74 @@ object TextAnalysis {
        |  CAST(MIN(score_milli) AS BIGINT) AS min_milli,
        |  CAST(MAX(score_milli) AS BIGINT) AS max_milli
        |FROM b GROUP BY 1, 2 ORDER BY source, band""".stripMargin
+  // ------------------------------------------------------------------
+  // `q_ctfidf` (X220): class-based TF-IDF term ranking
+  // ------------------------------------------------------------------
+
+  /** Top terms reported per class. */
+  val CtfidfTopK = 5
+
+  /** `q_ctfidf`: CLASS-based TF-IDF — X25 ranks terms against documents;
+    * this ranks them against CLASSES (all docs of a language pooled into
+    * one pseudo-document), the c-TF-IDF trick topic-labeling pipelines
+    * use to name a cluster by what distinguishes it from the other
+    * clusters, not what is merely frequent in it. Score = class term
+    * frequency × (n_classes / class-df), kept RATIONAL-EXACT: the
+    * per-mille scaled score is tf·n_classes·1000 ÷ class_df in integral
+    * division, so the ranking (and its tiebreaks) hash-gates without a
+    * single float. Per class: top CtfidfTopK terms, fully tiebroken
+    * (score desc, term asc).
+    *
+    * Scale shape: one explode → (class, term) aggregate (map-side
+    * combined, vocab-bounded output), one vocab-bounded class-df
+    * aggregate joined back, one class-partitioned rank window over
+    * vocab-bounded rows. The corpus-sized work is exactly the X24/X25
+    * token pass. */
+  def ctfidfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tf feeds three branches (class-df, class count, the scored join) —
+    // materialized so the corpus explode runs ONCE (multi-consumer rule);
+    // everything after it is vocab-bounded
+    val tf = graft.engine.Materialize.diskBacked(
+      Tables.documents(spark, sfDir)
+        .select(col("lang"), explode(graft.engine.Text.words).as("w"))
+        .groupBy(col("lang"), col("w"))
+        .agg(Num.countStar.as("tf")))
+    val cdf = tf.groupBy(col("w")).agg(Num.countStar.as("class_df"))
+    // class count as a 1-row broadcast, not a construction-time job
+    val nc = tf.select(col("lang")).distinct()
+      .agg(Num.countStar.as("n_classes"))
+    val rank = Window.partitionBy(col("lang"))
+      .orderBy(col("score_permille").desc, col("w").asc)
+    tf.join(cdf, Seq("w"))
+      .crossJoin(broadcast(nc))
+      .withColumn("score_permille",
+        Num.divLong(col("tf") * col("n_classes") * 1000L, col("class_df")))
+      .withColumn("rnk", row_number().over(rank))
+      .filter(col("rnk") <= CtfidfTopK)
+      .select(col("lang"), col("rnk").cast("long").as("rnk"), col("w"),
+        col("tf"), col("class_df"), col("score_permille"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val ctfidfOracle: String =
+    s"""WITH tf AS (
+       |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT lang, unnest($wordsSql) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |cdf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS class_df FROM tf GROUP BY 1),
+       |nc AS (SELECT COUNT(DISTINCT lang) AS n FROM tf),
+       |scored AS (
+       |  SELECT tf.lang, tf.w, tf.tf, cdf.class_df,
+       |    tf.tf * nc.n * 1000 // cdf.class_df AS score_permille
+       |  FROM tf JOIN cdf USING (w), nc),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY score_permille DESC, w ASC) AS rnk
+       |  FROM scored)
+       |SELECT lang, CAST(rnk AS BIGINT) AS rnk, w, tf, class_df,
+       |  CAST(score_permille AS BIGINT) AS score_permille
+       |FROM r WHERE rnk <= ${CtfidfTopK}
+       |ORDER BY lang, rnk""".stripMargin
 }
