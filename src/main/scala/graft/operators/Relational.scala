@@ -1120,6 +1120,65 @@ object Relational {
       |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       |FROM orders ORDER BY n_rows""".stripMargin
 
+  // `q_schema_evolution` (X221): widen the schema without rewriting
+
+  /** `q_schema_evolution`: SCHEMA evolution on the committed table — the
+    * other half of X210's layout evolution: a column added mid-life
+    * (here `priority`, arriving with generation 2) must not force a
+    * rewrite of history, and reads under the WIDENED schema see nulls
+    * for pre-evolution files (exactly Delta/Iceberg add-column
+    * semantics: schema-on-read fills the gap, old files stay
+    * byte-identical). The mechanism is already in the read path —
+    * `TableCommit.read` scans with an explicit schema, and parquet
+    * fills absent columns with null — so the capability costs ZERO new
+    * commit-layer code; this gate pins it as a contract. The rollup
+    * groups by the evolved column with nulls as their own bucket
+    * ('(pre-evolution)'), so a read that dropped old files, defaulted
+    * the column wrongly, or rewrote history breaks the hash. */
+  def schemaEvolutionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse
+      .createManaged("graft_schevo_") + "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), cents)
+    // generation 1: the original two-column fact (keys ≡ 0 mod 2)
+    TableCommit.commitAppend(
+      src.filter(col("o_orderkey") % 2 === 0), root)
+    // generation 2: the schema EVOLVED — priority arrives; old files
+    // untouched
+    TableCommit.commitAppend(
+      Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), cents,
+          col("o_orderpriority").as("priority")), root)
+    val widened = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType),
+      StructField("priority", StringType)))
+    TableCommit.read(spark, root, widened)
+      .select(col("o_orderstatus"),
+        coalesce(col("priority"), lit("(pre-evolution)")).as("priority"),
+        col("cents"))
+      .groupBy(col("o_orderstatus"), col("priority"))
+      .agg(Num.countStar.as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("o_orderstatus"), col("priority"))
+  }
+
+  val schemaEvolutionOracle: String =
+    """WITH t AS (
+      |  SELECT o_orderstatus,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN '(pre-evolution)'
+      |         ELSE o_orderpriority END AS priority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderstatus, priority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM t GROUP BY 1, 2 ORDER BY o_orderstatus, priority""".stripMargin
+
   // `q_stable_ids` (X217): incremental surrogate-key assignment
 
   /** `q_stable_ids`: SURROGATE-KEY ASSIGNMENT through the committed
