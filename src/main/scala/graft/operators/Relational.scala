@@ -1120,6 +1120,99 @@ object Relational {
       |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
       |FROM orders ORDER BY n_rows""".stripMargin
 
+  // `q_bitemporal` (X222): transaction-time × valid-time reads
+
+  /** The two valid-time probe dates of the bitemporal matrix. */
+  val BtValidA = "2024-01-15"
+  val BtValidB = "2024-02-15"
+  /** SCD2 effective dates of the two dim generations. */
+  val BtEpoch = "2024-01-01"
+  val BtChange = "2024-02-01"
+
+  /** `q_bitemporal`: BITEMPORAL dimension reads — the composition the
+    * table-format family builds toward: VALID time (when a fact was true
+    * in the world — X—'s SCD2 `valid_from`/`valid_to` intervals) crossed
+    * with TRANSACTION time (when the warehouse learned it — X139's
+    * retained versions). Day 1 commits the SCD2 balance dim; day 2
+    * applies an SCD2 update (close the changed rows at [[BtChange]],
+    * insert successors) as version 2 with version 1 retained. The gate
+    * answers the full 2×2 matrix "as of transaction T, what did we
+    * believe was valid at V": v1 believes the ORIGINAL balances even for
+    * a post-change valid date (it hasn't learned the update — that row
+    * of the matrix is what makes bitemporal different from either axis
+    * alone), while v2 splits on the valid date. Both axes are metadata:
+    * valid time is a row predicate, transaction time a manifest pin —
+    * nothing is copied to keep either.
+    *
+    * Scale shape: two manifest-pinned scans, a 2-row broadcast of the
+    * probe dates, one segment-bounded rollup. */
+  def bitemporalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DateType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse
+      .createManaged("graft_bt_") + "/dim_scd2"
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val day1 = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("nk"), col("c_mktsegment").as("seg"),
+        cents, lit(BtEpoch).cast("date").as("vf"),
+        lit(null).cast("date").as("vt"))
+    val v1 = TableCommit.commitOverwrite(day1, root, retain = 2)
+    // SCD2 apply: keys ≡ 0 (mod 4) reprice +777 at BtChange — close the
+    // old row, insert the successor; untouched rows carry forward
+    val changed = col("nk") % 4 === 0
+    val day2 = day1.filter(!changed)
+      .unionByName(day1.filter(changed)
+        .withColumn("vt", lit(BtChange).cast("date")))
+      .unionByName(day1.filter(changed)
+        .withColumn("cents", col("cents") + 777L)
+        .withColumn("vf", lit(BtChange).cast("date")))
+    val v2 = TableCommit.commitOverwrite(day2, root, retain = 2)
+    val schema = StructType(Seq(
+      StructField("nk", LongType), StructField("seg", StringType),
+      StructField("cents", LongType), StructField("vf", DateType),
+      StructField("vt", DateType)))
+    val probes = Seq(BtValidA, BtValidB)
+    val tagged = Seq(v1 -> "tx1", v2 -> "tx2").map { case (v, tag) =>
+      TableCommit.readAt(spark, root, schema, v).withColumn("tx", lit(tag))
+    }.reduce(_ unionByName _)
+    import spark.implicits._
+    tagged
+      .crossJoin(broadcast(probes.toDF("valid_asof")))
+      .filter(col("vf") <= col("valid_asof").cast("date") &&
+        (col("vt").isNull || col("vt") > col("valid_asof").cast("date")))
+      .groupBy(col("tx"), col("valid_asof"), col("seg"))
+      .agg(Num.countStar.as("n_rows"), sum(col("cents")).as("bal_cents"))
+      .orderBy(col("tx"), col("valid_asof"), col("seg"))
+  }
+
+  val bitemporalOracle: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS nk, c_mktsegment AS seg,
+       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM customer),
+       |v1 AS (
+       |  SELECT nk, seg, cents, DATE '$BtEpoch' AS vf,
+       |    CAST(NULL AS DATE) AS vt, 'tx1' AS tx FROM base),
+       |v2 AS (
+       |  SELECT nk, seg, cents, DATE '$BtEpoch' AS vf,
+       |    CAST(NULL AS DATE) AS vt, 'tx2' AS tx
+       |  FROM base WHERE nk % 4 <> 0
+       |  UNION ALL
+       |  SELECT nk, seg, cents, DATE '$BtEpoch', DATE '$BtChange', 'tx2'
+       |  FROM base WHERE nk % 4 = 0
+       |  UNION ALL
+       |  SELECT nk, seg, cents + 777, DATE '$BtChange', NULL, 'tx2'
+       |  FROM base WHERE nk % 4 = 0),
+       |all_rows AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+       |m AS (SELECT unnest(['$BtValidA', '$BtValidB']) AS valid_asof)
+       |SELECT tx, valid_asof, seg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(cents) AS BIGINT) AS bal_cents
+       |FROM all_rows, m
+       |WHERE vf <= CAST(valid_asof AS DATE)
+       |  AND (vt IS NULL OR vt > CAST(valid_asof AS DATE))
+       |GROUP BY 1, 2, 3 ORDER BY tx, valid_asof, seg""".stripMargin
+
   // `q_schema_evolution` (X221): widen the schema without rewriting
 
   /** `q_schema_evolution`: SCHEMA evolution on the committed table — the
