@@ -1125,4 +1125,54 @@ object TextAnalysis {
        |  CAST(score_permille AS BIGINT) AS score_permille
        |FROM r WHERE rnk <= ${CtfidfTopK}
        |ORDER BY lang, rnk""".stripMargin
+  // ------------------------------------------------------------------
+  // `q_lang_confusion` (X223): multi-class confusion matrix for X7
+  // ------------------------------------------------------------------
+
+  /** `q_lang_confusion`: the MULTI-CLASS evaluation closing the loop on
+    * X7's language identifier — X198 grades the binary purchase scorer;
+    * real corpus routing is multi-class, and its operational artifact is
+    * the CONFUSION MATRIX: which languages leak into which, with
+    * per-actual recall and per-predicted precision as exact per-mille.
+    * Built as a pure rollup over X7's own per-doc output (one
+    * definition of the predictor — a drifted reimplementation here
+    * would be an eval of the wrong model), with the two marginals as
+    * window sums over the (langs × langs)-bounded matrix.
+    *
+    * Scale shape: the predictor pass is X7's narrow per-doc work; the
+    * matrix and both marginals are label-domain-bounded. */
+  def langConfusionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = langIdQ(spark, sfDir)
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(Num.countStar.as("n"))
+    cells
+      .withColumn("actual_total",
+        sum(col("n")).over(Window.partitionBy(col("actual_lang"))))
+      .withColumn("pred_total",
+        sum(col("n")).over(Window.partitionBy(col("predicted_lang"))))
+      .select(col("actual_lang"), col("predicted_lang"), col("n"),
+        Num.divLong(col("n") * 1000, col("actual_total"))
+          .as("recall_permille"),
+        Num.divLong(col("n") * 1000, col("pred_total"))
+          .as("precision_permille"))
+      .orderBy(col("actual_lang"), col("predicted_lang"))
+  }
+
+  val langConfusionOracle: String =
+    s"""WITH pred AS ($langIdOracle),
+       |cells AS (
+       |  SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |m AS (
+       |  SELECT *,
+       |    CAST(SUM(n) OVER (PARTITION BY actual_lang) AS BIGINT)
+       |      AS actual_total,
+       |    CAST(SUM(n) OVER (PARTITION BY predicted_lang) AS BIGINT)
+       |      AS pred_total
+       |  FROM cells)
+       |SELECT actual_lang, predicted_lang, n,
+       |  n * 1000 // actual_total AS recall_permille,
+       |  n * 1000 // pred_total AS precision_permille
+       |FROM m ORDER BY actual_lang, predicted_lang""".stripMargin
 }
