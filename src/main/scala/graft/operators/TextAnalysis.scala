@@ -1175,4 +1175,68 @@ object TextAnalysis {
        |  n * 1000 // actual_total AS recall_permille,
        |  n * 1000 // pred_total AS precision_permille
        |FROM m ORDER BY actual_lang, predicted_lang""".stripMargin
+  // ------------------------------------------------------------------
+  // `q_diversity` (X224): Simpson diversity of the language mix
+  // ------------------------------------------------------------------
+
+  /** `q_diversity`: SIMPSON DIVERSITY of each source's language mix —
+    * the corpus-health companion to X121's Shannon entropy that stays
+    * RATIONAL-EXACT: Simpson's index is Σpᵢ² = Σnᵢ²/n², so both the
+    * homogeneity (per-million) and its inverse — the EFFECTIVE NUMBER
+    * of languages, the number a mixing dashboard actually shows — are
+    * one integral division each, no log and no float anywhere. A source
+    * feeding one language scores homogeneity 1e6 / effective 1000
+    * (per-mille); a uniform 6-way mix scores ~167k / ~6000. Dominant
+    * language and its share ride along, fully tiebroken.
+    *
+    * Scale shape: one (source × lang)-bounded aggregate off the scan,
+    * then arithmetic on the bounded frame — the X22 fan-out discipline
+    * with nothing data-sized after the first fold. */
+  def diversityQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(Num.countStar.as("n_l"))
+    val top = Window.partitionBy(col("source"))
+      .orderBy(col("n_l").desc, col("lang").asc)
+    byLang
+      .withColumn("rn", row_number().over(top))
+      .groupBy(col("source"))
+      .agg(sum(col("n_l")).as("n_docs"),
+        Num.countStar.as("n_langs"),
+        sum(col("n_l") * col("n_l")).as("sum_sq"),
+        min(when(col("rn") === 1, col("lang"))).as("dominant_lang"),
+        min(when(col("rn") === 1, col("n_l"))).as("dominant_n"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        Num.divLong(col("sum_sq") * 1000000L,
+          col("n_docs") * col("n_docs")).as("simpson_ppm"),
+        Num.divLong(col("n_docs") * col("n_docs") * 1000L, col("sum_sq"))
+          .as("effective_langs_permille"),
+        col("dominant_lang"),
+        Num.divLong(col("dominant_n") * 1000L, col("n_docs"))
+          .as("dominant_share_permille"))
+      .orderBy(col("source"))
+  }
+
+  val diversityOracle: String =
+    """WITH bl AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_l
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY n_l DESC, lang ASC) AS rn
+      |  FROM bl),
+      |g AS (
+      |  SELECT source, CAST(SUM(n_l) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+      |    CAST(SUM(n_l * n_l) AS BIGINT) AS sum_sq,
+      |    MIN(CASE WHEN rn = 1 THEN lang END) AS dominant_lang,
+      |    CAST(MIN(CASE WHEN rn = 1 THEN n_l END) AS BIGINT) AS dominant_n
+      |  FROM r GROUP BY 1)
+      |SELECT source, n_docs, n_langs,
+      |  sum_sq * 1000000 // (n_docs * n_docs) AS simpson_ppm,
+      |  n_docs * n_docs * 1000 // sum_sq AS effective_langs_permille,
+      |  dominant_lang,
+      |  dominant_n * 1000 // n_docs AS dominant_share_permille
+      |FROM g ORDER BY source""".stripMargin
 }
