@@ -361,4 +361,35 @@ class PropertySpec extends AnyFunSuite {
     assert(hazard.zip(bad).exists { case (x, b) => b != x / d },
       "expected the double-division formula to diverge somewhere past 2^53")
   }
+
+  test("manifest writer/parser roundtrip survives arbitrary JSON-active strings") {
+    import graft.engine.TableCommit
+    import graft.engine.TableCommit.{ColStats, Entry}
+    // strings drawn to be HOSTILE to a hand-rolled JSON subset: quotes,
+    // backslashes, braces, colons, commas, unicode — everything the
+    // escaper and the line scanner must round-trip exactly. Newlines are
+    // excluded by construction: the format is line-delimited and no
+    // path/partition/stat value the engine produces can contain one.
+    val nastyChar = Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '{', '}', ':', ',', ' ',
+        '[', ']', 'é', '中'))
+    val nasty = Gen.choose(0, 24)
+      .flatMap(n => Gen.listOfN(n, nastyChar)).map(_.mkString)
+    val statGen = Gen.mapOf(Gen.zip(
+      Gen.identifier.map(_.take(8)),
+      Gen.zip(nasty, nasty).map { case (a, b) => ColStats(a, b) }))
+      .map(_.take(3))
+    val entryGen = for {
+      path <- nasty
+      part <- Gen.option(nasty)
+      st   <- statGen
+      rows <- Gen.option(Gen.choose(0L, Long.MaxValue))
+    } yield Entry(path, part, st, rows)
+    check(Prop.forAll(Gen.listOfN(4, entryGen)) { es =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_prop_manifest_").toString
+      TableCommit.publish(root, es)
+      TableCommit.entries(root) == es
+    })
+  }
 }
