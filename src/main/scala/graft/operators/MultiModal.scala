@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.Tables
+import graft.engine.{Num, Tables}
 
 /** Multimodal-column operators (SURVEY.md §2.11 / the north-star's
   * image/audio/video mandate): media rides as an opaque BINARY payload
@@ -600,4 +600,103 @@ object MultiModal {
        |FROM documents, UNNEST(range(0, doc_id % 4 + 2)) AS u(i)
        |WHERE doc_id % ${GifMod} = 2 AND i % ${FrameStride} = 0
        |ORDER BY doc_id, frame_idx""".stripMargin
+  // ------------------------------------------------------------------
+  // `q_frame_dedup` (X225): consecutive-frame perceptual near-dup
+  // ------------------------------------------------------------------
+
+  /** Scene-cut cadence of the synthetic pHash stream and the hamming
+    * threshold separating "same shot" from "cut". */
+  val FrameCutEvery = 5
+  val FrameHamThreshold = 8
+
+  /** `q_frame_dedup`: CONSECUTIVE-FRAME near-dup detection — the video
+    * curation pass that drops static frames before training (a fixed
+    * camera shot is thousands of near-identical images; training on all
+    * of them is paying for one frame many times): per video, hash each
+    * frame perceptually, hamming-compare consecutive frames, and report
+    * the static-transition share. The DECODE is the stubbed seam (the
+    * X12/X36 contract — no codec in this container): the synthetic pHash
+    * is LOCALITY-PRESERVING by construction, which is the property a
+    * real pHash has and random content hashes lack — within a shot,
+    * consecutive frames differ by ≤ 2 bits (base XOR a 1-bit wobble);
+    * at every [[FrameCutEvery]]-th frame the "scene changes" (base XOR a
+    * fresh md5 draw, ~30 bits away). Everything downstream of the stub —
+    * per-frame rows, the lag window, XOR + bit_count hamming (codegen'd
+    * integer ops both engines own), the per-video rollup — is the REAL
+    * Spark-side pipeline a production frame deduper runs.
+    *
+    * Scale shape: frames explode per video and never leave their
+    * doc-partitioned window; the rollup is video-bounded. */
+  def frameDedupQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val cutDraw = conv(substring(
+      md5(concat(col("text"), lit(":cut:"),
+        col("frame_idx").cast("string"))), 1, 15), 16, 10).cast("long")
+    val wobble = expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_idx % 7 AS INT))")
+    val frames = Tables.documents(spark, sfDir)
+      .filter((col("doc_id") % 3 + 1) === 3) // media_type == 'video'
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          (length(encode(col("text"), "utf-8")) % 7 + 1) - 1))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        when(col("frame_idx") % FrameCutEvery === 0 && col("frame_idx") > 0,
+          base.bitwiseXOR(cutDraw))
+          .otherwise(base.bitwiseXOR(wobble)).as("phash"))
+    val byVideo = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("phash"), 1).over(byVideo))
+      .withColumn("ham",
+        when(col("prev").isNull, lit(null))
+          .otherwise(bit_count(col("phash").bitwiseXOR(col("prev")))))
+      .groupBy(col("doc_id"))
+      .agg(Num.countStar.as("n_frames"),
+        sum(when(col("ham").isNotNull, 1L).otherwise(0L)).as("n_transitions"),
+        sum(when(col("ham") <= FrameHamThreshold, 1L).otherwise(0L))
+          .as("n_static"),
+        sum(coalesce(col("ham").cast("long"), lit(0L))).as("ham_sum"))
+      .withColumn("static_permille",
+        when(col("n_transitions") === 0L, lit(0L)).otherwise(
+          Num.divLong(col("n_static") * 1000L, col("n_transitions"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val frameDedupOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, i AS frame_idx,
+       |    CASE WHEN i % ${FrameCutEvery} = 0 AND i > 0 THEN
+       |      xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT),
+       |          CAST(concat('0x', substr(md5(text || ':cut:' || i), 1, 15))
+       |            AS BIGINT))
+       |    ELSE
+       |      xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT),
+       |          CAST(1 AS BIGINT) << (i % 7))
+       |    END AS phash
+       |  FROM documents, UNNEST(range(0, octet_length(encode(text)) % 7 + 1))
+       |    AS u(i)
+       |  WHERE doc_id % 3 + 1 = 3),
+       |l AS (
+       |  SELECT doc_id, frame_idx, phash,
+       |    LAG(phash, 1) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+       |      AS prev
+       |  FROM f),
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN prev IS NULL THEN NULL
+       |         ELSE bit_count(xor(phash, prev)) END AS ham
+       |  FROM l)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(SUM(CASE WHEN ham IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_transitions,
+       |  CAST(SUM(CASE WHEN ham <= ${FrameHamThreshold} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_static,
+       |  CAST(SUM(COALESCE(ham, 0)) AS BIGINT) AS ham_sum,
+       |  CAST(CASE WHEN SUM(CASE WHEN ham IS NOT NULL THEN 1 ELSE 0 END) = 0
+       |    THEN 0
+       |    ELSE SUM(CASE WHEN ham <= ${FrameHamThreshold} THEN 1 ELSE 0
+       |      END) * 1000
+       |      // SUM(CASE WHEN ham IS NOT NULL THEN 1 ELSE 0 END) END
+       |    AS BIGINT) AS static_permille
+       |FROM h GROUP BY 1 ORDER BY doc_id""".stripMargin
 }
