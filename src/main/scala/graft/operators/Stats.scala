@@ -813,6 +813,103 @@ object Stats {
        |    AS auc_ppm
        |FROM g ORDER BY cohort""".stripMargin
 
+  /** Per-million scale shared by the PR-curve quantities. */
+  val PrScale = 1000000L
+
+  /** `q_pr_auc` (X225): average precision (PR-AUC) plus the best-F1
+    * operating point of the X199 pseudo-model — the IMBALANCED-CLASS
+    * companion to X204's ROC-AUC (with ~20% positives ROC flatters a
+    * model; the PR curve is what a filtering-pipeline owner actually
+    * reads before picking a quality-score threshold, and the best-F1 row
+    * answers "which threshold do I deploy"). Per user-cohort, same
+    * deterministic scorer as X199/X204 (p = clamp(value/200), positive =
+    * purchase).
+    *
+    * Exactness discipline: the X204 histogram trick, descending — scores
+    * quantize to per-mille, the corpus folds to a (cohort × ≤1000)
+    * histogram, and cumulative (n, tp) over pm DESC give precision and F1
+    * at every threshold as integral divisions. Tie handling is the
+    * step-wise bucket convention: every positive in a score bucket gets
+    * the precision AT THE BUCKET'S END (the pessimistic standard that
+    * makes AP independent of intra-bucket order — no arbitrary
+    * tie-break enters). Per-bucket ppm values truncate BEFORE the
+    * weighted sum, so the fold is an order-independent Long sum in both
+    * engines; AP = Σ pos_s·prec_ppm / P and F1 = 2·TP/(cum_n + P) are
+    * exact integer arithmetic end to end — Σ pos_s·prec_ppm ≤ P·10⁶
+    * keeps every intermediate far under Long at any corpus size.
+    *
+    * Scale shape: ONE data-sized map-side-combined pass builds the
+    * histogram; windows and the argmax run on histogram rows only. */
+  def prAucQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pm = least(floor(col("value") * 1000.0 / CalibValueScale)
+      .cast("long"), lit(999L))
+    val hist = Tables.events(spark, sfDir)
+      .select((col("user_id") % 4).as("cohort"), pm.as("pm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("cohort"), col("pm"))
+      .agg(Num.countStar.as("n_s"), sum(col("pos")).as("pos_s"))
+    val desc = Window.partitionBy(col("cohort")).orderBy(col("pm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("cohort"))
+    val scored = hist
+      .withColumn("cum_n", sum(col("n_s")).over(desc))
+      .withColumn("cum_tp", sum(col("pos_s")).over(desc))
+      .withColumn("p_tot", sum(col("pos_s")).over(whole))
+      .withColumn("n_tot", sum(col("n_s")).over(whole))
+      .withColumn("prec_ppm",
+        Num.divLong(col("cum_tp") * PrScale, col("cum_n")))
+      .withColumn("f1_ppm",
+        Num.divLong(col("cum_tp") * 2L * PrScale, col("cum_n") + col("p_tot")))
+    val byF1 = Window.partitionBy(col("cohort"))
+      .orderBy(col("f1_ppm").desc, col("pm").desc)
+    scored
+      .withColumn("rn", row_number().over(byF1))
+      .groupBy(col("cohort"))
+      .agg(max(col("p_tot")).as("n_pos"),
+        max(col("n_tot") - col("p_tot")).as("n_neg"),
+        Num.divLong(sum(col("pos_s") * col("prec_ppm")), max(col("p_tot")))
+          .as("ap_ppm"),
+        max(when(col("rn") === 1, col("f1_ppm"))).as("best_f1_ppm"),
+        max(when(col("rn") === 1, col("pm"))).as("best_f1_pm"))
+      .orderBy(col("cohort"))
+  }
+
+  val prAucOracle: String =
+    s"""WITH q AS (
+       |  SELECT user_id % 4 AS cohort,
+       |    least(CAST(FLOOR(value * 1000.0 / ${CalibValueScale})
+       |      AS BIGINT), 999) AS pm,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |h AS (
+       |  SELECT cohort, pm, CAST(COUNT(*) AS BIGINT) AS n_s,
+       |    CAST(SUM(pos) AS BIGINT) AS pos_s
+       |  FROM q GROUP BY 1, 2),
+       |c AS (
+       |  SELECT *,
+       |    CAST(SUM(n_s) OVER (PARTITION BY cohort ORDER BY pm DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_n,
+       |    CAST(SUM(pos_s) OVER (PARTITION BY cohort ORDER BY pm DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tp,
+       |    CAST(SUM(pos_s) OVER (PARTITION BY cohort) AS BIGINT) AS p_tot,
+       |    CAST(SUM(n_s) OVER (PARTITION BY cohort) AS BIGINT) AS n_tot
+       |  FROM h),
+       |s AS (
+       |  SELECT *, cum_tp * ${PrScale} // cum_n AS prec_ppm,
+       |    cum_tp * 2 * ${PrScale} // (cum_n + p_tot) AS f1_ppm
+       |  FROM c),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cohort
+       |    ORDER BY f1_ppm DESC, pm DESC) AS rn
+       |  FROM s)
+       |SELECT cohort, MAX(p_tot) AS n_pos, MAX(n_tot - p_tot) AS n_neg,
+       |  CAST(SUM(pos_s * prec_ppm) AS BIGINT) // MAX(p_tot) AS ap_ppm,
+       |  MAX(CASE WHEN rn = 1 THEN f1_ppm END) AS best_f1_ppm,
+       |  MAX(CASE WHEN rn = 1 THEN pm END) AS best_f1_pm
+       |FROM r GROUP BY 1 ORDER BY cohort""".stripMargin
+
   /** `q_join_card_est`: pre-join cardinality estimation from HLL sketches —
     * the planner-side use of X56/X62's mergeability: before paying for a
     * 100-TB shuffle, estimate how many join keys the two sides SHARE using
@@ -1936,6 +2033,79 @@ object Stats {
        |  CAST(SUM(cx * cx) AS BIGINT) AS s_xx,
        |  CAST(SUM(cy * cy) AS BIGINT) AS s_yy,
        |  CAST(SUM(cx * cy) AS BIGINT) AS s_xy
+       |FROM pairs GROUP BY 1 ORDER BY lag""".stripMargin
+
+  // `q_crosscorr`: lead-lag cross-correlation between two daily series
+
+  /** Lag range (±days) and the two series under comparison. */
+  val CrossCorrMaxLag = 7
+  val CrossCorrA = "view"
+  val CrossCorrB = "purchase"
+
+  /** `q_crosscorr` (X227): lagged CROSS-correlation sufficient statistics
+    * between two daily event-type series — the lead-lag diagnostic X132's
+    * autocorrelation cannot answer: does today's `view` traffic predict
+    * `purchase` traffic k days LATER (positive lags), or does purchase
+    * volume lead views (negative lags)? The funnel-latency and
+    * campaign-attribution question, asked of the raw count series. Emits,
+    * per lag in −k..k, the exact integer moments (n, Σa, Σb, Σa², Σb²,
+    * Σab) over the (day, day−lag) pairs, where a = series-A count at day
+    * d and b = series-B count at day d−lag; the correlation division
+    * stays caller-side (the X83/X72/X132 convention — exact integers
+    * cross the engine boundary, floats never do).
+    *
+    * Scale shape: the X132 discipline — the corpus collapses to the DATE
+    * DOMAIN first (one map-side-combined aggregate builds BOTH series as
+    * two conditional-sum columns of a single daily frame — one scan, not
+    * two), so the lag pairing is a calendar-bounded self-join fanned by
+    * 2k+1 broadcast lags. The daily frame feeds both sides of the
+    * pairing, hence materialized once (the multi-consumer rule). */
+  def crosscorrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .filter(col("event_type").isin(CrossCorrA, CrossCorrB))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === CrossCorrA, 1L).otherwise(0L))
+            .as("ca"),
+          sum(when(col("event_type") === CrossCorrB, 1L).otherwise(0L))
+            .as("cb")))
+    val lags = spark.range(-CrossCorrMaxLag.toLong, CrossCorrMaxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    daily.as("x")
+      .crossJoin(broadcast(lags))
+      .join(daily.as("y"),
+        col("y.day") === date_sub(col("x.day"), col("lag")))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(Num.countStar.as("n"),
+        sum(col("x.ca")).as("s_a"), sum(col("y.cb")).as("s_b"),
+        sum(col("x.ca") * col("x.ca")).as("s_aa"),
+        sum(col("y.cb") * col("y.cb")).as("s_bb"),
+        sum(col("x.ca") * col("y.cb")).as("s_ab"))
+      .orderBy(col("lag"))
+  }
+
+  val crosscorrOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    SUM(CASE WHEN event_type = '${CrossCorrA}' THEN 1 ELSE 0 END)
+       |      AS ca,
+       |    SUM(CASE WHEN event_type = '${CrossCorrB}' THEN 1 ELSE 0 END)
+       |      AS cb
+       |  FROM events
+       |  WHERE event_type IN ('${CrossCorrA}', '${CrossCorrB}')
+       |  GROUP BY 1),
+       |lags AS (SELECT unnest(generate_series(-${CrossCorrMaxLag},
+       |  ${CrossCorrMaxLag})) AS lag),
+       |pairs AS (
+       |  SELECT l.lag, x.ca AS ca, y.cb AS cb
+       |  FROM daily x
+       |  CROSS JOIN lags l
+       |  JOIN daily y ON y.day = x.day - CAST(l.lag AS INTEGER))
+       |SELECT CAST(lag AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(ca) AS BIGINT) AS s_a, CAST(SUM(cb) AS BIGINT) AS s_b,
+       |  CAST(SUM(ca * ca) AS BIGINT) AS s_aa,
+       |  CAST(SUM(cb * cb) AS BIGINT) AS s_bb,
+       |  CAST(SUM(ca * cb) AS BIGINT) AS s_ab
        |FROM pairs GROUP BY 1 ORDER BY lag""".stripMargin
 
   // `q_corr_matrix`: one-pass pairwise correlation moments
