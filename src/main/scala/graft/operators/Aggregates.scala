@@ -302,6 +302,94 @@ object Aggregates {
        |LIMIT ${BasketTopK}""".stripMargin
 
   // ------------------------------------------------------------------
+  // `q_itemcf` (X228): item-item collaborative-filtering neighbors
+  // ------------------------------------------------------------------
+
+  /** Neighbors retained per item. */
+  val ItemCfTopK = 3
+
+  /** `q_itemcf`: item-item collaborative filtering ("customers who
+    * bought X also bought Y") — the recommendation-retrieval primitive
+    * layered over X65's co-occurrence counting, with the three deltas
+    * that turn pair counts into a neighbor index: pairs lift to the
+    * CUSTOMER level (a brand pair co-occurs once per customer, not once
+    * per order — repeat purchases must not inflate similarity), the
+    * association strength is exact-integer JACCARD over owner sets
+    * (cooc·10⁶ / (n_a + n_b − cooc) — cosine's sqrt would leave integer
+    * arithmetic, and on implicit binary feedback Jaccard ranks
+    * near-identically), and each item keeps only its top-k neighbors by
+    * (jaccard desc, neighbor asc) — the per-item neighbor list a
+    * retrieval service actually ships. Both directions are emitted:
+    * neighbor lists are per-item, not per-unordered-pair.
+    *
+    * Scale shape: ownership dedups on a customer-keyed layout (the one
+    * data-sized shuffle), the pair fan-out is per-customer
+    * catalog-bounded (≤ |brands|² per customer — at item granularity a
+    * production run caps per-user item counts first, the X75
+    * discipline), the pair aggregate is brand-domain bounded, and the
+    * owner-count joins plus the top-k window run on the 25²-row pair
+    * frame — broadcast-sized everything after the shuffle. */
+  def itemcfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val owned = graft.engine.Materialize.diskBacked(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p_partkey")), Seq("o_orderkey"))
+        .join(Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand")), Seq("p_partkey"))
+        .select(col("o_custkey").as("cust"), col("p_brand").as("b"))
+        // repartition BEFORE dedup: HashPartitioning(cust) satisfies the
+        // (cust, b) aggregate's clustering AND the pair self-join's —
+        // one shuffle total (the X65 layout rule)
+        .repartition(col("cust"))
+        .dropDuplicates("cust", "b"))
+    val owners = owned.groupBy(col("b")).agg(Num.countStar.as("n"))
+    val pairs = owned.as("x").join(owned.as("y"),
+        col("x.cust") === col("y.cust") && col("x.b") =!= col("y.b"))
+      .groupBy(col("x.b").as("brand"), col("y.b").as("neighbor"))
+      .agg(Num.countStar.as("cooc"))
+    val w = Window.partitionBy(col("brand"))
+      .orderBy(col("jaccard_ppm").desc, col("neighbor").asc)
+    pairs
+      .join(broadcast(owners
+        .select(col("b").as("brand"), col("n").as("n_brand"))), Seq("brand"))
+      .join(broadcast(owners
+        .select(col("b").as("neighbor"), col("n").as("n_neighbor"))),
+        Seq("neighbor"))
+      .withColumn("jaccard_ppm", Num.divLong(col("cooc") * 1000000L,
+        col("n_brand") + col("n_neighbor") - col("cooc")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ItemCfTopK)
+      .select(col("brand"), col("rnk").cast("long").as("rnk"),
+        col("neighbor"), col("cooc"), col("jaccard_ppm"))
+      .orderBy(col("brand"), col("rnk"))
+  }
+
+  val itemcfOracle: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS b
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  JOIN part p ON l.l_partkey = p.p_partkey),
+       |own AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.b AS brand, y.b AS neighbor,
+       |    CAST(COUNT(*) AS BIGINT) AS cooc
+       |  FROM ob x JOIN ob y ON x.cust = y.cust AND x.b <> y.b
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT p.brand, p.neighbor, p.cooc,
+       |    p.cooc * 1000000 // (a.n + b.n - p.cooc) AS jaccard_ppm
+       |  FROM pairs p
+       |  JOIN own a ON a.b = p.brand
+       |  JOIN own b ON b.b = p.neighbor),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY brand
+       |    ORDER BY jaccard_ppm DESC, neighbor ASC) AS rnk FROM j)
+       |SELECT brand, CAST(rnk AS BIGINT) AS rnk, neighbor, cooc, jaccard_ppm
+       |FROM r WHERE rnk <= ${ItemCfTopK} ORDER BY brand, rnk""".stripMargin
+
+  // ------------------------------------------------------------------
   // `q_itemsets3` (X186): Apriori level-3 frequent itemsets
   // ------------------------------------------------------------------
 

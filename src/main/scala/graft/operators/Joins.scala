@@ -813,6 +813,77 @@ object Joins {
        |GROUP BY 1 ORDER BY dist""".stripMargin
 
   // ------------------------------------------------------------------
+  // `q_edit_pairs` (X226): edit-distance-1 similarity join (FastSS)
+  // ------------------------------------------------------------------
+
+  /** `q_edit_pairs`: TRUE edit-distance similarity join over
+    * varying-length strings — the general-alphabet companion to X119:
+    * the fuzzy join blocks POSITIONALLY (fixed-length keys,
+    * substitutions only — Hamming), and cannot see that "143" and
+    * "1432" are one keystroke apart. This operator mines ED ≤ 1 pairs
+    * (substitutions AND insertions/deletions) with the
+    * deletion-neighborhood signature scheme (FastSS): each string s
+    * emits s itself plus its |s| delete-one variants; if ED(a,b) ≤ 1
+    * the two strings SHARE a signature (substitution at i → both delete
+    * position i; indel → the shorter string IS a signature of both), so
+    * an equi-join on signature is a LOSSLESS candidate generator — and
+    * sharing a signature bounds ED ≤ 2, so one exact `levenshtein` per
+    * distinct candidate finishes the verify. The ID-reconciliation /
+    * typo-clustering primitive of entity resolution, run over the
+    * customer key rendered as a decimal string (lengths vary, so indel
+    * pairs are real: 4.3k of 22.3k pairs at gate scale).
+    *
+    * Scale shape: vocabulary-bounded end to end — (L+1) signatures per
+    * DISTINCT string, one shuffle on signature with bucket sizes
+    * following the signature-frequency distribution (never all-pairs),
+    * one candidate distinct, one codegen'd levenshtein per candidate.
+    *
+    * The oracle states the SEMANTICS as brute force behind a cheap
+    * prefilter that is itself lossless: one edit at position > 0 leaves
+    * the first characters equal; one edit at position 0 leaves the last
+    * characters equal (suffixes align right even across an indel); the
+    * only escape is a min-length-1 pair, admitted wholesale. The gate
+    * therefore proves the signature join loses nothing. */
+  def editPairsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("string").as("w")).distinct()
+    val delSigs = transform(
+      sequence(lit(0), length(col("w")) - 1),
+      i => concat(col("w").substr(lit(1), i),
+        col("w").substr(i + lit(2), length(col("w")))))
+    // MATERIALIZED: the signature frame feeds both sides of the
+    // candidate self-join (the multi-consumer rule)
+    val sigs = graft.engine.Materialize.diskBacked(
+      ids.select(col("w"),
+        explode(array_union(array(col("w")), delSigs)).as("sig")))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("id_a"), col("b.w").as("id_b"))
+      .distinct()
+    cand.filter(levenshtein(col("id_a"), col("id_b")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        when(length(col("id_a")) === length(col("id_b")), lit("sub"))
+          .otherwise(lit("indel")).as("kind"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val editPairsOracle: String =
+    """WITH v AS (
+      |  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS w FROM customer),
+      |cand AS (
+      |  SELECT a.w AS id_a, b.w AS id_b
+      |  FROM v a JOIN v b ON a.w < b.w
+      |   AND abs(length(a.w) - length(b.w)) <= 1
+      |   AND (substr(a.w, 1, 1) = substr(b.w, 1, 1)
+      |        OR substr(a.w, length(a.w), 1) = substr(b.w, length(b.w), 1)
+      |        OR least(length(a.w), length(b.w)) = 1))
+      |SELECT id_a, id_b,
+      |  CASE WHEN length(id_a) = length(id_b) THEN 'sub' ELSE 'indel' END
+      |    AS kind
+      |FROM cand WHERE levenshtein(id_a, id_b) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
   // `q_skew_join` / `q_skew_join_plain`: hot-key join under AQE skew split
   // ------------------------------------------------------------------
 
