@@ -745,6 +745,92 @@ object TableCommit {
     publish(root, kept ++ staged, retain, expected = Some(base))
   }
 
+  // ------------------------------------------------------------------
+  // Write–audit–publish (X229)
+  // ------------------------------------------------------------------
+
+  /** A staged-but-unpublished batch — the WRITE half of the
+    * write–audit–publish pattern (the production table-format workflow
+    * for gating bad data OUT of a table rather than deleting it after
+    * the fact). The files exist under `data/`, but no manifest
+    * references them, so every concurrent reader still resolves the
+    * pre-stage snapshot: staging is invisible by construction, which is
+    * exactly what lets the audit take its time. */
+  final case class StagedBatch(root: String, baseVersion: Long,
+      entries: Seq[Entry])
+
+  /** WRITE: stage `df` invisibly and remember the snapshot the
+    * transaction started from. The returned handle feeds [[readStaged]]
+    * (the audit), then exactly one of [[publishStaged]] /
+    * [[abortStaged]]. */
+  def stageForAudit(df: DataFrame, root: String,
+      partCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): StagedBatch = {
+    val base = currentVersion(root).getOrElse(0L)
+    StagedBatch(root, base, stageBatch(df, root, partCol, statsCols))
+  }
+
+  /** AUDIT input: a DataFrame over ONLY the staged files — the exact
+    * bytes that would become visible, read before any reader can see
+    * them. Audits run real queries here (row counts, null scans, range
+    * checks, reconciliation against the current snapshot) at full
+    * cluster parallelism; nothing about the staged read is weaker than
+    * a published read. */
+  def readStaged(spark: SparkSession, staged: StagedBatch,
+      schema: StructType): DataFrame =
+    if (staged.entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(staged.entries.map(e => s"${staged.root}/${e.path}"): _*)
+
+  /** PUBLISH: append the audited batch in one atomic pointer swap —
+    * the only moment the staged rows become visible, with the same
+    * optimistic-concurrency contract as [[commitAppend]]: a commit that
+    * landed between stage and publish aborts this transaction
+    * ([[ConcurrentCommitException]]) so an audit passed against a stale
+    * base can never silently publish over someone else's commit. */
+  def publishStaged(staged: StagedBatch, retain: Int = 1): Long = {
+    // Fast-fail BEFORE touching the base manifest: if another commit
+    // landed, the base may already be retired (retain=1 deletes it), so
+    // entriesAt would surface NoSuchFile instead of the conflict. The
+    // authoritative arbiter is still publish()'s own expected-version
+    // check at the create-exclusive commit point.
+    val cur = currentVersion(staged.root).getOrElse(0L)
+    if (cur != staged.baseVersion) throw new ConcurrentCommitException(
+      s"concurrent commit detected at ${staged.root}: batch staged at " +
+        s"v${staged.baseVersion} but the table is at v$cur — re-stage " +
+        "(or re-audit against the new base) and retry")
+    val prior = entriesAt(staged.root, staged.baseVersion)
+    publish(staged.root, prior ++ staged.entries, retain,
+      expected = Some(staged.baseVersion))
+  }
+
+  /** ABORT: a failed audit deletes the staged BATCH DIRECTORIES
+    * outright — everything under them, including the `_SUCCESS` marker
+    * and any scaffolding the parquet write left beside the data files.
+    * Safe with no age gate precisely because no manifest ever
+    * referenced the batch (contrast [[vacuum]], which needs the age
+    * gate to tell a crash's orphans from someone ELSE's in-flight
+    * stage; here the handle proves ownership of exactly these dirs).
+    * Idempotent and best-effort: a crash mid-abort leaves orphans the
+    * aged vacuum sweep removes. */
+  def abortStaged(staged: StagedBatch): Unit = {
+    val batchDirs = staged.entries.flatMap(_.path.split('/') match {
+      case arr if arr.length >= 2 && arr(0) == "data" =>
+        Some(Paths.get(staged.root, arr(0), arr(1)))
+      case _ => None
+    }).distinct
+    batchDirs.foreach { dir =>
+      if (Files.isDirectory(dir)) {
+        // deepest-first so directories empty before their own delete
+        walkFiles(dir).sortBy(-_.getNameCount).foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Throwable => () })
+      }
+    }
+    pruneParentsOf(staged.root, batchDirs)
+  }
+
   /** Manifest of a RETAINED version, for version-to-version diff tooling
     * (which files a commit added/removed — the file-level half of a
     * snapshot diff; the row-level half reads both versions via

@@ -1010,6 +1010,73 @@ object Relational {
       |  CAST(SUM(delta) AS BIGINT) AS delta_cents
       |FROM d GROUP BY 1, 2 ORDER BY part, class""".stripMargin
 
+  // `q_wap` (X229): write–audit–publish ingestion gate
+
+  /** The audit's rejection domain: rows still in pending status must
+    * never enter the warehouse table. */
+  val WapBadStatus = "P"
+
+  /** `q_wap`: WRITE–AUDIT–PUBLISH — the production table-format pattern
+    * for keeping bad data OUT of a table instead of scrubbing it after
+    * readers saw it (the staging-table + validated-MERGE flow the
+    * reference hand-rolls with a TRUNCATE + conditional load,
+    * /root/reference/src/snowflake_loader.py:60-104, made transactional):
+    * each ingestion batch STAGES invisibly
+    * (`TableCommit.stageForAudit`), an audit query runs over the exact
+    * staged bytes (`readStaged` — here: any pending-status, non-positive
+    * or key-less row poisons the batch), and only a clean audit
+    * PUBLISHES the batch atomically; a dirty one ABORTS, deleting files
+    * no reader ever resolved. Three status-sliced order batches flow
+    * through the gate; the pending slice fails its audit, so the final
+    * table holds exactly the fulfilled + open rows — which is what the
+    * oracle states declaratively over the raw input. WapSpec covers the
+    * mechanics the oracle can't see: version count, stage-invisibility,
+    * abort file cleanup, and the concurrent-commit abort.
+    *
+    * Scale shape: staging is the batch's own parquet write; the audit
+    * is a short-circuiting existence scan over just-written
+    * batch-sized files (LIMIT 1 under the hood); publish is one
+    * manifest append — no data is rewritten, moved, or copied at any
+    * point, so the gate costs what the write already cost. */
+  def wapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_wap_") + "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), cents)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType)))
+    Seq("F", "O", WapBadStatus).foreach { st =>
+      val staged = TableCommit.stageForAudit(
+        src.filter(col("o_orderstatus") === st), root)
+      // the audit: one existence probe over the staged bytes — a single
+      // violating row condemns the batch (limit(1) short-circuits; the
+      // count is 0 or 1, never a full bad-row tally)
+      val dirty = TableCommit.readStaged(spark, staged, schema)
+        .filter(col("o_orderstatus") === WapBadStatus ||
+          col("cents") <= 0L || col("o_orderkey").isNull)
+        .limit(1).count() > 0
+      if (dirty) TableCommit.abortStaged(staged)
+      else TableCommit.publishStaged(staged)
+    }
+    TableCommit.read(spark, root, schema)
+      .groupBy(col("o_orderstatus"))
+      .agg(Num.countStar.as("n_orders"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val wapOracle: String =
+    s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |    AS BIGINT) AS total_cents
+       |FROM orders
+       |WHERE o_orderstatus <> '${WapBadStatus}'
+       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   // `q_manifest_prune`: manifest min/max stats → planning-time file skip
 
   /** Inclusive ISO-date window the pruned read asks for — one year out of

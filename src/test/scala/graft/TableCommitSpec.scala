@@ -313,4 +313,59 @@ class TableCommitSpec extends AnyFunSuite {
     assert(TableCommit.read(spark, r, schema)
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
   }
+
+  // ---- write–audit–publish (X229) ----
+
+  test("WAP: staged batch is invisible, audit reads it, publish is one atomic bump") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
+    val staged = TableCommit.stageForAudit(Seq((2L, "b")).toDF("k", "v"), r)
+    // invisibility: current snapshot and version unchanged while staged
+    assert(TableCommit.currentVersion(r) === Some(1L))
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    // the audit sees exactly the staged rows, nothing else
+    assert(TableCommit.readStaged(spark, staged, schema)
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+    val v = TableCommit.publishStaged(staged)
+    assert(v === 2L && TableCommit.currentVersion(r) === Some(2L))
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("WAP: aborted batch deletes its files, never bumps the version; abort is idempotent") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
+    val staged = TableCommit.stageForAudit(Seq((666L, "bad")).toDF("k", "v"), r)
+    assert(staged.entries.nonEmpty)
+    staged.entries.foreach(e =>
+      assert(Files.exists(Paths.get(s"$r/${e.path}"))))
+    TableCommit.abortStaged(staged)
+    staged.entries.foreach(e =>
+      assert(!Files.exists(Paths.get(s"$r/${e.path}"))))
+    TableCommit.abortStaged(staged) // idempotent
+    assert(TableCommit.currentVersion(r) === Some(1L))
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    // the batch DIRECTORY is pruned too, not just the files — an aborted
+    // stage must leave no data/ debris for vacuum to age out
+    val batchDirs = staged.entries
+      .map(e => Paths.get(r, e.path.split('/').take(2).mkString("/")))
+      .distinct
+    batchDirs.foreach(d => assert(!Files.exists(d)))
+  }
+
+  test("WAP: a commit landing between stage and publish aborts the publish") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
+    val staged = TableCommit.stageForAudit(Seq((2L, "b")).toDF("k", "v"), r)
+    TableCommit.commitAppend(Seq((3L, "c")).toDF("k", "v"), r)
+    intercept[TableCommit.ConcurrentCommitException] {
+      TableCommit.publishStaged(staged)
+    }
+    // the loser's rows never became visible; the winner's did
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    TableCommit.abortStaged(staged)
+  }
 }
