@@ -1120,6 +1120,91 @@ object Similarity {
        |  COALESCE(h.n_hits, 0) * 1000 // b.n_exact AS recall_permille
        |FROM base b LEFT JOIN hits h USING (q_id) ORDER BY q_id""".stripMargin
 
+  /** RBO persistence parameter (p = 0.9, the published default) baked
+    * into precomputed 1e-12 integer weights W_d = (1−p)·p^(d−1) — the
+    * RankDiscounts discipline: pow() never evaluates inside either
+    * engine, the per-depth fold is an order-independent Long sum, and
+    * rounding to the output unit happens once. */
+  private val RboScale = 1000000000000L
+  private[operators] val RboWeights: IndexedSeq[Long] =
+    (1 to AnnTopK).map(d =>
+      math.round(0.1 * math.pow(0.9, d - 1.0) * RboScale))
+
+  /** `q_rbo` (X230): rank-biased overlap between the LSH ranking and the
+    * exact top-k — the third leg of the index-evaluation family: recall
+    * (X192) asks "did the right ids surface", NDCG (X193) asks "were
+    * the LABEL-relevant ones first", RBO asks "is the approximate
+    * RANKING itself the exact ranking", top-weighted so an agreement at
+    * rank 1 counts more than one at rank k (Webber et al.'s
+    * indefinite-rank-similarity measure, truncated at k with no
+    * extrapolation — the conservative lower-bound convention). Per
+    * query: overlap at k and RBO@k = Σ_d W_d·|A_d ∩ B_d|/d as exact
+    * per-million (per-depth terms truncate BEFORE the fold, so both
+    * engines sum identical Longs; a matched pair contributes to every
+    * depth ≥ max(rank_A, rank_B), which is what the m ≤ d join states).
+    *
+    * Scale shape: both inputs are the already-audited query-bounded
+    * plans; the depth fan-out is (matches × k) on broadcast-sized
+    * frames — nothing data-sized is added by the evaluation. */
+  def rboQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = cosineTopkQ(spark, sfDir)
+      .filter(col("rank") <= AnnTopK)
+      .select(col("q_id"), col("rank").cast("long").as("ra"),
+        col("neighbor_id"))
+    val lsh = annLshQ(spark, sfDir)
+      .select(col("q_id"), col("rank").cast("long").as("rb"),
+        col("neighbor_id"))
+    val matches = exact.join(lsh, Seq("q_id", "neighbor_id"))
+      .select(col("q_id"), greatest(col("ra"), col("rb")).as("m"))
+    val wArr = array(RboWeights.map(lit): _*)
+    val depths = spark.range(1, AnnTopK + 1L)
+      .select(col("id").as("d"))
+      .withColumn("w", element_at(wArr, col("d").cast("int")))
+    val terms = matches.join(broadcast(depths), col("m") <= col("d"))
+      .groupBy(col("q_id"), col("d"), col("w"))
+      .agg(Num.countStar.as("x_d"))
+      .select(col("q_id"),
+        Num.divLong(col("x_d") * col("w"), col("d")).as("term"),
+        when(col("d") === AnnTopK, col("x_d")).otherwise(lit(0L)).as("xk"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("term")).as("rbo_scaled"), max(col("xk")).as("xk"))
+    exact.select(col("q_id")).distinct()
+      .join(terms, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("xk"), lit(0L)).as("overlap_at_k"),
+        Num.divLong(coalesce(col("rbo_scaled"), lit(0L)), 1000000L)
+          .as("rbo_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  val rboOracle: String = {
+    val wValues = RboWeights.zipWithIndex
+      .map { case (wgt, i) => s"(${i + 1}, ${wgt})" }.mkString(", ")
+    s"""WITH lsh AS ($annLshOracle),
+       |exact AS ($cosineTopkOracle),
+       |ek AS (SELECT q_id, rank AS ra, neighbor_id FROM exact
+       |       WHERE rank <= ${AnnTopK}),
+       |m AS (
+       |  SELECT e.q_id, greatest(e.ra, l.rank) AS m
+       |  FROM ek e JOIN lsh l
+       |    ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id),
+       |wt(d, w) AS (VALUES $wValues),
+       |t AS (
+       |  SELECT q_id, d, w, CAST(COUNT(*) AS BIGINT) AS x_d
+       |  FROM m JOIN wt ON m.m <= wt.d
+       |  GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT q_id,
+       |    CAST(SUM((x_d * w) // d) AS BIGINT) AS rbo_scaled,
+       |    CAST(MAX(CASE WHEN d = ${AnnTopK} THEN x_d ELSE 0 END)
+       |      AS BIGINT) AS xk
+       |  FROM t GROUP BY 1),
+       |base AS (SELECT DISTINCT q_id FROM ek)
+       |SELECT b.q_id, COALESCE(a.xk, 0) AS overlap_at_k,
+       |  COALESCE(a.rbo_scaled, 0) // 1000000 AS rbo_ppm
+       |FROM base b LEFT JOIN agg a USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
   /** `q_ndcg`: NDCG@k of the LSH ranking under label relevance (a
     * retrieved neighbor is relevant iff it shares the query's class
     * label) — the graded companion to [[annRecallQ]]: recall asks "did
