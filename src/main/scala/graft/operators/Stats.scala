@@ -736,6 +736,63 @@ object Stats {
        |FROM m JOIN mn USING (event_type)
        |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** `q_target_encode` (X231): leave-one-out target encoding — the
+    * categorical-feature transform gradient-boosting pipelines run
+    * before training: replace a category with the mean target of the
+    * OTHER rows in its category, enc_i = (S_g − y_i)/(n_g − 1). The
+    * leave-one-out is the entire point (the X215 imputation lesson
+    * squared): encoding a row with a mean that includes its own target
+    * leaks the label into the feature, and the resulting model
+    * validates brilliantly and ships broken. Exact integer cents keep
+    * it gateable: per-row encodings are integral divisions of
+    * always-nonnegative dividends (S ≥ y_i when n ≥ 2), so both
+    * engines truncate identically; the per-group readout reports n,
+    * the SUM of encodings, and the min/max encoding (the bounds come
+    * from the extreme targets — enc is antitone in y_i).
+    *
+    * Scale shape: one map-side-combined aggregate builds the
+    * group-domain (S, n) frame, broadcast back over a second narrow
+    * scan for the per-row division, then a group-bounded re-aggregate
+    * — no data-sized window (a partitionBy over 5 priorities would
+    * funnel the table through 5 reducers, the q_percentiles
+    * anti-shape). Singleton groups (n = 1: LOO undefined) are excluded
+    * in both engines. */
+  def targetEncodeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("priority"), cents.as("c"))
+    val g = o.groupBy(col("priority"))
+      .agg(sum(col("c")).as("s"), Num.countStar.as("n"))
+    o.join(broadcast(g), Seq("priority"))
+      .filter(col("n") > 1L)
+      .select(col("priority"), col("n"),
+        Num.divLong(col("s") - col("c"), col("n") - 1L).as("enc"))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n"), sum(col("enc")).as("sum_enc_cents"),
+        min(col("enc")).as("min_enc_cents"),
+        max(col("enc")).as("max_enc_cents"))
+      .orderBy(col("priority"))
+  }
+
+  val targetEncodeOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |g AS (
+      |  SELECT priority, CAST(SUM(c) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM o GROUP BY 1),
+      |e AS (
+      |  SELECT o.priority, g.n, (g.s - o.c) // (g.n - 1) AS enc
+      |  FROM o JOIN g USING (priority) WHERE g.n > 1)
+      |SELECT priority, MAX(n) AS n,
+      |  CAST(SUM(enc) AS BIGINT) AS sum_enc_cents,
+      |  MIN(enc) AS min_enc_cents, MAX(enc) AS max_enc_cents
+      |FROM e GROUP BY 1 ORDER BY priority""".stripMargin
+
   /** AUC output scale: per-million (1e6/2 premultiplier — the U statistic
     * arrives doubled to keep midranks integral). */
   val AucScale = 500000L

@@ -830,6 +830,56 @@ object TextAnalysis {
        |  floor(SUM(ttr) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_ttr
        |FROM e GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // `q_feature_hash` (X232): hashing-trick vectorization audit
+
+  /** Feature-space width for the hashing trick. Deliberately SMALLER
+    * than a production 2^18+ so collisions actually occur at gate scale
+    * and the collision accounting has teeth. */
+  val FeatureHashBuckets = 64L
+
+  /** `q_feature_hash`: the HASHING TRICK (feature hashing) — the
+    * vocabulary-free text vectorizer: token → bucket = h(token) mod B,
+    * no dictionary build, no OOV handling, bounded feature width no
+    * matter how the vocabulary grows. That statelessness is why it's
+    * the default first vectorizer at corpus scale (a dictionary is a
+    * second full pass plus a broadcast that grows with the vocab; the
+    * hash is a per-row expression) — and its known cost is COLLISIONS,
+    * which this operator makes measurable per bucket: occupancy
+    * (occurrence mass), n_terms (> 1 = colliding features), and
+    * document reach. The hash is the engine-portable md5-prefix draw
+    * (the X190 shard-assignment discipline), so both engines bucket
+    * identically and the audit hash-gates.
+    *
+    * Scale shape: one explode + one aggregate keyed on (bucket, term) /
+    * (bucket, doc) under Spark's distinct-aggregate expand — partial
+    * aggregation dedups map-side, the final shuffle is
+    * feature-width-bounded. No dictionary, no second corpus pass. */
+  def featureHashQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (conv(substring(md5(concat(lit("fh"), col("term"))), 1, 15),
+      16, 10).cast("long") % FeatureHashBuckets).as("bucket")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words).as("term"))
+      .select(col("doc_id"), col("term"), bucket)
+      .groupBy(col("bucket"))
+      .agg(Num.countStar.as("n_occurrences"),
+        countDistinct(col("term")).as("n_terms"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  val featureHashOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+       |b AS (
+       |  SELECT doc_id, term,
+       |    CAST(concat('0x', substr(md5('fh' || term), 1, 15)) AS BIGINT)
+       |      % ${FeatureHashBuckets} AS bucket
+       |  FROM tok)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Inverted-index report bounds: hapax terms pruned, top terms by df. */
   val IdxMinDf = 2
   val IdxTopTerms = 40
