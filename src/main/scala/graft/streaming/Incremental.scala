@@ -280,6 +280,87 @@ object Incremental {
        | AND epoch_us(p.ts) <= epoch_us(v.ts) + ${JoinHorizonMicros}
        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
 
+  /** Margin subtracted from the provable-expiry cutoff so a boundary-
+    * equal row can never differ between the engines on strict-vs-
+    * inclusive eviction semantics. */
+  val LeftJoinSafetyMicros: Long = 1000000L
+
+  /** Watermark delay shared by both sides of the outer join (micros). */
+  val LeftJoinWatermarkMicros: Long = 3600L * 1000000
+
+  /** `q_streaming_left_join` (X233): stream-stream LEFT OUTER join —
+    * the semantics X63's inner join cannot express: "every view, with
+    * its conversion IF one arrived in the horizon, and a definitive
+    * no-conversion row otherwise". The hard part is WHEN the engine may
+    * emit the null row: only once the joint watermark proves no
+    * matching purchase can still arrive (view_ts + horizon behind the
+    * watermark) — the state-eviction contract that distinguishes a real
+    * streaming outer join from an inner join with a batch left-join
+    * bolted on. The drain's final no-data micro-batch advances the
+    * watermark to max(ts) − delay and flushes exactly the provably-
+    * unmatched views.
+    *
+    * Gate discipline: rows whose expiry the final watermark does NOT
+    * dominate (views younger than max_ts − delay − horizon) are still
+    * held in state when an AvailableNow drain finishes — emitting them
+    * would be a LIE (a purchase could still arrive), so the gated
+    * output restricts BOTH engines to the provably-final region, with
+    * the cutoff computed from the same max(ts) aggregate on each side
+    * (minus a 1 s safety margin so strict-vs-inclusive eviction edges
+    * cannot flip a row). Unmatched rows carry a −1 sentinel, not NULL —
+    * the cross-engine compare stays integer-typed.
+    *
+    * Scale shape: identical state layout to X63 (four stores per
+    * partition, horizon-bounded state), plus the left side holding
+    * unmatched candidates until expiry — the state bound is
+    * (horizon + delay) of traffic per side, independent of corpus
+    * length; the output filter is a post-drain narrow predicate. */
+  def streamingLeftJoinQ(spark: SparkSession, sfDir: String): DataFrame =
+    withDrainParts(spark, 2) {
+      def src = eventsStream(spark, sfDir)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(
+            s"interval ${JoinHorizonMicros / 1000000} seconds"),
+        "left_outer")
+      val drained = drainToTable(joined, "append", "graft_stream_ljoin")
+      val maxUs = graft.engine.Tables.events(spark, sfDir)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val cutoff =
+        maxUs - LeftJoinWatermarkMicros - JoinHorizonMicros -
+          LeftJoinSafetyMicros
+      drained.filter(unix_micros(col("view_ts")) <= cutoff)
+        .select(col("v_user").as("user_id"), col("view_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }
+
+  val streamingLeftJoinOracle: String =
+    s"""WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+       |v AS (SELECT user_id, event_id AS view_id, ts FROM events
+       |      WHERE event_type = 'view'),
+       |p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+       |      WHERE event_type = 'purchase')
+       |SELECT v.user_id, v.view_id,
+       |  COALESCE(p.purchase_id, -1) AS purchase_id
+       |FROM v
+       |JOIN mx ON epoch_us(v.ts) <=
+       |  mx.m - ${LeftJoinWatermarkMicros} - ${JoinHorizonMicros}
+       |       - ${LeftJoinSafetyMicros}
+       |LEFT JOIN p ON v.user_id = p.user_id
+       |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+       |  AND epoch_us(p.ts) <= epoch_us(v.ts) + ${JoinHorizonMicros}
+       |ORDER BY v.user_id, v.view_id, purchase_id""".stripMargin
+
   /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
     * a running per-user event counter that survives across micro-batches —
     * the building block the reference's "dedup across days" would use in a
