@@ -1126,7 +1126,7 @@ object Similarity {
     * engine, the per-depth fold is an order-independent Long sum, and
     * rounding to the output unit happens once. */
   private val RboScale = 1000000000000L
-  private[operators] val RboWeights: IndexedSeq[Long] =
+  private[graft] val RboWeights: IndexedSeq[Long] =
     (1 to AnnTopK).map(d =>
       math.round(0.1 * math.pow(0.9, d - 1.0) * RboScale))
 

@@ -95,4 +95,28 @@ class AggOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_itemcf: neighbor lists are top-k, self-free, and cooc-symmetric") {
+    val rows = Aggregates.itemcfQ(spark, sfDir).collect()
+    val byBrand = rows.groupBy(_.getString(0))
+    byBrand.foreach { case (brand, rs) =>
+      assert(rs.length <= Aggregates.ItemCfTopK, s"$brand over k")
+      assert(rs.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rs.length).toSeq, s"$brand ranks not dense")
+      // ranked by (jaccard desc, neighbor asc), never self, valid jaccard
+      val ord = rs.sortBy(_.getLong(1))
+        .map(r => (-r.getLong(4), r.getString(2)))
+      assert(ord.sameElements(ord.sorted), s"$brand rank order broken")
+      rs.foreach { r =>
+        assert(r.getString(2) !== brand, s"$brand lists itself")
+        assert(r.getLong(4) > 0 && r.getLong(4) <= 1000000L)
+      }
+    }
+    // co-occurrence is symmetric wherever both directions survived top-k
+    val cooc = rows.map(r => (r.getString(0), r.getString(2)) -> r.getLong(3))
+      .toMap
+    cooc.foreach { case ((a, b), n) =>
+      cooc.get((b, a)).foreach(m => assert(m === n, s"cooc($a,$b) asym"))
+    }
+  }
 }

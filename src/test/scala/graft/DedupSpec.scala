@@ -289,4 +289,29 @@ class DedupSpec extends AnyFunSuite {
       .collect().sorted.toSeq
     assert(v2 === full, "v2 index must cover the whole corpus for tomorrow's resume")
   }
+
+  test("q_edit_pairs: deletion-neighborhood candidates recover EXACTLY the brute-force ED<=1 pairs") {
+    import org.apache.spark.sql.functions._
+    // the FastSS losslessness claim, proven against brute force on the
+    // sf0.001 id vocabulary (150 ids — 11k levenshtein calls, affordable
+    // here, impossible at scale: exactly why the signatures exist)
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.operators.Joins.editPairsQ(spark, sfDir)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    val ids = graft.engine.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("string").as("w")).distinct()
+    val brute = ids.select(col("w").as("wa"))
+      .crossJoin(ids.select(col("w").as("wb")))
+      .filter(col("wa") < col("wb") &&
+        levenshtein(col("wa"), col("wb")) <= 1)
+      .as[(String, String)].collect().toSet
+    assert(got === brute, "signature join must lose no pair and add none")
+    // every emitted pair really is ED 1 of the claimed kind
+    graft.operators.Joins.editPairsQ(spark, sfDir).collect().foreach { r =>
+      val (a, b, kind) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(if (kind == "sub") a.length == b.length
+             else math.abs(a.length - b.length) == 1,
+        s"kind mislabel for ($a, $b, $kind)")
+    }
+  }
 }

@@ -990,4 +990,46 @@ class PlanSpec extends AnyFunSuite {
     assert(cp.contains("Broadcast") && !cp.contains("SortMergeJoin"),
       s"cluster purity centroids must broadcast:\n$cp")
   }
+
+  test("X225-X233 ops: join/window/verify discipline holds") {
+    // pr_auc: the PR walk windows over the (cohort, pm) HISTOGRAM —
+    // partition key must be cohort (histogram-sized input), and nothing
+    // joins data-sized sides
+    val pr = plan("q_pr_auc")
+    assert(pr.matches("(?s).*Window.*windowspecdefinition\\(cohort#\\d+L?,.*"),
+      s"pr_auc windows must partition by cohort:\n$pr")
+    assert(!pr.contains("SortMergeJoin") && !pr.contains("CartesianProduct"),
+      s"pr_auc must stay on the histogram frame:\n$pr")
+    // edit_pairs: candidates come from the signature EQUI-join (never a
+    // product or nested loop), and the exact levenshtein verify runs
+    // after candidate generation
+    val ep = plan("q_edit_pairs")
+    assert(!ep.contains("CartesianProduct") &&
+      !ep.contains("BroadcastNestedLoopJoin"),
+      s"edit_pairs must candidate via the signature equi-join:\n$ep")
+    assert(ep.contains("levenshtein"),
+      s"edit_pairs must verify candidates with exact levenshtein:\n$ep")
+    // itemcf: owner counts come back via broadcast; the only data-sized
+    // shuffle is the customer-keyed layout
+    val cf = plan("q_itemcf")
+    assert(cf.contains("BroadcastHashJoin") && !cf.contains("CartesianProduct"),
+      s"itemcf owner counts must broadcast:\n$cf")
+    // target_encode: group moments broadcast back over the second scan
+    // (the impute discipline — never a 5-key sort-merge of the firehose)
+    val te = plan("q_target_encode")
+    assert(te.contains("BroadcastHashJoin") && !te.contains("SortMergeJoin"),
+      s"target_encode moments must broadcast back:\n$te")
+    // feature_hash: the multi-distinct aggregate must keep map-side
+    // partials (expand + partial agg), and no join exists at all
+    val fh = plan("q_feature_hash")
+    assert(fh.contains("partial_count") && fh.contains("Expand") &&
+      !fh.contains("Join"),
+      s"feature_hash must be a join-free expand aggregate:\n$fh")
+    // crosscorr: the lag pairing runs on the calendar-bounded daily
+    // frame — no cartesian product anywhere (the 15-row lag frame rides
+    // the approved broadcast idiom)
+    val cc = plan("q_crosscorr")
+    assert(!cc.contains("CartesianProduct"),
+      s"crosscorr must not degrade to a product:\n$cc")
+  }
 }

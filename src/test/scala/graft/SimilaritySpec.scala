@@ -120,4 +120,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rPq >= 0.10, f"PQ recall $rPq%.2f below floor")
     assert(rPqR >= 0.50, f"PQ+rerank recall $rPqR%.2f below floor (measured 0.67)")
   }
+
+  test("q_rbo: bounded by the truncated weight mass, zero iff no overlap, consistent with recall") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rboMax = Similarity.RboWeights.sum / 1000000L
+    val rbo = Similarity.rboQ(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val recall = Similarity.annRecallQ(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rbo.keySet === recall.keySet, "one row per exact-side query")
+    rbo.foreach { case (q, (overlap, ppm)) =>
+      assert(overlap >= 0 && overlap <= Similarity.AnnTopK)
+      assert(ppm >= 0 && ppm <= rboMax, s"q$q: rbo $ppm outside [0, $rboMax]")
+      assert((ppm == 0) === (overlap == 0),
+        s"q$q: rbo/overlap zero-agreement broken")
+      // overlap@k counts the same matched ids recall counts
+      assert(overlap === recall(q), s"q$q: overlap@k != recall hits")
+    }
+  }
 }

@@ -438,4 +438,69 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(got.keySet === Set(0L, 1L, 2L, 3L))
   }
+
+  test("q_pr_auc: bounds, class totals, and best-F1 dominance hold per cohort") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Stats.prAucQ(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+    val byType = graft.engine.Tables.events(spark, sfDir)
+      .groupBy((col("user_id") % 4).as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("pos"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (cohort, nPos, nNeg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (ap, f1) = (r.getLong(3), r.getLong(4))
+      assert(nPos + nNeg === byType(cohort)._1 && nPos === byType(cohort)._2)
+      assert(ap >= 0 && ap <= 1000000L, s"AP out of [0,1]: $ap")
+      assert(f1 >= 0 && f1 <= 1000000L, s"F1 out of [0,1]: $f1")
+      // a random ranker's AP ≈ base rate; the monotone scorer must beat it
+      val baseRatePpm = nPos * 1000000L / (nPos + nNeg)
+      assert(ap > baseRatePpm, s"cohort $cohort: AP $ap <= base $baseRatePpm")
+    }
+  }
+
+  test("q_crosscorr: pair counts are lag-symmetric and lag 0 is the joint-day frame") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Stats.crosscorrQ(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === (-7L to 7L).toSet)
+    // pairing (d, d−l) and (d, d+l) cover the same day pairs — the
+    // calendar-overlap count must be symmetric even though the moments
+    // are not (lead vs lag)
+    (1L to 7L).foreach { l =>
+      assert(rows(l).getLong(1) === rows(-l).getLong(1),
+        s"n(lag $l) != n(lag -$l)")
+    }
+    // at lag 0 both series align on the same days: Σa and Σb are the
+    // full-overlap sums and n is the day count of the joint calendar
+    val nDays = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(Stats.CrossCorrA, Stats.CrossCorrB))
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows(0L).getLong(1) === nDays)
+  }
+
+  test("q_target_encode: encodings are leak-free group means in exact cents") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Stats.targetEncodeQ(spark, sfDir).collect()
+    import org.apache.spark.sql.types.DecimalType
+    val raw = graft.engine.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("p"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byGroup = raw.groupBy(_._1)
+    rows.foreach { r =>
+      val (p, n) = (r.getString(0), r.getLong(1))
+      val cs = byGroup(p).map(_._2)
+      assert(n === cs.length)
+      val s = cs.sum
+      // driver-side recomputation of the LOO fold — truncating division,
+      // exactly the operator's arithmetic
+      val encs = cs.map(c => (s - c) / (cs.length - 1))
+      assert(r.getLong(2) === encs.sum, s"$p: sum_enc mismatch")
+      assert(r.getLong(3) === encs.min && r.getLong(4) === encs.max)
+    }
+  }
 }

@@ -154,4 +154,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(canon(folded.get) === canon(oneShot), s"split $split diverged")
     }
   }
+
+  test("streaming left-outer join: watermark expiry emits the no-conversion rows") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Incremental.streamingLeftJoinQ(spark, sfDir).collect()
+    val (unmatched, matched) = rows.partition(_.getLong(2) == -1L)
+    // both behaviors must actually occur in the drained region: matches
+    // emitted eagerly AND expiry-driven null (sentinel) rows
+    assert(matched.nonEmpty, "no matched conversions in the final region")
+    assert(unmatched.nonEmpty,
+      "no expiry rows — the outer half of the join never fired")
+    // the matched half must agree with the inner join on the same region
+    val innerKeys = Incremental.streamingJoinQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    matched.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(innerKeys.contains(k), s"left-join match $k absent from inner join")
+    }
+    // a view is either matched or expired, never both
+    val matchedViews = matched.map(r => (r.getLong(0), r.getLong(1))).toSet
+    unmatched.foreach { r =>
+      val v = (r.getLong(0), r.getLong(1))
+      assert(!matchedViews.contains(v), s"view $v both matched and expired")
+    }
+  }
 }
