@@ -390,6 +390,80 @@ object Aggregates {
        |FROM r WHERE rnk <= ${ItemCfTopK} ORDER BY brand, rnk""".stripMargin
 
   // ------------------------------------------------------------------
+  // `q_assoc_rules` (X237): directional association rules
+  // ------------------------------------------------------------------
+
+  /** Rules retained (global top-k by confidence). */
+  val RulesTopK = 20
+
+  /** `q_assoc_rules`: association RULES — the directional artifact the
+    * symmetric pair mining (X65) and neighbor lists (X228) cannot
+    * express: "carts holding A take B with probability conf(A→B) =
+    * supp(AB)/supp(A)", and conf(A→B) ≠ conf(B→A) is exactly the
+    * asymmetry a recommender acts on (the niche item implies the staple;
+    * the staple implies nothing). Confidence is exact integer per-mille
+    * (the ranking key — ties broken on the rule id, never on a float);
+    * lift rides along as the identically-ordered IEEE double both
+    * engines compute (the X65 convention) flagging confident-but-
+    * negatively-associated rules.
+    *
+    * Scale shape: one order-keyed pair fan-out (the X65 layout reused
+    * verbatim — basket-bounded), a brand²-bounded rule aggregate,
+    * broadcast marginals, and a TakeOrdered over the bounded rule
+    * frame. */
+  def assocRulesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ob = graft.engine.Materialize.diskBacked(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p_partkey"))
+        .join(Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand")), Seq("p_partkey"))
+        .select(col("ok"), col("p_brand").as("b"))
+        .repartition(col("ok"))
+        .dropDuplicates("ok", "b"))
+    val nOrders = ob.select(col("ok")).distinct()
+      .agg(Num.countStar.as("n_orders"))
+    val brandCnt = ob.groupBy(col("b")).agg(Num.countStar.as("cnt"))
+    ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") =!= col("y.b"))
+      .groupBy(col("x.b").as("antecedent"), col("y.b").as("consequent"))
+      .agg(Num.countStar.as("supp_ab"))
+      .join(broadcast(brandCnt.select(col("b").as("antecedent"),
+        col("cnt").as("supp_a"))), Seq("antecedent"))
+      .join(broadcast(brandCnt.select(col("b").as("consequent"),
+        col("cnt").as("supp_c"))), Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("supp_ab"),
+        col("supp_a"),
+        Num.divLong(col("supp_ab") * 1000L, col("supp_a")).as("conf_pm"),
+        ((col("supp_ab").cast("double") * col("n_orders").cast("double"))
+          / (col("supp_a").cast("double") * col("supp_c").cast("double")))
+          .as("lift"))
+      .orderBy(col("conf_pm").desc, col("antecedent"), col("consequent"))
+      .limit(RulesTopK)
+  }
+
+  val assocRulesOracle: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+       |bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM ob GROUP BY 1),
+       |rules AS (
+       |  SELECT x.b AS antecedent, y.b AS consequent,
+       |    CAST(COUNT(*) AS BIGINT) AS supp_ab
+       |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b <> y.b
+       |  GROUP BY 1, 2)
+       |SELECT antecedent, consequent, supp_ab, a.cnt AS supp_a,
+       |  supp_ab * 1000 // a.cnt AS conf_pm,
+       |  (CAST(supp_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+       |    / (CAST(a.cnt AS DOUBLE) * CAST(c.cnt AS DOUBLE)) AS lift
+       |FROM rules
+       |JOIN bc a ON a.b = antecedent
+       |JOIN bc c ON c.b = consequent, n
+       |ORDER BY conf_pm DESC, antecedent, consequent
+       |LIMIT ${RulesTopK}""".stripMargin
+
+  // ------------------------------------------------------------------
   // `q_itemsets3` (X186): Apriori level-3 frequent itemsets
   // ------------------------------------------------------------------
 

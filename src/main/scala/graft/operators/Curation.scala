@@ -855,6 +855,151 @@ object Curation {
        |  CAST(MIN(class_size) AS BIGINT) AS min_class_size
        |FROM cls""".stripMargin
 
+  // `q_rand_response` (X234): local differential privacy by randomized
+  // response, with the debiased aggregate and its accuracy audit
+
+  /** Flip probability 1−p = 250‰ → report-truth probability p = 3/4,
+    * i.e. per-report privacy ε = ln(p/(1−p)) = ln 3 — Warner's classic
+    * dial. Flips draw from the engine-portable md5-uniform (the X200
+    * bootstrap discipline), so both engines flip the same rows. */
+  val RrFlipPermille = 250L
+
+  /** `q_rand_response` (X234): LOCAL differential privacy — each row's
+    * sensitive bit ("did this user purchase") is randomized BEFORE
+    * aggregation (report truth w.p. 3/4, lie w.p. 1/4), so the collector
+    * never holds a trustworthy per-user bit; the population rate is then
+    * recovered by the unbiased inversion est = (n_yes − (1−p)·n)/(2p−1),
+    * which at p = 3/4 is exactly (4·n_yes − n)/2 — kept as the ×2
+    * integer `est_x2` so no fraction ever crosses the engine boundary.
+    * The statistical leg of the privacy family: X110 pseudonymizes
+    * identity, X34 redacts content, X166 audits k-anonymity, X97
+    * forgets — this one makes the VALUES deniable while keeping the
+    * aggregate usable, and reports its own accuracy (|est − truth|, the
+    * noise floor a 1/√n mechanism pays) because a privacy mechanism
+    * whose error nobody measures gets turned off the first time a
+    * dashboard wobbles.
+    *
+    * Scale shape: one narrow pass (two md5 evaluations fused into the
+    * scan projection) into a date-bounded aggregate — the mechanism
+    * adds zero shuffles to the count it privatizes. */
+  def randResponseQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    val u = conv(substring(md5(concat(lit("rr"), col("event_id"))), 1, 15),
+      16, 10).cast("long") % 1000L
+    val flip = (u < RrFlipPermille).cast("long")
+    Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        truth.as("t"), flip.as("f"))
+      .select(col("day"), col("t"),
+        ((col("t") + col("f")) % 2L).as("r"))
+      .groupBy(col("day"))
+      .agg(Num.countStar.as("n"), sum(col("r")).as("n_yes"),
+        sum(col("t")).as("true_pos"))
+      .select(col("day"), col("n"), col("n_yes"),
+        (col("n_yes") * 4L - col("n")).as("est_x2"), col("true_pos"),
+        abs(col("n_yes") * 4L - col("n") - col("true_pos") * 2L)
+          .as("err_x2"))
+      .orderBy(col("day"))
+  }
+
+  val randResponseOracle: String =
+    s"""WITH m AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t,
+       |    CASE WHEN CAST(concat('0x', substr(md5('rr' || event_id), 1, 15))
+       |      AS BIGINT) % 1000 < ${RrFlipPermille} THEN 1 ELSE 0 END AS f
+       |  FROM events),
+       |g AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM((t + f) % 2) AS BIGINT) AS n_yes,
+       |    CAST(SUM(t) AS BIGINT) AS true_pos
+       |  FROM m GROUP BY 1)
+       |SELECT day, n, n_yes, n_yes * 4 - n AS est_x2, true_pos,
+       |  abs(n_yes * 4 - n - true_pos * 2) AS err_x2
+       |FROM g ORDER BY day""".stripMargin
+
+  // `q_boilerplate` (X238): cross-document repeated-passage audit
+
+  /** Passage width (words) and the cross-document frequency at which a
+    * passage counts as boilerplate. */
+  val PassageWords = 8
+  val BoilerplateMinDocs = 5
+
+  /** `q_boilerplate` (X238): BOILERPLATE detection by cross-document
+    * passage frequency — the curation step between exact dedup (X1:
+    * whole docs) and near-dup (X2: mostly-similar docs): a corpus where
+    * no two documents match can still be 30% navigation chrome, license
+    * headers and cookie banners, because the REPEATED UNIT is the
+    * passage, not the document (the CCNet/RefinedWeb line-dedup insight,
+    * over fixed 8-word passages since this corpus has no line
+    * structure). Every full passage is hashed per document, passage →
+    * document-frequency is one aggregate, and a passage in ≥ 5 distinct
+    * docs is boilerplate; the per-source readout (docs, passage
+    * instances, boilerplate instances, per-mille ratio) is the
+    * dashboard that decides whether a source needs passage-level
+    * cleaning before it may enter training. Docs shorter than one full
+    * passage carry no evidence and sit out (both engines filter
+    * identically).
+    *
+    * Scale shape: the passage fan-out is ~n_words/8 rows per doc
+    * (narrow, codegen'd slice+concat — no shuffle), the df aggregate
+    * and the frequency join are the ONE data-sized shuffle pair (keyed
+    * on passage text — at 100 TB the passage would be hashed to 64 bits
+    * first, the X2 shingle discipline; text is kept here so the oracle
+    * reads naturally), and the rollup is source-bounded. */
+  def boilerplateQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = graft.engine.Text.words
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), ws.as("ws"))
+      .withColumn("nc",
+        floor(size(col("ws")) / PassageWords).cast("int"))
+      .filter(col("nc") >= 1)
+    val passages = graft.engine.Materialize.diskBacked(
+      base.select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), col("nc") - 1),
+          i => concat_ws(" ",
+            slice(col("ws"), i * PassageWords + 1, lit(PassageWords)))))
+          .as("p")))
+    val freq = passages.groupBy(col("p"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    passages.join(freq, Seq("p"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        Num.countStar.as("n_passages"),
+        sum((col("df") >= BoilerplateMinDocs).cast("long"))
+          .as("n_boilerplate"))
+      .withColumn("boilerplate_pm",
+        Num.divLong(col("n_boilerplate") * 1000L, col("n_passages")))
+      .orderBy(col("source"))
+  }
+
+  val boilerplateOracle: String = {
+    val wordsSql = graft.engine.Text.wordsSql
+    val pw = PassageWords
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $wordsSql AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, len(ws) // $pw AS nc, ws
+       |  FROM d WHERE len(ws) >= $pw),
+       |p AS (
+       |  SELECT doc_id, source,
+       |    array_to_string(list_slice(ws, i * $pw + 1, i * $pw + $pw), ' ')
+       |      AS p
+       |  FROM c, UNNEST(range(0, nc)) AS u(i)),
+       |f AS (
+       |  SELECT p, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM p GROUP BY 1),
+       |j AS (SELECT p.source, p.doc_id, f.df FROM p JOIN f USING (p))
+       |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_passages,
+       |  CAST(SUM(CASE WHEN df >= ${BoilerplateMinDocs} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_boilerplate,
+       |  CAST(SUM(CASE WHEN df >= ${BoilerplateMinDocs} THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000
+       |    // CAST(COUNT(*) AS BIGINT) AS boilerplate_pm
+       |FROM j GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   // `q_poststrat`: post-stratified estimation over the universe sample
 
   /** `q_poststrat`: post-stratified revenue estimation from X147's 20%

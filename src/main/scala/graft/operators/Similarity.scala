@@ -1205,6 +1205,144 @@ object Similarity {
        |FROM base b LEFT JOIN agg a USING (q_id) ORDER BY q_id""".stripMargin
   }
 
+  /** MMR trade-off: λ·relevance − (1−λ)·max-similarity-to-selected. */
+  val MmrLambda = 0.7
+  /** Diversified picks per query (out of the TopK candidate pool). */
+  val MmrPicks = 3
+
+  /** `q_mmr` (X236): maximal marginal relevance — DIVERSIFIED top-k
+    * selection over the exact-retrieval candidates: a RAG/context
+    * assembler that takes the 3 most-relevant near-duplicates feeds the
+    * model one document three times; MMR re-picks greedily by
+    * λ·rel − (1−λ)·max sim(c, already-picked), trading relevance
+    * against redundancy (Carbonell & Goldstein's formulation, λ = 0.7).
+    * The greedy loop is UNROLLED into three declarative selection
+    * rounds — pick₁ = argmax rel; pick₂ = argmax over the remainder
+    * penalized by sim to pick₁; pick₃ penalized by the max sim to both
+    * — each an (id asc)-tiebroken window argmax, so the whole selection
+    * is one fixed-depth dataflow, not a driver loop. Scores stay
+    * internal (identical-order IEEE arithmetic in both engines decides
+    * identical argmaxes — the cosine discipline); the gated artifact is
+    * the SELECTION itself.
+    *
+    * Scale shape: everything after the already-audited candidate
+    * retrieval is (queries × k)-bounded — the candidate-pair similarity
+    * frame is k² per query and the three rounds are window walks over
+    * it; candidate embeddings fetch via one broadcast-joined lookup.
+    * Deeper k unrolls linearly (production MMR over k ≈ 50 candidates
+    * is still a bounded frame per query). */
+  def mmrQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val cand = cosineTopkQ(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id"), col("cosine").as("rel"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nsq", VectorExprs.normSq(col("e")))
+    // candidate embeddings: feeds both sides of the pair-sim self-join
+    val ce = graft.engine.Materialize.diskBacked(
+      cand.join(emb, col("neighbor_id") === col("vec_id"))
+        .select(col("q_id"), col("neighbor_id"), col("rel"),
+          col("e"), col("nsq")))
+    val sims = ce.as("a").join(ce.as("b"),
+        col("a.q_id") === col("b.q_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.q_id").as("sq"), col("a.neighbor_id").as("c"),
+        col("b.neighbor_id").as("o"),
+        (VectorExprs.dot(col("a.e"), col("b.e")) /
+          (sqrt(col("a.nsq")) * sqrt(col("b.nsq")))).as("sim"))
+    def argmax(df: DataFrame, score: Column): DataFrame =
+      df.withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(score.desc, col("neighbor_id").asc)))
+        .filter(col("rn") === 1)
+    val c1 = argmax(cand, col("rel"))
+      .select(col("q_id"), col("neighbor_id").as("s1"))
+    val r1 = cand.join(broadcast(c1), Seq("q_id"))
+      .filter(col("neighbor_id") =!= col("s1"))
+      .join(sims, col("sq") === col("q_id") &&
+        col("c") === col("neighbor_id") && col("o") === col("s1"))
+      .select(col("q_id"), col("neighbor_id"), col("rel"),
+        col("sim").as("sim1"))
+    val c2 = argmax(r1,
+        lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("sim1"))
+      .select(col("q_id"), col("neighbor_id").as("s2"))
+    val r2 = r1.join(broadcast(c2), Seq("q_id"))
+      .filter(col("neighbor_id") =!= col("s2"))
+      .join(sims, col("sq") === col("q_id") &&
+        col("c") === col("neighbor_id") && col("o") === col("s2"))
+      .select(col("q_id"), col("neighbor_id"), col("rel"),
+        greatest(col("sim1"), col("sim")).as("maxsim"))
+    val c3 = argmax(r2,
+        lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("maxsim"))
+      .select(col("q_id"), col("neighbor_id").as("s3"))
+    c1.select(col("q_id"), lit(1L).as("pick"), col("s1").as("neighbor_id"))
+      .unionByName(c2.select(col("q_id"), lit(2L).as("pick"),
+        col("s2").as("neighbor_id")))
+      .unionByName(c3.select(col("q_id"), lit(3L).as("pick"),
+        col("s3").as("neighbor_id")))
+      .orderBy(col("q_id"), col("pick"))
+  }
+
+  val mmrOracle: String = {
+    val lam = MmrLambda
+    val oneMinus = 1 - MmrLambda
+    s"""WITH exact AS ($cosineTopkOracle),
+       |cand AS (SELECT q_id, neighbor_id, cosine AS rel FROM exact),
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |nn AS (
+       |  SELECT vec_id, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq
+       |  FROM emb),
+       |ce AS (
+       |  SELECT c.q_id, c.neighbor_id, c.rel, nn.e, nn.nsq
+       |  FROM cand c JOIN nn ON nn.vec_id = c.neighbor_id),
+       |sims AS (
+       |  SELECT a.q_id, a.neighbor_id AS c, b.neighbor_id AS o,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])),
+       |      (x,y) -> x+y) / (sqrt(a.nsq) * sqrt(b.nsq)) AS sim
+       |  FROM ce a JOIN ce b
+       |    ON a.q_id = b.q_id AND a.neighbor_id <> b.neighbor_id),
+       |p1 AS (
+       |  SELECT q_id, neighbor_id AS s1 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, neighbor_id ASC) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |r1 AS (
+       |  SELECT c.q_id, c.neighbor_id, c.rel, s.sim AS sim1
+       |  FROM cand c
+       |  JOIN p1 ON c.q_id = p1.q_id AND c.neighbor_id <> p1.s1
+       |  JOIN sims s ON s.q_id = c.q_id AND s.c = c.neighbor_id
+       |    AND s.o = p1.s1),
+       |p2 AS (
+       |  SELECT q_id, neighbor_id AS s2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY $lam*rel - $oneMinus*sim1 DESC, neighbor_id ASC)
+       |      AS rn FROM r1)
+       |  WHERE rn = 1),
+       |r2 AS (
+       |  SELECT r1.q_id, r1.neighbor_id, r1.rel,
+       |    greatest(r1.sim1, s.sim) AS maxsim
+       |  FROM r1
+       |  JOIN p2 ON r1.q_id = p2.q_id AND r1.neighbor_id <> p2.s2
+       |  JOIN sims s ON s.q_id = r1.q_id AND s.c = r1.neighbor_id
+       |    AND s.o = p2.s2),
+       |p3 AS (
+       |  SELECT q_id, neighbor_id AS s3 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY $lam*rel - $oneMinus*maxsim DESC, neighbor_id ASC)
+       |      AS rn FROM r2)
+       |  WHERE rn = 1)
+       |SELECT q_id, CAST(1 AS BIGINT) AS pick, s1 AS neighbor_id FROM p1
+       |UNION ALL
+       |SELECT q_id, CAST(2 AS BIGINT), s2 FROM p2
+       |UNION ALL
+       |SELECT q_id, CAST(3 AS BIGINT), s3 FROM p3
+       |ORDER BY q_id, pick""".stripMargin
+  }
+
   /** `q_ndcg`: NDCG@k of the LSH ranking under label relevance (a
     * retrieved neighbor is relevant iff it shares the query's class
     * label) — the graded companion to [[annRecallQ]]: recall asks "did

@@ -793,6 +793,93 @@ object Stats {
       |  MIN(enc) AS min_enc_cents, MAX(enc) AS max_enc_cents
       |FROM e GROUP BY 1 ORDER BY priority""".stripMargin
 
+  /** `q_quantile_normalize` (X235): rank-based quantile normalization —
+    * the batch-effect correction applied when per-source score
+    * distributions must be made comparable before thresholding (quality
+    * scores from different classifiers, engagement from differently-
+    * instrumented surfaces — the microarray-normalization technique
+    * applied to pipeline scores): each value maps to the GLOBAL
+    * distribution's value at its own within-group quantile, so every
+    * group's normalized distribution is the shared reference and a
+    * single threshold means the same thing everywhere. Exact-integer
+    * formulation: values quantize to their integer domain, within-group
+    * right-closed CDF in per-mille (integral division), target rank
+    * r = ⌈q·N/1000⌉ by the add-999 trick, and the mapped value is X22's
+    * rank selection (min global v with cum ≥ r) — every step integral,
+    * both engines walk identical histograms. Readout: per-group n and
+    * the sum/min/max of normalized values (a per-row emit would be the
+    * same frame pre-aggregation).
+    *
+    * Scale shape: ONE data-sized pass builds the (group × value-domain)
+    * histogram (map-side combined); everything after — CDFs, the rank
+    * join, the mapping — runs on value-domain-bounded frames (the
+    * q_percentiles discipline), including the deliberately
+    * single-partition global-CDF window over ≤|domain| rows. */
+  def quantileNormalizeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = floor(col("value")).cast("long")
+    val gh0 = Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("event_type").as("g"), v.as("v"))
+        .groupBy(col("g"), col("v")).agg(Num.countStar.as("cnt")))
+    val byV = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("g"))
+    val q = gh0
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .withColumn("n_g", sum(col("cnt")).over(whole))
+      .withColumn("q_pm", Num.divLong(col("cum") * 1000L, col("n_g")))
+    val globByV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val glob = gh0.groupBy(col("v")).agg(sum(col("cnt")).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(globByV))
+      .select(col("v").as("nv"), col("gcum"))
+    val tot = gh0.groupBy().agg(sum(col("cnt")).as("n_tot"))
+    val mapped = q.crossJoin(broadcast(tot))
+      .withColumn("r",
+        Num.divLong(col("q_pm") * col("n_tot") + 999L, 1000L))
+      .join(broadcast(glob), col("gcum") >= col("r"))
+      .groupBy(col("g"), col("v"), col("cnt"), col("n_g"))
+      .agg(min(col("nv")).as("nv"))
+    mapped.groupBy(col("g").as("event_type"))
+      .agg(max(col("n_g")).as("n"),
+        sum(col("cnt") * col("nv")).as("sum_nv"),
+        min(col("nv")).as("min_nv"), max(col("nv")).as("max_nv"))
+      .orderBy(col("event_type"))
+  }
+
+  val quantileNormalizeOracle: String =
+    """WITH gh0 AS (
+      |  SELECT event_type AS g, CAST(FLOOR(value) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |q AS (
+      |  SELECT *,
+      |    (CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      * 1000)
+      |      // CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS q_pm,
+      |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n_g
+      |  FROM gh0),
+      |gref AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS gcnt
+      |         FROM gh0 GROUP BY 1),
+      |gc AS (
+      |  SELECT v AS nv, CAST(SUM(gcnt) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS gcum
+      |  FROM gref),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot FROM gh0),
+      |r AS (
+      |  SELECT q.*, (q.q_pm * t.n_tot + 999) // 1000 AS r
+      |  FROM q, tot t),
+      |m AS (
+      |  SELECT r.g, r.v, r.cnt, r.n_g, MIN(gc.nv) AS nv
+      |  FROM r JOIN gc ON gc.gcum >= r.r
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT g AS event_type, MAX(n_g) AS n,
+      |  CAST(SUM(cnt * nv) AS BIGINT) AS sum_nv,
+      |  MIN(nv) AS min_nv, MAX(nv) AS max_nv
+      |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** AUC output scale: per-million (1e6/2 premultiplier — the U statistic
     * arrives doubled to keep midranks integral). */
   val AucScale = 500000L
