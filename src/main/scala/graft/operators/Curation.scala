@@ -923,7 +923,7 @@ object Curation {
   /** Passage width (words) and the cross-document frequency at which a
     * passage counts as boilerplate. */
   val PassageWords = 8
-  val BoilerplateMinDocs = 5
+  val BoilerplateMinDocs = 3
 
   /** `q_boilerplate` (X238): BOILERPLATE detection by cross-document
     * passage frequency — the curation step between exact dedup (X1:
@@ -933,7 +933,7 @@ object Curation {
     * passage, not the document (the CCNet/RefinedWeb line-dedup insight,
     * over fixed 8-word passages since this corpus has no line
     * structure). Every full passage is hashed per document, passage →
-    * document-frequency is one aggregate, and a passage in ≥ 5 distinct
+    * document-frequency is one aggregate, and a passage in ≥ 3 distinct
     * docs is boilerplate; the per-source readout (docs, passage
     * instances, boilerplate instances, per-mille ratio) is the
     * dashboard that decides whether a source needs passage-level

@@ -119,4 +119,25 @@ class AggOpsSpec extends AnyFunSuite {
       cooc.get((b, a)).foreach(m => assert(m === n, s"cooc($a,$b) asym"))
     }
   }
+
+  test("q_assoc_rules: confidence is a probability, support nests, lift is direction-free") {
+    val rules = Aggregates.assocRulesQ(spark, sfDir).collect()
+    assert(rules.length === Aggregates.RulesTopK)
+    rules.foreach { r =>
+      val (ab, a, conf) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ab <= a, "supp(AB) > supp(A)")
+      assert(conf === ab * 1000 / a && conf <= 1000)
+      assert(r.getString(0) !== r.getString(1))
+    }
+    // where both directions survived the top-k: same joint support,
+    // same lift (lift is symmetric; confidence is the directional part)
+    val byPair = rules.map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(5)))
+      .toMap
+    byPair.foreach { case ((a, b), (ab, lift)) =>
+      byPair.get((b, a)).foreach { case (ab2, lift2) =>
+        assert(ab === ab2 && lift === lift2, s"($a,$b) direction leak")
+      }
+    }
+  }
 }

@@ -205,4 +205,37 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getLong(4) === expect, s"shard ${r.getLong(0)} deviation")
     }
   }
+
+  test("q_rand_response: inversion identity holds and the estimator tracks truth at 1/sqrt(n)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Curation.randResponseQ(spark, sfDir).collect()
+    var (estSum, trueSum, nTot) = (0L, 0L, 0L)
+    rows.foreach { r =>
+      val (n, nYes, est, truth, err) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(est === 4 * nYes - n, "debias inversion broken")
+      assert(err === math.abs(est - 2 * truth))
+      estSum += est; trueSum += truth; nTot += n
+    }
+    // the mechanism's global error is noise-floor-sized: sd(est) =
+    // 2·sqrt(n·p(1−p)) in ×2 units ≈ 2·sqrt(0.1875·n); allow 5 sd —
+    // deterministic (md5 draws), so this never flakes, but it WOULD
+    // catch a broken flip rate or a debias constant drift
+    val bound = (10.0 * math.sqrt(0.1875 * nTot)).toLong
+    assert(math.abs(estSum - 2 * trueSum) <= bound,
+      s"global |est-truth| ${math.abs(estSum - 2 * trueSum)} exceeds $bound")
+  }
+
+  test("q_boilerplate: ratio identity and passage accounting hold") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Curation.boilerplateQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, nb, pm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nb <= np && pm === nb * 1000 / np)
+    }
+    // the tiny shared vocabulary makes 8-word passages repeat across
+    // docs — the detector must actually fire somewhere at sf0.001
+    assert(rows.exists(_.getLong(3) > 0), "no boilerplate found at all")
+  }
 }

@@ -1032,4 +1032,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!cc.contains("CartesianProduct"),
       s"crosscorr must not degrade to a product:\n$cc")
   }
+
+  test("X234-X238 ops: mechanism/selection plans keep their shuffle discipline") {
+    // randomized response: the mechanism is a narrow projection into a
+    // date-bounded aggregate — joining anything would mean the privacy
+    // noise left the scan
+    val rr = plan("q_rand_response")
+    assert(!rr.contains("Join"),
+      s"rand_response must be a join-free narrow aggregate:\n$rr")
+    // quantile normalize: the value-domain frames ride broadcasts, the
+    // group CDF windows by g — never a data-sized sort-merge
+    val qn = plan("q_quantile_normalize")
+    assert(qn.contains("BroadcastHashJoin") ||
+      qn.contains("BroadcastNestedLoopJoin"),
+      s"quantile_normalize rank join must broadcast:\n$qn")
+    assert(!qn.contains("SortMergeJoin") && !qn.contains("CartesianProduct"),
+      s"quantile_normalize must stay on bounded frames:\n$qn")
+    // MMR: three window-argmax rounds on query-bounded frames — no
+    // product anywhere despite the pairwise-similarity self-join
+    val mm = plan("q_mmr")
+    assert(!mm.contains("CartesianProduct"),
+      s"mmr must not degrade to a product:\n$mm")
+    // association rules: marginals broadcast; the only data shuffle is
+    // X65's basket-keyed layout
+    val ar = plan("q_assoc_rules")
+    assert(ar.contains("BroadcastHashJoin") && !ar.contains("CartesianProduct"),
+      s"assoc_rules marginals must broadcast:\n$ar")
+    // boilerplate: one data-sized frequency join is expected; a product
+    // never is
+    val bp = plan("q_boilerplate")
+    assert(!bp.contains("CartesianProduct") &&
+      !bp.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate frequency join must stay an equi-join:\n$bp")
+  }
 }

@@ -138,4 +138,25 @@ class SimilaritySpec extends AnyFunSuite {
       assert(overlap === recall(q), s"q$q: overlap@k != recall hits")
     }
   }
+
+  test("q_mmr: picks are distinct candidates, pick 1 is the relevance argmax") {
+    val sfDir = "/root/testdata/sf0.001"
+    val picks = Similarity.mmrQ(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    val exact = Similarity.cosineTopkQ(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(picks.keySet === exact.keySet)
+    picks.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L),
+        s"q$q: pick set not 1..3")
+      val ids = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(ids.distinct.length === ids.length, s"q$q: duplicate pick")
+      val cand = exact(q)
+      assert(ids.forall(cand.map(_.getLong(2)).contains),
+        s"q$q: pick outside the candidate pool")
+      // MMR's first selection is pure relevance — the exact rank-1 row
+      val top = cand.minBy(_.getInt(1))
+      assert(ids.head === top.getLong(2), s"q$q: pick 1 is not argmax rel")
+    }
+  }
 }

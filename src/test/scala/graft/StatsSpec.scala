@@ -481,6 +481,29 @@ class StatsSpec extends AnyFunSuite {
     assert(rows(0L).getLong(1) === nDays)
   }
 
+  test("q_quantile_normalize: normalized values live in the global domain and group sizes survive") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Stats.quantileNormalizeQ(spark, sfDir).collect()
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value")).cast("long").as("v"))
+    val sizes = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (gMin, gMax) = {
+      val r = ev.agg(min(col("v")), max(col("v"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(rows.map(_.getString(0)).toSet === sizes.keySet)
+    rows.foreach { r =>
+      val g = r.getString(0)
+      assert(r.getLong(1) === sizes(g), s"$g: n drifted")
+      // mapped values are VALUES OF THE GLOBAL DISTRIBUTION — bounded by
+      // its extremes, and the top quantile maps exactly to the global max
+      assert(r.getLong(3) >= gMin && r.getLong(4) <= gMax)
+      assert(r.getLong(4) === gMax,
+        s"$g: q=1000 must map to the global max (rank selection at N)")
+    }
+  }
+
   test("q_target_encode: encodings are leak-free group means in exact cents") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = Stats.targetEncodeQ(spark, sfDir).collect()
