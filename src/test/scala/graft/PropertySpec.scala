@@ -392,4 +392,34 @@ class PropertySpec extends AnyFunSuite {
       TableCommit.entries(root) == es
     })
   }
+
+  test("FastSS property: any single edit leaves a shared deletion signature") {
+    // the q_edit_pairs losslessness claim as a generator-driven law:
+    // for ANY base string and ANY single edit (substitution, insertion,
+    // deletion), the deletion-neighborhood signature sets intersect —
+    // so the signature equi-join can never miss an ED<=1 pair.
+    def sigs(w: String): Set[String] =
+      Set(w) ++ w.indices.map(i => w.take(i) + w.drop(i + 1))
+    val alpha = Gen.alphaLowerChar
+    val baseGen = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    val editGen = for {
+      w <- baseGen
+      kind <- Gen.choose(0, 2)
+      i <- Gen.choose(0, math.max(w.length - 1, 0))
+      c <- alpha
+    } yield kind match {
+      case 0 => (w, w.updated(i, c))                   // substitution
+      case 1 => (w, w.take(i) + c + w.drop(i))          // insertion
+      case _ => (w, w.take(i) + w.drop(i + 1))          // deletion
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(editGen) { case (a, b) =>
+        a == b || b.isEmpty || sigs(a).intersect(sigs(b)).nonEmpty
+      })
+    assert(res.passed, s"property failed: ${res.status}")
+  }
 }
