@@ -1077,6 +1077,55 @@ object Relational {
        |WHERE o_orderstatus <> '${WapBadStatus}'
        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // `q_dsv2_write` (X239): DataSourceV2 transactional sink
+
+  /** `q_dsv2_write`: the DSv2 WRITE facet end to end —
+    * `df.write.format("graft-table")` drives Spark's two-phase commit
+    * protocol into the TableCommit log (tasks stage attempt-unique
+    * parquet files, the driver's BatchWrite.commit publishes one atomic
+    * manifest swap; see [[graft.sources.GraftTableProvider]]). The flow
+    * exercises all three write modes a production sink sees: an append
+    * of a wrong slice, an OVERWRITE that truncate-replaces it (the
+    * SupportsTruncate path), and a second append on top — so the final
+    * table equals the full input exactly when truncate really replaced
+    * and both commits really landed, which is what the oracle's plain
+    * full-table rollup checks. TableWriteSpec covers what the oracle
+    * can't see: version arithmetic, task-failure abort leaving the
+    * table untouched, and the staged files of an aborted job being
+    * gone.
+    *
+    * Scale shape: the write IS the data motion (one parquet encode per
+    * row, no extra shuffle — the incoming partitioning is kept);
+    * commit cost is one manifest append regardless of file count. */
+  def dsv2WriteQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    val root = graft.engine.TempWarehouse.createManaged("graft_dsv2w_") + "/t"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), cents)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType)))
+    def write(df: DataFrame, mode: String): Unit =
+      df.write.format("graft-table").option("root", root).mode(mode).save()
+    write(src.filter(col("o_orderstatus") === "P"), "append") // wrong slice
+    write(src.filter(col("o_orderstatus") =!= "P"), "overwrite") // truncates
+    write(src.filter(col("o_orderstatus") === "P"), "append")
+    graft.engine.TableCommit.read(spark, root, schema)
+      .groupBy(col("o_orderstatus"))
+      .agg(Num.countStar.as("n_orders"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val dsv2WriteOracle: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS total_cents
+      |FROM orders
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   // `q_manifest_prune`: manifest min/max stats → planning-time file skip
 
   /** Inclusive ISO-date window the pruned read asks for — one year out of

@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.engine.TableCommit
+
+/** A DataSourceV2 WRITE path backed by the [[TableCommit]] log —
+  * `df.write.format("graft-table").option("root", r).mode("append")` —
+  * the third facet of the connector family (X182/X183 batch read, X184
+  * micro-batch stream), and the one that demonstrates Spark's
+  * distributed TWO-PHASE COMMIT contract end to end:
+  *
+  *   - each task's [[DataWriter]] streams its partition into an
+  *     ATTEMPT-UNIQUE parquet file inside an invisible staged batch
+  *     directory (task retries and speculative attempts collide with
+  *     nobody; a losing attempt's `abort()` deletes only its own file);
+  *   - task `commit()` returns the file path + row count as the
+  *     [[WriterCommitMessage]] — the executor→driver handshake;
+  *   - the driver's [[BatchWrite.commit]] turns the surviving messages
+  *     into manifest entries and PUBLISHES them in one atomic pointer
+  *     swap via [[TableCommit.publish]] (optimistic concurrency: a
+  *     commit that landed since the job started aborts this one rather
+  *     than burying it);
+  *   - job-level `abort()` deletes the staged files — readers never saw
+  *     them (the same invisibility [[TableCommit.stageForAudit]] rides).
+  *
+  * `mode("overwrite")` arrives as [[SupportsTruncate]] and swaps the
+  * whole manifest to exactly this batch. Reading back goes through
+  * `TableCommit.read` (schema-explicit, manifest-pinned); the provider
+  * is deliberately write-only — `spark.read.format("graft-table")` has
+  * no capability, and `inferSchema` says so loudly.
+  *
+  * Executor-side parquet writing uses parquet-hadoop's public Group API
+  * (the X188 avro-leg precedent: container writers ARE available to
+  * library code without Spark's private writer machinery), covering the
+  * primitive column types (long/int/double/string) the commit-layer
+  * gates use; richer logical types would extend `messageType`. Row
+  * counts ride the commit message into `Entry.rows`, so metadata-only
+  * COUNT(*) (X218) works on DSv2-written tables too. */
+class GraftTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-table"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "graft-table is a write-only facet; read committed tables via " +
+        "TableCommit.read(spark, root, schema)")
+  /** The written DataFrame's own schema IS the table schema. */
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftWriteTable(schema, properties)
+}
+
+private class GraftWriteTable(schema0: StructType,
+    properties: util.Map[String, String])
+    extends Table with SupportsWrite {
+  private val root = Option(properties.get("root")).getOrElse(
+    throw new IllegalArgumentException("graft-table requires option 'root'"))
+  override def name(): String = s"graft-table($root)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def build(): Write = {
+        val retain = Option(properties.get("retain")).map(_.toInt).getOrElse(1)
+        val failAt = Option(properties.get("failatpartition")).map(_.toInt)
+        new GraftWrite(root, info.schema(), replaceAll, retain, failAt)
+      }
+    }
+}
+
+private class GraftWrite(root: String, schema: StructType,
+    replaceAll: Boolean, retain: Int, failAt: Option[Int]) extends Write {
+  override def toBatch: BatchWrite = new GraftBatchWrite(
+    root, schema, replaceAll, retain, failAt)
+}
+
+private final case class GraftCommitMessage(relPath: String, rows: Long)
+    extends WriterCommitMessage
+
+private class GraftBatchWrite(root: String, schema: StructType,
+    replaceAll: Boolean, retain: Int, failAt: Option[Int])
+    extends BatchWrite {
+  // transaction start: the snapshot this write expects to extend —
+  // read ONCE on the driver, enforced again inside publish()
+  private val base = TableCommit.currentVersion(root).getOrElse(0L)
+  private val batch = "data/b_dsv2_" +
+    java.util.UUID.randomUUID().toString.replace("-", "")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    GraftWriterFactory(root, batch, schema, failAt)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case GraftCommitMessage(p, n) => TableCommit.Entry(p, None,
+        rows = Some(n))
+    }.toSeq.sortBy(_.path)
+    val prior =
+      if (replaceAll || base == 0L) Seq.empty
+      else TableCommit.entriesAtVersion(root, base)
+    TableCommit.publish(root, prior ++ entries, retain,
+      expected = Some(base))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftCommitMessage(p, _) =>
+        try java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(root, p))
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
+}
+
+private final case class GraftWriterFactory(root: String, batch: String,
+    schema: StructType, failAt: Option[Int]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(root, batch, schema, partitionId, taskId, failAt)
+}
+
+/** One task attempt's writer: streams rows into an attempt-unique file
+  * (partitionId × taskId — Spark's taskId is unique per ATTEMPT, so a
+  * retry never truncates a file a zombie attempt still holds open, the
+  * ADVICE-r9 avro lesson applied from the start). */
+private class GraftDataWriter(root: String, batch: String,
+    schema: StructType, partitionId: Int, taskId: Long,
+    failAt: Option[Int]) extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+
+  private val relPath = s"$batch/part-$partitionId-$taskId.parquet"
+  private val msgType = GraftDataWriter.messageType(schema)
+  private val factory = new SimpleGroupFactory(msgType)
+  private var rows = 0L
+  private lazy val writer = {
+    val p = new org.apache.hadoop.fs.Path(
+      java.nio.file.Paths.get(root, relPath).toUri)
+    ExampleParquetWriter.builder(p)
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(msgType)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    failAt.filter(_ == partitionId).foreach { p =>
+      throw new RuntimeException(s"injected task failure at partition $p")
+    }
+    val g = factory.newGroup()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType    => g.add(f.name, row.getLong(i))
+        case IntegerType => g.add(f.name, row.getInt(i))
+        case DoubleType  => g.add(f.name, row.getDouble(i))
+        case StringType  => g.add(f.name, row.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"graft-table: unsupported type $other for column ${f.name}")
+      }
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    GraftCommitMessage(relPath, rows)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, relPath))
+    catch { case _: Throwable => () }
+  }
+
+  override def close(): Unit = ()
+}
+
+private object GraftDataWriter {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  /** StructType → parquet MessageType for the primitive column types the
+    * commit-layer gates use. All fields optional (Spark nullability is
+    * advisory); Spark's vectorized reader maps these back losslessly. */
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType    => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType  => b.addField(Types.optional(DOUBLE).named(f.name))
+        case StringType  => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => throw new IllegalArgumentException(
+          s"graft-table: unsupported type $other for column ${f.name}")
+      }
+    }
+    b.named("graft")
+  }
+}
