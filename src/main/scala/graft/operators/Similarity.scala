@@ -1343,6 +1343,113 @@ object Similarity {
        |ORDER BY q_id, pick""".stripMargin
   }
 
+  /** Projection count for the JL audit, and the target-sampling modulus
+    * (1-in-97 of the corpus pairs with each query). */
+  val ProjDims = 8
+  val ProjSampleMod = 97
+
+  /** Projection weight rows: the planeWeights generator at a disjoint
+    * seed range (100+), so the JL matrix shares nothing with the LSH
+    * planes. Uniform[-1,1] entries ⇒ E[(w·d)²] = ‖d‖²/3, hence the 3/k
+    * normalization in the distortion ratio. */
+  private def projWeights(j: Int): IndexedSeq[Double] = planeWeights(100 + j)
+
+  /** `q_random_projection` (X240): Johnson–Lindenstrauss distance
+    * preservation, MEASURED — project the 64-dim embeddings to
+    * ProjDims=8 with a fixed random matrix and audit how well pairwise
+    * squared distances survive: the empirical answer to "can the
+    * dedup/ANN pipeline run its distance math 8× cheaper", reported as
+    * a histogram of the normalized distortion ratio
+    * 3·‖Py−Px‖²/(k·‖y−x‖²) over a deterministic corpus sample paired
+    * with every query (E[ratio] = 1 by the JL argument; the spread IS
+    * the answer — k = 8 trades 8× fewer multiply-adds per pair for the
+    * spread this histogram exhibits, and a production caller picks k by
+    * re-running this audit, not by trusting the big-O).
+    *
+    * Scale shape: projections are computed per VECTOR (k native-codegen
+    * dots in one narrow pass — the whole point of JL: pair math then
+    * costs k, not 64, per pair), pairs are query × 1-in-97 sample
+    * (query-bounded), and the readout is a ≤31-bucket histogram. The
+    * ratio is identical-order IEEE in both engines, so the floor
+    * bucketing is exact (the X199 quantization discipline). */
+  def randomProjectionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorExprs.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nsq", VectorExprs.normSq(col("e")))
+    def projCols(e: Column): Seq[Column] = (0 until ProjDims).map { j =>
+      VectorExprs.dot(e, lit(projWeights(j).toArray))
+    }
+    val targets = emb.filter(col("vec_id") % ProjSampleMod === 0)
+      .select(Seq(col("vec_id").as("t_id"), col("e").as("te"),
+        col("nsq").as("t_nsq")) ++ projCols(col("e")).zipWithIndex
+          .map { case (c, j) => c.as(s"pt$j") }: _*)
+    val queries = emb.filter(col("vec_id") < QueryCount)
+      .select(Seq(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nsq").as("q_nsq")) ++ projCols(col("e")).zipWithIndex
+          .map { case (c, j) => c.as(s"pq$j") }: _*)
+    val d2o = col("t_nsq") + col("q_nsq") -
+      lit(2.0) * VectorExprs.dot(col("te"), col("qe"))
+    val d2p = (0 until ProjDims).map { j =>
+      (col(s"pt$j") - col(s"pq$j")) * (col(s"pt$j") - col(s"pq$j"))
+    }.reduce(_ + _)
+    targets.crossJoin(broadcast(queries))
+      .filter(col("t_id") =!= col("q_id"))
+      .select(d2o.as("d2o"), d2p.as("d2p"))
+      .filter(col("d2o") > 0.0)
+      .select(least(floor(col("d2p") * lit(3.0) /
+        (lit(ProjDims.toDouble) * col("d2o")) * 10.0).cast("long"),
+        lit(30L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(Num.countStar.as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
+  val randomProjectionOracle: String = {
+    def dotSql(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])),
+         |    (x,y) -> x+y)""".stripMargin
+    def projSql(e: String, j: Int): String = {
+      val lits = projWeights(j).map(_.toString).mkString(", ")
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, len($e)+1), i -> $e[i] * ([$lits])[i])),
+         |    (x,y) -> x+y)""".stripMargin
+    }
+    val tProj = (0 until ProjDims)
+      .map(j => s"${projSql("e", j)} AS pt$j").mkString(",\n    ")
+    val qProj = (0 until ProjDims)
+      .map(j => s"${projSql("e", j)} AS pq$j").mkString(",\n    ")
+    val d2p = (0 until ProjDims)
+      .map(j => s"(pt$j - pq$j) * (pt$j - pq$j)").mkString(" + ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(e, x -> x*x)), (a,b) -> a+b) AS nsq
+       |  FROM emb),
+       |t AS (
+       |  SELECT vec_id AS t_id, e, nsq AS t_nsq,
+       |    $tProj
+       |  FROM n WHERE vec_id % ${ProjSampleMod} = 0),
+       |q AS (
+       |  SELECT vec_id AS q_id, e, nsq AS q_nsq,
+       |    $qProj
+       |  FROM n WHERE vec_id < ${QueryCount}),
+       |pairs AS (
+       |  SELECT t.t_nsq + q.q_nsq - 2.0 * ${dotSql("t.e", "q.e")} AS d2o,
+       |    $d2p AS d2p
+       |  FROM t, q WHERE t.t_id <> q.q_id),
+       |b AS (
+       |  SELECT least(CAST(FLOOR(d2p * 3.0 / (${ProjDims}.0 * d2o) * 10.0)
+       |    AS BIGINT), 30) AS bucket
+       |  FROM pairs WHERE d2o > 0.0)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   /** `q_ndcg`: NDCG@k of the LSH ranking under label relevance (a
     * retrieved neighbor is relevant iff it shares the query's class
     * label) — the graded companion to [[annRecallQ]]: recall asks "did
