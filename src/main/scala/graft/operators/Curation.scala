@@ -918,6 +918,94 @@ object Curation {
        |  abs(n_yes * 4 - n - true_pos * 2) AS err_x2
        |FROM g ORDER BY day""".stripMargin
 
+  // `q_waterfill` (X242): token-budget water-filling allocator
+
+  /** Budget = total corpus tokens / this denominator. */
+  val WaterfillBudgetDen = 2L
+
+  /** `q_waterfill` (X242): WATER-FILLING allocation of a token budget
+    * across sources — the mixture-design step after X95's recipe
+    * mixing: given budget B (half the corpus here) and per-source token
+    * supplies c_s, find the unique cap L such that taking
+    * min(c_s, L) from every source spends the budget — small sources
+    * keep everything, big sources are capped at the common level (the
+    * max-min-fair allocation; proportional sampling would starve small
+    * sources, a fixed per-source quota would waste headroom). The
+    * level search is the exact-integer sorted walk: sources ascend by
+    * supply, candidate level at step j is (B − P_{j−1}) div (n−j+1),
+    * and the binding step is the FIRST whose own supply exceeds its
+    * candidate level (none binding ⇒ budget covers everything, cap
+    * −1). Every quantity is a Long; both engines take the identical
+    * walk.
+    *
+    * Scale shape: one map-side-combined token count per source is the
+    * only data-sized work; the walk runs on the |sources|-bounded frame
+    * (the deliberately single-partition window of X235's global CDF).
+    * The allocation artifact feeds X104/X42-style samplers as their
+    * per-source quota. */
+  def waterfillQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = graft.engine.Text.words
+    val counts = graft.engine.Materialize.diskBacked(
+      Tables.documents(spark, sfDir)
+        .groupBy(col("source")).agg(sum(size(ws)).as("c")))
+    val tot = counts.groupBy()
+      .agg(sum(col("c")).as("tot"), Num.countStar.as("n"))
+    val byC = Window.orderBy(col("c").asc, col("source").asc)
+    val frame = counts.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(byC).cast("long"))
+      .withColumn("p_prev", coalesce(sum(col("c")).over(
+        byC.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("l_cand", Num.divLong(
+        Num.divLong(col("tot"), WaterfillBudgetDen) - col("p_prev"),
+        col("n") - col("rn") + 1L))
+      .withColumn("cond", col("c") > col("l_cand"))
+    val jstar = frame.groupBy()
+      .agg(min(when(col("cond"), col("rn"))).as("jstar"))
+    val withJ = frame.crossJoin(broadcast(jstar))
+    val level = withJ.groupBy()
+      .agg(max(when(col("rn") === col("jstar"), col("l_cand"))).as("level"))
+    withJ.crossJoin(broadcast(level))
+      .select(col("source"), col("c").as("tokens"),
+        when(col("jstar").isNull, col("c"))
+          .otherwise(least(col("c"), col("level"))).as("alloc"),
+        coalesce(col("level"), lit(-1L)).as("level"))
+      .orderBy(col("source"))
+  }
+
+  val waterfillOracle: String = {
+    val wordsSql = graft.engine.Text.wordsSql
+    s"""WITH counts AS (
+       |  SELECT source, CAST(SUM(len($wordsSql)) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS tot,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM counts),
+       |f AS (
+       |  SELECT counts.*, tot.tot, tot.n,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY c ASC, source ASC) AS BIGINT)
+       |      AS rn,
+       |    CAST(COALESCE(SUM(c) OVER (ORDER BY c ASC, source ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS p_prev
+       |  FROM counts, tot),
+       |g AS (
+       |  SELECT *, (tot // ${WaterfillBudgetDen} - p_prev) // (n - rn + 1)
+       |    AS l_cand
+       |  FROM f),
+       |j AS (SELECT MIN(CASE WHEN c > l_cand THEN rn END) AS jstar FROM g),
+       |lv AS (
+       |  SELECT MAX(CASE WHEN g.rn = j.jstar THEN g.l_cand END) AS level
+       |  FROM g, j)
+       |SELECT g.source, g.c AS tokens,
+       |  CASE WHEN j.jstar IS NULL THEN g.c
+       |       ELSE least(g.c, lv.level) END AS alloc,
+       |  COALESCE(lv.level, -1) AS level
+       |FROM g, j, lv
+       |ORDER BY g.source""".stripMargin
+  }
+
   // `q_boilerplate` (X238): cross-document repeated-passage audit
 
   /** Passage width (words) and the cross-document frequency at which a

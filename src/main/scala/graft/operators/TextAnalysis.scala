@@ -389,6 +389,76 @@ object TextAnalysis {
        |WHERE bit_count(CAST(xor(a.simv, b.simv) AS BIGINT)) <= ${HamMax}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** `q_simhash_est` (X241): SimHash sketch-accuracy evaluation — the
+    * simhash leg of the sketch-error trio (X202 measured MinHash's
+    * Jaccard estimate against exact Jaccard; this measures what a
+    * 32-bit SimHash's bit-agreement actually says about the exact
+    * token-vector similarity of each detected pair). Per X26 candidate
+    * pair: the Hamming distance, its per-mille bit agreement
+    * ((32−h)·1000/32 — the quantity SimHash theory ties to the angular
+    * similarity), and the EXACT cosine's three sufficient statistics
+    * (Σtf_a·tf_b, Σtf_a², Σtf_b²) as order-independent integer sums —
+    * the spearman/X132 convention: the caller does the one float
+    * division, no double ever crosses the engine boundary. An
+    * estimator nobody audits becomes a silent recall cliff when the
+    * corpus shifts; this gate makes the simhash dial a measured one.
+    *
+    * Scale shape: rides X26's banded pair frame (never all-pairs); the
+    * exact-side joins are pair-bounded × document-length with the tf
+    * frame materialized once and keyed on doc — the X2 verify-join
+    * discipline. */
+  def simhashEstQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = simhashPairsQ(spark, sfDir)
+    val tf = graft.engine.Materialize.diskBacked(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(words).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(Num.countStar.as("tf")))
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    pairs
+      .join(tf.select(col("doc_id").as("doc_a"), col("term"),
+        col("tf").as("tfa")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("term"),
+        col("tf").as("tfb")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"), col("hamming"))
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("long").as("hamming"),
+        Num.divLong((lit(32L) - col("hamming")) * 1000L, 32L)
+          .as("agreement_pm"),
+        col("dot"), col("na2"), col("nb2"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashEstOracle: String =
+    s"""WITH sp AS ($simhashPairsOracle),
+       |tf AS (
+       |  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+       |  FROM tf GROUP BY 1),
+       |d AS (
+       |  SELECT sp.doc_a, sp.doc_b, sp.hamming,
+       |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+       |  FROM sp
+       |  JOIN tf a ON a.doc_id = sp.doc_a
+       |  JOIN tf b ON b.doc_id = sp.doc_b AND b.term = a.term
+       |  GROUP BY 1, 2, 3)
+       |SELECT d.doc_a, d.doc_b, CAST(d.hamming AS BIGINT) AS hamming,
+       |  (32 - d.hamming) * 1000 // 32 AS agreement_pm,
+       |  d.dot, na.n2 AS na2, nb.n2 AS nb2
+       |FROM d
+       |JOIN norms na ON na.doc_id = d.doc_a
+       |JOIN norms nb ON nb.doc_id = d.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** `q_word_topk`: corpus-wide word frequency top-k — the classic
     * two-phase count (map-side partial aggregation, one shuffle on word)
     * with a deterministic total order (count desc, word asc) before the
