@@ -1348,4 +1348,92 @@ object Behavior {
        |  FROM cells)
        |SELECT treat, period, n_events, sum_cents, mean_cents, d.did_cents
        |FROM cells, d ORDER BY treat, period""".stripMargin
+
+  // `q_ips` (X245 family): inverse-propensity off-policy evaluation
+
+  /** Logging-policy propensity of the 'push' arm, per-mille; 'email'
+    * gets the complement. 750/250 chosen so 3000/p is an integer for
+    * both arms (4 and 12) — the IPS weights stay exact Longs. */
+  val IpsPushPm = 750L
+  /** Common weight numerator: w = IpsWeightScale / p_pm per matched row. */
+  val IpsWeightScale = 3000L
+  /** Target policy's value threshold: π picks 'email' when the event
+    * value exceeds this, else 'push'. */
+  val IpsEmailMin = 50.0
+
+  /** `q_ips` (X247): OFF-POLICY evaluation by inverse propensity
+    * scoring — "what would the NEW policy's reward have been?" answered
+    * from logs of the OLD policy, the question every recommender /
+    * notification team asks before an A/B test spends real traffic
+    * (X85's lift needs the experiment to have RUN; IPS pre-evaluates it
+    * from history). The logged action is an md5-uniform draw (push 750‰
+    * / email 250‰ — known propensities, the textbook stochastic logger;
+    * both engines draw identical actions), reward is the purchase
+    * indicator, and the target policy is deterministic (email iff
+    * value > 50). Matched rows carry weight 3000/p — exactly 4 or 12,
+    * integers by construction — so three estimators emerge in one fold:
+    *   naive_pm  — mean reward over matched rows only (the biased
+    *               "just filter the logs" estimate IPS exists to fix:
+    *               it ignores HOW unlikely the logger was to agree),
+    *   ips_pm    — Σ r·match·(3000/p) / (3n), unbiased for the target
+    *               policy's reward rate,
+    *   snips_pm  — the self-normalized variant Σrw/Σw (lower variance,
+    *               the production default).
+    * All three are exact integral per-milles; the whole artifact
+    * hash-gates with no float anywhere.
+    *
+    * Scale: one narrow pass (two md5s and the policy predicate fused
+    * into the scan projection) into a day-bounded aggregate — the
+    * estimator costs exactly what the daily report it rides on costs. */
+  def ipsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("ips"), col("event_id"))), 1, 15),
+      16, 10).cast("long") % 1000L
+    val logged = when(u < IpsPushPm, lit("push")).otherwise(lit("email"))
+    val pPm = when(u < IpsPushPm, lit(IpsPushPm))
+      .otherwise(lit(1000L - IpsPushPm))
+    val target = when(col("value") > IpsEmailMin, lit("email"))
+      .otherwise(lit("push"))
+    val r = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    val m = (logged === target).cast("long")
+    Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        r.as("r"), m.as("m"), (lit(IpsWeightScale) / pPm).cast("long").as("w"))
+      .groupBy(col("day"))
+      .agg(Num.countStar.as("n"), sum(col("m")).as("n_match"),
+        sum(col("m") * col("w")).as("sum_w"),
+        sum(col("r") * col("m") * col("w")).as("sum_rw"),
+        sum(col("r") * col("m")).as("n_match_pos"))
+      .select(col("day"), col("n"), col("n_match"), col("sum_w"),
+        col("sum_rw"),
+        Num.divLong(col("n_match_pos") * 1000L, col("n_match"))
+          .as("naive_pm"),
+        Num.divLong(col("sum_rw") * 1000L, col("n") * 3L).as("ips_pm"),
+        Num.divLong(col("sum_rw") * 1000L, col("sum_w")).as("snips_pm"))
+      .orderBy(col("day"))
+  }
+
+  val ipsOracle: String =
+    s"""WITH base AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r,
+       |    CASE WHEN (CAST(concat('0x', substr(md5('ips' || event_id), 1, 15))
+       |        AS BIGINT) % 1000 < ${IpsPushPm}) =
+       |      (value <= ${IpsEmailMin}) THEN 1 ELSE 0 END AS m,
+       |    CASE WHEN CAST(concat('0x', substr(md5('ips' || event_id), 1, 15))
+       |        AS BIGINT) % 1000 < ${IpsPushPm}
+       |      THEN ${IpsWeightScale / IpsPushPm}
+       |      ELSE ${IpsWeightScale / (1000L - IpsPushPm)} END AS w
+       |  FROM events),
+       |g AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(m) AS BIGINT) AS n_match,
+       |    CAST(SUM(m * w) AS BIGINT) AS sum_w,
+       |    CAST(SUM(r * m * w) AS BIGINT) AS sum_rw,
+       |    CAST(SUM(r * m) AS BIGINT) AS n_match_pos
+       |  FROM base GROUP BY 1)
+       |SELECT day, n, n_match, sum_w, sum_rw,
+       |  n_match_pos * 1000 // n_match AS naive_pm,
+       |  sum_rw * 1000 // (n * 3) AS ips_pm,
+       |  sum_rw * 1000 // sum_w AS snips_pm
+       |FROM g ORDER BY day""".stripMargin
 }

@@ -3531,4 +3531,279 @@ object Stats {
       |  CAST(MAX(adev) AS DOUBLE)
       |    / (CAST(MAX(total) AS DOUBLE) * CAST(n AS DOUBLE)) AS cusum
       |FROM v GROUP BY n""".stripMargin
+
+  // `q_heavy_hitters` (X244): exact φ-heavy hitters by the
+  // Misra-Gries candidate pass + exact verification pass
+
+  /** Heavy-hitter threshold denominator: report every word whose corpus
+    * frequency strictly exceeds n_words / HhK. Also the per-partition
+    * Misra-Gries counter budget. */
+  val HhK = 200L
+
+  /** `q_heavy_hitters` (X244): EXACT heavy hitters without a
+    * vocabulary-sized shuffle — the two-pass Misra-Gries discipline
+    * every production frequent-items service runs (X44's CMS answers a
+    * FIXED watchlist; this finds the unknown heavy set, exactly):
+    *
+    *  1. Candidate pass: each partition runs Misra-Gries(k) — k
+    *     counters; a hit increments, a miss inserts if a slot is free,
+    *     else ALL counters decrement by one (each such step burns k+1
+    *     stream items, so it happens at most n_p/(k+1) times — the pass
+    *     is amortized O(1)/item and O(k) memory). MG guarantees a word
+    *     with partition count > n_p/k survives; a word with GLOBAL
+    *     count > N/k must exceed n_p/k in SOME partition (pigeonhole
+    *     over Σcount_p > Σn_p/k), so the union of per-partition
+    *     survivors is a LOSSLESS superset of the true heavy set —
+    *     regardless of row order, which is why the partition-order-
+    *     dependent candidate set still yields a deterministic result.
+    *  2. Verify pass: exact counts for candidate words only (≤ k per
+    *     partition broadcast back), non-candidates fold into one null
+    *     bucket so the same aggregate yields the exact corpus total;
+    *     the final filter cnt·k > N keeps only TRUE heavy hitters.
+    *
+    * The oracle brute-forces the full vocabulary precisely because the
+    * MG pass is lossless — the gate proves no heavy word escaped.
+    * Scale: pass 1 shuffles ≤ k rows per partition (not the
+    * vocabulary); pass 2's aggregate has ≤ k·P + 1 keys. Compare
+    * q_word_topk, which shuffles every distinct word. */
+  def heavyHittersQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = HhK.toInt
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(graft.engine.Text.words).as("word"))
+    val candidates = words.as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { w =>
+          val cur = m.getOrElse(w, 0L)
+          if (cur > 0L || m.size < k) m(w) = cur + 1L
+          else {
+            m.mapValuesInPlace((_, c) => c - 1L)
+            m.filterInPlace((_, c) => c > 0L)
+          }
+        }
+        m.keysIterator
+      }
+      .toDF("word").distinct()
+      .withColumn("is_cand", lit(1))
+    val counted = Materialize.diskBacked(
+      words.join(broadcast(candidates), Seq("word"), "left")
+        .groupBy(when(col("is_cand").isNotNull, col("word")).as("w"))
+        .agg(Num.countStar.as("cnt")))
+    val total = counted.agg(sum(col("cnt")).as("n_words"))
+    counted.crossJoin(broadcast(total))
+      .filter(col("w").isNotNull && col("cnt") * HhK > col("n_words"))
+      .select(col("w").as("word"), col("cnt"), col("n_words"),
+        Num.divLong(col("cnt") * 1000000L, col("n_words")).as("freq_ppm"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  val heavyHittersOracle: String = {
+    val wordsSql = graft.engine.Text.wordsSql
+    s"""WITH words AS (
+       |  SELECT unnest($wordsSql) AS word FROM documents),
+       |c AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM words
+       |  GROUP BY 1),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_words FROM c)
+       |SELECT c.word, c.cnt, t.n_words,
+       |  c.cnt * 1000000 // t.n_words AS freq_ppm
+       |FROM c, t WHERE c.cnt * ${HhK} > t.n_words
+       |ORDER BY c.cnt DESC, c.word""".stripMargin
+  }
+
+  // `q_decile_lift` (X245): cumulative gains / lift table over the
+  // deterministic scorer
+
+  /** `q_decile_lift` (X245): the GAINS/LIFT table — the model-eval
+    * artifact a targeting campaign reads (X204's AUC says whether the
+    * ranking is good; this says what acting on the top decile BUYS:
+    * "the top 10% of scores captures 31% of purchases, lift 3.1×").
+    * Scores are X199's deterministic per-mille scorer; deciles are
+    * assigned WITHOUT a global sort: the per-mille score histogram
+    * (≤1000 buckets) carries cumulative counts descending, and a
+    * bucket's decile is (cum_prev·10) div N — each score bucket lands
+    * wholly in one decile, identically in both engines (a row-level
+    * ntile would split tied scores arbitrarily and never hash-gate).
+    * Per decile: exact counts, cumulative capture (gain per-mille), and
+    * cumulative lift per-mille = (cum_pos·N·1000) div (cum_n·pos_tot),
+    * exact Long arithmetic (safe through ~10^7 positives × 10^7 rows;
+    * past that the cross-multiply moves to DECIMAL(38,0) unchanged).
+    *
+    * Scale: one data-sized histogram fold (map-side combined), then
+    * every window and join walks the ≤1000-bucket frame. */
+  def decileLiftQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val predM = least(floor(col("value") * 1000.0 / CalibValueScale)
+      .cast("long"), lit(999L))
+    val hist = Tables.events(spark, sfDir)
+      .select(predM.as("pm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("pm"))
+      .agg(Num.countStar.as("n"), sum(col("pos")).as("n_pos"))
+    val byScoreDesc = Window.orderBy(col("pm").desc)
+    val all = Window.partitionBy()
+    val perDecile = hist
+      .withColumn("cum_prev", coalesce(sum(col("n")).over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_tot", sum(col("n")).over(all))
+      .withColumn("pos_tot", sum(col("n_pos")).over(all))
+      .withColumn("decile", Num.divLong(col("cum_prev") * 10L, col("n_tot")))
+      .groupBy(col("decile"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+        max(col("n_tot")).as("n_tot"), max(col("pos_tot")).as("pos_tot"))
+    val byDec = Window.orderBy(col("decile"))
+    perDecile
+      .withColumn("cum_n", sum(col("n")).over(byDec))
+      .withColumn("cum_pos", sum(col("n_pos")).over(byDec))
+      .select(col("decile"), col("n"), col("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        Num.divLong(col("cum_pos") * 1000L, col("pos_tot"))
+          .as("gain_permille"),
+        Num.divLong(col("cum_pos") * col("n_tot") * 1000L,
+          col("cum_n") * col("pos_tot")).as("lift_permille"))
+      .orderBy(col("decile"))
+  }
+
+  val decileLiftOracle: String =
+    s"""WITH q AS (
+       |  SELECT least(CAST(FLOOR(value * 1000.0 / ${CalibValueScale})
+       |      AS BIGINT), 999) AS pm,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |h AS (
+       |  SELECT pm, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos
+       |  FROM q GROUP BY 1),
+       |d AS (
+       |  SELECT *,
+       |    CAST(COALESCE(SUM(n) OVER (ORDER BY pm DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_prev,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+       |    CAST(SUM(n_pos) OVER () AS BIGINT) AS pos_tot
+       |  FROM h),
+       |g AS (
+       |  SELECT cum_prev * 10 // n_tot AS decile,
+       |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       |    MAX(n_tot) AS n_tot, MAX(pos_tot) AS pos_tot
+       |  FROM d GROUP BY 1),
+       |w AS (
+       |  SELECT g.*,
+       |    CAST(SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_n,
+       |    CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_pos
+       |  FROM g)
+       |SELECT decile, n, n_pos, cum_n, cum_pos,
+       |  cum_pos * 1000 // pos_tot AS gain_permille,
+       |  cum_pos * n_tot * 1000 // (cum_n * pos_tot) AS lift_permille
+       |FROM w ORDER BY decile""".stripMargin
+
+  // `q_conformal` (X246): split-conformal prediction interval +
+  // coverage audit
+
+  /** Split thresholds (per-mille of the md5 draw): < 600 train,
+    * < 800 calibration, rest test; and the miscoverage level α = 1/10
+    * (target coverage 90%). */
+  val ConfTrainPm = 600L
+  val ConfCalPm = 800L
+  val ConfAlphaDen = 10L
+
+  /** `q_conformal` (X246): SPLIT-CONFORMAL prediction — the
+    * distribution-free uncertainty wrapper the evaluation family was
+    * missing (X199 asks "is the probability honest", X200 bounds the
+    * MEAN; conformal bounds each PREDICTION): train a predictor on the
+    * train split (per-event_type mean cents, exact integral division),
+    * score the calibration split's nonconformity |y − ŷ| exactly in
+    * cents, take q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest score — the
+    * finite-sample-valid conformal quantile (the +1 is the coverage
+    * guarantee's whole trick) — and AUDIT the guarantee on the held-out
+    * test split: per event_type, the share of test rows with
+    * |y − ŷ| ≤ q̂, which the theorem says is ≥ 900‰ in expectation.
+    * Rank selection is X22's exact discipline: a score histogram with
+    * cumulative counts, q̂ = min score with cum ≥ rank — no sort of
+    * data-sized rows, no interpolation ambiguity.
+    *
+    * Scale: three narrow passes over events (train moments, cal
+    * histogram, test audit — each map-side combined); the rank walk
+    * runs on the distinct-score frame, everything joins by broadcast. */
+  def conformalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val u = conv(substring(md5(concat(lit("cf"), col("event_id"))), 1, 15),
+      16, 10).cast("long") % 1000L
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents.as("cents"), u.as("u"))
+    val pred = base.filter(col("u") < ConfTrainPm)
+      .groupBy(col("event_type"))
+      .agg(Num.divLong(sum(col("cents")), Num.countStar).as("pred_cents"))
+    val cal = base.filter(col("u") >= ConfTrainPm && col("u") < ConfCalPm)
+      .join(broadcast(pred), Seq("event_type"))
+      .select(abs(col("cents") - col("pred_cents")).as("s"))
+    val shist = cal.groupBy(col("s")).agg(Num.countStar.as("cnt"))
+    val byS = Window.orderBy(col("s"))
+    val ranked = shist
+      .withColumn("cum", sum(col("cnt")).over(byS))
+      .withColumn("n_cal", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("r", Num.divLong(
+        (col("n_cal") + 1L) * (ConfAlphaDen - 1L) + (ConfAlphaDen - 1L),
+        ConfAlphaDen))
+    val qhat = ranked.filter(col("cum") >= col("r"))
+      .agg(min(col("s")).as("qhat_cents"),
+        max(col("n_cal")).as("n_cal"), max(col("r")).as("r_rank"))
+    base.filter(col("u") >= ConfCalPm)
+      .join(broadcast(pred), Seq("event_type"))
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("event_type"))
+      .agg(max(col("pred_cents")).as("pred_cents"),
+        Num.countStar.as("n_test"),
+        sum((abs(col("cents") - col("pred_cents")) <= col("qhat_cents"))
+          .cast("long")).as("covered"),
+        max(col("qhat_cents")).as("qhat_cents"),
+        max(col("n_cal")).as("n_cal"), max(col("r_rank")).as("r_rank"))
+      .withColumn("coverage_permille",
+        Num.divLong(col("covered") * 1000L, col("n_test")))
+      .orderBy(col("event_type"))
+  }
+
+  val conformalOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+       |    CAST(concat('0x', substr(md5('cf' || event_id), 1, 15))
+       |      AS BIGINT) % 1000 AS u
+       |  FROM events),
+       |p AS (
+       |  SELECT event_type,
+       |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS pred_cents
+       |  FROM b WHERE u < ${ConfTrainPm} GROUP BY 1),
+       |cal AS (
+       |  SELECT abs(b.cents - p.pred_cents) AS s
+       |  FROM b JOIN p USING (event_type)
+       |  WHERE b.u >= ${ConfTrainPm} AND b.u < ${ConfCalPm}),
+       |sh AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM cal GROUP BY 1),
+       |rk AS (
+       |  SELECT s,
+       |    CAST(SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS n_cal
+       |  FROM sh),
+       |rr AS (
+       |  SELECT *, ((n_cal + 1) * ${ConfAlphaDen - 1}
+       |    + ${ConfAlphaDen - 1}) // ${ConfAlphaDen} AS r
+       |  FROM rk),
+       |q AS (
+       |  SELECT CAST(MIN(s) AS BIGINT) AS qhat_cents,
+       |    MAX(n_cal) AS n_cal, MAX(r) AS r_rank
+       |  FROM rr WHERE cum >= r)
+       |SELECT b.event_type, MAX(p.pred_cents) AS pred_cents,
+       |  CAST(COUNT(*) AS BIGINT) AS n_test,
+       |  CAST(SUM(CASE WHEN abs(b.cents - p.pred_cents) <= q.qhat_cents
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+       |  MAX(q.qhat_cents) AS qhat_cents,
+       |  MAX(q.n_cal) AS n_cal, MAX(q.r_rank) AS r_rank,
+       |  CAST(SUM(CASE WHEN abs(b.cents - p.pred_cents) <= q.qhat_cents
+       |    THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*)
+       |    AS coverage_permille
+       |FROM b JOIN p USING (event_type), q
+       |WHERE b.u >= ${ConfCalPm}
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1359,4 +1359,123 @@ object TextAnalysis {
       |  dominant_lang,
       |  dominant_n * 1000 // n_docs AS dominant_share_permille
       |FROM g ORDER BY source""".stripMargin
+
+  // `q_bpe_train` (X246 family): byte-pair-encoding merge training
+
+  /** Number of BPE merge rounds trained (each emits one merge rule). */
+  val BpeRounds = 3
+  /** Fixed replace passes per merge. One string `replace` pass merges
+    * left-to-right non-overlapping occurrences OF THE ORIGINAL string,
+    * so a chain "a b a b" resolves over multiple passes (occurrences at
+    * least halve per pass); 16 passes cover chains to 2^16 symbols —
+    * far past any alnum token. BOTH engines run exactly this many
+    * passes with the same left-to-right scan, so they produce identical
+    * intermediate strings, not merely an identical fixpoint. */
+  val BpeMergePasses = 16
+
+  /** `q_bpe_train` (X248): BYTE-PAIR-ENCODING merge training — the
+    * tokenizer-training loop itself, run as a Spark job (X128 counts
+    * one round's pair statistics; X66 ENCODES with a fixed vocab; this
+    * TRAINS the merges, the artifact `merges.txt` every BPE tokenizer
+    * ships). Standard formulation: training runs on the word-frequency
+    * table, never the raw corpus — one data-sized groupBy(word) fold,
+    * then every round is vocab-bounded. Each word starts as its
+    * space-joined character sequence with sentinel spaces; per round:
+    * (1) adjacent-pair counts weighted by word frequency, (2) argmax
+    * pair (count desc, then lexicographic — fully deterministic),
+    * (3) corpus-wide merge of that pair via BpeMergePasses identical
+    * left-to-right string-replace passes (see there). The gated
+    * artifact: per round, the merge rule, its pair count, and the
+    * total symbol count after the merge — compression-per-merge made
+    * visible, the curve a tokenizer team reads to pick vocab size.
+    *
+    * Scale: the ONLY data-sized work is the word-count fold (two-phase,
+    * map-side combined). Rounds iterate driver-side but each step is a
+    * job over the vocabulary frame (≤ a few million rows at any corpus
+    * size — bounded by the language, not the data); disk-backed
+    * between rounds so round r+1's plan doesn't re-derive r's 16
+    * replaces. The argmax is a TakeOrderedAndProject (top-1), never a
+    * full sort. */
+  def bpeTrainQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.engine.Materialize
+    val symsOf = filter(split(col("sym"), " "), s => s =!= "")
+    val vocab0 = Materialize.diskBacked(
+      Tables.documents(spark, sfDir)
+        .select(explode(graft.engine.Text.words).as("word"))
+        .groupBy(col("word")).agg(Num.countStar.as("cnt"))
+        .select(concat(lit(" "),
+          regexp_replace(col("word"), "(.)", "$1 ")).as("sym"), col("cnt")))
+    def bestPair(v: DataFrame): DataFrame =
+      v.select(col("cnt"), symsOf.as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("ss")) - 1),
+          i => struct(element_at(col("ss"), i).as("a"),
+            element_at(col("ss"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1)
+    def merged(v: DataFrame, best: DataFrame): DataFrame = {
+      val joined = v.crossJoin(broadcast(best))
+      (1 to BpeMergePasses).foldLeft(joined) { (d, _) =>
+        d.withColumn("sym", call_function("replace", col("sym"),
+          concat(lit(" "), col("a"), lit(" "), col("b"), lit(" ")),
+          concat(lit(" "), col("a"), col("b"), lit(" "))))
+      }.select(col("sym"), col("cnt"))
+    }
+    var v = vocab0
+    val rounds = (1 to BpeRounds).map { r =>
+      val best = Materialize.diskBacked(bestPair(v))
+      v = Materialize.diskBacked(merged(v, best))
+      val st = v.agg(sum(size(symsOf) * col("cnt")).as("syms_total"))
+      best.crossJoin(broadcast(st))
+        .select(lit(r.toLong).as("round"), col("a"), col("b"),
+          col("pair_count"), col("syms_total"))
+    }
+    rounds.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  val bpeTrainOracle: String = {
+    val wordsSql = graft.engine.Text.wordsSql
+    def mergeExpr(sym: String): String =
+      (1 to BpeMergePasses).foldLeft(sym) { (e, _) =>
+        s"replace($e, ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ')"
+      }
+    def round(r: Int): String =
+      s"""s$r AS (
+         |  SELECT cnt, list_filter(string_split(sym, ' '), x -> x <> '')
+         |    AS syms
+         |  FROM v${r - 1}),
+         |pr$r AS (
+         |  SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM s$r),
+         |p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b,
+         |    CAST(SUM(cnt) AS BIGINT) AS pair_count
+         |  FROM pr$r GROUP BY 1, 2),
+         |b$r AS (
+         |  SELECT a, b, pair_count FROM p$r
+         |  ORDER BY pair_count DESC, a, b LIMIT 1),
+         |v$r AS (
+         |  SELECT ${mergeExpr("v.sym")} AS sym, v.cnt
+         |  FROM v${r - 1} v, b$r b),
+         |st$r AS (
+         |  SELECT CAST(SUM(cnt * len(list_filter(string_split(sym, ' '),
+         |    x -> x <> ''))) AS BIGINT) AS syms_total
+         |  FROM v$r)""".stripMargin
+    val selects = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, a, b, pair_count, syms_total
+         |FROM b$r, st$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest($wordsSql) AS word FROM documents)
+       |  GROUP BY 1),
+       |v0 AS (
+       |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, cnt
+       |  FROM wc),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -127,4 +127,46 @@ class BehaviorSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
+
+  test("q_ips: estimators recompute exactly from the raw log") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Behavior.ipsQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.engine.Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"),
+        conv(substring(md5(concat(lit("ips"), col("event_id"))), 1, 15),
+          16, 10).cast("long").%(1000L).as("u"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val byDay = raw.groupBy(_._1)
+    rows.foreach { row =>
+      val day = row.getString(0)
+      val es = byDay(day)
+      val triples = es.map { case (_, et, v, u) =>
+        val loggedPush = u < Behavior.IpsPushPm
+        val targetPush = !(v > Behavior.IpsEmailMin)
+        val m = if (loggedPush == targetPush) 1L else 0L
+        val w = if (loggedPush) Behavior.IpsWeightScale / Behavior.IpsPushPm
+                else Behavior.IpsWeightScale / (1000L - Behavior.IpsPushPm)
+        val r = if (et == "purchase") 1L else 0L
+        (r, m, w)
+      }
+      val n = es.length.toLong
+      val sumW = triples.map(t => t._2 * t._3).sum
+      val sumRw = triples.map(t => t._1 * t._2 * t._3).sum
+      val nMatch = triples.map(_._2).sum
+      val nMatchPos = triples.map(t => t._1 * t._2).sum
+      assert(row.getLong(1) === n)
+      assert(row.getLong(2) === nMatch)
+      assert(row.getLong(3) === sumW && row.getLong(4) === sumRw)
+      assert(row.getLong(5) === nMatchPos * 1000L / nMatch)
+      assert(row.getLong(6) === sumRw * 1000L / (n * 3L))
+      assert(row.getLong(7) === sumRw * 1000L / sumW)
+    }
+    // unbiasedness sanity: the IPS weights are exactly 3000/p for both arms
+    assert(Behavior.IpsWeightScale % Behavior.IpsPushPm === 0L)
+    assert(Behavior.IpsWeightScale % (1000L - Behavior.IpsPushPm) === 0L)
+  }
 }

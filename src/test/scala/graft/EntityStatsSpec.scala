@@ -195,4 +195,52 @@ class EntityStatsSpec extends AnyFunSuite {
       sorted.foreach(b => assert(b._7 == b._5 * b._3 - b._6))
     }
   }
+
+  test("q_bpe_train: round-1 rule is the brute-force argmax; merges compress exactly") {
+    val rows = TextAnalysis.bpeTrainQ(spark, sfDir).collect()
+    assert(rows.length == TextAnalysis.BpeRounds)
+    val wc = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(graft.engine.Text.words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // driver-side reference mirroring the operator's EXACT semantics:
+    // BpeMergePasses left-to-right non-overlapping string-replace passes
+    // (java.lang.String.replace has the same scan rule as Spark's and
+    // DuckDB's replace)
+    def toks(s: String): Array[String] = s.split(" ").filter(_.nonEmpty)
+    var vocab = wc.map { case (w, c) =>
+      (" " + w.map(_.toString).mkString(" ") + " ", c)
+    }
+    rows.zipWithIndex.foreach { case (row, i) =>
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (s, c) =>
+        val syms = toks(s)
+        syms.zip(syms.tail).foreach { p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+        }
+      }
+      val ((ba, bb), bc) = pairCounts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      assert(row.getLong(0) === (i + 1).toLong)
+      assert((row.getString(1), row.getString(2)) === ((ba, bb)),
+        s"round ${i + 1} merge rule diverges from brute force")
+      assert(row.getLong(3) === bc, s"round ${i + 1} pair count")
+      vocab = vocab.map { case (s, c) =>
+        val m = (1 to TextAnalysis.BpeMergePasses).foldLeft(s)((acc, _) =>
+          acc.replace(s" $ba $bb ", s" $ba$bb "))
+        (m, c)
+      }
+      // the fixpoint property: no occurrence of the pair survives
+      vocab.foreach { case (s, _) =>
+        assert(!s.contains(s" $ba $bb "), "merge must reach its fixpoint")
+      }
+      val symsTotal = vocab.map { case (s, c) => toks(s).length * c }.sum
+      assert(row.getLong(4) === symsTotal,
+        s"round ${i + 1}: post-merge symbol total must match the replay")
+    }
+    // compression is strict: each merge removes at least one symbol
+    val totals = rows.map(_.getLong(4))
+    assert(totals.zip(totals.tail).forall { case (a, b) => b < a })
+  }
 }

@@ -526,4 +526,99 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getLong(3) === encs.min && r.getLong(4) === encs.max)
     }
   }
+
+  test("q_heavy_hitters: equals the brute-force heavy set; MG superset law") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = Stats.heavyHittersQ(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val counts = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(graft.engine.Text.words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = counts.map(_._2).sum
+    val brute = counts.filter { case (_, c) => c * Stats.HhK > n }.toMap
+    assert(out === brute, "exact heavy set must equal brute force")
+    assert(out.nonEmpty, "fixture should have heavy hitters at k=200")
+
+    // MG superset law on adversarial random streams: any item with
+    // count > n/k survives a single Misra-Gries(k) pass, whatever the
+    // arrival order
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val k = 1 + rnd.nextInt(8)
+      val stream = Array.fill(200 + rnd.nextInt(800))(rnd.nextInt(30))
+      val m = scala.collection.mutable.HashMap.empty[Int, Long]
+      stream.foreach { w =>
+        val cur = m.getOrElse(w, 0L)
+        if (cur > 0L || m.size < k) m(w) = cur + 1L
+        else {
+          m.mapValuesInPlace((_, c) => c - 1L)
+          m.filterInPlace((_, c) => c > 0L)
+        }
+      }
+      val exact = stream.groupBy(identity).view.mapValues(_.length.toLong)
+      exact.foreach { case (w, c) =>
+        if (c * k > stream.length)
+          assert(m.contains(w),
+            s"k=$k n=${stream.length}: heavy item $w (count $c) evicted")
+      }
+    }
+  }
+
+  test("q_decile_lift: partition identity, monotone capture, closing lift = 1000") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Stats.decileLiftQ(spark, sfDir).collect()
+    val nEvents = graft.engine.Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === nEvents, "deciles partition the rows")
+    val cumPos = rows.map(_.getLong(4))
+    assert(cumPos.zip(cumPos.tail).forall { case (a, b) => a <= b },
+      "cumulative capture must be nondecreasing")
+    val last = rows.last
+    assert(last.getLong(5) === 1000L, "full-population gain is 1000 permille")
+    assert(last.getLong(6) === 1000L, "full-population lift is exactly 1.0")
+    // lift identity per row: lift = cum_pos*n_tot*1000 div (cum_n*pos_tot)
+    val posTot = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(6) ===
+        r.getLong(4) * nEvents * 1000L / (r.getLong(3) * posTot))
+    }
+  }
+
+  test("q_conformal: qhat is the exact conformal rank; coverage recomputes") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Stats.conformalQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val qhat = rows.head.getLong(4)
+    val nCal = rows.head.getLong(5)
+    val rRank = rows.head.getLong(6)
+    assert(rows.forall(r => r.getLong(4) == qhat && r.getLong(5) == nCal),
+      "qhat and n_cal are global constants")
+    // driver-side recompute of the calibration quantile
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"),
+        conv(substring(md5(concat(lit("cf"), col("event_id"))), 1, 15), 16, 10)
+          .cast("long").%(1000L).as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val preds = ev.filter(_._3 < Stats.ConfTrainPm).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).sum / xs.length }
+    val calScores = ev
+      .filter(e => e._3 >= Stats.ConfTrainPm && e._3 < Stats.ConfCalPm)
+      .flatMap(e => preds.get(e._1).map(p => math.abs(e._2 - p)))
+      .sorted
+    assert(nCal === calScores.length.toLong)
+    val r = ((nCal + 1) * 9 + 9) / 10
+    assert(rRank === r)
+    assert(qhat === calScores((r - 1).toInt),
+      "qhat must be the r-th smallest calibration score")
+    // coverage recompute per event_type on the test split
+    val test = ev.filter(_._3 >= Stats.ConfCalPm)
+    rows.foreach { row =>
+      val t = row.getString(0)
+      val ts = test.filter(_._1 == t)
+      val covered = ts.count(e => math.abs(e._2 - preds(t)) <= qhat).toLong
+      assert(row.getLong(2) === ts.length.toLong)
+      assert(row.getLong(3) === covered)
+      assert(row.getLong(7) === covered * 1000L / ts.length)
+    }
+  }
 }
