@@ -1436,4 +1436,139 @@ object Behavior {
        |  sum_rw * 1000 // (n * 3) AS ips_pm,
        |  sum_rw * 1000 // sum_w AS snips_pm
        |FROM g ORDER BY day""".stripMargin
+
+  // `q_psm` (X250): stratified propensity matching → ATT
+
+  /** Treatment rule: a user with at least this many click events is
+    * "exposed". ~13 clicks/user in the corpus at every SF (events and
+    * users scale together), so the rule splits the population rather
+    * than degenerating to all-or-nothing. */
+  val PsmTreatMinClicks = 14L
+  /** Hash sub-strata within each activity bucket. Matching inside
+    * (bucket × sub-stratum) keeps every rank window a small partition;
+    * at larger corpora RAISE this (a user-hash refinement of a valid
+    * stratification is still a valid stratification). */
+  val PsmSubStrata = 8L
+
+  /** `q_psm` (X250): PROPENSITY-STRATIFIED MATCHING — the
+    * observational-causal leg the experimentation family still lacked
+    * (X85 needs a randomized A/B; X141 needs pre-period covariates;
+    * X219 needs a launch cut; IPS needs LOGGED propensities; PSM is
+    * what's left when all you have is a confounded log): estimate the
+    * effect of click exposure on purchase spend where heavy users both
+    * click more AND buy more. Users fold to one row (clicks, total
+    * events, purchase cents); treatment = clicks ≥ 14; the confounder
+    * proxy is the activity bucket (n_events div 10, capped — the
+    * coarsened exact matching on the one covariate that drives both
+    * sides); within each (bucket × user-hash sub-stratum), the i-th
+    * treated user (by user_id) matches the i-th control, unmatched
+    * tail dropped — deterministic rank pairing, the greedy-match
+    * analogue both engines replay identically. ATT = mean matched
+    * difference, emitted as exact sums plus a SIGN-SPLIT milli-ATT
+    * (the difference can be negative; trunc-vs-floor integral division
+    * diverges across engines on negative dividends, so both sides
+    * compute sign·(|sum|·1000 div n) explicitly).
+    *
+    * Scale: one data-sized user fold; the rank windows partition by
+    * (bucket, sub, arm) — parallelism = strata count, which the
+    * PsmSubStrata dial grows with the corpus; everything after is
+    * bucket-bounded. */
+  def psmQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(Num.countStar.as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+        sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+          .as("y_cents"))
+      .withColumn("treated",
+        (col("clicks") >= PsmTreatMinClicks).cast("long"))
+      .withColumn("bucket", least(Num.divLong(col("n_events"), 10L), lit(9L)))
+      .withColumn("sub", pmod(col("user_id"), lit(PsmSubStrata)))
+    val byStratumArm = Window
+      .partitionBy(col("bucket"), col("sub"), col("treated"))
+      .orderBy(col("user_id"))
+    val ranked = Materialize.diskBacked(
+      users.withColumn("rn", row_number().over(byStratumArm)))
+    val pairs = ranked.filter(col("treated") === 1L)
+      .select(col("bucket"), col("sub"), col("rn"), col("y_cents").as("y_t"))
+      .join(ranked.filter(col("treated") === 0L)
+        .select(col("bucket"), col("sub"), col("rn"),
+          col("y_cents").as("y_c")),
+        Seq("bucket", "sub", "rn"))
+    val att = pairs.agg(
+      Num.countStar.as("n_pairs_total"),
+      sum(col("y_t") - col("y_c")).as("diff_cents_total"))
+    val arms = ranked.groupBy(col("bucket"))
+      .agg(sum(col("treated")).as("n_treated"),
+        sum(lit(1L) - col("treated")).as("n_control"))
+    val perBucket = pairs.groupBy(col("bucket"))
+      .agg(Num.countStar.as("n_pairs"),
+        sum(col("y_t")).as("sum_y_t"), sum(col("y_c")).as("sum_y_c"))
+    arms.join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_treated"), col("n_control"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sum_y_t"), lit(0L)).as("sum_y_t"),
+        coalesce(col("sum_y_c"), lit(0L)).as("sum_y_c"))
+      .crossJoin(broadcast(att))
+      .withColumn("att_millis",
+        when(col("diff_cents_total") < 0L,
+          -Num.divLong(-col("diff_cents_total") * 1000L,
+            col("n_pairs_total")))
+          .otherwise(Num.divLong(col("diff_cents_total") * 1000L,
+            col("n_pairs_total"))))
+      .orderBy(col("bucket"))
+  }
+
+  val psmOracle: String =
+    s"""WITH u AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS clicks,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS y_cents
+       |  FROM events GROUP BY 1),
+       |s AS (
+       |  SELECT *,
+       |    CASE WHEN clicks >= ${PsmTreatMinClicks} THEN 1 ELSE 0 END
+       |      AS treated,
+       |    least(n_events // 10, 9) AS bucket,
+       |    user_id % ${PsmSubStrata} AS sub
+       |  FROM u),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY bucket, sub, treated ORDER BY user_id)
+       |    AS BIGINT) AS rn
+       |  FROM s),
+       |p AS (
+       |  SELECT t.bucket, t.y_cents AS y_t, c.y_cents AS y_c
+       |  FROM r t JOIN r c
+       |    ON t.bucket = c.bucket AND t.sub = c.sub AND t.rn = c.rn
+       |  WHERE t.treated = 1 AND c.treated = 0),
+       |att AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_total,
+       |    CAST(SUM(y_t - y_c) AS BIGINT) AS diff_cents_total
+       |  FROM p),
+       |arms AS (
+       |  SELECT bucket, CAST(SUM(treated) AS BIGINT) AS n_treated,
+       |    CAST(SUM(1 - treated) AS BIGINT) AS n_control
+       |  FROM r GROUP BY 1),
+       |pb AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(y_t) AS BIGINT) AS sum_y_t,
+       |    CAST(SUM(y_c) AS BIGINT) AS sum_y_c
+       |  FROM p GROUP BY 1)
+       |SELECT arms.bucket, arms.n_treated, arms.n_control,
+       |  COALESCE(pb.n_pairs, 0) AS n_pairs,
+       |  COALESCE(pb.sum_y_t, 0) AS sum_y_t,
+       |  COALESCE(pb.sum_y_c, 0) AS sum_y_c,
+       |  att.n_pairs_total, att.diff_cents_total,
+       |  CASE WHEN att.diff_cents_total < 0
+       |    THEN -((-att.diff_cents_total) * 1000 // att.n_pairs_total)
+       |    ELSE att.diff_cents_total * 1000 // att.n_pairs_total END
+       |    AS att_millis
+       |FROM arms LEFT JOIN pb ON arms.bucket = pb.bucket, att
+       |ORDER BY arms.bucket""".stripMargin
 }

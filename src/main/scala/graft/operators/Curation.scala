@@ -1519,4 +1519,84 @@ object Curation {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // `q_dp_release` (X249): central-DP noisy release by the discrete
+  // Laplace mechanism
+
+  /** Per-mille PMF of the discrete Laplace (two-sided geometric) with
+    * ε = ln 2 — P(z) = (1/3)(1/2)^|z|, quantized so the 17 cells over
+    * z ∈ [−8, 8] sum to exactly 1000 (the 3‰ quantization residue
+    * lands on z = 0: 333 → 336; ε accounting treats the mechanism as
+    * standard, the perturbation is < 1% of any cell). Index 0 ↔ z=−8. */
+  val DpLadderPm: Seq[Long] =
+    Seq(1L, 3L, 5L, 10L, 21L, 42L, 83L, 167L, 336L,
+      167L, 83L, 42L, 21L, 10L, 5L, 3L, 1L)
+  /** Cumulative per-mille thresholds: draw u < DpCdfPm(i) ⇒ z = i − 8. */
+  val DpCdfPm: Seq[Long] = DpLadderPm.scanLeft(0L)(_ + _).tail
+
+  /** `q_dp_release` (X249): CENTRAL differential privacy — the other
+    * half of the privacy-mechanism pair (X234 randomizes each ROW
+    * before collection; this trusts the aggregator and noises the
+    * released AGGREGATE, the deployment model of every public-stats DP
+    * release): per-day purchase counts get one discrete-Laplace draw
+    * (ε = ln 2 per released cell; counts have sensitivity 1 under
+    * add/remove-one-event) via the md5-uniform per-mille pushed
+    * through the pinned integer CDF ladder — the X200 bootstrap
+    * discipline, so BOTH engines draw the identical noise and the
+    * randomized release hash-gates bit-exact. The discrete mechanism
+    * (two-sided geometric) is the production choice over continuous
+    * Laplace precisely because integers survive exact engines — the
+    * same reason the US Census moved to discrete noise. The artifact
+    * carries the true count beside the release (this is the
+    * mechanism's accuracy AUDIT, not a real release) and the global
+    * mean |noise| in millis — the utility line a DP dashboard pins.
+    *
+    * Scale: one narrow filtered pass to the day-bounded frame; the
+    * draw and ladder are per-CELL work (one md5 on the day string),
+    * free at any volume. */
+  def dpReleaseQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(Num.countStar.as("n_true"))
+    val u = conv(substring(md5(concat(lit("dp"), col("day"))), 1, 15),
+      16, 10).cast("long") % 1000L
+    val z = DpCdfPm.zipWithIndex.init.foldRight(
+      lit(8L): org.apache.spark.sql.Column) { case ((t, i), acc) =>
+      when(u < t, lit(i.toLong - 8L)).otherwise(acc)
+    }
+    val noised = daily.select(col("day"), col("n_true"), z.as("z"))
+      .withColumn("n_released", col("n_true") + col("z"))
+      .withColumn("abs_err", abs(col("z")))
+    val mae = noised.agg(
+      Num.divLong(sum(col("abs_err")) * 1000L, Num.countStar)
+        .as("mae_millis"))
+    noised.crossJoin(broadcast(mae)).orderBy(col("day"))
+  }
+
+  val dpReleaseOracle: String = {
+    val cases = DpCdfPm.zipWithIndex.init
+      .map { case (t, i) => s"WHEN u < $t THEN ${i - 8}" }.mkString(" ")
+    s"""WITH daily AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |d AS (
+       |  SELECT day, n_true,
+       |    CAST(concat('0x', substr(md5('dp' || day), 1, 15)) AS BIGINT)
+       |      % 1000 AS u
+       |  FROM daily),
+       |n AS (
+       |  SELECT day, n_true,
+       |    CAST(CASE $cases ELSE 8 END AS BIGINT) AS z
+       |  FROM d),
+       |w AS (
+       |  SELECT day, n_true, z, n_true + z AS n_released, abs(z) AS abs_err
+       |  FROM n),
+       |m AS (
+       |  SELECT CAST(SUM(abs_err) AS BIGINT) * 1000 // COUNT(*)
+       |    AS mae_millis FROM w)
+       |SELECT day, n_true, z, n_released, abs_err, m.mae_millis
+       |FROM w, m ORDER BY day""".stripMargin
+  }
 }

@@ -169,4 +169,51 @@ class BehaviorSpec extends AnyFunSuite {
     assert(Behavior.IpsWeightScale % Behavior.IpsPushPm === 0L)
     assert(Behavior.IpsWeightScale % (1000L - Behavior.IpsPushPm) === 0L)
   }
+
+  test("q_psm: rank pairing recomputes from raw events; ATT identity") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Behavior.psmQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver-side replay of the whole matching
+    val users = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val strata = users.map { case (uid, n, ck, y) =>
+      val treated = ck >= Behavior.PsmTreatMinClicks
+      ((math.min(n / 10, 9L), uid % Behavior.PsmSubStrata), treated, uid, y)
+    }.groupBy(_._1)
+    var pairsTotal = 0L
+    var diffTotal = 0L
+    val bucketPairs = scala.collection.mutable.HashMap.empty[Long, Long]
+    strata.foreach { case ((bucket, _), xs) =>
+      val t = xs.filter(_._2).sortBy(_._3).map(_._4)
+      val c = xs.filter(!_._2).sortBy(_._3).map(_._4)
+      val m = math.min(t.length, c.length)
+      pairsTotal += m
+      bucketPairs(bucket) = bucketPairs.getOrElse(bucket, 0L) + m
+      (0 until m).foreach(i => diffTotal += t(i) - c(i))
+    }
+    // non-degenerate fixture: both arms and at least one matched pair
+    assert(pairsTotal > 0, "no matched pairs — treatment rule degenerate")
+    rows.foreach { r =>
+      val bucket = r.getLong(0)
+      assert(r.getLong(3) === bucketPairs.getOrElse(bucket, 0L),
+        s"bucket $bucket pair count")
+      assert(r.getLong(6) === pairsTotal && r.getLong(7) === diffTotal)
+      val expAtt =
+        if (diffTotal < 0) -((-diffTotal) * 1000L / pairsTotal)
+        else diffTotal * 1000L / pairsTotal
+      assert(r.getLong(8) === expAtt, "sign-split milli-ATT")
+    }
+    // pairing balance: n_pairs never exceeds either arm
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(3) <= r.getLong(2))
+    }
+  }
 }

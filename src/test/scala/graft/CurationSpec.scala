@@ -238,4 +238,35 @@ class CurationSpec extends AnyFunSuite {
     // docs — the detector must actually fire somewhere at sf0.001
     assert(rows.exists(_.getLong(3) > 0), "no boilerplate found at all")
   }
+
+  test("q_dp_release: ladder is a pmf, draws replay, release identity holds") {
+    // the pinned discrete-Laplace ladder must be an exact per-mille pmf,
+    // symmetric up to the documented z=0 quantization residue
+    assert(Curation.DpLadderPm.sum === 1000L)
+    assert(Curation.DpLadderPm.length === 17)
+    assert(Curation.DpLadderPm === Curation.DpLadderPm.reverse,
+      "two-sided geometric is symmetric")
+    val rows = Curation.dpReleaseQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def drawZ(day: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dp" + day).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16) % 1000L
+      val i = Curation.DpCdfPm.indexWhere(u < _)
+      i.toLong - 8L
+    }
+    var sumAbs = 0L
+    rows.foreach { r =>
+      val (day, nTrue, z, rel, ae) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(z === drawZ(day), s"$day: draw must replay from the ladder")
+      assert(rel === nTrue + z && ae === math.abs(z))
+      sumAbs += math.abs(z)
+    }
+    assert(rows.head.getLong(5) === sumAbs * 1000L / rows.length,
+      "mae_millis recompute")
+    // the mechanism must actually perturb something at this ε
+    assert(rows.exists(_.getLong(2) != 0L), "all draws zero — ladder broken?")
+  }
 }
