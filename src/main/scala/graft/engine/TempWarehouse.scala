@@ -23,7 +23,12 @@ object TempWarehouse {
     dir
   }
 
-  private val managed = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  // value type must be the REFERENCE java.lang.Boolean: with scala.Boolean
+  // the compiler unboxes putIfAbsent's return, `== null` is always false,
+  // and the shutdown hook silently never registers — every managed dir
+  // then leaks for the machine's tmpdir lifetime (1667 found when caught)
+  private val managed =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Register an existing path for deletion at JVM exit (idempotent per
     * path) — for operators whose working directories live under tmpdir
@@ -31,7 +36,7 @@ object TempWarehouse {
     * the operator retires generations itself; this hook stops the FINAL
     * generation outliving the JVM. */
   def manageExisting(path: String): Unit =
-    if (managed.putIfAbsent(path, true) == null)
+    if (managed.putIfAbsent(path, java.lang.Boolean.TRUE) == null)
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         deleteRecursively(java.nio.file.Paths.get(path))))
 

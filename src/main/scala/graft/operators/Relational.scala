@@ -1587,4 +1587,71 @@ object Relational {
       |  CAST(SUM(cents) AS BIGINT)
       |FROM v2 GROUP BY 2
       |ORDER BY version, c_mktsegment""".stripMargin
+
+  // `q_table_changes` (X251): incremental consumption off the commit log
+
+  /** `q_table_changes` (X251): the CHANGE FEED — the commit log consumed
+    * as an incremental upstream (Delta CDF / Iceberg incremental read),
+    * the missing half of the table-format loop: X208 diffs two versions
+    * on demand; the feed is the standing CONSUMER that processes each
+    * append exactly once across process restarts. Fixture: orders split
+    * three ways by key (mod 3) and commitAppend'ed as v1/v2/v3. The
+    * consumer then runs TWICE against one fsynced version ledger —
+    * run 1 wakes with the table at v2, reads `(0, 2]`, checkpoints 2;
+    * run 2 wakes after v3 landed, reads `(2, 3]` FROM THE LEDGER. The
+    * gate rolls up per (run, commit_version): rows, exact cents, key
+    * checksum — a batch consumed twice, a version skipped, or a ledger
+    * that reset all break the hash against the oracle's re-derivation
+    * of the same mod-3 split. Planning is manifest-only; the data read
+    * is exactly the appended files — feed cost follows the CHANGE, not
+    * the table size.
+    *
+    * At 100 TB this is the operating mode of every downstream job over
+    * a hot table: poll, read the delta, checkpoint — never rescan. */
+  def tableChangesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    import graft.engine.TableCommit
+    val work = graft.engine.TempWarehouse.createManaged("graft_cfeed_")
+    val root = s"$work/orders"
+    val ledger = s"$work/consumer.v"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), cents)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("cents", LongType)))
+    def batch(k: Int) = src.filter(pmod(col("o_orderkey"), lit(3)) === k)
+    // producer: three appends; retention covers the consumer's lag
+    TableCommit.commitAppend(batch(0), root, retain = 4)
+    val v2 = TableCommit.commitAppend(batch(1), root, retain = 4)
+    def consume(runNo: Long): DataFrame = {
+      val from = TableCommit.readConsumerLedger(ledger)
+      val to = TableCommit.currentVersion(root).getOrElse(0L)
+      val fed = TableCommit.readChanges(spark, root, schema, from, to)
+      TableCommit.writeConsumerLedger(ledger, to)
+      fed.withColumn("run", lit(runNo))
+    }
+    val run1 = consume(1L) // table at v2: reads (0, 2]
+    assert(TableCommit.readConsumerLedger(ledger) == v2)
+    TableCommit.commitAppend(batch(2), root, retain = 4)
+    val run2 = consume(2L) // resumes from the ledger: reads (2, 3]
+    run1.unionByName(run2)
+      .groupBy(col("run"), col("_commit_version").as("commit_version"))
+      .agg(Num.countStar.as("n_rows"), sum(col("cents")).as("cents_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("commit_version"))
+  }
+
+  val tableChangesOracle: String =
+    """WITH b AS (
+      |  SELECT o_orderkey % 3 AS k, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT CASE WHEN k + 1 <= 2 THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(2 AS BIGINT) END AS run,
+      |  CAST(k + 1 AS BIGINT) AS commit_version,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM b GROUP BY 1, 2 ORDER BY commit_version""".stripMargin
 }

@@ -368,4 +368,74 @@ class TableCommitSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
     TableCommit.abortStaged(staged)
   }
+
+  test("change feed: per-version rows exact, composition = full range, exactly-once") {
+    val r = root()
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b2 = Seq((3L, "c")).toDF("k", "v")
+    val b3 = Seq((4L, "d"), (5L, "e")).toDF("k", "v")
+    TableCommit.commitAppend(b1, r, retain = 4)
+    TableCommit.commitAppend(b2, r, retain = 4)
+    TableCommit.commitAppend(b3, r, retain = 4)
+    def keysAt(df: org.apache.spark.sql.DataFrame, v: Long): Set[Long] =
+      df.filter(col("_commit_version") === v)
+        .collect().map(_.getLong(0)).toSet
+    val full = TableCommit.readChanges(spark, r, schema, 0L, 3L)
+    assert(keysAt(full, 1L) === Set(1L, 2L))
+    assert(keysAt(full, 2L) === Set(3L))
+    assert(keysAt(full, 3L) === Set(4L, 5L))
+    // split consumption composes to the full range with no overlap
+    val part1 = TableCommit.readChanges(spark, r, schema, 0L, 1L)
+    val part2 = TableCommit.readChanges(spark, r, schema, 1L, 3L)
+    val union = part1.unionByName(part2)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).sorted
+    assert(union === full.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).sorted)
+    // empty range reads empty with the widened schema
+    val none = TableCommit.readChanges(spark, r, schema, 3L, 3L)
+    assert(none.count() === 0L &&
+      none.schema.fieldNames.contains("_commit_version"))
+  }
+
+  test("change feed: file-level diff is additive; a rewrite version is refused") {
+    val r = root()
+    TableCommit.commitAppend(Seq((1L, "a")).toDF("k", "v"), r, retain = 4)
+    TableCommit.commitAppend(Seq((2L, "b")).toDF("k", "v"), r, retain = 4)
+    val chs = TableCommit.changesBetween(r, 0L, 2L)
+    assert(chs.map(_.version) === Seq(1L, 2L))
+    assert(chs.forall(_.removedPaths.isEmpty))
+    // added files across the feed = the full v2 manifest (append-only)
+    assert(chs.flatMap(_.added).map(_.path).toSet ===
+      TableCommit.entriesAtVersion(r, 2L).map(_.path).toSet)
+    // an overwrite removes files: the feed must fail loudly, not
+    // double-read rewritten bytes
+    TableCommit.commitOverwrite(Seq((9L, "z")).toDF("k", "v"), r, retain = 4)
+    val ex = intercept[IllegalArgumentException] {
+      TableCommit.readChanges(spark, r, schema, 0L, 3L)
+    }
+    assert(ex.getMessage.contains("append-only"))
+    // but a feed range past the rewrite works again
+    TableCommit.commitAppend(Seq((10L, "y")).toDF("k", "v"), r, retain = 4)
+    val after = TableCommit.readChanges(spark, r, schema, 3L, 4L)
+    assert(after.collect().map(_.getLong(0)).toSet === Set(10L))
+  }
+
+  test("consumer ledger: virgin = 0, atomic overwrite advances, survives re-read") {
+    val dir = Files.createTempDirectory("graft_ledger_spec_")
+    val p = s"$dir/consumer.v"
+    assert(TableCommit.readConsumerLedger(p) === 0L)
+    TableCommit.writeConsumerLedger(p, 2L)
+    assert(TableCommit.readConsumerLedger(p) === 2L)
+    TableCommit.writeConsumerLedger(p, 7L) // overwrite, not CREATE_NEW
+    assert(TableCommit.readConsumerLedger(p) === 7L)
+    // no tmp litter left beside the ledger (and close the dir stream —
+    // the EMFILE lesson from the vacuum hammer)
+    val s = Files.list(dir)
+    val names =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toList
+      } finally s.close()
+    assert(names === List("consumer.v"))
+  }
 }
