@@ -1065,4 +1065,52 @@ class PlanSpec extends AnyFunSuite {
       !bp.contains("BroadcastNestedLoopJoin"),
       s"boilerplate frequency join must stay an equi-join:\n$bp")
   }
+
+  test("X244-X251 ops: candidate/histogram/broadcast discipline holds") {
+    // heavy hitters: the candidate set broadcasts back onto the word
+    // stream (a sort-merge would mean the vocabulary shuffled — the exact
+    // cost the MG pass exists to avoid)
+    val hh = plan("q_heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin"),
+      s"heavy_hitters verify pass must broadcast the candidates:\n$hh")
+    assert(!hh.contains("SortMergeJoin") && !hh.contains("CartesianProduct"),
+      s"heavy_hitters must never shuffle the vocabulary:\n$hh")
+    // decile lift: every window runs over the ≤1000-bucket histogram —
+    // the aggregate must sit BELOW the first window in the plan
+    val dl = plan("q_decile_lift")
+    val aggIdx = dl.indexOf("HashAggregate")
+    val winIdx = dl.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < dl.lastIndexOf("HashAggregate"),
+      s"decile_lift windows must consume the histogram, not raw rows:\n$dl")
+    assert(!dl.contains("SortMergeJoin") && !dl.contains("CartesianProduct"))
+    // conformal: predictor and q-hat ride broadcasts; three narrow scans,
+    // never a data-sized sort-merge join
+    val cf = plan("q_conformal")
+    assert(cf.contains("BroadcastHashJoin"),
+      s"conformal predictor join must broadcast:\n$cf")
+    assert(!cf.contains("SortMergeJoin"),
+      s"conformal must not sort-merge the event stream:\n$cf")
+    // IPS: the whole estimator is one narrow pass into a day-bounded
+    // aggregate — joining anything means the propensity left the scan
+    val ips = plan("q_ips")
+    assert(!ips.contains("Join"),
+      s"ips must be a join-free narrow aggregate:\n$ips")
+    // BPE training: rounds run on the vocab frame; the argmax must be a
+    // top-1 TakeOrdered, never a global sort
+    val bt = plan("q_bpe_train")
+    assert(bt.contains("TakeOrderedAndProject"),
+      s"bpe_train argmax must be TakeOrdered(1):\n$bt")
+    assert(!bt.contains("CartesianProduct"))
+    // PSM: rank windows partition by (bucket, sub, arm); the pair join is
+    // an equi-join on the stratum key and the ATT broadcast is the only
+    // nested-loop
+    val ps = plan("q_psm")
+    assert(!ps.contains("CartesianProduct"),
+      s"psm must not degrade to a product:\n$ps")
+    // DP release: the day histogram is the only aggregate input; the
+    // ladder is pure projection (no join for the noise draw)
+    val dp = plan("q_dp_release")
+    assert(!dp.contains("SortMergeJoin") && !dp.contains("CartesianProduct"),
+      s"dp_release noise must stay in the projection:\n$dp")
+  }
 }
