@@ -1571,4 +1571,70 @@ object Behavior {
        |    AS att_millis
        |FROM arms LEFT JOIN pb ON arms.bucket = pb.bucket, att
        |ORDER BY arms.bucket""".stripMargin
+
+  // `q_seq_patterns` (X253): sequential-pattern support mining
+
+  /** `q_seq_patterns` (X253): ORDERED-PAIR sequential patterns — the
+    * support count every sequence miner (GSP/PrefixSpan) starts from,
+    * and the shape none of the existing behavioral ops express: X70
+    * counts ADJACENT transitions, X68/X155 check ONE fixed sequence,
+    * X216 conditions on a fixed-length context; this asks, for every
+    * ordered type pair (a → b), in how many user-days did a occur
+    * BEFORE b at all — existential order, any distance. One fold to
+    * (user, day, type, first_us, last_us), then the pair test is
+    * first(a) < last(b) over the ≤|types|² within-group self-join
+    * (strict <, so equal-timestamp edges are excluded by the same rule
+    * in both engines). Support rides with per-mille of all user-days —
+    * the interestingness denominator.
+    *
+    * Scale: the fold is one map-side-combined aggregate to a frame
+    * bounded by user-days × |types|; the self-join fans each group to
+    * ≤|types|² rows (25 here — the type DOMAIN, not the event count),
+    * then collapses to the |types|²-bounded pattern table. */
+  def seqPatternsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        .groupBy(col("user_id"), col("day"), col("event_type"))
+        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us")))
+    val total = spans.select(col("user_id"), col("day")).distinct()
+      .agg(Num.countStar.as("n_userdays"))
+    spans.as("a")
+      .join(spans.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .filter(col("a.first_us") < col("b.last_us"))
+      .groupBy(col("a.event_type").as("pat_a"),
+        col("b.event_type").as("pat_b"))
+      .agg(Num.countStar.as("support"))
+      .crossJoin(broadcast(total))
+      .withColumn("support_permille",
+        Num.divLong(col("support") * 1000L, col("n_userdays")))
+      .orderBy(col("support").desc, col("pat_a"), col("pat_b"))
+  }
+
+  val seqPatternsOracle: String =
+    """WITH spans AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+      |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+      |  FROM events GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_userdays
+      |  FROM (SELECT DISTINCT user_id, day FROM spans)),
+      |p AS (
+      |  SELECT a.event_type AS pat_a, b.event_type AS pat_b,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM spans a JOIN spans b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |    AND a.event_type <> b.event_type
+      |  WHERE a.first_us < b.last_us
+      |  GROUP BY 1, 2)
+      |SELECT pat_a, pat_b, support,
+      |  support * 1000 // tot.n_userdays AS support_permille,
+      |  tot.n_userdays
+      |FROM p, tot
+      |ORDER BY support DESC, pat_a, pat_b""".stripMargin
 }

@@ -329,6 +329,57 @@ object Stats {
   val hllDistinctOracle: String =
     s"WITH $hllEventRegsSql,\n${hllEstimateSql("regs")}"
 
+  /** `q_hll_est` (X252): HLL sketch-accuracy evaluation — the distinct-
+    * count leg completing the sketch-error family (X202 MinHash-vs-
+    * Jaccard, X241 SimHash-vs-cosine, X213/X192 index recall): the HLL
+    * estimate BESIDE the exact distinct and the relative error in
+    * per-mille, so "is ±2% at m=64 acceptable for this dashboard"
+    * becomes a measured artifact rather than a belief about 1.04/√m.
+    * The error column is two IEEE ops in pinned order over the
+    * identically-computed estimate (one literal-by-integer division)
+    * and the exact integer count — no sums of doubles, so it
+    * hash-gates like every other randomized artifact here.
+    *
+    * Scale: the sketch fold is the same ≤64-registers-per-group
+    * aggregate as X56; the exact leg is the expensive one (a
+    * distinct-expand) and exists BECAUSE this is the evaluation gate —
+    * production runs the sketch alone, this query is how it earns
+    * that. */
+  def hllEstQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val est = hllEstimate(hllRegs(Tables.events(spark, sfDir),
+      col("event_type"), col("event_id"), "e"))
+      .withColumnRenamed("g", "event_type")
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("buckets_hit"),
+        col("s_int"), col("est_hll"),
+        floor(abs(col("est_hll") / col("n_exact") - 1.0) * 1000.0)
+          .cast("long").as("err_permille"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllEstOracle: String = {
+    val full = 1L << (HllRestBits + 1)
+    s"""WITH $hllEventRegsSql,
+       |s AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (${HllRestBits + 1} - reg))
+       |      AS BIGINT) + (${HllM} - COUNT(*)) * ${full} AS s_int
+       |  FROM regs GROUP BY 1),
+       |ex AS (
+       |  SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT)
+       |    AS n_exact
+       |  FROM events GROUP BY 1)
+       |SELECT s.event_type, ex.n_exact, s.buckets_hit,
+       |  CAST(s.s_int AS BIGINT) AS s_int,
+       |  ${HllNumer} / CAST(s.s_int AS DOUBLE) AS est_hll,
+       |  CAST(FLOOR(abs(${HllNumer} / CAST(s.s_int AS DOUBLE)
+       |    / ex.n_exact - 1.0) * 1000.0) AS BIGINT) AS err_permille
+       |FROM s JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
   /** `q_hll_merge`: HLL MERGEABILITY — the property that makes sketches
     * the scale answer: registers merge by per-bucket max, so the global
     * sketch is computed FROM the per-group sketches (≤64 rows each), never

@@ -170,6 +170,36 @@ class BehaviorSpec extends AnyFunSuite {
     assert(Behavior.IpsWeightScale % (1000L - Behavior.IpsPushPm) === 0L)
   }
 
+  test("q_seq_patterns: supports recompute from the raw log; bounds hold") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Behavior.seqPatternsQ(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.engine.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getString(2), r.getLong(3)))
+    val byDay = raw.groupBy(_._1)
+    val nUserDays = byDay.size.toLong
+    val support = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    byDay.values.foreach { es =>
+      val spans = es.groupBy(_._2).map { case (t, xs) =>
+        (t, xs.map(_._3).min, xs.map(_._3).max)
+      }
+      for ((a, fa, _) <- spans; (b, _, lb) <- spans if a != b && fa < lb)
+        support((a, b)) = support.getOrElse((a, b), 0L) + 1L
+    }
+    assert(rows.length === support.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === support(k), s"$k support")
+      assert(r.getLong(3) === nUserDays)
+      assert(r.getLong(4) === support(k) * 1000L / nUserDays)
+      assert(r.getLong(2) <= nUserDays, "support bounded by user-days")
+    }
+  }
+
   test("q_psm: rank pairing recomputes from raw events; ATT identity") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"

@@ -565,6 +565,29 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_hll_est: one estimator definition, exact leg exact, error in the m=64 band") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Stats.hllEstQ(spark, sfDir).collect()
+    val ests = Stats.hllDistinctQ(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val exact = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(countDistinct(col("event_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) === exact(t), s"$t: exact leg drifted")
+      // the gate's estimate IS X56's estimate — one definition, not a
+      // reimplemented eval grading the wrong sketch
+      assert((r.getLong(3), r.getDouble(4)) === ests(t))
+      val err = r.getLong(5)
+      assert(err === math.floor(
+        math.abs(r.getDouble(4) / exact(t) - 1.0) * 1000.0).toLong)
+      // m=64 → σ ≈ 1.04/√64 = 13%; 3σ band (the eval exists to MEASURE
+      // this, but an estimate 40%+ off means the sketch is broken)
+      assert(err < 400L, s"$t: HLL error $err‰ outside any plausible band")
+    }
+  }
+
   test("q_decile_lift: partition identity, monotone capture, closing lift = 1000") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = Stats.decileLiftQ(spark, sfDir).collect()
