@@ -842,6 +842,108 @@ object TableCommit {
   }
 
   // ------------------------------------------------------------------
+  // Bloom file index (X254)
+  // ------------------------------------------------------------------
+
+  /** Manifest key prefix for a per-file bloom filter on a column. The
+    * bloom rides the existing stats channel — `bloom:<col>` maps to
+    * (bits-as-hex, "m/k") — so the manifest format, parser, and every
+    * reader stay byte-identical; readers that don't know the prefix see
+    * an inert stats entry. Min/max (X207) answers RANGE predicates on
+    * clustered columns; the bloom answers EQUALITY probes on columns
+    * the layout does NOT order — the Delta bloom-index / Iceberg
+    * parquet-bloom capability, at manifest granularity. */
+  val BloomPrefix = "bloom:"
+
+  /** The k bit positions a value sets/probes — the engine-portable
+    * md5 family (seeded per hash), identical in the executor-side
+    * builder and this driver-side prober. */
+  private[graft] def bloomProbeBits(value: String, m: Int,
+      k: Int): Seq[Int] =
+    (0 until k).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bf$i|$value".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % m).toInt
+    }
+
+  /** Append with a per-file bloom on `bloomCol`: stage, then ONE extra
+    * pass over the staged files computes each file's k bit positions
+    * (executor-side, grouped by input file), the driver folds them into
+    * m-bit maps (metadata-sized: ≤ m positions per file), and the
+    * entries publish with the bloom beside any footer stats. The pass
+    * costs one scan of the BATCH (never the table) — the standard
+    * price of indexing at write time. */
+  def commitAppendBloom(spark: SparkSession, df: DataFrame, root: String,
+      bloomCol: String, m: Int = 256, k: Int = 4, retain: Int = 1,
+      statsCols: Seq[String] = Nil): Long = {
+    require(m % 8 == 0 && m > 0 && k > 0, s"bad bloom geometry $m/$k")
+    import org.apache.spark.sql.functions._
+    val base = currentVersion(root).getOrElse(0L)
+    val prior = entriesAt(root, base)
+    val staged = stageBatch(df, root, None, statsCols)
+    val pos = (0 until k).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"bf$i|"),
+        col(bloomCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(m.toLong)).cast("int"))
+    val posByFile = spark.read
+      .parquet(staged.map(e => s"$root/${e.path}"): _*)
+      .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
+      .groupBy(col("f")).agg(collect_set(col("p")).as("ps"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1))).toMap
+    val withBloom = staged.map { e =>
+      val tail = "/" + e.path
+      posByFile.find { case (uri, _) => uri.endsWith(tail) } match {
+        case None => e // empty file: no rows, bloom absent → never pruned wrongly
+        case Some((_, ps)) =>
+          val bytes = new Array[Byte](m / 8)
+          ps.foreach(p => bytes(p >> 3) =
+            (bytes(p >> 3) | (1 << (p & 7))).toByte)
+          val hex = bytes.map("%02x".format(_)).mkString
+          e.copy(stats = e.stats +
+            (s"$BloomPrefix$bloomCol" -> ColStats(hex, s"$m/$k")))
+      }
+    }
+    publish(root, prior ++ withBloom, retain, expected = Some(base))
+  }
+
+  /** Equality-probe file pruning from the manifest blooms: keep a file
+    * iff its bloom says the value MIGHT be present (all k bits set) —
+    * or it carries no bloom for the column (lossless by construction,
+    * the X207 missing-stat rule). False positives cost a read; false
+    * negatives are impossible, which the spec proves against every key
+    * in the table. */
+  def pruneEntriesBloom(root: String, column: String,
+      value: String): Seq[Entry] =
+    entries(root).filter { e =>
+      e.stats.get(s"$BloomPrefix$column") match {
+        case None => true
+        case Some(ColStats(hexBits, geom)) =>
+          val parts = geom.split('/')
+          val m = parts(0).toInt
+          val k = parts(1).toInt
+          bloomProbeBits(value, m, k).forall { p =>
+            val byte = Integer.parseInt(
+              hexBits.substring((p >> 3) * 2, (p >> 3) * 2 + 2), 16)
+            (byte & (1 << (p & 7))) != 0
+          }
+      }
+    }
+
+  /** Point-lookup read planned from the manifest blooms. The caller
+    * still applies the equality predicate — the bloom only bounds WHICH
+    * FILES can contain it (false positives read, then filter out). */
+  def readPrunedBloom(spark: SparkSession, root: String,
+      schema: StructType, column: String, value: String): DataFrame =
+    pruneEntriesBloom(root, column, value) match {
+      case Seq() =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case es =>
+        spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
+    }
+
+  // ------------------------------------------------------------------
   // Change feed (X251)
   // ------------------------------------------------------------------
 

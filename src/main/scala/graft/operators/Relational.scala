@@ -1642,6 +1642,60 @@ object Relational {
       .orderBy(col("commit_version"))
   }
 
+  // `q_bloom_prune` (X254): manifest-bloom point-lookup file skipping
+
+  /** Probe keys for the bloom point lookup (exist at every SF; a probe
+    * absent from the data returns no row in both engines). */
+  val BloomProbeKeys: Seq[Long] = Seq(3L, 17L, 59L, 101L, 131L)
+
+  /** `q_bloom_prune` (X254): POINT LOOKUPS planned from manifest bloom
+    * filters — the equality-probe complement to X207's min/max ranges:
+    * a key-hash-partitioned table has NO per-file key range worth
+    * pruning on (every file spans the whole domain), yet each KEY lives
+    * in exactly one file — which is precisely what a per-file bloom
+    * knows. The fixture commits the customer dim hash-partitioned on
+    * c_custkey via `commitAppendBloom` (one extra batch-sized pass at
+    * write time builds the m=256/k=4 blooms into the manifest's stats
+    * channel); each probe then reads only the files whose bloom might
+    * contain the key and applies the exact predicate (false positives
+    * read-then-drop; false negatives impossible — spec-proven against
+    * every key in the table). The gate returns the probed rows
+    * themselves, so a bloom that wrongly drops a file breaks the hash
+    * against the oracle's plain WHERE IN.
+    *
+    * At 100 TB this is the needle-in-haystack path: a point lookup on
+    * a 100k-file table opens the manifest and ~1 file, not 100k
+    * footers. File-count assertions live in the spec — DuckDB can't
+    * see manifests. */
+  def bloomPruneQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_bloom_") + "/cust"
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val df = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), cents)
+      .repartition(8, col("c_custkey"))
+    TableCommit.commitAppendBloom(spark, df, root, "c_custkey")
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("cents", LongType)))
+    BloomProbeKeys.map { key =>
+      TableCommit.readPrunedBloom(spark, root, schema,
+        "c_custkey", key.toString)
+        .filter(col("c_custkey") === key)
+    }.reduce(_ unionByName _)
+      .orderBy(col("c_custkey"))
+  }
+
+  val bloomPruneOracle: String =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |FROM customer
+       |WHERE c_custkey IN (${BloomProbeKeys.mkString(", ")})
+       |ORDER BY c_custkey""".stripMargin
+
   val tableChangesOracle: String =
     """WITH b AS (
       |  SELECT o_orderkey % 3 AS k, o_orderkey,

@@ -298,4 +298,48 @@ class ManifestStatsSpec extends AnyFunSuite {
     TableCommit.vacuum(r, minAgeMs = 60000L)
     assert(!Files.exists(orphanPath))
   }
+
+  test("bloom index: lossless for every key, prunes to a strict file subset") {
+    import spark.implicits._
+    val r = Files.createTempDirectory("graft_bloom_spec_").toString + "/t"
+    val n = 200L
+    val df = spark.range(1L, n + 1L)
+      .select(col("id").as("k"), (col("id") * 7L).as("v"))
+      .repartition(8, col("k"))
+    TableCommit.commitAppendBloom(spark, df, r, "k", m = 256, k = 4)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    val total = TableCommit.entries(r).size
+    assert(total == 8, s"fixture should write 8 files, got $total")
+    // manifest roundtrip: every file carries the bloom with its geometry
+    TableCommit.entries(r).foreach { e =>
+      val cs = e.stats.get("bloom:k")
+      assert(cs.isDefined, s"${e.path}: bloom missing from manifest")
+      assert(cs.get.max === "256/4" && cs.get.min.length === 64)
+    }
+    // LOSSLESS: every key's row survives its own pruned read
+    var prunedSum = 0L
+    (1L to n).foreach { key =>
+      val kept = TableCommit.pruneEntriesBloom(r, "k", key.toString)
+      prunedSum += kept.size
+      val row = TableCommit.readPrunedBloom(spark, r, schema, "k",
+        key.toString).filter(col("k") === key).collect()
+      assert(row.length === 1 && row.head.getLong(1) === key * 7L,
+        s"key $key dropped by bloom pruning")
+    }
+    // EFFECTIVE: on a hash-partitioned layout each key lives in one
+    // file; with m=256/k=4 at ~25 keys/file the average probe must open
+    // far fewer than all 8 (allow generous fp headroom)
+    assert(prunedSum < n * 3, s"bloom barely prunes: avg ${prunedSum / n.toDouble}")
+    // a value absent from the data usually prunes to zero files; at
+    // minimum it never errors and the read returns nothing
+    val ghost = TableCommit.readPrunedBloom(spark, r, schema, "k", "999999")
+      .filter(col("k") === 999999L)
+    assert(ghost.count() === 0L)
+    // a bloom-less table keeps everything (missing index = might match)
+    val r2 = Files.createTempDirectory("graft_bloom_spec_").toString + "/t2"
+    TableCommit.commitAppend(df, r2)
+    assert(TableCommit.pruneEntriesBloom(r2, "k", "5").size ===
+      TableCommit.entries(r2).size)
+  }
 }
