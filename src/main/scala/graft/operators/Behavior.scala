@@ -1615,6 +1615,88 @@ object Behavior {
       .orderBy(col("support").desc, col("pat_a"), col("pat_b"))
   }
 
+  // `q_srm` (X255): sample-ratio-mismatch health check
+
+  /** χ²(df=1) critical value at α=0.05, in millis (3.841). The flag
+    * compares integer cross-multiples, never a float: (a−b)²·1000 >
+    * 3841·n ⟺ χ² > 3.841, exactly. */
+  val SrmCritMilli = 3841L
+
+  /** `q_srm` (X255): SAMPLE-RATIO MISMATCH — the health check every
+    * experimentation platform runs before anyone reads a metric (X85
+    * computes the lift; SRM asks whether the ASSIGNMENT itself broke —
+    * a redirect dropping one arm's traffic, a bot filter biased by arm,
+    * an allocation bug: if the 50/50 split didn't land 50/50 beyond
+    * chance, every downstream readout is garbage). Counted in the UNIT
+    * OF RANDOMIZATION — distinct users, never events: user-level
+    * assignment makes event counts clustered, and a χ² on clustered
+    * counts flags healthy splits (the textbook SRM false alarm; the
+    * first draft of this operator made exactly that mistake and its
+    * own spec caught it). Under H₀ the two-cell goodness-of-fit χ²
+    * reduces to (a−b)²/n; both the milli-scaled statistic and the
+    * α=0.05 verdict are exact integer arithmetic (cross-multiplied
+    * against the 3.841 critical value), so the gate hashes bit-exact.
+    * Emitted per day — where assignment bugs show up as a STEP — plus
+    * the pooled `__all__` row (distinct users overall, NOT a fold of
+    * the daily frame: a user active on many days is one unit).
+    *
+    * Scale: two distinct-aggregates over a narrow (day, user, arm)
+    * projection — the exact-distinct expand is the price of counting
+    * units; X56's sketch is the swap-in when approximate suffices. */
+  def srmQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val arm = conv(substring(md5(concat(lit("ab"), col("user_id"))), 1, 15),
+      16, 10).cast("long") % 2L
+    val base = Materialize.diskBacked(
+      Tables.events(spark, sfDir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id"), arm.as("arm"))
+        .distinct())
+    val daily = base.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n"),
+        countDistinct(when(col("arm") === 1L, col("user_id"))).as("n_treat"))
+    val pooled = base.agg(countDistinct(col("user_id")).as("n"),
+      countDistinct(when(col("arm") === 1L, col("user_id"))).as("n_treat"))
+      .select(lit("__all__").as("day"), col("n"), col("n_treat"))
+    daily.unionByName(pooled)
+      .select(col("day"), col("n"), col("n_treat"),
+        (col("n") - col("n_treat")).as("n_control"))
+      .withColumn("diff2",
+        (col("n_treat") * 2L - col("n")) * (col("n_treat") * 2L - col("n")))
+      .select(col("day"), col("n"), col("n_treat"), col("n_control"),
+        Num.divLong(col("diff2") * 1000L, col("n")).as("chi2_milli"),
+        (col("diff2") * 1000L > lit(SrmCritMilli) * col("n"))
+          .cast("long").as("srm_flag"))
+      .orderBy(col("day"))
+  }
+
+  val srmOracle: String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id,
+       |    CAST(concat('0x', substr(md5('ab' || user_id), 1, 15))
+       |      AS BIGINT) % 2 AS arm
+       |  FROM events),
+       |d AS (
+       |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+       |    CAST(COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+       |      AS BIGINT) AS n_treat
+       |  FROM b GROUP BY 1),
+       |u AS (
+       |  SELECT day, n, n_treat FROM d
+       |  UNION ALL
+       |  SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       |    CAST(COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+       |      AS BIGINT)
+       |  FROM b),
+       |s AS (
+       |  SELECT day, n, n_treat, n - n_treat AS n_control,
+       |    (n_treat * 2 - n) * (n_treat * 2 - n) AS diff2
+       |  FROM u)
+       |SELECT day, n, n_treat, n_control,
+       |  diff2 * 1000 // n AS chi2_milli,
+       |  CAST(CASE WHEN diff2 * 1000 > ${SrmCritMilli} * n THEN 1 ELSE 0 END
+       |    AS BIGINT) AS srm_flag
+       |FROM s ORDER BY day""".stripMargin
+
   val seqPatternsOracle: String =
     """WITH spans AS (
       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -200,6 +200,44 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_srm: unit counts recompute from distinct users; flag law holds") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Behavior.srmQ(spark, sfDir).collect()
+    val daily = rows.filterNot(_.getString(0) == "__all__")
+    val all = rows.filter(_.getString(0) == "__all__")
+    assert(all.length === 1 && daily.nonEmpty)
+    // driver recompute in the unit of randomization (distinct users)
+    val raw = graft.engine.Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("user_id"),
+        (conv(substring(md5(concat(lit("ab"), col("user_id"))), 1, 15),
+          16, 10).cast("long") % 2L).as("arm"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byDay = raw.groupBy(_._1)
+    daily.foreach { r =>
+      val us = byDay(r.getString(0)).map(x => (x._2, x._3)).distinct
+      assert(r.getLong(1) === us.length.toLong)
+      assert(r.getLong(2) === us.count(_._2 == 1L).toLong)
+    }
+    val users = raw.map(x => (x._2, x._3)).distinct
+    assert(all.head.getLong(1) === users.length.toLong,
+      "pooled row must count distinct USERS, not sum user-days")
+    assert(all.head.getLong(2) === users.count(_._2 == 1L).toLong)
+    rows.foreach { r =>
+      val (n, a, b) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a + b === n)
+      val diff2 = (a - b) * (a - b)
+      assert(r.getLong(4) === diff2 * 1000L / n, "chi2_milli recompute")
+      assert(r.getLong(5) ===
+        (if (diff2 * 1000L > Behavior.SrmCritMilli * n) 1L else 0L))
+    }
+    // the md5 split is genuinely ~50/50 in units: the pooled row (9/6
+    // at this SF) must not flag
+    assert(all.head.getLong(5) === 0L,
+      "uniform hash assignment flagged SRM — split or statistic broken")
+  }
+
   test("q_psm: rank pairing recomputes from raw events; ATT identity") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
