@@ -908,6 +908,47 @@ object TableCommit {
     publish(root, prior ++ withBloom, retain, expected = Some(base))
   }
 
+  /** REINDEX: rebuild the bloom on `bloomCol` for every file of the
+    * CURRENT snapshot in one metadata transaction — zero data movement
+    * (the published file list is byte-identical; only the stats channel
+    * changes). This is how the index survives operations that rewrite
+    * files without knowing about blooms (OPTIMIZE/compaction,
+    * overwrite): run the maintenance, then reindex — one batch-sized
+    * read pass, the same optimistic-concurrency publish as every other
+    * commit. */
+  def commitReindexBloom(spark: SparkSession, root: String,
+      bloomCol: String, m: Int = 256, k: Int = 4,
+      retain: Int = 1): Long = {
+    require(m % 8 == 0 && m > 0 && k > 0, s"bad bloom geometry $m/$k")
+    import org.apache.spark.sql.functions._
+    val base = currentVersion(root).getOrElse(0L)
+    val es = entriesAt(root, base)
+    require(es.nonEmpty, s"nothing to reindex at $root")
+    val pos = (0 until k).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"bf$i|"),
+        col(bloomCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(m.toLong)).cast("int"))
+    val posByFile = spark.read
+      .parquet(es.map(e => s"$root/${e.path}"): _*)
+      .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
+      .groupBy(col("f")).agg(collect_set(col("p")).as("ps"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1))).toMap
+    val reindexed = es.map { e =>
+      val tail = "/" + e.path
+      posByFile.find { case (uri, _) => uri.endsWith(tail) } match {
+        case None => e
+        case Some((_, ps)) =>
+          val bytes = new Array[Byte](m / 8)
+          ps.foreach(p => bytes(p >> 3) =
+            (bytes(p >> 3) | (1 << (p & 7))).toByte)
+          e.copy(stats = e.stats + (s"$BloomPrefix$bloomCol" ->
+            ColStats(bytes.map("%02x".format(_)).mkString, s"$m/$k")))
+      }
+    }
+    publish(root, reindexed, retain, expected = Some(base))
+  }
+
   /** Equality-probe file pruning from the manifest blooms: keep a file
     * iff its bloom says the value MIGHT be present (all k bits set) —
     * or it carries no bloom for the column (lossless by construction,

@@ -1615,6 +1615,115 @@ object Behavior {
       .orderBy(col("support").desc, col("pat_a"), col("pat_b"))
   }
 
+  // `q_iv` (X256): instrumental-variable (Wald / LATE) estimator
+
+  /** Treatment-uptake thresholds: always-takers (clicks ≥ 20 take it
+    * regardless) and encouragement compliers (z = 1 and clicks ≥ 10). */
+  val IvAlwaysMinClicks = 20L
+  val IvComplierMinClicks = 10L
+
+  /** `q_iv` (X256): the INSTRUMENTAL-VARIABLE leg completing the causal
+    * family (X85 randomized lift, X141 CUPED, X219 DiD, X247 IPS, X250
+    * PSM): when uptake is voluntary, comparing takers to non-takers is
+    * confounded and even an RCT only randomizes the ENCOURAGEMENT —
+    * the Wald estimator divides intent-to-treat effects,
+    * LATE = ITT_y / ITT_d, identifying the effect on compliers. The
+    * instrument is the md5 user draw; uptake has the classic
+    * compliance structure (always-takers at clicks ≥ 20, compliers who
+    * take it only when encouraged at clicks ≥ 10). The arithmetic
+    * stays EXACT: mean differences clear denominators —
+    * ITT_y = (S₁n₀ − S₀n₁)/(n₁n₀) and likewise ITT_d, so the n₁n₀
+    * cancels in the ratio and LATE = (S₁n₀ − S₀n₁)/(D₁n₀ − D₀n₁), a
+    * pure integer ratio emitted sign-split in millis (both numerator
+    * and denominator can be negative; trunc-vs-floor diverges across
+    * engines on negative dividends — the X250 rule). The per-arm cells
+    * (n, Σy, uptake) ride along as the first-stage audit every IV
+    * readout must show (a weak instrument = tiny denominator is
+    * visible, not hidden).
+    *
+    * Scale: one user fold, one 2-row aggregate, one broadcast — the
+    * estimator costs what the user rollup costs. */
+  def ivQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    val z = conv(substring(md5(concat(lit("iv"), col("user_id"))), 1, 15),
+      16, 10).cast("long") % 2L
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("clicks"),
+        sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+          .as("y"))
+      .withColumn("z", z)
+      .withColumn("d",
+        (col("clicks") >= IvAlwaysMinClicks ||
+          (col("z") === 1L && col("clicks") >= IvComplierMinClicks))
+          .cast("long"))
+    val cells = users.groupBy(col("z"))
+      .agg(Num.countStar.as("n_users"), sum(col("y")).as("sum_y_cents"),
+        sum(col("d")).as("n_treated"))
+    val wald = cells.agg(
+      (max(when(col("z") === 1L, col("sum_y_cents")))
+        * max(when(col("z") === 0L, col("n_users")))
+        - max(when(col("z") === 0L, col("sum_y_cents")))
+        * max(when(col("z") === 1L, col("n_users")))).as("itt_y_numer"),
+      (max(when(col("z") === 1L, col("n_treated")))
+        * max(when(col("z") === 0L, col("n_users")))
+        - max(when(col("z") === 0L, col("n_treated")))
+        * max(when(col("z") === 1L, col("n_users")))).as("itt_d_numer"))
+    val sgn = when(col("itt_y_numer") * col("itt_d_numer") < 0L, -1L)
+      .otherwise(1L)
+    cells.crossJoin(broadcast(wald))
+      .withColumn("late_millis",
+        sgn * Num.divLong(abs(col("itt_y_numer")) * 1000L,
+          abs(col("itt_d_numer"))))
+      .orderBy(col("z"))
+  }
+
+  val ivOracle: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS clicks,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |a AS (
+       |  SELECT *,
+       |    CAST(concat('0x', substr(md5('iv' || user_id), 1, 15))
+       |      AS BIGINT) % 2 AS z
+       |  FROM u),
+       |t AS (
+       |  SELECT *, CAST(CASE WHEN clicks >= ${IvAlwaysMinClicks}
+       |      OR (z = 1 AND clicks >= ${IvComplierMinClicks})
+       |    THEN 1 ELSE 0 END AS BIGINT) AS d
+       |  FROM a),
+       |cells AS (
+       |  SELECT z, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(SUM(y) AS BIGINT) AS sum_y_cents,
+       |    CAST(SUM(d) AS BIGINT) AS n_treated
+       |  FROM t GROUP BY 1),
+       |w AS (
+       |  SELECT
+       |    CAST(MAX(CASE WHEN z = 1 THEN sum_y_cents END)
+       |      * MAX(CASE WHEN z = 0 THEN n_users END)
+       |      - MAX(CASE WHEN z = 0 THEN sum_y_cents END)
+       |      * MAX(CASE WHEN z = 1 THEN n_users END) AS BIGINT)
+       |      AS itt_y_numer,
+       |    CAST(MAX(CASE WHEN z = 1 THEN n_treated END)
+       |      * MAX(CASE WHEN z = 0 THEN n_users END)
+       |      - MAX(CASE WHEN z = 0 THEN n_treated END)
+       |      * MAX(CASE WHEN z = 1 THEN n_users END) AS BIGINT)
+       |      AS itt_d_numer
+       |  FROM cells)
+       |SELECT cells.z, cells.n_users, cells.sum_y_cents, cells.n_treated,
+       |  w.itt_y_numer, w.itt_d_numer,
+       |  CASE WHEN w.itt_y_numer * w.itt_d_numer < 0
+       |    THEN -(abs(w.itt_y_numer) * 1000 // abs(w.itt_d_numer))
+       |    ELSE abs(w.itt_y_numer) * 1000 // abs(w.itt_d_numer) END
+       |    AS late_millis
+       |FROM cells, w ORDER BY cells.z""".stripMargin
+
   // `q_srm` (X255): sample-ratio-mismatch health check
 
   /** χ²(df=1) critical value at α=0.05, in millis (3.841). The flag

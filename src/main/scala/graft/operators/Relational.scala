@@ -1677,6 +1677,14 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"), cents)
       .repartition(8, col("c_custkey"))
     TableCommit.commitAppendBloom(spark, df, root, "c_custkey")
+    // full index lifecycle: OPTIMIZE rewrites the files (and, knowing
+    // nothing of blooms, drops them — pruning degrades to read-all but
+    // stays lossless), then REINDEX restores the index in one zero-copy
+    // metadata transaction. The probes below therefore exercise the
+    // index as a long-lived table would actually carry it.
+    TableCommit.commitCompact(spark, root, targetFiles = 4,
+      sortCol = Some("c_mktsegment"))
+    TableCommit.commitReindexBloom(spark, root, "c_custkey")
     val schema = StructType(Seq(
       StructField("c_custkey", LongType),
       StructField("c_mktsegment", StringType),

@@ -200,6 +200,47 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_iv: Wald estimator recomputes; first-stage cells audit") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Behavior.ivQ(spark, sfDir).collect()
+    assert(rows.length === 2 && rows.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    val users = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("ck"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+      .withColumn("z", conv(substring(md5(concat(lit("iv"),
+        col("user_id"))), 1, 15), 16, 10).cast("long") % 2L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def cell(zv: Long) = {
+      val xs = users.filter(_._3 == zv)
+      val d = xs.count { case (ck, _, z) =>
+        ck >= Behavior.IvAlwaysMinClicks ||
+          (z == 1L && ck >= Behavior.IvComplierMinClicks)
+      }.toLong
+      (xs.length.toLong, xs.map(_._2).sum, d)
+    }
+    val (n0, s0, d0) = cell(0L)
+    val (n1, s1, d1) = cell(1L)
+    rows.foreach { r =>
+      val (n, s, d) = if (r.getLong(0) == 0L) (n0, s0, d0) else (n1, s1, d1)
+      assert(r.getLong(1) === n && r.getLong(2) === s && r.getLong(3) === d)
+      val ny = s1 * n0 - s0 * n1
+      val nd = d1 * n0 - d0 * n1
+      assert(r.getLong(4) === ny && r.getLong(5) === nd)
+      assert(nd !== 0L, "weak-instrument fixture: first stage is null")
+      val late =
+        if (ny * nd < 0) -(math.abs(ny) * 1000L / math.abs(nd))
+        else math.abs(ny) * 1000L / math.abs(nd)
+      assert(r.getLong(6) === late, "sign-split Wald recompute")
+    }
+    // the compliance structure is real: encouragement must move uptake
+    assert(d1 * n0 > d0 * n1, "encouraged arm should take up more")
+  }
+
   test("q_srm: unit counts recompute from distinct users; flag law holds") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"

@@ -342,4 +342,38 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(TableCommit.pruneEntriesBloom(r2, "k", "5").size ===
       TableCommit.entries(r2).size)
   }
+
+  test("bloom reindex: compact drops the index losslessly; reindex is zero-copy") {
+    val r = Files.createTempDirectory("graft_bloom_spec_").toString + "/t"
+    val n = 120L
+    val df = spark.range(1L, n + 1L)
+      .select(col("id").as("k"), (col("id") * 3L).as("v"))
+      .repartition(6, col("k"))
+    TableCommit.commitAppendBloom(spark, df, r, "k")
+    // OPTIMIZE knows nothing of blooms: the rewritten files carry none,
+    // so pruning degrades to keep-all — lossless, just unindexed
+    TableCommit.commitCompact(spark, r, targetFiles = 3)
+    val afterCompact = TableCommit.entries(r)
+    assert(afterCompact.forall(!_.stats.contains("bloom:k")))
+    assert(TableCommit.pruneEntriesBloom(r, "k", "7").size ===
+      afterCompact.size)
+    // REINDEX: one metadata transaction — the file list is byte-identical
+    // (zero data movement), only the stats channel changed
+    TableCommit.commitReindexBloom(spark, r, "k")
+    val afterReindex = TableCommit.entries(r)
+    assert(afterReindex.map(_.path) === afterCompact.map(_.path),
+      "reindex must not move data")
+    assert(afterReindex.forall(_.stats.contains("bloom:k")))
+    // and the restored index is lossless + effective again
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    (1L to n).foreach { key =>
+      val row = TableCommit.readPrunedBloom(spark, r, schema, "k",
+        key.toString).filter(col("k") === key).collect()
+      assert(row.length === 1 && row.head.getLong(1) === key * 3L)
+    }
+    val prunedSum = (1L to n).map(key =>
+      TableCommit.pruneEntriesBloom(r, "k", key.toString).size.toLong).sum
+    assert(prunedSum < n * 3, "restored index barely prunes")
+  }
 }
