@@ -1054,6 +1054,46 @@ object TableCommit {
     else parts.reduce(_ unionByName _)
   }
 
+  /** FULL change-data feed: like [[readChanges]] but rewrite versions
+    * are expressible — a version that removed files emits their rows as
+    * `_change_type = 'delete'` beside the added files' `'insert'` rows
+    * (file-level CDC: a replaced slice emits whole-file deletes +
+    * inserts even for rows that happen to be byte-identical — exactly
+    * what production formats emit for rewrites when row-level CDC
+    * isn't materialized at write time). Retention contract: the
+    * PREDECESSOR of every version in range must still be retained —
+    * its removed files are what the delete rows read; that is the same
+    * manifest [[changesBetween]] already demands. */
+  def readChangesFull(spark: SparkSession, root: String,
+      schema: StructType, fromExclusive: Long, toInclusive: Long,
+      versionCol: String = "_commit_version",
+      typeCol: String = "_change_type"): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val chs = changesBetween(root, fromExclusive, toInclusive)
+    val parts = chs.flatMap { ch =>
+      val ins =
+        if (ch.added.isEmpty) None
+        else Some(spark.read.schema(schema)
+          .parquet(ch.added.map(e => s"$root/${e.path}"): _*)
+          .withColumn(versionCol, lit(ch.version))
+          .withColumn(typeCol, lit("insert")))
+      val del =
+        if (ch.removedPaths.isEmpty) None
+        else Some(spark.read.schema(schema)
+          .parquet(ch.removedPaths.map(p => s"$root/$p"): _*)
+          .withColumn(versionCol, lit(ch.version))
+          .withColumn(typeCol, lit("delete")))
+      ins.toSeq ++ del.toSeq
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema.add(versionCol, org.apache.spark.sql.types.LongType,
+          nullable = false)
+          .add(typeCol, org.apache.spark.sql.types.StringType,
+            nullable = false))
+    else parts.reduce(_ unionByName _)
+  }
+
   /** Consumer-side checkpoint for the change feed: the last consumed
     * version, fsync-persisted. 0 = virgin consumer (feed starts at the
     * table's first version). */

@@ -1704,6 +1704,75 @@ object Relational {
        |WHERE c_custkey IN (${BloomProbeKeys.mkString(", ")})
        |ORDER BY c_custkey""".stripMargin
 
+  // `q_table_cdf` (X257): full change-data feed across a rewrite
+
+  /** `q_table_cdf` (X257): the FULL change-data feed — what X251's
+    * append-only feed refuses, expressed honestly: a rewrite version
+    * (partition replace here) emits its removed files' rows as
+    * `delete` beside the new files' `insert` rows — file-level CDC,
+    * the exact artifact production table formats hand a downstream
+    * sync when row-level CDC wasn't materialized at write time (a
+    * replaced slice deletes+reinserts wholesale; consumers reconcile
+    * by key downstream, which X208's diff does on demand). Fixture:
+    * v1 status-partitioned orders, v2 replaces the 'O' slice repriced
+    * +7 cents (untouched slices carry forward — their files must NOT
+    * appear in the feed), v3 appends a late-arrival batch. The gate
+    * rolls the feed up per (version, change_type) with exact cents and
+    * key checksums; the oracle re-derives every cell from the raw
+    * table, so a carried-forward file leaking into the feed, a missed
+    * delete, or a version boundary drift all break the hash.
+    *
+    * Scale: planning is manifest-only; the feed reads exactly the
+    * files each version touched — rewrite cost, not table cost. */
+  def tableCdfQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val work = graft.engine.TempWarehouse.createManaged("graft_cdf_")
+    val root = s"$work/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    val v1 = TableCommit.commitReplacePartitions(src, root, "st",
+      retain = 4)
+    TableCommit.commitReplacePartitions(
+      src.filter(col("st") === "O")
+        .select(col("k"), col("st"), (col("c") + 7L).as("c")),
+      root, "st", retain = 4)
+    val v3 = TableCommit.commitAppend(
+      src.filter(col("st") === "F" && pmod(col("k"), lit(97)) === 0)
+        .select(col("k"), col("st"), (col("c") + 1L).as("c")),
+      root, retain = 4)
+    TableCommit.readChangesFull(spark, root, schema, v1, v3)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .orderBy(col("commit_version"), col("change_type"))
+  }
+
+  val tableCdfOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT CAST(2 AS BIGINT) AS commit_version, 'delete' AS change_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(c) AS BIGINT)
+      |    AS cents_sum, CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM base WHERE st = 'O'
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c + 7) AS BIGINT), CAST(SUM(k) AS BIGINT)
+      |FROM base WHERE st = 'O'
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c + 1) AS BIGINT), CAST(SUM(k) AS BIGINT)
+      |FROM base WHERE st = 'F' AND k % 97 = 0
+      |ORDER BY commit_version, change_type""".stripMargin
+
   val tableChangesOracle: String =
     """WITH b AS (
       |  SELECT o_orderkey % 3 AS k, o_orderkey,

@@ -420,6 +420,36 @@ class TableCommitSpec extends AnyFunSuite {
     assert(after.collect().map(_.getLong(0)).toSet === Set(10L))
   }
 
+  test("full CDF: rewrite emits delete+insert, carried files stay out, append-only agrees") {
+    val r = root()
+    val v1 = TableCommit.commitReplacePartitions(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "v")
+        .withColumnRenamed("v", "p"), r, "p", retain = 4)
+    // v2 replaces slice 'a' (k=1,2 → 10,20); slice 'b' carries forward
+    TableCommit.commitReplacePartitions(
+      Seq((10L, "a"), (20L, "a")).toDF("k", "p"), r, "p", retain = 4)
+    // v3 appends
+    val v3 = TableCommit.commitAppend(Seq((7L, "c")).toDF("k", "p"), r,
+      retain = 4)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", StringType)))
+    val feed = TableCommit.readChangesFull(spark, r, schema, v1, v3)
+      .collect().map(x => (x.getLong(2), x.getString(3), x.getLong(0))).toSet
+    assert(feed === Set(
+      (2L, "delete", 1L), (2L, "delete", 2L),
+      (2L, "insert", 10L), (2L, "insert", 20L),
+      (3L, "insert", 7L)),
+      s"feed content drifted: $feed")
+    // the carried-forward slice 'b' (k=3) never entered the feed ✓ (by
+    // the set equality above) — and on an append-only range the full
+    // feed is the insert-only feed plus the type column
+    val fullTail = TableCommit.readChangesFull(spark, r, schema, 2L, v3)
+    assert(fullTail.collect().forall(_.getString(3) == "insert"))
+    assert(fullTail.drop("_change_type").collect().map(_.toString).sorted
+      === TableCommit.readChanges(spark, r, schema, 2L, v3)
+        .collect().map(_.toString).sorted)
+  }
+
   test("consumer ledger: virgin = 0, atomic overwrite advances, survives re-read") {
     val dir = Files.createTempDirectory("graft_ledger_spec_")
     val p = s"$dir/consumer.v"
