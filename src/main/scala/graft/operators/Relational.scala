@@ -1773,6 +1773,87 @@ object Relational {
       |FROM base WHERE st = 'F' AND k % 97 = 0
       |ORDER BY commit_version, change_type""".stripMargin
 
+  // `q_cdc_apply` (X258): feed-driven table replication
+
+  /** `q_cdc_apply` (X258): REPLICATION over the change feed — the
+    * consumer side X257 produces for: a mirror table bootstraps from
+    * the source's v1 snapshot, then applies each version's CDF batch
+    * (anti-join the delete keys out, union the inserts in, one commit
+    * per replicated version — the apply loop every warehouse-to-lake
+    * sync runs), and the GATE READS ONLY THE MIRROR: its final
+    * per-status rollup must hash-match the oracle's re-derivation of
+    * the source's final state. A dropped delete, a double-applied
+    * insert, a version applied out of order, or a batch boundary drift
+    * all leave the mirror detectably wrong. The source lifecycle is
+    * X257's (replace 'O' repriced, late-arrival append), so the two
+    * gates together prove produce → consume round-trips.
+    *
+    * Scale: each apply reads the mirror + the version's touched files;
+    * at production scale the anti-join keys on the mirror's cluster
+    * column and the apply commits via replace-partitions, both already
+    * gated primitives. */
+  def cdcApplyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val work = graft.engine.TempWarehouse.createManaged("graft_cdcapply_")
+    val srcRoot = s"$work/src"
+    val mirRoot = s"$work/mirror"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    val v1 = TableCommit.commitReplacePartitions(src, srcRoot, "st",
+      retain = 4)
+    TableCommit.commitReplacePartitions(
+      src.filter(col("st") === "O")
+        .select(col("k"), col("st"), (col("c") + 7L).as("c")),
+      srcRoot, "st", retain = 4)
+    val vLast = TableCommit.commitAppend(
+      src.filter(col("st") === "F" && pmod(col("k"), lit(97)) === 0)
+        .select(col("k"), col("st"), (col("c") + 1L).as("c")),
+      srcRoot, retain = 4)
+    // consumer: bootstrap the mirror from the initial snapshot...
+    TableCommit.commitOverwrite(
+      TableCommit.readAt(spark, srcRoot, schema, v1), mirRoot, retain = 2)
+    // ...then replay the feed version by version
+    ((v1 + 1L) to vLast).foreach { v =>
+      val batch = TableCommit.readChangesFull(spark, srcRoot, schema,
+        v - 1L, v)
+      val dels = batch.filter(col("_change_type") === "delete")
+        .select(col("k"))
+      val ins = batch.filter(col("_change_type") === "insert")
+        .select(col("k"), col("st"), col("c"))
+      val applied = TableCommit.readCurrent(spark, mirRoot)
+        .join(dels, Seq("k"), "left_anti")
+        .unionByName(ins)
+      TableCommit.commitOverwrite(applied, mirRoot, retain = 2)
+    }
+    // the gate reads ONLY the mirror
+    TableCommit.readCurrent(spark, mirRoot)
+      .groupBy(col("st"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
+  val cdcApplyOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |final AS (
+      |  SELECT k, st, CASE WHEN st = 'O' THEN c + 7 ELSE c END AS c
+      |  FROM base
+      |  UNION ALL
+      |  SELECT k, st, c + 1 FROM base WHERE st = 'F' AND k % 97 = 0)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM final GROUP BY 1 ORDER BY st""".stripMargin
+
   val tableChangesOracle: String =
     """WITH b AS (
       |  SELECT o_orderkey % 3 AS k, o_orderkey,

@@ -450,6 +450,38 @@ class TableCommitSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted)
   }
 
+  test("CDF replication: the applied mirror equals the source row set exactly") {
+    val src = root()
+    val mir = root()
+    val pSchema = StructType(Seq(
+      StructField("k", LongType), StructField("p", StringType)))
+    val v1 = TableCommit.commitReplacePartitions(
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("k", "p"),
+      src, "p", retain = 4)
+    TableCommit.commitReplacePartitions(
+      Seq((1L, "a"), (5L, "a")).toDF("k", "p"), src, "p", retain = 4)
+    val vLast = TableCommit.commitAppend(
+      Seq((9L, "c")).toDF("k", "p"), src, retain = 4)
+    TableCommit.commitOverwrite(
+      TableCommit.readAt(spark, src, pSchema, v1), mir, retain = 2)
+    ((v1 + 1L) to vLast).foreach { v =>
+      val batch = TableCommit.readChangesFull(spark, src, pSchema, v - 1L, v)
+      val applied = TableCommit.readCurrent(spark, mir)
+        .join(batch.filter(col("_change_type") === "delete").select(col("k")),
+          Seq("k"), "left_anti")
+        .unionByName(batch.filter(col("_change_type") === "insert")
+          .select(col("k"), col("p")))
+      TableCommit.commitOverwrite(applied, mir, retain = 2)
+    }
+    val mirror = TableCommit.readCurrent(spark, mir)
+    val source = TableCommit.readCurrent(spark, src)
+    assert(mirror.exceptAll(source).count() === 0L &&
+      source.exceptAll(mirror).count() === 0L,
+      "mirror must equal the source row multiset exactly")
+    assert(mirror.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 3L, 4L, 5L, 9L))
+  }
+
   test("consumer ledger: virgin = 0, atomic overwrite advances, survives re-read") {
     val dir = Files.createTempDirectory("graft_ledger_spec_")
     val p = s"$dir/consumer.v"
