@@ -1615,6 +1615,116 @@ object Behavior {
       .orderBy(col("support").desc, col("pat_a"), col("pat_b"))
   }
 
+  // `q_qini` (X259): uplift (Qini) curve over score deciles
+
+  /** `q_qini` (X259): the UPLIFT-MODEL evaluation — X245's gains table
+    * crossed with the experiment: a targeting model is not judged by
+    * who converts (X245) but by whose conversion the treatment CAUSED,
+    * so each score decile carries both arms' cumulative counts and the
+    * cumulative uplift — treat rate minus control rate — as an exact
+    * sign-split cross-multiply: (Σpos_t·Σn_c − Σpos_c·Σn_t)·1000 div
+    * (Σn_t·Σn_c). A model that ranks persuadables first shows uplift
+    * concentrating in the top deciles (the Qini curve's bow); one that
+    * merely ranks converters shows flat uplift — the distinction every
+    * targeting team must measure before spending sends. Deciles come
+    * from the pooled per-mille score histogram (X245's bucket rule, so
+    * arms can't get different boundaries); the md5 arm draw is X85's.
+    *
+    * Scale: one (pm × arm) histogram fold; every window and the uplift
+    * arithmetic walk the ≤1000-bucket frame. */
+  def qiniQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val predM = least(floor(col("value") * 1000.0 / Stats.CalibValueScale)
+      .cast("long"), lit(999L))
+    val arm = conv(substring(md5(concat(lit("ab"), col("user_id"))), 1, 15),
+      16, 10).cast("long") % 2L
+    val pos = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    val hist = Tables.events(spark, sfDir)
+      .select(predM.as("pm"), arm.as("t"), pos.as("pos"))
+      .groupBy(col("pm"))
+      .agg(sum(col("t")).as("n_t"),
+        sum(col("t") * col("pos")).as("pos_t"),
+        sum(lit(1L) - col("t")).as("n_c"),
+        sum((lit(1L) - col("t")) * col("pos")).as("pos_c"))
+    val byScoreDesc = Window.orderBy(col("pm").desc)
+    val all = Window.partitionBy()
+    val byDec = Window.orderBy(col("decile"))
+    val dec = hist
+      .withColumn("cum_prev", coalesce(sum(col("n_t") + col("n_c")).over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_all", sum(col("n_t") + col("n_c")).over(all))
+      .withColumn("decile", Num.divLong(col("cum_prev") * 10L, col("n_all")))
+      .groupBy(col("decile"))
+      .agg(sum(col("n_t")).as("n_t"), sum(col("pos_t")).as("pos_t"),
+        sum(col("n_c")).as("n_c"), sum(col("pos_c")).as("pos_c"))
+      .withColumn("cum_n_t", sum(col("n_t")).over(byDec))
+      .withColumn("cum_pos_t", sum(col("pos_t")).over(byDec))
+      .withColumn("cum_n_c", sum(col("n_c")).over(byDec))
+      .withColumn("cum_pos_c", sum(col("pos_c")).over(byDec))
+    // parenthesized: a leading-minus continuation line is a SEPARATE
+    // statement to Scala's semicolon inference (the first build of this
+    // expression silently dropped the whole subtrahend)
+    val numer = (col("cum_pos_t") * col("cum_n_c")
+      - col("cum_pos_c") * col("cum_n_t"))
+    dec.select(col("decile"), col("n_t"), col("pos_t"), col("n_c"),
+      col("pos_c"), col("cum_n_t"), col("cum_pos_t"), col("cum_n_c"),
+      col("cum_pos_c"),
+      when(col("cum_n_t") * col("cum_n_c") === 0L, lit(0L))
+        .when(numer < 0L, -Num.divLong(-numer * 1000L,
+          col("cum_n_t") * col("cum_n_c")))
+        .otherwise(Num.divLong(numer * 1000L,
+          col("cum_n_t") * col("cum_n_c"))).as("uplift_milli"))
+      .orderBy(col("decile"))
+  }
+
+  val qiniOracle: String =
+    s"""WITH q AS (
+       |  SELECT least(CAST(FLOOR(value * 1000.0
+       |      / ${Stats.CalibValueScale}) AS BIGINT), 999) AS pm,
+       |    CAST(concat('0x', substr(md5('ab' || user_id), 1, 15))
+       |      AS BIGINT) % 2 AS t,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |h AS (
+       |  SELECT pm, CAST(SUM(t) AS BIGINT) AS n_t,
+       |    CAST(SUM(t * pos) AS BIGINT) AS pos_t,
+       |    CAST(SUM(1 - t) AS BIGINT) AS n_c,
+       |    CAST(SUM((1 - t) * pos) AS BIGINT) AS pos_c
+       |  FROM q GROUP BY 1),
+       |d AS (
+       |  SELECT *,
+       |    CAST(COALESCE(SUM(n_t + n_c) OVER (ORDER BY pm DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_prev,
+       |    CAST(SUM(n_t + n_c) OVER () AS BIGINT) AS n_all
+       |  FROM h),
+       |g AS (
+       |  SELECT cum_prev * 10 // n_all AS decile,
+       |    CAST(SUM(n_t) AS BIGINT) AS n_t,
+       |    CAST(SUM(pos_t) AS BIGINT) AS pos_t,
+       |    CAST(SUM(n_c) AS BIGINT) AS n_c,
+       |    CAST(SUM(pos_c) AS BIGINT) AS pos_c
+       |  FROM d GROUP BY 1),
+       |w AS (
+       |  SELECT g.*,
+       |    CAST(SUM(n_t) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_n_t,
+       |    CAST(SUM(pos_t) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_pos_t,
+       |    CAST(SUM(n_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_n_c,
+       |    CAST(SUM(pos_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_pos_c
+       |  FROM g)
+       |SELECT decile, n_t, pos_t, n_c, pos_c,
+       |  cum_n_t, cum_pos_t, cum_n_c, cum_pos_c,
+       |  CASE WHEN cum_n_t * cum_n_c = 0 THEN CAST(0 AS BIGINT)
+       |    WHEN cum_pos_t * cum_n_c - cum_pos_c * cum_n_t < 0
+       |    THEN -((-(cum_pos_t * cum_n_c - cum_pos_c * cum_n_t)) * 1000
+       |      // (cum_n_t * cum_n_c))
+       |    ELSE (cum_pos_t * cum_n_c - cum_pos_c * cum_n_t) * 1000
+       |      // (cum_n_t * cum_n_c) END AS uplift_milli
+       |FROM w ORDER BY decile""".stripMargin
+
   // `q_iv` (X256): instrumental-variable (Wald / LATE) estimator
 
   /** Treatment-uptake thresholds: always-takers (clicks ≥ 20 take it

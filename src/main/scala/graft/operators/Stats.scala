@@ -3583,6 +3583,129 @@ object Stats {
       |    / (CAST(MAX(total) AS DOUBLE) * CAST(n AS DOUBLE)) AS cusum
       |FROM v GROUP BY n""".stripMargin
 
+  // `q_theil_sen` (X260): robust trend by the median of pairwise slopes
+
+  /** `q_theil_sen` (X260): the ROBUST trend estimator — X72's OLS slope
+    * is the right answer until one bad day (an outage, a backfill
+    * spike) drags it; Theil–Sen takes the MEDIAN of all C(n,2) pairwise
+    * slopes and shrugs off up to ~29% contamination, which is why
+    * monitoring pipelines fit trend lines with it. Each pairwise slope
+    * is quantized once to exact sign-split millis ((x_j−x_i)·1000 div
+    * day-gap — day gaps are positive so only the numerator sign
+    * matters), then the median is X22's exact rank selection over the
+    * fully tiebroken slope list; the OLS-vs-robust contrast is the
+    * artifact (both ride along), because the gap BETWEEN them is the
+    * outlier alarm.
+    *
+    * The tracked series is the daily MEAN order value (exact integral
+    * division) — an INTENSIVE metric, deliberately: daily totals grow
+    * with corpus volume and their cleared-denominator OLS moments blow
+    * past Long at the 10× soak (the first build did exactly that,
+    * ANSI-overflow); a mean's magnitude is volume-invariant, so the
+    * same integer arithmetic is safe at any scale.
+    *
+    * Scale: the corpus folds to the calendar-day frame first (the X22
+    * rule); the pairwise fan-out and the rank walk live on C(days,2)
+    * rows — bounded by the calendar squared, not the data. */
+  def theilSenQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val daily = Materialize.diskBacked(
+      Tables.orders(spark, sfDir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(Num.divLong(sum(cents), Num.countStar).as("x")))
+    val pairs = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+      .select((col("b.x") - col("a.x")).as("dy"),
+        datediff(col("b.d"), col("a.d")).cast("long").as("dd"))
+      .select(when(col("dy") < 0L,
+        -Num.divLong(-col("dy") * 1000L, col("dd")))
+        .otherwise(Num.divLong(col("dy") * 1000L, col("dd")))
+        .as("slope_milli"))
+    // median by the X22 rank walk over the SLOPE-VALUE histogram — the
+    // C(days,2) pair stream folds map-side before any window touches it
+    val shist = pairs.groupBy(col("slope_milli"))
+      .agg(Num.countStar.as("cnt"))
+    val byS = Window.orderBy(col("slope_milli"))
+    val walked = shist
+      .withColumn("cum", sum(col("cnt")).over(byS))
+      .withColumn("m", sum(col("cnt")).over(Window.partitionBy()))
+    // OLS slope for contrast: clear denominators — exact integer
+    // moments, one final sign-split division to millis. t anchors at
+    // the series START (not the epoch): with epoch days ~2·10⁴ the
+    // cleared numerator ×1000 tops Long at the 10× soak; anchored t
+    // stays calendar-sized and the slope is translation-invariant.
+    val n = Num.countStar
+    val minD = daily.agg(min(col("d")).as("d0"))
+    val ols = daily.crossJoin(broadcast(minD))
+      .select(datediff(col("d"), col("d0")).cast("long").as("t"), col("x"))
+      .agg(n.as("n"), sum(col("t")).as("st"), sum(col("x")).as("sx"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("x")).as("stx"))
+      .select(col("n"),
+        (col("n") * col("stx") - col("st") * col("sx")).as("ols_num"),
+        (col("n") * col("stt") - col("st") * col("st")).as("ols_den"))
+      .select(col("n").as("n_days"),
+        when(col("ols_num") < 0L,
+          -Num.divLong(-col("ols_num") * 1000L, col("ols_den")))
+          .otherwise(Num.divLong(col("ols_num") * 1000L, col("ols_den")))
+          .as("ols_slope_milli"))
+    walked
+      .filter(col("cum") >= Num.divLong(col("m") + 1L, 2L))
+      .groupBy()
+      .agg(max(col("m")).as("n_pairs"),
+        min(col("slope_milli")).as("ts_slope_milli"))
+      .crossJoin(broadcast(ols))
+      .select(col("n_days"), col("n_pairs"), col("ts_slope_milli"),
+        col("ols_slope_milli"))
+  }
+
+  val theilSenOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) // COUNT(*) AS x
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(b.x - a.x AS BIGINT) AS dy,
+      |    CAST(date_diff('day', a.d, b.d) AS BIGINT) AS dd
+      |  FROM daily a JOIN daily b ON a.d < b.d),
+      |s AS (
+      |  SELECT CASE WHEN dy < 0 THEN -((-dy) * 1000 // dd)
+      |         ELSE dy * 1000 // dd END AS slope_milli
+      |  FROM p),
+      |sh AS (
+      |  SELECT slope_milli, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM s GROUP BY 1),
+      |r AS (
+      |  SELECT slope_milli,
+      |    CAST(SUM(cnt) OVER (ORDER BY slope_milli
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER () AS BIGINT) AS m
+      |  FROM sh),
+      |ts AS (
+      |  SELECT MAX(m) AS n_pairs,
+      |    MIN(CASE WHEN cum >= (m + 1) // 2 THEN slope_milli END)
+      |      AS ts_slope_milli
+      |  FROM r),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(t * t) AS BIGINT) AS stt,
+      |    CAST(SUM(t * x) AS BIGINT) AS stx
+      |  FROM (SELECT CAST(date_diff('day', MIN(d) OVER (), d)
+      |    AS BIGINT) AS t, x FROM daily)),
+      |ols AS (
+      |  SELECT n AS n_days,
+      |    CASE WHEN n * stx - st * sx < 0
+      |      THEN -((-(n * stx - st * sx)) * 1000 // (n * stt - st * st))
+      |      ELSE (n * stx - st * sx) * 1000 // (n * stt - st * st) END
+      |      AS ols_slope_milli
+      |  FROM mo)
+      |SELECT ols.n_days, ts.n_pairs, ts.ts_slope_milli,
+      |  ols.ols_slope_milli
+      |FROM ts, ols""".stripMargin
+
   // `q_heavy_hitters` (X244): exact φ-heavy hitters by the
   // Misra-Gries candidate pass + exact verification pass
 

@@ -200,6 +200,33 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_qini: deciles partition both arms; uplift recomputes exactly") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Behavior.qiniQ(spark, sfDir).collect()
+    val nEvents = graft.engine.Tables.events(spark, sfDir).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(3)).sum === nEvents,
+      "deciles must partition all events across both arms")
+    rows.foreach { r =>
+      val (cnt, cpt, cnc, cpc) =
+        (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      val numer = cpt * cnc - cpc * cnt
+      val exp =
+        if (cnt * cnc == 0) 0L
+        else if (numer < 0) -((-numer) * 1000L / (cnt * cnc))
+        else numer * 1000L / (cnt * cnc)
+      assert(r.getLong(9) === exp, s"decile ${r.getLong(0)} uplift")
+    }
+    // cumulative counts are nondecreasing and end at the arm totals
+    val last = rows.last
+    assert(last.getLong(5) === rows.map(_.getLong(1)).sum)
+    assert(last.getLong(7) === rows.map(_.getLong(3)).sum)
+    // a non-causal md5 arm on a non-causal scorer: the full-population
+    // uplift must be small (here: the arms differ only by sampling)
+    assert(math.abs(last.getLong(9)) < 100L,
+      "closing uplift implausibly large for a null effect")
+  }
+
   test("q_iv: Wald estimator recomputes; first-stage cells audit") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"

@@ -565,6 +565,41 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_theil_sen: median slope recomputes; robust-vs-OLS both present") {
+    val sfDir = "/root/testdata/sf0.001"
+    val row = Stats.theilSenQ(spark, sfDir).head()
+    import org.apache.spark.sql.types.DecimalType
+    val daily = graft.engine.Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(((sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long"))) / count(lit(1))).cast("long").as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    val n = daily.length.toLong
+    assert(row.getLong(0) === n)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield {
+      val dy = daily(j)._2 - daily(i)._2
+      val dd = daily(j)._1 - daily(i)._1
+      if (dy < 0) -((-dy) * 1000L / dd) else dy * 1000L / dd
+    }).sorted
+    assert(row.getLong(1) === slopes.length.toLong)
+    assert(row.getLong(2) === slopes(((slopes.length + 1) / 2 - 1).toInt),
+      "Theil-Sen median slope recompute")
+    // OLS recompute with start-anchored t
+    val t0 = daily.head._1
+    val (st, sx, stt, stx) = daily.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, c, d2), (day, x)) =>
+        val t = day - t0
+        (a + t, b + x, c + t * t, d2 + t * x)
+    }
+    val num = n * stx - st * sx
+    val den = n * stt - st * st
+    val ols = if (num < 0) -((-num) * 1000L / den) else num * 1000L / den
+    assert(row.getLong(3) === ols, "OLS contrast recompute")
+  }
+
   test("q_hll_est: one estimator definition, exact leg exact, error in the m=64 band") {
     val sfDir = "/root/testdata/sf0.001"
     val rows = Stats.hllEstQ(spark, sfDir).collect()
