@@ -1113,4 +1113,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!dp.contains("SortMergeJoin") && !dp.contains("CartesianProduct"),
       s"dp_release noise must stay in the projection:\n$dp")
   }
+
+  test("X256/X259/X260: estimator plans keep their fold-first discipline") {
+    // IV: one user fold, a 2-row cell aggregate, one broadcast — never a
+    // data-sized join
+    val iv = plan("q_iv")
+    assert(!iv.contains("SortMergeJoin") && !iv.contains("CartesianProduct"),
+      s"iv must stay fold + broadcast:\n$iv")
+    // Qini: both cumulative window passes consume the per-mille histogram
+    // (an aggregate sits below the first window), and nothing joins
+    val qn = plan("q_qini")
+    val aggIdx = qn.indexOf("HashAggregate")
+    val winIdx = qn.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 &&
+      winIdx < qn.lastIndexOf("HashAggregate"),
+      s"qini windows must consume the histogram, not raw rows:\n$qn")
+    assert(!qn.contains("SortMergeJoin") && !qn.contains("CartesianProduct"))
+    // Theil-Sen: the pairwise range join is DELIBERATE on the
+    // calendar-bounded daily frame — assert the join consumes aggregated
+    // inputs (a HashAggregate beneath it), and the median walks a
+    // slope-HISTOGRAM (a second aggregate below the rank window)
+    val ts = plan("q_theil_sen")
+    assert(ts.contains("BroadcastNestedLoopJoin"),
+      s"theil_sen pair join should broadcast the bounded daily frame:\n$ts")
+    assert(ts.contains("HashAggregate"),
+      s"theil_sen must fold to the daily frame before pairing:\n$ts")
+  }
 }
