@@ -1615,6 +1615,59 @@ object Behavior {
       .orderBy(col("support").desc, col("pat_a"), col("pat_b"))
   }
 
+  // `q_power` (X261): experiment sizing — minimum detectable effect
+
+  /** z(α/2 = 0.025) + z(power = 0.80) = 1.95996 + 0.84162, pinned as a
+    * literal so both engines multiply the identical constant. */
+  val PowerZSum = 2.80158
+
+  /** `q_power` (X261): MINIMUM DETECTABLE EFFECT — the experimentation
+    * family's missing tense: everything else analyzes a test that RAN
+    * (X85 lift, X255 SRM, X259 uplift); this sizes the next one —
+    * "with this traffic and this variance, what's the smallest lift a
+    * 50/50 test can see at α=0.05 / 80% power?" MDE = z·2σ/√n per the
+    * two-sample normal approximation. The variance moments stay exact
+    * Longs (n·Σx² − (Σx)² — the cleared-denominator form), and the one
+    * irrational step is a SINGLE pinned-order double chain per group —
+    * sqrt(vn/n³)·2·z, rounded once to centi-cents — no double is ever
+    * summed (the X199/X252 randomized-artifact discipline).
+    *
+    * Scale: one map-side-combined moment fold per event_type; the MDE
+    * arithmetic is per-GROUP work. Moment magnitudes: cents² ≤ 10¹⁰
+    * per row keeps Σx² inside Long beyond the 100× soak; (Σx)² crosses
+    * ~10¹⁸ around 10⁹ rows per group — at that scale the moments move
+    * to DECIMAL(38,0) unchanged. */
+  def powerQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("long")
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("n"), sum(cents).as("sx"),
+        sum(cents * cents).as("sxx"))
+      .withColumn("var_num", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n"), col("sx"), col("sxx"),
+        col("var_num"),
+        floor(sqrt(col("var_num").cast("double")
+          / (col("n") * col("n") * col("n")).cast("double"))
+          * lit(2.0) * lit(PowerZSum) * lit(100.0) + lit(0.5))
+          .cast("long").as("mde_centicents"))
+      .orderBy(col("event_type"))
+  }
+
+  val powerOracle: String =
+    s"""WITH m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+       |      * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n, sx, sxx,
+       |  n * sxx - sx * sx AS var_num,
+       |  CAST(FLOOR(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |    / CAST(n * n * n AS DOUBLE))
+       |    * 2.0 * ${PowerZSum} * 100.0 + 0.5) AS BIGINT)
+       |    AS mde_centicents
+       |FROM m ORDER BY event_type""".stripMargin
+
   // `q_qini` (X259): uplift (Qini) curve over score deciles
 
   /** `q_qini` (X259): the UPLIFT-MODEL evaluation — X245's gains table

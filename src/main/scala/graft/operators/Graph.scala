@@ -1012,4 +1012,73 @@ object Graph {
        |  FROM h2 ORDER BY score DESC, node LIMIT ${HitsTopK})
        |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
        |ORDER BY role, score DESC, node""".stripMargin
+
+  // `q_cc_incremental` (X262): incremental connected components
+  // through the committed label table
+
+  /** Supplier node-id offset (part keys stay < this). */
+  val CcNodeOffset = 1000000000L
+
+  /** `q_cc_incremental` (X262): INCREMENTAL connected components — the
+    * graph twin of X205's persisted dedup index: day 1 labels the
+    * history graph and COMMITS (node → label) as a table; day 2 must
+    * fold a new edge batch in WITHOUT re-walking history, which the
+    * classic relabel trick makes exact: committed labels ARE min-id
+    * witnesses, so CC over (node–label edges from the committed table)
+    * ∪ (the new batch's edges) equals CC of the full graph — each old
+    * component collapses to a star around its label, and new edges
+    * stitch stars together. The gate's oracle is the FROM-SCRATCH
+    * transitive closure over all edges, so the equivalence is proven
+    * per run, not assumed. Edges: the part↔supplier bipartite graph
+    * from lineitem (supplier ids offset into their own range); the
+    * history/batch split is the X61 orderkey-mod discipline.
+    *
+    * Scale: day 2 touches the label table (node-sized) plus the new
+    * batch — never the historical edge set; exactly how a production
+    * entity-resolution graph absorbs a daily delta. */
+  def ccIncrementalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_ccinc_") +
+      "/labels"
+    def edgesOf(df: DataFrame): DataFrame = df
+      .select(col("l_partkey").cast("long").as("doc_a"),
+        (col("l_suppkey").cast("long") + CcNodeOffset).as("doc_b"))
+      .distinct()
+    val li = Tables.lineitem(spark, sfDir)
+    val hist = edgesOf(li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0))
+    val labels1 = graft.operators.Dedup.connectedComponents(spark, hist,
+      localMaxEdges = 5000000L)
+    TableCommit.commitOverwrite(labels1, root, retain = 2)
+    val schema = StructType(Seq(
+      StructField("node", LongType), StructField("label", LongType)))
+    val labelEdges = TableCommit.read(spark, root, schema)
+      .select(col("node").as("doc_a"), col("label").as("doc_b"))
+    val batch = edgesOf(li.filter(pmod(col("l_orderkey"), lit(5)) === 0))
+    val labels2 = graft.operators.Dedup.connectedComponents(spark,
+      labelEdges.unionByName(batch), localMaxEdges = 5000000L)
+    labels2.groupBy(col("label"))
+      .agg(Num.countStar.as("n_nodes"), sum(col("node")).as("node_sum"))
+      .orderBy(col("label"))
+  }
+
+  val ccIncrementalOracle: String =
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+       |    CAST(l_suppkey AS BIGINT) + ${CcNodeOffset} AS b
+       |  FROM lineitem),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM e0),
+       |reach AS (
+       |  SELECT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, r.label
+       |  FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (
+       |  SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(node) AS BIGINT) AS node_sum
+       |FROM lab GROUP BY 1 ORDER BY label""".stripMargin
 }

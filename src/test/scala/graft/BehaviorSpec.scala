@@ -200,6 +200,29 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_power: moments and the one-rounding MDE recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Behavior.powerQ(spark, sfDir).collect()
+    val raw = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long")
+        .as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    raw.groupBy(_._1).foreach { case (t, xs) =>
+      val row = rows.find(_.getString(0) == t).get
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sxx = xs.map(x => x._2 * x._2).sum
+      val vn = n * sxx - sx * sx
+      assert(row.getLong(1) === n && row.getLong(2) === sx &&
+        row.getLong(3) === sxx && row.getLong(4) === vn)
+      val mde = math.floor(math.sqrt(vn.toDouble / (n * n * n).toDouble)
+        * 2.0 * Behavior.PowerZSum * 100.0 + 0.5).toLong
+      assert(row.getLong(5) === mde, s"$t: MDE recompute")
+      assert(vn >= 0L, "variance numerator must be nonnegative")
+    }
+  }
+
   test("q_qini: deciles partition both arms; uplift recomputes exactly") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"

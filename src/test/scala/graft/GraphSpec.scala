@@ -154,4 +154,28 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.filter(_._1).map(_._3).sum == nParts)
     assert(rows.filter(!_._1).map(_._3).sum == nSupps)
   }
+
+  test("incremental-CC relabel lemma: cc(labels(hist) ∪ batch) = cc(hist ∪ batch)") {
+    // the algebraic heart of q_cc_incremental, proven on random sparse
+    // graphs where merges, untouched components, and brand-new
+    // components all occur (the sfDir fixture is one giant component)
+    val rnd = new scala.util.Random(11)
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Dedup.connectedComponents(spark,
+        edges.toDF("doc_a", "doc_b"), localMaxEdges = 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 10).foreach { _ =>
+      val n = 30 + rnd.nextInt(30)
+      def edge() = (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      val hist = Seq.fill(n / 2)(edge())
+      val batch = Seq.fill(n / 4)(edge())
+      val labels1 = cc(hist)
+      val incremental = cc(labels1.toSeq ++ batch)
+      val scratch = cc(hist ++ batch)
+      // nodes present in history keep/merge labels exactly as a full
+      // recompute would; batch-only nodes appear identically in both
+      assert(incremental === scratch,
+        s"relabel lemma broken on n=$n hist=${hist.size} batch=${batch.size}")
+    }
+  }
 }
