@@ -586,7 +586,10 @@ object TableCommit {
           }
         }.map(_.path).toSet
         if (!unknownLiveness) {
-          val dead = retiredFiles.filterNot(e => live(e.path))
+          // absolute entries are SOURCE-owned (shallow clone): this
+          // table's retention must never delete another table's files
+          val dead = retiredFiles.filterNot(e =>
+            live(e.path) || e.path.startsWith("/"))
           dead.foreach { e =>
             try Files.deleteIfExists(Paths.get(root, e.path))
             catch { case _: Throwable => () }
@@ -697,6 +700,33 @@ object TableCommit {
   private def entriesAt(root: String, base: Long): Seq[Entry] =
     if (base == 0L) Seq.empty else readManifestChecked(root, base)
 
+  /** Resolve an entry path against its table root. A path beginning
+    * with '/' is ABSOLUTE — a shallow clone's manifest references the
+    * SOURCE table's files in place ([[cloneTable]]); everything else
+    * is root-relative, as every writer stages it. */
+  private def resolvePath(root: String, path: String): String =
+    if (path.startsWith("/")) path else s"$root/$path"
+
+  /** SHALLOW CLONE: `dst`'s next version references `src`'s CURRENT
+    * files IN PLACE (absolute-path entries; stats, rows and blooms
+    * carry over) — a zero-copy table copy, the dev/test-against-prod
+    * and what-if-migration workhorse of production formats. Writes to
+    * the clone stage under `dst` as usual (relative paths), so the
+    * clone diverges without ever touching source bytes; the clone's
+    * own retention NEVER deletes source-owned files (retire skips
+    * absolute entries; vacuum's sweep walks only `dst/data`). The
+    * standard shallow-clone contract applies in the other direction:
+    * retention/vacuum on the SOURCE can break a clone still
+    * referencing retired files — the clone pins nothing. */
+  def cloneTable(src: String, dst: String, retain: Int = 1): Long = {
+    val es = entries(src)
+    require(es.nonEmpty, s"nothing to clone at $src")
+    val abs = es.map(e => e.copy(
+      path = Paths.get(src, e.path).toAbsolutePath.toString))
+    val base = currentVersion(dst).getOrElse(0L)
+    publish(dst, abs, retain, expected = Some(base))
+  }
+
   /** Full-table replace: new snapshot's files are exactly this batch.
     * `retain` > 1 keeps that many trailing snapshots readable via
     * [[readAt]]. Pins the version observed at transaction start — a
@@ -782,7 +812,7 @@ object TableCommit {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
       spark.read.schema(schema)
-        .parquet(staged.entries.map(e => s"${staged.root}/${e.path}"): _*)
+        .parquet(staged.entries.map(e => resolvePath(staged.root, e.path)): _*)
 
   /** PUBLISH: append the audited batch in one atomic pointer swap —
     * the only moment the staged rows become visible, with the same
@@ -887,7 +917,7 @@ object TableCommit {
         col(bloomCol).cast("string"))), 1, 15), 16, 10).cast("long"),
         lit(m.toLong)).cast("int"))
     val posByFile = spark.read
-      .parquet(staged.map(e => s"$root/${e.path}"): _*)
+      .parquet(staged.map(e => resolvePath(root, e.path)): _*)
       .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
       .groupBy(col("f")).agg(collect_set(col("p")).as("ps"))
       .collect()
@@ -929,7 +959,7 @@ object TableCommit {
         col(bloomCol).cast("string"))), 1, 15), 16, 10).cast("long"),
         lit(m.toLong)).cast("int"))
     val posByFile = spark.read
-      .parquet(es.map(e => s"$root/${e.path}"): _*)
+      .parquet(es.map(e => resolvePath(root, e.path)): _*)
       .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
       .groupBy(col("f")).agg(collect_set(col("p")).as("ps"))
       .collect()
@@ -981,7 +1011,7 @@ object TableCommit {
       case Seq() =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case es =>
-        spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
+        spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
     }
 
   // ------------------------------------------------------------------
@@ -1044,7 +1074,7 @@ object TableCommit {
         "change feed is append-only; diff rewrites via readAt/commit-diff")
     val parts = chs.filter(_.added.nonEmpty).map { ch =>
       spark.read.schema(schema)
-        .parquet(ch.added.map(e => s"$root/${e.path}"): _*)
+        .parquet(ch.added.map(e => resolvePath(root, e.path)): _*)
         .withColumn(versionCol, lit(ch.version))
     }
     if (parts.isEmpty)
@@ -1074,13 +1104,13 @@ object TableCommit {
       val ins =
         if (ch.added.isEmpty) None
         else Some(spark.read.schema(schema)
-          .parquet(ch.added.map(e => s"$root/${e.path}"): _*)
+          .parquet(ch.added.map(e => resolvePath(root, e.path)): _*)
           .withColumn(versionCol, lit(ch.version))
           .withColumn(typeCol, lit("insert")))
       val del =
         if (ch.removedPaths.isEmpty) None
         else Some(spark.read.schema(schema)
-          .parquet(ch.removedPaths.map(p => s"$root/$p"): _*)
+          .parquet(ch.removedPaths.map(p => resolvePath(root, p)): _*)
           .withColumn(versionCol, lit(ch.version))
           .withColumn(typeCol, lit("delete")))
       ins.toSeq ++ del.toSeq
@@ -1138,7 +1168,7 @@ object TableCommit {
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to compact at $root")
-    val cur = spark.read.parquet(es.map(e => s"$root/${e.path}"): _*)
+    val cur = spark.read.parquet(es.map(e => resolvePath(root, e.path)): _*)
     val arranged = sortCol match {
       case Some(c) => cur.repartitionByRange(targetFiles, col(c))
       case None    => cur.coalesce(targetFiles)
@@ -1176,7 +1206,7 @@ object TableCommit {
       case Seq() =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case es =>
-        spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
+        spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
     }
 
   /** Time-travel read: the table AS OF `version`. The version must still
@@ -1192,7 +1222,7 @@ object TableCommit {
     if (es.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
+      spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
   }
 
   /** Read the current version, inferring the schema (requires at least one
@@ -1200,7 +1230,7 @@ object TableCommit {
   def readCurrent(spark: SparkSession, root: String): DataFrame = {
     val es = entries(root)
     require(es.nonEmpty, s"no committed version at $root")
-    spark.read.parquet(es.map(e => s"$root/${e.path}"): _*)
+    spark.read.parquet(es.map(e => resolvePath(root, e.path)): _*)
   }
 
   /** Manifest-pruned read: keep only files whose partition-dir segment
@@ -1213,7 +1243,7 @@ object TableCommit {
     if (es.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
+      spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
   }
 
   /** The manifest-stats analogue of [[readPruned]]'s listing decision:
@@ -1242,7 +1272,7 @@ object TableCommit {
     if (es.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.schema(schema).parquet(es.map(e => s"$root/${e.path}"): _*)
+      spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
   }
 
   /** Range overlap helper for [[pruneEntries]] predicates over the

@@ -1773,6 +1773,73 @@ object Relational {
       |FROM base WHERE st = 'F' AND k % 97 = 0
       |ORDER BY commit_version, change_type""".stripMargin
 
+  // `q_clone` (X263): zero-copy shallow clone + divergence
+
+  /** `q_clone` (X263): SHALLOW CLONE — the zero-copy table copy every
+    * production format ships (dev-against-prod, what-if migrations):
+    * the clone's first manifest references the source's files IN PLACE
+    * (absolute-path entries), so cloning a petabyte costs one manifest
+    * write; the clone then DIVERGES by normal commits (an appended
+    * correction batch here) while the source moves independently (a
+    * post-clone source append that must NOT leak into the clone). The
+    * gate reads ONLY the clone: per-segment rollup = source-at-clone
+    * ∪ the clone's correction — a clone that copied bytes, pinned the
+    * wrong version, or leaked post-clone source writes all break the
+    * hash. Isolation and the retention guard (the clone's retire never
+    * deletes source-owned files) are spec-pinned beside this.
+    *
+    * At 100 TB: clone cost is manifest-sized; divergence cost is the
+    * delta — exactly the economics that make clones usable at all. */
+  def cloneQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val work = graft.engine.TempWarehouse.createManaged("graft_clone_")
+    val srcRoot = s"$work/src"
+    val dstRoot = s"$work/clone"
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), cents)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("cents", LongType)))
+    TableCommit.commitAppend(src, srcRoot, retain = 2)
+    TableCommit.cloneTable(srcRoot, dstRoot, retain = 2)
+    // the clone diverges: a correction batch lands on the CLONE only
+    TableCommit.commitAppend(
+      src.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_mktsegment"), (col("cents") + 5L).as("cents")),
+      dstRoot, retain = 2)
+    // and the source moves on: this append must NOT appear in the clone
+    TableCommit.commitAppend(
+      src.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 2000000L).as("c_custkey"),
+          col("c_mktsegment"), col("cents")),
+      srcRoot, retain = 2)
+    TableCommit.read(spark, dstRoot, schema)
+      .groupBy(col("c_mktsegment"))
+      .agg(Num.countStar.as("n_rows"), sum(col("cents")).as("cents_sum"),
+        sum(col("c_custkey")).as("key_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val cloneOracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |clone AS (
+      |  SELECT c_custkey, c_mktsegment, cents FROM base
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_mktsegment, cents + 5
+      |  FROM base WHERE c_custkey % 10 = 0)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      |FROM clone GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   // `q_cdc_apply` (X258): feed-driven table replication
 
   /** `q_cdc_apply` (X258): REPLICATION over the change feed — the

@@ -482,6 +482,41 @@ class TableCommitSpec extends AnyFunSuite {
       === Seq(1L, 3L, 4L, 5L, 9L))
   }
 
+  test("shallow clone: zero-copy, isolated both ways, retention never touches source files") {
+    val src = root()
+    val dst = root() + "/clone"
+    TableCommit.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      src, retain = 2)
+    val srcFiles = TableCommit.entries(src)
+      .map(e => Paths.get(src, e.path))
+    TableCommit.cloneTable(src, dst, retain = 2)
+    // zero-copy: the clone's data dir does not exist yet — its manifest
+    // points at the source's files in place (absolute entries)
+    assert(!Files.isDirectory(Paths.get(dst, "data")),
+      "clone must not copy bytes")
+    assert(TableCommit.entries(dst).forall(_.path.startsWith("/")))
+    assert(TableCommit.read(spark, dst, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // divergence is isolated both ways
+    TableCommit.commitAppend(Seq((10L, "c")).toDF("k", "v"), dst, retain = 2)
+    TableCommit.commitAppend(Seq((99L, "z")).toDF("k", "v"), src, retain = 2)
+    assert(TableCommit.read(spark, dst, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 10L),
+      "post-clone source writes must not leak into the clone")
+    assert(TableCommit.read(spark, src, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 99L),
+      "clone writes must not leak into the source")
+    // retention guard: overwrite the clone (retain=1) so its
+    // absolute-entry versions retire — the source's files must survive
+    TableCommit.commitOverwrite(Seq((7L, "q")).toDF("k", "v"), dst)
+    TableCommit.commitOverwrite(Seq((8L, "r")).toDF("k", "v"), dst)
+    srcFiles.foreach(p => assert(Files.exists(p),
+      s"clone retention deleted a SOURCE file: $p"))
+    assert(TableCommit.read(spark, src, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 99L),
+      "source must read intact after clone retention churn")
+  }
+
   test("consumer ledger: virgin = 0, atomic overwrite advances, survives re-read") {
     val dir = Files.createTempDirectory("graft_ledger_spec_")
     val p = s"$dir/consumer.v"
