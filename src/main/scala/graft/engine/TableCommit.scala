@@ -872,6 +872,51 @@ object TableCommit {
   }
 
   // ------------------------------------------------------------------
+  // Commit-time constraints (X264)
+  // ------------------------------------------------------------------
+
+  /** A batch rejected by [[commitAppendChecked]]: per-constraint
+    * violation counts, with the staged files already aborted — nothing
+    * of the batch is visible or left on disk. */
+  final class ConstraintViolationException(
+      val violations: Map[String, Long], root: String)
+    extends RuntimeException(
+      s"constraint violation(s) at $root: " + violations.toSeq.sorted
+        .map { case (n, c) => s"$n=$c" }.mkString(", "))
+
+  /** Declarative CHECK constraints enforced AT THE COMMIT (the Delta
+    * `ALTER TABLE ADD CONSTRAINT CHECK` semantic, packaged over the
+    * write–audit–publish flow): stage invisibly, audit the exact staged
+    * bytes in ONE pass (all checks fold into a single aggregate over
+    * one scan), publish only if every check holds, else abort — the
+    * batch lands whole or not at all, and a violation reports every
+    * failing check's count, not just the first. SQL CHECK null
+    * semantics: a row violates a check only when the predicate is
+    * FALSE — NULL (unknown) passes, exactly like the standard; a
+    * NOT-NULL intent must be written as `col.isNotNull`. */
+  def commitAppendChecked(spark: SparkSession, df: DataFrame,
+      root: String, checks: Seq[(String, org.apache.spark.sql.Column)],
+      retain: Int = 1, partCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
+    require(checks.nonEmpty, "no constraints given — use commitAppend")
+    import org.apache.spark.sql.functions.{sum, when, lit}
+    val staged = stageForAudit(df, root, partCol, statsCols)
+    val audited = readStaged(spark, staged, df.schema)
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(pred === false, 1L).otherwise(0L)).as(name)
+    }
+    val row = audited.agg(aggs.head, aggs.tail: _*).head()
+    val violations = checks.zipWithIndex.collect {
+      case ((name, _), i) if row.getLong(i) > 0L => name -> row.getLong(i)
+    }.toMap
+    if (violations.nonEmpty) {
+      abortStaged(staged)
+      throw new ConstraintViolationException(violations, root)
+    }
+    publishStaged(staged, retain)
+  }
+
+  // ------------------------------------------------------------------
   // Bloom file index (X254)
   // ------------------------------------------------------------------
 

@@ -1773,6 +1773,89 @@ object Relational {
       |FROM base WHERE st = 'F' AND k % 97 = 0
       |ORDER BY commit_version, change_type""".stripMargin
 
+  // `q_constraints` (X264): commit-time CHECK constraints
+
+  /** Injected-violation rule: every orderkey ≡ 0 (mod 13) in the bad
+    * batch gets its cents negated. */
+  val ConstraintBadMod = 13
+
+  /** `q_constraints` (X264): DECLARATIVE commit-time constraints — the
+    * table contract enforced where it can't be skipped (X229's WAP is
+    * the mechanism; this is the Delta-CHECK-constraint policy packaged
+    * onto it): the clean batch commits; the second batch arrives with
+    * injected violations (negated cents on the mod-13 keys) and must be
+    * rejected WHOLE — its valid rows don't land either, because a
+    * partially-applied batch is the unrecoverable state (which rows
+    * made it?). All checks audit in ONE pass over the staged bytes and
+    * the rejection reports every failing check's count. The gate emits
+    * the final table's per-status rollup (clean batch only — any leaked
+    * bad row moves exact sums) PLUS the violation counts harvested from
+    * the typed rejection, both re-derived by the oracle.
+    *
+    * Scale: enforcement costs one audit scan of the BATCH (never the
+    * table), the same price X229 already established. */
+  def constraintsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_constr_") +
+      "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    val checks = Seq(
+      "cents_positive" -> (col("c") > 0L),
+      "status_known" -> col("st").isin("O", "F", "P"))
+    val clean = src.filter(pmod(col("k"), lit(2)) === 0)
+    TableCommit.commitAppendChecked(spark, clean, root, checks,
+      retain = 2)
+    val bad = src.filter(pmod(col("k"), lit(2)) === 1)
+      .select(col("k"), col("st"),
+        when(pmod(col("k"), lit(ConstraintBadMod)) === 0, -col("c"))
+          .otherwise(col("c")).as("c"))
+    val violations =
+      try {
+        TableCommit.commitAppendChecked(spark, bad, root, checks,
+          retain = 2)
+        Map.empty[String, Long]
+      } catch {
+        case e: TableCommit.ConstraintViolationException => e.violations
+      }
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    val table = TableCommit.read(spark, root, schema)
+      .groupBy(col("st"))
+      .agg(Num.countStar.as("n"), sum(col("c")).as("cents_sum"))
+      .select(lit("table").as("kind"), col("st").as("key"), col("n"),
+        col("cents_sum"))
+    import spark.implicits._
+    val vio = checks.map { case (name, _) =>
+      (name, violations.getOrElse(name, 0L))
+    }.toDF("key", "n")
+      .select(lit("violation").as("kind"), col("key"), col("n"),
+        lit(0L).as("cents_sum"))
+    table.unionByName(vio).orderBy(col("kind"), col("key"))
+  }
+
+  val constraintsOracle: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k, o_orderstatus AS st,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM orders)
+       |SELECT 'table' AS kind, st AS key, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(c) AS BIGINT) AS cents_sum
+       |FROM base WHERE k % 2 = 0 GROUP BY 2
+       |UNION ALL
+       |SELECT 'violation', 'cents_positive',
+       |  CAST(COUNT(*) FILTER (k % ${ConstraintBadMod} = 0 AND c > 0)
+       |    AS BIGINT), CAST(0 AS BIGINT)
+       |FROM base WHERE k % 2 = 1
+       |UNION ALL
+       |SELECT 'violation', 'status_known', CAST(0 AS BIGINT),
+       |  CAST(0 AS BIGINT)
+       |ORDER BY kind, key""".stripMargin
+
   // `q_clone` (X263): zero-copy shallow clone + divergence
 
   /** `q_clone` (X263): SHALLOW CLONE — the zero-copy table copy every

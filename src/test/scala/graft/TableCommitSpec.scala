@@ -482,6 +482,39 @@ class TableCommitSpec extends AnyFunSuite {
       === Seq(1L, 3L, 4L, 5L, 9L))
   }
 
+  test("checked commit: whole-batch rejection, SQL null semantics, all checks reported") {
+    val r = root()
+    val checks = Seq(
+      "k_positive" -> (col("k") > 0L),
+      "v_known" -> col("v").isin("a", "b"))
+    TableCommit.commitAppendChecked(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r, checks)
+    // a batch with BOTH violations (and one valid row) rejects WHOLE,
+    // with every failing check counted
+    val ex = intercept[TableCommit.ConstraintViolationException] {
+      TableCommit.commitAppendChecked(spark,
+        Seq((3L, "a"), (-4L, "a"), (-5L, "z"), (6L, "q")).toDF("k", "v"),
+        r, checks)
+    }
+    assert(ex.violations === Map("k_positive" -> 2L, "v_known" -> 2L))
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "rejected batch must leave no rows — not even its valid ones")
+    // the rejected batch's staged files are aborted, not orphaned
+    val dataDirs = {
+      val s = Files.list(Paths.get(r, "data"))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.size } finally s.close()
+    }
+    assert(dataDirs === 1, "abort must remove the rejected batch dir")
+    // SQL CHECK null semantics: NULL (unknown) passes; only FALSE fails
+    val withNull: org.apache.spark.sql.DataFrame =
+      Seq((7L, "a"), (8L, null.asInstanceOf[String])).toDF("k", "v")
+    TableCommit.commitAppendChecked(spark, withNull, r, checks)
+    assert(TableCommit.read(spark, r, schema).count() === 4L,
+      "a NULL predicate must pass, as in standard SQL CHECK")
+  }
+
   test("shallow clone: zero-copy, isolated both ways, retention never touches source files") {
     val src = root()
     val dst = root() + "/clone"
