@@ -173,7 +173,22 @@ object TableCommit {
       val sb = new StringBuilder
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+        if (c == '\\' && i + 1 < s.length) {
+          // exact inverse of the writer's js(): the shorthand escapes,
+          // \u00XX for other control chars, and identity for \\ and \"
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' =>
+              if (i + 6 > s.length) return None // torn mid-escape
+              val hex = s.substring(i + 2, i + 6)
+              val cp = try Integer.parseInt(hex, 16)
+                       catch { case _: NumberFormatException => return None }
+              sb.append(cp.toChar); i += 6
+            case other => sb.append(other); i += 2
+          }
+        }
         else if (c == '"') { i += 1; return Some(sb.toString) }
         else { sb.append(c); i += 1 }
       }
@@ -362,7 +377,18 @@ object TableCommit {
                       Some((s(st.genericGetMin), s(st.genericGetMax), false))
                     case _ => None
                   }
-                case FLOAT | DOUBLE =>
+                case FLOAT =>
+                  // Widen to double BEFORE canonicalizing: callers compare
+                  // via toDouble, and Float.toString("0.1") parses to the
+                  // double 0.1 while the file's actual max is
+                  // (double)0.1f = 0.10000000149… — a boundary predicate
+                  // would prune a file containing matching rows (ADVICE
+                  // r10). float→double widening is exact, so the double's
+                  // shortest-round-trip string preserves the true bound.
+                  def w(v: Any) =
+                    v.asInstanceOf[Number].floatValue.toDouble.toString
+                  Some((w(st.genericGetMin), w(st.genericGetMax), true))
+                case DOUBLE =>
                   Some((st.genericGetMin.toString, st.genericGetMax.toString,
                     true))
                 case _ => None
@@ -402,8 +428,13 @@ object TableCommit {
   def statsEnvelope(root: String, column: String,
       lt: (String, String) => Boolean): Option[(Long, String, String)] = {
     val es = entries(root)
+    // A deletion vector (X265) poisons the metadata-only answer: the
+    // count would overstate and the true live min/max may be exactly
+    // the deleted rows. Stats stay SUPERSET (fine for pruning), but an
+    // EXACT envelope must fall back to a scan.
     if (es.isEmpty ||
-        es.exists(e => e.rows.isEmpty || !e.stats.contains(column))) None
+        es.exists(e => e.rows.isEmpty || !e.stats.contains(column) ||
+          e.stats.contains(DvKey))) None
     else Some((
       es.map(_.rows.get).sum,
       es.map(_.stats(column).min).reduce((a, b) => if (lt(a, b)) a else b),
@@ -466,11 +497,30 @@ object TableCommit {
     }
     val next = base + 1L
     Files.createDirectories(logDir(root))
-    // Minimal JSON writer: paths are uuid/part-file names and parts are
-    // partition values — escape the two JSON-active characters anyway so
-    // a hostile partition value cannot corrupt the manifest.
-    def js(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Minimal JSON writer. Escaping is LOAD-BEARING, not hygiene: stat
+    // strings come verbatim from parquet footer UTF8 min/max, and a raw
+    // \n or \r in one would split this line-delimited manifest — publish
+    // would report success while every subsequent read throws
+    // TornManifestException, and with retain=1 the aged vacuum would then
+    // sweep the "torn" top version's data files (ADVICE r10, the silent-
+    // loss shape). So beyond the JSON-active pair, every control
+    // character (< 0x20) is escaped — \n/\r/\t as their shorthands, the
+    // rest as \u00XX — and [[LineParser.str]] reverses exactly this set.
+    def js(s: String): String = {
+      val sb = new StringBuilder(s.length + 2)
+      sb.append('"')
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"')
+      sb.toString
+    }
     def statsJs(m: Map[String, ColStats]): String =
       if (m.isEmpty) ""
       else m.toSeq.sortBy(_._1).map { case (c, cs) =>
@@ -906,8 +956,12 @@ object TableCommit {
       sum(when(pred === false, 1L).otherwise(0L)).as(name)
     }
     val row = audited.agg(aggs.head, aggs.tail: _*).head()
+    // sum() over an EMPTY staged batch is NULL, not 0 — an empty append
+    // has zero violations by definition and must publish, not NPE
+    // (ADVICE r10).
     val violations = checks.zipWithIndex.collect {
-      case ((name, _), i) if row.getLong(i) > 0L => name -> row.getLong(i)
+      case ((name, _), i) if !row.isNullAt(i) && row.getLong(i) > 0L =>
+        name -> row.getLong(i)
     }.toMap
     if (violations.nonEmpty) {
       abortStaged(staged)
@@ -942,6 +996,63 @@ object TableCommit {
       (java.lang.Long.parseLong(hex, 16) % m).toInt
     }
 
+  /** Last path segment — the join key between manifest entries and
+    * collected `_metadata.file_path`/`input_file_name` URIs. Part
+    * filenames carry the write's UUID, so leaves are unique per table
+    * in practice; callers that REQUIRE uniqueness (deletion vectors)
+    * assert it, callers that don't (bloom build) tiebreak inside a
+    * same-leaf group. */
+  private def pathLeaf(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** One pass over `es`'s files computing each file's k bloom bit
+    * positions (executor-side, grouped by input file; the driver folds
+    * ≤ m positions per file into the bit map), returning the entries
+    * with the bloom added beside any existing stats. Shared by append
+    * and reindex.
+    *
+    * The collected-URI → manifest-entry join is keyed by the path LEAF
+    * (part filenames carry the write's UUID, so leaves are unique in
+    * practice) with an `endsWith` tiebreak ONLY inside a same-leaf
+    * group — O(files) total, replacing the r10 shape that linear-
+    * scanned the whole URI map per entry (O(files²) of driver
+    * `endsWith` at reindex scale; ~10¹⁰ calls at 100k files). */
+  private def withBloomStats(spark: SparkSession, root: String,
+      es: Seq[Entry], bloomCol: String, m: Int, k: Int): Seq[Entry] = {
+    import org.apache.spark.sql.functions._
+    val pos = (0 until k).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"bf$i|"),
+        col(bloomCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(m.toLong)).cast("int"))
+    val posByFile = spark.read
+      .parquet(es.map(e => resolvePath(root, e.path)): _*)
+      .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
+      .groupBy(col("f")).agg(collect_set(col("p")).as("ps"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1)))
+    val byLeaf: Map[String, Seq[(String, Seq[Int])]] =
+      posByFile.groupBy { case (uri, _) => pathLeaf(uri) }
+        .view.mapValues(_.toSeq).toMap
+    es.map { e =>
+      val hit = byLeaf.getOrElse(pathLeaf(e.path), Seq.empty) match {
+        case Seq(only) => Some(only._2)
+        case several   =>
+          several.find { case (uri, _) => uri.endsWith("/" + e.path) }
+            .map(_._2)
+      }
+      hit match {
+        case None => e // empty file: no rows, bloom absent → never pruned wrongly
+        case Some(ps) =>
+          val bytes = new Array[Byte](m / 8)
+          ps.foreach(p => bytes(p >> 3) =
+            (bytes(p >> 3) | (1 << (p & 7))).toByte)
+          val hex = bytes.map("%02x".format(_)).mkString
+          e.copy(stats = e.stats +
+            (s"$BloomPrefix$bloomCol" -> ColStats(hex, s"$m/$k")))
+      }
+    }
+  }
+
   /** Append with a per-file bloom on `bloomCol`: stage, then ONE extra
     * pass over the staged files computes each file's k bit positions
     * (executor-side, grouped by input file), the driver folds them into
@@ -953,33 +1064,10 @@ object TableCommit {
       bloomCol: String, m: Int = 256, k: Int = 4, retain: Int = 1,
       statsCols: Seq[String] = Nil): Long = {
     require(m % 8 == 0 && m > 0 && k > 0, s"bad bloom geometry $m/$k")
-    import org.apache.spark.sql.functions._
     val base = currentVersion(root).getOrElse(0L)
     val prior = entriesAt(root, base)
     val staged = stageBatch(df, root, None, statsCols)
-    val pos = (0 until k).map(i =>
-      pmod(conv(substring(md5(concat(lit(s"bf$i|"),
-        col(bloomCol).cast("string"))), 1, 15), 16, 10).cast("long"),
-        lit(m.toLong)).cast("int"))
-    val posByFile = spark.read
-      .parquet(staged.map(e => resolvePath(root, e.path)): _*)
-      .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
-      .groupBy(col("f")).agg(collect_set(col("p")).as("ps"))
-      .collect()
-      .map(r => (r.getString(0), r.getSeq[Int](1))).toMap
-    val withBloom = staged.map { e =>
-      val tail = "/" + e.path
-      posByFile.find { case (uri, _) => uri.endsWith(tail) } match {
-        case None => e // empty file: no rows, bloom absent → never pruned wrongly
-        case Some((_, ps)) =>
-          val bytes = new Array[Byte](m / 8)
-          ps.foreach(p => bytes(p >> 3) =
-            (bytes(p >> 3) | (1 << (p & 7))).toByte)
-          val hex = bytes.map("%02x".format(_)).mkString
-          e.copy(stats = e.stats +
-            (s"$BloomPrefix$bloomCol" -> ColStats(hex, s"$m/$k")))
-      }
-    }
+    val withBloom = withBloomStats(spark, root, staged, bloomCol, m, k)
     publish(root, prior ++ withBloom, retain, expected = Some(base))
   }
 
@@ -995,32 +1083,10 @@ object TableCommit {
       bloomCol: String, m: Int = 256, k: Int = 4,
       retain: Int = 1): Long = {
     require(m % 8 == 0 && m > 0 && k > 0, s"bad bloom geometry $m/$k")
-    import org.apache.spark.sql.functions._
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to reindex at $root")
-    val pos = (0 until k).map(i =>
-      pmod(conv(substring(md5(concat(lit(s"bf$i|"),
-        col(bloomCol).cast("string"))), 1, 15), 16, 10).cast("long"),
-        lit(m.toLong)).cast("int"))
-    val posByFile = spark.read
-      .parquet(es.map(e => resolvePath(root, e.path)): _*)
-      .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
-      .groupBy(col("f")).agg(collect_set(col("p")).as("ps"))
-      .collect()
-      .map(r => (r.getString(0), r.getSeq[Int](1))).toMap
-    val reindexed = es.map { e =>
-      val tail = "/" + e.path
-      posByFile.find { case (uri, _) => uri.endsWith(tail) } match {
-        case None => e
-        case Some((_, ps)) =>
-          val bytes = new Array[Byte](m / 8)
-          ps.foreach(p => bytes(p >> 3) =
-            (bytes(p >> 3) | (1 << (p & 7))).toByte)
-          e.copy(stats = e.stats + (s"$BloomPrefix$bloomCol" ->
-            ColStats(bytes.map("%02x".format(_)).mkString, s"$m/$k")))
-      }
-    }
+    val reindexed = withBloomStats(spark, root, es, bloomCol, m, k)
     publish(root, reindexed, retain, expected = Some(base))
   }
 
@@ -1056,8 +1122,165 @@ object TableCommit {
       case Seq() =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case es =>
-        spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
+        readLive(spark, root, Some(schema), es)
     }
+
+  // ------------------------------------------------------------------
+  // Deletion vectors — row-level DELETE, merge-on-read (X265)
+  // ------------------------------------------------------------------
+
+  /** Manifest stats-channel key for a file's DELETION VECTOR: the set
+    * of row positions (parquet `_metadata.row_index` order) this
+    * snapshot considers deleted from the file. Rides the existing
+    * stats channel like the bloom (X254) — min holds the positions
+    * (sorted, delta-encoded, comma-joined decimal), max holds the
+    * count — so the manifest format, parser, and retention logic are
+    * untouched; readers that don't know the key see an inert stat.
+    *
+    * This is the merge-on-read half of row-level DELETE (Iceberg
+    * position deletes, Delta deletion vectors): a delete commit moves
+    * ZERO data bytes — it republishes the same file list with fatter
+    * DVs — and reads anti-apply the positions. Copy-on-write rewrites
+    * (the only pre-X265 option) made a few-rows-per-file purge cost a
+    * full file rewrite each — the scale-killer at 100 TB where a
+    * right-to-be-forgotten purge touches a handful of rows in
+    * thousands of files. [[commitCompact]] is the compaction path:
+    * it reads LIVE rows and emits DV-free files. */
+  val DvKey = "dv"
+
+  private[graft] def dvDecode(cs: ColStats): Seq[Long] =
+    if (cs.min.isEmpty) Seq.empty
+    else {
+      var acc = 0L
+      cs.min.split(',').toSeq.map { d => acc += d.toLong; acc }
+    }
+
+  private def dvEncode(ps: Seq[Long]): ColStats = {
+    val sorted = ps.distinct.sorted
+    val deltas =
+      if (sorted.isEmpty) Seq.empty[Long]
+      else sorted.head +: sorted.sliding(2).collect {
+        case Seq(a, b) => b - a
+      }.toSeq
+    ColStats(deltas.mkString(","), sorted.size.toString)
+  }
+
+  /** Live row positions deleted from `e`'s file (empty = none). */
+  def deletedPositions(e: Entry): Seq[Long] =
+    e.stats.get(DvKey).map(dvDecode).getOrElse(Seq.empty)
+
+  private def requireUniqueLeaves(root: String, es: Seq[Entry]): Unit = {
+    val leaves = es.map(e => pathLeaf(e.path))
+    require(leaves.distinct.size == leaves.size,
+      s"duplicate file leaf names at $root — deletion vectors key " +
+        "row positions by leaf and need them unique (they are, for " +
+        "every writer in this engine: part filenames carry the " +
+        "write's UUID)")
+  }
+
+  /** DataFrame over `es`'s files with each file's deletion vector
+    * ANTI-APPLIED — the merge-on-read. DV-free entry lists take the
+    * plain scan (zero overhead; the common case and every pre-X265
+    * table); otherwise the scan gains `_metadata` (file leaf + row
+    * index) and a broadcast left-anti join against the deleted
+    * positions — deleted-row-count–sized build side, never a
+    * shuffle of the data. */
+  private def readLive(spark: SparkSession, root: String,
+      schema: Option[StructType], es: Seq[Entry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+    val paths = es.map(e => resolvePath(root, e.path))
+    val base = schema.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(paths: _*)
+    val dvs = es.filter(_.stats.contains(DvKey))
+    if (dvs.isEmpty) base
+    else {
+      requireUniqueLeaves(root, es)
+      import spark.implicits._
+      val del = dvs.flatMap(e =>
+        dvDecode(e.stats(DvKey)).map(p => (pathLeaf(e.path), p)))
+      val delDf = del.toDF("_dv_leaf", "_dv_pos")
+      base.select(col("*"),
+          element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as("_dv_leaf"),
+          col("_metadata.row_index").as("_dv_pos"))
+        .join(broadcast(delDf), Seq("_dv_leaf", "_dv_pos"), "left_anti")
+        .drop("_dv_leaf", "_dv_pos")
+    }
+  }
+
+  /** Rows of `sel`'s files at EXACTLY the given positions — how the
+    * full change feed materializes "which rows did this DV delete"
+    * after the fact. Broadcast semi join on (leaf, row_index);
+    * build side is positions-sized. */
+  private def readPositions(spark: SparkSession, root: String,
+      schema: StructType, sel: Seq[(Entry, Seq[Long])]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+    import spark.implicits._
+    val posDf = sel.flatMap { case (e, ps) =>
+      ps.map(p => (pathLeaf(e.path), p))
+    }.toDF("_dv_leaf", "_dv_pos")
+    spark.read.schema(schema)
+      .parquet(sel.map(x => resolvePath(root, x._1.path)): _*)
+      .select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("_dv_leaf"),
+        col("_metadata.row_index").as("_dv_pos"))
+      .join(broadcast(posDf), Seq("_dv_leaf", "_dv_pos"), "left_semi")
+      .drop("_dv_leaf", "_dv_pos")
+  }
+
+  /** Row-level DELETE: mark every current row matching `predicate`
+    * deleted, via per-file position sets in the manifest — the file
+    * list republishes BYTE-IDENTICAL (zero data moved; the spec pins
+    * it), only the DV stats grow. Returns the new version, or the
+    * CURRENT version unchanged when nothing matched (an empty delete
+    * is a no-op, not a new snapshot).
+    *
+    * The matching pass runs executor-side at full parallelism; only
+    * (file leaf, position) pairs — deleted-row-count–sized, the purge
+    * shape this exists for — come to the driver to fold into the
+    * manifest. A delete of a large FRACTION of the table wants
+    * copy-on-write ([[commitOverwrite]] of the complement) instead;
+    * that trade is the caller's, exactly as in production formats.
+    *
+    * Same optimistic concurrency as every commit: the snapshot read
+    * at transaction start is re-verified at publish. Positions union
+    * into any existing DV (re-deleting a dead row is a no-op by
+    * construction). Secondary metadata (X207 min/max, X254 blooms)
+    * goes STALE-BUT-SUPERSET: live rows are a subset of the rows the
+    * stats described, so pruning stays lossless — spec-pinned. */
+  def commitDeleteRows(spark: SparkSession, root: String,
+      schema: StructType, predicate: org.apache.spark.sql.Column,
+      retain: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{col, collect_list, element_at, sort_array, split}
+    val base = currentVersion(root).getOrElse(0L)
+    val es = entriesAt(root, base)
+    require(es.nonEmpty, s"nothing to delete at $root")
+    requireUniqueLeaves(root, es)
+    val hits = spark.read.schema(schema)
+      .parquet(es.map(e => resolvePath(root, e.path)): _*)
+      .filter(predicate)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as("leaf"), col("_metadata.row_index").as("pos"))
+      .groupBy(col("leaf"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    if (hits.isEmpty) return base
+    val updated = es.map { e =>
+      hits.get(pathLeaf(e.path)) match {
+        case None => e
+        case Some(ps) =>
+          val merged = (deletedPositions(e) ++ ps).distinct
+          e.copy(stats = e.stats + (DvKey -> dvEncode(merged)))
+      }
+    }
+    // re-deleting only already-dead rows (the predicate matched raw
+    // rows whose positions were in the DVs already) changes nothing —
+    // idempotent no-op, no empty snapshot churn
+    if (updated == es) return base
+    publish(root, updated, retain, expected = Some(base))
+  }
 
   // ------------------------------------------------------------------
   // Change feed (X251)
@@ -1117,9 +1340,25 @@ object TableCommit {
       s"non-append version(s) ${nonAppend.map(_.version).mkString(", ")} " +
         s"in feed range ($fromExclusive, $toInclusive] at $root — the " +
         "change feed is append-only; diff rewrites via readAt/commit-diff")
+    // A deletion-vector delta (X265) removes ROWS without removing
+    // files — also not expressible as insert rows; silently skipping it
+    // would let a feed-driven mirror diverge. Same loud contract as
+    // file removals: use the FULL feed for such versions.
+    val dvDelta = ((fromExclusive + 1L) to toInclusive).filter { v =>
+      val prevDv = (if (v == 1L) Seq.empty[Entry]
+                    else entriesAtVersion(root, v - 1L))
+        .map(e => e.path -> e.stats.get(DvKey)).toMap
+      entriesAtVersion(root, v).exists(e =>
+        prevDv.contains(e.path) && prevDv(e.path) != e.stats.get(DvKey))
+    }
+    require(dvDelta.isEmpty,
+      s"deletion-vector delta in version(s) ${dvDelta.mkString(", ")} " +
+        s"at $root — row deletes aren't expressible in the append-only " +
+        "feed; consume them via readChangesFull")
     val parts = chs.filter(_.added.nonEmpty).map { ch =>
-      spark.read.schema(schema)
-        .parquet(ch.added.map(e => resolvePath(root, e.path)): _*)
+      // readLive: an added entry can CARRY a DV (a shallow-cloned file)
+      // — its dead rows were never part of this table's content
+      readLive(spark, root, Some(schema), ch.added)
         .withColumn(versionCol, lit(ch.version))
     }
     if (parts.isEmpty)
@@ -1144,21 +1383,42 @@ object TableCommit {
       versionCol: String = "_commit_version",
       typeCol: String = "_change_type"): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val chs = changesBetween(root, fromExclusive, toInclusive)
-    val parts = chs.flatMap { ch =>
+    require(fromExclusive >= 0L && fromExclusive <= toInclusive,
+      s"bad feed range ($fromExclusive, $toInclusive]")
+    val parts = ((fromExclusive + 1L) to toInclusive).flatMap { v =>
+      val prev = if (v == 1L) Seq.empty[Entry]
+                 else entriesAtVersion(root, v - 1L)
+      val cur = entriesAtVersion(root, v)
+      val prevBy = prev.map(e => e.path -> e).toMap
+      val curPaths = cur.map(_.path).toSet
+      val added = cur.filterNot(e => prevBy.contains(e.path))
+      val removed = prev.filterNot(e => curPaths(e.path))
+      // inserts and whole-file deletes read LIVE rows as of their own
+      // side of the version boundary — a file's dead rows were never
+      // content, so they belong in neither stream
       val ins =
-        if (ch.added.isEmpty) None
-        else Some(spark.read.schema(schema)
-          .parquet(ch.added.map(e => resolvePath(root, e.path)): _*)
-          .withColumn(versionCol, lit(ch.version))
+        if (added.isEmpty) None
+        else Some(readLive(spark, root, Some(schema), added)
+          .withColumn(versionCol, lit(v))
           .withColumn(typeCol, lit("insert")))
       val del =
-        if (ch.removedPaths.isEmpty) None
-        else Some(spark.read.schema(schema)
-          .parquet(ch.removedPaths.map(p => resolvePath(root, p)): _*)
-          .withColumn(versionCol, lit(ch.version))
+        if (removed.isEmpty) None
+        else Some(readLive(spark, root, Some(schema), removed)
+          .withColumn(versionCol, lit(v))
           .withColumn(typeCol, lit("delete")))
-      ins.toSeq ++ del.toSeq
+      // X265: a deletion-vector delta on a PERSISTING file is a
+      // row-level delete — emit exactly the newly-dead positions
+      val dvGrown = cur.filter(e => prevBy.contains(e.path)).flatMap { e =>
+        val before = deletedPositions(prevBy(e.path)).toSet
+        val fresh = deletedPositions(e).filterNot(before)
+        if (fresh.isEmpty) None else Some((e, fresh))
+      }
+      val dvDel =
+        if (dvGrown.isEmpty) None
+        else Some(readPositions(spark, root, schema, dvGrown)
+          .withColumn(versionCol, lit(v))
+          .withColumn(typeCol, lit("delete")))
+      ins.toSeq ++ del.toSeq ++ dvDel.toSeq
     }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -1213,7 +1473,10 @@ object TableCommit {
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to compact at $root")
-    val cur = spark.read.parquet(es.map(e => resolvePath(root, e.path)): _*)
+    // LIVE rows only: compaction is also what melts deletion vectors
+    // (X265) away — the rewritten files carry no DVs and the dead rows
+    // are physically gone.
+    val cur = readLive(spark, root, None, es)
     val arranged = sortCol match {
       case Some(c) => cur.repartitionByRange(targetFiles, col(c))
       case None    => cur.coalesce(targetFiles)
@@ -1251,7 +1514,7 @@ object TableCommit {
       case Seq() =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case es =>
-        spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
+        readLive(spark, root, Some(schema), es)
     }
 
   /** Time-travel read: the table AS OF `version`. The version must still
@@ -1267,7 +1530,7 @@ object TableCommit {
     if (es.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
+      readLive(spark, root, Some(schema), es)
   }
 
   /** Read the current version, inferring the schema (requires at least one
@@ -1275,7 +1538,7 @@ object TableCommit {
   def readCurrent(spark: SparkSession, root: String): DataFrame = {
     val es = entries(root)
     require(es.nonEmpty, s"no committed version at $root")
-    spark.read.parquet(es.map(e => resolvePath(root, e.path)): _*)
+    readLive(spark, root, None, es)
   }
 
   /** Manifest-pruned read: keep only files whose partition-dir segment
@@ -1288,7 +1551,7 @@ object TableCommit {
     if (es.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
+      readLive(spark, root, Some(schema), es)
   }
 
   /** The manifest-stats analogue of [[readPruned]]'s listing decision:
@@ -1317,7 +1580,7 @@ object TableCommit {
     if (es.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.schema(schema).parquet(es.map(e => resolvePath(root, e.path)): _*)
+      readLive(spark, root, Some(schema), es)
   }
 
   /** Range overlap helper for [[pruneEntries]] predicates over the

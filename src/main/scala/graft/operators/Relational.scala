@@ -2016,4 +2016,82 @@ object Relational {
       |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM b GROUP BY 1, 2 ORDER BY commit_version""".stripMargin
+
+  // `q_delete_rows` (X265): row-level DELETE via deletion vectors
+
+  /** `q_delete_rows` (X265): row-level DELETE as MERGE-ON-READ deletion
+    * vectors — the one classic table-format capability the engine
+    * lacked (the reference's own `DELETE FROM … WHERE` shape,
+    * /root/reference/src/snowflake_loader.py:136-139, and the purge-
+    * list workloads X97/X194 already compute). Before X265 a
+    * few-rows-per-file purge forced whole-file copy-on-write rewrites
+    * — the scale-killer at 100 TB. Now a delete commit writes per-file
+    * POSITION SETS into the manifest's stats channel (zero data bytes
+    * move — spec-pinned), reads anti-apply them via a broadcast
+    * anti-join on (file, row_index), and OPTIMIZE compacts them away.
+    *
+    * Lifecycle under test: v1 append → v2 purge (mod-19 stripe) → v3
+    * second purge (disjoint stripe; DVs must COMPOSE) → v4 OPTIMIZE
+    * (DVs melt; content identical). The gate rolls up (a) the final
+    * live table per status — read from the COMPACTED, DV-free files,
+    * so a DV that leaked dead rows into the rewrite breaks the hash —
+    * and (b) the full change feed's delete rows per version, so the
+    * CDF emitting the wrong rows (or re-emitting already-dead ones)
+    * breaks it too. The oracle re-derives all three slices from the
+    * raw table. */
+  def deleteRowsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_dvq_") +
+      "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    val v1 = TableCommit.commitAppend(src, root, retain = 6)
+    val v2 = TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("k"), lit(19L)) === 3L, retain = 6)
+    val v3 = TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("k"), lit(19L)) === 7L, retain = 6)
+    TableCommit.commitCompact(spark, root, targetFiles = 4,
+      sortCol = Some("k"), retain = 6)
+    val table = TableCommit.read(spark, root, schema)
+      .groupBy(col("st"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .select(lit("table").as("kind"), col("st").as("key"),
+        col("n_rows"), col("cents_sum"), col("key_sum"))
+    val feed = TableCommit.readChangesFull(spark, root, schema, v1, v3)
+      .filter(col("_change_type") === "delete")
+      .groupBy(col("_commit_version"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .select(lit("cdf_delete").as("kind"),
+        col("_commit_version").cast("string").as("key"),
+        col("n_rows"), col("cents_sum"), col("key_sum"))
+    table.unionByName(feed).orderBy(col("kind"), col("key"))
+  }
+
+  val deleteRowsOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT 'table' AS kind, st AS key, CAST(COUNT(*) AS BIGINT)
+      |    AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM base WHERE k % 19 NOT IN (3, 7) GROUP BY 2
+      |UNION ALL
+      |SELECT 'cdf_delete', '2', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c) AS BIGINT), CAST(SUM(k) AS BIGINT)
+      |FROM base WHERE k % 19 = 3
+      |UNION ALL
+      |SELECT 'cdf_delete', '3', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c) AS BIGINT), CAST(SUM(k) AS BIGINT)
+      |FROM base WHERE k % 19 = 7
+      |ORDER BY kind, key""".stripMargin
 }

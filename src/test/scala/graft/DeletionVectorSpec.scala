@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TableCommit
+
+/** X265 deletion vectors: row-level DELETE as merge-on-read position
+  * sets in the manifest stats channel. The contracts under test:
+  * zero data bytes move at delete time, reads anti-apply exactly,
+  * secondary metadata (X207 stats / X254 blooms) stays lossless-
+  * superset, OPTIMIZE melts DVs away, and the change feeds tell the
+  * truth about row-level deletes. */
+class DeletionVectorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", LongType)))
+
+  private def root(): String =
+    Files.createTempDirectory("graft_dv_spec_").toString
+
+  /** (path → (size, mtime)) of every data file under the root — the
+    * zero-bytes-moved witness. */
+  private def dataFingerprint(r: String): Map[String, (Long, Long)] = {
+    val dir = Paths.get(r, "data")
+    val s = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+        p.toString -> (Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)
+      }.toMap
+    } finally s.close()
+  }
+
+  private def seed(r: String, n: Long = 200L, files: Int = 4,
+      statsCols: Seq[String] = Nil): Long = {
+    val df = spark.range(n).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).repartition(files)
+    TableCommit.commitAppend(df, r, retain = 8, statsCols = statsCols)
+  }
+
+  test("delete commit moves ZERO data bytes and reads anti-apply exactly") {
+    val r = root()
+    val v1 = seed(r)
+    val before = dataFingerprint(r)
+    val v2 = TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(7L)) === 3L, retain = 8)
+    assert(v2 === v1 + 1L)
+    assert(dataFingerprint(r) === before,
+      "a DV delete must not touch a single data byte")
+    // same FILE LIST, only the dv stat differs
+    val e1 = TableCommit.entriesAtVersion(r, v1).map(_.path)
+    val e2 = TableCommit.entriesAtVersion(r, v2).map(_.path)
+    assert(e1 === e2)
+    val got = TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 200L).filterNot(_ % 7 == 3).toSet)
+    // time travel still sees the pre-delete world
+    assert(TableCommit.readAt(spark, r, schema, v1).count() === 200L)
+  }
+
+  test("deletes compose across commits; re-deleting dead rows is a version no-op") {
+    val r = root()
+    seed(r)
+    val v2 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 50L, retain = 8)
+    val v3 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") >= 150L, retain = 8)
+    assert(v3 === v2 + 1L)
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === (50L until 150L).toSet)
+    // both predicates again: every matching row is already dead
+    val v4 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 50L || col("k") >= 150L, retain = 8)
+    assert(v4 === v3, "re-deleting only dead rows must not publish")
+    // no matches at all: also a no-op
+    val v5 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") === 100000L, retain = 8)
+    assert(v5 === v3)
+  }
+
+  test("stats and bloom pruning stay LOSSLESS over deleted files (VERDICT r10 task 8)") {
+    // Stats/blooms were computed over ALL rows at write time; a DV only
+    // shrinks the live set, so file metadata is stale-but-SUPERSET and
+    // a prune may read too much but never skip a live match. Property:
+    // after deleting a stripe, EVERY remaining key is still found by
+    // both prune paths.
+    val r = root()
+    val df = spark.range(120).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).repartition(6, col("k"))
+    TableCommit.commitAppendBloom(spark, df, r, "k", statsCols = Seq("k"))
+    TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(5L)) === 2L, retain = 8)
+    val live = TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet
+    assert(live === (0L until 120L).filterNot(_ % 5 == 2).toSet)
+    live.foreach { key =>
+      // min/max prune: keep files whose [min,max] admits the key
+      val kept = TableCommit.pruneEntries(r, "k")(cs =>
+        !(cs.max.toLong < key || cs.min.toLong > key))
+      assert(kept.nonEmpty, s"stats prune lost live key $key")
+      // bloom prune THEN read: the row itself must come back
+      val hit = TableCommit.readPrunedBloom(spark, r, schema,
+        "k", key.toString).filter(col("k") === key).count()
+      assert(hit === 1L, s"bloom prune lost live key $key")
+    }
+    // and dead rows are really gone from the bloom-pruned read too
+    val dead = TableCommit.readPrunedBloom(spark, r, schema, "k", "2")
+      .filter(col("k") === 2L).count()
+    assert(dead === 0L)
+  }
+
+  test("OPTIMIZE melts deletion vectors: compacted files are DV-free with identical content") {
+    val r = root()
+    seed(r)
+    TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(3L)) === 0L, retain = 8)
+    val liveBefore = TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(TableCommit.entries(r).exists(_.stats.contains(TableCommit.DvKey)))
+    TableCommit.commitCompact(spark, r, targetFiles = 2,
+      sortCol = Some("k"), retain = 8)
+    val es = TableCommit.entries(r)
+    assert(es.forall(!_.stats.contains(TableCommit.DvKey)),
+      "compaction must emit DV-free files")
+    val liveAfter = TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(liveAfter === liveBefore)
+  }
+
+  test("statsEnvelope refuses a metadata-only answer once a DV exists") {
+    val r = root()
+    val df = spark.range(100).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).repartition(2)
+    TableCommit.commitAppend(df, r, retain = 8, statsCols = Seq("k"))
+    val before = TableCommit.statsEnvelope(r, "k",
+      (a, b) => a.toLong < b.toLong)
+    assert(before === Some((100L, "0", "99")))
+    // delete the row holding the global max — the envelope would lie
+    TableCommit.commitDeleteRows(spark, r, schema, col("k") === 99L,
+      retain = 8)
+    assert(TableCommit.statsEnvelope(r, "k",
+      (a, b) => a.toLong < b.toLong).isEmpty,
+      "an exact envelope over a DV'd table must fall back to a scan")
+  }
+
+  test("append-only feed rejects a DV delta; full feed emits exactly the dead rows") {
+    val r = root()
+    val v1 = seed(r)
+    val v2 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 10L, retain = 8)
+    val ex = intercept[IllegalArgumentException] {
+      TableCommit.readChanges(spark, r, schema, v1, v2).count()
+    }
+    assert(ex.getMessage.contains("deletion-vector delta"))
+    val feed = TableCommit.readChangesFull(spark, r, schema, v1, v2)
+      .collect()
+    assert(feed.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(feed.forall(_.getAs[Long]("_commit_version") == v2))
+    assert(feed.map(_.getLong(0)).toSet === (0L until 10L).toSet,
+      "the full feed must emit exactly the newly-dead rows")
+    // a second delete only feeds its OWN fresh positions
+    val v3 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 20L, retain = 8)
+    val feed2 = TableCommit.readChangesFull(spark, r, schema, v2, v3)
+      .collect()
+    assert(feed2.map(_.getLong(0)).toSet === (10L until 20L).toSet,
+      "already-dead positions must not re-feed")
+  }
+
+  test("a shallow clone carries the source's DVs and reads live") {
+    val r = root()
+    seed(r)
+    TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(2L)) === 1L, retain = 8)
+    val dst = root()
+    TableCommit.cloneTable(r, dst, retain = 8)
+    val got = TableCommit.read(spark, dst, schema)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 200L).filter(_ % 2 == 0).toSet,
+      "clone must inherit the source's deletion vectors")
+  }
+}

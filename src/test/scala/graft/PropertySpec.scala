@@ -367,12 +367,15 @@ class PropertySpec extends AnyFunSuite {
     import graft.engine.TableCommit.{ColStats, Entry}
     // strings drawn to be HOSTILE to a hand-rolled JSON subset: quotes,
     // backslashes, braces, colons, commas, unicode — everything the
-    // escaper and the line scanner must round-trip exactly. Newlines are
-    // excluded by construction: the format is line-delimited and no
-    // path/partition/stat value the engine produces can contain one.
+    // escaper and the line scanner must round-trip exactly. CONTROL
+    // CHARACTERS INCLUDED: stat strings come verbatim from parquet
+    // footer UTF8 min/max, so a string column CAN put \n or \r into a
+    // stat value (the r10 exclusion "no stat value can contain one" was
+    // false — ADVICE r10 high); an unescaped one splits the
+    // line-delimited manifest and tears a successfully-published table.
     val nastyChar = Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf('"', '\\', '{', '}', ':', ',', ' ',
-        '[', ']', 'é', '中'))
+        '[', ']', 'é', '中', '\n', '\r', '\t', 0x00.toChar, 0x1f.toChar))
     val nasty = Gen.choose(0, 24)
       .flatMap(n => Gen.listOfN(n, nastyChar)).map(_.mkString)
     val statGen = Gen.mapOf(Gen.zip(

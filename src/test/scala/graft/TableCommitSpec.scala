@@ -568,4 +568,58 @@ class TableCommitSpec extends AnyFunSuite {
       } finally s.close()
     assert(names === List("consumer.v"))
   }
+
+  test("control chars in footer stat strings survive the manifest (ADVICE r10 high)") {
+    // A string column whose min/max carry \n, \r, \t: before the escaping
+    // fix, publish "succeeded" but the raw newline split the
+    // line-delimited manifest — every read threw TornManifestException
+    // and (retain=1) the aged vacuum would then sweep the committed
+    // version's data files. End-to-end: commit with stats on that
+    // column, read back both the rows and the exact stat strings.
+    val r = root()
+    val lo = "a\nlow\rrow\tend"
+    val hi = "z\nhigh"
+    val df = Seq((1L, lo), (2L, hi)).toDF("k", "v").coalesce(1)
+    TableCommit.commitOverwrite(df, r, statsCols = Seq("v"))
+    val got = TableCommit.read(spark, r, schema)
+      .collect().map(_.getString(1)).toSet
+    assert(got === Set(lo, hi), "rows must survive a newline-bearing stat")
+    val st = TableCommit.entries(r).flatMap(_.stats.get("v"))
+    assert(st.nonEmpty && st.forall(cs => cs.min == lo && cs.max == hi),
+      s"stat strings must round-trip exactly, got $st")
+  }
+
+  test("commitAppendChecked publishes an EMPTY batch instead of NPE-ing (ADVICE r10)") {
+    val r = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), r)
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    // sum() over zero rows is NULL — zero violations by definition
+    val v = TableCommit.commitAppendChecked(spark, empty, r,
+      Seq("k_pos" -> (col("k") > 0L)))
+    assert(v === 2L)
+    assert(TableCommit.read(spark, r, schema).count() === 1L)
+  }
+
+  test("FLOAT stats widen to double so boundary predicates stay lossless (ADVICE r10)") {
+    // (double)0.1f = 0.100000001490116… > 0.1d: a file whose float max is
+    // 0.1f DOES contain rows matching `x >= 0.1f` read back as doubles,
+    // but the old canonical string "0.1" parsed to 0.1d and a predicate
+    // range [0.100000001, …] would prune the file. The canonical string
+    // must parse to the exact widened value.
+    val r = root()
+    val df = Seq(0.05f, 0.1f).toDF("x")
+      .select(col("x").cast("float").as("x")).coalesce(1)
+    TableCommit.commitOverwrite(df, r, statsCols = Seq("x"))
+    val cs = TableCommit.entries(r).flatMap(_.stats.get("x"))
+    assert(cs.nonEmpty)
+    val trueMax = 0.1f.toDouble // exact widening
+    cs.foreach { c =>
+      assert(c.max.toDouble === trueMax,
+        s"canonical max '${c.max}' must parse to the widened $trueMax")
+      // the boundary predicate that used to prune wrongly now keeps it
+      val kept = TableCommit.pruneEntries(r, "x")(s =>
+        !(s.max.toDouble < trueMax || s.min.toDouble > trueMax))
+      assert(kept.nonEmpty, "boundary prune must keep the file")
+    }
+  }
 }
