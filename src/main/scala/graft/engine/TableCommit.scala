@@ -635,11 +635,17 @@ object TableCommit {
             case _: Throwable => Seq.empty
           }
         }.map(_.path).toSet
-        if (!unknownLiveness) {
+        // clone-aware (X266): a file a live registered clone still
+        // references is NOT dead even when this table's own log says
+        // so; unjudgeable clone state freezes the sweep like a torn
+        // own manifest does
+        val cloneLive = cloneLiveFiles(root)
+        if (!unknownLiveness && cloneLive.isDefined) {
           // absolute entries are SOURCE-owned (shallow clone): this
           // table's retention must never delete another table's files
           val dead = retiredFiles.filterNot(e =>
-            live(e.path) || e.path.startsWith("/"))
+            live(e.path) || e.path.startsWith("/") ||
+              cloneLive.get(Paths.get(root, e.path).toAbsolutePath))
           dead.foreach { e =>
             try Files.deleteIfExists(Paths.get(root, e.path))
             catch { case _: Throwable => () }
@@ -709,11 +715,17 @@ object TableCommit {
           }
         }
       }).map(e => Paths.get(root, e.path).toAbsolutePath).toSet
+      // clone-aware (X266): registered clones pin the files their
+      // retained manifests reference; unjudgeable clone state skips
+      // the sweep exactly like a young torn manifest
+      val cloneLive = cloneLiveFiles(root)
       val dataDir = Paths.get(root, "data")
-      if (Files.isDirectory(dataDir) && !unknownLiveness) {
+      if (Files.isDirectory(dataDir) && !unknownLiveness &&
+          cloneLive.isDefined) {
         val doomed = walkFiles(dataDir)
           .filter(p => Files.isRegularFile(p) &&
-            !live.contains(p.toAbsolutePath) && oldEnough(p))
+            !live.contains(p.toAbsolutePath) &&
+            !cloneLive.get.contains(p.toAbsolutePath) && oldEnough(p))
         doomed.foreach(p => try Files.deleteIfExists(p)
           catch { case _: Throwable => () })
         pruneParentsOf(root, doomed)
@@ -758,23 +770,127 @@ object TableCommit {
     if (path.startsWith("/")) path else s"$root/$path"
 
   /** SHALLOW CLONE: `dst`'s next version references `src`'s CURRENT
-    * files IN PLACE (absolute-path entries; stats, rows and blooms
-    * carry over) — a zero-copy table copy, the dev/test-against-prod
-    * and what-if-migration workhorse of production formats. Writes to
-    * the clone stage under `dst` as usual (relative paths), so the
-    * clone diverges without ever touching source bytes; the clone's
-    * own retention NEVER deletes source-owned files (retire skips
-    * absolute entries; vacuum's sweep walks only `dst/data`). The
-    * standard shallow-clone contract applies in the other direction:
-    * retention/vacuum on the SOURCE can break a clone still
-    * referencing retired files — the clone pins nothing. */
+    * files IN PLACE (absolute-path entries; stats, rows, blooms and
+    * deletion vectors carry over) — a zero-copy table copy, the
+    * dev/test-against-prod and what-if-migration workhorse of
+    * production formats. Writes to the clone stage under `dst` as
+    * usual (relative paths), so the clone diverges without ever
+    * touching source bytes; the clone's own retention NEVER deletes
+    * source-owned files (retire skips absolute entries; vacuum's
+    * sweep walks only `dst/data`).
+    *
+    * The OTHER direction is guarded too (VERDICT r10 task 3): the
+    * clone registers itself under every root that owns files it
+    * references (the [[registeredClones]] registry), and that root's
+    * retire/vacuum treat files referenced by any live clone manifest
+    * as live — source retention can no longer silently break a clone.
+    * The registration is dropped by [[unregisterClone]] (the retire
+    * path) or automatically when the clone's directory is gone. */
   def cloneTable(src: String, dst: String, retain: Int = 1): Long = {
     val es = entries(src)
     require(es.nonEmpty, s"nothing to clone at $src")
-    val abs = es.map(e => e.copy(
-      path = Paths.get(src, e.path).toAbsolutePath.toString))
+    // an already-absolute entry (this source is itself a clone) stays
+    // pointed at ITS owner — Paths.get(src, "/abs") would silently glue
+    // the two paths together
+    val abs = es.map(e => e.copy(path =
+      if (e.path.startsWith("/")) e.path
+      else Paths.get(src, e.path).toAbsolutePath.toString))
+    // register BEFORE publish: once the clone's manifest exists it must
+    // already be visible to every owner's retention
+    ownerRoots(abs).foreach(owner => registerClone(owner, dst))
     val base = currentVersion(dst).getOrElse(0L)
     publish(dst, abs, retain, expected = Some(base))
+  }
+
+  // ------------------------------------------------------------------
+  // Clone registry — clone-aware retention (X266)
+  // ------------------------------------------------------------------
+
+  private def clonesDir(root: String): Path = Paths.get(root, "_clones")
+
+  private def cloneRegPath(owner: String, dst: String): Path = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(Paths.get(dst).toAbsolutePath.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    clonesDir(owner).resolve(s"c_$digest")
+  }
+
+  /** The table roots that OWN the absolute-path entries of a manifest:
+    * every engine-written data file lives under `<root>/data/b_<uuid>/`,
+    * so the owner is the prefix before the last `/data/b_` marker. */
+  private def ownerRoots(es: Seq[Entry]): Set[String] =
+    es.flatMap { e =>
+      if (!e.path.startsWith("/")) None
+      else {
+        val i = e.path.lastIndexOf("/data/b_")
+        if (i <= 0) None else Some(e.path.substring(0, i))
+      }
+    }.toSet
+
+  private def registerClone(owner: String, dst: String): Unit = {
+    Files.createDirectories(clonesDir(owner))
+    val reg = cloneRegPath(owner, dst)
+    if (!Files.exists(reg))
+      writeFsynced(reg, Paths.get(dst).toAbsolutePath.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Roots of the clones currently registered against `owner`. */
+  def registeredClones(owner: String): Seq[String] = {
+    val dir = clonesDir(owner)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else listDir(dir).flatMap { p =>
+      try Some(new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      catch { case _: Throwable => None }
+    }
+  }
+
+  /** Drop `dst`'s registration at `owner` — the clone-retire path: a
+    * decommissioned clone stops pinning source files, and the next
+    * source retire/vacuum may reclaim them. Idempotent. */
+  def unregisterClone(owner: String, dst: String): Unit =
+    try { Files.deleteIfExists(cloneRegPath(owner, dst)); () }
+    catch { case _: Throwable => () }
+
+  /** Files under `root` that some registered clone's still-present
+    * manifests reference — live no matter what `root`'s own log says.
+    * None = a clone's manifest is unreadable (torn mid-publish), so
+    * liveness is UNJUDGEABLE and the caller must skip its sweep (the
+    * same rule retire/vacuum already apply to their own torn
+    * manifests). A registered clone whose directory is GONE is a dead
+    * clone: auto-unregistered here, pins nothing. */
+  private def cloneLiveFiles(root: String): Option[Set[Path]] = {
+    val dir = clonesDir(root)
+    if (!Files.isDirectory(dir)) return Some(Set.empty)
+    val rootAbs = Paths.get(root).toAbsolutePath
+    var unknown = false
+    val live = scala.collection.mutable.Set.empty[Path]
+    listDir(dir).foreach { reg =>
+      val dst =
+        try new String(Files.readAllBytes(reg),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        catch { case _: Throwable => "" }
+      if (dst.isEmpty || !Files.isDirectory(Paths.get(dst)))
+        try { Files.deleteIfExists(reg); () }
+        catch { case _: Throwable => () }
+      else if (Files.isDirectory(logDir(dst))) {
+        listDir(logDir(dst)).foreach { p =>
+          p.getFileName.toString match {
+            case VersionRe(d) =>
+              try readManifest(dst, d.toLong).foreach { e =>
+                if (e.path.startsWith("/")) {
+                  val abs = Paths.get(e.path).toAbsolutePath
+                  if (abs.startsWith(rootAbs)) live += abs
+                }
+              } catch { case _: Throwable => unknown = true }
+            case _ => ()
+          }
+        }
+      }
+    }
+    if (unknown) None else Some(live.toSet)
   }
 
   /** Full-table replace: new snapshot's files are exactly this batch.

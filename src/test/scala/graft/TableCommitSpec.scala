@@ -569,6 +569,81 @@ class TableCommitSpec extends AnyFunSuite {
     assert(names === List("consumer.v"))
   }
 
+  test("clone-aware retention: source retire/vacuum spare clone-pinned files until unregistered") {
+    // VERDICT r10 task 3: the r10 contract was "source vacuum can break
+    // a clone" (documented footgun). Now the clone registers at its
+    // owner and the owner's retention treats clone-referenced files as
+    // live — until the clone is retired via unregisterClone.
+    val src = root(); val dst = root()
+    TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src)
+    val v1Files = TableCommit.entries(src)
+      .map(e => Paths.get(src, e.path).toAbsolutePath)
+    TableCommit.cloneTable(src, dst)
+    assert(TableCommit.registeredClones(src).nonEmpty)
+    // source moves on at retain=1 — retire used to delete v1's files here
+    TableCommit.commitOverwrite(Seq((3L, "c")).toDF("k", "v"), src)
+    v1Files.foreach(p => assert(Files.exists(p),
+      s"source retire broke a registered clone: $p"))
+    // an aggressive (no-age-gate) vacuum must not either
+    TableCommit.vacuum(src, 0L)
+    v1Files.foreach(p => assert(Files.exists(p),
+      s"source vacuum broke a registered clone: $p"))
+    assert(TableCommit.read(spark, dst, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "clone must still read after source retention churn")
+    // clone retire path: unregister → the pin is gone → vacuum reclaims
+    TableCommit.unregisterClone(src, dst)
+    TableCommit.vacuum(src, 0L)
+    v1Files.foreach(p => assert(!Files.exists(p),
+      "an unregistered clone must stop pinning source files"))
+  }
+
+  test("a deleted clone directory auto-unregisters and stops pinning") {
+    val src = root(); val dst = root()
+    TableCommit.commitOverwrite(Seq((1L, "a")).toDF("k", "v"), src)
+    val v1Files = TableCommit.entries(src)
+      .map(e => Paths.get(src, e.path).toAbsolutePath)
+    TableCommit.cloneTable(src, dst)
+    // the clone vanishes without the courtesy of unregistering
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(Paths.get(dst))
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    TableCommit.commitOverwrite(Seq((2L, "b")).toDF("k", "v"), src)
+    TableCommit.vacuum(src, 0L)
+    v1Files.foreach(p => assert(!Files.exists(p),
+      "a dead clone must not pin source files"))
+    assert(TableCommit.registeredClones(src).isEmpty,
+      "the stale registration must be swept")
+  }
+
+  test("clone of a clone stays pinned to the ORIGINAL owner") {
+    val a = root(); val b = root(); val c = root()
+    TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), a)
+    val aFiles = TableCommit.entries(a)
+      .map(e => Paths.get(a, e.path).toAbsolutePath)
+    TableCommit.cloneTable(a, b)
+    TableCommit.cloneTable(b, c)
+    // c's entries must point INTO a, not a b-glued concatenation
+    TableCommit.entries(c).foreach(e =>
+      assert(Paths.get(e.path).toAbsolutePath.startsWith(
+        Paths.get(a).toAbsolutePath), s"grandclone entry ${e.path}"))
+    // the middle clone retires entirely; c must keep pinning a's files
+    TableCommit.unregisterClone(a, b)
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(Paths.get(b))
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    TableCommit.commitOverwrite(Seq((9L, "z")).toDF("k", "v"), a)
+    TableCommit.vacuum(a, 0L)
+    aFiles.foreach(p => assert(Files.exists(p),
+      "grandclone must pin the original owner's files"))
+    assert(TableCommit.read(spark, c, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("control chars in footer stat strings survive the manifest (ADVICE r10 high)") {
     // A string column whose min/max carry \n, \r, \t: before the escaping
     // fix, publish "succeeded" but the raw newline split the
