@@ -248,19 +248,79 @@ object TableCommit {
     if (!p.lit("}") || !p.atEnd) None else Some(n)
   }
 
-  /** Strict read: parse every line, demand the terminator. */
-  private def readManifest(root: String, v: Long): Seq[Entry] = {
+  /** Delta-manifest header line: `{"base": <version>}` — this manifest
+    * holds only the entries its commit ADDED; the full list is the
+    * base version's resolution plus these (the incremental-log /
+    * checkpoint split, VERDICT r10 task 5: an append no longer rewrites
+    * the whole entry list, so commit cost is batch-sized, not
+    * table-sized). Absent on FULL manifests (overwrites, checkpoints,
+    * every pre-r11 manifest — the format is backward compatible). */
+  private def parseBaseHeader(line: String): Option[Long] = {
+    val p = new LineParser(line)
+    if (!p.lit("{\"base\":")) return None
+    val b = p.long().getOrElse(return None)
+    if (!p.lit("}") || !p.atEnd) None else Some(b)
+  }
+
+  /** One manifest FILE, unresolved: the base it extends (None = full)
+    * and the entries it carries itself. */
+  private final case class RawManifest(base: Option[Long], own: Seq[Entry])
+
+  /** Strict single-file read: parse every line, demand the terminator
+    * (which counts OWN entries only). */
+  private def readRaw(root: String, v: Long): RawManifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
     def torn(why: String): Nothing = throw new TornManifestException(
       s"manifest v$v at $root is incomplete ($why) — a fallback-path " +
         "write may be in flight (readers retry) or a writer crashed " +
         "mid-publish (vacuum reclaims it after the age gate)")
     if (lines.isEmpty) torn("empty file")
-    val n = parseTerminator(lines.last).getOrElse(torn("no terminator"))
-    val es = lines.init.map(l => parseEntryLine(l)
+    val base = lines.headOption.flatMap(parseBaseHeader)
+    val body = if (base.isDefined) lines.tail else lines
+    if (body.isEmpty) torn("no terminator")
+    val n = parseTerminator(body.last).getOrElse(torn("no terminator"))
+    val es = body.init.map(l => parseEntryLine(l)
       .getOrElse(torn(s"unparseable entry line")))
     if (es.size != n.toInt) torn(s"terminator says $n entries, read ${es.size}")
-    es
+    base.foreach(b => if (b >= v || b < 1L)
+      torn(s"delta base $b is not an earlier version"))
+    RawManifest(base, es)
+  }
+
+  /** Resolved file list of version `v`: walk the delta chain down to
+    * its full ancestor and concatenate (base entries first — exactly
+    * the `prior ++ staged` order the append wrote). Chain length is
+    * bounded by the checkpoint interval, so this stays a handful of
+    * metadata-sized reads. */
+  private def readManifest(root: String, v: Long): Seq[Entry] = {
+    var chain = List.empty[RawManifest]
+    var cur = v
+    var done = false
+    while (!done) {
+      val rm = readRaw(root, cur)
+      chain ::= rm
+      rm.base match {
+        case Some(b) => cur = b
+        case None    => done = true
+      }
+    }
+    chain.flatMap(_.own)
+  }
+
+  /** The manifest versions `v`'s resolution depends on: itself plus
+    * its transitive delta bases. Retention must keep the whole chain
+    * while `v` is retained. */
+  private def chainOf(root: String, v: Long): Seq[Long] = {
+    var out = List(v)
+    var cur = v
+    var done = false
+    while (!done) {
+      readRaw(root, cur).base match {
+        case Some(b) => out ::= b; cur = b
+        case None    => done = true
+      }
+    }
+    out
   }
 
   /** Reader-facing manifest resolve: brief bounded retry over
@@ -488,13 +548,16 @@ object TableCommit {
     * primitive need a conditional PUT / catalog CAS — this method is the
     * seam where that swap goes. */
   private[graft] def publish(root: String, newEntries: Seq[Entry],
-      retain: Int = 1, expected: Option[Long] = None): Long = {
+      retain: Int = 1, expected: Option[Long] = None,
+      deltaBase: Option[Long] = None): Long = {
     val base = currentVersion(root).getOrElse(0L)
     expected.foreach { e =>
       if (base != e) throw new ConcurrentCommitException(
         s"concurrent commit detected at $root: transaction read v$e " +
           s"but the table is at v$base — re-read and retry")
     }
+    deltaBase.foreach(b => require(b == base && b >= 1L,
+      s"delta base $b must be the current version $base"))
     val next = base + 1L
     Files.createDirectories(logDir(root))
     // Minimal JSON writer. Escaping is LOAD-BEARING, not hygiene: stat
@@ -528,7 +591,8 @@ object TableCommit {
       }.mkString(""", "stats": {""", ", ", "}")
     def rowsJs(r: Option[Long]): String =
       r.map(n => s""", "rows": $n""").getOrElse("")
-    val body = (newEntries.map(e =>
+    val header = deltaBase.map(b => s"""{"base": $b}""").toSeq
+    val body = (header ++ newEntries.map(e =>
       s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}${rowsJs(e.rows)}${statsJs(e.stats)}}""")
       :+ s"""{"n": ${newEntries.size}}""") // integrity terminator
       .mkString("", "\n", "\n")
@@ -612,28 +676,35 @@ object TableCommit {
   private def retire(root: String, current: Long, retain: Int): Unit = {
     try {
       val oldest = current - retain + 1
-      val retiredFiles = listDir(logDir(root))
-        .flatMap { p =>
-          p.getFileName.toString match {
-            case VersionRe(d) if d.toLong < oldest =>
-              val fs = try readManifest(root, d.toLong)
-                       catch { case _: Throwable => Seq.empty }
-              Files.deleteIfExists(p)
-              fs
-            case _ => Seq.empty
-          }
-        }
+      val present = listDir(logDir(root)).flatMap(p =>
+        p.getFileName.toString match {
+          case VersionRe(d) => Some(d.toLong)
+          case _            => None
+        }).toSet
+      // A retained DELTA manifest pins its whole base chain (VERDICT
+      // r10 task 5): a chain member older than the window must survive
+      // or every retained descendant becomes unreadable. An unreadable
+      // retained manifest makes the needed-set unjudgeable — leave
+      // everything for a later retire/vacuum.
+      var unknownLiveness = false
+      val needed = (oldest to current).filter(present).flatMap { v =>
+        try chainOf(root, v)
+        catch { case _: Throwable => unknownLiveness = true; Seq.empty }
+      }.toSet
+      if (unknownLiveness) return
+      val doomed = present.filter(d => d < oldest && !needed(d))
+      val retiredFiles = doomed.toSeq.flatMap { d =>
+        val fs = try readRaw(root, d).own
+                 catch { case _: Throwable => Seq.empty }
+        Files.deleteIfExists(manifestPath(root, d))
+        fs
+      }
       if (retiredFiles.nonEmpty) {
-        // A TORN retained manifest makes liveness unjudgeable (its files
-        // would all look dead) — skip the file deletion, leave garbage
-        // for a later retire/vacuum, never risk a referenced file.
-        var unknownLiveness = false
-        val live = (oldest to current).flatMap { v =>
-          try readManifest(root, v)
-          catch {
-            case _: TornManifestException => unknownLiveness = true; Seq.empty
-            case _: Throwable => Seq.empty
-          }
+        // Liveness: every file a retained resolution references is in
+        // some chain member's OWN list, and chains are exactly `needed`.
+        val live = needed.toSeq.flatMap { v =>
+          try readRaw(root, v).own
+          catch { case _: Throwable => unknownLiveness = true; Seq.empty }
         }.map(_.path).toSet
         // clone-aware (X266): a file a live registered clone still
         // references is NOT dead even when this table's own log says
@@ -697,11 +768,15 @@ object TableCommit {
       // is unreadable (its files would all look dead).
       var unknownLiveness = false
       val live = (currentVersion(root).toSeq.flatMap { cur =>
-        // every still-present manifest is retained by definition
+        // every still-present manifest is retained by definition; OWN
+        // entries suffice for liveness (a delta chain's resolution is
+        // the union of its members' own lists, and retire keeps chains
+        // present) — and tornness is judged PER FILE, so a torn base
+        // never condemns an intact descendant manifest
         listDir(logDir(root)).flatMap { p =>
           p.getFileName.toString match {
             case VersionRe(d) =>
-              try readManifest(root, d.toLong)
+              try readRaw(root, d.toLong).own
               catch {
                 case _: TornManifestException =>
                   if (oldEnough(p))
@@ -910,17 +985,39 @@ object TableCommit {
     * live table while the batch stages — the files it reads are immutable
     * and stay referenced.
     *
-    * Read-modify-write transaction: the predecessor file list is taken
-    * from the version read at START, and publish verifies that version is
-    * still current — a concurrent committer would otherwise have its
-    * files dropped from the merged manifest (the lost update). */
+    * MANIFEST COST (VERDICT r10 task 5): the committed manifest is a
+    * DELTA — a `{"base": prev}` header plus only this batch's entry
+    * lines — so appending to a 100k-file table writes a batch-sized
+    * manifest, not a 100k-line rewrite (which made N appends cost
+    * O(N²) cumulative manifest bytes). Every `checkpointEvery`-th
+    * chain link writes a FULL manifest instead, bounding the read-side
+    * chain walk; retention keeps a retained version's whole chain
+    * alive (see [[retire]]). Readers are unchanged — resolution is
+    * inside [[readManifest]] — so time-travel, diffs and the feeds see
+    * identical file lists.
+    *
+    * Read-modify-write transaction: the predecessor version is read at
+    * START, and publish verifies it is still current — a concurrent
+    * committer would otherwise have its files dropped (the lost
+    * update); a delta additionally names that version as its base, so
+    * a stale delta can never splice onto the wrong predecessor. */
   def commitAppend(df: DataFrame, root: String, retain: Int = 1,
       statsCols: Seq[String] = Nil,
-      partCol: Option[String] = None): Long = {
+      partCol: Option[String] = None,
+      checkpointEvery: Int = 16): Long = {
+    require(checkpointEvery >= 1, s"bad checkpointEvery $checkpointEvery")
     val base = currentVersion(root).getOrElse(0L)
-    val prior = entriesAt(root, base)
     val staged = stageBatch(df, root, partCol, statsCols)
-    publish(root, prior ++ staged, retain, expected = Some(base))
+    if (base == 0L)
+      return publish(root, staged, retain, expected = Some(base))
+    val chainLen = chainOf(root, base).size
+    if (chainLen + 1 >= checkpointEvery) {
+      // checkpoint: fold the chain into one self-contained manifest
+      val prior = entriesAt(root, base)
+      publish(root, prior ++ staged, retain, expected = Some(base))
+    } else
+      publish(root, staged, retain, expected = Some(base),
+        deltaBase = Some(base))
   }
 
   /** D1 partition-slice replace: slices present in `df` swap wholesale,

@@ -569,6 +569,62 @@ class TableCommitSpec extends AnyFunSuite {
     assert(names === List("consumer.v"))
   }
 
+  test("delta manifests: appends write batch-sized logs + periodic checkpoints, reads unchanged (VERDICT r10 task 5)") {
+    val r = root()
+    val N = 24; val ce = 8
+    (1 to N).foreach { i =>
+      TableCommit.commitAppend(Seq((i.toLong, s"r$i")).toDF("k", "v")
+        .coalesce(1), r, retain = N + 1, checkpointEvery = ce)
+    }
+    def mpath(v: Long) = Paths.get(r, "_log", f"v$v%020d.json")
+    def lines(v: Long) = Files.readAllLines(mpath(v)).size
+    // checkpoint cadence: v1 bootstraps full; thereafter a full manifest
+    // lands whenever the chain would reach `ce` links. The checkpoint
+    // itself is link 1 of the next chain, so after v8 the period is
+    // ce-1: v8, v15, v22.
+    val checkpoints = Set(1L, 8L, 15L, 22L)
+    (1L to N).foreach { v =>
+      if (checkpoints(v))
+        assert(lines(v) === v + 1, s"checkpoint v$v must carry all $v entries")
+      else
+        assert(lines(v) === 3,
+          s"delta v$v must be header + 1 batch entry + terminator, got ${lines(v)}")
+    }
+    // the O(N²) → O(N·batch + checkpoints) claim, concretely: total
+    // manifest lines are under half of what full rewrites would cost
+    val actual = (1L to N).map(lines(_).toLong).sum
+    val naive = (1 to N).map(i => i + 1L).sum
+    assert(actual * 2 < naive, s"manifest bytes not sublinear: $actual vs $naive")
+    // read surface identical through the chain: time travel, current,
+    // and the change feed all see the same world as full manifests did
+    Seq(5L, 8L, 13L, 23L).foreach(v =>
+      assert(TableCommit.readAt(spark, r, schema, v).count() === v))
+    assert(TableCommit.read(spark, r, schema).count() === N.toLong)
+    val feed = TableCommit.readChanges(spark, r, schema, 0L, N.toLong)
+      .groupBy(col("_commit_version")).count().collect()
+    assert(feed.length === N && feed.forall(_.getLong(1) === 1L))
+  }
+
+  test("retention keeps a retained delta's base chain readable and sweeps past it") {
+    val r = root()
+    (1 to 12).foreach { i =>
+      TableCommit.commitAppend(Seq((i.toLong, s"r$i")).toDF("k", "v")
+        .coalesce(1), r, retain = 3, checkpointEvery = 8)
+    }
+    def mpath(v: Long) = Paths.get(r, "_log", f"v$v%020d.json")
+    // retained = {10,11,12}; their chains reach back to the v8
+    // checkpoint, so 8 and 9 must SURVIVE the window while 1..7 go
+    (8L to 12L).foreach(v => assert(Files.exists(mpath(v)),
+      s"chain member v$v must survive retention"))
+    (1L to 7L).foreach(v => assert(!Files.exists(mpath(v)),
+      s"v$v is in no retained chain and must be swept"))
+    (10L to 12L).foreach(v =>
+      assert(TableCommit.readAt(spark, r, schema, v).count() === v))
+    // no data file was lost: all 12 rows still read
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === (1L to 12L).toSet)
+  }
+
   test("clone-aware retention: source retire/vacuum spare clone-pinned files until unregistered") {
     // VERDICT r10 task 3: the r10 contract was "source vacuum can break
     // a clone" (documented footgun). Now the clone registers at its
