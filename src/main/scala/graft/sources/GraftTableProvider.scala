@@ -111,14 +111,27 @@ private class GraftBatchWrite(root: String, schema: StructType,
       expected = Some(base))
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftCommitMessage(p, _) =>
-        try java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(root, p))
-        catch { case _: Throwable => () }
-      case _ => ()
-    }
+  /** Job-level abort sweeps the ENTIRE attempt-unique batch directory
+    * rather than trusting `messages`: Spark's contract delivers an
+    * incomplete (raced) message array when the job dies mid-flight, so a
+    * task that had already committed its file — whose task-side
+    * `abort()` therefore never runs — would otherwise leave staged
+    * debris. The directory name is job-unique (`data/b_dsv2_<uuid>`), so
+    * a recursive delete can touch nobody else's files; readers never saw
+    * the directory (nothing in it was published). */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(root, batch)
+    try {
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val files = java.nio.file.Files.list(dir)
+        try files.forEach { f =>
+          try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => () }
+        } finally files.close()
+        java.nio.file.Files.deleteIfExists(dir)
+      }
+    } catch { case _: Throwable => () }
+  }
 }
 
 private final case class GraftWriterFactory(root: String, batch: String,
