@@ -327,10 +327,10 @@ object TableCommit {
     * [[TornManifestException]] — the benign cause (a CREATE_NEW-fallback
     * writer between claim and body) lasts microseconds; anything that
     * survives the retries is a crashed commit and fails loudly. */
-  private def readManifestChecked(root: String, v: Long): Seq[Entry] = {
+  private def withTornRetry[T](f: => T): T = {
     var left = 5
     while (true) {
-      try return readManifest(root, v)
+      try return f
       catch { case e: TornManifestException =>
         left -= 1
         if (left <= 0) throw e
@@ -339,6 +339,15 @@ object TableCommit {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  private def readManifestChecked(root: String, v: Long): Seq[Entry] =
+    withTornRetry(readManifest(root, v))
+
+  /** Single-file raw read with the same torn-retry as the resolved
+    * read — the change feed's incremental walk consumes manifests one
+    * FILE at a time (a delta's own entries are its diff). */
+  private def readRawChecked(root: String, v: Long): RawManifest =
+    withTornRetry(readRaw(root, v))
 
   /** Stage a new immutable batch directory for `df` WITHOUT publishing it
     * — the first half of a commit. Returns the staged entries. Exposed
@@ -351,6 +360,13 @@ object TableCommit {
   private[graft] def stageBatch(df: DataFrame, root: String,
       partCol: Option[String] = None,
       statsCols: Seq[String] = Nil): Seq[Entry] = {
+    // the stats channel is SHARED with engine metadata (`bloom:<col>`
+    // X254, the `dv:` deletion vector X265) — colon-namespaced keys no
+    // user column may claim, or a reader would decode its min/max as
+    // engine state (ADVICE r11). Loud at the only staging chokepoint.
+    require(statsCols.forall(c => !c.contains(":")),
+      s"stats column names may not contain ':' (reserved for engine " +
+        s"metadata channels): ${statsCols.filter(_.contains(":"))}")
     val batch = s"data/b_${UUID.randomUUID().toString.replace("-", "")}"
     val dest = s"$root/$batch"
     partCol match {
@@ -767,7 +783,7 @@ object TableCommit {
       // data sweep entirely — liveness can't be judged while a manifest
       // is unreadable (its files would all look dead).
       var unknownLiveness = false
-      val live = (currentVersion(root).toSeq.flatMap { cur =>
+      val ownEntries = currentVersion(root).toSeq.flatMap { cur =>
         // every still-present manifest is retained by definition; OWN
         // entries suffice for liveness (a delta chain's resolution is
         // the union of its members' own lists, and retire keeps chains
@@ -789,7 +805,18 @@ object TableCommit {
             case _ => Seq.empty
           }
         }
-      }).map(e => Paths.get(root, e.path).toAbsolutePath).toSet
+      }
+      val live = ownEntries
+        .map(e => Paths.get(resolvePath(root, e.path)).toAbsolutePath)
+        .toSet
+      // sidecar deletion vectors (X269) a retained manifest references
+      // are as live as the data files — both relative refs (own _dv)
+      // and absolute ones (this table is a clone; they point at the
+      // source and are outside our sweep anyway, but harmless to pin)
+      val liveDv = ownEntries.flatMap(_.stats.get(DvKey)).collect {
+        case cs if cs.min.startsWith("@") =>
+          Paths.get(resolvePath(root, cs.min.drop(1))).toAbsolutePath
+      }.toSet
       // clone-aware (X266): registered clones pin the files their
       // retained manifests reference; unjudgeable clone state skips
       // the sweep exactly like a young torn manifest
@@ -805,7 +832,68 @@ object TableCommit {
           catch { case _: Throwable => () })
         pruneParentsOf(root, doomed)
       }
+      // orphan sidecar sweep: aged `_dv` files no retained manifest
+      // (ours via liveDv, a clone's via cloneLive) references — a
+      // crashed delete commit's leftovers, or vectors whose last
+      // referencing version was retired/compacted away
+      val dvDir = Paths.get(root, "_dv")
+      if (Files.isDirectory(dvDir) && !unknownLiveness &&
+          cloneLive.isDefined) {
+        listDir(dvDir)
+          .filter(p => Files.isRegularFile(p) &&
+            !liveDv.contains(p.toAbsolutePath) &&
+            !cloneLive.get.contains(p.toAbsolutePath) && oldEnough(p))
+          .foreach(p => try Files.deleteIfExists(p)
+            catch { case _: Throwable => () })
+      }
+      gcCloneRegistry(root, oldEnough)
     } catch { case _: Throwable => () }
+  }
+
+  /** Registry GC (VERDICT r11 task 8): an AGED registration whose
+    * clone manifests are all readable yet pin NOTHING under this owner
+    * is inert — a crashed clone that registered but never published
+    * (the failed-publish rollback's crash window), or a clone whose
+    * divergent history dropped every source file. It blocks nothing
+    * today, but it costs a listing + reads on every retention pass
+    * forever — drop it. The age gate is the same contract as the data
+    * sweep: it must exceed the longest register-to-publish window a
+    * live clone can take. Dead-directory registrations are
+    * [[cloneLiveFiles]]'s auto-unregister; unreadable manifests leave
+    * the registration untouched (unjudgeable). */
+  private def gcCloneRegistry(root: String,
+      oldEnough: Path => Boolean): Unit = {
+    val dir = clonesDir(root)
+    if (!Files.isDirectory(dir)) return
+    val rootAbs = Paths.get(root).toAbsolutePath
+    listDir(dir).filter(oldEnough).foreach { reg =>
+      val dst =
+        try new String(Files.readAllBytes(reg),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        catch { case _: Throwable => "" }
+      if (dst.nonEmpty && Files.isDirectory(Paths.get(dst))) {
+        val pins: Option[Boolean] = // Some(pinsAnything) / None = unjudgeable
+          if (!Files.isDirectory(logDir(dst))) Some(false)
+          else try {
+            Some(listDir(logDir(dst)).exists { p =>
+              p.getFileName.toString match {
+                case VersionRe(d) =>
+                  readRawChecked(dst, d.toLong).own.exists { e =>
+                    (e.path.startsWith("/") &&
+                      Paths.get(e.path).toAbsolutePath.startsWith(rootAbs)) ||
+                    e.stats.get(DvKey).exists(cs =>
+                      cs.min.startsWith("@/") && Paths.get(cs.min.drop(1))
+                        .toAbsolutePath.startsWith(rootAbs))
+                  }
+                case _ => false
+              }
+            })
+          } catch { case _: Throwable => None }
+        if (pins.contains(false))
+          try { Files.deleteIfExists(reg); () }
+          catch { case _: Throwable => () }
+      }
+    }
   }
 
   /** Remove now-empty ANCESTOR directories of exactly the files a sweep
@@ -866,15 +954,37 @@ object TableCommit {
     require(es.nonEmpty, s"nothing to clone at $src")
     // an already-absolute entry (this source is itself a clone) stays
     // pointed at ITS owner — Paths.get(src, "/abs") would silently glue
-    // the two paths together
-    val abs = es.map(e => e.copy(path =
-      if (e.path.startsWith("/")) e.path
-      else Paths.get(src, e.path).toAbsolutePath.toString))
+    // the two paths together. A SIDECAR deletion-vector ref (X269)
+    // absolutizes the same way: the clone's readers resolve refs
+    // against the CLONE root, so a source-relative `@_dv/…` must
+    // become `@/abs/src/_dv/…` or the clone would look for the vector
+    // in its own (empty) _dv dir.
+    val abs = es.map { e =>
+      val stats = e.stats.get(DvKey) match {
+        case Some(cs) if cs.min.startsWith("@") && !cs.min.startsWith("@/") =>
+          e.stats + (DvKey -> cs.copy(min =
+            "@" + Paths.get(src, cs.min.drop(1)).toAbsolutePath.toString))
+        case _ => e.stats
+      }
+      e.copy(path =
+        if (e.path.startsWith("/")) e.path
+        else Paths.get(src, e.path).toAbsolutePath.toString,
+        stats = stats)
+    }
     // register BEFORE publish: once the clone's manifest exists it must
-    // already be visible to every owner's retention
-    ownerRoots(abs).foreach(owner => registerClone(owner, dst))
+    // already be visible to every owner's retention. If the publish
+    // then FAILS (concurrent commit at dst, staging error), roll the
+    // just-created registrations back — a registration with no clone
+    // manifest behind it would otherwise pin source files forever
+    // (ADVICE r11); only registrations this call created are rolled
+    // back, a pre-existing one belongs to a live prior clone version.
+    val created = ownerRoots(abs).filter(owner => registerClone(owner, dst))
     val base = currentVersion(dst).getOrElse(0L)
-    publish(dst, abs, retain, expected = Some(base))
+    try publish(dst, abs, retain, expected = Some(base))
+    catch { case e: Throwable =>
+      created.foreach(owner => unregisterClone(owner, dst))
+      throw e
+    }
   }
 
   // ------------------------------------------------------------------
@@ -903,12 +1013,18 @@ object TableCommit {
       }
     }.toSet
 
-  private def registerClone(owner: String, dst: String): Unit = {
+  /** Returns true iff this call CREATED the registration (false = it
+    * already existed) — the caller needs to know which registrations
+    * to roll back on a failed clone publish. */
+  private def registerClone(owner: String, dst: String): Boolean = {
     Files.createDirectories(clonesDir(owner))
     val reg = cloneRegPath(owner, dst)
-    if (!Files.exists(reg))
+    if (Files.exists(reg)) false
+    else {
       writeFsynced(reg, Paths.get(dst).toAbsolutePath.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      true
+    }
   }
 
   /** Roots of the clones currently registered against `owner`. */
@@ -929,13 +1045,37 @@ object TableCommit {
     try { Files.deleteIfExists(cloneRegPath(owner, dst)); () }
     catch { case _: Throwable => () }
 
+  /** Memo for [[cloneLiveFiles]]: committed manifest files are
+    * IMMUTABLE (published via create-exclusive, never rewritten), so
+    * the owner-pinned paths a given clone manifest version references
+    * can be computed once per process. Keyed (clone root, version,
+    * owner root); bounded by versions actually seen — retention keeps
+    * the live key-set small, dead keys are just stale cache. */
+  private val clonePinMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
+      Set[Path]]()
+
   /** Files under `root` that some registered clone's still-present
     * manifests reference — live no matter what `root`'s own log says.
-    * None = a clone's manifest is unreadable (torn mid-publish), so
-    * liveness is UNJUDGEABLE and the caller must skip its sweep (the
-    * same rule retire/vacuum already apply to their own torn
-    * manifests). A registered clone whose directory is GONE is a dead
-    * clone: auto-unregistered here, pins nothing. */
+    * None = a clone's manifest is unreadable (torn mid-publish) even
+    * after the standard torn-retry, so liveness is UNJUDGEABLE and the
+    * caller must skip its sweep (the same rule retire/vacuum apply to
+    * their own torn manifests; the retry narrows the skip to genuinely
+    * crashed clones, not every in-flight clone commit — ADVICE r11). A
+    * registered clone whose directory is GONE is a dead clone:
+    * auto-unregistered here, pins nothing.
+    *
+    * COST BOUND (ADVICE r11): per clone manifest this reads OWN
+    * entries only (one raw read, no delta-chain resolution — a chain's
+    * resolution is the union of its members' own lists and retention
+    * keeps chains present), and each (clone, version) is memoized
+    * process-wide since committed manifests are immutable — so a
+    * source commit's retention pass costs one directory listing per
+    * clone plus raw reads for NEW clone versions only.
+    *
+    * Pins both data files and sidecar deletion vectors: a cloned
+    * entry's `@/abs/…` DV ref under this root is as live as the data
+    * file it describes. */
   private def cloneLiveFiles(root: String): Option[Set[Path]] = {
     val dir = clonesDir(root)
     if (!Files.isDirectory(dir)) return Some(Set.empty)
@@ -954,11 +1094,26 @@ object TableCommit {
         listDir(logDir(dst)).foreach { p =>
           p.getFileName.toString match {
             case VersionRe(d) =>
-              try readManifest(dst, d.toLong).foreach { e =>
-                if (e.path.startsWith("/")) {
-                  val abs = Paths.get(e.path).toAbsolutePath
-                  if (abs.startsWith(rootAbs)) live += abs
+              val key = (dst, d.toLong, root)
+              val cached = clonePinMemo.get(key)
+              if (cached != null) live ++= cached
+              else try {
+                val pins = scala.collection.mutable.Set.empty[Path]
+                readRawChecked(dst, d.toLong).own.foreach { e =>
+                  if (e.path.startsWith("/")) {
+                    val abs = Paths.get(e.path).toAbsolutePath
+                    if (abs.startsWith(rootAbs)) pins += abs
+                  }
+                  e.stats.get(DvKey).foreach { cs =>
+                    if (cs.min.startsWith("@/")) {
+                      val abs = Paths.get(cs.min.drop(1)).toAbsolutePath
+                      if (abs.startsWith(rootAbs)) pins += abs
+                    }
+                  }
                 }
+                val frozen = pins.toSet
+                clonePinMemo.put(key, frozen)
+                live ++= frozen
               } catch { case _: Throwable => unknown = true }
             case _ => ()
           }
@@ -1358,29 +1513,73 @@ object TableCommit {
     * full file rewrite each — the scale-killer at 100 TB where a
     * right-to-be-forgotten purge touches a handful of rows in
     * thousands of files. [[commitCompact]] is the compaction path:
-    * it reads LIVE rows and emits DV-free files. */
-  val DvKey = "dv"
+    * it reads LIVE rows and emits DV-free files.
+    *
+    * The key is NAMESPACED with a colon (like `bloom:<col>`, and
+    * excluded from user stats by [[stageBatch]]'s reserved-channel
+    * guard): a user column literally named `dv` must never have its
+    * min/max decoded as deletion positions (ADVICE r11). */
+  val DvKey = "dv:"
 
-  private[graft] def dvDecode(cs: ColStats): Seq[Long] =
-    if (cs.min.isEmpty) Seq.empty
+  /** Above this many positions per file the DV is written to a SIDECAR
+    * file under `_dv/` instead of inline manifest text (VERDICT r11
+    * task 7): inline is right for purge-sized deletes, but a
+    * large-fraction delete would bloat every subsequent manifest line
+    * — the sidecar keeps the manifest metadata-sized no matter how fat
+    * the vector gets. The stats channel then carries `@<path>` as min
+    * (an inline encoding always starts with a digit or is empty, so
+    * the marker is unambiguous) and the count as max. */
+  val DvInlineMax = 10000
+
+  private def dvParseDeltas(s: String): Seq[Long] =
+    if (s.isEmpty) Seq.empty
     else {
       var acc = 0L
-      cs.min.split(',').toSeq.map { d => acc += d.toLong; acc }
+      s.split(',').toSeq.map { d => acc += d.toLong; acc }
     }
 
-  private def dvEncode(ps: Seq[Long]): ColStats = {
+  private[graft] def dvDecode(root: String, cs: ColStats): Seq[Long] =
+    if (cs.min.startsWith("@")) {
+      val ref = cs.min.drop(1)
+      val p = Paths.get(resolvePath(root, ref))
+      dvParseDeltas(new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    } else dvParseDeltas(cs.min)
+
+  private def dvEncode(root: String, ps: Seq[Long],
+      inlineMax: Int = DvInlineMax): ColStats = {
     val sorted = ps.distinct.sorted
     val deltas =
       if (sorted.isEmpty) Seq.empty[Long]
       else sorted.head +: sorted.sliding(2).collect {
         case Seq(a, b) => b - a
       }.toSeq
-    ColStats(deltas.mkString(","), sorted.size.toString)
+    val text = deltas.mkString(",")
+    if (sorted.size <= inlineMax) ColStats(text, sorted.size.toString)
+    else {
+      // sidecar: content-complete and fsynced BEFORE the manifest that
+      // references it publishes — same write-ahead discipline as data
+      // files. Attempt-unique name; orphans (crashed commit) are
+      // vacuum's job, referenced sidecars are pinned by liveness.
+      val rel = s"_dv/${UUID.randomUUID().toString.replace("-", "")}.dv"
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      writeFsynced(p,
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ColStats("@" + rel, sorted.size.toString)
+    }
   }
 
-  /** Live row positions deleted from `e`'s file (empty = none). */
-  def deletedPositions(e: Entry): Seq[Long] =
-    e.stats.get(DvKey).map(dvDecode).getOrElse(Seq.empty)
+  /** Live row positions deleted from `e`'s file (empty = none);
+    * `root` resolves a sidecar-backed vector. */
+  def deletedPositions(root: String, e: Entry): Seq[Long] =
+    e.stats.get(DvKey).map(dvDecode(root, _)).getOrElse(Seq.empty)
+
+  /** Number of deleted positions WITHOUT decoding the vector (the
+    * count rides the stat's max slot) — what planning-time checks
+    * should use; zero-cost even for sidecar DVs. */
+  def deletedCount(e: Entry): Long =
+    e.stats.get(DvKey).map(_.max.toLong).getOrElse(0L)
 
   private def requireUniqueLeaves(root: String, es: Seq[Entry]): Unit = {
     val leaves = es.map(e => pathLeaf(e.path))
@@ -1410,7 +1609,7 @@ object TableCommit {
       requireUniqueLeaves(root, es)
       import spark.implicits._
       val del = dvs.flatMap(e =>
-        dvDecode(e.stats(DvKey)).map(p => (pathLeaf(e.path), p)))
+        dvDecode(root, e.stats(DvKey)).map(p => (pathLeaf(e.path), p)))
       val delDf = del.toDF("_dv_leaf", "_dv_pos")
       base.select(col("*"),
           element_at(split(col("_metadata.file_path"), "/"), -1)
@@ -1464,7 +1663,7 @@ object TableCommit {
     * stats described, so pruning stays lossless — spec-pinned. */
   def commitDeleteRows(spark: SparkSession, root: String,
       schema: StructType, predicate: org.apache.spark.sql.Column,
-      retain: Int = 1): Long = {
+      retain: Int = 1, inlineDvMax: Int = DvInlineMax): Long = {
     import org.apache.spark.sql.functions.{col, collect_list, element_at, sort_array, split}
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
@@ -1484,8 +1683,15 @@ object TableCommit {
       hits.get(pathLeaf(e.path)) match {
         case None => e
         case Some(ps) =>
-          val merged = (deletedPositions(e) ++ ps).distinct
-          e.copy(stats = e.stats + (DvKey -> dvEncode(merged)))
+          // idempotency decided on POSITIONS, before encoding: a
+          // sidecar re-encode mints a fresh file name, so comparing
+          // encoded stats would turn a no-op re-delete into snapshot
+          // churn (plus a leaked sidecar)
+          val existing = deletedPositions(root, e)
+          val merged = (existing ++ ps).distinct
+          if (merged.size == existing.size) e
+          else e.copy(stats =
+            e.stats + (DvKey -> dvEncode(root, merged, inlineDvMax)))
       }
     }
     // re-deleting only already-dead rows (the predicate matched raw
@@ -1495,6 +1701,126 @@ object TableCommit {
     publish(root, updated, retain, expected = Some(base))
   }
 
+  /** LIVE rows of `es` with their (file leaf, row position) kept as
+    * `_g_leaf`/`_g_pos` columns — the internal scan UPDATE and MERGE
+    * build on: they must know WHERE each matching live row sits to
+    * DV-delete its old image. Same broadcast anti-join shape as
+    * [[readLive]]. */
+  private def liveWithPos(spark: SparkSession, root: String,
+      schema: StructType, es: Seq[Entry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+    val base = spark.read.schema(schema)
+      .parquet(es.map(e => resolvePath(root, e.path)): _*)
+      .select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("_g_leaf"),
+        col("_metadata.row_index").as("_g_pos"))
+    val dvs = es.filter(_.stats.contains(DvKey))
+    if (dvs.isEmpty) base
+    else {
+      import spark.implicits._
+      val del = dvs.flatMap(e =>
+        dvDecode(root, e.stats(DvKey)).map(p => (pathLeaf(e.path), p)))
+        .toDF("_g_leaf", "_g_pos")
+      base.join(broadcast(del), Seq("_g_leaf", "_g_pos"), "left_anti")
+    }
+  }
+
+  /** Collect the (leaf → sorted positions) map of `victims` (a
+    * [[liveWithPos]] projection) — deleted-row-count–sized, the only
+    * thing that visits the driver in the row-level DML paths. */
+  private def victimPositions(
+      victims: DataFrame): Map[String, Seq[Long]] = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    victims.groupBy(col("_g_leaf"))
+      .agg(sort_array(collect_list(col("_g_pos"))).as("ps"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+  }
+
+  private def applyDv(root: String, es: Seq[Entry],
+      hits: Map[String, Seq[Long]], inlineDvMax: Int): Seq[Entry] =
+    es.map { e =>
+      hits.get(pathLeaf(e.path)) match {
+        case None => e
+        case Some(ps) =>
+          val merged = (deletedPositions(root, e) ++ ps).distinct
+          e.copy(stats =
+            e.stats + (DvKey -> dvEncode(root, merged, inlineDvMax)))
+      }
+    }
+
+  /** Row-level UPDATE via merge-on-read (X270): live rows matching
+    * `predicate` are DV-deleted in place and their UPDATED images
+    * appended — one atomic commit, the UPDATE half of the DML family
+    * X265's delete opened (Delta/Iceberg merge-on-read update). Only
+    * the matched rows move bytes (they are rewritten with
+    * `assignments` applied); every untouched row stays in its file
+    * untouched — at 100 TB an update of a few rows across thousands
+    * of files costs positions + a batch-sized append, never file
+    * rewrites. Returns the current version unchanged when nothing
+    * matches.
+    *
+    * The matched scan runs over LIVE rows only — an already-deleted
+    * row must never be resurrected by re-appending its image.
+    * Full-feed consumers see the truth: the commit emits DV deletes
+    * of the old images AND inserts of the new ones. */
+  def commitUpdateRows(spark: SparkSession, root: String,
+      schema: StructType, predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      retain: Int = 1, inlineDvMax: Int = DvInlineMax,
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val base = currentVersion(root).getOrElse(0L)
+    val es = entriesAt(root, base)
+    require(es.nonEmpty, s"nothing to update at $root")
+    requireUniqueLeaves(root, es)
+    val victims = liveWithPos(spark, root, schema, es).filter(predicate)
+    val hits = victimPositions(victims)
+    if (hits.isEmpty) return base
+    // updated images: assignments applied, engine columns dropped,
+    // column order re-pinned to the table schema
+    val images = assignments.foldLeft(victims) {
+      case (d, (c, e)) => d.withColumn(c, e)
+    }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val staged = stageBatch(images, root, None, statsCols)
+    publish(root, applyDv(root, es, hits, inlineDvMax) ++ staged,
+      retain, expected = Some(base))
+  }
+
+  /** Merge-on-read MERGE / upsert (X272): each source row REPLACES the
+    * live target row with its key (matched → DV-delete old image +
+    * insert new) or inserts fresh (not matched) — one atomic commit.
+    * The row-level twin of the copy-on-write J2 MERGE: at 100 TB an
+    * upsert batch touches positions + its own bytes, never rewrites a
+    * target file.
+    *
+    * `source` must be unique on `keyCols` (the caller's upsert batch
+    * contract — dedup first if not, e.g. last-write-wins row_number)
+    * and is assumed BATCH-SIZED: its distinct keys broadcast to the
+    * target scan. A source too big to broadcast is the copy-on-write
+    * MERGE's territory. */
+  def commitMergeRows(spark: SparkSession, root: String,
+      schema: StructType, source: DataFrame, keyCols: Seq[String],
+      retain: Int = 1, inlineDvMax: Int = DvInlineMax,
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val base = currentVersion(root).getOrElse(0L)
+    val es = entriesAt(root, base)
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (es.isEmpty)
+      return publish(root, stageBatch(src, root, None, statsCols),
+        retain, expected = Some(base))
+    requireUniqueLeaves(root, es)
+    val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    val victims = liveWithPos(spark, root, schema, es)
+      .join(broadcast(keys), keyCols, "left_semi")
+    val hits = victimPositions(victims)
+    val staged = stageBatch(src, root, None, statsCols)
+    publish(root, applyDv(root, es, hits, inlineDvMax) ++ staged,
+      retain, expected = Some(base))
+  }
+
   // ------------------------------------------------------------------
   // Change feed (X251)
   // ------------------------------------------------------------------
@@ -1502,27 +1828,77 @@ object TableCommit {
   /** File-level changes one version introduced over its predecessor —
     * the unit of the change feed. Append-only versions have
     * `removedPaths` empty; an overwrite/replace/compaction shows up as
-    * removals, which the feed refuses (see [[readChanges]]). */
+    * removals, which the append-only feed refuses (see
+    * [[readChanges]]). `removed` carries the predecessor's full
+    * entries for the removed paths (the full feed reads their live
+    * rows as delete records); `dvGrown` the persisting files whose
+    * deletion vector gained positions in this version, with exactly
+    * the NEWLY-dead positions — so every feed consumer (batch append,
+    * batch full, the streaming source) derives its view from this one
+    * diff without re-resolving any manifest. */
   final case class VersionChange(version: Long, added: Seq[Entry],
-      removedPaths: Seq[String])
+      removedPaths: Seq[String], removed: Seq[Entry] = Seq.empty,
+      dvGrown: Seq[(Entry, Seq[Long])] = Seq.empty)
 
   /** File-level diff per version over `(fromExclusive, toInclusive]`.
     * Every version in the range (and `fromExclusive` itself, unless 0)
     * must still be retained — the feed's retention contract is the
     * consumer's poll interval: poll at least once per `retain` commits
     * or the history is gone (exactly the production table-format
-    * rule). */
+    * rule).
+    *
+    * ONE INCREMENTAL PASS over the log (ADVICE r11): the predecessor
+    * state is resolved once at `fromExclusive` and then rolled forward
+    * version by version. A pure delta manifest based on its immediate
+    * predecessor (every [[commitAppend]] between checkpoints) IS its
+    * own diff — `own` entries are exactly the additions, no
+    * resolution, no map diff — so a poll over V append versions costs
+    * V raw manifest reads plus one chain resolve, not O(V × chain)
+    * re-resolutions; full manifests (overwrites, checkpoints,
+    * replaces) diff against the rolled-forward state by path map. */
   def changesBetween(root: String, fromExclusive: Long,
       toInclusive: Long): Seq[VersionChange] = {
     require(fromExclusive >= 0L && fromExclusive <= toInclusive,
       s"bad feed range ($fromExclusive, $toInclusive]")
+    var cur: Seq[Entry] =
+      if (fromExclusive == 0L) Seq.empty
+      else entriesAtVersion(root, fromExclusive)
+    var curBy: Map[String, Entry] = cur.map(e => e.path -> e).toMap
     ((fromExclusive + 1L) to toInclusive).map { v =>
-      val prev = if (v == 1L) Seq.empty[Entry] else entriesAtVersion(root, v - 1L)
-      val cur = entriesAtVersion(root, v)
-      val prevPaths = prev.map(_.path).toSet
-      val curPaths = cur.map(_.path).toSet
-      VersionChange(v, cur.filterNot(e => prevPaths(e.path)),
-        prev.map(_.path).filterNot(curPaths))
+      require(Files.exists(manifestPath(root, v)),
+        s"version $v not retained at $root")
+      val raw = readRawChecked(root, v)
+      val ch = raw.base match {
+        case Some(b) if b == v - 1L =>
+          // delta append: additions are the manifest's own entries,
+          // nothing removed, no existing entry touched
+          val next = cur ++ raw.own
+          val nextBy = curBy ++ raw.own.map(e => e.path -> e)
+          val c = VersionChange(v, raw.own, Seq.empty)
+          cur = next; curBy = nextBy
+          c
+        case _ =>
+          val next =
+            if (raw.base.isEmpty) raw.own
+            else readManifestChecked(root, v)
+          val nextBy = next.map(e => e.path -> e).toMap
+          val added = next.filterNot(e => curBy.contains(e.path))
+          val removed = cur.filterNot(e => nextBy.contains(e.path))
+          val dvGrown = next.flatMap { e =>
+            curBy.get(e.path) match {
+              case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey) =>
+                val before = deletedPositions(root, pe).toSet
+                val fresh = deletedPositions(root, e).filterNot(before)
+                if (fresh.isEmpty) None else Some((e, fresh))
+              case _ => None
+            }
+          }
+          val c = VersionChange(v, added, removed.map(_.path), removed,
+            dvGrown)
+          cur = next; curBy = nextBy
+          c
+      }
+      ch
     }
   }
 
@@ -1556,14 +1932,9 @@ object TableCommit {
     // A deletion-vector delta (X265) removes ROWS without removing
     // files — also not expressible as insert rows; silently skipping it
     // would let a feed-driven mirror diverge. Same loud contract as
-    // file removals: use the FULL feed for such versions.
-    val dvDelta = ((fromExclusive + 1L) to toInclusive).filter { v =>
-      val prevDv = (if (v == 1L) Seq.empty[Entry]
-                    else entriesAtVersion(root, v - 1L))
-        .map(e => e.path -> e.stats.get(DvKey)).toMap
-      entriesAtVersion(root, v).exists(e =>
-        prevDv.contains(e.path) && prevDv(e.path) != e.stats.get(DvKey))
-    }
+    // file removals: use the FULL feed for such versions. The diff
+    // already carries the per-version DV growth — no re-resolution.
+    val dvDelta = chs.filter(_.dvGrown.nonEmpty).map(_.version)
     require(dvDelta.isEmpty,
       s"deletion-vector delta in version(s) ${dvDelta.mkString(", ")} " +
         s"at $root — row deletes aren't expressible in the append-only " +
@@ -1596,43 +1967,30 @@ object TableCommit {
       versionCol: String = "_commit_version",
       typeCol: String = "_change_type"): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    require(fromExclusive >= 0L && fromExclusive <= toInclusive,
-      s"bad feed range ($fromExclusive, $toInclusive]")
-    val parts = ((fromExclusive + 1L) to toInclusive).flatMap { v =>
-      val prev = if (v == 1L) Seq.empty[Entry]
-                 else entriesAtVersion(root, v - 1L)
-      val cur = entriesAtVersion(root, v)
-      val prevBy = prev.map(e => e.path -> e).toMap
-      val curPaths = cur.map(_.path).toSet
-      val added = cur.filterNot(e => prevBy.contains(e.path))
-      val removed = prev.filterNot(e => curPaths(e.path))
-      // inserts and whole-file deletes read LIVE rows as of their own
-      // side of the version boundary — a file's dead rows were never
-      // content, so they belong in neither stream
-      val ins =
-        if (added.isEmpty) None
-        else Some(readLive(spark, root, Some(schema), added)
-          .withColumn(versionCol, lit(v))
-          .withColumn(typeCol, lit("insert")))
-      val del =
-        if (removed.isEmpty) None
-        else Some(readLive(spark, root, Some(schema), removed)
-          .withColumn(versionCol, lit(v))
-          .withColumn(typeCol, lit("delete")))
-      // X265: a deletion-vector delta on a PERSISTING file is a
-      // row-level delete — emit exactly the newly-dead positions
-      val dvGrown = cur.filter(e => prevBy.contains(e.path)).flatMap { e =>
-        val before = deletedPositions(prevBy(e.path)).toSet
-        val fresh = deletedPositions(e).filterNot(before)
-        if (fresh.isEmpty) None else Some((e, fresh))
+    val parts = changesBetween(root, fromExclusive, toInclusive)
+      .flatMap { ch =>
+        // inserts and whole-file deletes read LIVE rows as of their own
+        // side of the version boundary — a file's dead rows were never
+        // content, so they belong in neither stream
+        val ins =
+          if (ch.added.isEmpty) None
+          else Some(readLive(spark, root, Some(schema), ch.added)
+            .withColumn(versionCol, lit(ch.version))
+            .withColumn(typeCol, lit("insert")))
+        val del =
+          if (ch.removed.isEmpty) None
+          else Some(readLive(spark, root, Some(schema), ch.removed)
+            .withColumn(versionCol, lit(ch.version))
+            .withColumn(typeCol, lit("delete")))
+        // X265: a deletion-vector delta on a PERSISTING file is a
+        // row-level delete — emit exactly the newly-dead positions
+        val dvDel =
+          if (ch.dvGrown.isEmpty) None
+          else Some(readPositions(spark, root, schema, ch.dvGrown)
+            .withColumn(versionCol, lit(ch.version))
+            .withColumn(typeCol, lit("delete")))
+        ins.toSeq ++ del.toSeq ++ dvDel.toSeq
       }
-      val dvDel =
-        if (dvGrown.isEmpty) None
-        else Some(readPositions(spark, root, schema, dvGrown)
-          .withColumn(versionCol, lit(v))
-          .withColumn(typeCol, lit("delete")))
-      ins.toSeq ++ del.toSeq ++ dvDel.toSeq
-    }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         schema.add(versionCol, org.apache.spark.sql.types.LongType,

@@ -2090,6 +2090,105 @@ object Relational {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM b GROUP BY 1 ORDER BY commit_version""".stripMargin
 
+  // `q_stream_cdf_full` (X268): the FULL change feed as a stream
+
+  /** `q_stream_cdf_full` (X268, VERDICT r11 task 6): `graft-cdf` in
+    * `mode=full` — the streaming consumer can now FOLLOW a table
+    * through row-level deletes (X265) and compactions, exactly when
+    * CDC matters most: each micro-batch emits `_change_type`
+    * insert/delete rows with the batch [[TableCommit.readChangesFull]]
+    * semantics (whole-file deletes read the predecessor's live rows; a
+    * DV delta emits ONLY the newly-dead positions; a compaction emits
+    * delete+insert of the same live set).
+    *
+    * Fixture history: v1 append (k%3=0 stripe) → v2 append (k%3=1) →
+    * v3 row-level DELETE (k%5=0) → v4 OPTIMIZE. The gate rolls up the
+    * drained stream by (version, change_type); the oracle re-derives
+    * each slice arithmetically — v4's delete and insert legs must BOTH
+    * equal the live set, so a compaction that leaked dead rows into
+    * the rewrite, or double-emitted, breaks the hash. Kill/resume and
+    * stream-equals-batch row-for-row are spec-pinned in CdfStreamSpec.
+    *
+    * Scale: planning stays manifest-only and change-proportional; the
+    * DV-delta leg's read is positions-sized (a broadcast-free
+    * per-file position scan on the executor). */
+  def streamCdfFullQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val work = graft.engine.TempWarehouse.createManaged("graft_scdff_")
+    val root = s"$work/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), cents)
+    val tblSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("cents", LongType)))
+    (0 to 1).foreach(k => TableCommit.commitAppend(
+      src.filter(pmod(col("o_orderkey"), lit(3)) === k), root, retain = 8))
+    TableCommit.commitDeleteRows(spark, root, tblSchema,
+      pmod(col("o_orderkey"), lit(5)) === 0, retain = 8)
+    TableCommit.commitCompact(spark, root, targetFiles = 4,
+      sortCol = Some("o_orderkey"), retain = 8)
+    val fullSchema = StructType(tblSchema.fields ++ Seq(
+      StructField("_commit_version", LongType),
+      StructField("_change_type", StringType)))
+    val sinkName = "graft_stream_cdff_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = spark.readStream.format("graft-cdf")
+      .schema(fullSchema)
+      .option("root", root)
+      .option("mode", "full")
+      .option("maxversionspertrigger", "1")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val rollup = spark.table(sinkName)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(Num.countStar.as("n_rows"), sum(col("cents")).as("cents_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+    // memory-sink detach discipline (ADVICE r9): collect the rollup
+    // (rows = #versions × change types), drop the sink view, return a
+    // LocalRelation with the order re-asserted
+    val rows = rollup.collect().toIndexedSeq
+    val schema = rollup.schema
+    spark.catalog.dropTempView(sinkName)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .orderBy(col("commit_version"), col("change_type"))
+  }
+
+  val streamCdfFullOracle: String =
+    """WITH b AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |live AS (SELECT k, cents FROM b
+      |  WHERE k % 3 IN (0, 1) AND k % 5 <> 0)
+      |SELECT CAST(1 AS BIGINT) AS commit_version,
+      |  'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM b WHERE k % 3 = 0
+      |UNION ALL
+      |SELECT 2, 'insert', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT), CAST(SUM(k) AS BIGINT)
+      |FROM b WHERE k % 3 = 1
+      |UNION ALL
+      |SELECT 3, 'delete', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT), CAST(SUM(k) AS BIGINT)
+      |FROM b WHERE k % 3 IN (0, 1) AND k % 5 = 0
+      |UNION ALL
+      |SELECT 4, 'delete', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT), CAST(SUM(k) AS BIGINT) FROM live
+      |UNION ALL
+      |SELECT 4, 'insert', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT), CAST(SUM(k) AS BIGINT) FROM live
+      |ORDER BY commit_version, change_type""".stripMargin
+
   // `q_delete_rows` (X265): row-level DELETE via deletion vectors
 
   /** `q_delete_rows` (X265): row-level DELETE as MERGE-ON-READ deletion
@@ -2147,6 +2246,125 @@ object Relational {
         col("n_rows"), col("cents_sum"), col("key_sum"))
     table.unionByName(feed).orderBy(col("kind"), col("key"))
   }
+
+  // `q_update_rows` (X270): row-level UPDATE via merge-on-read
+
+  /** `q_update_rows` (X270): row-level UPDATE — matched rows DV-delete
+    * their old image and append the updated one in ONE atomic commit
+    * (`TableCommit.commitUpdateRows`), the UPDATE half of the DML
+    * family X265 opened. Fixture: v1 append → v2 UPDATE (k%13=5 gets
+    * cents+500) → read. The gate rolls up (a) the final table per
+    * status — an update that dropped, duplicated, or resurrected a row
+    * breaks the hash — and (b) the full feed's delete AND insert legs
+    * for the update version: the delete leg must carry the OLD cents,
+    * the insert leg the NEW, so emitting the wrong image direction is
+    * caught. Scale: only matched rows move bytes (positions + a
+    * batch-sized append); untouched rows stay in place. */
+  def updateRowsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_updq_") +
+      "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    val v1 = TableCommit.commitAppend(src, root, retain = 6)
+    val v2 = TableCommit.commitUpdateRows(spark, root, schema,
+      pmod(col("k"), lit(13L)) === 5L,
+      Seq("c" -> (col("c") + 500L)), retain = 6)
+    val table = TableCommit.read(spark, root, schema)
+      .groupBy(col("st"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .select(lit("table").as("kind"), col("st").as("key"),
+        col("n_rows"), col("cents_sum"), col("key_sum"))
+    val feed = TableCommit.readChangesFull(spark, root, schema, v1, v2)
+      .groupBy(col("_change_type"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .select(lit("cdf").as("kind"), col("_change_type").as("key"),
+        col("n_rows"), col("cents_sum"), col("key_sum"))
+    table.unionByName(feed).orderBy(col("kind"), col("key"))
+  }
+
+  val updateRowsOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |hit AS (SELECT k, st, c FROM base WHERE k % 13 = 5)
+      |SELECT 'table' AS kind, st AS key,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN k % 13 = 5 THEN c + 500 ELSE c END)
+      |    AS BIGINT) AS cents_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM base GROUP BY 2
+      |UNION ALL
+      |SELECT 'cdf', 'delete', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c) AS BIGINT), CAST(SUM(k) AS BIGINT) FROM hit
+      |UNION ALL
+      |SELECT 'cdf', 'insert', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c + 500) AS BIGINT), CAST(SUM(k) AS BIGINT) FROM hit
+      |ORDER BY kind, key""".stripMargin
+
+  // `q_merge_mor` (X272): merge-on-read MERGE / upsert
+
+  /** `q_merge_mor` (X272): MERGE as merge-on-read — each source row
+    * replaces the live target row with its key (DV-delete + insert)
+    * or inserts fresh, one atomic commit
+    * (`TableCommit.commitMergeRows`), the row-level twin of the
+    * copy-on-write J2 MERGE. Fixture: v1 append the orders table →
+    * v2 merge an upsert batch of updated images (k%7=1, cents+1000)
+    * plus brand-new keys (k+10⁸ for k%97=3, status 'N') → read the
+    * final table per status. A matched row surviving with its OLD
+    * cents, a new key missing, or a double-applied update all break
+    * the hash. Scale: source keys broadcast to the target scan; only
+    * matched positions + the source batch move. */
+  def mergeMorQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_mmorq_") +
+      "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    TableCommit.commitAppend(base, root, retain = 6)
+    val upserts = base.filter(pmod(col("k"), lit(7L)) === 1L)
+      .select(col("k"), col("st"), (col("c") + 1000L).as("c"))
+      .unionByName(base.filter(pmod(col("k"), lit(97L)) === 3L)
+        .select((col("k") + 100000000L).as("k"), lit("N").as("st"),
+          col("c")))
+    TableCommit.commitMergeRows(spark, root, schema, upserts,
+      keyCols = Seq("k"), retain = 6)
+    TableCommit.read(spark, root, schema)
+      .groupBy(col("st"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
+  val mergeMorOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |final AS (
+      |  SELECT k, st, CASE WHEN k % 7 = 1 THEN c + 1000 ELSE c END AS c
+      |  FROM base
+      |  UNION ALL
+      |  SELECT k + 100000000, 'N', c FROM base WHERE k % 97 = 3)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM final GROUP BY 1 ORDER BY st""".stripMargin
 
   val deleteRowsOracle: String =
     """WITH base AS (

@@ -24,19 +24,27 @@ import graft.engine.TableCommit
   * timer-trigger incremental load consumes its upstream,
   * /root/reference/azure-functions/function_app.py:540-587).
   *
-  * Contract (same as [[TableCommit.readChanges]]): APPEND-ONLY — a
-  * version that removed files or grew a deletion vector is not
-  * expressible as insert rows and fails the batch LOUDLY at planning
-  * time; rewrite-bearing histories are the full feed's job. Retention
-  * must cover the consumer's lag (poll at least once per `retain`
-  * commits), also exactly the batch feed's rule.
+  * Two modes (X268, VERDICT r11 task 6):
+  *   - default (append-only, the [[TableCommit.readChanges]]
+  *     contract): a version that removed files or grew a deletion
+  *     vector is not expressible as insert rows and fails the batch
+  *     LOUDLY at planning time;
+  *   - `option("mode", "full")`: the [[TableCommit.readChangesFull]]
+  *     semantics STREAMED — rewrites emit whole-file delete+insert
+  *     rows, a DV delta emits exactly the newly-dead positions as
+  *     delete rows, each tagged by a trailing `_change_type` column —
+  *     so a CDC consumer can follow a table through X265 row deletes
+  *     and OPTIMIZE, exactly when CDC matters most.
+  * Retention must cover the consumer's lag (poll at least once per
+  * `retain` commits), exactly the batch feed's rule.
   *
   * Usage: the caller passes the FULL read schema — the table's data
-  * columns PLUS a trailing `_commit_version LONG` — and `option
-  * ("root", tableRoot)`. `maxversionspertrigger` bounds a batch's
-  * version span (the `maxFilesPerTrigger` analogue; default: drain
-  * everything available). `TriggerAvailableNow` pins the horizon at
-  * prepare time and drains to it.
+  * columns PLUS a trailing `_commit_version LONG` (append mode) or
+  * `_commit_version LONG, _change_type STRING` (full mode) — and
+  * `option("root", tableRoot)`. `maxversionspertrigger` bounds a
+  * batch's version span (the `maxFilesPerTrigger` analogue; default:
+  * drain everything available). `TriggerAvailableNow` pins the
+  * horizon at prepare time and drains to it.
   *
   * Executor-side parquet reading uses parquet-hadoop's public Group
   * API — the read-side mirror of [[GraftDataWriter]]'s writer leg,
@@ -64,16 +72,30 @@ class GraftCdfProvider extends TableProvider
 
 private object GraftCdf {
   val VersionCol = "_commit_version"
+  val TypeCol = "_change_type"
 
-  /** Split the full read schema into (data columns, version column) —
-    * the version column must be the trailing field, LongType. */
-  def dataSchema(full: StructType): StructType = {
-    require(full.fields.nonEmpty &&
-      full.fields.last.name == VersionCol &&
-      full.fields.last.dataType == LongType,
-      s"graft-cdf schema must end with `$VersionCol LONG`; got $full")
-    StructType(full.fields.init)
-  }
+  /** Split the read schema into the data columns, checking the
+    * trailing metadata columns for the mode: append mode ends with
+    * `_commit_version LONG`; full mode with `_commit_version LONG,
+    * _change_type STRING` (the batch [[TableCommit.readChangesFull]]
+    * schema, streamed). */
+  def dataSchema(full: StructType, fullFeed: Boolean): StructType =
+    if (fullFeed) {
+      require(full.fields.length >= 2 &&
+        full.fields(full.fields.length - 2).name == VersionCol &&
+        full.fields(full.fields.length - 2).dataType == LongType &&
+        full.fields.last.name == TypeCol &&
+        full.fields.last.dataType == StringType,
+        s"graft-cdf mode=full schema must end with `$VersionCol LONG, " +
+          s"$TypeCol STRING`; got $full")
+      StructType(full.fields.dropRight(2))
+    } else {
+      require(full.fields.nonEmpty &&
+        full.fields.last.name == VersionCol &&
+        full.fields.last.dataType == LongType,
+        s"graft-cdf schema must end with `$VersionCol LONG`; got $full")
+      StructType(full.fields.init)
+    }
 }
 
 private class GraftCdfTable(schema0: StructType,
@@ -93,7 +115,8 @@ private class GraftCdfTable(schema0: StructType,
             checkpointLocation: String): MicroBatchStream =
           new GraftCdfStream(root, schema0,
             Option(properties.get("maxversionspertrigger")).map(_.toLong),
-            Option(properties.get("simulatecrashatversion")).map(_.toLong))
+            Option(properties.get("simulatecrashatversion")).map(_.toLong),
+            Option(properties.get("mode")).exists(_ == "full"))
       }
     }
 }
@@ -113,9 +136,10 @@ private object CdfOffset {
 }
 
 private class GraftCdfStream(root: String, fullSchema: StructType,
-    maxVersionsPerTrigger: Option[Long], simulateCrashAtVersion: Option[Long])
+    maxVersionsPerTrigger: Option[Long], simulateCrashAtVersion: Option[Long],
+    fullFeed: Boolean)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private val dataSchema = GraftCdf.dataSchema(fullSchema)
+  private val dataSchema = GraftCdf.dataSchema(fullSchema, fullFeed)
   /** AvailableNow horizon, pinned at prepare time so the drain is a
     * fixed target even while writers keep committing. */
   @volatile private var horizon: Option[Long] = None
@@ -150,36 +174,58 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
     val from = start.asInstanceOf[CdfOffset].version
     val until = end.asInstanceOf[CdfOffset].version
     if (from >= until) return Array.empty
-    // same append-only + no-DV-delta contract as the batch feed —
-    // enforced by readChanges' own checks, re-stated here at PLANNING
-    // time so a rewrite version kills the stream loudly, never feeds a
-    // half-truth downstream
+    // ONE incremental diff pass (ADVICE r11): changesBetween rolls the
+    // file list forward version by version — a delta manifest is its
+    // own diff — and already carries removals and DV growth, so both
+    // the append-only contract checks and the full feed's partitions
+    // derive from this single walk with no per-version re-resolution.
     val chs = TableCommit.changesBetween(root, from, until)
-    val nonAppend = chs.filter(_.removedPaths.nonEmpty)
-    require(nonAppend.isEmpty,
-      s"non-append version(s) ${nonAppend.map(_.version).mkString(", ")} " +
-        s"in stream range ($from, $until] at $root — graft-cdf streams " +
-        "the append-only feed; rewrites need the batch full feed")
-    ((from + 1L) to until).foreach { v =>
-      val prevDv = (if (v == 1L) Seq.empty[TableCommit.Entry]
-                    else TableCommit.entriesAtVersion(root, v - 1L))
-        .map(e => e.path -> TableCommit.deletedPositions(e)).toMap
-      TableCommit.entriesAtVersion(root, v).foreach { e =>
-        prevDv.get(e.path).foreach { before =>
-          require(TableCommit.deletedPositions(e) == before,
-            s"deletion-vector delta in version $v at $root — row " +
-              "deletes aren't expressible in the append-only stream")
+    def abs(e: TableCommit.Entry): String =
+      if (e.path.startsWith("/")) e.path else s"$root/${e.path}"
+    if (!fullFeed) {
+      // append-only contract, enforced at PLANNING time so a rewrite
+      // version kills the stream loudly, never feeds a half-truth
+      val nonAppend = chs.filter(_.removedPaths.nonEmpty)
+      require(nonAppend.isEmpty,
+        s"non-append version(s) ${nonAppend.map(_.version).mkString(", ")} " +
+          s"in stream range ($from, $until] at $root — graft-cdf streams " +
+          "the append-only feed; rewrites need mode=full")
+      val dvDelta = chs.filter(_.dvGrown.nonEmpty).map(_.version)
+      require(dvDelta.isEmpty,
+        s"deletion-vector delta in version(s) ${dvDelta.mkString(", ")} " +
+          s"at $root — row deletes aren't expressible in the " +
+          "append-only stream; use mode=full")
+      chs.flatMap { ch =>
+        ch.added.map { e =>
+          CdfFilePartition(abs(e), ch.version, dataSchema,
+            TableCommit.deletedPositions(root, e).toArray,
+            emitOnly = false, changeType = None): InputPartition
         }
-      }
+      }.toArray
+    } else {
+      // FULL feed (X268): rewrites and row deletes are expressible —
+      // exactly the batch readChangesFull semantics, streamed.
+      // Inserts read an added file's live rows; whole-file deletes
+      // read a removed file's live rows AS OF THE PREDECESSOR (the
+      // removed entry carries its own DV); a DV delta emits ONLY the
+      // newly-dead positions of the persisting file.
+      chs.flatMap { ch =>
+        val ins = ch.added.map(e =>
+          CdfFilePartition(abs(e), ch.version, dataSchema,
+            TableCommit.deletedPositions(root, e).toArray,
+            emitOnly = false, changeType = Some("insert")): InputPartition)
+        val del = ch.removed.map(e =>
+          CdfFilePartition(abs(e), ch.version, dataSchema,
+            TableCommit.deletedPositions(root, e).toArray,
+            emitOnly = false, changeType = Some("delete")): InputPartition)
+        val dvd = ch.dvGrown.map { case (e, fresh) =>
+          CdfFilePartition(abs(e), ch.version, dataSchema,
+            fresh.toArray,
+            emitOnly = true, changeType = Some("delete")): InputPartition
+        }
+        ins ++ del ++ dvd
+      }.toArray
     }
-    chs.flatMap { ch =>
-      ch.added.map { e =>
-        CdfFilePartition(
-          if (e.path.startsWith("/")) e.path else s"$root/${e.path}",
-          ch.version, dataSchema,
-          TableCommit.deletedPositions(e).toArray): InputPartition
-      }
-    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -188,11 +234,15 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
   override def stop(): Unit = ()
 }
 
-/** One appended file of one version; `deleted` carries the file's
-  * deletion-vector positions (a cloned-in file can arrive with one —
-  * its dead rows were never content and must not stream). */
+/** One file of one version. `positions` is interpreted by `emitOnly`:
+  * false → SKIP these row positions (a file's deletion vector — its
+  * dead rows were never content and must not stream); true → emit
+  * ONLY these positions (a DV delta's newly-dead rows, streamed as
+  * delete records in the full feed). `changeType` present = full-feed
+  * mode, emitted as the trailing `_change_type` column. */
 private case class CdfFilePartition(absPath: String, version: Long,
-    dataSchema: StructType, deleted: Array[Long]) extends InputPartition
+    dataSchema: StructType, positions: Array[Long],
+    emitOnly: Boolean, changeType: Option[String]) extends InputPartition
 
 private object GraftCdfReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -217,9 +267,9 @@ private class GraftCdfFileReader(p: CdfFilePartition)
       .withConf(new org.apache.hadoop.conf.Configuration())
       .build()
   }
-  private val dead: java.util.HashSet[Long] = {
-    val s = new java.util.HashSet[Long](p.deleted.length * 2 + 4)
-    p.deleted.foreach(s.add(_))
+  private val marked: java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long](p.positions.length * 2 + 4)
+    p.positions.foreach(s.add(_))
     s
   }
   private var pos = -1L
@@ -228,14 +278,19 @@ private class GraftCdfFileReader(p: CdfFilePartition)
   override def next(): Boolean = {
     var g = reader.read()
     pos += 1
-    while (g != null && dead.contains(pos)) { g = reader.read(); pos += 1 }
+    // emitOnly=false: positions are a deletion vector, skip them;
+    // emitOnly=true: positions are the payload, skip everything else
+    while (g != null && (marked.contains(pos) == !p.emitOnly)) {
+      g = reader.read(); pos += 1
+    }
     current = g
     g != null
   }
 
   override def get(): InternalRow = {
     val n = p.dataSchema.fields.length
-    val vals = new Array[Any](n + 1)
+    val extra = if (p.changeType.isDefined) 2 else 1
+    val vals = new Array[Any](n + extra)
     var i = 0
     while (i < n) {
       val f = p.dataSchema.fields(i)
@@ -253,6 +308,7 @@ private class GraftCdfFileReader(p: CdfFilePartition)
       i += 1
     }
     vals(n) = p.version
+    p.changeType.foreach(t => vals(n + 1) = UTF8String.fromString(t))
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 

@@ -184,4 +184,190 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(got === (0L until 200L).filter(_ % 2 == 0).toSet,
       "clone must inherit the source's deletion vectors")
   }
+
+  private def sidecars(r: String): Seq[Path] = {
+    val dir = Paths.get(r, "_dv")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+      } finally s.close()
+    }
+  }
+
+  test("sidecar DVs (X269): manifest stays metadata-sized, reads identical, lifecycle sweeps orphans") {
+    val r = root()
+    val df = spark.range(2000).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).repartition(4)
+    TableCommit.commitAppend(df, r, retain = 1)
+    val v2 = TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(2L)) === 1L, retain = 1, inlineDvMax = 10)
+    val es = TableCommit.entries(r)
+    assert(es.forall(e =>
+      e.stats.get(TableCommit.DvKey).exists(_.min.startsWith("@"))),
+      "every DV above the inline threshold must be a sidecar ref")
+    // the count rides the stat's max slot — no decode needed
+    assert(es.map(TableCommit.deletedCount).sum === 1000L)
+    // the manifest carries refs, not position lists
+    val msize = Files.size(Paths.get(r, "_log", f"v$v2%020d.json"))
+    assert(msize < 4096L, s"manifest grew position-sized: $msize bytes")
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet ===
+      (0L until 2000L).filter(_ % 2 == 0).toSet)
+    // referenced sidecars survive even an age-0 vacuum
+    assert(sidecars(r).nonEmpty)
+    TableCommit.vacuum(r, 0L)
+    assert(sidecars(r).nonEmpty, "a referenced sidecar must never sweep")
+    assert(TableCommit.read(spark, r, schema).count() === 1000L)
+    // OPTIMIZE melts the DVs; with the referencing manifests retired,
+    // the aged sweep reclaims the now-orphan sidecars
+    TableCommit.commitCompact(spark, r, targetFiles = 2,
+      sortCol = Some("k"), retain = 1)
+    TableCommit.vacuum(r, 0L)
+    assert(sidecars(r).isEmpty, "unreferenced sidecars must sweep")
+    assert(TableCommit.read(spark, r, schema).count() === 1000L)
+  }
+
+  test("sidecar DVs compose and stay idempotent across delete commits") {
+    val r = root()
+    val df = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).repartition(2)
+    TableCommit.commitAppend(df, r, retain = 8)
+    val v2 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 300L, retain = 8, inlineDvMax = 10)
+    val v3 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") >= 700L, retain = 8, inlineDvMax = 10)
+    assert(v3 === v2 + 1L)
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === (300L until 700L).toSet)
+    // re-deleting dead rows: position-level no-op — no version churn,
+    // no freshly-minted sidecar
+    val before = sidecars(r).map(_.toString).toSet
+    val v4 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 300L, retain = 8, inlineDvMax = 10)
+    assert(v4 === v3, "re-deleting only dead rows must not publish")
+    assert(sidecars(r).map(_.toString).toSet === before,
+      "a no-op delete must not mint sidecar files")
+    // the full feed decodes sidecar DV deltas exactly
+    val feed = TableCommit.readChangesFull(spark, r, schema, v2, v3)
+      .collect()
+    assert(feed.map(_.getLong(0)).toSet === (700L until 1000L).toSet)
+  }
+
+  test("a clone absolutizes sidecar DV refs and pins them against source retention") {
+    val r = root()
+    val df = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).repartition(4)
+    TableCommit.commitAppend(df, r, retain = 1)
+    TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(3L)) === 0L, retain = 1, inlineDvMax = 10)
+    val dst = root()
+    TableCommit.cloneTable(r, dst, retain = 1)
+    assert(TableCommit.entries(dst).forall(e =>
+      e.stats.get(TableCommit.DvKey).exists(_.min.startsWith("@/"))),
+      "a cloned sidecar ref must be absolute (source-owned)")
+    val expect = (0L until 1000L).filterNot(_ % 3 == 0).toSet
+    assert(TableCommit.read(spark, dst, schema)
+      .collect().map(_.getLong(0)).toSet === expect)
+    // source compacts (melts its own DVs) and vacuums aggressively:
+    // the clone's data files AND sidecar vectors are registry-pinned
+    TableCommit.commitCompact(spark, r, targetFiles = 2,
+      sortCol = Some("k"), retain = 1)
+    TableCommit.vacuum(r, 0L)
+    assert(TableCommit.read(spark, dst, schema)
+      .collect().map(_.getLong(0)).toSet === expect,
+      "source retention must not break a registered clone's sidecars")
+  }
+
+  test("row-level UPDATE (X270): one atomic commit, no resurrection of deleted rows") {
+    val r = root()
+    seed(r) // k in [0, 200), v = 10k
+    // kill a stripe first: an update predicate that ALSO matches dead
+    // rows must not bring them back
+    TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 40L, retain = 8)
+    val v3 = TableCommit.commitUpdateRows(spark, r, schema,
+      pmod(col("k"), lit(10L)) === 2L,
+      Seq("v" -> (col("v") + 1L)), retain = 8)
+    val got = TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toMap
+    assert(got.keySet === (40L until 200L).toSet,
+      "update must neither drop rows nor resurrect deleted ones")
+    (40L until 200L).foreach { k =>
+      val expect = if (k % 10 == 2) k * 10 + 1 else k * 10
+      assert(got(k) === expect, s"k=$k")
+    }
+    // exactly one version for the whole update; a no-match update is a
+    // version no-op
+    assert(TableCommit.currentVersion(r) === Some(v3))
+    val v4 = TableCommit.commitUpdateRows(spark, r, schema,
+      col("k") === 999999L, Seq("v" -> lit(0L)), retain = 8)
+    assert(v4 === v3)
+    // full feed tells the truth: delete leg carries OLD values, insert
+    // leg NEW, same version
+    val feed = TableCommit.readChangesFull(spark, r, schema, v3 - 1L, v3)
+      .collect()
+    val dels = feed.filter(_.getString(3) == "delete")
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val ins = feed.filter(_.getString(3) == "insert")
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val touched = (40L until 200L).filter(_ % 10 == 2)
+    assert(dels === touched.map(k => (k, k * 10)).toSet)
+    assert(ins === touched.map(k => (k, k * 10 + 1)).toSet)
+  }
+
+  test("merge-on-read MERGE (X272): upsert replaces matched rows, inserts new, bootstraps empty") {
+    val r = root()
+    // bootstrap: merge into an empty table is a plain insert
+    val boot = spark.range(100).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).coalesce(2)
+    TableCommit.commitMergeRows(spark, r, schema, boot, Seq("k"),
+      retain = 8)
+    assert(TableCommit.read(spark, r, schema).count() === 100L)
+    // upsert: 20 updated images + 10 new keys
+    val batch = spark.range(20).select((col("id") * 5L).as("k"),
+      lit(7L).as("v"))
+      .unionByName(spark.range(10).select((col("id") + 1000L).as("k"),
+        (col("id")).as("v"))).coalesce(1)
+    TableCommit.commitMergeRows(spark, r, schema, batch, Seq("k"),
+      retain = 8)
+    val got = TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toMap
+    assert(got.size === 110)
+    (0L until 100L).foreach { k =>
+      val expect = if (k % 5 == 0) 7L else k * 10
+      assert(got(k) === expect, s"k=$k")
+    }
+    (1000L until 1010L).foreach(k => assert(got(k) === k - 1000L))
+    // idempotent re-merge of the same batch: values unchanged, and the
+    // matched rows' DVs simply grow over the now-dead prior images
+    TableCommit.commitMergeRows(spark, r, schema, batch, Seq("k"),
+      retain = 8)
+    val again = TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toMap
+    assert(again === got, "re-applying the same upsert must be stable")
+  }
+
+  test("stats-channel namespacing: a user column named `dv` coexists with the DV key; ':' columns are refused") {
+    val r = root()
+    val df = spark.range(100).select(col("id").as("k"),
+      (col("id") * 10L).as("dv")).repartition(2)
+    val dvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("dv", LongType)))
+    TableCommit.commitAppend(df, r, retain = 8, statsCols = Seq("dv"))
+    TableCommit.commitDeleteRows(spark, r, dvSchema, col("k") < 50L,
+      retain = 8)
+    val es = TableCommit.entries(r)
+    // both channels present and distinct: user min/max under "dv",
+    // engine positions under "dv:"
+    assert(es.forall(e => e.stats.contains("dv")))
+    assert(es.exists(e => e.stats.contains(TableCommit.DvKey)))
+    assert(TableCommit.read(spark, r, dvSchema)
+      .collect().map(_.getLong(0)).toSet === (50L until 100L).toSet)
+    intercept[IllegalArgumentException] {
+      TableCommit.commitAppend(df, root(), statsCols = Seq("weird:col"))
+    }
+  }
 }

@@ -753,4 +753,58 @@ class TableCommitSpec extends AnyFunSuite {
       assert(kept.nonEmpty, "boundary prune must keep the file")
     }
   }
+
+  test("a failed clone publish rolls back the registrations it created (ADVICE r11)") {
+    val src = root(); val dst = root() + "/clone"
+    TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      src)
+    // dst already exists as a table, and a racing commit lands between
+    // cloneTable's base read and its publish — the one-shot race hook
+    // makes the window deterministic; the clone's publish must lose
+    // and the registration it minted at src must be rolled back, or a
+    // permanently-registered never-published clone pins src forever
+    TableCommit.commitOverwrite(Seq((9L, "z")).toDF("k", "v"), dst)
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitAppend(Seq((8L, "y")).toDF("k", "v"), dst,
+        retain = 4)
+    }
+    try {
+      intercept[TableCommit.ConcurrentCommitException] {
+        TableCommit.cloneTable(src, dst, retain = 4)
+      }
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(TableCommit.registeredClones(src).isEmpty,
+      "a failed clone publish must not leave a registration behind")
+    // src retention is unimpeded: vacuum reclaims normally
+    val v1Files = TableCommit.entries(src)
+      .map(e => Paths.get(src, e.path).toAbsolutePath)
+    TableCommit.commitOverwrite(Seq((3L, "c")).toDF("k", "v"), src)
+    TableCommit.vacuum(src, 0L)
+    v1Files.foreach(p => assert(!Files.exists(p),
+      "no live clone, so src retention must reclaim freely"))
+  }
+
+  test("vacuum GCs an inert aged registration; a pinning one survives (VERDICT r11 task 8)") {
+    val src = root(); val dst = root()
+    TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      src)
+    TableCommit.cloneTable(src, dst, retain = 1)
+    // still pinning: an aggressive-age vacuum must NOT GC the
+    // registration (its manifests reference src files)
+    TableCommit.vacuum(src, 0L)
+    assert(TableCommit.registeredClones(src).nonEmpty,
+      "a pinning registration must survive the GC")
+    // the clone diverges completely — overwrite at retain=1 drops every
+    // source reference from its retained manifests; the registration is
+    // now inert (pins nothing, blocks nothing, costs every sweep)
+    TableCommit.commitOverwrite(Seq((7L, "q")).toDF("k", "v"), dst,
+      retain = 1)
+    TableCommit.vacuum(src, 0L)
+    assert(TableCommit.registeredClones(src).isEmpty,
+      "an aged registration pinning nothing must be GC'd")
+    // and the clone still reads its own world
+    assert(TableCommit.read(spark, dst, schema)
+      .collect().map(_.getLong(0)).toSet === Set(7L))
+  }
 }
