@@ -621,4 +621,56 @@ object Incremental {
       |SELECT user_id, CAST(n AS BIGINT) AS n_events, ts AS last_ts,
       |  event_id AS last_event_id, event_type AS last_type
       |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** `q_stream_sink` (X271): EXACTLY-ONCE streaming append into the
+    * commit log via `foreachBatch` + [[graft.engine.TableCommit
+    * .commitAppendTxn]] — the batch id rides the SAME atomic manifest
+    * publish as the data (a `{"txn": id}` header), so the classic
+    * foreachBatch failure ("Spark replays a batch the sink already
+    * committed, the table double-counts") cannot happen: there is no
+    * separate progress ledger whose update could race a crash. The
+    * gate PROVES the replay path: after the drain it re-applies batch
+    * id 0 carrying the WHOLE corpus — if the high-water check failed,
+    * every aggregate doubles and the hash breaks. Crash-restart
+    * replays are additionally spec-pinned in StreamingSpec.
+    *
+    * Scale: the sink work per trigger is batch-sized (stage + one
+    * manifest link); the idempotence check reads one manifest header.
+    * This is the Delta txnAppId/txnVersion pattern as an engine
+    * primitive. */
+  def streamSinkQ(spark: SparkSession, sfDir: String): DataFrame =
+    withDrainParts(spark, 4) {
+    val root = graft.engine.TempWarehouse.createManaged("graft_ssink_") +
+      "/t"
+    def proj(df: DataFrame): DataFrame =
+      df.select(col("user_id"), col("event_id"), col("event_type"))
+    val q = eventsStream(spark, sfDir, withTs = false)
+      .transform(proj)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.engine.TableCommit.commitAppendTxn(batch, root,
+          txnId = id, retain = 4)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // the replay: a crash-restarted stream re-delivers an
+    // already-committed batch id — must land ZERO rows
+    graft.engine.TableCommit.commitAppendTxn(
+      proj(graft.engine.Tables.events(spark, sfDir)), root,
+      txnId = 0L, retain = 4)
+    graft.engine.TableCommit.readCurrent(spark, root)
+      .groupBy(col("event_type"))
+      .agg(graft.engine.Num.countStar.as("n_rows"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("user_id")).as("user_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamSinkOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(user_id) AS BIGINT) AS user_sum
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 }

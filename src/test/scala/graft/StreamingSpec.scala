@@ -178,4 +178,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(!matchedViews.contains(v), s"view $v both matched and expired")
     }
   }
+
+  test("txn sink survives the crash-replay window: committed-but-unacked batch is not double-applied (X271)") {
+    import graft.engine.TableCommit
+    val base = Files.createTempDirectory("graft_txnsink_").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"; val tbl = s"$base/t"
+    // three single-row files → three micro-batches at maxFilesPerTrigger=1
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val crashArm = new java.io.File(s"$base/crash_armed")
+    crashArm.createNewFile()
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("k LONG, v STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          TableCommit.commitAppendTxn(batch, tbl, txnId = id, retain = 8)
+          // die AFTER the table committed but BEFORE Spark records the
+          // batch in its checkpoint — the exact window where a ledgered
+          // sink double-applies on restart
+          if (id >= 1 && crashArm.exists())
+            throw new RuntimeException(s"simulated crash at txn sink batch $id")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    val mid = TableCommit.read(spark, tbl,
+      org.apache.spark.sql.types.StructType.fromDDL("k LONG, v STRING")).count()
+    assert(mid >= 2L, s"crash fired before the batch committed (rows=$mid)")
+    crashArm.delete()
+    run() // restart: Spark replays the unacked batch id — must be a no-op
+    val rows = TableCommit.read(spark, tbl,
+      org.apache.spark.sql.types.StructType.fromDDL("k LONG, v STRING"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.sorted === Seq((0L, "v0"), (1L, "v1"), (2L, "v2")),
+      s"replayed batch double-applied or lost: $rows")
+  }
 }

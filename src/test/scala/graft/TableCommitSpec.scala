@@ -754,6 +754,35 @@ class TableCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("txn-stamped appends are exactly-once: a replayed batch id lands zero rows (X271)") {
+    val r = root()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b1 = Seq((3L, "c")).toDF("k", "v")
+    TableCommit.commitAppendTxn(b0, r, txnId = 0L, retain = 8)
+    TableCommit.commitAppendTxn(b1, r, txnId = 1L, retain = 8)
+    assert(TableCommit.read(spark, r, schema).count() === 3L)
+    assert(TableCommit.lastTxnId(r) === Some(1L))
+    // the foreachBatch replay: same ids re-delivered after a restart —
+    // both must be version no-ops landing zero rows
+    val cur = TableCommit.currentVersion(r).get
+    assert(TableCommit.commitAppendTxn(b0, r, txnId = 0L) === cur)
+    assert(TableCommit.commitAppendTxn(b1, r, txnId = 1L) === cur)
+    assert(TableCommit.read(spark, r, schema).count() === 3L)
+    // an interleaved maintenance commit WITHOUT a txn stamp must not
+    // erase the high-water (the walk skips over it)
+    TableCommit.commitCompact(spark, r, targetFiles = 1, retain = 8)
+    assert(TableCommit.lastTxnId(r) === Some(1L))
+    assert(TableCommit.commitAppendTxn(b1, r, txnId = 1L) ===
+      TableCommit.currentVersion(r).get)
+    assert(TableCommit.read(spark, r, schema).count() === 3L)
+    // the next id applies normally
+    TableCommit.commitAppendTxn(Seq((4L, "d")).toDF("k", "v"), r,
+      txnId = 2L, retain = 8)
+    assert(TableCommit.lastTxnId(r) === Some(2L))
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("a failed clone publish rolls back the registrations it created (ADVICE r11)") {
     val src = root(); val dst = root() + "/clone"
     TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
