@@ -1199,23 +1199,79 @@ object TableCommit {
       statsCols: Seq[String] = Nil,
       partCol: Option[String] = None,
       checkpointEvery: Int = 16,
-      txnId: Option[Long] = None): Long = {
+      txnId: Option[Long] = None,
+      conflictRetries: Int = 0): Long = {
     require(checkpointEvery >= 1, s"bad checkpointEvery $checkpointEvery")
-    val base = currentVersion(root).getOrElse(0L)
     val staged = stageBatch(df, root, partCol, statsCols)
-    if (base == 0L)
-      return publish(root, staged, retain, expected = Some(base),
-        txnId = txnId)
-    val chainLen = chainOf(root, base).size
-    if (chainLen + 1 >= checkpointEvery) {
-      // checkpoint: fold the chain into one self-contained manifest
-      val prior = entriesAt(root, base)
-      publish(root, prior ++ staged, retain, expected = Some(base),
-        txnId = txnId)
-    } else
-      publish(root, staged, retain, expected = Some(base),
-        deltaBase = Some(base), txnId = txnId)
+    publishStagedAppend(root, staged, retain, checkpointEvery, txnId,
+      conflictRetries, alreadyApplied = () => false)
+      .getOrElse(throw new IllegalStateException(
+        "append retry loop returned without publishing"))
   }
+
+  /** Publish an already-staged batch on top of whatever the CURRENT
+    * version is, retrying on commit races (X273 optimistic
+    * concurrency). A blind append only ADDS files — it reads nothing —
+    * so it cannot logically conflict with ANY interleaved commit:
+    * append/append, append/delete, append/compact all rebase cleanly
+    * onto the new head (the Delta/Iceberg append rule). The data files
+    * were staged ONCE; a retry re-reads the current version and
+    * republishes the same entries — manifest-sized work, no data
+    * bytes rewritten. `alreadyApplied` is re-checked per attempt so a
+    * txn-stamped append whose id landed via a RACING writer of the
+    * same stream (dual-writer failover, X271) degrades to a no-op —
+    * then the never-published staged batch is deleted and None
+    * returned. */
+  private def publishStagedAppend(root: String, staged: Seq[Entry],
+      retain: Int, checkpointEvery: Int, txnId: Option[Long],
+      conflictRetries: Int, alreadyApplied: () => Boolean): Option[Long] = {
+    var attempt = 0
+    while (true) {
+      // ORDER IS LOAD-BEARING: read the base BEFORE the applied check.
+      // publish succeeds only if NOTHING interleaved after this base
+      // read (expected-CAS + the link(2) on base+1), so an applied
+      // check that happens after it can never be stale at commit time
+      // — a racing writer landing the same txn in between forces a
+      // ConcurrentCommitException and the next attempt sees it. Checked
+      // the other way around there is a double-apply window.
+      val base = currentVersion(root).getOrElse(0L)
+      if (alreadyApplied()) { dropStagedBatch(root, staged); return None }
+      try {
+        return Some(
+          if (base == 0L)
+            publish(root, staged, retain, expected = Some(base),
+              txnId = txnId)
+          else if (chainOf(root, base).size + 1 >= checkpointEvery)
+            // checkpoint: fold the chain into one self-contained manifest
+            publish(root, entriesAt(root, base) ++ staged, retain,
+              expected = Some(base), txnId = txnId)
+          else
+            publish(root, staged, retain, expected = Some(base),
+              deltaBase = Some(base), txnId = txnId))
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > conflictRetries) throw e
+          // jittered linear backoff: losers deschedule so the winner's
+          // retire pass and the next link(2) aren't contended
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(2L, 20L) * attempt)
+      }
+    }
+    None // unreachable: the loop exits only via return/throw
+  }
+
+  /** Delete a staged-but-never-published batch's directories (refuses
+    * anything outside the table's `data/` staging area). Best-effort:
+    * a leftover is also covered by the aged orphan vacuum. */
+  private def dropStagedBatch(root: String, staged: Seq[Entry]): Unit =
+    staged.map(_.path.split('/').take(2).mkString("/")).distinct
+      .filter(_.startsWith("data/")).foreach { b =>
+        val dir = Paths.get(root, b)
+        try walkFiles(dir).sortBy(-_.getNameCount).foreach(
+          Files.deleteIfExists)
+        catch { case _: Throwable => () }
+      }
 
   /** Highest txn id any still-present manifest carries (walking down
     * from the newest) — the idempotence high-water an exactly-once
@@ -1242,14 +1298,22 @@ object TableCommit {
     * contract: Spark replays a batch id after a crash-restart, and the
     * replay must land zero rows. Ids must be monotone per table (which
     * Spark's per-checkpoint batch ids are); two DIFFERENT streams
-    * writing one table need disjoint id spaces or separate tables. */
+    * writing one table need disjoint id spaces or separate tables.
+    *
+    * With `conflictRetries > 0` this is also safe under DUAL writers of
+    * the SAME stream (zombie-executor failover): the high-water is
+    * re-checked on every retry attempt, so whichever writer publishes a
+    * batch id first wins and the other's staged copy is dropped — the
+    * table sees the batch exactly once either way. */
   def commitAppendTxn(df: DataFrame, root: String, txnId: Long,
       retain: Int = 1, statsCols: Seq[String] = Nil,
-      checkpointEvery: Int = 16): Long = {
-    if (lastTxnId(root).exists(_ >= txnId))
-      return currentVersion(root).getOrElse(0L)
-    commitAppend(df, root, retain, statsCols, None, checkpointEvery,
-      txnId = Some(txnId))
+      checkpointEvery: Int = 16, conflictRetries: Int = 0): Long = {
+    def applied = lastTxnId(root).exists(_ >= txnId)
+    if (applied) return currentVersion(root).getOrElse(0L)
+    val staged = stageBatch(df, root, None, statsCols)
+    publishStagedAppend(root, staged, retain, checkpointEvery,
+      Some(txnId), conflictRetries, alreadyApplied = () => applied)
+      .getOrElse(currentVersion(root).getOrElse(0L))
   }
 
   /** D1 partition-slice replace: slices present in `df` swap wholesale,

@@ -2385,4 +2385,58 @@ object Relational {
       |  CAST(SUM(c) AS BIGINT), CAST(SUM(k) AS BIGINT)
       |FROM base WHERE k % 19 = 7
       |ORDER BY kind, key""".stripMargin
+
+  /** `q_concurrent_append` (X273): optimistic concurrency for the
+    * multi-writer ingest shape — N writers blind-append disjoint
+    * slices into ONE table, genuinely concurrently (a start latch, no
+    * external lock). Every writer stages once; a commit race costs a
+    * manifest-sized retry (`conflictRetries`), never a data rewrite,
+    * because a blind append reads nothing and so cannot logically
+    * conflict with any interleaved commit (the Delta/Iceberg append
+    * rule). The gate proves NO LOST UPDATE two ways: the rolled-up
+    * table equals the full corpus (a buried manifest loses a slice and
+    * breaks every aggregate), and `n_commits` pins the version counter
+    * at exactly one commit per writer (a double-publish or a silent
+    * no-op moves it). At 100 TB this is the table's write path for a
+    * fleet of independent ingest jobs — contention cost is per-commit
+    * manifest I/O, not data. */
+  def concurrentAppendQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_ccaq_") +
+      "/events"
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val writers = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = (0 until writers).map { w =>
+      val t = new Thread(() => {
+        try {
+          gate.await()
+          TableCommit.commitAppend(
+            src.filter(
+              pmod(col("event_id"), lit(writers.toLong)) === w.toLong),
+            root, retain = writers + 1, conflictRetries = 64)
+          ()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      t.setName(s"graft-cca-$w"); t.start(); t
+    }
+    gate.countDown(); ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    val nCommits = TableCommit.currentVersion(root).getOrElse(0L)
+    TableCommit.readCurrent(spark, root)
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("n_rows"), sum(col("event_id")).as("id_sum"),
+        sum(col("user_id")).as("user_sum"))
+      .withColumn("n_commits", lit(nCommits))
+      .orderBy(col("event_type"))
+  }
+
+  val concurrentAppendOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(user_id) AS BIGINT) AS user_sum,
+      |  CAST(6 AS BIGINT) AS n_commits
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 }

@@ -783,6 +783,101 @@ class TableCommitSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
   }
 
+  test("optimistic append retry: N forced-collision writers all land, no lost update (X273)") {
+    val r = root()
+    val n = 4
+    // every writer's FIRST publish attempt parks on a shared barrier, so
+    // all n provably reach the link with the same base: exactly one wins
+    // round 1 and the other n-1 must rebase-and-retry to completion
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val first = ThreadLocal.withInitial[java.lang.Boolean](() => true)
+    TableCommit.publishRaceHook = () => {
+      if (Thread.currentThread().getName.startsWith("graft-oc-") &&
+          first.get) {
+        first.set(false)
+        barrier.await(20, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      ()
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val ts = (0 until n).map { w =>
+        val df = Seq((w.toLong, s"w$w")).toDF("k", "v")
+        val t = new Thread(() => {
+          try {
+            TableCommit.commitAppend(df, r, retain = n + 1,
+              conflictRetries = n * 4)
+            ()
+          }
+          catch { case e: Throwable => errs.add(e) }
+        })
+        t.setName(s"graft-oc-$w"); t
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(errs.isEmpty, s"a retried append still failed: ${errs.peek()}")
+    assert(TableCommit.currentVersion(r) === Some(n.toLong),
+      "exactly one commit per writer")
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === (0 until n).map(_.toLong).toSet)
+  }
+
+  test("dual writers racing the SAME txn id: exactly one applies, loser drops its staged copy (X271+X273)") {
+    val r = root()
+    TableCommit.commitAppendTxn(Seq((0L, "seed")).toDF("k", "v"), r,
+      txnId = 0L, retain = 8)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val first = ThreadLocal.withInitial[java.lang.Boolean](() => true)
+    TableCommit.publishRaceHook = () => {
+      if (Thread.currentThread().getName.startsWith("graft-zw-") &&
+          first.get) {
+        first.set(false)
+        barrier.await(20, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      ()
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      // the zombie-failover shape: two live writers of the same stream
+      // both deliver batch id 1, provably racing the same base
+      val ts = (0 until 2).map { w =>
+        val t = new Thread(() => {
+          try {
+            TableCommit.commitAppendTxn(batch, r, txnId = 1L,
+              retain = 8, conflictRetries = 8)
+            ()
+          }
+          catch { case e: Throwable => errs.add(e) }
+        })
+        t.setName(s"graft-zw-$w"); t
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(errs.isEmpty, s"a racing txn writer failed: ${errs.peek()}")
+    // the batch landed EXACTLY once
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(TableCommit.lastTxnId(r) === Some(1L))
+    assert(TableCommit.currentVersion(r) === Some(2L),
+      "the loser must not have published a second copy")
+    // and the loser's staged-but-never-published batch dir is GONE:
+    // every parquet under data/ is referenced by the live manifest
+    val referenced = TableCommit.entries(r).map(_.path).toSet
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(r, "data"))
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => java.nio.file.Paths.get(r).relativize(p).toString)
+        .toSet
+      finally s.close()
+    }
+    assert(onDisk === referenced,
+      s"staged debris survived the no-op: ${onDisk -- referenced}")
+  }
+
   test("a failed clone publish rolls back the registrations it created (ADVICE r11)") {
     val src = root(); val dst = root() + "/clone"
     TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
