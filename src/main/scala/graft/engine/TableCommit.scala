@@ -79,6 +79,18 @@ object TableCommit {
   final class ConcurrentCommitException(msg: String)
       extends IllegalStateException(msg)
 
+  /** Thrown by a DML retry (X274) when a RACING commit logically
+    * conflicts with this transaction — it removed, rewrote, or
+    * row-modified a file this transaction's victims live in (or, for
+    * MERGE/replace, changed data the operation's semantics read). A
+    * retry cannot help: the snapshot the positions were computed
+    * against is gone. The caller must re-run the whole operation
+    * against the new head. Distinct from
+    * [[ConcurrentCommitException]], which is the RETRYABLE "someone
+    * committed first" signal. */
+  final class DmlConflictException(msg: String)
+      extends IllegalStateException(msg)
+
   /** Thrown when a manifest file fails its integrity check (missing or
     * count-mismatched terminator line, unparseable entry line): the
     * CREATE_NEW fallback publish path has a documented microsecond window
@@ -1261,6 +1273,77 @@ object TableCommit {
     None // unreachable: the loop exits only via return/throw
   }
 
+  /** Optimistic DML publish with LOGICAL conflict detection (X274) —
+    * the Delta/Iceberg conflict-resolution model for commits that
+    * REWRITE existing entries (row-level delete/update/merge, partition
+    * replace), where "someone committed first" is not automatically
+    * safe the way it is for a blind append. On a commit race the
+    * interleaved versions are diffed ([[changesBetween]], one
+    * incremental pass) and checked by `conflictsWith`:
+    *
+    *   - a COMPATIBLE interleaving (e.g. an append into files this
+    *     transaction never touched) REBASES: `build` re-derives the
+    *     manifest from the new head's entries — manifest-sized work,
+    *     the staged data files (if any) carry over verbatim;
+    *   - a LOGICAL conflict (the diff touched this transaction's
+    *     victim files) aborts loudly with [[DmlConflictException]] —
+    *     retrying cannot help, the caller must re-run the operation;
+    *   - a diff that cannot be computed (the old base already retired
+    *     under a tiny retention window) rethrows the original
+    *     [[ConcurrentCommitException]] — never guess. */
+  private def publishRebasing(root: String, base0: Long,
+      build: Seq[Entry] => Seq[Entry],
+      conflictsWith: VersionChange => Option[String],
+      retain: Int, conflictRetries: Int): Long = {
+    var base = base0
+    var attempt = 0
+    while (true) {
+      try {
+        return publish(root, build(entriesAt(root, base)), retain,
+          expected = Some(base))
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > conflictRetries) throw e
+          val newBase = currentVersion(root).getOrElse(0L)
+          val interleaved =
+            try changesBetween(root, base, newBase)
+            catch { case _: Throwable => throw e }
+          interleaved.foreach { c =>
+            conflictsWith(c).foreach { why =>
+              throw new DmlConflictException(
+                s"commit v${c.version} at $root conflicts with this " +
+                  s"transaction (read snapshot v$base): $why — re-run " +
+                  "the operation against the new head")
+            }
+          }
+          base = newBase
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(2L, 20L) * attempt)
+      }
+    }
+    0L // unreachable: the loop exits only via return/throw
+  }
+
+  /** Shared X274 conflict rule for the row-level DML family: a racing
+    * commit conflicts iff it REMOVED (rewrote/compacted) or row-
+    * modified (grew the DV of) a file this transaction's victims live
+    * in. Anything else — appends, DML on disjoint files, compaction of
+    * untouched files — composes: the rebase re-applies this
+    * transaction's position deltas onto the new head, whose entries
+    * for the victim files are provably unchanged. */
+  private def dmlConflict(victimLeaves: Set[String])(
+      c: VersionChange): Option[String] = {
+    val removedHit = c.removedPaths.filter(p => victimLeaves(pathLeaf(p)))
+    if (removedHit.nonEmpty)
+      return Some(s"removed/rewrote victim file(s) ${removedHit.take(3)}")
+    val dvHit = c.dvGrown.map(_._1.path)
+      .filter(p => victimLeaves(pathLeaf(p)))
+    if (dvHit.nonEmpty)
+      Some(s"row-level DML touched victim file(s) ${dvHit.take(3)}")
+    else None
+  }
+
   /** Delete a staged-but-never-published batch's directories (refuses
     * anything outside the table's `data/` staging area). Best-effort:
     * a leftover is also covered by the aged orphan vacuum. */
@@ -1325,13 +1408,32 @@ object TableCommit {
     * still current at publish. */
   def commitReplacePartitions(df: DataFrame, root: String,
       partCol: String, statsCols: Seq[String] = Nil,
-      retain: Int = 1): Long = {
+      retain: Int = 1, conflictRetries: Int = 0): Long = {
     val base = currentVersion(root).getOrElse(0L)
-    val prior = entriesAt(root, base)
     val staged = stageBatch(df, root, Some(partCol), statsCols)
     val replaced = staged.flatMap(_.part).toSet
-    val kept = prior.filterNot(_.part.exists(replaced))
-    publish(root, kept ++ staged, retain, expected = Some(base))
+    // X274: racing commits compose iff they never touch a replaced
+    // slice — a racing write INTO one (append, delete, or another
+    // replace of the same slice) conflicts, because this replace's
+    // semantics ("the slice becomes exactly df") would silently erase
+    // it. Disjoint-slice replaces and appends elsewhere rebase.
+    val conflict = (c: VersionChange) => {
+      val addedHit = c.added.filter(_.part.exists(replaced))
+      val removedHit = c.removed.filter(_.part.exists(replaced))
+      val dvHit = c.dvGrown.map(_._1).filter(_.part.exists(replaced))
+      if (addedHit.nonEmpty)
+        Some(s"wrote into replaced slice(s) ${addedHit.flatMap(_.part).distinct.take(3)}")
+      else if (removedHit.nonEmpty)
+        Some(s"removed files from replaced slice(s) ${removedHit.flatMap(_.part).distinct.take(3)}")
+      else if (dvHit.nonEmpty)
+        Some(s"row-deleted inside replaced slice(s) ${dvHit.flatMap(_.part).distinct.take(3)}")
+      else None
+    }
+    publishRebasing(root, base,
+      build = cur =>
+        cur.filterNot(_.part.exists(replaced)) ++ staged,
+      conflictsWith = conflict,
+      retain, conflictRetries)
   }
 
   // ------------------------------------------------------------------
@@ -1804,7 +1906,8 @@ object TableCommit {
     * stats described, so pruning stays lossless — spec-pinned. */
   def commitDeleteRows(spark: SparkSession, root: String,
       schema: StructType, predicate: org.apache.spark.sql.Column,
-      retain: Int = 1, inlineDvMax: Int = DvInlineMax): Long = {
+      retain: Int = 1, inlineDvMax: Int = DvInlineMax,
+      conflictRetries: Int = 0): Long = {
     import org.apache.spark.sql.functions.{col, collect_list, element_at, sort_array, split}
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
@@ -1820,7 +1923,7 @@ object TableCommit {
       .collect()
       .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
     if (hits.isEmpty) return base
-    val updated = es.map { e =>
+    def applyHits(cur: Seq[Entry]): Seq[Entry] = cur.map { e =>
       hits.get(pathLeaf(e.path)) match {
         case None => e
         case Some(ps) =>
@@ -1838,8 +1941,13 @@ object TableCommit {
     // re-deleting only already-dead rows (the predicate matched raw
     // rows whose positions were in the DVs already) changes nothing —
     // idempotent no-op, no empty snapshot churn
-    if (updated == es) return base
-    publish(root, updated, retain, expected = Some(base))
+    if (applyHits(es) == es) return base
+    // X274: a racing append/disjoint-DML rebases (the position deltas
+    // re-apply onto the new head); a racing commit that touched a
+    // victim file conflicts loudly
+    publishRebasing(root, base, applyHits,
+      conflictsWith = dmlConflict(hits.keySet),
+      retain, conflictRetries)
   }
 
   /** LIVE rows of `es` with their (file leaf, row position) kept as
@@ -1910,7 +2018,7 @@ object TableCommit {
       schema: StructType, predicate: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       retain: Int = 1, inlineDvMax: Int = DvInlineMax,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, conflictRetries: Int = 0): Long = {
     import org.apache.spark.sql.functions.col
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
@@ -1925,8 +2033,12 @@ object TableCommit {
       case (d, (c, e)) => d.withColumn(c, e)
     }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val staged = stageBatch(images, root, None, statsCols)
-    publish(root, applyDv(root, es, hits, inlineDvMax) ++ staged,
-      retain, expected = Some(base))
+    // X274: same rebase/conflict rule as DELETE — the staged updated
+    // images carry over verbatim (appends never conflict)
+    publishRebasing(root, base,
+      build = cur => applyDv(root, cur, hits, inlineDvMax) ++ staged,
+      conflictsWith = dmlConflict(hits.keySet),
+      retain, conflictRetries)
   }
 
   /** Merge-on-read MERGE / upsert (X272): each source row REPLACES the
@@ -1944,7 +2056,7 @@ object TableCommit {
   def commitMergeRows(spark: SparkSession, root: String,
       schema: StructType, source: DataFrame, keyCols: Seq[String],
       retain: Int = 1, inlineDvMax: Int = DvInlineMax,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, conflictRetries: Int = 0): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
@@ -1958,8 +2070,24 @@ object TableCommit {
       .join(broadcast(keys), keyCols, "left_semi")
     val hits = victimPositions(victims)
     val staged = stageBatch(src, root, None, statsCols)
-    publish(root, applyDv(root, es, hits, inlineDvMax) ++ staged,
-      retain, expected = Some(base))
+    // X274: MERGE is stricter than DELETE/UPDATE — its upsert
+    // invariant (one live row per key) reads the WHOLE live table, so
+    // a racing commit that ADDED rows anywhere could smuggle in a key
+    // this merge matched-or-missed against the old snapshot. Any
+    // interleaved addition conflicts; only pure DV-growth on
+    // non-victim files (a disjoint delete) rebases.
+    val strict = (c: VersionChange) =>
+      dmlConflict(hits.keySet)(c).orElse {
+        if (c.added.nonEmpty)
+          Some(s"added file(s) ${c.added.map(_.path).take(3)} — the " +
+            "merge's key-match read the whole table and cannot prove " +
+            "the new rows miss its keys")
+        else None
+      }
+    publishRebasing(root, base,
+      build = cur => applyDv(root, cur, hits, inlineDvMax) ++ staged,
+      conflictsWith = strict,
+      retain, conflictRetries)
   }
 
   // ------------------------------------------------------------------

@@ -2439,4 +2439,78 @@ object Relational {
       |  CAST(SUM(user_id) AS BIGINT) AS user_sum,
       |  CAST(6 AS BIGINT) AS n_commits
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** `q_concurrent_dml` (X274): four RACING writers — an append, a
+    * whole-slice row delete, a partial row delete, and a row UPDATE —
+    * run genuinely concurrently against one table, each with
+    * `conflictRetries`. Their victim files are pairwise disjoint (one
+    * seed commit per slice), so under X274's conflict rule every race
+    * REBASES: a loser re-applies its position deltas / staged images
+    * onto the winner's head, manifest-sized work. The outcome is
+    * commit-ORDER-INDEPENDENT (the operations commute on disjoint
+    * rows), which is exactly what makes an oracle possible — and
+    * `n_commits` pins that all nine commits landed exactly once. A
+    * same-file race would instead abort loudly
+    * (`DmlConflictException`, spec-pinned in TableCommitSpec); this
+    * gate proves the COMPOSE half at data scale. */
+  def concurrentDmlQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_cdml_") +
+      "/events"
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    def slice(k: Int) =
+      src.filter(pmod(col("event_id"), lit(6L)) === k.toLong)
+    (0 to 4).foreach(k =>
+      TableCommit.commitAppend(slice(k), root, retain = 16))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ops: Seq[() => Unit] = Seq(
+      () => { TableCommit.commitAppend(slice(5), root, retain = 16,
+        conflictRetries = 64); () },
+      () => { TableCommit.commitDeleteRows(spark, root, schema,
+        pmod(col("event_id"), lit(6L)) === 2L, retain = 16,
+        conflictRetries = 64); () },
+      () => { TableCommit.commitDeleteRows(spark, root, schema,
+        pmod(col("event_id"), lit(6L)) === 3L &&
+          pmod(col("user_id"), lit(2L)) === 0L, retain = 16,
+        conflictRetries = 64); () },
+      () => { TableCommit.commitUpdateRows(spark, root, schema,
+        pmod(col("event_id"), lit(6L)) === 4L,
+        Seq("event_type" -> lit("updated")), retain = 16,
+        conflictRetries = 64); () })
+    val ts = ops.zipWithIndex.map { case (op, i) =>
+      val t = new Thread(() => {
+        try { gate.await(); op() }
+        catch { case e: Throwable => errs.add(e) }
+      })
+      t.setName(s"graft-cdml-$i"); t.start(); t
+    }
+    gate.countDown(); ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    val nCommits = TableCommit.currentVersion(root).getOrElse(0L)
+    TableCommit.readCurrent(spark, root)
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("n_rows"), sum(col("event_id")).as("id_sum"),
+        sum(col("user_id")).as("user_sum"))
+      .withColumn("n_commits", lit(nCommits))
+      .orderBy(col("event_type"))
+  }
+
+  val concurrentDmlOracle: String =
+    """WITH after AS (
+      |  SELECT CASE WHEN event_id % 6 = 4 THEN 'updated'
+      |    ELSE event_type END AS event_type, event_id, user_id
+      |  FROM events
+      |  WHERE event_id % 6 <> 2
+      |    AND NOT (event_id % 6 = 3 AND user_id % 2 = 0))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(user_id) AS BIGINT) AS user_sum,
+      |  CAST(9 AS BIGINT) AS n_commits
+      |FROM after GROUP BY 1 ORDER BY event_type""".stripMargin
 }

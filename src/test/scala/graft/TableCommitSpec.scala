@@ -878,6 +878,165 @@ class TableCommitSpec extends AnyFunSuite {
       s"staged debris survived the no-op: ${onDisk -- referenced}")
   }
 
+  test("DML rebase: a racing append composes with a row-level delete (X274)") {
+    val r = root()
+    TableCommit.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), r, retain = 8)
+    // self-disarming hook: the racing append lands INSIDE the delete's
+    // publish window (after its conflict check, before its link), so
+    // the delete's first attempt deterministically loses the race
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitAppend(Seq((100L, "x")).toDF("k", "v"), r,
+        retain = 8)
+      ()
+    }
+    try {
+      val v = TableCommit.commitDeleteRows(spark, r, schema,
+        col("k") === 2L, retain = 8, conflictRetries = 4)
+      assert(v === 3L, "delete must have rebased onto the racing append")
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 100L),
+      "rebase lost the append or the delete")
+  }
+
+  test("DML conflict: racing deletes on the SAME file abort loudly (X274)") {
+    val r = root()
+    // one physical file, so both predicates provably hit the same leaf
+    TableCommit.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1),
+      r, retain = 8)
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitDeleteRows(spark, r, schema, col("k") === 1L,
+        retain = 8)
+      ()
+    }
+    try {
+      val e = intercept[TableCommit.DmlConflictException] {
+        TableCommit.commitDeleteRows(spark, r, schema, col("k") === 2L,
+          retain = 8, conflictRetries = 4)
+      }
+      assert(e.getMessage.contains("row-level DML"))
+    } finally TableCommit.publishRaceHook = () => ()
+    // the racing delete won whole; the conflicted one applied NOTHING
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
+  test("DML rebase: racing deletes on DISJOINT files both apply (X274)") {
+    val r = root()
+    TableCommit.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), r, retain = 8)
+    TableCommit.commitAppend(
+      Seq((101L, "x"), (102L, "y"), (103L, "z")).toDF("k", "v"), r,
+      retain = 8)
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitDeleteRows(spark, r, schema, col("k") === 101L,
+        retain = 8)
+      ()
+    }
+    try {
+      TableCommit.commitDeleteRows(spark, r, schema, col("k") === 1L,
+        retain = 8, conflictRetries = 4)
+      ()
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L, 102L, 103L),
+      "the rebased delete must carry BOTH deletion vectors")
+  }
+
+  test("MERGE conflicts with ANY racing addition; a disjoint delete rebases (X274)") {
+    val r = root()
+    TableCommit.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), r, retain = 8)
+    // (1) racing append → conflict: the merge's key-match read the
+    // whole table and cannot prove the new rows miss its keys
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitAppend(Seq((9L, "n")).toDF("k", "v"), r,
+        retain = 8)
+      ()
+    }
+    try {
+      val e = intercept[TableCommit.DmlConflictException] {
+        TableCommit.commitMergeRows(spark, r, schema,
+          Seq((2L, "B"), (5L, "E")).toDF("k", "v"), Seq("k"),
+          retain = 8, conflictRetries = 4)
+      }
+      assert(e.getMessage.contains("added file"))
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getString(1))).toSet
+      === Set(1L -> "a", 2L -> "b", 9L -> "n"),
+      "the conflicted merge must have applied nothing")
+    // (2) racing DISJOINT delete (no added files) → the merge rebases
+    TableCommit.commitAppend(
+      Seq((201L, "p"), (202L, "q")).toDF("k", "v"), r, retain = 8)
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitDeleteRows(spark, r, schema, col("k") === 201L,
+        retain = 8)
+      ()
+    }
+    try {
+      TableCommit.commitMergeRows(spark, r, schema,
+        Seq((2L, "B"), (5L, "E")).toDF("k", "v"), Seq("k"),
+        retain = 8, conflictRetries = 4)
+      ()
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getString(1))).toSet
+      === Set(1L -> "a", 2L -> "B", 5L -> "E", 9L -> "n", 202L -> "q"),
+      "the rebased merge must upsert AND keep the racing delete")
+  }
+
+  test("replacePartitions: disjoint racing slices rebase, a write into a replaced slice conflicts (X274)") {
+    val r = root()
+    val pSchema = StructType(Seq(StructField("day", StringType),
+      StructField("n", LongType)))
+    TableCommit.commitReplacePartitions(
+      Seq(("d1", 1L), ("d2", 2L)).toDF("day", "n"), r, "day", retain = 8)
+    // (1) racing replace of the OTHER slice → rebase, both land
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitReplacePartitions(
+        Seq(("d2", 20L)).toDF("day", "n"), r, "day", retain = 8)
+      ()
+    }
+    try {
+      TableCommit.commitReplacePartitions(
+        Seq(("d1", 10L)).toDF("day", "n"), r, "day", retain = 8,
+        conflictRetries = 4)
+      ()
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(TableCommit.read(spark, r, pSchema)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      === Map("d1" -> 10L, "d2" -> 20L))
+    // (2) racing append INTO the replaced slice → conflict (the
+    // replace would silently erase it)
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitAppend(Seq(("d1", 11L)).toDF("day", "n"), r,
+        retain = 8, partCol = Some("day"))
+      ()
+    }
+    try {
+      val e = intercept[TableCommit.DmlConflictException] {
+        TableCommit.commitReplacePartitions(
+          Seq(("d1", 12L)).toDF("day", "n"), r, "day", retain = 8,
+          conflictRetries = 4)
+      }
+      assert(e.getMessage.contains("replaced slice"))
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(TableCommit.read(spark, r, pSchema)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toSet
+      === Set("d1" -> 10L, "d1" -> 11L, "d2" -> 20L),
+      "the conflicted replace must have applied nothing")
+  }
+
   test("a failed clone publish rolls back the registrations it created (ADVICE r11)") {
     val src = root(); val dst = root() + "/clone"
     TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
