@@ -47,10 +47,12 @@ import graft.engine.TableCommit
   * horizon at prepare time and drains to it.
   *
   * Executor-side parquet reading uses parquet-hadoop's public Group
-  * API — the read-side mirror of [[GraftDataWriter]]'s writer leg,
-  * same primitive-type coverage (long/int/double/string), no private
-  * Spark machinery. Planning is manifest-only on the driver; row
-  * bytes never visit it.
+  * API — the read-side mirror of [[GraftDataWriter]]'s writer leg, no
+  * private Spark machinery — covering the Spark-written table types
+  * long/int/short/byte/double/float/string/boolean/binary/date/
+  * timestamp (INT96 and annotated INT64 alike); decimals and nested
+  * types fail LOUDLY at the first row rather than decode wrong.
+  * Planning is manifest-only on the driver; row bytes never visit it.
   *
   * Scale: a batch plans one InputPartition per appended FILE, so read
   * parallelism tracks the change size, and a 100k-file table's feed
@@ -302,8 +304,48 @@ private class GraftCdfFileReader(p: CdfFilePartition)
           case DoubleType  => current.getDouble(f.name, 0)
           case StringType  => UTF8String.fromString(
             current.getBinary(f.name, 0).toStringUsingUTF8)
+          case BooleanType => current.getBoolean(f.name, 0)
+          case FloatType   => current.getFloat(f.name, 0)
+          case ShortType   => current.getInteger(f.name, 0).toShort
+          case ByteType    => current.getInteger(f.name, 0).toByte
+          case BinaryType  => current.getBinary(f.name, 0).getBytes
+          case DateType    => current.getInteger(f.name, 0) // days
+          case TimestampType =>
+            // InternalRow wants epoch MICROS; the file carries either
+            // Spark's default INT96 (julian day + nanos-of-day, both
+            // little-endian) or INT64 with a millis/micros/nanos
+            // timestamp annotation
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            val pt = current.getType.getType(f.name).asPrimitiveType()
+            pt.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT96 =>
+                val buf = java.nio.ByteBuffer
+                  .wrap(current.getInt96(f.name, 0).getBytes)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                val nanosOfDay = buf.getLong
+                val julianDay = buf.getInt
+                (julianDay - 2440588).toLong * 86400000000L +
+                  nanosOfDay / 1000L
+              case PrimitiveTypeName.INT64 =>
+                val v = current.getLong(f.name, 0)
+                pt.getLogicalTypeAnnotation match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+                      case LogicalTypeAnnotation.TimeUnit.NANOS  => v / 1000L
+                      case _                                     => v
+                    }
+                  case _ => v // unannotated: assume micros
+                }
+              case other => throw new IllegalArgumentException(
+                s"graft-cdf: timestamp column ${f.name} has physical " +
+                  s"type $other (expected INT96 or INT64)")
+            }
           case other => throw new IllegalArgumentException(
-            s"graft-cdf: unsupported type $other for column ${f.name}")
+            s"graft-cdf: unsupported type $other for column ${f.name} " +
+              "(supported: long/int/short/byte/double/float/string/" +
+              "boolean/binary/date/timestamp)")
         }
       i += 1
     }

@@ -201,4 +201,40 @@ class CdfStreamSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("_change_type"))
   }
+
+  test("executor reader round-trips the full Spark-written type surface (VERDICT r11 #6)") {
+    val r = root()
+    val df = spark.range(0L, 7L).select(
+      col("id").as("k"),
+      (col("id") % 2 === 0).as("flag"),
+      col("id").cast("int").as("i32"),
+      col("id").cast("short").as("i16"),
+      col("id").cast("byte").as("i8"),
+      (col("id") * 1.5).cast("float").as("f32"),
+      (col("id") * 2.5).as("f64"),
+      concat(lit("s"), col("id")).as("s"),
+      encode(concat(lit("b"), col("id")), "UTF-8").as("bin"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        col("id").cast("int")).as("d"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+      when(col("id") === 3L, lit(null)).otherwise(col("id")).as("nullable")
+    ).coalesce(1)
+    TableCommit.commitAppend(df, r, retain = 4)
+    val schema = StructType(df.schema.fields :+
+      StructField("_commit_version", LongType))
+    val got = drain(r, schema, Map.empty)
+      .map(x => x.toSeq.init.map {
+        case b: Array[Byte] => new String(b, "UTF-8")
+        case o => o
+      })
+      .sortBy(_.head.asInstanceOf[Long])
+    val want = df.collect().toIndexedSeq
+      .map(x => x.toSeq.map {
+        case b: Array[Byte] => new String(b, "UTF-8")
+        case o => o
+      })
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(got === want,
+      "streamed rows must equal the Spark batch read, type for type")
+  }
 }
