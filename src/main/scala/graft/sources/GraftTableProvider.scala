@@ -72,22 +72,27 @@ private class GraftWriteTable(schema0: StructType,
       override def build(): Write = {
         val retain = Option(properties.get("retain")).map(_.toInt).getOrElse(1)
         val failAt = Option(properties.get("failatpartition")).map(_.toInt)
-        new GraftWrite(root, info.schema(), replaceAll, retain, failAt)
+        val retries = Option(properties.get("conflictretries"))
+          .map(_.toInt).getOrElse(0)
+        new GraftWrite(root, info.schema(), replaceAll, retain, failAt,
+          retries)
       }
     }
 }
 
 private class GraftWrite(root: String, schema: StructType,
-    replaceAll: Boolean, retain: Int, failAt: Option[Int]) extends Write {
+    replaceAll: Boolean, retain: Int, failAt: Option[Int],
+    conflictRetries: Int) extends Write {
   override def toBatch: BatchWrite = new GraftBatchWrite(
-    root, schema, replaceAll, retain, failAt)
+    root, schema, replaceAll, retain, failAt, conflictRetries)
 }
 
 private final case class GraftCommitMessage(relPath: String, rows: Long)
     extends WriterCommitMessage
 
 private class GraftBatchWrite(root: String, schema: StructType,
-    replaceAll: Boolean, retain: Int, failAt: Option[Int])
+    replaceAll: Boolean, retain: Int, failAt: Option[Int],
+    conflictRetries: Int)
     extends BatchWrite {
   // transaction start: the snapshot this write expects to extend —
   // read ONCE on the driver, enforced again inside publish()
@@ -104,11 +109,32 @@ private class GraftBatchWrite(root: String, schema: StructType,
       case GraftCommitMessage(p, n) => TableCommit.Entry(p, None,
         rows = Some(n))
     }.toSeq.sortBy(_.path)
-    val prior =
-      if (replaceAll || base == 0L) Seq.empty
-      else TableCommit.entriesAtVersion(root, base)
-    TableCommit.publish(root, prior ++ entries, retain,
-      expected = Some(base))
+    // X273 extended to the connector: an APPEND-mode DSv2 write is a
+    // blind append — on a commit race (option("conflictretries", n))
+    // the already-written task files republish against the new head,
+    // manifest-sized work. mode("overwrite") stays strict: "the table
+    // becomes exactly this batch" read the old state by definition, a
+    // racing commit is a real conflict.
+    var expected = base
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val prior =
+        if (replaceAll || expected == 0L) Seq.empty
+        else TableCommit.entriesAtVersion(root, expected)
+      try {
+        TableCommit.publish(root, prior ++ entries, retain,
+          expected = Some(expected))
+        done = true
+      } catch {
+        case e: TableCommit.ConcurrentCommitException =>
+          attempt += 1
+          if (replaceAll || attempt > conflictRetries) throw e
+          expected = TableCommit.currentVersion(root).getOrElse(0L)
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(2L, 20L) * attempt)
+      }
+    }
   }
 
   /** Job-level abort sweeps the ENTIRE attempt-unique batch directory

@@ -89,4 +89,41 @@ class TableWriteSpec extends AnyFunSuite {
         Option(row.getString(1)))).toSet
     assert(got === Set((1L, Some("a")), (2L, None), (3L, Some("c"))))
   }
+
+  test("append-mode write with conflictretries rebases over a racing commit; overwrite stays strict (X273)") {
+    val r = root()
+    write(Seq((1L, "a")).toDF("k", "v"), r, "append")
+    // the racing append lands inside the DSv2 commit's publish window
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitAppend(Seq((50L, "z")).toDF("k", "v"), r,
+        retain = 8)
+      ()
+    }
+    try write(Seq((2L, "b")).toDF("k", "v"), r, "append",
+      Map("conflictretries" -> "4", "retain" -> "8"))
+    finally TableCommit.publishRaceHook = () => ()
+    assert(TableCommit.read(spark, r, schema)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 50L),
+      "the rebased write must keep BOTH the racing and its own rows")
+    assert(TableCommit.currentVersion(r) === Some(3L))
+    // overwrite NEVER rebases — "become exactly this batch" read the
+    // old state by definition
+    TableCommit.publishRaceHook = () => {
+      TableCommit.publishRaceHook = () => ()
+      TableCommit.commitAppend(Seq((60L, "w")).toDF("k", "v"), r,
+        retain = 8)
+      ()
+    }
+    try {
+      val e = intercept[Exception] {
+        write(Seq((9L, "o")).toDF("k", "v"), r, "overwrite",
+          Map("conflictretries" -> "4", "retain" -> "8"))
+      }
+      def hasConflict(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[TableCommit.ConcurrentCommitException]
+          || hasConflict(t.getCause))
+      assert(hasConflict(e), s"expected a commit conflict, got $e")
+    } finally TableCommit.publishRaceHook = () => ()
+  }
 }
