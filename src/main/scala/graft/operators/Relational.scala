@@ -2038,7 +2038,8 @@ object Relational {
     * Scale: planning is manifest-only on the driver; each batch plans
     * one partition per APPENDED file — feed cost tracks the change,
     * never the table. */
-  def streamCdfQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamCdfQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.Conf.withShufflePartitions(spark, 4) {
     import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
     import graft.engine.TableCommit
     val work = graft.engine.TempWarehouse.createManaged("graft_scdf_")
@@ -2054,20 +2055,24 @@ object Relational {
       StructField("_commit_version", LongType)))
     val sinkName = "graft_stream_cdf_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // the rollup runs INSIDE the stream (complete mode over a
+    // version-cardinality group-by), so the memory sink holds
+    // #versions rows — change rows aggregate distributed, partial-agg
+    // first, and never materialize on the driver
     val query = spark.readStream.format("graft-cdf")
       .schema(fullSchema)
       .option("root", root)
       .option("maxversionspertrigger", "1")
       .load()
-      .writeStream.outputMode("append").format("memory")
+      .groupBy(col("_commit_version").as("commit_version"))
+      .agg(Num.countStar.as("n_rows"), sum(col("cents")).as("cents_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .writeStream.outputMode("complete").format("memory")
       .queryName(sinkName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     query.awaitTermination()
     val rollup = spark.table(sinkName)
-      .groupBy(col("_commit_version").as("commit_version"))
-      .agg(Num.countStar.as("n_rows"), sum(col("cents")).as("cents_sum"),
-        sum(col("o_orderkey")).as("key_sum"))
     // memory-sink detach discipline (ADVICE r9): collect the
     // version-cardinality rollup, drop the UUID-named sink view, return
     // a LocalRelation with the order re-asserted
@@ -2112,7 +2117,8 @@ object Relational {
     * Scale: planning stays manifest-only and change-proportional; the
     * DV-delta leg's read is positions-sized (a broadcast-free
     * per-file position scan on the executor). */
-  def streamCdfFullQ(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamCdfFullQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.Conf.withShufflePartitions(spark, 4) {
     import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
     import graft.engine.TableCommit
     val work = graft.engine.TempWarehouse.createManaged("graft_scdff_")
@@ -2134,22 +2140,27 @@ object Relational {
       StructField("_change_type", StringType)))
     val sinkName = "graft_stream_cdff_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // rollup INSIDE the stream (complete mode, version x change-type
+    // cardinality): a rewrite version re-emits every row as
+    // delete+insert records, and aggregating them distributed keeps
+    // the sink metadata-sized instead of materializing the whole
+    // table's change rows on the driver
     val query = spark.readStream.format("graft-cdf")
       .schema(fullSchema)
       .option("root", root)
       .option("mode", "full")
       .option("maxversionspertrigger", "1")
       .load()
-      .writeStream.outputMode("append").format("memory")
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(Num.countStar.as("n_rows"), sum(col("cents")).as("cents_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .writeStream.outputMode("complete").format("memory")
       .queryName(sinkName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     query.awaitTermination()
     val rollup = spark.table(sinkName)
-      .groupBy(col("_commit_version").as("commit_version"),
-        col("_change_type").as("change_type"))
-      .agg(Num.countStar.as("n_rows"), sum(col("cents")).as("cents_sum"),
-        sum(col("o_orderkey")).as("key_sum"))
     // memory-sink detach discipline (ADVICE r9): collect the rollup
     // (rows = #versions × change types), drop the sink view, return a
     // LocalRelation with the order re-asserted
