@@ -121,9 +121,15 @@ object TableCommit {
     * manifest ranges). Stats are strictly OPTIONAL per (file, column):
     * pruning treats a missing stat as "might match" — lossless by
     * construction. */
+  /** `baseRowId` (X275 row lineage): the first STABLE row id in this
+    * file — row k's id is `baseRowId + k` (its birth position). Absent
+    * on untracked files and on rewritten files that carry ids
+    * MATERIALIZED in a `_row_id` column instead (marked by the
+    * `rid:` stats key). */
   final case class Entry(path: String, part: Option[String],
       stats: Map[String, ColStats] = Map.empty,
-      rows: Option[Long] = None)
+      rows: Option[Long] = None,
+      baseRowId: Option[Long] = None)
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
 
@@ -226,6 +232,9 @@ object TableCommit {
     val rows =
       if (p.lit(""", "rows":""")) Some(p.long().getOrElse(return None))
       else None
+    val brid =
+      if (p.lit(""", "brid":""")) Some(p.long().getOrElse(return None))
+      else None
     var stats = Map.empty[String, ColStats]
     if (p.lit(", \"stats\": {")) {
       var first = true
@@ -246,7 +255,7 @@ object TableCommit {
       }
     }
     if (!p.lit("}") || !p.atEnd) return None
-    Some(Entry(path, part, stats, rows))
+    Some(Entry(path, part, stats, rows, brid))
   }
 
   /** Terminator line: `{"n": <entryCount>}` — the manifest's integrity
@@ -401,7 +410,8 @@ object TableCommit {
     * the directory layout still names each slice. */
   private[graft] def stageBatch(df: DataFrame, root: String,
       partCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Seq[Entry] = {
+      statsCols: Seq[String] = Nil,
+      collectRows: Boolean = false): Seq[Entry] = {
     // the stats channel is SHARED with engine metadata (`bloom:<col>`
     // X254, the `dv:` deletion vector X265) — colon-namespaced keys no
     // user column may claim, or a reader would decode its min/max as
@@ -429,8 +439,10 @@ object TableCommit {
         // pruning predicate see the same encoding, so matching is exact.
         val part = rel.split('/').find(_.startsWith("_p=")).map(_.drop(3))
         val (stats, rows) =
-          if (statsCols.isEmpty) (Map.empty[String, ColStats], None)
-          else footerStats(conf, p, statsCols)
+          if (statsCols.nonEmpty) footerStats(conf, p, statsCols)
+          else if (collectRows)
+            (Map.empty[String, ColStats], footerRowCount(conf, p))
+          else (Map.empty[String, ColStats], None)
         Entry(s"$batch/$rel", part, stats, rows)
       }.toSeq.sortBy(_.path)
   }
@@ -449,6 +461,21 @@ object TableCommit {
     * FLOAT/DOUBLE → `Double.toString`. INT64 timestamps are surfaced as
     * raw micros/nanos decimal text — the epoch-scale compare callers do
     * is numeric either way. */
+  /** Exact row count from the parquet footer alone (one metadata open,
+    * no data pages) — what row-id assignment (X275) needs when the
+    * caller asked for no column stats. */
+  private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
+      file: Path): Option[Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    try {
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
+      try Some(rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally rd.close()
+    } catch { case _: Throwable => None }
+  }
+
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
       file: Path, statsCols: Seq[String]): (Map[String, ColStats], Option[Long]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -650,10 +677,12 @@ object TableCommit {
       }.mkString(""", "stats": {""", ", ", "}")
     def rowsJs(r: Option[Long]): String =
       r.map(n => s""", "rows": $n""").getOrElse("")
+    def bridJs(r: Option[Long]): String =
+      r.map(n => s""", "brid": $n""").getOrElse("")
     val header = deltaBase.map(b => s"""{"base": $b}""").toSeq ++
       txnId.map(t => s"""{"txn": $t}""").toSeq
     val body = (header ++ newEntries.map(e =>
-      s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}${rowsJs(e.rows)}${statsJs(e.stats)}}""")
+      s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}${rowsJs(e.rows)}${bridJs(e.baseRowId)}${statsJs(e.stats)}}""")
       :+ s"""{"n": ${newEntries.size}}""") // integrity terminator
       .mkString("", "\n", "\n")
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1236,7 +1265,8 @@ object TableCommit {
     * returned. */
   private def publishStagedAppend(root: String, staged: Seq[Entry],
       retain: Int, checkpointEvery: Int, txnId: Option[Long],
-      conflictRetries: Int, alreadyApplied: () => Boolean): Option[Long] = {
+      conflictRetries: Int, alreadyApplied: () => Boolean,
+      trackRowIds: Boolean = false): Option[Long] = {
     var attempt = 0
     while (true) {
       // ORDER IS LOAD-BEARING: read the base BEFORE the applied check.
@@ -1248,17 +1278,30 @@ object TableCommit {
       // the other way around there is a double-apply window.
       val base = currentVersion(root).getOrElse(0L)
       if (alreadyApplied()) { dropStagedBatch(root, staged); return None }
+      // X275: stable-row-id assignment derives from the SAME base
+      // snapshot the CAS publishes against, so a lost race re-derives
+      // and overlapping id ranges are impossible
+      val eff =
+        if (!trackRowIds) staged
+        else {
+          var acc =
+            if (base == 0L) 0L else rowIdHighWaterOf(entriesAt(root, base))
+          staged.map { e =>
+            val b = acc; acc += e.rows.getOrElse(0L)
+            e.copy(baseRowId = Some(b))
+          }
+        }
       try {
         return Some(
           if (base == 0L)
-            publish(root, staged, retain, expected = Some(base),
+            publish(root, eff, retain, expected = Some(base),
               txnId = txnId)
           else if (chainOf(root, base).size + 1 >= checkpointEvery)
             // checkpoint: fold the chain into one self-contained manifest
-            publish(root, entriesAt(root, base) ++ staged, retain,
+            publish(root, entriesAt(root, base) ++ eff, retain,
               expected = Some(base), txnId = txnId)
           else
-            publish(root, staged, retain, expected = Some(base),
+            publish(root, eff, retain, expected = Some(base),
               deltaBase = Some(base), txnId = txnId))
       } catch {
         case e: ConcurrentCommitException =>
@@ -1397,6 +1440,102 @@ object TableCommit {
     publishStagedAppend(root, staged, retain, checkpointEvery,
       Some(txnId), conflictRetries, alreadyApplied = () => applied)
       .getOrElse(currentVersion(root).getOrElse(0L))
+  }
+
+  // ------------------------------------------------------------------
+  // Row lineage (X275)
+  // ------------------------------------------------------------------
+
+  /** Stats key marking a rewritten file whose stable row ids are
+    * MATERIALIZED in its `_row_id` column; carries the file's min/max
+    * id, so the id high-water survives any number of rewrites and a
+    * reader can prune rewritten files by id range. */
+  val RidKey = "rid:"
+
+  /** The stable-row-id column [[readWithRowIds]] exposes and rewritten
+    * files carry. */
+  val RowIdCol = "_row_id"
+
+  private def rowIdHighWaterOf(es: Seq[Entry]): Long =
+    es.flatMap { e =>
+      e.baseRowId.map(b => b + e.rows.getOrElse(0L)) ++
+        e.stats.get(RidKey).map(_.max.toLong + 1L)
+    }.foldLeft(0L)(math.max)
+
+  /** Next unassigned stable row id at the current version. */
+  def rowIdHighWater(root: String): Long = rowIdHighWaterOf(entries(root))
+
+  /** TRACKED append (X275, the Delta row-tracking / Iceberg row-lineage
+    * idea): every row is born with a STABLE id — the table's id
+    * high-water plus the row's position in its file — recorded as one
+    * `brid` long per file in the manifest (metadata-sized; the files
+    * themselves are untouched). Ids survive row-level DELETE (positions
+    * don't move), and [[commitCompact]]`(preserveRowIds = true)`
+    * rewrites carry them forward materialized, so downstream feature
+    * pipelines can join on row identity across arbitrary OPTIMIZE
+    * passes. Assignment happens against the publish base INSIDE the
+    * CAS retry loop, so racing tracked appends (`conflictRetries`) can
+    * never mint overlapping id ranges. */
+  def commitAppendTracked(df: DataFrame, root: String, retain: Int = 1,
+      statsCols: Seq[String] = Nil, checkpointEvery: Int = 16,
+      conflictRetries: Int = 0): Long = {
+    val staged = stageBatch(df, root, None, statsCols, collectRows = true)
+    require(staged.forall(_.rows.isDefined),
+      "row-id tracking needs per-file row counts (unreadable footer?)")
+    publishStagedAppend(root, staged, retain, checkpointEvery, None,
+      conflictRetries, alreadyApplied = () => false, trackRowIds = true)
+      .getOrElse(throw new IllegalStateException(
+        "append retry loop returned without publishing"))
+  }
+
+  /** Current LIVE rows with their stable `_row_id` — computed as
+    * `brid + row_index` for files still in their birth position,
+    * read from the materialized column for rewritten ones; deletion
+    * vectors anti-apply either way. Loud on any file without lineage:
+    * a tracked table must only be written through
+    * [[commitAppendTracked]] and id-preserving rewrites. */
+  def readWithRowIds(spark: SparkSession, root: String,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import org.apache.spark.sql.types.{LongType, StructField}
+    import spark.implicits._
+    val es = entries(root)
+    require(es.nonEmpty, s"no committed version at $root")
+    requireUniqueLeaves(root, es)
+    val (mat, born) = es.partition(_.stats.contains(RidKey))
+    val untracked = born.filterNot(_.baseRowId.isDefined)
+    require(untracked.isEmpty,
+      s"file(s) without row lineage at $root: " +
+        s"${untracked.map(_.path).take(3)} — a tracked table must only " +
+        "be written through commitAppendTracked / preserveRowIds rewrites")
+    val outCols = (schema.fieldNames.toSeq :+ RowIdCol).map(col)
+    val bornDf =
+      if (born.isEmpty) None
+      else {
+        val brid = born.map(e => (pathLeaf(e.path), e.baseRowId.get))
+          .toDF("_g_leaf", "_g_brid")
+        Some(liveWithPos(spark, root, schema, born)
+          .join(broadcast(brid), Seq("_g_leaf"))
+          .withColumn(RowIdCol, col("_g_brid") + col("_g_pos"))
+          .select(outCols: _*))
+      }
+    val matDf =
+      if (mat.isEmpty) None
+      else {
+        val widened = StructType(schema.fields :+
+          StructField(RowIdCol, LongType))
+        Some(liveWithPos(spark, root, widened, mat).select(outCols: _*))
+      }
+    (bornDf, matDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case _ => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(RowIdCol,
+            org.apache.spark.sql.types.LongType)))
+    }
   }
 
   /** D1 partition-slice replace: slices present in `df` swap wholesale,
@@ -2309,20 +2448,43 @@ object TableCommit {
     * Returns the new version. */
   def commitCompact(spark: SparkSession, root: String, targetFiles: Int,
       sortCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      retain: Int = 1): Long = {
+      retain: Int = 1, preserveRowIds: Boolean = false): Long = {
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to compact at $root")
     // LIVE rows only: compaction is also what melts deletion vectors
     // (X265) away — the rewritten files carry no DVs and the dead rows
     // are physically gone.
-    val cur = readLive(spark, root, None, es)
-    val arranged = sortCol match {
-      case Some(c) => cur.repartitionByRange(targetFiles, col(c))
-      case None    => cur.coalesce(targetFiles)
+    if (!preserveRowIds) {
+      val cur = readLive(spark, root, None, es)
+      val arranged = sortCol match {
+        case Some(c) => cur.repartitionByRange(targetFiles, col(c))
+        case None    => cur.coalesce(targetFiles)
+      }
+      publish(root, stageBatch(arranged, root, None, statsCols), retain,
+        expected = Some(base))
+    } else {
+      // X275: an id-preserving rewrite — read live rows WITH their
+      // stable ids, write them back with `_row_id` materialized, and
+      // mark each output file's id min/max under the `rid:` stats key
+      // (which is also what keeps the id high-water durable)
+      val inferred = spark.read
+        .parquet(es.map(e => resolvePath(root, e.path)): _*).schema
+      val dataSchema = StructType(
+        inferred.fields.filterNot(_.name == RowIdCol))
+      val cur = readWithRowIds(spark, root, dataSchema)
+      val arranged = sortCol match {
+        case Some(c) => cur.repartitionByRange(targetFiles, col(c))
+        case None    => cur.coalesce(targetFiles)
+      }
+      val staged = stageBatch(arranged, root, None, statsCols :+ RowIdCol)
+      val marked = staged.map { e =>
+        val rid = e.stats.getOrElse(RowIdCol, throw new IllegalStateException(
+          s"parquet footer carried no $RowIdCol stats for ${e.path}"))
+        e.copy(stats = e.stats - RowIdCol + (RidKey -> rid))
+      }
+      publish(root, marked, retain, expected = Some(base))
     }
-    publish(root, stageBatch(arranged, root, None, statsCols), retain,
-      expected = Some(base))
   }
 
   /** Run `txn` (a full read-stage-publish transaction body) and, when it

@@ -2512,6 +2512,70 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** `q_row_lineage` (X275): STABLE ROW IDS — every tracked row is
+    * born with an id (table high-water + file position, one `brid`
+    * long per file in the manifest, zero data rewritten), keeps it
+    * through a row-level DELETE (positions don't move), and carries it
+    * through an id-preserving OPTIMIZE (the rewrite materializes
+    * `_row_id`; the `rid:` stats key keeps the high-water durable).
+    * The gate's `mix_sum` column multiplies each row's id by a fold of
+    * its event_id, so a single transposed id anywhere — a rewrite that
+    * shuffled the mapping, a reused id after compaction — breaks the
+    * hash, not just the id SET. `high_water` pins no-reuse. This is
+    * what lets an incremental feature pipeline join on row identity
+    * across arbitrary compactions at 100 TB (the Delta row-tracking /
+    * Iceberg v3 row-lineage capability). */
+  def rowLineageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_rlq_") +
+      "/events"
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    // one sorted single-file batch per slice → deterministic birth ids
+    (0 to 2).foreach { g =>
+      TableCommit.commitAppendTracked(
+        src.filter(pmod(col("event_id"), lit(3L)) === g.toLong)
+          .repartition(1).sortWithinPartitions("event_id"),
+        root, retain = 8)
+    }
+    TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("event_id"), lit(7L)) === 0L, retain = 8)
+    TableCommit.commitCompact(spark, root, targetFiles = 4,
+      sortCol = Some("event_id"), retain = 8, preserveRowIds = true)
+    val hw = TableCommit.rowIdHighWater(root)
+    TableCommit.readWithRowIds(spark, root, schema)
+      .groupBy(col("event_type"))
+      .agg(Num.countStar.as("n_rows"),
+        sum(col(TableCommit.RowIdCol)).as("id_sum"),
+        sum(pmod(col("event_id"), lit(997L)) * col(TableCommit.RowIdCol))
+          .as("mix_sum"))
+      .withColumn("high_water", lit(hw))
+      .orderBy(col("event_type"))
+  }
+
+  val rowLineageOracle: String =
+    """WITH src AS (
+      |  SELECT event_id, user_id, event_type, event_id % 3 AS grp
+      |  FROM events),
+      |counts AS (SELECT grp, COUNT(*) AS n FROM src GROUP BY grp),
+      |offs AS (SELECT grp, COALESCE(SUM(n) OVER (ORDER BY grp
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM counts),
+      |ids AS (SELECT s.event_id, s.event_type,
+      |  o.off + ROW_NUMBER() OVER (PARTITION BY s.grp
+      |    ORDER BY s.event_id) - 1 AS row_id
+      |  FROM src s JOIN offs o USING (grp)),
+      |live AS (SELECT * FROM ids WHERE event_id % 7 <> 0)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(row_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM((event_id % 997) * row_id) AS BIGINT) AS mix_sum,
+      |  CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS high_water
+      |FROM live GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val concurrentDmlOracle: String =
     """WITH after AS (
       |  SELECT CASE WHEN event_id % 6 = 4 THEN 'updated'

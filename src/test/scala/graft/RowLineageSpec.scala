@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TableCommit
+
+/** X275 stable row lineage: every tracked row's id is assigned at birth
+  * (one `brid` long per file in the manifest), survives row-level
+  * deletes untouched, rides id-preserving rewrites materialized, and
+  * can never be minted twice — including under racing writers. */
+class RowLineageSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def root(): String =
+    Files.createTempDirectory("graft_rl_spec_").toString + "/t"
+
+  private def one(rows: Seq[(Long, String)]) =
+    rows.toDF("k", "v").repartition(1).sortWithinPartitions("k")
+
+  private def idsOf(r: String): Map[Long, Long] =
+    TableCommit.readWithRowIds(spark, r, schema)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+
+  test("ids are birth positions, survive delete + id-preserving compaction, and the high-water never rewinds") {
+    val r = root()
+    TableCommit.commitAppendTracked(
+      one(Seq((10L, "a"), (11L, "b"), (12L, "c"))), r, retain = 8)
+    TableCommit.commitAppendTracked(
+      one(Seq((20L, "d"), (21L, "e"))), r, retain = 8)
+    assert(TableCommit.rowIdHighWater(r) === 5L)
+    val born = idsOf(r)
+    assert(born === Map(10L -> 0L, 11L -> 1L, 12L -> 2L,
+      20L -> 3L, 21L -> 4L))
+    // row-level delete: survivors keep their ids (positions don't move)
+    TableCommit.commitDeleteRows(spark, r, schema, col("k") === 11L,
+      retain = 8)
+    assert(idsOf(r) === born - 11L)
+    // id-preserving OPTIMIZE: mapping identical, DVs melted, ids now
+    // materialized (no brid left, rid: stats present)
+    TableCommit.commitCompact(spark, r, targetFiles = 1,
+      sortCol = Some("k"), retain = 8, preserveRowIds = true)
+    assert(idsOf(r) === born - 11L)
+    val es = TableCommit.entries(r)
+    assert(es.forall(e => e.stats.contains(TableCommit.RidKey)
+      && e.baseRowId.isEmpty))
+    // the high-water survives the rewrite: new rows NEVER reuse id 1
+    assert(TableCommit.rowIdHighWater(r) === 5L)
+    TableCommit.commitAppendTracked(one(Seq((30L, "f"))), r, retain = 8)
+    assert(idsOf(r) === born - 11L + (30L -> 5L))
+    // a second compaction composes (mixed materialized + born input)
+    TableCommit.commitCompact(spark, r, targetFiles = 1,
+      sortCol = Some("k"), retain = 8, preserveRowIds = true)
+    assert(idsOf(r) === born - 11L + (30L -> 5L))
+  }
+
+  test("a tracked table refuses lineage reads over untracked files, loudly") {
+    val r = root()
+    TableCommit.commitAppendTracked(one(Seq((1L, "a"))), r, retain = 8)
+    TableCommit.commitAppend(one(Seq((2L, "b"))), r, retain = 8)
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.readWithRowIds(spark, r, schema).collect()
+    }
+    assert(e.getMessage.contains("without row lineage"))
+  }
+
+  test("racing tracked appends never mint overlapping id ranges (X273 CAS carries the assignment)") {
+    val r = root()
+    val n = 3
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val first = ThreadLocal.withInitial[java.lang.Boolean](() => true)
+    TableCommit.publishRaceHook = () => {
+      if (Thread.currentThread().getName.startsWith("graft-rl-") &&
+          first.get) {
+        first.set(false)
+        barrier.await(20, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      ()
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val ts = (0 until n).map { w =>
+        val t = new Thread(() => {
+          try {
+            TableCommit.commitAppendTracked(
+              one(Seq((w * 10L, s"w$w"), (w * 10L + 1L, s"w$w"))), r,
+              retain = 8, conflictRetries = n * 4)
+            ()
+          } catch { case e: Throwable => errs.add(e) }
+        })
+        t.setName(s"graft-rl-$w"); t
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    } finally TableCommit.publishRaceHook = () => ()
+    assert(errs.isEmpty, s"racing tracked append failed: ${errs.peek()}")
+    val ids = TableCommit.readWithRowIds(spark, r, schema)
+      .collect().map(_.getLong(2)).sorted.toSeq
+    assert(ids === (0L until 2L * n), s"ids must be exactly 0..${2 * n - 1}: $ids")
+    assert(TableCommit.rowIdHighWater(r) === 2L * n)
+  }
+}
