@@ -1496,11 +1496,29 @@ object TableCommit {
     * [[commitAppendTracked]] and id-preserving rewrites. */
   def readWithRowIds(spark: SparkSession, root: String,
       schema: StructType): DataFrame = {
+    val outCols = (schema.fieldNames.toSeq :+ RowIdCol).map(col)
+    liveWithIdsAndPos(spark, root, schema, entries(root))
+      .fold(emptyWithIds(spark, schema))(_.select(outCols: _*))
+  }
+
+  private def emptyWithIds(spark: SparkSession,
+      schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType)))
+
+  /** Live rows of a tracked table with stable `_row_id` AND the
+    * `_g_leaf`/`_g_pos` file coordinates — the shared scan behind
+    * [[readWithRowIds]] and id-preserving UPDATE (which must know both
+    * a victim's identity and where its old image sits). None for an
+    * empty entry list. */
+  private def liveWithIdsAndPos(spark: SparkSession, root: String,
+      schema: StructType, es: Seq[Entry]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.broadcast
     import org.apache.spark.sql.types.{LongType, StructField}
     import spark.implicits._
-    val es = entries(root)
-    require(es.nonEmpty, s"no committed version at $root")
+    if (es.isEmpty) return None
     requireUniqueLeaves(root, es)
     val (mat, born) = es.partition(_.stats.contains(RidKey))
     val untracked = born.filterNot(_.baseRowId.isDefined)
@@ -1508,7 +1526,8 @@ object TableCommit {
       s"file(s) without row lineage at $root: " +
         s"${untracked.map(_.path).take(3)} — a tracked table must only " +
         "be written through commitAppendTracked / preserveRowIds rewrites")
-    val outCols = (schema.fieldNames.toSeq :+ RowIdCol).map(col)
+    val cols = (schema.fieldNames.toSeq :+ RowIdCol
+      :+ "_g_leaf" :+ "_g_pos").map(col)
     val bornDf =
       if (born.isEmpty) None
       else {
@@ -1517,24 +1536,18 @@ object TableCommit {
         Some(liveWithPos(spark, root, schema, born)
           .join(broadcast(brid), Seq("_g_leaf"))
           .withColumn(RowIdCol, col("_g_brid") + col("_g_pos"))
-          .select(outCols: _*))
+          .select(cols: _*))
       }
     val matDf =
       if (mat.isEmpty) None
       else {
         val widened = StructType(schema.fields :+
           StructField(RowIdCol, LongType))
-        Some(liveWithPos(spark, root, widened, mat).select(outCols: _*))
+        Some(liveWithPos(spark, root, widened, mat).select(cols: _*))
       }
     (bornDf, matDf) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None)    => a
-      case (None, Some(b))    => b
-      case _ => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(schema.fields :+
-          org.apache.spark.sql.types.StructField(RowIdCol,
-            org.apache.spark.sql.types.LongType)))
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
     }
   }
 
@@ -2157,21 +2170,44 @@ object TableCommit {
       schema: StructType, predicate: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       retain: Int = 1, inlineDvMax: Int = DvInlineMax,
-      statsCols: Seq[String] = Nil, conflictRetries: Int = 0): Long = {
+      statsCols: Seq[String] = Nil, conflictRetries: Int = 0,
+      preserveRowIds: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to update at $root")
     requireUniqueLeaves(root, es)
-    val victims = liveWithPos(spark, root, schema, es).filter(predicate)
+    // X275: with preserveRowIds the victims are scanned WITH their
+    // stable ids, and the updated images keep them — a row's identity
+    // survives the update (Delta row-tracking semantics). The images
+    // land as materialized-id files (rid: stats), exactly like an
+    // id-preserving compaction's output.
+    val victims =
+      (if (preserveRowIds)
+         liveWithIdsAndPos(spark, root, schema, es)
+           .getOrElse(return base)
+       else liveWithPos(spark, root, schema, es))
+        .filter(predicate)
     val hits = victimPositions(victims)
     if (hits.isEmpty) return base
     // updated images: assignments applied, engine columns dropped,
     // column order re-pinned to the table schema
+    val imageCols =
+      (schema.fieldNames.toSeq ++ (if (preserveRowIds) Seq(RowIdCol)
+                                   else Nil)).map(col)
     val images = assignments.foldLeft(victims) {
       case (d, (c, e)) => d.withColumn(c, e)
-    }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val staged = stageBatch(images, root, None, statsCols)
+    }.select(imageCols: _*)
+    val staged0 = stageBatch(images, root, None,
+      if (preserveRowIds) statsCols :+ RowIdCol else statsCols)
+    val staged =
+      if (!preserveRowIds) staged0
+      else staged0.map { e =>
+        val rid = e.stats.getOrElse(RowIdCol,
+          throw new IllegalStateException(
+            s"parquet footer carried no $RowIdCol stats for ${e.path}"))
+        e.copy(stats = e.stats - RowIdCol + (RidKey -> rid))
+      }
     // X274: same rebase/conflict rule as DELETE — the staged updated
     // images carry over verbatim (appends never conflict)
     publishRebasing(root, base,

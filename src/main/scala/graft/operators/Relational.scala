@@ -2515,7 +2515,9 @@ object Relational {
   /** `q_row_lineage` (X275): STABLE ROW IDS — every tracked row is
     * born with an id (table high-water + file position, one `brid`
     * long per file in the manifest, zero data rewritten), keeps it
-    * through a row-level DELETE (positions don't move), and carries it
+    * through a row-level DELETE (positions don't move), keeps it
+    * through an id-preserving UPDATE (the new image carries the old
+    * identity), and carries it
     * through an id-preserving OPTIMIZE (the rewrite materializes
     * `_row_id`; the `rid:` stats key keeps the high-water durable).
     * The gate's `mix_sum` column multiplies each row's id by a fold of
@@ -2544,6 +2546,10 @@ object Relational {
     }
     TableCommit.commitDeleteRows(spark, root, schema,
       pmod(col("event_id"), lit(7L)) === 0L, retain = 8)
+    TableCommit.commitUpdateRows(spark, root, schema,
+      pmod(col("event_id"), lit(11L)) === 3L,
+      Seq("event_type" -> lit("relabeled")), retain = 8,
+      preserveRowIds = true)
     TableCommit.commitCompact(spark, root, targetFiles = 4,
       sortCol = Some("event_id"), retain = 8, preserveRowIds = true)
     val hw = TableCommit.rowIdHighWater(root)
@@ -2569,7 +2575,10 @@ object Relational {
       |  o.off + ROW_NUMBER() OVER (PARTITION BY s.grp
       |    ORDER BY s.event_id) - 1 AS row_id
       |  FROM src s JOIN offs o USING (grp)),
-      |live AS (SELECT * FROM ids WHERE event_id % 7 <> 0)
+      |live AS (SELECT event_id,
+      |  CASE WHEN event_id % 11 = 3 THEN 'relabeled'
+      |    ELSE event_type END AS event_type, row_id
+      |  FROM ids WHERE event_id % 7 <> 0)
       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(row_id) AS BIGINT) AS id_sum,
       |  CAST(SUM((event_id % 997) * row_id) AS BIGINT) AS mix_sum,

@@ -59,6 +59,26 @@ class RowLineageSpec extends AnyFunSuite {
     assert(idsOf(r) === born - 11L + (30L -> 5L))
   }
 
+  test("an id-preserving UPDATE keeps the row's identity through the rewrite") {
+    val r = root()
+    TableCommit.commitAppendTracked(
+      one(Seq((1L, "a"), (2L, "b"), (3L, "c"))), r, retain = 8)
+    val before = idsOf(r)
+    TableCommit.commitUpdateRows(spark, r, schema, col("k") === 2L,
+      Seq("v" -> lit("B")), retain = 8, preserveRowIds = true)
+    // same ids, updated value — the row SURVIVED the update as itself
+    assert(idsOf(r) === before)
+    val got = TableCommit.readWithRowIds(spark, r, schema)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .toSet
+    assert(got === Set((1L, "a", 0L), (2L, "B", 1L), (3L, "c", 2L)))
+    // and the identity still survives a subsequent compaction
+    TableCommit.commitCompact(spark, r, targetFiles = 1,
+      sortCol = Some("k"), retain = 8, preserveRowIds = true)
+    assert(idsOf(r) === before)
+    assert(TableCommit.rowIdHighWater(r) === 3L)
+  }
+
   test("a tracked table refuses lineage reads over untracked files, loudly") {
     val r = root()
     TableCommit.commitAppendTracked(one(Seq((1L, "a"))), r, retain = 8)
