@@ -1433,12 +1433,17 @@ object TableCommit {
     * table sees the batch exactly once either way. */
   def commitAppendTxn(df: DataFrame, root: String, txnId: Long,
       retain: Int = 1, statsCols: Seq[String] = Nil,
-      checkpointEvery: Int = 16, conflictRetries: Int = 0): Long = {
+      checkpointEvery: Int = 16, conflictRetries: Int = 0,
+      trackRowIds: Boolean = false): Long = {
     def applied = lastTxnId(root).exists(_ >= txnId)
     if (applied) return currentVersion(root).getOrElse(0L)
-    val staged = stageBatch(df, root, None, statsCols)
+    val staged = stageBatch(df, root, None, statsCols,
+      collectRows = trackRowIds)
+    if (trackRowIds) require(staged.forall(_.rows.isDefined),
+      "row-id tracking needs per-file row counts (unreadable footer?)")
     publishStagedAppend(root, staged, retain, checkpointEvery,
-      Some(txnId), conflictRetries, alreadyApplied = () => applied)
+      Some(txnId), conflictRetries, alreadyApplied = () => applied,
+      trackRowIds = trackRowIds)
       .getOrElse(currentVersion(root).getOrElse(0L))
   }
 

@@ -89,6 +89,20 @@ class RowLineageSpec extends AnyFunSuite {
     assert(e.getMessage.contains("without row lineage"))
   }
 
+  test("exactly-once + lineage compose: a replayed tracked batch mints no ids") {
+    val r = root()
+    TableCommit.commitAppendTxn(one(Seq((1L, "a"), (2L, "b"))), r,
+      txnId = 0L, retain = 8, trackRowIds = true)
+    TableCommit.commitAppendTxn(one(Seq((3L, "c"))), r,
+      txnId = 1L, retain = 8, trackRowIds = true)
+    assert(TableCommit.rowIdHighWater(r) === 3L)
+    // the crash-restart replay: a no-op that must not burn id space
+    TableCommit.commitAppendTxn(one(Seq((1L, "a"), (2L, "b"))), r,
+      txnId = 0L, retain = 8, trackRowIds = true)
+    assert(TableCommit.rowIdHighWater(r) === 3L)
+    assert(idsOf(r) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("racing tracked appends never mint overlapping id ranges (X273 CAS carries the assignment)") {
     val r = root()
     val n = 3
