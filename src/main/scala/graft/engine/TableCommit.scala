@@ -297,11 +297,71 @@ object TableCommit {
     if (!p.lit("}") || !p.atEnd) None else Some(t)
   }
 
+  /** Column mapping (X276, Delta column-mapping idea): logical names a
+    * reader uses → PHYSICAL names the parquet files carry. Only
+    * EXCEPTIONS are stored — an unmapped column is identity (physical =
+    * logical), fixed at its birth write. `dead` lists physical names of
+    * DROPPED columns, so re-adding a same-named column can never
+    * resurrect old data (the re-add gets a fresh physical name). The
+    * header self-propagates: every publish carries the current mapping
+    * forward into the new top manifest, so it survives retention. */
+  final case class ColMapping(renames: Map[String, String],
+      dead: Seq[String]) {
+    def physical(logical: String): String =
+      renames.getOrElse(logical, logical)
+  }
+
+  /** Header line: `{"cols": {"logical": "physical", …}, "dead": […]}`. */
+  private def parseColsHeader(line: String): Option[ColMapping] = {
+    val p = new LineParser(line)
+    if (!p.lit("{\"cols\": {")) return None
+    var m = Map.empty[String, String]
+    var first = true
+    var open = true
+    while (open) {
+      if (p.lit("}")) open = false
+      else {
+        if (!first && !p.lit(", ")) return None
+        first = false
+        val k = p.str().getOrElse(return None)
+        if (!p.lit(": ")) return None
+        val v = p.str().getOrElse(return None)
+        m += (k -> v)
+      }
+    }
+    if (!p.lit(""", "dead": [""")) return None
+    var dead = List.empty[String]
+    first = true
+    open = true
+    while (open) {
+      if (p.lit("]")) open = false
+      else {
+        if (!first && !p.lit(", ")) return None
+        first = false
+        dead ::= p.str().getOrElse(return None)
+      }
+    }
+    if (!p.lit("}") || !p.atEnd) None else Some(ColMapping(m, dead.reverse))
+  }
+
+  private def colsHeaderLine(c: ColMapping): String = {
+    def js(x: String) = "\"" + x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case ch => ch.toString
+    } + "\""
+    val ms = c.renames.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString(", ")
+    val ds = c.dead.map(js).mkString(", ")
+    s"""{"cols": {$ms}, "dead": [$ds]}"""
+  }
+
   /** One manifest FILE, unresolved: the base it extends (None = full),
-    * the txn id it carries (None = not a txn-stamped commit), and the
-    * entries it carries itself. */
+    * the txn id it carries (None = not a txn-stamped commit), the
+    * column mapping it carries (self-propagated), and the entries it
+    * carries itself. */
   private final case class RawManifest(base: Option[Long], own: Seq[Entry],
-      txn: Option[Long] = None)
+      txn: Option[Long] = None, cols: Option[ColMapping] = None)
 
   /** Strict single-file read: parse every line, demand the terminator
     * (which counts OWN entries only). Header order is fixed: optional
@@ -316,7 +376,9 @@ object TableCommit {
     val base = lines.headOption.flatMap(parseBaseHeader)
     val afterBase = if (base.isDefined) lines.tail else lines
     val txn = afterBase.headOption.flatMap(parseTxnHeader)
-    val body = if (txn.isDefined) afterBase.tail else afterBase
+    val afterTxn = if (txn.isDefined) afterBase.tail else afterBase
+    val cols = afterTxn.headOption.flatMap(parseColsHeader)
+    val body = if (cols.isDefined) afterTxn.tail else afterTxn
     if (body.isEmpty) torn("no terminator")
     val n = parseTerminator(body.last).getOrElse(torn("no terminator"))
     val es = body.init.map(l => parseEntryLine(l)
@@ -324,7 +386,7 @@ object TableCommit {
     if (es.size != n.toInt) torn(s"terminator says $n entries, read ${es.size}")
     base.foreach(b => if (b >= v || b < 1L)
       torn(s"delta base $b is not an earlier version"))
-    RawManifest(base, es, txn)
+    RawManifest(base, es, txn, cols)
   }
 
   /** Resolved file list of version `v`: walk the delta chain down to
@@ -635,7 +697,8 @@ object TableCommit {
   private[graft] def publish(root: String, newEntries: Seq[Entry],
       retain: Int = 1, expected: Option[Long] = None,
       deltaBase: Option[Long] = None,
-      txnId: Option[Long] = None): Long = {
+      txnId: Option[Long] = None,
+      colsOverride: Option[ColMapping] = None): Long = {
     val base = currentVersion(root).getOrElse(0L)
     expected.foreach { e =>
       if (base != e) throw new ConcurrentCommitException(
@@ -679,8 +742,15 @@ object TableCommit {
       r.map(n => s""", "rows": $n""").getOrElse("")
     def bridJs(r: Option[Long]): String =
       r.map(n => s""", "brid": $n""").getOrElse("")
+    // X276: the column mapping SELF-PROPAGATES — every publish carries
+    // the current mapping into the new top manifest (or replaces it,
+    // for the rename/drop/add metadata commits), so it survives any
+    // retention window without a side file.
+    val cols = colsOverride.orElse(
+      if (base == 0L) None else readRawChecked(root, base).cols)
     val header = deltaBase.map(b => s"""{"base": $b}""").toSeq ++
-      txnId.map(t => s"""{"txn": $t}""").toSeq
+      txnId.map(t => s"""{"txn": $t}""").toSeq ++
+      cols.map(colsHeaderLine).toSeq
     val body = (header ++ newEntries.map(e =>
       s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}${rowsJs(e.rows)}${bridJs(e.baseRowId)}${statsJs(e.stats)}}""")
       :+ s"""{"n": ${newEntries.size}}""") // integrity terminator
@@ -1554,6 +1624,102 @@ object TableCommit {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b)             => a.orElse(b)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Column mapping (X276)
+  // ------------------------------------------------------------------
+
+  /** The table's current column mapping, if any metadata commit ever
+    * created one. Read from the TOP manifest only — the header
+    * self-propagates through every publish. */
+  def colMapping(root: String): Option[ColMapping] =
+    currentVersion(root).flatMap(v => readRawChecked(root, v).cols)
+
+  private def colMappingOrEmpty(root: String): ColMapping =
+    colMapping(root).getOrElse(ColMapping(Map.empty, Seq.empty))
+
+  /** RENAME a column WITHOUT rewriting a byte of data (X276, the Delta
+    * column-mapping move): the files keep their physical column name
+    * forever; one metadata commit re-points the logical name. Reads go
+    * through [[readMapped]], writes through [[commitAppendMapped]]. */
+  def commitRenameColumn(root: String, from: String, to: String,
+      retain: Int = 1): Long = {
+    val base = currentVersion(root).getOrElse(0L)
+    require(base > 0L, s"no committed version at $root")
+    val cur = colMappingOrEmpty(root)
+    require(from != to, s"rename $from onto itself")
+    require(!cur.renames.contains(to),
+      s"logical column $to already exists in the mapping")
+    val next = ColMapping(
+      cur.renames - from + (to -> cur.physical(from)), cur.dead)
+    publish(root, entriesAt(root, base), retain, expected = Some(base),
+      colsOverride = Some(next))
+  }
+
+  /** DROP a column logically: data stays in the files (time travel to
+    * earlier versions still sees it through the old mapping), the
+    * physical name is tombstoned so a later re-add can NEVER resurrect
+    * the old values. */
+  def commitDropColumn(root: String, name: String,
+      retain: Int = 1): Long = {
+    val base = currentVersion(root).getOrElse(0L)
+    require(base > 0L, s"no committed version at $root")
+    val cur = colMappingOrEmpty(root)
+    val next = ColMapping(cur.renames - name,
+      cur.dead :+ cur.physical(name))
+    publish(root, entriesAt(root, base), retain, expected = Some(base),
+      colsOverride = Some(next))
+  }
+
+  /** ADD a column to a mapped table: if its identity physical name was
+    * ever used (a dropped column of the same name, or an existing
+    * rename target), the new column gets a FRESH physical name — old
+    * bytes under the dead name stay invisible, the defining property
+    * the `dead` tombstones exist for. Pre-existing files read NULL for
+    * the new column (X221 add-column semantics). */
+  def commitAddColumn(root: String, name: String,
+      retain: Int = 1): Long = {
+    val base = currentVersion(root).getOrElse(0L)
+    require(base > 0L, s"no committed version at $root")
+    val cur = colMappingOrEmpty(root)
+    require(!cur.renames.contains(name),
+      s"logical column $name already exists in the mapping")
+    val used = cur.dead.toSet ++ cur.renames.values
+    if (!used.contains(name)) return base // identity mapping, no-op
+    val phys = "c_" + UUID.randomUUID().toString.replace("-", "")
+    publish(root, entriesAt(root, base), retain, expected = Some(base),
+      colsOverride = Some(ColMapping(cur.renames + (name -> phys),
+        cur.dead)))
+  }
+
+  /** Read under LOGICAL column names: the schema the caller passes is
+    * logical; the scan runs under the mapped physical names and the
+    * result is aliased back. Files that predate a column (including
+    * every file, for a freshly re-added name) read NULL for it. */
+  def readMapped(spark: SparkSession, root: String,
+      logical: StructType): DataFrame = {
+    val es = entries(root)
+    if (es.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        logical)
+    val cm = colMappingOrEmpty(root)
+    val phys = StructType(logical.fields.map(f =>
+      f.copy(name = cm.physical(f.name))))
+    readLive(spark, root, Some(phys), es).toDF(logical.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** Append a batch whose DataFrame carries LOGICAL names — translated
+    * to the mapped physical names before staging, so files written
+    * after a rename stay physically consistent with the old ones. */
+  def commitAppendMapped(df: DataFrame, root: String, retain: Int = 1,
+      statsCols: Seq[String] = Nil, checkpointEvery: Int = 16,
+      conflictRetries: Int = 0): Long = {
+    val cm = colMappingOrEmpty(root)
+    val physDf = df.select(df.columns.toIndexedSeq.map(c =>
+      col(c).as(cm.physical(c))): _*)
+    commitAppend(physDf, root, retain, statsCols.map(cm.physical),
+      None, checkpointEvery, None, conflictRetries)
   }
 
   /** D1 partition-slice replace: slices present in `df` swap wholesale,

@@ -2585,6 +2585,63 @@ object Relational {
       |  CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS high_water
       |FROM live GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** `q_column_mapping` (X276): schema surgery WITHOUT data rewrites —
+    * the Delta column-mapping move. The fixture walks the full
+    * lifecycle: append under the original names → RENAME `cents` to
+    * `price_cents` (one metadata commit; the parquet files keep their
+    * physical name forever and post-rename appends translate back to
+    * it, so the table stays physically uniform) → DROP `st` (the
+    * physical name is tombstoned) → re-ADD `st` (a FRESH physical slot
+    * — the gate proves the dropped values can NEVER resurrect: every
+    * pre-drop row reads NULL) → append with the re-added column
+    * populated. The rollup keys on the visible `st`, so a resurrected
+    * value, a lost rename, or a post-rename append under the wrong
+    * physical name all break the hash. At 100 TB this is the only
+    * affordable rename: the alternative rewrites the table. */
+  def columnMappingQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_cmq_") +
+      "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), cents.as("cents"),
+        col("o_orderstatus").as("st"))
+    def slice(g: Int) = src.filter(pmod(col("k"), lit(3L)) === g.toLong)
+    TableCommit.commitAppend(slice(0), root, retain = 8)
+    TableCommit.commitRenameColumn(root, "cents", "price_cents",
+      retain = 8)
+    TableCommit.commitAppendMapped(
+      slice(1).withColumnRenamed("cents", "price_cents"), root,
+      retain = 8)
+    TableCommit.commitDropColumn(root, "st", retain = 8)
+    TableCommit.commitAddColumn(root, "st", retain = 8)
+    TableCommit.commitAppendMapped(
+      slice(2).withColumnRenamed("cents", "price_cents"), root,
+      retain = 8)
+    val logical = StructType(Seq(StructField("k", LongType),
+      StructField("price_cents", LongType), StructField("st", StringType)))
+    TableCommit.readMapped(spark, root, logical)
+      .groupBy(coalesce(col("st"), lit("(dropped)")).as("st"))
+      .agg(Num.countStar.as("n_rows"),
+        sum(col("price_cents")).as("cents_sum"), sum(col("k")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
+  val columnMappingOracle: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_cents,
+      |    CASE WHEN o_orderkey % 3 = 2 THEN o_orderstatus
+      |      ELSE '(dropped)' END AS st
+      |  FROM orders)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(price_cents) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM src GROUP BY 1 ORDER BY st""".stripMargin
+
   val concurrentDmlOracle: String =
     """WITH after AS (
       |  SELECT CASE WHEN event_id % 6 = 4 THEN 'updated'

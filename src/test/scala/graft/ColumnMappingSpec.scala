@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TableCommit
+
+/** X276 column mapping: RENAME/DROP/re-ADD are metadata commits — the
+  * parquet files keep their physical column names forever, the mapping
+  * header re-points logical names, self-propagates through every
+  * publish, and tombstones dropped physical names so a re-add can
+  * never resurrect old values. */
+class ColumnMappingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def root(): String =
+    Files.createTempDirectory("graft_cm_spec_").toString + "/t"
+
+  test("rename moves zero bytes; mapped reads and writes stay consistent") {
+    val r = root()
+    TableCommit.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "cents"), r, retain = 8)
+    val filesBefore = TableCommit.entries(r).map(_.path).toSet
+    TableCommit.commitRenameColumn(r, "cents", "price_cents", retain = 8)
+    // metadata-only: the file list is IDENTICAL
+    assert(TableCommit.entries(r).map(_.path).toSet === filesBefore)
+    val logical = StructType(Seq(StructField("k", LongType),
+      StructField("price_cents", LongType)))
+    assert(TableCommit.readMapped(spark, r, logical)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 20L)))
+    // a post-rename mapped append writes the OLD physical name, so the
+    // table stays physically uniform
+    TableCommit.commitAppendMapped(
+      Seq((3L, 30L)).toDF("k", "price_cents"), r, retain = 8)
+    assert(TableCommit.readMapped(spark, r, logical)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // and the physical read proves no second physical name appeared
+    val phys = TableCommit.read(spark, r, StructType(Seq(
+      StructField("k", LongType), StructField("cents", LongType))))
+    assert(phys.collect().map(_.getLong(1)).toSet === Set(10L, 20L, 30L))
+  }
+
+  test("the mapping survives retention retiring the commit that created it") {
+    val r = root()
+    TableCommit.commitAppend(Seq((1L, 10L)).toDF("k", "cents"), r,
+      retain = 2)
+    TableCommit.commitRenameColumn(r, "cents", "pc", retain = 2)
+    (0 until 6).foreach(i => TableCommit.commitAppendMapped(
+      Seq((10L + i, 100L + i)).toDF("k", "pc"), r, retain = 2))
+    // the rename version itself is long retired…
+    assert(TableCommit.colMapping(r).exists(_.physical("pc") == "cents"))
+    val logical = StructType(Seq(StructField("k", LongType),
+      StructField("pc", LongType)))
+    assert(TableCommit.readMapped(spark, r, logical).count() === 7L)
+  }
+
+  test("drop + re-add never resurrects the dropped values") {
+    val r = root()
+    TableCommit.commitAppend(
+      Seq((1L, "secret"), (2L, "hidden")).toDF("k", "note"), r, retain = 8)
+    TableCommit.commitDropColumn(r, "note", retain = 8)
+    TableCommit.commitAddColumn(r, "note", retain = 8)
+    val logical = StructType(Seq(StructField("k", LongType),
+      StructField("note", StringType)))
+    // old rows read NULL — the dead physical name is invisible
+    val got = TableCommit.readMapped(spark, r, logical)
+      .collect().map(x => (x.getLong(0), Option(x.getString(1)))).toSet
+    assert(got === Set((1L, None), (2L, None)),
+      s"dropped values resurrected: $got")
+    // new writes under the re-added name land in its FRESH physical slot
+    TableCommit.commitAppendMapped(
+      Seq((3L, "fresh")).toDF("k", "note"), r, retain = 8)
+    val after = TableCommit.readMapped(spark, r, logical)
+      .collect().map(x => (x.getLong(0), Option(x.getString(1)))).toSet
+    assert(after === Set((1L, None), (2L, None), (3L, Some("fresh"))))
+    // adding a NEVER-used name is a no-op (identity mapping)
+    val v = TableCommit.currentVersion(r).get
+    assert(TableCommit.commitAddColumn(r, "brand_new", retain = 8) === v)
+  }
+}
