@@ -748,6 +748,7 @@ object TableCommit {
     // retention window without a side file.
     val cols = colsOverride.orElse(
       if (base == 0L) None else readRawChecked(root, base).cols)
+      .filter(c => c.renames.nonEmpty || c.dead.nonEmpty) // empty = clear
     val header = deltaBase.map(b => s"""{"base": $b}""").toSeq ++
       txnId.map(t => s"""{"txn": $t}""").toSeq ++
       cols.map(colsHeaderLine).toSeq
@@ -1130,7 +1131,12 @@ object TableCommit {
     // back, a pre-existing one belongs to a live prior clone version.
     val created = ownerRoots(abs).filter(owner => registerClone(owner, dst))
     val base = currentVersion(dst).getOrElse(0L)
-    try publish(dst, abs, retain, expected = Some(base))
+    // the source's column mapping (X276) must ride along explicitly:
+    // publish self-propagates from the DESTINATION's base, which for a
+    // fresh clone is version 0 and carries nothing
+    try publish(dst, abs, retain, expected = Some(base),
+      colsOverride = Some(colMapping(src)
+        .getOrElse(ColMapping(Map.empty, Seq.empty))))
     catch { case e: Throwable =>
       created.foreach(owner => unregisterClone(owner, dst))
       throw e

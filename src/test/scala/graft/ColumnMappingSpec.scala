@@ -58,6 +58,26 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(TableCommit.readMapped(spark, r, logical).count() === 7L)
   }
 
+  test("a shallow clone carries the source's mapping; re-cloning an unmapped source clears a stale one") {
+    val src = root(); val dst = root() + "/clone"
+    TableCommit.commitAppend(Seq((1L, 10L)).toDF("k", "cents"), src,
+      retain = 8)
+    TableCommit.commitRenameColumn(src, "cents", "pc", retain = 8)
+    TableCommit.cloneTable(src, dst, retain = 8)
+    val logical = StructType(Seq(StructField("k", LongType),
+      StructField("pc", LongType)))
+    assert(TableCommit.readMapped(spark, dst, logical)
+      .collect().map(_.getLong(1)).toSeq === Seq(10L))
+    // an UNMAPPED source re-cloned onto the mapped dst clears the
+    // stale mapping rather than inheriting it
+    val plain = root()
+    TableCommit.commitAppend(Seq((9L, 90L)).toDF("k", "cents"), plain,
+      retain = 8)
+    TableCommit.cloneTable(plain, dst, retain = 8)
+    assert(TableCommit.colMapping(dst).isEmpty,
+      "re-clone inherited the replaced table's mapping")
+  }
+
   test("drop + re-add never resurrects the dropped values") {
     val r = root()
     TableCommit.commitAppend(
