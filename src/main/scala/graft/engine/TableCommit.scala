@@ -1537,6 +1537,19 @@ object TableCommit {
     * files carry. */
   val RowIdCol = "_row_id"
 
+  /** Move a staged file's `_row_id` footer min/max under the `rid:`
+    * key. A ZERO-ROW file (a write task whose range held no rows — it
+    * happens at scale) has no row groups and so no footer stats at
+    * all: it gets the degenerate empty range rather than an error. */
+  private def markRidStats(e: Entry): Entry = {
+    val rid = e.stats.get(RowIdCol).getOrElse {
+      if (e.rows.contains(0L)) ColStats("0", "-1")
+      else throw new IllegalStateException(
+        s"parquet footer carried no $RowIdCol stats for ${e.path}")
+    }
+    e.copy(stats = e.stats - RowIdCol + (RidKey -> rid))
+  }
+
   private def rowIdHighWaterOf(es: Seq[Entry]): Long =
     es.flatMap { e =>
       e.baseRowId.map(b => b + e.rows.getOrElse(0L)) ++
@@ -2379,12 +2392,7 @@ object TableCommit {
       if (preserveRowIds) statsCols :+ RowIdCol else statsCols)
     val staged =
       if (!preserveRowIds) staged0
-      else staged0.map { e =>
-        val rid = e.stats.getOrElse(RowIdCol,
-          throw new IllegalStateException(
-            s"parquet footer carried no $RowIdCol stats for ${e.path}"))
-        e.copy(stats = e.stats - RowIdCol + (RidKey -> rid))
-      }
+      else staged0.map(markRidStats)
     // X274: same rebase/conflict rule as DELETE — the staged updated
     // images carry over verbatim (appends never conflict)
     publishRebasing(root, base,
@@ -2691,12 +2699,8 @@ object TableCommit {
         case None    => cur.coalesce(targetFiles)
       }
       val staged = stageBatch(arranged, root, None, statsCols :+ RowIdCol)
-      val marked = staged.map { e =>
-        val rid = e.stats.getOrElse(RowIdCol, throw new IllegalStateException(
-          s"parquet footer carried no $RowIdCol stats for ${e.path}"))
-        e.copy(stats = e.stats - RowIdCol + (RidKey -> rid))
-      }
-      publish(root, marked, retain, expected = Some(base))
+      publish(root, staged.map(markRidStats), retain,
+        expected = Some(base))
     }
   }
 
