@@ -2629,6 +2629,95 @@ object TableCommit {
     else parts.reduce(_ unionByName _)
   }
 
+  /** The full CDC feed WITH ROW IDENTITY (X277): every emitted row
+    * carries its stable `_row_id`, so a downstream consumer (an
+    * incremental feature store, a training-data index) can key state by
+    * row identity — an UPDATE arrives as a delete+insert PAIR sharing
+    * one id, a compaction's whole-file delete+insert legs re-emit each
+    * row under its unchanged id. Same plan as [[readChangesFull]]
+    * (manifest-only diff, change-proportional reads); requires a
+    * TRACKED table ([[commitAppendTracked]] / preserveRowIds rewrites)
+    * and fails loudly on any file without lineage. */
+  def readChangesFullIds(spark: SparkSession, root: String,
+      schema: StructType, fromExclusive: Long, toInclusive: Long,
+      versionCol: String = "_commit_version",
+      typeCol: String = "_change_type"): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val outCols = (schema.fieldNames.toSeq :+ RowIdCol).map(col)
+    def withIds(es: Seq[Entry]): Option[DataFrame] =
+      liveWithIdsAndPos(spark, root, schema, es).map(_.select(outCols: _*))
+    val parts = changesBetween(root, fromExclusive, toInclusive)
+      .flatMap { ch =>
+        val ins = withIds(ch.added)
+          .map(_.withColumn(versionCol, lit(ch.version))
+            .withColumn(typeCol, lit("insert")))
+        val del = withIds(ch.removed)
+          .map(_.withColumn(versionCol, lit(ch.version))
+            .withColumn(typeCol, lit("delete")))
+        val dvDel =
+          if (ch.dvGrown.isEmpty) None
+          else Some(readPositionsWithIds(spark, root, schema, ch.dvGrown)
+            .withColumn(versionCol, lit(ch.version))
+            .withColumn(typeCol, lit("delete")))
+        ins.toSeq ++ del.toSeq ++ dvDel.toSeq
+      }
+    if (parts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema.add(RowIdCol, org.apache.spark.sql.types.LongType)
+          .add(versionCol, org.apache.spark.sql.types.LongType,
+            nullable = false)
+          .add(typeCol, org.apache.spark.sql.types.StringType,
+            nullable = false))
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Rows at exactly the given positions, WITH their stable ids —
+    * the DV-delta leg of [[readChangesFullIds]]: born files compute
+    * `brid + position`, rewritten files read the materialized column. */
+  private def readPositionsWithIds(spark: SparkSession, root: String,
+      schema: StructType, sel: Seq[(Entry, Seq[Long])]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    import spark.implicits._
+    val (mat, born) = sel.partition(_._1.stats.contains(RidKey))
+    val untracked = born.filterNot(_._1.baseRowId.isDefined)
+    require(untracked.isEmpty,
+      s"file(s) without row lineage at $root: " +
+        s"${untracked.map(_._1.path).take(3)}")
+    val outCols = (schema.fieldNames.toSeq :+ RowIdCol).map(col)
+    def posScan(g: Seq[(Entry, Seq[Long])], sc: StructType): DataFrame = {
+      val posDf = g.flatMap { case (e, ps) =>
+        ps.map(p => (pathLeaf(e.path), p))
+      }.toDF("_dv_leaf", "_dv_pos")
+      spark.read.schema(sc)
+        .parquet(g.map(x => resolvePath(root, x._1.path)): _*)
+        .select(col("*"),
+          element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as("_dv_leaf"),
+          col("_metadata.row_index").as("_dv_pos"))
+        .join(broadcast(posDf), Seq("_dv_leaf", "_dv_pos"), "left_semi")
+    }
+    val bornDf =
+      if (born.isEmpty) None
+      else {
+        val brid = born.map(x => (pathLeaf(x._1.path), x._1.baseRowId.get))
+          .toDF("_dv_leaf", "_g_brid")
+        Some(posScan(born, schema)
+          .join(broadcast(brid), Seq("_dv_leaf"))
+          .withColumn(RowIdCol, col("_g_brid") + col("_dv_pos"))
+          .select(outCols: _*))
+      }
+    val matDf =
+      if (mat.isEmpty) None
+      else Some(posScan(mat,
+        StructType(schema.fields :+ StructField(RowIdCol, LongType)))
+        .select(outCols: _*))
+    (bornDf, matDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).get
+    }
+  }
+
   /** Consumer-side checkpoint for the change feed: the last consumed
     * version, fsync-persisted. 0 = virgin consumer (feed starts at the
     * table's first version). */

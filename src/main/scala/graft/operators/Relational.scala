@@ -2629,6 +2629,86 @@ object Relational {
       .orderBy(col("st"))
   }
 
+  /** `q_cdf_lineage` (X277): the full CDC feed WITH ROW IDENTITY. The
+    * fixture replays the whole lineage lifecycle (3 tracked appends →
+    * row delete → id-preserving UPDATE → id-preserving OPTIMIZE) and
+    * rolls the feed up per (version, change_type) with id-weighted
+    * sums, so the oracle pins that: births carry their deterministic
+    * ids; the update emits a delete+insert PAIR sharing one id; and
+    * the compaction re-emits every live row under its UNCHANGED id.
+    * This is what an incremental feature store consumes to key state
+    * by row identity across arbitrary rewrites — CDC that survives
+    * OPTIMIZE, the thing file-level CDC cannot give. */
+  def cdfLineageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_cdflq_") +
+      "/events"
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    (0 to 2).foreach { g =>
+      TableCommit.commitAppendTracked(
+        src.filter(pmod(col("event_id"), lit(3L)) === g.toLong)
+          .repartition(1).sortWithinPartitions("event_id"),
+        root, retain = 8)
+    }
+    TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("event_id"), lit(7L)) === 0L, retain = 8)
+    TableCommit.commitUpdateRows(spark, root, schema,
+      pmod(col("event_id"), lit(11L)) === 3L,
+      Seq("event_type" -> lit("relabeled")), retain = 8,
+      preserveRowIds = true)
+    val v6 = TableCommit.commitCompact(spark, root, targetFiles = 4,
+      sortCol = Some("event_id"), retain = 8, preserveRowIds = true)
+    TableCommit.readChangesFullIds(spark, root, schema, 0L, v6)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(Num.countStar.as("n_rows"),
+        sum(col(TableCommit.RowIdCol)).as("id_sum"),
+        sum(pmod(col("event_id"), lit(997L)) * col(TableCommit.RowIdCol))
+          .as("mix_sum"))
+      .orderBy(col("commit_version"), col("change_type"))
+  }
+
+  val cdfLineageOracle: String =
+    """WITH src AS (
+      |  SELECT event_id, event_type, event_id % 3 AS grp FROM events),
+      |counts AS (SELECT grp, COUNT(*) AS n FROM src GROUP BY grp),
+      |offs AS (SELECT grp, COALESCE(SUM(n) OVER (ORDER BY grp
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM counts),
+      |ids AS (SELECT s.event_id, s.grp,
+      |  o.off + ROW_NUMBER() OVER (PARTITION BY s.grp
+      |    ORDER BY s.event_id) - 1 AS row_id,
+      |  (s.event_id % 997) * (o.off + ROW_NUMBER() OVER (
+      |    PARTITION BY s.grp ORDER BY s.event_id) - 1) AS mix
+      |  FROM src s JOIN offs o USING (grp)),
+      |live AS (SELECT * FROM ids WHERE event_id % 7 <> 0),
+      |legs AS (
+      |  SELECT CAST(grp + 1 AS BIGINT) AS commit_version,
+      |    'insert' AS change_type, event_id, row_id, mix FROM ids
+      |  UNION ALL
+      |  SELECT 4, 'delete', event_id, row_id, mix FROM ids
+      |    WHERE event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 5, 'delete', event_id, row_id, mix FROM live
+      |    WHERE event_id % 11 = 3
+      |  UNION ALL
+      |  SELECT 5, 'insert', event_id, row_id, mix FROM live
+      |    WHERE event_id % 11 = 3
+      |  UNION ALL
+      |  SELECT 6, 'delete', event_id, row_id, mix FROM live
+      |  UNION ALL
+      |  SELECT 6, 'insert', event_id, row_id, mix FROM live)
+      |SELECT commit_version, change_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(row_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(mix) AS BIGINT) AS mix_sum
+      |FROM legs GROUP BY 1, 2 ORDER BY commit_version, change_type""".stripMargin
+
   val columnMappingOracle: String =
     """WITH src AS (
       |  SELECT o_orderkey AS k,

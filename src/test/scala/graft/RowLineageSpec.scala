@@ -103,6 +103,35 @@ class RowLineageSpec extends AnyFunSuite {
     assert(idsOf(r) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("the identity feed: an update is a delete+insert pair sharing one id; compaction re-emits unchanged ids (X277)") {
+    val r = root()
+    val v1 = TableCommit.commitAppendTracked(
+      one(Seq((1L, "a"), (2L, "b"), (3L, "c"))), r, retain = 8)
+    val v2 = TableCommit.commitUpdateRows(spark, r, schema,
+      col("k") === 2L, Seq("v" -> lit("B")), retain = 8,
+      preserveRowIds = true)
+    val v3 = TableCommit.commitCompact(spark, r, targetFiles = 1,
+      sortCol = Some("k"), retain = 8, preserveRowIds = true)
+    val feed = TableCommit.readChangesFullIds(spark, r, schema, 0L, v3)
+      .collect()
+      .map(x => (x.getLong(3), x.getString(4), x.getLong(0),
+        x.getString(1), x.getLong(2)))
+      .toSet // (version, type, k, v, row_id)
+    // v1: three births
+    assert(feed.filter(_._1 == v1) === Set(
+      (v1, "insert", 1L, "a", 0L), (v1, "insert", 2L, "b", 1L),
+      (v1, "insert", 3L, "c", 2L)))
+    // v2: the update — old image deleted, new image inserted, SAME id
+    assert(feed.filter(_._1 == v2) === Set(
+      (v2, "delete", 2L, "b", 1L), (v2, "insert", 2L, "B", 1L)))
+    // v3: the compaction re-emits every live row under its OWN id
+    assert(feed.filter(_._1 == v3) === Set(
+      (v3, "delete", 1L, "a", 0L), (v3, "delete", 2L, "B", 1L),
+      (v3, "delete", 3L, "c", 2L),
+      (v3, "insert", 1L, "a", 0L), (v3, "insert", 2L, "B", 1L),
+      (v3, "insert", 3L, "c", 2L)))
+  }
+
   test("racing tracked appends never mint overlapping id ranges (X273 CAS carries the assignment)") {
     val r = root()
     val n = 3
