@@ -1712,6 +1712,30 @@ object TableCommit {
         cur.dead)))
   }
 
+  /** The mapping AS OF a retained version — what a time-travel read
+    * must use: a column renamed later still answers to its OLD name at
+    * the old version. */
+  def colMappingAt(root: String, version: Long): Option[ColMapping] =
+    readRawChecked(root, version).cols
+
+  /** Time-travel read under the LOGICAL names of that era: version
+    * `v`'s file list read under version `v`'s mapping — a column
+    * renamed after `v` still answers to its old name, exactly like
+    * every other piece of v's snapshot. */
+  def readMappedAt(spark: SparkSession, root: String, version: Long,
+      logical: StructType): DataFrame = {
+    val es = entriesAtVersion(root, version)
+    if (es.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        logical)
+    val cm = colMappingAt(root, version)
+      .getOrElse(ColMapping(Map.empty, Seq.empty))
+    val phys = StructType(logical.fields.map(f =>
+      f.copy(name = cm.physical(f.name))))
+    readLive(spark, root, Some(phys), es)
+      .toDF(logical.fieldNames.toIndexedSeq: _*)
+  }
+
   /** Read under LOGICAL column names: the schema the caller passes is
     * logical; the scan runs under the mapped physical names and the
     * result is aliased back. Files that predate a column (including

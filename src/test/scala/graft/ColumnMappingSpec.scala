@@ -78,6 +78,27 @@ class ColumnMappingSpec extends AnyFunSuite {
       "re-clone inherited the replaced table's mapping")
   }
 
+  test("time travel reads under the mapping of that era") {
+    val r = root()
+    val v1 = TableCommit.commitAppend(
+      Seq((1L, 10L)).toDF("k", "cents"), r, retain = 8)
+    TableCommit.commitRenameColumn(r, "cents", "pc", retain = 8)
+    TableCommit.commitAppendMapped(Seq((2L, 20L)).toDF("k", "pc"), r,
+      retain = 8)
+    // at v1 the column still answers to its OLD name…
+    val oldSchema = StructType(Seq(StructField("k", LongType),
+      StructField("cents", LongType)))
+    assert(TableCommit.readMappedAt(spark, r, v1, oldSchema)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      === Set((1L, 10L)))
+    // …and the current version answers only to the new one
+    val newSchema = StructType(Seq(StructField("k", LongType),
+      StructField("pc", LongType)))
+    assert(TableCommit.readMapped(spark, r, newSchema)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 20L)))
+  }
+
   test("drop + re-add never resurrects the dropped values") {
     val r = root()
     TableCommit.commitAppend(
