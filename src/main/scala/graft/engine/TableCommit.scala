@@ -1655,6 +1655,15 @@ object TableCommit {
   def colMapping(root: String): Option[ColMapping] =
     currentVersion(root).flatMap(v => readRawChecked(root, v).cols)
 
+  /** The cols-header escaper covers quotes and backslashes; a CONTROL
+    * character in a logical name would split the line-delimited
+    * manifest (the ADVICE-r10 silent-loss shape the entry-line escaper
+    * exists for) — refuse it loudly at the only entry points. */
+  private def requireHeaderSafe(name: String): Unit =
+    require(name.forall(c => c >= ' '),
+      s"column name contains control characters: ${name.map(c =>
+        if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString}")
+
   private def colMappingOrEmpty(root: String): ColMapping =
     colMapping(root).getOrElse(ColMapping(Map.empty, Seq.empty))
 
@@ -1666,6 +1675,7 @@ object TableCommit {
       retain: Int = 1): Long = {
     val base = currentVersion(root).getOrElse(0L)
     require(base > 0L, s"no committed version at $root")
+    requireHeaderSafe(to)
     val cur = colMappingOrEmpty(root)
     require(from != to, s"rename $from onto itself")
     require(!cur.renames.contains(to),
@@ -1701,6 +1711,7 @@ object TableCommit {
       retain: Int = 1): Long = {
     val base = currentVersion(root).getOrElse(0L)
     require(base > 0L, s"no committed version at $root")
+    requireHeaderSafe(name)
     val cur = colMappingOrEmpty(root)
     require(!cur.renames.contains(name),
       s"logical column $name already exists in the mapping")

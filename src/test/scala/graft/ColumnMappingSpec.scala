@@ -78,6 +78,26 @@ class ColumnMappingSpec extends AnyFunSuite {
       "re-clone inherited the replaced table's mapping")
   }
 
+  test("a control character in a mapped name is refused loudly (it would tear the manifest); quotes round-trip") {
+    val r = root()
+    TableCommit.commitAppend(Seq((1L, 10L)).toDF("k", "cents"), r,
+      retain = 8)
+    val e = intercept[IllegalArgumentException] {
+      TableCommit.commitRenameColumn(r, "cents", "bad\nname", retain = 8)
+    }
+    assert(e.getMessage.contains("control characters"))
+    // JSON-active characters DO round-trip through the header escaper
+    TableCommit.commitRenameColumn(r, "cents", """we"ird\nm""", retain = 8)
+    assert(TableCommit.colMapping(r)
+      .exists(_.physical("""we"ird\nm""") == "cents"))
+    TableCommit.commitAppendMapped(
+      Seq((2L, 20L)).toDF("k", """we"ird\nm"""), r, retain = 8)
+    val logical = StructType(Seq(StructField("k", LongType),
+      StructField("""we"ird\nm""", LongType)))
+    assert(TableCommit.readMapped(spark, r, logical)
+      .collect().map(_.getLong(1)).toSet === Set(10L, 20L))
+  }
+
   test("time travel reads under the mapping of that era") {
     val r = root()
     val v1 = TableCommit.commitAppend(
