@@ -297,6 +297,22 @@ object TableCommit {
     if (!p.lit("}") || !p.atEnd) None else Some(t)
   }
 
+  /** Row-id high-water header line: `{"rid": <nextUnassignedId>}` —
+    * the DURABLE stable-row-id watermark (ADVICE r12). Deriving the
+    * high-water from LIVE entries alone can REWIND: delete the
+    * highest-id rows, then an id-preserving compaction materializes
+    * only live ids, and the next tracked append would re-mint the
+    * deleted ids — two distinct rows sharing one `_row_id`, corrupting
+    * identity CDC. Like the cols header, this self-propagates through
+    * EVERY publish (monotone max), so it survives any retention window
+    * and any sequence of rewrites. */
+  private def parseRidHeader(line: String): Option[Long] = {
+    val p = new LineParser(line)
+    if (!p.lit("{\"rid\":")) return None
+    val r = p.long().getOrElse(return None)
+    if (!p.lit("}") || !p.atEnd) None else Some(r)
+  }
+
   /** Column mapping (X276, Delta column-mapping idea): logical names a
     * reader uses → PHYSICAL names the parquet files carry. Only
     * EXCEPTIONS are stored — an unmapped column is identity (physical =
@@ -361,11 +377,13 @@ object TableCommit {
     * column mapping it carries (self-propagated), and the entries it
     * carries itself. */
   private final case class RawManifest(base: Option[Long], own: Seq[Entry],
-      txn: Option[Long] = None, cols: Option[ColMapping] = None)
+      txn: Option[Long] = None, cols: Option[ColMapping] = None,
+      rid: Option[Long] = None)
 
   /** Strict single-file read: parse every line, demand the terminator
     * (which counts OWN entries only). Header order is fixed: optional
-    * `{"base": …}` first, then optional `{"txn": …}`. */
+    * `{"base": …}`, then optional `{"txn": …}`, `{"rid": …}`,
+    * `{"cols": …}`. */
   private def readRaw(root: String, v: Long): RawManifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
     def torn(why: String): Nothing = throw new TornManifestException(
@@ -377,8 +395,10 @@ object TableCommit {
     val afterBase = if (base.isDefined) lines.tail else lines
     val txn = afterBase.headOption.flatMap(parseTxnHeader)
     val afterTxn = if (txn.isDefined) afterBase.tail else afterBase
-    val cols = afterTxn.headOption.flatMap(parseColsHeader)
-    val body = if (cols.isDefined) afterTxn.tail else afterTxn
+    val rid = afterTxn.headOption.flatMap(parseRidHeader)
+    val afterRid = if (rid.isDefined) afterTxn.tail else afterTxn
+    val cols = afterRid.headOption.flatMap(parseColsHeader)
+    val body = if (cols.isDefined) afterRid.tail else afterRid
     if (body.isEmpty) torn("no terminator")
     val n = parseTerminator(body.last).getOrElse(torn("no terminator"))
     val es = body.init.map(l => parseEntryLine(l)
@@ -386,7 +406,7 @@ object TableCommit {
     if (es.size != n.toInt) torn(s"terminator says $n entries, read ${es.size}")
     base.foreach(b => if (b >= v || b < 1L)
       torn(s"delta base $b is not an earlier version"))
-    RawManifest(base, es, txn, cols)
+    RawManifest(base, es, txn, cols, rid)
   }
 
   /** Resolved file list of version `v`: walk the delta chain down to
@@ -698,7 +718,8 @@ object TableCommit {
       retain: Int = 1, expected: Option[Long] = None,
       deltaBase: Option[Long] = None,
       txnId: Option[Long] = None,
-      colsOverride: Option[ColMapping] = None): Long = {
+      colsOverride: Option[ColMapping] = None,
+      ridHighWater: Option[Long] = None): Long = {
     val base = currentVersion(root).getOrElse(0L)
     expected.foreach { e =>
       if (base != e) throw new ConcurrentCommitException(
@@ -745,12 +766,22 @@ object TableCommit {
     // X276: the column mapping SELF-PROPAGATES — every publish carries
     // the current mapping into the new top manifest (or replaces it,
     // for the rename/drop/add metadata commits), so it survives any
-    // retention window without a side file.
-    val cols = colsOverride.orElse(
-      if (base == 0L) None else readRawChecked(root, base).cols)
+    // retention window without a side file. The txn and rid high-waters
+    // propagate the same way (ADVICE r12): without it, one unstamped
+    // maintenance commit under retain=1 retired the only manifest
+    // carrying the watermark — lastTxnId forgot the exactly-once
+    // high-water (double-apply on crash replay) and the row-id
+    // watermark could rewind (id reuse).
+    val prior = if (base == 0L) None else Some(readRawChecked(root, base))
+    val cols = colsOverride.orElse(prior.flatMap(_.cols))
       .filter(c => c.renames.nonEmpty || c.dead.nonEmpty) // empty = clear
+    val txn = (prior.flatMap(_.txn).toSeq ++ txnId.toSeq)
+      .reduceOption((a: Long, b: Long) => math.max(a, b))
+    val rid = (prior.flatMap(_.rid).toSeq ++ ridHighWater.toSeq)
+      .reduceOption((a: Long, b: Long) => math.max(a, b))
     val header = deltaBase.map(b => s"""{"base": $b}""").toSeq ++
-      txnId.map(t => s"""{"txn": $t}""").toSeq ++
+      txn.map(t => s"""{"txn": $t}""").toSeq ++
+      rid.map(r => s"""{"rid": $r}""").toSeq ++
       cols.map(colsHeaderLine).toSeq
     val body = (header ++ newEntries.map(e =>
       s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}${rowsJs(e.rows)}${bridJs(e.baseRowId)}${statsJs(e.stats)}}""")
@@ -1356,29 +1387,33 @@ object TableCommit {
       if (alreadyApplied()) { dropStagedBatch(root, staged); return None }
       // X275: stable-row-id assignment derives from the SAME base
       // snapshot the CAS publishes against, so a lost race re-derives
-      // and overlapping id ranges are impossible
+      // and overlapping id ranges are impossible. The final `acc`
+      // becomes the durable {"rid"} header (monotone; never rewinds
+      // even if the max-id rows are later deleted and compacted away).
+      var hw: Option[Long] = None
       val eff =
         if (!trackRowIds) staged
         else {
-          var acc =
-            if (base == 0L) 0L else rowIdHighWaterOf(entriesAt(root, base))
-          staged.map { e =>
+          var acc = rowIdHighWaterAt(root, base)
+          val assigned = staged.map { e =>
             val b = acc; acc += e.rows.getOrElse(0L)
             e.copy(baseRowId = Some(b))
           }
+          hw = Some(acc)
+          assigned
         }
       try {
         return Some(
           if (base == 0L)
             publish(root, eff, retain, expected = Some(base),
-              txnId = txnId)
+              txnId = txnId, ridHighWater = hw)
           else if (chainOf(root, base).size + 1 >= checkpointEvery)
             // checkpoint: fold the chain into one self-contained manifest
             publish(root, entriesAt(root, base) ++ eff, retain,
-              expected = Some(base), txnId = txnId)
+              expected = Some(base), txnId = txnId, ridHighWater = hw)
           else
             publish(root, eff, retain, expected = Some(base),
-              deltaBase = Some(base), txnId = txnId))
+              deltaBase = Some(base), txnId = txnId, ridHighWater = hw))
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -1413,13 +1448,14 @@ object TableCommit {
   private def publishRebasing(root: String, base0: Long,
       build: Seq[Entry] => Seq[Entry],
       conflictsWith: VersionChange => Option[String],
-      retain: Int, conflictRetries: Int): Long = {
+      retain: Int, conflictRetries: Int,
+      ridHighWater: Option[Long] = None): Long = {
     var base = base0
     var attempt = 0
     while (true) {
       try {
         return publish(root, build(entriesAt(root, base)), retain,
-          expected = Some(base))
+          expected = Some(base), ridHighWater = ridHighWater)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -1556,8 +1592,19 @@ object TableCommit {
         e.stats.get(RidKey).map(_.max.toLong + 1L)
     }.foldLeft(0L)(math.max)
 
+  /** Next unassigned stable row id AT version `v`: the maximum of the
+    * durable `{"rid"}` header (self-propagated — the authority once it
+    * exists) and the live-entry derivation (covers pre-header tables;
+    * it can REWIND after delete-the-max + id-preserving rewrite, which
+    * is exactly why the header exists — ADVICE r12). */
+  private def rowIdHighWaterAt(root: String, v: Long): Long =
+    if (v == 0L) 0L
+    else math.max(readRawChecked(root, v).rid.getOrElse(0L),
+      rowIdHighWaterOf(entriesAt(root, v)))
+
   /** Next unassigned stable row id at the current version. */
-  def rowIdHighWater(root: String): Long = rowIdHighWaterOf(entries(root))
+  def rowIdHighWater(root: String): Long =
+    rowIdHighWaterAt(root, currentVersion(root).getOrElse(0L))
 
   /** TRACKED append (X275, the Delta row-tracking / Iceberg row-lineage
     * idea): every row is born with a STABLE id — the table's id
@@ -1677,6 +1724,12 @@ object TableCommit {
     require(base > 0L, s"no committed version at $root")
     requireHeaderSafe(to)
     val cur = colMappingOrEmpty(root)
+    // the physical name of an unmapped identity column is CALLER-supplied
+    // (it came from a parquet write) — it enters the header via the
+    // rename map and must pass the same control-character gate the
+    // logical names do (ADVICE r12: a raw "\n" here splits the header
+    // line and every subsequent read of the table throws Torn)
+    requireHeaderSafe(cur.physical(from))
     require(from != to, s"rename $from onto itself")
     require(!cur.renames.contains(to),
       s"logical column $to already exists in the mapping")
@@ -1695,6 +1748,9 @@ object TableCommit {
     val base = currentVersion(root).getOrElse(0L)
     require(base > 0L, s"no committed version at $root")
     val cur = colMappingOrEmpty(root)
+    // same gate as rename: the tombstoned physical name lands raw in the
+    // header's dead list (ADVICE r12)
+    requireHeaderSafe(cur.physical(name))
     val next = ColMapping(cur.renames - name,
       cur.dead :+ cur.physical(name))
     publish(root, entriesAt(root, base), retain, expected = Some(base),
@@ -2086,20 +2142,71 @@ object TableCommit {
     * in the table. */
   def pruneEntriesBloom(root: String, column: String,
       value: String): Seq[Entry] =
-    entries(root).filter { e =>
-      e.stats.get(s"$BloomPrefix$column") match {
-        case None => true
-        case Some(ColStats(hexBits, geom)) =>
-          val parts = geom.split('/')
-          val m = parts(0).toInt
-          val k = parts(1).toInt
-          bloomProbeBits(value, m, k).forall { p =>
-            val byte = Integer.parseInt(
-              hexBits.substring((p >> 3) * 2, (p >> 3) * 2 + 2), 16)
-            (byte & (1 << (p & 7))) != 0
-          }
-      }
+    entries(root).filter(bloomKeeps(_, column, value))
+
+  private def bloomKeeps(e: Entry, physColumn: String,
+      value: String): Boolean =
+    e.stats.get(s"$BloomPrefix$physColumn") match {
+      case None => true
+      case Some(ColStats(hexBits, geom)) =>
+        val parts = geom.split('/')
+        val m = parts(0).toInt
+        val k = parts(1).toInt
+        bloomProbeBits(value, m, k).forall { p =>
+          val byte = Integer.parseInt(
+            hexBits.substring((p >> 3) * 2, (p >> 3) * 2 + 2), 16)
+          (byte & (1 << (p & 7))) != 0
+        }
     }
+
+  /** Column-mapping bridge for the pruners (X281, VERDICT r12 task 5):
+    * manifest stats are keyed by PHYSICAL column name (the write side
+    * translates — [[commitAppendMapped]]), so pruning a RENAMED column
+    * by its logical name silently kept everything (lossless but
+    * useless). These overloads translate through the table's mapping
+    * first. A rename is metadata-only — every file ever written stores
+    * the column under ONE physical name — so pruning by the new
+    * logical name keeps EXACTLY the file set pruning by the old name
+    * kept (spec-pinned law). `asOf` translates under THAT version's
+    * mapping over that version's file list: the era-correct companion
+    * to [[readMappedAt]]. */
+  def pruneEntriesMapped(root: String, column: String,
+      asOf: Option[Long] = None)(
+      mightMatch: ColStats => Boolean): Seq[Entry] = {
+    val (es, cm) = asOf match {
+      case None => (entries(root), colMappingOrEmpty(root))
+      case Some(v) => (entriesAtVersion(root, v),
+        colMappingAt(root, v).getOrElse(ColMapping(Map.empty, Seq.empty)))
+    }
+    val phys = cm.physical(column)
+    es.filter(_.stats.get(phys).forall(mightMatch))
+  }
+
+  /** Bloom point-lookup pruning under the LOGICAL column name — the
+    * [[pruneEntriesBloom]] half of the X281 mapping bridge. */
+  def pruneEntriesBloomMapped(root: String, column: String,
+      value: String): Seq[Entry] = {
+    val phys = colMappingOrEmpty(root).physical(column)
+    entries(root).filter(bloomKeeps(_, phys, value))
+  }
+
+  /** Stats-pruned read under LOGICAL names: plan the scan from the
+    * mapped-pruned file set, read under physical names, alias back —
+    * [[readPrunedStats]] for mapped tables. The caller still applies
+    * the row-level filter. */
+  def readPrunedStatsMapped(spark: SparkSession, root: String,
+      logical: StructType, column: String)(
+      mightMatch: ColStats => Boolean): DataFrame = {
+    val es = pruneEntriesMapped(root, column)(mightMatch)
+    if (es.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        logical)
+    val cm = colMappingOrEmpty(root)
+    val phys = StructType(logical.fields.map(f =>
+      f.copy(name = cm.physical(f.name))))
+    readLive(spark, root, Some(phys), es)
+      .toDF(logical.fieldNames.toIndexedSeq: _*)
+  }
 
   /** Point-lookup read planned from the manifest blooms. The caller
     * still applies the equality predicate — the bloom only bounds WHICH
@@ -2195,6 +2302,64 @@ object TableCommit {
   def deletedPositions(root: String, e: Entry): Seq[Long] =
     e.stats.get(DvKey).map(dvDecode(root, _)).getOrElse(Seq.empty)
 
+  private def existingDvByLeaf(es: Seq[Entry]): Map[String, ColStats] =
+    es.flatMap(e => e.stats.get(DvKey).map(pathLeaf(e.path) -> _)).toMap
+
+  /** Fold freshly-deleted positions into each victim file's deletion
+    * vector and encode, DISTRIBUTED (VERDICT r12: the driver-side
+    * position fold was the last DML scale cliff — at true 100-TB scale
+    * a 1% delete is ~10⁹ positions, OOMing the one JVM that must never
+    * OOM). `victims` carries `_g_leaf`/`_g_pos`; positions group BY
+    * FILE executor-side (per-file sets are bounded by rows-per-file, a
+    * task-sized amount), each task merges its files' fresh positions
+    * into the existing vector (broadcast stat, sidecars decoded where
+    * the task runs) and encodes — writing any over-threshold sidecar
+    * FROM THE EXECUTOR under `root/_dv/`, the same shared-filesystem
+    * contract every data-file write already assumes. The driver
+    * receives only (leaf → encoded stat): file-count–sized, never the
+    * positions.
+    *
+    * Encoding happens ONCE, before the publish retry loop (ADVICE r12:
+    * the old per-attempt re-encode leaked a throwaway sidecar per
+    * no-op pre-check and per conflict retry): the X274 conflict rule
+    * aborts this commit if any interleaving touched a victim file, so
+    * across every rebase it survives, the victim entries — and with
+    * them the encoded stats — are provably unchanged. A file whose
+    * fresh positions were ALL already dead encodes nothing (idempotent
+    * re-delete, decided on position sets). A task retry can orphan a
+    * sidecar; orphans are the aged vacuum's job, like any crashed
+    * commit's debris. */
+  private def dvEncodeDistributed(spark: SparkSession, root: String,
+      victims: DataFrame, existing: Map[String, ColStats],
+      inlineMax: Int): Map[String, ColStats] = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    import spark.implicits._
+    val exB = spark.sparkContext.broadcast(existing)
+    val folded = victims
+      .select(col("_g_leaf").cast("string").as("_g_leaf"),
+        col("_g_pos").cast("long").as("_g_pos"))
+      .groupBy(col("_g_leaf"))
+      .agg(sort_array(collect_list(col("_g_pos"))).as("ps"))
+      .as[(String, Seq[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (leaf, ps) =>
+          val prior = exB.value.get(leaf)
+            .map(cs => dvDecode(root, cs)).getOrElse(Seq.empty)
+          val merged = (prior ++ ps).distinct
+          if (merged.size == prior.size) None // all already dead: no-op
+          else Some((leaf, dvEncode(root, merged, inlineMax)))
+        }
+      }
+      .collect()
+    exB.destroy()
+    folded.toMap
+  }
+
+  private def applyEncodedDv(es: Seq[Entry],
+      encoded: Map[String, ColStats]): Seq[Entry] =
+    es.map(e => encoded.get(pathLeaf(e.path))
+      .fold(e)(cs => e.copy(stats = e.stats + (DvKey -> cs))))
+
   /** Number of deleted positions WITHOUT decoding the vector (the
     * count rides the stat's max slot) — what planning-time checks
     * should use; zero-cost even for sidecar DVs. */
@@ -2268,62 +2433,48 @@ object TableCommit {
     * CURRENT version unchanged when nothing matched (an empty delete
     * is a no-op, not a new snapshot).
     *
-    * The matching pass runs executor-side at full parallelism; only
-    * (file leaf, position) pairs — deleted-row-count–sized, the purge
-    * shape this exists for — come to the driver to fold into the
-    * manifest. A delete of a large FRACTION of the table wants
-    * copy-on-write ([[commitOverwrite]] of the complement) instead;
-    * that trade is the caller's, exactly as in production formats.
+    * The matching pass AND the position fold both run executor-side at
+    * full parallelism ([[dvEncodeDistributed]]): the driver sees only
+    * (file → encoded stat) — file-count–sized, never positions. A
+    * delete of a large FRACTION of the table wants copy-on-write
+    * ([[commitOverwrite]] of the complement) or a follow-up
+    * [[commitMeltDeleted]] instead; that trade is the caller's,
+    * exactly as in production formats.
     *
     * Same optimistic concurrency as every commit: the snapshot read
     * at transaction start is re-verified at publish. Positions union
     * into any existing DV (re-deleting a dead row is a no-op by
-    * construction). Secondary metadata (X207 min/max, X254 blooms)
-    * goes STALE-BUT-SUPERSET: live rows are a subset of the rows the
-    * stats described, so pruning stays lossless — spec-pinned. */
+    * construction — decided on position sets executor-side, so a
+    * no-op never mints a snapshot or leaks a sidecar). Secondary
+    * metadata (X207 min/max, X254 blooms) goes STALE-BUT-SUPERSET:
+    * live rows are a subset of the rows the stats described, so
+    * pruning stays lossless — spec-pinned. */
   def commitDeleteRows(spark: SparkSession, root: String,
       schema: StructType, predicate: org.apache.spark.sql.Column,
       retain: Int = 1, inlineDvMax: Int = DvInlineMax,
       conflictRetries: Int = 0): Long = {
-    import org.apache.spark.sql.functions.{col, collect_list, element_at, sort_array, split}
+    import org.apache.spark.sql.functions.{col, element_at, split}
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to delete at $root")
     requireUniqueLeaves(root, es)
-    val hits = spark.read.schema(schema)
+    val victims = spark.read.schema(schema)
       .parquet(es.map(e => resolvePath(root, e.path)): _*)
       .filter(predicate)
       .select(element_at(split(col("_metadata.file_path"), "/"), -1)
-        .as("leaf"), col("_metadata.row_index").as("pos"))
-      .groupBy(col("leaf"))
-      .agg(sort_array(collect_list(col("pos"))).as("ps"))
-      .collect()
-      .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
-    if (hits.isEmpty) return base
-    def applyHits(cur: Seq[Entry]): Seq[Entry] = cur.map { e =>
-      hits.get(pathLeaf(e.path)) match {
-        case None => e
-        case Some(ps) =>
-          // idempotency decided on POSITIONS, before encoding: a
-          // sidecar re-encode mints a fresh file name, so comparing
-          // encoded stats would turn a no-op re-delete into snapshot
-          // churn (plus a leaked sidecar)
-          val existing = deletedPositions(root, e)
-          val merged = (existing ++ ps).distinct
-          if (merged.size == existing.size) e
-          else e.copy(stats =
-            e.stats + (DvKey -> dvEncode(root, merged, inlineDvMax)))
-      }
-    }
-    // re-deleting only already-dead rows (the predicate matched raw
-    // rows whose positions were in the DVs already) changes nothing —
+        .as("_g_leaf"), col("_metadata.row_index").as("_g_pos"))
+    val encoded = dvEncodeDistributed(spark, root, victims,
+      existingDvByLeaf(es), inlineDvMax)
+    // nothing matched, or everything matched was already dead —
     // idempotent no-op, no empty snapshot churn
-    if (applyHits(es) == es) return base
-    // X274: a racing append/disjoint-DML rebases (the position deltas
-    // re-apply onto the new head); a racing commit that touched a
+    if (encoded.isEmpty) return base
+    // X274: a racing append/disjoint-DML rebases (the encoded stats
+    // re-apply onto the new head verbatim — the conflict rule proves
+    // the victim entries unchanged); a racing commit that touched a
     // victim file conflicts loudly
-    publishRebasing(root, base, applyHits,
-      conflictsWith = dmlConflict(hits.keySet),
+    publishRebasing(root, base,
+      build = cur => applyEncodedDv(cur, encoded),
+      conflictsWith = dmlConflict(encoded.keySet),
       retain, conflictRetries)
   }
 
@@ -2351,30 +2502,6 @@ object TableCommit {
       base.join(broadcast(del), Seq("_g_leaf", "_g_pos"), "left_anti")
     }
   }
-
-  /** Collect the (leaf → sorted positions) map of `victims` (a
-    * [[liveWithPos]] projection) — deleted-row-count–sized, the only
-    * thing that visits the driver in the row-level DML paths. */
-  private def victimPositions(
-      victims: DataFrame): Map[String, Seq[Long]] = {
-    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
-    victims.groupBy(col("_g_leaf"))
-      .agg(sort_array(collect_list(col("_g_pos"))).as("ps"))
-      .collect()
-      .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
-  }
-
-  private def applyDv(root: String, es: Seq[Entry],
-      hits: Map[String, Seq[Long]], inlineDvMax: Int): Seq[Entry] =
-    es.map { e =>
-      hits.get(pathLeaf(e.path)) match {
-        case None => e
-        case Some(ps) =>
-          val merged = (deletedPositions(root, e) ++ ps).distinct
-          e.copy(stats =
-            e.stats + (DvKey -> dvEncode(root, merged, inlineDvMax)))
-      }
-    }
 
   /** Row-level UPDATE via merge-on-read (X270): live rows matching
     * `predicate` are DV-deleted in place and their UPDATED images
@@ -2413,8 +2540,12 @@ object TableCommit {
            .getOrElse(return base)
        else liveWithPos(spark, root, schema, es))
         .filter(predicate)
-    val hits = victimPositions(victims)
-    if (hits.isEmpty) return base
+    // distributed fold+encode (victims are LIVE rows, so a non-empty
+    // match always changes at least one vector; empty = no-op)
+    val encoded = dvEncodeDistributed(spark, root,
+      victims.select(col("_g_leaf"), col("_g_pos")),
+      existingDvByLeaf(es), inlineDvMax)
+    if (encoded.isEmpty) return base
     // updated images: assignments applied, engine columns dropped,
     // column order re-pinned to the table schema
     val imageCols =
@@ -2431,9 +2562,11 @@ object TableCommit {
     // X274: same rebase/conflict rule as DELETE — the staged updated
     // images carry over verbatim (appends never conflict)
     publishRebasing(root, base,
-      build = cur => applyDv(root, cur, hits, inlineDvMax) ++ staged,
-      conflictsWith = dmlConflict(hits.keySet),
-      retain, conflictRetries)
+      build = cur => applyEncodedDv(cur, encoded) ++ staged,
+      conflictsWith = dmlConflict(encoded.keySet),
+      retain, conflictRetries,
+      ridHighWater =
+        if (preserveRowIds) Some(rowIdHighWaterAt(root, base)) else None)
   }
 
   /** Merge-on-read MERGE / upsert (X272): each source row REPLACES the
@@ -2446,43 +2579,124 @@ object TableCommit {
     * `source` must be unique on `keyCols` (the caller's upsert batch
     * contract — dedup first if not, e.g. last-write-wins row_number)
     * and is assumed BATCH-SIZED: its distinct keys broadcast to the
-    * target scan. A source too big to broadcast is the copy-on-write
-    * MERGE's territory. */
+    * target scan. That assumption is now SELF-ENFORCING (VERDICT r12):
+    * a source with more than `maxBroadcastKeys` distinct keys refuses
+    * loudly before touching the table — a source too big to broadcast
+    * is the copy-on-write MERGE's territory.
+    *
+    * `preserveRowIds = true` (X278, VERDICT r12 task 1) gives the MERGE
+    * the UPDATE's lineage semantics on a TRACKED table: a matched
+    * source row INHERITS the stable `_row_id` of the live row it
+    * replaces (its image lands id-materialized, like an id-preserving
+    * compaction's output), while not-matched rows mint fresh ids at the
+    * tracked high-water — so X277 identity CDC reports a MERGE upsert
+    * as a delete+insert pair SHARING one id, not a spurious
+    * delete-one-id/create-another. If several live rows share a key
+    * (a target written outside the merge contract), they all
+    * DV-delete and the image carries the SMALLEST of their ids
+    * forward. */
   def commitMergeRows(spark: SparkSession, root: String,
       schema: StructType, source: DataFrame, keyCols: Seq[String],
       retain: Int = 1, inlineDvMax: Int = DvInlineMax,
-      statsCols: Seq[String] = Nil, conflictRetries: Int = 0): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+      statsCols: Seq[String] = Nil, conflictRetries: Int = 0,
+      preserveRowIds: Boolean = false,
+      maxBroadcastKeys: Int = 5000000): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, min => colMin}
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    if (es.isEmpty)
-      return publish(root, stageBatch(src, root, None, statsCols),
-        retain, expected = Some(base))
-    requireUniqueLeaves(root, es)
     val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
-    val victims = liveWithPos(spark, root, schema, es)
-      .join(broadcast(keys), keyCols, "left_semi")
-    val hits = victimPositions(victims)
-    val staged = stageBatch(src, root, None, statsCols)
+    // the broadcast's legality was a docstring; make it a check. The
+    // probe is early-terminating (limit + count) and batch-sized by
+    // the same contract it enforces.
+    require(maxBroadcastKeys > 0 && maxBroadcastKeys < Int.MaxValue,
+      s"bad maxBroadcastKeys $maxBroadcastKeys")
+    val probe = keys.limit(maxBroadcastKeys + 1).count()
+    require(probe <= maxBroadcastKeys,
+      s"merge source carries more than $maxBroadcastKeys distinct " +
+        s"keys at $root — too large for the broadcast merge-on-read " +
+        "path; use the copy-on-write MERGE (J2) or raise " +
+        "maxBroadcastKeys if the cluster can hold the broadcast")
+    if (es.isEmpty) {
+      // bootstrap: insert-only into a virgin table
+      if (!preserveRowIds)
+        return publish(root, stageBatch(src, root, None, statsCols),
+          retain, expected = Some(base))
+      val staged = stageBatch(src, root, None, statsCols,
+        collectRows = true)
+      require(staged.forall(_.rows.isDefined),
+        "row-id tracking needs per-file row counts (unreadable footer?)")
+      var acc = 0L
+      val eff = staged.map { e =>
+        val b = acc; acc += e.rows.get; e.copy(baseRowId = Some(b))
+      }
+      return publish(root, eff, retain, expected = Some(base),
+        ridHighWater = Some(acc))
+    }
+    requireUniqueLeaves(root, es)
     // X274: MERGE is stricter than DELETE/UPDATE — its upsert
     // invariant (one live row per key) reads the WHOLE live table, so
     // a racing commit that ADDED rows anywhere could smuggle in a key
     // this merge matched-or-missed against the old snapshot. Any
     // interleaved addition conflicts; only pure DV-growth on
-    // non-victim files (a disjoint delete) rebases.
-    val strict = (c: VersionChange) =>
-      dmlConflict(hits.keySet)(c).orElse {
+    // non-victim files (a disjoint delete) rebases. This strictness is
+    // also what makes pre-loop id assignment sound below: no
+    // interleaving this merge survives can raise the id high-water.
+    def strict(victimLeaves: Set[String])(
+        c: VersionChange): Option[String] =
+      dmlConflict(victimLeaves)(c).orElse {
         if (c.added.nonEmpty)
           Some(s"added file(s) ${c.added.map(_.path).take(3)} — the " +
             "merge's key-match read the whole table and cannot prove " +
             "the new rows miss its keys")
         else None
       }
-    publishRebasing(root, base,
-      build = cur => applyDv(root, cur, hits, inlineDvMax) ++ staged,
-      conflictsWith = strict,
-      retain, conflictRetries)
+    if (!preserveRowIds) {
+      val victims = liveWithPos(spark, root, schema, es)
+        .join(broadcast(keys), keyCols, "left_semi")
+      val encoded = dvEncodeDistributed(spark, root,
+        victims.select(col("_g_leaf"), col("_g_pos")),
+        existingDvByLeaf(es), inlineDvMax)
+      val staged = stageBatch(src, root, None, statsCols)
+      publishRebasing(root, base,
+        build = cur => applyEncodedDv(cur, encoded) ++ staged,
+        conflictsWith = strict(encoded.keySet),
+        retain, conflictRetries)
+    } else {
+      // X278: lineage-preserving MERGE on a tracked table
+      val live = liveWithIdsAndPos(spark, root, schema, es)
+        .getOrElse(throw new IllegalStateException("non-empty entry " +
+          "list produced no live scan")) // es.nonEmpty ⇒ Some
+      val victims = live.join(broadcast(keys), keyCols, "left_semi")
+      val encoded = dvEncodeDistributed(spark, root,
+        victims.select(col("_g_leaf"), col("_g_pos")),
+        existingDvByLeaf(es), inlineDvMax)
+      // one inherited id per matched key (smallest, if duplicated)
+      val vicIds = victims
+        .groupBy(keyCols.map(col): _*)
+        .agg(colMin(col(RowIdCol)).as(RowIdCol))
+      val imageCols = (schema.fieldNames.toSeq :+ RowIdCol).map(col)
+      val matched = src.join(broadcast(vicIds), keyCols, "inner")
+        .select(imageCols: _*)
+      val fresh = src.join(
+        broadcast(vicIds.select(keyCols.map(col): _*)), keyCols,
+        "left_anti")
+      val stagedMatched = stageBatch(matched, root, None,
+        statsCols :+ RowIdCol).map(markRidStats)
+      val stagedFresh0 = stageBatch(fresh, root, None, statsCols,
+        collectRows = true)
+      require(stagedFresh0.forall(_.rows.isDefined),
+        "row-id tracking needs per-file row counts (unreadable footer?)")
+      var acc = rowIdHighWaterAt(root, base)
+      val stagedFresh = stagedFresh0.map { e =>
+        val b = acc; acc += e.rows.get; e.copy(baseRowId = Some(b))
+      }
+      publishRebasing(root, base,
+        build = cur =>
+          applyEncodedDv(cur, encoded) ++ stagedMatched ++ stagedFresh,
+        conflictsWith = strict(encoded.keySet),
+        retain, conflictRetries, ridHighWater = Some(acc))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -2823,8 +3037,79 @@ object TableCommit {
         case None    => cur.coalesce(targetFiles)
       }
       val staged = stageBatch(arranged, root, None, statsCols :+ RowIdCol)
+      // pin the PRE-compact high-water into the durable header: the
+      // born entries being melted still witness it (brid + rows covers
+      // deleted positions), the materialized outputs may not (ADVICE
+      // r12's rewind) — this is the moment the watermark must survive
       publish(root, staged.map(markRidStats), retain,
-        expected = Some(base))
+        expected = Some(base),
+        ridHighWater = Some(rowIdHighWaterAt(root, base)))
+    }
+  }
+
+  /** Targeted melt of DV-FAT files (X279, VERDICT r12 task 4): rewrite
+    * ONLY the files whose deleted fraction exceeds `maxDeadRatio`,
+    * carrying every thin-or-clean file forward UNTOUCHED — the
+    * operational lever behind SCALING's measured trade (17× read
+    * overhead at 20% deleted → "run OPTIMIZE", except OPTIMIZE melts
+    * the WHOLE table; at 100 TB that rewrites 100 TB to repair the 2%
+    * of files a purge actually fattened). One atomic commit; untouched
+    * entries keep their paths (spec-pinned), so downstream caches,
+    * clones and the change feed see a rewrite proportional to the
+    * DAMAGE, not the table.
+    *
+    * The melt decision is metadata-only: the per-file DV count rides
+    * the stats channel's max slot (zero-cost even for sidecar DVs) and
+    * the row count comes from the manifest, falling back to ONE
+    * footer-metadata open per DV-carrying file — candidate-sized, not
+    * table-sized. `targetFiles > 0` coalesces the rewritten live rows
+    * (a melt of many half-dead small files can also compact them);
+    * `0` keeps the scan's natural output layout. Tracked tables melt
+    * with `preserveRowIds = true`, exactly like [[commitCompact]]. */
+  def commitMeltDeleted(spark: SparkSession, root: String,
+      maxDeadRatio: Double, targetFiles: Int = 0,
+      statsCols: Seq[String] = Nil, retain: Int = 1,
+      preserveRowIds: Boolean = false): Long = {
+    require(maxDeadRatio >= 0.0 && maxDeadRatio < 1.0,
+      s"bad maxDeadRatio $maxDeadRatio (want [0, 1))")
+    val base = currentVersion(root).getOrElse(0L)
+    val es = entriesAt(root, base)
+    require(es.nonEmpty, s"nothing to melt at $root")
+    val conf = spark.sessionState.newHadoopConf()
+    val fat = es.filter { e =>
+      val dc = deletedCount(e)
+      dc > 0L && {
+        val rows = e.rows.orElse(
+          footerRowCount(conf, Paths.get(resolvePath(root, e.path))))
+        rows.exists(r => r > 0L && dc.toDouble / r > maxDeadRatio)
+      }
+    }
+    if (fat.isEmpty) return base // nothing fat enough: no snapshot churn
+    val fatPaths = fat.map(_.path).toSet
+    val kept = es.filterNot(e => fatPaths(e.path))
+    if (!preserveRowIds) {
+      val live = readLive(spark, root, None, fat)
+      val arranged =
+        if (targetFiles > 0) live.coalesce(targetFiles) else live
+      publish(root, kept ++ stageBatch(arranged, root, None, statsCols),
+        retain, expected = Some(base))
+    } else {
+      // X275: id-preserving melt — rewritten rows carry `_row_id`
+      // materialized; the durable high-water header is re-pinned from
+      // the pre-melt state (same rationale as commitCompact's)
+      val inferred = spark.read
+        .parquet(fat.map(e => resolvePath(root, e.path)): _*).schema
+      val dataSchema = StructType(
+        inferred.fields.filterNot(_.name == RowIdCol))
+      val cur = liveWithIdsAndPos(spark, root, dataSchema, fat)
+        .getOrElse(return base)
+        .select((dataSchema.fieldNames.toSeq :+ RowIdCol).map(col): _*)
+      val arranged =
+        if (targetFiles > 0) cur.coalesce(targetFiles) else cur
+      val staged = stageBatch(arranged, root, None, statsCols :+ RowIdCol)
+        .map(markRidStats)
+      publish(root, kept ++ staged, retain, expected = Some(base),
+        ridHighWater = Some(rowIdHighWaterAt(root, base)))
     }
   }
 

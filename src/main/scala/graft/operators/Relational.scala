@@ -2734,4 +2734,320 @@ object Relational {
       |  CAST(SUM(user_id) AS BIGINT) AS user_sum,
       |  CAST(9 AS BIGINT) AS n_commits
       |FROM after GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** `q_merge_mor_lineage` (X278, VERDICT r12 task 1): MERGE that
+    * PRESERVES row lineage — `commitMergeRows(preserveRowIds = true)`
+    * gives the upsert UPDATE's identity semantics: a matched source
+    * row INHERITS the stable `_row_id` of the row it replaces, a
+    * not-matched row mints a fresh id at the tracked high-water.
+    * Without this, X277 identity CDC reported a MERGE upsert as
+    * delete-one-id + create-another — breaking every downstream
+    * consumer keyed on `_row_id`, the exact consumer lineage exists
+    * for. Fixture: 3 deterministic tracked appends → one lineage MERGE
+    * (matched stripe event_id%7=1 relabeled; fresh stripe event_id%31=2
+    * re-keyed +10⁹). The rollup reads the FULL identity feed: the merge
+    * version's delete and insert legs must agree on the matched ids
+    * (`mix_sum` pairs each pre-10⁹ event_id with its id — one
+    * transposed identity breaks it), and the insert leg's `id_sum`/
+    * `max_id` pin the fresh ids to exactly the contiguous block at the
+    * old high-water. */
+  def mergeMorLineageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_mmlq_") +
+      "/events"
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    (0 to 2).foreach { g =>
+      TableCommit.commitAppendTracked(
+        src.filter(pmod(col("event_id"), lit(3L)) === g.toLong)
+          .repartition(1).sortWithinPartitions("event_id"),
+        root, retain = 8)
+    }
+    val upserts = src.filter(pmod(col("event_id"), lit(7L)) === 1L)
+      .select(col("event_id"), col("user_id"),
+        lit("upserted").as("event_type"))
+      .unionByName(src.filter(pmod(col("event_id"), lit(31L)) === 2L)
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          col("user_id"), lit("born").as("event_type")))
+    val v4 = TableCommit.commitMergeRows(spark, root, schema, upserts,
+      keyCols = Seq("event_id"), retain = 8, preserveRowIds = true)
+    TableCommit.readChangesFullIds(spark, root, schema, 0L, v4)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(Num.countStar.as("n_rows"),
+        sum(col(TableCommit.RowIdCol)).as("id_sum"),
+        sum(when(col("event_id") < 1000000000L,
+          pmod(col("event_id"), lit(997L)) * col(TableCommit.RowIdCol))
+          .otherwise(0L)).as("mix_sum"),
+        max(col(TableCommit.RowIdCol)).as("max_id"))
+      .orderBy(col("commit_version"), col("change_type"))
+  }
+
+  val mergeMorLineageOracle: String =
+    """WITH src AS (
+      |  SELECT event_id, user_id, event_type, event_id % 3 AS grp
+      |  FROM events),
+      |counts AS (SELECT grp, COUNT(*) AS n FROM src GROUP BY grp),
+      |offs AS (SELECT grp, COALESCE(SUM(n) OVER (ORDER BY grp
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM counts),
+      |ids AS (SELECT s.event_id, s.grp,
+      |  o.off + ROW_NUMBER() OVER (PARTITION BY s.grp
+      |    ORDER BY s.event_id) - 1 AS row_id
+      |  FROM src s JOIN offs o USING (grp)),
+      |m AS (SELECT event_id, row_id, (event_id % 997) * row_id AS mix
+      |  FROM ids WHERE event_id % 7 = 1),
+      |tot AS (SELECT COUNT(*) AS n FROM src),
+      |fr AS (SELECT COUNT(*) AS f FROM src WHERE event_id % 31 = 2),
+      |births AS (
+      |  SELECT CAST(grp + 1 AS BIGINT) AS commit_version,
+      |    'insert' AS change_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(row_id) AS BIGINT) AS id_sum,
+      |    CAST(SUM((event_id % 997) * row_id) AS BIGINT) AS mix_sum,
+      |    CAST(MAX(row_id) AS BIGINT) AS max_id
+      |  FROM ids GROUP BY grp),
+      |mdel AS (
+      |  SELECT CAST(4 AS BIGINT) AS commit_version,
+      |    'delete' AS change_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(row_id) AS BIGINT) AS id_sum,
+      |    CAST(SUM(mix) AS BIGINT) AS mix_sum,
+      |    CAST(MAX(row_id) AS BIGINT) AS max_id
+      |  FROM m),
+      |mins AS (
+      |  SELECT CAST(4 AS BIGINT) AS commit_version,
+      |    'insert' AS change_type,
+      |    CAST((SELECT COUNT(*) FROM m) + f AS BIGINT) AS n_rows,
+      |    CAST((SELECT SUM(row_id) FROM m)
+      |      + n * f + (f * (f - 1)) // 2 AS BIGINT) AS id_sum,
+      |    CAST((SELECT SUM(mix) FROM m) AS BIGINT) AS mix_sum,
+      |    CAST(CASE WHEN f > 0 THEN n + f - 1
+      |      ELSE (SELECT MAX(row_id) FROM m) END AS BIGINT) AS max_id
+      |  FROM tot, fr)
+      |SELECT * FROM births
+      |UNION ALL SELECT * FROM mdel
+      |UNION ALL SELECT * FROM mins
+      |ORDER BY commit_version, change_type""".stripMargin
+
+  /** `q_stream_cdf_ids` (X280, VERDICT r12 task 2): IDENTITY CDC AS A
+    * STREAM — `graft-cdf` with `mode=full, withrowids=true` exposes the
+    * stable `_row_id` on every change row, so a STREAMING consumer (a
+    * replicating feature store — the consumer that actually follows a
+    * table continuously) can key state by row identity: the update
+    * arrives as a delete+insert pair sharing one id, the compaction
+    * re-emits every live row under its unchanged id. Fixture replays
+    * the full X277 lifecycle (3 tracked appends → row delete →
+    * id-preserving UPDATE → id-preserving OPTIMIZE) and must
+    * hash-match the BATCH `readChangesFullIds` rollup — the oracle is
+    * byte-identical to `q_cdf_lineage`'s, which is the point:
+    * stream-equals-batch. Kill/resume over this source is spec-pinned
+    * in CdfStreamSpec. */
+  def streamCdfIdsQ(spark: SparkSession, sfDir: String): DataFrame =
+    graft.engine.Conf.withShufflePartitions(spark, 4) {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_scidq_") +
+      "/events"
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    (0 to 2).foreach { g =>
+      TableCommit.commitAppendTracked(
+        src.filter(pmod(col("event_id"), lit(3L)) === g.toLong)
+          .repartition(1).sortWithinPartitions("event_id"),
+        root, retain = 8)
+    }
+    TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("event_id"), lit(7L)) === 0L, retain = 8)
+    TableCommit.commitUpdateRows(spark, root, schema,
+      pmod(col("event_id"), lit(11L)) === 3L,
+      Seq("event_type" -> lit("relabeled")), retain = 8,
+      preserveRowIds = true)
+    TableCommit.commitCompact(spark, root, targetFiles = 4,
+      sortCol = Some("event_id"), retain = 8, preserveRowIds = true)
+    val fullSchema = StructType(schema.fields ++ Seq(
+      StructField(TableCommit.RowIdCol, LongType),
+      StructField("_commit_version", LongType),
+      StructField("_change_type", StringType)))
+    val sinkName = "graft_stream_cdfids_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = spark.readStream.format("graft-cdf")
+      .schema(fullSchema)
+      .option("root", root)
+      .option("mode", "full")
+      .option("withrowids", "true")
+      .option("maxversionspertrigger", "1")
+      .load()
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(Num.countStar.as("n_rows"),
+        sum(col(TableCommit.RowIdCol)).as("id_sum"),
+        sum(pmod(col("event_id"), lit(997L)) * col(TableCommit.RowIdCol))
+          .as("mix_sum"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val rollup = spark.table(sinkName)
+    val rows = rollup.collect().toIndexedSeq
+    val rollupSchema = rollup.schema
+    spark.catalog.dropTempView(sinkName)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, rollupSchema)
+      .orderBy(col("commit_version"), col("change_type"))
+  }
+
+  /** `q_melt_dv` (X279, VERDICT r12 task 4): TARGETED melt — rewrite
+    * only the DV-fat files. Fixture: three single-file slices → a FAT
+    * delete concentrated in slice 0 (40% of its rows) and a THIN one
+    * in slice 1 (~1.7%) → `commitMeltDeleted(maxDeadRatio = 0.1)`.
+    * Slice 0 melts (its path leaves the manifest, its dead rows are
+    * physically gone); slices 1–2 keep their PATHS — slice 1 keeps its
+    * thin DV — so the meta row pins exactly the targeted-rewrite
+    * contract: 2 untouched paths carried forward, 1 melted output, 1
+    * file still carrying a DV. The table rollup proves content is the
+    * live set exactly (a melt that leaked dead rows or dropped live
+    * ones breaks it). */
+  def meltDvQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_meltq_") +
+      "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    (0 to 2).foreach(g => TableCommit.commitAppend(
+      src.filter(pmod(col("k"), lit(3L)) === g.toLong).repartition(1),
+      root, retain = 8))
+    TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("k"), lit(3L)) === 0L && pmod(col("k"), lit(5L)) < 2L,
+      retain = 8)
+    TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("k"), lit(3L)) === 1L && pmod(col("k"), lit(20L)) === 4L,
+      retain = 8)
+    val pre = TableCommit.entries(root).map(_.path).toSet
+    TableCommit.commitMeltDeleted(spark, root, maxDeadRatio = 0.1,
+      targetFiles = 1, retain = 8)
+    val post = TableCommit.entries(root)
+    val kept = post.count(e => pre(e.path)).toLong
+    val dvAfter = post.count(e => TableCommit.deletedCount(e) > 0L).toLong
+    val meltedNew = (post.size - kept).toLong
+    val table = TableCommit.read(spark, root, schema)
+      .groupBy(col("st"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .select(lit("table").as("kind"), col("st").as("key"),
+        col("n_rows"), col("cents_sum"), col("key_sum"))
+    val meta = table.sparkSession.range(1)
+      .select(lit("meta").as("kind"), lit("files").as("key"),
+        lit(kept).as("n_rows"), lit(dvAfter).as("cents_sum"),
+        lit(meltedNew).as("key_sum"))
+    table.unionByName(meta).orderBy(col("kind"), col("key"))
+  }
+
+  val meltDvOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |live AS (SELECT * FROM base
+      |  WHERE NOT (k % 3 = 0 AND k % 5 < 2)
+      |    AND NOT (k % 3 = 1 AND k % 20 = 4))
+      |SELECT 'table' AS kind, st AS key,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM live GROUP BY 2
+      |UNION ALL
+      |SELECT 'meta', 'files', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+      |  CAST(1 AS BIGINT)
+      |ORDER BY kind, key""".stripMargin
+
+  /** `q_pruned_mapped` (X281, VERDICT r12 task 5): stats pruning UNDER
+    * COLUMN MAPPING. Manifest stats are keyed by PHYSICAL name; before
+    * the bridge, pruning a renamed column by its logical name silently
+    * kept every file (lossless but useless — the 100k-file table reads
+    * 100k footers again). Fixture: three range-sliced single-file
+    * appends with `k` stats → RENAME k→order_k → three more mapped
+    * appends (stats translate to the physical name on the write side)
+    * → prune by the NEW logical name over a mid-range probe. The meta
+    * row pins that exactly the 2 mid-range files (one per era) survive
+    * pruning; the rollup reads only those files and applies the row
+    * filter. The rename-invariance law (same file set as pruning by
+    * the old name pre-rename) is spec-pinned in ColumnMappingSpec. */
+  def prunedMappedQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_pmapq_") +
+      "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    def slice(lo: Long, hi: Long) =
+      src.filter(col("k") >= lo && col("k") < hi).repartition(1)
+    // orderkeys are dense from 0, so every slice is non-empty at every
+    // sf (an EMPTY slice writes a zero-row file with no footer stats,
+    // which pruning must keep — lossless — defeating the fixture)
+    val cuts = Seq((0L, 500L), (500L, 1000L), (1000L, Long.MaxValue))
+    cuts.foreach { case (lo, hi) =>
+      TableCommit.commitAppend(slice(lo, hi), root, retain = 16,
+        statsCols = Seq("k"))
+    }
+    TableCommit.commitRenameColumn(root, "k", "order_k", retain = 16)
+    cuts.foreach { case (lo, hi) =>
+      TableCommit.commitAppendMapped(
+        slice(lo, hi).withColumnRenamed("k", "order_k"), root,
+        retain = 16, statsCols = Seq("order_k"))
+    }
+    val logical = StructType(Seq(StructField("order_k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    val might = (cs: TableCommit.ColStats) =>
+      !(cs.max.toLong < 500L || cs.min.toLong > 999L)
+    val keptFiles = TableCommit.pruneEntriesMapped(root, "order_k")(might)
+      .size.toLong
+    val totalFiles = TableCommit.entries(root).size.toLong
+    val table = TableCommit
+      .readPrunedStatsMapped(spark, root, logical, "order_k")(might)
+      .filter(col("order_k") >= 500L && col("order_k") < 1000L)
+      .groupBy(col("st"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("order_k")).as("key_sum"))
+      .select(lit("table").as("kind"), col("st").as("key"),
+        col("n_rows"), col("cents_sum"), col("key_sum"))
+    val meta = table.sparkSession.range(1)
+      .select(lit("meta").as("kind"), lit("files").as("key"),
+        lit(keptFiles).as("n_rows"), lit(totalFiles).as("cents_sum"),
+        lit(0L).as("key_sum"))
+    table.unionByName(meta).orderBy(col("kind"), col("key"))
+  }
+
+  val prunedMappedOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |hit AS (SELECT * FROM base WHERE k >= 500 AND k < 1000)
+      |SELECT 'table' AS kind, st AS key,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(2 * SUM(c) AS BIGINT) AS cents_sum,
+      |  CAST(2 * SUM(k) AS BIGINT) AS key_sum
+      |FROM hit GROUP BY 2
+      |UNION ALL
+      |SELECT 'meta', 'files', CAST(2 AS BIGINT), CAST(6 AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |ORDER BY kind, key""".stripMargin
 }

@@ -34,7 +34,15 @@ import graft.engine.TableCommit
   *     rows, a DV delta emits exactly the newly-dead positions as
   *     delete rows, each tagged by a trailing `_change_type` column —
   *     so a CDC consumer can follow a table through X265 row deletes
-  *     and OPTIMIZE, exactly when CDC matters most.
+  *     and OPTIMIZE, exactly when CDC matters most;
+  *   - `option("withrowids", "true")` (X280, with mode=full, on a
+  *     TRACKED table): every change row also carries its stable
+  *     `_row_id` — the [[TableCommit.readChangesFullIds]] semantics
+  *     STREAMED, so a replicating consumer (feature store, training-
+  *     data index) can key state by row identity: an update arrives as
+  *     a delete+insert pair sharing one id, a compaction re-emits
+  *     unchanged ids. Schema gains `_row_id LONG` before the two
+  *     trailing metadata columns.
   * Retention must cover the consumer's lag (poll at least once per
   * `retain` commits), exactly the batch feed's rule.
   *
@@ -80,9 +88,28 @@ private object GraftCdf {
     * trailing metadata columns for the mode: append mode ends with
     * `_commit_version LONG`; full mode with `_commit_version LONG,
     * _change_type STRING` (the batch [[TableCommit.readChangesFull]]
-    * schema, streamed). */
-  def dataSchema(full: StructType, fullFeed: Boolean): StructType =
-    if (fullFeed) {
+    * schema, streamed); full mode with row ids (X280) with `_row_id
+    * LONG, _commit_version LONG, _change_type STRING` (the batch
+    * [[TableCommit.readChangesFullIds]] schema, streamed). */
+  def dataSchema(full: StructType, fullFeed: Boolean,
+      withIds: Boolean): StructType =
+    if (withIds) {
+      require(fullFeed,
+        "graft-cdf withrowids=true requires mode=full — identity CDC " +
+          "must express deletes and rewrites")
+      require(full.fields.length >= 3 &&
+        full.fields(full.fields.length - 3).name ==
+          TableCommit.RowIdCol &&
+        full.fields(full.fields.length - 3).dataType == LongType &&
+        full.fields(full.fields.length - 2).name == VersionCol &&
+        full.fields(full.fields.length - 2).dataType == LongType &&
+        full.fields.last.name == TypeCol &&
+        full.fields.last.dataType == StringType,
+        s"graft-cdf withrowids schema must end with " +
+          s"`${TableCommit.RowIdCol} LONG, $VersionCol LONG, " +
+          s"$TypeCol STRING`; got $full")
+      StructType(full.fields.dropRight(3))
+    } else if (fullFeed) {
       require(full.fields.length >= 2 &&
         full.fields(full.fields.length - 2).name == VersionCol &&
         full.fields(full.fields.length - 2).dataType == LongType &&
@@ -118,7 +145,8 @@ private class GraftCdfTable(schema0: StructType,
           new GraftCdfStream(root, schema0,
             Option(properties.get("maxversionspertrigger")).map(_.toLong),
             Option(properties.get("simulatecrashatversion")).map(_.toLong),
-            Option(properties.get("mode")).exists(_ == "full"))
+            Option(properties.get("mode")).exists(_ == "full"),
+            Option(properties.get("withrowids")).exists(_ == "true"))
       }
     }
 }
@@ -139,9 +167,9 @@ private object CdfOffset {
 
 private class GraftCdfStream(root: String, fullSchema: StructType,
     maxVersionsPerTrigger: Option[Long], simulateCrashAtVersion: Option[Long],
-    fullFeed: Boolean)
+    fullFeed: Boolean, withIds: Boolean)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private val dataSchema = GraftCdf.dataSchema(fullSchema, fullFeed)
+  private val dataSchema = GraftCdf.dataSchema(fullSchema, fullFeed, withIds)
   /** AvailableNow horizon, pinned at prepare time so the drain is a
     * fixed target even while writers keep committing. */
   @volatile private var horizon: Option[Long] = None
@@ -184,6 +212,20 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
     val chs = TableCommit.changesBetween(root, from, until)
     def abs(e: TableCommit.Entry): String =
       if (e.path.startsWith("/")) e.path else s"$root/${e.path}"
+    // X280: identity CDC needs each file's id source — `brid + position`
+    // for files in their birth layout, the materialized `_row_id`
+    // column for rewritten ones (marked by the `rid:` stats key). A
+    // file with neither has no lineage: fail at PLANNING time, the
+    // same loud contract as the batch readChangesFullIds.
+    def ridBase(e: TableCommit.Entry): Option[Long] =
+      if (!withIds) None
+      else e.baseRowId.orElse {
+        require(e.stats.contains(TableCommit.RidKey),
+          s"file ${e.path} at $root has no row lineage — a tracked " +
+            "table must only be written through commitAppendTracked / " +
+            "preserveRowIds rewrites")
+        None // materialized: the reader pulls the _row_id column
+      }
     if (!fullFeed) {
       // append-only contract, enforced at PLANNING time so a rewrite
       // version kills the stream loudly, never feeds a half-truth
@@ -201,7 +243,8 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
         ch.added.map { e =>
           CdfFilePartition(abs(e), ch.version, dataSchema,
             TableCommit.deletedPositions(root, e).toArray,
-            emitOnly = false, changeType = None): InputPartition
+            emitOnly = false, changeType = None,
+            withIds = false, ridBase = None): InputPartition
         }
       }.toArray
     } else {
@@ -215,15 +258,18 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
         val ins = ch.added.map(e =>
           CdfFilePartition(abs(e), ch.version, dataSchema,
             TableCommit.deletedPositions(root, e).toArray,
-            emitOnly = false, changeType = Some("insert")): InputPartition)
+            emitOnly = false, changeType = Some("insert"),
+            withIds = withIds, ridBase = ridBase(e)): InputPartition)
         val del = ch.removed.map(e =>
           CdfFilePartition(abs(e), ch.version, dataSchema,
             TableCommit.deletedPositions(root, e).toArray,
-            emitOnly = false, changeType = Some("delete")): InputPartition)
+            emitOnly = false, changeType = Some("delete"),
+            withIds = withIds, ridBase = ridBase(e)): InputPartition)
         val dvd = ch.dvGrown.map { case (e, fresh) =>
           CdfFilePartition(abs(e), ch.version, dataSchema,
             fresh.toArray,
-            emitOnly = true, changeType = Some("delete")): InputPartition
+            emitOnly = true, changeType = Some("delete"),
+            withIds = withIds, ridBase = ridBase(e)): InputPartition
         }
         ins ++ del ++ dvd
       }.toArray
@@ -241,10 +287,14 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
   * dead rows were never content and must not stream); true → emit
   * ONLY these positions (a DV delta's newly-dead rows, streamed as
   * delete records in the full feed). `changeType` present = full-feed
-  * mode, emitted as the trailing `_change_type` column. */
+  * mode, emitted as the trailing `_change_type` column. `withIds`
+  * (X280) adds a `_row_id` column before it: `ridBase + position` when
+  * the base is present (a born file), the file's materialized
+  * `_row_id` column otherwise. */
 private case class CdfFilePartition(absPath: String, version: Long,
     dataSchema: StructType, positions: Array[Long],
-    emitOnly: Boolean, changeType: Option[String]) extends InputPartition
+    emitOnly: Boolean, changeType: Option[String],
+    withIds: Boolean, ridBase: Option[Long]) extends InputPartition
 
 private object GraftCdfReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -291,7 +341,8 @@ private class GraftCdfFileReader(p: CdfFilePartition)
 
   override def get(): InternalRow = {
     val n = p.dataSchema.fields.length
-    val extra = if (p.changeType.isDefined) 2 else 1
+    val extra = (if (p.withIds) 1 else 0) +
+      (if (p.changeType.isDefined) 2 else 1)
     val vals = new Array[Any](n + extra)
     var i = 0
     while (i < n) {
@@ -349,8 +400,23 @@ private class GraftCdfFileReader(p: CdfFilePartition)
         }
       i += 1
     }
-    vals(n) = p.version
-    p.changeType.foreach(t => vals(n + 1) = UTF8String.fromString(t))
+    var j = n
+    if (p.withIds) {
+      // X280: identity — birth arithmetic for files in birth layout,
+      // the materialized column for rewritten ones
+      vals(j) = p.ridBase match {
+        case Some(b) => b + pos
+        case None =>
+          require(
+            current.getFieldRepetitionCount(TableCommit.RowIdCol) > 0,
+            s"materialized ${TableCommit.RowIdCol} missing at " +
+              s"position $pos of ${p.absPath}")
+          current.getLong(TableCommit.RowIdCol, 0)
+      }
+      j += 1
+    }
+    vals(j) = p.version
+    p.changeType.foreach(t => vals(j + 1) = UTF8String.fromString(t))
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 

@@ -18,9 +18,17 @@ import graft.engine.TableCommit
   *   `dv <files> <rowsPerFile> <deletePerMille> <inlineMax>` — the DV
   *     stress shape: delete ~frac of rows across EVERY file in one
   *     commit; reports commit latency, manifest bytes before/after,
-  *     read overhead (DV'd read vs pre-delete read), and full-CDF
-  *     derivation cost. Run once with inlineMax high (inline vectors)
-  *     and once low (sidecars) to price the X269 threshold.
+  *     read overhead (DV'd read vs pre-delete read), full-CDF
+  *     derivation cost, the post-GC heap delta around the delete (the
+  *     executor-side-fold witness, VERDICT r12 task 3), and the X279
+  *     melt repair cost (uniform damage = every file melts — the
+  *     worst case, pricing melt-as-OPTIMIZE).
+  *
+  *   `melt <files> <rowsPerFile>` — the SKEWED damage shape X279
+  *     exists for: 30% dead in the first ~10% of the key range (the
+  *     fat files), ~0.1% elsewhere; `commitMeltDeleted(0.05)` must
+  *     rewrite only the fat files, carry the rest by path, and return
+  *     the read to ~plain cost while thin DVs stay.
   *
   * Results land in SCALING.md by hand. */
 object ManifestSoak {
@@ -42,6 +50,8 @@ object ManifestSoak {
       case Some("dv") =>
         dv(spark, args(1).toInt, args(2).toInt, args(3).toInt,
           args(4).toInt)
+      case Some("melt") =>
+        melt(spark, args(1).toInt, args(2).toInt)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
@@ -107,6 +117,15 @@ object ManifestSoak {
       f"($planned planned entries)")
   }
 
+  /** Post-GC used heap — the driver-residency witness for the
+    * executor-side DV fold (VERDICT r12 task 3): the delete commit's
+    * heap delta must stay file-count–sized, never positions-sized. */
+  private def usedHeap(): Long = {
+    System.gc(); Thread.sleep(300); System.gc()
+    val rt = Runtime.getRuntime
+    rt.totalMemory - rt.freeMemory
+  }
+
   private def dv(spark: SparkSession, files: Int, rows: Int,
       perMille: Int, inlineMax: Int): Unit = {
     val root = Files.createTempDirectory("graft_dvsoak_").toString + "/t"
@@ -119,11 +138,13 @@ object ManifestSoak {
     val r0 = System.nanoTime()
     val n0 = TableCommit.read(spark, root, schema).count()
     val readPlain = (System.nanoTime() - r0) / 1e9
+    val heap0 = usedHeap()
     val d0 = System.nanoTime()
     TableCommit.commitDeleteRows(spark, root, schema,
       pmod(col("k"), lit(1000L)) < perMille, retain = 4,
       inlineDvMax = inlineMax)
     val delT = (System.nanoTime() - d0) / 1e9
+    val heap1 = usedHeap()
     val bytesAfter = logBytes(root)
     val sidecarBytes = {
       val dir = Paths.get(root, "_dv")
@@ -152,5 +173,61 @@ object ManifestSoak {
       f"after=$bytesAfter growth=${bytesAfter - bytesBefore} " +
       f"sidecarBytes=$sidecarBytes")
     println(f"[dvsoak] fullCdf rows=$cdf in $cdfT%.2f s")
+    println(f"[dvsoak] heapDelta=${(heap1 - heap0) / 1048576}%d MiB " +
+      f"(post-GC, around the delete commit)")
+    // X279 targeted melt: rewrite only the fat files (all of them, in
+    // this uniform-delete shape) and price the repair + the read after
+    val m0 = System.nanoTime()
+    TableCommit.commitMeltDeleted(spark, root, maxDeadRatio = 0.01,
+      retain = 4)
+    val meltT = (System.nanoTime() - m0) / 1e9
+    val r2 = System.nanoTime()
+    val n2 = TableCommit.read(spark, root, schema).count()
+    val readMelted = (System.nanoTime() - r2) / 1e9
+    require(n2 == n1, s"melt changed the live count: $n1 -> $n2")
+    println(f"[dvsoak] melt=$meltT%.2f s readMelted=$readMelted%.2f s " +
+      f"overheadAfterMelt=${readMelted / readPlain}%.2f")
+  }
+
+  private def melt(spark: SparkSession, files: Int, rows: Int): Unit = {
+    val root = Files.createTempDirectory("graft_meltsoak_").toString + "/t"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    val total = files.toLong * rows
+    val df = spark.range(total).selectExpr("id as k", "id * 2 as v")
+      .repartitionByRange(files, col("k"))
+    TableCommit.commitAppend(df, root, retain = 4)
+    val r0 = System.nanoTime()
+    TableCommit.read(spark, root, schema).count()
+    val readPlain = (System.nanoTime() - r0) / 1e9
+    // skewed damage: 30% dead in the first ~10% of the key range
+    // (range-partitioned ⇒ the first ~10% of files), ~0.1% elsewhere
+    val cut = total / 10L
+    TableCommit.commitDeleteRows(spark, root, schema,
+      (col("k") < cut && pmod(col("k"), lit(10L)) < 3L) ||
+        (col("k") >= cut && pmod(col("k"), lit(1000L)) === 7L),
+      retain = 4)
+    val pre = TableCommit.entries(root)
+    val r1 = System.nanoTime()
+    val n1 = TableCommit.read(spark, root, schema).count()
+    val readDv = (System.nanoTime() - r1) / 1e9
+    val m0 = System.nanoTime()
+    TableCommit.commitMeltDeleted(spark, root, maxDeadRatio = 0.05,
+      retain = 4)
+    val meltT = (System.nanoTime() - m0) / 1e9
+    val prePaths = pre.map(_.path).toSet
+    val post = TableCommit.entries(root)
+    val carried = post.count(e => prePaths(e.path))
+    val thinDv = post.count(e => TableCommit.deletedCount(e) > 0L)
+    val r2 = System.nanoTime()
+    val n2 = TableCommit.read(spark, root, schema).count()
+    val readMelted = (System.nanoTime() - r2) / 1e9
+    require(n2 == n1, s"melt changed the live count: $n1 -> $n2")
+    println(f"[meltsoak] files=$files rowsPerFile=$rows " +
+      f"carriedByPath=$carried melted=${pre.size - carried} " +
+      f"newFiles=${post.size - carried} thinDvKept=$thinDv")
+    println(f"[meltsoak] melt=$meltT%.2f s readPlain=$readPlain%.2f s " +
+      f"readDv=$readDv%.2f s (x${readDv / readPlain}%.2f) " +
+      f"readMelted=$readMelted%.2f s (x${readMelted / readPlain}%.2f)")
   }
 }

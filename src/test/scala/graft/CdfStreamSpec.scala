@@ -237,4 +237,104 @@ class CdfStreamSpec extends AnyFunSuite {
     assert(got === want,
       "streamed rows must equal the Spark batch read, type for type")
   }
+
+  private val idsSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", LongType),
+    StructField(TableCommit.RowIdCol, LongType),
+    StructField("_commit_version", LongType),
+    StructField("_change_type", StringType)))
+
+  test("withrowids streams the identity feed: stream == batch across delete, update and compaction (X280)") {
+    val r = root()
+    val schemaKV = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    TableCommit.commitAppendTracked(batch(0L, 10L), r, retain = 8)  // v1
+    TableCommit.commitAppendTracked(batch(10L, 20L), r, retain = 8) // v2
+    TableCommit.commitDeleteRows(spark, r, schemaKV,                // v3
+      pmod(col("k"), lit(5L)) === 0L, retain = 8)
+    TableCommit.commitUpdateRows(spark, r, schemaKV,                // v4
+      col("k") === 7L, Seq("v" -> lit(777L)), retain = 8,
+      preserveRowIds = true)
+    val vLast = TableCommit.commitCompact(spark, r, targetFiles = 2,// v5
+      sortCol = Some("k"), retain = 8, preserveRowIds = true)
+    def key(row: org.apache.spark.sql.Row)
+        : (Long, Long, Long, Long, String) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getString(4))
+    val streamed = drain(r, idsSchema, Map("mode" -> "full",
+      "withrowids" -> "true", "maxversionspertrigger" -> "1"))
+      .map(key).sorted
+    val batchFeed = TableCommit.readChangesFullIds(spark, r, schemaKV,
+      0L, vLast).collect().toIndexedSeq.map(key).sorted
+    assert(streamed === batchFeed,
+      "the streamed identity feed must equal readChangesFullIds " +
+        "row-for-row")
+    // the update is a delete+insert PAIR sharing one id (k=7 was born
+    // at position 7 of the first file → id 7)
+    val v4 = streamed.filter(_._4 == 4L)
+    assert(v4.map(t => (t._5, t._1, t._2, t._3)).sorted === Seq(
+      ("delete", 7L, 70L, 7L), ("insert", 7L, 777L, 7L)))
+    // the compaction re-emits every live row under its UNCHANGED id
+    val v5 = streamed.filter(_._4 == 5L)
+    val liveIds = (0L until 20L).filter(_ % 5 != 0).toSet // id == k here
+    assert(v5.filter(_._5 == "delete").map(_._3).toSet === liveIds)
+    assert(v5.filter(_._5 == "insert").map(_._3).toSet === liveIds)
+    // materialized leg reads the _row_id COLUMN: post-compact ids for
+    // the updated row still 7
+    assert(v5.filter(t => t._5 == "insert" && t._1 == 7L)
+      .map(t => (t._2, t._3)) === Seq((777L, 7L)))
+  }
+
+  test("withrowids resumes from its checkpoint without re-emitting") {
+    val r = root()
+    val schemaKV = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    TableCommit.commitAppendTracked(batch(0L, 10L), r, retain = 8)
+    TableCommit.commitAppendTracked(batch(10L, 20L), r, retain = 8)
+    val v3 = TableCommit.commitDeleteRows(spark, r, schemaKV,
+      col("k") < 5L, retain = 8)
+    val work = Files.createTempDirectory("graft_cdfs_idck_").toString
+    val ck = s"$work/ck"; val out = s"$work/out"
+    def run(crashAt: Option[Long]): Unit = {
+      var reader = spark.readStream.format("graft-cdf")
+        .schema(idsSchema).option("root", r)
+        .option("mode", "full").option("withrowids", "true")
+        .option("maxversionspertrigger", "1")
+      crashAt.foreach(v =>
+        reader = reader.option("simulatecrashatversion", v.toString))
+      val q = reader.load().writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(crashAt = Some(1L))
+    }
+    run(crashAt = None)
+    val got = spark.read.schema(idsSchema).parquet(out).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(2), r0.getLong(3),
+        r0.getString(4)))
+    val batchFeed = TableCommit.readChangesFullIds(spark, r, schemaKV,
+      0L, v3).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(2), r0.getLong(3),
+        r0.getString(4)))
+    assert(got.sorted.toSeq === batchFeed.sorted.toSeq,
+      "resume must neither drop nor duplicate identity-feed rows")
+  }
+
+  test("withrowids refuses append mode and untracked tables loudly") {
+    val r = root()
+    TableCommit.commitAppend(batch(0L, 5L), r, retain = 4) // untracked
+    val exMode = intercept[Exception] {
+      drain(r, idsSchema, Map("withrowids" -> "true"))
+    }
+    assert(exMode.getMessage.contains("mode=full"))
+    val exTracked = intercept[Exception] {
+      drain(r, idsSchema,
+        Map("mode" -> "full", "withrowids" -> "true"))
+    }
+    assert(exTracked.getMessage.contains("no row lineage"))
+  }
 }

@@ -142,4 +142,77 @@ class ColumnMappingSpec extends AnyFunSuite {
     val v = TableCommit.currentVersion(r).get
     assert(TableCommit.commitAddColumn(r, "brand_new", retain = 8) === v)
   }
+
+  test("drop/rename refuse a control-character physical name (ADVICE r12: the two missed header entry points)") {
+    val r = root()
+    TableCommit.commitAppend(
+      Seq((1L, 10L)).toDF("k", "cents"), r, retain = 8)
+    // an UNMAPPED column's physical name is caller-supplied: dropping
+    // or renaming one with a raw "\n" used to land it in the cols
+    // header line unescaped — the header split and every subsequent
+    // read threw TornManifestException, permanently
+    intercept[IllegalArgumentException] {
+      TableCommit.commitDropColumn(r, "bad\ncol", retain = 8)
+    }
+    intercept[IllegalArgumentException] {
+      TableCommit.commitRenameColumn(r, "bad\ncol", "ok", retain = 8)
+    }
+    // nothing entered the header: the table is still fully readable
+    assert(TableCommit.readCurrent(spark, r).count() === 1L)
+    assert(TableCommit.colMapping(r).isEmpty)
+  }
+
+  test("stats + bloom pruning bridge the mapping: the NEW name keeps the file set the OLD name kept (X281)") {
+    val r = root()
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") * 10L).as("cents"))
+      .coalesce(1)
+    TableCommit.commitAppend(slice(0L, 10L), r, retain = 16,
+      statsCols = Seq("k"))
+    TableCommit.commitAppend(slice(10L, 20L), r, retain = 16,
+      statsCols = Seq("k"))
+    val mid = (cs: TableCommit.ColStats) =>
+      !(cs.max.toLong < 10L || cs.min.toLong > 19L)
+    val before = TableCommit.pruneEntries(r, "k")(mid).map(_.path)
+    assert(before.size === 1, "sanity: one in-range file pre-rename")
+    val vPre = TableCommit.currentVersion(r).get
+    TableCommit.commitRenameColumn(r, "k", "kk", retain = 16)
+    TableCommit.commitAppendMapped(
+      slice(30L, 40L).withColumnRenamed("k", "kk"), r, retain = 16,
+      statsCols = Seq("kk"))
+    // the law: pruning by the NEW logical name keeps exactly the set
+    // pruning by the old name kept (the post-rename file is out of
+    // range and its stats — written under the PHYSICAL name — prune it)
+    assert(TableCommit.pruneEntriesMapped(r, "kk")(mid)
+      .map(_.path) === before)
+    // the unbridged pruner, asked by logical name, finds no stats and
+    // keeps everything — lossless but useless, which is the point
+    assert(TableCommit.pruneEntries(r, "kk")(mid).size === 3)
+    // era-correct: at the pre-rename version the OLD name still prunes
+    assert(TableCommit.pruneEntriesMapped(r, "k",
+      asOf = Some(vPre))(mid).map(_.path) === before)
+    // and the pruned READ under logical names returns the right rows
+    val logical = StructType(Seq(StructField("kk", LongType),
+      StructField("cents", LongType)))
+    assert(TableCommit.readPrunedStatsMapped(spark, r, logical, "kk")(
+      mid).filter(col("kk") >= 10L && col("kk") <= 19L)
+      .collect().map(_.getLong(0)).toSet === (10L to 19L).toSet)
+  }
+
+  test("bloom pruning bridges the mapping (X281, bloom half)") {
+    val r = root()
+    TableCommit.commitAppendBloom(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "cents"), r, "k",
+      retain = 16)
+    TableCommit.commitAppendBloom(spark,
+      Seq((100L, 1L), (200L, 2L)).toDF("k", "cents"), r, "k",
+      retain = 16)
+    val before = TableCommit.pruneEntriesBloom(r, "k", "100")
+      .map(_.path)
+    TableCommit.commitRenameColumn(r, "k", "kk", retain = 16)
+    assert(TableCommit.pruneEntriesBloomMapped(r, "kk", "100")
+      .map(_.path) === before,
+      "the bloom probe under the new logical name must keep the set " +
+        "the old name kept")
+  }
 }

@@ -370,4 +370,92 @@ class DeletionVectorSpec extends AnyFunSuite {
       TableCommit.commitAppend(df, root(), statsCols = Seq("weird:col"))
     }
   }
+
+  test("targeted melt (X279): only DV-fat files rewrite; thin files keep paths and DVs; tracked tables keep ids") {
+    val r = root()
+    def one(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") * 10L).as("v")).coalesce(1)
+    TableCommit.commitAppend(one(0L, 10L), r, retain = 8)
+    TableCommit.commitAppend(one(10L, 20L), r, retain = 8)
+    // fat: 40% of file A dead; thin: 10% of file B
+    TableCommit.commitDeleteRows(spark, r, schema, col("k") < 4L,
+      retain = 8)
+    TableCommit.commitDeleteRows(spark, r, schema, col("k") === 10L,
+      retain = 8)
+    val pre = TableCommit.entries(r)
+    assert(pre.size === 2)
+    val fatPath = pre.find(e => TableCommit.deletedCount(e) == 4L)
+      .get.path
+    val thinPath = pre.find(e => TableCommit.deletedCount(e) == 1L)
+      .get.path
+    TableCommit.commitMeltDeleted(spark, r, maxDeadRatio = 0.2,
+      targetFiles = 1, retain = 8)
+    val post = TableCommit.entries(r)
+    assert(!post.exists(_.path == fatPath), "the fat file must melt")
+    val thin = post.find(_.path == thinPath)
+      .getOrElse(fail("the thin file must keep its PATH"))
+    assert(TableCommit.deletedCount(thin) === 1L,
+      "the thin file carries its DV forward untouched")
+    val fresh = post.filterNot(_.path == thinPath)
+    assert(fresh.size === 1 &&
+      TableCommit.deletedCount(fresh.head) === 0L,
+      "the melted output is one DV-free file")
+    assert(TableCommit.read(spark, r, schema).collect()
+      .map(_.getLong(0)).toSet ===
+      ((4L until 10L) ++ (11L until 20L)).toSet,
+      "melt must neither leak dead rows nor drop live ones")
+    // a second melt at the same ratio is a version no-op
+    val cur = TableCommit.currentVersion(r).get
+    assert(TableCommit.commitMeltDeleted(spark, r, maxDeadRatio = 0.2,
+      retain = 8) === cur)
+
+    // tracked twin: stable ids ride the targeted melt
+    val r2 = root()
+    def oneS(lo: Long, hi: Long) = one(lo, hi).sortWithinPartitions("k")
+    TableCommit.commitAppendTracked(oneS(0L, 10L), r2, retain = 8)
+    TableCommit.commitAppendTracked(oneS(10L, 20L), r2, retain = 8)
+    TableCommit.commitDeleteRows(spark, r2, schema, col("k") < 4L,
+      retain = 8)
+    TableCommit.commitMeltDeleted(spark, r2, maxDeadRatio = 0.2,
+      targetFiles = 1, retain = 8, preserveRowIds = true)
+    val ids = TableCommit.readWithRowIds(spark, r2, schema).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(ids === (4L until 20L).map(k => k -> k).toMap,
+      "ids are birth positions (id == k here) and must survive the melt")
+    assert(TableCommit.rowIdHighWater(r2) === 20L)
+  }
+
+  test("a delete encodes each sidecar exactly ONCE; a no-op re-delete writes nothing (ADVICE r12)") {
+    val r = root()
+    val n = 40000L // comfortably above DvInlineMax
+    TableCommit.commitAppend(spark.range(n).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).coalesce(1), r, retain = 8)
+    def dvFiles(): Set[String] = {
+      val dir = Paths.get(r, "_dv")
+      if (!Files.isDirectory(dir)) Set.empty
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+    }
+    TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(2L)) === 0L, retain = 8)
+    val after1 = dvFiles()
+    assert(after1.size === 1,
+      "one touched file above the inline threshold = exactly one " +
+        "sidecar — the old pre-check wrote a throwaway second one")
+    // no-op re-delete: no new snapshot AND no new sidecar
+    val cur = TableCommit.currentVersion(r).get
+    assert(TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(2L)) === 0L, retain = 8) === cur)
+    assert(dvFiles() === after1, "a no-op delete must not mint sidecars")
+    // a composing second delete re-encodes: exactly one more sidecar
+    TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(3L)) === 0L, retain = 8)
+    assert(TableCommit.read(spark, r, schema).collect()
+      .map(_.getLong(0)).forall(k => k % 2 != 0 && k % 3 != 0))
+  }
 }

@@ -166,4 +166,79 @@ class RowLineageSpec extends AnyFunSuite {
     assert(ids === (0L until 2L * n), s"ids must be exactly 0..${2 * n - 1}: $ids")
     assert(TableCommit.rowIdHighWater(r) === 2L * n)
   }
+
+  test("deleting the HIGHEST ids then compacting never re-mints them (ADVICE r12: the durable rid header)") {
+    val r = root()
+    TableCommit.commitAppendTracked(
+      one(Seq((10L, "a"), (11L, "b"), (12L, "c"))), r, retain = 8)
+    // kill the max-id rows, then rewrite: the materialized output
+    // carries only live ids, so a live-derived watermark would rewind
+    // to 1 and the next append would re-mint ids 1 and 2
+    TableCommit.commitDeleteRows(spark, r, schema, col("k") >= 11L,
+      retain = 8)
+    TableCommit.commitCompact(spark, r, targetFiles = 1,
+      sortCol = Some("k"), retain = 8, preserveRowIds = true)
+    assert(TableCommit.rowIdHighWater(r) === 3L,
+      "the high-water must survive delete-the-max + compaction")
+    TableCommit.commitAppendTracked(one(Seq((20L, "d"), (21L, "e"))),
+      r, retain = 8)
+    assert(idsOf(r) === Map(10L -> 0L, 20L -> 3L, 21L -> 4L),
+      "new rows must mint FRESH ids, never the deleted 1 and 2")
+    // and the header keeps propagating through further maintenance
+    TableCommit.commitCompact(spark, r, targetFiles = 1,
+      sortCol = Some("k"), retain = 8, preserveRowIds = true)
+    assert(TableCommit.rowIdHighWater(r) === 5L)
+  }
+
+  test("a lineage-preserving MERGE keeps matched ids and mints fresh ones at the high-water (X278)") {
+    val r = root()
+    val v1 = TableCommit.commitAppendTracked(
+      one(Seq((1L, "a"), (2L, "b"), (3L, "c"))), r, retain = 8)
+    // matched: k=2 gets a new image; fresh: k=99 inserts
+    val src = Seq((2L, "B"), (99L, "z")).toDF("k", "v")
+    val v2 = TableCommit.commitMergeRows(spark, r, schema, src,
+      keyCols = Seq("k"), retain = 8, preserveRowIds = true)
+    assert(idsOf(r) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 99L -> 3L),
+      "matched row keeps its id; fresh row mints at the high-water")
+    assert(TableCommit.rowIdHighWater(r) === 4L)
+    // the identity feed reports the upsert as a PAIR sharing id 1
+    val feed = TableCommit.readChangesFullIds(spark, r, schema, v1, v2)
+      .collect()
+      .map(x => (x.getString(4), x.getLong(0), x.getString(1),
+        x.getLong(2))).toSet // (type, k, v, row_id)
+    assert(feed === Set(
+      ("delete", 2L, "b", 1L), ("insert", 2L, "B", 1L),
+      ("insert", 99L, "z", 3L)))
+    // a second merge composes over the materialized image
+    TableCommit.commitMergeRows(spark, r, schema,
+      Seq((2L, "B2"), (99L, "z2")).toDF("k", "v"),
+      keyCols = Seq("k"), retain = 8, preserveRowIds = true)
+    assert(idsOf(r) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 99L -> 3L),
+      "re-merging the same keys keeps both identities stable")
+    assert(TableCommit.rowIdHighWater(r) === 4L,
+      "an all-matched merge mints no ids")
+    // bootstrap into a virgin table also tracks
+    val r2 = root()
+    TableCommit.commitMergeRows(spark, r2, schema,
+      one(Seq((7L, "x"), (8L, "y"))), keyCols = Seq("k"), retain = 8,
+      preserveRowIds = true)
+    assert(idsOf(r2) === Map(7L -> 0L, 8L -> 1L))
+  }
+
+  test("the MERGE broadcast contract is self-enforcing (VERDICT r12 task 6)") {
+    val r = root()
+    TableCommit.commitAppendTracked(
+      one(Seq((1L, "a"), (2L, "b"))), r, retain = 8)
+    val src = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      TableCommit.commitMergeRows(spark, r, schema, src,
+        keyCols = Seq("k"), retain = 8, maxBroadcastKeys = 2)
+    }
+    assert(ex.getMessage.contains("copy-on-write"))
+    // under the threshold: unchanged behavior
+    TableCommit.commitMergeRows(spark, r, schema, src,
+      keyCols = Seq("k"), retain = 8, maxBroadcastKeys = 3,
+      preserveRowIds = true)
+    assert(idsOf(r) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
 }

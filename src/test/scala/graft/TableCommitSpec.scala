@@ -783,6 +783,31 @@ class TableCommitSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
   }
 
+  test("the txn high-water survives retention retiring the stamped manifest (ADVICE r12: self-propagation)") {
+    val r = root()
+    val b0 = Seq((1L, "a")).toDF("k", "v")
+    TableCommit.commitAppendTxn(b0, r, txnId = 7L, retain = 1)
+    // an unstamped maintenance commit under retain=1 retires the ONLY
+    // manifest that carried the stamp — before the header
+    // self-propagated, lastTxnId forgot the high-water here and a
+    // crash-replayed foreachBatch id double-applied
+    TableCommit.commitCompact(spark, r, targetFiles = 1, retain = 1)
+    assert(TableCommit.lastTxnId(r) === Some(7L),
+      "the txn high-water must survive an unstamped maintenance commit")
+    val cur = TableCommit.currentVersion(r).get
+    assert(TableCommit.commitAppendTxn(b0, r, txnId = 7L,
+      retain = 1) === cur, "the replayed id must stay a no-op")
+    assert(TableCommit.read(spark, r, schema).count() === 1L)
+    // several maintenance generations deep, still durable; a NEWER id
+    // advances it
+    TableCommit.commitCompact(spark, r, targetFiles = 1, retain = 1)
+    TableCommit.commitOverwrite(Seq((9L, "z")).toDF("k", "v"), r)
+    assert(TableCommit.lastTxnId(r) === Some(7L))
+    TableCommit.commitAppendTxn(Seq((10L, "y")).toDF("k", "v"), r,
+      txnId = 8L, retain = 1)
+    assert(TableCommit.lastTxnId(r) === Some(8L))
+  }
+
   test("optimistic append retry: N forced-collision writers all land, no lost update (X273)") {
     val r = root()
     val n = 4
