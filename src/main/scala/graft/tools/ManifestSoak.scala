@@ -49,7 +49,7 @@ object ManifestSoak {
           if (args.length > 2) args(2).toInt else 16)
       case Some("dv") =>
         dv(spark, args(1).toInt, args(2).toInt, args(3).toInt,
-          args(4).toInt)
+          args(4).toInt, skipMelt = args.length > 5 && args(5) == "nomelt")
       case Some("melt") =>
         melt(spark, args(1).toInt, args(2).toInt)
       case other => sys.error(s"unknown mode $other")
@@ -127,7 +127,7 @@ object ManifestSoak {
   }
 
   private def dv(spark: SparkSession, files: Int, rows: Int,
-      perMille: Int, inlineMax: Int): Unit = {
+      perMille: Int, inlineMax: Int, skipMelt: Boolean = false): Unit = {
     val root = Files.createTempDirectory("graft_dvsoak_").toString + "/t"
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("v", LongType)))
@@ -175,6 +175,7 @@ object ManifestSoak {
     println(f"[dvsoak] fullCdf rows=$cdf in $cdfT%.2f s")
     println(f"[dvsoak] heapDelta=${(heap1 - heap0) / 1048576}%d MiB " +
       f"(post-GC, around the delete commit)")
+    if (skipMelt) return
     // X279 targeted melt: rewrite only the fat files (all of them, in
     // this uniform-delete shape) and price the repair + the read after
     val m0 = System.nanoTime()

@@ -425,6 +425,43 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(TableCommit.rowIdHighWater(r2) === 20L)
   }
 
+  test("the fat-DV bitmap read path returns exactly the broadcast path's rows (scan filter, no join)") {
+    val r = root()
+    def one(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") * 10L).as("v")).coalesce(1)
+    TableCommit.commitAppendTracked(
+      one(0L, 100L).sortWithinPartitions("k"), r, retain = 8)
+    TableCommit.commitAppendTracked(
+      one(100L, 200L).sortWithinPartitions("k"), r, retain = 8)
+    // composes inline + sidecar vectors across two files
+    TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(3L)) === 0L, retain = 8, inlineDvMax = 10)
+    val v3 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") === 7L, retain = 8, inlineDvMax = 1000000)
+    val live = (0L until 200L).filter(k => k % 3 != 0 && k != 7L)
+    def readAll() = TableCommit.read(spark, r, schema).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    def readIds() = TableCommit.readWithRowIds(spark, r, schema)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).sorted.toSeq
+    def feedDel() = TableCommit.readChangesFull(spark, r, schema,
+      v3 - 1L, v3).filter(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val (a1, i1, f1) = (readAll(), readIds(), feedDel())
+    assert(a1 === live)
+    val orig = TableCommit.dvBroadcastThreshold
+    try {
+      TableCommit.dvBroadcastThreshold = 1L // force the bitmap path
+      assert(readAll() === a1)
+      assert(readIds() === i1)
+      assert(feedDel() === f1)
+      // the plan is join-free: the anti-apply is a scan filter
+      val plan = TableCommit.read(spark, r, schema)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("LeftAnti"),
+        s"bitmap path must not anti-join:\n$plan")
+    } finally TableCommit.dvBroadcastThreshold = orig
+  }
+
   test("a delete encodes each sidecar exactly ONCE; a no-op re-delete writes nothing (ADVICE r12)") {
     val r = root()
     val n = 40000L // comfortably above DvInlineMax
