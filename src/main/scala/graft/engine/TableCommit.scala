@@ -1492,7 +1492,7 @@ object TableCommit {
     val removedHit = c.removedPaths.filter(p => victimLeaves(pathLeaf(p)))
     if (removedHit.nonEmpty)
       return Some(s"removed/rewrote victim file(s) ${removedHit.take(3)}")
-    val dvHit = c.dvGrown.map(_._1.path)
+    val dvHit = c.dvGrown.map(_.entry.path)
       .filter(p => victimLeaves(pathLeaf(p)))
     if (dvHit.nonEmpty)
       Some(s"row-level DML touched victim file(s) ${dvHit.take(3)}")
@@ -1853,7 +1853,7 @@ object TableCommit {
     val conflict = (c: VersionChange) => {
       val addedHit = c.added.filter(_.part.exists(replaced))
       val removedHit = c.removed.filter(_.part.exists(replaced))
-      val dvHit = c.dvGrown.map(_._1).filter(_.part.exists(replaced))
+      val dvHit = c.dvGrown.map(_.entry).filter(_.part.exists(replaced))
       if (addedHit.nonEmpty)
         Some(s"wrote into replaced slice(s) ${addedHit.flatMap(_.part).distinct.take(3)}")
       else if (removedHit.nonEmpty)
@@ -2265,13 +2265,19 @@ object TableCommit {
       s.split(',').toSeq.map { d => acc += d.toLong; acc }
     }
 
-  private[graft] def dvDecode(root: String, cs: ColStats): Seq[Long] =
-    if (cs.min.startsWith("@")) {
-      val ref = cs.min.drop(1)
-      val p = Paths.get(resolvePath(root, ref))
+  /** Decode a DV encoding string (the stat's min slot): inline
+    * delta-text, or `@<ref>` naming a sidecar (root-relative or
+    * absolute — clones absolutize). Safe to call executor-side:
+    * sidecars live on the same shared filesystem as the data files. */
+  private[graft] def dvDecodeEnc(root: String, enc: String): Seq[Long] =
+    if (enc.startsWith("@")) {
+      val p = Paths.get(resolvePath(root, enc.drop(1)))
       dvParseDeltas(new String(Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8).trim)
-    } else dvParseDeltas(cs.min)
+    } else dvParseDeltas(enc)
+
+  private[graft] def dvDecode(root: String, cs: ColStats): Seq[Long] =
+    dvDecodeEnc(root, cs.min)
 
   private def dvEncode(root: String, ps: Seq[Long],
       inlineMax: Int = DvInlineMax): ColStats = {
@@ -2438,13 +2444,23 @@ object TableCommit {
     refs.toDF("_l", "_enc").repartition(math.min(dvs.size, 32))
       .as[(String, String)]
       .map { case (leaf, enc) =>
-        val ps =
-          if (enc.startsWith("@")) {
-            val p = Paths.get(resolvePath(root, enc.drop(1)))
-            dvParseDeltas(new String(Files.readAllBytes(p),
-              java.nio.charset.StandardCharsets.UTF_8).trim)
-          } else dvParseDeltas(enc)
-        (leaf, bitmapBytes(ps))
+        (leaf, bitmapBytes(dvDecodeEnc(root, enc)))
+      }.collect().toMap
+  }
+
+  /** Bitmaps of the FRESH positions (after − before) of a DV growth,
+    * built executor-side — the change feed's exactly-these-positions
+    * leg never materializes a delta on the driver. */
+  private def freshBitmaps(spark: SparkSession, root: String,
+      gs: Seq[DvGrowth]): Map[String, Array[Byte]] = {
+    import spark.implicits._
+    val refs = gs.map(g => (pathLeaf(g.entry.path),
+      g.before.map(_.min).getOrElse(""), g.after.min))
+    refs.toDF("_l", "_b", "_a").repartition(math.min(gs.size, 32))
+      .as[(String, String, String)]
+      .map { case (leaf, b, a) =>
+        val before = dvDecodeEnc(root, b).toSet
+        (leaf, bitmapBytes(dvDecodeEnc(root, a).filterNot(before)))
       }.collect().toMap
   }
 
@@ -2544,32 +2560,32 @@ object TableCommit {
       .parquet(clean.map(e => resolvePath(root, e.path)): _*))
   }
 
-  /** Rows of `sel`'s files at EXACTLY the given positions — how the
-    * full change feed materializes "which rows did this DV delete"
-    * after the fact. Broadcast semi join on (leaf, row_index) while
-    * broadcast-sized; the bitmap scan filter (kept = INSIDE the
-    * bitmap) past [[DvBroadcastMax]]. */
+  /** Rows of the grown files at EXACTLY the newly-dead positions — how
+    * the full change feed materializes "which rows did this DV delete"
+    * after the fact. Broadcast semi join on (leaf, row_index) while the
+    * delta is broadcast-sized (decoded on demand, delta-sized); the
+    * bitmap scan filter (kept = INSIDE the bitmap, built
+    * executor-side) past [[DvBroadcastMax]] — nothing position-sized
+    * ever visits the driver. */
   private def readPositions(spark: SparkSession, root: String,
-      schema: StructType, sel: Seq[(Entry, Seq[Long])]): DataFrame = {
+      schema: StructType, sel: Seq[DvGrowth]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, split, udf}
     import spark.implicits._
     val tagged = spark.read.schema(schema)
-      .parquet(sel.map(x => resolvePath(root, x._1.path)): _*)
+      .parquet(sel.map(g => resolvePath(root, g.entry.path)): _*)
       .select(col("*"),
         element_at(split(col("_metadata.file_path"), "/"), -1)
           .as("_dv_leaf"),
         col("_metadata.row_index").as("_dv_pos"))
     val out =
-      if (sel.map(_._2.size.toLong).sum <= dvBroadcastThreshold) {
-        val posDf = sel.flatMap { case (e, ps) =>
-          ps.map(p => (pathLeaf(e.path), p))
+      if (sel.map(_.freshCount).sum <= dvBroadcastThreshold) {
+        val posDf = sel.flatMap { g =>
+          freshOf(root, g).map(p => (pathLeaf(g.entry.path), p))
         }.toDF("_dv_leaf", "_dv_pos")
         tagged.join(broadcast(posDf), Seq("_dv_leaf", "_dv_pos"),
           "left_semi")
       } else {
-        val filt = new DvBitmapFilter(sel.map { case (e, ps) =>
-          pathLeaf(e.path) -> bitmapBytes(ps)
-        }.toMap)
+        val filt = new DvBitmapFilter(freshBitmaps(spark, root, sel))
         val markedU =
           udf((leaf: String, pos: Long) => filt.marked(leaf, pos))
         tagged.filter(markedU(col("_dv_leaf"), col("_dv_pos")))
@@ -2855,13 +2871,37 @@ object TableCommit {
     * [[readChanges]]). `removed` carries the predecessor's full
     * entries for the removed paths (the full feed reads their live
     * rows as delete records); `dvGrown` the persisting files whose
-    * deletion vector gained positions in this version, with exactly
-    * the NEWLY-dead positions — so every feed consumer (batch append,
-    * batch full, the streaming source) derives its view from this one
-    * diff without re-resolving any manifest. */
+    * deletion vector gained positions in this version — carried as the
+    * before/after ENCODINGS, not materialized positions, so the diff
+    * (and every planner over it) stays metadata-sized on the driver no
+    * matter how fat the delta; consumers derive the newly-dead
+    * positions where they read them (executor-side,
+    * [[freshBitmaps]] / the `graft-cdf` reader) or on demand for
+    * purge-sized deltas. Every feed consumer (batch append, batch
+    * full, the streaming source) derives its view from this one diff
+    * without re-resolving any manifest. */
   final case class VersionChange(version: Long, added: Seq[Entry],
       removedPaths: Seq[String], removed: Seq[Entry] = Seq.empty,
-      dvGrown: Seq[(Entry, Seq[Long])] = Seq.empty)
+      dvGrown: Seq[DvGrowth] = Seq.empty)
+
+  /** A persisting file whose DV gained positions: the before/after
+    * encodings (stat min slot — inline text or `@sidecar`), plus
+    * zero-cost counts for planning. The fresh positions are
+    * `decode(after) − decode(before)`. */
+  final case class DvGrowth(entry: Entry, before: Option[ColStats],
+      after: ColStats) {
+    /** Exact newly-dead count, from the zero-cost count slots (DV
+      * growth is monotone union, so the difference is exact). */
+    def freshCount: Long =
+      after.max.toLong - before.map(_.max.toLong).getOrElse(0L)
+  }
+
+  /** Newly-dead positions of one growth, decoded ON DEMAND (driver- or
+    * executor-side; delta-sized). */
+  private def freshOf(root: String, g: DvGrowth): Seq[Long] = {
+    val b = g.before.map(dvDecode(root, _)).getOrElse(Seq.empty).toSet
+    dvDecode(root, g.after).filterNot(b)
+  }
 
   /** File-level diff per version over `(fromExclusive, toInclusive]`.
     * Every version in the range (and `fromExclusive` itself, unless 0)
@@ -2907,12 +2947,16 @@ object TableCommit {
           val nextBy = next.map(e => e.path -> e).toMap
           val added = next.filterNot(e => curBy.contains(e.path))
           val removed = cur.filterNot(e => nextBy.contains(e.path))
+          // metadata-only: the growth is detected by stats compare and
+          // carried as encodings + zero-cost counts — a 30M-position
+          // delta costs the planner nothing (positions decode where
+          // they're consumed)
           val dvGrown = next.flatMap { e =>
             curBy.get(e.path) match {
-              case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey) =>
-                val before = deletedPositions(root, pe).toSet
-                val fresh = deletedPositions(root, e).filterNot(before)
-                if (fresh.isEmpty) None else Some((e, fresh))
+              case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey)
+                  && e.stats.contains(DvKey) =>
+                val g = DvGrowth(e, pe.stats.get(DvKey), e.stats(DvKey))
+                if (g.freshCount <= 0L) None else Some(g)
               case _ => None
             }
           }
@@ -3069,33 +3113,31 @@ object TableCommit {
     * the DV-delta leg of [[readChangesFullIds]]: born files compute
     * `brid + position`, rewritten files read the materialized column. */
   private def readPositionsWithIds(spark: SparkSession, root: String,
-      schema: StructType, sel: Seq[(Entry, Seq[Long])]): DataFrame = {
+      schema: StructType, sel: Seq[DvGrowth]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
     import org.apache.spark.sql.types.{LongType, StructField}
     import spark.implicits._
-    val (mat, born) = sel.partition(_._1.stats.contains(RidKey))
-    val untracked = born.filterNot(_._1.baseRowId.isDefined)
+    val (mat, born) = sel.partition(_.entry.stats.contains(RidKey))
+    val untracked = born.filterNot(_.entry.baseRowId.isDefined)
     require(untracked.isEmpty,
       s"file(s) without row lineage at $root: " +
-        s"${untracked.map(_._1.path).take(3)}")
+        s"${untracked.map(_.entry.path).take(3)}")
     val outCols = (schema.fieldNames.toSeq :+ RowIdCol).map(col)
-    def posScan(g: Seq[(Entry, Seq[Long])], sc: StructType): DataFrame = {
+    def posScan(g: Seq[DvGrowth], sc: StructType): DataFrame = {
       val tagged = spark.read.schema(sc)
-        .parquet(g.map(x => resolvePath(root, x._1.path)): _*)
+        .parquet(g.map(x => resolvePath(root, x.entry.path)): _*)
         .select(col("*"),
           element_at(split(col("_metadata.file_path"), "/"), -1)
             .as("_dv_leaf"),
           col("_metadata.row_index").as("_dv_pos"))
-      if (g.map(_._2.size.toLong).sum <= dvBroadcastThreshold) {
-        val posDf = g.flatMap { case (e, ps) =>
-          ps.map(p => (pathLeaf(e.path), p))
+      if (g.map(_.freshCount).sum <= dvBroadcastThreshold) {
+        val posDf = g.flatMap { x =>
+          freshOf(root, x).map(p => (pathLeaf(x.entry.path), p))
         }.toDF("_dv_leaf", "_dv_pos")
         tagged.join(broadcast(posDf), Seq("_dv_leaf", "_dv_pos"),
           "left_semi")
       } else {
-        val filt = new DvBitmapFilter(g.map { case (e, ps) =>
-          pathLeaf(e.path) -> bitmapBytes(ps)
-        }.toMap)
+        val filt = new DvBitmapFilter(freshBitmaps(spark, root, g))
         val markedU = org.apache.spark.sql.functions.udf(
           (leaf: String, pos: Long) => filt.marked(leaf, pos))
         tagged.filter(markedU(col("_dv_leaf"), col("_dv_pos")))
@@ -3104,7 +3146,8 @@ object TableCommit {
     val bornDf =
       if (born.isEmpty) None
       else {
-        val brid = born.map(x => (pathLeaf(x._1.path), x._1.baseRowId.get))
+        val brid = born.map(x =>
+          (pathLeaf(x.entry.path), x.entry.baseRowId.get))
           .toDF("_dv_leaf", "_g_brid")
         Some(posScan(born, schema)
           .join(broadcast(brid), Seq("_dv_leaf"))

@@ -241,9 +241,9 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
           "append-only stream; use mode=full")
       chs.flatMap { ch =>
         ch.added.map { e =>
-          CdfFilePartition(abs(e), ch.version, dataSchema,
-            TableCommit.deletedPositions(root, e).toArray,
-            emitOnly = false, changeType = None,
+          CdfFilePartition(abs(e), ch.version, dataSchema, root,
+            encA = e.stats.get(TableCommit.DvKey).map(_.min),
+            encB = None, emitOnly = false, changeType = None,
             withIds = false, ridBase = None): InputPartition
         }
       }.toArray
@@ -254,22 +254,26 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
       // read a removed file's live rows AS OF THE PREDECESSOR (the
       // removed entry carries its own DV); a DV delta emits ONLY the
       // newly-dead positions of the persisting file.
+      // positions never visit the driver: each partition carries the
+      // DV ENCODINGS (inline text or @sidecar ref) and the reader task
+      // decodes where it reads
       chs.flatMap { ch =>
         val ins = ch.added.map(e =>
-          CdfFilePartition(abs(e), ch.version, dataSchema,
-            TableCommit.deletedPositions(root, e).toArray,
-            emitOnly = false, changeType = Some("insert"),
+          CdfFilePartition(abs(e), ch.version, dataSchema, root,
+            encA = e.stats.get(TableCommit.DvKey).map(_.min),
+            encB = None, emitOnly = false, changeType = Some("insert"),
             withIds = withIds, ridBase = ridBase(e)): InputPartition)
         val del = ch.removed.map(e =>
-          CdfFilePartition(abs(e), ch.version, dataSchema,
-            TableCommit.deletedPositions(root, e).toArray,
-            emitOnly = false, changeType = Some("delete"),
+          CdfFilePartition(abs(e), ch.version, dataSchema, root,
+            encA = e.stats.get(TableCommit.DvKey).map(_.min),
+            encB = None, emitOnly = false, changeType = Some("delete"),
             withIds = withIds, ridBase = ridBase(e)): InputPartition)
-        val dvd = ch.dvGrown.map { case (e, fresh) =>
-          CdfFilePartition(abs(e), ch.version, dataSchema,
-            fresh.toArray,
+        val dvd = ch.dvGrown.map { g =>
+          CdfFilePartition(abs(g.entry), ch.version, dataSchema, root,
+            encA = Some(g.after.min), encB = g.before.map(_.min),
             emitOnly = true, changeType = Some("delete"),
-            withIds = withIds, ridBase = ridBase(e)): InputPartition
+            withIds = withIds,
+            ridBase = ridBase(g.entry)): InputPartition
         }
         ins ++ del ++ dvd
       }.toArray
@@ -282,17 +286,19 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
   override def stop(): Unit = ()
 }
 
-/** One file of one version. `positions` is interpreted by `emitOnly`:
-  * false → SKIP these row positions (a file's deletion vector — its
-  * dead rows were never content and must not stream); true → emit
-  * ONLY these positions (a DV delta's newly-dead rows, streamed as
-  * delete records in the full feed). `changeType` present = full-feed
-  * mode, emitted as the trailing `_change_type` column. `withIds`
-  * (X280) adds a `_row_id` column before it: `ridBase + position` when
-  * the base is present (a born file), the file's materialized
-  * `_row_id` column otherwise. */
+/** One file of one version. The marked positions arrive as DV
+  * ENCODINGS (decoded in the reader task, never on the driver),
+  * interpreted by `emitOnly`: false → SKIP `encA`'s positions (the
+  * file's deletion vector — its dead rows were never content and must
+  * not stream); true → emit ONLY `decode(encA) − decode(encB)` (a DV
+  * delta's newly-dead rows, streamed as delete records in the full
+  * feed). `changeType` present = full-feed mode, emitted as the
+  * trailing `_change_type` column. `withIds` (X280) adds a `_row_id`
+  * column before it: `ridBase + position` when the base is present (a
+  * born file), the file's materialized `_row_id` column otherwise. */
 private case class CdfFilePartition(absPath: String, version: Long,
-    dataSchema: StructType, positions: Array[Long],
+    dataSchema: StructType, root: String,
+    encA: Option[String], encB: Option[String],
     emitOnly: Boolean, changeType: Option[String],
     withIds: Boolean, ridBase: Option[Long]) extends InputPartition
 
@@ -320,8 +326,17 @@ private class GraftCdfFileReader(p: CdfFilePartition)
       .build()
   }
   private val marked: java.util.HashSet[Long] = {
-    val s = new java.util.HashSet[Long](p.positions.length * 2 + 4)
-    p.positions.foreach(s.add(_))
+    // executor-side decode: inline text or a sidecar on the shared FS
+    val a = p.encA.map(TableCommit.dvDecodeEnc(p.root, _))
+      .getOrElse(Seq.empty)
+    val vals = p.encB match {
+      case Some(b) =>
+        val before = TableCommit.dvDecodeEnc(p.root, b).toSet
+        a.filterNot(before)
+      case None => a
+    }
+    val s = new java.util.HashSet[Long](vals.length * 2 + 4)
+    vals.foreach(s.add(_))
     s
   }
   private var pos = -1L
