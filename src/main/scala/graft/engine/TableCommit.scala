@@ -3165,6 +3165,50 @@ object TableCommit {
     }
   }
 
+  /** One retained commit's summary, for [[history]] (X282, the
+    * `DESCRIBE HISTORY` every production table format exposes): what
+    * the commit did (file counts from the incremental diff), how it
+    * was written (`delta` extends its predecessor, `full` is
+    * self-contained — overwrites, checkpoints, DML republishes), and
+    * the durable headers it carries (the exactly-once txn high-water,
+    * the row-id high-water, whether a column mapping is in force). */
+  final case class VersionInfo(version: Long, kind: String,
+      added: Long, removed: Long, dvGrown: Long,
+      txn: Option[Long], ridHighWater: Option[Long], mapped: Boolean)
+
+  /** Commit history over the RETAINED window, derived from the log
+    * alone — one incremental [[changesBetween]] pass plus one raw
+    * header read per version; no data files touched, cost is
+    * manifest-sized regardless of table size. The OLDEST retained
+    * version reports its full entry count as `added` when its
+    * predecessor is already retired (there is nothing to diff
+    * against — it is the window's baseline). */
+  def history(root: String): Seq[VersionInfo] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val vs = listDir(dir).flatMap(p => p.getFileName.toString match {
+      case VersionRe(d) => Some(d.toLong)
+      case _            => None
+    }).sorted
+    if (vs.isEmpty) return Seq.empty
+    val head = vs.head
+    val from = if (head == 1L) 0L else head
+    val byV = changesBetween(root, from, vs.last)
+      .map(c => c.version -> c).toMap
+    vs.map { v =>
+      val raw = readRawChecked(root, v)
+      val c = byV.get(v)
+      VersionInfo(v,
+        kind = if (raw.base.isDefined) "delta" else "full",
+        added = c.map(_.added.size.toLong)
+          .getOrElse(entriesAtVersion(root, v).size.toLong),
+        removed = c.map(_.removedPaths.size.toLong).getOrElse(0L),
+        dvGrown = c.map(_.dvGrown.size.toLong).getOrElse(0L),
+        txn = raw.txn, ridHighWater = raw.rid,
+        mapped = raw.cols.isDefined)
+    }
+  }
+
   /** Consumer-side checkpoint for the change feed: the last consumed
     * version, fsync-persisted. 0 = virgin consumer (feed starts at the
     * table's first version). */

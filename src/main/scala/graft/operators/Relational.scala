@@ -3035,6 +3035,68 @@ object Relational {
     table.unionByName(meta).orderBy(col("kind"), col("key"))
   }
 
+  /** `q_table_history` (X282): commit-history introspection — the
+    * `DESCRIBE HISTORY` every production table format exposes, derived
+    * from the log alone (one incremental diff pass + one header read
+    * per version; no data touched). The fixture walks one of
+    * everything: a txn-stamped tracked append (full manifest), a
+    * second one (delta manifest), a row-level DELETE (DV growth on
+    * both files, zero files moved), a column RENAME (metadata-only —
+    * zero adds/removes, the mapping flag flips on), and an
+    * id-preserving OPTIMIZE (2 removed, 1 added). The oracle pins per
+    * version: the manifest KIND (delta vs full), file-count deltas,
+    * DV-growth counts, and the durable headers — the txn high-water
+    * (stamped at v1/v2, self-propagated through v3–v5), the row-id
+    * high-water (slice count, then total, pinned across the rewrite),
+    * and the mapping flag. A history that loses a header across
+    * maintenance, or misreports a rewrite as an append, breaks the
+    * hash. */
+  def tableHistoryQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    import spark.implicits._
+    val root = graft.engine.TempWarehouse.createManaged("graft_histq_") +
+      "/events"
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    def slice(g: Int) = src.filter(pmod(col("event_id"), lit(2L)) === g.toLong)
+      .repartition(1).sortWithinPartitions("event_id")
+    TableCommit.commitAppendTxn(slice(0), root, txnId = 4L,
+      retain = 16, trackRowIds = true)
+    TableCommit.commitAppendTxn(slice(1), root, txnId = 5L,
+      retain = 16, trackRowIds = true)
+    TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("event_id"), lit(5L)) === 0L, retain = 16)
+    TableCommit.commitRenameColumn(root, "event_type", "etype",
+      retain = 16)
+    TableCommit.commitCompact(spark, root, targetFiles = 1,
+      sortCol = Some("event_id"), retain = 16, preserveRowIds = true)
+    TableCommit.history(root)
+      .map(i => (i.version, i.kind, i.added, i.removed, i.dvGrown,
+        i.txn.get, i.ridHighWater.get, i.mapped))
+      .toDF("version", "kind", "n_added", "n_removed", "dv_grown",
+        "txn", "rid_hw", "mapped")
+      .orderBy(col("version"))
+  }
+
+  val tableHistoryOracle: String =
+    """WITH c AS (SELECT
+      |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n0,
+      |  CAST(COUNT(*) AS BIGINT) AS n FROM events)
+      |SELECT CAST(1 AS BIGINT) AS version, 'full' AS kind,
+      |  CAST(1 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+      |  CAST(0 AS BIGINT) AS dv_grown, CAST(4 AS BIGINT) AS txn,
+      |  n0 AS rid_hw, FALSE AS mapped FROM c
+      |UNION ALL SELECT 2, 'delta', 1, 0, 0, 5, n, FALSE FROM c
+      |UNION ALL SELECT 3, 'full', 0, 0, 2, 5, n, FALSE FROM c
+      |UNION ALL SELECT 4, 'full', 0, 0, 0, 5, n, TRUE FROM c
+      |UNION ALL SELECT 5, 'full', 1, 2, 0, 5, n, TRUE FROM c
+      |ORDER BY version""".stripMargin
+
   val prunedMappedOracle: String =
     """WITH base AS (
       |  SELECT o_orderkey AS k, o_orderstatus AS st,

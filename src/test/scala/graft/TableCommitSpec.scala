@@ -808,6 +808,47 @@ class TableCommitSpec extends AnyFunSuite {
     assert(TableCommit.lastTxnId(r) === Some(8L))
   }
 
+  test("history introspection (X282): kinds, counts and headers per retained version; retired-baseline fallback") {
+    val r = root()
+    def one(rows: Seq[(Long, String)]) =
+      rows.toDF("k", "v").repartition(1).sortWithinPartitions("k")
+    TableCommit.commitAppendTxn(one(Seq((2L, "a"), (4L, "b"))), r,
+      txnId = 9L, retain = 16, trackRowIds = true)
+    TableCommit.commitAppendTxn(one(Seq((1L, "c"))), r,
+      txnId = 10L, retain = 16, trackRowIds = true)
+    TableCommit.commitDeleteRows(spark, r, schema, col("k") === 2L,
+      retain = 16)
+    TableCommit.commitRenameColumn(r, "v", "label", retain = 16)
+    TableCommit.commitCompact(spark, r, targetFiles = 1, retain = 16,
+      preserveRowIds = true)
+    val h = TableCommit.history(r)
+    assert(h.map(_.version) === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(h.map(_.kind) === Seq("full", "delta", "full", "full", "full"))
+    assert(h.map(i => (i.added, i.removed, i.dvGrown)) === Seq(
+      (1L, 0L, 0L), (1L, 0L, 0L), (0L, 0L, 1L), (0L, 0L, 0L),
+      (1L, 2L, 0L)))
+    assert(h.map(_.txn) === Seq(Some(9L), Some(10L), Some(10L),
+      Some(10L), Some(10L)), "the txn high-water self-propagates")
+    assert(h.map(_.ridHighWater) === Seq(Some(2L), Some(3L), Some(3L),
+      Some(3L), Some(3L)), "the rid high-water self-propagates")
+    assert(h.map(_.mapped) === Seq(false, false, false, true, true))
+    // a tight retention window: the oldest RETAINED version reports
+    // its full entry count as the baseline (its predecessor is gone).
+    // checkpointEvery=1 forces FULL manifests so no delta chain pins
+    // the predecessor alive.
+    val r2 = root()
+    TableCommit.commitOverwrite(one(Seq((1L, "x"), (2L, "y"))), r2)
+    TableCommit.commitAppend(one(Seq((3L, "z"))), r2, retain = 2,
+      checkpointEvery = 1)
+    TableCommit.commitAppend(one(Seq((4L, "w"))), r2, retain = 2,
+      checkpointEvery = 1)
+    val h2 = TableCommit.history(r2)
+    assert(h2.map(_.version) === Seq(2L, 3L))
+    assert(h2.head.added === 2L,
+      "the retired-predecessor baseline reports its full entry count")
+    assert(h2.last.added === 1L)
+  }
+
   test("optimistic append retry: N forced-collision writers all land, no lost update (X273)") {
     val r = root()
     val n = 4
