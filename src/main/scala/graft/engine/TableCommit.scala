@@ -885,7 +885,14 @@ object TableCommit {
       // retained manifest makes the needed-set unjudgeable — leave
       // everything for a later retire/vacuum.
       var unknownLiveness = false
-      val needed = (oldest to current).filter(present).flatMap { v =>
+      // X284: a PINNED version survives any retention window (tags /
+      // explicit pins); an unreadable pin file freezes the sweep like
+      // a torn manifest — never risk a pinned snapshot's chain
+      val pinned =
+        try pinnedVersions(root).values.toSeq
+        catch { case _: Throwable => unknownLiveness = true; Seq.empty }
+      val needed = ((oldest to current).filter(present) ++
+        pinned.filter(present)).flatMap { v =>
         try chainOf(root, v)
         catch { case _: Throwable => unknownLiveness = true; Seq.empty }
       }.toSet
@@ -1492,7 +1499,7 @@ object TableCommit {
     val removedHit = c.removedPaths.filter(p => victimLeaves(pathLeaf(p)))
     if (removedHit.nonEmpty)
       return Some(s"removed/rewrote victim file(s) ${removedHit.take(3)}")
-    val dvHit = c.dvGrown.map(_.entry.path)
+    val dvHit = (c.dvGrown ++ c.dvShrunk).map(_.entry.path)
       .filter(p => victimLeaves(pathLeaf(p)))
     if (dvHit.nonEmpty)
       Some(s"row-level DML touched victim file(s) ${dvHit.take(3)}")
@@ -1853,7 +1860,8 @@ object TableCommit {
     val conflict = (c: VersionChange) => {
       val addedHit = c.added.filter(_.part.exists(replaced))
       val removedHit = c.removed.filter(_.part.exists(replaced))
-      val dvHit = c.dvGrown.map(_.entry).filter(_.part.exists(replaced))
+      val dvHit = (c.dvGrown ++ c.dvShrunk).map(_.entry)
+        .filter(_.part.exists(replaced))
       if (addedHit.nonEmpty)
         Some(s"wrote into replaced slice(s) ${addedHit.flatMap(_.part).distinct.take(3)}")
       else if (removedHit.nonEmpty)
@@ -2882,12 +2890,20 @@ object TableCommit {
     * without re-resolving any manifest. */
   final case class VersionChange(version: Long, added: Seq[Entry],
       removedPaths: Seq[String], removed: Seq[Entry] = Seq.empty,
-      dvGrown: Seq[DvGrowth] = Seq.empty)
+      dvGrown: Seq[DvGrowth] = Seq.empty,
+      dvShrunk: Seq[DvGrowth] = Seq.empty)
 
   /** A persisting file whose DV gained positions: the before/after
     * encodings (stat min slot — inline text or `@sidecar`), plus
     * zero-cost counts for planning. The fresh positions are
-    * `decode(after) − decode(before)`. */
+    * `decode(after) − decode(before)`.
+    *
+    * Also the carrier for a DV SHRINK (X283 restore — the only way a
+    * vector loses positions, since DML growth is monotone union): a
+    * shrink is recorded as the SWAPPED encoding pair (`after` = the
+    * prior fat vector, `before` = the restored thin/absent one), so
+    * `freshCount`/the position difference mean "resurrected" and every
+    * consumer ([[readPositions]], [[freshBitmaps]]) works unchanged. */
   final case class DvGrowth(entry: Entry, before: Option[ColStats],
       after: ColStats) {
     /** Exact newly-dead count, from the zero-cost count slots (DV
@@ -2960,8 +2976,22 @@ object TableCommit {
               case _ => None
             }
           }
+          // X283: a RESTORE is the one commit where a persisting
+          // file's DV can LOSE positions (back to an older, thinner
+          // vector — DML growth is monotone union). Recorded as the
+          // swapped encoding pair; the full feed reads the difference
+          // as resurrected-row INSERTS.
+          val dvShrunk = next.flatMap { e =>
+            curBy.get(e.path) match {
+              case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey)
+                  && pe.stats.contains(DvKey) =>
+                val g = DvGrowth(e, e.stats.get(DvKey), pe.stats(DvKey))
+                if (g.freshCount <= 0L) None else Some(g)
+              case _ => None
+            }
+          }
           val c = VersionChange(v, added, removed.map(_.path), removed,
-            dvGrown)
+            dvGrown, dvShrunk)
           cur = next; curBy = nextBy
           c
       }
@@ -3001,11 +3031,13 @@ object TableCommit {
     // would let a feed-driven mirror diverge. Same loud contract as
     // file removals: use the FULL feed for such versions. The diff
     // already carries the per-version DV growth — no re-resolution.
-    val dvDelta = chs.filter(_.dvGrown.nonEmpty).map(_.version)
+    val dvDelta = chs
+      .filter(c => c.dvGrown.nonEmpty || c.dvShrunk.nonEmpty)
+      .map(_.version)
     require(dvDelta.isEmpty,
       s"deletion-vector delta in version(s) ${dvDelta.mkString(", ")} " +
-        s"at $root — row deletes aren't expressible in the append-only " +
-        "feed; consume them via readChangesFull")
+        s"at $root — row deletes/restores aren't expressible in the " +
+        "append-only feed; consume them via readChangesFull")
     val parts = chs.filter(_.added.nonEmpty).map { ch =>
       // readLive: an added entry can CARRY a DV (a shallow-cloned file)
       // — its dead rows were never part of this table's content
@@ -3056,7 +3088,15 @@ object TableCommit {
           else Some(readPositions(spark, root, schema, ch.dvGrown)
             .withColumn(versionCol, lit(ch.version))
             .withColumn(typeCol, lit("delete")))
-        ins.toSeq ++ del.toSeq ++ dvDel.toSeq
+        // X283: a DV shrink (restore) resurrects rows — emit them as
+        // inserts, so a feed consumer's state converges to the
+        // restored snapshot without a re-sync
+        val dvIns =
+          if (ch.dvShrunk.isEmpty) None
+          else Some(readPositions(spark, root, schema, ch.dvShrunk)
+            .withColumn(versionCol, lit(ch.version))
+            .withColumn(typeCol, lit("insert")))
+        ins.toSeq ++ del.toSeq ++ dvDel.toSeq ++ dvIns.toSeq
       }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -3097,7 +3137,16 @@ object TableCommit {
           else Some(readPositionsWithIds(spark, root, schema, ch.dvGrown)
             .withColumn(versionCol, lit(ch.version))
             .withColumn(typeCol, lit("delete")))
-        ins.toSeq ++ del.toSeq ++ dvDel.toSeq
+        // X283: resurrected rows (a restore's DV shrink) re-arrive as
+        // inserts UNDER THEIR ORIGINAL stable ids — identity-keyed
+        // consumers resurrect exactly the state they tombstoned
+        val dvIns =
+          if (ch.dvShrunk.isEmpty) None
+          else Some(readPositionsWithIds(spark, root, schema,
+            ch.dvShrunk)
+            .withColumn(versionCol, lit(ch.version))
+            .withColumn(typeCol, lit("insert")))
+        ins.toSeq ++ del.toSeq ++ dvDel.toSeq ++ dvIns.toSeq
       }
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -3206,6 +3255,263 @@ object TableCommit {
         dvGrown = c.map(_.dvGrown.size.toLong).getOrElse(0L),
         txn = raw.txn, ridHighWater = raw.rid,
         mapped = raw.cols.isDefined)
+    }
+  }
+
+  /** RESTORE (X283): make the table's NEXT version carry exactly the
+    * file list of retained version `version` — the `RESTORE TABLE …
+    * VERSION AS OF` every production format exposes, as a metadata-only
+    * commit (zero data bytes move; the old files are re-referenced in
+    * place). History is preserved, not rewritten: the restore is a new
+    * FULL commit on top, so [[history]] shows it, the change feed diffs
+    * it like any overwrite, and a restore can itself be restored away.
+    *
+    * Invariants deliberately NOT restored:
+    *   - the `{"txn"}` exactly-once and `{"rid"}` row-id high-waters
+    *     keep their CURRENT values ([[publish]] max-merges them) — a
+    *     restore must never re-arm a replayed micro-batch id or re-mint
+    *     a stable row id that existed in the rolled-back era;
+    *   - the column MAPPING does restore to `version`'s (the restored
+    *     files' physical names must resolve under the mapping of their
+    *     own era, and `version`'s files predate any later drop — the
+    *     values a later tombstone guarded against never existed in
+    *     them).
+    *
+    * Fails loudly when `version`'s manifest is retired, or when any
+    * data file / DV sidecar it references was vacuumed after a later
+    * rewrite unreferenced it — a silent partial restore is data loss.
+    * Safe beside [[vacuum]]'s age gate: a file the check just saw
+    * stays pinned because the restore publishes within the gate. */
+  def commitRestore(root: String, version: Long, retain: Int = 1): Long = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot restore $root: the table has no commits"))
+    require(version >= 1L && version <= cur,
+      s"restore target v$version outside the committed range 1..$cur")
+    if (version == cur) return cur
+    val raw =
+      try readRawChecked(root, version)
+      catch { case e: java.nio.file.NoSuchFileException =>
+        throw new IllegalStateException(
+          s"cannot restore $root to v$version: its manifest is retired " +
+            s"(outside the retention window) — only retained versions " +
+            "are restorable", e)
+      }
+    val es = entriesAt(root, version)
+    val missing = es.flatMap { e =>
+      val refs = e.path +: e.stats.get(DvKey).toSeq.collect {
+        case cs if cs.min.startsWith("@") => cs.min.drop(1)
+      }
+      refs.filterNot(p => Files.exists(Paths.get(resolvePath(root, p))))
+    }
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot restore $root to v$version: ${missing.size} referenced " +
+        s"file(s) no longer exist (vacuumed after a later rewrite " +
+        s"unreferenced them): ${missing.take(3).mkString(", ")}")
+    publish(root, es, retain, expected = Some(cur),
+      colsOverride = Some(raw.cols
+        .getOrElse(ColMapping(Map.empty, Seq.empty))))
+  }
+
+  // ------------------------------------------------------------------
+  // Version pins + multi-table snapshot tags (X284)
+  // ------------------------------------------------------------------
+
+  private def pinsDir(root: String): Path = Paths.get(root, "_pins")
+
+  private def requirePinSafe(name: String): Unit =
+    require(name.nonEmpty && !name.exists(c => c == '/' || c < 0x20),
+      s"pin/tag name '$name' must be non-empty with no '/' or control " +
+        "characters (it becomes a file name)")
+
+  /** Create-exclusive small-file write: fsynced tmp, then link(2) to
+    * the final name (CREATE_NEW fallback) — the same atomic claim the
+    * commit arbiter uses, so a reader never observes a torn body and
+    * two racing creators of one name get exactly one winner. Throws
+    * [[java.nio.file.FileAlreadyExistsException]] on loss. */
+  private def claimFile(target: Path, bytes: Array[Byte]): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
+    writeFsynced(tmp, bytes)
+    try {
+      try Files.createLink(target, tmp)
+      catch { case _: UnsupportedOperationException =>
+        val ch = java.nio.channels.FileChannel.open(target,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+        catch { case e: Throwable =>
+          try ch.close() catch { case _: Throwable => () }
+          try Files.deleteIfExists(target) catch { case _: Throwable => () }
+          throw e
+        }
+        ch.close()
+      }
+      fsyncDir(target.getParent)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** PIN version `version`: [[retire]] keeps the pinned manifest (and
+    * its delta chain) present past any retention window, which in turn
+    * keeps every file it references alive under [[vacuum]]'s
+    * present-manifest liveness rule — [[readAt]] of a pinned version
+    * works forever, at the cost of exactly the pinned snapshot's
+    * files. Pin names are exclusive per table (re-pinning a held name
+    * throws); the version must still be retained when pinned. */
+  def pinVersion(root: String, name: String, version: Long): Unit = {
+    requirePinSafe(name)
+    require(Files.exists(manifestPath(root, version)),
+      s"cannot pin v$version at $root: not a retained version")
+    try claimFile(pinsDir(root).resolve(name),
+      version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalStateException(
+        s"pin '$name' already exists at $root")
+    }
+  }
+
+  /** Drop a pin; idempotent. The unpinned version's manifests and
+    * files become ordinary retention fodder at the next commit's
+    * retire / the next aged vacuum. */
+  def unpinVersion(root: String, name: String): Unit = {
+    if (Files.isDirectory(pinsDir(root)))
+      Files.deleteIfExists(pinsDir(root).resolve(name))
+    ()
+  }
+
+  /** All pins at `root` (name → version). Throws on an unparseable pin
+    * file — [[retire]] treats that as unjudgeable liveness and freezes
+    * the sweep rather than risking a pinned snapshot's files. */
+  def pinnedVersions(root: String): Map[String, Long] = {
+    val dir = pinsDir(root)
+    if (!Files.isDirectory(dir)) return Map.empty
+    listDir(dir).filter(p => Files.isRegularFile(p) &&
+      !p.getFileName.toString.startsWith(".tmp-")).map { p =>
+      p.getFileName.toString -> new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    }.toMap
+  }
+
+  /** Consistent MULTI-TABLE snapshot tag (X284 — the "dataset release"
+    * primitive: `documents@v5 + embeddings@v3` as one durable name a
+    * training run can cite and reproduce years later). `tables` maps
+    * warehouse-RELATIVE table paths to the versions to capture.
+    *
+    * Two-phase: each member version is pinned first (so retention can
+    * never outrun the tag), then the tag FILE under `warehouse/_tags/`
+    * is the atomic commit point — create-exclusive like the manifest
+    * arbiter, so a duplicate tag name loses cleanly and a reader never
+    * sees a partial member list. Any failure rolls the pins back; a
+    * crash between pin and tag leaves only orphan pins, which
+    * [[tagGc]] sweeps behind an age gate (the clone-registry
+    * inert-registration discipline). */
+  def tagCreate(warehouse: String, tag: String,
+      tables: Map[String, Long]): Unit = {
+    requirePinSafe(tag)
+    require(tables.nonEmpty, "a tag must capture at least one table")
+    tables.keys.foreach(rel => require(
+      rel.nonEmpty && !rel.startsWith("/") &&
+        !rel.exists(c => c < 0x20),
+      s"table path '$rel' must be warehouse-relative with no control " +
+        "characters"))
+    val done = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      tables.toSeq.sortBy(_._1).foreach { case (rel, v) =>
+        pinVersion(s"$warehouse/$rel", s"tag-$tag", v)
+        done += rel
+      }
+      val body = tables.toSeq.sortBy(_._1)
+        .map { case (rel, v) => s"$rel $v" }.mkString("", "\n", "\n")
+      try claimFile(Paths.get(warehouse, "_tags").resolve(tag),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$tag' already exists at $warehouse")
+      }
+    } catch { case e: Throwable =>
+      done.foreach(rel =>
+        try unpinVersion(s"$warehouse/$rel", s"tag-$tag")
+        catch { case _: Throwable => () })
+      throw e
+    }
+  }
+
+  /** Tag the CURRENT version of each table — the common "cut a
+    * release now" shape. Returns the captured (table → version) map.
+    * Note the versions are each table's head AT PIN TIME, read in one
+    * pass; writers racing the cut land either before or after a given
+    * member — coordinate writers externally if the members must be
+    * causally consistent. */
+  def tagCreateCurrent(warehouse: String, tag: String,
+      tables: Seq[String]): Map[String, Long] = {
+    val vs = tables.map { rel =>
+      rel -> currentVersion(s"$warehouse/$rel").getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot tag '$rel': no commits at $warehouse/$rel"))
+    }.toMap
+    tagCreate(warehouse, tag, vs)
+    vs
+  }
+
+  /** The (table → version) members of a tag. Loud on a missing tag. */
+  def tagTables(warehouse: String, tag: String): Map[String, Long] = {
+    val p = Paths.get(warehouse, "_tags").resolve(tag)
+    require(Files.exists(p), s"no tag '$tag' at $warehouse")
+    new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf(' ')
+        line.take(i) -> line.drop(i + 1).toLong
+      }.toMap
+  }
+
+  /** Read one member table AS OF its tagged version. */
+  def readAtTag(spark: SparkSession, warehouse: String, tag: String,
+      table: String, schema: StructType): DataFrame = {
+    val vs = tagTables(warehouse, tag)
+    val v = vs.getOrElse(table, throw new IllegalArgumentException(
+      s"table '$table' is not a member of tag '$tag' " +
+        s"(members: ${vs.keys.toSeq.sorted.mkString(", ")})"))
+    readAt(spark, s"$warehouse/$table", schema, v)
+  }
+
+  /** Drop a tag: the tag file goes first (the commit point — the tag
+    * stops resolving immediately), then the member pins. A crash
+    * mid-unpin leaves orphan pins for [[tagGc]]. Idempotent. */
+  def tagDrop(warehouse: String, tag: String): Unit = {
+    val p = Paths.get(warehouse, "_tags").resolve(tag)
+    val members =
+      if (Files.exists(p)) tagTables(warehouse, tag).keys.toSeq
+      else Seq.empty
+    Files.deleteIfExists(p)
+    members.foreach(rel =>
+      try unpinVersion(s"$warehouse/$rel", s"tag-$tag")
+      catch { case _: Throwable => () })
+  }
+
+  /** Sweep ORPHAN tag pins: a `tag-<t>` pin whose tag file no longer
+    * (or never) exists, aged past `minAgeMs` — crash debris from a
+    * tagCreate that died before its commit point or a tagDrop that
+    * died mid-unpin. Walks `warehouse/<table>/_pins`; named
+    * (non-tag) pins are never touched. */
+  def tagGc(warehouse: String, minAgeMs: Long = 3600000L): Unit = {
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val wh = Paths.get(warehouse)
+    if (!Files.isDirectory(wh)) return
+    walkFiles(wh).filter { p =>
+      val parent = p.getParent
+      parent != null && parent.getFileName != null &&
+        parent.getFileName.toString == "_pins" &&
+        p.getFileName.toString.startsWith("tag-") &&
+        Files.isRegularFile(p)
+    }.foreach { p =>
+      val tag = p.getFileName.toString.drop(4)
+      val tagFile = Paths.get(warehouse, "_tags").resolve(tag)
+      val aged =
+        try Files.getLastModifiedTime(p).toMillis <= cutoff
+        catch { case _: Throwable => false }
+      if (!Files.exists(tagFile) && aged)
+        try Files.deleteIfExists(p) catch { case _: Throwable => () }
     }
   }
 

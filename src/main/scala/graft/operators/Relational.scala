@@ -3097,6 +3097,154 @@ object Relational {
       |UNION ALL SELECT 5, 'full', 1, 2, 0, 5, n, TRUE FROM c
       |ORDER BY version""".stripMargin
 
+  // `q_restore` (X283): RESTORE VERSION AS OF, metadata-only
+
+  /** `q_restore` (X283): RESTORE — the table's next version carries an
+    * older retained version's exact file list, as a metadata-only
+    * commit (`TableCommit.commitRestore`; zero data bytes move, the
+    * RestoreSpec fingerprint pins it). The operational undo every
+    * production format ships: a bad DML rolls back in manifest-sized
+    * time at any table size, while history is preserved (the restore
+    * is a new commit, not a rewrite) and the exactly-once/row-id
+    * high-waters never rewind. Fixture: v1 append (k%3=0) → v2 append
+    * (k%3=1) → v3 row-level DELETE (k%5=0) → v4 RESTORE to v2. Gated
+    * legs: (a) the final table per status — the delete's rows must
+    * RESURRECT exactly (a restore that kept the DV, or dropped a
+    * file, breaks the hash); (b) the full change feed across the
+    * restore version — a DV shrink is the one commit shape where a
+    * vector loses positions, and the feed must emit exactly the
+    * resurrected rows as INSERTS so a downstream mirror converges
+    * without a re-sync. */
+  def restoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_restoreq_") +
+      "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    TableCommit.commitAppend(
+      src.filter(pmod(col("k"), lit(3L)) === 0L), root, retain = 10)
+    val v2 = TableCommit.commitAppend(
+      src.filter(pmod(col("k"), lit(3L)) === 1L), root, retain = 10)
+    val v3 = TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("k"), lit(5L)) === 0L, retain = 10)
+    val v4 = TableCommit.commitRestore(root, v2, retain = 10)
+    val table = TableCommit.read(spark, root, schema)
+      .groupBy(col("st"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .select(lit("table").as("kind"), col("st").as("key"),
+        col("n_rows"), col("cents_sum"), col("key_sum"))
+    val feed = TableCommit.readChangesFull(spark, root, schema, v3, v4)
+      .groupBy(col("_change_type"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .select(lit("cdf_restore").as("kind"),
+        col("_change_type").as("key"),
+        col("n_rows"), col("cents_sum"), col("key_sum"))
+    table.unionByName(feed).orderBy(col("kind"), col("key"))
+  }
+
+  val restoreOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |live AS (SELECT * FROM base WHERE k % 3 IN (0, 1))
+      |SELECT 'table' AS kind, st AS key, CAST(COUNT(*) AS BIGINT)
+      |    AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM live GROUP BY 2
+      |UNION ALL
+      |SELECT 'cdf_restore', 'insert', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c) AS BIGINT), CAST(SUM(k) AS BIGINT)
+      |FROM live WHERE k % 5 = 0
+      |ORDER BY kind, key""".stripMargin
+
+  // `q_snapshot_tag` (X284): consistent multi-table snapshot tags
+
+  /** `q_snapshot_tag` (X284): a NAMED multi-table snapshot — the
+    * "dataset release" primitive (`documents@v5 + embeddings@v3` as
+    * one durable name a training run cites and reproduces). A tag pins
+    * each member version past ANY retention window (retire keeps the
+    * pinned chain, vacuum keeps its files — SnapshotTagSpec soaks it
+    * under retain=1 churn + vacuum(0)), and creation is atomic: pins
+    * first, then the create-exclusive tag file as the commit point.
+    * Fixture: dim + fact tables committed, `tagCreateCurrent`, then
+    * BOTH tables mutate (dim overwritten to a subset, fact doubled by
+    * an append) with aggressive retention. Gated legs: the dim⋈fact
+    * rollup read AT THE TAG (must see exactly the capture-time state
+    * of both members — a dangling pin, wrong version, or partial tag
+    * breaks it) vs the same rollup at the HEAD (pins the divergence:
+    * a tag reader that silently fell through to current state would
+    * hash-match the head leg and break the tag leg). */
+  def snapshotTagQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val wh = graft.engine.TempWarehouse.createManaged("graft_tagq_")
+    val custSchema = StructType(Seq(StructField("ck", LongType),
+      StructField("seg", StringType)))
+    val ordSchema = StructType(Seq(StructField("ck", LongType),
+      StructField("c", LongType)))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("ck"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("c"),
+        col("o_orderkey").as("ok"))
+    TableCommit.commitOverwrite(cust, s"$wh/cust", retain = 1)
+    TableCommit.commitOverwrite(
+      ords.filter(pmod(col("ok"), lit(2L)) === 0L).drop("ok"),
+      s"$wh/ords", retain = 1)
+    TableCommit.tagCreateCurrent(wh, "release", Seq("cust", "ords"))
+    // both members move on under retain=1 — only the pins keep the
+    // tagged snapshot alive
+    TableCommit.commitOverwrite(
+      cust.filter(pmod(col("ck"), lit(3L)) =!= 0L), s"$wh/cust",
+      retain = 1)
+    TableCommit.commitAppend(
+      ords.filter(pmod(col("ok"), lit(2L)) === 1L).drop("ok"),
+      s"$wh/ords", retain = 1)
+    TableCommit.vacuum(s"$wh/cust", minAgeMs = 0L)
+    TableCommit.vacuum(s"$wh/ords", minAgeMs = 0L)
+    def rollup(kind: String, d: DataFrame, f: DataFrame): DataFrame =
+      f.join(d, "ck")
+        .groupBy(col("seg"))
+        .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"))
+        .select(lit(kind).as("kind"), col("seg").as("key"),
+          col("n_rows"), col("cents_sum"))
+    val atTag = rollup("tag",
+      TableCommit.readAtTag(spark, wh, "release", "cust", custSchema),
+      TableCommit.readAtTag(spark, wh, "release", "ords", ordSchema))
+    val atHead = rollup("head",
+      TableCommit.read(spark, s"$wh/cust", custSchema),
+      TableCommit.read(spark, s"$wh/ords", ordSchema))
+    atTag.unionByName(atHead).orderBy(col("kind"), col("key"))
+  }
+
+  val snapshotTagOracle: String =
+    """WITH c AS (SELECT c_custkey AS ck, c_mktsegment AS seg
+      |  FROM customer),
+      |o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+      |  FROM orders)
+      |SELECT 'tag' AS kind, seg AS key,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cc) AS BIGINT) AS cents_sum
+      |FROM o JOIN c USING (ck) WHERE ok % 2 = 0 GROUP BY 2
+      |UNION ALL
+      |SELECT 'head', seg, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(cc) AS BIGINT)
+      |FROM o JOIN c USING (ck) WHERE ck % 3 <> 0 GROUP BY 2
+      |ORDER BY kind, key""".stripMargin
+
   val prunedMappedOracle: String =
     """WITH base AS (
       |  SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -234,10 +234,12 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
         s"non-append version(s) ${nonAppend.map(_.version).mkString(", ")} " +
           s"in stream range ($from, $until] at $root — graft-cdf streams " +
           "the append-only feed; rewrites need mode=full")
-      val dvDelta = chs.filter(_.dvGrown.nonEmpty).map(_.version)
+      val dvDelta = chs
+        .filter(c => c.dvGrown.nonEmpty || c.dvShrunk.nonEmpty)
+        .map(_.version)
       require(dvDelta.isEmpty,
         s"deletion-vector delta in version(s) ${dvDelta.mkString(", ")} " +
-          s"at $root — row deletes aren't expressible in the " +
+          s"at $root — row deletes/restores aren't expressible in the " +
           "append-only stream; use mode=full")
       chs.flatMap { ch =>
         ch.added.map { e =>
@@ -275,7 +277,18 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
             withIds = withIds,
             ridBase = ridBase(g.entry)): InputPartition
         }
-        ins ++ del ++ dvd
+        // X283: a restore's DV shrink streams the resurrected rows as
+        // inserts — dvShrunk already carries the SWAPPED encoding
+        // pair, so emitOnly's decode(encA) − decode(encB) is exactly
+        // the resurrected position set
+        val dvi = ch.dvShrunk.map { g =>
+          CdfFilePartition(abs(g.entry), ch.version, dataSchema, root,
+            encA = Some(g.after.min), encB = g.before.map(_.min),
+            emitOnly = true, changeType = Some("insert"),
+            withIds = withIds,
+            ridBase = ridBase(g.entry)): InputPartition
+        }
+        ins ++ del ++ dvd ++ dvi
       }.toArray
     }
   }

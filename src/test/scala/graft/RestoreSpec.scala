@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TableCommit
+
+/** X283 RESTORE: the table's next version carries exactly an older
+  * retained version's file list, as a metadata-only commit. Contracts
+  * under test: zero data bytes move; content (including DV state)
+  * reverts exactly; the txn and rid high-waters NEVER rewind (no
+  * re-armed exactly-once ids, no re-minted row ids); the full change
+  * feed stays convergent across a restore (resurrections arrive as
+  * inserts, identity CDC re-emits original ids); and unrestorable
+  * targets (retired manifests, vacuumed files) fail loudly. */
+class RestoreSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", LongType)))
+
+  private def root(): String =
+    Files.createTempDirectory("graft_restore_spec_").toString
+
+  private def df(from: Long, until: Long, files: Int = 3) =
+    spark.range(from, until).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).repartition(files)
+
+  private def keys(r: String): Set[Long] =
+    TableCommit.read(spark, r, schema).collect().map(_.getLong(0)).toSet
+
+  private def dataFingerprint(r: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(Paths.get(r, "data"))
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+      p.toString -> (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }.toMap finally s.close()
+  }
+
+  test("restore reverts content exactly and moves zero data bytes") {
+    val r = root()
+    val v1 = TableCommit.commitAppend(df(0L, 60L), r, retain = 10)
+    val v2 = TableCommit.commitAppend(df(60L, 100L), r, retain = 10)
+    val v3 = TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(5L)) === 0L, retain = 10)
+    assert(keys(r) === (0L until 100L).filter(_ % 5L != 0L).toSet)
+    val before = dataFingerprint(r)
+    val v4 = TableCommit.commitRestore(r, v2, retain = 10)
+    assert(v4 === v3 + 1L)
+    assert(dataFingerprint(r) === before,
+      "restore must not touch a single data byte")
+    // deleted rows resurrect: v2 content is the full 0..100 range
+    assert(keys(r) === (0L until 100L).toSet)
+    // restore past an APPEND drops the appended files
+    val v5 = TableCommit.commitRestore(r, v1, retain = 10)
+    assert(keys(r) === (0L until 60L).toSet)
+    // a restore can itself be restored away (back onto the fat DV)
+    TableCommit.commitRestore(r, v3, retain = 10)
+    assert(keys(r) === (0L until 100L).filter(_ % 5L != 0L).toSet)
+    // restore-to-current is a no-op, not a new snapshot
+    val cur = TableCommit.currentVersion(r).get
+    assert(TableCommit.commitRestore(r, cur, retain = 10) === cur)
+    assert(TableCommit.currentVersion(r).get === cur)
+  }
+
+  test("txn high-water survives restore: replayed batch id stays a no-op") {
+    val r = root()
+    TableCommit.commitAppendTxn(df(0L, 30L), r, txnId = 1L, retain = 10)
+    val v2 = TableCommit.currentVersion(r).get
+    TableCommit.commitAppendTxn(df(30L, 50L), r, txnId = 2L, retain = 10)
+    TableCommit.commitRestore(r, v2, retain = 10)
+    assert(TableCommit.lastTxnId(r) === Some(2L),
+      "restore must not rewind the exactly-once high-water")
+    // the crash-replay of batch 2 after the restore lands ZERO rows
+    TableCommit.commitAppendTxn(df(30L, 50L), r, txnId = 2L, retain = 10)
+    assert(keys(r) === (0L until 30L).toSet)
+  }
+
+  test("rid high-water survives restore: rolled-back ids never re-mint") {
+    val r = root()
+    TableCommit.commitAppendTracked(df(0L, 40L), r, retain = 10)
+    val v1 = TableCommit.currentVersion(r).get
+    TableCommit.commitAppendTracked(df(40L, 70L), r, retain = 10)
+    val hw = TableCommit.rowIdHighWater(r)
+    assert(hw === 70L)
+    TableCommit.commitRestore(r, v1, retain = 10)
+    assert(TableCommit.rowIdHighWater(r) === hw,
+      "restore must not rewind the row-id high-water")
+    TableCommit.commitAppendTracked(df(1000L, 1010L), r, retain = 10)
+    val ids = TableCommit.readWithRowIds(spark, r, schema)
+      .select(col(TableCommit.RowIdCol)).collect().map(_.getLong(0))
+    assert(ids.length === 50)
+    assert(ids.toSet.size === 50, "no id minted twice")
+    assert(ids.filter(_ >= 40L).forall(_ >= 70L),
+      "fresh ids must mint ABOVE the rolled-back era's high-water")
+  }
+
+  test("full CDF converges across restores (resurrections as inserts)") {
+    val r = root()
+    val v1 = TableCommit.commitAppend(df(0L, 60L), r, retain = 12)
+    val v2 = TableCommit.commitAppend(df(60L, 100L), r, retain = 12)
+    val v3 = TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(5L)) === 0L, retain = 12)
+    val v4 = TableCommit.commitRestore(r, v2, retain = 12) // DV shrink
+    val v5 = TableCommit.commitRestore(r, v1, retain = 12) // file drop
+    val v6 = TableCommit.commitRestore(r, v3, retain = 12) // grow + add
+    val feed = TableCommit.readChangesFull(spark, r, schema, 0L, v6)
+      .select(col("_commit_version"), col("_change_type"), col("k"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    // v4's legs are EXACTLY the resurrected positions, as inserts
+    val legs4 = feed.filter(_._1 == v4)
+    assert(legs4.forall(_._2 == "insert"))
+    assert(legs4.map(_._3).toSet ===
+      (0L until 100L).filter(_ % 5L == 0L).toSet)
+    // replaying the whole feed converges a keyed mirror to the head
+    var mirror = Set.empty[Long]
+    feed.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, legs) =>
+      mirror --= legs.filter(_._2 == "delete").map(_._3)
+      mirror ++= legs.filter(_._2 == "insert").map(_._3)
+    }
+    assert(mirror === keys(r))
+  }
+
+  test("identity CDC re-emits resurrected rows under their original ids") {
+    val r = root()
+    TableCommit.commitAppendTracked(df(0L, 50L), r, retain = 12)
+    val v1 = TableCommit.currentVersion(r).get
+    val v2 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 10L, retain = 12)
+    // (k → _row_id) as born — the identity the resurrection must keep
+    val born = TableCommit.readWithRowIds(spark, r, schema)
+      .unionByName(TableCommit.readChangesFullIds(
+        spark, r, schema, v1, v2).drop("_commit_version", "_change_type"))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val v3 = TableCommit.commitRestore(r, v1, retain = 12)
+    val legs = TableCommit.readChangesFullIds(spark, r, schema, v2, v3)
+      .collect()
+      .map(x => (x.getString(4), x.getLong(0), x.getLong(2)))
+    assert(legs.forall(_._1 == "insert"))
+    assert(legs.map(x => x._2 -> x._3).toMap ===
+      (0L until 10L).map(k => k -> born(k)).toMap,
+      "resurrected rows must carry their ORIGINAL stable ids")
+  }
+
+  test("restore restores the column mapping of its era") {
+    val r = root()
+    TableCommit.commitAppend(df(0L, 20L), r, retain = 10)
+    val vPre = TableCommit.currentVersion(r).get
+    TableCommit.commitRenameColumn(r, "v", "val", retain = 10)
+    val renamed = StructType(Seq(StructField("k", LongType),
+      StructField("val", LongType)))
+    assert(TableCommit.readMapped(spark, r, renamed)
+      .agg(sum(col("val"))).collect()(0).getLong(0) === 1900L)
+    TableCommit.commitRestore(r, vPre, retain = 10)
+    assert(TableCommit.colMapping(r) === None,
+      "restore to the pre-mapping era must clear the mapping")
+    assert(TableCommit.readMapped(spark, r, schema).columns.toSeq ===
+      Seq("k", "v"))
+  }
+
+  test("unrestorable targets fail loudly, not partially") {
+    val r = root()
+    // fulls (not delta chains — retire keeps chains present): the
+    // oldest manifest actually retires under retain=1
+    TableCommit.commitOverwrite(df(0L, 20L), r, retain = 1)
+    TableCommit.commitOverwrite(df(20L, 40L), r, retain = 1)
+    TableCommit.commitOverwrite(df(40L, 60L), r, retain = 1)
+    // v1's manifest is retired under retain=1
+    val e1 = intercept[IllegalStateException] {
+      TableCommit.commitRestore(r, 1L, retain = 1)
+    }
+    assert(e1.getMessage.contains("retired"))
+    // a compaction unreferences the original files; once vacuumed,
+    // the pre-compaction version must refuse to restore
+    val r2 = root()
+    TableCommit.commitAppend(df(0L, 20L), r2, retain = 10)
+    val v1 = TableCommit.currentVersion(r2).get
+    TableCommit.commitCompact(spark, r2, targetFiles = 1, retain = 10)
+    // manual unreference-sweep (vacuum pins files of RETAINED
+    // manifests, so simulate the aged sweep of a retired era)
+    val gone = TableCommit.entriesAtVersion(r2, v1).map(_.path)
+    gone.foreach(p => Files.delete(Paths.get(r2, p)))
+    val e2 = intercept[IllegalStateException] {
+      TableCommit.commitRestore(r2, v1, retain = 10)
+    }
+    assert(e2.getMessage.contains("no longer exist"))
+  }
+}
