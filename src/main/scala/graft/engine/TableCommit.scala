@@ -3595,6 +3595,55 @@ object TableCommit {
     }
   }
 
+  /** Z-ORDER CLUSTER (X286): [[commitCompact]]'s layout pass
+    * generalized to TWO dimensions — rewrite the snapshot ordered by
+    * the Morton bit-interleave of `xCol` and `yCol` (both must be
+    * non-negative and < 2^`zBits` after the caller's own binning), so
+    * every output file covers a contiguous curve slice = a tight
+    * (x, y) RECTANGLE, and the manifest min/max stats written for both
+    * columns prune scans filtered on EITHER dimension (the X46 layout
+    * idea executed as a table-format maintenance commit, like Delta's
+    * `OPTIMIZE ZORDER BY`). One range exchange + local sorts — no
+    * global sort bottleneck; same optimistic concurrency and
+    * melts-DVs-away semantics as compaction; `preserveRowIds` keeps
+    * stable lineage through the re-layout. */
+  def commitCluster(spark: SparkSession, root: String, targetFiles: Int,
+      xCol: String, yCol: String, statsCols: Seq[String] = Nil,
+      retain: Int = 1, zBits: Int = 8,
+      preserveRowIds: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
+    val base = currentVersion(root).getOrElse(0L)
+    val es = entriesAt(root, base)
+    require(es.nonEmpty, s"nothing to cluster at $root")
+    def z(df: DataFrame): DataFrame = {
+      val zv = (0 until zBits).map { i =>
+        shiftleft(shiftright(col(xCol), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col(yCol), i).bitwiseAND(lit(1L)),
+            2 * i + 1)
+      }.reduce(_ + _)
+      df.withColumn("_z", zv)
+        .repartitionByRange(targetFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+    }
+    val stats = (statsCols ++ Seq(xCol, yCol)).distinct
+    if (!preserveRowIds) {
+      val arranged = z(readLive(spark, root, None, es))
+      publish(root, stageBatch(arranged, root, None, stats), retain,
+        expected = Some(base))
+    } else {
+      val inferred = spark.read
+        .parquet(es.map(e => resolvePath(root, e.path)): _*).schema
+      val dataSchema = StructType(
+        inferred.fields.filterNot(_.name == RowIdCol))
+      val arranged = z(readWithRowIds(spark, root, dataSchema))
+      val staged = stageBatch(arranged, root, None, stats :+ RowIdCol)
+      publish(root, staged.map(markRidStats), retain,
+        expected = Some(base),
+        ridHighWater = Some(rowIdHighWaterAt(root, base)))
+    }
+  }
+
   /** Targeted melt of DV-FAT files (X279, VERDICT r12 task 4): rewrite
     * ONLY the files whose deleted fraction exceeds `maxDeadRatio`,
     * carrying every thin-or-clean file forward UNTOUCHED — the

@@ -290,6 +290,75 @@ object Relational {
        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   }
 
+  // `q_cluster` (X286): Z-order clustering as a table-format commit
+
+  /** `q_cluster` (X286): the X46 Z-order layout executed as a TABLE
+    * MAINTENANCE commit (`TableCommit.commitCluster`, Delta's `OPTIMIZE
+    * ZORDER BY`): rewrite the snapshot ordered by the Morton
+    * interleave of (x, y), so each output file is a tight (x, y)
+    * rectangle and the manifest min/max stats prune scans on EITHER
+    * dimension — the lever that gives a 100 TB table data skipping on
+    * (customer, date) without storing it twice. Fixture: an
+    * unclustered append, then the cluster commit. Gated legs: the full
+    * table rollup (a rewrite that lost/duplicated rows breaks it) and
+    * a stats-PRUNED read per dimension (`readPrunedStats` keeps only
+    * manifest-overlapping files; a pruning bug that drops a matching
+    * file breaks the hash — lossless by construction, CompactionSpec
+    * measures the actual file skipping on both dimensions). */
+  def clusterQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_clq_") +
+      "/pts"
+    val src = Tables.orders(spark, sfDir)
+      .select(pmod(col("o_custkey"), lit(256L)).as("x"),
+        (year(col("o_orderdate")) - 1992).cast("long").as("y"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .repartition(8) // deliberately unclustered
+    TableCommit.commitAppend(src, root, retain = 4)
+    TableCommit.commitCluster(spark, root, targetFiles = 8,
+      xCol = "x", yCol = "y", retain = 4)
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("y", LongType), StructField("c", LongType)))
+    val numLt = (a: String, b: String) => a.toLong < b.toLong
+    def leg(kind: String, d: DataFrame) = d
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("x")).as("x_sum"), sum(col("y")).as("y_sum"))
+      .select(lit(kind).as("kind"), col("n_rows"), col("cents_sum"),
+        col("x_sum"), col("y_sum"))
+    val table = leg("table", TableCommit.read(spark, root, schema))
+    val px = leg("prune_x",
+      TableCommit.readPrunedStats(spark, root, schema, "x")(
+        cs => TableCommit.rangeOverlaps(cs, "16", "31", numLt))
+        .filter(col("x") >= 16L && col("x") <= 31L))
+    val py = leg("prune_y",
+      TableCommit.readPrunedStats(spark, root, schema, "y")(
+        cs => TableCommit.rangeOverlaps(cs, "2", "4", numLt))
+        .filter(col("y") >= 2L && col("y") <= 4L))
+    table.unionByName(px).unionByName(py).orderBy(col("kind"))
+  }
+
+  val clusterOracle: String =
+    """WITH pts AS (
+      |  SELECT o_custkey % 256 AS x,
+      |    CAST(year(o_orderdate) - 1992 AS BIGINT) AS y,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT 'table' AS kind, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(x) AS BIGINT) AS x_sum, CAST(SUM(y) AS BIGINT) AS y_sum
+      |FROM pts
+      |UNION ALL
+      |SELECT 'prune_x', CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+      |  CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT)
+      |FROM pts WHERE x BETWEEN 16 AND 31
+      |UNION ALL
+      |SELECT 'prune_y', CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+      |  CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT)
+      |FROM pts WHERE y BETWEEN 2 AND 4
+      |ORDER BY kind""".stripMargin
+
   /** Search-matrix keyword watchlist — a bounded literal task list, like the
     * reference's configured search terms. */
   val SearchKeywords: Seq[String] = Seq("join", "filter", "merge", "stream")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.engine.TableCommit
@@ -64,7 +65,8 @@ private class GraftWriteTable(schema0: StructType,
   override def name(): String = s"graft-table($root)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
@@ -74,17 +76,28 @@ private class GraftWriteTable(schema0: StructType,
         val failAt = Option(properties.get("failatpartition")).map(_.toInt)
         val retries = Option(properties.get("conflictretries"))
           .map(_.toInt).getOrElse(0)
+        val crashAfter = Option(properties.get("crashafterepoch"))
+          .map(_.toLong)
         new GraftWrite(root, info.schema(), replaceAll, retain, failAt,
-          retries)
+          retries, crashAfter)
       }
     }
 }
 
 private class GraftWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
-    conflictRetries: Int) extends Write {
+    conflictRetries: Int, crashAfterEpoch: Option[Long] = None)
+    extends Write {
   override def toBatch: BatchWrite = new GraftBatchWrite(
     root, schema, replaceAll, retain, failAt, conflictRetries)
+  override def toStreaming: StreamingWrite = {
+    require(!replaceAll,
+      "graft-table streaming supports outputMode(\"append\") only — " +
+        "a per-epoch truncate would erase prior epochs' exactly-once " +
+        "history; rebuild-per-batch shapes belong in foreachBatch")
+    new GraftStreamingWrite(root, schema, retain, failAt,
+      conflictRetries, crashAfterEpoch)
+  }
 }
 
 private final case class GraftCommitMessage(relPath: String, rows: Long)
@@ -158,6 +171,128 @@ private class GraftBatchWrite(root: String, schema: StructType,
       }
     } catch { case _: Throwable => () }
   }
+}
+
+/** X285: the NATIVE exactly-once streaming sink —
+  * `df.writeStream.format("graft-table").option("root", r)` — the
+  * X271 `foreachBatch` + `commitAppendTxn` pattern folded into the
+  * connector itself, through Spark's V2 streaming two-phase commit:
+  *
+  *   - one StreamingWrite serves the whole query run; each micro-batch
+  *     epoch's task files land under an EPOCH-UNIQUE subdirectory of a
+  *     run-unique staged batch dir (task retries collide with nobody,
+  *     an epoch sweeps without touching its neighbors);
+  *   - driver-side `commit(epochId, …)` publishes the epoch's files
+  *     with the epoch id as the `{"txn"}` header — data and progress
+  *     are ONE atomic manifest link(2), the crash-in-the-unacked-window
+  *     replay (Spark re-runs an epoch whose sink committed but whose
+  *     commit log didn't) re-arrives with the same id, reads
+  *     `lastTxnId ≥ id`, lands ZERO rows, and sweeps its own replayed
+  *     files as debris;
+  *   - a commit RACE (another writer on the table) rebases like the
+  *     batch facet (`option("conflictretries", n)`) — the epoch's
+  *     files republish against the new head, manifest-sized work; the
+  *     applied check re-runs per attempt, so dual zombie writers of
+  *     one checkpoint apply each epoch exactly once.
+  *
+  * `option("crashafterepoch", n)` is the DETERMINISTIC crash seam the
+  * spec drives: publish epoch n, then die before acking — the restart
+  * must replay n as a no-op. */
+private class GraftStreamingWrite(root: String, schema: StructType,
+    retain: Int, failAt: Option[Int], conflictRetries: Int,
+    crashAfterEpoch: Option[Long]) extends StreamingWrite {
+  private val batch = "data/b_stream_" +
+    java.util.UUID.randomUUID().toString.replace("-", "")
+  // epochs THIS instance published: abort(epoch) fires even when the
+  // table-side commit already succeeded (anything thrown after it —
+  // including the deliberate crash seam — makes Spark abort the
+  // epoch), and sweeping a PUBLISHED epoch's files would be data loss.
+  // Instance-local is sufficient: a different (restarted) instance has
+  // a different batch uuid, so its sweeps can't reach these files.
+  private val published =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  private def epochDir(epochId: Long) = s"$batch/e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftStreamWriterFactory(root, batch, schema, failAt)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    def applied = TableCommit.lastTxnId(root).exists(_ >= epochId)
+    if (applied) { sweepEpoch(epochId); crashIfArmed(epochId); return }
+    val entries = messages.collect {
+      case GraftCommitMessage(p, n) => TableCommit.Entry(p, None,
+        rows = Some(n))
+    }.toSeq.sortBy(_.path)
+    var expected = TableCommit.currentVersion(root).getOrElse(0L)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val prior =
+        if (expected == 0L) Seq.empty
+        else TableCommit.entriesAtVersion(root, expected)
+      try {
+        TableCommit.publish(root, prior ++ entries, retain,
+          expected = Some(expected), txnId = Some(epochId))
+        published.add(epochId)
+        done = true
+      } catch {
+        case e: TableCommit.ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > conflictRetries) throw e
+          expected = TableCommit.currentVersion(root).getOrElse(0L)
+          // the race may have BEEN this epoch (dual zombie writers of
+          // one checkpoint): re-check before republishing
+          if (applied) { sweepEpoch(epochId); done = true }
+          else Thread.sleep(java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(2L, 20L) * attempt)
+      }
+    }
+    crashIfArmed(epochId)
+  }
+
+  /** The table-side commit landed but Spark's commit log won't —
+    * exactly the window the txn header exists for. */
+  private def crashIfArmed(epochId: Long): Unit =
+    crashAfterEpoch.filter(_ == epochId).foreach { e =>
+      // "simulated crash at" is the bench listener's whitelist prefix
+      // for deliberate kill-resume seams
+      throw new RuntimeException(
+        s"simulated crash at graft-table epoch $e (post-commit, " +
+          "pre-ack window)")
+    }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    if (!published.contains(epochId)) sweepEpoch(epochId)
+
+  /** Sweep ONE epoch's staged subdirectory (replay debris / abort):
+    * epoch-unique by construction, so neighbors and published files
+    * are untouchable from here. */
+  private def sweepEpoch(epochId: Long): Unit = {
+    val dir = java.nio.file.Paths.get(root, epochDir(epochId))
+    try {
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val files = java.nio.file.Files.list(dir)
+        try files.forEach { f =>
+          try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => () }
+        } finally files.close()
+        java.nio.file.Files.deleteIfExists(dir)
+      }
+    } catch { case _: Throwable => () }
+  }
+}
+
+private final case class GraftStreamWriterFactory(root: String,
+    batch: String, schema: StructType, failAt: Option[Int])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(root, s"$batch/e$epochId", schema, partitionId,
+      taskId, failAt)
 }
 
 private final case class GraftWriterFactory(root: String, batch: String,

@@ -673,4 +673,61 @@ object Incremental {
       |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
       |  CAST(SUM(user_id) AS BIGINT) AS user_sum
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** `q_stream_native` (X285): the NATIVE exactly-once streaming sink —
+    * `writeStream.format("graft-table")` — the X271 foreachBatch
+    * pattern folded into the connector through Spark's V2 streaming
+    * two-phase commit: each epoch's task files stage under an
+    * epoch-unique directory, the driver publishes them with the epoch
+    * id as the `{"txn"}` header (data + progress in ONE atomic manifest
+    * link), and a crash-restarted stream's replayed epoch lands zero
+    * rows. The gate DRIVES the crash: run 1 commits epoch 0 table-side
+    * then dies before Spark acks it (`crashafterepoch`) — the exact
+    * double-apply window; run 2 on the same checkpoint must replay
+    * epoch 0 as a no-op and finish epoch 1. The rollup hashes the
+    * final table: a double-applied epoch doubles half the corpus, a
+    * dropped one halves it, either breaks the gate. */
+  def streamNativeSinkQ(spark: SparkSession, sfDir: String): DataFrame =
+    withDrainParts(spark, 4) {
+    val base = graft.engine.TempWarehouse.createManaged("graft_nsink_")
+    val root = s"$base/t"; val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    // two deterministic slices → two single-file epochs
+    (0 to 1).foreach(i => ev
+      .filter(pmod(col("event_id"), lit(2L)) === i.toLong)
+      .coalesce(1).write.mode("append").parquet(srcDir))
+    val schema = spark.read.parquet(srcDir).schema
+    def run(crashAfter: Option[Long]): Unit = {
+      val w = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .format("graft-table")
+        .option("root", root)
+        .option("retain", "8")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+      crashAfter.foreach(e => w.option("crashafterepoch", e.toString))
+      val q = w.start()
+      q.awaitTermination()
+    }
+    try run(Some(0L))
+    catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+    }
+    run(None) // same checkpoint: replays epoch 0 as a no-op, runs 1
+    graft.engine.TableCommit.read(spark, root, schema)
+      .groupBy(col("event_type"))
+      .agg(graft.engine.Num.countStar.as("n_rows"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("user_id")).as("user_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamNativeSinkOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(user_id) AS BIGINT) AS user_sum
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 }

@@ -126,4 +126,85 @@ class TableWriteSpec extends AnyFunSuite {
       assert(hasConflict(e), s"expected a commit conflict, got $e")
     } finally TableCommit.publishRaceHook = () => ()
   }
+
+  test("native streaming sink is exactly-once across the crash-replay window (X285)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_tw_stream_").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val tbl = s"$base/t"
+    // three single-row files → three micro-batch epochs
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    def run(crashAfter: Option[Long]): Unit = {
+      val w = spark.readStream
+        .schema("k LONG, v STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .format("graft-table")
+        .option("root", tbl)
+        .option("retain", "8")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+      crashAfter.foreach(e => w.option("crashafterepoch", e.toString))
+      val q = w.start()
+      q.awaitTermination()
+    }
+    // run 1 publishes epochs 0 and 1, then dies AFTER epoch 1's table
+    // commit but BEFORE Spark acks it — the double-apply window
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(crashAfter = Some(1L))
+    }
+    assert(TableCommit.read(spark, tbl, schema).count() === 2L)
+    assert(TableCommit.lastTxnId(tbl) === Some(1L))
+    // the restart REPLAYS epoch 1 (must land zero rows) then runs 2
+    run(crashAfter = None)
+    val got = TableCommit.read(spark, tbl, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((0L, "v0"), (1L, "v1"), (2L, "v2")),
+      "each source row must land exactly once across the replay")
+    assert(TableCommit.lastTxnId(tbl) === Some(2L))
+    // no staged debris: every file under data/ is a published entry
+    // (the replayed epoch's re-written files were swept)
+    import scala.jdk.CollectionConverters._
+    val onDisk = {
+      val s = Files.walk(Paths.get(tbl, "data"))
+      // hadoop's local FS writes a .crc sibling per file — not debris
+      try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith(".")).toSeq
+      finally s.close()
+    }
+    assert(onDisk.size === TableCommit.entries(tbl).size,
+      s"replay/abort debris must be swept from the staged batch dirs; " +
+        s"on disk: ${onDisk.mkString(", ")}; published: " +
+        s"${TableCommit.entries(tbl).map(_.path).mkString(", ")}")
+  }
+
+  test("native streaming sink refuses per-epoch truncate (complete mode)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_tw_complete_").toString
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$base/src")
+    val e = intercept[Exception] {
+      val q = spark.readStream.schema("k LONG, v STRING")
+        .parquet(s"$base/src")
+        .groupBy(col("v")).count()
+        .writeStream
+        .format("graft-table")
+        .option("root", s"$base/t")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage)
+        .exists(_.contains("outputMode(\"append\") only")) ||
+        hasMsg(t.getCause))
+    assert(hasMsg(e), s"expected the append-only refusal, got $e")
+  }
 }
