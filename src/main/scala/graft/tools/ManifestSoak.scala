@@ -52,6 +52,10 @@ object ManifestSoak {
           args(4).toInt, skipMelt = args.length > 5 && args(5) == "nomelt")
       case Some("melt") =>
         melt(spark, args(1).toInt, args(2).toInt)
+      case Some("restore") =>
+        restore(spark, args(1).toInt, args(2).toInt)
+      case Some("pins") =>
+        pins(spark, args(1).toInt, args(2).toInt)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
@@ -230,5 +234,75 @@ object ManifestSoak {
     println(f"[meltsoak] melt=$meltT%.2f s readPlain=$readPlain%.2f s " +
       f"readDv=$readDv%.2f s (x${readDv / readPlain}%.2f) " +
       f"readMelted=$readMelted%.2f s (x${readMelted / readPlain}%.2f)")
+  }
+
+  /** X283 restore soak: the metadata-only claim at scale — restore
+    * latency and bytes-moved must track the MANIFEST (file count),
+    * never the data. Fixture: `files`×`rows` table, one DV delete, one
+    * restore past it, one restore forward again. */
+  private def restore(spark: SparkSession, files: Int, rows: Int): Unit = {
+    val root = Files.createTempDirectory("graft_rsoak_").toString + "/t"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    val df = spark.range(files.toLong * rows)
+      .selectExpr("id as k", "id * 2 as v").repartition(files)
+    TableCommit.commitAppend(df, root, retain = 8)
+    val v1 = TableCommit.currentVersion(root).get
+    val v2 = TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("k"), lit(5L)) === 0L, retain = 8)
+    def dataFp(): Map[String, Long] = {
+      val s = Files.walk(Paths.get(root, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => p.toString -> Files.size(p)).toMap
+      } finally s.close()
+    }
+    val before = dataFp()
+    val t0 = System.nanoTime()
+    TableCommit.commitRestore(root, v1, retain = 8)
+    val back = (System.nanoTime() - t0) / 1e9
+    require(dataFp() == before, "restore moved data bytes")
+    val t1 = System.nanoTime()
+    TableCommit.commitRestore(root, v2, retain = 8)
+    val fwd = (System.nanoTime() - t1) / 1e9
+    require(dataFp() == before, "restore moved data bytes")
+    // what a CDC mirror pays to follow the two restores: exactly the
+    // resurrected/re-dead rows, never a table rescan
+    val f0 = System.nanoTime()
+    val feedRows = TableCommit.readChangesFull(spark, root, schema,
+      v2, v2 + 2L).count()
+    val feed = (System.nanoTime() - f0) / 1e9
+    println(f"[rsoak] files=$files rowsPerFile=$rows " +
+      f"restoreBack=$back%.3f s restoreFwd=$fwd%.3f s " +
+      f"bytesMoved=0 feedRows=$feedRows feedWalk=$feed%.2f s " +
+      f"manifestBytes=${logBytes(root)}")
+  }
+
+  /** X284 pin soak: retention with a pin present — per-commit latency
+    * must stay flat (the pin adds one small-dir listing per retire)
+    * while the pinned version's chain survives `n` retain=1 commits. */
+  private def pins(spark: SparkSession, n: Int, files: Int): Unit = {
+    val root = Files.createTempDirectory("graft_psoak_").toString + "/t"
+    val df = spark.range(files.toLong * 10L)
+      .selectExpr("id as k", "id * 2 as v").repartition(files)
+    TableCommit.commitOverwrite(df, root, retain = 1)
+    TableCommit.pinVersion(root, "release", 1L)
+    val one = spark.range(10).selectExpr("id as k", "id * 2 as v")
+      .coalesce(1)
+    val lat = new Array[Double](n)
+    (1 to n).foreach { i =>
+      val c0 = System.nanoTime()
+      TableCommit.commitOverwrite(one, root, retain = 1)
+      lat(i - 1) = (System.nanoTime() - c0) / 1e9
+    }
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    val n1 = TableCommit.readAt(spark, root, schema, 1L).count()
+    println(f"[psoak] commits=$n medLatFirst50=${med(lat.take(50).toSeq)}%.4f s " +
+      f"medLatLast50=${med(lat.takeRight(50).toSeq)}%.4f s " +
+      f"pinnedRowsStillReadable=$n1 " +
+      f"manifestsPresent=${Files.list(Paths.get(root, "_log")).count()}")
   }
 }
