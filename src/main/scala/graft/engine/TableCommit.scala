@@ -3314,6 +3314,45 @@ object TableCommit {
   }
 
   // ------------------------------------------------------------------
+  // Timestamp time travel (X288)
+  // ------------------------------------------------------------------
+
+  /** Latest retained version whose manifest landed at or before
+    * `tsMs` — the `TIMESTAMP AS OF` rule every production format uses
+    * (commit time = the commit file's mtime; Delta reads it the same
+    * way). Loud when every retained version is newer (the caller asked
+    * for a time before this table's retained history) or the table has
+    * no commits. Retention bounds the reachable past exactly as it
+    * does for version-addressed reads. */
+  def versionAsOf(root: String, tsMs: Long): Long = {
+    val dir = logDir(root)
+    require(Files.isDirectory(dir), s"no commits at $root")
+    val at = listDir(dir).flatMap(p => p.getFileName.toString match {
+      case VersionRe(d) =>
+        try Some(d.toLong -> Files.getLastModifiedTime(p).toMillis)
+        catch { case _: Throwable => None }
+      case _ => None
+    })
+    require(at.nonEmpty, s"no commits at $root")
+    val hit = at.filter(_._2 <= tsMs)
+    require(hit.nonEmpty,
+      s"no retained version at or before ts=$tsMs at $root (oldest " +
+        s"retained: v${at.minBy(_._2)._1} @ ${at.minBy(_._2)._2})")
+    hit.maxBy(v => (v._2, v._1))._1
+  }
+
+  /** Time-travel read by TIMESTAMP: the table as of wall-clock `tsMs`. */
+  def readAsOf(spark: SparkSession, root: String, schema: StructType,
+      tsMs: Long): DataFrame =
+    readAt(spark, root, schema, versionAsOf(root, tsMs))
+
+  /** RESTORE TIMESTAMP AS OF: [[commitRestore]] to the version current
+    * at `tsMs` — "roll back to before the 14:32 deploy". */
+  def commitRestoreAsOf(root: String, tsMs: Long,
+      retain: Int = 1): Long =
+    commitRestore(root, versionAsOf(root, tsMs), retain)
+
+  // ------------------------------------------------------------------
   // Version pins + multi-table snapshot tags (X284)
   // ------------------------------------------------------------------
 

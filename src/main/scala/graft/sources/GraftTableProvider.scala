@@ -78,18 +78,20 @@ private class GraftWriteTable(schema0: StructType,
           .map(_.toInt).getOrElse(0)
         val crashAfter = Option(properties.get("crashafterepoch"))
           .map(_.toLong)
+        val txnId = Option(properties.get("txnid")).map(_.toLong)
         new GraftWrite(root, info.schema(), replaceAll, retain, failAt,
-          retries, crashAfter)
+          retries, crashAfter, txnId)
       }
     }
 }
 
 private class GraftWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
-    conflictRetries: Int, crashAfterEpoch: Option[Long] = None)
+    conflictRetries: Int, crashAfterEpoch: Option[Long] = None,
+    txnId: Option[Long] = None)
     extends Write {
   override def toBatch: BatchWrite = new GraftBatchWrite(
-    root, schema, replaceAll, retain, failAt, conflictRetries)
+    root, schema, replaceAll, retain, failAt, conflictRetries, txnId)
   override def toStreaming: StreamingWrite = {
     require(!replaceAll,
       "graft-table streaming supports outputMode(\"append\") only — " +
@@ -105,7 +107,7 @@ private final case class GraftCommitMessage(relPath: String, rows: Long)
 
 private class GraftBatchWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
-    conflictRetries: Int)
+    conflictRetries: Int, txnId: Option[Long] = None)
     extends BatchWrite {
   // transaction start: the snapshot this write expects to extend —
   // read ONCE on the driver, enforced again inside publish()
@@ -118,6 +120,13 @@ private class GraftBatchWrite(root: String, schema: StructType,
     GraftWriterFactory(root, batch, schema, failAt)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // X288 idempotent BATCH write (`option("txnid", n)` — the Delta
+    // txnAppId/txnVersion idea for orchestrator retries): a replayed
+    // job whose id the table already carries lands ZERO rows and
+    // sweeps its own re-written staging as debris.
+    def applied = txnId.exists(t => TableCommit.lastTxnId(root)
+      .exists(_ >= t))
+    if (applied) { abort(messages); return }
     val entries = messages.collect {
       case GraftCommitMessage(p, n) => TableCommit.Entry(p, None,
         rows = Some(n))
@@ -137,15 +146,18 @@ private class GraftBatchWrite(root: String, schema: StructType,
         else TableCommit.entriesAtVersion(root, expected)
       try {
         TableCommit.publish(root, prior ++ entries, retain,
-          expected = Some(expected))
+          expected = Some(expected), txnId = txnId)
         done = true
       } catch {
         case e: TableCommit.ConcurrentCommitException =>
           attempt += 1
           if (replaceAll || attempt > conflictRetries) throw e
           expected = TableCommit.currentVersion(root).getOrElse(0L)
-          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-            .nextLong(2L, 20L) * attempt)
+          // the race may have BEEN this txn (a duplicate orchestrator
+          // retry): re-check before republishing
+          if (applied) { abort(messages); done = true }
+          else Thread.sleep(java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(2L, 20L) * attempt)
       }
     }
   }

@@ -730,4 +730,73 @@ object Incremental {
       |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
       |  CAST(SUM(user_id) AS BIGINT) AS user_sum
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** `q_stream_replicate` (X287): the LIVE lakehouse mirror — one
+    * continuous exactly-once pipeline from table to table:
+    * `readStream.format("graft-cdf")` (commit versions as offsets,
+    * X267) → `writeStream.format("graft-table")` (epoch ids as txn
+    * headers, X285). Exactly-once holds on BOTH ends through a
+    * crash: the source's offset log pins which versions each epoch
+    * consumed, the sink's txn header makes a replayed epoch land zero
+    * rows — so the kill-resume (crash AFTER the mirror committed
+    * epoch 0 but BEFORE Spark acked it, the worst window) must leave
+    * the mirror an exact copy. X258 is this loop batch-shaped with
+    * explicit apply logic; this is the streaming composition with
+    * ZERO user-written plumbing — the two connectors carry the whole
+    * contract. The gate reads ONLY the mirror: a double-applied epoch,
+    * dropped version, or raced offset leaves it detectably wrong
+    * against the oracle's re-derivation of the source. */
+  def streamReplicateQ(spark: SparkSession, sfDir: String): DataFrame =
+    withDrainParts(spark, 4) {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val work = graft.engine.TempWarehouse.createManaged("graft_srep_")
+    val src = s"$work/src"; val dst = s"$work/dst"
+    val ck = s"$work/ck"
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    (0 to 2).foreach(k => TableCommit.commitAppend(
+      ev.filter(pmod(col("event_id"), lit(3L)) === k.toLong), src,
+      retain = 8))
+    val dataSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    val feedSchema = dataSchema.add("_commit_version", LongType,
+      nullable = false)
+    def run(crashAfter: Option[Long]): Unit = {
+      val w = spark.readStream.format("graft-cdf")
+        .schema(feedSchema)
+        .option("root", src)
+        .option("maxversionspertrigger", "1")
+        .load()
+        .drop("_commit_version")
+        .writeStream
+        .format("graft-table")
+        .option("root", dst)
+        .option("retain", "8")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+      crashAfter.foreach(e => w.option("crashafterepoch", e.toString))
+      val q = w.start()
+      q.awaitTermination()
+    }
+    try run(Some(0L))
+    catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+    }
+    run(None) // replays epoch 0 (zero rows), mirrors versions 2–3
+    TableCommit.read(spark, dst, dataSchema)
+      .groupBy(col("event_type"))
+      .agg(graft.engine.Num.countStar.as("n_rows"),
+        sum(col("event_id")).as("id_sum"),
+        sum(col("user_id")).as("user_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamReplicateOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(user_id) AS BIGINT) AS user_sum
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 }

@@ -160,6 +160,32 @@ class RestoreSpec extends AnyFunSuite {
       Seq("k", "v"))
   }
 
+  test("TIMESTAMP AS OF resolves by manifest mtime; restore-as-of rides it") {
+    import java.nio.file.attribute.FileTime
+    val r = root()
+    TableCommit.commitAppend(df(0L, 20L), r, retain = 10)
+    TableCommit.commitAppend(df(20L, 40L), r, retain = 10)
+    TableCommit.commitDeleteRows(spark, r, schema, col("k") < 5L,
+      retain = 10)
+    // pin deterministic commit times (the rule reads mtimes, exactly
+    // like Delta's TIMESTAMP AS OF)
+    def stamp(v: Long, t: Long): Unit =
+      Files.setLastModifiedTime(
+        Paths.get(r, "_log", f"v$v%020d.json"), FileTime.fromMillis(t))
+    stamp(1L, 1000L); stamp(2L, 2000L); stamp(3L, 3000L)
+    assert(TableCommit.versionAsOf(r, 999L + 1L) === 1L)
+    assert(TableCommit.versionAsOf(r, 2500L) === 2L)
+    assert(TableCommit.versionAsOf(r, 99999L) === 3L)
+    intercept[IllegalArgumentException] {
+      TableCommit.versionAsOf(r, 500L) // before retained history
+    }
+    assert(TableCommit.readAsOf(spark, r, schema, 2500L)
+      .count() === 40L)
+    // "roll back to before the bad 3000L deploy"
+    TableCommit.commitRestoreAsOf(r, 2500L, retain = 10)
+    assert(keys(r) === (0L until 40L).toSet)
+  }
+
   test("unrestorable targets fail loudly, not partially") {
     val r = root()
     // fulls (not delta chains — retire keeps chains present): the

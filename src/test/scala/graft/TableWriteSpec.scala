@@ -127,6 +127,31 @@ class TableWriteSpec extends AnyFunSuite {
     } finally TableCommit.publishRaceHook = () => ()
   }
 
+  test("batch write with txnid is idempotent: a replayed job lands zero rows (X288)") {
+    val r = root()
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    write(batch, r, "append", Map("txnid" -> "7", "retain" -> "8"))
+    assert(TableCommit.currentVersion(r) === Some(1L))
+    // the orchestrator retry: same logical job, same txn id
+    write(batch, r, "append", Map("txnid" -> "7", "retain" -> "8"))
+    assert(TableCommit.currentVersion(r) === Some(1L),
+      "a replayed txn id must not mint a new version")
+    assert(TableCommit.read(spark, r, schema).count() === 2L)
+    // the replay's re-staged files are swept as debris
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(Paths.get(r, "data"))
+    val files = try s.iterator().asScala.filter(p =>
+      Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith(".")).size
+    finally s.close()
+    assert(files === TableCommit.entries(r).size)
+    // the NEXT id applies normally
+    write(Seq((3L, "c")).toDF("k", "v"), r, "append",
+      Map("txnid" -> "8", "retain" -> "8"))
+    assert(TableCommit.read(spark, r, schema).count() === 3L)
+    assert(TableCommit.lastTxnId(r) === Some(8L))
+  }
+
   test("native streaming sink is exactly-once across the crash-replay window (X285)") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft_tw_stream_").toString
