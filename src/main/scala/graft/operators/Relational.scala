@@ -1195,6 +1195,79 @@ object Relational {
       |FROM orders
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // `q_dsv2_read` (X289): the batch READ facet of the connector
+
+  /** `q_dsv2_read` (X289): `spark.read.format("graft-table")` — graft
+    * tables SQL-able through Spark's OWN planner (temp views, joins,
+    * any downstream operator), completing the connector family's
+    * read/write/stream symmetry. The scan serves the current
+    * snapshot's LIVE rows (deletion vectors anti-apply in the reader
+    * task, executor-side decode), prunes columns via the V2 pushdown,
+    * and prunes WHOLE FILES at planning time by testing comparison
+    * filters against the manifest's min/max stats — lossless: every
+    * filter is still row-evaluated by Spark, a file without stats is
+    * kept (TableWriteSpec pins the 1-of-4-partitions plan). Fixture:
+    * range-partitioned commit with stats on the key + a mod-stripe DV
+    * delete. Gated legs: a pruning-filtered SQL rollup over a temp
+    * view (planner path), and a full-table rollup (a reader that
+    * leaked dead rows or dropped a file breaks either). */
+  def dsv2ReadQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_dsv2r_") +
+      "/t"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), cents)
+      .repartitionByRange(6, col("o_orderkey"))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType)))
+    TableCommit.commitAppend(src, root, retain = 4,
+      statsCols = Seq("o_orderkey"))
+    TableCommit.commitDeleteRows(spark, root, schema,
+      pmod(col("o_orderkey"), lit(7L)) === 2L, retain = 4)
+    val view = "graft_dsv2_read_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.read.format("graft-table").schema(schema)
+      .option("root", root).load().createOrReplaceTempView(view)
+    val out = spark.sql(
+      s"""SELECT kind, o_orderstatus, n_orders, total_cents FROM (
+         |  SELECT 'window' AS kind, o_orderstatus,
+         |    COUNT(*) AS n_orders, SUM(cents) AS total_cents
+         |  FROM $view WHERE o_orderkey BETWEEN 1000 AND 9999
+         |  GROUP BY o_orderstatus
+         |  UNION ALL
+         |  SELECT 'table', o_orderstatus, COUNT(*), SUM(cents)
+         |  FROM $view GROUP BY o_orderstatus)
+         |ORDER BY kind, o_orderstatus""".stripMargin)
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(view)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc)
+      .orderBy(col("kind"), col("o_orderstatus"))
+  }
+
+  val dsv2ReadOracle: String =
+    """WITH live AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE o_orderkey % 7 <> 2)
+      |SELECT 'window' AS kind, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM live WHERE o_orderkey BETWEEN 1000 AND 9999
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'table', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT)
+      |FROM live GROUP BY 2
+      |ORDER BY kind, o_orderstatus""".stripMargin
+
   // `q_manifest_prune`: manifest min/max stats → planning-time file skip
 
   /** Inclusive ISO-date window the pruned read asks for — one year out of

@@ -309,11 +309,16 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
   * trailing `_change_type` column. `withIds` (X280) adds a `_row_id`
   * column before it: `ridBase + position` when the base is present (a
   * born file), the file's materialized `_row_id` column otherwise. */
+/** `bare = true` (X289 batch read facet): emit ONLY the data columns
+  * (+ `_row_id` when `withIds`) — no trailing `_commit_version` /
+  * `_change_type`; the partition is a LIVE-rows file scan, not a feed
+  * leg. */
 private case class CdfFilePartition(absPath: String, version: Long,
     dataSchema: StructType, root: String,
     encA: Option[String], encB: Option[String],
     emitOnly: Boolean, changeType: Option[String],
-    withIds: Boolean, ridBase: Option[Long]) extends InputPartition
+    withIds: Boolean, ridBase: Option[Long],
+    bare: Boolean = false) extends InputPartition
 
 private object GraftCdfReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -370,7 +375,7 @@ private class GraftCdfFileReader(p: CdfFilePartition)
   override def get(): InternalRow = {
     val n = p.dataSchema.fields.length
     val extra = (if (p.withIds) 1 else 0) +
-      (if (p.changeType.isDefined) 2 else 1)
+      (if (p.bare) 0 else if (p.changeType.isDefined) 2 else 1)
     val vals = new Array[Any](n + extra)
     var i = 0
     while (i < n) {
@@ -443,8 +448,10 @@ private class GraftCdfFileReader(p: CdfFilePartition)
       }
       j += 1
     }
-    vals(j) = p.version
-    p.changeType.foreach(t => vals(j + 1) = UTF8String.fromString(t))
+    if (!p.bare) {
+      vals(j) = p.version
+      p.changeType.foreach(t => vals(j + 1) = UTF8String.fromString(t))
+    }
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 

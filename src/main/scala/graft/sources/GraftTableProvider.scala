@@ -2,10 +2,12 @@ package graft.sources
 
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.engine.TableCommit
@@ -48,8 +50,9 @@ class GraftTableProvider extends TableProvider
   override def shortName(): String = "graft-table"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     throw new UnsupportedOperationException(
-      "graft-table is a write-only facet; read committed tables via " +
-        "TableCommit.read(spark, root, schema)")
+      "graft-table needs an explicit schema: pass .schema(...) on the " +
+        "reader/writer (the schema contract is the caller's, exactly " +
+        "as in TableCommit.read)")
   /** The written DataFrame's own schema IS the table schema. */
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -59,14 +62,28 @@ class GraftTableProvider extends TableProvider
 
 private class GraftWriteTable(schema0: StructType,
     properties: util.Map[String, String])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsRead {
   private val root = Option(properties.get("root")).getOrElse(
     throw new IllegalArgumentException("graft-table requires option 'root'"))
   override def name(): String = s"graft-table($root)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ)
+
+  /** X289: the BATCH READ facet — `spark.read.format("graft-table")`
+    * serves the CURRENT snapshot's live rows (DV anti-apply in the
+    * reader task), so graft tables are SQL-able through Spark's own
+    * planner: register a temp view, join, aggregate. Column pruning
+    * arrives via [[SupportsPushDownRequiredColumns]]; comparison
+    * filters additionally prune WHOLE FILES at planning time against
+    * the manifest's min/max stats (the X207 channel — lossless: Spark
+    * still evaluates every filter row-level; a file without stats for
+    * the column is kept). Reads serve PHYSICAL column names — mapped
+    * tables (X276) go through `TableCommit.readMapped`. */
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, schema0)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
@@ -369,6 +386,113 @@ private class GraftDataWriter(root: String, batch: String,
   }
 
   override def close(): Unit = ()
+}
+
+/** Scan builder for the X289 read facet: collects the pruned column
+  * set and the comparison filters usable for manifest-stat file
+  * pruning. `pushFilters` deliberately returns EVERY filter as
+  * still-to-evaluate — the pruning here skips files, never rows, so
+  * it is lossless whatever the stats say. */
+private class GraftScanBuilder(root: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var usable: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty pruning (e.g. COUNT(*)) still needs some column to drive
+    // the row cursor — keep the first
+    required =
+      if (requiredSchema.fields.nonEmpty) requiredSchema
+      else StructType(full.fields.take(1))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    usable = filters.filter(GraftBatchScan.translatable(full))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = usable
+  override def build(): Scan = new GraftBatchScan(root, required, usable)
+}
+
+private object GraftBatchScan {
+  /** Stats-channel comparator for a column's CANONICAL string form —
+    * numeric parse for numeric columns, lexical for strings/ISO dates
+    * (the [[TableCommit.ColStats]] contract). */
+  private def lt(dt: DataType): (String, String) => Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      (a, b) => a.toLong < b.toLong
+    case DoubleType | FloatType => (a, b) => a.toDouble < b.toDouble
+    case _ => (a, b) => a < b
+  }
+
+  private def cmpCol(f: Filter): Option[(String, Any)] = f match {
+    case EqualTo(c, v)            => Some(c -> v)
+    case GreaterThan(c, v)        => Some(c -> v)
+    case GreaterThanOrEqual(c, v) => Some(c -> v)
+    case LessThan(c, v)           => Some(c -> v)
+    case LessThanOrEqual(c, v)    => Some(c -> v)
+    case _                        => None
+  }
+
+  def translatable(full: StructType)(f: Filter): Boolean = f match {
+    case And(l, r) =>
+      translatable(full)(l) && translatable(full)(r)
+    case other => cmpCol(other).exists { case (c, v) =>
+      v != null && full.fields.exists(_.name == c)
+    }
+  }
+
+  /** Keep the file iff the filter MIGHT match its [min, max] — a
+    * missing stat keeps the file (lossless by construction). */
+  def mightMatch(full: StructType, e: TableCommit.Entry,
+      f: Filter): Boolean = f match {
+    case And(l, r) =>
+      mightMatch(full, e, l) && mightMatch(full, e, r)
+    case other => cmpCol(other).forall { case (c, v) =>
+      (for {
+        cs <- e.stats.get(c)
+        fld <- full.fields.find(_.name == c)
+      } yield {
+        val less = lt(fld.dataType)
+        val s = v.toString
+        other match {
+          case _: EqualTo            => !less(s, cs.min) && !less(cs.max, s)
+          case _: GreaterThan        => less(s, cs.max)
+          case _: GreaterThanOrEqual => !less(cs.max, s)
+          case _: LessThan           => less(cs.min, s)
+          case _: LessThanOrEqual    => !less(s, cs.min)
+          case _                     => true
+        }
+      }).getOrElse(true)
+    }
+  }
+}
+
+/** One partition per live file surviving the stat prune; the shared
+  * [[GraftCdfFileReader]] does the executor-side parquet decode and
+  * DV anti-apply (`bare = true`: data columns only, no feed tail). */
+private class GraftBatchScan(root: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-table($root) pruned=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    TableCommit.entries(root)
+      .filter(e => pushed.forall(f =>
+        GraftBatchScan.mightMatch(required, e, f)))
+      .map { e =>
+        val abs =
+          if (e.path.startsWith("/")) e.path else s"$root/${e.path}"
+        CdfFilePartition(abs, 0L, required, root,
+          encA = e.stats.get(TableCommit.DvKey).map(_.min), encB = None,
+          emitOnly = false, changeType = None, withIds = false,
+          ridBase = None, bare = true): InputPartition
+      }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCdfReaderFactory
 }
 
 private object GraftDataWriter {

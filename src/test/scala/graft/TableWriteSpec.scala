@@ -127,6 +127,37 @@ class TableWriteSpec extends AnyFunSuite {
     } finally TableCommit.publishRaceHook = () => ()
   }
 
+  test("batch read facet serves live rows, prunes files by stats, is SQL-able (X289)") {
+    val r = root()
+    val src = spark.range(200L).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("k"))
+    TableCommit.commitAppend(src, r, retain = 8, statsCols = Seq("k"))
+    TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(10L)) === 0L, retain = 8)
+    def read() = spark.read.format("graft-table").schema(schema)
+      .option("root", r).load()
+    // live rows only: the DV anti-applies in the reader task
+    assert(read().count() === 180L)
+    assert(read().filter(col("k") === 50L).count() === 0L)
+    // SQL-able through Spark's own planner
+    read().createOrReplaceTempView("graft_read_facet")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_read_facet WHERE k >= 100").collect()(0)
+      .getLong(0) === 90L)
+    spark.catalog.dropTempView("graft_read_facet")
+    // manifest-stat FILE pruning: k >= 150 lives in 1 of 4
+    // range-partitioned files; the scan must plan only that one
+    val pruned = read().filter(col("k") >= 150L)
+    assert(pruned.rdd.getNumPartitions === 1,
+      s"expected 1 surviving file partition, got " +
+        s"${pruned.rdd.getNumPartitions}")
+    assert(pruned.count() === 45L)
+    // column pruning survives the narrow projection
+    assert(read().select(col("v")).filter(col("v") === "v123").count()
+      === 1L)
+  }
+
   test("batch write with txnid is idempotent: a replayed job lands zero rows (X288)") {
     val r = root()
     val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
