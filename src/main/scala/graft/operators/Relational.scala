@@ -1268,6 +1268,67 @@ object Relational {
       |FROM live GROUP BY 2
       |ORDER BY kind, o_orderstatus""".stripMargin
 
+  // `q_dsv2_agg` (X290): manifest-only aggregates through Spark SQL
+
+  /** `q_dsv2_agg` (X290): ungrouped COUNT(*)/MIN/MAX pushed COMPLETELY
+    * into the graft-table scan — the X218 metadata-only aggregates
+    * surfaced through Spark's OWN planner via
+    * `SupportsPushDownAggregates`: `SELECT COUNT(*), MIN(k), MAX(k)
+    * FROM view` plans ONE synthetic partition computed from the
+    * manifest and opens ZERO data files (TableWriteSpec proves it by
+    * deleting every data file and still answering). COUNT(*) is
+    * Σ(rows − dvCount), exact under row-level deletes; MIN/MAX refuse
+    * the moment any file carries a DV (post-delete stats are
+    * stale-but-superset — right for pruning, wrong for extremes) and
+    * the planner falls back to the real scan. At 100 TB this is the
+    * difference between a catalog lookup and a cluster job for every
+    * dashboard row-count. */
+  def dsv2AggQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_dsv2a_") +
+      "/t"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), cents)
+      .repartitionByRange(6, col("o_orderkey"))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("cents", LongType)))
+    TableCommit.commitAppend(src, root, retain = 4,
+      statsCols = Seq("o_orderkey", "cents", "o_orderstatus"))
+    val view = "graft_dsv2_agg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.read.format("graft-table").schema(schema)
+      .option("root", root).load().createOrReplaceTempView(view)
+    val out = spark.sql(
+      s"""SELECT COUNT(*) AS n_rows,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+         |  MIN(o_orderstatus) AS min_status,
+         |  MAX(o_orderstatus) AS max_status
+         |FROM $view""".stripMargin)
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(view)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc).orderBy(col("n_rows"))
+  }
+
+  val dsv2AggOracle: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+      |  CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS max_cents,
+      |  MIN(o_orderstatus) AS min_status,
+      |  MAX(o_orderstatus) AS max_status
+      |FROM orders ORDER BY n_rows""".stripMargin
+
   // `q_manifest_prune`: manifest min/max stats → planning-time file skip
 
   /** Inclusive ISO-date window the pruned read asks for — one year out of

@@ -4,7 +4,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -395,9 +397,11 @@ private class GraftDataWriter(root: String, batch: String,
   * it is lossless whatever the stats say. */
 private class GraftScanBuilder(root: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
   private var usable: Array[Filter] = Array.empty
+  private var anyFilter = false
+  private var agg: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty pruning (e.g. COUNT(*)) still needs some column to drive
@@ -407,11 +411,127 @@ private class GraftScanBuilder(root: String, full: StructType)
       else StructType(full.fields.take(1))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    anyFilter = filters.nonEmpty
     usable = filters.filter(GraftBatchScan.translatable(full))
     filters
   }
   override def pushedFilters(): Array[Filter] = usable
-  override def build(): Scan = new GraftBatchScan(root, required, usable)
+
+  // X290: ungrouped COUNT(*)/MIN/MAX answered from the MANIFEST — the
+  // X218 metadata-only aggregates surfaced through Spark's own
+  // planner: `SELECT COUNT(*) FROM view` opens ZERO data files.
+  // COUNT(*) = Σ(rows − dvCount) (both manifest-carried, exact under
+  // row-level deletes); MIN/MAX read the stats channel and are
+  // refused the moment ANY file carries a DV (post-delete stats are
+  // stale-but-superset — lossless for pruning, WRONG for extremes) or
+  // lacks the column's stats. Spark only offers aggregate pushdown
+  // when no residual filters exist; `anyFilter` double-locks it.
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    translateAgg(a).isDefined
+  override def pushAggregation(a: Aggregation): Boolean = {
+    agg = translateAgg(a)
+    agg.isDefined
+  }
+
+  private def statVal(dt: DataType, s: String): Any = dt match {
+    case LongType    => s.toLong
+    case IntegerType => s.toInt
+    case ShortType   => s.toShort
+    case ByteType    => s.toByte
+    case DoubleType  => s.toDouble
+    case FloatType   => s.toFloat
+    case StringType  =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case _           => throw new MatchError(dt) // guarded by caller
+  }
+
+  private def aggCol(e: org.apache.spark.sql.connector.expressions
+      .Expression): Option[StructField] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      full.fields.find(_.name == nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private val statTypes: Set[DataType] = Set(LongType, IntegerType,
+    ShortType, ByteType, DoubleType, FloatType, StringType)
+
+  private def translateAgg(
+      a: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (a.groupByExpressions.nonEmpty || anyFilter) return None
+    val es = TableCommit.entries(root)
+    val anyDv = es.exists(e => TableCommit.deletedCount(e) > 0L)
+    def less(dt: DataType): (String, String) => Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        (x, y) => x.toLong < y.toLong
+      case DoubleType | FloatType => (x, y) => x.toDouble < y.toDouble
+      case _ => (x, y) => x < y
+    }
+    val out = a.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        if (es.exists(_.rows.isEmpty)) return None
+        val n: Any = es.map(e =>
+          e.rows.get - TableCommit.deletedCount(e)).sum
+        Some(StructField("count_star", LongType, nullable = false) -> n)
+      case m: Min =>
+        aggCol(m.column).flatMap { f =>
+          if (anyDv || !statTypes(f.dataType) ||
+              !es.forall(_.stats.contains(f.name))) None
+          else Some(f.copy(nullable = true) ->
+            (es.map(_.stats(f.name).min)
+              .reduceOption((x, y) => if (less(f.dataType)(x, y)) x else y)
+              .map(statVal(f.dataType, _)).orNull: Any))
+        }
+      case m: Max =>
+        aggCol(m.column).flatMap { f =>
+          if (anyDv || !statTypes(f.dataType) ||
+              !es.forall(_.stats.contains(f.name))) None
+          else Some(f.copy(nullable = true) ->
+            (es.map(_.stats(f.name).max)
+              .reduceOption((x, y) => if (less(f.dataType)(x, y)) y else x)
+              .map(statVal(f.dataType, _)).orNull: Any))
+        }
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some(StructType(out.flatten.map(_._1)) -> out.flatten.map(_._2))
+  }
+
+  override def build(): Scan = agg match {
+    case Some((schema, row)) => new GraftAggScan(root, schema, row)
+    case None => new GraftBatchScan(root, required, usable)
+  }
+}
+
+/** The completed-pushdown aggregate scan: ONE partition emitting ONE
+  * row computed on the driver from the manifest alone — no data file
+  * is listed, opened, or read (the spec deletes every data file and
+  * the answer still serves). */
+private class GraftAggScan(root: String, schema: StructType,
+    row: Seq[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-table($root) manifest-agg=${schema.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftAggReaderFactory
+}
+
+private final case class GraftAggPartition(row: Seq[Any])
+    extends InputPartition
+
+private object GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      private val vals = p.asInstanceOf[GraftAggPartition].row
+      override def next(): Boolean =
+        if (served) false else { served = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(vals)
+      override def close(): Unit = ()
+    }
 }
 
 private object GraftBatchScan {

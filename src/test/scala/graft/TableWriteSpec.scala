@@ -158,6 +158,55 @@ class TableWriteSpec extends AnyFunSuite {
       === 1L)
   }
 
+  test("aggregate pushdown answers COUNT/MIN/MAX from the manifest alone (X290)") {
+    val r = root()
+    val src = spark.range(100L).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("k"))
+    TableCommit.commitAppend(src, r, retain = 8, statsCols = Seq("k"))
+    def view(): String = {
+      val name = "graft_agg_facet"
+      spark.read.format("graft-table").schema(schema)
+        .option("root", r).load().createOrReplaceTempView(name)
+      name
+    }
+    def one(sql: String): org.apache.spark.sql.Row =
+      spark.sql(sql).collect()(0)
+    val v = view()
+    assert(one(s"SELECT COUNT(*), MIN(k), MAX(k) FROM $v") ===
+      org.apache.spark.sql.Row(100L, 0L, 99L))
+    // the proof it never touches data: delete EVERY data file — the
+    // manifest keeps answering
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(Paths.get(r, "data"))
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .foreach(Files.delete)
+    finally s.close()
+    assert(one(s"SELECT COUNT(*), MIN(k), MAX(k) FROM ${view()}") ===
+      org.apache.spark.sql.Row(100L, 0L, 99L))
+    // a filtered or grouped aggregate does NOT push (rows must be
+    // read) — with the files gone it fails rather than lying
+    intercept[Exception] {
+      one(s"SELECT COUNT(*) FROM ${view()} WHERE k > 10")
+    }
+    // a DV makes COUNT subtract exactly, and DISABLES min/max
+    // pushdown (stats are stale-superset after a delete)
+    val r2 = root()
+    TableCommit.commitAppend(
+      spark.range(50L).select(col("id").as("k"),
+        lit("x").as("v")).coalesce(1), r2, retain = 8,
+      statsCols = Seq("k"))
+    TableCommit.commitDeleteRows(spark, r2, schema,
+      col("k") >= 40L, retain = 8) // kills the max
+    spark.read.format("graft-table").schema(schema)
+      .option("root", r2).load().createOrReplaceTempView("graft_agg_dv")
+    assert(one("SELECT COUNT(*), MAX(k) FROM graft_agg_dv") ===
+      org.apache.spark.sql.Row(40L, 39L),
+      "COUNT must subtract the DV; MAX must come from data, not stats")
+    spark.catalog.dropTempView(v)
+    spark.catalog.dropTempView("graft_agg_dv")
+  }
+
   test("batch write with txnid is idempotent: a replayed job lands zero rows (X288)") {
     val r = root()
     val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
