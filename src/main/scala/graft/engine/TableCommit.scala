@@ -297,6 +297,35 @@ object TableCommit {
     if (!p.lit("}") || !p.atEnd) None else Some(t)
   }
 
+  /** Namespaced exactly-once high-waters (X291, closing the X285
+    * review finding): `{"txna": {"<appId>": hw, …}}` — one watermark
+    * PER WRITER APP, the Delta txnAppId/txnVersion design. The scalar
+    * `{"txn"}` slot stays as the legacy/default namespace; the map
+    * gives each streaming checkpoint its own id space, so a checkpoint
+    * RESET (new stable query id → new namespace, epochs restart at 0)
+    * can never be mistaken for a replay and silently dropped, and two
+    * independent streams writing one table never collide. Max-merged
+    * per key through every publish, like every durable header. */
+  private def parseTxnaHeader(line: String): Option[Map[String, Long]] = {
+    val p = new LineParser(line)
+    if (!p.lit("{\"txna\": {")) return None
+    var m = Map.empty[String, Long]
+    var first = true
+    var open = true
+    while (open) {
+      if (p.lit("}")) open = false
+      else {
+        if (!first && !p.lit(", ")) return None
+        first = false
+        val k = p.str().getOrElse(return None)
+        if (!p.lit(": ")) return None
+        val v = p.long().getOrElse(return None)
+        m += (k -> v)
+      }
+    }
+    if (!p.lit("}") || !p.atEnd) None else Some(m)
+  }
+
   /** Row-id high-water header line: `{"rid": <nextUnassignedId>}` —
     * the DURABLE stable-row-id watermark (ADVICE r12). Deriving the
     * high-water from LIVE entries alone can REWIND: delete the
@@ -378,7 +407,7 @@ object TableCommit {
     * carries itself. */
   private final case class RawManifest(base: Option[Long], own: Seq[Entry],
       txn: Option[Long] = None, cols: Option[ColMapping] = None,
-      rid: Option[Long] = None)
+      rid: Option[Long] = None, txna: Map[String, Long] = Map.empty)
 
   /** Strict single-file read: parse every line, demand the terminator
     * (which counts OWN entries only). Header order is fixed: optional
@@ -395,8 +424,10 @@ object TableCommit {
     val afterBase = if (base.isDefined) lines.tail else lines
     val txn = afterBase.headOption.flatMap(parseTxnHeader)
     val afterTxn = if (txn.isDefined) afterBase.tail else afterBase
-    val rid = afterTxn.headOption.flatMap(parseRidHeader)
-    val afterRid = if (rid.isDefined) afterTxn.tail else afterTxn
+    val txna = afterTxn.headOption.flatMap(parseTxnaHeader)
+    val afterTxna = if (txna.isDefined) afterTxn.tail else afterTxn
+    val rid = afterTxna.headOption.flatMap(parseRidHeader)
+    val afterRid = if (rid.isDefined) afterTxna.tail else afterTxna
     val cols = afterRid.headOption.flatMap(parseColsHeader)
     val body = if (cols.isDefined) afterRid.tail else afterRid
     if (body.isEmpty) torn("no terminator")
@@ -406,7 +437,7 @@ object TableCommit {
     if (es.size != n.toInt) torn(s"terminator says $n entries, read ${es.size}")
     base.foreach(b => if (b >= v || b < 1L)
       torn(s"delta base $b is not an earlier version"))
-    RawManifest(base, es, txn, cols, rid)
+    RawManifest(base, es, txn, cols, rid, txna.getOrElse(Map.empty))
   }
 
   /** Resolved file list of version `v`: walk the delta chain down to
@@ -719,7 +750,8 @@ object TableCommit {
       deltaBase: Option[Long] = None,
       txnId: Option[Long] = None,
       colsOverride: Option[ColMapping] = None,
-      ridHighWater: Option[Long] = None): Long = {
+      ridHighWater: Option[Long] = None,
+      txnApp: Option[(String, Long)] = None): Long = {
     val base = currentVersion(root).getOrElse(0L)
     expected.foreach { e =>
       if (base != e) throw new ConcurrentCommitException(
@@ -777,10 +809,22 @@ object TableCommit {
       .filter(c => c.renames.nonEmpty || c.dead.nonEmpty) // empty = clear
     val txn = (prior.flatMap(_.txn).toSeq ++ txnId.toSeq)
       .reduceOption((a: Long, b: Long) => math.max(a, b))
+    // X291: per-app watermarks max-merge key-wise (the scalar slot's
+    // discipline, namespaced)
+    val txna = txnApp.toSeq.foldLeft(
+      prior.map(_.txna).getOrElse(Map.empty)) { case (m, (a, t)) =>
+      m + (a -> math.max(t, m.getOrElse(a, Long.MinValue)))
+    }
     val rid = (prior.flatMap(_.rid).toSeq ++ ridHighWater.toSeq)
       .reduceOption((a: Long, b: Long) => math.max(a, b))
+    val txnaLine =
+      if (txna.isEmpty) None
+      else Some(txna.toSeq.sortBy(_._1)
+        .map { case (a, t) => s"${js(a)}: $t" }
+        .mkString("""{"txna": {""", ", ", "}}"))
     val header = deltaBase.map(b => s"""{"base": $b}""").toSeq ++
       txn.map(t => s"""{"txn": $t}""").toSeq ++
+      txnaLine.toSeq ++
       rid.map(r => s"""{"rid": $r}""").toSeq ++
       cols.map(colsHeaderLine).toSeq
     val body = (header ++ newEntries.map(e =>
@@ -897,7 +941,26 @@ object TableCommit {
         catch { case _: Throwable => unknownLiveness = true; Seq.empty }
       }.toSet
       if (unknownLiveness) return
-      val doomed = present.filter(d => d < oldest && !needed(d))
+      // Second pin read IMMEDIATELY before deleting (the other half of
+      // pinVersion's post-claim verify): a pin that landed after the
+      // needed-set computation is honored here, so the pin-vs-retire
+      // race resolves to either a durable pin or a loud pinVersion
+      // failure — never a silently dangling pin.
+      val freshPinned =
+        try pinnedVersions(root).values.toSet
+        catch { case _: Throwable => return }
+      val freshNeeded =
+        if (freshPinned.forall(pinned.contains)) needed
+        else {
+          var bad = false
+          val extra = freshPinned.filter(present).flatMap { v =>
+            try chainOf(root, v)
+            catch { case _: Throwable => bad = true; Seq.empty }
+          }
+          if (bad) return
+          needed ++ extra
+        }
+      val doomed = present.filter(d => d < oldest && !freshNeeded(d))
       val retiredFiles = doomed.toSeq.flatMap { d =>
         val fs = try readRaw(root, d).own
                  catch { case _: Throwable => Seq.empty }
@@ -907,7 +970,7 @@ object TableCommit {
       if (retiredFiles.nonEmpty) {
         // Liveness: every file a retained resolution references is in
         // some chain member's OWN list, and chains are exactly `needed`.
-        val live = needed.toSeq.flatMap { v =>
+        val live = freshNeeded.toSeq.flatMap { v =>
           try readRaw(root, v).own
           catch { case _: Throwable => unknownLiveness = true; Seq.empty }
         }.map(_.path).toSet
@@ -1533,6 +1596,28 @@ object TableCommit {
     vs.iterator.map(v =>
       try readRawChecked(root, v).txn catch { case _: Throwable => None })
       .collectFirst { case Some(t) => t }
+  }
+
+  /** X291: the exactly-once high-water of ONE writer app's namespace
+    * (`{"txna"}` header). Self-propagating, so the TOP manifest is
+    * authoritative; older manifests are consulted only when the top
+    * is unreadable mid-publish. */
+  def lastTxnIdFor(root: String, app: String): Option[Long] =
+    txnHighWaters(root).get(app)
+
+  /** All per-app exactly-once watermarks at the current version. */
+  def txnHighWaters(root: String): Map[String, Long] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) return Map.empty
+    val vs = listDir(dir).flatMap(p => p.getFileName.toString match {
+      case VersionRe(d) => Some(d.toLong)
+      case _            => None
+    }).sorted.reverse
+    vs.iterator.map(v =>
+      try Some(readRawChecked(root, v).txna)
+      catch { case _: Throwable => None })
+      .collectFirst { case Some(m) => m }
+      .getOrElse(Map.empty)
   }
 
   /** EXACTLY-ONCE streaming append (X271): apply `df` as transaction
@@ -2906,8 +2991,12 @@ object TableCommit {
     * consumer ([[readPositions]], [[freshBitmaps]]) works unchanged. */
   final case class DvGrowth(entry: Entry, before: Option[ColStats],
       after: ColStats) {
-    /** Exact newly-dead count, from the zero-cost count slots (DV
-      * growth is monotone union, so the difference is exact). */
+    /** Newly-dead count ESTIMATE from the zero-cost count slots —
+      * exact for monotone-union DML growth, an upper-bound-ish
+      * heuristic (possibly ≤ 0) across a restore between non-subset
+      * vectors. Consumers use it only to size the broadcast-vs-bitmap
+      * path; the emitted positions are always the exact set
+      * difference ([[freshOf]] / the reader's `emitOnly`). */
     def freshCount: Long =
       after.max.toLong - before.map(_.max.toLong).getOrElse(0L)
   }
@@ -2967,26 +3056,32 @@ object TableCommit {
           // carried as encodings + zero-cost counts — a 30M-position
           // delta costs the planner nothing (positions decode where
           // they're consumed)
+          // Leg inclusion gates on ENCODING INEQUALITY, never on the
+          // count delta: DML growth is monotone union, but a RESTORE
+          // can transition between two NON-SUBSET vectors (restore
+          // past delete A, apply delete B, restore again), where the
+          // count difference is zero or negative while both the
+          // newly-dead and resurrected sets are non-empty. A leg whose
+          // set difference turns out empty emits zero rows where it is
+          // read (freshOf/emitOnly are exact set differences) — a few
+          // wasted partitions, never a missed change.
           val dvGrown = next.flatMap { e =>
             curBy.get(e.path) match {
               case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey)
                   && e.stats.contains(DvKey) =>
-                val g = DvGrowth(e, pe.stats.get(DvKey), e.stats(DvKey))
-                if (g.freshCount <= 0L) None else Some(g)
+                Some(DvGrowth(e, pe.stats.get(DvKey), e.stats(DvKey)))
               case _ => None
             }
           }
           // X283: a RESTORE is the one commit where a persisting
           // file's DV can LOSE positions (back to an older, thinner
-          // vector — DML growth is monotone union). Recorded as the
-          // swapped encoding pair; the full feed reads the difference
-          // as resurrected-row INSERTS.
+          // vector). Recorded as the swapped encoding pair; the full
+          // feed reads the difference as resurrected-row INSERTS.
           val dvShrunk = next.flatMap { e =>
             curBy.get(e.path) match {
               case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey)
                   && pe.stats.contains(DvKey) =>
-                val g = DvGrowth(e, e.stats.get(DvKey), pe.stats(DvKey))
-                if (g.freshCount <= 0L) None else Some(g)
+                Some(DvGrowth(e, e.stats.get(DvKey), pe.stats(DvKey)))
               case _ => None
             }
           }
@@ -3359,9 +3454,12 @@ object TableCommit {
   private def pinsDir(root: String): Path = Paths.get(root, "_pins")
 
   private def requirePinSafe(name: String): Unit =
-    require(name.nonEmpty && !name.exists(c => c == '/' || c < 0x20),
-      s"pin/tag name '$name' must be non-empty with no '/' or control " +
-        "characters (it becomes a file name)")
+    require(name.nonEmpty && name != "." && name != ".." &&
+      !name.exists(c => c == '/' || c < 0x20) &&
+      !name.startsWith(".tmp-"),
+      s"pin/tag name '$name' must be a plain file name: non-empty, " +
+        "not '.'/'..', no '/' or control characters, not a .tmp- " +
+        "prefix")
 
   /** Create-exclusive small-file write: fsynced tmp, then link(2) to
     * the final name (CREATE_NEW fallback) — the same atomic claim the
@@ -3401,11 +3499,24 @@ object TableCommit {
     requirePinSafe(name)
     require(Files.exists(manifestPath(root, version)),
       s"cannot pin v$version at $root: not a retained version")
+    // body carries a TERMINATOR so a torn CREATE_NEW-fallback write
+    // parses as "malformed" (freezing retire) rather than as a
+    // numeric prefix silently pinning the wrong version
     try claimFile(pinsDir(root).resolve(name),
-      version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"$version\n#end\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new IllegalStateException(
         s"pin '$name' already exists at $root")
+    }
+    // re-verify AFTER the claim: a concurrent writer's retire may have
+    // listed _pins before this pin landed and retired the manifest —
+    // fail LOUDLY (and leave no pin) rather than dangle
+    if (!Files.exists(manifestPath(root, version))) {
+      unpinVersion(root, name)
+      throw new IllegalStateException(
+        s"cannot pin v$version at $root: a concurrent retention pass " +
+          "retired it while the pin landed — re-pin a retained version")
     }
   }
 
@@ -3421,13 +3532,21 @@ object TableCommit {
   /** All pins at `root` (name → version). Throws on an unparseable pin
     * file — [[retire]] treats that as unjudgeable liveness and freezes
     * the sweep rather than risking a pinned snapshot's files. */
+  private val PinBodyRe = "(?s)(\\d+)\\n#end\\n?".r
+
   def pinnedVersions(root: String): Map[String, Long] = {
     val dir = pinsDir(root)
     if (!Files.isDirectory(dir)) return Map.empty
     listDir(dir).filter(p => Files.isRegularFile(p) &&
       !p.getFileName.toString.startsWith(".tmp-")).map { p =>
-      p.getFileName.toString -> new String(Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val body = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      body match {
+        case PinBodyRe(v) => p.getFileName.toString -> v.toLong
+        case _ => throw new TornManifestException(
+          s"torn/malformed pin file $p — a crashed fallback write; " +
+            "retention freezes until it is repaired or removed")
+      }
     }.toMap
   }
 
@@ -3448,19 +3567,25 @@ object TableCommit {
       tables: Map[String, Long]): Unit = {
     requirePinSafe(tag)
     require(tables.nonEmpty, "a tag must capture at least one table")
-    tables.keys.foreach(rel => require(
-      rel.nonEmpty && !rel.startsWith("/") &&
-        !rel.exists(c => c < 0x20),
-      s"table path '$rel' must be warehouse-relative with no control " +
-        "characters"))
+    tables.keys.foreach { rel =>
+      val segs = rel.split('/')
+      require(
+        rel.nonEmpty && !rel.startsWith("/") &&
+          !rel.exists(c => c < 0x20) &&
+          segs.forall(s => s.nonEmpty && s != "." && s != ".."),
+        s"table path '$rel' must be warehouse-relative with no " +
+          "control characters and no '.'/'..'/empty segments (a " +
+          "member outside the warehouse would be unreachable to tagGc)")
+    }
     val done = scala.collection.mutable.ListBuffer.empty[String]
     try {
       tables.toSeq.sortBy(_._1).foreach { case (rel, v) =>
         pinVersion(s"$warehouse/$rel", s"tag-$tag", v)
         done += rel
       }
-      val body = tables.toSeq.sortBy(_._1)
-        .map { case (rel, v) => s"$rel $v" }.mkString("", "\n", "\n")
+      val body = (tables.toSeq.sortBy(_._1)
+        .map { case (rel, v) => s"$rel $v" } :+ "#end")
+        .mkString("", "\n", "\n")
       try claimFile(Paths.get(warehouse, "_tags").resolve(tag),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -3492,16 +3617,24 @@ object TableCommit {
     vs
   }
 
-  /** The (table → version) members of a tag. Loud on a missing tag. */
+  /** The (table → version) members of a tag. Loud on a missing tag
+    * and on a TORN tag file (the `#end` terminator is the integrity
+    * witness, exactly like the manifest's `{"n": …}` line). */
   def tagTables(warehouse: String, tag: String): Map[String, Long] = {
     val p = Paths.get(warehouse, "_tags").resolve(tag)
     require(Files.exists(p), s"no tag '$tag' at $warehouse")
-    new String(Files.readAllBytes(p),
+    val lines = new String(Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split('\n').filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf(' ')
-        line.take(i) -> line.drop(i + 1).toLong
-      }.toMap
+      .split('\n').filter(_.nonEmpty).toSeq
+    if (lines.lastOption != Some("#end"))
+      throw new TornManifestException(
+        s"torn/malformed tag file $p — missing the #end terminator")
+    lines.init.map { line =>
+      val i = line.lastIndexOf(' ')
+      require(i > 0 && line.drop(i + 1).forall(_.isDigit),
+        s"malformed tag member line '$line' in $p")
+      line.take(i) -> line.drop(i + 1).toLong
+    }.toMap
   }
 
   /** Read one member table AS OF its tagged version. */
@@ -3594,19 +3727,28 @@ object TableCommit {
     * Returns the new version. */
   def commitCompact(spark: SparkSession, root: String, targetFiles: Int,
       sortCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      retain: Int = 1, preserveRowIds: Boolean = false): Long = {
-    val base = currentVersion(root).getOrElse(0L)
-    val es = entriesAt(root, base)
-    require(es.nonEmpty, s"nothing to compact at $root")
-    // LIVE rows only: compaction is also what melts deletion vectors
-    // (X265) away — the rewritten files carry no DVs and the dead rows
-    // are physically gone.
-    if (!preserveRowIds) {
-      val cur = readLive(spark, root, None, es)
-      val arranged = sortCol match {
+      retain: Int = 1, preserveRowIds: Boolean = false): Long =
+    rewriteSnapshot(spark, root, statsCols, retain, preserveRowIds,
+      "compact") { cur =>
+      sortCol match {
         case Some(c) => cur.repartitionByRange(targetFiles, col(c))
         case None    => cur.coalesce(targetFiles)
       }
+    }
+
+  /** Shared whole-snapshot rewrite body behind [[commitCompact]] and
+    * [[commitCluster]] — the two differ ONLY in `arrange` (the layout
+    * step between read and write). LIVE rows only: a rewrite is also
+    * what melts deletion vectors (X265) away — the output files carry
+    * no DVs and the dead rows are physically gone. */
+  private def rewriteSnapshot(spark: SparkSession, root: String,
+      statsCols: Seq[String], retain: Int, preserveRowIds: Boolean,
+      what: String)(arrange: DataFrame => DataFrame): Long = {
+    val base = currentVersion(root).getOrElse(0L)
+    val es = entriesAt(root, base)
+    require(es.nonEmpty, s"nothing to $what at $root")
+    if (!preserveRowIds) {
+      val arranged = arrange(readLive(spark, root, None, es))
       publish(root, stageBatch(arranged, root, None, statsCols), retain,
         expected = Some(base))
     } else {
@@ -3618,13 +3760,9 @@ object TableCommit {
         .parquet(es.map(e => resolvePath(root, e.path)): _*).schema
       val dataSchema = StructType(
         inferred.fields.filterNot(_.name == RowIdCol))
-      val cur = readWithRowIds(spark, root, dataSchema)
-      val arranged = sortCol match {
-        case Some(c) => cur.repartitionByRange(targetFiles, col(c))
-        case None    => cur.coalesce(targetFiles)
-      }
+      val arranged = arrange(readWithRowIds(spark, root, dataSchema))
       val staged = stageBatch(arranged, root, None, statsCols :+ RowIdCol)
-      // pin the PRE-compact high-water into the durable header: the
+      // pin the PRE-rewrite high-water into the durable header: the
       // born entries being melted still witness it (brid + rows covers
       // deleted positions), the materialized outputs may not (ADVICE
       // r12's rewind) — this is the moment the watermark must survive
@@ -3651,36 +3789,16 @@ object TableCommit {
       retain: Int = 1, zBits: Int = 8,
       preserveRowIds: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
-    val base = currentVersion(root).getOrElse(0L)
-    val es = entriesAt(root, base)
-    require(es.nonEmpty, s"nothing to cluster at $root")
-    def z(df: DataFrame): DataFrame = {
-      val zv = (0 until zBits).map { i =>
-        shiftleft(shiftright(col(xCol), i).bitwiseAND(lit(1L)), 2 * i) +
-          shiftleft(shiftright(col(yCol), i).bitwiseAND(lit(1L)),
-            2 * i + 1)
-      }.reduce(_ + _)
-      df.withColumn("_z", zv)
-        .repartitionByRange(targetFiles, col("_z"))
-        .sortWithinPartitions(col("_z"))
-        .drop("_z")
-    }
-    val stats = (statsCols ++ Seq(xCol, yCol)).distinct
-    if (!preserveRowIds) {
-      val arranged = z(readLive(spark, root, None, es))
-      publish(root, stageBatch(arranged, root, None, stats), retain,
-        expected = Some(base))
-    } else {
-      val inferred = spark.read
-        .parquet(es.map(e => resolvePath(root, e.path)): _*).schema
-      val dataSchema = StructType(
-        inferred.fields.filterNot(_.name == RowIdCol))
-      val arranged = z(readWithRowIds(spark, root, dataSchema))
-      val staged = stageBatch(arranged, root, None, stats :+ RowIdCol)
-      publish(root, staged.map(markRidStats), retain,
-        expected = Some(base),
-        ridHighWater = Some(rowIdHighWaterAt(root, base)))
-    }
+    // the z-value rides as a bare EXPRESSION through the exchange and
+    // the local sort — no temporary column, no name to collide with
+    val zv = (0 until zBits).map { i =>
+      shiftleft(shiftright(col(xCol), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col(yCol), i).bitwiseAND(lit(1L)),
+          2 * i + 1)
+    }.reduce(_ + _)
+    rewriteSnapshot(spark, root, (statsCols ++ Seq(xCol, yCol)).distinct,
+      retain, preserveRowIds, "cluster")(
+      _.repartitionByRange(targetFiles, zv).sortWithinPartitions(zv))
   }
 
   /** Targeted melt of DV-FAT files (X279, VERDICT r12 task 4): rewrite

@@ -98,8 +98,9 @@ private class GraftWriteTable(schema0: StructType,
         val crashAfter = Option(properties.get("crashafterepoch"))
           .map(_.toLong)
         val txnId = Option(properties.get("txnid")).map(_.toLong)
+        val txnApp = Option(properties.get("txnappid"))
         new GraftWrite(root, info.schema(), replaceAll, retain, failAt,
-          retries, crashAfter, txnId)
+          retries, crashAfter, txnId, txnApp)
       }
     }
 }
@@ -107,7 +108,7 @@ private class GraftWriteTable(schema0: StructType,
 private class GraftWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
     conflictRetries: Int, crashAfterEpoch: Option[Long] = None,
-    txnId: Option[Long] = None)
+    txnId: Option[Long] = None, txnApp: Option[String] = None)
     extends Write {
   override def toBatch: BatchWrite = new GraftBatchWrite(
     root, schema, replaceAll, retain, failAt, conflictRetries, txnId)
@@ -117,7 +118,7 @@ private class GraftWrite(root: String, schema: StructType,
         "a per-epoch truncate would erase prior epochs' exactly-once " +
         "history; rebuild-per-batch shapes belong in foreachBatch")
     new GraftStreamingWrite(root, schema, retain, failAt,
-      conflictRetries, crashAfterEpoch)
+      conflictRetries, crashAfterEpoch, txnApp)
   }
 }
 
@@ -231,9 +232,23 @@ private class GraftBatchWrite(root: String, schema: StructType,
   * must replay n as a no-op. */
 private class GraftStreamingWrite(root: String, schema: StructType,
     retain: Int, failAt: Option[Int], conflictRetries: Int,
-    crashAfterEpoch: Option[Long]) extends StreamingWrite {
+    crashAfterEpoch: Option[Long], txnAppOpt: Option[String])
+    extends StreamingWrite {
   private val batch = "data/b_stream_" +
     java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** X291: the writer's exactly-once NAMESPACE — `option("txnappid")`
+    * when given, else the query's STABLE id (the `sql.streaming.
+    * queryId` local property Spark sets on the stream thread; it
+    * lives in the checkpoint metadata, so a restart keeps it and a
+    * checkpoint RESET mints a new one). Namespacing is what makes a
+    * reset safe: new namespace → fresh watermark → epochs restarting
+    * at 0 are applied, not mistaken for replays of another life. The
+    * legacy scalar `{"txn"}` slot is the fallback only when neither
+    * exists (a hand-driven StreamingWrite outside a real query). */
+  private lazy val txnApp: Option[String] = txnAppOpt.orElse(
+    Option(org.apache.spark.SparkContext.getOrCreate()
+      .getLocalProperty("sql.streaming.queryId")))
   // epochs THIS instance published: abort(epoch) fires even when the
   // table-side commit already succeeded (anything thrown after it —
   // including the deliberate crash seam — makes Spark abort the
@@ -251,13 +266,23 @@ private class GraftStreamingWrite(root: String, schema: StructType,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    def applied = TableCommit.lastTxnId(root).exists(_ >= epochId)
+    def applied = txnApp match {
+      case Some(a) => TableCommit.lastTxnIdFor(root, a).exists(_ >= epochId)
+      case None    => TableCommit.lastTxnId(root).exists(_ >= epochId)
+    }
+    // ORDER IS LOAD-BEARING (the publishStagedAppend discipline): read
+    // the publish base BEFORE the applied check. Checked the other way
+    // around, a twin writer can publish this epoch between our check
+    // and our base read — our publish would then extend the POST-twin
+    // head with no conflict and the epoch lands twice. This way the
+    // CAS on `expected` forces any such race into the retry path,
+    // which re-checks `applied` per attempt.
+    var expected = TableCommit.currentVersion(root).getOrElse(0L)
     if (applied) { sweepEpoch(epochId); crashIfArmed(epochId); return }
     val entries = messages.collect {
       case GraftCommitMessage(p, n) => TableCommit.Entry(p, None,
         rows = Some(n))
     }.toSeq.sortBy(_.path)
-    var expected = TableCommit.currentVersion(root).getOrElse(0L)
     var attempt = 0
     var done = false
     while (!done) {
@@ -266,7 +291,9 @@ private class GraftStreamingWrite(root: String, schema: StructType,
         else TableCommit.entriesAtVersion(root, expected)
       try {
         TableCommit.publish(root, prior ++ entries, retain,
-          expected = Some(expected), txnId = Some(epochId))
+          expected = Some(expected),
+          txnId = if (txnApp.isEmpty) Some(epochId) else None,
+          txnApp = txnApp.map(_ -> epochId))
         published.add(epochId)
         done = true
       } catch {
@@ -455,41 +482,47 @@ private class GraftScanBuilder(root: String, full: StructType)
   private val statTypes: Set[DataType] = Set(LongType, IntegerType,
     ShortType, ByteType, DoubleType, FloatType, StringType)
 
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // SAME Aggregation — cache the translation so the manifest chain
+  // resolves once per plan, not twice
+  private var lastAgg: Option[(Aggregation, Option[(StructType, Seq[Any])])] =
+    None
+
   private def translateAgg(
+      a: Aggregation): Option[(StructType, Seq[Any])] =
+    lastAgg match {
+      case Some((prev, r)) if prev eq a => r
+      case _ =>
+        val r = computeAgg(a)
+        lastAgg = Some((a, r))
+        r
+    }
+
+  /** The MIN/MAX legs reuse [[TableCommit.statsEnvelope]] — the ONE
+    * place that owns the "every entry has rows + stats, no DV
+    * anywhere" poisoning rule — so this facet can't drift from the
+    * API-level metadata aggregates. COUNT(*) is laxer on purpose: a
+    * DV doesn't poison it (counts subtract exactly). */
+  private def computeAgg(
       a: Aggregation): Option[(StructType, Seq[Any])] = {
     if (a.groupByExpressions.nonEmpty || anyFilter) return None
-    val es = TableCommit.entries(root)
-    val anyDv = es.exists(e => TableCommit.deletedCount(e) > 0L)
-    def less(dt: DataType): (String, String) => Boolean = dt match {
-      case LongType | IntegerType | ShortType | ByteType =>
-        (x, y) => x.toLong < y.toLong
-      case DoubleType | FloatType => (x, y) => x.toDouble < y.toDouble
-      case _ => (x, y) => x < y
-    }
+    def envelope(c: org.apache.spark.sql.connector.expressions
+        .Expression): Option[(StructField, Any, Any)] =
+      aggCol(c).filter(f => statTypes(f.dataType)).flatMap { f =>
+        TableCommit.statsEnvelope(root, f.name,
+          GraftBatchScan.lt(f.dataType)).map { case (_, mn, mx) =>
+          (f.copy(nullable = true),
+            statVal(f.dataType, mn), statVal(f.dataType, mx))
+        }
+      }
     val out = a.aggregateExpressions.toSeq.map {
       case _: CountStar =>
-        if (es.exists(_.rows.isEmpty)) return None
-        val n: Any = es.map(e =>
-          e.rows.get - TableCommit.deletedCount(e)).sum
-        Some(StructField("count_star", LongType, nullable = false) -> n)
-      case m: Min =>
-        aggCol(m.column).flatMap { f =>
-          if (anyDv || !statTypes(f.dataType) ||
-              !es.forall(_.stats.contains(f.name))) None
-          else Some(f.copy(nullable = true) ->
-            (es.map(_.stats(f.name).min)
-              .reduceOption((x, y) => if (less(f.dataType)(x, y)) x else y)
-              .map(statVal(f.dataType, _)).orNull: Any))
-        }
-      case m: Max =>
-        aggCol(m.column).flatMap { f =>
-          if (anyDv || !statTypes(f.dataType) ||
-              !es.forall(_.stats.contains(f.name))) None
-          else Some(f.copy(nullable = true) ->
-            (es.map(_.stats(f.name).max)
-              .reduceOption((x, y) => if (less(f.dataType)(x, y)) y else x)
-              .map(statVal(f.dataType, _)).orNull: Any))
-        }
+        val es = TableCommit.entries(root)
+        if (es.exists(_.rows.isEmpty)) None
+        else Some(StructField("count_star", LongType, nullable = false) ->
+          (es.map(e => e.rows.get - TableCommit.deletedCount(e)).sum: Any))
+      case m: Min => envelope(m.column).map { case (f, mn, _) => f -> mn }
+      case m: Max => envelope(m.column).map { case (f, _, mx) => f -> mx }
       case _ => None
     }
     if (out.exists(_.isEmpty)) None
@@ -535,10 +568,21 @@ private object GraftAggReaderFactory extends PartitionReaderFactory {
 }
 
 private object GraftBatchScan {
+  /** The column types whose canonical stat-string form the comparator
+    * below actually orders (and whose pushed-literal `toString`
+    * matches that form): integers (decimal text), floats
+    * (`Double.toString`), strings (verbatim), DATE (ISO text — both
+    * the stats channel and `java.sql.Date.toString`). Anything else —
+    * timestamps (raw micros in footers vs ISO literals), decimals
+    * (unscaled text), binary — must NOT prune: a lexical compare of
+    * non-comparable forms silently drops matching files. */
+  private val prunableTypes: Set[DataType] = Set(LongType, IntegerType,
+    ShortType, ByteType, DoubleType, FloatType, StringType, DateType)
+
   /** Stats-channel comparator for a column's CANONICAL string form —
     * numeric parse for numeric columns, lexical for strings/ISO dates
     * (the [[TableCommit.ColStats]] contract). */
-  private def lt(dt: DataType): (String, String) => Boolean = dt match {
+  private[sources] def lt(dt: DataType): (String, String) => Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType =>
       (a, b) => a.toLong < b.toLong
     case DoubleType | FloatType => (a, b) => a.toDouble < b.toDouble
@@ -558,7 +602,9 @@ private object GraftBatchScan {
     case And(l, r) =>
       translatable(full)(l) && translatable(full)(r)
     case other => cmpCol(other).exists { case (c, v) =>
-      v != null && full.fields.exists(_.name == c)
+      v != null &&
+        full.fields.exists(fd => fd.name == c &&
+          prunableTypes(fd.dataType))
     }
   }
 

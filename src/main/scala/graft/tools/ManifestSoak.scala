@@ -300,9 +300,12 @@ object ManifestSoak {
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("v", LongType)))
     val n1 = TableCommit.readAt(spark, root, schema, 1L).count()
+    val manifests = {
+      val s = Files.list(Paths.get(root, "_log"))
+      try s.count() finally s.close()
+    }
     println(f"[psoak] commits=$n medLatFirst50=${med(lat.take(50).toSeq)}%.4f s " +
       f"medLatLast50=${med(lat.takeRight(50).toSeq)}%.4f s " +
-      f"pinnedRowsStillReadable=$n1 " +
-      f"manifestsPresent=${Files.list(Paths.get(root, "_log")).count()}")
+      f"pinnedRowsStillReadable=$n1 manifestsPresent=$manifests")
   }
 }

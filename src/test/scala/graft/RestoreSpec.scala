@@ -123,6 +123,38 @@ class RestoreSpec extends AnyFunSuite {
     assert(mirror === keys(r))
   }
 
+  test("feed legs gate on encoding inequality: equal-count non-subset DV transitions emit both legs") {
+    // restore can move a file's DV between two NON-SUBSET sets with
+    // EQUAL counts — a count-delta gate (the review finding) drops
+    // both legs and a mirror silently diverges by 2× the stripe
+    val r = root()
+    val v1 = TableCommit.commitAppend(df(0L, 100L, files = 1), r,
+      retain = 12)
+    val v2 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 10L, retain = 12) // DV A = {0..9}
+    val v3 = TableCommit.commitRestore(r, v1, retain = 12)
+    val v4 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") >= 90L, retain = 12) // DV B = {90..99}, |B| == |A|
+    val v5 = TableCommit.commitRestore(r, v2, retain = 12) // B → A
+    val legs = TableCommit.readChangesFull(spark, r, schema, v4, v5)
+      .select(col("_change_type"), col("k"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(legs.filter(_._1 == "delete").map(_._2).toSet ===
+      (0L until 10L).toSet, "newly-dead rows (A − B) must emit")
+    assert(legs.filter(_._1 == "insert").map(_._2).toSet ===
+      (90L until 100L).toSet, "resurrected rows (B − A) must emit")
+    // the mirror converges end to end across all five versions
+    var mirror = Set.empty[Long]
+    TableCommit.readChangesFull(spark, r, schema, 0L, v5)
+      .select(col("_commit_version"), col("_change_type"), col("k"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, ls) =>
+        mirror --= ls.filter(_._2 == "delete").map(_._3)
+        mirror ++= ls.filter(_._2 == "insert").map(_._3)
+      }
+    assert(mirror === keys(r))
+  }
+
   test("identity CDC re-emits resurrected rows under their original ids") {
     val r = root()
     TableCommit.commitAppendTracked(df(0L, 50L), r, retain = 12)

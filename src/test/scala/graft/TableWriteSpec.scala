@@ -263,7 +263,8 @@ class TableWriteSpec extends AnyFunSuite {
       run(crashAfter = Some(1L))
     }
     assert(TableCommit.read(spark, tbl, schema).count() === 2L)
-    assert(TableCommit.lastTxnId(tbl) === Some(1L))
+    // X291: the watermark is NAMESPACED by the query's stable id
+    assert(TableCommit.txnHighWaters(tbl).values.toSeq === Seq(1L))
     // the restart REPLAYS epoch 1 (must land zero rows) then runs 2
     run(crashAfter = None)
     val got = TableCommit.read(spark, tbl, schema)
@@ -271,7 +272,8 @@ class TableWriteSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(got === Seq((0L, "v0"), (1L, "v1"), (2L, "v2")),
       "each source row must land exactly once across the replay")
-    assert(TableCommit.lastTxnId(tbl) === Some(2L))
+    assert(TableCommit.txnHighWaters(tbl).values.toSeq === Seq(2L),
+      "one namespace (the stable query id), watermark at epoch 2")
     // no staged debris: every file under data/ is a published entry
     // (the replayed epoch's re-written files were swept)
     import scala.jdk.CollectionConverters._
@@ -286,6 +288,36 @@ class TableWriteSpec extends AnyFunSuite {
       s"replay/abort debris must be swept from the staged batch dirs; " +
         s"on disk: ${onDisk.mkString(", ")}; published: " +
         s"${TableCommit.entries(tbl).map(_.path).mkString(", ")}")
+  }
+
+  test("checkpoint reset is a NEW txn namespace: fresh epochs apply, never mistaken for replays (X291)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_tw_reset_").toString
+    val src = s"$base/src"; val tbl = s"$base/t"
+    (0 until 2).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema("k LONG, v STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.format("graft-table")
+        .option("root", tbl).option("retain", "8")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run(s"$base/ckpt1")
+    assert(TableCommit.read(spark, tbl, schema).count() === 2L)
+    // checkpoint "lost" (routine ops move): a FRESH checkpoint means a
+    // fresh stable query id → fresh namespace. Epochs restart at 0 but
+    // must APPLY (the table legitimately receives the source again) —
+    // a single scalar watermark would silently drop all of them.
+    run(s"$base/ckpt2")
+    assert(TableCommit.read(spark, tbl, schema).count() === 4L,
+      "a reset stream's epochs must land, not be dropped as replays")
+    assert(TableCommit.txnHighWaters(tbl).size === 2,
+      "two stream lives = two independent namespaces")
   }
 
   test("native streaming sink refuses per-epoch truncate (complete mode)") {
