@@ -3466,7 +3466,7 @@ object TableCommit {
     * commit arbiter uses, so a reader never observes a torn body and
     * two racing creators of one name get exactly one winner. Throws
     * [[java.nio.file.FileAlreadyExistsException]] on loss. */
-  private def claimFile(target: Path, bytes: Array[Byte]): Unit = {
+  private[graft] def claimFile(target: Path, bytes: Array[Byte]): Unit = {
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
     writeFsynced(tmp, bytes)

@@ -1329,6 +1329,54 @@ object Relational {
       |  MAX(o_orderstatus) AS max_status
       |FROM orders ORDER BY n_rows""".stripMargin
 
+  // `q_sql_table` (X292): graft tables through pure Spark SQL
+
+  /** `q_sql_table` (X292): the CATALOG facet — an analyst's whole
+    * session in PURE SQL with zero graft API calls: `CREATE TABLE`
+    * (create-exclusive `_schema.json` claim), `INSERT INTO` (the DSv2
+    * two-phase write), `DELETE FROM` (translated into an X265
+    * merge-on-read deletion-vector commit — CatalogSpec fingerprints
+    * zero data bytes moved), and the closing rollup through the X289
+    * read facet (manifest pruning + X290 aggregate pushdown ride
+    * along). The oracle re-derives the post-DELETE state from the raw
+    * table, so a DDL/DML/read leg that lied anywhere in the chain
+    * breaks the hash. */
+  def sqlTableQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = graft.engine.TempWarehouse.createManaged("graft_sqlcat_")
+    val cat = "graft_sql_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = "graft_sqlcat_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        (col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+    spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src")
+    spark.sql(s"DELETE FROM $cat.orders WHERE st = 'P'")
+    val out = spark.sql(
+      s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+         |  SUM(k) AS key_sum
+         |FROM $cat.orders GROUP BY st ORDER BY st""".stripMargin)
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(src)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc).orderBy(col("st"))
+  }
+
+  val sqlTableOracle: String =
+    """SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderstatus <> 'P'
+      |GROUP BY 1 ORDER BY st""".stripMargin
+
   // `q_manifest_prune`: manifest min/max stats → planning-time file skip
 
   /** Inclusive ISO-date window the pruned read asks for — one year out of
