@@ -1377,6 +1377,69 @@ object Relational {
       |FROM orders WHERE o_orderstatus <> 'P'
       |GROUP BY 1 ORDER BY st""".stripMargin
 
+  // `q_sql_timetravel` (X293): VERSION AS OF through the SQL catalog
+
+  /** `q_sql_timetravel` (X293): SQL TIME TRAVEL — `SELECT … FROM
+    * cat.t VERSION AS OF v` resolves through the catalog onto
+    * `entriesAtVersion`, so an analyst audits "what did the table say
+    * before the purge" in one clause, no API. Fixture: INSERT the even
+    * orders (v1), INSERT the odd (v2), DELETE the 'P' status rows
+    * (v3). Gated legs: the HEAD rollup (post-delete) vs the VERSION AS
+    * OF 2 rollup (pre-delete — the deleted rows must be visible again,
+    * with the v2-era DV state, i.e. none). A time-travel read that
+    * fell through to the head, or served the wrong version's DV,
+    * breaks one leg's hash. */
+  def sqlTimeTravelQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = graft.engine.TempWarehouse.createManaged("graft_sqltt_")
+    val cat = "graft_tt_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = "graft_sqltt_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        (col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+    spark.sql(
+      s"INSERT INTO $cat.orders SELECT k, st, c FROM $src WHERE k % 2 = 0")
+    spark.sql(
+      s"INSERT INTO $cat.orders SELECT k, st, c FROM $src WHERE k % 2 = 1")
+    spark.sql(s"DELETE FROM $cat.orders WHERE st = 'P'")
+    val out = spark.sql(
+      s"""SELECT kind, st, n_orders, total_cents FROM (
+         |  SELECT 'head' AS kind, st, COUNT(*) AS n_orders,
+         |    SUM(c) AS total_cents
+         |  FROM $cat.orders GROUP BY st
+         |  UNION ALL
+         |  SELECT 'asof_v2', st, COUNT(*), SUM(c)
+         |  FROM $cat.orders VERSION AS OF 2 GROUP BY st)
+         |ORDER BY kind, st""".stripMargin)
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(src)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc)
+      .orderBy(col("kind"), col("st"))
+  }
+
+  val sqlTimeTravelOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT 'head' AS kind, st, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents
+      |FROM base WHERE st <> 'P' GROUP BY 2
+      |UNION ALL
+      |SELECT 'asof_v2', st, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c) AS BIGINT)
+      |FROM base GROUP BY 2
+      |ORDER BY kind, st""".stripMargin
+
   // `q_manifest_prune`: manifest min/max stats → planning-time file skip
 
   /** Inclusive ISO-date window the pruned read asks for — one year out of

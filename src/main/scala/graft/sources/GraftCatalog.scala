@@ -42,6 +42,7 @@ import graft.engine.TableCommit
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+  private var retain: Int = 64
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -49,6 +50,11 @@ class GraftCatalog extends TableCatalog {
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog '$name' requires spark.sql.catalog.$name.warehouse"))
+    // SQL tables default to a REAL retention window (time travel is a
+    // catalog-level expectation — VERSION AS OF on a retain=1 table
+    // would dangle after every commit); override per catalog via
+    // spark.sql.catalog.<name>.retain
+    retain = Option(options.get("retain")).map(_.toInt).getOrElse(64)
   }
   override def name(): String = catalogName
 
@@ -78,7 +84,7 @@ class GraftCatalog extends TableCatalog {
     finally s.close()
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val root = rootOf(ident)
     val sp = schemaPath(root)
     if (!Files.exists(sp)) throw new NoSuchTableException(ident)
@@ -86,9 +92,30 @@ class GraftCatalog extends TableCatalog {
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
     val props = new util.HashMap[String, String]()
     props.put("root", root)
+    props.put("retain", retain.toString)
     new GraftCatalogTable(schema, props, root,
-      s"$catalogName.${(ident.namespace.toSeq :+ ident.name).mkString(".")}")
+      s"$catalogName.${(ident.namespace.toSeq :+ ident.name).mkString(".")}" +
+        asOf.map(v => s"@v$v").getOrElse(""),
+      asOf, retain)
   }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** X293 `VERSION AS OF <v>` — SQL time travel onto [[TableCommit
+    * .entriesAtVersion]]; the version must still be retained. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.nonEmpty && version.forall(_.isDigit),
+      s"graft VERSION AS OF wants a numeric commit version, got " +
+        s"'$version'")
+    load(ident, Some(version.toLong))
+  }
+
+  /** X293 `TIMESTAMP AS OF <ts>` — Spark hands MICROSECONDS since the
+    * epoch; resolution is [[TableCommit.versionAsOf]]'s manifest-mtime
+    * rule. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident,
+      Some(TableCommit.versionAsOf(rootOf(ident), timestampMicros / 1000L)))
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -141,9 +168,19 @@ class GraftCatalog extends TableCatalog {
   * merge-on-read deletion vectors. */
 private[sources] class GraftCatalogTable(schema0: StructType,
     properties: util.Map[String, String], root: String,
-    displayName: String)
+    displayName: String, asOf: Option[Long] = None, retain: Int = 64)
     extends GraftWriteTable(schema0, properties) with SupportsDelete {
   override def name(): String = displayName
+  override protected def asOfVersion: Option[Long] = asOf
+
+  /** `TRUNCATE TABLE`: one metadata-only commit to an EMPTY file list
+    * — not a whole-table deletion vector (marking every row dead would
+    * write position sets proportional to the table). History is
+    * retention-governed like any overwrite. */
+  override def truncateTable(): Boolean = {
+    TableCommit.publish(root, Seq.empty, retain = retain)
+    true
+  }
 
   /** `DELETE FROM … WHERE …`: only predicates with an exact
     * [[Filter]] → [[org.apache.spark.sql.Column]] translation are
@@ -160,7 +197,7 @@ private[sources] class GraftCatalogTable(schema0: StructType,
           s"DELETE predicate not translatable: $f")))
       .reduceOption(_ && _).getOrElse(lit(true))
     TableCommit.commitDeleteRows(SparkSession.active, root, schema0,
-      pred, retain = 1)
+      pred, retain = retain)
     ()
   }
 }

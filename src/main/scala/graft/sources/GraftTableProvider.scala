@@ -83,9 +83,14 @@ private class GraftWriteTable(schema0: StructType,
     * still evaluates every filter row-level; a file without stats for
     * the column is kept). Reads serve PHYSICAL column names — mapped
     * tables (X276) go through `TableCommit.readMapped`. */
+  /** X293: a TIME-TRAVEL pin — when set, scans serve this version's
+    * snapshot (`entriesAtVersion`) instead of the head; the SQL
+    * catalog's `VERSION AS OF` / `TIMESTAMP AS OF` loads set it. */
+  protected def asOfVersion: Option[Long] = None
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, schema0)
+    new GraftScanBuilder(root, schema0, asOfVersion)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
@@ -422,7 +427,8 @@ private class GraftDataWriter(root: String, batch: String,
   * pruning. `pushFilters` deliberately returns EVERY filter as
   * still-to-evaluate — the pruning here skips files, never rows, so
   * it is lossless whatever the stats say. */
-private class GraftScanBuilder(root: String, full: StructType)
+private class GraftScanBuilder(root: String, full: StructType,
+    asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -505,7 +511,11 @@ private class GraftScanBuilder(root: String, full: StructType)
     * DV doesn't poison it (counts subtract exactly). */
   private def computeAgg(
       a: Aggregation): Option[(StructType, Seq[Any])] = {
-    if (a.groupByExpressions.nonEmpty || anyFilter) return None
+    // statsEnvelope/entries are head-version; a time-travel pin falls
+    // back to the real (versioned) scan rather than answering from
+    // the wrong snapshot's manifest
+    if (a.groupByExpressions.nonEmpty || anyFilter || asOf.isDefined)
+      return None
     def envelope(c: org.apache.spark.sql.connector.expressions
         .Expression): Option[(StructField, Any, Any)] =
       aggCol(c).filter(f => statTypes(f.dataType)).flatMap { f =>
@@ -531,7 +541,7 @@ private class GraftScanBuilder(root: String, full: StructType)
 
   override def build(): Scan = agg match {
     case Some((schema, row)) => new GraftAggScan(root, schema, row)
-    case None => new GraftBatchScan(root, required, usable)
+    case None => new GraftBatchScan(root, required, usable, asOf)
   }
 }
 
@@ -638,14 +648,17 @@ private object GraftBatchScan {
   * [[GraftCdfFileReader]] does the executor-side parquet decode and
   * DV anti-apply (`bare = true`: data columns only, no feed tail). */
 private class GraftBatchScan(root: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], asOf: Option[Long] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-table($root) pruned=[${pushed.mkString(", ")}]"
+    s"graft-table($root)${asOf.map(v => s" asOf=v$v").getOrElse("")} " +
+      s"pruned=[${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    TableCommit.entries(root)
+    asOf.map(v => TableCommit.entriesAtVersion(root, v))
+      .getOrElse(TableCommit.entries(root))
       .filter(e => pushed.forall(f =>
         GraftBatchScan.mightMatch(required, e, f)))
       .map { e =>

@@ -80,6 +80,37 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF; TRUNCATE is metadata-only (X293)") {
+    import java.nio.file.attribute.FileTime
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.range(10L).select(col("id").as("k"), lit("a").as("v"))
+      .createOrReplaceTempView("cat_tt_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM cat_tt_src") // v1
+    spark.sql(s"INSERT INTO $cat.t SELECT k + 10, v FROM cat_tt_src") // v2
+    spark.sql(s"DELETE FROM $cat.t WHERE k < 5") // v3
+    def stamp(v: Long, t: Long): Unit =
+      Files.setLastModifiedTime(Paths.get(wh, "t", "_log",
+        f"v$v%020d.json"), FileTime.fromMillis(t))
+    stamp(1L, 1000L); stamp(2L, 2000L); stamp(3L, 3000L)
+    def n(sql: String): Long =
+      spark.sql(sql).collect()(0).getLong(0)
+    assert(n(s"SELECT COUNT(*) FROM $cat.t") === 15L)
+    assert(n(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 1") === 10L)
+    assert(n(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 2") === 20L)
+    // TIMESTAMP AS OF resolves by manifest mtime (epoch 2.5 s → v2);
+    // the deleted rows are visible again at that snapshot
+    assert(n(s"SELECT COUNT(*) FROM $cat.t TIMESTAMP AS OF " +
+      "'1970-01-01 00:00:02.5'") === 20L)
+    assert(n(s"SELECT SUM(k) FROM $cat.t VERSION AS OF 1 WHERE k >= 0")
+      === 45L)
+    // TRUNCATE = one metadata-only empty commit
+    spark.sql(s"TRUNCATE TABLE $cat.t")
+    assert(n(s"SELECT COUNT(*) FROM $cat.t") === 0L)
+    assert(graft.engine.TableCommit.entries(s"$wh/t").isEmpty)
+    spark.catalog.dropTempView("cat_tt_src")
+  }
+
   test("DELETE with an untranslatable predicate fails loudly, table intact") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
