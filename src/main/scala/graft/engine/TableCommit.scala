@@ -684,8 +684,15 @@ object TableCommit {
     * wrong answer, so the caller falls back to a scan. `lt` is the
     * caller's ordering over the canonical stat strings. */
   def statsEnvelope(root: String, column: String,
+      lt: (String, String) => Boolean): Option[(Long, String, String)] =
+    statsEnvelopeOf(entries(root), column, lt)
+
+  /** [[statsEnvelope]] over an ALREADY-RESOLVED entry snapshot — the
+    * form a multi-aggregate consumer (X290) uses so every leg of one
+    * result row derives from ONE version, never a torn mix of two
+    * racing commits' snapshots. */
+  def statsEnvelopeOf(es: Seq[Entry], column: String,
       lt: (String, String) => Boolean): Option[(Long, String, String)] = {
-    val es = entries(root)
     // A deletion vector (X265) poisons the metadata-only answer: the
     // count would overstate and the true live min/max may be exactly
     // the deleted rows. Stats stay SUPERSET (fine for pruning), but an
@@ -961,12 +968,43 @@ object TableCommit {
           needed ++ extra
         }
       val doomed = present.filter(d => d < oldest && !freshNeeded(d))
-      val retiredFiles = doomed.toSeq.flatMap { d =>
+      // TRASH-THEN-CONFIRM (review finding: two one-shot checks on
+      // opposite sides can't close the pin TOCTOU): doomed manifests
+      // are first RENAMED to `.trash-v….json` (atomic; readers ignore
+      // non-VersionRe names, so a racing pinVersion's post-claim
+      // verify of a trashed version fails LOUDLY), then pins are read
+      // a third time — any pin that slipped in between undoes the
+      // whole pass (rename back, retry next retire). Only a confirmed
+      // pass deletes the trash and sweeps files. A crash mid-pass
+      // leaves trash for [[vacuum]] to RESTORE (undo is the recovery
+      // direction — re-retiring is cheap, resurrecting a swept pin's
+      // snapshot is impossible).
+      val trashed = doomed.toSeq.flatMap { d =>
         val fs = try readRaw(root, d).own
                  catch { case _: Throwable => Seq.empty }
-        Files.deleteIfExists(manifestPath(root, d))
-        fs
+        val m = manifestPath(root, d)
+        val t = m.resolveSibling(s".trash-${m.getFileName}")
+        try { Files.move(m, t); Some((d, t, fs)) }
+        catch { case _: Throwable => None }
       }
+      val thirdPinned =
+        try Some(pinnedVersions(root).values.toSet)
+        catch { case _: Throwable => None }
+      val pinSlippedIn = thirdPinned match {
+        case None => true // unreadable pins: assume the worst
+        case Some(ps) => !ps.forall(freshPinned.contains)
+      }
+      if (pinSlippedIn) {
+        trashed.foreach { case (d, t, _) =>
+          try Files.move(t, manifestPath(root, d))
+          catch { case _: Throwable => () }
+        }
+        return
+      }
+      trashed.foreach { case (_, t, _) =>
+        try Files.deleteIfExists(t) catch { case _: Throwable => () }
+      }
+      val retiredFiles = trashed.flatMap(_._3)
       if (retiredFiles.nonEmpty) {
         // Liveness: every file a retained resolution references is in
         // some chain member's OWN list, and chains are exactly `needed`.
@@ -1026,6 +1064,28 @@ object TableCommit {
           .foreach(p => try Files.deleteIfExists(p)
             catch { case _: Throwable => () })
       }
+      // `.trash-v….json` = a crashed retire's trash-then-confirm pass
+      // (X284): recovery is UNDO — restore aged trash to its original
+      // name (re-retiring is cheap; resurrecting a swept pinned
+      // snapshot is impossible) and skip this pass's sweeps while ANY
+      // trash exists (liveness is unjudgeable mid-pass/around a
+      // restore).
+      var trashSeen = false
+      if (Files.isDirectory(logDir(root))) {
+        listDir(logDir(root)).filter(
+          _.getFileName.toString.startsWith(".trash-v")).foreach { p =>
+          trashSeen = true
+          if (oldEnough(p)) {
+            val orig = p.resolveSibling(
+              p.getFileName.toString.stripPrefix(".trash-"))
+            try {
+              if (Files.exists(orig)) Files.deleteIfExists(p)
+              else Files.move(p, orig)
+            } catch { case _: Throwable => () }
+          }
+        }
+      }
+      if (trashSeen) return
       // Torn manifests (a crashed CREATE_NEW-fallback commit): behind the
       // same age gate, DELETE them — readers were failing loudly on them,
       // never surfacing partial lists, and removing the file restores the
@@ -1586,17 +1646,21 @@ object TableCommit {
     * sink checks before applying a batch. Bounded by the retention
     * window; maintenance commits without a txn stamp are skipped over
     * rather than erasing the high-water. */
-  def lastTxnId(root: String): Option[Long] = {
+  /** Retained version numbers, newest first — the watermark readers'
+    * shared walk. */
+  private def versionsDesc(root: String): Seq[Long] = {
     val dir = logDir(root)
-    if (!Files.isDirectory(dir)) return None
-    val vs = listDir(dir).flatMap(p => p.getFileName.toString match {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    listDir(dir).flatMap(p => p.getFileName.toString match {
       case VersionRe(d) => Some(d.toLong)
       case _            => None
     }).sorted.reverse
-    vs.iterator.map(v =>
+  }
+
+  def lastTxnId(root: String): Option[Long] =
+    versionsDesc(root).iterator.map(v =>
       try readRawChecked(root, v).txn catch { case _: Throwable => None })
       .collectFirst { case Some(t) => t }
-  }
 
   /** X291: the exactly-once high-water of ONE writer app's namespace
     * (`{"txna"}` header). Self-propagating, so the TOP manifest is
@@ -1606,19 +1670,12 @@ object TableCommit {
     txnHighWaters(root).get(app)
 
   /** All per-app exactly-once watermarks at the current version. */
-  def txnHighWaters(root: String): Map[String, Long] = {
-    val dir = logDir(root)
-    if (!Files.isDirectory(dir)) return Map.empty
-    val vs = listDir(dir).flatMap(p => p.getFileName.toString match {
-      case VersionRe(d) => Some(d.toLong)
-      case _            => None
-    }).sorted.reverse
-    vs.iterator.map(v =>
+  def txnHighWaters(root: String): Map[String, Long] =
+    versionsDesc(root).iterator.map(v =>
       try Some(readRawChecked(root, v).txna)
       catch { case _: Throwable => None })
       .collectFirst { case Some(m) => m }
       .getOrElse(Map.empty)
-  }
 
   /** EXACTLY-ONCE streaming append (X271): apply `df` as transaction
     * `txnId` — a no-op if the log already carries a txn id ≥ this one.
@@ -2671,7 +2728,12 @@ object TableCommit {
           .as("_dv_leaf"),
         col("_metadata.row_index").as("_dv_pos"))
     val out =
-      if (sel.map(_.freshCount).sum <= dvBroadcastThreshold) {
+      // clamp per leg: a restore's swapped (shrunk) leg can carry a
+      // NEGATIVE count estimate — summing raw would let it cancel a
+      // huge grown leg and route 10⁷ positions into the driver-side
+      // broadcast path
+      if (sel.map(g => math.max(0L, g.freshCount)).sum
+          <= dvBroadcastThreshold) {
         val posDf = sel.flatMap { g =>
           freshOf(root, g).map(p => (pathLeaf(g.entry.path), p))
         }.toDF("_dv_leaf", "_dv_pos")
@@ -3274,7 +3336,10 @@ object TableCommit {
           element_at(split(col("_metadata.file_path"), "/"), -1)
             .as("_dv_leaf"),
           col("_metadata.row_index").as("_dv_pos"))
-      if (g.map(_.freshCount).sum <= dvBroadcastThreshold) {
+      // clamped like readPositions: negative (shrunk-leg) estimates
+      // must not cancel grown legs below the broadcast threshold
+      if (g.map(x => math.max(0L, x.freshCount)).sum
+          <= dvBroadcastThreshold) {
         val posDf = g.flatMap { x =>
           freshOf(root, x).map(p => (pathLeaf(x.entry.path), p))
         }.toDF("_dv_leaf", "_dv_pos")
@@ -3532,6 +3597,10 @@ object TableCommit {
   /** All pins at `root` (name → version). Throws on an unparseable pin
     * file — [[retire]] treats that as unjudgeable liveness and freezes
     * the sweep rather than risking a pinned snapshot's files. */
+  /** Pin body = `<version>\n#end\n` — the terminator has been part of
+    * the format since the feature first shipped (no terminator-less
+    * pin files ever existed to migrate), so a strict parse costs no
+    * compatibility and buys torn-write detection. */
   private val PinBodyRe = "(?s)(\\d+)\\n#end\\n?".r
 
   def pinnedVersions(root: String): Map[String, Long] = {

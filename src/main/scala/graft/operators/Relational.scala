@@ -1341,33 +1341,43 @@ object Relational {
     * along). The oracle re-derives the post-DELETE state from the raw
     * table, so a DDL/DML/read leg that lied anywhere in the chain
     * breaks the hash. */
-  def sqlTableQ(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared fixture for the SQL-catalog gates: a run-unique catalog
+    * over a managed warehouse, the normalized (k, st, c) orders
+    * projection as a temp view, and the collect/detach epilogue
+    * (catalog instances and conf entries are run-unique by name, so
+    * repeated bench/verify invocations never collide). */
+  private def withSqlCatalog(spark: SparkSession, sfDir: String)(
+      body: (String, String) => DataFrame): DataFrame = {
     val wh = graft.engine.TempWarehouse.createManaged("graft_sqlcat_")
-    val cat = "graft_sql_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val cat = s"graft_sql_$id"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    val src = "graft_sqlcat_src_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val src = s"graft_sqlcat_src_$id"
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
         (col("o_totalprice")
           .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
           .cast("long").as("c"))
       .createOrReplaceTempView(src)
-    spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
-    spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src")
-    spark.sql(s"DELETE FROM $cat.orders WHERE st = 'P'")
-    val out = spark.sql(
-      s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
-         |  SUM(k) AS key_sum
-         |FROM $cat.orders GROUP BY st ORDER BY st""".stripMargin)
+    val out = body(cat, src)
     val rows = out.collect().toIndexedSeq
     val sc = out.schema
     spark.catalog.dropTempView(src)
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, sc).orderBy(col("st"))
+    spark.createDataFrame(rows.asJava, sc)
   }
+
+  def sqlTableQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalog(spark, sfDir) { (cat, src) =>
+      spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+      spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src")
+      spark.sql(s"DELETE FROM $cat.orders WHERE st = 'P'")
+      spark.sql(
+        s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+           |  SUM(k) AS key_sum
+           |FROM $cat.orders GROUP BY st ORDER BY st""".stripMargin)
+    }.orderBy(col("st"))
 
   val sqlTableOracle: String =
     """SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1389,42 +1399,24 @@ object Relational {
     * with the v2-era DV state, i.e. none). A time-travel read that
     * fell through to the head, or served the wrong version's DV,
     * breaks one leg's hash. */
-  def sqlTimeTravelQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val wh = graft.engine.TempWarehouse.createManaged("graft_sqltt_")
-    val cat = "graft_tt_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    val src = "graft_sqltt_src_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
-        (col("o_totalprice")
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-          .cast("long").as("c"))
-      .createOrReplaceTempView(src)
-    spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
-    spark.sql(
-      s"INSERT INTO $cat.orders SELECT k, st, c FROM $src WHERE k % 2 = 0")
-    spark.sql(
-      s"INSERT INTO $cat.orders SELECT k, st, c FROM $src WHERE k % 2 = 1")
-    spark.sql(s"DELETE FROM $cat.orders WHERE st = 'P'")
-    val out = spark.sql(
-      s"""SELECT kind, st, n_orders, total_cents FROM (
-         |  SELECT 'head' AS kind, st, COUNT(*) AS n_orders,
-         |    SUM(c) AS total_cents
-         |  FROM $cat.orders GROUP BY st
-         |  UNION ALL
-         |  SELECT 'asof_v2', st, COUNT(*), SUM(c)
-         |  FROM $cat.orders VERSION AS OF 2 GROUP BY st)
-         |ORDER BY kind, st""".stripMargin)
-    val rows = out.collect().toIndexedSeq
-    val sc = out.schema
-    spark.catalog.dropTempView(src)
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, sc)
-      .orderBy(col("kind"), col("st"))
-  }
+  def sqlTimeTravelQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalog(spark, sfDir) { (cat, src) =>
+      spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+      spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
+        "WHERE k % 2 = 0")
+      spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
+        "WHERE k % 2 = 1")
+      spark.sql(s"DELETE FROM $cat.orders WHERE st = 'P'")
+      spark.sql(
+        s"""SELECT kind, st, n_orders, total_cents FROM (
+           |  SELECT 'head' AS kind, st, COUNT(*) AS n_orders,
+           |    SUM(c) AS total_cents
+           |  FROM $cat.orders GROUP BY st
+           |  UNION ALL
+           |  SELECT 'asof_v2', st, COUNT(*), SUM(c)
+           |  FROM $cat.orders VERSION AS OF 2 GROUP BY st)
+           |ORDER BY kind, st""".stripMargin)
+    }.orderBy(col("kind"), col("st"))
 
   val sqlTimeTravelOracle: String =
     """WITH base AS (

@@ -58,10 +58,32 @@ class GraftCatalog extends TableCatalog {
   }
   override def name(): String = catalogName
 
-  private def requireSegSafe(s: String): Unit =
+  private def requireSegSafe(s: String): Unit = {
     require(s.nonEmpty && s != "." && s != ".." &&
       !s.exists(c => c == '/' || c < 0x20),
       s"identifier segment '$s' must be a plain directory name")
+    // table-internal directory names are RESERVED: an identifier that
+    // resolves into another table's internals (wh/t/data, wh/_tags, …)
+    // would let plain SQL DDL destroy that table's files
+    require(s != "data" && !s.startsWith("_"),
+      s"identifier segment '$s' is reserved (table internals are " +
+        "'data' and '_'-prefixed directories)")
+  }
+
+  /** No identifier may resolve INSIDE an existing table's root: every
+    * strict ancestor between the warehouse and the target must be a
+    * plain namespace directory, never a table. */
+  private def requireOutsideTables(root: String): Unit = {
+    var p = Paths.get(root).getParent
+    val wh = Paths.get(warehouse).toAbsolutePath.normalize
+    while (p != null && p.toAbsolutePath.normalize != wh &&
+        p.toAbsolutePath.normalize.startsWith(wh)) {
+      require(!Files.exists(p.resolve("_schema.json")),
+        s"identifier resolves inside existing table at $p — namespaces " +
+          "and tables cannot nest")
+      p = p.getParent
+    }
+  }
 
   private def rootOf(ident: Identifier): String = {
     (ident.namespace.toSeq :+ ident.name).foreach(requireSegSafe)
@@ -124,6 +146,16 @@ class GraftCatalog extends TableCatalog {
       "graft catalog tables are unpartitioned at the catalog level — " +
         "layout is a maintenance concern (commitCompact/commitCluster)")
     val root = rootOf(ident)
+    requireOutsideTables(root)
+    // never ADOPT an existing non-empty directory: its contents would
+    // become this table's to drop
+    if (Files.isDirectory(Paths.get(root))) {
+      val s = Files.list(Paths.get(root))
+      val nonEmpty = try s.findFirst().isPresent finally s.close()
+      require(!nonEmpty,
+        s"CREATE TABLE target directory $root already exists and is " +
+          "not empty — refusing to adopt foreign contents")
+    }
     try TableCommit.claimFile(schemaPath(root),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -156,6 +188,7 @@ class GraftCatalog extends TableCatalog {
     val src = rootOf(from); val dst = rootOf(to)
     if (!Files.exists(schemaPath(src)))
       throw new NoSuchTableException(from)
+    requireOutsideTables(dst)
     if (Files.exists(Paths.get(dst)))
       throw new TableAlreadyExistsException(to)
     Files.createDirectories(Paths.get(dst).getParent)

@@ -104,8 +104,11 @@ private class GraftWriteTable(schema0: StructType,
           .map(_.toLong)
         val txnId = Option(properties.get("txnid")).map(_.toLong)
         val txnApp = Option(properties.get("txnappid"))
+        val txnMigrate = Option(properties.get("txnmigrate"))
+        txnMigrate.foreach(m => require(m == "scalar" || m == "fresh",
+          s"option 'txnmigrate' must be 'scalar' or 'fresh', got '$m'"))
         new GraftWrite(root, info.schema(), replaceAll, retain, failAt,
-          retries, crashAfter, txnId, txnApp)
+          retries, crashAfter, txnId, txnApp, txnMigrate)
       }
     }
 }
@@ -113,7 +116,8 @@ private class GraftWriteTable(schema0: StructType,
 private class GraftWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
     conflictRetries: Int, crashAfterEpoch: Option[Long] = None,
-    txnId: Option[Long] = None, txnApp: Option[String] = None)
+    txnId: Option[Long] = None, txnApp: Option[String] = None,
+    txnMigrate: Option[String] = None)
     extends Write {
   override def toBatch: BatchWrite = new GraftBatchWrite(
     root, schema, replaceAll, retain, failAt, conflictRetries, txnId)
@@ -123,7 +127,7 @@ private class GraftWrite(root: String, schema: StructType,
         "a per-epoch truncate would erase prior epochs' exactly-once " +
         "history; rebuild-per-batch shapes belong in foreachBatch")
     new GraftStreamingWrite(root, schema, retain, failAt,
-      conflictRetries, crashAfterEpoch, txnApp)
+      conflictRetries, crashAfterEpoch, txnApp, txnMigrate)
   }
 }
 
@@ -237,7 +241,8 @@ private class GraftBatchWrite(root: String, schema: StructType,
   * must replay n as a no-op. */
 private class GraftStreamingWrite(root: String, schema: StructType,
     retain: Int, failAt: Option[Int], conflictRetries: Int,
-    crashAfterEpoch: Option[Long], txnAppOpt: Option[String])
+    crashAfterEpoch: Option[Long], txnAppOpt: Option[String],
+    txnMigrate: Option[String] = None)
     extends StreamingWrite {
   private val batch = "data/b_stream_" +
     java.util.UUID.randomUUID().toString.replace("-", "")
@@ -284,6 +289,32 @@ private class GraftStreamingWrite(root: String, schema: StructType,
     // which re-checks `applied` per attempt.
     var expected = TableCommit.currentVersion(root).getOrElse(0L)
     if (applied) { sweepEpoch(epochId); crashIfArmed(epochId); return }
+    // Scalar→namespace MIGRATION ambiguity (review finding): a VIRGIN
+    // namespace over a table whose legacy scalar `{"txn"}` watermark
+    // already covers this epoch id is undecidable — it is either this
+    // stream's own pre-namespace life (replay! applying would
+    // double-land the crash-seam epoch) or another writer's unrelated
+    // id space (skipping would silently drop this stream's data).
+    // Refuse loudly and make the operator state which:
+    // option("txnmigrate", "scalar"|"fresh").
+    txnApp.foreach { a =>
+      if (TableCommit.lastTxnIdFor(root, a).isEmpty &&
+          TableCommit.lastTxnId(root).exists(_ >= epochId)) {
+        txnMigrate match {
+          case Some("scalar") =>
+            sweepEpoch(epochId); crashIfArmed(epochId); return
+          case Some("fresh") => ()
+          case _ => throw new IllegalStateException(
+            s"graft-table sink at $root: namespace '$a' is virgin but " +
+              s"the table's legacy scalar txn watermark already covers " +
+              s"epoch $epochId — if this stream wrote the scalar ids " +
+              "before the namespace upgrade, pass option(\"txnmigrate\"," +
+              " \"scalar\") (treat them as this stream's replays); if " +
+              "they belong to another writer, pass " +
+              "option(\"txnmigrate\", \"fresh\")")
+        }
+      }
+    }
     val entries = messages.collect {
       case GraftCommitMessage(p, n) => TableCommit.Entry(p, None,
         rows = Some(n))
@@ -516,10 +547,14 @@ private class GraftScanBuilder(root: String, full: StructType,
     // the wrong snapshot's manifest
     if (a.groupByExpressions.nonEmpty || anyFilter || asOf.isDefined)
       return None
+    // ONE snapshot for every leg: a COUNT and a MAX in one result row
+    // must describe the SAME version, never a torn mix of two racing
+    // commits' states
+    val es = TableCommit.entries(root)
     def envelope(c: org.apache.spark.sql.connector.expressions
         .Expression): Option[(StructField, Any, Any)] =
       aggCol(c).filter(f => statTypes(f.dataType)).flatMap { f =>
-        TableCommit.statsEnvelope(root, f.name,
+        TableCommit.statsEnvelopeOf(es, f.name,
           GraftBatchScan.lt(f.dataType)).map { case (_, mn, mx) =>
           (f.copy(nullable = true),
             statVal(f.dataType, mn), statVal(f.dataType, mx))
@@ -527,7 +562,6 @@ private class GraftScanBuilder(root: String, full: StructType,
       }
     val out = a.aggregateExpressions.toSeq.map {
       case _: CountStar =>
-        val es = TableCommit.entries(root)
         if (es.exists(_.rows.isEmpty)) None
         else Some(StructField("count_star", LongType, nullable = false) ->
           (es.map(e => e.rows.get - TableCommit.deletedCount(e)).sum: Any))

@@ -111,6 +111,30 @@ class CatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cat_tt_src")
   }
 
+  test("reserved names and nesting are refused: SQL can't reach table internals") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    // identifiers resolving into table internals are unnameable
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t.data (k BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.`_tags` (k BIGINT)")
+    }
+    // a table cannot nest INSIDE another table's root
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t.sub (k BIGINT)")
+    }
+    // an existing non-empty directory is never adopted
+    Files.createDirectories(Paths.get(wh, "foreign"))
+    Files.write(Paths.get(wh, "foreign", "x"), Array[Byte](1))
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.foreign (k BIGINT)")
+    }
+    assert(Files.exists(Paths.get(wh, "foreign", "x")),
+      "the refused CREATE must leave foreign contents untouched")
+  }
+
   test("DELETE with an untranslatable predicate fails loudly, table intact") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")

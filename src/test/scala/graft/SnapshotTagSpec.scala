@@ -118,6 +118,27 @@ class SnapshotTagSpec extends AnyFunSuite {
     assert(TableCommit.pinnedVersions(r).keySet === Set("keep-forever"))
   }
 
+  test("vacuum restores aged retire trash (crash recovery = undo)") {
+    val w = wh()
+    val r = s"$w/t"
+    TableCommit.commitOverwrite(df(0L, 10L), r, retain = 4)
+    TableCommit.commitOverwrite(df(10L, 20L), r, retain = 4)
+    // simulate a retire pass that crashed between trash and confirm
+    val m = Paths.get(r, "_log", f"v${1L}%020d.json")
+    val t = m.resolveSibling(s".trash-${m.getFileName}")
+    Files.move(m, t)
+    intercept[Exception] {
+      TableCommit.readAt(spark, r, schema, 1L) // trashed = not retained
+    }
+    // a YOUNG trash freezes vacuum's sweeps and is left alone
+    TableCommit.vacuum(r, minAgeMs = 3600000L)
+    assert(Files.exists(t))
+    // an AGED trash restores to its original name — undo, not delete
+    TableCommit.vacuum(r, minAgeMs = 0L)
+    assert(Files.exists(m) && !Files.exists(t))
+    assert(TableCommit.readAt(spark, r, schema, 1L).count() === 10L)
+  }
+
   test("pin name exclusivity and validation") {
     val w = wh()
     val r = s"$w/t"

@@ -320,6 +320,42 @@ class TableWriteSpec extends AnyFunSuite {
       "two stream lives = two independent namespaces")
   }
 
+  test("scalar-to-namespace txn migration is explicit: ambiguous tables demand txnmigrate") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_tw_migrate_").toString
+    val src = s"$base/src"; val tbl = s"$base/t"
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    // a pre-namespace writer left a SCALAR watermark covering epoch 0
+    TableCommit.commitAppendTxn(
+      Seq((100L, "legacy")).toDF("k", "v"), tbl, txnId = 5L, retain = 8)
+    def run(ckpt: String, migrate: Option[String]): Unit = {
+      val w = spark.readStream.schema("k LONG, v STRING").parquet(src)
+        .writeStream.format("graft-table")
+        .option("root", tbl).option("retain", "8")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+      migrate.foreach(m => w.option("txnmigrate", m))
+      val q = w.start(); q.awaitTermination()
+    }
+    // undecidable without the option: either answer silently corrupts
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(s"$base/ck1", None)
+    }
+    def msg(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msg(t.getCause)
+    assert(msg(e).contains("txnmigrate"))
+    assert(TableCommit.read(spark, tbl, schema).count() === 1L,
+      "the refused epoch must land nothing")
+    // "fresh": the scalar ids belong to another writer — epochs apply
+    run(s"$base/ck2", Some("fresh"))
+    assert(TableCommit.read(spark, tbl, schema).count() === 2L)
+    // "scalar": the ids were this stream's pre-upgrade life — replays
+    run(s"$base/ck3", Some("scalar"))
+    assert(TableCommit.read(spark, tbl, schema).count() === 2L,
+      "a scalar-migrated replay must land zero rows")
+  }
+
   test("native streaming sink refuses per-epoch truncate (complete mode)") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft_tw_complete_").toString
