@@ -984,7 +984,19 @@ object TableCommit {
                  catch { case _: Throwable => Seq.empty }
         val m = manifestPath(root, d)
         val t = m.resolveSibling(s".trash-${m.getFileName}")
-        try { Files.move(m, t); Some((d, t, fs)) }
+        try {
+          Files.move(m, t)
+          // rename(2) preserves the FILE's mtime (only the dirs'
+          // change) — restamp so vacuum's age gate measures time IN
+          // TRASH, not time since the original commit; without this a
+          // concurrent vacuum could "age-restore" the trash while this
+          // pass is still live and the pass would then sweep the
+          // restored manifest's data files
+          Files.setLastModifiedTime(t,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+          Some((d, t, fs))
+        }
         catch { case _: Throwable => None }
       }
       val thirdPinned =
@@ -2728,12 +2740,14 @@ object TableCommit {
           .as("_dv_leaf"),
         col("_metadata.row_index").as("_dv_pos"))
     val out =
-      // clamp per leg: a restore's swapped (shrunk) leg can carry a
-      // NEGATIVE count estimate — summing raw would let it cancel a
-      // huge grown leg and route 10⁷ positions into the driver-side
-      // broadcast path
-      if (sel.map(g => math.max(0L, g.freshCount)).sum
-          <= dvBroadcastThreshold) {
+      // Per-leg size bound for the broadcast decision: freshCount is
+      // exact for monotone growth, but a restore leg between
+      // NON-SUBSET vectors can read ≤ 0 while its true difference is
+      // large — bound such a leg by |after| (|after − before| ≤
+      // |after| always), so no leg can sneak a huge position set into
+      // the driver-side broadcast path by cancelling or clamping
+      if (sel.map(g => if (g.freshCount > 0L) g.freshCount
+          else g.after.max.toLong).sum <= dvBroadcastThreshold) {
         val posDf = sel.flatMap { g =>
           freshOf(root, g).map(p => (pathLeaf(g.entry.path), p))
         }.toDF("_dv_leaf", "_dv_pos")
@@ -3336,10 +3350,10 @@ object TableCommit {
           element_at(split(col("_metadata.file_path"), "/"), -1)
             .as("_dv_leaf"),
           col("_metadata.row_index").as("_dv_pos"))
-      // clamped like readPositions: negative (shrunk-leg) estimates
-      // must not cancel grown legs below the broadcast threshold
-      if (g.map(x => math.max(0L, x.freshCount)).sum
-          <= dvBroadcastThreshold) {
+      // bounded like readPositions: a ≤ 0 (non-subset restore) leg
+      // counts as |after| — never cancelled, never clamped to free
+      if (g.map(x => if (x.freshCount > 0L) x.freshCount
+          else x.after.max.toLong).sum <= dvBroadcastThreshold) {
         val posDf = g.flatMap { x =>
           freshOf(root, x).map(p => (pathLeaf(x.entry.path), p))
         }.toDF("_dv_leaf", "_dv_pos")

@@ -147,6 +147,11 @@ class GraftCatalog extends TableCatalog {
         "layout is a maintenance concern (commitCompact/commitCluster)")
     val root = rootOf(ident)
     requireOutsideTables(root)
+    // an existing TABLE is the already-exists case (the type Spark's
+    // IF NOT EXISTS path swallows), checked before the foreign-content
+    // refusal so a lost CREATE race reads as what it is
+    if (Files.exists(schemaPath(root)))
+      throw new TableAlreadyExistsException(ident)
     // never ADOPT an existing non-empty directory: its contents would
     // become this table's to drop
     if (Files.isDirectory(Paths.get(root))) {

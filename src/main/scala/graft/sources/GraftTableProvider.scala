@@ -288,31 +288,61 @@ private class GraftStreamingWrite(root: String, schema: StructType,
     // CAS on `expected` forces any such race into the retry path,
     // which re-checks `applied` per attempt.
     var expected = TableCommit.currentVersion(root).getOrElse(0L)
-    if (applied) { sweepEpoch(epochId); crashIfArmed(epochId); return }
-    // Scalar→namespace MIGRATION ambiguity (review finding): a VIRGIN
-    // namespace over a table whose legacy scalar `{"txn"}` watermark
-    // already covers this epoch id is undecidable — it is either this
-    // stream's own pre-namespace life (replay! applying would
-    // double-land the crash-seam epoch) or another writer's unrelated
-    // id space (skipping would silently drop this stream's data).
-    // Refuse loudly and make the operator state which:
-    // option("txnmigrate", "scalar"|"fresh").
-    txnApp.foreach { a =>
-      if (TableCommit.lastTxnIdFor(root, a).isEmpty &&
-          TableCommit.lastTxnId(root).exists(_ >= epochId)) {
-        txnMigrate match {
-          case Some("scalar") =>
-            sweepEpoch(epochId); crashIfArmed(epochId); return
-          case Some("fresh") => ()
-          case _ => throw new IllegalStateException(
-            s"graft-table sink at $root: namespace '$a' is virgin but " +
-              s"the table's legacy scalar txn watermark already covers " +
-              s"epoch $epochId — if this stream wrote the scalar ids " +
-              "before the namespace upgrade, pass option(\"txnmigrate\"," +
-              " \"scalar\") (treat them as this stream's replays); if " +
-              "they belong to another writer, pass " +
-              "option(\"txnmigrate\", \"fresh\")")
-        }
+    // ONE watermark walk serves both the applied check and the
+    // migration guard on the happy path (the retry loop re-reads)
+    val hws = txnApp.map(_ => TableCommit.txnHighWaters(root))
+    val applied0 = txnApp match {
+      case Some(a) => hws.get.get(a).exists(_ >= epochId)
+      case None    => TableCommit.lastTxnId(root).exists(_ >= epochId)
+    }
+    if (applied0) { sweepEpoch(epochId); crashIfArmed(epochId); return }
+    // Scalar→namespace MIGRATION ambiguity (review findings, two
+    // rounds): a virgin namespace over a table whose legacy scalar
+    // `{"txn"}` watermark covers this epoch is undecidable — this
+    // stream's own pre-namespace life (replay) or another writer's id
+    // space (fresh data). The guard fires ONLY while the table has
+    // NEVER had any namespaced commit (`txna` empty): once any
+    // namespace exists, the scalar watermark is known-legacy and a new
+    // virgin namespace is a new stream/checkpoint reset — it applies.
+    // `"scalar"` resolves the one genuine migration by SEEDING the
+    // namespace at the scalar watermark (one metadata-only commit), so
+    // a stale `txnmigrate` option left in the job config can never
+    // silently swallow a later life's epochs.
+    for (a <- txnApp; if hws.get.isEmpty;
+         scalarHw <- TableCommit.lastTxnId(root);
+         if scalarHw >= epochId) {
+      txnMigrate match {
+        case Some("scalar") =>
+          var seeded = false
+          while (!seeded) {
+            try {
+              TableCommit.publish(root,
+                if (expected == 0L) Seq.empty
+                else TableCommit.entriesAtVersion(root, expected),
+                retain, expected = Some(expected),
+                txnApp = Some(a -> scalarHw))
+              seeded = true
+            } catch {
+              case _: TableCommit.ConcurrentCommitException =>
+                expected = TableCommit.currentVersion(root).getOrElse(0L)
+                if (applied) { // a twin seeded/applied first
+                  sweepEpoch(epochId); crashIfArmed(epochId); return
+                }
+            }
+          }
+          expected = TableCommit.currentVersion(root).getOrElse(0L)
+          // the namespace now carries the scalar watermark — this
+          // epoch (≤ scalarHw by the guard) is a replay
+          sweepEpoch(epochId); crashIfArmed(epochId); return
+        case Some("fresh") => ()
+        case _ => throw new IllegalStateException(
+          s"graft-table sink at $root: namespace '$a' is virgin but " +
+            s"the table's legacy scalar txn watermark already covers " +
+            s"epoch $epochId — if this stream wrote the scalar ids " +
+            "before the namespace upgrade, pass option(\"txnmigrate\"," +
+            " \"scalar\") (treat them as this stream's replays); if " +
+            "they belong to another writer, pass " +
+            "option(\"txnmigrate\", \"fresh\")")
       }
     }
     val entries = messages.collect {

@@ -52,11 +52,11 @@ class ClusterSpec extends AnyFunSuite {
     TableCommit.commitCluster(spark, r, targetFiles = 8, "x", "y",
       retain = 4, zBits = 6)
     assert(TableCommit.entries(r).size === 8)
-    // a z-ordered layout prunes on EITHER dimension: an 1/8 slice
-    // must keep a strict minority of the 8 files on both axes.
-    // Bound is ≤5, not the ~4 ideal: repartitionByRange SAMPLES its
-    // boundaries (RDD-id-seeded), so a boundary can split one extra
-    // file into the slice on any given run.
+    // a z-ordered layout prunes on EITHER dimension: the ideal for an
+    // 1/8 slice here is ~4 of 8 files, and the bound allows ONE more
+    // because repartitionByRange SAMPLES its boundaries
+    // (RDD-id-seeded) — a boundary can split one extra file into the
+    // slice on any given run. 8/8 (unclustered) must never pass.
     val kx = filesKept(r, "x", "0", "7")
     val ky = filesKept(r, "y", "0", "7")
     assert(kx <= 5, s"x-slice kept $kx of 8 files — not clustered on x")

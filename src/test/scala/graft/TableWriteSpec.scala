@@ -323,13 +323,14 @@ class TableWriteSpec extends AnyFunSuite {
   test("scalar-to-namespace txn migration is explicit: ambiguous tables demand txnmigrate") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft_tw_migrate_").toString
-    val src = s"$base/src"; val tbl = s"$base/t"
+    val src = s"$base/src"
     Seq((1L, "a")).toDF("k", "v").coalesce(1)
       .write.mode("append").parquet(src)
-    // a pre-namespace writer left a SCALAR watermark covering epoch 0
-    TableCommit.commitAppendTxn(
-      Seq((100L, "legacy")).toDF("k", "v"), tbl, txnId = 5L, retain = 8)
-    def run(ckpt: String, migrate: Option[String]): Unit = {
+    def legacy(tbl: String): Unit =
+      TableCommit.commitAppendTxn(
+        Seq((100L, "legacy")).toDF("k", "v"), tbl, txnId = 5L,
+        retain = 8)
+    def run(tbl: String, ckpt: String, migrate: Option[String]): Unit = {
       val w = spark.readStream.schema("k LONG, v STRING").parquet(src)
         .writeStream.format("graft-table")
         .option("root", tbl).option("retain", "8")
@@ -338,22 +339,35 @@ class TableWriteSpec extends AnyFunSuite {
       migrate.foreach(m => w.option("txnmigrate", m))
       val q = w.start(); q.awaitTermination()
     }
-    // undecidable without the option: either answer silently corrupts
+    // (a) undecidable without the option on a never-namespaced table
+    val t1 = s"$base/t1"; legacy(t1)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      run(s"$base/ck1", None)
+      run(t1, s"$base/ck_a", None)
     }
     def msg(t: Throwable): String =
       if (t == null) "" else Option(t.getMessage).getOrElse("") + msg(t.getCause)
     assert(msg(e).contains("txnmigrate"))
-    assert(TableCommit.read(spark, tbl, schema).count() === 1L,
+    assert(TableCommit.read(spark, t1, schema).count() === 1L,
       "the refused epoch must land nothing")
-    // "fresh": the scalar ids belong to another writer — epochs apply
-    run(s"$base/ck2", Some("fresh"))
-    assert(TableCommit.read(spark, tbl, schema).count() === 2L)
-    // "scalar": the ids were this stream's pre-upgrade life — replays
-    run(s"$base/ck3", Some("scalar"))
-    assert(TableCommit.read(spark, tbl, schema).count() === 2L,
+    // (b) "scalar": the ids were this stream's pre-upgrade life —
+    // the epoch is a replay, and the namespace SEEDS at the scalar
+    // watermark so the option never silently fires again
+    run(t1, s"$base/ck_b", Some("scalar"))
+    assert(TableCommit.read(spark, t1, schema).count() === 1L,
       "a scalar-migrated replay must land zero rows")
+    assert(TableCommit.txnHighWaters(t1).values.toSeq === Seq(5L),
+      "migration seeds the namespace at the scalar watermark")
+    // (c) a LATER checkpoint reset with the stale option still in the
+    // config must APPLY (the table is namespaced now — the reset is a
+    // new life, not the old scalar era)
+    run(t1, s"$base/ck_c", Some("scalar"))
+    assert(TableCommit.read(spark, t1, schema).count() === 2L,
+      "a stale txnmigrate option must never swallow a reset's epochs")
+    // (d) "fresh" on a separate never-namespaced table: the scalar
+    // ids belong to another writer, the epoch applies
+    val t2 = s"$base/t2"; legacy(t2)
+    run(t2, s"$base/ck_d", Some("fresh"))
+    assert(TableCommit.read(spark, t2, schema).count() === 2L)
   }
 
   test("native streaming sink refuses per-epoch truncate (complete mode)") {
