@@ -342,6 +342,23 @@ object TableCommit {
     if (!p.lit("}") || !p.atEnd) None else Some(r)
   }
 
+  /** Restore-marker header line: `{"restore": 1}` — stamped ONLY by
+    * [[commitRestore]] (never self-propagated: it marks THIS commit as
+    * the one kind that can transition a file's deletion vector
+    * NON-MONOTONICALLY, possibly between non-subset vectors). The
+    * change-feed diff keys on it (ADVICE r13): ordinary DML grows DVs
+    * by monotone union, so a non-restore version never needs the
+    * shrink leg's extra scan-and-decode partitions, and its
+    * `freshCount` (a count difference) is exact for sizing the
+    * broadcast-vs-bitmap decision; a restore version's legs are
+    * bounded by |after| instead. */
+  private def parseRestoreHeader(line: String): Option[Boolean] = {
+    val p = new LineParser(line)
+    if (!p.lit("{\"restore\":")) return None
+    val r = p.long().getOrElse(return None)
+    if (!p.lit("}") || !p.atEnd) None else Some(r == 1L)
+  }
+
   /** Column mapping (X276, Delta column-mapping idea): logical names a
     * reader uses → PHYSICAL names the parquet files carry. Only
     * EXCEPTIONS are stored — an unmapped column is identity (physical =
@@ -407,12 +424,13 @@ object TableCommit {
     * carries itself. */
   private final case class RawManifest(base: Option[Long], own: Seq[Entry],
       txn: Option[Long] = None, cols: Option[ColMapping] = None,
-      rid: Option[Long] = None, txna: Map[String, Long] = Map.empty)
+      rid: Option[Long] = None, txna: Map[String, Long] = Map.empty,
+      restore: Boolean = false)
 
   /** Strict single-file read: parse every line, demand the terminator
     * (which counts OWN entries only). Header order is fixed: optional
-    * `{"base": …}`, then optional `{"txn": …}`, `{"rid": …}`,
-    * `{"cols": …}`. */
+    * `{"base": …}`, then optional `{"txn": …}`, `{"txna": …}`,
+    * `{"rid": …}`, `{"restore": …}`, `{"cols": …}`. */
   private def readRaw(root: String, v: Long): RawManifest = {
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
     def torn(why: String): Nothing = throw new TornManifestException(
@@ -428,8 +446,10 @@ object TableCommit {
     val afterTxna = if (txna.isDefined) afterTxn.tail else afterTxn
     val rid = afterTxna.headOption.flatMap(parseRidHeader)
     val afterRid = if (rid.isDefined) afterTxna.tail else afterTxna
-    val cols = afterRid.headOption.flatMap(parseColsHeader)
-    val body = if (cols.isDefined) afterRid.tail else afterRid
+    val restore = afterRid.headOption.flatMap(parseRestoreHeader)
+    val afterRestore = if (restore.isDefined) afterRid.tail else afterRid
+    val cols = afterRestore.headOption.flatMap(parseColsHeader)
+    val body = if (cols.isDefined) afterRestore.tail else afterRestore
     if (body.isEmpty) torn("no terminator")
     val n = parseTerminator(body.last).getOrElse(torn("no terminator"))
     val es = body.init.map(l => parseEntryLine(l)
@@ -437,7 +457,8 @@ object TableCommit {
     if (es.size != n.toInt) torn(s"terminator says $n entries, read ${es.size}")
     base.foreach(b => if (b >= v || b < 1L)
       torn(s"delta base $b is not an earlier version"))
-    RawManifest(base, es, txn, cols, rid, txna.getOrElse(Map.empty))
+    RawManifest(base, es, txn, cols, rid, txna.getOrElse(Map.empty),
+      restore.getOrElse(false))
   }
 
   /** Resolved file list of version `v`: walk the delta chain down to
@@ -758,7 +779,8 @@ object TableCommit {
       txnId: Option[Long] = None,
       colsOverride: Option[ColMapping] = None,
       ridHighWater: Option[Long] = None,
-      txnApp: Option[(String, Long)] = None): Long = {
+      txnApp: Option[(String, Long)] = None,
+      restoreMark: Boolean = false): Long = {
     val base = currentVersion(root).getOrElse(0L)
     expected.foreach { e =>
       if (base != e) throw new ConcurrentCommitException(
@@ -833,6 +855,9 @@ object TableCommit {
       txn.map(t => s"""{"txn": $t}""").toSeq ++
       txnaLine.toSeq ++
       rid.map(r => s"""{"rid": $r}""").toSeq ++
+      // deliberately NOT propagated from `prior`: the marker describes
+      // this one commit's DV-transition shape, not table state
+      (if (restoreMark) Seq("""{"restore": 1}""") else Seq.empty) ++
       cols.map(colsHeaderLine).toSeq
     val body = (header ++ newEntries.map(e =>
       s"""{"path": ${js(e.path)}, "part": ${e.part.map(js).getOrElse("null")}${rowsJs(e.rows)}${bridJs(e.baseRowId)}${statsJs(e.stats)}}""")
@@ -915,6 +940,13 @@ object TableCommit {
     * [[vacuum]]'s job, behind an age gate, exactly the commit/vacuum
     * split production table formats make. Best-effort: a crash mid-retire
     * leaves garbage a later retire/vacuum removes, never a broken table. */
+  /** Test seam (the [[publishRaceHook]] pattern): invoked after
+    * retire's third pin read, immediately before the trash-delete +
+    * file-sweep step — the window where a concurrent `vacuum(0)` can
+    * age-restore the just-trashed manifests. The race spec parks a
+    * vacuum here to force the interleaving deterministically. */
+  @volatile private[graft] var retireTrashHook: () => Unit = () => ()
+
   private def retire(root: String, current: Long, retain: Int): Unit = {
     try {
       val oldest = current - retain + 1
@@ -1013,10 +1045,19 @@ object TableCommit {
         }
         return
       }
-      trashed.foreach { case (_, t, _) =>
-        try Files.deleteIfExists(t) catch { case _: Throwable => () }
+      retireTrashHook()
+      // SWEEP ONLY WHAT WE UNLINKED (ADVICE r13): a vacuum racing this
+      // pass can age-restore a trashed manifest (move trash → original
+      // name) between our third pin read and this delete — unlink(2)
+      // and rename(2) race atomically, so `deleteIfExists` returning
+      // FALSE means the trash is gone because someone else moved it,
+      // i.e. the manifest is LIVE again and its files must not be
+      // swept. Only manifests whose trash THIS pass provably deleted
+      // contribute to the file sweep.
+      val confirmed = trashed.filter { case (_, t, _) =>
+        try Files.deleteIfExists(t) catch { case _: Throwable => false }
       }
-      val retiredFiles = trashed.flatMap(_._3)
+      val retiredFiles = confirmed.flatMap(_._3)
       if (retiredFiles.nonEmpty) {
         // Liveness: every file a retained resolution references is in
         // some chain member's OWN list, and chains are exactly `needed`.
@@ -2740,14 +2781,14 @@ object TableCommit {
           .as("_dv_leaf"),
         col("_metadata.row_index").as("_dv_pos"))
     val out =
-      // Per-leg size bound for the broadcast decision: freshCount is
-      // exact for monotone growth, but a restore leg between
-      // NON-SUBSET vectors can read ≤ 0 while its true difference is
-      // large — bound such a leg by |after| (|after − before| ≤
-      // |after| always), so no leg can sneak a huge position set into
-      // the driver-side broadcast path by cancelling or clamping
-      if (sel.map(g => if (g.freshCount > 0L) g.freshCount
-          else g.after.max.toLong).sum <= dvBroadcastThreshold) {
+      // Per-leg size bound for the broadcast decision
+      // ([[DvGrowth.boundCount]], ADVICE r13): the count delta is
+      // trusted only on monotone DML legs where it is exact; any
+      // restore leg — whose before/after need not be subsets, so a
+      // delta of +1 can hide a ~|after| true difference — is bounded
+      // by |after|, so no leg can sneak a huge position set into the
+      // driver-side broadcast path by cancelling or clamping
+      if (sel.map(_.boundCount).sum <= dvBroadcastThreshold) {
         val posDf = sel.flatMap { g =>
           freshOf(root, g).map(p => (pathLeaf(g.entry.path), p))
         }.toDF("_dv_leaf", "_dv_pos")
@@ -3066,7 +3107,7 @@ object TableCommit {
     * `freshCount`/the position difference mean "resurrected" and every
     * consumer ([[readPositions]], [[freshBitmaps]]) works unchanged. */
   final case class DvGrowth(entry: Entry, before: Option[ColStats],
-      after: ColStats) {
+      after: ColStats, monotone: Boolean = true) {
     /** Newly-dead count ESTIMATE from the zero-cost count slots —
       * exact for monotone-union DML growth, an upper-bound-ish
       * heuristic (possibly ≤ 0) across a restore between non-subset
@@ -3075,6 +3116,14 @@ object TableCommit {
       * difference ([[freshOf]] / the reader's `emitOnly`). */
     def freshCount: Long =
       after.max.toLong - before.map(_.max.toLong).getOrElse(0L)
+    /** Broadcast-decision size bound (ADVICE r13): the count delta is
+      * trusted only on a MONOTONE leg (ordinary DML union, where it is
+      * exact). A restore version's leg can transition between
+      * NON-SUBSET vectors — a count delta of +1 beside a true set
+      * difference of ~|after| — so it is bounded by |after| (the set
+      * difference is always ≤ |after|), never by the delta. */
+    def boundCount: Long =
+      if (monotone && freshCount > 0L) freshCount else after.max.toLong
   }
 
   /** Newly-dead positions of one growth, decoded ON DEMAND (driver- or
@@ -3141,11 +3190,19 @@ object TableCommit {
           // set difference turns out empty emits zero rows where it is
           // read (freshOf/emitOnly are exact set differences) — a few
           // wasted partitions, never a missed change.
+          // The restore MARKER (ADVICE r13) keys the legs' shape: only
+          // a restore commit can shrink a vector or transition between
+          // non-subset vectors, so ordinary DML versions (the common
+          // path — every second-and-later delete on a file) skip the
+          // shrink leg entirely (it was provably empty: monotone union
+          // ⇒ before ⊆ after) and keep exact freshCounts.
+          val isRestore = raw.restore
           val dvGrown = next.flatMap { e =>
             curBy.get(e.path) match {
               case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey)
                   && e.stats.contains(DvKey) =>
-                Some(DvGrowth(e, pe.stats.get(DvKey), e.stats(DvKey)))
+                Some(DvGrowth(e, pe.stats.get(DvKey), e.stats(DvKey),
+                  monotone = !isRestore))
               case _ => None
             }
           }
@@ -3153,14 +3210,17 @@ object TableCommit {
           // file's DV can LOSE positions (back to an older, thinner
           // vector). Recorded as the swapped encoding pair; the full
           // feed reads the difference as resurrected-row INSERTS.
-          val dvShrunk = next.flatMap { e =>
-            curBy.get(e.path) match {
-              case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey)
-                  && pe.stats.contains(DvKey) =>
-                Some(DvGrowth(e, e.stats.get(DvKey), pe.stats(DvKey)))
-              case _ => None
+          val dvShrunk =
+            if (!isRestore) Seq.empty
+            else next.flatMap { e =>
+              curBy.get(e.path) match {
+                case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey)
+                    && pe.stats.contains(DvKey) =>
+                  Some(DvGrowth(e, e.stats.get(DvKey), pe.stats(DvKey),
+                    monotone = false))
+                case _ => None
+              }
             }
-          }
           val c = VersionChange(v, added, removed.map(_.path), removed,
             dvGrown, dvShrunk)
           cur = next; curBy = nextBy
@@ -3350,10 +3410,10 @@ object TableCommit {
           element_at(split(col("_metadata.file_path"), "/"), -1)
             .as("_dv_leaf"),
           col("_metadata.row_index").as("_dv_pos"))
-      // bounded like readPositions: a ≤ 0 (non-subset restore) leg
-      // counts as |after| — never cancelled, never clamped to free
-      if (g.map(x => if (x.freshCount > 0L) x.freshCount
-          else x.after.max.toLong).sum <= dvBroadcastThreshold) {
+      // bounded like readPositions ([[DvGrowth.boundCount]]): any
+      // non-monotone (restore) leg counts as |after| — never
+      // cancelled, never clamped to free
+      if (g.map(_.boundCount).sum <= dvBroadcastThreshold) {
         val posDf = g.flatMap { x =>
           freshOf(root, x).map(p => (pathLeaf(x.entry.path), p))
         }.toDF("_dv_leaf", "_dv_pos")
@@ -3484,7 +3544,8 @@ object TableCommit {
         s"unreferenced them): ${missing.take(3).mkString(", ")}")
     publish(root, es, retain, expected = Some(cur),
       colsOverride = Some(raw.cols
-        .getOrElse(ColMapping(Map.empty, Seq.empty))))
+        .getOrElse(ColMapping(Map.empty, Seq.empty))),
+      restoreMark = true)
   }
 
   // ------------------------------------------------------------------
@@ -3512,7 +3573,14 @@ object TableCommit {
     require(hit.nonEmpty,
       s"no retained version at or before ts=$tsMs at $root (oldest " +
         s"retained: v${at.minBy(_._2)._1} @ ${at.minBy(_._2)._2})")
-    hit.maxBy(v => (v._2, v._1))._1
+    // Highest VERSION among the mtime hits, NOT highest mtime (ADVICE
+    // r13): manifest mtimes are not monotone in version — retire's
+    // trash pass restamps a trashed manifest to now, and a vacuum
+    // crash-recovery restore preserves that restamp — so picking by
+    // mtime could serve a restored OLD version as the answer and
+    // silently shadow the head. Versions are the commit order;
+    // mtime ≤ ts only decides MEMBERSHIP in the candidate set.
+    hit.maxBy(_._1)._1
   }
 
   /** Time-travel read by TIMESTAMP: the table as of wall-clock `tsMs`. */

@@ -120,7 +120,8 @@ private class GraftWrite(root: String, schema: StructType,
     txnMigrate: Option[String] = None)
     extends Write {
   override def toBatch: BatchWrite = new GraftBatchWrite(
-    root, schema, replaceAll, retain, failAt, conflictRetries, txnId)
+    root, schema, replaceAll, retain, failAt, conflictRetries, txnId,
+    txnApp)
   override def toStreaming: StreamingWrite = {
     require(!replaceAll,
       "graft-table streaming supports outputMode(\"append\") only — " +
@@ -136,8 +137,13 @@ private final case class GraftCommitMessage(relPath: String, rows: Long)
 
 private class GraftBatchWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
-    conflictRetries: Int, txnId: Option[Long] = None)
+    conflictRetries: Int, txnId: Option[Long] = None,
+    txnApp: Option[String] = None)
     extends BatchWrite {
+  require(txnApp.isEmpty || txnId.isDefined,
+    "graft-table batch: option(\"txnappid\") namespaces the idempotence " +
+      "watermark but carries no version of its own — pass " +
+      "option(\"txnid\", n) with it")
   // transaction start: the snapshot this write expects to extend —
   // read ONCE on the driver, enforced again inside publish()
   private val base = TableCommit.currentVersion(root).getOrElse(0L)
@@ -153,8 +159,16 @@ private class GraftBatchWrite(root: String, schema: StructType,
     // txnAppId/txnVersion idea for orchestrator retries): a replayed
     // job whose id the table already carries lands ZERO rows and
     // sweeps its own re-written staging as debris.
-    def applied = txnId.exists(t => TableCommit.lastTxnId(root)
-      .exists(_ >= t))
+    // ADVICE r13: `option("txnappid", app)` NAMESPACES the watermark
+    // (the X291 `{"txna"}` map the streaming facet already uses) — on
+    // a shared table the bare scalar slot is one global sequence, so a
+    // legacy stream or a different pipeline that advanced it past this
+    // job's id would silently swallow a genuinely fresh batch as a
+    // replay. With an app id, only THIS app's own high-water gates.
+    def applied = txnId.exists(t => (txnApp match {
+      case Some(a) => TableCommit.lastTxnIdFor(root, a)
+      case None    => TableCommit.lastTxnId(root)
+    }).exists(_ >= t))
     if (applied) { abort(messages); return }
     val entries = messages.collect {
       case GraftCommitMessage(p, n) => TableCommit.Entry(p, None,
@@ -175,7 +189,9 @@ private class GraftBatchWrite(root: String, schema: StructType,
         else TableCommit.entriesAtVersion(root, expected)
       try {
         TableCommit.publish(root, prior ++ entries, retain,
-          expected = Some(expected), txnId = txnId)
+          expected = Some(expected),
+          txnId = if (txnApp.isEmpty) txnId else None,
+          txnApp = for { a <- txnApp; t <- txnId } yield a -> t)
         done = true
       } catch {
         case e: TableCommit.ConcurrentCommitException =>

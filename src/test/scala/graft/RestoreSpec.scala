@@ -218,6 +218,66 @@ class RestoreSpec extends AnyFunSuite {
     assert(keys(r) === (0L until 40L).toSet)
   }
 
+  test("monotone DML versions carry no shrink leg; restore legs bound by |after| (ADVICE r13)") {
+    val r = root()
+    TableCommit.commitAppend(df(0L, 100L, files = 1), r, retain = 12)
+    val v1 = TableCommit.currentVersion(r).get
+    val v2 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 10L, retain = 12)
+    // second delete on the SAME file: DV changed AND the prior entry
+    // carried one — the exact shape that used to mint an empty shrink
+    // leg (an extra full-file scan partition) on every steady-state
+    // incremental delete
+    val v3 = TableCommit.commitDeleteRows(spark, r, schema,
+      col("k") < 20L, retain = 12)
+    val dml = TableCommit.changesBetween(r, v2, v3).head
+    assert(dml.dvGrown.nonEmpty && dml.dvGrown.forall(_.monotone))
+    assert(dml.dvShrunk.isEmpty,
+      "monotone DML must not schedule the provably-empty shrink leg")
+    // exact count on the monotone leg: 10 newly-dead positions
+    assert(dml.dvGrown.map(_.boundCount).sum === 10L)
+    // a RESTORE is marked: both legs present, neither trusted as
+    // monotone, each bounded by |after| (the fat vector), never the
+    // possibly-cancelling count delta
+    val v4 = TableCommit.commitRestore(r, v2, retain = 12)
+    val res = TableCommit.changesBetween(r, v3, v4).head
+    assert(res.dvShrunk.nonEmpty && res.dvShrunk.forall(!_.monotone))
+    assert(res.dvGrown.forall(!_.monotone))
+    res.dvShrunk.foreach(g =>
+      assert(g.boundCount === g.after.max.toLong))
+    // and the feed still converges across the whole history
+    var mirror = Set.empty[Long]
+    TableCommit.readChangesFull(spark, r, schema, 0L, v4)
+      .select(col("_commit_version"), col("_change_type"), col("k"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, ls) =>
+        mirror --= ls.filter(_._2 == "delete").map(_._3)
+        mirror ++= ls.filter(_._2 == "insert").map(_._3)
+      }
+    assert(mirror === keys(r))
+  }
+
+  test("TIMESTAMP AS OF is version-ordered among mtime hits (ADVICE r13)") {
+    import java.nio.file.attribute.FileTime
+    val r = root()
+    TableCommit.commitAppend(df(0L, 20L), r, retain = 10)
+    TableCommit.commitAppend(df(20L, 40L), r, retain = 10)
+    TableCommit.commitAppend(df(40L, 60L), r, retain = 10)
+    def stamp(v: Long, t: Long): Unit =
+      Files.setLastModifiedTime(
+        Paths.get(r, "_log", f"v$v%020d.json"), FileTime.fromMillis(t))
+    // the retire→vacuum trash/restore cycle restamps a manifest's
+    // mtime to "now": simulate v1 coming back with the NEWEST mtime —
+    // it must not shadow the head for a ts that covers everything
+    stamp(1L, 9000L); stamp(2L, 2000L); stamp(3L, 3000L)
+    assert(TableCommit.versionAsOf(r, 99999L) === 3L,
+      "a restored old manifest with the newest mtime must not be " +
+        "served as the latest snapshot")
+    // membership still keys on mtime: at ts=2500 only v2 qualifies
+    // among {v2, v3} and the restamped v1 is excluded outright
+    assert(TableCommit.versionAsOf(r, 2500L) === 2L)
+  }
+
   test("unrestorable targets fail loudly, not partially") {
     val r = root()
     // fulls (not delta chains — retire keeps chains present): the

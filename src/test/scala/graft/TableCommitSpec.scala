@@ -1103,6 +1103,35 @@ class TableCommitSpec extends AnyFunSuite {
       "the conflicted replace must have applied nothing")
   }
 
+  test("a vacuum(0) racing retire's trash window never sweeps a restored manifest's files (ADVICE r13)") {
+    val r = root()
+    // two full manifests that a retain=1 commit will try to retire
+    TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      r, retain = 10)
+    TableCommit.commitOverwrite(Seq((3L, "c")).toDF("k", "v"), r,
+      retain = 10)
+    // park a vacuum(0) in retire's trash window: manifests are in
+    // `.trash-…`, the third pin read has passed, the delete+sweep has
+    // not — the vacuum "age-restores" the trash (its crash-recovery
+    // UNDO), and the retire pass must then treat those manifests as
+    // live again instead of sweeping their data files
+    TableCommit.retireTrashHook = () => TableCommit.vacuum(r, 0L)
+    try TableCommit.commitOverwrite(Seq((4L, "d")).toDF("k", "v"), r,
+      retain = 1)
+    finally TableCommit.retireTrashHook = () => ()
+    // the restored manifests resolve AND their data files exist — the
+    // pre-fix pass deleted the files of every manifest it had trashed,
+    // leaving the restored v1/v2 referencing swept bytes
+    assert(TableCommit.readAt(spark, r, schema, 1L)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(TableCommit.readAt(spark, r, schema, 2L)
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+    // and the next unraced commit retires them cleanly
+    TableCommit.commitOverwrite(Seq((5L, "e")).toDF("k", "v"), r,
+      retain = 1)
+    assert(!Files.exists(Paths.get(r, "_log", f"v${1L}%020d.json")))
+  }
+
   test("a failed clone publish rolls back the registrations it created (ADVICE r11)") {
     val src = root(); val dst = root() + "/clone"
     TableCommit.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),

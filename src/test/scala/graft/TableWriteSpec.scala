@@ -232,6 +232,39 @@ class TableWriteSpec extends AnyFunSuite {
     assert(TableCommit.lastTxnId(r) === Some(8L))
   }
 
+  test("batch txnappid namespaces the idempotence watermark (ADVICE r13)") {
+    val r = root()
+    // another writer (a legacy stream epoch) advances the GLOBAL
+    // scalar slot far past this pipeline's ids
+    TableCommit.commitAppendTxn(Seq((1L, "s")).toDF("k", "v"), r,
+      txnId = 100L, retain = 8)
+    // a namespaced batch with a SMALLER id is NOT a replay of that
+    // foreign sequence — it must apply
+    write(Seq((2L, "a")).toDF("k", "v"), r, "append",
+      Map("txnid" -> "7", "txnappid" -> "pipeA", "retain" -> "8"))
+    assert(TableCommit.read(spark, r, schema).count() === 2L,
+      "a fresh app-namespaced batch must not be swallowed by the " +
+        "scalar watermark")
+    assert(TableCommit.lastTxnIdFor(r, "pipeA") === Some(7L))
+    // the scalar high-water is untouched by the namespaced write
+    assert(TableCommit.lastTxnId(r) === Some(100L))
+    // a true replay WITHIN the namespace lands zero rows
+    write(Seq((2L, "a")).toDF("k", "v"), r, "append",
+      Map("txnid" -> "7", "txnappid" -> "pipeA", "retain" -> "8"))
+    assert(TableCommit.read(spark, r, schema).count() === 2L)
+    // an independent pipeline's namespace is its own sequence
+    write(Seq((3L, "b")).toDF("k", "v"), r, "append",
+      Map("txnid" -> "7", "txnappid" -> "pipeB", "retain" -> "8"))
+    assert(TableCommit.read(spark, r, schema).count() === 3L)
+    // txnappid without txnid is a contract error, said loudly
+    val ex = intercept[Exception] {
+      write(Seq((4L, "c")).toDF("k", "v"), r, "append",
+        Map("txnappid" -> "pipeA", "retain" -> "8"))
+    }
+    assert(ex.getMessage.contains("txnid") ||
+      Option(ex.getCause).exists(_.getMessage.contains("txnid")))
+  }
+
   test("native streaming sink is exactly-once across the crash-replay window (X285)") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft_tw_stream_").toString
