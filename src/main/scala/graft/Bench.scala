@@ -146,6 +146,19 @@ object Bench {
       }
       try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
+    // Fixture-heavy gates whose one-shots ran 9-27× their own
+    // same-process medians (r13 watch 3: q_srm 13.2 s vs 0.48 s —
+    // identical work per rep, so the gap is first-touch machinery:
+    // sfDir input page cache, the disk-backed materialization path,
+    // commit-log fixture I/O). Per the r12 task-8 rule, their first
+    // sfDir run moves INTO the untimed warmup (counted in warmup_sec),
+    // so the timed one-shot measures the plan like every rep after it.
+    Seq("q_srm", "q_hits", "q_table_history").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

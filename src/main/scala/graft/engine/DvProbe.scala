@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** X296 (VERDICT r13 task 3): the fat-DV scan probe as a CODEGEN'D
+  * Catalyst expression, replacing the Scala-UDF bitmap filter.
+  *
+  * The UDF paid three per-row taxes on every row of a DV'd file,
+  * regardless of how few rows were actually deleted: UTF8String→String
+  * conversion of the file leaf, Long boxing for the position, and the
+  * UDF call indirection. This expression probes inside whole-stage
+  * codegen through one virtual call on a plan-referenced holder, keyed
+  * directly by the scan's UTF8String bytes — and short-circuits on the
+  * file's DELETED-POSITION SPAN first: a row whose position falls
+  * outside `[first deleted, last deleted]` resolves with two long
+  * compares and never touches the bitmap. That is the row-granular
+  * realization of "skip ranges the DV provably doesn't touch" — a
+  * COUNT(*) over a 1%-deleted table where damage is clustered pays
+  * ~2 compares/row instead of a boxed UDF probe/row, and even
+  * scattered damage pays only a roaring `contains` (a few ns).
+  *
+  * `keepInside = false`: merge-on-read anti-apply (keep rows OUTSIDE
+  * the vector). `keepInside = true`: the change feed's
+  * exactly-these-positions leg (keep rows INSIDE it). */
+final class DvProbeHolder(bytes: Map[String, Array[Byte]],
+    keepInside: Boolean) extends Serializable {
+
+  /** Per-file probe state: deleted-span bounds + the lazily-decoded
+    * roaring bitmap. Built once per executor (lazy val init is
+    * safely published); probed read-only afterwards. */
+  private final class FileDv(val lo: Long, val hi: Long,
+      val bm: org.roaringbitmap.longlong.Roaring64Bitmap)
+
+  @transient private lazy val maps: java.util.HashMap[UTF8String, FileDv] = {
+    val m = new java.util.HashMap[UTF8String, FileDv](bytes.size * 2 + 4)
+    bytes.foreach { case (leaf, b) =>
+      val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      bm.deserialize(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(b)))
+      val (lo, hi) =
+        if (bm.isEmpty) (Long.MaxValue, Long.MinValue)
+        else (bm.first(), bm.last())
+      m.put(UTF8String.fromString(leaf), new FileDv(lo, hi, bm))
+    }
+    m
+  }
+
+  /** The single per-row entry point the generated code calls. */
+  def keep(leaf: UTF8String, pos: Long): Boolean = {
+    val f = maps.get(leaf)
+    if (f == null) return !keepInside // no vector for this file
+    if (pos < f.lo || pos > f.hi) return !keepInside // outside the span
+    f.bm.contains(pos) == keepInside
+  }
+}
+
+/** `DvProbe(fileNameExpr, posExpr, holder)` — boolean filter over a
+  * tagged scan's (file_name, row_index) pair. Stays inside whole-stage
+  * codegen: the generated code is one call on the referenced holder,
+  * so the scan→filter→agg pipeline keeps a single codegen span. */
+case class DvProbe(left: Expression, right: Expression,
+    holder: DvProbeHolder) extends BinaryExpression {
+
+  // engine-internal: always built over the scan's own
+  // (_metadata.file_name STRING, row_index LONG) pair, so input types
+  // hold by construction (AbstractDataType is private[sql], which is
+  // why this does not extend ExpectsInputTypes)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_dv_probe"
+
+  override protected def nullSafeEval(leaf: Any, pos: Any): Any =
+    holder.keep(leaf.asInstanceOf[UTF8String], pos.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("dvProbeHolder", holder,
+      classOf[DvProbeHolder].getName)
+    nullSafeCodeGen(ctx, ev, (l, p) => s"${ev.value} = $h.keep($l, $p);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1414,9 +1414,210 @@ object Relational {
            |  FROM $cat.orders GROUP BY st
            |  UNION ALL
            |  SELECT 'asof_v2', st, COUNT(*), SUM(c)
-           |  FROM $cat.orders VERSION AS OF 2 GROUP BY st)
+           |  FROM $cat.orders VERSION AS OF 2 GROUP BY st
+           |  UNION ALL
+           |  SELECT 'asof_ts', st, COUNT(*), SUM(c)
+           |  FROM $cat.orders TIMESTAMP AS OF '2099-01-01' GROUP BY st)
            |ORDER BY kind, st""".stripMargin)
+      // the asof_ts leg pins the X288 wall-clock resolution rule end
+      // to end (catalog micros → versionAsOf's mtime walk): a
+      // far-future timestamp must resolve to the HEAD version — the
+      // highest version, never a restamped older manifest (ADVICE
+      // r13) — so its rollup hash-matches the head leg's oracle rows
     }.orderBy(col("kind"), col("st"))
+
+  // `q_sql_update` (X297): SQL UPDATE through the catalog facet
+
+  /** `q_sql_update` (X297): `UPDATE cat.t SET … WHERE …` — the
+    * post-hoc-rule → [[graft.engine.TableCommit.commitUpdateRows]]
+    * path end to end in pure SQL: expression assignments (arithmetic +
+    * a function call) over a predicate slice, as ONE merge-on-read DV
+    * commit (CatalogSpec fingerprints zero pre-existing bytes moved).
+    * The oracle re-derives the post-UPDATE state from the raw table:
+    * a wrong victim set, a stale image, or a lost untouched row all
+    * break the hash. */
+  def sqlUpdateQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalog(spark, sfDir) { (cat, src) =>
+      spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+      spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src")
+      spark.sql(s"UPDATE $cat.orders SET c = c + 100000, " +
+        "st = lower(st) WHERE st = 'O'")
+      spark.sql(
+        s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+           |  SUM(k) AS key_sum
+           |FROM $cat.orders GROUP BY st ORDER BY st""".stripMargin)
+    }.orderBy(col("st"))
+
+  val sqlUpdateOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |final AS (
+      |  SELECT k,
+      |    CASE WHEN st = 'O' THEN lower(st) ELSE st END AS st,
+      |    CASE WHEN st = 'O' THEN c + 100000 ELSE c END AS c
+      |  FROM base)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM final GROUP BY 1 ORDER BY st""".stripMargin
+
+  // `q_sql_merge` (X297): SQL MERGE INTO through the catalog facet
+
+  /** `q_sql_merge` (X297): the ANSI upsert — `MERGE INTO … WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
+    * through the post-hoc rule onto
+    * [[graft.engine.TableCommit.commitMergeRows]] (X272's broadcast
+    * merge-on-read). Fixture: the even orders are the target, the
+    * source carries `k % 4 ∈ {0, 1}` with DOUBLED cents — so `k%4=0`
+    * rows must update in place (old image DV-deleted) and `k%4=1` rows
+    * must insert fresh, in one atomic commit. The oracle derives the
+    * same final state set-theoretically from the raw table. */
+  def sqlMergeQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalog(spark, sfDir) { (cat, src) =>
+      spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+      spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
+        "WHERE k % 2 = 0")
+      val mrg = src + "_mrg"
+      spark.sql(s"SELECT k, st, c * 2 AS c FROM $src WHERE k % 4 <= 1")
+        .createOrReplaceTempView(mrg)
+      spark.sql(
+        s"""MERGE INTO $cat.orders USING $mrg ON orders.k = $mrg.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = spark.sql(
+        s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+           |  SUM(k) AS key_sum
+           |FROM $cat.orders GROUP BY st ORDER BY st""".stripMargin)
+      val rows = out.collect().toIndexedSeq
+      spark.catalog.dropTempView(mrg)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, out.schema)
+    }.orderBy(col("st"))
+
+  val sqlMergeOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |final AS (
+      |  SELECT k, st, CASE WHEN k % 4 = 0 THEN c * 2 ELSE c END AS c
+      |  FROM base WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT k, st, c * 2 AS c FROM base WHERE k % 4 = 1)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM final GROUP BY 1 ORDER BY st""".stripMargin
+
+  // `q_sql_evolution` (X298): ALTER TABLE over the column mapping
+
+  /** `q_sql_evolution` (X298): SQL schema evolution end to end —
+    * `ALTER TABLE … RENAME COLUMN` (a metadata-only mapping commit:
+    * files keep their physical name, pre- and post-rename INSERTs stay
+    * byte-consistent), `ADD COLUMN` (old files read NULL), `DROP
+    * COLUMN` (tombstoned physical — the column vanishes from scans),
+    * then an UPDATE and a rollup THROUGH the mapping. The oracle
+    * derives the final state from the raw table; a scan that read the
+    * renamed column under the wrong name, resurrected the dropped
+    * one, or lost the post-rename insert breaks the hash. */
+  def sqlEvolutionQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalog(spark, sfDir) { (cat, src) =>
+      spark.sql(s"CREATE TABLE $cat.orders " +
+        "(k BIGINT, amt BIGINT, st STRING)")
+      spark.sql(s"INSERT INTO $cat.orders " +
+        s"SELECT k, c AS amt, st FROM $src WHERE k % 2 = 0")
+      spark.sql(s"ALTER TABLE $cat.orders RENAME COLUMN amt TO cents")
+      // the post-rename insert writes under the NEW logical name;
+      // physically it must land beside the old files' bytes
+      spark.sql(s"INSERT INTO $cat.orders " +
+        s"SELECT k, c AS cents, st FROM $src WHERE k % 2 = 1")
+      spark.sql(s"ALTER TABLE $cat.orders ADD COLUMN note STRING")
+      spark.sql(s"ALTER TABLE $cat.orders DROP COLUMN st")
+      spark.sql(s"UPDATE $cat.orders SET note = 'big' " +
+        "WHERE cents > 20000000")
+      spark.sql(
+        s"""SELECT coalesce(note, '-') AS note, COUNT(*) AS n_rows,
+           |  SUM(cents) AS total_cents, SUM(k) AS key_sum
+           |FROM $cat.orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    }.orderBy(col("note"))
+
+  val sqlEvolutionOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |final AS (
+      |  SELECT k, cents,
+      |    CASE WHEN cents > 20000000 THEN 'big' ELSE '-' END AS note
+      |  FROM base)
+      |SELECT note, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // `q_write_idempotent` (X288): exactly-once batch writes, gated
+
+  /** `q_write_idempotent` (X288/ADVICE r13): the orchestrator-retry
+    * contract as a GATE — the same logical batch written twice under
+    * one txn id lands ONCE; a different app's namespaced id
+    * (`txnappid`) is its own sequence, so a smaller id still applies
+    * after another writer advanced the scalar slot. Four writes land
+    * exactly three batches: evens (txnid 7), evens REPLAYED (txnid 7 —
+    * swallowed), odds (txnid 8), the multiples of 3 under app
+    * "backfill" (txnid 1 < 8 — applies, because namespaces don't
+    * share a watermark). The oracle counts each slice exactly once;
+    * any double-apply or swallowed-fresh-batch breaks the hash. */
+  def writeIdempotentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = graft.engine.TempWarehouse.createManaged("graft_idem_") +
+      "/orders"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("src", StringType), StructField("c", LongType)))
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+    def write(df: DataFrame, opts: Map[String, String]): Unit = {
+      val w = df.write.format("graft-table").option("root", root)
+        .option("retain", "8").mode("append")
+      opts.foreach { case (o, v) => w.option(o, v) }
+      w.save()
+    }
+    write(base.filter(col("k") % 2 === 0).select(col("k"),
+      lit("even").as("src"), col("c")), Map("txnid" -> "7"))
+    // the orchestrator retry: identical batch, identical id → no-op
+    write(base.filter(col("k") % 2 === 0).select(col("k"),
+      lit("even").as("src"), col("c")), Map("txnid" -> "7"))
+    write(base.filter(col("k") % 2 === 1).select(col("k"),
+      lit("odd").as("src"), col("c")), Map("txnid" -> "8"))
+    // a different pipeline's namespace: txnid 1 < 8 must still apply
+    write(base.filter(col("k") % 3 === 0).select(col("k"),
+      lit("back").as("src"), col("c")),
+      Map("txnid" -> "1", "txnappid" -> "backfill"))
+    graft.engine.TableCommit.read(spark, root, schema)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("total_cents"),
+        sum(col("k")).as("key_sum"))
+      .orderBy(col("src"))
+  }
+
+  val writeIdempotentOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |final AS (
+      |  SELECT 'even' AS src, k, c FROM base WHERE k % 2 = 0
+      |  UNION ALL SELECT 'odd', k, c FROM base WHERE k % 2 = 1
+      |  UNION ALL SELECT 'back', k, c FROM base WHERE k % 3 = 0)
+      |SELECT src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM final GROUP BY 1 ORDER BY src""".stripMargin
 
   val sqlTimeTravelOracle: String =
     """WITH base AS (
@@ -1430,6 +1631,10 @@ object Relational {
       |SELECT 'asof_v2', st, CAST(COUNT(*) AS BIGINT),
       |  CAST(SUM(c) AS BIGINT)
       |FROM base GROUP BY 2
+      |UNION ALL
+      |SELECT 'asof_ts', st, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c) AS BIGINT)
+      |FROM base WHERE st <> 'P' GROUP BY 2
       |ORDER BY kind, st""".stripMargin
 
   // `q_manifest_prune`: manifest min/max stats → planning-time file skip

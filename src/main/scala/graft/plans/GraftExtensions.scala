@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Winnow.functions)
       .foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => HofVectorize)
+    // X297: SQL UPDATE / MERGE INTO on graft-catalog tables → the
+    // engine's merge-on-read DV commits (post-hoc: after resolution,
+    // before Spark's row-level-operation check would refuse them)
+    ext.injectPostHocResolutionRule(s => GraftSqlDml(s))
   }
 }

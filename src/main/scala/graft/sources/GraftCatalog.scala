@@ -35,14 +35,16 @@ import graft.engine.TableCommit
   * pruning + X290 aggregate pushdown come free), and DELETE FROM
   * translates its residual filters into a [[TableCommit
   * .commitDeleteRows]] merge-on-read deletion-vector commit — zero
-  * data bytes move for the classic purge. Schema evolution, mapping,
-  * lineage, tags and time travel stay API-level on purpose (the
-  * engine's explicit-schema discipline); `ALTER TABLE` says so
-  * loudly. */
+  * data bytes move for the classic purge. `UPDATE`/`MERGE INTO`
+  * arrive through the X297 post-hoc rule, and `ALTER TABLE
+  * RENAME/ADD/DROP COLUMN` rides the X276 column mapping (X298) —
+  * metadata-only, atomic with the commit log. Lineage bootstrap and
+  * tags stay API-level (the engine's explicit-schema discipline). */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   private var retain: Int = 64
+  private var conflictRetries: Int = 20
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -55,6 +57,12 @@ class GraftCatalog extends TableCatalog {
     // would dangle after every commit); override per catalog via
     // spark.sql.catalog.<name>.retain
     retain = Option(options.get("retain")).map(_.toInt).getOrElse(64)
+    // SQL writers auto-rebase on commit races by default (the Delta
+    // posture: INSERT INTO under concurrency should succeed, not
+    // surface an optimistic-concurrency internals error to an
+    // analyst); override per catalog via ….conflictretries
+    conflictRetries = Option(options.get("conflictretries"))
+      .map(_.toInt).getOrElse(20)
   }
   override def name(): String = catalogName
 
@@ -106,19 +114,42 @@ class GraftCatalog extends TableCatalog {
     finally s.close()
   }
 
+  private def baseSchema(root: String): StructType =
+    DataType.fromJson(new String(
+      Files.readAllBytes(schemaPath(root)),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val root = rootOf(ident)
     val sp = schemaPath(root)
     if (!Files.exists(sp)) throw new NoSuchTableException(ident)
-    val schema = DataType.fromJson(new String(Files.readAllBytes(sp),
-      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    // X298: `_schema.json` stores fields under their PHYSICAL names
+    // (immutable per column — for pre-evolution tables identical to
+    // the logical names); the LOGICAL schema is derived through the
+    // manifest-carried column mapping, so renames/drops are ATOMIC
+    // with their engine commit and era-correct under time travel —
+    // the schema file itself never has to change for them.
+    val base = baseSchema(root)
+    val cm = (asOf match {
+      case Some(v) => TableCommit.colMappingAt(root, v)
+      case None    => TableCommit.colMapping(root)
+    }).getOrElse(TableCommit.ColMapping(Map.empty, Seq.empty))
+    val dead = cm.dead.toSet
+    val logicalOf = cm.renames.map(_.swap)
+    val schema = StructType(base.fields.toIndexedSeq
+      .filterNot(f => dead.contains(f.name))
+      .map(f => f.copy(name = logicalOf.getOrElse(f.name, f.name))))
+    val toPhysical = schema.fieldNames.zip(base.fields
+      .filterNot(f => dead.contains(f.name)).map(_.name))
+      .filter { case (l, p) => l != p }.toMap
     val props = new util.HashMap[String, String]()
     props.put("root", root)
     props.put("retain", retain.toString)
+    props.put("conflictretries", conflictRetries.toString)
     new GraftCatalogTable(schema, props, root,
       s"$catalogName.${(ident.namespace.toSeq :+ ident.name).mkString(".")}" +
         asOf.map(v => s"@v$v").getOrElse(""),
-      asOf, retain)
+      asOf, retain, toPhysical, conflictRetries)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -169,14 +200,119 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** X298 (VERDICT r13 task 6): SQL `ALTER TABLE … RENAME COLUMN /
+    * DROP COLUMN / ADD COLUMN` over the X276 column mapping.
+    *
+    * RENAME and DROP are pure ENGINE commits
+    * ([[TableCommit.commitRenameColumn]]/[[TableCommit
+    * .commitDropColumn]]): one metadata-only manifest publish flips
+    * the mapping — zero data moved, atomic with every reader (the
+    * schema file is physical-keyed and untouched), era-correct under
+    * `VERSION AS OF`. On a table with no commits yet they edit the
+    * schema file directly (there is no manifest to carry a mapping,
+    * and no data a mapping would protect).
+    *
+    * ADD appends the new field to `_schema.json`; when the name was
+    * ever used before (a dropped column, a rename target) the engine
+    * first mints a FRESH physical name (`commitAddColumn`) so old
+    * bytes can never resurrect — the schema file then carries the
+    * fresh physical, the mapping the logical. Pre-existing files read
+    * NULL for the new column (the X295 evolution contract). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft catalog tables is API-level by design: " +
-        "column mapping (commitRenameColumn/commitDropColumn/" +
-        "commitAddColumn) keeps renames metadata-only and tombstones " +
-        "dropped physical names — a catalog-side schema edit would " +
-        "bypass those invariants")
+      changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!Files.exists(schemaPath(root)))
+      throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft ALTER TABLE: nested fields are not supported")
+        val from = r.fieldNames()(0)
+        if (TableCommit.currentVersion(root).isEmpty)
+          editVirginSchema(root) { s =>
+            require(s.fieldNames.contains(from),
+              s"no column $from in ${ident.name}")
+            require(!s.fieldNames.contains(r.newName),
+              s"column ${r.newName} already exists")
+            StructType(s.fields.toIndexedSeq.map(f =>
+              if (f.name == from) f.copy(name = r.newName) else f))
+          }
+        else
+          TableCommit.commitRenameColumn(root, from, r.newName,
+            retain = retain)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft ALTER TABLE: nested fields are not supported")
+        val name = d.fieldNames()(0)
+        if (TableCommit.currentVersion(root).isEmpty)
+          editVirginSchema(root) { s =>
+            require(s.fieldNames.contains(name),
+              s"no column $name in ${ident.name}")
+            StructType(s.fields.toIndexedSeq.filterNot(_.name == name))
+          }
+        else
+          TableCommit.commitDropColumn(root, name, retain = retain)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft ALTER TABLE: nested fields are not supported")
+        val name = a.fieldNames()(0)
+        val base0 = baseSchema(root)
+        val cm = TableCommit.colMapping(root)
+          .getOrElse(TableCommit.ColMapping(Map.empty, Seq.empty))
+        val dead = cm.dead.toSet
+        val logicalOf = cm.renames.map(_.swap)
+        val currentLogical = base0.fields
+          .filterNot(f => dead.contains(f.name))
+          .map(f => logicalOf.getOrElse(f.name, f.name)).toSet
+        require(!currentLogical.contains(name),
+          s"column $name already exists in ${ident.name}")
+        // crash recovery: the mapping already minted a fresh physical
+        // for this name but the schema append never landed — finish it
+        val pendingPhys = cm.renames.get(name)
+          .filterNot(p => base0.fieldNames.contains(p))
+        val everUsed = dead.contains(name) ||
+          cm.renames.values.exists(_ == name) ||
+          base0.fieldNames.contains(name)
+        val physical = pendingPhys.getOrElse {
+          if (!everUsed) name
+          else {
+            // the name's physical slot was used before (a dropped
+            // column's bytes, a rename's old name): the ENGINE mints a
+            // fresh physical first, so old values can never resurrect
+            TableCommit.commitAddColumn(root, name, retain = retain)
+            TableCommit.colMapping(root)
+              .map(_.physical(name)).getOrElse(name)
+          }
+        }
+        editVirginSchema(root) { s =>
+          require(!s.fieldNames.contains(physical),
+            s"column $name already exists")
+          StructType(s.fields.toIndexedSeq :+
+            org.apache.spark.sql.types.StructField(physical,
+              a.dataType, nullable = true))
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports RENAME COLUMN, DROP COLUMN and " +
+          s"ADD COLUMN; got $other — type/comment/position changes " +
+          "are API-level (commit layer) concerns")
+    }
+    loadTable(ident)
+  }
+
+  /** Rewrite `_schema.json` (tmp + atomic rename). The file is only
+    * ever edited for virgin-table renames/drops and column ADDs — the
+    * mapped cases ride the manifest and never touch it. */
+  private def editVirginSchema(root: String)(
+      f: StructType => StructType): Unit = {
+    val next = f(baseSchema(root))
+    val tmp = Paths.get(root, s".tmp-schema-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, next.json.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    try Files.move(tmp, schemaPath(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    finally Files.deleteIfExists(tmp)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
@@ -203,13 +339,37 @@ class GraftCatalog extends TableCatalog {
 
 /** A catalog-resolved graft table: the full connector surface
   * (read/write/stream facets) plus SQL `DELETE FROM` via
-  * merge-on-read deletion vectors. */
-private[sources] class GraftCatalogTable(schema0: StructType,
+  * merge-on-read deletion vectors. `private[graft]` (not just
+  * `[sources]`): the X297 DML rule in graft.plans pattern-matches it
+  * to route SQL UPDATE/MERGE INTO onto the commit layer. */
+private[graft] class GraftCatalogTable(schema0: StructType,
     properties: util.Map[String, String], root: String,
-    displayName: String, asOf: Option[Long] = None, retain: Int = 64)
+    displayName: String, asOf: Option[Long] = None, retain: Int = 64,
+    mapping: Map[String, String] = Map.empty,
+    conflictRetries: Int = 20)
     extends GraftWriteTable(schema0, properties) with SupportsDelete {
   override def name(): String = displayName
   override protected def asOfVersion: Option[Long] = asOf
+  /** X298: logical → physical for MAPPED columns (identity entries
+    * omitted); scans read and writes land under physical names. */
+  override protected def toPhysical: Map[String, String] = mapping
+
+  /** The X297 DML rule's view of this table. */
+  private[graft] def tableRoot: String = root
+  private[graft] def logicalSchema: StructType = schema0
+  private[graft] def tableRetain: Int = retain
+  private[graft] def tableConflictRetries: Int = conflictRetries
+  private[graft] def physicalName(c: String): String =
+    mapping.getOrElse(c, c)
+  private[graft] def physicalSchema: StructType =
+    StructType(schema0.fields.toIndexedSeq.map(f =>
+      f.copy(name = physicalName(f.name))))
+  /** A time-travel pin is a read-only snapshot; DML on it is a
+    * contract error said loudly, not a write to the wrong version. */
+  private[graft] def requireHeadForDml(stmt: String): Unit =
+    require(asOf.isEmpty,
+      s"$stmt cannot target a VERSION/TIMESTAMP AS OF snapshot " +
+        s"($displayName) — DML applies to the table head")
 
   /** `TRUNCATE TABLE`: one metadata-only commit to an EMPTY file list
     * — not a whole-table deletion vector (marking every row dead would
@@ -226,42 +386,50 @@ private[sources] class GraftCatalogTable(schema0: StructType,
     * translation would delete the wrong rows). The delete itself is
     * the X265 DV commit: zero data bytes move. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => GraftCatalogTable.filterCol(f).isDefined)
+    filters.forall(f =>
+      GraftCatalogTable.filterCol(identity)(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    // X298: the engine scan runs under PHYSICAL names — translate the
+    // predicate's column references and the scan schema through the
+    // mapping (identity when unmapped)
+    val physSchema = StructType(schema0.fields.toIndexedSeq.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
     val pred = filters.toSeq
-      .map(f => GraftCatalogTable.filterCol(f).getOrElse(
+      .map(f => GraftCatalogTable.filterCol(
+        c => mapping.getOrElse(c, c))(f).getOrElse(
         throw new UnsupportedOperationException(
           s"DELETE predicate not translatable: $f")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    TableCommit.commitDeleteRows(SparkSession.active, root, schema0,
-      pred, retain = retain)
+    TableCommit.commitDeleteRows(SparkSession.active, root, physSchema,
+      pred, retain = retain, conflictRetries = conflictRetries)
     ()
   }
 }
 
 private[sources] object GraftCatalogTable {
-  /** Exact V1-Filter → Column translation (None = refuse, never
-    * approximate). */
-  def filterCol(f: Filter): Option[org.apache.spark.sql.Column] =
+  /** Exact V1-Filter → Column translation under a column-name map
+    * (None = refuse, never approximate). */
+  def filterCol(m: String => String)(
+      f: Filter): Option[org.apache.spark.sql.Column] =
     f match {
-      case EqualTo(c, v)            => Some(col(c) === lit(v))
-      case EqualNullSafe(c, v)      => Some(col(c) <=> lit(v))
-      case GreaterThan(c, v)        => Some(col(c) > lit(v))
-      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
-      case LessThan(c, v)           => Some(col(c) < lit(v))
-      case LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
-      case In(c, vs)                => Some(col(c).isin(vs.toSeq: _*))
-      case IsNull(c)                => Some(col(c).isNull)
-      case IsNotNull(c)             => Some(col(c).isNotNull)
-      case StringStartsWith(c, v)   => Some(col(c).startsWith(v))
-      case StringEndsWith(c, v)     => Some(col(c).endsWith(v))
-      case StringContains(c, v)     => Some(col(c).contains(v))
+      case EqualTo(c, v)            => Some(col(m(c)) === lit(v))
+      case EqualNullSafe(c, v)      => Some(col(m(c)) <=> lit(v))
+      case GreaterThan(c, v)        => Some(col(m(c)) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(m(c)) >= lit(v))
+      case LessThan(c, v)           => Some(col(m(c)) < lit(v))
+      case LessThanOrEqual(c, v)    => Some(col(m(c)) <= lit(v))
+      case In(c, vs)                => Some(col(m(c)).isin(vs.toSeq: _*))
+      case IsNull(c)                => Some(col(m(c)).isNull)
+      case IsNotNull(c)             => Some(col(m(c)).isNotNull)
+      case StringStartsWith(c, v)   => Some(col(m(c)).startsWith(v))
+      case StringEndsWith(c, v)     => Some(col(m(c)).endsWith(v))
+      case StringContains(c, v)     => Some(col(m(c)).contains(v))
       case And(l, r) =>
-        for { a <- filterCol(l); b <- filterCol(r) } yield a && b
+        for { a <- filterCol(m)(l); b <- filterCol(m)(r) } yield a && b
       case Or(l, r) =>
-        for { a <- filterCol(l); b <- filterCol(r) } yield a || b
-      case Not(x)        => filterCol(x).map(!_)
+        for { a <- filterCol(m)(l); b <- filterCol(m)(r) } yield a || b
+      case Not(x)        => filterCol(m)(x).map(!_)
       case AlwaysTrue()  => Some(lit(true))
       case AlwaysFalse() => Some(lit(false))
       case _             => None

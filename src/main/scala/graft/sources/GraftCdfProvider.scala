@@ -313,16 +313,80 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
   * (+ `_row_id` when `withIds`) — no trailing `_commit_version` /
   * `_change_type`; the partition is a LIVE-rows file scan, not a feed
   * leg. */
+/** `columnar = true` (X295, set at planning time only when EVERY
+  * partition of the scan is a DV-free bare read of vectorized-decode
+  * types): the reader factory serves raw `ColumnarBatch`es and Spark
+  * plans its codegen'd ColumnarToRow on top — the same physical shape
+  * as its own parquet scans. Spark requires all of a scan's partitions
+  * to agree on columnar-ness, so the flag is all-or-nothing per scan. */
 private case class CdfFilePartition(absPath: String, version: Long,
     dataSchema: StructType, root: String,
     encA: Option[String], encB: Option[String],
     emitOnly: Boolean, changeType: Option[String],
     withIds: Boolean, ridBase: Option[Long],
-    bare: Boolean = false) extends InputPartition
+    bare: Boolean = false, columnar: Boolean = false)
+    extends InputPartition
 
 private object GraftCdfReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftCdfFileReader(p.asInstanceOf[CdfFilePartition])
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p.asInstanceOf[CdfFilePartition].columnar
+
+  /** X295 columnar leg: batches pass through untouched (a columnar
+    * partition carries no DV and no metadata tail by construction). */
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[CdfFilePartition]
+    require(part.columnar && part.bare && part.encA.isEmpty,
+      s"columnar read planned for a non-columnar partition ${part.absPath}")
+    val rdr = GraftVectorized.open(part.absPath, part.dataSchema)
+    // no partition columns on this scan; batch-return mode needs the
+    // explicit initBatch Spark's own parquet source performs
+    rdr.initBatch(new StructType(), InternalRow.empty)
+    rdr.enableReturningBatches()
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = rdr.nextBatch()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        rdr.resultBatch()
+      override def close(): Unit = rdr.close()
+    }
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[CdfFilePartition]
+    // X295 row-view leg: a BARE scan (no feed tail, no identity
+    // column) decodes vectorized even when a DV forces row-granular
+    // skipping; anything the vectorized path can't serve — feed legs,
+    // exotic types, an unreadable-footer surprise — falls back to the
+    // Group reader, which remains the semantics reference.
+    if (part.bare && !part.withIds &&
+        GraftVectorized.supportedSchema(part.dataSchema)) {
+      try new GraftVectorizedRowReader(part)
+      catch { case _: Throwable => new GraftCdfFileReader(part) }
+    } else new GraftCdfFileReader(part)
+  }
+}
+
+/** X295: vectorized decode served row-by-row off the batch cursor —
+  * the DV'd-bare-scan path. Row position within the file is the
+  * sequential cursor index (batches arrive in file order), so the
+  * deletion-vector skip keys exactly as in the Group reader. */
+private class GraftVectorizedRowReader(p: CdfFilePartition)
+    extends PartitionReader[InternalRow] {
+  require(p.bare && !p.emitOnly && !p.withIds,
+    s"vectorized row view supports bare live scans only: ${p.absPath}")
+  private val rdr = GraftVectorized.open(p.absPath, p.dataSchema)
+  private val marked = GraftCdfFileReader.markedSet(p)
+  private var pos = -1L
+  override def next(): Boolean = {
+    while (rdr.nextKeyValue()) {
+      pos += 1
+      if (marked.isEmpty || !marked.contains(pos)) return true
+    }
+    false
+  }
+  override def get(): InternalRow =
+    rdr.getCurrentValue.asInstanceOf[InternalRow]
+  override def close(): Unit = rdr.close()
 }
 
 /** Executor-side parquet reader: parquet-hadoop's Group API (the
@@ -343,20 +407,8 @@ private class GraftCdfFileReader(p: CdfFilePartition)
       .withConf(new org.apache.hadoop.conf.Configuration())
       .build()
   }
-  private val marked: java.util.HashSet[Long] = {
-    // executor-side decode: inline text or a sidecar on the shared FS
-    val a = p.encA.map(TableCommit.dvDecodeEnc(p.root, _))
-      .getOrElse(Seq.empty)
-    val vals = p.encB match {
-      case Some(b) =>
-        val before = TableCommit.dvDecodeEnc(p.root, b).toSet
-        a.filterNot(before)
-      case None => a
-    }
-    val s = new java.util.HashSet[Long](vals.length * 2 + 4)
-    vals.foreach(s.add(_))
-    s
-  }
+  private val marked: java.util.HashSet[Long] =
+    GraftCdfFileReader.markedSet(p)
   private var pos = -1L
   private var current: Group = _
 
@@ -456,4 +508,24 @@ private class GraftCdfFileReader(p: CdfFilePartition)
   }
 
   override def close(): Unit = reader.close()
+}
+
+private object GraftCdfFileReader {
+  /** The partition's marked position set, decoded EXECUTOR-side from
+    * the DV encodings (inline text or a sidecar on the shared FS):
+    * `decode(encA) − decode(encB)` — a deletion vector to skip
+    * (`emitOnly = false`) or a DV delta to emit (`emitOnly = true`). */
+  def markedSet(p: CdfFilePartition): java.util.HashSet[Long] = {
+    val a = p.encA.map(TableCommit.dvDecodeEnc(p.root, _))
+      .getOrElse(Seq.empty)
+    val vals = p.encB match {
+      case Some(b) =>
+        val before = TableCommit.dvDecodeEnc(p.root, b).toSet
+        a.filterNot(before)
+      case None => a
+    }
+    val s = new java.util.HashSet[Long](vals.length * 2 + 4)
+    vals.foreach(s.add(_))
+    s
+  }
 }

@@ -62,7 +62,7 @@ class GraftTableProvider extends TableProvider
     new GraftWriteTable(schema, properties)
 }
 
-private class GraftWriteTable(schema0: StructType,
+private[graft] class GraftWriteTable(schema0: StructType,
     properties: util.Map[String, String])
     extends Table with SupportsWrite with SupportsRead {
   private val root = Option(properties.get("root")).getOrElse(
@@ -88,9 +88,20 @@ private class GraftWriteTable(schema0: StructType,
     * catalog's `VERSION AS OF` / `TIMESTAMP AS OF` loads set it. */
   protected def asOfVersion: Option[Long] = None
 
+  /** X298: logical → physical renames (identity omitted). Scans read
+    * files and manifest stats under PHYSICAL names (emitting logical),
+    * writes land physical — so catalog tables stay byte-consistent
+    * across `ALTER TABLE RENAME COLUMN`. */
+  protected def toPhysical: Map[String, String] = Map.empty
+
+  private def physSchema(s: StructType): StructType =
+    if (toPhysical.isEmpty) s
+    else StructType(s.fields.toIndexedSeq.map(f =>
+      f.copy(name = toPhysical.getOrElse(f.name, f.name))))
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, schema0, asOfVersion)
+    new GraftScanBuilder(root, schema0, asOfVersion, toPhysical)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
@@ -107,8 +118,10 @@ private class GraftWriteTable(schema0: StructType,
         val txnMigrate = Option(properties.get("txnmigrate"))
         txnMigrate.foreach(m => require(m == "scalar" || m == "fresh",
           s"option 'txnmigrate' must be 'scalar' or 'fresh', got '$m'"))
-        new GraftWrite(root, info.schema(), replaceAll, retain, failAt,
-          retries, crashAfter, txnId, txnApp, txnMigrate)
+        // the writer's field names are the PHYSICAL ones (rows are
+        // consumed positionally, so only the parquet schema changes)
+        new GraftWrite(root, physSchema(info.schema()), replaceAll,
+          retain, failAt, retries, crashAfter, txnId, txnApp, txnMigrate)
       }
     }
 }
@@ -132,7 +145,8 @@ private class GraftWrite(root: String, schema: StructType,
   }
 }
 
-private final case class GraftCommitMessage(relPath: String, rows: Long)
+private final case class GraftCommitMessage(relPath: String, rows: Long,
+    stats: Map[String, (String, String)] = Map.empty)
     extends WriterCommitMessage
 
 private class GraftBatchWrite(root: String, schema: StructType,
@@ -171,7 +185,9 @@ private class GraftBatchWrite(root: String, schema: StructType,
     }).exists(_ >= t))
     if (applied) { abort(messages); return }
     val entries = messages.collect {
-      case GraftCommitMessage(p, n) => TableCommit.Entry(p, None,
+      case GraftCommitMessage(p, n, st) => TableCommit.Entry(p, None,
+        stats = st.map { case (c, (mn, mx)) =>
+          c -> TableCommit.ColStats(mn, mx) },
         rows = Some(n))
     }.toSeq.sortBy(_.path)
     // X273 extended to the connector: an APPEND-mode DSv2 write is a
@@ -362,7 +378,9 @@ private class GraftStreamingWrite(root: String, schema: StructType,
       }
     }
     val entries = messages.collect {
-      case GraftCommitMessage(p, n) => TableCommit.Entry(p, None,
+      case GraftCommitMessage(p, n, st) => TableCommit.Entry(p, None,
+        stats = st.map { case (c, (mn, mx)) =>
+          c -> TableCommit.ColStats(mn, mx) },
         rows = Some(n))
     }.toSeq.sortBy(_.path)
     var attempt = 0
@@ -456,6 +474,41 @@ private class GraftDataWriter(root: String, batch: String,
   private val msgType = GraftDataWriter.messageType(schema)
   private val factory = new SimpleGroupFactory(msgType)
   private var rows = 0L
+  // X298: per-column min/max tracked AS WRITTEN (the footer-stats
+  // analogue), riding the commit message into the manifest's X207
+  // stats channel — so SQL-INSERTed tables get planning-time file
+  // pruning and X290 aggregate pushdown exactly like Scala-API
+  // appends with statsCols. Canonical string forms match the stats
+  // comparator (decimal text for integers, Double.toString for
+  // floats, raw text for strings). Colon-named columns are skipped
+  // (the channel reserves ':' for engine keys).
+  private val statMin = new Array[Any](schema.fields.length)
+  private val statMax = new Array[Any](schema.fields.length)
+  private val statable = schema.fields.map(f =>
+    !f.name.contains(":") && (f.dataType match {
+      case LongType | IntegerType | DoubleType | StringType => true
+      case _ => false
+    }))
+
+  private def trackStat(i: Int, v: Any): Unit = {
+    if (!statable(i)) return
+    // NaN never enters the envelope (parquet's own rule): a NaN
+    // min/max would order as "less than nothing" at prune time and
+    // silently drop matching files
+    v match {
+      case d: Double if d.isNaN => return
+      case _ => ()
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case _                      => false
+    }
+    if (statMin(i) == null || lt(v, statMin(i))) statMin(i) = v
+    if (statMax(i) == null || lt(statMax(i), v)) statMax(i) = v
+  }
   private lazy val writer = {
     val p = new org.apache.hadoop.fs.Path(
       java.nio.file.Paths.get(root, relPath).toUri)
@@ -472,10 +525,15 @@ private class GraftDataWriter(root: String, batch: String,
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!row.isNullAt(i)) f.dataType match {
-        case LongType    => g.add(f.name, row.getLong(i))
-        case IntegerType => g.add(f.name, row.getInt(i))
-        case DoubleType  => g.add(f.name, row.getDouble(i))
-        case StringType  => g.add(f.name, row.getUTF8String(i).toString)
+        case LongType =>
+          val v = row.getLong(i); g.add(f.name, v); trackStat(i, v)
+        case IntegerType =>
+          val v = row.getInt(i); g.add(f.name, v); trackStat(i, v)
+        case DoubleType =>
+          val v = row.getDouble(i); g.add(f.name, v); trackStat(i, v)
+        case StringType =>
+          val v = row.getUTF8String(i).toString
+          g.add(f.name, v); trackStat(i, v)
         case other => throw new IllegalArgumentException(
           s"graft-table: unsupported type $other for column ${f.name}")
       }
@@ -486,7 +544,12 @@ private class GraftDataWriter(root: String, batch: String,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    GraftCommitMessage(relPath, rows)
+    val stats = schema.fields.indices.collect {
+      case i if statMin(i) != null =>
+        schema.fields(i).name ->
+          (statMin(i).toString, statMax(i).toString)
+    }.toMap
+    GraftCommitMessage(relPath, rows, stats)
   }
 
   override def abort(): Unit = {
@@ -505,13 +568,21 @@ private class GraftDataWriter(root: String, batch: String,
   * still-to-evaluate — the pruning here skips files, never rows, so
   * it is lossless whatever the stats say. */
 private class GraftScanBuilder(root: String, full: StructType,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None,
+    toPhys: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
   private var usable: Array[Filter] = Array.empty
   private var anyFilter = false
   private var agg: Option[(StructType, Seq[Any])] = None
+
+  /** X298: manifest stats and file bytes live under PHYSICAL names. */
+  private def phys(c: String): String = toPhys.getOrElse(c, c)
+  private def physSchema(s: StructType): StructType =
+    if (toPhys.isEmpty) s
+    else StructType(s.fields.toIndexedSeq.map(f =>
+      f.copy(name = phys(f.name))))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty pruning (e.g. COUNT(*)) still needs some column to drive
@@ -600,7 +671,7 @@ private class GraftScanBuilder(root: String, full: StructType,
     def envelope(c: org.apache.spark.sql.connector.expressions
         .Expression): Option[(StructField, Any, Any)] =
       aggCol(c).filter(f => statTypes(f.dataType)).flatMap { f =>
-        TableCommit.statsEnvelopeOf(es, f.name,
+        TableCommit.statsEnvelopeOf(es, phys(f.name),
           GraftBatchScan.lt(f.dataType)).map { case (_, mn, mx) =>
           (f.copy(nullable = true),
             statVal(f.dataType, mn), statVal(f.dataType, mx))
@@ -621,7 +692,9 @@ private class GraftScanBuilder(root: String, full: StructType,
 
   override def build(): Scan = agg match {
     case Some((schema, row)) => new GraftAggScan(root, schema, row)
-    case None => new GraftBatchScan(root, required, usable, asOf)
+    case None => new GraftBatchScan(root, required,
+      physSchema(required), physSchema(full),
+      usable.map(GraftBatchScan.mapFilter(phys)), asOf)
   }
 }
 
@@ -688,6 +761,18 @@ private object GraftBatchScan {
     case _                        => None
   }
 
+  /** X298: rewrite a pushed filter's column names logical → physical
+    * (only the shapes [[translatable]] admits can reach here). */
+  def mapFilter(phys: String => String)(f: Filter): Filter = f match {
+    case And(l, r) => And(mapFilter(phys)(l), mapFilter(phys)(r))
+    case EqualTo(c, v)            => EqualTo(phys(c), v)
+    case GreaterThan(c, v)        => GreaterThan(phys(c), v)
+    case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(phys(c), v)
+    case LessThan(c, v)           => LessThan(phys(c), v)
+    case LessThanOrEqual(c, v)    => LessThanOrEqual(phys(c), v)
+    case other                    => other
+  }
+
   def translatable(full: StructType)(f: Filter): Boolean = f match {
     case And(l, r) =>
       translatable(full)(l) && translatable(full)(r)
@@ -728,27 +813,38 @@ private object GraftBatchScan {
   * [[GraftCdfFileReader]] does the executor-side parquet decode and
   * DV anti-apply (`bare = true`: data columns only, no feed tail). */
 private class GraftBatchScan(root: String, required: StructType,
+    physRequired: StructType, physFull: StructType,
     pushed: Array[Filter], asOf: Option[Long] = None)
     extends Scan with Batch {
+  // Spark matches the scan's output by THIS schema (logical names);
+  // the partitions carry the physical-named twin for the file decode —
+  // rows are positional, so only the parquet field lookup differs
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-table($root)${asOf.map(v => s" asOf=v$v").getOrElse("")} " +
       s"pruned=[${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    asOf.map(v => TableCommit.entriesAtVersion(root, v))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val es = asOf.map(v => TableCommit.entriesAtVersion(root, v))
       .getOrElse(TableCommit.entries(root))
       .filter(e => pushed.forall(f =>
-        GraftBatchScan.mightMatch(required, e, f)))
-      .map { e =>
-        val abs =
-          if (e.path.startsWith("/")) e.path else s"$root/${e.path}"
-        CdfFilePartition(abs, 0L, required, root,
-          encA = e.stats.get(TableCommit.DvKey).map(_.min), encB = None,
-          emitOnly = false, changeType = None, withIds = false,
-          ridBase = None, bare = true): InputPartition
-      }.toArray
+        GraftBatchScan.mightMatch(physFull, e, f)))
+    // X295: serve raw ColumnarBatches when the WHOLE scan can — every
+    // file DV-free and every projected type vectorized-decodable.
+    // Spark forbids mixing columnar and row partitions in one scan, so
+    // a single DV'd file demotes the scan to the vectorized row view.
+    val columnar = GraftVectorized.supportedSchema(physRequired) &&
+      es.forall(e => !e.stats.contains(TableCommit.DvKey))
+    es.map { e =>
+      val abs =
+        if (e.path.startsWith("/")) e.path else s"$root/${e.path}"
+      CdfFilePartition(abs, 0L, physRequired, root,
+        encA = e.stats.get(TableCommit.DvKey).map(_.min), encB = None,
+        emitOnly = false, changeType = None, withIds = false,
+        ridBase = None, bare = true, columnar = columnar): InputPartition
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCdfReaderFactory

@@ -56,6 +56,8 @@ object ManifestSoak {
         restore(spark, args(1).toInt, args(2).toInt)
       case Some("pins") =>
         pins(spark, args(1).toInt, args(2).toInt)
+      case Some("crossfacet") =>
+        crossfacet(spark, args(1).toInt)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
@@ -307,5 +309,194 @@ object ManifestSoak {
     println(f"[psoak] commits=$n medLatFirst50=${med(lat.take(50).toSeq)}%.4f s " +
       f"medLatLast50=${med(lat.takeRight(50).toSeq)}%.4f s " +
       f"pinnedRowsStillReadable=$n1 manifestsPresent=$manifests")
+  }
+
+  /** `crossfacet <commitTarget>` (VERDICT r13 task 8): every
+    * concurrency seam COMPOSED against ONE table — concurrent SQL
+    * `INSERT INTO` (DSv2 two-phase write, auto-rebase) and `DELETE
+    * FROM` (DV commits), a native streaming sink (exactly-once epochs
+    * in a third key space), a melt/vacuum maintenance loop, and a
+    * full-CDC streaming REPLICA following the whole circus — run to
+    * ~`commitTarget` commits. Asserts at quiesce: (a) the SOURCE holds
+    * exactly the surviving key set (every facet's writes visible,
+    * none lost to a rebase), (b) the REPLICA's (k, v) checksum equals
+    * the source's (the X105 reconciliation witness — CDC through
+    * deletes, rewrites and replays converges), and (c) per-quintile
+    * commit latency stays flat (no O(history) creep). Results land in
+    * SCALING.md by hand. */
+  private def crossfacet(spark: SparkSession, target: Int): Unit = {
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+    val work = graft.engine.TempWarehouse.createManaged("graft_xf_")
+    val wh = s"$work/wh"; val src = s"$wh/t"
+    val dst = s"$work/replica"; val ck = s"$work/ck"
+    val cat = "graft_xf_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$cat.retain", "128")
+    spark.conf.set(s"spark.sql.catalog.$cat.conflictretries", "200")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    val stop = new AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // key spaces: SQL inserts own k < 10^12, the stream k ≥ 10^12 —
+    // so the SQL purge predicate (`k < floor`, the V1-translatable
+    // shape DELETE FROM pushes) can never touch stream rows
+    val insBatches = new AtomicLong(0L)   // SQL insert batches landed
+    val delFloor = new AtomicLong(0L)     // SQL deletes cover k < floor*300
+    val delRounds = new AtomicLong(0L)
+    val melts = new AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val commitStamps =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    def version(): Long = TableCommit.currentVersion(src).getOrElse(0L)
+    def actor(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable =>
+          errors.add(s"$name: ${e.getMessage}")
+        }, name)
+      t.setDaemon(true); t.start(); t
+    }
+    // SQL INSERT: 100 fresh keys per statement (low key space)
+    val tIns = actor("sql-insert") {
+      while (!stop.get()) {
+        val b = insBatches.get()
+        spark.range(b * 100L, b * 100L + 100L)
+          .selectExpr("id AS k", "id AS v")
+          .createOrReplaceTempView(s"xf_ins_$cat")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM xf_ins_$cat")
+        insBatches.incrementAndGet()
+        commitStamps.add(version() -> (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    // SQL DELETE: a purge of the oldest tenth of the SQL key space
+    val tDel = actor("sql-delete") {
+      while (!stop.get()) {
+        Thread.sleep(150L)
+        val upto = math.min(delFloor.get() + 10L, insBatches.get() / 10L)
+        if (upto > delFloor.get()) {
+          spark.sql(s"DELETE FROM $cat.t WHERE k < ${upto * 100L}")
+          delFloor.set(upto)
+          delRounds.incrementAndGet()
+        }
+      }
+    }
+    // maintenance: melt DV-fat files, vacuum aged debris
+    val tMaint = actor("maintenance") {
+      while (!stop.get()) {
+        Thread.sleep(900L)
+        try {
+          TableCommit.commitMeltDeleted(spark, src,
+            maxDeadRatio = 0.3, retain = 128)
+          melts.incrementAndGet()
+        } catch { case _: Throwable => () } // racing DML may conflict
+        TableCommit.vacuum(src, 60000L)
+      }
+    }
+    // native streaming sink: the high key space, exactly-once epochs
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "400").load()
+      .selectExpr("value + 1000000000000L AS k", "value AS v")
+      .writeStream.format("graft-table")
+      .option("root", src).option("retain", "128")
+      .option("conflictretries", "200")
+      .option("txnappid", "xfacet-stream")
+      .option("checkpointLocation", s"$ck/sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("300 milliseconds"))
+      .start()
+    // full-CDC replica: applies each SOURCE VERSION's deletes then
+    // inserts, in version order (an epoch can span an insert AND a
+    // later delete of one key — applying all deletes first would
+    // resurrect it). Idempotence is per VERSION, not per epoch: the
+    // insert leg carries the source version as its txn id (monotone),
+    // so a crash-replay skips applied versions, and re-deleting
+    // already-dead keys in a half-applied version is a no-op by DV
+    // construction.
+    val feedSchema = schema.add("_commit_version", LongType,
+      nullable = false).add("_change_type", StringType, nullable = false)
+    def applyEpoch(batch: org.apache.spark.sql.DataFrame,
+        id: Long): Unit = {
+      val versions = batch.select(col("_commit_version")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      versions.foreach { v =>
+        if (!TableCommit.lastTxnId(dst).exists(_ >= v)) {
+          val slice = batch.filter(col("_commit_version") === v)
+          val dels = slice.filter(col("_change_type") === "delete")
+            .select(col("k")).distinct().collect().map(_.getLong(0))
+          if (dels.nonEmpty && TableCommit.currentVersion(dst).isDefined)
+            TableCommit.commitDeleteRows(batch.sparkSession, dst, schema,
+              col("k").isin(dels.toIndexedSeq: _*), retain = 128,
+              conflictRetries = 50)
+          TableCommit.commitAppendTxn(
+            slice.filter(col("_change_type") === "insert")
+              .select(col("k"), col("v")),
+            dst, txnId = v, retain = 128, conflictRetries = 50)
+        }
+      }
+    }
+    val replica = spark.readStream.format("graft-cdf")
+      .schema(feedSchema).option("root", src).option("mode", "full")
+      .option("maxversionspertrigger", "16").load()
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        applyEpoch(b, id))
+      .option("checkpointLocation", s"$ck/replica")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("300 milliseconds"))
+      .start()
+    while (version() < target && errors.isEmpty &&
+        (System.nanoTime() - t0) / 1e9 < 900.0) Thread.sleep(250L)
+    stop.set(true)
+    tIns.join(30000); tDel.join(30000); tMaint.join(30000)
+    stream.stop(); stream.awaitTermination()
+    // drain the replica to the quiesced head, then stop it
+    val head = version()
+    val drainT0 = System.nanoTime()
+    val srcCount = TableCommit.read(spark, src, schema).count()
+    while (TableCommit.read(spark, dst, schema).count() != srcCount &&
+        (System.nanoTime() - drainT0) / 1e9 < 120.0) Thread.sleep(500L)
+    Thread.sleep(2000L); replica.stop(); replica.awaitTermination()
+    errors.forEach(e => println(s"[xfacet] ACTOR ERROR: $e"))
+    // (a) the source holds exactly the expected surviving key set
+    val expSql = (delFloor.get() * 100L until insBatches.get() * 100L)
+    val gotSql = TableCommit.read(spark, src, schema)
+      .filter(col("k") < 1000000000000L).collect()
+      .map(_.getLong(0)).toSet
+    val sqlOk = gotSql == expSql.toSet
+    // (b) replica reconciliation: full (k, v) checksum equality
+    def checksum(root: String): (Long, Long, Long) = {
+      val r = TableCommit.read(spark, root, schema)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          sum(col("k")), sum(expr("hash(k, v)").cast("long")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (srcSum, dstSum) = (checksum(src), checksum(dst))
+    // (c) latency flatness: per-quintile spacing of commit stamps
+    val stamps = {
+      import scala.jdk.CollectionConverters._
+      commitStamps.asScala.toSeq.sortBy(_._1)
+    }
+    val q = stamps.size / 5
+    val quintiles = (0 until 5).map { i =>
+      val s = stamps.slice(i * q, (i + 1) * q)
+      if (s.size < 2) 0.0
+      else (s.last._2 - s.head._2) / math.max(1, s.size - 1)
+    }
+    println(f"[xfacet] commits=$head insertBatches=${insBatches.get()} " +
+      f"deleteRounds=${delRounds.get()} melts=${melts.get()} " +
+      f"streamEpochs=${TableCommit.lastTxnIdFor(src, "xfacet-stream")
+        .getOrElse(-1L)}")
+    println(s"[xfacet] sqlKeySetExact=$sqlOk srcChecksum=$srcSum " +
+      s"replicaChecksum=$dstSum replicaConverged=${srcSum == dstSum}")
+    println("[xfacet] perCommitLatencyByQuintile=" +
+      quintiles.map(v => f"$v%.4f").mkString("[", ", ", "]") + " s")
+    if (!sqlOk || srcSum != dstSum || errors.size() > 0) {
+      println("[xfacet] SOAK FAILED")
+      sys.exit(1)
+    }
   }
 }

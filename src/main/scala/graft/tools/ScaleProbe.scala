@@ -118,6 +118,71 @@ object ScaleProbe {
           val r = graft.operators.Dedup.containmentCoverage(spark, dir)
           println(s"[probe] containcover $dir: $r")
         }
+      case "facetscan" =>
+        // X295/X296 evidence (VERDICT r13 tasks 1 + 3): wide-scan
+        // throughput of the DSv2 read facet vs TableCommit.read vs the
+        // raw spark.read.parquet floor, on a committed table built
+        // from `dir`'s lineitem — CLEAN, then 1%-CLUSTERED-deleted,
+        // then 1%-SCATTERED-deleted (the span fast path's worst case).
+        // Reports medians of 3 so one GC pause can't adjudicate.
+        val dir = args(1)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("k", LongType), StructField("qty", DoubleType),
+          StructField("price", DoubleType), StructField("s", StringType)))
+        val root = graft.engine.TempWarehouse
+          .createManaged("graft_facetscan_") + "/t"
+        val src = graft.engine.Tables.lineitem(spark, dir)
+          .select(monotonically_increasing_id().as("k"),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("price"),
+            concat(col("l_returnflag"), lit("|"), col("l_linestatus"),
+              lit("|"), col("l_shipdate").cast("string")).as("s"))
+        // range-laid-out by k so the "clustered" delete's victims are
+        // physically contiguous in ONE file — the span fast path's
+        // best case, beside the scattered pass's worst case
+        graft.engine.TableCommit.commitAppend(
+          src.repartitionByRange(32, col("k"))
+            .sortWithinPartitions("k"), root, retain = 8)
+        val n = graft.engine.TableCommit
+          .read(spark, root, schema).count()
+        def facet() = spark.read.format("graft-table").schema(schema)
+          .option("root", root).load()
+        def engine() = graft.engine.TableCommit.read(spark, root, schema)
+        def agg(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.agg(sum(col("qty")), sum(col("price")),
+            sum(length(col("s"))), count(lit(1))).collect()
+          ()
+        }
+        def med(f: () => Unit): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        def report(tag: String): Unit = {
+          val paths = graft.engine.TableCommit.entries(root)
+            .map(e => s"$root/${e.path}")
+          val raw = med(() => agg(spark.read.schema(schema)
+            .parquet(paths: _*)))
+          val eng = med(() => agg(engine()))
+          val fac = med(() => agg(facet()))
+          val cnt = med(() => { engine().count(); () })
+          val cntF = med(() => { facet().count(); () })
+          println(f"[probe] facetscan $tag rows=$n%,d: raw_parquet=$raw%.2f s " +
+            f"engine=$eng%.2f s facet=$fac%.2f s facet/engine=${fac / eng}%.2f " +
+            f"count_engine=$cnt%.2f s count_facet=$cntF%.2f s")
+        }
+        // first pass untimed: codegen + page-cache warm
+        agg(engine()); agg(facet())
+        report("clean")
+        // 1% CLUSTERED damage: one contiguous stripe of ids
+        graft.engine.TableCommit.commitDeleteRows(spark, root, schema,
+          col("k") < (n / 100L), retain = 8)
+        agg(engine()); agg(facet())
+        report("dv_clustered_1pct")
+        // additional SCATTERED damage: every 97th row across all files
+        graft.engine.TableCommit.commitDeleteRows(spark, root, schema,
+          pmod(col("k"), lit(97L)) === 0L, retain = 8)
+        agg(engine()); agg(facet())
+        report("dv_scattered")
       case other =>
         System.err.println(s"unknown probe: $other")
         sys.exit(1)

@@ -61,7 +61,7 @@ class CatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cat_spec_src")
   }
 
-  test("catalog lifecycle: list, rename, drop; ALTER refuses") {
+  test("catalog lifecycle: list, rename, drop; non-evolution ALTER refuses") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.a (k BIGINT)")
     spark.sql(s"CREATE TABLE $cat.b (k BIGINT)")
@@ -70,8 +70,17 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE $cat.a RENAME TO c")
     assert(Files.exists(Paths.get(wh, "c", "_schema.json")))
     assert(!Files.exists(Paths.get(wh, "a")))
+    // X298: ADD/RENAME/DROP COLUMN are supported now — a TYPE change
+    // is the shape that still refuses (commit-layer concern)
+    spark.sql(s"ALTER TABLE $cat.c ADD COLUMN x BIGINT")
+    assert(spark.table(s"$cat.c").columns.toSeq === Seq("k", "x"))
+    // virgin-table rename/drop edit the schema file directly (no
+    // commits exist to carry a mapping)
+    spark.sql(s"ALTER TABLE $cat.c RENAME COLUMN x TO y")
+    spark.sql(s"ALTER TABLE $cat.c DROP COLUMN y")
+    assert(spark.table(s"$cat.c").columns.toSeq === Seq("k"))
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.c ADD COLUMN x BIGINT")
+      spark.sql(s"ALTER TABLE $cat.c ALTER COLUMN k TYPE STRING")
     }
     spark.sql(s"DROP TABLE $cat.c")
     assert(!Files.exists(Paths.get(wh, "c")))
@@ -109,6 +118,174 @@ class CatalogSpec extends AnyFunSuite {
     assert(n(s"SELECT COUNT(*) FROM $cat.t") === 0L)
     assert(graft.engine.TableCommit.entries(s"$wh/t").isEmpty)
     spark.catalog.dropTempView("cat_tt_src")
+  }
+
+  test("SQL UPDATE is a merge-on-read DV commit; expressions and WHERE compose (X297)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING, c BIGINT)")
+    spark.range(50L).select(col("id").as("k"),
+      concat(lit("v"), pmod(col("id"), lit(5L))).as("v"),
+      (col("id") * 10L).as("c")).createOrReplaceTempView("upd_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM upd_src")
+    val before = dataFingerprint(s"$wh/t")
+    spark.sql(s"UPDATE $cat.t SET c = c + 1000, v = upper(v) " +
+      "WHERE k % 5 = 0")
+    assert(dataFingerprint(s"$wh/t").keySet.intersect(before.keySet)
+      .forall(p => dataFingerprint(s"$wh/t")(p) == before(p)),
+      "UPDATE must not rewrite any pre-existing data file")
+    val rows = spark.sql(s"SELECT k, v, c FROM $cat.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === 50)
+    rows.foreach { case (k, v, c) =>
+      if (k % 5 == 0) assert(v === "V0" && c === k * 10L + 1000L)
+      else assert(v === s"v${k % 5}" && c === k * 10L)
+    }
+    // UPDATE without WHERE touches every row
+    spark.sql(s"UPDATE $cat.t SET c = 0")
+    assert(spark.sql(s"SELECT SUM(c) FROM $cat.t").collect()(0)
+      .getLong(0) === 0L)
+    // a time-travel pin refuses DML (Spark's parser already rejects
+    // the clause; the catalog-side head guard is the belt for
+    // programmatic plans)
+    val ex = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.t VERSION AS OF 1 SET c = 1")
+    }
+    assert(ex.getMessage.contains("head") ||
+      ex.getMessage.contains("PARSE_SYNTAX_ERROR") ||
+      ex.getMessage.toLowerCase.contains("not supported"))
+  }
+
+  test("SQL MERGE INTO is the broadcast upsert; non-upsert shapes refuse loudly (X297)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.range(20L).select(col("id").as("k"),
+      concat(lit("old"), col("id")).as("v"))
+      .createOrReplaceTempView("mrg_base")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM mrg_base")
+    // upsert batch: updates 10..19, inserts 20..29
+    spark.range(10L, 30L).select(col("id").as("kk"),
+      concat(lit("new"), col("id")).as("vv"))
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t USING mrg_src ON t.k = mrg_src.kk
+         |WHEN MATCHED THEN UPDATE SET k = kk, v = vv
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (kk, vv)"""
+        .stripMargin)
+    val got = spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 30)
+    got.foreach { case (k, v) =>
+      assert(v === (if (k < 10L) s"old$k" else s"new$k"))
+    }
+    // star shape works too (UPDATE SET * / INSERT *) when names align
+    spark.range(5L).select(col("id").as("k"),
+      lit("star").as("v")).createOrReplaceTempView("mrg_star")
+    spark.sql(s"MERGE INTO $cat.t USING mrg_star ON t.k = mrg_star.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE v = 'star'")
+      .collect()(0).getLong(0) === 5L)
+    // duplicate source keys: the ANSI multiple-match refusal
+    spark.sql("SELECT 1L AS k, 'a' AS v UNION ALL SELECT 1L, 'b'")
+      .createOrReplaceTempView("mrg_dup")
+    val dup = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t USING mrg_dup ON t.k = mrg_dup.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(dup.getMessage.contains("more than one row"))
+    // a DELETE action is outside the upsert shape: loud, with the API named
+    val del = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.t USING mrg_star ON t.k = mrg_star.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(del.getMessage.contains("commitMergeRows") ||
+      del.getMessage.contains("not supported"))
+  }
+
+  test("SQL UPDATE and MERGE preserve row lineage on a tracked table (X297)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    // tracked bootstrap through the Scala API; SQL DML must keep ids
+    TableCommit.commitAppendTracked(
+      spark.range(10L).select(col("id").as("k"),
+        lit("x").as("v")), s"$wh/t", retain = 8)
+    val born = TableCommit.readWithRowIds(spark, s"$wh/t", schema)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    spark.sql(s"UPDATE $cat.t SET v = 'upd' WHERE k < 3")
+    spark.range(8L, 12L).select(col("id").as("k"), lit("mrg").as("v"))
+      .createOrReplaceTempView("lin_src")
+    spark.sql(s"MERGE INTO $cat.t USING lin_src ON t.k = lin_src.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val after = TableCommit.readWithRowIds(spark, s"$wh/t", schema)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 10L).foreach { k =>
+      assert(after(k) === born(k),
+        s"row $k must keep its stable id through SQL UPDATE/MERGE")
+    }
+    assert(after(10L) >= 10L && after(11L) >= 10L,
+      "fresh MERGE inserts mint NEW ids at the high-water")
+  }
+
+  test("ALTER TABLE rename/add/drop rides the column mapping; reads, writes and pruning compose (X298)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, amt BIGINT, st STRING)")
+    // ordered batches so the post-rename pruning assertion has teeth
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, i * 100L + 100L).select(col("id").as("k"),
+        (col("id") * 2L).as("amt"), lit(s"s$i").as("st"))
+        .coalesce(1).createOrReplaceTempView(s"evo_src_$i")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM evo_src_$i")
+    }
+    // RENAME is metadata-only: not one data byte moves
+    val before = dataFingerprint(s"$wh/t")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN amt TO cents")
+    assert(dataFingerprint(s"$wh/t") === before,
+      "ALTER RENAME must be a pure mapping commit")
+    assert(spark.table(s"$cat.t").columns.toSeq ===
+      Seq("k", "cents", "st"))
+    // old name gone, new name serves the same values
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT amt FROM $cat.t").collect()
+    }
+    assert(spark.sql(s"SELECT SUM(cents) FROM $cat.t").collect()(0)
+      .getLong(0) === (0L until 400L).map(_ * 2L).sum)
+    // a post-rename INSERT lands physically consistent with old files
+    spark.range(400L, 500L).select(col("id").as("k"),
+      (col("id") * 2L).as("cents"), lit("s4").as("st")).coalesce(1)
+      .createOrReplaceTempView("evo_src_4")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM evo_src_4")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 500L)
+    // manifest-stat pruning through the mapping: a filter on the NEW
+    // name must still skip non-overlapping files (stats live under
+    // the physical name; the DSv2 writer records them as it writes)
+    val pruned = spark.sql(s"SELECT k FROM $cat.t WHERE cents >= 900")
+    assert(pruned.rdd.getNumPartitions === 1,
+      "renamed-column filter must keep pruning files by manifest stats")
+    assert(pruned.count() === 50L)
+    // ADD: old files read NULL; DROP: the column disappears
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN note STRING")
+    assert(spark.sql(s"SELECT COUNT(note) FROM $cat.t").collect()(0)
+      .getLong(0) === 0L)
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN st")
+    assert(spark.table(s"$cat.t").columns.toSeq ===
+      Seq("k", "cents", "note"))
+    // DML through the mapping: UPDATE and DELETE target the new names
+    spark.sql(s"UPDATE $cat.t SET note = 'hi' WHERE cents < 20")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE note = 'hi'")
+      .collect()(0).getLong(0) === 10L)
+    spark.sql(s"DELETE FROM $cat.t WHERE cents >= 980")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 490L)
+    // re-adding the DROPPED name never resurrects old bytes
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN st STRING")
+    assert(spark.sql(s"SELECT COUNT(st) FROM $cat.t").collect()(0)
+      .getLong(0) === 0L,
+      "a re-added dropped column must read NULL, not the old values")
+    // time travel serves the era's names: version 4 predates the rename
+    assert(spark.sql(s"SELECT SUM(amt) FROM $cat.t VERSION AS OF 4")
+      .collect()(0).getLong(0) === (0L until 400L).map(_ * 2L).sum)
   }
 
   test("reserved names and nesting are refused: SQL can't reach table internals") {

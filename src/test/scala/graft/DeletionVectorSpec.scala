@@ -459,6 +459,15 @@ class DeletionVectorSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("LeftAnti"),
         s"bitmap path must not anti-join:\n$plan")
+      // X296: the probe is the codegen'd native, not a Scala UDF —
+      // the Filter carrying it sits INSIDE a WholeStageCodegen span
+      // (the `*(n)` prefix), so the scan→filter pipeline never drops
+      // out of generated code
+      assert(plan.contains("graft_dv_probe"),
+        s"anti-apply must use the native probe:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("Filter graft_dv_probe") && l.contains("*(")),
+        s"the probe filter must be whole-stage-codegen'd:\n$plan")
     } finally TableCommit.dvBroadcastThreshold = orig
   }
 

@@ -232,6 +232,62 @@ class TableWriteSpec extends AnyFunSuite {
     assert(TableCommit.lastTxnId(r) === Some(8L))
   }
 
+  test("facet scan is COLUMNAR when DV-free, row-view when DV'd; both exact (X295)") {
+    import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, TimestampType}
+    val r = root()
+    val src = spark.range(500L).select(
+      col("id").as("k"),
+      concat(lit("s"), col("id")).as("s"),
+      (col("id") * 1.5).as("d"),
+      (col("id") % 2 === 0).as("b"),
+      to_date(lit("2024-03-01")).as("dt"),
+      to_timestamp(lit("2024-03-01 10:30:00")).as("ts"))
+      .repartitionByRange(4, col("k"))
+    val wide = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("d", DoubleType),
+      StructField("b", BooleanType), StructField("dt", DateType),
+      StructField("ts", TimestampType)))
+    TableCommit.commitAppend(src, r, retain = 8, statsCols = Seq("k"))
+    def facet() = spark.read.format("graft-table").schema(wide)
+      .option("root", r).load()
+    // CLEAN table: the scan reports columnar and Spark plans its
+    // codegen'd ColumnarToRow on top — the spark.read.parquet shape
+    val plan = facet().queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"DV-free facet scan must serve ColumnarBatches, plan was:\n$plan")
+    // every type round-trips identically to the engine read
+    val viaFacet = facet().collect().map(_.toSeq).toSet
+    val viaEngine = TableCommit.read(spark, r, wide).collect()
+      .map(_.toSeq).toSet
+    assert(viaFacet === viaEngine && viaFacet.size === 500)
+    // a DV demotes the scan to the vectorized ROW view (no columnar
+    // batches — one partition's skip decision is row-granular) and
+    // anti-applies exactly
+    TableCommit.commitDeleteRows(spark, r, wide,
+      pmod(col("k"), lit(7L)) === 0L, retain = 8)
+    val planDv = facet().queryExecution.executedPlan.toString
+    assert(!planDv.contains("ColumnarToRow"),
+      "a DV'd file must demote the whole scan to row view")
+    assert(facet().collect().map(_.getLong(0)).toSet ===
+      (0L until 500L).filter(_ % 7L != 0L).toSet)
+    // file pruning composes with the vectorized path: one range file
+    val pruned = facet().filter(col("k") >= 400L)
+    assert(pruned.rdd.getNumPartitions === 1)
+  }
+
+  test("facet scan fills a column absent from older files with NULL (X295 evolution)") {
+    val r = root()
+    TableCommit.commitAppend(
+      spark.range(10L).select(col("id").as("k")), r, retain = 8)
+    val evolved = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val rows = spark.read.format("graft-table").schema(evolved)
+      .option("root", r).load().collect()
+    assert(rows.length === 10 && rows.forall(_.isNullAt(1)),
+      "a column missing from the file must read NULL (the schema-" +
+        "evolution contract Spark's own parquet scans honor)")
+  }
+
   test("batch txnappid namespaces the idempotence watermark (ADVICE r13)") {
     val r = root()
     // another writer (a legacy stream epoch) advances the GLOBAL
