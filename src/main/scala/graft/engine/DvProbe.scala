@@ -57,6 +57,66 @@ final class DvProbeHolder(bytes: Map[String, Array[Byte]],
   }
 }
 
+/** ONE file's vector, for the per-file scan-leg shape: span bounds +
+  * the lazily-decoded bitmap, probed by POSITION alone. */
+final class DvSingleHolder(bytes: Array[Byte], keepInside: Boolean)
+    extends Serializable {
+  /** Re-keyed once per executor into the 32-BIT roaring bitmap:
+    * positions are row indexes WITHIN one file (< 2³¹ by any
+    * realistic row-group math), and the int bitmap's array/bitset
+    * containers probe in a few ns where the 64-bit navigable form
+    * pays a map walk — this probe runs once per surviving row. */
+  @transient private lazy val state
+      : (Long, Long, org.roaringbitmap.RoaringBitmap) = {
+    val bm64 = new org.roaringbitmap.longlong.Roaring64Bitmap()
+    bm64.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    val it = bm64.getLongIterator
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    while (it.hasNext) {
+      val v = it.next()
+      require(v >= 0L && v <= Int.MaxValue,
+        s"file-local DV position $v outside int range")
+      bm.add(v.toInt)
+      if (v < lo) lo = v
+      if (v > hi) hi = v
+    }
+    (lo, hi, bm)
+  }
+  def keep(pos: Long): Boolean = {
+    val (lo, hi, bm) = state
+    if (pos < lo || pos > hi) !keepInside
+    else bm.contains(pos.toInt) == keepInside
+  }
+}
+
+/** `DvProbeSingle(posExpr, holder)` — the per-file leg's filter: the
+  * file identity is bound at PLAN time (one leg per file), so the
+  * generated code is span compares + a roaring probe, nothing
+  * string-shaped per row. */
+case class DvProbeSingle(child: Expression, holder: DvSingleHolder)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_dv_probe1"
+
+  override protected def nullSafeEval(pos: Any): Any =
+    holder.keep(pos.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("dvSingleHolder", holder,
+      classOf[DvSingleHolder].getName)
+    defineCodeGen(ctx, ev, p => s"$h.keep($p)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** `DvProbe(fileNameExpr, posExpr, holder)` — boolean filter over a
   * tagged scan's (file_name, row_index) pair. Stays inside whole-stage
   * codegen: the generated code is one call on the referenced holder,

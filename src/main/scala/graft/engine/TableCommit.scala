@@ -1553,6 +1553,30 @@ object TableCommit {
     * same stream (dual-writer failover, X271) degrades to a no-op —
     * then the never-published staged batch is deleted and None
     * returned. */
+  /** One APPEND publish against a known base, in the delta-manifest
+    * shape [[commitAppend]] uses (X303, the crossfacet-soak finding):
+    * a pure delta manifest carrying only this batch's entries, folded
+    * into a full checkpoint every `checkpointEvery` links. The
+    * connector facets (DSv2 batch INSERT, the streaming sink) call
+    * this from their own CAS loops — before this they republished the
+    * FULL entry list per commit, which made every SQL INSERT pay
+    * O(table) manifest bytes and showed up as 17× per-commit latency
+    * growth over a 450-commit soak. Throws
+    * [[ConcurrentCommitException]] exactly like [[publish]]. */
+  private[graft] def publishAppendAt(root: String, base: Long,
+      entries: Seq[Entry], retain: Int, checkpointEvery: Int = 16,
+      txnId: Option[Long] = None,
+      txnApp: Option[(String, Long)] = None): Long =
+    if (base == 0L)
+      publish(root, entries, retain, expected = Some(base),
+        txnId = txnId, txnApp = txnApp)
+    else if (chainOf(root, base).size + 1 >= checkpointEvery)
+      publish(root, entriesAt(root, base) ++ entries, retain,
+        expected = Some(base), txnId = txnId, txnApp = txnApp)
+    else
+      publish(root, entries, retain, expected = Some(base),
+        deltaBase = Some(base), txnId = txnId, txnApp = txnApp)
+
   private def publishStagedAppend(root: String, staged: Seq[Entry],
       retain: Int, checkpointEvery: Int, txnId: Option[Long],
       conflictRetries: Int, alreadyApplied: () => Boolean,
@@ -2755,9 +2779,19 @@ object TableCommit {
     * past it (no join, no shuffle, read cost independent of the delete
     * fraction — the codegen'd [[DvProbe]]). Sidecar vectors decode
     * executor-side either way. */
+  /** Above the broadcast threshold, a scan over at most this many
+    * DV'd files takes the PER-FILE leg shape: one scan leg per file
+    * with a POSITION-ONLY codegen'd probe ([[DvProbeSingle]]) — no
+    * per-row file identity at all (no leaf column, no hash lookup),
+    * so the per-row cost is two long compares (span) plus a roaring
+    * `contains` only where damage lands. Past the cap the union plan
+    * would dominate planning, so the single-scan leaf-keyed
+    * [[DvProbe]] takes over — still codegen'd, still join-free. */
+  private val DvPerFileLegMax = 64
+
   private def readLive(spark: SparkSession, root: String,
       schema: Option[StructType], es: Seq[Entry]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
+    import org.apache.spark.sql.functions.col
     val paths = es.map(e => resolvePath(root, e.path))
     val dvs = es.filter(_.stats.contains(DvKey))
     if (dvs.isEmpty)
@@ -2768,19 +2802,41 @@ object TableCommit {
     // (the common production mix — recent ingest beside old purged
     // files) keep the plain fully-codegen'd scan
     val sc = schema.getOrElse(spark.read.parquet(paths: _*).schema)
-    val tagged = spark.read.schema(sc)
-      .parquet(dvs.map(e => resolvePath(root, e.path)): _*)
-      .select(col("*"),
-        col("_metadata.file_name")
-          .as("_dv_leaf"),
-        col("_metadata.row_index").as("_dv_pos"))
-    val dvPart = dvAntiApply(spark, root, tagged, dvs,
-      "_dv_leaf", "_dv_pos").drop("_dv_leaf", "_dv_pos")
+    val overBroadcast =
+      dvs.map(deletedCount).sum > dvBroadcastThreshold
+    val dvPart =
+      if (overBroadcast && dvs.size <= DvPerFileLegMax) {
+        val bitmaps = dvBitmaps(spark, root, dvs)
+        dvs.map { e =>
+          val holder = new DvSingleHolder(bitmaps(pathLeaf(e.path)),
+            keepInside = false)
+          spark.read.schema(sc)
+            .parquet(resolvePath(root, e.path))
+            .select(col("*"), col("_metadata.row_index").as("_dv_pos"))
+            .filter(dvProbeSingleCol(holder, "_dv_pos"))
+            .drop("_dv_pos")
+        }.reduce(_ unionByName _)
+      } else {
+        val tagged = spark.read.schema(sc)
+          .parquet(dvs.map(e => resolvePath(root, e.path)): _*)
+          .select(col("*"),
+            col("_metadata.file_name").as("_dv_leaf"),
+            col("_metadata.row_index").as("_dv_pos"))
+        dvAntiApply(spark, root, tagged, dvs, "_dv_leaf", "_dv_pos")
+          .drop("_dv_leaf", "_dv_pos")
+      }
     val clean = es.filterNot(_.stats.contains(DvKey))
     if (clean.isEmpty) dvPart
     else dvPart.unionByName(spark.read.schema(sc)
       .parquet(clean.map(e => resolvePath(root, e.path)): _*))
   }
+
+  private def dvProbeSingleCol(holder: DvSingleHolder,
+      posCol: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.Shim.column(DvProbeSingle(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+        Seq(posCol)),
+      holder))
 
   /** Rows of the grown files at EXACTLY the newly-dead positions — how
     * the full change feed materializes "which rows did this DV delete"
@@ -4060,12 +4116,41 @@ object TableCommit {
   /** Read the current version; empty-with-schema for a virgin root (the
     * readOrEmpty idiom the MERGE bootstrap needs). */
   def read(spark: SparkSession, root: String, schema: StructType): DataFrame =
-    entries(root) match {
-      case Seq() =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      case es =>
-        readLive(spark, root, Some(schema), es)
+    currentVersion(root) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      case Some(v) => readSnapshot(spark, root, schema, v)
     }
+
+  /** One PINNED snapshot read (X296b): clean files keep the plain
+    * fully-codegen'd columnar parquet scan (splittable, the 100 TB
+    * shape), while DV'd files route through the CONNECTOR's vectorized
+    * row-view partitions (`dvonly` facet scan) — the per-file cursor
+    * whose deletion-vector skip measured at parity with a clean
+    * filtered scan, vs 6-10x for the tagged-probe shapes. Both legs
+    * resolve the SAME version (the facet leg re-reads the manifest, so
+    * the version is pinned explicitly — never a torn mix with a racing
+    * commit). DV'd files scan one-task-per-file (the cursor needs the
+    * file's own position space); commitMeltDeleted remains the repair
+    * that returns rewritten files to the splittable clean leg. */
+  private def readSnapshot(spark: SparkSession, root: String,
+      schema: StructType, version: Long): DataFrame = {
+    val es = entriesAtVersion(root, version)
+    if (es.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema)
+    val dvs = es.filter(_.stats.contains(DvKey))
+    if (dvs.isEmpty) return readLive(spark, root, Some(schema), es)
+    requireUniqueLeaves(root, es)
+    val dvPart = spark.read.format("graft-table").schema(schema)
+      .option("root", root)
+      .option("asofversion", version.toString)
+      .option("dvonly", "true").load()
+    val clean = es.filterNot(_.stats.contains(DvKey))
+    if (clean.isEmpty) dvPart
+    else dvPart.unionByName(spark.read.schema(schema)
+      .parquet(clean.map(e => resolvePath(root, e.path)): _*))
+  }
 
   /** Time-travel read: the table AS OF `version`. The version must still
     * be inside the retention window its commits were made with —
@@ -4076,11 +4161,7 @@ object TableCommit {
     require(Files.exists(manifestPath(root, version)),
       s"version $version not retained at $root " +
         s"(current: ${currentVersion(root).getOrElse(-1L)})")
-    val es = readManifestChecked(root, version)
-    if (es.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      readLive(spark, root, Some(schema), es)
+    readSnapshot(spark, root, schema, version)
   }
 
   /** Read the current version, inferring the schema (requires at least one

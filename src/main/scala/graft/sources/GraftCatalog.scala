@@ -237,9 +237,16 @@ class GraftCatalog extends TableCatalog {
             StructType(s.fields.toIndexedSeq.map(f =>
               if (f.name == from) f.copy(name = r.newName) else f))
           }
-        else
+        else {
+          // the engine only guards the MAPPING namespace; the catalog
+          // must also refuse a collision with a current IDENTITY
+          // column, or the derived logical schema would carry the new
+          // name twice (one mapped, one identity)
+          require(!currentLogicalNames(root).contains(r.newName),
+            s"column ${r.newName} already exists in ${ident.name}")
           TableCommit.commitRenameColumn(root, from, r.newName,
             retain = retain)
+        }
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "graft ALTER TABLE: nested fields are not supported")
@@ -297,6 +304,19 @@ class GraftCatalog extends TableCatalog {
           "are API-level (commit layer) concerns")
     }
     loadTable(ident)
+  }
+
+  /** The CURRENT logical column set (base physical fields minus
+    * tombstones, renamed through the mapping) — the existence oracle
+    * for ALTER TABLE name checks. */
+  private def currentLogicalNames(root: String): Set[String] = {
+    val base0 = baseSchema(root)
+    val cm = TableCommit.colMapping(root)
+      .getOrElse(TableCommit.ColMapping(Map.empty, Seq.empty))
+    val dead = cm.dead.toSet
+    val logicalOf = cm.renames.map(_.swap)
+    base0.fields.filterNot(f => dead.contains(f.name))
+      .map(f => logicalOf.getOrElse(f.name, f.name)).toSet
   }
 
   /** Rewrite `_schema.json` (tmp + atomic rename). The file is only

@@ -101,7 +101,13 @@ private[graft] class GraftWriteTable(schema0: StructType,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, schema0, asOfVersion, toPhysical)
+    new GraftScanBuilder(root, schema0,
+      // X296b: the engine's own snapshot reads pin their version and
+      // select the DV'd-files-only leg through reader options
+      asOfVersion.orElse(
+        Option(options.get("asofversion")).map(_.toLong)),
+      toPhysical,
+      Option(options.get("dvonly")).exists(_ == "true"))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
@@ -200,14 +206,19 @@ private class GraftBatchWrite(root: String, schema: StructType,
     var attempt = 0
     var done = false
     while (!done) {
-      val prior =
-        if (replaceAll || expected == 0L) Seq.empty
-        else TableCommit.entriesAtVersion(root, expected)
       try {
-        TableCommit.publish(root, prior ++ entries, retain,
-          expected = Some(expected),
-          txnId = if (txnApp.isEmpty) txnId else None,
-          txnApp = for { a <- txnApp; t <- txnId } yield a -> t)
+        // X303: appends publish DELTA manifests (checkpoint-folded),
+        // so a SQL INSERT costs O(batch) manifest bytes, not O(table);
+        // overwrite still swaps the whole list by definition
+        if (replaceAll)
+          TableCommit.publish(root, entries, retain,
+            expected = Some(expected),
+            txnId = if (txnApp.isEmpty) txnId else None,
+            txnApp = for { a <- txnApp; t <- txnId } yield a -> t)
+        else
+          TableCommit.publishAppendAt(root, expected, entries, retain,
+            txnId = if (txnApp.isEmpty) txnId else None,
+            txnApp = for { a <- txnApp; t <- txnId } yield a -> t)
         done = true
       } catch {
         case e: TableCommit.ConcurrentCommitException =>
@@ -386,12 +397,10 @@ private class GraftStreamingWrite(root: String, schema: StructType,
     var attempt = 0
     var done = false
     while (!done) {
-      val prior =
-        if (expected == 0L) Seq.empty
-        else TableCommit.entriesAtVersion(root, expected)
       try {
-        TableCommit.publish(root, prior ++ entries, retain,
-          expected = Some(expected),
+        // X303: each epoch publishes a DELTA manifest — O(epoch)
+        // manifest bytes per micro-batch, not O(table)
+        TableCommit.publishAppendAt(root, expected, entries, retain,
           txnId = if (txnApp.isEmpty) Some(epochId) else None,
           txnApp = txnApp.map(_ -> epochId))
         published.add(epochId)
@@ -569,7 +578,8 @@ private class GraftDataWriter(root: String, batch: String,
   * it is lossless whatever the stats say. */
 private class GraftScanBuilder(root: String, full: StructType,
     asOf: Option[Long] = None,
-    toPhys: Map[String, String] = Map.empty)
+    toPhys: Map[String, String] = Map.empty,
+    dvOnly: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -662,7 +672,8 @@ private class GraftScanBuilder(root: String, full: StructType,
     // statsEnvelope/entries are head-version; a time-travel pin falls
     // back to the real (versioned) scan rather than answering from
     // the wrong snapshot's manifest
-    if (a.groupByExpressions.nonEmpty || anyFilter || asOf.isDefined)
+    if (a.groupByExpressions.nonEmpty || anyFilter || asOf.isDefined ||
+        dvOnly)
       return None
     // ONE snapshot for every leg: a COUNT and a MAX in one result row
     // must describe the SAME version, never a torn mix of two racing
@@ -694,7 +705,7 @@ private class GraftScanBuilder(root: String, full: StructType,
     case Some((schema, row)) => new GraftAggScan(root, schema, row)
     case None => new GraftBatchScan(root, required,
       physSchema(required), physSchema(full),
-      usable.map(GraftBatchScan.mapFilter(phys)), asOf)
+      usable.map(GraftBatchScan.mapFilter(phys)), asOf, dvOnly)
   }
 }
 
@@ -814,7 +825,8 @@ private object GraftBatchScan {
   * DV anti-apply (`bare = true`: data columns only, no feed tail). */
 private class GraftBatchScan(root: String, required: StructType,
     physRequired: StructType, physFull: StructType,
-    pushed: Array[Filter], asOf: Option[Long] = None)
+    pushed: Array[Filter], asOf: Option[Long] = None,
+    dvOnly: Boolean = false)
     extends Scan with Batch {
   // Spark matches the scan's output by THIS schema (logical names);
   // the partitions carry the physical-named twin for the file decode —
@@ -828,6 +840,7 @@ private class GraftBatchScan(root: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val es = asOf.map(v => TableCommit.entriesAtVersion(root, v))
       .getOrElse(TableCommit.entries(root))
+      .filter(e => !dvOnly || e.stats.contains(TableCommit.DvKey))
       .filter(e => pushed.forall(f =>
         GraftBatchScan.mightMatch(physFull, e, f)))
     // X295: serve raw ColumnarBatches when the WHOLE scan can — every

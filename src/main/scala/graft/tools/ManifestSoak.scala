@@ -58,6 +58,8 @@ object ManifestSoak {
         pins(spark, args(1).toInt, args(2).toInt)
       case Some("crossfacet") =>
         crossfacet(spark, args(1).toInt)
+      case Some("bloom") =>
+        bloom(spark, args(1).toInt, args(2).toInt, args(3).toInt)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
@@ -166,6 +168,18 @@ object ManifestSoak {
     val r1 = System.nanoTime()
     val n1 = TableCommit.read(spark, root, schema).count()
     val readDv = (System.nanoTime() - r1) / 1e9
+    // the STRUCTURAL floor for any filtered count: a clean COUNT(*)
+    // short-circuits to row-group metadata (reads zero rows), while a
+    // DV'd count must stream every row index through the probe — so
+    // the fair yardstick is a clean scan with a row-index filter that
+    // keeps everything
+    val fl0 = System.nanoTime()
+    spark.read.schema(schema)
+      .parquet(TableCommit.entries(root)
+        .map(e => s"$root/${e.path}"): _*)
+      .select(col("_metadata.row_index").as("_p"))
+      .filter(col("_p") >= 0L).count()
+    val floorT = (System.nanoTime() - fl0) / 1e9
     val f0 = System.nanoTime()
     val cdf = TableCommit.readChangesFull(spark, root, schema, 1L, 2L)
       .count()
@@ -174,7 +188,8 @@ object ManifestSoak {
       f"perMille=$perMille inlineMax=$inlineMax")
     println(f"[dvsoak] deleteCommit=$delT%.2f s deleted=${n0 - n1} " +
       f"readPlain=$readPlain%.2f s readDv=$readDv%.2f s " +
-      f"overhead=${readDv / readPlain}%.2f")
+      f"overhead=${readDv / readPlain}%.2f " +
+      f"filteredCleanFloor=$floorT%.2f s vsFloor=${readDv / floorT}%.2f")
     println(f"[dvsoak] manifestBytes before=$bytesBefore " +
       f"after=$bytesAfter growth=${bytesAfter - bytesBefore} " +
       f"sidecarBytes=$sidecarBytes")
@@ -311,6 +326,32 @@ object ManifestSoak {
       f"pinnedRowsStillReadable=$n1 manifestsPresent=$manifests")
   }
 
+  /** `bloom <files> <rowsPerFile> <m>` (VERDICT r13 task 7 witness):
+    * one many-file commit, then `commitReindexBloom` at bloom geometry
+    * `m/4` — reports reindex wall time and the post-GC driver heap
+    * delta across the reindex. With the executor-side fold the delta
+    * must stay ~(files × m/8 bytes of hex), never (files × positions ×
+    * boxed ints); a pruning probe validates the rebuilt index. */
+  private def bloom(spark: SparkSession, files: Int, rows: Int,
+      m: Int): Unit = {
+    val root = Files.createTempDirectory("graft_bsoak_").toString + "/t"
+    val df = spark.range(files.toLong * rows)
+      .selectExpr("id as k", "cast(id % 1000 as string) as tag")
+      .repartition(files)
+    TableCommit.commitAppend(df, root, retain = 4)
+    val heap0 = usedHeap()
+    val t0 = System.nanoTime()
+    TableCommit.commitReindexBloom(spark, root, "tag", m = m, k = 4,
+      retain = 4)
+    val dt = (System.nanoTime() - t0) / 1e9
+    val heap1 = usedHeap()
+    val kept = TableCommit.pruneEntriesBloom(root, "tag", "42").size
+    val total = TableCommit.entries(root).size
+    println(f"[bsoak] files=$files rowsPerFile=$rows m=$m " +
+      f"reindex=$dt%.1f s heapDelta=${(heap1 - heap0) / 1048576}%,d MB " +
+      f"bloomKept=$kept/$total manifestBytes=${logBytes(root)}%,d")
+  }
+
   /** `crossfacet <commitTarget>` (VERDICT r13 task 8): every
     * concurrency seam COMPOSED against ONE table — concurrent SQL
     * `INSERT INTO` (DSv2 two-phase write, auto-rebase) and `DELETE
@@ -358,9 +399,14 @@ object ManifestSoak {
         }, name)
       t.setDaemon(true); t.start(); t
     }
-    // SQL INSERT: 100 fresh keys per statement (low key space)
+    // SQL INSERT: 100 fresh keys per statement (low key space).
+    // Paced: the feed's retention contract is "poll at least once per
+    // `retain` commits" — an unthrottled producer can outrun the
+    // replica's apply rate and sweep its planned files out from under
+    // it (the first soak run demonstrated exactly that, loudly)
     val tIns = actor("sql-insert") {
       while (!stop.get()) {
+        Thread.sleep(100L)
         val b = insBatches.get()
         spark.range(b * 100L, b * 100L + 100L)
           .selectExpr("id AS k", "id AS v")
@@ -406,39 +452,49 @@ object ManifestSoak {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime("300 milliseconds"))
       .start()
-    // full-CDC replica: applies each SOURCE VERSION's deletes then
-    // inserts, in version order (an epoch can span an insert AND a
-    // later delete of one key — applying all deletes first would
-    // resurrect it). Idempotence is per VERSION, not per epoch: the
-    // insert leg carries the source version as its txn id (monotone),
-    // so a crash-replay skips applied versions, and re-deleting
-    // already-dead keys in a half-applied version is a no-op by DV
-    // construction.
+    // full-CDC replica: each epoch COLLAPSES to its net effect per
+    // key — the row with the lexicographically greatest
+    // (version, insert-flag) wins, so an insert-then-delete nets to
+    // delete, a melt's same-version delete+insert nets to insert —
+    // then applies as ONE upsert: DV-delete every epoch key present
+    // in the replica, append the net-insert images. Two commits per
+    // epoch regardless of the version span, which is what lets the
+    // replica keep up inside the feed's retention window. Idempotence:
+    // the append carries the epoch's MAX source version as its txn id
+    // (monotone); a crash-replay re-derives the identical epoch, the
+    // re-delete of dead keys is a no-op by DV construction and the
+    // re-append lands zero rows.
     val feedSchema = schema.add("_commit_version", LongType,
       nullable = false).add("_change_type", StringType, nullable = false)
     def applyEpoch(batch: org.apache.spark.sql.DataFrame,
         id: Long): Unit = {
-      val versions = batch.select(col("_commit_version")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      versions.foreach { v =>
-        if (!TableCommit.lastTxnId(dst).exists(_ >= v)) {
-          val slice = batch.filter(col("_commit_version") === v)
-          val dels = slice.filter(col("_change_type") === "delete")
-            .select(col("k")).distinct().collect().map(_.getLong(0))
-          if (dels.nonEmpty && TableCommit.currentVersion(dst).isDefined)
-            TableCommit.commitDeleteRows(batch.sparkSession, dst, schema,
-              col("k").isin(dels.toIndexedSeq: _*), retain = 128,
-              conflictRetries = 50)
-          TableCommit.commitAppendTxn(
-            slice.filter(col("_change_type") === "insert")
-              .select(col("k"), col("v")),
-            dst, txnId = v, retain = 128, conflictRetries = 50)
-        }
-      }
+      val net = batch
+        .withColumn("r", struct(col("_commit_version"),
+          (col("_change_type") === "insert").cast("int").as("ins"),
+          col("v")))
+        .groupBy(col("k")).agg(max(col("r")).as("r"))
+        .select(col("k"), col("r._commit_version").as("ver"),
+          col("r.ins").as("ins"), col("r.v").as("v"))
+        .collect()
+      if (net.isEmpty) return
+      val hi = net.map(_.getLong(1)).max
+      if (TableCommit.lastTxnId(dst).exists(_ >= hi)) return
+      val allKeys = net.map(_.getLong(0))
+      if (TableCommit.currentVersion(dst).isDefined)
+        TableCommit.commitDeleteRows(batch.sparkSession, dst, schema,
+          col("k").isin(allKeys.toIndexedSeq: _*), retain = 128,
+          conflictRetries = 50)
+      val sess = batch.sparkSession
+      import sess.implicits._
+      val inserts = net.filter(_.getInt(2) == 1)
+        .map(r => (r.getLong(0), r.getLong(3))).toIndexedSeq
+      TableCommit.commitAppendTxn(
+        sess.createDataset(inserts).toDF("k", "v").repartition(4),
+        dst, txnId = hi, retain = 128, conflictRetries = 50)
     }
     val replica = spark.readStream.format("graft-cdf")
       .schema(feedSchema).option("root", src).option("mode", "full")
-      .option("maxversionspertrigger", "16").load()
+      .option("maxversionspertrigger", "64").load()
       .writeStream
       .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
         applyEpoch(b, id))
@@ -446,8 +502,18 @@ object ManifestSoak {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime("300 milliseconds"))
       .start()
+    var lastReport = 0L
     while (version() < target && errors.isEmpty &&
-        (System.nanoTime() - t0) / 1e9 < 900.0) Thread.sleep(250L)
+        (System.nanoTime() - t0) / 1e9 < 900.0) {
+      Thread.sleep(250L)
+      val el = ((System.nanoTime() - t0) / 1e9).toLong
+      if (el / 30L > lastReport) {
+        lastReport = el / 30L
+        println(s"[xfacet] progress: v=${version()} elapsed=${el}s " +
+          s"ins=${insBatches.get()} del=${delRounds.get()} " +
+          s"melts=${melts.get()}")
+      }
+    }
     stop.set(true)
     tIns.join(30000); tDel.join(30000); tMaint.join(30000)
     stream.stop(); stream.awaitTermination()

@@ -286,6 +286,12 @@ class CatalogSpec extends AnyFunSuite {
     // time travel serves the era's names: version 4 predates the rename
     assert(spark.sql(s"SELECT SUM(amt) FROM $cat.t VERSION AS OF 4")
       .collect()(0).getLong(0) === (0L until 400L).map(_ * 2L).sum)
+    // renaming ONTO an existing identity column is refused — the
+    // derived logical schema would otherwise carry the name twice
+    val clash = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN cents TO k")
+    }
+    assert(clash.getMessage.contains("already exists"))
   }
 
   test("reserved names and nesting are refused: SQL can't reach table internals") {

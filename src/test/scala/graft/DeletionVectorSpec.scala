@@ -454,20 +454,31 @@ class DeletionVectorSpec extends AnyFunSuite {
       assert(readAll() === a1)
       assert(readIds() === i1)
       assert(feedDel() === f1)
-      // the plan is join-free: the anti-apply is a scan filter
+      // X296b: above the broadcast threshold a SNAPSHOT read routes
+      // its DV'd files through the connector's vectorized row-view
+      // partitions (the skip lives in the reader cursor) — join-free
+      // by construction, no tagged probe in the plan at all
       val plan = TableCommit.read(spark, r, schema)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("LeftAnti"),
         s"bitmap path must not anti-join:\n$plan")
-      // X296: the probe is the codegen'd native, not a Scala UDF —
-      // the Filter carrying it sits INSIDE a WholeStageCodegen span
-      // (the `*(n)` prefix), so the scan→filter pipeline never drops
-      // out of generated code
-      assert(plan.contains("graft_dv_probe"),
-        s"anti-apply must use the native probe:\n$plan")
-      assert(plan.linesIterator.exists(l =>
-        l.contains("Filter graft_dv_probe") && l.contains("*(")),
-        s"the probe filter must be whole-stage-codegen'd:\n$plan")
+      assert(plan.contains("graft-table"),
+        s"the DV'd leg must ride the connector row-view:\n$plan")
+      // X296: the FEED legs (which need per-row positions regardless)
+      // keep the codegen'd native probe — the Filter carrying it sits
+      // INSIDE a WholeStageCodegen span (the `*(n)` prefix), so the
+      // scan→filter pipeline never drops out of generated code
+      // the v2 delete (67 fresh positions > the forced threshold) —
+      // v3's single-position delta legitimately takes the broadcast leg
+      val feedPlan = TableCommit.readChangesFull(spark, r, schema,
+        v3 - 2L, v3 - 1L).filter(col("_change_type") === "delete")
+        .queryExecution.executedPlan.toString
+      assert(feedPlan.contains("graft_dv_probe"),
+        s"the feed's positions leg must use the native probe:\n$feedPlan")
+      assert(feedPlan.linesIterator.exists(l =>
+        l.contains("graft_dv_probe") && l.contains("Filter") &&
+          l.contains("*(")),
+        s"the probe filter must be whole-stage-codegen'd:\n$feedPlan")
     } finally TableCommit.dvBroadcastThreshold = orig
   }
 
