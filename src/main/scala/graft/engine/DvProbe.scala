@@ -66,8 +66,10 @@ final class DvSingleHolder(bytes: Array[Byte], keepInside: Boolean)
     * realistic row-group math), and the int bitmap's array/bitset
     * containers probe in a few ns where the 64-bit navigable form
     * pays a map walk — this probe runs once per surviving row. */
-  @transient private lazy val state
-      : (Long, Long, org.roaringbitmap.RoaringBitmap) = {
+  private final class SingleState(val lo: Long, val hi: Long,
+      val bm: org.roaringbitmap.RoaringBitmap)
+
+  @transient private lazy val state: SingleState = {
     val bm64 = new org.roaringbitmap.longlong.Roaring64Bitmap()
     bm64.deserialize(new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes)))
@@ -83,12 +85,12 @@ final class DvSingleHolder(bytes: Array[Byte], keepInside: Boolean)
       if (v < lo) lo = v
       if (v > hi) hi = v
     }
-    (lo, hi, bm)
+    new SingleState(lo, hi, bm)
   }
   def keep(pos: Long): Boolean = {
-    val (lo, hi, bm) = state
-    if (pos < lo || pos > hi) !keepInside
-    else bm.contains(pos.toInt) == keepInside
+    val st = state
+    if (pos < st.lo || pos > st.hi) !keepInside
+    else st.bm.contains(pos.toInt) == keepInside
   }
 }
 

@@ -3270,7 +3270,20 @@ object TableCommit {
           // path — every second-and-later delete on a file) skip the
           // shrink leg entirely (it was provably empty: monotone union
           // ⇒ before ⊆ after) and keep exact freshCounts.
-          val isRestore = raw.restore
+          // LEGACY fallback (review finding): manifests written before
+          // the marker existed can't carry it — a version where any
+          // persisting file's DV count DECREASED or a DV vanished is
+          // restore-evidence regardless, so pre-marker restore logs
+          // keep their resurrection legs. (A pre-marker EQUAL-COUNT
+          // non-subset restore is the one residual shape a legacy log
+          // cannot flag; every log this binary writes is marked.)
+          val isRestore = raw.restore || next.exists { e =>
+            curBy.get(e.path).exists { pe =>
+              pe.stats.get(DvKey).exists(b =>
+                e.stats.get(DvKey).forall(a =>
+                  a.max.toLong < b.max.toLong))
+            }
+          }
           val dvGrown = next.flatMap { e =>
             curBy.get(e.path) match {
               case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey)
@@ -4141,6 +4154,12 @@ object TableCommit {
         schema)
     val dvs = es.filter(_.stats.contains(DvKey))
     if (dvs.isEmpty) return readLive(spark, root, Some(schema), es)
+    // purge-sized deletes (≤ the broadcast threshold) keep the OLD
+    // shape — splittable whole-stage-codegen scan + tiny broadcast
+    // anti-join — which beats per-file row-view partitions when the
+    // vector is small and the files may be large (review finding)
+    if (dvs.map(deletedCount).sum <= dvBroadcastThreshold)
+      return readLive(spark, root, Some(schema), es)
     requireUniqueLeaves(root, es)
     val dvPart = spark.read.format("graft-table").schema(schema)
       .option("root", root)

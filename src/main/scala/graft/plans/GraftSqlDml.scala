@@ -240,7 +240,12 @@ case class GraftMergeCommand(root: String, tableSchema: StructType,
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
     val src = Shim.ofRows(spark, source)
-    val dup = src.groupBy(keyCols.map(col): _*)
+    // NULL join keys never match any target row under ANSI (they are
+    // plain NOT MATCHED inserts) — exclude them from the
+    // multiple-match probe (review finding)
+    val dup = src
+      .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
       .count().filter(col("count") > 1L).limit(1).count()
     if (dup > 0L) throw new IllegalStateException(
       s"MERGE INTO at $root: the source matches some target key with " +

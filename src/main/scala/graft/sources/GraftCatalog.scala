@@ -262,6 +262,13 @@ class GraftCatalog extends TableCatalog {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft ALTER TABLE: nested fields are not supported")
+        // loud, not lossy (review finding): pre-existing rows read
+        // NULL for an added column by construction, so a NOT NULL
+        // constraint cannot be honored — refuse rather than silently
+        // minting a nullable column under a NOT NULL declaration
+        require(a.isNullable,
+          "graft ALTER TABLE ADD COLUMN: NOT NULL is not supported — " +
+            "files written before the column exists read NULL for it")
         val name = a.fieldNames()(0)
         val base0 = baseSchema(root)
         val cm = TableCommit.colMapping(root)
@@ -413,16 +420,15 @@ private[graft] class GraftCatalogTable(schema0: StructType,
     // X298: the engine scan runs under PHYSICAL names — translate the
     // predicate's column references and the scan schema through the
     // mapping (identity when unmapped)
-    val physSchema = StructType(schema0.fields.toIndexedSeq.map(f =>
-      f.copy(name = mapping.getOrElse(f.name, f.name))))
     val pred = filters.toSeq
       .map(f => GraftCatalogTable.filterCol(
         c => mapping.getOrElse(c, c))(f).getOrElse(
         throw new UnsupportedOperationException(
           s"DELETE predicate not translatable: $f")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    TableCommit.commitDeleteRows(SparkSession.active, root, physSchema,
-      pred, retain = retain, conflictRetries = conflictRetries)
+    TableCommit.commitDeleteRows(SparkSession.active, root,
+      physicalSchema, pred, retain = retain,
+      conflictRetries = conflictRetries)
     ()
   }
 }

@@ -361,7 +361,9 @@ private object GraftCdfReaderFactory extends PartitionReaderFactory {
     if (part.bare && !part.withIds &&
         GraftVectorized.supportedSchema(part.dataSchema)) {
       try new GraftVectorizedRowReader(part)
-      catch { case _: Throwable => new GraftCdfFileReader(part) }
+      catch { case scala.util.control.NonFatal(_) =>
+        new GraftCdfFileReader(part)
+      }
     } else new GraftCdfFileReader(part)
   }
 }
@@ -374,8 +376,11 @@ private class GraftVectorizedRowReader(p: CdfFilePartition)
     extends PartitionReader[InternalRow] {
   require(p.bare && !p.emitOnly && !p.withIds,
     s"vectorized row view supports bare live scans only: ${p.absPath}")
-  private val rdr = GraftVectorized.open(p.absPath, p.dataSchema)
+  // DV decode FIRST (review finding): if the sidecar read throws, no
+  // parquet reader has been opened yet — nothing leaks into the
+  // factory's Group-reader fallback
   private val marked = GraftCdfFileReader.markedSet(p)
+  private val rdr = GraftVectorized.open(p.absPath, p.dataSchema)
   private var pos = -1L
   override def next(): Boolean = {
     while (rdr.nextKeyValue()) {

@@ -82,6 +82,12 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.c ALTER COLUMN k TYPE STRING")
     }
+    // NOT NULL on ADD COLUMN cannot be honored (old rows read NULL):
+    // refused loudly, never silently minted nullable
+    val nn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.c ADD COLUMN z BIGINT NOT NULL")
+    }
+    assert(nn.getMessage.contains("NOT NULL"))
     spark.sql(s"DROP TABLE $cat.c")
     assert(!Files.exists(Paths.get(wh, "c")))
     intercept[org.apache.spark.sql.AnalysisException] {
@@ -199,6 +205,17 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(del.getMessage.contains("commitMergeRows") ||
       del.getMessage.contains("not supported"))
+    // NULL source keys never match under ANSI — they are plain
+    // NOT MATCHED inserts, never a spurious multiple-match refusal
+    val before = spark.sql(s"SELECT COUNT(*) FROM $cat.t")
+      .collect()(0).getLong(0)
+    spark.sql("SELECT CAST(NULL AS BIGINT) AS k, 'n1' AS v " +
+      "UNION ALL SELECT CAST(NULL AS BIGINT), 'n2'")
+      .createOrReplaceTempView("mrg_null")
+    spark.sql(s"MERGE INTO $cat.t USING mrg_null ON t.k = mrg_null.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").collect()(0)
+      .getLong(0) === before + 2L)
   }
 
   test("SQL UPDATE and MERGE preserve row lineage on a tracked table (X297)") {
