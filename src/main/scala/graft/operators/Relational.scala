@@ -3562,10 +3562,14 @@ object Relational {
     * and the mapping flag. A history that loses a header across
     * maintenance, or misreports a rewrite as an append, breaks the
     * hash. */
-  def tableHistoryQ(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared X282/X304 history fixture: one of everything — a
+    * txn-stamped tracked append (full manifest), a second (delta), a
+    * row-level DELETE (DV growth), a column RENAME (metadata-only),
+    * an id-preserving OPTIMIZE (2 removed, 1 added). Returns the
+    * committed table's root. */
+  private def historyFixture(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.engine.TableCommit
-    import spark.implicits._
     val root = graft.engine.TempWarehouse.createManaged("graft_histq_") +
       "/events"
     val schema = StructType(Seq(StructField("event_id", LongType),
@@ -3585,12 +3589,35 @@ object Relational {
       retain = 16)
     TableCommit.commitCompact(spark, root, targetFiles = 1,
       sortCol = Some("event_id"), retain = 16, preserveRowIds = true)
+    root
+  }
+
+  def tableHistoryQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.engine.TableCommit
+    import spark.implicits._
+    val root = historyFixture(spark, sfDir)
     TableCommit.history(root)
       .map(i => (i.version, i.kind, i.added, i.removed, i.dvGrown,
         i.txn.get, i.ridHighWater.get, i.mapped))
       .toDF("version", "kind", "n_added", "n_removed", "dv_grown",
         "txn", "rid_hw", "mapped")
       .orderBy(col("version"))
+  }
+
+  // `q_sql_history` (X304): DESCRIBE HISTORY through pure SQL
+
+  /** `q_sql_history` (X304): the `graft_history('<root>')` table
+    * function — the X282 walk surfaced as SQL, over the SAME fixture
+    * and against the SAME oracle as `q_table_history`: the TVF's
+    * planning-time LocalRelation must reproduce every per-version
+    * kind/file-delta/DV-growth/header row bit-for-bit or the shared
+    * hash breaks. */
+  def sqlHistoryQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = historyFixture(spark, sfDir)
+    spark.sql(
+      s"""SELECT version, kind, n_added, n_removed, dv_grown, txn,
+         |  rid_hw, mapped
+         |FROM graft_history('$root') ORDER BY version""".stripMargin)
   }
 
   val tableHistoryOracle: String =

@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Winnow.functions)
       .foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => HofVectorize)
+    // X304: DESCRIBE HISTORY as SQL — graft_history('<root>') TVF
+    GraftHistoryTvf.functions.foreach(ext.injectTableFunction)
     // X297: SQL UPDATE / MERGE INTO on graft-catalog tables → the
     // engine's merge-on-read DV commits (post-hoc: after resolution,
     // before Spark's row-level-operation check would refuse them)

@@ -311,6 +311,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("already exists"))
   }
 
+  test("graft_history TVF surfaces the commit log in pure SQL (X304)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.range(10L).select(col("id").as("k"), lit("a").as("v"))
+      .createOrReplaceTempView("hist_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM hist_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k + 10, v FROM hist_src")
+    spark.sql(s"DELETE FROM $cat.t WHERE k < 3")
+    val rows = spark.sql(
+      s"""SELECT version, kind, n_added, n_removed, dv_grown
+         |FROM graft_history('$wh/t') ORDER BY version""".stripMargin)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(0).getString(1) === "full")
+    assert(rows(1).getString(1) === "delta",
+      "the second DSv2 INSERT must publish a delta manifest (X303)")
+    assert(rows(2).getLong(4) > 0L, "the DELETE shows as DV growth")
+    // a non-literal argument is refused loudly (the walk is
+    // planning-time)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_history(current_date())").collect()
+    }
+    assert(ex.getMessage.contains("STRING literal") ||
+      ex.getMessage.toLowerCase.contains("cannot"))
+  }
+
   test("reserved names and nesting are refused: SQL can't reach table internals") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
