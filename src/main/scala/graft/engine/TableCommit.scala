@@ -3014,6 +3014,27 @@ object TableCommit {
         if (preserveRowIds) Some(rowIdHighWaterAt(root, base)) else None)
   }
 
+  /** A `WHEN NOT MATCHED BY SOURCE` clause for [[commitMergeRows]]
+    * (X306, VERDICT r14 task 2): the snapshot-sync half of ANSI MERGE —
+    * live TARGET rows whose key the source does NOT carry are deleted
+    * (their positions join the same DV commit) or updated in place
+    * (DV-delete + updated image, the [[commitUpdateRows]] shape), in
+    * the SAME atomic commit as the upsert legs. `condition` (over
+    * target columns) narrows the victim set; absent means all
+    * unmatched live rows. */
+  sealed trait MergeNmbs {
+    def condition: Option[org.apache.spark.sql.Column]
+  }
+  object MergeNmbs {
+    final case class Delete(
+        condition: Option[org.apache.spark.sql.Column] = None)
+        extends MergeNmbs
+    final case class Update(
+        assignments: Seq[(String, org.apache.spark.sql.Column)],
+        condition: Option[org.apache.spark.sql.Column] = None)
+        extends MergeNmbs
+  }
+
   /** Merge-on-read MERGE / upsert (X272): each source row REPLACES the
     * live target row with its key (matched → DV-delete old image +
     * insert new) or inserts fresh (not matched) — one atomic commit.
@@ -3022,12 +3043,24 @@ object TableCommit {
     * target file.
     *
     * `source` must be unique on `keyCols` (the caller's upsert batch
-    * contract — dedup first if not, e.g. last-write-wins row_number)
-    * and is assumed BATCH-SIZED: its distinct keys broadcast to the
-    * target scan. That assumption is now SELF-ENFORCING (VERDICT r12):
-    * a source with more than `maxBroadcastKeys` distinct keys refuses
-    * loudly before touching the table — a source too big to broadcast
-    * is the copy-on-write MERGE's territory.
+    * contract — dedup first if not, e.g. last-write-wins row_number).
+    * It is materialized ONCE (spill-safe persist) and every pass —
+    * key probe, victim match, image staging — reads that single
+    * evaluation, so a non-deterministic source (rand(), a view over
+    * changing data) cannot match one value and store another, and a
+    * deterministic one never pays its computation twice (ADVICE r14).
+    *
+    * Join strategy is a measured ROUTER, not a refusal (X305, VERDICT
+    * r14 task 1): a source at or under `maxBroadcastKeys` distinct
+    * keys broadcasts to the target scan (the common batch-upsert
+    * shape — zero shuffle of the table); above it the SAME plan runs
+    * as a shuffle hash/sort-merge join on the keys — the target scan
+    * and the source exchange on `keyCols`, per-file victim positions
+    * still fold executor-side ([[dvEncodeDistributed]]), and the
+    * driver never sees a key either way. At 100 TB a 50M-key daily
+    * upsert batch commits damage-proportionally instead of being
+    * routed to copy-on-write file rewrites. The probe is
+    * early-terminating (limit + count) and reads the persisted source.
     *
     * `preserveRowIds = true` (X278, VERDICT r12 task 1) gives the MERGE
     * the UPDATE's lineage semantics on a TRACKED table: a matched
@@ -3039,29 +3072,28 @@ object TableCommit {
     * delete-one-id/create-another. If several live rows share a key
     * (a target written outside the merge contract), they all
     * DV-delete and the image carries the SMALLEST of their ids
-    * forward. */
+    * forward. NOT-MATCHED-BY-SOURCE updates preserve ids the same way
+    * an UPDATE does. */
   def commitMergeRows(spark: SparkSession, root: String,
       schema: StructType, source: DataFrame, keyCols: Seq[String],
       retain: Int = 1, inlineDvMax: Int = DvInlineMax,
       statsCols: Seq[String] = Nil, conflictRetries: Int = 0,
       preserveRowIds: Boolean = false,
-      maxBroadcastKeys: Int = 5000000): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, min => colMin}
+      maxBroadcastKeys: Int = 5000000,
+      notMatchedBySource: Option[MergeNmbs] = None): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, min => colMin}
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
-    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
-    // the broadcast's legality was a docstring; make it a check. The
-    // probe is early-terminating (limit + count) and batch-sized by
-    // the same contract it enforces.
     require(maxBroadcastKeys > 0 && maxBroadcastKeys < Int.MaxValue,
       s"bad maxBroadcastKeys $maxBroadcastKeys")
-    val probe = keys.limit(maxBroadcastKeys + 1).count()
-    require(probe <= maxBroadcastKeys,
-      s"merge source carries more than $maxBroadcastKeys distinct " +
-        s"keys at $root — too large for the broadcast merge-on-read " +
-        "path; use the copy-on-write MERGE (J2) or raise " +
-        "maxBroadcastKeys if the cluster can hold the broadcast")
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    val bcast = keys.limit(maxBroadcastKeys + 1).count() <= maxBroadcastKeys
+    // broadcast under the ceiling, shuffle join above it — the hint is
+    // the ONLY difference between the two paths
+    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     if (es.isEmpty) {
       // bootstrap: insert-only into a virgin table
       if (!preserveRowIds)
@@ -3096,13 +3128,42 @@ object TableCommit {
             "the new rows miss its keys")
         else None
       }
+    // X306: the NOT-MATCHED-BY-SOURCE victim rows of `live` (anti-join
+    // on the keys, optional condition) — their positions ride the same
+    // DV fold as the matched victims; an UPDATE clause also stages
+    // their updated images
+    def nmbsRows(live: DataFrame): Option[DataFrame] =
+      notMatchedBySource.map(n =>
+        live.join(hinted(keys), keyCols, "left_anti")
+          .filter(n.condition.getOrElse(lit(true))))
+    def allVictimPos(matched: DataFrame,
+        nmbs: Option[DataFrame]): DataFrame = {
+      val m = matched.select(col("_g_leaf"), col("_g_pos"))
+      nmbs.fold(m)(n =>
+        m.unionAll(n.select(col("_g_leaf"), col("_g_pos"))))
+    }
+    def nmbsImages(nmbs: Option[DataFrame],
+        withIds: Boolean): Seq[Entry] =
+      (notMatchedBySource, nmbs) match {
+        case (Some(MergeNmbs.Update(assigns, _)), Some(rows)) =>
+          val cols = (schema.fieldNames.toSeq ++
+            (if (withIds) Seq(RowIdCol) else Nil)).map(col)
+          val upd = assigns.foldLeft(rows) {
+            case (d, (c, e)) => d.withColumn(c, e)
+          }.select(cols: _*)
+          val staged = stageBatch(upd, root, None,
+            if (withIds) statsCols :+ RowIdCol else statsCols)
+          if (withIds) staged.map(markRidStats) else staged
+        case _ => Seq.empty
+      }
     if (!preserveRowIds) {
-      val victims = liveWithPos(spark, root, schema, es)
-        .join(broadcast(keys), keyCols, "left_semi")
+      val live = liveWithPos(spark, root, schema, es)
+      val victims = live.join(hinted(keys), keyCols, "left_semi")
+      val nmbs = nmbsRows(live)
       val encoded = dvEncodeDistributed(spark, root,
-        victims.select(col("_g_leaf"), col("_g_pos")),
-        existingDvByLeaf(es), inlineDvMax)
-      val staged = stageBatch(src, root, None, statsCols)
+        allVictimPos(victims, nmbs), existingDvByLeaf(es), inlineDvMax)
+      val staged = stageBatch(src, root, None, statsCols) ++
+        nmbsImages(nmbs, withIds = false)
       publishRebasing(root, base,
         build = cur => applyEncodedDv(cur, encoded) ++ staged,
         conflictsWith = strict(encoded.keySet),
@@ -3112,22 +3173,23 @@ object TableCommit {
       val live = liveWithIdsAndPos(spark, root, schema, es)
         .getOrElse(throw new IllegalStateException("non-empty entry " +
           "list produced no live scan")) // es.nonEmpty ⇒ Some
-      val victims = live.join(broadcast(keys), keyCols, "left_semi")
+      val victims = live.join(hinted(keys), keyCols, "left_semi")
+      val nmbs = nmbsRows(live)
       val encoded = dvEncodeDistributed(spark, root,
-        victims.select(col("_g_leaf"), col("_g_pos")),
-        existingDvByLeaf(es), inlineDvMax)
+        allVictimPos(victims, nmbs), existingDvByLeaf(es), inlineDvMax)
       // one inherited id per matched key (smallest, if duplicated)
       val vicIds = victims
         .groupBy(keyCols.map(col): _*)
         .agg(colMin(col(RowIdCol)).as(RowIdCol))
       val imageCols = (schema.fieldNames.toSeq :+ RowIdCol).map(col)
-      val matched = src.join(broadcast(vicIds), keyCols, "inner")
+      val matched = src.join(hinted(vicIds), keyCols, "inner")
         .select(imageCols: _*)
       val fresh = src.join(
-        broadcast(vicIds.select(keyCols.map(col): _*)), keyCols,
+        hinted(vicIds.select(keyCols.map(col): _*)), keyCols,
         "left_anti")
       val stagedMatched = stageBatch(matched, root, None,
-        statsCols :+ RowIdCol).map(markRidStats)
+        statsCols :+ RowIdCol).map(markRidStats) ++
+        nmbsImages(nmbs, withIds = true)
       val stagedFresh0 = stageBatch(fresh, root, None, statsCols,
         collectRows = true)
       require(stagedFresh0.forall(_.rows.isDefined),
@@ -3142,6 +3204,7 @@ object TableCommit {
         conflictsWith = strict(encoded.keySet),
         retain, conflictRetries, ridHighWater = Some(acc))
     }
+    } finally src.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------------

@@ -1511,6 +1511,75 @@ object Relational {
       |  CAST(SUM(k) AS BIGINT) AS key_sum
       |FROM final GROUP BY 1 ORDER BY st""".stripMargin
 
+  // `q_sql_merge_nmbs` (X306): WHEN NOT MATCHED BY SOURCE
+
+  /** `q_sql_merge_nmbs` (X306, VERDICT r14 task 2): the snapshot-sync
+    * MERGE — `WHEN NOT MATCHED BY SOURCE` in BOTH variants, each in
+    * the same atomic commit as its upsert legs. Merge 1 (DELETE
+    * variant): target = even orders, source = `k%4 ∈ {0,1}` with
+    * doubled cents — matched evens update, odd keys insert, and
+    * unmatched target rows with `st = 'F'` are DV-deleted. Merge 2
+    * (UPDATE variant): source = `k%8 = 1` at 4× cents — those update
+    * in place, and every OTHER surviving row with `st = 'O'` takes
+    * `c + 7` without being in the source at all. The oracle derives
+    * the final state set-theoretically; a leaked deleted row, an
+    * un-bumped bystander, or an NMBS clause that also fired on
+    * MATCHED rows all break the hash. */
+  def sqlMergeNmbsQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalog(spark, sfDir) { (cat, src) =>
+      spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+      spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
+        "WHERE k % 2 = 0")
+      val m1 = src + "_nmbs1"; val m2 = src + "_nmbs2"
+      spark.sql(s"SELECT k, st, c * 2 AS c FROM $src WHERE k % 4 <= 1")
+        .createOrReplaceTempView(m1)
+      spark.sql(
+        s"""MERGE INTO $cat.orders USING $m1 ON orders.k = $m1.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND st = 'F' THEN DELETE""".stripMargin)
+      spark.sql(s"SELECT k, st, c * 4 AS c FROM $src WHERE k % 8 = 1")
+        .createOrReplaceTempView(m2)
+      spark.sql(
+        s"""MERGE INTO $cat.orders USING $m2 ON orders.k = $m2.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND st = 'O'
+           |  THEN UPDATE SET c = c + 7""".stripMargin)
+      val out = spark.sql(
+        s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+           |  SUM(k) AS key_sum
+           |FROM $cat.orders GROUP BY st ORDER BY st""".stripMargin)
+      val rows = out.collect().toIndexedSeq
+      spark.catalog.dropTempView(m1)
+      spark.catalog.dropTempView(m2)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, out.schema)
+    }.orderBy(col("st"))
+
+  val sqlMergeNmbsOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |m1 AS (
+      |  SELECT k, st, c * 2 AS c FROM base WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT k, st, c * 2 AS c FROM base WHERE k % 4 = 1
+      |  UNION ALL
+      |  SELECT k, st, c FROM base
+      |  WHERE k % 2 = 0 AND k % 4 = 2 AND st <> 'F'),
+      |m2 AS (
+      |  SELECT m1.k, m1.st,
+      |    CASE WHEN m1.k % 8 = 1 THEN b.c * 4
+      |         WHEN m1.st = 'O' THEN m1.c + 7
+      |         ELSE m1.c END AS c
+      |  FROM m1 JOIN base b ON m1.k = b.k)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM m2 GROUP BY 1 ORDER BY st""".stripMargin
+
   // `q_sql_evolution` (X298): ALTER TABLE over the column mapping
 
   /** `q_sql_evolution` (X298): SQL schema evolution end to end —
@@ -2883,6 +2952,62 @@ object Relational {
       |  FROM base
       |  UNION ALL
       |  SELECT k + 100000000, 'N', c FROM base WHERE k % 97 = 3)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS cents_sum,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM final GROUP BY 1 ORDER BY st""".stripMargin
+
+  // `q_merge_mor_big` (X305): the shuffle merge-on-read MERGE
+
+  /** `q_merge_mor_big` (X305, VERDICT r14 task 1): the merge-on-read
+    * MERGE ABOVE the broadcast ceiling — `maxBroadcastKeys` is forced
+    * far below the fixture's key count, so the router takes the
+    * SHUFFLE path: target scan and source exchange on the key, victim
+    * positions still fold executor-side, the driver never holds a key
+    * set. Same commit semantics as `q_merge_mor` — a matched row
+    * surviving with old cents, a lost insert, or a double-apply breaks
+    * the hash; DeletionVectorSpec drives the same router down to a
+    * one-key ceiling. At 100 TB this is the daily 50M-key upsert
+    * batch that a broadcast budget can never hold. */
+  def mergeMorBigQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_mmbig_") +
+      "/orders"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("c", LongType)))
+    TableCommit.commitAppend(base, root, retain = 6)
+    val upserts = base.filter(pmod(col("k"), lit(5L)) === 2L)
+      .select(col("k"), col("st"), (col("c") + 500L).as("c"))
+      .unionByName(base.filter(pmod(col("k"), lit(89L)) === 7L)
+        .select((col("k") + 200000000L).as("k"), lit("N").as("st"),
+          col("c")))
+    // ceiling of 64 keys — every sf's fixture is far above it, so the
+    // router provably takes the shuffle leg
+    TableCommit.commitMergeRows(spark, root, schema, upserts,
+      keyCols = Seq("k"), retain = 6, maxBroadcastKeys = 64)
+    TableCommit.read(spark, root, schema)
+      .groupBy(col("st"))
+      .agg(Num.countStar.as("n_rows"), sum(col("c")).as("cents_sum"),
+        sum(col("k")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
+  val mergeMorBigOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |final AS (
+      |  SELECT k, st, CASE WHEN k % 5 = 2 THEN c + 500 ELSE c END AS c
+      |  FROM base
+      |  UNION ALL
+      |  SELECT k + 200000000, 'N', c FROM base WHERE k % 89 = 7)
       |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(c) AS BIGINT) AS cents_sum,
       |  CAST(SUM(k) AS BIGINT) AS key_sum

@@ -104,13 +104,10 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan]
       val (t, rel) = graftTable(target).get
       t.requireHeadForDml("MERGE INTO")
       val schema = t.logicalSchema
+      val phys = (c: String) => t.physicalName(c)
       if (withSchemaEvolution)
         refuse("MERGE INTO", "WITH SCHEMA EVOLUTION is not supported",
           "commitAddColumn then MERGE")
-      if (notMatchedBySource.nonEmpty)
-        refuse("MERGE INTO",
-          "WHEN NOT MATCHED BY SOURCE clauses are not supported",
-          "commitDeleteRows/commitUpdateRows beside the merge")
       val tOut = AttributeSet(rel.output) ++ target.outputSet
       val sOut = source.outputSet
       // ON clause: a conjunction of target-col = source-col pairs —
@@ -156,6 +153,43 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan]
             s"only top-level columns can be assigned (got $other)",
             "commitMergeRows")
       }.toMap
+      // X306: WHEN NOT MATCHED BY SOURCE — the snapshot-sync clause.
+      // Target-only expressions (the analyzer already scopes them so;
+      // re-checked here because a violation would silently re-resolve
+      // against the engine scan), carried as SQL text like every other
+      // DML expression, applied in the SAME atomic commit.
+      def targetOnly(e: Expression, what: String): Expression = {
+        if (!e.references.subsetOf(tOut))
+          refuse("MERGE INTO",
+            s"WHEN NOT MATCHED BY SOURCE $what references source " +
+              "columns — no source row exists for these target rows",
+            "commitMergeRows")
+        e
+      }
+      val nmbs: Option[(String, Option[String], Seq[(String, String)])] =
+        notMatchedBySource match {
+          case Seq() => None
+          case Seq(DeleteAction(cond)) =>
+            Some(("delete",
+              cond.map(c => toSql("MERGE INTO",
+                targetOnly(c, "condition"), phys)), Seq.empty))
+          case Seq(UpdateAction(cond, assigns, _)) =>
+            val as = assigns.map {
+              case Assignment(k: AttributeReference, v) =>
+                phys(k.name) -> toSql("MERGE INTO",
+                  targetOnly(v, s"assignment to ${k.name}"), phys)
+              case Assignment(other, _) =>
+                refuse("MERGE INTO",
+                  s"only top-level columns can be assigned (got $other)",
+                  "commitMergeRows")
+            }
+            Some(("update",
+              cond.map(c => toSql("MERGE INTO",
+                targetOnly(c, "condition"), phys)), as))
+          case other => refuse("MERGE INTO",
+            s"at most one WHEN NOT MATCHED BY SOURCE clause is " +
+              s"supported (got ${other.size})", "commitMergeRows")
+        }
       val uAssigns = matched match {
         case Seq(one) => assignsOf(one, "WHEN MATCHED")
         case _ => refuse("MERGE INTO",
@@ -207,7 +241,9 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan]
           Alias(imageExprs(f.name), t.physicalName(f.name))()),
         source)
       GraftMergeCommand(t.tableRoot, t.physicalSchema, t.tableRetain,
-        projected, keyCols, t.tableConflictRetries)
+        projected, keyCols, t.tableConflictRetries,
+        nmbsKind = nmbs.map(_._1), nmbsCond = nmbs.flatMap(_._2),
+        nmbsAssigns = nmbs.map(_._3).getOrElse(Seq.empty))
   }
 }
 
@@ -230,30 +266,52 @@ case class GraftUpdateCommand(root: String, tableSchema: StructType,
 }
 
 /** `MERGE INTO cat.t USING s ON … …` →
-  * [[TableCommit.commitMergeRows]]: the broadcast merge-on-read
-  * upsert. Duplicate source keys are refused (the ANSI
-  * multiple-rows-matched error), with an early-terminating probe. */
+  * [[TableCommit.commitMergeRows]]: the merge-on-read upsert
+  * (broadcast under the key ceiling, shuffle join above it — the
+  * engine routes). Duplicate source keys are refused (the ANSI
+  * multiple-rows-matched error), with an early-terminating probe.
+  * The source is persisted ONCE and both the probe and the merge read
+  * that single materialization (ADVICE r14: a non-deterministic
+  * source could otherwise pass the probe yet hand the merge different
+  * rows — and a deterministic one paid its computation twice). */
 case class GraftMergeCommand(root: String, tableSchema: StructType,
     retain: Int, source: LogicalPlan, keyCols: Seq[String],
-    conflictRetries: Int = 0) extends LeafRunnableCommand {
+    conflictRetries: Int = 0, nmbsKind: Option[String] = None,
+    nmbsCond: Option[String] = None,
+    nmbsAssigns: Seq[(String, String)] = Seq.empty)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
     val src = Shim.ofRows(spark, source)
-    // NULL join keys never match any target row under ANSI (they are
-    // plain NOT MATCHED inserts) — exclude them from the
-    // multiple-match probe (review finding)
-    val dup = src
-      .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
-      .groupBy(keyCols.map(col): _*)
-      .count().filter(col("count") > 1L).limit(1).count()
-    if (dup > 0L) throw new IllegalStateException(
-      s"MERGE INTO at $root: the source matches some target key with " +
-        "more than one row — ANSI MERGE forbids multiple matches; " +
-        "deduplicate the source (e.g. QUALIFY row_number() = 1) first")
-    TableCommit.commitMergeRows(spark, root, tableSchema, src, keyCols,
-      retain = retain, conflictRetries = conflictRetries,
-      preserveRowIds = TableCommit.isTracked(root))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // NULL join keys never match any target row under ANSI (they are
+      // plain NOT MATCHED inserts) — exclude them from the
+      // multiple-match probe (review finding). The probe is a full
+      // aggregation, so it also materializes every source partition
+      // BEFORE the merge branches on it.
+      val dup = src
+        .filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
+        .groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1L).limit(1).count()
+      if (dup > 0L) throw new IllegalStateException(
+        s"MERGE INTO at $root: the source matches some target key with " +
+          "more than one row — ANSI MERGE forbids multiple matches; " +
+          "deduplicate the source (e.g. QUALIFY row_number() = 1) first")
+      val nmbs = nmbsKind.map {
+        case "delete" =>
+          TableCommit.MergeNmbs.Delete(nmbsCond.map(expr))
+        case "update" =>
+          TableCommit.MergeNmbs.Update(
+            nmbsAssigns.map { case (n, e) => n -> expr(e) },
+            nmbsCond.map(expr))
+      }
+      TableCommit.commitMergeRows(spark, root, tableSchema, src, keyCols,
+        retain = retain, conflictRetries = conflictRetries,
+        preserveRowIds = TableCommit.isTracked(root),
+        notMatchedBySource = nmbs)
+    } finally src.unpersist(blocking = false)
     Seq.empty
   }
 }

@@ -350,6 +350,71 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(again === got, "re-applying the same upsert must be stable")
   }
 
+  test("shuffle MoR MERGE (X305): above the broadcast ceiling the router shuffles and semantics are identical") {
+    // two tables, same fixture: one merged under the default (broadcast)
+    // ceiling, one with the ceiling forced below the key count so the
+    // router takes the shuffle leg — final states must be identical
+    val rb = root(); val rs = root()
+    val boot = spark.range(200).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).coalesce(2)
+    val batch = spark.range(30).select((col("id") * 5L).as("k"),
+      lit(7L).as("v"))
+      .unionByName(spark.range(10).select((col("id") + 1000L).as("k"),
+        col("id").as("v"))).coalesce(1)
+    Seq(rb -> 5000000, rs -> 2).foreach { case (r, ceil) =>
+      TableCommit.commitMergeRows(spark, r, schema, boot, Seq("k"),
+        retain = 8, maxBroadcastKeys = ceil)
+      TableCommit.commitMergeRows(spark, r, schema, batch, Seq("k"),
+        retain = 8, maxBroadcastKeys = ceil)
+    }
+    def state(r: String) = TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toMap
+    val b = state(rb); val s = state(rs)
+    assert(s === b, "shuffle-routed merge must equal the broadcast one")
+    assert(s.size === 210)
+    // a second shuffle merge composes (DVs grow over prior images)
+    TableCommit.commitMergeRows(spark, rs, schema, batch, Seq("k"),
+      retain = 8, maxBroadcastKeys = 1)
+    assert(state(rs) === b, "re-merge above the ceiling must be stable")
+  }
+
+  test("NOT MATCHED BY SOURCE (X306): delete and update variants, one atomic commit each") {
+    val r = root()
+    seed(r) // k in [0, 200), v = 10k
+    val src = spark.range(50).select((col("id") * 2L).as("k"),
+      lit(99L).as("v")).coalesce(1) // keys 0,2,…,98 — all matched
+    // DELETE variant with a condition: unmatched rows (k not even <100)
+    // with k >= 150 die; [100,150) unmatched rows survive
+    val v = TableCommit.commitMergeRows(spark, r, schema, src, Seq("k"),
+      retain = 8, notMatchedBySource = Some(
+        TableCommit.MergeNmbs.Delete(Some(col("k") >= 150L))))
+    val got = TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toMap
+    val expectKeys = (0L until 100L).filter(_ % 2 == 0).toSet ++
+      (0L until 150L).filterNot(k => k < 100 && k % 2 == 0).toSet
+    assert(got.keySet === expectKeys,
+      "NMBS DELETE must kill exactly the unmatched+condition rows")
+    (0L until 100L by 2L).foreach(k => assert(got(k) === 99L, s"k=$k"))
+    assert(TableCommit.currentVersion(r) === Some(v),
+      "upsert + NMBS delete must be ONE commit")
+    // UPDATE variant: unmatched survivors with k < 10 get v bumped
+    val src2 = spark.range(5).select((col("id") * 20L).as("k"),
+      lit(111L).as("v")).coalesce(1)
+    TableCommit.commitMergeRows(spark, r, schema, src2, Seq("k"),
+      retain = 8, notMatchedBySource = Some(TableCommit.MergeNmbs.Update(
+        Seq("v" -> (col("v") + 1L)), Some(col("k") < 10L))))
+    val got2 = TableCommit.read(spark, r, schema)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toMap
+    assert(got2.keySet === expectKeys, "NMBS UPDATE moves no keys")
+    expectKeys.foreach { k =>
+      val expect =
+        if (k % 20 == 0 && k < 100) 111L          // matched by src2
+        else if (k < 10) got(k) + 1L              // NMBS update fired
+        else got(k)
+      assert(got2(k) === expect, s"k=$k")
+    }
+  }
+
   test("stats-channel namespacing: a user column named `dv` coexists with the DV key; ':' columns are refused") {
     val r = root()
     val df = spark.range(100).select(col("id").as("k"),
