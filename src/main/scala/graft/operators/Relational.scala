@@ -1627,6 +1627,109 @@ object Relational {
       |  CAST(SUM(k) AS BIGINT) AS key_sum
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // `q_sql_ctas` (X308): CREATE TABLE AS SELECT through the catalog
+
+  /** `q_sql_ctas` (X308, VERDICT r14 task 6): `CREATE TABLE … AS
+    * SELECT` — Spark's DSv2 CTAS over [[graft.sources.GraftCatalog]]
+    * (create, then the connector's two-phase append; on write failure
+    * Spark drops the half-created table). The gate reads the CTAS'd
+    * table back through the ordinary scan facet and ALSO pins the
+    * already-exists race: a second CTAS at the same identifier must
+    * refuse with the standard table-exists error, not adopt or
+    * truncate — `refused` rides the result as a column. */
+  def sqlCtasQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalog(spark, sfDir) { (cat, src) =>
+      spark.sql(s"CREATE TABLE $cat.big AS " +
+        s"SELECT k, st, c FROM $src WHERE c > 10000000")
+      val refused =
+        try {
+          spark.sql(s"CREATE TABLE $cat.big AS " +
+            s"SELECT k, st, c FROM $src WHERE k = 1")
+          false
+        } catch {
+          case e: Throwable =>
+            e.getMessage != null &&
+              e.getMessage.toUpperCase.contains("ALREADY EXISTS")
+        }
+      spark.sql(
+        s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+           |  SUM(k) AS key_sum
+           |FROM $cat.big GROUP BY st ORDER BY st""".stripMargin)
+        .withColumn("refused", lit(refused))
+    }.orderBy(col("st"))
+
+  val sqlCtasOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum, TRUE AS refused
+      |FROM base WHERE c > 10000000 GROUP BY 1 ORDER BY st""".stripMargin
+
+  // `q_sql_maintain` (X307): SQL maintenance verbs
+
+  /** `q_sql_maintain` (X307, VERDICT r14 task 3): a PURE-SQL
+    * maintenance loop — DML then upkeep without leaving SQL: CREATE +
+    * two INSERTs, a DV `DELETE FROM`, then `graft_melt('<root>', 0.0)`
+    * rewrites every DV-carrying file and `graft_vacuum` runs its aged
+    * sweep (age-gated: nothing young is touched). The gated result is
+    * the post-maintenance rollup PLUS `dv_after` — the count of
+    * head-manifest entries still carrying a deletion vector, which a
+    * completed melt pins at exactly 0. A melt that lost a live row,
+    * resurrected a deleted one, or skipped a fat file breaks the hash;
+    * CatalogSpec asserts the mechanical halves the oracle can't see
+    * (SQL compact provably reduces the file count; vacuum sweeps a
+    * planted aged orphan). */
+  def sqlMaintainQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = graft.engine.TempWarehouse.createManaged("graft_sqlmnt_")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val cat = s"graft_mnt_$id"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"graft_mnt_src_$id"
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        (col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .createOrReplaceTempView(src)
+    spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+    spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
+      "WHERE k % 2 = 0")
+    spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
+      "WHERE k % 2 = 1")
+    spark.sql(s"DELETE FROM $cat.orders WHERE st = 'P'")
+    val root = s"$wh/orders"
+    // ratio 0.0: every file with at least one dead row melts
+    spark.sql(s"SELECT * FROM graft_melt('$root', 0.0)").collect()
+    // age-gated sweep beside retained history: swept young = nothing
+    spark.sql(s"SELECT * FROM graft_vacuum('$root')").collect()
+    val dvAfter = graft.engine.TableCommit.entries(root)
+      .count(_.stats.contains(graft.engine.TableCommit.DvKey)).toLong
+    val out = spark.sql(
+      s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+         |  SUM(k) AS key_sum
+         |FROM $cat.orders GROUP BY st ORDER BY st""".stripMargin)
+      .withColumn("dv_after", lit(dvAfter))
+    val rows = out.collect().toIndexedSeq
+    spark.catalog.dropTempView(src)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, out.schema).orderBy(col("st"))
+  }
+
+  val sqlMaintainOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum,
+      |  CAST(0 AS BIGINT) AS dv_after
+      |FROM base WHERE st <> 'P' GROUP BY 1 ORDER BY st""".stripMargin
+
   // `q_write_idempotent` (X288): exactly-once batch writes, gated
 
   /** `q_write_idempotent` (X288/ADVICE r13): the orchestrator-retry

@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => HofVectorize)
     // X304: DESCRIBE HISTORY as SQL — graft_history('<root>') TVF
     GraftHistoryTvf.functions.foreach(ext.injectTableFunction)
+    // X307: SQL maintenance verbs — graft_melt / graft_compact /
+    // graft_vacuum, each a deferred one-row-report command
+    GraftMaintenanceTvf.functions.foreach(ext.injectTableFunction)
     // X297: SQL UPDATE / MERGE INTO on graft-catalog tables → the
     // engine's merge-on-read DV commits (post-hoc: after resolution,
     // before Spark's row-level-operation check would refuse them)

@@ -337,6 +337,52 @@ class CatalogSpec extends AnyFunSuite {
       ex.getMessage.toLowerCase.contains("cannot"))
   }
 
+  test("SQL maintenance verbs: compact reduces files, melt clears DVs, vacuum is deferred and age-gated (X307)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.m (k BIGINT, v BIGINT)")
+    spark.range(200L).select(col("id").as("k"), (col("id") * 3L).as("v"))
+      .repartition(4).createOrReplaceTempView("cat_mnt_src")
+    spark.sql(s"INSERT INTO $cat.m SELECT * FROM cat_mnt_src")
+    spark.sql(s"INSERT INTO $cat.m SELECT k + 200, v FROM cat_mnt_src")
+    spark.sql(s"DELETE FROM $cat.m WHERE k < 80")
+    val root = s"$wh/m"
+    assert(TableCommit.entries(root)
+      .exists(_.stats.contains(TableCommit.DvKey)), "fixture has DVs")
+    // EXPLAIN must PLAN the verb without running it (deferred command)
+    val vBefore = TableCommit.currentVersion(root).get
+    spark.sql(s"EXPLAIN SELECT * FROM graft_compact('$root', 1)")
+      .collect()
+    assert(TableCommit.currentVersion(root) === Some(vBefore),
+      "EXPLAIN over a maintenance verb must not execute it")
+    val filesBefore = TableCommit.entries(root).size
+    assert(filesBefore > 1)
+    val rep = spark.sql(s"SELECT * FROM graft_compact('$root', 1)")
+      .collect()(0)
+    assert(rep.getLong(1) === filesBefore.toLong)
+    assert(rep.getLong(2) === 1L, "compact(1) must land one file")
+    assert(TableCommit.entries(root).size === 1)
+    assert(TableCommit.entries(root)
+      .forall(e => !e.stats.contains(TableCommit.DvKey)),
+      "a compact melts every DV away")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.m").collect()(0)
+      .getLong(0) === 320L) // 400 rows, k<80 kills 80
+    // vacuum: a planted aged orphan data file IS swept; young isn't
+    val orphan = Paths.get(root, "data", "orphan-plant.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    val swept0 = spark.sql(s"SELECT * FROM graft_vacuum('$root')")
+      .collect()(0).getLong(0)
+    assert(swept0 === 0L, "a young orphan must survive the age gate")
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    val swept1 = spark.sql(s"SELECT * FROM graft_vacuum('$root', 3600000)")
+      .collect()(0).getLong(0)
+    assert(swept1 === 1L, "the aged orphan must be swept")
+    assert(!Files.exists(orphan))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.m").collect()(0)
+      .getLong(0) === 320L, "vacuum must not touch live data")
+  }
+
   test("reserved names and nesting are refused: SQL can't reach table internals") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
