@@ -4223,6 +4223,15 @@ object TableCommit {
     // vector is small and the files may be large (review finding)
     if (dvs.map(deletedCount).sum <= dvBroadcastThreshold)
       return readLive(spark, root, Some(schema), es)
+    // ADVICE r14: the facet's partition readers decode the vectorized
+    // whitelist only — a table staged through the Scala API can carry
+    // any Spark type (arrays, structs, maps), and those columns must
+    // keep reading through the bitmap scan-filter path rather than
+    // throwing in a facet task. Same result, same no-join shape; the
+    // facet's per-file cursor is a throughput optimization, never a
+    // capability gate.
+    if (!graft.sources.GraftVectorized.supportedSchema(schema))
+      return readLive(spark, root, Some(schema), es)
     requireUniqueLeaves(root, es)
     val dvPart = spark.read.format("graft-table").schema(schema)
       .option("root", root)

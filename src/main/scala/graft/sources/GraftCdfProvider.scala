@@ -319,12 +319,22 @@ private class GraftCdfStream(root: String, fullSchema: StructType,
   * plans its codegen'd ColumnarToRow on top — the same physical shape
   * as its own parquet scans. Spark requires all of a scan's partitions
   * to agree on columnar-ness, so the flag is all-or-nothing per scan. */
+/** `splitStart/splitEnd` (X309, VERDICT r14 task 5): a ROW-GROUP
+  * range — the partition decodes only the row groups whose bytes start
+  * in `[splitStart, splitEnd)` (parquet's midpoint rule keys off the
+  * group's own span, so group-start boundaries are exact), and
+  * `posBase`/`posEnd` carry the group range's absolute row-position
+  * window so the deletion-vector skip keys the FILE's position space,
+  * not the split's. `splitEnd = -1` = whole file (every feed leg; any
+  * file whose footer wasn't consulted). */
 private case class CdfFilePartition(absPath: String, version: Long,
     dataSchema: StructType, root: String,
     encA: Option[String], encB: Option[String],
     emitOnly: Boolean, changeType: Option[String],
     withIds: Boolean, ridBase: Option[Long],
-    bare: Boolean = false, columnar: Boolean = false)
+    bare: Boolean = false, columnar: Boolean = false,
+    splitStart: Long = 0L, splitEnd: Long = -1L,
+    posBase: Long = 0L, posEnd: Long = -1L)
     extends InputPartition
 
 private object GraftCdfReaderFactory extends PartitionReaderFactory {
@@ -338,7 +348,8 @@ private object GraftCdfReaderFactory extends PartitionReaderFactory {
     val part = p.asInstanceOf[CdfFilePartition]
     require(part.columnar && part.bare && part.encA.isEmpty,
       s"columnar read planned for a non-columnar partition ${part.absPath}")
-    val rdr = GraftVectorized.open(part.absPath, part.dataSchema)
+    val rdr = GraftVectorized.open(part.absPath, part.dataSchema,
+      part.splitStart, part.splitEnd)
     // no partition columns on this scan; batch-return mode needs the
     // explicit initBatch Spark's own parquet source performs
     rdr.initBatch(new StructType(), InternalRow.empty)
@@ -380,8 +391,11 @@ private class GraftVectorizedRowReader(p: CdfFilePartition)
   // parquet reader has been opened yet — nothing leaks into the
   // factory's Group-reader fallback
   private val marked = GraftCdfFileReader.markedSet(p)
-  private val rdr = GraftVectorized.open(p.absPath, p.dataSchema)
-  private var pos = -1L
+  private val rdr = GraftVectorized.open(p.absPath, p.dataSchema,
+    p.splitStart, p.splitEnd)
+  // X309: a row-group split's cursor starts at the range's absolute
+  // base, so positions key the file's space exactly as an unsplit scan
+  private var pos = p.posBase - 1L
   override def next(): Boolean = {
     while (rdr.nextKeyValue()) {
       pos += 1
@@ -408,13 +422,16 @@ private class GraftCdfFileReader(p: CdfFilePartition)
   private val reader: ParquetReader[Group] = {
     val path = new org.apache.hadoop.fs.Path(
       java.nio.file.Paths.get(p.absPath).toUri)
-    ParquetReader.builder(new GroupReadSupport(), path)
+    val b = ParquetReader.builder(new GroupReadSupport(), path)
       .withConf(new org.apache.hadoop.conf.Configuration())
-      .build()
+    // X309: honor a row-group split if one was planned (the
+    // vectorized-open-failed fallback must read the same range)
+    (if (p.splitEnd >= 0L) b.withFileRange(p.splitStart, p.splitEnd)
+     else b).build()
   }
   private val marked: java.util.HashSet[Long] =
     GraftCdfFileReader.markedSet(p)
-  private var pos = -1L
+  private var pos = p.posBase - 1L
   private var current: Group = _
 
   override def next(): Boolean = {
@@ -523,12 +540,17 @@ private object GraftCdfFileReader {
   def markedSet(p: CdfFilePartition): java.util.HashSet[Long] = {
     val a = p.encA.map(TableCommit.dvDecodeEnc(p.root, _))
       .getOrElse(Seq.empty)
-    val vals = p.encB match {
+    val vals0 = p.encB match {
       case Some(b) =>
         val before = TableCommit.dvDecodeEnc(p.root, b).toSet
         a.filterNot(before)
       case None => a
     }
+    // X309: a row-group split only ever visits its own position
+    // window — keep the probe set split-sized, not file-sized
+    val vals =
+      if (p.posEnd < 0L) vals0
+      else vals0.filter(v => v >= p.posBase && v < p.posEnd)
     val s = new java.util.HashSet[Long](vals.length * 2 + 4)
     vals.foreach(s.add(_))
     s

@@ -741,7 +741,33 @@ private object GraftAggReaderFactory extends PartitionReaderFactory {
     }
 }
 
-private object GraftBatchScan {
+private[graft] object GraftBatchScan {
+  /** Files below this size skip the planning-time footer consult for
+    * row-group splits (X309) — a file smaller than a row group can't
+    * hold two. Volatile test seam: specs lower it to drive split
+    * planning on fixture-sized files. */
+  @volatile private[graft] var splitFooterMin: Long = 96L * 1024 * 1024
+
+  /** The file's row groups as (startingPos, rowCount), oldest first —
+    * or empty when the size gate says don't bother / the footer is
+    * unreadable (the caller then plans one whole-file partition, which
+    * is always correct). */
+  private[sources] def rowGroups(abs: String): Seq[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    try {
+      val p = java.nio.file.Paths.get(abs)
+      if (java.nio.file.Files.size(p) < splitFooterMin) return Seq.empty
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        new org.apache.hadoop.conf.Configuration()))
+      try rd.getFooter.getBlocks.asScala.toIndexedSeq
+        .map(b => (b.getStartingPos, b.getRowCount))
+      finally rd.close()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
   /** The column types whose canonical stat-string form the comparator
     * below actually orders (and whose pushed-literal `toString`
     * matches that form): integers (decimal text), floats
@@ -833,9 +859,24 @@ private class GraftBatchScan(root: String, required: StructType,
   // rows are positional, so only the parquet field lookup differs
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
+
+  /** The vectorized-decode verdict for this scan's projection — shared
+    * by the partition planner and the plan description, so a demote to
+    * the row-at-a-time Group reader is NEVER silent (VERDICT r14
+    * task 4): `EXPLAIN` names the exact columns that cost the scan its
+    * columnar shape. */
+  private lazy val typeDemote: Seq[String] =
+    GraftVectorized.unsupportedCols(physRequired)
+
+  override def description(): String = {
+    val mode =
+      if (typeDemote.nonEmpty)
+        s"mode=group-reader (type demote: ${typeDemote.mkString(", ")})"
+      else if (dvOnly) "mode=vectorized-row-view (dv)"
+      else "mode=vectorized"
     s"graft-table($root)${asOf.map(v => s" asOf=v$v").getOrElse("")} " +
-      s"pruned=[${pushed.mkString(", ")}]"
+      s"pruned=[${pushed.mkString(", ")}] $mode"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val es = asOf.map(v => TableCommit.entriesAtVersion(root, v))
@@ -847,15 +888,43 @@ private class GraftBatchScan(root: String, required: StructType,
     // file DV-free and every projected type vectorized-decodable.
     // Spark forbids mixing columnar and row partitions in one scan, so
     // a single DV'd file demotes the scan to the vectorized row view.
-    val columnar = GraftVectorized.supportedSchema(physRequired) &&
+    val columnar = typeDemote.isEmpty &&
       es.forall(e => !e.stats.contains(TableCommit.DvKey))
-    es.map { e =>
+    es.flatMap { e =>
       val abs =
         if (e.path.startsWith("/")) e.path else s"$root/${e.path}"
-      CdfFilePartition(abs, 0L, physRequired, root,
-        encA = e.stats.get(TableCommit.DvKey).map(_.min), encB = None,
-        emitOnly = false, changeType = None, withIds = false,
-        ridBase = None, bare = true, columnar = columnar): InputPartition
+      val enc = e.stats.get(TableCommit.DvKey).map(_.min)
+      def part(start: Long, end: Long, pBase: Long, pEnd: Long) =
+        CdfFilePartition(abs, 0L, physRequired, root,
+          encA = enc, encB = None,
+          emitOnly = false, changeType = None, withIds = false,
+          ridBase = None, bare = true, columnar = columnar,
+          splitStart = start, splitEnd = end,
+          posBase = pBase, posEnd = pEnd): InputPartition
+      // X309 (VERDICT r14 task 5): a multi-row-group file plans one
+      // partition PER GROUP — a multi-GB DV'd file keeps in-file
+      // parallelism instead of one task owning its whole position
+      // space (and a big clean facet file splits the same way). The
+      // footer consult is gated on file SIZE, so planning stays O(1)
+      // per ordinary file and footer-read-proportional only for the
+      // files that can actually contain several groups.
+      val groups =
+        if (typeDemote.nonEmpty) Seq.empty // Group fallback risk: whole
+        else GraftBatchScan.rowGroups(abs)
+      if (groups.size <= 1) Seq(part(0L, -1L, 0L, -1L))
+      else {
+        val size = java.nio.file.Files.size(
+          java.nio.file.Paths.get(abs))
+        var base = 0L
+        groups.zipWithIndex.map { case ((off, rows), i) =>
+          val start = if (i == 0) 0L else off
+          val end =
+            if (i == groups.size - 1) size else groups(i + 1)._1
+          val p = part(start, end, base, base + rows)
+          base += rows
+          p
+        }
+      }
     }.toArray
   }
 

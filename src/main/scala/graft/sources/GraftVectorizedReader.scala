@@ -38,7 +38,7 @@ import org.apache.spark.sql.types._
   * columns, emit-only DV deltas) keep the Group reader: they append
   * per-row metadata the batch cursor cannot carry, and feed cost is
   * change-proportional by design. */
-private[sources] object GraftVectorized {
+private[graft] object GraftVectorized {
   /** Conf key Spark's ParquetReadSupport reads the requested
     * (pruned/evolved) Catalyst schema from — a stable Spark wire key. */
   private val RequestedSchemaKey =
@@ -48,22 +48,37 @@ private[sources] object GraftVectorized {
   val BatchCapacity = 4096
 
   /** Types the vectorized path is exercised against (the engine's
-    * Spark-written table types). Anything else falls back to the Group
-    * reader rather than risking an undertested decode. */
+    * Spark-written table types; decimals of every precision decode
+    * through the same INT32/INT64/FIXED_LEN_BYTE_ARRAY paths Spark's
+    * own scans use — VERDICT r14 task 4 widened them in). Nested types
+    * stay excluded (they need the nested-vectorization session flag);
+    * anything unsupported falls back to the Group reader rather than
+    * risking an undertested decode — and the scan SAYS so in its plan
+    * description, never silently. */
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
         FloatType | StringType | BooleanType | BinaryType | DateType |
         TimestampType => true
+    case _: DecimalType => true
     case _ => false
   }
 
   def supportedSchema(s: StructType): Boolean =
     s.fields.forall(f => supported(f.dataType))
 
+  /** The columns that demote a scan off the vectorized path — the
+    * plan-visible half of the fallback contract. */
+  def unsupportedCols(s: StructType): Seq[String] =
+    s.fields.toIndexedSeq.filterNot(f => supported(f.dataType))
+      .map(f => s"${f.name}: ${f.dataType.simpleString}")
+
   /** Open `absPath` projecting exactly `schema` (order-defining;
-    * columns absent from the file read NULL). Caller owns close(). */
-  def open(absPath: String,
-      schema: StructType): VectorizedParquetRecordReader = {
+    * columns absent from the file read NULL). Caller owns close().
+    * `start`/`end` (X309) bound the read to the row groups starting in
+    * that byte range (`end = -1` = whole file) — parquet's split
+    * semantics, keyed on group-start boundaries. */
+  def open(absPath: String, schema: StructType,
+      start: Long = 0L, end: Long = -1L): VectorizedParquetRecordReader = {
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set(RequestedSchemaKey, schema.json)
     // the schema-clipping ReadSupport Spark's own scans install
@@ -86,8 +101,9 @@ private[sources] object GraftVectorized {
     // mapreduce.InputSplit parameter to mapred.FileSplit (which
     // subclasses the mapreduce one), so this is the only shape
     // initialize() accepts
+    val hi = if (end >= 0L) end else java.nio.file.Files.size(nioPath)
     val split = new org.apache.hadoop.mapred.FileSplit(
-      p, 0L, java.nio.file.Files.size(nioPath), Array.empty[String])
+      p, start, hi - start, Array.empty[String])
     val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
       "graft", 0, org.apache.hadoop.mapreduce.TaskType.MAP, 0, 0)
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(

@@ -183,6 +183,72 @@ object ScaleProbe {
           pmod(col("k"), lit(97L)) === 0L, retain = 8)
         agg(engine()); agg(facet())
         report("dv_scattered")
+      case "facetscandec" =>
+        // VERDICT r14 task 4 evidence: the widened vectorized whitelist
+        // — a DECIMAL-bearing schema must scan through the facet at the
+        // same parity band as the primitive schema (clean columnar leg
+        // AND the DV'd row-view leg), instead of silently demoting to
+        // the row-at-a-time Group reader.
+        val dir = args(1)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("k", LongType),
+          StructField("qty", DecimalType(12, 2)),
+          StructField("price", DecimalType(18, 2)),
+          StructField("s", StringType)))
+        val root = graft.engine.TempWarehouse
+          .createManaged("graft_facetdec_") + "/t"
+        val src = graft.engine.Tables.lineitem(spark, dir)
+          .select(monotonically_increasing_id().as("k"),
+            col("l_quantity").cast(DecimalType(12, 2)).as("qty"),
+            col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+            concat(col("l_returnflag"), lit("|"), col("l_linestatus"),
+              lit("|"), col("l_shipdate").cast("string")).as("s"))
+        graft.engine.TableCommit.commitAppend(
+          src.repartitionByRange(32, col("k"))
+            .sortWithinPartitions("k"), root, retain = 8)
+        val n = graft.engine.TableCommit
+          .read(spark, root, schema).count()
+        def facet() = spark.read.format("graft-table").schema(schema)
+          .option("root", root).load()
+        def engine() = graft.engine.TableCommit.read(spark, root, schema)
+        def agg(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.agg(sum(col("qty")), sum(col("price")),
+            sum(length(col("s"))), count(lit(1))).collect()
+          ()
+        }
+        def med(f: () => Unit): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        def report(tag: String): Unit = {
+          val paths = graft.engine.TableCommit.entries(root)
+            .map(e => s"$root/${e.path}")
+          val raw = med(() => agg(spark.read.schema(schema)
+            .parquet(paths: _*)))
+          val eng = med(() => agg(engine()))
+          val fac = med(() => agg(facet()))
+          println(f"[probe] facetscandec $tag rows=$n%,d: " +
+            f"raw_parquet=$raw%.2f s engine=$eng%.2f s facet=$fac%.2f s " +
+            f"facet/engine=${fac / eng}%.2f facet/raw=${fac / raw}%.2f")
+        }
+        agg(engine()); agg(facet())
+        report("clean")
+        graft.engine.TableCommit.commitDeleteRows(spark, root, schema,
+          col("k") < (n / 100L), retain = 8)
+        graft.engine.TableCommit.commitDeleteRows(spark, root, schema,
+          pmod(col("k"), lit(97L)) === 0L, retain = 8)
+        agg(engine()); agg(facet())
+        report("dv_mixed")
+        if (args.length > 2 && args(2) == "explain") {
+          val es = graft.engine.TableCommit.entries(root)
+          val dvs = es.filter(_.stats.contains(
+            graft.engine.TableCommit.DvKey))
+          println(s"[probe] files=${es.size} dvFiles=${dvs.size} " +
+            s"deletedSum=${dvs.map(graft.engine.TableCommit.deletedCount).sum} " +
+            s"supported=${graft.sources.GraftVectorized.supportedSchema(schema)}")
+          println("[probe] engine plan:")
+          println(engine().queryExecution.executedPlan.toString.take(4000))
+        }
       case other =>
         System.err.println(s"unknown probe: $other")
         sys.exit(1)

@@ -547,6 +547,56 @@ class DeletionVectorSpec extends AnyFunSuite {
     } finally TableCommit.dvBroadcastThreshold = orig
   }
 
+  test("facet type gate (ADVICE r14): exotic types read past the DV threshold via the bitmap leg; decimals ride the facet") {
+    val r = root()
+    val df = spark.range(500L).select(col("id").as("k"),
+      array(col("id"), col("id") * 2L).as("xs"),
+      col("id").cast(DecimalType(18, 2)).as("d"))
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("xs", ArrayType(LongType)),
+      StructField("d", DecimalType(18, 2))))
+    TableCommit.commitAppend(df.repartition(2), r, retain = 8)
+    val orig = TableCommit.dvBroadcastThreshold
+    try {
+      TableCommit.dvBroadcastThreshold = 10L
+      TableCommit.commitDeleteRows(spark, r, sch, col("k") < 100L,
+        retain = 8)
+      // full schema carries an ARRAY column: the facet readers can't
+      // decode it, so the snapshot read must route the bitmap path —
+      // and return the right rows, not throw in a facet task
+      val full = TableCommit.read(spark, r, sch).collect()
+      assert(full.length === 400)
+      val byK = full.map(x => x.getLong(0) -> x).toMap
+      assert(byK.keySet === (100L until 500L).toSet)
+      assert(byK(250L).getSeq[Long](1) === Seq(250L, 500L))
+      assert(byK(250L).getDecimal(2).longValue === 250L)
+      val plan = TableCommit.read(spark, r, sch)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("graft-table"),
+        s"an exotic-typed snapshot read must not plan facet legs:\n$plan")
+      // a DECIMAL-bearing projection (no nested types) stays on the
+      // facet row-view leg — the r14 whitelist widening
+      val dSch = StructType(Seq(StructField("k", LongType),
+        StructField("d", DecimalType(18, 2))))
+      val dec = TableCommit.read(spark, r, dSch).collect()
+      assert(dec.length === 400)
+      assert(dec.map(_.getLong(0)).toSet === (100L until 500L).toSet)
+      assert(dec.find(_.getLong(0) == 499L).get
+        .getDecimal(1).longValue === 499L)
+      val dPlan = TableCommit.read(spark, r, dSch)
+        .queryExecution.executedPlan.toString
+      assert(dPlan.contains("graft-table"),
+        s"a decimal projection must keep the facet row-view leg:\n$dPlan")
+      // the demote signal: an exotic projection through the CONNECTOR
+      // names its reason in the plan description
+      val exotic = spark.read.format("graft-table").schema(sch)
+        .option("root", r).load()
+        .queryExecution.executedPlan.toString
+      assert(exotic.contains("type demote") && exotic.contains("xs"),
+        s"the Group-reader demote must be plan-visible:\n$exotic")
+    } finally TableCommit.dvBroadcastThreshold = orig
+  }
+
   test("a delete encodes each sidecar exactly ONCE; a no-op re-delete writes nothing (ADVICE r12)") {
     val r = root()
     val n = 40000L // comfortably above DvInlineMax
