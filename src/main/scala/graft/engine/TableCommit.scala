@@ -3340,13 +3340,21 @@ object TableCommit {
           // keep their resurrection legs. (A pre-marker EQUAL-COUNT
           // non-subset restore is the one residual shape a legacy log
           // cannot flag; every log this binary writes is marked.)
-          val isRestore = raw.restore || next.exists { e =>
+          val legacyRestore = !raw.restore && next.exists { e =>
             curBy.get(e.path).exists { pe =>
               pe.stats.get(DvKey).exists(b =>
                 e.stats.get(DvKey).forall(a =>
                   a.max.toLong < b.max.toLong))
             }
           }
+          // ADVICE r14: a count-decrease WITHOUT a marker proves this
+          // log was written by a pre-marker binary — say so once, so a
+          // feed consumer knows any EQUAL-COUNT non-subset restore in
+          // the same log (the one undetectable legacy shape) may have
+          // dropped its resurrection leg, instead of silently serving
+          // an incomplete feed.
+          if (legacyRestore) warnPreMarkerLog(root, v)
+          val isRestore = raw.restore || legacyRestore
           val dvGrown = next.flatMap { e =>
             curBy.get(e.path) match {
               case Some(pe) if pe.stats.get(DvKey) != e.stats.get(DvKey)
@@ -3379,6 +3387,27 @@ object TableCommit {
       ch
     }
   }
+
+  /** Roots already warned about pre-restore-marker manifests (one
+    * warning per root per JVM, not one per diffed version). */
+  private val preMarkerWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A DV count decrease in an UNMARKED manifest = a restore written by
+    * a pre-marker binary. The feed still derives that version's legs
+    * from the fallback, but an equal-count non-subset restore elsewhere
+    * in the same log is undetectable — warn once so consumers can
+    * choose a re-sync over silent incompleteness (ADVICE r14). */
+  private def warnPreMarkerLog(root: String, v: Long): Unit =
+    if (preMarkerWarned.add(root))
+      System.err.println(
+        s"[graft] WARNING: version $v at $root shrinks a deletion " +
+          "vector without a restore marker — this commit log predates " +
+          "restore markers. Resurrection (shrink) legs are derived " +
+          "from count decreases on such logs and CANNOT detect an " +
+          "equal-count non-subset restore; if this table's history " +
+          "may contain one, re-sync feed consumers from a snapshot " +
+          "instead of trusting the incremental feed across it.")
 
   /** CHANGE FEED read: the rows each version in `(fromExclusive,
     * toInclusive]` APPENDED, tagged with a `_commit_version` column —

@@ -328,17 +328,49 @@ class GraftCatalog extends TableCatalog {
 
   /** Rewrite `_schema.json` (tmp + atomic rename). The file is only
     * ever edited for virgin-table renames/drops and column ADDs — the
-    * mapped cases ride the manifest and never touch it. */
+    * mapped cases ride the manifest and never touch it.
+    *
+    * ADVICE r14: the read-modify-write is guarded by a CREATE-EXCLUSIVE
+    * lock file (the same claim primitive as the commit arbiter), so two
+    * concurrent ALTER TABLE statements serialize instead of the second
+    * atomic move silently overwriting the first's edit. A crashed
+    * editor's stale lock (>60 s — schema edits are milliseconds) is
+    * broken by the next editor; waiting editors give up loudly after
+    * 30 s rather than spinning forever. */
   private def editVirginSchema(root: String)(
       f: StructType => StructType): Unit = {
-    val next = f(baseSchema(root))
-    val tmp = Paths.get(root, s".tmp-schema-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, next.json.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    try Files.move(tmp, schemaPath(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    finally Files.deleteIfExists(tmp)
+    val lock = Paths.get(root, "_schema.lock")
+    val deadline = System.currentTimeMillis() + 30000L
+    var held = false
+    while (!held) {
+      try {
+        TableCommit.claimFile(lock, Array.emptyByteArray)
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: Throwable => 0L } // vanished: retry claim
+          if (age > 60000L) Files.deleteIfExists(lock)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"schema edit lock at $lock held for ${age} ms — a " +
+                "concurrent ALTER TABLE is stuck or crashed recently; " +
+                "retry, or remove the lock if no editor is live")
+          else Thread.sleep(50L)
+      }
+    }
+    try {
+      val next = f(baseSchema(root))
+      val tmp = Paths.get(root, s".tmp-schema-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, next.json.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      try Files.move(tmp, schemaPath(root),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      finally Files.deleteIfExists(tmp)
+    } finally Files.deleteIfExists(lock)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

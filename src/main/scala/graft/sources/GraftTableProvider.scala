@@ -512,7 +512,9 @@ private class GraftDataWriter(root: String, batch: String,
       case (x: Long, y: Long)     => x < y
       case (x: Int, y: Int)       => x < y
       case (x: Double, y: Double) => x < y
-      case (x: String, y: String) => x < y
+      // UTF-8 byte order, matching the prune side and parquet footer
+      // stats — never Java's UTF-16 code-unit order (ADVICE r14)
+      case (x: String, y: String) => GraftBatchScan.utf8Lt(x, y)
       case _                      => false
     }
     if (statMin(i) == null || lt(v, statMin(i))) statMin(i) = v
@@ -779,13 +781,42 @@ private[graft] object GraftBatchScan {
   private val prunableTypes: Set[DataType] = Set(LongType, IntegerType,
     ShortType, ByteType, DoubleType, FloatType, StringType, DateType)
 
+  /** String order for the stats channel: UTF-8 BYTE order (= code
+    * point order) — the order Spark's UTF8String predicates evaluate
+    * in AND the order parquet footer stats (the channel's other
+    * producer) are written in. Java's `String#compareTo` orders by
+    * UTF-16 code UNIT, which disagrees for supplementary-plane
+    * characters (surrogates 0xD800–0xDFFF sort below 0xE000–0xFFFF
+    * code units, while the code points they encode sort above) — a
+    * pruned range filter using the wrong order can drop a file that
+    * contains matching rows (ADVICE r14). Allocation-free: only chars
+    * at/above the surrogate block need the standard shift. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) {
+        def adj(c: Char): Int =
+          if (c < 0xD800) c.toInt
+          else if (c >= 0xE000) c.toInt - 0x800 // BMP tail below...
+          else c.toInt + 0x2000 // ...surrogates (suppl. planes) on top
+        return adj(ca) < adj(cb)
+      }
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** Stats-channel comparator for a column's CANONICAL string form —
-    * numeric parse for numeric columns, lexical for strings/ISO dates
+    * numeric parse for numeric columns, UTF-8 byte order for strings,
+    * lexical for ISO dates (pure ASCII, where the orders coincide)
     * (the [[TableCommit.ColStats]] contract). */
   private[sources] def lt(dt: DataType): (String, String) => Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType =>
       (a, b) => a.toLong < b.toLong
     case DoubleType | FloatType => (a, b) => a.toDouble < b.toDouble
+    case StringType => utf8Lt
     case _ => (a, b) => a < b
   }
 

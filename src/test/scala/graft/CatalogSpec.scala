@@ -383,6 +383,31 @@ class CatalogSpec extends AnyFunSuite {
       .getLong(0) === 320L, "vacuum must not touch live data")
   }
 
+  test("concurrent virgin-schema ALTERs serialize under the schema lock; no edit is lost (ADVICE r14)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.s (k BIGINT)")
+    val n = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = (0 until n).map { i =>
+      val t = new Thread(() => {
+        try {
+          gate.await()
+          spark.sql(s"ALTER TABLE $cat.s ADD COLUMN c$i BIGINT")
+          ()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      t.setName(s"graft-alter-$i"); t.start(); t
+    }
+    gate.countDown(); ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    assert(spark.table(s"$cat.s").columns.toSet ===
+      (Set("k") ++ (0 until n).map(i => s"c$i")),
+      "every concurrent ADD COLUMN must survive — none overwritten")
+    assert(!Files.exists(Paths.get(wh, "s", "_schema.lock")),
+      "the schema lock must be released")
+  }
+
   test("reserved names and nesting are refused: SQL can't reach table internals") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")

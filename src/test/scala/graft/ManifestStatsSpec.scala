@@ -87,6 +87,33 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(prunedK === 5L)
   }
 
+  test("string stats order by UTF-8 bytes, not UTF-16 code units (ADVICE r14): supplementary chars never prune a matching file") {
+    // one file whose string envelope MUST be [U+E000…, U+1F600]: Java's
+    // code-unit order would flip it (surrogate D83D < E000), and a
+    // pushed equality on the emoji would then read v > max and prune
+    // the very file holding the row — silent loss
+    val r = root()
+    val rows = Seq((1L, "tail"), (2L, "😀")) // 😀
+    import spark.implicits._
+    rows.toDF("k", "v").coalesce(1)
+      .write.format("graft-table").option("root", r)
+      .mode("append").save()
+    val e = TableCommit.entries(r).head
+    val vs = e.stats("v")
+    assert(vs.min === "tail" && vs.max === "😀",
+      s"envelope must be byte-ordered, got [${vs.min}, ${vs.max}]")
+    val got = spark.read.format("graft-table").schema(kvSchema)
+      .option("root", r).load()
+      .filter(col("v") === "😀")
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L),
+      "the pushed filter must keep the file that holds the match")
+    // and the range shape the advice named: v > U+E000… keeps it too
+    assert(spark.read.format("graft-table").schema(kvSchema)
+      .option("root", r).load()
+      .filter(col("v") > "tail").count() === 1L)
+  }
+
   test("a column without collected stats never prunes (lossless fallback)") {
     val r = root()
     clusteredCommit(r)
