@@ -1580,6 +1580,59 @@ object Relational {
       |  CAST(SUM(k) AS BIGINT) AS key_sum
       |FROM m2 GROUP BY 1 ORDER BY st""".stripMargin
 
+  // `q_sql_merge_evolve` (X310): MERGE WITH SCHEMA EVOLUTION
+
+  /** `q_sql_merge_evolve` (X310, VERDICT r14 task 8): `MERGE INTO …
+    * WITH SCHEMA EVOLUTION` — the source carries a column the target
+    * lacks (`note`), the analyzer routes it through the catalog's
+    * X298 ADD COLUMN (AUTOMATIC_SCHEMA_EVOLUTION capability), and the
+    * upsert lands with the evolved schema in the same statement: old
+    * unmatched rows read NULL for `note`, matched rows take the
+    * source's value, fresh keys insert with it. The oracle derives the
+    * evolved final state from the raw table; a resurrected dropped
+    * value, a NULL where the source wrote, or a lost pre-evolution row
+    * breaks the hash. */
+  def sqlMergeEvolveQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalog(spark, sfDir) { (cat, src) =>
+      spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+      spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
+        "WHERE k % 2 = 0")
+      val mrg = src + "_evo"
+      spark.sql(s"SELECT k, st, c * 2 AS c, concat('n', k % 3) AS note " +
+        s"FROM $src WHERE k % 4 <= 1").createOrReplaceTempView(mrg)
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.orders USING $mrg
+           |ON orders.k = $mrg.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = spark.sql(
+        s"""SELECT coalesce(note, '-') AS note, COUNT(*) AS n_orders,
+           |  SUM(c) AS total_cents, SUM(k) AS key_sum
+           |FROM $cat.orders GROUP BY 1 ORDER BY 1""".stripMargin)
+      val rows = out.collect().toIndexedSeq
+      spark.catalog.dropTempView(mrg)
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, out.schema)
+    }.orderBy(col("note"))
+
+  val sqlMergeEvolveOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |final AS (
+      |  SELECT k, c * 2 AS c, 'n' || CAST(k % 3 AS VARCHAR) AS note
+      |  FROM base WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT k, c * 2, 'n' || CAST(k % 3 AS VARCHAR)
+      |  FROM base WHERE k % 4 = 1
+      |  UNION ALL
+      |  SELECT k, c, '-' FROM base WHERE k % 2 = 0 AND k % 4 = 2)
+      |SELECT note, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   // `q_sql_evolution` (X298): ALTER TABLE over the column mapping
 
   /** `q_sql_evolution` (X298): SQL schema evolution end to end —

@@ -105,9 +105,11 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan]
       t.requireHeadForDml("MERGE INTO")
       val schema = t.logicalSchema
       val phys = (c: String) => t.physicalName(c)
-      if (withSchemaEvolution)
-        refuse("MERGE INTO", "WITH SCHEMA EVOLUTION is not supported",
-          "commitAddColumn then MERGE")
+      // X310: WITH SCHEMA EVOLUTION needs no work HERE — the analyzer's
+      // ResolveMergeIntoSchemaEvolution already pushed the source-only
+      // columns through GraftCatalog.alterTable (the table declares
+      // AUTOMATIC_SCHEMA_EVOLUTION) and re-resolved this target, so
+      // `schema` is the evolved one and the assignments below cover it.
       val tOut = AttributeSet(rel.output) ++ target.outputSet
       val sOut = source.outputSet
       // ON clause: a conjunction of target-col = source-col pairs —

@@ -408,6 +408,21 @@ private[graft] class GraftCatalogTable(schema0: StructType,
     conflictRetries: Int = 20)
     extends GraftWriteTable(schema0, properties) with SupportsDelete {
   override def name(): String = displayName
+
+  /** X310: `MERGE INTO … WITH SCHEMA EVOLUTION` — declaring
+    * AUTOMATIC_SCHEMA_EVOLUTION lets Spark's analyzer route the
+    * source-only columns through [[GraftCatalog.alterTable]] (the X298
+    * ADD COLUMN path, fresh-physical-safe against resurrection) and
+    * re-resolve the target before the DML rule runs; pre-existing rows
+    * read NULL for the new columns. Type WIDENING changes still refuse
+    * loudly in alterTable (type changes are commit-layer concerns). */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCapability] = {
+    val s = java.util.EnumSet.copyOf(super.capabilities())
+    s.add(org.apache.spark.sql.connector.catalog.TableCapability
+      .AUTOMATIC_SCHEMA_EVOLUTION)
+    s
+  }
   override protected def asOfVersion: Option[Long] = asOf
   /** X298: logical → physical for MAPPED columns (identity entries
     * omitted); scans read and writes land under physical names. */

@@ -383,6 +383,43 @@ class CatalogSpec extends AnyFunSuite {
       .getLong(0) === 320L, "vacuum must not touch live data")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve in; a re-added name never resurrects dropped bytes (X310)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.e (k BIGINT, v BIGINT, note STRING)")
+    spark.range(10L).select(col("id").as("k"), (col("id") * 10L).as("v"),
+      lit("secret").as("note")).createOrReplaceTempView("evo_src0")
+    spark.sql(s"INSERT INTO $cat.e SELECT * FROM evo_src0")
+    // drop the column — its bytes stay in the files under a tombstone
+    spark.sql(s"ALTER TABLE $cat.e DROP COLUMN note")
+    assert(spark.table(s"$cat.e").columns.toSeq === Seq("k", "v"))
+    // evolve the SAME name back in via MERGE: matched rows take the
+    // source value; unmatched rows must read NULL, never 'secret'
+    spark.range(5L).select((col("id") * 2L).as("k"),
+      (col("id") * 100L).as("v"), lit("fresh").as("note"))
+      .createOrReplaceTempView("evo_src1")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.e USING evo_src1
+         |ON e.k = evo_src1.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(s"SELECT k, v, note FROM $cat.e ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(rows.length === 10)
+    rows.foreach { case (k, v, note) =>
+      if (k % 2 == 0 && k < 10) {
+        assert(v === k * 50L, s"k=$k") // id*100 where id=k/2
+        assert(note === "fresh", s"k=$k")
+      } else {
+        assert(v === k * 10L, s"k=$k")
+        assert(note === null,
+          s"k=$k must read NULL for the re-added column, got '$note'")
+      }
+    }
+    spark.catalog.dropTempView("evo_src0")
+    spark.catalog.dropTempView("evo_src1")
+  }
+
   test("concurrent virgin-schema ALTERs serialize under the schema lock; no edit is lost (ADVICE r14)") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.s (k BIGINT)")
