@@ -188,9 +188,13 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan]
             Some(("update",
               cond.map(c => toSql("MERGE INTO",
                 targetOnly(c, "condition"), phys)), as))
-          case other => refuse("MERGE INTO",
+          case other if other.size > 1 => refuse("MERGE INTO",
             s"at most one WHEN NOT MATCHED BY SOURCE clause is " +
               s"supported (got ${other.size})", "commitMergeRows")
+          case Seq(other) => refuse("MERGE INTO",
+            s"unsupported WHEN NOT MATCHED BY SOURCE action $other " +
+              "(supported: THEN DELETE, THEN UPDATE SET col = expr)",
+            "commitMergeRows")
         }
       val uAssigns = matched match {
         case Seq(one) => assignsOf(one, "WHEN MATCHED")

@@ -502,9 +502,13 @@ object ManifestSoak {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime("300 milliseconds"))
       .start()
+    // wall cap: overridable so the 1,000-commit run the docs describe
+    // is actually runnable in one invocation (VERDICT r14 task 7)
+    val wallCap = sys.env.get("GRAFT_SOAK_WALL_SEC")
+      .map(_.toDouble).getOrElse(900.0)
     var lastReport = 0L
     while (version() < target && errors.isEmpty &&
-        (System.nanoTime() - t0) / 1e9 < 900.0) {
+        (System.nanoTime() - t0) / 1e9 < wallCap) {
       Thread.sleep(250L)
       val el = ((System.nanoTime() - t0) / 1e9).toLong
       if (el / 30L > lastReport) {

@@ -249,6 +249,117 @@ object ScaleProbe {
           println("[probe] engine plan:")
           println(engine().queryExecution.executedPlan.toString.take(4000))
         }
+      case "rgsplit" =>
+        // X309 evidence (VERDICT r14 task 5): DV'd wide scan on a
+        // FEW-LARGE-FILES table — row-group splits must keep in-file
+        // parallelism, vs the one-task-per-file shape they replace.
+        val dir = args(1)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("k", LongType), StructField("qty", DoubleType),
+          StructField("price", DoubleType), StructField("s", StringType)))
+        val root = graft.engine.TempWarehouse
+          .createManaged("graft_rgsplit_") + "/t"
+        val src = graft.engine.Tables.lineitem(spark, dir)
+          .select(monotonically_increasing_id().as("k"),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("price"),
+            concat(col("l_returnflag"), lit("|"), col("l_linestatus"),
+              lit("|"), col("l_shipdate").cast("string")).as("s"))
+        // FOUR big files, many row groups each (16 MB blocks)
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.setInt("parquet.block.size", 16 * 1024 * 1024)
+        try graft.engine.TableCommit.commitAppend(
+          src.coalesce(4), root, retain = 8)
+        finally hc.unset("parquet.block.size")
+        val n = graft.engine.TableCommit.read(spark, root, schema).count()
+        // scattered damage well above the broadcast threshold, so the
+        // snapshot read routes the facet row-view legs
+        graft.engine.TableCommit.commitDeleteRows(spark, root, schema,
+          pmod(col("k"), lit(11L)) === 0L, retain = 8)
+        def eng() = graft.engine.TableCommit.read(spark, root, schema)
+        def agg(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.agg(sum(col("qty")), sum(col("price")),
+            sum(length(col("s"))), count(lit(1))).collect()
+          ()
+        }
+        def med(f: () => Unit): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        // clean floor: the same bytes, no DVs, spark's own splits
+        val paths = graft.engine.TableCommit.entries(root)
+          .map(e => s"$root/${e.path}")
+        agg(spark.read.schema(schema).parquet(paths: _*))
+        val clean = med(() => agg(spark.read.schema(schema)
+          .parquet(paths: _*)))
+        val seam = graft.sources.GraftBatchScan.splitFooterMin
+        try {
+          // BEFORE: one task per file (splits off)
+          graft.sources.GraftBatchScan.splitFooterMin = Long.MaxValue
+          agg(eng())
+          val whole = med(() => agg(eng()))
+          val wholeParts = eng().rdd.getNumPartitions
+          // AFTER: row-group splits (default gate admits 16 MB groups
+          // only via the lowered seam — production files are ≥ the
+          // 96 MB gate when they are worth splitting)
+          graft.sources.GraftBatchScan.splitFooterMin = 1L
+          agg(eng())
+          val split = med(() => agg(eng()))
+          val splitParts = eng().rdd.getNumPartitions
+          println(f"[probe] rgsplit rows=$n%,d files=4: clean=$clean%.2f s " +
+            f"dv_whole_file=$whole%.2f s ($wholeParts parts) " +
+            f"dv_rg_split=$split%.2f s ($splitParts parts) " +
+            f"split/clean=${split / clean}%.2f whole/clean=${whole / clean}%.2f")
+        } finally graft.sources.GraftBatchScan.splitFooterMin = seam
+      case "mergebig" =>
+        // X305 evidence (VERDICT r14 task 1): the shuffle MoR MERGE at
+        // 10× — wall time and post-GC driver heap vs the broadcast
+        // path on the SAME upsert batch; cost must track the damage,
+        // the driver must stay flat.
+        val dir = args(1)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("k", LongType), StructField("qty", DoubleType),
+          StructField("price", DoubleType), StructField("s", StringType)))
+        def usedHeap(): Long = {
+          System.gc(); Thread.sleep(300); System.gc()
+          val rt = Runtime.getRuntime
+          rt.totalMemory - rt.freeMemory
+        }
+        def src0 = graft.engine.Tables.lineitem(spark, dir)
+          .select(monotonically_increasing_id().as("k"),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("price"),
+            concat(col("l_returnflag"), lit("|"), col("l_linestatus"),
+              lit("|"), col("l_shipdate").cast("string")).as("s"))
+        Seq("broadcast" -> 5000000, "shuffle" -> 1000).foreach {
+          case (tag, ceil) =>
+            val root = graft.engine.TempWarehouse
+              .createManaged(s"graft_mergebig_${tag}_") + "/t"
+            graft.engine.TableCommit.commitAppend(
+              src0.repartitionByRange(32, col("k"))
+                .sortWithinPartitions("k"), root, retain = 8)
+            // 10% of keys updated + 1% new — a real daily upsert shape
+            val batch = src0.filter(pmod(col("k"), lit(10L)) === 3L)
+              .withColumn("qty", col("qty") + 1.0)
+              .unionByName(src0.filter(pmod(col("k"), lit(101L)) === 7L)
+                .withColumn("k", col("k") + (1L << 40)))
+            val h0 = usedHeap()
+            val t0 = System.nanoTime()
+            graft.engine.TableCommit.commitMergeRows(spark, root, schema,
+              batch, keyCols = Seq("k"), retain = 8,
+              maxBroadcastKeys = ceil)
+            val dt = (System.nanoTime() - t0) / 1e9
+            val h1 = usedHeap()
+            val es = graft.engine.TableCommit.entries(root)
+            val dvFiles = es.count(_.stats.contains(
+              graft.engine.TableCommit.DvKey))
+            val rows = graft.engine.TableCommit
+              .read(spark, root, schema).count()
+            println(f"[probe] mergebig $tag ceil=$ceil: merge=$dt%.1f s " +
+              f"heapDelta=${(h1 - h0) / 1048576}%d MiB " +
+              f"files=${es.size} dvFiles=$dvFiles liveRows=$rows%,d")
+        }
       case other =>
         System.err.println(s"unknown probe: $other")
         sys.exit(1)

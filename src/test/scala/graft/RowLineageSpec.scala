@@ -225,17 +225,19 @@ class RowLineageSpec extends AnyFunSuite {
     assert(idsOf(r2) === Map(7L -> 0L, 8L -> 1L))
   }
 
-  test("the MERGE broadcast contract is self-enforcing (VERDICT r12 task 6)") {
+  test("the MERGE broadcast ceiling ROUTES to the shuffle path with lineage intact (X305; was a refusal until r14)") {
     val r = root()
     TableCommit.commitAppendTracked(
       one(Seq((1L, "a"), (2L, "b"))), r, retain = 8)
     val src = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "v")
-    val ex = intercept[IllegalArgumentException] {
-      TableCommit.commitMergeRows(spark, r, schema, src,
-        keyCols = Seq("k"), retain = 8, maxBroadcastKeys = 2)
-    }
-    assert(ex.getMessage.contains("copy-on-write"))
-    // under the threshold: unchanged behavior
+    // ABOVE the ceiling: same commit semantics through the shuffle
+    // join — matched rows inherit their ids, fresh keys mint at the
+    // high-water, exactly as the broadcast path below
+    TableCommit.commitMergeRows(spark, r, schema, src,
+      keyCols = Seq("k"), retain = 8, maxBroadcastKeys = 2,
+      preserveRowIds = true)
+    assert(idsOf(r) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // under the ceiling: unchanged behavior (idempotent re-merge)
     TableCommit.commitMergeRows(spark, r, schema, src,
       keyCols = Seq("k"), retain = 8, maxBroadcastKeys = 3,
       preserveRowIds = true)
