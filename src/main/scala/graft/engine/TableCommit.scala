@@ -3136,12 +3136,23 @@ object TableCommit {
       notMatchedBySource.map(n =>
         live.join(hinted(keys), keyCols, "left_anti")
           .filter(n.condition.getOrElse(lit(true))))
-    def allVictimPos(matched: DataFrame,
-        nmbs: Option[DataFrame]): DataFrame = {
-      val m = matched.select(col("_g_leaf"), col("_g_pos"))
-      nmbs.fold(m)(n =>
-        m.unionAll(n.select(col("_g_leaf"), col("_g_pos"))))
-    }
+    // ONE scan feeds the DV fold even with an NMBS clause: a semi ∪
+    // anti union would read the (100 TB) target once per leg, but
+    // "matched ∨ (unmatched ∧ cond)" is a single filter over ONE
+    // left-outer join against the keys (null live keys stay unmatched
+    // under a join, exactly as under the semi/anti pair — ANSI)
+    def allVictimPos(live: DataFrame): DataFrame =
+      notMatchedBySource match {
+        case None =>
+          live.join(hinted(keys), keyCols, "left_semi")
+            .select(col("_g_leaf"), col("_g_pos"))
+        case Some(n) =>
+          val marker = keys.withColumn("_g_matched", lit(true))
+          live.join(hinted(marker), keyCols, "left_outer")
+            .filter(col("_g_matched").isNotNull ||
+              n.condition.getOrElse(lit(true)))
+            .select(col("_g_leaf"), col("_g_pos"))
+      }
     def nmbsImages(nmbs: Option[DataFrame],
         withIds: Boolean): Seq[Entry] =
       (notMatchedBySource, nmbs) match {
@@ -3158,10 +3169,9 @@ object TableCommit {
       }
     if (!preserveRowIds) {
       val live = liveWithPos(spark, root, schema, es)
-      val victims = live.join(hinted(keys), keyCols, "left_semi")
       val nmbs = nmbsRows(live)
       val encoded = dvEncodeDistributed(spark, root,
-        allVictimPos(victims, nmbs), existingDvByLeaf(es), inlineDvMax)
+        allVictimPos(live), existingDvByLeaf(es), inlineDvMax)
       val staged = stageBatch(src, root, None, statsCols) ++
         nmbsImages(nmbs, withIds = false)
       publishRebasing(root, base,
@@ -3176,7 +3186,7 @@ object TableCommit {
       val victims = live.join(hinted(keys), keyCols, "left_semi")
       val nmbs = nmbsRows(live)
       val encoded = dvEncodeDistributed(spark, root,
-        allVictimPos(victims, nmbs), existingDvByLeaf(es), inlineDvMax)
+        allVictimPos(live), existingDvByLeaf(es), inlineDvMax)
       // one inherited id per matched key (smallest, if duplicated)
       val vicIds = victims
         .groupBy(keyCols.map(col): _*)
