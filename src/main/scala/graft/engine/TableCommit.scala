@@ -686,7 +686,15 @@ object TableCommit {
                   b.exists(c => c == '.' || c == 'E' || c == 'e'))
                 a.toDouble < b.toDouble
               else a.toLong < b.toLong
-            } else a < b
+            } else
+              // UTF-8 BYTE order for the string/date fold across row
+              // groups, matching the prune side and parquet's own stat
+              // order — Java's UTF-16 `<` would pick the wrong file
+              // envelope when row-group extremes straddle the
+              // surrogate block (review finding, the one producer the
+              // ADVICE r14 fix missed; ISO dates are ASCII where the
+              // orders coincide)
+              graft.sources.GraftBatchScan.utf8Lt(a, b)
           val num = ts.head._3
           val mn = ts.map(_._1).reduce((a, b) => if (lt(a, b, num)) a else b)
           val mx = ts.map(_._2).reduce((a, b) => if (lt(a, b, num)) b else a)
@@ -946,6 +954,25 @@ object TableCommit {
     * age-restore the just-trashed manifests. The race spec parks a
     * vacuum here to force the interleaving deterministically. */
   @volatile private[graft] var retireTrashHook: () => Unit = () => ()
+
+  /** A retain value that PRESERVES every currently-retained version
+    * across ONE more commit — what a maintenance commit that cannot
+    * know its table's writer retention policy should publish with
+    * (X307, review finding: a hardcoded window could retire history a
+    * higher-retain catalog's own writers would have kept). */
+  def retainAll(root: String): Int = {
+    val present = listDir(logDir(root)).flatMap(p =>
+      p.getFileName.toString match {
+        case VersionRe(d) => Some(d.toLong)
+        case _            => None
+      })
+    if (present.isEmpty) 1
+    else {
+      val cur = currentVersion(root).getOrElse(0L)
+      math.min(Int.MaxValue.toLong,
+        math.max(1L, cur + 2L - present.min)).toInt
+    }
+  }
 
   private def retire(root: String, current: Long, retain: Int): Unit = {
     try {
@@ -2948,6 +2975,26 @@ object TableCommit {
     else dvAntiApply(spark, root, base, dvs, "_g_leaf", "_g_pos")
   }
 
+  /** Apply `assignments` SIMULTANEOUSLY — ANSI UPDATE semantics: every
+    * RHS sees the OLD row, so `SET a = b, b = a` swaps (a sequential
+    * withColumn fold would make it a copy — review finding). Output
+    * re-pins `outCols` order; a target outside `assignable` (a typo'd
+    * column, the row-id column) refuses loudly instead of being
+    * silently dropped by the projection. */
+  private def applyAssignments(df: DataFrame, outCols: Seq[String],
+      assignable: Set[String],
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val am = assignments.toMap
+    require(am.size == assignments.size,
+      s"duplicate assignment targets in ${assignments.map(_._1)}")
+    val unknown = am.keySet -- assignable
+    require(unknown.isEmpty,
+      s"assignment target(s) ${unknown.mkString(", ")} not assignable " +
+        s"(table columns: ${assignable.mkString(", ")})")
+    df.select(outCols.map(n => am.get(n).fold(col(n))(_.as(n))): _*)
+  }
+
   /** Row-level UPDATE via merge-on-read (X270): live rows matching
     * `predicate` are DV-deleted in place and their UPDATED images
     * appended — one atomic commit, the UPDATE half of the DML family
@@ -2991,14 +3038,13 @@ object TableCommit {
       victims.select(col("_g_leaf"), col("_g_pos")),
       existingDvByLeaf(es), inlineDvMax)
     if (encoded.isEmpty) return base
-    // updated images: assignments applied, engine columns dropped,
-    // column order re-pinned to the table schema
-    val imageCols =
-      (schema.fieldNames.toSeq ++ (if (preserveRowIds) Seq(RowIdCol)
-                                   else Nil)).map(col)
-    val images = assignments.foldLeft(victims) {
-      case (d, (c, e)) => d.withColumn(c, e)
-    }.select(imageCols: _*)
+    // updated images: assignments applied SIMULTANEOUSLY (ANSI — every
+    // RHS sees the old row), engine columns dropped, column order
+    // re-pinned to the table schema
+    val images = applyAssignments(victims,
+      schema.fieldNames.toSeq ++
+        (if (preserveRowIds) Seq(RowIdCol) else Nil),
+      schema.fieldNames.toSet, assignments)
     val staged0 = stageBatch(images, root, None,
       if (preserveRowIds) statsCols :+ RowIdCol else statsCols)
     val staged =
@@ -3086,8 +3132,16 @@ object TableCommit {
     val es = entriesAt(root, base)
     require(maxBroadcastKeys > 0 && maxBroadcastKeys < Int.MaxValue,
       s"bad maxBroadcastKeys $maxBroadcastKeys")
-    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a caller that already persisted the source (the SQL MERGE
+    // command, which probes it first) must not pay a SECOND cached
+    // copy here — the projection reads its cache deterministically
+    // (review finding)
+    val alreadyCached = source.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val src0 = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val src =
+      if (alreadyCached) src0
+      else src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val keys = src.select(keyCols.map(col).toIndexedSeq: _*).distinct()
     val bcast = keys.limit(maxBroadcastKeys + 1).count() <= maxBroadcastKeys
@@ -3157,11 +3211,12 @@ object TableCommit {
         withIds: Boolean): Seq[Entry] =
       (notMatchedBySource, nmbs) match {
         case (Some(MergeNmbs.Update(assigns, _)), Some(rows)) =>
-          val cols = (schema.fieldNames.toSeq ++
-            (if (withIds) Seq(RowIdCol) else Nil)).map(col)
-          val upd = assigns.foldLeft(rows) {
-            case (d, (c, e)) => d.withColumn(c, e)
-          }.select(cols: _*)
+          // simultaneous ANSI assignment semantics + loud refusal of
+          // unknown targets, exactly as in commitUpdateRows
+          val upd = applyAssignments(rows,
+            schema.fieldNames.toSeq ++
+              (if (withIds) Seq(RowIdCol) else Nil),
+            schema.fieldNames.toSet, assigns)
           val staged = stageBatch(upd, root, None,
             if (withIds) statsCols :+ RowIdCol else statsCols)
           if (withIds) staged.map(markRidStats) else staged
@@ -3214,7 +3269,7 @@ object TableCommit {
         conflictsWith = strict(encoded.keySet),
         retain, conflictRetries, ridHighWater = Some(acc))
     }
-    } finally src.unpersist(blocking = false)
+    } finally if (!alreadyCached) src.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------------

@@ -1347,7 +1347,14 @@ object Relational {
     * (catalog instances and conf entries are run-unique by name, so
     * repeated bench/verify invocations never collide). */
   private def withSqlCatalog(spark: SparkSession, sfDir: String)(
-      body: (String, String) => DataFrame): DataFrame = {
+      body: (String, String) => DataFrame): DataFrame =
+    withSqlCatalogWh(spark, sfDir)((cat, src, _) => body(cat, src))
+
+  /** The same fixture, with the WAREHOUSE path exposed — for gates
+    * whose SQL addresses a table root directly (the maintenance
+    * TVFs). */
+  private def withSqlCatalogWh(spark: SparkSession, sfDir: String)(
+      body: (String, String, String) => DataFrame): DataFrame = {
     val wh = graft.engine.TempWarehouse.createManaged("graft_sqlcat_")
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val cat = s"graft_sql_$id"
@@ -1360,7 +1367,7 @@ object Relational {
           .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
           .cast("long").as("c"))
       .createOrReplaceTempView(src)
-    val out = body(cat, src)
+    val out = body(cat, src, wh)
     val rows = out.collect().toIndexedSeq
     val sc = out.schema
     spark.catalog.dropTempView(src)
@@ -1735,42 +1742,27 @@ object Relational {
     * CatalogSpec asserts the mechanical halves the oracle can't see
     * (SQL compact provably reduces the file count; vacuum sweeps a
     * planted aged orphan). */
-  def sqlMaintainQ(spark: SparkSession, sfDir: String): DataFrame = {
-    val wh = graft.engine.TempWarehouse.createManaged("graft_sqlmnt_")
-    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val cat = s"graft_mnt_$id"
-    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    val src = s"graft_mnt_src_$id"
-    Tables.orders(spark, sfDir)
-      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
-        (col("o_totalprice")
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-          .cast("long").as("c"))
-      .createOrReplaceTempView(src)
-    spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
-    spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
-      "WHERE k % 2 = 0")
-    spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
-      "WHERE k % 2 = 1")
-    spark.sql(s"DELETE FROM $cat.orders WHERE st = 'P'")
-    val root = s"$wh/orders"
-    // ratio 0.0: every file with at least one dead row melts
-    spark.sql(s"SELECT * FROM graft_melt('$root', 0.0)").collect()
-    // age-gated sweep beside retained history: swept young = nothing
-    spark.sql(s"SELECT * FROM graft_vacuum('$root')").collect()
-    val dvAfter = graft.engine.TableCommit.entries(root)
-      .count(_.stats.contains(graft.engine.TableCommit.DvKey)).toLong
-    val out = spark.sql(
-      s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
-         |  SUM(k) AS key_sum
-         |FROM $cat.orders GROUP BY st ORDER BY st""".stripMargin)
-      .withColumn("dv_after", lit(dvAfter))
-    val rows = out.collect().toIndexedSeq
-    spark.catalog.dropTempView(src)
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, out.schema).orderBy(col("st"))
-  }
+  def sqlMaintainQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalogWh(spark, sfDir) { (cat, src, wh) =>
+      spark.sql(s"CREATE TABLE $cat.orders (k BIGINT, st STRING, c BIGINT)")
+      spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
+        "WHERE k % 2 = 0")
+      spark.sql(s"INSERT INTO $cat.orders SELECT k, st, c FROM $src " +
+        "WHERE k % 2 = 1")
+      spark.sql(s"DELETE FROM $cat.orders WHERE st = 'P'")
+      val root = s"$wh/orders"
+      // ratio 0.0: every file with at least one dead row melts
+      spark.sql(s"SELECT * FROM graft_melt('$root', 0.0)").collect()
+      // age-gated sweep beside retained history: swept young = nothing
+      spark.sql(s"SELECT * FROM graft_vacuum('$root')").collect()
+      val dvAfter = graft.engine.TableCommit.entries(root)
+        .count(_.stats.contains(graft.engine.TableCommit.DvKey)).toLong
+      spark.sql(
+        s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+           |  SUM(k) AS key_sum
+           |FROM $cat.orders GROUP BY st ORDER BY st""".stripMargin)
+        .withColumn("dv_after", lit(dvAfter))
+    }.orderBy(col("st"))
 
   val sqlMaintainOracle: String =
     """WITH base AS (

@@ -113,14 +113,34 @@ object GraftMaintenanceTvf {
       new ExpressionInfo(getClass.getName, "graft_vacuum"),
       vacuumBuild _))
 
+  /** EVERY regular file under the root — data, log debris, sidecars —
+    * so the vacuum report counts the log-directory sweeps too (review
+    * finding: a data-only walk reported `swept = 0` from a vacuum that
+    * removed crashed-commit `.tmp-` debris). */
   private[plans] def fileCount(root: String): Long = {
-    val dir = Paths.get(root, "data")
+    val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return 0L
     val s = Files.walk(dir)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.count(Files.isRegularFile(_)).toLong
     } finally s.close()
+  }
+
+  /** Retention for a maintenance publish: wide enough to preserve
+    * every currently-retained version WHATEVER the table's writers
+    * use (review finding: a hardcoded 64 could retire history a
+    * higher-retain catalog kept), floored at the catalog default. */
+  private[plans] def keepRetain(root: String): Int =
+    math.max(64, TableCommit.retainAll(root))
+
+  /** Files the maintenance commit REWROTE = paths that left the
+    * manifest (review finding: a net file-count delta reports 0 for a
+    * 1:1 melt that did rewrite every fat file). */
+  private[plans] def rewrittenCount(before: Seq[TableCommit.Entry],
+      after: Seq[TableCommit.Entry]): Long = {
+    val kept = after.map(_.path).toSet
+    before.count(e => !kept.contains(e.path)).toLong
   }
 
   private[plans] val reportAttrs: Seq[Attribute] = attrs(
@@ -132,16 +152,14 @@ case class GraftMeltCommand(root: String, maxDeadRatio: Double,
     targetFiles: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftMaintenanceTvf.reportAttrs
   override def run(spark: SparkSession): Seq[Row] = {
-    val before = TableCommit.entries(root).size.toLong
-    // retain matches the SQL catalog's default window (64): a SQL
-    // maintenance commit must never retire history a SQL table's own
-    // writers would have kept — an over-wide window only delays
-    // retirement until the next regular commit
+    val before = TableCommit.entries(root)
     val v = TableCommit.commitMeltDeleted(spark, root, maxDeadRatio,
-      targetFiles = targetFiles, retain = 64,
+      targetFiles = targetFiles,
+      retain = GraftMaintenanceTvf.keepRetain(root),
       preserveRowIds = TableCommit.isTracked(root))
-    val after = TableCommit.entries(root).size.toLong
-    Seq(Row(v, before, after, math.max(0L, before - after)))
+    val after = TableCommit.entries(root)
+    Seq(Row(v, before.size.toLong, after.size.toLong,
+      GraftMaintenanceTvf.rewrittenCount(before, after)))
   }
 }
 
@@ -149,11 +167,13 @@ case class GraftCompactCommand(root: String, targetFiles: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftMaintenanceTvf.reportAttrs
   override def run(spark: SparkSession): Seq[Row] = {
-    val before = TableCommit.entries(root).size.toLong
+    val before = TableCommit.entries(root)
     val v = TableCommit.commitCompact(spark, root, targetFiles,
-      retain = 64, preserveRowIds = TableCommit.isTracked(root))
-    val after = TableCommit.entries(root).size.toLong
-    Seq(Row(v, before, after, math.max(0L, before - after)))
+      retain = GraftMaintenanceTvf.keepRetain(root),
+      preserveRowIds = TableCommit.isTracked(root))
+    val after = TableCommit.entries(root)
+    Seq(Row(v, before.size.toLong, after.size.toLong,
+      GraftMaintenanceTvf.rewrittenCount(before, after)))
   }
 }
 

@@ -338,7 +338,12 @@ class GraftCatalog extends TableCatalog {
     * broken by the next editor; waiting editors give up loudly after
     * 30 s rather than spinning forever. */
   private def editVirginSchema(root: String)(
-      f: StructType => StructType): Unit = {
+      f: StructType => StructType): Unit =
+    // same-JVM editors (the realistic shape: one driver's ALTER
+    // statements) serialize on a per-root monitor — no filesystem race
+    // at all; the claim file below covers CROSS-process editors
+    GraftCatalog.editMonitors
+      .computeIfAbsent(root, _ => new Object).synchronized {
     val lock = Paths.get(root, "_schema.lock")
     val deadline = System.currentTimeMillis() + 30000L
     var held = false
@@ -348,14 +353,21 @@ class GraftCatalog extends TableCatalog {
         held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val age =
+          def age(): Long =
             try System.currentTimeMillis() -
               Files.getLastModifiedTime(lock).toMillis
             catch { case _: Throwable => 0L } // vanished: retry claim
-          if (age > 60000L) Files.deleteIfExists(lock)
-          else if (System.currentTimeMillis() > deadline)
+          // stale break: re-stat IMMEDIATELY before the delete so a
+          // lock another breaker just broke-and-reclaimed (fresh
+          // mtime) is never deleted out from under its new owner
+          // (review finding; the residual stat→delete window is
+          // microseconds against a 60 s staleness bar, and same-JVM
+          // breakers are already serialized by the monitor above)
+          if (age() > 60000L) {
+            if (age() > 60000L) Files.deleteIfExists(lock)
+          } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
-              s"schema edit lock at $lock held for ${age} ms — a " +
+              s"schema edit lock at $lock held for ${age()} ms — a " +
                 "concurrent ALTER TABLE is stuck or crashed recently; " +
                 "retry, or remove the lock if no editor is live")
           else Thread.sleep(50L)
@@ -478,6 +490,15 @@ private[graft] class GraftCatalogTable(schema0: StructType,
       conflictRetries = conflictRetries)
     ()
   }
+}
+
+private[sources] object GraftCatalog {
+  /** Per-root monitors serializing same-JVM virgin-schema edits (the
+    * cross-process half is the claim file in [[GraftCatalog
+    * .editVirginSchema]]). Table-count-sized, never cleaned — a
+    * monitor is one object per root ever edited in this JVM. */
+  private[sources] val editMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }
 
 private[sources] object GraftCatalogTable {

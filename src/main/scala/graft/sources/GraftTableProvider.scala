@@ -750,6 +750,16 @@ private[graft] object GraftBatchScan {
     * planning on fixture-sized files. */
   @volatile private[graft] var splitFooterMin: Long = 96L * 1024 * 1024
 
+  /** (path → row-group layout) cache: committed data files are
+    * IMMUTABLE (part names carry the write's UUID, rewrites mint new
+    * paths), so a footer never changes — without this, every plan of a
+    * big-file table re-read every footer on the driver (review
+    * finding). Crude bound: cleared past 100k entries (tuples are
+    * bytes; 100k ≈ a few MB). */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, IndexedSeq[(Long, Long)]]()
+
   /** The file's row groups as (startingPos, rowCount), oldest first —
     * or empty when the size gate says don't bother / the footer is
     * unreadable (the caller then plans one whole-file partition, which
@@ -761,12 +771,18 @@ private[graft] object GraftBatchScan {
     try {
       val p = java.nio.file.Paths.get(abs)
       if (java.nio.file.Files.size(p) < splitFooterMin) return Seq.empty
+      val hit = footerCache.get(abs)
+      if (hit != null) return hit
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri),
         new org.apache.hadoop.conf.Configuration()))
-      try rd.getFooter.getBlocks.asScala.toIndexedSeq
-        .map(b => (b.getStartingPos, b.getRowCount))
-      finally rd.close()
+      val groups =
+        try rd.getFooter.getBlocks.asScala.toIndexedSeq
+          .map(b => (b.getStartingPos, b.getRowCount))
+        finally rd.close()
+      if (footerCache.size() > 100000) footerCache.clear()
+      footerCache.put(abs, groups)
+      groups
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 

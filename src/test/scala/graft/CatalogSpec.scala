@@ -360,6 +360,8 @@ class CatalogSpec extends AnyFunSuite {
       .collect()(0)
     assert(rep.getLong(1) === filesBefore.toLong)
     assert(rep.getLong(2) === 1L, "compact(1) must land one file")
+    assert(rep.getLong(3) === filesBefore.toLong,
+      "rewritten = files whose paths left the manifest, not a net delta")
     assert(TableCommit.entries(root).size === 1)
     assert(TableCommit.entries(root)
       .forall(e => !e.stats.contains(TableCommit.DvKey)),

@@ -415,6 +415,36 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE and NMBS assignments evaluate SIMULTANEOUSLY (ANSI): SET a = b, b = a swaps; unknown targets refuse") {
+    val r = root()
+    // (k, v) seed: v = 10k — use k/v as the swap pair
+    seed(r, n = 20L, files = 1)
+    TableCommit.commitUpdateRows(spark, r, schema,
+      col("k") < 5L, Seq("k" -> col("v"), "v" -> col("k")), retain = 8)
+    val got = TableCommit.read(spark, r, schema)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expect = (0L until 20L).map(k =>
+      if (k < 5L) (k * 10L, k) else (k, k * 10L)).toSet
+    assert(got === expect,
+      "every RHS must see the OLD row — a sequential fold turns the " +
+        "swap into a copy")
+    // unknown assignment target: refused loudly, never silently dropped
+    val ex = intercept[IllegalArgumentException] {
+      TableCommit.commitUpdateRows(spark, r, schema,
+        col("k") >= 0L, Seq("nope" -> lit(1L)), retain = 8)
+    }
+    assert(ex.getMessage.contains("nope"))
+    // same contract on the NMBS UPDATE leg
+    val src = spark.range(3).select((col("id") + 1000L).as("k"),
+      lit(0L).as("v")).coalesce(1)
+    val ex2 = intercept[IllegalArgumentException] {
+      TableCommit.commitMergeRows(spark, r, schema, src, Seq("k"),
+        retain = 8, notMatchedBySource = Some(TableCommit.MergeNmbs
+          .Update(Seq("nope" -> lit(1L)), None)))
+    }
+    assert(ex2.getMessage.contains("nope"))
+  }
+
   test("stats-channel namespacing: a user column named `dv` coexists with the DV key; ':' columns are refused") {
     val r = root()
     val df = spark.range(100).select(col("id").as("k"),

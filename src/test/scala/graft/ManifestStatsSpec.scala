@@ -114,6 +114,38 @@ class ManifestStatsSpec extends AnyFunSuite {
       .filter(col("v") > "tail").count() === 1L)
   }
 
+  test("footer-stats fold across row groups keeps UTF-8 byte order (review r15): surrogate extremes never flip the envelope") {
+    // ONE file, TWO row groups whose string extremes straddle the
+    // surrogate block: RG1 holds only U+1F600 (😀), RG2 only U+E000z.
+    // UTF-16 code-unit fold would pick min=😀/max=z — reversed —
+    // and a pushed equality on 😀 would then prune the file.
+    val r = root()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 32 * 1024)
+    try {
+      val df = spark.range(40000L).select(col("id").as("k"),
+        when(col("id") < 20000L, lit("😀"))
+          .otherwise(lit("z")).as("v")).coalesce(1)
+      TableCommit.commitAppend(df, r, retain = 8, statsCols = Seq("v"))
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    val e = TableCommit.entries(r).head
+    // fixture sanity: the file really has several row groups
+    val conf = spark.sessionState.newHadoopConf()
+    val path = java.nio.file.Paths.get(r, e.path)
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path.toUri), conf))
+    val nGroups = try rd.getFooter.getBlocks.size finally rd.close()
+    assert(nGroups > 1, s"fixture needs >1 row group, got $nGroups")
+    val vs = e.stats("v")
+    assert(vs.min === "z" && vs.max === "😀",
+      s"fold must be byte-ordered, got [${vs.min}, ${vs.max}]")
+  }
+
   test("a column without collected stats never prunes (lossless fallback)") {
     val r = root()
     clusteredCommit(r)
