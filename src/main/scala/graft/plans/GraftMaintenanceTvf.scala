@@ -102,6 +102,36 @@ object GraftMaintenanceTvf {
       else 3600000L)
   }
 
+  /** `graft_cluster('<root>', targetFiles, 'xCol', 'yCol'[, zBits])` →
+    * [[TableCommit.commitCluster]]: Z-ORDER the snapshot on two
+    * dimensions (Delta's `OPTIMIZE … ZORDER BY`) — column names are
+    * the table's PHYSICAL names, exactly like every root-addressed
+    * verb. */
+  private def clusterBuild(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4 || args.size == 5,
+      "graft_cluster takes (root STRING, targetFiles INT, xCol " +
+        "STRING, yCol STRING[, zBits INT]) — e.g. " +
+        "graft_cluster('/wh/t', 8, 'x', 'y')")
+    GraftClusterCommand(str("graft_cluster", args.head, "root"),
+      num("graft_cluster", args(1), "targetFiles").toInt,
+      str("graft_cluster", args(2), "xCol"),
+      str("graft_cluster", args(3), "yCol"),
+      if (args.size == 5) num("graft_cluster", args(4), "zBits").toInt
+      else 8)
+  }
+
+  /** `graft_restore('<root>', version)` → [[TableCommit
+    * .commitRestore]]: the operational UNDO — the next version carries
+    * the retained target version's exact file list, metadata-only
+    * (X283; high-waters never rewind, CDC emits the resurrections). */
+  private def restoreBuild(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2,
+      "graft_restore takes (root STRING, version BIGINT) — e.g. " +
+        "graft_restore('/wh/t', 42)")
+    GraftRestoreCommand(str("graft_restore", args.head, "root"),
+      num("graft_restore", args(1), "version").toLong)
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("graft_melt"),
@@ -111,7 +141,13 @@ object GraftMaintenanceTvf {
       compactBuild _),
     (FunctionIdentifier("graft_vacuum"),
       new ExpressionInfo(getClass.getName, "graft_vacuum"),
-      vacuumBuild _))
+      vacuumBuild _),
+    (FunctionIdentifier("graft_cluster"),
+      new ExpressionInfo(getClass.getName, "graft_cluster"),
+      clusterBuild _),
+    (FunctionIdentifier("graft_restore"),
+      new ExpressionInfo(getClass.getName, "graft_restore"),
+      restoreBuild _))
 
   /** EVERY regular file under the root — data, log debris, sidecars —
     * so the vacuum report counts the log-directory sweeps too (review
@@ -171,6 +207,34 @@ case class GraftCompactCommand(root: String, targetFiles: Int)
     val v = TableCommit.commitCompact(spark, root, targetFiles,
       retain = GraftMaintenanceTvf.keepRetain(root),
       preserveRowIds = TableCommit.isTracked(root))
+    val after = TableCommit.entries(root)
+    Seq(Row(v, before.size.toLong, after.size.toLong,
+      GraftMaintenanceTvf.rewrittenCount(before, after)))
+  }
+}
+
+case class GraftClusterCommand(root: String, targetFiles: Int,
+    xCol: String, yCol: String, zBits: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenanceTvf.reportAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = TableCommit.entries(root)
+    val v = TableCommit.commitCluster(spark, root, targetFiles,
+      xCol, yCol, retain = GraftMaintenanceTvf.keepRetain(root),
+      zBits = zBits, preserveRowIds = TableCommit.isTracked(root))
+    val after = TableCommit.entries(root)
+    Seq(Row(v, before.size.toLong, after.size.toLong,
+      GraftMaintenanceTvf.rewrittenCount(before, after)))
+  }
+}
+
+case class GraftRestoreCommand(root: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenanceTvf.reportAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = TableCommit.entries(root)
+    val v = TableCommit.commitRestore(root, version,
+      retain = GraftMaintenanceTvf.keepRetain(root))
     val after = TableCommit.entries(root)
     Seq(Row(v, before.size.toLong, after.size.toLong,
       GraftMaintenanceTvf.rewrittenCount(before, after)))

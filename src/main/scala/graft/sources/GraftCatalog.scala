@@ -40,7 +40,8 @@ import graft.engine.TableCommit
   * RENAME/ADD/DROP COLUMN` rides the X276 column mapping (X298) —
   * metadata-only, atomic with the commit log. Lineage bootstrap and
   * tags stay API-level (the engine's explicit-schema discipline). */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   private var retain: Int = 64
@@ -199,6 +200,79 @@ class GraftCatalog extends TableCatalog {
     }
     loadTable(ident)
   }
+
+  /** X312: ATOMIC `CREATE TABLE AS SELECT` — the [[org.apache.spark
+    * .sql.connector.catalog.StagingTableCatalog]] protocol. The root
+    * is RESERVED with a create-exclusive `_schema.staging` marker
+    * (losing the claim = the standard already-exists error); the CTAS
+    * write then lands data + commit log under the root while the
+    * table stays INVISIBLE (every load keys on `_schema.json`), and
+    * `commitStagedChanges` makes it exist in one atomic rename of the
+    * marker — a failed or racing CTAS never leaves a half-visible
+    * table (`abortStagedChanges` removes the reserved root). A CTAS
+    * crash between write and commit leaves an invisible staged
+    * directory; it is operator debris exactly like a crashed commit's
+    * staged batch (remove the directory, or finish the rename by
+    * hand). REPLACE forms are refused — an atomic whole-table swap is
+    * the engine's `commitOverwrite`. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      "graft catalog tables are unpartitioned at the catalog level — " +
+        "layout is a maintenance concern (commitCompact/commitCluster)")
+    val root = rootOf(ident)
+    requireOutsideTables(root)
+    val marker = Paths.get(root, "_schema.staging")
+    // an existing table OR an in-flight staged CTAS both read as the
+    // standard already-exists error (the marker claim below is the
+    // race arbiter; this pre-check just names the common case)
+    if (Files.exists(schemaPath(root)) || Files.exists(marker))
+      throw new TableAlreadyExistsException(ident)
+    if (Files.isDirectory(Paths.get(root))) {
+      val s = Files.list(Paths.get(root))
+      val nonEmpty = try s.findFirst().isPresent finally s.close()
+      require(!nonEmpty,
+        s"CTAS target directory $root already exists and is not " +
+          "empty — refusing to adopt foreign contents")
+    }
+    try TableCommit.claimFile(marker,
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new TableAlreadyExistsException(ident)
+    }
+    val props = new util.HashMap[String, String]()
+    props.put("root", root)
+    props.put("retain", retain.toString)
+    props.put("conflictretries", conflictRetries.toString)
+    new GraftStagedTable(schema, props, root,
+      s"$catalogName.${(ident.namespace.toSeq :+ ident.name).mkString(".")}",
+      retain, conflictRetries, marker, ident)
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreate(ident, info.schema(), info.partitions(),
+      info.properties())
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "graft catalog: REPLACE TABLE AS SELECT is not supported — use " +
+        "INSERT OVERWRITE (a truncate-replace commit) or the engine's " +
+        "commitOverwrite")
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "graft catalog: CREATE OR REPLACE TABLE AS SELECT is not " +
+        "supported — CREATE then INSERT OVERWRITE")
 
   /** X298 (VERDICT r13 task 6): SQL `ALTER TABLE … RENAME COLUMN /
     * DROP COLUMN / ADD COLUMN` over the X276 column mapping.
@@ -489,6 +563,36 @@ private[graft] class GraftCatalogTable(schema0: StructType,
       physicalSchema, pred, retain = retain,
       conflictRetries = conflictRetries)
     ()
+  }
+}
+
+/** The staged half of X312: a fully-functional catalog table (writes
+  * land normally under the reserved root) that only becomes VISIBLE at
+  * `commitStagedChanges` — one atomic marker→schema rename. */
+private class GraftStagedTable(schema0: StructType,
+    properties: util.Map[String, String], root: String,
+    displayName: String, retain: Int, conflictRetries: Int,
+    marker: Path, ident: Identifier)
+    extends GraftCatalogTable(schema0, properties, root, displayName,
+      None, retain, Map.empty, conflictRetries)
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+  override def commitStagedChanges(): Unit =
+    try Files.move(marker, Paths.get(root, "_schema.json"))
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new TableAlreadyExistsException(ident)
+    }
+  override def abortStagedChanges(): Unit = {
+    // the marker claim made this root OURS — remove everything the
+    // staged write put under it (readers never saw any of it)
+    val dir = Paths.get(root)
+    if (Files.isDirectory(dir)) {
+      val s = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => Files.deleteIfExists(p))
+      } finally s.close()
+    }
   }
 }
 

@@ -383,6 +383,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(!Files.exists(orphan))
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.m").collect()(0)
       .getLong(0) === 320L, "vacuum must not touch live data")
+    // graft_cluster: Z-order rewrite via SQL — content preserved,
+    // layout to the target file count, report counts the rewrite
+    val preCluster = TableCommit.currentVersion(root).get
+    val cRep = spark.sql(
+      s"SELECT * FROM graft_cluster('$root', 2, 'k', 'v', 10)")
+      .collect()(0)
+    assert(cRep.getLong(2) === 2L, "cluster(2) must land two files")
+    assert(cRep.getLong(3) === 1L, "the one pre-cluster file rewrote")
+    // live rows: k ∈ [80, 400); v = 3k for the first insert's half,
+    // 3(k−200) for the second — both sums pin content preservation
+    val sums = spark.sql(s"SELECT SUM(k), SUM(v) FROM $cat.m")
+      .collect()(0)
+    assert(sums.getLong(0) === (80L + 399L) * 320L / 2L)
+    assert(sums.getLong(1) ===
+      3L * ((80L + 199L) * 120L / 2L + 199L * 200L / 2L))
+    // graft_restore: the SQL undo — back to the pre-cluster version
+    // (metadata-only; the clustered layout is simply unreferenced)
+    val rRep = spark.sql(
+      s"SELECT * FROM graft_restore('$root', $preCluster)").collect()(0)
+    assert(rRep.getLong(2) === 1L, "restore re-pins the 1-file layout")
+    val sums2 = spark.sql(s"SELECT COUNT(*), SUM(k), SUM(v) FROM $cat.m")
+      .collect()(0)
+    assert(sums2.getLong(0) === 320L)
+    assert(sums2.getLong(1) === sums.getLong(0))
+    assert(sums2.getLong(2) === sums.getLong(1))
   }
 
   test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve in; a re-added name never resurrects dropped bytes (X310)") {
@@ -445,6 +470,60 @@ class CatalogSpec extends AnyFunSuite {
       "every concurrent ADD COLUMN must survive — none overwritten")
     assert(!Files.exists(Paths.get(wh, "s", "_schema.lock")),
       "the schema lock must be released")
+  }
+
+  test("atomic CTAS (X312): staged tables are invisible, reserve their root, commit atomically, and abort cleanly") {
+    val (cat, wh) = freshCatalog()
+    spark.range(100L).select(col("id").as("k"), (col("id") * 2L).as("v"))
+      .createOrReplaceTempView("ctas_src")
+    // happy path: CTAS lands through the ATOMIC exec (the catalog is a
+    // StagingTableCatalog) and reads back exactly
+    spark.sql(s"CREATE TABLE $cat.c1 AS SELECT * FROM ctas_src WHERE k < 10")
+    assert(spark.sql(s"SELECT COUNT(*), SUM(v) FROM $cat.c1")
+      .collect()(0).toSeq === Seq(10L, 90L))
+    // failing SELECT: the staged table must vanish without a trace —
+    // no half-visible table, no debris directory
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.c2 AS SELECT k, CAST(CASE WHEN " +
+        "k < 10 THEN k ELSE raise_error('boom') END AS BIGINT) AS x " +
+        "FROM ctas_src")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.c2")
+    }
+    assert(!Files.exists(Paths.get(wh, "c2")),
+      "an aborted CTAS must remove its reserved root")
+    // the staging protocol directly: invisible while staged, root
+    // reserved against a plain CREATE, visible only after commit
+    val cata = new graft.sources.GraftCatalog()
+    cata.initialize("ctas_spec",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "c3")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val staged = cata.stageCreate(ident, schema,
+      Array.empty, new java.util.HashMap[String, String]())
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      cata.loadTable(ident)
+    }
+    intercept[Exception] { // the root is reserved while staged
+      cata.createTable(ident, schema, Array.empty,
+        new java.util.HashMap[String, String]())
+    }
+    intercept[org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException] { // a second CTAS loses the claim
+      cata.stageCreate(ident, schema, Array.empty,
+        new java.util.HashMap[String, String]())
+    }
+    staged.commitStagedChanges()
+    assert(cata.loadTable(ident) != null, "visible after commit")
+    // REPLACE forms refuse loudly
+    intercept[UnsupportedOperationException] {
+      cata.stageReplace(ident, schema, Array.empty,
+        new java.util.HashMap[String, String]())
+    }
+    spark.catalog.dropTempView("ctas_src")
   }
 
   test("reserved names and nesting are refused: SQL can't reach table internals") {
