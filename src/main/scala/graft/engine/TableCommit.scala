@@ -2420,7 +2420,7 @@ object TableCommit {
       value: String): Seq[Entry] =
     entries(root).filter(bloomKeeps(_, column, value))
 
-  private def bloomKeeps(e: Entry, physColumn: String,
+  private[graft] def bloomKeeps(e: Entry, physColumn: String,
       value: String): Boolean =
     e.stats.get(s"$BloomPrefix$physColumn") match {
       case None => true

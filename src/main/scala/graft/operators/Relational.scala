@@ -1329,6 +1329,60 @@ object Relational {
       |  MAX(o_orderstatus) AS max_status
       |FROM orders ORDER BY n_rows""".stripMargin
 
+  // `q_runtime_prune` (X312): dynamic file pruning through a join
+
+  /** `q_runtime_prune` (X312): the facet scan implements Spark's
+    * `SupportsRuntimeV2Filtering` — the DSv2 dynamic-partition-pruning
+    * contract — so a broadcast join hands the fact scan its build
+    * side's surviving join keys at EXECUTION time and whole files drop
+    * against the manifest's [min, max] stats (and bloom sidecars)
+    * before a single byte is read. The fixture range-partitions orders
+    * by `o_custkey` into 8 key-disjoint files; the dim filter
+    * (`length(cast(c_custkey as string)) <= 2` — customers 1..99) is a
+    * black-box expression on the key, so NO static rewrite reaches the
+    * fact side: only the runtime IN-set can prune, and it cuts the
+    * scan to the low-range file(s). At 100 TB this is the standard
+    * star-join shape — a day's dim selection pruning a fact table the
+    * planner alone cannot — and it is lossless by construction: Spark
+    * still row-evaluates the join, so a kept-but-dead file costs I/O
+    * only (TableWriteSpec pins the 1-of-6-files runtime plan). */
+  def runtimePruneQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    import graft.engine.TableCommit
+    val root = graft.engine.TempWarehouse.createManaged("graft_rtp_") +
+      "/t"
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), cents)
+      .repartitionByRange(8, col("o_custkey"))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("cents", LongType)))
+    TableCommit.commitAppend(src, root, retain = 4,
+      statsCols = Seq("o_custkey"))
+    val fact = spark.read.format("graft-table").schema(schema)
+      .option("root", root).load()
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"))
+      .filter(length(col("c_custkey").cast("string")) <= 2)
+    fact.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val runtimePruneOracle: String =
+    """SELECT o_custkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE LENGTH(CAST(c_custkey AS VARCHAR)) <= 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // `q_sql_table` (X292): graft tables through pure Spark SQL
 
   /** `q_sql_table` (X292): the CATALOG facet — an analyst's whole

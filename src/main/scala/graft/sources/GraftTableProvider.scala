@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.engine.TableCommit
@@ -707,8 +707,17 @@ private class GraftScanBuilder(root: String, full: StructType,
     case Some((schema, row)) => new GraftAggScan(root, schema, row)
     case None => new GraftBatchScan(root, required,
       physSchema(required), physSchema(full),
-      usable.map(GraftBatchScan.mapFilter(phys)), asOf, dvOnly)
+      usable.map(GraftBatchScan.mapFilter(phys)), asOf, dvOnly,
+      phys)
   }
+}
+
+/** Test-observability seam for the facet's runtime-filter path (the
+  * [[PagedScanProbe]] precedent): execution-time file pruning happens
+  * inside Spark's BatchScanExec re-plan, so specs read the recorded
+  * post-filter file count instead of guessing from metrics. */
+private[graft] object GraftScanProbe {
+  @volatile var lastRuntimeKept: Option[Int] = None
 }
 
 /** The completed-pushdown aggregate scan: ONE partition emitting ONE
@@ -797,6 +806,56 @@ private[graft] object GraftBatchScan {
   private val prunableTypes: Set[DataType] = Set(LongType, IntegerType,
     ShortType, ByteType, DoubleType, FloatType, StringType, DateType)
 
+  private[sources] def prunable(dt: DataType): Boolean = prunableTypes(dt)
+
+  /** Runtime-filter bridge: the V2 `Predicate`s Spark's dynamic-pruning
+    * machinery hands [[GraftBatchScan.filter]] (IN-sets and equalities
+    * from a completed broadcast build side), re-expressed as the v1
+    * [[Filter]]s the manifest pruner already speaks. Literals arrive in
+    * CATALYST form — UTF8String for strings, epoch-day Int for dates —
+    * and are converted to the external form whose `toString` matches
+    * the stats channel's canonical text. Anything unrecognized is
+    * dropped (pruning stays lossless; Spark re-evaluates the join). */
+  private[sources] def fromV2Predicate(schema: StructType)(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference => V2Ref}
+    def colOf(e: V2Expr): Option[String] = e match {
+      case r: V2Ref if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def external(v: Any, dt: DataType): Any = (v, dt) match {
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case (d: java.lang.Integer, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+      case _ => v
+    }
+    def valOf(e: V2Expr, dt: DataType): Option[Any] = e match {
+      case l: V2Literal[_] => Some(external(l.value(), dt))
+      case _ => None
+    }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.length >= 2 =>
+        for {
+          c <- colOf(kids.head)
+          fld <- schema.fields.find(_.name == c)
+          vs <- Some(kids.tail.flatMap(valOf(_, fld.dataType)))
+          if vs.length == kids.length - 1
+        } yield In(c, vs.toArray)
+      case "=" if kids.length == 2 =>
+        (for {
+          c <- colOf(kids(0)); fld <- schema.fields.find(_.name == c)
+          v <- valOf(kids(1), fld.dataType)
+        } yield EqualTo(c, v)).orElse(for {
+          c <- colOf(kids(1)); fld <- schema.fields.find(_.name == c)
+          v <- valOf(kids(0), fld.dataType)
+        } yield EqualTo(c, v))
+      case _ => None
+    }
+  }
+
   /** String order for the stats channel: UTF-8 BYTE order (= code
     * point order) — the order Spark's UTF8String predicates evaluate
     * in AND the order parquet footer stats (the channel's other
@@ -854,12 +913,17 @@ private[graft] object GraftBatchScan {
     case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(phys(c), v)
     case LessThan(c, v)           => LessThan(phys(c), v)
     case LessThanOrEqual(c, v)    => LessThanOrEqual(phys(c), v)
+    case In(c, vs)                => In(phys(c), vs)
     case other                    => other
   }
 
   def translatable(full: StructType)(f: Filter): Boolean = f match {
     case And(l, r) =>
       translatable(full)(l) && translatable(full)(r)
+    // an In prunes losslessly whatever its value list holds (nulls
+    // match nothing), so only the column's TYPE gates it
+    case In(c, _) => full.fields.exists(fd => fd.name == c &&
+      prunableTypes(fd.dataType))
     case other => cmpCol(other).exists { case (c, v) =>
       v != null &&
         full.fields.exists(fd => fd.name == c &&
@@ -867,12 +931,45 @@ private[graft] object GraftBatchScan {
     }
   }
 
+  /** The types whose pushed-literal `toString` equals Spark's
+    * `CAST(col AS STRING)` — the canonical form the bloom sidecar was
+    * built from ([[TableCommit.withBloomStats]] hashes that cast).
+    * Floats excluded: scientific-notation formatting can drift between
+    * the two producers, and a drifted probe is a FALSE NEGATIVE. */
+  private val bloomSafeTypes: Set[DataType] = Set(LongType, IntegerType,
+    ShortType, ByteType, StringType, DateType)
+
+  /** An equality probe can consult the file's bloom sidecar beside its
+    * [min, max]: all-k-bits-set says maybe (read it), a clear bit says
+    * provably absent (skip it); a file without a bloom for the column
+    * keeps (the X207 missing-stat rule). */
+  private def bloomKeeps(full: StructType, e: TableCommit.Entry,
+      c: String, v: Any): Boolean =
+    v == null || full.fields.find(_.name == c).forall(fld =>
+      !bloomSafeTypes(fld.dataType) ||
+        TableCommit.bloomKeeps(e, c, v.toString))
+
   /** Keep the file iff the filter MIGHT match its [min, max] — a
     * missing stat keeps the file (lossless by construction). */
   def mightMatch(full: StructType, e: TableCommit.Entry,
       f: Filter): Boolean = f match {
     case And(l, r) =>
       mightMatch(full, e, l) && mightMatch(full, e, r)
+    // any one live value inside the envelope (and not bloom-refuted)
+    // keeps the file; a null matches nothing under IN semantics
+    case In(c, vs) =>
+      (for {
+        cs <- e.stats.get(c)
+        fld <- full.fields.find(_.name == c)
+      } yield {
+        val less = lt(fld.dataType)
+        vs.exists { v =>
+          v != null && {
+            val s = v.toString
+            !less(s, cs.min) && !less(cs.max, s)
+          } && bloomKeeps(full, e, c, v)
+        }
+      }).getOrElse(vs.exists(v => bloomKeeps(full, e, c, v)))
     case other => cmpCol(other).forall { case (c, v) =>
       (for {
         cs <- e.stats.get(c)
@@ -881,14 +978,21 @@ private[graft] object GraftBatchScan {
         val less = lt(fld.dataType)
         val s = v.toString
         other match {
-          case _: EqualTo            => !less(s, cs.min) && !less(cs.max, s)
+          case _: EqualTo            => (!less(s, cs.min) && !less(cs.max, s)) &&
+            bloomKeeps(full, e, c, v)
           case _: GreaterThan        => less(s, cs.max)
           case _: GreaterThanOrEqual => !less(cs.max, s)
           case _: LessThan           => less(cs.min, s)
           case _: LessThanOrEqual    => !less(s, cs.min)
           case _                     => true
         }
-      }).getOrElse(true)
+      }).getOrElse(other match {
+        // no [min,max] for the column: an equality can still consult a
+        // bloom-only sidecar (reindex writes blooms beside whatever
+        // stats exist; both absent keeps the file)
+        case _: EqualTo => bloomKeeps(full, e, c, v)
+        case _          => true
+      })
     }
   }
 }
@@ -899,13 +1003,41 @@ private[graft] object GraftBatchScan {
 private class GraftBatchScan(root: String, required: StructType,
     physRequired: StructType, physFull: StructType,
     pushed: Array[Filter], asOf: Option[Long] = None,
-    dvOnly: Boolean = false)
-    extends Scan with Batch {
+    dvOnly: Boolean = false, phys: String => String = identity)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   // Spark matches the scan's output by THIS schema (logical names);
   // the partitions carry the physical-named twin for the file decode —
   // rows are positional, so only the parquet field lookup differs
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // X312: dynamic file pruning — the DPP analogue for a manifest-
+  // planned table. A broadcast join whose build side resolves to few
+  // keys hands this scan an IN-set at EXECUTION time (values only the
+  // running query knows), and whole files drop against the manifest's
+  // [min, max] stats and bloom sidecars before a single byte is read.
+  // At 100 TB this is the difference between scanning the whole fact
+  // table and scanning the handful of files the dim's surviving keys
+  // can live in. Lossless like every prune here: Spark still
+  // row-evaluates the join, so a kept-but-dead file costs I/O only.
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    required.fields.collect {
+      case f if GraftBatchScan.prunable(f.dataType) =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(f.name)
+    }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val translated = predicates
+      .flatMap(GraftBatchScan.fromV2Predicate(required))
+      .filter(GraftBatchScan.translatable(required))
+    if (translated.nonEmpty)
+      runtime ++= translated.map(GraftBatchScan.mapFilter(phys))
+  }
 
   /** The vectorized-decode verdict for this scan's projection — shared
     * by the partition planner and the plan description, so a demote to
@@ -926,11 +1058,13 @@ private class GraftBatchScan(root: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val effective = pushed ++ runtime
     val es = asOf.map(v => TableCommit.entriesAtVersion(root, v))
       .getOrElse(TableCommit.entries(root))
       .filter(e => !dvOnly || e.stats.contains(TableCommit.DvKey))
-      .filter(e => pushed.forall(f =>
+      .filter(e => effective.forall(f =>
         GraftBatchScan.mightMatch(physFull, e, f)))
+    if (runtime.nonEmpty) GraftScanProbe.lastRuntimeKept = Some(es.size)
     // X295: serve raw ColumnarBatches when the WHOLE scan can — every
     // file DV-free and every projected type vectorized-decodable.
     // Spark forbids mixing columnar and row partitions in one scan, so

@@ -483,4 +483,69 @@ class TableWriteSpec extends AnyFunSuite {
         hasMsg(t.getCause))
     assert(hasMsg(e), s"expected the append-only refusal, got $e")
   }
+
+  test("a broadcast join runtime-filters whole files out of the facet scan (X312)") {
+    // DPP for a manifest-planned table: the build side of a broadcast
+    // join resolves to few keys at EXECUTION time, and the scan's
+    // SupportsRuntimeV2Filtering hands those keys to the manifest
+    // pruner — whole files drop against [min, max] before any byte is
+    // read. The dim filter is on a NON-key attribute, so no static
+    // rewrite can reach the fact side: only the runtime IN-set prunes.
+    graft.sources.GraftScanProbe.lastRuntimeKept = None
+    val r = root()
+    val src = spark.range(600L).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(6, col("k"))
+    TableCommit.commitAppend(src, r, retain = 8, statsCols = Seq("k"))
+    assert(TableCommit.entries(r).size === 6)
+    val fact = spark.read.format("graft-table").schema(schema)
+      .option("root", r).load()
+    // RDD-backed dim (a LocalRelation folds the filter away before the
+    // pruning rule sees it) with a selective non-key predicate
+    val dim = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(250L, 1), org.apache.spark.sql.Row(251L, 1),
+        org.apache.spark.sql.Row(555L, 2))),
+      StructType(Seq(StructField("dk", LongType),
+        StructField("grp", IntegerType))))
+      .filter(col("grp") === 1)
+    val joined = fact.join(broadcast(dim), col("k") === col("dk"))
+    assert(joined.count() === 2L)
+    assert(graft.sources.GraftScanProbe.lastRuntimeKept === Some(1),
+      "runtime filter did not prune to the single file holding the keys")
+    // losslessness downstream of the prune: the surviving rows are right
+    assert(joined.select("v").as[String].collect().sorted.toSeq ===
+      Seq("v250", "v251"))
+  }
+
+  test("IN-list pruning consults [min,max] AND bloom sidecars (X312)") {
+    val r = root()
+    // two files with IDENTICAL key envelopes [0,90] — range stats alone
+    // cannot separate them; only the bloom knows which holds which keys
+    val a = Seq.tabulate(10)(i => (i * 10L, s"a$i")).toDF("k", "v")
+      .coalesce(1)
+    val b = Seq.tabulate(10)(i => (i * 10L + (if (i == 0) 1L else 5L),
+      s"b$i")).toDF("k", "v").coalesce(1)
+    TableCommit.commitAppendBloom(spark, a, r, "k", retain = 8,
+      statsCols = Seq("k"))
+    TableCommit.commitAppendBloom(spark, b, r, "k", retain = 8,
+      statsCols = Seq("k"))
+    assert(TableCommit.entries(r).size === 2)
+    def read() = spark.read.format("graft-table").schema(schema)
+      .option("root", r).load()
+    // k IN (20, 40): both inside each file's envelope, but only file a
+    // can hold them — the bloom must drop file b at PLANNING time
+    val hit = read().filter(col("k").isin(20L, 40L))
+    assert(hit.rdd.getNumPartitions === 1,
+      s"bloom should prune to 1 file, planned ${hit.rdd.getNumPartitions}")
+    assert(hit.select("v").as[String].collect().sorted.toSeq ===
+      Seq("a2", "a4"))
+    // equality probe takes the same path
+    val eq = read().filter(col("k") === 15L)
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(eq.collect().map(_.getString(1)).toSeq === Seq("b1"))
+    // losslessness floor: every committed key still reads back through
+    // an IN that names it plus a decoy
+    assert(read().filter(col("k").isin(90L, 91L)).count() === 1L)
+  }
 }
