@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // X314: honor KeyGroupedPartitioning from V2 scans (mirrors Verify)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // STATIC conf, default 100: the generated-class cache. 115 plans ×
       // several codegen stages each ≈ 400+ classes, so at the default the
       // warmup sweep evicts early entries and the timed run itself

@@ -19,6 +19,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // X314: honor KeyGroupedPartitioning from V2 scans (off by
+      // default; only affects scans that report it — ours do so only
+      // under an explicit clusterby read option)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // generated-class cache sized for 120+ distinct plans (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.sql.warehouse.dir",

@@ -4300,9 +4300,20 @@ object TableCommit {
     * filtered scan, vs 6-10x for the tagged-probe shapes. Both legs
     * resolve the SAME version (the facet leg re-reads the manifest, so
     * the version is pinned explicitly — never a torn mix with a racing
-    * commit). DV'd files scan one-task-per-file (the cursor needs the
-    * file's own position space); commitMeltDeleted remains the repair
-    * that returns rewritten files to the splittable clean leg. */
+    * commit). X309's row-group splits keep in-file parallelism on
+    * DV'd files; commitMeltDeleted remains the repair that returns
+    * rewritten files to the splittable clean leg.
+    *
+    * Routing (X315, the SCALING round-15 re-tune): the facet leg is
+    * the DEFAULT for every schema its readers can decode — the old
+    * ≤-threshold detour through the (leaf, position)-tuple broadcast
+    * anti-join measured at 5× the facet cursor even well BELOW the
+    * threshold (1.3 s vs 0.25 s at 62k deleted positions on a decimal
+    * schema), and the big-file penalty that once justified it is gone
+    * (X309). The tuple/bitmap scan-filter path survives as the
+    * any-type fallback (arrays, structs, maps — ADVICE r14) and for
+    * the duplicate-leaf tables only a foreign writer could produce,
+    * never as a throughput choice. */
   private def readSnapshot(spark: SparkSession, root: String,
       schema: StructType, version: Long): DataFrame = {
     val es = entriesAtVersion(root, version)
@@ -4311,22 +4322,10 @@ object TableCommit {
         schema)
     val dvs = es.filter(_.stats.contains(DvKey))
     if (dvs.isEmpty) return readLive(spark, root, Some(schema), es)
-    // purge-sized deletes (≤ the broadcast threshold) keep the OLD
-    // shape — splittable whole-stage-codegen scan + tiny broadcast
-    // anti-join — which beats per-file row-view partitions when the
-    // vector is small and the files may be large (review finding)
-    if (dvs.map(deletedCount).sum <= dvBroadcastThreshold)
+    val leaves = es.map(e => pathLeaf(e.path))
+    if (!graft.sources.GraftVectorized.supportedSchema(schema) ||
+        leaves.distinct.size != leaves.size)
       return readLive(spark, root, Some(schema), es)
-    // ADVICE r14: the facet's partition readers decode the vectorized
-    // whitelist only — a table staged through the Scala API can carry
-    // any Spark type (arrays, structs, maps), and those columns must
-    // keep reading through the bitmap scan-filter path rather than
-    // throwing in a facet task. Same result, same no-join shape; the
-    // facet's per-file cursor is a throughput optimization, never a
-    // capability gate.
-    if (!graft.sources.GraftVectorized.supportedSchema(schema))
-      return readLive(spark, root, Some(schema), es)
-    requireUniqueLeaves(root, es)
     val dvPart = spark.read.format("graft-table").schema(schema)
       .option("root", root)
       .option("asofversion", version.toString)

@@ -1329,9 +1329,9 @@ object Relational {
       |  MAX(o_orderstatus) AS max_status
       |FROM orders ORDER BY n_rows""".stripMargin
 
-  // `q_runtime_prune` (X312): dynamic file pruning through a join
+  // `q_runtime_prune` (X313): dynamic file pruning through a join
 
-  /** `q_runtime_prune` (X312): the facet scan implements Spark's
+  /** `q_runtime_prune` (X313): the facet scan implements Spark's
     * `SupportsRuntimeV2Filtering` — the DSv2 dynamic-partition-pruning
     * contract — so a broadcast join hands the fact scan its build
     * side's surviving join keys at EXECUTION time and whole files drop
@@ -1381,6 +1381,67 @@ object Relational {
       |    AS BIGINT)) AS BIGINT) AS total_cents
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE LENGTH(CAST(c_custkey AS VARCHAR)) <= 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // `q_spj` (X314): storage-partitioned join — co-clustered, no shuffle
+
+  /** `q_spj` (X314): the facet scan reports `KeyGroupedPartitioning`
+    * for a table whose files are provably single-valued on a declared
+    * cluster column (the partitioned-staging layout; the manifest's
+    * min == max per file is the proof, so a stale or mixed layout
+    * silently degrades to a normal scan rather than lying to the
+    * planner). Two graft tables co-partitioned on the same key then
+    * JOIN WITH ZERO SHUFFLE: Spark groups same-key files into one task
+    * per key and aligns the sides — the DSv2 storage-partitioned join
+    * (the Iceberg bucket-join shape). At 100 TB this removes the
+    * dominant exchange from fact-to-fact joins where the writing
+    * pipeline already co-partitioned both sides (daily partitions,
+    * bucket columns). Fixture: customer and supplier committed
+    * partitioned by nation, joined on it, rolled up per nation
+    * (TableWriteSpec pins the zero-Exchange, one-task-per-key plan). */
+  def spjQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    import graft.engine.TableCommit
+    val base = graft.engine.TempWarehouse.createManaged("graft_spj_")
+    val rc = s"$base/c"; val rs = s"$base/s"
+    val cust = Tables.customer(spark, sfDir).select(
+      col("c_nationkey"), col("c_custkey"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("c_cents"))
+    val supp = Tables.supplier(spark, sfDir).select(
+      col("s_nationkey"), col("s_suppkey"),
+      (col("s_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("s_cents"))
+    TableCommit.commitAppend(cust, rc, retain = 4,
+      statsCols = Seq("c_nationkey"), partCol = Some("c_nationkey"))
+    TableCommit.commitAppend(supp, rs, retain = 4,
+      statsCols = Seq("s_nationkey"), partCol = Some("s_nationkey"))
+    val cSchema = StructType(Seq(
+      StructField("c_nationkey", LongType),
+      StructField("c_custkey", LongType),
+      StructField("c_cents", LongType)))
+    val sSchema = StructType(Seq(
+      StructField("s_nationkey", LongType),
+      StructField("s_suppkey", LongType),
+      StructField("s_cents", LongType)))
+    val c = spark.read.format("graft-table").schema(cSchema)
+      .option("root", rc).option("clusterby", "c_nationkey").load()
+    val s = spark.read.format("graft-table").schema(sSchema)
+      .option("root", rs).option("clusterby", "s_nationkey").load()
+    c.join(s, col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_cents") + col("s_cents")).as("total_cents"))
+      .orderBy(col("nationkey"))
+  }
+
+  val spjOracle: String =
+    """SELECT c_nationkey AS nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    + CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS total_cents
+      |FROM customer JOIN supplier ON c_nationkey = s_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // `q_sql_table` (X292): graft tables through pure Spark SQL

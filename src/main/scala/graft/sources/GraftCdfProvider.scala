@@ -338,14 +338,21 @@ private case class CdfFilePartition(absPath: String, version: Long,
     extends InputPartition
 
 private object GraftCdfReaderFactory extends PartitionReaderFactory {
+  /** X314: a clustered scan wraps its splits with their partition key;
+    * the readers only ever need the carried file split. */
+  private def unwrap(p: InputPartition): CdfFilePartition = p match {
+    case k: GraftKeyedPartition => k.inner
+    case c: CdfFilePartition   => c
+  }
+
   override def supportColumnarReads(p: InputPartition): Boolean =
-    p.asInstanceOf[CdfFilePartition].columnar
+    unwrap(p).columnar
 
   /** X295 columnar leg: batches pass through untouched (a columnar
     * partition carries no DV and no metadata tail by construction). */
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val part = p.asInstanceOf[CdfFilePartition]
+    val part = unwrap(p)
     require(part.columnar && part.bare && part.encA.isEmpty,
       s"columnar read planned for a non-columnar partition ${part.absPath}")
     val rdr = GraftVectorized.open(part.absPath, part.dataSchema,
@@ -363,7 +370,7 @@ private object GraftCdfReaderFactory extends PartitionReaderFactory {
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[CdfFilePartition]
+    val part = unwrap(p)
     // X295 row-view leg: a BARE scan (no feed tail, no identity
     // column) decodes vectorized even when a DV forces row-granular
     // skipping; anything the vectorized path can't serve — feed legs,

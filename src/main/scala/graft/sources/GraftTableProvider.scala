@@ -107,7 +107,10 @@ private[graft] class GraftWriteTable(schema0: StructType,
       asOfVersion.orElse(
         Option(options.get("asofversion")).map(_.toLong)),
       toPhysical,
-      Option(options.get("dvonly")).exists(_ == "true"))
+      Option(options.get("dvonly")).exists(_ == "true"),
+      // X314: declare a column every file is single-valued on (the
+      // manifest verifies) → the scan reports KeyGroupedPartitioning
+      Option(options.get("clusterby")))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
@@ -581,7 +584,8 @@ private class GraftDataWriter(root: String, batch: String,
 private class GraftScanBuilder(root: String, full: StructType,
     asOf: Option[Long] = None,
     toPhys: Map[String, String] = Map.empty,
-    dvOnly: Boolean = false)
+    dvOnly: Boolean = false,
+    clusterBy: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -708,7 +712,7 @@ private class GraftScanBuilder(root: String, full: StructType,
     case None => new GraftBatchScan(root, required,
       physSchema(required), physSchema(full),
       usable.map(GraftBatchScan.mapFilter(phys)), asOf, dvOnly,
-      phys)
+      phys, clusterBy)
   }
 }
 
@@ -718,6 +722,39 @@ private class GraftScanBuilder(root: String, full: StructType,
   * post-filter file count instead of guessing from metrics. */
 private[graft] object GraftScanProbe {
   @volatile var lastRuntimeKept: Option[Int] = None
+}
+
+/** X314: an InputPartition carrying its file's PROVEN single value of
+  * the cluster column — Spark's `HasPartitionKey` contract, the split
+  * half of KeyGroupedPartitioning. The canonical stat string converts
+  * to the column's catalyst form on demand (grouping compares
+  * InternalRows under the key's data type). */
+private case class GraftKeyedPartition(inner: CdfFilePartition,
+    key: String, dt: DataType) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](GraftKeyedPartition.catalystVal(dt, key)))
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+private object GraftKeyedPartition {
+  /** Stats-channel canonical text → catalyst value, for exactly the
+    * types [[GraftBatchScan.prunable]] admits. */
+  def catalystVal(dt: DataType, s: String): Any = dt match {
+    case LongType    => s.toLong
+    case IntegerType => s.toInt
+    case ShortType   => s.toShort
+    case ByteType    => s.toByte
+    case DoubleType  => s.toDouble
+    case FloatType   => s.toFloat
+    case StringType  =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case DateType    => java.time.LocalDate.parse(s).toEpochDay.toInt
+    case other => throw new IllegalArgumentException(
+      s"clusterby is not supported for type $other")
+  }
 }
 
 /** The completed-pushdown aggregate scan: ONE partition emitting ONE
@@ -1003,16 +1040,18 @@ private[graft] object GraftBatchScan {
 private class GraftBatchScan(root: String, required: StructType,
     physRequired: StructType, physFull: StructType,
     pushed: Array[Filter], asOf: Option[Long] = None,
-    dvOnly: Boolean = false, phys: String => String = identity)
+    dvOnly: Boolean = false, phys: String => String = identity,
+    clusterBy: Option[String] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   // Spark matches the scan's output by THIS schema (logical names);
   // the partitions carry the physical-named twin for the file decode —
   // rows are positional, so only the parquet field lookup differs
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // X312: dynamic file pruning — the DPP analogue for a manifest-
+  // X313: dynamic file pruning — the DPP analogue for a manifest-
   // planned table. A broadcast join whose build side resolves to few
   // keys hands this scan an IN-set at EXECUTION time (values only the
   // running query knows), and whole files drop against the manifest's
@@ -1032,12 +1071,65 @@ private class GraftBatchScan(root: String, required: StructType,
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // a clustered scan's partitioning contract is exact (Spark verifies
+    // the re-plan preserves it) — file-level pruning would drop whole
+    // key groups, so runtime filters are declined there
+    if (clusterField.isDefined) return
     val translated = predicates
       .flatMap(GraftBatchScan.fromV2Predicate(required))
       .filter(GraftBatchScan.translatable(required))
     if (translated.nonEmpty)
       runtime ++= translated.map(GraftBatchScan.mapFilter(phys))
   }
+
+  /** X314: one pinned entry list shared by the partitioning report and
+    * the partition planner — both must describe the SAME snapshot (and
+    * the same static-prune outcome), never a torn mix of two racing
+    * commits' states. */
+  private lazy val staticEntries: Seq[TableCommit.Entry] =
+    asOf.map(v => TableCommit.entriesAtVersion(root, v))
+      .getOrElse(TableCommit.entries(root))
+      .filter(e => !dvOnly || e.stats.contains(TableCommit.DvKey))
+      .filter(e => pushed.forall(f =>
+        GraftBatchScan.mightMatch(physFull, e, f)))
+
+  /** The cluster column, admitted only when the manifest PROVES every
+    * surviving file single-valued on it (min == max in its stats) —
+    * a declared-but-unproven clusterby silently degrades to an
+    * unpartitioned scan rather than lying to the planner. */
+  private lazy val clusterField: Option[StructField] =
+    clusterBy.flatMap { c =>
+      required.fields.find(_.name == c)
+        .filter(f => GraftBatchScan.prunable(f.dataType))
+        .filter { _ =>
+          staticEntries.nonEmpty && staticEntries.forall(e =>
+            e.stats.get(phys(c)).exists(cs => cs.min == cs.max))
+        }
+    }
+
+  /** X314: storage-partitioned joins — a table whose files are
+    * single-valued on the cluster column (the partitioned-staging
+    * layout, provable from manifest stats alone) reports
+    * KeyGroupedPartitioning, so joining two graft tables co-partitioned
+    * on the same key plans with ZERO shuffle: Spark groups same-key
+    * files into one task per key and aligns the two sides. At 100 TB
+    * this removes the dominant exchange from the standard
+    * fact-to-fact co-partitioned join (both sides land date- or
+    * bucket-partitioned by the pipeline that wrote them). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    clusterField match {
+      case Some(f) =>
+        val groups = staticEntries
+          .flatMap(_.stats.get(phys(f.name)).map(_.min)).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(f.name)), groups)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** The vectorized-decode verdict for this scan's projection — shared
     * by the partition planner and the plan description, so a demote to
@@ -1058,11 +1150,9 @@ private class GraftBatchScan(root: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val effective = pushed ++ runtime
-    val es = asOf.map(v => TableCommit.entriesAtVersion(root, v))
-      .getOrElse(TableCommit.entries(root))
-      .filter(e => !dvOnly || e.stats.contains(TableCommit.DvKey))
-      .filter(e => effective.forall(f =>
+    val es =
+      if (runtime.isEmpty) staticEntries
+      else staticEntries.filter(e => runtime.forall(f =>
         GraftBatchScan.mightMatch(physFull, e, f)))
     if (runtime.nonEmpty) GraftScanProbe.lastRuntimeKept = Some(es.size)
     // X295: serve raw ColumnarBatches when the WHOLE scan can — every
@@ -1092,19 +1182,28 @@ private class GraftBatchScan(root: String, required: StructType,
       val groups =
         if (typeDemote.nonEmpty) Seq.empty // Group fallback risk: whole
         else GraftBatchScan.rowGroups(abs)
-      if (groups.size <= 1) Seq(part(0L, -1L, 0L, -1L))
-      else {
-        val size = java.nio.file.Files.size(
-          java.nio.file.Paths.get(abs))
-        var base = 0L
-        groups.zipWithIndex.map { case ((off, rows), i) =>
-          val start = if (i == 0) 0L else off
-          val end =
-            if (i == groups.size - 1) size else groups(i + 1)._1
-          val p = part(start, end, base, base + rows)
-          base += rows
-          p
+      val ps: Seq[InputPartition] =
+        if (groups.size <= 1) Seq(part(0L, -1L, 0L, -1L))
+        else {
+          val size = java.nio.file.Files.size(
+            java.nio.file.Paths.get(abs))
+          var base = 0L
+          groups.zipWithIndex.map { case ((off, rows), i) =>
+            val start = if (i == 0) 0L else off
+            val end =
+              if (i == groups.size - 1) size else groups(i + 1)._1
+            val p = part(start, end, base, base + rows)
+            base += rows
+            p
+          }
         }
+      // X314: a clustered scan tags every split with its file's proven
+      // single value, so Spark can group same-key splits into one task
+      clusterField match {
+        case Some(f) => ps.map(p => GraftKeyedPartition(
+          p.asInstanceOf[CdfFilePartition],
+          e.stats(phys(f.name)).min, f.dataType): InputPartition)
+        case None => ps
       }
     }.toArray
   }

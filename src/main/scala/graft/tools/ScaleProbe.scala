@@ -311,6 +311,119 @@ object ScaleProbe {
             f"dv_rg_split=$split%.2f s ($splitParts parts) " +
             f"split/clean=${split / clean}%.2f whole/clean=${whole / clean}%.2f")
         } finally graft.sources.GraftBatchScan.splitFooterMin = seam
+      case "spj" =>
+        // X314 evidence: the storage-partitioned join at 10× — two
+        // co-bucketed graft tables (lineitem facts + orders, both
+        // partitioned by orderkey%64) joined on (bucket, orderkey).
+        // The clustered scans report KeyGroupedPartitioning so the
+        // join plans with ZERO exchange; the control reads the SAME
+        // tables without clusterby and pays the full two-sided
+        // shuffle. Same result row count both ways (the invariance
+        // witness); medians of 3.
+        val dir = args(1)
+        import org.apache.spark.sql.types._
+        val base = graft.engine.TempWarehouse.createManaged("graft_spjp_")
+        val rA = s"$base/a"; val rB = s"$base/b"
+        val fact = graft.engine.Tables.lineitem(spark, dir).select(
+          pmod(col("l_orderkey"), lit(64L)).as("g"),
+          col("l_orderkey").as("okey"),
+          col("l_extendedprice").cast("double").as("price"))
+        val dimn = graft.engine.Tables.orders(spark, dir).select(
+          pmod(col("o_orderkey"), lit(64L)).as("g"),
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").cast("double").as("total"))
+        graft.engine.TableCommit.commitAppend(
+          fact.repartition(64, col("g")), rA, retain = 4,
+          statsCols = Seq("g"), partCol = Some("g"))
+        graft.engine.TableCommit.commitAppend(
+          dimn.repartition(64, col("g")), rB, retain = 4,
+          statsCols = Seq("g"), partCol = Some("g"))
+        val aSchema = StructType(Seq(StructField("g", LongType),
+          StructField("okey", LongType), StructField("price", DoubleType)))
+        val bSchema = StructType(Seq(StructField("g", LongType),
+          StructField("okey", LongType), StructField("total", DoubleType)))
+        def rd(r: String, sch: StructType, clustered: Boolean) = {
+          val b = spark.read.format("graft-table").schema(sch)
+            .option("root", r)
+          (if (clustered) b.option("clusterby", "g") else b).load()
+        }
+        def joined(clustered: Boolean) = {
+          val a = rd(rA, aSchema, clustered)
+          val b = rd(rB, bSchema, clustered)
+            .withColumnRenamed("g", "g2").withColumnRenamed("okey", "okey2")
+          a.join(b, col("g") === col("g2") && col("okey") === col("okey2"))
+            .agg(count(lit(1)), sum(col("price") + col("total")))
+        }
+        def med(f: () => Unit): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        val nRows = joined(clustered = true).collect()(0).getLong(0)
+        assert(joined(clustered = false).collect()(0).getLong(0) == nRows,
+          "SPJ and shuffle join disagree on row count")
+        val spjT = med(() => { joined(clustered = true).collect(); () })
+        val shfT = med(() => { joined(clustered = false).collect(); () })
+        val plan = {
+          val j = joined(clustered = true); j.collect()
+          j.queryExecution.executedPlan.toString
+        }
+        val spjExchanges = "Exchange".r.findAllMatchIn(
+          plan.replace("ExchangeQueryStage", "")).size
+        println(f"[probe] spj rows=$nRows%,d buckets=64: " +
+          f"spj=$spjT%.2f s shuffle=$shfT%.2f s " +
+          f"spj/shuffle=${spjT / shfT}%.2f " +
+          s"(final-agg single-partition exchange excluded: " +
+          s"join-side exchange count in SPJ plan = " +
+          s"${math.max(0, spjExchanges - 1)})")
+      case "rtprune" =>
+        // X313 evidence: runtime file pruning at 10× — a 64-file
+        // range-clustered fact joined to a 2-key dim whose filter is a
+        // non-key attribute (no static rewrite possible). With DPP on,
+        // the scan receives the IN-set at execution time and plans the
+        // single surviving file; the control disables DPP and scans
+        // all 64. Identical results both ways.
+        val dir = args(1)
+        import org.apache.spark.sql.types._
+        val root = graft.engine.TempWarehouse
+          .createManaged("graft_rtpp_") + "/t"
+        val fact = graft.engine.Tables.lineitem(spark, dir).select(
+          col("l_orderkey").as("k"),
+          col("l_extendedprice").cast("double").as("price"))
+        graft.engine.TableCommit.commitAppend(
+          fact.repartitionByRange(64, col("k")), root, retain = 4,
+          statsCols = Seq("k"))
+        val schema = StructType(Seq(StructField("k", LongType),
+          StructField("price", DoubleType)))
+        val maxK = graft.engine.Tables.lineitem(spark, dir)
+          .agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+        val dim = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(maxK / 2L, 1),
+            org.apache.spark.sql.Row(maxK / 2L + 1L, 1),
+            org.apache.spark.sql.Row(7L, 2))),
+          StructType(Seq(StructField("dk", LongType),
+            StructField("grp", IntegerType)))).filter(col("grp") === 1)
+        def run(): Long = {
+          val f = spark.read.format("graft-table").schema(schema)
+            .option("root", root).load()
+          f.join(broadcast(dim), col("k") === col("dk")).count()
+        }
+        def med2(f: () => Unit): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        graft.sources.GraftScanProbe.lastRuntimeKept = None
+        val n1 = run()
+        val kept = graft.sources.GraftScanProbe.lastRuntimeKept
+        val onT = med2(() => { run(); () })
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+        val n2 = run()
+        val offT = med2(() => { run(); () })
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        assert(n1 == n2, s"pruned and unpruned joins disagree: $n1 vs $n2")
+        println(f"[probe] rtprune rows_out=$n1%,d files=64 " +
+          f"kept=${kept.getOrElse(-1)}: dpp_on=$onT%.2f s " +
+          f"dpp_off=$offT%.2f s on/off=${onT / offT}%.2f")
       case "mergebig" =>
         // X305 evidence (VERDICT r14 task 1): the shuffle MoR MERGE at
         // 10× — wall time and post-GC driver heap vs the broadcast

@@ -484,7 +484,7 @@ class TableWriteSpec extends AnyFunSuite {
     assert(hasMsg(e), s"expected the append-only refusal, got $e")
   }
 
-  test("a broadcast join runtime-filters whole files out of the facet scan (X312)") {
+  test("a broadcast join runtime-filters whole files out of the facet scan (X313)") {
     // DPP for a manifest-planned table: the build side of a broadcast
     // join resolves to few keys at EXECUTION time, and the scan's
     // SupportsRuntimeV2Filtering hands those keys to the manifest
@@ -518,7 +518,7 @@ class TableWriteSpec extends AnyFunSuite {
       Seq("v250", "v251"))
   }
 
-  test("IN-list pruning consults [min,max] AND bloom sidecars (X312)") {
+  test("IN-list pruning consults [min,max] AND bloom sidecars (X313)") {
     val r = root()
     // two files with IDENTICAL key envelopes [0,90] — range stats alone
     // cannot separate them; only the bloom knows which holds which keys
@@ -547,5 +547,41 @@ class TableWriteSpec extends AnyFunSuite {
     // losslessness floor: every committed key still reads back through
     // an IN that names it plus a decoy
     assert(read().filter(col("k").isin(90L, 91L)).count() === 1L)
+  }
+
+  test("co-clustered tables join with ZERO shuffle (storage-partitioned join, X314)") {
+    // Both tables staged partitioned by g (each file single-valued,
+    // provable from manifest stats); both scans declare clusterby=g and
+    // report KeyGroupedPartitioning — Spark groups same-key files into
+    // one task per key and aligns the sides: no exchange anywhere.
+    val rA = root(); val rB = root()
+    val a = spark.range(200L).select((col("id") % 8L).as("g"),
+      col("id").as("x"))
+    val b = spark.range(80L).select((col("id") % 8L).as("g"),
+      (col("id") * 3L).as("y"))
+    TableCommit.commitAppend(a, rA, retain = 8,
+      statsCols = Seq("g"), partCol = Some("g"))
+    TableCommit.commitAppend(b, rB, retain = 8,
+      statsCols = Seq("g"), partCol = Some("g"))
+    val schA = StructType(Seq(StructField("g", LongType),
+      StructField("x", LongType)))
+    val schB = StructType(Seq(StructField("g", LongType),
+      StructField("y", LongType)))
+    def rd(r: String, sch: StructType) = spark.read
+      .format("graft-table").schema(sch).option("root", r)
+      .option("clusterby", "g").load()
+    val j = rd(rA, schA).join(rd(rB, schB), "g")
+    // row-level truth against the same join over the plain frames
+    val expect = a.join(b, "g")
+      .agg(count(lit(1)), sum(col("x") + col("y"))).collect()(0)
+    val got = j.agg(count(lit(1)), sum(col("x") + col("y"))).collect()(0)
+    assert(got === expect)
+    // the join plan itself: zero exchanges, one task per key group
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"a storage-partitioned join must plan zero shuffles:\n$plan")
+    assert(j.rdd.getNumPartitions === 8,
+      s"expected one task per key group, got ${j.rdd.getNumPartitions}")
   }
 }

@@ -15,6 +15,8 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // X314: honor KeyGroupedPartitioning from V2 scans (mirrors Verify)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // generated-class cache sized for 120+ distinct plans (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.warehouse.dir",
