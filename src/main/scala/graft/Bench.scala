@@ -13,6 +13,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // X314: honor KeyGroupedPartitioning from V2 scans (mirrors Verify)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // X314: accept co-partitioning on a subset of the join keys (the
+      // fact-to-fact SPJ shape: grouped by bucket, joined on bucket+id)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // STATIC conf, default 100: the generated-class cache. 115 plans ×
       // several codegen stages each ≈ 400+ classes, so at the default the
       // warmup sweep evicts early entries and the timed run itself

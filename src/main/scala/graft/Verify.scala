@@ -23,6 +23,9 @@ object Verify {
       // default; only affects scans that report it — ours do so only
       // under an explicit clusterby read option)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // X314: accept co-partitioning on a subset of the join keys (the
+      // fact-to-fact SPJ shape: grouped by bucket, joined on bucket+id)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // generated-class cache sized for 120+ distinct plans (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.sql.warehouse.dir",

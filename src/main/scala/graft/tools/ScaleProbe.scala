@@ -41,6 +41,13 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // X314: honor KeyGroupedPartitioning from V2 scans (mirrors Verify)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // X314: accept co-partitioning on a SUBSET of the join keys (both
+      // sides grouped by the same bucket column while joining on
+      // (bucket, id)) — the standard fact-to-fact SPJ shape; a planner
+      // heuristic, not a correctness gate
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.warehouse.dir",
         graft.engine.TempWarehouse.createManaged())
       .getOrCreate()

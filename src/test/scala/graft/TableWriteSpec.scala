@@ -583,5 +583,17 @@ class TableWriteSpec extends AnyFunSuite {
       s"a storage-partitioned join must plan zero shuffles:\n$plan")
     assert(j.rdd.getNumPartitions === 8,
       s"expected one task per key group, got ${j.rdd.getNumPartitions}")
+    // the fact-to-fact shape: join keys a SUPERSET of the cluster key
+    // (bucket + id) — requireAllClusterKeysForCoPartition=false admits
+    // the bucket grouping as co-partitioning, still zero exchanges
+    val b2 = rd(rB, schB).withColumnRenamed("g", "g2")
+    val js = rd(rA, schA)
+      .join(b2, col("g") === col("g2") && col("x") === col("y"))
+    val expect2 = a.join(b.withColumnRenamed("g", "g2"),
+      col("g") === col("g2") && col("x") === col("y")).count()
+    assert(js.count() === expect2)
+    val plan2 = js.queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"),
+      s"a superset-key SPJ must plan zero shuffles:\n$plan2")
   }
 }

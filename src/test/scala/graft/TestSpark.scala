@@ -17,6 +17,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       // X314: honor KeyGroupedPartitioning from V2 scans (mirrors Verify)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // X314: accept co-partitioning on a subset of the join keys (the
+      // fact-to-fact SPJ shape: grouped by bucket, joined on bucket+id)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // generated-class cache sized for 120+ distinct plans (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.warehouse.dir",
