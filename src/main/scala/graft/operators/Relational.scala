@@ -1444,6 +1444,64 @@ object Relational {
       |FROM customer JOIN supplier ON c_nationkey = s_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // `q_sql_spj` (X316): PARTITIONED BY tables — SPJ in pure SQL
+
+  /** `q_sql_spj` (X316): the X314 storage-partitioned join with ZERO
+    * engine API — `CREATE TABLE … PARTITIONED BY (col)` records the
+    * partition column as field metadata in the create-claimed schema;
+    * INSERT asks Spark to cluster+sort by it and the task writers
+    * ROTATE files on value change, so every catalog-written file is
+    * single-valued by construction; loads then default their scans to
+    * `clusterby`, and a SQL join between two co-partitioned tables
+    * plans with no shuffle (CatalogSpec pins the zero-Exchange plan,
+    * the per-file min == max proof, the DROP-refusal on the partition
+    * column, and SPJ surviving a partition-column RENAME). The same
+    * statement a Delta/Iceberg user writes, the same plan they get. */
+  def sqlSpjQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wh = graft.engine.TempWarehouse.createManaged("graft_sqlspj_")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val cat = s"graft_spj_$id"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val vc = s"graft_spj_c_$id"; val vs = s"graft_spj_s_$id"
+    Tables.customer(spark, sfDir).select(
+      col("c_nationkey").as("nationkey"), col("c_custkey").as("custkey"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("c_cents")).createOrReplaceTempView(vc)
+    Tables.supplier(spark, sfDir).select(
+      col("s_nationkey").as("nationkey"), col("s_suppkey").as("suppkey"),
+      (col("s_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("s_cents")).createOrReplaceTempView(vs)
+    spark.sql(s"CREATE TABLE $cat.cust (nationkey BIGINT, " +
+      "custkey BIGINT, c_cents BIGINT) PARTITIONED BY (nationkey)")
+    spark.sql(s"CREATE TABLE $cat.supp (nationkey BIGINT, " +
+      "suppkey BIGINT, s_cents BIGINT) PARTITIONED BY (nationkey)")
+    spark.sql(s"INSERT INTO $cat.cust SELECT * FROM $vc")
+    spark.sql(s"INSERT INTO $cat.supp SELECT * FROM $vs")
+    val out = spark.sql(
+      s"""SELECT c.nationkey AS nationkey, COUNT(*) AS n_pairs,
+         |  SUM(c.c_cents + s.s_cents) AS total_cents
+         |FROM $cat.cust c JOIN $cat.supp s
+         |  ON c.nationkey = s.nationkey
+         |GROUP BY c.nationkey ORDER BY nationkey""".stripMargin)
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(vc)
+    spark.catalog.dropTempView(vs)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc).orderBy(col("nationkey"))
+  }
+
+  val sqlSpjOracle: String =
+    """SELECT c_nationkey AS nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    + CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS total_cents
+      |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // `q_sql_table` (X292): graft tables through pure Spark SQL
 
   /** `q_sql_table` (X292): the CATALOG facet — an analyst's whole

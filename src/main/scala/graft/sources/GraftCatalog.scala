@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, Table
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, MetadataBuilder, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.engine.TableCommit
 
@@ -120,6 +120,39 @@ class GraftCatalog extends TableCatalog
       Files.readAllBytes(schemaPath(root)),
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
 
+  /** X316: `PARTITIONED BY (col)` — exactly one IDENTITY transform
+    * over a top-level column. Recorded as FIELD METADATA inside
+    * `_schema.json` (the schema file is the create-claimed atom, and
+    * metadata rides the physical field, so the partition contract
+    * survives renames for free). Bucket/days/hours transforms refuse:
+    * the manifest stat channel proves identity layouts only. */
+  private def withPartitionMeta(schema: StructType,
+      partitions: Array[Transform]): StructType = {
+    if (partitions.isEmpty) return schema
+    require(partitions.length == 1,
+      "graft catalog: at most ONE partition column is supported")
+    val col = partitions(0) match {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only PARTITIONED BY (<column>) is supported " +
+          s"(identity transform); got $other")
+    }
+    val idx = schema.fieldNames.indexOf(col)
+    require(idx >= 0,
+      s"partition column $col is not in the table schema")
+    val dt = schema.fields(idx).dataType
+    require(dt == LongType || dt == IntegerType || dt == StringType,
+      s"graft catalog: partition column must be BIGINT, INT or " +
+        s"STRING; $col is ${dt.simpleString}")
+    val f = schema.fields(idx)
+    val md = new MetadataBuilder().withMetadata(f.metadata)
+      .putBoolean(GraftCatalog.PartitionMetaKey, true).build()
+    StructType(schema.fields.toIndexedSeq.updated(idx,
+      f.copy(metadata = md)))
+  }
+
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val root = rootOf(ident)
     val sp = schemaPath(root)
@@ -147,10 +180,17 @@ class GraftCatalog extends TableCatalog
     props.put("root", root)
     props.put("retain", retain.toString)
     props.put("conflictretries", conflictRetries.toString)
+    // X316: the partition column (metadata rode the physical field
+    // through the rename/drop filters above, so this is the LOGICAL
+    // name of a live column — a dropped partition column is refused at
+    // ALTER time)
+    val partCol = schema.fields
+      .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
+      .map(_.name)
     new GraftCatalogTable(schema, props, root,
       s"$catalogName.${(ident.namespace.toSeq :+ ident.name).mkString(".")}" +
         asOf.map(v => s"@v$v").getOrElse(""),
-      asOf, retain, toPhysical, conflictRetries)
+      asOf, retain, toPhysical, conflictRetries, partCol)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -174,9 +214,8 @@ class GraftCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables are unpartitioned at the catalog level — " +
-        "layout is a maintenance concern (commitCompact/commitCluster)")
+    // X316: PARTITIONED BY (col) marks the field in the claimed schema
+    val schemaP = withPartitionMeta(schema, partitions)
     val root = rootOf(ident)
     requireOutsideTables(root)
     // an existing TABLE is the already-exists case (the type Spark's
@@ -194,7 +233,7 @@ class GraftCatalog extends TableCatalog
           "not empty — refusing to adopt foreign contents")
     }
     try TableCommit.claimFile(schemaPath(root),
-      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      schemaP.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new TableAlreadyExistsException(ident)
     }
@@ -219,9 +258,9 @@ class GraftCatalog extends TableCatalog
       partitions: Array[Transform],
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(partitions.isEmpty,
-      "graft catalog tables are unpartitioned at the catalog level — " +
-        "layout is a maintenance concern (commitCompact/commitCluster)")
+    // X316: CTAS PARTITIONED BY — the staged marker carries the marked
+    // schema, so the partition contract commits atomically with it
+    val schemaP = withPartitionMeta(schema, partitions)
     val root = rootOf(ident)
     requireOutsideTables(root)
     val marker = Paths.get(root, "_schema.staging")
@@ -238,7 +277,7 @@ class GraftCatalog extends TableCatalog
           "empty — refusing to adopt foreign contents")
     }
     try TableCommit.claimFile(marker,
-      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      schemaP.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new TableAlreadyExistsException(ident)
     }
@@ -246,7 +285,7 @@ class GraftCatalog extends TableCatalog
     props.put("root", root)
     props.put("retain", retain.toString)
     props.put("conflictretries", conflictRetries.toString)
-    new GraftStagedTable(schema, props, root,
+    new GraftStagedTable(schemaP, props, root,
       s"$catalogName.${(ident.namespace.toSeq :+ ident.name).mkString(".")}",
       retain, conflictRetries, marker, ident)
   }
@@ -325,6 +364,18 @@ class GraftCatalog extends TableCatalog
         require(d.fieldNames.length == 1,
           "graft ALTER TABLE: nested fields are not supported")
         val name = d.fieldNames()(0)
+        // X316: the partition column is load-bearing for the table's
+        // layout contract — dropping it would orphan the declaration
+        baseSchema(root).fields
+          .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
+          .foreach { pf =>
+            val logical = TableCommit.colMapping(root)
+              .map(cm => cm.renames.map(_.swap)
+                .getOrElse(pf.name, pf.name))
+              .getOrElse(pf.name)
+            require(name != logical,
+              s"cannot drop $name: it is the table's partition column")
+          }
         if (TableCommit.currentVersion(root).isEmpty)
           editVirginSchema(root) { s =>
             require(s.fieldNames.contains(name),
@@ -491,9 +542,19 @@ private[graft] class GraftCatalogTable(schema0: StructType,
     properties: util.Map[String, String], root: String,
     displayName: String, asOf: Option[Long] = None, retain: Int = 64,
     mapping: Map[String, String] = Map.empty,
-    conflictRetries: Int = 20)
+    conflictRetries: Int = 20, partCol: Option[String] = None)
     extends GraftWriteTable(schema0, properties) with SupportsDelete {
   override def name(): String = displayName
+
+  /** X316: a `PARTITIONED BY` table declares its layout to Spark
+    * (DESCRIBE shows it), defaults its scans to `clusterby` (X314
+    * KeyGroupedPartitioning when the manifest proves the layout), and
+    * rotates its batch writes per value so the proof always holds for
+    * catalog-written files. */
+  override def partitioning(): Array[Transform] =
+    partCol.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c): Transform).toArray
+  override protected def partitionColumn: Option[String] = partCol
 
   /** X310: `MERGE INTO … WITH SCHEMA EVOLUTION` — declaring
     * AUTOMATIC_SCHEMA_EVOLUTION lets Spark's analyzer route the
@@ -597,6 +658,10 @@ private class GraftStagedTable(schema0: StructType,
 }
 
 private[sources] object GraftCatalog {
+  /** X316: the field-metadata key marking a table's partition column
+    * inside `_schema.json`. */
+  val PartitionMetaKey = "graft.partition"
+
   /** Per-root monitors serializing same-JVM virgin-schema edits (the
     * cross-process half is the claim file in [[GraftCatalog
     * .editVirginSchema]]). Table-count-sized, never cleaned — a
@@ -633,3 +698,4 @@ private[sources] object GraftCatalogTable {
       case _             => None
     }
 }
+

@@ -94,6 +94,13 @@ private[graft] class GraftWriteTable(schema0: StructType,
     * across `ALTER TABLE RENAME COLUMN`. */
   protected def toPhysical: Map[String, String] = Map.empty
 
+  /** X316: the table's declared partition column (logical name), if
+    * any — catalog tables created `PARTITIONED BY (col)` set it. Scans
+    * then default to `clusterby=<col>` (KeyGroupedPartitioning when
+    * the manifest proves the layout), and batch writes rotate files on
+    * the column's value so every written file IS single-valued. */
+  protected def partitionColumn: Option[String] = None
+
   private def physSchema(s: StructType): StructType =
     if (toPhysical.isEmpty) s
     else StructType(s.fields.toIndexedSeq.map(f =>
@@ -109,8 +116,9 @@ private[graft] class GraftWriteTable(schema0: StructType,
       toPhysical,
       Option(options.get("dvonly")).exists(_ == "true"),
       // X314: declare a column every file is single-valued on (the
-      // manifest verifies) → the scan reports KeyGroupedPartitioning
-      Option(options.get("clusterby")))
+      // manifest verifies) → the scan reports KeyGroupedPartitioning;
+      // X316: a declared partition column is the standing default
+      Option(options.get("clusterby")).orElse(partitionColumn))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
@@ -129,8 +137,15 @@ private[graft] class GraftWriteTable(schema0: StructType,
           s"option 'txnmigrate' must be 'scalar' or 'fresh', got '$m'"))
         // the writer's field names are the PHYSICAL ones (rows are
         // consumed positionally, so only the parquet schema changes)
+        // X316: the partition column rides as (logical name — the
+        // distribution/ordering contract resolves against the query's
+        // output — and its positional index, all the rotator needs)
+        val pIdx = partitionColumn
+          .map(c => c -> info.schema().fieldNames.indexOf(c))
+          .filter(_._2 >= 0)
         new GraftWrite(root, physSchema(info.schema()), replaceAll,
-          retain, failAt, retries, crashAfter, txnId, txnApp, txnMigrate)
+          retain, failAt, retries, crashAfter, txnId, txnApp, txnMigrate,
+          pIdx)
       }
     }
 }
@@ -139,11 +154,32 @@ private class GraftWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
     conflictRetries: Int, crashAfterEpoch: Option[Long] = None,
     txnId: Option[Long] = None, txnApp: Option[String] = None,
-    txnMigrate: Option[String] = None)
-    extends Write {
+    txnMigrate: Option[String] = None,
+    partCol: Option[(String, Int)] = None)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  /** X316: a partitioned write asks Spark to CLUSTER the input by the
+    * partition column and SORT within tasks on it, so the writer's
+    * file rotation sees each value as one contiguous run — one file
+    * per (task, value), minimal file count, single-valued by
+    * construction. Unpartitioned writes leave the plan untouched. */
+  override def requiredDistribution(): Distribution =
+    partCol.map { case (c, _) => Distributions.clustered(Array(
+      Expressions.identity(c): org.apache.spark.sql.connector
+        .expressions.Expression)) }
+      .getOrElse(Distributions.unspecified())
+  override def requiredOrdering(): Array[SortOrder] =
+    partCol.map { case (c, _) => Array(Expressions.sort(
+      Expressions.identity(c), SortDirection.ASCENDING)) }
+      .getOrElse(Array.empty[SortOrder])
+  override def requiredNumPartitions(): Int = 0
+
   override def toBatch: BatchWrite = new GraftBatchWrite(
     root, schema, replaceAll, retain, failAt, conflictRetries, txnId,
-    txnApp)
+    txnApp, partCol.map(_._2))
   override def toStreaming: StreamingWrite = {
     require(!replaceAll,
       "graft-table streaming supports outputMode(\"append\") only — " +
@@ -158,10 +194,16 @@ private final case class GraftCommitMessage(relPath: String, rows: Long,
     stats: Map[String, (String, String)] = Map.empty)
     extends WriterCommitMessage
 
+/** X316: one partitioned task's handshake — one payload per file the
+  * value rotation produced (each single-valued on the partition
+  * column by construction). */
+private final case class GraftMultiCommitMessage(
+    files: Seq[GraftCommitMessage]) extends WriterCommitMessage
+
 private class GraftBatchWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
     conflictRetries: Int, txnId: Option[Long] = None,
-    txnApp: Option[String] = None)
+    txnApp: Option[String] = None, partIdx: Option[Int] = None)
     extends BatchWrite {
   require(txnApp.isEmpty || txnId.isDefined,
     "graft-table batch: option(\"txnappid\") namespaces the idempotence " +
@@ -175,7 +217,7 @@ private class GraftBatchWrite(root: String, schema: StructType,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(root, batch, schema, failAt)
+    GraftWriterFactory(root, batch, schema, failAt, partIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // X288 idempotent BATCH write (`option("txnid", n)` — the Delta
@@ -193,11 +235,16 @@ private class GraftBatchWrite(root: String, schema: StructType,
       case None    => TableCommit.lastTxnId(root)
     }).exists(_ >= t))
     if (applied) { abort(messages); return }
-    val entries = messages.collect {
-      case GraftCommitMessage(p, n, st) => TableCommit.Entry(p, None,
-        stats = st.map { case (c, (mn, mx)) =>
+    def toEntry(m: GraftCommitMessage): TableCommit.Entry =
+      TableCommit.Entry(m.relPath, None,
+        stats = m.stats.map { case (c, (mn, mx)) =>
           c -> TableCommit.ColStats(mn, mx) },
-        rows = Some(n))
+        rows = Some(m.rows))
+    val entries = messages.flatMap {
+      case m: GraftCommitMessage => Seq(toEntry(m))
+      // X316: a partitioned task commits one message per rotated file
+      case GraftMultiCommitMessage(fs) => fs.map(toEntry)
+      case _ => Seq.empty
     }.toSeq.sortBy(_.path)
     // X273 extended to the connector: an APPEND-mode DSv2 write is a
     // blind append — on a commit race (option("conflictretries", n))
@@ -466,10 +513,16 @@ private final case class GraftStreamWriterFactory(root: String,
 }
 
 private final case class GraftWriterFactory(root: String, batch: String,
-    schema: StructType, failAt: Option[Int]) extends DataWriterFactory {
+    schema: StructType, failAt: Option[Int],
+    partIdx: Option[Int] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(root, batch, schema, partitionId, taskId, failAt)
+    if (partIdx.isDefined)
+      new GraftPartitionedDataWriter(root, batch, schema, partitionId,
+        taskId, failAt, partIdx.get)
+    else
+      new GraftDataWriter(root, batch, schema, partitionId, taskId,
+        failAt)
 }
 
 /** One task attempt's writer: streams rows into an attempt-unique file
@@ -478,11 +531,12 @@ private final case class GraftWriterFactory(root: String, batch: String,
   * ADVICE-r9 avro lesson applied from the start). */
 private class GraftDataWriter(root: String, batch: String,
     schema: StructType, partitionId: Int, taskId: Long,
-    failAt: Option[Int]) extends DataWriter[InternalRow] {
+    failAt: Option[Int], suffix: String = "")
+    extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
 
-  private val relPath = s"$batch/part-$partitionId-$taskId.parquet"
+  private val relPath = s"$batch/part-$partitionId-$taskId$suffix.parquet"
   private val msgType = GraftDataWriter.messageType(schema)
   private val factory = new SimpleGroupFactory(msgType)
   private var rows = 0L
@@ -574,6 +628,70 @@ private class GraftDataWriter(root: String, batch: String,
   }
 
   override def close(): Unit = ()
+}
+
+/** X316: the partitioned task writer — ROTATES to a fresh file
+  * whenever the partition column's value changes, so every written
+  * file is single-valued on it by construction (the layout the X314
+  * clustered scan proves back out of the manifest). The write plan's
+  * required clustering + in-task ordering make each value one
+  * contiguous run — one file per (task, value); an unsorted surprise
+  * only costs extra files, never a multi-valued one. NULL partition
+  * values refuse loudly (the stats channel cannot witness them). */
+private class GraftPartitionedDataWriter(root: String, batch: String,
+    schema: StructType, partitionId: Int, taskId: Long,
+    failAt: Option[Int], partIdx: Int) extends DataWriter[InternalRow] {
+  private val dt = schema.fields(partIdx).dataType
+  private var fileSeq = 0
+  private var current: GraftDataWriter = null
+  private var currentKey: Any = null
+  private val done =
+    scala.collection.mutable.ListBuffer.empty[GraftCommitMessage]
+
+  private def keyOf(row: InternalRow): Any = dt match {
+    case LongType    => row.getLong(partIdx)
+    case IntegerType => row.getInt(partIdx)
+    case StringType  => row.getUTF8String(partIdx).toString
+    case DoubleType  => row.getDouble(partIdx)
+    case other => throw new IllegalArgumentException(
+      s"graft-table: unsupported partition column type $other")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(partIdx),
+      "graft partitioned table: NULL partition values are not " +
+        "supported — filter or default them before the write")
+    val k = keyOf(row)
+    if (current == null || k != currentKey) {
+      if (current != null)
+        done += current.commit().asInstanceOf[GraftCommitMessage]
+      current = new GraftDataWriter(root, batch, schema, partitionId,
+        taskId, failAt, s"-$fileSeq")
+      fileSeq += 1
+      currentKey = k
+    }
+    current.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (current != null) {
+      done += current.commit().asInstanceOf[GraftCommitMessage]
+      current = null
+    }
+    GraftMultiCommitMessage(done.toList)
+  }
+
+  override def abort(): Unit = {
+    if (current != null)
+      try current.abort() catch { case _: Throwable => () }
+    done.foreach(m =>
+      try java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, m.relPath))
+      catch { case _: Throwable => () })
+  }
+
+  override def close(): Unit =
+    if (current != null) current.close()
 }
 
 /** Scan builder for the X289 read facet: collects the pruned column

@@ -563,4 +563,65 @@ class CatalogSpec extends AnyFunSuite {
       .getLong(0) === 20L, "a refused DELETE must change nothing")
     spark.catalog.dropTempView("cat_spec_src2")
   }
+
+  test("PARTITIONED BY tables: rotated single-valued files, SQL SPJ with zero shuffle, guarded column (X316)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pa (g BIGINT, x BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"CREATE TABLE $cat.pb (g BIGINT, y BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.range(300L).select((col("id") % 6L).as("g"), col("id").as("x"))
+      .createOrReplaceTempView("cat_spj_a")
+    spark.range(60L).select((col("id") % 6L).as("g"),
+      (col("id") * 7L).as("y")).createOrReplaceTempView("cat_spj_b")
+    spark.sql(s"INSERT INTO $cat.pa SELECT g, x FROM cat_spj_a")
+    spark.sql(s"INSERT INTO $cat.pb SELECT g, y FROM cat_spj_b")
+    // the write ROTATED files: every file single-valued on g, proven
+    // by its own manifest stats (min == max), and no file multi-valued
+    val es = TableCommit.entries(s"$wh/pa")
+    assert(es.nonEmpty)
+    assert(es.forall(e => e.stats.get("g").exists(cs => cs.min == cs.max)),
+      s"a partitioned write produced a multi-valued file: $es")
+    assert(es.flatMap(_.stats.get("g").map(_.min)).distinct.size === 6)
+    // a pure-SQL join between the two co-partitioned tables: the scans
+    // default to clusterby=g → KeyGroupedPartitioning → ZERO shuffle
+    val j = spark.sql(
+      s"SELECT a.g, a.x, b.y FROM $cat.pa a JOIN $cat.pb b ON a.g = b.g")
+    val n = j.count()
+    assert(n === 50L * 60L, s"expected 3000 pairs, got $n")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"catalog SPJ must plan zero shuffles:\n$plan")
+    // partition-column protection: DROP refuses, rename keeps the
+    // contract (metadata rides the physical field)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.pa DROP COLUMN g")
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    spark.sql(s"ALTER TABLE $cat.pa RENAME COLUMN g TO grp")
+    val j2 = spark.sql(
+      s"SELECT a.grp FROM $cat.pa a JOIN $cat.pb b ON a.grp = b.g")
+    j2.collect()
+    assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+      "SPJ must survive a partition-column rename")
+    // NULL partition values refuse loudly (the stats channel cannot
+    // witness them — silence would quietly break the layout proof)
+    val eNull = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.pb VALUES (NULL, 1)")
+    }
+    def hasNullMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage)
+        .exists(_.contains("NULL partition values")) ||
+        hasNullMsg(t.getCause))
+    assert(hasNullMsg(eNull), s"expected the NULL refusal, got $eNull")
+    // non-identity transforms refuse at CREATE
+    val eB = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.pbad (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    assert(eB.getMessage.contains("identity transform"), eB.getMessage)
+    spark.catalog.dropTempView("cat_spj_a")
+    spark.catalog.dropTempView("cat_spj_b")
+  }
 }
