@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DateType, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Minimal copy-on-write table format: versioned file manifests + an
@@ -2927,6 +2927,104 @@ object TableCommit {
     * metadata (X207 min/max, X254 blooms) goes STALE-BUT-SUPERSET:
     * live rows are a subset of the rows the stats described, so
     * pruning stays lossless — spec-pinned. */
+  /** X317 test-observability: (kept, total) candidate files of the
+    * last predicate-pruned DML planning pass. */
+  private[graft] object DmlPruneProbe {
+    @volatile var last: Option[(Int, Int)] = None
+  }
+
+  /** X317: translate the DML predicate's conjuncts into source
+    * [[org.apache.spark.sql.sources.Filter]]s and drop candidate files
+    * whose manifest stats prove no victim can live there — the same
+    * lossless [min, max]/bloom pruner the read facet uses
+    * ([[graft.sources.GraftBatchScan.mightMatch]]), pointed at the
+    * write side. Any failure to resolve or translate keeps everything
+    * (pruning may read too much, never too little); stats are keyed by
+    * the same (physical) names the predicate references, since DML
+    * predicates arrive already translated by the catalog layer. */
+  private def pruneDmlCandidates(spark: SparkSession,
+      schema: StructType, predicate: org.apache.spark.sql.Column,
+      es: Seq[Entry]): Seq[Entry] = {
+    import org.apache.spark.sql.catalyst.{expressions => cx}
+    import org.apache.spark.sql.{sources => sf}
+    // catalyst literal → the external form the stats comparator
+    // expects; None = a type the channel cannot judge (prune nothing)
+    def ext(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+      case (null, _) => None
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(s.toString)
+      case (d: java.lang.Integer, DateType) => Some(java.sql.Date
+        .valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
+      case (x: java.lang.Long, _)    => Some(x)
+      case (x: java.lang.Integer, _) => Some(x)
+      case (x: java.lang.Short, _)   => Some(x)
+      case (x: java.lang.Byte, _)    => Some(x)
+      case (x: java.lang.Double, _)  => Some(x)
+      case (x: java.lang.Float, _)   => Some(x)
+      case _ => None
+    }
+    def toF(e: cx.Expression): Option[sf.Filter] = e match {
+      case cx.EqualTo(a: cx.AttributeReference, cx.Literal(v, dt)) =>
+        ext(v, dt).map(sf.EqualTo(a.name, _))
+      case cx.EqualTo(cx.Literal(v, dt), a: cx.AttributeReference) =>
+        ext(v, dt).map(sf.EqualTo(a.name, _))
+      case cx.GreaterThan(a: cx.AttributeReference, cx.Literal(v, dt)) =>
+        ext(v, dt).map(sf.GreaterThan(a.name, _))
+      case cx.GreaterThan(cx.Literal(v, dt), a: cx.AttributeReference) =>
+        ext(v, dt).map(sf.LessThan(a.name, _))
+      case cx.GreaterThanOrEqual(a: cx.AttributeReference,
+          cx.Literal(v, dt)) =>
+        ext(v, dt).map(sf.GreaterThanOrEqual(a.name, _))
+      case cx.GreaterThanOrEqual(cx.Literal(v, dt),
+          a: cx.AttributeReference) =>
+        ext(v, dt).map(sf.LessThanOrEqual(a.name, _))
+      case cx.LessThan(a: cx.AttributeReference, cx.Literal(v, dt)) =>
+        ext(v, dt).map(sf.LessThan(a.name, _))
+      case cx.LessThan(cx.Literal(v, dt), a: cx.AttributeReference) =>
+        ext(v, dt).map(sf.GreaterThan(a.name, _))
+      case cx.LessThanOrEqual(a: cx.AttributeReference,
+          cx.Literal(v, dt)) =>
+        ext(v, dt).map(sf.LessThanOrEqual(a.name, _))
+      case cx.LessThanOrEqual(cx.Literal(v, dt),
+          a: cx.AttributeReference) =>
+        ext(v, dt).map(sf.GreaterThanOrEqual(a.name, _))
+      case cx.In(a: cx.AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[cx.Literal]) =>
+        val exts = vs.collect { case cx.Literal(v, dt) => ext(v, dt) }
+        if (exts.forall(_.isDefined))
+          Some(sf.In(a.name, exts.flatten.toArray))
+        else None
+      case cx.InSet(a: cx.AttributeReference, set) =>
+        val exts = set.toSeq.map(v => ext(v, a.dataType))
+        if (exts.forall(_.isDefined))
+          Some(sf.In(a.name, exts.flatten.toArray))
+        else None
+      case _ => None
+    }
+    val kept =
+      try {
+        val dummy = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+        val cond = dummy.filter(predicate).queryExecution.analyzed
+          .collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition
+          }
+        def split(e: cx.Expression): Seq[cx.Expression] = e match {
+          case cx.And(l, r) => split(l) ++ split(r)
+          case x            => Seq(x)
+        }
+        val fs = cond.toSeq.flatMap(split).flatMap(toF)
+          .filter(f => graft.sources.GraftBatchScan
+            .translatable(schema)(f))
+        if (fs.isEmpty) es
+        else es.filter(e => fs.forall(f =>
+          graft.sources.GraftBatchScan.mightMatch(schema, e, f)))
+      } catch { case scala.util.control.NonFatal(_) => es }
+    DmlPruneProbe.last = Some((kept.size, es.size))
+    kept
+  }
+
   def commitDeleteRows(spark: SparkSession, root: String,
       schema: StructType, predicate: org.apache.spark.sql.Column,
       retain: Int = 1, inlineDvMax: Int = DvInlineMax,
@@ -2936,8 +3034,15 @@ object TableCommit {
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to delete at $root")
     requireUniqueLeaves(root, es)
+    // X317: damage-proportional planning — files whose manifest stats
+    // PROVE no row can match contribute no victims, so the scan skips
+    // them entirely (a date-scoped DELETE on a 100 TB table plans the
+    // day's files, not the table). Lossless: untranslatable predicates
+    // keep everything.
+    val cands = pruneDmlCandidates(spark, schema, predicate, es)
+    if (cands.isEmpty) return base
     val victims = spark.read.schema(schema)
-      .parquet(es.map(e => resolvePath(root, e.path)): _*)
+      .parquet(cands.map(e => resolvePath(root, e.path)): _*)
       .filter(predicate)
       .select(col("_metadata.file_name")
         .as("_g_leaf"), col("_metadata.row_index").as("_g_pos"))
@@ -3026,11 +3131,18 @@ object TableCommit {
     // survives the update (Delta row-tracking semantics). The images
     // land as materialized-id files (rid: stats), exactly like an
     // id-preserving compaction's output.
+    // X317: predicate-pruned candidate files for the victims scan (the
+    // id-preserving leg keeps the full list: its tracked-coverage
+    // refusal must judge the WHOLE table, not the pruned subset)
+    val cands =
+      if (preserveRowIds) es
+      else pruneDmlCandidates(spark, schema, predicate, es)
+    if (cands.isEmpty) return base
     val victims =
       (if (preserveRowIds)
          liveWithIdsAndPos(spark, root, schema, es)
            .getOrElse(return base)
-       else liveWithPos(spark, root, schema, es))
+       else liveWithPos(spark, root, schema, cands))
         .filter(predicate)
     // distributed fold+encode (victims are LIVE rows, so a non-empty
     // match always changes at least one vector; empty = no-op)

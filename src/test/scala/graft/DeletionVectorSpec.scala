@@ -660,4 +660,37 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(TableCommit.read(spark, r, schema).collect()
       .map(_.getLong(0)).forall(k => k % 2 != 0 && k % 3 != 0))
   }
+
+  test("DML plans damage-proportionally: stat-pruned candidate files (X317)") {
+    val r = root()
+    val src = spark.range(400L).select(col("id").as("k"),
+      (col("id") * 10L).as("v")).repartitionByRange(4, col("k"))
+    TableCommit.commitAppend(src, r, retain = 8, statsCols = Seq("k"))
+    assert(TableCommit.entries(r).size === 4)
+    // DELETE scoped to one file's key range: 1 of 4 candidates planned
+    TableCommit.DmlPruneProbe.last = None
+    TableCommit.commitDeleteRows(spark, r, schema, col("k") < 50L,
+      retain = 8)
+    assert(TableCommit.DmlPruneProbe.last === Some((1, 4)),
+      s"expected 1-of-4 candidates, got ${TableCommit.DmlPruneProbe.last}")
+    assert(TableCommit.read(spark, r, schema).count() === 350L)
+    // UPDATE scoped the same way — and the result is still exact
+    TableCommit.DmlPruneProbe.last = None
+    TableCommit.commitUpdateRows(spark, r, schema,
+      col("k") >= 350L, Seq("v" -> lit(-1L)), retain = 8)
+    assert(TableCommit.DmlPruneProbe.last === Some((1, 4)))
+    val got = TableCommit.read(spark, r, schema).collect()
+    assert(got.count(_.getLong(1) == -1L) === 50L)
+    assert(got.length === 350L)
+    // an untranslatable predicate keeps every candidate (lossless)
+    TableCommit.DmlPruneProbe.last = None
+    TableCommit.commitDeleteRows(spark, r, schema,
+      pmod(col("k"), lit(97L)) === 1L, retain = 8)
+    // 5 files by now: the UPDATE appended its images file
+    assert(TableCommit.DmlPruneProbe.last === Some((5, 5)),
+      "a predicate stats cannot judge must keep all files")
+    // and the delete itself was exact across all files
+    assert(TableCommit.read(spark, r, schema)
+      .filter(pmod(col("k"), lit(97L)) === 1L).count() === 0L)
+  }
 }
