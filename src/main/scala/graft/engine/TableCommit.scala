@@ -4233,12 +4233,17 @@ object TableCommit {
     * Returns the new version. */
   def commitCompact(spark: SparkSession, root: String, targetFiles: Int,
       sortCol: Option[String] = None, statsCols: Seq[String] = Nil,
-      retain: Int = 1, preserveRowIds: Boolean = false): Long =
-    rewriteSnapshot(spark, root, statsCols, retain, preserveRowIds,
-      "compact") { cur =>
-      sortCol match {
-        case Some(c) => cur.repartitionByRange(targetFiles, col(c))
-        case None    => cur.coalesce(targetFiles)
+      retain: Int = 1, preserveRowIds: Boolean = false,
+      partCol: Option[String] = None): Long =
+    rewriteSnapshot(spark, root,
+      (statsCols ++ partCol).distinct, retain, preserveRowIds,
+      "compact", partCol) { cur =>
+      (sortCol, partCol) match {
+        case (Some(c), _) => cur.repartitionByRange(targetFiles, col(c))
+        // X318: a layout-preserving compact co-locates each partition
+        // value before the partitioned staging splits per value
+        case (None, Some(pc)) => cur.repartition(targetFiles, col(pc))
+        case (None, None)     => cur.coalesce(targetFiles)
       }
     }
 
@@ -4249,14 +4254,15 @@ object TableCommit {
     * no DVs and the dead rows are physically gone. */
   private def rewriteSnapshot(spark: SparkSession, root: String,
       statsCols: Seq[String], retain: Int, preserveRowIds: Boolean,
-      what: String)(arrange: DataFrame => DataFrame): Long = {
+      what: String, partCol: Option[String] = None)(
+      arrange: DataFrame => DataFrame): Long = {
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to $what at $root")
     if (!preserveRowIds) {
       val arranged = arrange(readLive(spark, root, None, es))
-      publish(root, stageBatch(arranged, root, None, statsCols), retain,
-        expected = Some(base))
+      publish(root, stageBatch(arranged, root, partCol, statsCols),
+        retain, expected = Some(base))
     } else {
       // X275: an id-preserving rewrite — read live rows WITH their
       // stable ids, write them back with `_row_id` materialized, and
@@ -4267,7 +4273,8 @@ object TableCommit {
       val dataSchema = StructType(
         inferred.fields.filterNot(_.name == RowIdCol))
       val arranged = arrange(readWithRowIds(spark, root, dataSchema))
-      val staged = stageBatch(arranged, root, None, statsCols :+ RowIdCol)
+      val staged = stageBatch(arranged, root, partCol,
+        statsCols :+ RowIdCol)
       // pin the PRE-rewrite high-water into the durable header: the
       // born entries being melted still witness it (brid + rows covers
       // deleted positions), the materialized outputs may not (ADVICE
@@ -4329,7 +4336,12 @@ object TableCommit {
   def commitMeltDeleted(spark: SparkSession, root: String,
       maxDeadRatio: Double, targetFiles: Int = 0,
       statsCols: Seq[String] = Nil, retain: Int = 1,
-      preserveRowIds: Boolean = false): Long = {
+      preserveRowIds: Boolean = false,
+      partCol: Option[String] = None): Long = {
+    // X318: a layout-preserving melt stages per partition value so the
+    // rewritten files stay single-valued (the X314 SPJ proof) and
+    // carries the column's stats for the min == max witness
+    val allStats = (statsCols ++ partCol).distinct
     require(maxDeadRatio >= 0.0 && maxDeadRatio < 1.0,
       s"bad maxDeadRatio $maxDeadRatio (want [0, 1))")
     val base = currentVersion(root).getOrElse(0L)
@@ -4351,7 +4363,8 @@ object TableCommit {
       val live = readLive(spark, root, None, fat)
       val arranged =
         if (targetFiles > 0) live.coalesce(targetFiles) else live
-      publish(root, kept ++ stageBatch(arranged, root, None, statsCols),
+      publish(root,
+        kept ++ stageBatch(arranged, root, partCol, allStats),
         retain, expected = Some(base))
     } else {
       // X275: id-preserving melt — rewritten rows carry `_row_id`
@@ -4366,7 +4379,8 @@ object TableCommit {
         .select((dataSchema.fieldNames.toSeq :+ RowIdCol).map(col): _*)
       val arranged =
         if (targetFiles > 0) cur.coalesce(targetFiles) else cur
-      val staged = stageBatch(arranged, root, None, statsCols :+ RowIdCol)
+      val staged = stageBatch(arranged, root, partCol,
+        allStats :+ RowIdCol)
         .map(markRidStats)
       publish(root, kept ++ staged, retain, expected = Some(base),
         ridHighWater = Some(rowIdHighWaterAt(root, base)))

@@ -192,7 +192,8 @@ case class GraftMeltCommand(root: String, maxDeadRatio: Double,
     val v = TableCommit.commitMeltDeleted(spark, root, maxDeadRatio,
       targetFiles = targetFiles,
       retain = GraftMaintenanceTvf.keepRetain(root),
-      preserveRowIds = TableCommit.isTracked(root))
+      preserveRowIds = TableCommit.isTracked(root),
+      partCol = graft.sources.GraftCatalog.partitionColOf(root))
     val after = TableCommit.entries(root)
     Seq(Row(v, before.size.toLong, after.size.toLong,
       GraftMaintenanceTvf.rewrittenCount(before, after)))
@@ -204,9 +205,12 @@ case class GraftCompactCommand(root: String, targetFiles: Int)
   override val output: Seq[Attribute] = GraftMaintenanceTvf.reportAttrs
   override def run(spark: SparkSession): Seq[Row] = {
     val before = TableCommit.entries(root)
+    // X318: a partitioned table's compact preserves its layout — the
+    // rewrite stages per value, so the X314 SPJ proof survives OPTIMIZE
     val v = TableCommit.commitCompact(spark, root, targetFiles,
       retain = GraftMaintenanceTvf.keepRetain(root),
-      preserveRowIds = TableCommit.isTracked(root))
+      preserveRowIds = TableCommit.isTracked(root),
+      partCol = graft.sources.GraftCatalog.partitionColOf(root))
     val after = TableCommit.entries(root)
     Seq(Row(v, before.size.toLong, after.size.toLong,
       GraftMaintenanceTvf.rewrittenCount(before, after)))

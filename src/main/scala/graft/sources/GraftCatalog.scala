@@ -657,10 +657,24 @@ private class GraftStagedTable(schema0: StructType,
   }
 }
 
-private[sources] object GraftCatalog {
+private[graft] object GraftCatalog {
   /** X316: the field-metadata key marking a table's partition column
     * inside `_schema.json`. */
   val PartitionMetaKey = "graft.partition"
+
+  /** X318: a root's declared partition column (PHYSICAL name — what
+    * the staging and stats layers speak) from `_schema.json`'s field
+    * metadata; None for unpartitioned or non-catalog roots. Lets the
+    * maintenance verbs preserve a partitioned table's layout. */
+  def partitionColOf(root: String): Option[String] =
+    try {
+      val p = Paths.get(root, "_schema.json")
+      if (!Files.exists(p)) None
+      else DataType.fromJson(new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType].fields
+        .find(_.metadata.contains(PartitionMetaKey)).map(_.name)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-root monitors serializing same-JVM virgin-schema edits (the
     * cross-process half is the claim file in [[GraftCatalog

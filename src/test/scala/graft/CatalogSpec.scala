@@ -624,4 +624,43 @@ class CatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cat_spj_a")
     spark.catalog.dropTempView("cat_spj_b")
   }
+
+  test("maintenance preserves a partitioned table's layout (X318)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pm (g BIGINT, x BIGINT) " +
+      "PARTITIONED BY (g)")
+    (0 until 3).foreach { i =>
+      spark.range(60L).select((col("id") % 4L).as("g"),
+        (col("id") + i * 1000L).as("x"))
+        .createOrReplaceTempView("cat_pm_src")
+      spark.sql(s"INSERT INTO $cat.pm SELECT g, x FROM cat_pm_src")
+    }
+    spark.sql(s"DELETE FROM $cat.pm WHERE x IN (3, 1003, 2003)")
+    val before = TableCommit.entries(s"$wh/pm").size
+    spark.sql(s"SELECT * FROM graft_compact('$wh/pm', 4)").collect()
+    val es = TableCommit.entries(s"$wh/pm")
+    assert(es.size < before,
+      s"compact must reduce the file count ($before -> ${es.size})")
+    // the rewrite staged per value: every output file still
+    // single-valued on g, so the X314 SPJ proof survives OPTIMIZE
+    assert(es.forall(e => e.stats.get("g").exists(cs => cs.min == cs.max)),
+      s"compact broke the partitioned layout: $es")
+    assert(!es.exists(_.stats.contains(TableCommit.DvKey)),
+      "compact must melt DVs away")
+    spark.sql(s"CREATE TABLE $cat.pn (g BIGINT, y BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.range(8L).select((col("id") % 4L).as("g"), col("id").as("y"))
+      .createOrReplaceTempView("cat_pn_src")
+    spark.sql(s"INSERT INTO $cat.pn SELECT g, y FROM cat_pn_src")
+    val j = spark.sql(
+      s"SELECT a.g FROM $cat.pm a JOIN $cat.pn b ON a.g = b.g")
+    j.collect()
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+      "SPJ must still plan zero shuffles after OPTIMIZE")
+    // row integrity through insert + delete + compact: 180 - 3
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pm").collect()(0)
+      .getLong(0) === 177L)
+    spark.catalog.dropTempView("cat_pm_src")
+    spark.catalog.dropTempView("cat_pn_src")
+  }
 }
