@@ -1502,6 +1502,52 @@ object Relational {
       |FROM customer JOIN supplier ON c_nationkey = s_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // `q_sql_files` (X319): DESCRIBE DETAIL at file granularity in SQL
+
+  /** `q_sql_files` (X319): `graft_files('<root>')` — the snapshot's
+    * manifest as a relation, one row per live file (path, proven
+    * partition value, birth rows, deletion-vector count, stats
+    * coverage), evaluated at planning time from the manifest alone.
+    * The fixture creates a PARTITIONED BY table (X316 — the clustered
+    * write lands exactly one file per partition value under hash
+    * clustering), DELETEs a key slice (an X317 stat-pruned DV commit),
+    * and reads the layout back through pure SQL: per-value birth rows,
+    * dead rows, and file counts — the operator's view of layout
+    * health, gated against the source data's ground truth. */
+  def sqlFilesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = graft.engine.TempWarehouse.createManaged("graft_sqlfiles_")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val cat = s"graft_files_$id"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val vc = s"graft_files_c_$id"
+    Tables.customer(spark, sfDir).select(
+      col("c_nationkey").as("nationkey"), col("c_custkey").as("custkey"))
+      .createOrReplaceTempView(vc)
+    spark.sql(s"CREATE TABLE $cat.cfiles (nationkey BIGINT, " +
+      "custkey BIGINT) PARTITIONED BY (nationkey)")
+    spark.sql(s"INSERT INTO $cat.cfiles SELECT * FROM $vc")
+    spark.sql(s"DELETE FROM $cat.cfiles WHERE custkey <= 100")
+    val out = spark.sql(
+      s"""SELECT part_value, SUM(rows) AS n_rows,
+         |  SUM(deleted) AS n_deleted, COUNT(*) AS n_files
+         |FROM graft_files('$wh/cfiles')
+         |GROUP BY part_value ORDER BY part_value""".stripMargin)
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(vc)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc).orderBy(col("part_value"))
+  }
+
+  val sqlFilesOracle: String =
+    """SELECT CAST(c_nationkey AS VARCHAR) AS part_value,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN c_custkey <= 100 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_deleted,
+      |  CAST(1 AS BIGINT) AS n_files
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   // `q_sql_table` (X292): graft tables through pure Spark SQL
 
   /** `q_sql_table` (X292): the CATALOG facet — an analyst's whole

@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => HofVectorize)
     // X304: DESCRIBE HISTORY as SQL — graft_history('<root>') TVF
     GraftHistoryTvf.functions.foreach(ext.injectTableFunction)
+    // X319: DESCRIBE DETAIL at file granularity
+    GraftFilesTvf.functions.foreach(ext.injectTableFunction)
     // X307: SQL maintenance verbs — graft_melt / graft_compact /
     // graft_vacuum, each a deferred one-row-report command
     GraftMaintenanceTvf.functions.foreach(ext.injectTableFunction)
