@@ -1502,6 +1502,66 @@ object Relational {
       |FROM customer JOIN supplier ON c_nationkey = s_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // `q_sql_bucket` (X320): bucketed tables — SPJ at any cardinality
+
+  /** `q_sql_bucket` (X320): `PARTITIONED BY (bucket(8, custkey))` —
+    * the BOUNDED-file-count layout for high-cardinality keys, the
+    * Iceberg bucket-join shape. The catalog exposes the canonical
+    * `bucket` hash as a DSv2 FunctionCatalog function; writes cluster
+    * by the transform and rotate one file per bucket (the id rides
+    * `Entry.part` as the layout proof); scans report the bucket
+    * transform as KeyGroupedPartitioning, so two tables bucketed the
+    * SAME way join on the raw key with ZERO shuffle — at 100 TB the
+    * shape identity partitioning cannot reach (a million distinct
+    * keys would mean a million files; 8 buckets mean 8). CatalogSpec
+    * pins the zero-Exchange plan and the per-file bucket truth. */
+  def sqlBucketQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wh = graft.engine.TempWarehouse.createManaged("graft_sqlbkt_")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val cat = s"graft_bkt_$id"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val vc = s"graft_bkt_c_$id"; val vo = s"graft_bkt_o_$id"
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("custkey"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("bal_cents")).createOrReplaceTempView(vc)
+    Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("custkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents")).createOrReplaceTempView(vo)
+    spark.sql(s"CREATE TABLE $cat.bcust (custkey BIGINT, " +
+      "bal_cents BIGINT) PARTITIONED BY (bucket(8, custkey))")
+    spark.sql(s"CREATE TABLE $cat.bord (custkey BIGINT, " +
+      "cents BIGINT) PARTITIONED BY (bucket(8, custkey))")
+    spark.sql(s"INSERT INTO $cat.bcust SELECT * FROM $vc")
+    spark.sql(s"INSERT INTO $cat.bord SELECT * FROM $vo")
+    val out = spark.sql(
+      s"""SELECT c.custkey AS custkey, COUNT(*) AS n_orders,
+         |  SUM(o.cents) AS total_cents,
+         |  MIN(c.bal_cents) AS bal_cents
+         |FROM $cat.bcust c JOIN $cat.bord o
+         |  ON c.custkey = o.custkey
+         |GROUP BY c.custkey ORDER BY custkey""".stripMargin)
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(vc)
+    spark.catalog.dropTempView(vo)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc).orderBy(col("custkey"))
+  }
+
+  val sqlBucketOracle: String =
+    """SELECT c_custkey AS custkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(MIN(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // `q_sql_files` (X319): DESCRIBE DETAIL at file granularity in SQL
 
   /** `q_sql_files` (X319): `graft_files('<root>')` — the snapshot's

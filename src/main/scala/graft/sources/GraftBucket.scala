@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** X320: the canonical bucket hash — ONE definition shared by the
+  * write-side file rotation, the SQL FunctionCatalog's ScalarFunction
+  * (what Spark resolves `bucket(n, col)` transforms against for
+  * storage-partitioned-join compatibility), and any reader. The value
+  * hashes through the Murmur3 64-bit finalizer (public-domain mixing
+  * constants) and lands in [0, n) via floorMod, so the bucket id is
+  * stable across JVMs, sessions and writers — the property the whole
+  * layout contract stands on. */
+object GraftBucketFn {
+  /** Murmur3 fmix64 — avalanche the raw long. */
+  def hashLong(v: Long): Int = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h.toInt
+  }
+
+  /** Strings hash their UTF-8 bytes (FNV-1a 64) then fmix — NOT
+    * `String.hashCode` (too clustered for short keys). */
+  def hashString(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    hashLong(h)
+  }
+
+  def bucketLong(n: Int, v: Long): Int =
+    java.lang.Math.floorMod(hashLong(v), n)
+  def bucketString(n: Int,
+      v: org.apache.spark.unsafe.types.UTF8String): Int =
+    java.lang.Math.floorMod(hashString(v), n)
+}
+
+/** X320: `bucket` as a catalog function — Spark's analyzer binds the
+  * `bucket(n, col)` transform that [[GraftCatalogTable.partitioning]]
+  * and the write's required distribution report, and BOTH sides of a
+  * join resolve to the same canonical function, which is exactly what
+  * `KeyGroupedShuffleSpec` compares for storage-partitioned-join
+  * compatibility (the Iceberg bucket-join mechanics). */
+object GraftBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets INT, col BIGINT|INT|STRING) -> INT: the graft " +
+      "layout hash (Murmur3-finalized, floorMod into [0, n))"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, value); got $inputType")
+    inputType.fields(1).dataType match {
+      case LongType | IntegerType | StringType =>
+        new GraftBucketBound(inputType.fields(1).dataType)
+      case other => throw new UnsupportedOperationException(
+        s"graft bucket: unsupported value type ${other.simpleString} " +
+          "(BIGINT, INT or STRING)")
+    }
+  }
+}
+
+class GraftBucketBound(dt: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  /** The SPJ compatibility anchor: two scans' bucket transforms are
+    * interchangeable iff this matches (and the argument trees do). */
+  override def canonicalName(): String =
+    s"graft.bucket(${dt.simpleString})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    dt match {
+      case LongType    => GraftBucketFn.bucketLong(n, input.getLong(1))
+      case IntegerType =>
+        GraftBucketFn.bucketLong(n, input.getInt(1).toLong)
+      case StringType  =>
+        GraftBucketFn.bucketString(n, input.getUTF8String(1))
+      case other => throw new IllegalStateException(other.toString)
+    }
+  }
+  // the MAGIC fast path: Spark codegen StaticInvoke's these overloads
+  // instead of boxing through produceResult
+  def invoke(n: Int, v: Long): Int = GraftBucketFn.bucketLong(n, v)
+  def invoke(n: Int, v: Int): Int = GraftBucketFn.bucketLong(n, v.toLong)
+  def invoke(n: Int,
+      v: org.apache.spark.unsafe.types.UTF8String): Int =
+    GraftBucketFn.bucketString(n, v)
+}

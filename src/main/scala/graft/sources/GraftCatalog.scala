@@ -41,7 +41,24 @@ import graft.engine.TableCommit
   * metadata-only, atomic with the commit log. Lineage bootstrap and
   * tags stay API-level (the engine's explicit-schema discipline). */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** X320: the catalog's function namespace — exactly one function,
+    * the canonical `bucket` layout hash. Spark's analyzer resolves the
+    * `bucket(n, col)` transforms our tables and writes report against
+    * THIS, and two scans whose transforms bind to the same canonical
+    * function are storage-partitioned-join compatible. */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket")
+      GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
   private var catalogName: String = _
   private var warehouse: String = _
   private var retain: Int = 64
@@ -131,12 +148,26 @@ class GraftCatalog extends TableCatalog
     if (partitions.isEmpty) return schema
     require(partitions.length == 1,
       "graft catalog: at most ONE partition column is supported")
-    val col = partitions(0) match {
+    val (col, buckets) = partitions(0) match {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
-        t.references()(0).fieldNames()(0)
+        (t.references()(0).fieldNames()(0), None)
+      // X320: bucket(n, col) — the bounded-file-count layout for
+      // high-cardinality keys (the Iceberg bucket-join shape)
+      case t if t.name == "bucket" && t.references.length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a numeric bucket count: $t"))
+        require(n > 0 && n <= 100000,
+          s"graft catalog: bucket count must be in [1, 100000], got $n")
+        (t.references()(0).fieldNames()(0), Some(n))
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: only PARTITIONED BY (<column>) is supported " +
+        s"graft catalog: only PARTITIONED BY (<column>) and " +
+          s"PARTITIONED BY (bucket(n, <column>)) are supported " +
           s"(identity transform); got $other")
     }
     val idx = schema.fieldNames.indexOf(col)
@@ -147,8 +178,10 @@ class GraftCatalog extends TableCatalog
       s"graft catalog: partition column must be BIGINT, INT or " +
         s"STRING; $col is ${dt.simpleString}")
     val f = schema.fields(idx)
-    val md = new MetadataBuilder().withMetadata(f.metadata)
-      .putBoolean(GraftCatalog.PartitionMetaKey, true).build()
+    val md0 = new MetadataBuilder().withMetadata(f.metadata)
+      .putBoolean(GraftCatalog.PartitionMetaKey, true)
+    val md = buckets.fold(md0)(n =>
+      md0.putLong(GraftCatalog.BucketMetaKey, n.toLong)).build()
     StructType(schema.fields.toIndexedSeq.updated(idx,
       f.copy(metadata = md)))
   }
@@ -183,14 +216,17 @@ class GraftCatalog extends TableCatalog
     // X316: the partition column (metadata rode the physical field
     // through the rename/drop filters above, so this is the LOGICAL
     // name of a live column — a dropped partition column is refused at
-    // ALTER time)
-    val partCol = schema.fields
+    // ALTER time); X320: a bucket count beside it means bucket layout
+    val partField = schema.fields
       .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
-      .map(_.name)
+    val partCol = partField.map(_.name)
+    val buckets = partField
+      .filter(_.metadata.contains(GraftCatalog.BucketMetaKey))
+      .map(_.metadata.getLong(GraftCatalog.BucketMetaKey).toInt)
     new GraftCatalogTable(schema, props, root,
       s"$catalogName.${(ident.namespace.toSeq :+ ident.name).mkString(".")}" +
         asOf.map(v => s"@v$v").getOrElse(""),
-      asOf, retain, toPhysical, conflictRetries, partCol)
+      asOf, retain, toPhysical, conflictRetries, partCol, buckets)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -542,19 +578,27 @@ private[graft] class GraftCatalogTable(schema0: StructType,
     properties: util.Map[String, String], root: String,
     displayName: String, asOf: Option[Long] = None, retain: Int = 64,
     mapping: Map[String, String] = Map.empty,
-    conflictRetries: Int = 20, partCol: Option[String] = None)
+    conflictRetries: Int = 20, partCol: Option[String] = None,
+    buckets: Option[Int] = None)
     extends GraftWriteTable(schema0, properties) with SupportsDelete {
   override def name(): String = displayName
 
-  /** X316: a `PARTITIONED BY` table declares its layout to Spark
-    * (DESCRIBE shows it), defaults its scans to `clusterby` (X314
-    * KeyGroupedPartitioning when the manifest proves the layout), and
-    * rotates its batch writes per value so the proof always holds for
-    * catalog-written files. */
+  /** X316/X320: a `PARTITIONED BY` table declares its layout to Spark
+    * (DESCRIBE shows it), defaults its scans to the clustered shape
+    * (X314 KeyGroupedPartitioning when the manifest proves the
+    * layout), and rotates its batch writes per value — or per BUCKET
+    * of the value under `bucket(n, col)` — so the proof always holds
+    * for catalog-written files. */
   override def partitioning(): Array[Transform] =
-    partCol.map(c => org.apache.spark.sql.connector.expressions
-      .Expressions.identity(c): Transform).toArray
+    partCol.map { c =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      buckets match {
+        case Some(n) => Expressions.bucket(n, c): Transform
+        case None    => Expressions.identity(c): Transform
+      }
+    }.toArray
   override protected def partitionColumn: Option[String] = partCol
+  override protected def partitionBuckets: Option[Int] = buckets
 
   /** X310: `MERGE INTO … WITH SCHEMA EVOLUTION` — declaring
     * AUTOMATIC_SCHEMA_EVOLUTION lets Spark's analyzer route the
@@ -635,7 +679,16 @@ private class GraftStagedTable(schema0: StructType,
     displayName: String, retain: Int, conflictRetries: Int,
     marker: Path, ident: Identifier)
     extends GraftCatalogTable(schema0, properties, root, displayName,
-      None, retain, Map.empty, conflictRetries)
+      None, retain, Map.empty, conflictRetries,
+      // X316/X320: a partitioned CTAS rotates its write exactly like a
+      // post-CREATE insert — the marked schema carries the contract
+      schema0.fields
+        .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
+        .map(_.name),
+      schema0.fields
+        .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
+        .filter(_.metadata.contains(GraftCatalog.BucketMetaKey))
+        .map(_.metadata.getLong(GraftCatalog.BucketMetaKey).toInt))
     with org.apache.spark.sql.connector.catalog.StagedTable {
   override def commitStagedChanges(): Unit =
     try Files.move(marker, Paths.get(root, "_schema.json"))
@@ -662,10 +715,18 @@ private[graft] object GraftCatalog {
     * inside `_schema.json`. */
   val PartitionMetaKey = "graft.partition"
 
-  /** X318: a root's declared partition column (PHYSICAL name — what
-    * the staging and stats layers speak) from `_schema.json`'s field
-    * metadata; None for unpartitioned or non-catalog roots. Lets the
-    * maintenance verbs preserve a partitioned table's layout. */
+  /** X320: the field-metadata key carrying a bucketed table's bucket
+    * count beside [[PartitionMetaKey]]. */
+  val BucketMetaKey = "graft.buckets"
+
+  /** X318: a root's declared IDENTITY partition column (PHYSICAL name
+    * — what the staging and stats layers speak) from `_schema.json`'s
+    * field metadata; None for unpartitioned, BUCKETED (a value-keyed
+    * rewrite would fragment a bucket layout, and its raw values could
+    * masquerade as bucket ids — the maintenance path degrades the
+    * bucket proof instead, which the scan detects losslessly), or
+    * non-catalog roots. Lets the maintenance verbs preserve a
+    * partitioned table's layout. */
   def partitionColOf(root: String): Option[String] =
     try {
       val p = Paths.get(root, "_schema.json")
@@ -673,7 +734,9 @@ private[graft] object GraftCatalog {
       else DataType.fromJson(new String(Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8))
         .asInstanceOf[StructType].fields
-        .find(_.metadata.contains(PartitionMetaKey)).map(_.name)
+        .find(_.metadata.contains(PartitionMetaKey))
+        .filterNot(_.metadata.contains(BucketMetaKey))
+        .map(_.name)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-root monitors serializing same-JVM virgin-schema edits (the

@@ -101,6 +101,18 @@ private[graft] class GraftWriteTable(schema0: StructType,
     * the column's value so every written file IS single-valued. */
   protected def partitionColumn: Option[String] = None
 
+  /** X320: a bucket count beside [[partitionColumn]] means the layout
+    * keys on `bucket(n, col)` (the canonical [[GraftBucketFn]] hash) —
+    * bounded file count at any key cardinality; writes rotate per
+    * bucket, scans report the bucket transform. */
+  protected def partitionBuckets: Option[Int] = None
+
+  private def declaredCluster: Option[GraftClusterSpec] =
+    partitionColumn.map(c => partitionBuckets match {
+      case Some(n) => BucketCluster(c, n)
+      case None    => IdentityCluster(c)
+    })
+
   private def physSchema(s: StructType): StructType =
     if (toPhysical.isEmpty) s
     else StructType(s.fields.toIndexedSeq.map(f =>
@@ -117,8 +129,10 @@ private[graft] class GraftWriteTable(schema0: StructType,
       Option(options.get("dvonly")).exists(_ == "true"),
       // X314: declare a column every file is single-valued on (the
       // manifest verifies) → the scan reports KeyGroupedPartitioning;
-      // X316: a declared partition column is the standing default
-      Option(options.get("clusterby")).orElse(partitionColumn))
+      // X316/X320: a declared partition column is the standing default
+      Option(options.get("clusterby"))
+        .map(IdentityCluster(_): GraftClusterSpec)
+        .orElse(declaredCluster))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replaceAll = false
@@ -137,11 +151,12 @@ private[graft] class GraftWriteTable(schema0: StructType,
           s"option 'txnmigrate' must be 'scalar' or 'fresh', got '$m'"))
         // the writer's field names are the PHYSICAL ones (rows are
         // consumed positionally, so only the parquet schema changes)
-        // X316: the partition column rides as (logical name — the
+        // X316/X320: the partition column rides as (logical name — the
         // distribution/ordering contract resolves against the query's
-        // output — and its positional index, all the rotator needs)
+        // output — its positional index, and the bucket count)
         val pIdx = partitionColumn
-          .map(c => c -> info.schema().fieldNames.indexOf(c))
+          .map(c => (c, info.schema().fieldNames.indexOf(c),
+            partitionBuckets))
           .filter(_._2 >= 0)
         new GraftWrite(root, physSchema(info.schema()), replaceAll,
           retain, failAt, retries, crashAfter, txnId, txnApp, txnMigrate,
@@ -155,31 +170,37 @@ private class GraftWrite(root: String, schema: StructType,
     conflictRetries: Int, crashAfterEpoch: Option[Long] = None,
     txnId: Option[Long] = None, txnApp: Option[String] = None,
     txnMigrate: Option[String] = None,
-    partCol: Option[(String, Int)] = None)
+    partCol: Option[(String, Int, Option[Int])] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
-  /** X316: a partitioned write asks Spark to CLUSTER the input by the
-    * partition column and SORT within tasks on it, so the writer's
-    * file rotation sees each value as one contiguous run — one file
-    * per (task, value), minimal file count, single-valued by
-    * construction. Unpartitioned writes leave the plan untouched. */
+  /** X316/X320: a partitioned write asks Spark to CLUSTER the input by
+    * the partition expression (the column, or its bucket transform —
+    * resolved against the catalog's canonical function) and SORT
+    * within tasks on it, so the writer's file rotation sees each key
+    * as one contiguous run — one file per (task, key), minimal file
+    * count, single-keyed by construction. Unpartitioned writes leave
+    * the plan untouched. */
+  private def partExpr = partCol.map {
+    case (c, _, Some(n)) => Expressions.bucket(n, c)
+      : org.apache.spark.sql.connector.expressions.Expression
+    case (c, _, None) => Expressions.identity(c)
+      : org.apache.spark.sql.connector.expressions.Expression
+  }
   override def requiredDistribution(): Distribution =
-    partCol.map { case (c, _) => Distributions.clustered(Array(
-      Expressions.identity(c): org.apache.spark.sql.connector
-        .expressions.Expression)) }
+    partExpr.map(e => Distributions.clustered(Array(e)))
       .getOrElse(Distributions.unspecified())
   override def requiredOrdering(): Array[SortOrder] =
-    partCol.map { case (c, _) => Array(Expressions.sort(
-      Expressions.identity(c), SortDirection.ASCENDING)) }
+    partExpr.map(e => Array(
+      Expressions.sort(e, SortDirection.ASCENDING)))
       .getOrElse(Array.empty[SortOrder])
   override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite = new GraftBatchWrite(
     root, schema, replaceAll, retain, failAt, conflictRetries, txnId,
-    txnApp, partCol.map(_._2))
+    txnApp, partCol.map { case (_, i, n) => (i, n) })
   override def toStreaming: StreamingWrite = {
     require(!replaceAll,
       "graft-table streaming supports outputMode(\"append\") only — " +
@@ -191,7 +212,8 @@ private class GraftWrite(root: String, schema: StructType,
 }
 
 private final case class GraftCommitMessage(relPath: String, rows: Long,
-    stats: Map[String, (String, String)] = Map.empty)
+    stats: Map[String, (String, String)] = Map.empty,
+    part: Option[String] = None)
     extends WriterCommitMessage
 
 /** X316: one partitioned task's handshake — one payload per file the
@@ -203,7 +225,8 @@ private final case class GraftMultiCommitMessage(
 private class GraftBatchWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
     conflictRetries: Int, txnId: Option[Long] = None,
-    txnApp: Option[String] = None, partIdx: Option[Int] = None)
+    txnApp: Option[String] = None,
+    partIdx: Option[(Int, Option[Int])] = None)
     extends BatchWrite {
   require(txnApp.isEmpty || txnId.isDefined,
     "graft-table batch: option(\"txnappid\") namespaces the idempotence " +
@@ -236,7 +259,7 @@ private class GraftBatchWrite(root: String, schema: StructType,
     }).exists(_ >= t))
     if (applied) { abort(messages); return }
     def toEntry(m: GraftCommitMessage): TableCommit.Entry =
-      TableCommit.Entry(m.relPath, None,
+      TableCommit.Entry(m.relPath, m.part,
         stats = m.stats.map { case (c, (mn, mx)) =>
           c -> TableCommit.ColStats(mn, mx) },
         rows = Some(m.rows))
@@ -439,10 +462,10 @@ private class GraftStreamingWrite(root: String, schema: StructType,
       }
     }
     val entries = messages.collect {
-      case GraftCommitMessage(p, n, st) => TableCommit.Entry(p, None,
-        stats = st.map { case (c, (mn, mx)) =>
+      case m: GraftCommitMessage => TableCommit.Entry(m.relPath, m.part,
+        stats = m.stats.map { case (c, (mn, mx)) =>
           c -> TableCommit.ColStats(mn, mx) },
-        rows = Some(n))
+        rows = Some(m.rows))
     }.toSeq.sortBy(_.path)
     var attempt = 0
     var done = false
@@ -514,15 +537,18 @@ private final case class GraftStreamWriterFactory(root: String,
 
 private final case class GraftWriterFactory(root: String, batch: String,
     schema: StructType, failAt: Option[Int],
-    partIdx: Option[Int] = None) extends DataWriterFactory {
+    partIdx: Option[(Int, Option[Int])] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    if (partIdx.isDefined)
-      new GraftPartitionedDataWriter(root, batch, schema, partitionId,
-        taskId, failAt, partIdx.get)
-    else
-      new GraftDataWriter(root, batch, schema, partitionId, taskId,
-        failAt)
+    partIdx match {
+      case Some((i, buckets)) =>
+        new GraftPartitionedDataWriter(root, batch, schema, partitionId,
+          taskId, failAt, i, buckets)
+      case None =>
+        new GraftDataWriter(root, batch, schema, partitionId, taskId,
+          failAt)
+    }
 }
 
 /** One task attempt's writer: streams rows into an attempt-unique file
@@ -640,7 +666,8 @@ private class GraftDataWriter(root: String, batch: String,
   * values refuse loudly (the stats channel cannot witness them). */
 private class GraftPartitionedDataWriter(root: String, batch: String,
     schema: StructType, partitionId: Int, taskId: Long,
-    failAt: Option[Int], partIdx: Int) extends DataWriter[InternalRow] {
+    failAt: Option[Int], partIdx: Int, buckets: Option[Int] = None)
+    extends DataWriter[InternalRow] {
   private val dt = schema.fields(partIdx).dataType
   private var fileSeq = 0
   private var current: GraftDataWriter = null
@@ -648,13 +675,38 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
   private val done =
     scala.collection.mutable.ListBuffer.empty[GraftCommitMessage]
 
-  private def keyOf(row: InternalRow): Any = dt match {
-    case LongType    => row.getLong(partIdx)
-    case IntegerType => row.getInt(partIdx)
-    case StringType  => row.getUTF8String(partIdx).toString
-    case DoubleType  => row.getDouble(partIdx)
-    case other => throw new IllegalArgumentException(
-      s"graft-table: unsupported partition column type $other")
+  /** The rotation key: the column's value (identity layout), or its
+    * canonical bucket id (X320 — MUST equal what the catalog's
+    * `bucket` ScalarFunction computes, which it does by sharing
+    * [[GraftBucketFn]]). */
+  private def keyOf(row: InternalRow): Any = buckets match {
+    case Some(n) => dt match {
+      case LongType    => GraftBucketFn.bucketLong(n, row.getLong(partIdx))
+      case IntegerType =>
+        GraftBucketFn.bucketLong(n, row.getInt(partIdx).toLong)
+      case StringType  =>
+        GraftBucketFn.bucketString(n, row.getUTF8String(partIdx))
+      case other => throw new IllegalArgumentException(
+        s"graft-table: unsupported bucket column type $other")
+    }
+    case None => dt match {
+      case LongType    => row.getLong(partIdx)
+      case IntegerType => row.getInt(partIdx)
+      case StringType  => row.getUTF8String(partIdx).toString
+      case DoubleType  => row.getDouble(partIdx)
+      case other => throw new IllegalArgumentException(
+        s"graft-table: unsupported partition column type $other")
+    }
+  }
+
+  /** The manifest's layout-proof tag for the CURRENT file: bucket ids
+    * ride [[TableCommit.Entry.part]] namespaced (identity layouts
+    * prove through the stats channel instead, and carry the raw value
+    * for the X319 report). */
+  private def partTag: Option[String] = buckets match {
+    case Some(_) => Some(GraftBucketPart.render(
+      currentKey.asInstanceOf[Int]))
+    case None    => Some(String.valueOf(currentKey))
   }
 
   override def write(row: InternalRow): Unit = {
@@ -665,6 +717,7 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
     if (current == null || k != currentKey) {
       if (current != null)
         done += current.commit().asInstanceOf[GraftCommitMessage]
+          .copy(part = partTag)
       current = new GraftDataWriter(root, batch, schema, partitionId,
         taskId, failAt, s"-$fileSeq")
       fileSeq += 1
@@ -676,6 +729,7 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
   override def commit(): WriterCommitMessage = {
     if (current != null) {
       done += current.commit().asInstanceOf[GraftCommitMessage]
+        .copy(part = partTag)
       current = null
     }
     GraftMultiCommitMessage(done.toList)
@@ -703,7 +757,7 @@ private class GraftScanBuilder(root: String, full: StructType,
     asOf: Option[Long] = None,
     toPhys: Map[String, String] = Map.empty,
     dvOnly: Boolean = false,
-    clusterBy: Option[String] = None)
+    cluster: Option[GraftClusterSpec] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
@@ -830,7 +884,7 @@ private class GraftScanBuilder(root: String, full: StructType,
     case None => new GraftBatchScan(root, required,
       physSchema(required), physSchema(full),
       usable.map(GraftBatchScan.mapFilter(phys)), asOf, dvOnly,
-      phys, clusterBy)
+      phys, cluster)
   }
 }
 
@@ -840,6 +894,24 @@ private class GraftScanBuilder(root: String, full: StructType,
   * post-filter file count instead of guessing from metrics. */
 private[graft] object GraftScanProbe {
   @volatile var lastRuntimeKept: Option[Int] = None
+}
+
+/** X314/X320: the layouts a scan can report as KeyGroupedPartitioning
+  * — single-valued per file on a column (identity) or single-BUCKET
+  * per file under the canonical [[GraftBucketFn]] hash. */
+private[sources] sealed trait GraftClusterSpec { def col: String }
+private[sources] final case class IdentityCluster(col: String)
+    extends GraftClusterSpec
+private[sources] final case class BucketCluster(col: String, n: Int)
+    extends GraftClusterSpec
+
+/** X320: a bucketed split's proof rides [[TableCommit.Entry.part]] as
+  * `bucket=<id>` — namespaced so a value-keyed rewrite's raw part
+  * values can never masquerade as bucket ids. */
+private[sources] object GraftBucketPart {
+  def render(id: Int): String = s"bucket=$id"
+  def parse(s: String): Option[Int] =
+    if (s.startsWith("bucket=")) s.drop(7).toIntOption else None
 }
 
 /** X314: an InputPartition carrying its file's PROVEN single value of
@@ -1159,7 +1231,7 @@ private class GraftBatchScan(root: String, required: StructType,
     physRequired: StructType, physFull: StructType,
     pushed: Array[Filter], asOf: Option[Long] = None,
     dvOnly: Boolean = false, phys: String => String = identity,
-    clusterBy: Option[String] = None)
+    cluster: Option[GraftClusterSpec] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1192,7 +1264,7 @@ private class GraftBatchScan(root: String, required: StructType,
     // a clustered scan's partitioning contract is exact (Spark verifies
     // the re-plan preserves it) — file-level pruning would drop whole
     // key groups, so runtime filters are declined there
-    if (clusterField.isDefined) return
+    if (clusterInfo.isDefined) return
     val translated = predicates
       .flatMap(GraftBatchScan.fromV2Predicate(required))
       .filter(GraftBatchScan.translatable(required))
@@ -1211,39 +1283,54 @@ private class GraftBatchScan(root: String, required: StructType,
       .filter(e => pushed.forall(f =>
         GraftBatchScan.mightMatch(physFull, e, f)))
 
-  /** The cluster column, admitted only when the manifest PROVES every
-    * surviving file single-valued on it (min == max in its stats) —
-    * a declared-but-unproven clusterby silently degrades to an
+  /** The admitted cluster layout, with each entry's proven KEY — only
+    * when the manifest PROVES every surviving file single-keyed:
+    * identity needs min == max stats on the column; bucket (X320)
+    * needs every file's `bucket=<id>` part tag under the declared
+    * count. A declared-but-unproven layout silently degrades to an
     * unpartitioned scan rather than lying to the planner. */
-  private lazy val clusterField: Option[StructField] =
-    clusterBy.flatMap { c =>
-      required.fields.find(_.name == c)
-        .filter(f => GraftBatchScan.prunable(f.dataType))
-        .filter { _ =>
-          staticEntries.nonEmpty && staticEntries.forall(e =>
-            e.stats.get(phys(c)).exists(cs => cs.min == cs.max))
+  private lazy val clusterInfo
+      : Option[(GraftClusterSpec, StructField, Map[String, String])] =
+    cluster.flatMap { spec =>
+      required.fields.find(_.name == spec.col).flatMap { f =>
+        spec match {
+          case IdentityCluster(c)
+              if GraftBatchScan.prunable(f.dataType) &&
+                staticEntries.nonEmpty && staticEntries.forall(e =>
+                  e.stats.get(phys(c)).exists(cs => cs.min == cs.max)) =>
+            Some((spec, f, staticEntries.map(e =>
+              e.path -> e.stats(phys(c)).min).toMap))
+          case BucketCluster(_, n)
+              if staticEntries.nonEmpty && staticEntries.forall(e =>
+                e.part.flatMap(GraftBucketPart.parse)
+                  .exists(id => id >= 0 && id < n)) =>
+            Some((spec, f, staticEntries.map(e => e.path ->
+              e.part.flatMap(GraftBucketPart.parse).get.toString).toMap))
+          case _ => None
         }
+      }
     }
 
-  /** X314: storage-partitioned joins — a table whose files are
-    * single-valued on the cluster column (the partitioned-staging
-    * layout, provable from manifest stats alone) reports
-    * KeyGroupedPartitioning, so joining two graft tables co-partitioned
-    * on the same key plans with ZERO shuffle: Spark groups same-key
-    * files into one task per key and aligns the two sides. At 100 TB
-    * this removes the dominant exchange from the standard
-    * fact-to-fact co-partitioned join (both sides land date- or
-    * bucket-partitioned by the pipeline that wrote them). */
+  /** X314/X320: storage-partitioned joins — a table whose files are
+    * single-keyed on the cluster layout (single-valued on a column, or
+    * single-BUCKET under the canonical hash — both provable from the
+    * manifest alone) reports KeyGroupedPartitioning, so joining two
+    * graft tables co-partitioned the same way plans with ZERO shuffle:
+    * Spark groups same-key files into one task per key and aligns the
+    * two sides. At 100 TB this removes the dominant exchange from the
+    * standard fact-to-fact co-partitioned join (both sides land date-
+    * or bucket-partitioned by the pipeline that wrote them). */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    clusterField match {
-      case Some(f) =>
-        val groups = staticEntries
-          .flatMap(_.stats.get(phys(f.name)).map(_.min)).distinct.size
+    clusterInfo match {
+      case Some((spec, f, keys)) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        val expr = spec match {
+          case IdentityCluster(_)  => Expressions.identity(f.name)
+          case BucketCluster(_, n) => Expressions.bucket(n, f.name)
+        }
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .identity(f.name)), groups)
+          .KeyGroupedPartitioning(Array(expr), keys.values.toSet.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -1315,12 +1402,18 @@ private class GraftBatchScan(root: String, required: StructType,
             p
           }
         }
-      // X314: a clustered scan tags every split with its file's proven
-      // single value, so Spark can group same-key splits into one task
-      clusterField match {
-        case Some(f) => ps.map(p => GraftKeyedPartition(
-          p.asInstanceOf[CdfFilePartition],
-          e.stats(phys(f.name)).min, f.dataType): InputPartition)
+      // X314/X320: a clustered scan tags every split with its file's
+      // proven key (the column value, or the bucket id), so Spark can
+      // group same-key splits into one task
+      clusterInfo match {
+        case Some((spec, f, keys)) =>
+          val dt = spec match {
+            case IdentityCluster(_) => f.dataType
+            case BucketCluster(_, _) => IntegerType
+          }
+          ps.map(p => GraftKeyedPartition(
+            p.asInstanceOf[CdfFilePartition],
+            keys(e.path), dt): InputPartition)
         case None => ps
       }
     }.toArray

@@ -663,4 +663,53 @@ class CatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cat_pm_src")
     spark.catalog.dropTempView("cat_pn_src")
   }
+
+  test("bucketed tables: bounded files, per-file bucket truth, SPJ on the raw key (X320)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ba (k BIGINT, x BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.bb (k BIGINT, y BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // high-cardinality keys: 500 distinct k — identity partitioning
+    // would mean 500 files; 4 buckets mean at most 4 per insert
+    spark.range(500L).select(col("id").as("k"), (col("id") * 2L).as("x"))
+      .createOrReplaceTempView("cat_bkt_a")
+    spark.range(500L).filter(col("id") % 5L === 0L)
+      .select(col("id").as("k"), (col("id") * 3L).as("y"))
+      .createOrReplaceTempView("cat_bkt_b")
+    spark.sql(s"INSERT INTO $cat.ba SELECT k, x FROM cat_bkt_a")
+    spark.sql(s"INSERT INTO $cat.bb SELECT k, y FROM cat_bkt_b")
+    val es = TableCommit.entries(s"$wh/ba")
+    assert(es.size <= 4 && es.nonEmpty,
+      s"4 buckets must mean at most 4 files, got ${es.size}")
+    // per-file bucket TRUTH: every row in a file hashes to the file's
+    // declared bucket id under the canonical function
+    es.foreach { e =>
+      val id = e.part.map(_.stripPrefix("bucket=").toInt).get
+      val ks = spark.read.parquet(s"$wh/ba/${e.path}")
+        .select("k").collect().map(_.getLong(0))
+      assert(ks.nonEmpty && ks.forall(k =>
+        graft.sources.GraftBucketFn.bucketLong(4, k) === id),
+        s"file ${e.path} holds rows outside its bucket $id")
+    }
+    // the bucket function is SQL-callable through the catalog
+    assert(spark.sql(s"SELECT $cat.bucket(4, CAST(123 AS BIGINT))")
+      .collect()(0).getInt(0) ===
+      graft.sources.GraftBucketFn.bucketLong(4, 123L))
+    // SPJ on the RAW key: both sides report the same bucket transform,
+    // and the join on k plans with zero exchanges
+    val j = spark.sql(
+      s"SELECT a.k, a.x, b.y FROM $cat.ba a JOIN $cat.bb b ON a.k = b.k")
+    assert(j.count() === 100L)
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"a bucket-co-partitioned join must plan zero shuffles:\n$plan")
+    // row-level truth of the joined values
+    assert(j.filter(col("k") === 55L).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      Seq((55L, 110L, 165L)))
+    spark.catalog.dropTempView("cat_bkt_a")
+    spark.catalog.dropTempView("cat_bkt_b")
+  }
 }
