@@ -4234,18 +4234,56 @@ object TableCommit {
   def commitCompact(spark: SparkSession, root: String, targetFiles: Int,
       sortCol: Option[String] = None, statsCols: Seq[String] = Nil,
       retain: Int = 1, preserveRowIds: Boolean = false,
-      partCol: Option[String] = None): Long =
+      partCol: Option[String] = None,
+      bucketSpec: Option[(String, Int)] = None): Long =
     rewriteSnapshot(spark, root,
-      (statsCols ++ partCol).distinct, retain, preserveRowIds,
-      "compact", partCol) { cur =>
-      (sortCol, partCol) match {
-        case (Some(c), _) => cur.repartitionByRange(targetFiles, col(c))
+      (statsCols ++ partCol ++ bucketSpec.map(_._1)).distinct, retain,
+      preserveRowIds, "compact", partCol, bucketSpec) { cur =>
+      (sortCol, partCol, bucketSpec) match {
+        case (Some(c), _, _) =>
+          cur.repartitionByRange(targetFiles, col(c))
         // X318: a layout-preserving compact co-locates each partition
         // value before the partitioned staging splits per value
-        case (None, Some(pc)) => cur.repartition(targetFiles, col(pc))
-        case (None, None)     => cur.coalesce(targetFiles)
+        case (None, Some(pc), _) => cur.repartition(targetFiles, col(pc))
+        // X321: a bucket-preserving compact co-locates each BUCKET
+        case (None, None, Some((bc, n))) =>
+          cur.repartition(math.min(targetFiles, n),
+            bucketExpr(cur, bc, n))
+        case (None, None, None) => cur.coalesce(targetFiles)
       }
     }
+
+  /** X321: the canonical bucket id of `c` as a Column — the SAME
+    * [[graft.sources.GraftBucketFn]] hash the write rotation and the
+    * catalog's SQL function compute, so a maintenance rewrite's
+    * groups are exactly the layout's. */
+  private def bucketExpr(df: DataFrame, c: String,
+      n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.udf
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        udf((s: String) =>
+          if (s == null) throw new IllegalArgumentException(
+            "NULL partition values are not supported")
+          else graft.sources.GraftBucketFn.bucketString(n,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+          .apply(col(c))
+      case _ =>
+        udf((v: Long) => graft.sources.GraftBucketFn.bucketLong(n, v))
+          .apply(col(c).cast("long"))
+    }
+  }
+
+  /** X321: stage `df` rotated per BUCKET of `c` — the `_p` staging
+    * channel carries the computed id (partitionBy excludes it from
+    * the file data), and the entries republish with the namespaced
+    * `bucket=<id>` layout proof the clustered scan verifies. */
+  private def stageBucketed(df: DataFrame, root: String, c: String,
+      n: Int, statsCols: Seq[String]): Seq[Entry] =
+    stageBatch(df.withColumn("_p", bucketExpr(df, c, n)), root,
+      Some("_p"), statsCols)
+      .map(e => e.copy(part = e.part.map(p =>
+        graft.sources.GraftBucketPart.render(p.toInt))))
 
   /** Shared whole-snapshot rewrite body behind [[commitCompact]] and
     * [[commitCluster]] — the two differ ONLY in `arrange` (the layout
@@ -4254,14 +4292,20 @@ object TableCommit {
     * no DVs and the dead rows are physically gone. */
   private def rewriteSnapshot(spark: SparkSession, root: String,
       statsCols: Seq[String], retain: Int, preserveRowIds: Boolean,
-      what: String, partCol: Option[String] = None)(
+      what: String, partCol: Option[String] = None,
+      bucketSpec: Option[(String, Int)] = None)(
       arrange: DataFrame => DataFrame): Long = {
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to $what at $root")
+    def stage(arranged: DataFrame, stats: Seq[String]): Seq[Entry] =
+      bucketSpec match {
+        case Some((c, n)) => stageBucketed(arranged, root, c, n, stats)
+        case None => stageBatch(arranged, root, partCol, stats)
+      }
     if (!preserveRowIds) {
       val arranged = arrange(readLive(spark, root, None, es))
-      publish(root, stageBatch(arranged, root, partCol, statsCols),
+      publish(root, stage(arranged, statsCols),
         retain, expected = Some(base))
     } else {
       // X275: an id-preserving rewrite — read live rows WITH their
@@ -4273,8 +4317,7 @@ object TableCommit {
       val dataSchema = StructType(
         inferred.fields.filterNot(_.name == RowIdCol))
       val arranged = arrange(readWithRowIds(spark, root, dataSchema))
-      val staged = stageBatch(arranged, root, partCol,
-        statsCols :+ RowIdCol)
+      val staged = stage(arranged, statsCols :+ RowIdCol)
       // pin the PRE-rewrite high-water into the durable header: the
       // born entries being melted still witness it (brid + rows covers
       // deleted positions), the materialized outputs may not (ADVICE
@@ -4337,11 +4380,17 @@ object TableCommit {
       maxDeadRatio: Double, targetFiles: Int = 0,
       statsCols: Seq[String] = Nil, retain: Int = 1,
       preserveRowIds: Boolean = false,
-      partCol: Option[String] = None): Long = {
-    // X318: a layout-preserving melt stages per partition value so the
-    // rewritten files stay single-valued (the X314 SPJ proof) and
-    // carries the column's stats for the min == max witness
-    val allStats = (statsCols ++ partCol).distinct
+      partCol: Option[String] = None,
+      bucketSpec: Option[(String, Int)] = None): Long = {
+    // X318/X321: a layout-preserving melt stages per partition value
+    // (or per bucket) so the rewritten files stay single-keyed (the
+    // X314 SPJ proof) and carries the column's stats
+    val allStats = (statsCols ++ partCol ++ bucketSpec.map(_._1)).distinct
+    def stage(df: DataFrame, stats: Seq[String]): Seq[Entry] =
+      bucketSpec match {
+        case Some((c, n)) => stageBucketed(df, root, c, n, stats)
+        case None => stageBatch(df, root, partCol, stats)
+      }
     require(maxDeadRatio >= 0.0 && maxDeadRatio < 1.0,
       s"bad maxDeadRatio $maxDeadRatio (want [0, 1))")
     val base = currentVersion(root).getOrElse(0L)
@@ -4364,7 +4413,7 @@ object TableCommit {
       val arranged =
         if (targetFiles > 0) live.coalesce(targetFiles) else live
       publish(root,
-        kept ++ stageBatch(arranged, root, partCol, allStats),
+        kept ++ stage(arranged, allStats),
         retain, expected = Some(base))
     } else {
       // X275: id-preserving melt — rewritten rows carry `_row_id`
@@ -4379,8 +4428,7 @@ object TableCommit {
         .select((dataSchema.fieldNames.toSeq :+ RowIdCol).map(col): _*)
       val arranged =
         if (targetFiles > 0) cur.coalesce(targetFiles) else cur
-      val staged = stageBatch(arranged, root, partCol,
-        allStats :+ RowIdCol)
+      val staged = stage(arranged, allStats :+ RowIdCol)
         .map(markRidStats)
       publish(root, kept ++ staged, retain, expected = Some(base),
         ridHighWater = Some(rowIdHighWaterAt(root, base)))

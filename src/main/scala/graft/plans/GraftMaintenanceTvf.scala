@@ -189,11 +189,13 @@ case class GraftMeltCommand(root: String, maxDeadRatio: Double,
   override val output: Seq[Attribute] = GraftMaintenanceTvf.reportAttrs
   override def run(spark: SparkSession): Seq[Row] = {
     val before = TableCommit.entries(root)
+    val layout = graft.sources.GraftCatalog.partitionLayoutOf(root)
     val v = TableCommit.commitMeltDeleted(spark, root, maxDeadRatio,
       targetFiles = targetFiles,
       retain = GraftMaintenanceTvf.keepRetain(root),
       preserveRowIds = TableCommit.isTracked(root),
-      partCol = graft.sources.GraftCatalog.partitionColOf(root))
+      partCol = layout.collect { case (c, None) => c },
+      bucketSpec = layout.collect { case (c, Some(n)) => (c, n) })
     val after = TableCommit.entries(root)
     Seq(Row(v, before.size.toLong, after.size.toLong,
       GraftMaintenanceTvf.rewrittenCount(before, after)))
@@ -205,12 +207,15 @@ case class GraftCompactCommand(root: String, targetFiles: Int)
   override val output: Seq[Attribute] = GraftMaintenanceTvf.reportAttrs
   override def run(spark: SparkSession): Seq[Row] = {
     val before = TableCommit.entries(root)
-    // X318: a partitioned table's compact preserves its layout — the
-    // rewrite stages per value, so the X314 SPJ proof survives OPTIMIZE
+    // X318/X321: a partitioned table's compact preserves its layout —
+    // the rewrite stages per value (identity) or per bucket, so the
+    // X314 SPJ proof survives OPTIMIZE
+    val layout = graft.sources.GraftCatalog.partitionLayoutOf(root)
     val v = TableCommit.commitCompact(spark, root, targetFiles,
       retain = GraftMaintenanceTvf.keepRetain(root),
       preserveRowIds = TableCommit.isTracked(root),
-      partCol = graft.sources.GraftCatalog.partitionColOf(root))
+      partCol = layout.collect { case (c, None) => c },
+      bucketSpec = layout.collect { case (c, Some(n)) => (c, n) })
     val after = TableCommit.entries(root)
     Seq(Row(v, before.size.toLong, after.size.toLong,
       GraftMaintenanceTvf.rewrittenCount(before, after)))

@@ -721,13 +721,17 @@ private[graft] object GraftCatalog {
 
   /** X318: a root's declared IDENTITY partition column (PHYSICAL name
     * — what the staging and stats layers speak) from `_schema.json`'s
-    * field metadata; None for unpartitioned, BUCKETED (a value-keyed
-    * rewrite would fragment a bucket layout, and its raw values could
-    * masquerade as bucket ids — the maintenance path degrades the
-    * bucket proof instead, which the scan detects losslessly), or
-    * non-catalog roots. Lets the maintenance verbs preserve a
-    * partitioned table's layout. */
+    * field metadata; None for unpartitioned, bucketed (those route
+    * through [[partitionLayoutOf]]'s bucket arm), or non-catalog
+    * roots. Lets the maintenance verbs preserve a partitioned table's
+    * layout. */
   def partitionColOf(root: String): Option[String] =
+    partitionLayoutOf(root).collect { case (c, None) => c }
+
+  /** X321: the full declared layout — (column, Some(n)) for a
+    * bucketed table, (column, None) for identity, None for
+    * unpartitioned or non-catalog roots. PHYSICAL column name. */
+  def partitionLayoutOf(root: String): Option[(String, Option[Int])] =
     try {
       val p = Paths.get(root, "_schema.json")
       if (!Files.exists(p)) None
@@ -735,8 +739,10 @@ private[graft] object GraftCatalog {
           java.nio.charset.StandardCharsets.UTF_8))
         .asInstanceOf[StructType].fields
         .find(_.metadata.contains(PartitionMetaKey))
-        .filterNot(_.metadata.contains(BucketMetaKey))
-        .map(_.name)
+        .map(f => f.name ->
+          (if (f.metadata.contains(BucketMetaKey))
+             Some(f.metadata.getLong(BucketMetaKey).toInt)
+           else None))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-root monitors serializing same-JVM virgin-schema edits (the

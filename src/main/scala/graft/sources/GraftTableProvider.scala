@@ -908,7 +908,7 @@ private[sources] final case class BucketCluster(col: String, n: Int)
 /** X320: a bucketed split's proof rides [[TableCommit.Entry.part]] as
   * `bucket=<id>` — namespaced so a value-keyed rewrite's raw part
   * values can never masquerade as bucket ids. */
-private[sources] object GraftBucketPart {
+private[graft] object GraftBucketPart {
   def render(id: Int): String = s"bucket=$id"
   def parse(s: String): Option[Int] =
     if (s.startsWith("bucket=")) s.drop(7).toIntOption else None

@@ -615,10 +615,10 @@ class CatalogSpec extends AnyFunSuite {
         .exists(_.contains("NULL partition values")) ||
         hasNullMsg(t.getCause))
     assert(hasNullMsg(eNull), s"expected the NULL refusal, got $eNull")
-    // non-identity transforms refuse at CREATE
+    // unsupported transforms refuse at CREATE (bucket is X320's)
     val eB = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.pbad (k BIGINT, v STRING) " +
-        "PARTITIONED BY (bucket(4, k))")
+        "PARTITIONED BY (truncate(4, v))")
     }
     assert(eB.getMessage.contains("identity transform"), eB.getMessage)
     spark.catalog.dropTempView("cat_spj_a")
@@ -709,6 +709,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(j.filter(col("k") === 55L).collect().toSeq.map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))) ===
       Seq((55L, 110L, 165L)))
+    // X321: OPTIMIZE preserves the bucket layout — delete, second
+    // insert (fragmenting the buckets), compact: files merge per
+    // bucket, the proof tags survive, and SPJ still plans shuffle-free
+    spark.sql(s"DELETE FROM $cat.ba WHERE k IN (7, 77, 177)")
+    spark.sql(s"INSERT INTO $cat.ba SELECT k + 500, x FROM cat_bkt_a")
+    val fragmented = TableCommit.entries(s"$wh/ba").size
+    spark.sql(s"SELECT * FROM graft_compact('$wh/ba', 4)").collect()
+    val esC = TableCommit.entries(s"$wh/ba")
+    assert(esC.size <= 4 && esC.size < fragmented,
+      s"bucket compact must merge per bucket ($fragmented -> ${esC.size})")
+    esC.foreach { e =>
+      val id = e.part.map(_.stripPrefix("bucket=").toInt).get
+      val ks = spark.read.parquet(s"$wh/ba/${e.path}")
+        .select("k").collect().map(_.getLong(0))
+      assert(ks.forall(k =>
+        graft.sources.GraftBucketFn.bucketLong(4, k) === id),
+        s"compacted file ${e.path} broke its bucket $id")
+    }
+    val j2 = spark.sql(
+      s"SELECT a.k FROM $cat.ba a JOIN $cat.bb b ON a.k = b.k")
+    j2.collect()
+    assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucket SPJ must survive OPTIMIZE")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ba").collect()(0)
+      .getLong(0) === 997L) // 500 + 500 - 3 deleted
     spark.catalog.dropTempView("cat_bkt_a")
     spark.catalog.dropTempView("cat_bkt_b")
   }
