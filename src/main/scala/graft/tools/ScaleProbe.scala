@@ -381,6 +381,82 @@ object ScaleProbe {
           s"(final-agg single-partition exchange excluded: " +
           s"join-side exchange count in SPJ plan = " +
           s"${math.max(0, spjExchanges - 1)})")
+      case "bucketjoin" =>
+        // X320 evidence: the BUCKETED storage-partitioned join at 10×
+        // through pure SQL — lineitem facts and orders both
+        // PARTITIONED BY (bucket(64, okey)), joined on the raw key.
+        // The control is the same data in unpartitioned catalog
+        // tables (full two-sided shuffle). Equal counts both ways.
+        val dir = args(1)
+        val wh = graft.engine.TempWarehouse.createManaged("graft_bktp_")
+        spark.conf.set("spark.sql.catalog.gbkt",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gbkt.warehouse", wh)
+        // model the 100 TB regime: NO side fits a broadcast (at sf0.1
+        // AQE would broadcast the 150k-row orders side in both plans,
+        // measuring broadcast-vs-broadcast instead of the exchange)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        graft.engine.Tables.lineitem(spark, dir).select(
+          col("l_orderkey").as("okey"),
+          col("l_extendedprice").cast("double").as("price"))
+          .createOrReplaceTempView("bktp_l")
+        graft.engine.Tables.orders(spark, dir).select(
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").cast("double").as("total"))
+          .createOrReplaceTempView("bktp_o")
+        spark.sql("CREATE TABLE gbkt.bl (okey BIGINT, price DOUBLE) " +
+          "PARTITIONED BY (bucket(64, okey))")
+        spark.sql("CREATE TABLE gbkt.bo (okey BIGINT, total DOUBLE) " +
+          "PARTITIONED BY (bucket(64, okey))")
+        spark.sql("CREATE TABLE gbkt.ul (okey BIGINT, price DOUBLE)")
+        spark.sql("CREATE TABLE gbkt.uo (okey BIGINT, total DOUBLE)")
+        spark.sql("INSERT INTO gbkt.bl SELECT * FROM bktp_l")
+        spark.sql("INSERT INTO gbkt.bo SELECT * FROM bktp_o")
+        spark.sql("INSERT INTO gbkt.ul SELECT * FROM bktp_l")
+        spark.sql("INSERT INTO gbkt.uo SELECT * FROM bktp_o")
+        def q(l: String, o: String) = spark.sql(
+          s"SELECT COUNT(*), SUM(l.price + o.total) FROM gbkt.$l l " +
+            s"JOIN gbkt.$o o ON l.okey = o.okey")
+        def med(f: () => Unit): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        // shuffle WRITE bytes — the quantity the bucket layout deletes
+        // from the plan, and the one that transfers to 100 TB (wall
+        // time at sf0.1 is parquet-open overhead: 64 small files vs 2)
+        val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (e.taskMetrics != null)
+                bytes.addAndGet(
+                  e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          })
+        val nB = q("bl", "bo").collect()(0).getLong(0)
+        val nU = q("ul", "uo").collect()(0).getLong(0)
+        assert(nB == nU, s"bucketed and plain joins disagree: $nB vs $nU")
+        def bytesOf(f: () => Unit): Long = {
+          bytes.set(0L); f(); Thread.sleep(1500); bytes.get()
+        }
+        val bT = med(() => { q("bl", "bo").collect(); () })
+        val uT = med(() => { q("ul", "uo").collect(); () })
+        val bBytes = bytesOf(() => { q("bl", "bo").collect(); () })
+        val uBytes = bytesOf(() => { q("ul", "uo").collect(); () })
+        // join-side exchanges from the FINAL plan only (the AQE string
+        // repeats the initial plan below it)
+        val plan = {
+          val j = q("bl", "bo"); j.collect()
+          j.queryExecution.executedPlan.toString
+        }
+        val finalPlan = plan.split("== Initial Plan ==").head
+        val exch = "Exchange".r.findAllMatchIn(finalPlan).size
+        println(f"[probe] bucketjoin rows=$nB%,d buckets=64: " +
+          f"bucketed=$bT%.2f s shuffle=$uT%.2f s " +
+          f"shuffle_bytes bucketed=$bBytes%,d vs plain=$uBytes%,d " +
+          s"(join-side exchanges in final bucketed plan = " +
+          s"${math.max(0, exch - 1)})")
       case "rtprune" =>
         // X313 evidence: runtime file pruning at 10× — a 64-file
         // range-clustered fact joined to a 2-key dim whose filter is a
