@@ -3157,7 +3157,7 @@ object TableCommit {
       schema.fieldNames.toSeq ++
         (if (preserveRowIds) Seq(RowIdCol) else Nil),
       schema.fieldNames.toSet, assignments)
-    val staged0 = stageBatch(images, root, None,
+    val staged0 = stageImages(images, root,
       if (preserveRowIds) statsCols :+ RowIdCol else statsCols)
     val staged =
       if (!preserveRowIds) staged0
@@ -3263,9 +3263,9 @@ object TableCommit {
     if (es.isEmpty) {
       // bootstrap: insert-only into a virgin table
       if (!preserveRowIds)
-        return publish(root, stageBatch(src, root, None, statsCols),
+        return publish(root, stageImages(src, root, statsCols),
           retain, expected = Some(base))
-      val staged = stageBatch(src, root, None, statsCols,
+      val staged = stageImages(src, root, statsCols,
         collectRows = true)
       require(staged.forall(_.rows.isDefined),
         "row-id tracking needs per-file row counts (unreadable footer?)")
@@ -3329,7 +3329,7 @@ object TableCommit {
             schema.fieldNames.toSeq ++
               (if (withIds) Seq(RowIdCol) else Nil),
             schema.fieldNames.toSet, assigns)
-          val staged = stageBatch(upd, root, None,
+          val staged = stageImages(upd, root,
             if (withIds) statsCols :+ RowIdCol else statsCols)
           if (withIds) staged.map(markRidStats) else staged
         case _ => Seq.empty
@@ -3339,7 +3339,7 @@ object TableCommit {
       val nmbs = nmbsRows(live)
       val encoded = dvEncodeDistributed(spark, root,
         allVictimPos(live), existingDvByLeaf(es), inlineDvMax)
-      val staged = stageBatch(src, root, None, statsCols) ++
+      val staged = stageImages(src, root, statsCols) ++
         nmbsImages(nmbs, withIds = false)
       publishRebasing(root, base,
         build = cur => applyEncodedDv(cur, encoded) ++ staged,
@@ -3364,10 +3364,10 @@ object TableCommit {
       val fresh = src.join(
         hinted(vicIds.select(keyCols.map(col): _*)), keyCols,
         "left_anti")
-      val stagedMatched = stageBatch(matched, root, None,
+      val stagedMatched = stageImages(matched, root,
         statsCols :+ RowIdCol).map(markRidStats) ++
         nmbsImages(nmbs, withIds = true)
-      val stagedFresh0 = stageBatch(fresh, root, None, statsCols,
+      val stagedFresh0 = stageImages(fresh, root, statsCols,
         collectRows = true)
       require(stagedFresh0.forall(_.rows.isDefined),
         "row-id tracking needs per-file row counts (unreadable footer?)")
@@ -4284,6 +4284,23 @@ object TableCommit {
       Some("_p"), statsCols)
       .map(e => e.copy(part = e.part.map(p =>
         graft.sources.GraftBucketPart.render(p.toInt))))
+
+  /** X322: stage a DML/MERGE image batch honoring the table's DECLARED
+    * layout — identity partition (rotate per value, stats carry the
+    * min == max witness) or bucket (rotate per canonical id) — so an
+    * UPDATE or a daily MERGE on a partitioned table keeps the X314
+    * zero-shuffle-join proof instead of silently degrading it. Roots
+    * without a catalog layout stage exactly as before; a NULL or
+    * changed layout value lands the image in its correct (possibly
+    * unprovable) slice — degradation stays lossless. */
+  private def stageImages(df: DataFrame, root: String,
+      statsCols: Seq[String], collectRows: Boolean = false): Seq[Entry] =
+    graft.sources.GraftCatalog.partitionLayoutOf(root) match {
+      case Some((c, Some(n))) => stageBucketed(df, root, c, n, statsCols)
+      case Some((c, None)) =>
+        stageBatch(df, root, Some(c), (statsCols :+ c).distinct)
+      case None => stageBatch(df, root, None, statsCols, collectRows)
+    }
 
   /** Shared whole-snapshot rewrite body behind [[commitCompact]] and
     * [[commitCluster]] — the two differ ONLY in `arrange` (the layout

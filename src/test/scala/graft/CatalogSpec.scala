@@ -737,4 +737,74 @@ class CatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cat_bkt_a")
     spark.catalog.dropTempView("cat_bkt_b")
   }
+
+  test("DML image files keep the declared layout: UPDATE and MERGE preserve SPJ (X322)") {
+    val (cat, wh) = freshCatalog()
+    // identity layout + SQL UPDATE
+    spark.sql(s"CREATE TABLE $cat.da (g BIGINT, x BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"CREATE TABLE $cat.db (g BIGINT, y BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.range(300L).select((col("id") % 6L).as("g"), col("id").as("x"))
+      .createOrReplaceTempView("cat_dml_a")
+    spark.range(60L).select((col("id") % 6L).as("g"),
+      (col("id") * 7L).as("y")).createOrReplaceTempView("cat_dml_b")
+    spark.sql(s"INSERT INTO $cat.da SELECT g, x FROM cat_dml_a")
+    spark.sql(s"INSERT INTO $cat.db SELECT g, y FROM cat_dml_b")
+    spark.sql(s"UPDATE $cat.da SET x = x + 1000000 WHERE x < 50")
+    // every file — including the UPDATE's image files — still proves
+    // single-valued on g
+    assert(TableCommit.entries(s"$wh/da").forall(e =>
+      e.stats.get("g").exists(cs => cs.min == cs.max)),
+      "UPDATE image files broke the identity layout")
+    val j = spark.sql(
+      s"SELECT a.g FROM $cat.da a JOIN $cat.db b ON a.g = b.g")
+    j.collect()
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+      "identity SPJ must survive an UPDATE")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.da WHERE x >= 1000000")
+      .collect()(0).getLong(0) === 50L)
+    // bucket layout + SQL MERGE (update + insert legs)
+    spark.sql(s"CREATE TABLE $cat.bm (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.bn (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.range(200L).select(col("id").as("k"), (col("id") * 2L).as("v"))
+      .createOrReplaceTempView("cat_dml_m")
+    spark.range(200L).select(col("id").as("k"), (col("id") * 5L).as("w"))
+      .createOrReplaceTempView("cat_dml_n")
+    spark.sql(s"INSERT INTO $cat.bm SELECT k, v FROM cat_dml_m")
+    spark.sql(s"INSERT INTO $cat.bn SELECT k, w FROM cat_dml_n")
+    spark.range(150L, 250L).select(col("id").as("k"), lit(-1L).as("v"))
+      .createOrReplaceTempView("cat_dml_src")
+    spark.sql(
+      s"""MERGE INTO $cat.bm t USING cat_dml_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    // every file — original and merge images — carries its bucket tag
+    val esM = TableCommit.entries(s"$wh/bm")
+    assert(esM.forall(_.part.exists(_.startsWith("bucket="))),
+      s"MERGE image files broke the bucket layout: $esM")
+    esM.foreach { e =>
+      val id = e.part.map(_.stripPrefix("bucket=").toInt).get
+      val ks = spark.read.parquet(s"$wh/bm/${e.path}")
+        .select("k").collect().map(_.getLong(0))
+      assert(ks.forall(k =>
+        graft.sources.GraftBucketFn.bucketLong(4, k) === id))
+    }
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.bm").collect()(0)
+      .getLong(0) === 250L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.bm WHERE v = -1").collect()(0)
+      .getLong(0) === 100L)
+    val j2 = spark.sql(
+      s"SELECT t.k FROM $cat.bm t JOIN $cat.bn n ON t.k = n.k")
+    assert(j2.count() === 200L)
+    j2.collect()
+    assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucket SPJ must survive a MERGE")
+    Seq("cat_dml_a", "cat_dml_b", "cat_dml_m", "cat_dml_n",
+      "cat_dml_src").foreach(spark.catalog.dropTempView)
+  }
 }
