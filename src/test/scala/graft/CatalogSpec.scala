@@ -660,6 +660,14 @@ class CatalogSpec extends AnyFunSuite {
     // row integrity through insert + delete + compact: 180 - 3
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pm").collect()(0)
       .getLong(0) === 177L)
+    // the clustered layout also serves AGGREGATION: GROUP BY the
+    // partition column needs ClusteredDistribution(g), which
+    // KeyGroupedPartitioning satisfies — zero exchanges end to end
+    val ag = spark.sql(
+      s"SELECT g, SUM(x) AS sx FROM $cat.pm GROUP BY g")
+    ag.collect()
+    assert(!ag.queryExecution.executedPlan.toString.contains("Exchange"),
+      "GROUP BY the partition column must not shuffle")
     spark.catalog.dropTempView("cat_pm_src")
     spark.catalog.dropTempView("cat_pn_src")
   }
