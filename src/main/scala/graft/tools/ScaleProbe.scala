@@ -457,6 +457,37 @@ object ScaleProbe {
           f"shuffle_bytes bucketed=$bBytes%,d vs plain=$uBytes%,d " +
           s"(join-side exchanges in final bucketed plan = " +
           s"${math.max(0, exch - 1)})")
+      case "partwrite" =>
+        // X316/X320 cost accounting: what the layout COSTS at write
+        // time — the clustering exchange + per-key file rotation —
+        // vs a plain INSERT of the same 6M rows. The price buys every
+        // later join its zero-shuffle plan.
+        val dir = args(1)
+        val wh = graft.engine.TempWarehouse.createManaged("graft_pwp_")
+        spark.conf.set("spark.sql.catalog.gpw",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gpw.warehouse", wh)
+        graft.engine.Tables.lineitem(spark, dir).select(
+          col("l_orderkey").as("okey"),
+          col("l_extendedprice").cast("double").as("price"))
+          .createOrReplaceTempView("pwp_l")
+        spark.sql("CREATE TABLE gpw.plain (okey BIGINT, price DOUBLE)")
+        spark.sql("CREATE TABLE gpw.bkt (okey BIGINT, price DOUBLE) " +
+          "PARTITIONED BY (bucket(64, okey))")
+        def timed(sql: String): Double = {
+          val t0 = System.nanoTime()
+          spark.sql(sql)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val warm = timed("INSERT INTO gpw.plain SELECT * FROM pwp_l")
+        val plainT = timed("INSERT INTO gpw.plain SELECT * FROM pwp_l")
+        val bktT = timed("INSERT INTO gpw.bkt SELECT * FROM pwp_l")
+        val nFiles = graft.engine.TableCommit.entries(s"$wh/bkt").size
+        val n = spark.sql("SELECT COUNT(*) FROM gpw.bkt")
+          .collect()(0).getLong(0)
+        println(f"[probe] partwrite rows=$n%,d: plain_insert=$plainT%.2f s " +
+          f"bucketed_insert=$bktT%.2f s bucketed/plain=${bktT / plainT}%.2f " +
+          f"files=$nFiles (warm pass $warm%.2f s discarded)")
       case "rtprune" =>
         // X313 evidence: runtime file pruning at 10× — a 64-file
         // range-clustered fact joined to a 2-key dim whose filter is a
