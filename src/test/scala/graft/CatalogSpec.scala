@@ -815,4 +815,40 @@ class CatalogSpec extends AnyFunSuite {
     Seq("cat_dml_a", "cat_dml_b", "cat_dml_m", "cat_dml_n",
       "cat_dml_src").foreach(spark.catalog.dropTempView)
   }
+
+  test("CTAS PARTITIONED BY rotates its write and lands the layout atomically (X316/X320)") {
+    val (cat, wh) = freshCatalog()
+    spark.range(120L).select((col("id") % 4L).as("g"), col("id").as("x"))
+      .createOrReplaceTempView("cat_ctas_src")
+    // identity CTAS: the staged marker carries the partition contract,
+    // the staged write rotates, the commit lands both atomically
+    spark.sql(s"CREATE TABLE $cat.cp PARTITIONED BY (g) AS " +
+      "SELECT g, x FROM cat_ctas_src")
+    val es = TableCommit.entries(s"$wh/cp")
+    assert(es.nonEmpty && es.forall(e =>
+      e.stats.get("g").exists(cs => cs.min == cs.max)),
+      s"CTAS write broke the identity layout: $es")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.cp").collect()(0)
+      .getLong(0) === 120L)
+    // bucketed CTAS: proof tags ride Entry.part
+    spark.sql(s"CREATE TABLE $cat.cb PARTITIONED BY (bucket(4, x)) AS " +
+      "SELECT g, x FROM cat_ctas_src")
+    val esB = TableCommit.entries(s"$wh/cb")
+    assert(esB.nonEmpty &&
+      esB.forall(_.part.exists(_.startsWith("bucket="))),
+      s"bucketed CTAS lost its proof tags: $esB")
+    // and the created table immediately serves a zero-shuffle join
+    // against a same-layout partner
+    spark.sql(s"CREATE TABLE $cat.cq (g BIGINT, y BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.cq SELECT g, g * 100 FROM " +
+      "(SELECT DISTINCT g FROM cat_ctas_src)")
+    val j = spark.sql(
+      s"SELECT a.g FROM $cat.cp a JOIN $cat.cq b ON a.g = b.g")
+    assert(j.count() === 120L)
+    j.collect()
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+      "a CTAS-created partitioned table must SPJ out of the gate")
+    spark.catalog.dropTempView("cat_ctas_src")
+  }
 }
