@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DataType, DateType, StructType}
+import org.apache.spark.sql.types.{DataType, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Minimal copy-on-write table format: versioned file manifests + an
@@ -2948,21 +2948,10 @@ object TableCommit {
     import org.apache.spark.sql.catalyst.{expressions => cx}
     import org.apache.spark.sql.{sources => sf}
     // catalyst literal → the external form the stats comparator
-    // expects; None = a type the channel cannot judge (prune nothing)
-    def ext(v: Any, dt: DataType): Option[Any] = (v, dt) match {
-      case (null, _) => None
-      case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
-        Some(s.toString)
-      case (d: java.lang.Integer, DateType) => Some(java.sql.Date
-        .valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
-      case (x: java.lang.Long, _)    => Some(x)
-      case (x: java.lang.Integer, _) => Some(x)
-      case (x: java.lang.Short, _)   => Some(x)
-      case (x: java.lang.Byte, _)    => Some(x)
-      case (x: java.lang.Double, _)  => Some(x)
-      case (x: java.lang.Float, _)   => Some(x)
-      case _ => None
-    }
+    // expects; None = a type the channel cannot judge (prune nothing).
+    // ONE definition shared with the read-side runtime-filter bridge.
+    def ext(v: Any, dt: DataType): Option[Any] =
+      graft.sources.GraftBatchScan.externalLiteral(v, dt)
     def toF(e: cx.Expression): Option[sf.Filter] = e match {
       case cx.EqualTo(a: cx.AttributeReference, cx.Literal(v, dt)) =>
         ext(v, dt).map(sf.EqualTo(a.name, _))
@@ -4260,15 +4249,19 @@ object TableCommit {
   private def bucketExpr(df: DataFrame, c: String,
       n: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.udf
+    // NULL layout values propagate to a NULL bucket (→ the default
+    // partition dir, whose unparseable tag degrades the layout proof
+    // losslessly) — a rewrite must never die mid-commit on data a
+    // plain append would accept
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.StringType =>
         udf((s: String) =>
-          if (s == null) throw new IllegalArgumentException(
-            "NULL partition values are not supported")
-          else graft.sources.GraftBucketFn.bucketString(n,
-            org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+          if (s == null) null
+          else Int.box(graft.sources.GraftBucketFn.bucketString(n,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))))
           .apply(col(c))
       case _ =>
+        // primitive-typed UDFs null-propagate by construction
         udf((v: Long) => graft.sources.GraftBucketFn.bucketLong(n, v))
           .apply(col(c).cast("long"))
     }
@@ -4277,13 +4270,18 @@ object TableCommit {
   /** X321: stage `df` rotated per BUCKET of `c` — the `_p` staging
     * channel carries the computed id (partitionBy excludes it from
     * the file data), and the entries republish with the namespaced
-    * `bucket=<id>` layout proof the clustered scan verifies. */
+    * `bucket=<id>` layout proof the clustered scan verifies. A file
+    * whose dir tag is not a bucket id (the NULL-key default
+    * partition) keeps its raw tag — the proof then fails for that
+    * file and the scan degrades losslessly, exactly the [[stageImages]]
+    * contract. */
   private def stageBucketed(df: DataFrame, root: String, c: String,
-      n: Int, statsCols: Seq[String]): Seq[Entry] =
+      n: Int, statsCols: Seq[String],
+      collectRows: Boolean = false): Seq[Entry] =
     stageBatch(df.withColumn("_p", bucketExpr(df, c, n)), root,
-      Some("_p"), statsCols)
+      Some("_p"), statsCols, collectRows = collectRows)
       .map(e => e.copy(part = e.part.map(p =>
-        graft.sources.GraftBucketPart.render(p.toInt))))
+        p.toIntOption.fold(p)(graft.sources.GraftBucketPart.render))))
 
   /** X322: stage a DML/MERGE image batch honoring the table's DECLARED
     * layout — identity partition (rotate per value, stats carry the
@@ -4296,9 +4294,13 @@ object TableCommit {
   private def stageImages(df: DataFrame, root: String,
       statsCols: Seq[String], collectRows: Boolean = false): Seq[Entry] =
     graft.sources.GraftCatalog.partitionLayoutOf(root) match {
-      case Some((c, Some(n))) => stageBucketed(df, root, c, n, statsCols)
+      case Some((c, Some(n))) =>
+        stageBucketed(df, root, c, n, statsCols, collectRows)
       case Some((c, None)) =>
-        stageBatch(df, root, Some(c), (statsCols :+ c).distinct)
+        // statsCols gains the layout column (min == max witness), so
+        // footer stats — and with them row counts — are always read
+        stageBatch(df, root, Some(c), (statsCols :+ c).distinct,
+          collectRows = collectRows)
       case None => stageBatch(df, root, None, statsCols, collectRows)
     }
 
@@ -4315,14 +4317,29 @@ object TableCommit {
     val base = currentVersion(root).getOrElse(0L)
     val es = entriesAt(root, base)
     require(es.nonEmpty, s"nothing to $what at $root")
+    // X322 (review finding): EVERY whole-snapshot rewrite preserves a
+    // declared layout, not just the verbs that thread it explicitly —
+    // a z-order cluster on a partitioned table must not silently hand
+    // its joins the shuffle back. Caller-passed layout wins; absent
+    // one, the root's own declaration applies.
+    val (effPart, effBucket) =
+      if (partCol.isDefined || bucketSpec.isDefined) (partCol, bucketSpec)
+      else graft.sources.GraftCatalog.partitionLayoutOf(root) match {
+        case Some((c, Some(n))) => (None, Some((c, n)))
+        case Some((c, None))    => (Some(c), None)
+        case None               => (None, None)
+      }
+    val effStats = (statsCols ++ effPart).distinct
     def stage(arranged: DataFrame, stats: Seq[String]): Seq[Entry] =
-      bucketSpec match {
-        case Some((c, n)) => stageBucketed(arranged, root, c, n, stats)
-        case None => stageBatch(arranged, root, partCol, stats)
+      effBucket match {
+        case Some((c, n)) => stageBucketed(arranged, root, c, n, stats,
+          collectRows = true)
+        case None => stageBatch(arranged, root, effPart, stats,
+          collectRows = true)
       }
     if (!preserveRowIds) {
       val arranged = arrange(readLive(spark, root, None, es))
-      publish(root, stage(arranged, statsCols),
+      publish(root, stage(arranged, effStats),
         retain, expected = Some(base))
     } else {
       // X275: an id-preserving rewrite — read live rows WITH their
@@ -4334,7 +4351,7 @@ object TableCommit {
       val dataSchema = StructType(
         inferred.fields.filterNot(_.name == RowIdCol))
       val arranged = arrange(readWithRowIds(spark, root, dataSchema))
-      val staged = stage(arranged, statsCols :+ RowIdCol)
+      val staged = stage(arranged, effStats :+ RowIdCol)
       // pin the PRE-rewrite high-water into the durable header: the
       // born entries being melted still witness it (brid + rows covers
       // deleted positions), the materialized outputs may not (ADVICE
@@ -4399,14 +4416,24 @@ object TableCommit {
       preserveRowIds: Boolean = false,
       partCol: Option[String] = None,
       bucketSpec: Option[(String, Int)] = None): Long = {
-    // X318/X321: a layout-preserving melt stages per partition value
-    // (or per bucket) so the rewritten files stay single-keyed (the
-    // X314 SPJ proof) and carries the column's stats
-    val allStats = (statsCols ++ partCol ++ bucketSpec.map(_._1)).distinct
+    // X318/X321/X322: a layout-preserving melt stages per partition
+    // value (or per bucket) so the rewritten files stay single-keyed
+    // (the X314 SPJ proof) and carries the column's stats; absent a
+    // caller-passed layout, the root's own declaration applies
+    val (effPart, effBucket) =
+      if (partCol.isDefined || bucketSpec.isDefined) (partCol, bucketSpec)
+      else graft.sources.GraftCatalog.partitionLayoutOf(root) match {
+        case Some((c, Some(nb))) => (None, Some((c, nb)))
+        case Some((c, None))     => (Some(c), None)
+        case None                => (None, None)
+      }
+    val allStats = (statsCols ++ effPart ++ effBucket.map(_._1)).distinct
     def stage(df: DataFrame, stats: Seq[String]): Seq[Entry] =
-      bucketSpec match {
-        case Some((c, n)) => stageBucketed(df, root, c, n, stats)
-        case None => stageBatch(df, root, partCol, stats)
+      effBucket match {
+        case Some((c, n)) => stageBucketed(df, root, c, n, stats,
+          collectRows = true)
+        case None => stageBatch(df, root, effPart, stats,
+          collectRows = true)
       }
     require(maxDeadRatio >= 0.0 && maxDeadRatio < 1.0,
       s"bad maxDeadRatio $maxDeadRatio (want [0, 1))")
@@ -4502,9 +4529,9 @@ object TableCommit {
     * threshold (1.3 s vs 0.25 s at 62k deleted positions on a decimal
     * schema), and the big-file penalty that once justified it is gone
     * (X309). The tuple/bitmap scan-filter path survives as the
-    * any-type fallback (arrays, structs, maps — ADVICE r14) and for
-    * the duplicate-leaf tables only a foreign writer could produce,
-    * never as a throughput choice. */
+    * any-type fallback (arrays, structs, maps — ADVICE r14), never as
+    * a throughput choice; duplicate leaf names refuse loudly on every
+    * DV'd path (positions key by leaf). */
   private def readSnapshot(spark: SparkSession, root: String,
       schema: StructType, version: Long): DataFrame = {
     val es = entriesAtVersion(root, version)
@@ -4513,10 +4540,11 @@ object TableCommit {
         schema)
     val dvs = es.filter(_.stats.contains(DvKey))
     if (dvs.isEmpty) return readLive(spark, root, Some(schema), es)
-    val leaves = es.map(e => pathLeaf(e.path))
-    if (!graft.sources.GraftVectorized.supportedSchema(schema) ||
-        leaves.distinct.size != leaves.size)
+    if (!graft.sources.GraftVectorized.supportedSchema(schema))
       return readLive(spark, root, Some(schema), es)
+    // duplicate leaves refuse LOUDLY either way (readLive's bitmap leg
+    // enforces the same invariant — DVs key positions by leaf name)
+    requireUniqueLeaves(root, es)
     val dvPart = spark.read.format("graft-table").schema(schema)
       .option("root", root)
       .option("asofversion", version.toString)

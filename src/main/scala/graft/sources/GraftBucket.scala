@@ -73,8 +73,11 @@ class GraftBucketBound(dt: DataType) extends ScalarFunction[Integer] {
     * interchangeable iff this matches (and the argument trees do). */
   override def canonicalName(): String =
     s"graft.bucket(${dt.simpleString})"
-  override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): Integer = {
+    // NULL in → NULL out, matching the codegen MAGIC path's primitive
+    // null propagation (review finding: getLong on a null slot would
+    // otherwise invent bucket(0))
+    if (input.isNullAt(1)) return null
     val n = input.getInt(0)
     dt match {
       case LongType    => GraftBucketFn.bucketLong(n, input.getLong(1))

@@ -802,17 +802,12 @@ private class GraftScanBuilder(root: String, full: StructType,
     agg.isDefined
   }
 
-  private def statVal(dt: DataType, s: String): Any = dt match {
-    case LongType    => s.toLong
-    case IntegerType => s.toInt
-    case ShortType   => s.toShort
-    case ByteType    => s.toByte
-    case DoubleType  => s.toDouble
-    case FloatType   => s.toFloat
-    case StringType  =>
-      org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    case _           => throw new MatchError(dt) // guarded by caller
-  }
+  /** Stats-channel canonical text → catalyst value — ONE definition
+    * shared with the SPJ partition keys ([[GraftKeyedPartition]]), so
+    * aggregate pushdown and key grouping can never decode the same
+    * stat differently (review finding). Callers gate on `statTypes`. */
+  private def statVal(dt: DataType, s: String): Any =
+    GraftKeyedPartition.catalystVal(dt, s)
 
   private def aggCol(e: org.apache.spark.sql.connector.expressions
       .Expression): Option[StructField] = e match {
@@ -1035,6 +1030,30 @@ private[graft] object GraftBatchScan {
 
   private[sources] def prunable(dt: DataType): Boolean = prunableTypes(dt)
 
+  /** Catalyst literal → the EXTERNAL form whose `toString` matches the
+    * stats channel's canonical text (UTF8String → String, epoch-day
+    * Int → java.sql.Date); None for anything the channel cannot judge.
+    * ONE definition shared by the runtime-filter bridge and the
+    * write-side DML pruner (review finding: two private copies of the
+    * canonical-form rule would drift). */
+  private[graft] def externalLiteral(v: Any, dt: DataType): Option[Any] =
+    (v, dt) match {
+      case (null, _) => None
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(s.toString)
+      case (d: java.lang.Integer, DateType) => Some(java.sql.Date
+        .valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
+      case (x: java.lang.Long, _)    => Some(x)
+      case (x: java.lang.Integer, _) => Some(x)
+      case (x: java.lang.Short, _)   => Some(x)
+      case (x: java.lang.Byte, _)    => Some(x)
+      case (x: java.lang.Double, _)  => Some(x)
+      case (x: java.lang.Float, _)   => Some(x)
+      case (x: String, _)            => Some(x)
+      case (x: java.sql.Date, _)     => Some(x)
+      case _ => None
+    }
+
   /** Runtime-filter bridge: the V2 `Predicate`s Spark's dynamic-pruning
     * machinery hands [[GraftBatchScan.filter]] (IN-sets and equalities
     * from a completed broadcast build side), re-expressed as the v1
@@ -1052,14 +1071,8 @@ private[graft] object GraftBatchScan {
         Some(r.fieldNames()(0))
       case _ => None
     }
-    def external(v: Any, dt: DataType): Any = (v, dt) match {
-      case (s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
-      case (d: java.lang.Integer, DateType) =>
-        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
-      case _ => v
-    }
     def valOf(e: V2Expr, dt: DataType): Option[Any] = e match {
-      case l: V2Literal[_] => Some(external(l.value(), dt))
+      case l: V2Literal[_] => externalLiteral(l.value(), dt)
       case _ => None
     }
     val kids = p.children()
