@@ -668,6 +668,20 @@ class CatalogSpec extends AnyFunSuite {
     ag.collect()
     assert(!ag.queryExecution.executedPlan.toString.contains("Exchange"),
       "GROUP BY the partition column must not shuffle")
+    // EVERY rewrite verb preserves the layout (review finding): a
+    // z-order cluster rewrite re-derives the declaration itself
+    spark.sql(s"SELECT * FROM graft_cluster('$wh/pm', 4, 'x', 'x', 8)")
+      .collect()
+    assert(TableCommit.entries(s"$wh/pm").forall(e =>
+      e.stats.get("g").exists(cs => cs.min == cs.max)),
+      "graft_cluster broke the partitioned layout")
+    val j3 = spark.sql(
+      s"SELECT a.g FROM $cat.pm a JOIN $cat.pn b ON a.g = b.g")
+    j3.collect()
+    assert(!j3.queryExecution.executedPlan.toString.contains("Exchange"),
+      "SPJ must survive a z-order cluster rewrite")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pm").collect()(0)
+      .getLong(0) === 177L)
     spark.catalog.dropTempView("cat_pm_src")
     spark.catalog.dropTempView("cat_pn_src")
   }
