@@ -207,7 +207,8 @@ private class GraftWrite(root: String, schema: StructType,
         "a per-epoch truncate would erase prior epochs' exactly-once " +
         "history; rebuild-per-batch shapes belong in foreachBatch")
     new GraftStreamingWrite(root, schema, retain, failAt,
-      conflictRetries, crashAfterEpoch, txnApp, txnMigrate)
+      conflictRetries, crashAfterEpoch, txnApp, txnMigrate,
+      partCol.map { case (_, i, n) => (i, n) })
   }
 }
 
@@ -358,7 +359,8 @@ private class GraftBatchWrite(root: String, schema: StructType,
 private class GraftStreamingWrite(root: String, schema: StructType,
     retain: Int, failAt: Option[Int], conflictRetries: Int,
     crashAfterEpoch: Option[Long], txnAppOpt: Option[String],
-    txnMigrate: Option[String] = None)
+    txnMigrate: Option[String] = None,
+    partIdx: Option[(Int, Option[Int])] = None)
     extends StreamingWrite {
   private val batch = "data/b_stream_" +
     java.util.UUID.randomUUID().toString.replace("-", "")
@@ -388,7 +390,7 @@ private class GraftStreamingWrite(root: String, schema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftStreamWriterFactory(root, batch, schema, failAt)
+    GraftStreamWriterFactory(root, batch, schema, failAt, partIdx)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -461,11 +463,16 @@ private class GraftStreamingWrite(root: String, schema: StructType,
             "option(\"txnmigrate\", \"fresh\")")
       }
     }
-    val entries = messages.collect {
-      case m: GraftCommitMessage => TableCommit.Entry(m.relPath, m.part,
+    def toEntry(m: GraftCommitMessage): TableCommit.Entry =
+      TableCommit.Entry(m.relPath, m.part,
         stats = m.stats.map { case (c, (mn, mx)) =>
           c -> TableCommit.ColStats(mn, mx) },
         rows = Some(m.rows))
+    val entries = messages.flatMap {
+      case m: GraftCommitMessage => Seq(toEntry(m))
+      // X323: a partitioned epoch commits one message per rotated file
+      case GraftMultiCommitMessage(fs) => fs.map(toEntry)
+      case _ => Seq.empty
     }.toSeq.sortBy(_.path)
     var attempt = 0
     var done = false
@@ -527,12 +534,23 @@ private class GraftStreamingWrite(root: String, schema: StructType,
 }
 
 private final case class GraftStreamWriterFactory(root: String,
-    batch: String, schema: StructType, failAt: Option[Int])
+    batch: String, schema: StructType, failAt: Option[Int],
+    partIdx: Option[(Int, Option[Int])] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(root, s"$batch/e$epochId", schema, partitionId,
-      taskId, failAt)
+    partIdx match {
+      // X323: a streaming sink into a PARTITIONED/BUCKETED catalog
+      // table rotates per key exactly like the batch write — an
+      // unsorted epoch just costs extra files, never a multi-keyed
+      // one, so replication into a layout table keeps its SPJ proof
+      case Some((i, buckets)) =>
+        new GraftPartitionedDataWriter(root, s"$batch/e$epochId",
+          schema, partitionId, taskId, failAt, i, buckets)
+      case None =>
+        new GraftDataWriter(root, s"$batch/e$epochId", schema,
+          partitionId, taskId, failAt)
+    }
 }
 
 private final case class GraftWriterFactory(root: String, batch: String,

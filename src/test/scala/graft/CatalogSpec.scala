@@ -865,4 +865,57 @@ class CatalogSpec extends AnyFunSuite {
       "a CTAS-created partitioned table must SPJ out of the gate")
     spark.catalog.dropTempView("cat_ctas_src")
   }
+
+  test("a streaming sink into a partitioned catalog table keeps the layout (X323)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.sp (g BIGINT, x BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"CREATE TABLE $cat.sb (x BIGINT, g BIGINT) " +
+      "PARTITIONED BY (bucket(4, x))")
+    val base = Files.createTempDirectory("graft_cat_stream_").toString
+    spark.range(90L).select((col("id") % 3L).as("g"), col("id").as("x"))
+      .write.parquet(s"$base/src")
+    def drain(table: String, ckpt: String, cols: String): Unit = {
+      val q = spark.readStream.schema("g LONG, x LONG")
+        .parquet(s"$base/src").selectExpr(cols.split(","): _*)
+        .writeStream.option("checkpointLocation", s"$base/$ckpt")
+        .trigger(Trigger.AvailableNow()).toTable(table)
+      q.awaitTermination()
+    }
+    drain(s"$cat.sp", "ck1", "g,x")
+    // identity layout: every streamed file single-valued on g
+    val es = TableCommit.entries(s"$wh/sp")
+    assert(es.nonEmpty && es.forall(e =>
+      e.stats.get("g").exists(cs => cs.min == cs.max)),
+      s"streamed files broke the identity layout: $es")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.sp").collect()(0)
+      .getLong(0) === 90L)
+    // bucket layout: every streamed file carries its proof tag and
+    // honors the canonical hash
+    drain(s"$cat.sb", "ck2", "x,g")
+    val esB = TableCommit.entries(s"$wh/sb")
+    assert(esB.nonEmpty &&
+      esB.forall(_.part.exists(_.startsWith("bucket="))),
+      s"streamed files broke the bucket layout: $esB")
+    esB.foreach { e =>
+      val id = e.part.map(_.stripPrefix("bucket=").toInt).get
+      val xs = spark.read.parquet(s"$wh/sb/${e.path}")
+        .select("x").collect().map(_.getLong(0))
+      assert(xs.forall(x =>
+        graft.sources.GraftBucketFn.bucketLong(4, x) === id))
+    }
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.sb").collect()(0)
+      .getLong(0) === 90L)
+    // and the streamed table serves a zero-shuffle join immediately
+    spark.sql(s"CREATE TABLE $cat.sq (g BIGINT, y BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.sq VALUES (0, 0), (1, 100), (2, 200)")
+    val j = spark.sql(
+      s"SELECT a.g FROM $cat.sp a JOIN $cat.sq b ON a.g = b.g")
+    assert(j.count() === 90L)
+    j.collect()
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+      "a streamed-into partitioned table must SPJ out of the gate")
+  }
 }
