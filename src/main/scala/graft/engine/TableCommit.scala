@@ -2928,23 +2928,21 @@ object TableCommit {
     * live rows are a subset of the rows the stats described, so
     * pruning stays lossless — spec-pinned. */
   /** X317 test-observability: (kept, total) candidate files of the
-    * last predicate-pruned DML planning pass. */
+    * last predicate-pruned DML planning pass; X324: how many of those
+    * the last DELETE dropped WHOLE from the manifest (zero rows
+    * scanned). */
   private[graft] object DmlPruneProbe {
     @volatile var last: Option[(Int, Int)] = None
+    @volatile var lastDropped: Option[Int] = None
   }
 
-  /** X317: translate the DML predicate's conjuncts into source
-    * [[org.apache.spark.sql.sources.Filter]]s and drop candidate files
-    * whose manifest stats prove no victim can live there — the same
-    * lossless [min, max]/bloom pruner the read facet uses
-    * ([[graft.sources.GraftBatchScan.mightMatch]]), pointed at the
-    * write side. Any failure to resolve or translate keeps everything
-    * (pruning may read too much, never too little); stats are keyed by
-    * the same (physical) names the predicate references, since DML
-    * predicates arrive already translated by the catalog layer. */
-  private def pruneDmlCandidates(spark: SparkSession,
-      schema: StructType, predicate: org.apache.spark.sql.Column,
-      es: Seq[Entry]): Seq[Entry] = {
+  /** X317/X324: the DML predicate's conjuncts as source filters —
+    * (usable filters, complete). `complete` means EVERY conjunct
+    * translated, so the filter list IS the predicate; only then can a
+    * file's stats prove "all rows match" for the whole statement. */
+  private def translateDml(spark: SparkSession, schema: StructType,
+      predicate: org.apache.spark.sql.Column)
+      : (Seq[org.apache.spark.sql.sources.Filter], Boolean) = {
     import org.apache.spark.sql.catalyst.{expressions => cx}
     import org.apache.spark.sql.{sources => sf}
     // catalyst literal → the external form the stats comparator
@@ -2990,26 +2988,38 @@ object TableCommit {
         else None
       case _ => None
     }
-    val kept =
-      try {
-        val dummy = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schema)
-        val cond = dummy.filter(predicate).queryExecution.analyzed
-          .collectFirst {
-            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-              f.condition
-          }
-        def split(e: cx.Expression): Seq[cx.Expression] = e match {
-          case cx.And(l, r) => split(l) ++ split(r)
-          case x            => Seq(x)
+    try {
+      val dummy = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      val cond = dummy.filter(predicate).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
         }
-        val fs = cond.toSeq.flatMap(split).flatMap(toF)
-          .filter(f => graft.sources.GraftBatchScan
-            .translatable(schema)(f))
-        if (fs.isEmpty) es
-        else es.filter(e => fs.forall(f =>
-          graft.sources.GraftBatchScan.mightMatch(schema, e, f)))
-      } catch { case scala.util.control.NonFatal(_) => es }
+      def split(e: cx.Expression): Seq[cx.Expression] = e match {
+        case cx.And(l, r) => split(l) ++ split(r)
+        case x            => Seq(x)
+      }
+      val conjuncts = cond.toSeq.flatMap(split)
+      val translated = conjuncts.map(toF)
+      val fs = translated.flatten
+        .filter(f => graft.sources.GraftBatchScan
+          .translatable(schema)(f))
+      // complete = EVERY conjunct survived translation, so the filter
+      // list IS the predicate — the precondition for proving "all rows
+      // of this file match" (X324), not just "some row might"
+      (fs, conjuncts.nonEmpty && fs.size == conjuncts.size)
+    } catch { case scala.util.control.NonFatal(_) => (Seq.empty, false) }
+  }
+
+  private def pruneDmlCandidates(spark: SparkSession,
+      schema: StructType, predicate: org.apache.spark.sql.Column,
+      es: Seq[Entry]): Seq[Entry] = {
+    val (fs, _) = translateDml(spark, schema, predicate)
+    val kept =
+      if (fs.isEmpty) es
+      else es.filter(e => fs.forall(f =>
+        graft.sources.GraftBatchScan.mightMatch(schema, e, f)))
     DmlPruneProbe.last = Some((kept.size, es.size))
     kept
   }
@@ -3028,25 +3038,54 @@ object TableCommit {
     // them entirely (a date-scoped DELETE on a 100 TB table plans the
     // day's files, not the table). Lossless: untranslatable predicates
     // keep everything.
-    val cands = pruneDmlCandidates(spark, schema, predicate, es)
-    if (cands.isEmpty) return base
+    val (fs, complete) = translateDml(spark, schema, predicate)
+    val cands =
+      if (fs.isEmpty) es
+      else es.filter(e => fs.forall(f =>
+        graft.sources.GraftBatchScan.mightMatch(schema, e, f)))
+    DmlPruneProbe.last = Some((cands.size, es.size))
+    if (cands.isEmpty) { DmlPruneProbe.lastDropped = Some(0); return base }
+    // X324: METADATA-ONLY partition delete — on a table with a
+    // declared identity partition column, a predicate made ENTIRELY
+    // of conjuncts on that column drops every provably-all-matching
+    // file from the manifest outright: zero rows scanned, zero DVs
+    // (the Delta/Iceberg partition-delete shape — at 100 TB,
+    // `DELETE WHERE day = X` is one metadata commit). Null-safe by
+    // construction: only the partition column qualifies, its writes
+    // refuse NULLs, and a NULL-keyed slice carries no stats so it
+    // never proves all-match.
+    val dropped: Seq[Entry] =
+      graft.sources.GraftCatalog.partitionLayoutOf(root) match {
+        case Some((pc, None)) if complete && fs.nonEmpty &&
+            fs.forall(f => f.references.toSeq == Seq(pc)) =>
+          cands.filter(e => fs.forall(f =>
+            graft.sources.GraftBatchScan.mustMatchAll(schema, e, f)))
+        case _ => Seq.empty
+      }
+    DmlPruneProbe.lastDropped = Some(dropped.size)
+    val droppedPaths = dropped.map(_.path).toSet
+    val scanCands = cands.filterNot(e => droppedPaths(e.path))
     val victims = spark.read.schema(schema)
-      .parquet(cands.map(e => resolvePath(root, e.path)): _*)
+      .parquet(scanCands.map(e => resolvePath(root, e.path)): _*)
       .filter(predicate)
       .select(col("_metadata.file_name")
         .as("_g_leaf"), col("_metadata.row_index").as("_g_pos"))
-    val encoded = dvEncodeDistributed(spark, root, victims,
-      existingDvByLeaf(es), inlineDvMax)
+    val encoded =
+      if (scanCands.isEmpty) Map.empty[String, ColStats]
+      else dvEncodeDistributed(spark, root, victims,
+        existingDvByLeaf(es), inlineDvMax)
     // nothing matched, or everything matched was already dead —
     // idempotent no-op, no empty snapshot churn
-    if (encoded.isEmpty) return base
+    if (encoded.isEmpty && dropped.isEmpty) return base
     // X274: a racing append/disjoint-DML rebases (the encoded stats
     // re-apply onto the new head verbatim — the conflict rule proves
     // the victim entries unchanged); a racing commit that touched a
-    // victim file conflicts loudly
+    // victim (or dropped) file conflicts loudly
     publishRebasing(root, base,
-      build = cur => applyEncodedDv(cur, encoded),
-      conflictsWith = dmlConflict(encoded.keySet),
+      build = cur => applyEncodedDv(
+        cur.filterNot(e => droppedPaths(e.path)), encoded),
+      conflictsWith = dmlConflict(
+        encoded.keySet ++ dropped.map(e => pathLeaf(e.path))),
       retain, conflictRetries)
   }
 

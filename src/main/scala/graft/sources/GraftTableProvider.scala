@@ -1207,6 +1207,22 @@ private[graft] object GraftBatchScan {
       !bloomSafeTypes(fld.dataType) ||
         TableCommit.bloomKeeps(e, c, v.toString))
 
+  /** TRUE only when the file's stats PROVE every NON-NULL row matches
+    * `f` — the X324 whole-file DML-drop predicate. Deliberately
+    * bounded to files SINGLE-VALUED on every referenced column
+    * (min == max): with one witnessed value, "some row might match"
+    * and "all rows match" coincide. The CALLER must guarantee the
+    * referenced columns are null-free (the declared partition column
+    * is — its writes refuse NULLs and NULL-keyed slices carry no
+    * stats, failing the single-valued test here). */
+  def mustMatchAll(full: StructType, e: TableCommit.Entry,
+      f: Filter): Boolean = {
+    val cols = f.references.toSeq
+    cols.nonEmpty && cols.forall(c =>
+      e.stats.get(c).exists(cs => cs.min == cs.max)) &&
+      mightMatch(full, e, f)
+  }
+
   /** Keep the file iff the filter MIGHT match its [min, max] — a
     * missing stat keeps the file (lossless by construction). */
   def mightMatch(full: StructType, e: TableCommit.Entry,

@@ -918,4 +918,58 @@ class CatalogSpec extends AnyFunSuite {
     assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
       "a streamed-into partitioned table must SPJ out of the gate")
   }
+
+  test("partition DELETE is metadata-only: whole files drop, zero rows scanned (X324)") {
+    val (cat, wh) = freshCatalog()
+    val root = s"$wh/pd"
+    spark.sql(s"CREATE TABLE $cat.pd (g BIGINT, x BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.range(300L).select((col("id") % 6L).as("g"), col("id").as("x"))
+      .createOrReplaceTempView("cat_pd_src")
+    spark.sql(s"INSERT INTO $cat.pd SELECT g, x FROM cat_pd_src")
+    assert(TableCommit.entries(root).size === 6)
+    val fpBefore = dataFingerprint(root)
+    val vBefore = TableCommit.currentVersion(root).get
+    TableCommit.DmlPruneProbe.lastDropped = None
+    spark.sql(s"DELETE FROM $cat.pd WHERE g IN (1, 4)")
+    // two whole files left the manifest; NO deletion vector minted,
+    // NO data file touched (metadata-only, the Delta partition-delete)
+    assert(TableCommit.DmlPruneProbe.lastDropped === Some(2),
+      s"expected 2 whole-file drops, got ${TableCommit.DmlPruneProbe.lastDropped}")
+    val es = TableCommit.entries(root)
+    assert(es.size === 4)
+    assert(!es.exists(_.stats.contains(TableCommit.DvKey)),
+      "a partition delete must not mint DVs")
+    val fpAfter = dataFingerprint(root)
+    assert(es.forall(e => fpAfter(s"$root/${e.path}") ==
+      fpBefore(s"$root/${e.path}")), "surviving files must be untouched")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pd").collect()(0)
+      .getLong(0) === 200L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.pd WHERE g IN (1, 4)").collect()(0)
+      .getLong(0) === 0L)
+    // the change feed tells the truth: the dropped files' rows read
+    // back as row-level deletes
+    val schema = StructType(Seq(StructField("g", LongType),
+      StructField("x", LongType)))
+    val vAfter = TableCommit.currentVersion(root).get
+    val feed = TableCommit.readChangesFull(spark, root, schema,
+      vBefore, vAfter)
+    assert(feed.filter(col("_change_type") === "delete").count() === 100L)
+    // a NON-partition predicate keeps the DV path (no false drops)
+    TableCommit.DmlPruneProbe.lastDropped = None
+    spark.sql(s"DELETE FROM $cat.pd WHERE x = 2")
+    assert(TableCommit.DmlPruneProbe.lastDropped === Some(0))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.pd").collect()(0)
+      .getLong(0) === 199L)
+    assert(TableCommit.entries(root).exists(
+      _.stats.contains(TableCommit.DvKey)),
+      "a row-scoped delete must DV, not drop")
+    // idempotence: re-deleting the gone partitions is a no-op version
+    val v2 = TableCommit.currentVersion(root).get
+    spark.sql(s"DELETE FROM $cat.pd WHERE g IN (1, 4)")
+    assert(TableCommit.currentVersion(root).get === v2,
+      "a no-op partition delete must not mint a snapshot")
+    spark.catalog.dropTempView("cat_pd_src")
+  }
 }
