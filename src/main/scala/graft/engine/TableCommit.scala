@@ -112,6 +112,23 @@ object TableCommit {
     * right is the CALLER's knowledge (they declared the column). */
   final case class ColStats(min: String, max: String)
 
+  /** ADVICE r15: the colon-namespaced marker stat `nn:<col>` witnessing
+    * that a file holds ZERO nulls in `<col>` (value fixed `["0","0"]`).
+    * Min/max stats ignore nulls at every producer, so "min == max"
+    * proves single-valued for NON-NULL rows only; any consumer
+    * upgrading that to "ALL rows" (the X324 whole-file DML drop, the
+    * X314 identity-cluster layout proof) must ALSO see this witness.
+    * Absence means "unknown", never "has nulls" — old manifests and
+    * stat-less files simply stay ineligible for the all-rows upgrades
+    * (lossless: they fall back to the DV scan / unpartitioned plan).
+    * DVs preserve the witness exactly (deletes cannot mint nulls);
+    * rewrites re-derive it from the fresh footers. */
+  val NullFreePrefix = "nn:"
+
+  /** True iff `e` carries the null-free witness for column `c`. */
+  def nullFree(e: Entry, c: String): Boolean =
+    e.stats.contains(NullFreePrefix + c)
+
   /** One committed data file: root-relative path, the `_p=` directory
     * segment it was written under (None for unpartitioned commits), and
     * optional per-column min/max stats captured from the file footer at
@@ -623,16 +640,26 @@ object TableCommit {
       try {
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
         // exact per-file row count — the footer states it per row group,
-        // so metadata-only COUNT(*) needs no file read ever again
+        // so metadata-only COUNT(*) needs no row pages ever again
         val fileRows = Some(blocks.map(_.getRowCount).sum)
         // col -> per-row-group (min, max, numericCompare) triples
         val acc = scala.collection.mutable.Map
           .empty[String, List[(String, String, Boolean)]]
         var bad = Set.empty[String]
+        // ADVICE r15: min/max stats alone prove things about NON-NULL
+        // rows only — every consumer that turns "min == max" into "ALL
+        // rows" (X324 whole-file DML drops, X314 identity cluster
+        // proofs) needs a null WITNESS beside the envelope. The footer
+        // states the null count per row group; a column every group
+        // reports null-free earns the `nn:<col>` marker stat.
+        val nfSeen = scala.collection.mutable.Map.empty[String, Boolean]
         for (b <- blocks; cc <- b.getColumns.asScala) {
           val name = cc.getPath.toDotString
           if (want(name) && !bad(name)) {
             val st = cc.getStatistics
+            nfSeen(name) = nfSeen.getOrElse(name, true) &&
+              st != null && !st.isEmpty && st.isNumNullsSet &&
+              st.getNumNulls == 0L
             val pt = cc.getPrimitiveType
             val canon: Option[(String, String, Boolean)] =
               if (st == null || st.isEmpty || !st.hasNonNullValue) None
@@ -678,7 +705,10 @@ object TableCommit {
             }
           }
         }
-        (acc.view.mapValues { ts =>
+        val witnessed: Map[String, ColStats] = acc.keysIterator
+          .filter(nfSeen.getOrElse(_, false))
+          .map(c => (NullFreePrefix + c) -> ColStats("0", "0")).toMap
+        (witnessed ++ acc.view.mapValues { ts =>
           def lt(a: String, b: String, num: Boolean): Boolean =
             if (num) {
               // integer text compares exactly as Long; doubles via toDouble
@@ -3051,9 +3081,11 @@ object TableCommit {
     // file from the manifest outright: zero rows scanned, zero DVs
     // (the Delta/Iceberg partition-delete shape — at 100 TB,
     // `DELETE WHERE day = X` is one metadata commit). Null-safe by
-    // construction: only the partition column qualifies, its writes
-    // refuse NULLs, and a NULL-keyed slice carries no stats so it
-    // never proves all-match.
+    // WITNESS (ADVICE r15): mustMatchAll requires the `nn:` null-free
+    // marker beside min == max, so a file that reached this root
+    // outside the NULL-refusing rotated writer (path-based DSv2,
+    // engine-API append) can never have its NULL rows erased by a
+    // whole-file drop — without the witness it falls to the DV scan.
     val dropped: Seq[Entry] =
       graft.sources.GraftCatalog.partitionLayoutOf(root) match {
         case Some((pc, None)) if complete && fs.nonEmpty &&

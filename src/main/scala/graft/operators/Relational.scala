@@ -2054,6 +2054,53 @@ object Relational {
       |  CAST(0 AS BIGINT) AS dv_after
       |FROM base WHERE st <> 'P' GROUP BY 1 ORDER BY st""".stripMargin
 
+  // `q_sql_partition_delete` (X324): metadata-only partition DELETE
+
+  /** `q_sql_partition_delete` (X324, VERDICT r15 task 3): a DELETE
+    * whose predicate is made ENTIRELY of conjuncts on the declared
+    * partition column drops every provably-all-matching file from the
+    * manifest outright — ZERO rows scanned, ZERO deletion vectors
+    * minted (the Delta/Iceberg partition-delete shape; at 100 TB
+    * `DELETE WHERE day = X` is one metadata commit, not a table
+    * scan). Null-safe by the `nn:` stats witness (ADVICE r15): only
+    * files PROVEN null-free on the column may drop whole; anything
+    * else keeps the lossless DV path. The gate creates a
+    * `PARTITIONED BY (st)` table over orders, metadata-DELETEs one
+    * status slice, and rolls up the survivors; the halves the oracle
+    * cannot see — whole-file drops happened, no DV minted — ride the
+    * result as probe-derived literal columns (CatalogSpec pins the
+    * byte-identical survivors and truthful CDC). */
+  def sqlPartitionDeleteQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalogWh(spark, sfDir) { (cat, src, wh) =>
+      spark.sql(s"CREATE TABLE $cat.pdel (k BIGINT, st STRING, " +
+        "c BIGINT) PARTITIONED BY (st)")
+      spark.sql(s"INSERT INTO $cat.pdel SELECT k, st, c FROM $src")
+      val root = s"$wh/pdel"
+      graft.engine.TableCommit.DmlPruneProbe.lastDropped = None
+      spark.sql(s"DELETE FROM $cat.pdel WHERE st = 'P'")
+      val dropped = graft.engine.TableCommit.DmlPruneProbe.lastDropped
+        .getOrElse(-1)
+      val dvAfter = graft.engine.TableCommit.entries(root)
+        .count(_.stats.contains(graft.engine.TableCommit.DvKey)).toLong
+      spark.sql(
+        s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+           |  SUM(k) AS key_sum
+           |FROM $cat.pdel GROUP BY st ORDER BY st""".stripMargin)
+        .withColumn("dropped_whole", lit(dropped > 0))
+        .withColumn("dv_after", lit(dvAfter))
+    }.orderBy(col("st"))
+
+  val sqlPartitionDeleteOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum,
+      |  TRUE AS dropped_whole, CAST(0 AS BIGINT) AS dv_after
+      |FROM base WHERE st <> 'P' GROUP BY 1 ORDER BY st""".stripMargin
+
   // `q_write_idempotent` (X288): exactly-once batch writes, gated
 
   /** `q_write_idempotent` (X288/ADVICE r13): the orchestrator-retry

@@ -594,6 +594,11 @@ private class GraftDataWriter(root: String, batch: String,
   // (the channel reserves ':' for engine keys).
   private val statMin = new Array[Any](schema.fields.length)
   private val statMax = new Array[Any](schema.fields.length)
+  // ADVICE r15: min/max witness NON-NULL rows only — track whether any
+  // null was written so commit() can mint the `nn:<col>` null-free
+  // marker the all-rows consumers (X324 whole-file DML drop, X314
+  // identity-cluster proof) require beside a min == max envelope
+  private val statSawNull = new Array[Boolean](schema.fields.length)
   private val statable = schema.fields.map(f =>
     !f.name.contains(":") && (f.dataType match {
       case LongType | IntegerType | DoubleType | StringType => true
@@ -649,6 +654,7 @@ private class GraftDataWriter(root: String, batch: String,
         case other => throw new IllegalArgumentException(
           s"graft-table: unsupported type $other for column ${f.name}")
       }
+      else statSawNull(i) = true
     }
     writer.write(g)
     rows += 1
@@ -661,7 +667,12 @@ private class GraftDataWriter(root: String, batch: String,
         schema.fields(i).name ->
           (statMin(i).toString, statMax(i).toString)
     }.toMap
-    GraftCommitMessage(relPath, rows, stats)
+    val witnessed = schema.fields.indices.collect {
+      case i if statMin(i) != null && !statSawNull(i) =>
+        (graft.engine.TableCommit.NullFreePrefix +
+          schema.fields(i).name) -> ("0", "0")
+    }.toMap
+    GraftCommitMessage(relPath, rows, stats ++ witnessed)
   }
 
   override def abort(): Unit = {
@@ -1009,6 +1020,23 @@ private[graft] object GraftBatchScan {
     new java.util.concurrent.ConcurrentHashMap[
       String, IndexedSeq[(Long, Long)]]()
 
+  /** (path → bytes) cache for [[GraftBatchScan.estimateStatistics]] —
+    * committed paths are immutable (same argument as [[footerCache]]),
+    * so one `stat` per file ever, not one per plan. Same crude bound. */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[sources] def fileSize(abs: String): Option[Long] = {
+    val hit = sizeCache.get(abs)
+    if (hit != null) return Some(hit.longValue())
+    try {
+      val n = java.nio.file.Files.size(java.nio.file.Paths.get(abs))
+      if (sizeCache.size() > 100000) sizeCache.clear()
+      sizeCache.put(abs, java.lang.Long.valueOf(n))
+      Some(n)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The file's row groups as (startingPos, rowCount), oldest first —
     * or empty when the size gate says don't bother / the footer is
     * unreadable (the caller then plans one whole-file partition, which
@@ -1066,7 +1094,14 @@ private[graft] object GraftBatchScan {
       case (x: java.lang.Short, _)   => Some(x)
       case (x: java.lang.Byte, _)    => Some(x)
       case (x: java.lang.Double, _)  => Some(x)
-      case (x: java.lang.Float, _)   => Some(x)
+      // widen exactly as footerStats canonicalizes FLOAT stats: the
+      // channel stores (double)v's shortest string, so an unwidened
+      // Float literal ("0.1") would compare against
+      // "0.10000000149011612" and wrongly prune the file holding the
+      // matching rows — lossy for X313 runtime filters and X317 DML
+      // planning (ADVICE r15)
+      case (x: java.lang.Float, _)   =>
+        Some(java.lang.Double.valueOf(x.toDouble))
       case (x: String, _)            => Some(x)
       case (x: java.sql.Date, _)     => Some(x)
       case _ => None
@@ -1207,19 +1242,24 @@ private[graft] object GraftBatchScan {
       !bloomSafeTypes(fld.dataType) ||
         TableCommit.bloomKeeps(e, c, v.toString))
 
-  /** TRUE only when the file's stats PROVE every NON-NULL row matches
-    * `f` — the X324 whole-file DML-drop predicate. Deliberately
-    * bounded to files SINGLE-VALUED on every referenced column
-    * (min == max): with one witnessed value, "some row might match"
-    * and "all rows match" coincide. The CALLER must guarantee the
-    * referenced columns are null-free (the declared partition column
-    * is — its writes refuse NULLs and NULL-keyed slices carry no
-    * stats, failing the single-valued test here). */
+  /** TRUE only when the file's stats PROVE every row matches `f` — the
+    * X324 whole-file DML-drop predicate. Deliberately bounded to files
+    * SINGLE-VALUED on every referenced column (min == max): with one
+    * witnessed value, "some row might match" and "all rows match"
+    * coincide. Min/max witness NON-NULL rows only (every producer
+    * skips nulls), so each referenced column must ALSO carry the
+    * `nn:<col>` null-free witness — without it a file holding
+    * {5, NULL} rows reads min = max = 5 and a whole-file drop on
+    * `c = 5` would erase the NULL rows (ADVICE r15). Rotated catalog
+    * writes refuse NULLs and witness automatically; a path-based or
+    * engine-API write earns the witness from its footers; stat-less
+    * or pre-witness files stay on the lossless DV-scan path. */
   def mustMatchAll(full: StructType, e: TableCommit.Entry,
       f: Filter): Boolean = {
     val cols = f.references.toSeq
     cols.nonEmpty && cols.forall(c =>
-      e.stats.get(c).exists(cs => cs.min == cs.max)) &&
+      e.stats.get(c).exists(cs => cs.min == cs.max) &&
+        TableCommit.nullFree(e, c)) &&
       mightMatch(full, e, f)
   }
 
@@ -1281,7 +1321,8 @@ private class GraftBatchScan(root: String, required: StructType,
     cluster: Option[GraftClusterSpec] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // Spark matches the scan's output by THIS schema (logical names);
   // the partitions carry the physical-named twin for the file decode —
   // rows are positional, so only the parquet field lookup differs
@@ -1341,10 +1382,16 @@ private class GraftBatchScan(root: String, required: StructType,
     cluster.flatMap { spec =>
       required.fields.find(_.name == spec.col).flatMap { f =>
         spec match {
+          // min == max proves single-valued for NON-NULL rows only —
+          // the nn: null-free witness is required too, or a file mixing
+          // one value with NULLs would report KeyGroupedPartitioning
+          // and a "shuffle-free" GROUP BY would emit one NULL group
+          // per task (ADVICE r15)
           case IdentityCluster(c)
               if GraftBatchScan.prunable(f.dataType) &&
                 staticEntries.nonEmpty && staticEntries.forall(e =>
-                  e.stats.get(phys(c)).exists(cs => cs.min == cs.max)) =>
+                  e.stats.get(phys(c)).exists(cs => cs.min == cs.max) &&
+                    TableCommit.nullFree(e, phys(c))) =>
             Some((spec, f, staticEntries.map(e =>
               e.path -> e.stats(phys(c)).min).toMap))
           case BucketCluster(_, n)
@@ -1382,6 +1429,44 @@ private class GraftBatchScan(root: String, required: StructType,
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
     }
+
+  /** VERDICT r15 task 1: plan-time statistics from the manifest —
+    * post-pushdown, post-static-prune Σ(file bytes) and DV-corrected
+    * Σ(rows). Without this Spark assigns the facet relation its
+    * DEFAULT size estimate, so a small graft dim never plan-time
+    * auto-broadcasts and the reference's core fact⋈dim join (J1)
+    * plans SMJ until AQE rescues it AFTER paying the dim's shuffle
+    * map pass. Row counts come straight off the manifest; bytes are
+    * one cached `stat` per planned file (immutable paths — same
+    * argument as the footer cache), exactly what the split planner
+    * already pays. Missing information degrades to empty(), never to
+    * a guess. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val es = staticEntries
+    val rows =
+      if (es.forall(_.rows.isDefined))
+        java.util.OptionalLong.of(es.iterator.map(e =>
+          e.rows.get - TableCommit.deletedCount(e)).sum)
+      else java.util.OptionalLong.empty()
+    var bytes = 0L
+    var ok = true
+    es.foreach { e =>
+      val abs =
+        if (e.path.startsWith("/")) e.path else s"$root/${e.path}"
+      GraftBatchScan.fileSize(abs) match {
+        case Some(n) => bytes += n
+        case None    => ok = false
+      }
+    }
+    val size =
+      if (ok) java.util.OptionalLong.of(bytes)
+      else java.util.OptionalLong.empty()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
 
   /** The vectorized-decode verdict for this scan's projection — shared
     * by the partition planner and the plan description, so a demote to

@@ -15,6 +15,18 @@ class CatalogSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  /** X325 reports real manifest statistics, so Spark rightly
+    * auto-broadcasts these small fixtures — which replaces the SPJ
+    * plan these tests pin. Disable auto-broadcast (as Spark's own
+    * KeyGroupedPartitioningSuite does): at the 100 TB scale SPJ
+    * exists for, neither side fits a broadcast. */
+  private def noBroadcast[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   private def freshCatalog(): (String, String) = {
     val wh = Files.createTempDirectory("graft_cat_spec_").toString
     val cat = "graft_cat_" +
@@ -564,7 +576,7 @@ class CatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cat_spec_src2")
   }
 
-  test("PARTITIONED BY tables: rotated single-valued files, SQL SPJ with zero shuffle, guarded column (X316)") {
+  test("PARTITIONED BY tables: rotated single-valued files, SQL SPJ with zero shuffle, guarded column (X316)") { noBroadcast {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.pa (g BIGINT, x BIGINT) " +
       "PARTITIONED BY (g)")
@@ -623,9 +635,9 @@ class CatalogSpec extends AnyFunSuite {
     assert(eB.getMessage.contains("identity transform"), eB.getMessage)
     spark.catalog.dropTempView("cat_spj_a")
     spark.catalog.dropTempView("cat_spj_b")
-  }
+  } }
 
-  test("maintenance preserves a partitioned table's layout (X318)") {
+  test("maintenance preserves a partitioned table's layout (X318)") { noBroadcast {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.pm (g BIGINT, x BIGINT) " +
       "PARTITIONED BY (g)")
@@ -684,9 +696,9 @@ class CatalogSpec extends AnyFunSuite {
       .getLong(0) === 177L)
     spark.catalog.dropTempView("cat_pm_src")
     spark.catalog.dropTempView("cat_pn_src")
-  }
+  } }
 
-  test("bucketed tables: bounded files, per-file bucket truth, SPJ on the raw key (X320)") {
+  test("bucketed tables: bounded files, per-file bucket truth, SPJ on the raw key (X320)") { noBroadcast {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.ba (k BIGINT, x BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")
@@ -758,9 +770,9 @@ class CatalogSpec extends AnyFunSuite {
       .getLong(0) === 997L) // 500 + 500 - 3 deleted
     spark.catalog.dropTempView("cat_bkt_a")
     spark.catalog.dropTempView("cat_bkt_b")
-  }
+  } }
 
-  test("DML image files keep the declared layout: UPDATE and MERGE preserve SPJ (X322)") {
+  test("DML image files keep the declared layout: UPDATE and MERGE preserve SPJ (X322)") { noBroadcast {
     val (cat, wh) = freshCatalog()
     // identity layout + SQL UPDATE
     spark.sql(s"CREATE TABLE $cat.da (g BIGINT, x BIGINT) " +
@@ -828,9 +840,9 @@ class CatalogSpec extends AnyFunSuite {
       "bucket SPJ must survive a MERGE")
     Seq("cat_dml_a", "cat_dml_b", "cat_dml_m", "cat_dml_n",
       "cat_dml_src").foreach(spark.catalog.dropTempView)
-  }
+  } }
 
-  test("CTAS PARTITIONED BY rotates its write and lands the layout atomically (X316/X320)") {
+  test("CTAS PARTITIONED BY rotates its write and lands the layout atomically (X316/X320)") { noBroadcast {
     val (cat, wh) = freshCatalog()
     spark.range(120L).select((col("id") % 4L).as("g"), col("id").as("x"))
       .createOrReplaceTempView("cat_ctas_src")
@@ -864,9 +876,9 @@ class CatalogSpec extends AnyFunSuite {
     assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
       "a CTAS-created partitioned table must SPJ out of the gate")
     spark.catalog.dropTempView("cat_ctas_src")
-  }
+  } }
 
-  test("a streaming sink into a partitioned catalog table keeps the layout (X323)") {
+  test("a streaming sink into a partitioned catalog table keeps the layout (X323)") { noBroadcast {
     import org.apache.spark.sql.streaming.Trigger
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.sp (g BIGINT, x BIGINT) " +
@@ -917,7 +929,7 @@ class CatalogSpec extends AnyFunSuite {
     j.collect()
     assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
       "a streamed-into partitioned table must SPJ out of the gate")
-  }
+  } }
 
   test("partition DELETE is metadata-only: whole files drop, zero rows scanned (X324)") {
     val (cat, wh) = freshCatalog()
@@ -971,5 +983,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(TableCommit.currentVersion(root).get === v2,
       "a no-op partition delete must not mint a snapshot")
     spark.catalog.dropTempView("cat_pd_src")
+  }
+
+  test("X324 whole-file drops require the null witness — a mixed NULL file keeps the DV path (ADVICE r15)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.nw (g BIGINT, x BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"INSERT INTO $cat.nw VALUES (5, 0), (6, 1)")
+    val root = s"$wh/nw"
+    // an engine-API append has no NULL refusal and no rotation: one
+    // file mixing {g=5, g=NULL} whose g envelope reads min = max = 5 —
+    // exactly the file a stats-only all-rows proof would wrongly drop
+    val sch = StructType(Seq(StructField("g", LongType),
+      StructField("x", LongType)))
+    val mixed = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(5L, 10L),
+      org.apache.spark.sql.Row(null, 11L)), sch).coalesce(1)
+    TableCommit.commitAppend(mixed, root, statsCols = Seq("g"))
+    val e = TableCommit.entries(root).find(en =>
+      en.rows.contains(2L)).get
+    assert(e.stats("g") === TableCommit.ColStats("5", "5"))
+    assert(!TableCommit.nullFree(e, "g"),
+      "a file holding NULLs must not carry the nn: witness")
+    TableCommit.DmlPruneProbe.lastDropped = None
+    spark.sql(s"DELETE FROM $cat.nw WHERE g = 5")
+    // only the rotated (witnessed) g=5 file drops whole; the mixed
+    // file takes a deletion vector for its matching row
+    assert(TableCommit.DmlPruneProbe.lastDropped === Some(1),
+      s"expected 1 witnessed drop, got ${TableCommit.DmlPruneProbe.lastDropped}")
+    // the NULL row SURVIVED — the bug this witness exists to prevent
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.nw WHERE g IS NULL")
+      .collect()(0).getLong(0) === 1L)
+    assert(spark.sql(s"SELECT x FROM $cat.nw ORDER BY x").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 11L))
   }
 }

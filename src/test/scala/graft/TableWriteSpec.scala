@@ -13,6 +13,18 @@ class TableWriteSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  /** X325 reports real manifest statistics, so Spark rightly
+    * auto-broadcasts these small fixtures — which replaces the SPJ
+    * plan these tests pin. Disable auto-broadcast (as Spark's own
+    * KeyGroupedPartitioningSuite does): at the 100 TB scale SPJ
+    * exists for, neither side fits a broadcast. */
+  private def noBroadcast[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   private val schema = StructType(Seq(
     StructField("k", LongType), StructField("v", StringType)))
 
@@ -549,7 +561,7 @@ class TableWriteSpec extends AnyFunSuite {
     assert(read().filter(col("k").isin(90L, 91L)).count() === 1L)
   }
 
-  test("co-clustered tables join with ZERO shuffle (storage-partitioned join, X314)") {
+  test("co-clustered tables join with ZERO shuffle (storage-partitioned join, X314)") { noBroadcast {
     // Both tables staged partitioned by g (each file single-valued,
     // provable from manifest stats); both scans declare clusterby=g and
     // report KeyGroupedPartitioning — Spark groups same-key files into
@@ -595,5 +607,108 @@ class TableWriteSpec extends AnyFunSuite {
     val plan2 = js.queryExecution.executedPlan.toString
     assert(!plan2.contains("Exchange"),
       s"a superset-key SPJ must plan zero shuffles:\n$plan2")
+  } }
+
+  test("facet scans report manifest statistics: a small dim plans BroadcastHashJoin WITHOUT AQE (VERDICT r16)") {
+    val rF = root(); val rD = root()
+    val fact = spark.range(50000L).select(col("id").as("k"),
+      (col("id") % 97L).as("v"))
+    val dim = spark.range(50L).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    TableCommit.commitAppend(fact, rF, statsCols = Seq("k"))
+    TableCommit.commitAppend(dim, rD, statsCols = Seq("k"))
+    val schF = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    val schD = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType)))
+    def rd(r: String, sch: StructType) = spark.read
+      .format("graft-table").schema(sch).option("root", r).load()
+    // the reported stats themselves: exact manifest rows, real bytes
+    val dimStats = rd(rD, schD).queryExecution.optimizedPlan.stats
+    assert(dimStats.rowCount.contains(BigInt(50)),
+      s"dim rowCount should come off the manifest: $dimStats")
+    val onDisk = TableCommit.entries(rD).map(e =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(s"$rD/${e.path}"))).sum
+    assert(dimStats.sizeInBytes === BigInt(onDisk),
+      s"dim sizeInBytes should be the planned files' bytes: $dimStats")
+    // the plan-quality consequence: with AQE OFF, the dim still
+    // auto-broadcasts at PLAN time (no SMJ, no AQE rescue needed)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = rd(rF, schF).join(rd(rD, schD), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"a 50-row facet dim must plan-time broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(j.count() === 50L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // DV-corrected: deleting dim rows shrinks the reported rowCount
+    TableCommit.commitDeleteRows(spark, rD, schD, col("k") < 10L)
+    val after = rd(rD, schD).queryExecution.optimizedPlan.stats
+    assert(after.rowCount.contains(BigInt(40)),
+      s"numRows must subtract DV'd positions: $after")
+  }
+
+  test("identity cluster proof requires the null witness (ADVICE r15)") {
+    val r = root()
+    val sch = StructType(Seq(StructField("g", LongType),
+      StructField("x", LongType)))
+    // min == max on g, but the file also holds a NULL — admitting the
+    // layout would report KeyGroupedPartitioning and a "shuffle-free"
+    // GROUP BY would emit one NULL group per task
+    val mixed = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(5L, 1L),
+      org.apache.spark.sql.Row(null, 2L)), sch).coalesce(1)
+    TableCommit.commitAppend(mixed, r, statsCols = Seq("g"))
+    val e = TableCommit.entries(r).head
+    assert(e.stats("g") === TableCommit.ColStats("5", "5"))
+    assert(!TableCommit.nullFree(e, "g"))
+    val ds = spark.read.format("graft-table").schema(sch)
+      .option("root", r).option("clusterby", "g").load()
+    val agg = ds.groupBy("g").count()
+    val rows = agg.collect()
+    assert(rows.length === 2, s"expected {5, NULL} groups: ${rows.toSeq}")
+    assert(rows.count(_.isNullAt(0)) === 1)
+    // the unproven layout degraded losslessly: the shuffle is back
+    assert(agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "an unwitnessed identity layout must NOT report key grouping")
+    // the witness restores the proof: a null-free append to a fresh
+    // root plans the same aggregate exchange-free
+    val r2 = root()
+    val clean = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(5L, 1L),
+      org.apache.spark.sql.Row(5L, 2L)), sch).coalesce(1)
+    TableCommit.commitAppend(clean, r2, statsCols = Seq("g"),
+      partCol = Some("g"))
+    assert(TableCommit.nullFree(TableCommit.entries(r2).head, "g"))
+    val agg2 = spark.read.format("graft-table").schema(sch)
+      .option("root", r2).option("clusterby", "g").load()
+      .groupBy("g").count()
+    assert(agg2.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      === Seq((5L, 2L)))
+    assert(!agg2.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("FLOAT literals widen before stat pruning (ADVICE r15)") {
+    // unit floor: the shared literal bridge widens exactly as
+    // footerStats canonicalizes FLOAT stats
+    assert(graft.sources.GraftBatchScan.externalLiteral(
+      java.lang.Float.valueOf(0.1f), FloatType) ===
+      Some(0.1f.toDouble))
+    // end-to-end: a DELETE keyed on a float must not prune away the
+    // file that holds its matching rows (X317 planning is lossy on a
+    // wrong prune — the row would survive the delete durably)
+    val r = root()
+    val sch = StructType(Seq(StructField("f", FloatType),
+      StructField("x", LongType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(0.1f, 1L),
+      org.apache.spark.sql.Row(0.2f, 2L)), sch).coalesce(1)
+    TableCommit.commitAppend(df, r, statsCols = Seq("f"))
+    TableCommit.commitDeleteRows(spark, r, sch, col("f") === lit(0.1f))
+    assert(TableCommit.read(spark, r, sch).collect()
+      .map(_.getLong(1)).toSeq === Seq(2L),
+      "the f=0.1 row must be gone — its file was wrongly pruned")
   }
 }
