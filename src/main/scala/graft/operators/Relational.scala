@@ -2101,6 +2101,79 @@ object Relational {
       |  TRUE AS dropped_whole, CAST(0 AS BIGINT) AS dv_after
       |FROM base WHERE st <> 'P' GROUP BY 1 ORDER BY st""".stripMargin
 
+  // `q_sql_date_partition` (X327): DATE-partitioned catalog tables
+
+  /** `q_sql_date_partition` (X327, VERDICT r15 task 2): the layout
+    * every daily-batch warehouse table declares — `PARTITIONED BY`
+    * over a DATE column. Writes rotate one file per day (epoch-day
+    * key, ISO stats + `nn:` witness), a date-range query prunes whole
+    * day files at plan time, and a date-range DELETE is the X324
+    * metadata commit by envelope containment (one dropped file per
+    * in-range day, zero rows scanned, zero DVs — the daily-retention
+    * shape: at 100 TB, `DELETE WHERE d < cutoff` costs one manifest
+    * swap). Fixture: orders rolled to month-dates, one year
+    * metadata-dropped, per-year rollup gated; the plan-level halves
+    * ride as probe-derived literal columns (CatalogSpec pins file
+    * counts, SPJ, survivors, NULL refusal). */
+  def sqlDatePartitionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wh = graft.engine.TempWarehouse.createManaged("graft_sqldate_")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val cat = s"graft_date_$id"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val vo = s"graft_date_src_$id"
+    Tables.orders(spark, sfDir).select(
+      date_trunc("month", col("o_orderdate")).cast("date").as("d"),
+      col("o_orderkey").as("k"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("c")).createOrReplaceTempView(vo)
+    spark.sql(s"CREATE TABLE $cat.dp (d DATE, k BIGINT, c BIGINT) " +
+      "PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $cat.dp SELECT d, k, c FROM $vo")
+    val root = s"$wh/dp"
+    // plan-time whole-file pruning on a date range
+    val total = graft.engine.TableCommit.entries(root).size
+    val planned = spark.table(s"$cat.dp")
+      .filter(col("d") >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+        col("d") < lit(java.sql.Date.valueOf("1998-01-01")))
+      .rdd.getNumPartitions
+    // X324 by RANGE: one year of month files leaves as pure metadata
+    graft.engine.TableCommit.DmlPruneProbe.lastDropped = None
+    spark.sql(s"DELETE FROM $cat.dp WHERE d >= DATE'1996-01-01' " +
+      "AND d < DATE'1997-01-01'")
+    val dropped = graft.engine.TableCommit.DmlPruneProbe.lastDropped
+      .getOrElse(-1)
+    val dvAfter = graft.engine.TableCommit.entries(root)
+      .count(_.stats.contains(graft.engine.TableCommit.DvKey)).toLong
+    val out = spark.sql(
+      s"""SELECT CAST(year(d) AS BIGINT) AS y, COUNT(*) AS n_orders,
+         |  SUM(c) AS total_cents
+         |FROM $cat.dp GROUP BY year(d) ORDER BY y""".stripMargin)
+      .withColumn("scan_pruned", lit(planned == 12 && planned < total))
+      .withColumn("dropped_whole", lit(dropped == 12))
+      .withColumn("dv_after", lit(dvAfter))
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(vo)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc).orderBy(col("y"))
+  }
+
+  val sqlDatePartitionOracle: String =
+    """WITH base AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS d,
+      |    o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT CAST(year(d) AS BIGINT) AS y,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  TRUE AS scan_pruned, TRUE AS dropped_whole,
+      |  CAST(0 AS BIGINT) AS dv_after
+      |FROM base WHERE d < DATE '1996-01-01' OR d >= DATE '1997-01-01'
+      |GROUP BY 1 ORDER BY y""".stripMargin
+
   // `q_write_idempotent` (X288): exactly-once batch writes, gated
 
   /** `q_write_idempotent` (X288/ADVICE r13): the orchestrator-retry

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, Table
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, MetadataBuilder, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, MetadataBuilder, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.engine.TableCommit
 
@@ -174,9 +174,16 @@ class GraftCatalog extends TableCatalog
     require(idx >= 0,
       s"partition column $col is not in the table schema")
     val dt = schema.fields(idx).dataType
-    require(dt == LongType || dt == IntegerType || dt == StringType,
-      s"graft catalog: partition column must be BIGINT, INT or " +
-        s"STRING; $col is ${dt.simpleString}")
+    // DATE joins the identity family (VERDICT r15 task 2): epoch-day
+    // rotation, ISO stats, the layout every daily-batch warehouse
+    // table declares
+    require(dt == LongType || dt == IntegerType || dt == StringType ||
+        dt == DateType,
+      s"graft catalog: partition column must be BIGINT, INT, STRING " +
+        s"or DATE; $col is ${dt.simpleString}")
+    require(buckets.isEmpty || dt != DateType,
+      s"graft catalog: bucket($col) over DATE is not supported — " +
+        "bucket a surrogate key, or use identity DATE partitioning")
     val f = schema.fields(idx)
     val md0 = new MetadataBuilder().withMetadata(f.metadata)
       .putBoolean(GraftCatalog.PartitionMetaKey, true)

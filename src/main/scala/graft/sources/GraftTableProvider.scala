@@ -601,7 +601,8 @@ private class GraftDataWriter(root: String, batch: String,
   private val statSawNull = new Array[Boolean](schema.fields.length)
   private val statable = schema.fields.map(f =>
     !f.name.contains(":") && (f.dataType match {
-      case LongType | IntegerType | DoubleType | StringType => true
+      case LongType | IntegerType | DoubleType | StringType |
+          DateType | TimestampType => true
       case _ => false
     }))
 
@@ -651,6 +652,14 @@ private class GraftDataWriter(root: String, batch: String,
         case StringType =>
           val v = row.getUTF8String(i).toString
           g.add(f.name, v); trackStat(i, v)
+        // DATE rides as its epoch-day Int (ordered like the ISO text
+        // the stats channel canonicalizes it to at commit); TIMESTAMP
+        // as raw micros (the footer-stats canonical form is the same
+        // decimal text)
+        case DateType =>
+          val v = row.getInt(i); g.add(f.name, v); trackStat(i, v)
+        case TimestampType =>
+          val v = row.getLong(i); g.add(f.name, v); trackStat(i, v)
         case other => throw new IllegalArgumentException(
           s"graft-table: unsupported type $other for column ${f.name}")
       }
@@ -662,10 +671,17 @@ private class GraftDataWriter(root: String, batch: String,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
+    // canonical stat text per ColStats' contract: ISO for DATE
+    // (lexical = chronological), decimal text otherwise
+    def canon(i: Int, v: Any): String = schema.fields(i).dataType match {
+      case DateType => java.time.LocalDate
+        .ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case _ => v.toString
+    }
     val stats = schema.fields.indices.collect {
       case i if statMin(i) != null =>
         schema.fields(i).name ->
-          (statMin(i).toString, statMax(i).toString)
+          (canon(i, statMin(i)), canon(i, statMax(i)))
     }.toMap
     val witnessed = schema.fields.indices.collect {
       case i if statMin(i) != null && !statSawNull(i) =>
@@ -723,6 +739,8 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
       case IntegerType => row.getInt(partIdx)
       case StringType  => row.getUTF8String(partIdx).toString
       case DoubleType  => row.getDouble(partIdx)
+      // the daily-batch warehouse shape: rotate per epoch-day Int
+      case DateType    => row.getInt(partIdx)
       case other => throw new IllegalArgumentException(
         s"graft-table: unsupported partition column type $other")
     }
@@ -735,7 +753,13 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
   private def partTag: Option[String] = buckets match {
     case Some(_) => Some(GraftBucketPart.render(
       currentKey.asInstanceOf[Int]))
-    case None    => Some(String.valueOf(currentKey))
+    // DATE tags render ISO — the same canonical text the stats channel
+    // (and the X319 report) speaks for the column
+    case None => dt match {
+      case DateType => Some(java.time.LocalDate
+        .ofEpochDay(currentKey.asInstanceOf[Int].toLong).toString)
+      case _ => Some(String.valueOf(currentKey))
+    }
   }
 
   override def write(row: InternalRow): Unit = {
@@ -1243,24 +1267,51 @@ private[graft] object GraftBatchScan {
         TableCommit.bloomKeeps(e, c, v.toString))
 
   /** TRUE only when the file's stats PROVE every row matches `f` — the
-    * X324 whole-file DML-drop predicate. Deliberately bounded to files
-    * SINGLE-VALUED on every referenced column (min == max): with one
-    * witnessed value, "some row might match" and "all rows match"
-    * coincide. Min/max witness NON-NULL rows only (every producer
-    * skips nulls), so each referenced column must ALSO carry the
-    * `nn:<col>` null-free witness — without it a file holding
-    * {5, NULL} rows reads min = max = 5 and a whole-file drop on
-    * `c = 5` would erase the NULL rows (ADVICE r15). Rotated catalog
-    * writes refuse NULLs and witness automatically; a path-based or
-    * engine-API write earns the witness from its footers; stat-less
-    * or pre-witness files stay on the lossless DV-scan path. */
+    * X324 whole-file DML-drop predicate, by ENVELOPE CONTAINMENT: an
+    * equality/IN needs the file single-valued on the column (min ==
+    * max, where "might match" and "all match" coincide); a range
+    * conjunct needs the whole [min, max] envelope inside the predicate
+    * region — which makes the daily-retention shape (`DELETE WHERE
+    * d >= X AND d < Y` on a date-partitioned table) a pure metadata
+    * commit too, one dropped file per in-range day. Min/max witness
+    * NON-NULL rows only (every producer skips nulls), so each
+    * referenced column must ALSO carry the `nn:<col>` null-free
+    * witness — without it a file holding {5, NULL} rows reads
+    * min = max = 5 and a whole-file drop on `c = 5` would erase the
+    * NULL rows (ADVICE r15). Rotated catalog writes refuse NULLs and
+    * witness automatically; a path-based or engine-API write earns
+    * the witness from its footers; stat-less or pre-witness files
+    * stay on the lossless DV-scan path. */
   def mustMatchAll(full: StructType, e: TableCommit.Entry,
       f: Filter): Boolean = {
-    val cols = f.references.toSeq
-    cols.nonEmpty && cols.forall(c =>
-      e.stats.get(c).exists(cs => cs.min == cs.max) &&
-        TableCommit.nullFree(e, c)) &&
-      mightMatch(full, e, f)
+    def env(c: String): Option[((String, String) => Boolean,
+        TableCommit.ColStats)] =
+      if (!TableCommit.nullFree(e, c)) None
+      else for {
+        cs <- e.stats.get(c)
+        fld <- full.fields.find(_.name == c)
+        if prunableTypes(fld.dataType)
+      } yield (lt(fld.dataType), cs)
+    def eqAll(c: String, v: Any): Boolean = v != null &&
+      env(c).exists { case (less, cs) =>
+        val s = v.toString
+        cs.min == cs.max && !less(s, cs.min) && !less(cs.min, s)
+      }
+    def proves(f: Filter): Boolean = f match {
+      case And(l, r)     => proves(l) && proves(r)
+      case EqualTo(c, v) => eqAll(c, v)
+      case In(c, vs)     => vs.exists(eqAll(c, _))
+      case GreaterThan(c, v) => v != null && env(c).exists {
+        case (less, cs) => less(v.toString, cs.min) } // v < min
+      case GreaterThanOrEqual(c, v) => v != null && env(c).exists {
+        case (less, cs) => !less(cs.min, v.toString) } // min >= v
+      case LessThan(c, v) => v != null && env(c).exists {
+        case (less, cs) => less(cs.max, v.toString) } // max < v
+      case LessThanOrEqual(c, v) => v != null && env(c).exists {
+        case (less, cs) => !less(v.toString, cs.max) } // max <= v
+      case _ => false
+    }
+    f.references.nonEmpty && proves(f)
   }
 
   /** Keep the file iff the filter MIGHT match its [min, max] — a
@@ -1571,6 +1622,15 @@ private object GraftDataWriter {
         case DoubleType  => b.addField(Types.optional(DOUBLE).named(f.name))
         case StringType  => b.addField(Types.optional(BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        // X327: DATE (epoch-day INT32) and TIMESTAMP (UTC-adjusted
+        // micros INT64) — the types every date-partitioned warehouse
+        // table carries; annotations match what Spark's own parquet
+        // writer emits, so both readers decode identically
+        case DateType => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case TimestampType => b.addField(Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
         case other => throw new IllegalArgumentException(
           s"graft-table: unsupported type $other for column ${f.name}")
       }

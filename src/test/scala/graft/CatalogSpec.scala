@@ -985,6 +985,75 @@ class CatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cat_pd_src")
   }
 
+  test("DATE-partitioned tables: daily rotation, range pruning, metadata day-range DELETE (X327)") { noBroadcast {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.dt (d DATE, x BIGINT) " +
+      "PARTITIONED BY (d)")
+    val root = s"$wh/dt"
+    spark.range(100L).select(
+      date_add(lit(java.sql.Date.valueOf("2024-03-01")),
+        (col("id") % 5L).cast("int")).as("d"),
+      col("id").as("x")).createOrReplaceTempView("cat_date_src")
+    spark.sql(s"INSERT INTO $cat.dt SELECT d, x FROM cat_date_src")
+    // one file per day, ISO min == max stats + the nn witness, ISO tag
+    val es = TableCommit.entries(root)
+    assert(es.size === 5, s"expected 5 rotated day files: $es")
+    assert(es.forall(e => e.stats.get("d").exists(cs =>
+      cs.min == cs.max && cs.min.startsWith("2024-03-0")) &&
+      TableCommit.nullFree(e, "d")), s"broken day layout: $es")
+    assert(es.flatMap(_.part).sorted ===
+      (1 to 5).map(i => s"2024-03-0$i"))
+    // a date-range query PRUNES whole day files at plan time
+    val q = spark.table(s"$cat.dt")
+      .filter(col("d") >= lit(java.sql.Date.valueOf("2024-03-04")))
+    assert(q.rdd.getNumPartitions === 2,
+      s"expected 2 planned day files, got ${q.rdd.getNumPartitions}")
+    assert(q.count() === 40L)
+    // SPJ on the date key: co-partitioned daily tables join shuffle-free
+    spark.sql(s"CREATE TABLE $cat.dm (d DATE, y BIGINT) " +
+      "PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $cat.dm SELECT d, x * 2 AS y FROM cat_date_src")
+    val j = spark.sql(
+      s"SELECT a.d FROM $cat.dt a JOIN $cat.dm b ON a.d = b.d")
+    assert(j.count() === 2000L)
+    j.collect()
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+      "date-partitioned tables must storage-partition their join")
+    // X324 by RANGE (envelope containment): deleting two days drops
+    // two whole files — no DV, survivors untouched
+    val fpBefore = dataFingerprint(root)
+    TableCommit.DmlPruneProbe.lastDropped = None
+    spark.sql(s"DELETE FROM $cat.dt WHERE d >= DATE'2024-03-02' " +
+      "AND d < DATE'2024-03-04'")
+    assert(TableCommit.DmlPruneProbe.lastDropped === Some(2),
+      s"expected 2 whole-day drops: ${TableCommit.DmlPruneProbe.lastDropped}")
+    val es2 = TableCommit.entries(root)
+    assert(es2.size === 3)
+    assert(!es2.exists(_.stats.contains(TableCommit.DvKey)),
+      "a day-range delete must not mint DVs")
+    val fpAfter = dataFingerprint(root)
+    assert(es2.forall(e => fpAfter(s"$root/${e.path}") ==
+      fpBefore(s"$root/${e.path}")), "survivors must be untouched")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dt").collect()(0)
+      .getLong(0) === 60L)
+    // NULL dates refuse loudly at the rotating writer
+    def hasNullMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage)
+        .exists(_.contains("NULL partition values")) ||
+        hasNullMsg(t.getCause))
+    val eN = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.dt VALUES (NULL, 1)")
+    }
+    assert(hasNullMsg(eN), s"expected the NULL refusal, got $eN")
+    // bucket-over-DATE refuses at CREATE
+    val eB = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.dbad (d DATE, x BIGINT) " +
+        "PARTITIONED BY (bucket(4, d))")
+    }
+    assert(eB.getMessage.contains("DATE"), eB.getMessage)
+    spark.catalog.dropTempView("cat_date_src")
+  } }
+
   test("X324 whole-file drops require the null witness — a mixed NULL file keeps the DV path (ADVICE r15)") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.nw (g BIGINT, x BIGINT) " +
