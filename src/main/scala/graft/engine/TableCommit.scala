@@ -3088,8 +3088,13 @@ object TableCommit {
     // whole-file drop — without the witness it falls to the DV scan.
     val dropped: Seq[Entry] =
       graft.sources.GraftCatalog.partitionLayoutOf(root) match {
-        case Some((pc, None)) if complete && fs.nonEmpty &&
-            fs.forall(f => f.references.toSeq == Seq(pc)) =>
+        // identity layouts drop single-valued files; time layouts
+        // (X327) drop by envelope containment — `WHERE ts >= A AND
+        // ts < B` spanning whole days is still one metadata commit
+        case Some((pc, graft.sources.GraftRotate.Identity |
+            graft.sources.GraftRotate.Time(_)))
+            if complete && fs.nonEmpty &&
+              fs.forall(f => f.references.toSeq == Seq(pc)) =>
           cands.filter(e => fs.forall(f =>
             graft.sources.GraftBatchScan.mustMatchAll(schema, e, f)))
         case _ => Seq.empty
@@ -4309,7 +4314,14 @@ object TableCommit {
         case (None, None, Some((bc, n))) =>
           cur.repartition(math.min(targetFiles, n),
             bucketExpr(cur, bc, n))
-        case (None, None, None) => cur.coalesce(targetFiles)
+        case (None, None, None) =>
+          // X327: a time-partitioned table's compact co-locates each
+          // BIN before the rotated staging splits per bin
+          graft.sources.GraftCatalog.partitionLayoutOf(root) match {
+            case Some((c, graft.sources.GraftRotate.Time(u))) =>
+              cur.repartition(math.max(1, targetFiles), timeCol(c, u))
+            case _ => cur.coalesce(targetFiles)
+          }
       }
     }
 
@@ -4354,6 +4366,39 @@ object TableCommit {
       .map(e => e.copy(part = e.part.map(p =>
         p.toIntOption.fold(p)(graft.sources.GraftBucketPart.render))))
 
+  /** X327: the canonical time transform as a CODEGEN'D Column — an
+    * `Invoke` of the catalog function's MAGIC overload, so maintenance
+    * rewrites bin rows with the EXACT function the write rotation and
+    * the SQL scalar compute (one definition, no drift) and stay inside
+    * whole-stage codegen. NULL timestamps propagate to a NULL key →
+    * the default staging dir → an unparseable tag → the layout proof
+    * fails for that file, losslessly. */
+  private def timeCol(c: String,
+      unit: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.Invoke
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val fn = new graft.sources.GraftTimeBound(unit)
+    org.apache.spark.sql.graftshim.Shim.column(Invoke(
+      Literal.create(fn, org.apache.spark.sql.types.ObjectType(
+        classOf[graft.sources.GraftTimeBound])),
+      "invoke", fn.resultType(),
+      Seq(org.apache.spark.sql.graftshim.Shim.expression(col(c)))))
+  }
+
+  /** X327: stage `df` rotated per TIME bin of `c` — the `_p` staging
+    * channel carries the transform value (ISO date for `days`, the
+    * int bin otherwise) and entries republish with the namespaced
+    * `<unit>=<key>` proof the clustered scan verifies; the TIMESTAMP
+    * column's stats ride so DML pruning and range drops keep working
+    * after a rewrite. */
+  private def stageTimeRotated(df: DataFrame, root: String, c: String,
+      unit: String, statsCols: Seq[String],
+      collectRows: Boolean = false): Seq[Entry] =
+    stageBatch(df.withColumn("_p", timeCol(c, unit)), root,
+      Some("_p"), (statsCols :+ c).distinct, collectRows = collectRows)
+      .map(e => e.copy(part = e.part.map(p =>
+        graft.sources.GraftTimePart.retag(unit, p))))
+
   /** X322: stage a DML/MERGE image batch honoring the table's DECLARED
     * layout — identity partition (rotate per value, stats carry the
     * min == max witness) or bucket (rotate per canonical id) — so an
@@ -4365,9 +4410,11 @@ object TableCommit {
   private def stageImages(df: DataFrame, root: String,
       statsCols: Seq[String], collectRows: Boolean = false): Seq[Entry] =
     graft.sources.GraftCatalog.partitionLayoutOf(root) match {
-      case Some((c, Some(n))) =>
+      case Some((c, graft.sources.GraftRotate.Bucket(n))) =>
         stageBucketed(df, root, c, n, statsCols, collectRows)
-      case Some((c, None)) =>
+      case Some((c, graft.sources.GraftRotate.Time(u))) =>
+        stageTimeRotated(df, root, c, u, statsCols, collectRows)
+      case Some((c, graft.sources.GraftRotate.Identity)) =>
         // statsCols gains the layout column (min == max witness), so
         // footer stats — and with them row counts — are always read
         stageBatch(df, root, Some(c), (statsCols :+ c).distinct,
@@ -4393,19 +4440,26 @@ object TableCommit {
     // a z-order cluster on a partitioned table must not silently hand
     // its joins the shuffle back. Caller-passed layout wins; absent
     // one, the root's own declaration applies.
-    val (effPart, effBucket) =
-      if (partCol.isDefined || bucketSpec.isDefined) (partCol, bucketSpec)
+    val (effPart, effBucket, effTime) =
+      if (partCol.isDefined || bucketSpec.isDefined)
+        (partCol, bucketSpec, None)
       else graft.sources.GraftCatalog.partitionLayoutOf(root) match {
-        case Some((c, Some(n))) => (None, Some((c, n)))
-        case Some((c, None))    => (Some(c), None)
-        case None               => (None, None)
+        case Some((c, graft.sources.GraftRotate.Bucket(n))) =>
+          (None, Some((c, n)), None)
+        case Some((c, graft.sources.GraftRotate.Time(u))) =>
+          (None, None, Some((c, u)))
+        case Some((c, graft.sources.GraftRotate.Identity)) =>
+          (Some(c), None, None)
+        case None => (None, None, None)
       }
-    val effStats = (statsCols ++ effPart).distinct
+    val effStats = (statsCols ++ effPart ++ effTime.map(_._1)).distinct
     def stage(arranged: DataFrame, stats: Seq[String]): Seq[Entry] =
-      effBucket match {
-        case Some((c, n)) => stageBucketed(arranged, root, c, n, stats,
-          collectRows = true)
-        case None => stageBatch(arranged, root, effPart, stats,
+      (effBucket, effTime) match {
+        case (Some((c, n)), _) => stageBucketed(arranged, root, c, n,
+          stats, collectRows = true)
+        case (_, Some((c, u))) => stageTimeRotated(arranged, root, c,
+          u, stats, collectRows = true)
+        case _ => stageBatch(arranged, root, effPart, stats,
           collectRows = true)
       }
     if (!preserveRowIds) {
@@ -4491,19 +4545,27 @@ object TableCommit {
     // value (or per bucket) so the rewritten files stay single-keyed
     // (the X314 SPJ proof) and carries the column's stats; absent a
     // caller-passed layout, the root's own declaration applies
-    val (effPart, effBucket) =
-      if (partCol.isDefined || bucketSpec.isDefined) (partCol, bucketSpec)
+    val (effPart, effBucket, effTime) =
+      if (partCol.isDefined || bucketSpec.isDefined)
+        (partCol, bucketSpec, None)
       else graft.sources.GraftCatalog.partitionLayoutOf(root) match {
-        case Some((c, Some(nb))) => (None, Some((c, nb)))
-        case Some((c, None))     => (Some(c), None)
-        case None                => (None, None)
+        case Some((c, graft.sources.GraftRotate.Bucket(nb))) =>
+          (None, Some((c, nb)), None)
+        case Some((c, graft.sources.GraftRotate.Time(u))) =>
+          (None, None, Some((c, u)))
+        case Some((c, graft.sources.GraftRotate.Identity)) =>
+          (Some(c), None, None)
+        case None => (None, None, None)
       }
-    val allStats = (statsCols ++ effPart ++ effBucket.map(_._1)).distinct
+    val allStats = (statsCols ++ effPart ++ effBucket.map(_._1) ++
+      effTime.map(_._1)).distinct
     def stage(df: DataFrame, stats: Seq[String]): Seq[Entry] =
-      effBucket match {
-        case Some((c, n)) => stageBucketed(df, root, c, n, stats,
+      (effBucket, effTime) match {
+        case (Some((c, n)), _) => stageBucketed(df, root, c, n, stats,
           collectRows = true)
-        case None => stageBatch(df, root, effPart, stats,
+        case (_, Some((c, u))) => stageTimeRotated(df, root, c, u,
+          stats, collectRows = true)
+        case _ => stageBatch(df, root, effPart, stats,
           collectRows = true)
       }
     require(maxDeadRatio >= 0.0 && maxDeadRatio < 1.0,

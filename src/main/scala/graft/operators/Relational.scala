@@ -2174,6 +2174,73 @@ object Relational {
       |FROM base WHERE d < DATE '1996-01-01' OR d >= DATE '1997-01-01'
       |GROUP BY 1 ORDER BY y""".stripMargin
 
+  // `q_sql_time_partition` (X327): months(ts) transform partitions
+
+  /** `q_sql_time_partition` (X327): `PARTITIONED BY (months(ts))` —
+    * the Iceberg-style time-transform layout for event tables: writes
+    * rotate one file per month bin (canonical [[GraftTimeFn]] floors,
+    * `months=<n>` proof tags), scans report the months transform as
+    * KeyGroupedPartitioning, and a TIMESTAMP-range DELETE spanning
+    * whole bins is an X324 metadata commit by envelope containment
+    * (TIMESTAMP pruning admitted only for raw-micros catalyst
+    * literals — external ISO strings still refuse). Fixture: orders
+    * by their TIMESTAMP order date, one year metadata-dropped,
+    * per-year rollup; probes ride as literal columns. */
+  def sqlTimePartitionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wh = graft.engine.TempWarehouse.createManaged("graft_sqltime_")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val cat = s"graft_time_$id"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val vo = s"graft_time_src_$id"
+    Tables.orders(spark, sfDir).select(
+      col("o_orderdate").cast("timestamp").as("ts"),
+      col("o_orderkey").as("k"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("c")).createOrReplaceTempView(vo)
+    spark.sql(s"CREATE TABLE $cat.tp (ts TIMESTAMP, k BIGINT, " +
+      "c BIGINT) PARTITIONED BY (months(ts))")
+    spark.sql(s"INSERT INTO $cat.tp SELECT ts, k, c FROM $vo")
+    val root = s"$wh/tp"
+    val monthTagged = graft.engine.TableCommit.entries(root)
+      .forall(_.part.exists(_.startsWith("months=")))
+    graft.engine.TableCommit.DmlPruneProbe.lastDropped = None
+    spark.sql(s"DELETE FROM $cat.tp " +
+      "WHERE ts >= TIMESTAMP'1996-01-01 00:00:00' " +
+      "AND ts < TIMESTAMP'1997-01-01 00:00:00'")
+    val dropped = graft.engine.TableCommit.DmlPruneProbe.lastDropped
+      .getOrElse(-1)
+    val dvAfter = graft.engine.TableCommit.entries(root)
+      .count(_.stats.contains(graft.engine.TableCommit.DvKey)).toLong
+    val out = spark.sql(
+      s"""SELECT CAST(year(ts) AS BIGINT) AS y, COUNT(*) AS n_orders,
+         |  SUM(c) AS total_cents
+         |FROM $cat.tp GROUP BY year(ts) ORDER BY y""".stripMargin)
+      .withColumn("month_tagged", lit(monthTagged))
+      .withColumn("dropped_whole", lit(dropped == 12))
+      .withColumn("dv_after", lit(dvAfter))
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(vo)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc).orderBy(col("y"))
+  }
+
+  val sqlTimePartitionOracle: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderdate AS TIMESTAMP) AS ts, o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT CAST(year(ts) AS BIGINT) AS y,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  TRUE AS month_tagged, TRUE AS dropped_whole,
+      |  CAST(0 AS BIGINT) AS dv_after
+      |FROM base WHERE ts < TIMESTAMP '1996-01-01 00:00:00'
+      |  OR ts >= TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY y""".stripMargin
+
   // `q_write_idempotent` (X288): exactly-once batch writes, gated
 
   /** `q_write_idempotent` (X288/ADVICE r13): the orchestrator-retry

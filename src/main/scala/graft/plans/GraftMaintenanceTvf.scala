@@ -194,8 +194,10 @@ case class GraftMeltCommand(root: String, maxDeadRatio: Double,
       targetFiles = targetFiles,
       retain = GraftMaintenanceTvf.keepRetain(root),
       preserveRowIds = TableCommit.isTracked(root),
-      partCol = layout.collect { case (c, None) => c },
-      bucketSpec = layout.collect { case (c, Some(n)) => (c, n) })
+      partCol = layout.collect {
+        case (c, graft.sources.GraftRotate.Identity) => c },
+      bucketSpec = layout.collect {
+        case (c, graft.sources.GraftRotate.Bucket(n)) => (c, n) })
     val after = TableCommit.entries(root)
     Seq(Row(v, before.size.toLong, after.size.toLong,
       GraftMaintenanceTvf.rewrittenCount(before, after)))
@@ -214,8 +216,10 @@ case class GraftCompactCommand(root: String, targetFiles: Int)
     val v = TableCommit.commitCompact(spark, root, targetFiles,
       retain = GraftMaintenanceTvf.keepRetain(root),
       preserveRowIds = TableCommit.isTracked(root),
-      partCol = layout.collect { case (c, None) => c },
-      bucketSpec = layout.collect { case (c, Some(n)) => (c, n) })
+      partCol = layout.collect {
+        case (c, graft.sources.GraftRotate.Identity) => c },
+      bucketSpec = layout.collect {
+        case (c, graft.sources.GraftRotate.Bucket(n)) => (c, n) })
     val after = TableCommit.entries(root)
     Seq(Row(v, before.size.toLong, after.size.toLong,
       GraftMaintenanceTvf.rewrittenCount(before, after)))

@@ -96,3 +96,73 @@ class GraftBucketBound(dt: DataType) extends ScalarFunction[Integer] {
       v: org.apache.spark.unsafe.types.UTF8String): Int =
     GraftBucketFn.bucketString(n, v)
 }
+
+/** X327: the canonical TIME transforms — `days`/`months`/`hours` over
+  * a UTC-micros timestamp, ONE definition shared by the write-side
+  * rotation, the SQL FunctionCatalog (what Spark resolves the
+  * transforms against for SPJ compatibility), and the maintenance
+  * rewrite expressions. All floor toward negative infinity, so
+  * pre-1970 values bin correctly. */
+object GraftTimeFn {
+  val MicrosPerDay  = 86_400_000_000L
+  val MicrosPerHour = 3_600_000_000L
+
+  /** Epoch DAY of the micros instant (the Iceberg days transform). */
+  def days(micros: Long): Int =
+    java.lang.Math.floorDiv(micros, MicrosPerDay).toInt
+
+  /** Months since 1970-01 (the Iceberg months transform). */
+  def months(micros: Long): Int = {
+    val d = java.time.LocalDate.ofEpochDay(
+      java.lang.Math.floorDiv(micros, MicrosPerDay))
+    (d.getYear - 1970) * 12 + d.getMonthValue - 1
+  }
+
+  /** Hours since epoch (the Iceberg hours transform). */
+  def hours(micros: Long): Int =
+    java.lang.Math.floorDiv(micros, MicrosPerHour).toInt
+
+  def apply(unit: String, micros: Long): Int = unit match {
+    case "days"   => days(micros)
+    case "months" => months(micros)
+    case "hours"  => hours(micros)
+    case other => throw new IllegalArgumentException(
+      s"unknown time transform $other")
+  }
+}
+
+/** X327: one time transform as a catalog function — the SPJ
+  * resolution anchor, exactly the [[GraftBucketUnbound]] mechanics.
+  * `days` results in DATE (epoch-day int), `months`/`hours` in INT —
+  * the Iceberg transform result types Spark's key-grouped machinery
+  * expects. */
+final class GraftTimeUnbound(unit: String) extends UnboundFunction {
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(ts TIMESTAMP) -> ${if (unit == "days") "DATE" else "INT"}: " +
+      "the graft time-partition transform (UTC micros, floored)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$unit takes one timestamp argument; got $inputType")
+    inputType.fields(0).dataType match {
+      case TimestampType => new GraftTimeBound(unit)
+      case other => throw new UnsupportedOperationException(
+        s"graft $unit: unsupported value type ${other.simpleString} " +
+          "(TIMESTAMP)")
+    }
+  }
+}
+
+final class GraftTimeBound(unit: String) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(TimestampType)
+  override def resultType(): DataType =
+    if (unit == "days") DateType else IntegerType
+  override def name(): String = unit
+  override def canonicalName(): String = s"graft.$unit(timestamp)"
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(0)) return null
+    GraftTimeFn(unit, input.getLong(0))
+  }
+  // the MAGIC fast path (see GraftBucketBound)
+  def invoke(micros: Long): Int = GraftTimeFn(unit, micros)
+}

@@ -51,12 +51,17 @@ class GraftCatalog extends TableCatalog
     * function are storage-partitioned-join compatible. */
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      Array("bucket", "days", "months", "hours")
+        .map(Identifier.of(Array.empty, _))
     else Array.empty
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace.isEmpty && ident.name == "bucket")
       GraftBucketUnbound
+    else if (ident.namespace.isEmpty &&
+        GraftTimePart.Units(ident.name)) // X327 time transforms
+      new GraftTimeUnbound(ident.name)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
   private var catalogName: String = _
@@ -148,10 +153,11 @@ class GraftCatalog extends TableCatalog
     if (partitions.isEmpty) return schema
     require(partitions.length == 1,
       "graft catalog: at most ONE partition column is supported")
-    val (col, buckets) = partitions(0) match {
+    val (col, rotate) = partitions(0) match {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
-        (t.references()(0).fieldNames()(0), None)
+        (t.references()(0).fieldNames()(0),
+          GraftRotate.Identity: GraftRotate)
       // X320: bucket(n, col) — the bounded-file-count layout for
       // high-cardinality keys (the Iceberg bucket-join shape)
       case t if t.name == "bucket" && t.references.length == 1 &&
@@ -164,31 +170,53 @@ class GraftCatalog extends TableCatalog
           s"bucket transform without a numeric bucket count: $t"))
         require(n > 0 && n <= 100000,
           s"graft catalog: bucket count must be in [1, 100000], got $n")
-        (t.references()(0).fieldNames()(0), Some(n))
+        (t.references()(0).fieldNames()(0),
+          GraftRotate.Bucket(n): GraftRotate)
+      // X327: days/months/hours over a TIMESTAMP — the Iceberg time
+      // transforms, the layout every event table declares
+      case t if GraftTimePart.Units(t.name) &&
+          t.references.length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        (t.references()(0).fieldNames()(0),
+          GraftRotate.Time(t.name): GraftRotate)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: only PARTITIONED BY (<column>) and " +
-          s"PARTITIONED BY (bucket(n, <column>)) are supported " +
-          s"(identity transform); got $other")
+        s"graft catalog: only PARTITIONED BY (<column>), " +
+          s"PARTITIONED BY (bucket(n, <column>)) and PARTITIONED BY " +
+          s"(days|months|hours(<timestamp column>)) are supported; " +
+          s"got $other")
     }
     val idx = schema.fieldNames.indexOf(col)
     require(idx >= 0,
       s"partition column $col is not in the table schema")
     val dt = schema.fields(idx).dataType
-    // DATE joins the identity family (VERDICT r15 task 2): epoch-day
-    // rotation, ISO stats, the layout every daily-batch warehouse
-    // table declares
-    require(dt == LongType || dt == IntegerType || dt == StringType ||
-        dt == DateType,
-      s"graft catalog: partition column must be BIGINT, INT, STRING " +
-        s"or DATE; $col is ${dt.simpleString}")
-    require(buckets.isEmpty || dt != DateType,
-      s"graft catalog: bucket($col) over DATE is not supported — " +
-        "bucket a surrogate key, or use identity DATE partitioning")
+    rotate match {
+      case GraftRotate.Identity =>
+        // DATE joins the identity family (VERDICT r15 task 2):
+        // epoch-day rotation, ISO stats, the daily-batch layout
+        require(dt == LongType || dt == IntegerType ||
+            dt == StringType || dt == DateType,
+          s"graft catalog: partition column must be BIGINT, INT, " +
+            s"STRING or DATE; $col is ${dt.simpleString}")
+      case GraftRotate.Bucket(_) =>
+        require(dt == LongType || dt == IntegerType || dt == StringType,
+          s"graft catalog: bucket column must be BIGINT, INT or " +
+            s"STRING; $col is ${dt.simpleString}")
+      case GraftRotate.Time(unit) =>
+        require(dt == org.apache.spark.sql.types.TimestampType,
+          s"graft catalog: $unit($col) requires a TIMESTAMP column; " +
+            s"$col is ${dt.simpleString} (a DATE column partitions " +
+            "by identity)")
+    }
     val f = schema.fields(idx)
     val md0 = new MetadataBuilder().withMetadata(f.metadata)
       .putBoolean(GraftCatalog.PartitionMetaKey, true)
-    val md = buckets.fold(md0)(n =>
-      md0.putLong(GraftCatalog.BucketMetaKey, n.toLong)).build()
+    val md = (rotate match {
+      case GraftRotate.Bucket(n) =>
+        md0.putLong(GraftCatalog.BucketMetaKey, n.toLong)
+      case GraftRotate.Time(unit) =>
+        md0.putString(GraftCatalog.TimeUnitMetaKey, unit)
+      case GraftRotate.Identity => md0
+    }).build()
     StructType(schema.fields.toIndexedSeq.updated(idx,
       f.copy(metadata = md)))
   }
@@ -227,13 +255,12 @@ class GraftCatalog extends TableCatalog
     val partField = schema.fields
       .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
     val partCol = partField.map(_.name)
-    val buckets = partField
-      .filter(_.metadata.contains(GraftCatalog.BucketMetaKey))
-      .map(_.metadata.getLong(GraftCatalog.BucketMetaKey).toInt)
+    val rotate = partField.map(GraftCatalog.rotateOf)
+      .getOrElse(GraftRotate.Identity)
     new GraftCatalogTable(schema, props, root,
       s"$catalogName.${(ident.namespace.toSeq :+ ident.name).mkString(".")}" +
         asOf.map(v => s"@v$v").getOrElse(""),
-      asOf, retain, toPhysical, conflictRetries, partCol, buckets)
+      asOf, retain, toPhysical, conflictRetries, partCol, rotate)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -586,7 +613,7 @@ private[graft] class GraftCatalogTable(schema0: StructType,
     displayName: String, asOf: Option[Long] = None, retain: Int = 64,
     mapping: Map[String, String] = Map.empty,
     conflictRetries: Int = 20, partCol: Option[String] = None,
-    buckets: Option[Int] = None)
+    rotate: GraftRotate = GraftRotate.Identity)
     extends GraftWriteTable(schema0, properties) with SupportsDelete {
   override def name(): String = displayName
 
@@ -599,13 +626,16 @@ private[graft] class GraftCatalogTable(schema0: StructType,
   override def partitioning(): Array[Transform] =
     partCol.map { c =>
       import org.apache.spark.sql.connector.expressions.Expressions
-      buckets match {
-        case Some(n) => Expressions.bucket(n, c): Transform
-        case None    => Expressions.identity(c): Transform
+      rotate match {
+        case GraftRotate.Bucket(n)       => Expressions.bucket(n, c): Transform
+        case GraftRotate.Time("days")    => Expressions.days(c): Transform
+        case GraftRotate.Time("months")  => Expressions.months(c): Transform
+        case GraftRotate.Time(_)         => Expressions.hours(c): Transform
+        case GraftRotate.Identity        => Expressions.identity(c): Transform
       }
     }.toArray
   override protected def partitionColumn: Option[String] = partCol
-  override protected def partitionBuckets: Option[Int] = buckets
+  override protected def partitionRotate: GraftRotate = rotate
 
   /** X310: `MERGE INTO … WITH SCHEMA EVOLUTION` — declaring
     * AUTOMATIC_SCHEMA_EVOLUTION lets Spark's analyzer route the
@@ -694,8 +724,8 @@ private class GraftStagedTable(schema0: StructType,
         .map(_.name),
       schema0.fields
         .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
-        .filter(_.metadata.contains(GraftCatalog.BucketMetaKey))
-        .map(_.metadata.getLong(GraftCatalog.BucketMetaKey).toInt))
+        .map(GraftCatalog.rotateOf)
+        .getOrElse(GraftRotate.Identity))
     with org.apache.spark.sql.connector.catalog.StagedTable {
   override def commitStagedChanges(): Unit =
     try Files.move(marker, Paths.get(root, "_schema.json"))
@@ -726,6 +756,19 @@ private[graft] object GraftCatalog {
     * count beside [[PartitionMetaKey]]. */
   val BucketMetaKey = "graft.buckets"
 
+  /** X327: the field-metadata key carrying a time-partitioned table's
+    * transform unit (`days`/`months`/`hours`) beside
+    * [[PartitionMetaKey]]. */
+  val TimeUnitMetaKey = "graft.timeunit"
+
+  /** The rotation a marked partition field declares. */
+  def rotateOf(f: org.apache.spark.sql.types.StructField): GraftRotate =
+    if (f.metadata.contains(BucketMetaKey))
+      GraftRotate.Bucket(f.metadata.getLong(BucketMetaKey).toInt)
+    else if (f.metadata.contains(TimeUnitMetaKey))
+      GraftRotate.Time(f.metadata.getString(TimeUnitMetaKey))
+    else GraftRotate.Identity
+
   /** X318: a root's declared IDENTITY partition column (PHYSICAL name
     * — what the staging and stats layers speak) from `_schema.json`'s
     * field metadata; None for unpartitioned, bucketed (those route
@@ -733,12 +776,13 @@ private[graft] object GraftCatalog {
     * roots. Lets the maintenance verbs preserve a partitioned table's
     * layout. */
   def partitionColOf(root: String): Option[String] =
-    partitionLayoutOf(root).collect { case (c, None) => c }
+    partitionLayoutOf(root).collect {
+      case (c, GraftRotate.Identity) => c }
 
   /** X321: the full declared layout — (column, Some(n)) for a
     * bucketed table, (column, None) for identity, None for
     * unpartitioned or non-catalog roots. PHYSICAL column name. */
-  def partitionLayoutOf(root: String): Option[(String, Option[Int])] =
+  def partitionLayoutOf(root: String): Option[(String, GraftRotate)] =
     try {
       val p = Paths.get(root, "_schema.json")
       if (!Files.exists(p)) None
@@ -746,10 +790,7 @@ private[graft] object GraftCatalog {
           java.nio.charset.StandardCharsets.UTF_8))
         .asInstanceOf[StructType].fields
         .find(_.metadata.contains(PartitionMetaKey))
-        .map(f => f.name ->
-          (if (f.metadata.contains(BucketMetaKey))
-             Some(f.metadata.getLong(BucketMetaKey).toInt)
-           else None))
+        .map(f => f.name -> rotateOf(f))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-root monitors serializing same-JVM virgin-schema edits (the

@@ -101,16 +101,17 @@ private[graft] class GraftWriteTable(schema0: StructType,
     * the column's value so every written file IS single-valued. */
   protected def partitionColumn: Option[String] = None
 
-  /** X320: a bucket count beside [[partitionColumn]] means the layout
-    * keys on `bucket(n, col)` (the canonical [[GraftBucketFn]] hash) —
-    * bounded file count at any key cardinality; writes rotate per
-    * bucket, scans report the bucket transform. */
-  protected def partitionBuckets: Option[Int] = None
+  /** X320/X327: how the layout keys beside [[partitionColumn]] —
+    * identity on the value, `bucket(n, col)` (the canonical
+    * [[GraftBucketFn]] hash, bounded file count at any cardinality),
+    * or a time transform over a TIMESTAMP column. */
+  protected def partitionRotate: GraftRotate = GraftRotate.Identity
 
   private def declaredCluster: Option[GraftClusterSpec] =
-    partitionColumn.map(c => partitionBuckets match {
-      case Some(n) => BucketCluster(c, n)
-      case None    => IdentityCluster(c)
+    partitionColumn.map(c => partitionRotate match {
+      case GraftRotate.Bucket(n)  => BucketCluster(c, n)
+      case GraftRotate.Time(unit) => TimeCluster(c, unit)
+      case GraftRotate.Identity   => IdentityCluster(c)
     })
 
   private def physSchema(s: StructType): StructType =
@@ -156,7 +157,7 @@ private[graft] class GraftWriteTable(schema0: StructType,
         // output — its positional index, and the bucket count)
         val pIdx = partitionColumn
           .map(c => (c, info.schema().fieldNames.indexOf(c),
-            partitionBuckets))
+            partitionRotate))
           .filter(_._2 >= 0)
         new GraftWrite(root, physSchema(info.schema()), replaceAll,
           retain, failAt, retries, crashAfter, txnId, txnApp, txnMigrate,
@@ -170,7 +171,7 @@ private class GraftWrite(root: String, schema: StructType,
     conflictRetries: Int, crashAfterEpoch: Option[Long] = None,
     txnId: Option[Long] = None, txnApp: Option[String] = None,
     txnMigrate: Option[String] = None,
-    partCol: Option[(String, Int, Option[Int])] = None)
+    partCol: Option[(String, Int, GraftRotate)] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -184,9 +185,15 @@ private class GraftWrite(root: String, schema: StructType,
     * count, single-keyed by construction. Unpartitioned writes leave
     * the plan untouched. */
   private def partExpr = partCol.map {
-    case (c, _, Some(n)) => Expressions.bucket(n, c)
+    case (c, _, GraftRotate.Bucket(n)) => Expressions.bucket(n, c)
       : org.apache.spark.sql.connector.expressions.Expression
-    case (c, _, None) => Expressions.identity(c)
+    case (c, _, GraftRotate.Time("days")) => Expressions.days(c)
+      : org.apache.spark.sql.connector.expressions.Expression
+    case (c, _, GraftRotate.Time("months")) => Expressions.months(c)
+      : org.apache.spark.sql.connector.expressions.Expression
+    case (c, _, GraftRotate.Time(_)) => Expressions.hours(c)
+      : org.apache.spark.sql.connector.expressions.Expression
+    case (c, _, GraftRotate.Identity) => Expressions.identity(c)
       : org.apache.spark.sql.connector.expressions.Expression
   }
   override def requiredDistribution(): Distribution =
@@ -200,7 +207,7 @@ private class GraftWrite(root: String, schema: StructType,
 
   override def toBatch: BatchWrite = new GraftBatchWrite(
     root, schema, replaceAll, retain, failAt, conflictRetries, txnId,
-    txnApp, partCol.map { case (_, i, n) => (i, n) })
+    txnApp, partCol.map { case (_, i, r) => (i, r) })
   override def toStreaming: StreamingWrite = {
     require(!replaceAll,
       "graft-table streaming supports outputMode(\"append\") only — " +
@@ -208,7 +215,7 @@ private class GraftWrite(root: String, schema: StructType,
         "history; rebuild-per-batch shapes belong in foreachBatch")
     new GraftStreamingWrite(root, schema, retain, failAt,
       conflictRetries, crashAfterEpoch, txnApp, txnMigrate,
-      partCol.map { case (_, i, n) => (i, n) })
+      partCol.map { case (_, i, r) => (i, r) })
   }
 }
 
@@ -227,7 +234,7 @@ private class GraftBatchWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
     conflictRetries: Int, txnId: Option[Long] = None,
     txnApp: Option[String] = None,
-    partIdx: Option[(Int, Option[Int])] = None)
+    partIdx: Option[(Int, GraftRotate)] = None)
     extends BatchWrite {
   require(txnApp.isEmpty || txnId.isDefined,
     "graft-table batch: option(\"txnappid\") namespaces the idempotence " +
@@ -360,7 +367,7 @@ private class GraftStreamingWrite(root: String, schema: StructType,
     retain: Int, failAt: Option[Int], conflictRetries: Int,
     crashAfterEpoch: Option[Long], txnAppOpt: Option[String],
     txnMigrate: Option[String] = None,
-    partIdx: Option[(Int, Option[Int])] = None)
+    partIdx: Option[(Int, GraftRotate)] = None)
     extends StreamingWrite {
   private val batch = "data/b_stream_" +
     java.util.UUID.randomUUID().toString.replace("-", "")
@@ -535,7 +542,7 @@ private class GraftStreamingWrite(root: String, schema: StructType,
 
 private final case class GraftStreamWriterFactory(root: String,
     batch: String, schema: StructType, failAt: Option[Int],
-    partIdx: Option[(Int, Option[Int])] = None)
+    partIdx: Option[(Int, GraftRotate)] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -555,14 +562,14 @@ private final case class GraftStreamWriterFactory(root: String,
 
 private final case class GraftWriterFactory(root: String, batch: String,
     schema: StructType, failAt: Option[Int],
-    partIdx: Option[(Int, Option[Int])] = None)
+    partIdx: Option[(Int, GraftRotate)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     partIdx match {
-      case Some((i, buckets)) =>
+      case Some((i, rotate)) =>
         new GraftPartitionedDataWriter(root, batch, schema, partitionId,
-          taskId, failAt, i, buckets)
+          taskId, failAt, i, rotate)
       case None =>
         new GraftDataWriter(root, batch, schema, partitionId, taskId,
           failAt)
@@ -711,7 +718,8 @@ private class GraftDataWriter(root: String, batch: String,
   * values refuse loudly (the stats channel cannot witness them). */
 private class GraftPartitionedDataWriter(root: String, batch: String,
     schema: StructType, partitionId: Int, taskId: Long,
-    failAt: Option[Int], partIdx: Int, buckets: Option[Int] = None)
+    failAt: Option[Int], partIdx: Int,
+    rotate: GraftRotate = GraftRotate.Identity)
     extends DataWriter[InternalRow] {
   private val dt = schema.fields(partIdx).dataType
   private var fileSeq = 0
@@ -724,8 +732,8 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
     * canonical bucket id (X320 — MUST equal what the catalog's
     * `bucket` ScalarFunction computes, which it does by sharing
     * [[GraftBucketFn]]). */
-  private def keyOf(row: InternalRow): Any = buckets match {
-    case Some(n) => dt match {
+  private def keyOf(row: InternalRow): Any = rotate match {
+    case GraftRotate.Bucket(n) => dt match {
       case LongType    => GraftBucketFn.bucketLong(n, row.getLong(partIdx))
       case IntegerType =>
         GraftBucketFn.bucketLong(n, row.getInt(partIdx).toLong)
@@ -734,7 +742,12 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
       case other => throw new IllegalArgumentException(
         s"graft-table: unsupported bucket column type $other")
     }
-    case None => dt match {
+    // X327: time transforms floor the UTC-micros timestamp — the
+    // canonical GraftTimeFn, the SAME function the catalog's SQL
+    // scalar and the reported transform resolve to
+    case GraftRotate.Time(unit) =>
+      GraftTimeFn(unit, row.getLong(partIdx))
+    case GraftRotate.Identity => dt match {
       case LongType    => row.getLong(partIdx)
       case IntegerType => row.getInt(partIdx)
       case StringType  => row.getUTF8String(partIdx).toString
@@ -750,12 +763,14 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
     * ride [[TableCommit.Entry.part]] namespaced (identity layouts
     * prove through the stats channel instead, and carry the raw value
     * for the X319 report). */
-  private def partTag: Option[String] = buckets match {
-    case Some(_) => Some(GraftBucketPart.render(
+  private def partTag: Option[String] = rotate match {
+    case GraftRotate.Bucket(_) => Some(GraftBucketPart.render(
+      currentKey.asInstanceOf[Int]))
+    case GraftRotate.Time(unit) => Some(GraftTimePart.render(unit,
       currentKey.asInstanceOf[Int]))
     // DATE tags render ISO — the same canonical text the stats channel
     // (and the X319 report) speaks for the column
-    case None => dt match {
+    case GraftRotate.Identity => dt match {
       case DateType => Some(java.time.LocalDate
         .ofEpochDay(currentKey.asInstanceOf[Int].toLong).toString)
       case _ => Some(String.valueOf(currentKey))
@@ -952,6 +967,57 @@ private[sources] final case class IdentityCluster(col: String)
     extends GraftClusterSpec
 private[sources] final case class BucketCluster(col: String, n: Int)
     extends GraftClusterSpec
+private[sources] final case class TimeCluster(col: String, unit: String)
+    extends GraftClusterSpec
+
+/** X327: HOW a partitioned write rotates files per key — identity on
+  * the value, the canonical bucket hash, or a time transform
+  * (`days`/`months`/`hours` over a TIMESTAMP, the [[GraftTimeFn]]
+  * floors). ONE enum threaded from the catalog declaration through the
+  * write plumbing to the task writers, so a layout can never be
+  * half-declared. */
+private[graft] sealed trait GraftRotate
+private[graft] object GraftRotate {
+  case object Identity extends GraftRotate
+  final case class Bucket(n: Int) extends GraftRotate
+  final case class Time(unit: String) extends GraftRotate {
+    require(GraftTimePart.Units(unit), s"unknown time unit $unit")
+  }
+}
+
+/** X327: a time-rotated split's proof rides [[TableCommit.Entry.part]]
+  * as `days=<ISO>` / `months=<int>` / `hours=<int>` — namespaced like
+  * bucket tags so raw part values can never masquerade as layout
+  * proof. Key text is canonical: ISO for days (what DateType's
+  * [[GraftKeyedPartition.catalystVal]] parses), decimal for the int
+  * transforms. */
+private[graft] object GraftTimePart {
+  val Units: Set[String] = Set("days", "months", "hours")
+
+  def render(unit: String, key: Int): String = unit match {
+    case "days" => s"days=${java.time.LocalDate.ofEpochDay(key.toLong)}"
+    case u      => s"$u=$key"
+  }
+
+  /** The tag's canonical key text, or None when the tag is not this
+    * unit's (raw values, bucket tags, the NULL-key default dir). */
+  def parse(unit: String, tag: String): Option[String] =
+    if (!tag.startsWith(unit + "=")) None
+    else keyText(unit, tag.drop(unit.length + 1))
+
+  private def keyText(unit: String, v: String): Option[String] =
+    if (unit == "days")
+      try { java.time.LocalDate.parse(v); Some(v) }
+      catch { case _: java.time.format.DateTimeParseException => None }
+    else v.toIntOption.map(_.toString)
+
+  /** A staged `_p=` dir value re-tagged under the unit namespace when
+    * it parses as the unit's key; anything else (the NULL-key default
+    * partition) keeps its raw tag and the layout proof fails for that
+    * file — lossless degrade, the [[GraftBucketPart]] contract. */
+  def retag(unit: String, raw: String): String =
+    keyText(unit, raw).fold(raw)(k => s"$unit=$k")
+}
 
 /** X320: a bucketed split's proof rides [[TableCommit.Entry.part]] as
   * `bucket=<id>` — namespaced so a value-keyed rewrite's raw part
@@ -1209,6 +1275,11 @@ private[graft] object GraftBatchScan {
       (a, b) => a.toLong < b.toLong
     case DoubleType | FloatType => (a, b) => a.toDouble < b.toDouble
     case StringType => utf8Lt
+    // X327: TIMESTAMP stats are raw-micros decimal text; only filters
+    // whose literal arrived CATALYST-side (a raw Long — translateDml
+    // and the V2 runtime-filter bridge) are admitted by translatable,
+    // so both sides here are always micros text
+    case TimestampType => (a, b) => a.toLong < b.toLong
     case _ => (a, b) => a < b
   }
 
@@ -1238,13 +1309,22 @@ private[graft] object GraftBatchScan {
     case And(l, r) =>
       translatable(full)(l) && translatable(full)(r)
     // an In prunes losslessly whatever its value list holds (nulls
-    // match nothing), so only the column's TYPE gates it
-    case In(c, _) => full.fields.exists(fd => fd.name == c &&
-      prunableTypes(fd.dataType))
+    // match nothing), so only the column's TYPE gates it. TIMESTAMP
+    // columns (X327) are admitted ONLY when every literal is a raw
+    // micros Long (catalyst form — translateDml and the V2 bridge):
+    // an external java.sql.Timestamp's ISO toString would compare
+    // garbage against the channel's micros text and silently
+    // mis-prune, so it refuses here.
+    case In(c, vs) => full.fields.exists(fd => fd.name == c &&
+      (prunableTypes(fd.dataType) ||
+        (fd.dataType == TimestampType &&
+          vs.forall(v => v == null || v.isInstanceOf[java.lang.Long]))))
     case other => cmpCol(other).exists { case (c, v) =>
       v != null &&
         full.fields.exists(fd => fd.name == c &&
-          prunableTypes(fd.dataType))
+          (prunableTypes(fd.dataType) ||
+            (fd.dataType == TimestampType &&
+              v.isInstanceOf[java.lang.Long])))
     }
   }
 
@@ -1290,7 +1370,8 @@ private[graft] object GraftBatchScan {
       else for {
         cs <- e.stats.get(c)
         fld <- full.fields.find(_.name == c)
-        if prunableTypes(fld.dataType)
+        if prunableTypes(fld.dataType) ||
+          fld.dataType == TimestampType // X327: micros text, see lt
       } yield (lt(fld.dataType), cs)
     def eqAll(c: String, v: Any): Boolean = v != null &&
       env(c).exists { case (less, cs) =>
@@ -1451,6 +1532,15 @@ private class GraftBatchScan(root: String, required: StructType,
                   .exists(id => id >= 0 && id < n)) =>
             Some((spec, f, staticEntries.map(e => e.path ->
               e.part.flatMap(GraftBucketPart.parse).get.toString).toMap))
+          // X327: time layouts prove through the namespaced part tag
+          // (minted only by the NULL-refusing rotating writer and the
+          // layout-preserving rewrites — a tag IS the null witness)
+          case TimeCluster(_, unit)
+              if staticEntries.nonEmpty && staticEntries.forall(e =>
+                e.part.exists(p =>
+                  GraftTimePart.parse(unit, p).isDefined)) =>
+            Some((spec, f, staticEntries.map(e => e.path ->
+              GraftTimePart.parse(unit, e.part.get).get).toMap))
           case _ => None
         }
       }
@@ -1471,8 +1561,11 @@ private class GraftBatchScan(root: String, required: StructType,
       case Some((spec, f, keys)) =>
         import org.apache.spark.sql.connector.expressions.Expressions
         val expr = spec match {
-          case IdentityCluster(_)  => Expressions.identity(f.name)
-          case BucketCluster(_, n) => Expressions.bucket(n, f.name)
+          case IdentityCluster(_)        => Expressions.identity(f.name)
+          case BucketCluster(_, n)       => Expressions.bucket(n, f.name)
+          case TimeCluster(_, "days")    => Expressions.days(f.name)
+          case TimeCluster(_, "months")  => Expressions.months(f.name)
+          case TimeCluster(_, _)         => Expressions.hours(f.name)
         }
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(Array(expr), keys.values.toSet.size)
@@ -1591,8 +1684,10 @@ private class GraftBatchScan(root: String, required: StructType,
       clusterInfo match {
         case Some((spec, f, keys)) =>
           val dt = spec match {
-            case IdentityCluster(_) => f.dataType
-            case BucketCluster(_, _) => IntegerType
+            case IdentityCluster(_)     => f.dataType
+            case BucketCluster(_, _)    => IntegerType
+            case TimeCluster(_, "days") => DateType
+            case TimeCluster(_, _)      => IntegerType
           }
           ps.map(p => GraftKeyedPartition(
             p.asInstanceOf[CdfFilePartition],

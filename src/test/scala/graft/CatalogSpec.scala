@@ -632,7 +632,7 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.pbad (k BIGINT, v STRING) " +
         "PARTITIONED BY (truncate(4, v))")
     }
-    assert(eB.getMessage.contains("identity transform"), eB.getMessage)
+    assert(eB.getMessage.contains("are supported"), eB.getMessage)
     spark.catalog.dropTempView("cat_spj_a")
     spark.catalog.dropTempView("cat_spj_b")
   } }
@@ -1050,8 +1050,110 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.dbad (d DATE, x BIGINT) " +
         "PARTITIONED BY (bucket(4, d))")
     }
-    assert(eB.getMessage.contains("DATE"), eB.getMessage)
+    assert(eB.getMessage.contains("bucket column"), eB.getMessage)
     spark.catalog.dropTempView("cat_date_src")
+  } }
+
+  test("time-transform partitions: days(ts) rotation, SPJ, range metadata DELETE, maintenance; months/hours (X327)") { noBroadcast {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ev (ts TIMESTAMP, x BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    val root = s"$wh/ev"
+    // 4 days of hourly events
+    spark.range(96L).select(
+      expr("timestampadd(HOUR, CAST(id AS INT), " +
+        "TIMESTAMP'2024-05-01 00:30:00')").as("ts"),
+      col("id").as("x")).createOrReplaceTempView("cat_time_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT ts, x FROM cat_time_src")
+    val es = TableCommit.entries(root)
+    assert(es.size === 4, s"expected 4 rotated day files: $es")
+    assert(es.flatMap(_.part).sorted ===
+      (1 to 4).map(i => s"days=2024-05-0$i"),
+      s"day tags broken: ${es.flatMap(_.part)}")
+    assert(es.forall(e => e.stats.contains("ts") &&
+      TableCommit.nullFree(e, "ts")), s"ts stats missing: $es")
+    // SPJ through the days transform: both scans report days(ts)
+    spark.sql(s"CREATE TABLE $cat.ev2 (ts TIMESTAMP, y BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $cat.ev2 SELECT ts, x * 2 AS y FROM cat_time_src")
+    val j = spark.sql(
+      s"SELECT a.ts FROM $cat.ev a JOIN $cat.ev2 b ON a.ts = b.ts")
+    assert(j.count() === 96L)
+    j.collect()
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+      "days-partitioned tables must storage-partition their join:\n" +
+        j.queryExecution.executedPlan.toString)
+    // X324 by envelope containment on the TIMESTAMP column: a range
+    // DELETE spanning whole days drops whole files, zero DVs
+    TableCommit.DmlPruneProbe.lastDropped = None
+    spark.sql(s"DELETE FROM $cat.ev " +
+      "WHERE ts >= TIMESTAMP'2024-05-02 00:00:00' " +
+      "AND ts < TIMESTAMP'2024-05-04 00:00:00'")
+    assert(TableCommit.DmlPruneProbe.lastDropped === Some(2),
+      s"expected 2 whole-day drops: ${TableCommit.DmlPruneProbe.lastDropped}")
+    assert(!TableCommit.entries(root).exists(
+      _.stats.contains(TableCommit.DvKey)))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ev").collect()(0)
+      .getLong(0) === 48L)
+    // a mid-day range keeps the DV path (envelope not contained)
+    spark.sql(s"DELETE FROM $cat.ev " +
+      "WHERE ts >= TIMESTAMP'2024-05-01 06:00:00' " +
+      "AND ts < TIMESTAMP'2024-05-01 12:00:00'")
+    assert(TableCommit.DmlPruneProbe.lastDropped === Some(0))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ev").collect()(0)
+      .getLong(0) === 42L)
+    // maintenance preserves the time layout: fragment then compact
+    spark.sql(s"INSERT INTO $cat.ev SELECT ts, x + 1000 FROM " +
+      "cat_time_src WHERE ts < TIMESTAMP'2024-05-02 00:00:00'")
+    spark.sql(s"SELECT * FROM graft_compact('$root', 4)").collect()
+    val esC = TableCommit.entries(root)
+    assert(esC.forall(_.part.exists(p =>
+      graft.sources.GraftTimePart.parse("days", p).isDefined)),
+      s"compact broke the days layout: $esC")
+    assert(!esC.exists(_.stats.contains(TableCommit.DvKey)),
+      "compact must melt DVs away")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ev").collect()(0)
+      .getLong(0) === 66L)
+    val j2 = spark.sql(
+      s"SELECT a.ts FROM $cat.ev a JOIN $cat.ev2 b ON a.ts = b.ts")
+    j2.collect()
+    assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+      "SPJ must survive a time-layout compact")
+    // NULL timestamps refuse at the rotating writer
+    def hasNullMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage)
+        .exists(_.contains("NULL partition values")) ||
+        hasNullMsg(t.getCause))
+    val eN = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ev VALUES (NULL, 1)")
+    }
+    assert(hasNullMsg(eN), s"expected the NULL refusal, got $eN")
+    // months/hours: same machinery, namespaced tags
+    spark.sql(s"CREATE TABLE $cat.em (ts TIMESTAMP, x BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql(s"CREATE TABLE $cat.eh (ts TIMESTAMP, x BIGINT) " +
+      "PARTITIONED BY (hours(ts))")
+    spark.range(90L).select(
+      expr("timestampadd(DAY, CAST(id AS INT), " +
+        "TIMESTAMP'2024-01-15 12:00:00')").as("ts"),
+      col("id").as("x")).createOrReplaceTempView("cat_month_src")
+    spark.sql(s"INSERT INTO $cat.em SELECT ts, x FROM cat_month_src")
+    val esM = TableCommit.entries(s"$wh/em")
+    assert(esM.size === 4, s"expected 4 month files: $esM") // Jan-Apr
+    assert(esM.flatMap(_.part).forall(_.startsWith("months=")))
+    spark.sql(s"INSERT INTO $cat.eh SELECT ts, x FROM cat_time_src " +
+      "WHERE ts < TIMESTAMP'2024-05-01 06:00:00'")
+    val esH = TableCommit.entries(s"$wh/eh")
+    assert(esH.size === 6, s"expected 6 hour files: $esH")
+    assert(esH.flatMap(_.part).forall(_.startsWith("hours=")))
+    // a time transform over a non-timestamp refuses at CREATE
+    val eB = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.tbad (d DATE, x BIGINT) " +
+        "PARTITIONED BY (days(d))")
+    }
+    assert(eB.getMessage.contains("TIMESTAMP"), eB.getMessage)
+    spark.catalog.dropTempView("cat_time_src")
+    spark.catalog.dropTempView("cat_month_src")
   } }
 
   test("X324 whole-file drops require the null witness — a mixed NULL file keeps the DV path (ADVICE r15)") {
