@@ -2241,6 +2241,72 @@ object Relational {
       |  OR ts >= TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY 1 ORDER BY y""".stripMargin
 
+  // `q_sql_multi_partition` (X328): (date, status) tuple layouts
+
+  /** `q_sql_multi_partition` (X328): `PARTITIONED BY (d, st)` — the
+    * standard (date × category) warehouse layout. Writes rotate one
+    * file per (month, status) tuple (tags name both columns, stats
+    * witness each), scans report BOTH identity transforms as
+    * KeyGroupedPartitioning, and a DELETE on any SUBSET of the layout
+    * columns — here a date RANGE — is an X324 metadata commit
+    * dropping every matching (month, status) file. Fixture: orders
+    * partitioned (month, status), one year dropped (12 months × the
+    * statuses present), per-(year, status) rollup. */
+  def sqlMultiPartitionQ(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wh = graft.engine.TempWarehouse.createManaged("graft_sqlmulti_")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val cat = s"graft_multi_$id"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val vo = s"graft_multi_src_$id"
+    Tables.orders(spark, sfDir).select(
+      date_trunc("month", col("o_orderdate")).cast("date").as("d"),
+      col("o_orderstatus").as("st"), col("o_orderkey").as("k"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("c")).createOrReplaceTempView(vo)
+    spark.sql(s"CREATE TABLE $cat.mp (d DATE, st STRING, k BIGINT, " +
+      "c BIGINT) PARTITIONED BY (d, st)")
+    spark.sql(s"INSERT INTO $cat.mp SELECT d, st, k, c FROM $vo")
+    val root = s"$wh/mp"
+    val tupleTagged = graft.engine.TableCommit.entries(root)
+      .forall(_.part.exists(_.matches("d=\\d{4}-\\d{2}-\\d{2}/st=.+")))
+    graft.engine.TableCommit.DmlPruneProbe.lastDropped = None
+    spark.sql(s"DELETE FROM $cat.mp WHERE d >= DATE'1996-01-01' " +
+      "AND d < DATE'1997-01-01'")
+    val dropped = graft.engine.TableCommit.DmlPruneProbe.lastDropped
+      .getOrElse(-1)
+    val dvAfter = graft.engine.TableCommit.entries(root)
+      .count(_.stats.contains(graft.engine.TableCommit.DvKey)).toLong
+    val out = spark.sql(
+      s"""SELECT CAST(year(d) AS BIGINT) AS y, st,
+         |  COUNT(*) AS n_orders, SUM(c) AS total_cents
+         |FROM $cat.mp GROUP BY year(d), st ORDER BY y, st""".stripMargin)
+      .withColumn("tuple_tagged", lit(tupleTagged))
+      .withColumn("dropped_whole", lit(dropped >= 12))
+      .withColumn("dv_after", lit(dvAfter))
+    val rows = out.collect().toIndexedSeq
+    val sc = out.schema
+    spark.catalog.dropTempView(vo)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sc)
+      .orderBy(col("y"), col("st"))
+  }
+
+  val sqlMultiPartitionOracle: String =
+    """WITH base AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS d,
+      |    o_orderstatus AS st, o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders)
+      |SELECT CAST(year(d) AS BIGINT) AS y, st,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  TRUE AS tuple_tagged, TRUE AS dropped_whole,
+      |  CAST(0 AS BIGINT) AS dv_after
+      |FROM base WHERE d < DATE '1996-01-01' OR d >= DATE '1997-01-01'
+      |GROUP BY 1, 2 ORDER BY y, st""".stripMargin
+
   // `q_write_idempotent` (X288): exactly-once batch writes, gated
 
   /** `q_write_idempotent` (X288/ADVICE r13): the orchestrator-retry

@@ -153,6 +153,42 @@ final class GraftTimeUnbound(unit: String) extends UnboundFunction {
   }
 }
 
+/** VERDICT r15 task 7: the layout functions as CODEGEN'D Columns — an
+  * `Invoke` of the bound function's MAGIC overload (exactly what
+  * Spark's own V2 function resolution emits for these classes), so
+  * maintenance rewrites and staging expressions compute the canonical
+  * hash/floor inside whole-stage codegen instead of a boxed Scala UDF.
+  * NULL inputs propagate to NULL keys (Invoke's propagateNull),
+  * matching the interpreted `produceResult` paths. */
+object GraftLayoutExprs {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.expressions.objects.Invoke
+  import org.apache.spark.sql.graftshim.Shim
+
+  /** `bucket(n, in)` under the canonical [[GraftBucketFn]] hash;
+    * `dt` is the VALUE type (LongType routes Int/Long via a cast the
+    * caller supplies). */
+  def bucketCol(dt: DataType, n: Int,
+      in: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fn = new GraftBucketBound(dt)
+    Shim.column(Invoke(
+      Literal.create(fn, ObjectType(classOf[GraftBucketBound])),
+      "invoke", IntegerType,
+      Seq(Literal(n), Shim.expression(in))))
+  }
+
+  /** `days|months|hours(in)` under the canonical [[GraftTimeFn]]
+    * floors (DATE-typed result for days). */
+  def timeCol(unit: String,
+      in: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fn = new GraftTimeBound(unit)
+    Shim.column(Invoke(
+      Literal.create(fn, ObjectType(classOf[GraftTimeBound])),
+      "invoke", fn.resultType(),
+      Seq(Shim.expression(in))))
+  }
+}
+
 final class GraftTimeBound(unit: String) extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(TimestampType)
   override def resultType(): DataType =

@@ -151,8 +151,37 @@ class GraftCatalog extends TableCatalog
   private def withPartitionMeta(schema: StructType,
       partitions: Array[Transform]): StructType = {
     if (partitions.isEmpty) return schema
-    require(partitions.length == 1,
-      "graft catalog: at most ONE partition column is supported")
+    // X328: multi-column lists are IDENTITY-only — the (date, region)
+    // warehouse shape; bucket/time transforms stay single-column
+    if (partitions.length > 1) {
+      val cols = partitions.toSeq.map {
+        case t if t.name == "identity" && t.references.length == 1 &&
+            t.references()(0).fieldNames().length == 1 =>
+          t.references()(0).fieldNames()(0)
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: multi-column PARTITIONED BY supports " +
+            s"identity columns only; got $other")
+      }
+      require(cols.distinct.size == cols.size,
+        s"graft catalog: duplicate partition columns: $cols")
+      var out = schema
+      cols.zipWithIndex.foreach { case (c, pos) =>
+        val idx = out.fieldNames.indexOf(c)
+        require(idx >= 0,
+          s"partition column $c is not in the table schema")
+        val dt = out.fields(idx).dataType
+        require(dt == LongType || dt == IntegerType ||
+            dt == StringType || dt == DateType,
+          s"graft catalog: partition column must be BIGINT, INT, " +
+            s"STRING or DATE; $c is ${dt.simpleString}")
+        val f = out.fields(idx)
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(GraftCatalog.PartitionMetaKey, pos.toLong).build()
+        out = StructType(out.fields.toIndexedSeq.updated(idx,
+          f.copy(metadata = md)))
+      }
+      return out
+    }
     val (col, rotate) = partitions(0) match {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
@@ -252,15 +281,13 @@ class GraftCatalog extends TableCatalog
     // through the rename/drop filters above, so this is the LOGICAL
     // name of a live column — a dropped partition column is refused at
     // ALTER time); X320: a bucket count beside it means bucket layout
-    val partField = schema.fields
-      .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
-    val partCol = partField.map(_.name)
-    val rotate = partField.map(GraftCatalog.rotateOf)
-      .getOrElse(GraftRotate.Identity)
+    val layout = GraftCatalog.layoutOfSchema(schema)
     new GraftCatalogTable(schema, props, root,
       s"$catalogName.${(ident.namespace.toSeq :+ ident.name).mkString(".")}" +
         asOf.map(v => s"@v$v").getOrElse(""),
-      asOf, retain, toPhysical, conflictRetries, partCol, rotate)
+      asOf, retain, toPhysical, conflictRetries,
+      layout.map(_._1).getOrElse(Nil),
+      layout.map(_._2).getOrElse(GraftRotate.Identity))
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -612,7 +639,7 @@ private[graft] class GraftCatalogTable(schema0: StructType,
     properties: util.Map[String, String], root: String,
     displayName: String, asOf: Option[Long] = None, retain: Int = 64,
     mapping: Map[String, String] = Map.empty,
-    conflictRetries: Int = 20, partCol: Option[String] = None,
+    conflictRetries: Int = 20, partCols: Seq[String] = Nil,
     rotate: GraftRotate = GraftRotate.Identity)
     extends GraftWriteTable(schema0, properties) with SupportsDelete {
   override def name(): String = displayName
@@ -623,18 +650,22 @@ private[graft] class GraftCatalogTable(schema0: StructType,
     * layout), and rotates its batch writes per value — or per BUCKET
     * of the value under `bucket(n, col)` — so the proof always holds
     * for catalog-written files. */
-  override def partitioning(): Array[Transform] =
-    partCol.map { c =>
-      import org.apache.spark.sql.connector.expressions.Expressions
-      rotate match {
-        case GraftRotate.Bucket(n)       => Expressions.bucket(n, c): Transform
-        case GraftRotate.Time("days")    => Expressions.days(c): Transform
-        case GraftRotate.Time("months")  => Expressions.months(c): Transform
-        case GraftRotate.Time(_)         => Expressions.hours(c): Transform
-        case GraftRotate.Identity        => Expressions.identity(c): Transform
-      }
-    }.toArray
-  override protected def partitionColumn: Option[String] = partCol
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    rotate match {
+      case GraftRotate.Bucket(n) =>
+        partCols.map(c => Expressions.bucket(n, c): Transform).toArray
+      case GraftRotate.Time("days") =>
+        partCols.map(c => Expressions.days(c): Transform).toArray
+      case GraftRotate.Time("months") =>
+        partCols.map(c => Expressions.months(c): Transform).toArray
+      case GraftRotate.Time(_) =>
+        partCols.map(c => Expressions.hours(c): Transform).toArray
+      case GraftRotate.Identity | GraftRotate.Tuple(_) =>
+        partCols.map(c => Expressions.identity(c): Transform).toArray
+    }
+  }
+  override protected def partitionColumns: Seq[String] = partCols
   override protected def partitionRotate: GraftRotate = rotate
 
   /** X310: `MERGE INTO … WITH SCHEMA EVOLUTION` — declaring
@@ -719,12 +750,8 @@ private class GraftStagedTable(schema0: StructType,
       None, retain, Map.empty, conflictRetries,
       // X316/X320: a partitioned CTAS rotates its write exactly like a
       // post-CREATE insert — the marked schema carries the contract
-      schema0.fields
-        .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
-        .map(_.name),
-      schema0.fields
-        .find(_.metadata.contains(GraftCatalog.PartitionMetaKey))
-        .map(GraftCatalog.rotateOf)
+      GraftCatalog.layoutOfSchema(schema0).map(_._1).getOrElse(Nil),
+      GraftCatalog.layoutOfSchema(schema0).map(_._2)
         .getOrElse(GraftRotate.Identity))
     with org.apache.spark.sql.connector.catalog.StagedTable {
   override def commitStagedChanges(): Unit =
@@ -769,6 +796,30 @@ private[graft] object GraftCatalog {
       GraftRotate.Time(f.metadata.getString(TimeUnitMetaKey))
     else GraftRotate.Identity
 
+  /** X328: a marked field's position in the declared column list —
+    * multi-column tables store it as the metadata value (Long);
+    * single-column tables (and every pre-X328 table) store a Boolean,
+    * which reads as position 0. */
+  def partPosOf(f: org.apache.spark.sql.types.StructField): Int =
+    try f.metadata.getLong(PartitionMetaKey).toInt
+    catch { case _: Exception => 0 }
+
+  /** The declared layout of a schema: ordered partition columns plus
+    * the rotation (`Tuple(rest)` for multi-column identity lists).
+    * ONE derivation shared by table load, CTAS staging and the
+    * root-level [[partitionLayoutOf]]. */
+  def layoutOfSchema(s: StructType): Option[(Seq[String], GraftRotate)] = {
+    val fs = s.fields.toIndexedSeq
+      .filter(_.metadata.contains(PartitionMetaKey))
+      .sortBy(partPosOf)
+    fs match {
+      case Seq()  => None
+      case Seq(f) => Some(Seq(f.name) -> rotateOf(f))
+      case many   => Some(many.map(_.name) ->
+        GraftRotate.Tuple(many.tail.map(_.name)))
+    }
+  }
+
   /** X318: a root's declared IDENTITY partition column (PHYSICAL name
     * — what the staging and stats layers speak) from `_schema.json`'s
     * field metadata; None for unpartitioned, bucketed (those route
@@ -786,11 +837,11 @@ private[graft] object GraftCatalog {
     try {
       val p = Paths.get(root, "_schema.json")
       if (!Files.exists(p)) None
-      else DataType.fromJson(new String(Files.readAllBytes(p),
+      else layoutOfSchema(DataType.fromJson(new String(
+          Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[StructType].fields
-        .find(_.metadata.contains(PartitionMetaKey))
-        .map(f => f.name -> rotateOf(f))
+        .asInstanceOf[StructType])
+        .map { case (cols, r) => cols.head -> r }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-root monitors serializing same-JVM virgin-schema edits (the

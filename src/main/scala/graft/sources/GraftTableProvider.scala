@@ -94,12 +94,13 @@ private[graft] class GraftWriteTable(schema0: StructType,
     * across `ALTER TABLE RENAME COLUMN`. */
   protected def toPhysical: Map[String, String] = Map.empty
 
-  /** X316: the table's declared partition column (logical name), if
-    * any — catalog tables created `PARTITIONED BY (col)` set it. Scans
-    * then default to `clusterby=<col>` (KeyGroupedPartitioning when
-    * the manifest proves the layout), and batch writes rotate files on
-    * the column's value so every written file IS single-valued. */
-  protected def partitionColumn: Option[String] = None
+  /** X316/X328: the table's declared partition columns (logical
+    * names), if any — catalog tables created `PARTITIONED BY (...)`
+    * set them. Scans then default to the clustered shape
+    * (KeyGroupedPartitioning when the manifest proves the layout), and
+    * batch writes rotate files on the key so every written file IS
+    * single-keyed. Multi-column lists are identity-only (X328). */
+  protected def partitionColumns: Seq[String] = Nil
 
   /** X320/X327: how the layout keys beside [[partitionColumn]] —
     * identity on the value, `bucket(n, col)` (the canonical
@@ -108,9 +109,10 @@ private[graft] class GraftWriteTable(schema0: StructType,
   protected def partitionRotate: GraftRotate = GraftRotate.Identity
 
   private def declaredCluster: Option[GraftClusterSpec] =
-    partitionColumn.map(c => partitionRotate match {
+    partitionColumns.headOption.map(c => partitionRotate match {
       case GraftRotate.Bucket(n)  => BucketCluster(c, n)
       case GraftRotate.Time(unit) => TimeCluster(c, unit)
+      case GraftRotate.Tuple(_)   => TupleCluster(partitionColumns)
       case GraftRotate.Identity   => IdentityCluster(c)
     })
 
@@ -155,10 +157,12 @@ private[graft] class GraftWriteTable(schema0: StructType,
         // X316/X320: the partition column rides as (logical name — the
         // distribution/ordering contract resolves against the query's
         // output — its positional index, and the bucket count)
-        val pIdx = partitionColumn
-          .map(c => (c, info.schema().fieldNames.indexOf(c),
-            partitionRotate))
-          .filter(_._2 >= 0)
+        val idxs = partitionColumns
+          .map(c => info.schema().fieldNames.indexOf(c))
+        val pIdx =
+          if (partitionColumns.nonEmpty && idxs.forall(_ >= 0))
+            Some((partitionColumns, idxs, partitionRotate))
+          else None
         new GraftWrite(root, physSchema(info.schema()), replaceAll,
           retain, failAt, retries, crashAfter, txnId, txnApp, txnMigrate,
           pIdx)
@@ -171,7 +175,7 @@ private class GraftWrite(root: String, schema: StructType,
     conflictRetries: Int, crashAfterEpoch: Option[Long] = None,
     txnId: Option[Long] = None, txnApp: Option[String] = None,
     txnMigrate: Option[String] = None,
-    partCol: Option[(String, Int, GraftRotate)] = None)
+    partCol: Option[(Seq[String], Seq[Int], GraftRotate)] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -184,30 +188,31 @@ private class GraftWrite(root: String, schema: StructType,
     * as one contiguous run — one file per (task, key), minimal file
     * count, single-keyed by construction. Unpartitioned writes leave
     * the plan untouched. */
-  private def partExpr = partCol.map {
-    case (c, _, GraftRotate.Bucket(n)) => Expressions.bucket(n, c)
-      : org.apache.spark.sql.connector.expressions.Expression
-    case (c, _, GraftRotate.Time("days")) => Expressions.days(c)
-      : org.apache.spark.sql.connector.expressions.Expression
-    case (c, _, GraftRotate.Time("months")) => Expressions.months(c)
-      : org.apache.spark.sql.connector.expressions.Expression
-    case (c, _, GraftRotate.Time(_)) => Expressions.hours(c)
-      : org.apache.spark.sql.connector.expressions.Expression
-    case (c, _, GraftRotate.Identity) => Expressions.identity(c)
-      : org.apache.spark.sql.connector.expressions.Expression
-  }
+  private def partExprs: Seq[
+      org.apache.spark.sql.connector.expressions.Expression] =
+    partCol.toSeq.flatMap {
+      case (cs, _, GraftRotate.Bucket(n)) =>
+        Seq(Expressions.bucket(n, cs.head))
+      case (cs, _, GraftRotate.Time("days")) =>
+        Seq(Expressions.days(cs.head))
+      case (cs, _, GraftRotate.Time("months")) =>
+        Seq(Expressions.months(cs.head))
+      case (cs, _, GraftRotate.Time(_)) =>
+        Seq(Expressions.hours(cs.head))
+      // identity and X328 tuple layouts cluster on every column
+      case (cs, _, _) => cs.map(Expressions.identity)
+    }
   override def requiredDistribution(): Distribution =
-    partExpr.map(e => Distributions.clustered(Array(e)))
-      .getOrElse(Distributions.unspecified())
+    if (partExprs.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(partExprs.toArray)
   override def requiredOrdering(): Array[SortOrder] =
-    partExpr.map(e => Array(
-      Expressions.sort(e, SortDirection.ASCENDING)))
-      .getOrElse(Array.empty[SortOrder])
+    partExprs.map(e =>
+      Expressions.sort(e, SortDirection.ASCENDING)).toArray
   override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite = new GraftBatchWrite(
     root, schema, replaceAll, retain, failAt, conflictRetries, txnId,
-    txnApp, partCol.map { case (_, i, r) => (i, r) })
+    txnApp, partCol.map { case (_, is, r) => (is, r) })
   override def toStreaming: StreamingWrite = {
     require(!replaceAll,
       "graft-table streaming supports outputMode(\"append\") only — " +
@@ -215,7 +220,7 @@ private class GraftWrite(root: String, schema: StructType,
         "history; rebuild-per-batch shapes belong in foreachBatch")
     new GraftStreamingWrite(root, schema, retain, failAt,
       conflictRetries, crashAfterEpoch, txnApp, txnMigrate,
-      partCol.map { case (_, i, r) => (i, r) })
+      partCol.map { case (_, is, r) => (is, r) })
   }
 }
 
@@ -234,7 +239,7 @@ private class GraftBatchWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
     conflictRetries: Int, txnId: Option[Long] = None,
     txnApp: Option[String] = None,
-    partIdx: Option[(Int, GraftRotate)] = None)
+    partIdx: Option[(Seq[Int], GraftRotate)] = None)
     extends BatchWrite {
   require(txnApp.isEmpty || txnId.isDefined,
     "graft-table batch: option(\"txnappid\") namespaces the idempotence " +
@@ -367,7 +372,7 @@ private class GraftStreamingWrite(root: String, schema: StructType,
     retain: Int, failAt: Option[Int], conflictRetries: Int,
     crashAfterEpoch: Option[Long], txnAppOpt: Option[String],
     txnMigrate: Option[String] = None,
-    partIdx: Option[(Int, GraftRotate)] = None)
+    partIdx: Option[(Seq[Int], GraftRotate)] = None)
     extends StreamingWrite {
   private val batch = "data/b_stream_" +
     java.util.UUID.randomUUID().toString.replace("-", "")
@@ -542,7 +547,7 @@ private class GraftStreamingWrite(root: String, schema: StructType,
 
 private final case class GraftStreamWriterFactory(root: String,
     batch: String, schema: StructType, failAt: Option[Int],
-    partIdx: Option[(Int, GraftRotate)] = None)
+    partIdx: Option[(Seq[Int], GraftRotate)] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -562,14 +567,14 @@ private final case class GraftStreamWriterFactory(root: String,
 
 private final case class GraftWriterFactory(root: String, batch: String,
     schema: StructType, failAt: Option[Int],
-    partIdx: Option[(Int, GraftRotate)] = None)
+    partIdx: Option[(Seq[Int], GraftRotate)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     partIdx match {
-      case Some((i, rotate)) =>
+      case Some((is, rotate)) =>
         new GraftPartitionedDataWriter(root, batch, schema, partitionId,
-          taskId, failAt, i, rotate)
+          taskId, failAt, is, rotate)
       case None =>
         new GraftDataWriter(root, batch, schema, partitionId, taskId,
           failAt)
@@ -718,10 +723,33 @@ private class GraftDataWriter(root: String, batch: String,
   * values refuse loudly (the stats channel cannot witness them). */
 private class GraftPartitionedDataWriter(root: String, batch: String,
     schema: StructType, partitionId: Int, taskId: Long,
-    failAt: Option[Int], partIdx: Int,
+    failAt: Option[Int], partIdxs: Seq[Int],
     rotate: GraftRotate = GraftRotate.Identity)
     extends DataWriter[InternalRow] {
+  private val partIdx = partIdxs.head
   private val dt = schema.fields(partIdx).dataType
+
+  /** The identity value of column `i` — the tuple layout's per-column
+    * rotation key component. */
+  private def valueAt(row: InternalRow, i: Int): Any =
+    schema.fields(i).dataType match {
+      case LongType    => row.getLong(i)
+      case IntegerType => row.getInt(i)
+      case StringType  => row.getUTF8String(i).toString
+      case DoubleType  => row.getDouble(i)
+      case DateType    => row.getInt(i)
+      case other => throw new IllegalArgumentException(
+        s"graft-table: unsupported partition column type $other")
+    }
+
+  /** Canonical tag text for an identity value (ISO for DATE — the
+    * stats channel's text). */
+  private def tagText(i: Int, v: Any): String =
+    schema.fields(i).dataType match {
+      case DateType => java.time.LocalDate
+        .ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case _ => String.valueOf(v)
+    }
   private var fileSeq = 0
   private var current: GraftDataWriter = null
   private var currentKey: Any = null
@@ -747,16 +775,9 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
     // scalar and the reported transform resolve to
     case GraftRotate.Time(unit) =>
       GraftTimeFn(unit, row.getLong(partIdx))
-    case GraftRotate.Identity => dt match {
-      case LongType    => row.getLong(partIdx)
-      case IntegerType => row.getInt(partIdx)
-      case StringType  => row.getUTF8String(partIdx).toString
-      case DoubleType  => row.getDouble(partIdx)
-      // the daily-batch warehouse shape: rotate per epoch-day Int
-      case DateType    => row.getInt(partIdx)
-      case other => throw new IllegalArgumentException(
-        s"graft-table: unsupported partition column type $other")
-    }
+    // X328: the whole tuple is the rotation key (Seq equality)
+    case GraftRotate.Tuple(_) => partIdxs.map(valueAt(row, _))
+    case GraftRotate.Identity => valueAt(row, partIdx)
   }
 
   /** The manifest's layout-proof tag for the CURRENT file: bucket ids
@@ -768,6 +789,11 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
       currentKey.asInstanceOf[Int]))
     case GraftRotate.Time(unit) => Some(GraftTimePart.render(unit,
       currentKey.asInstanceOf[Int]))
+    // X328: tuple tags name every column — `d=2024-01-01/region=EU`
+    case GraftRotate.Tuple(_) =>
+      Some(partIdxs.zip(currentKey.asInstanceOf[Seq[Any]])
+        .map { case (i, v) =>
+          s"${schema.fields(i).name}=${tagText(i, v)}" }.mkString("/"))
     // DATE tags render ISO — the same canonical text the stats channel
     // (and the X319 report) speaks for the column
     case GraftRotate.Identity => dt match {
@@ -778,7 +804,7 @@ private class GraftPartitionedDataWriter(root: String, batch: String,
   }
 
   override def write(row: InternalRow): Unit = {
-    require(!row.isNullAt(partIdx),
+    require(partIdxs.forall(i => !row.isNullAt(i)),
       "graft partitioned table: NULL partition values are not " +
         "supported — filter or default them before the write")
     val k = keyOf(row)
@@ -969,6 +995,9 @@ private[sources] final case class BucketCluster(col: String, n: Int)
     extends GraftClusterSpec
 private[sources] final case class TimeCluster(col: String, unit: String)
     extends GraftClusterSpec
+/** X328: single-valued per file on EVERY column of the tuple. */
+private[sources] final case class TupleCluster(cols: Seq[String])
+    extends GraftClusterSpec { def col: String = cols.head }
 
 /** X327: HOW a partitioned write rotates files per key — identity on
   * the value, the canonical bucket hash, or a time transform
@@ -982,6 +1011,12 @@ private[graft] object GraftRotate {
   final case class Bucket(n: Int) extends GraftRotate
   final case class Time(unit: String) extends GraftRotate {
     require(GraftTimePart.Units(unit), s"unknown time unit $unit")
+  }
+  /** X328: multi-column IDENTITY layout — the head column plus `rest`
+    * (the standard (date, region) warehouse shape). Rotation keys on
+    * the whole tuple; proofs hold per column. */
+  final case class Tuple(rest: Seq[String]) extends GraftRotate {
+    require(rest.nonEmpty, "Tuple layout needs at least two columns")
   }
 }
 
@@ -1034,11 +1069,12 @@ private[graft] object GraftBucketPart {
   * to the column's catalyst form on demand (grouping compares
   * InternalRows under the key's data type). */
 private case class GraftKeyedPartition(inner: CdfFilePartition,
-    key: String, dt: DataType) extends InputPartition
+    keys: Seq[String], dts: Seq[DataType]) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](GraftKeyedPartition.catalystVal(dt, key)))
+      keys.zip(dts).map { case (k, dt) =>
+        GraftKeyedPartition.catalystVal(dt, k) }.toArray[Any])
   override def preferredLocations(): Array[String] =
     inner.preferredLocations()
 }
@@ -1510,10 +1546,23 @@ private class GraftBatchScan(root: String, required: StructType,
     * count. A declared-but-unproven layout silently degrades to an
     * unpartitioned scan rather than lying to the planner. */
   private lazy val clusterInfo
-      : Option[(GraftClusterSpec, StructField, Map[String, String])] =
+      : Option[(GraftClusterSpec, Seq[StructField],
+          Map[String, Seq[String]])] =
     cluster.flatMap { spec =>
       required.fields.find(_.name == spec.col).flatMap { f =>
         spec match {
+          // X328: every column of the tuple single-valued + null-free
+          case TupleCluster(cs)
+              if cs.forall(c => required.fields.exists(fd =>
+                  fd.name == c &&
+                    GraftBatchScan.prunable(fd.dataType))) &&
+                staticEntries.nonEmpty && staticEntries.forall(e =>
+                  cs.forall(c =>
+                    e.stats.get(phys(c)).exists(x => x.min == x.max) &&
+                      TableCommit.nullFree(e, phys(c)))) =>
+            val fs = cs.map(c => required.fields.find(_.name == c).get)
+            Some((spec, fs, staticEntries.map(e =>
+              e.path -> cs.map(c => e.stats(phys(c)).min)).toMap))
           // min == max proves single-valued for NON-NULL rows only —
           // the nn: null-free witness is required too, or a file mixing
           // one value with NULLs would report KeyGroupedPartitioning
@@ -1524,14 +1573,15 @@ private class GraftBatchScan(root: String, required: StructType,
                 staticEntries.nonEmpty && staticEntries.forall(e =>
                   e.stats.get(phys(c)).exists(cs => cs.min == cs.max) &&
                     TableCommit.nullFree(e, phys(c))) =>
-            Some((spec, f, staticEntries.map(e =>
-              e.path -> e.stats(phys(c)).min).toMap))
+            Some((spec, Seq(f), staticEntries.map(e =>
+              e.path -> Seq(e.stats(phys(c)).min)).toMap))
           case BucketCluster(_, n)
               if staticEntries.nonEmpty && staticEntries.forall(e =>
                 e.part.flatMap(GraftBucketPart.parse)
                   .exists(id => id >= 0 && id < n)) =>
-            Some((spec, f, staticEntries.map(e => e.path ->
-              e.part.flatMap(GraftBucketPart.parse).get.toString).toMap))
+            Some((spec, Seq(f), staticEntries.map(e => e.path ->
+              Seq(e.part.flatMap(GraftBucketPart.parse).get.toString))
+              .toMap))
           // X327: time layouts prove through the namespaced part tag
           // (minted only by the NULL-refusing rotating writer and the
           // layout-preserving rewrites — a tag IS the null witness)
@@ -1539,8 +1589,8 @@ private class GraftBatchScan(root: String, required: StructType,
               if staticEntries.nonEmpty && staticEntries.forall(e =>
                 e.part.exists(p =>
                   GraftTimePart.parse(unit, p).isDefined)) =>
-            Some((spec, f, staticEntries.map(e => e.path ->
-              GraftTimePart.parse(unit, e.part.get).get).toMap))
+            Some((spec, Seq(f), staticEntries.map(e => e.path ->
+              Seq(GraftTimePart.parse(unit, e.part.get).get)).toMap))
           case _ => None
         }
       }
@@ -1558,17 +1608,28 @@ private class GraftBatchScan(root: String, required: StructType,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     clusterInfo match {
-      case Some((spec, f, keys)) =>
+      case Some((spec, fs, keys)) =>
         import org.apache.spark.sql.connector.expressions.Expressions
-        val expr = spec match {
-          case IdentityCluster(_)        => Expressions.identity(f.name)
-          case BucketCluster(_, n)       => Expressions.bucket(n, f.name)
-          case TimeCluster(_, "days")    => Expressions.days(f.name)
-          case TimeCluster(_, "months")  => Expressions.months(f.name)
-          case TimeCluster(_, _)         => Expressions.hours(f.name)
-        }
+        val exprs: Array[
+            org.apache.spark.sql.connector.expressions.Expression] =
+          spec match {
+            case IdentityCluster(_) =>
+              Array(Expressions.identity(fs.head.name))
+            case BucketCluster(_, n) =>
+              Array(Expressions.bucket(n, fs.head.name))
+            case TimeCluster(_, "days") =>
+              Array(Expressions.days(fs.head.name))
+            case TimeCluster(_, "months") =>
+              Array(Expressions.months(fs.head.name))
+            case TimeCluster(_, _) =>
+              Array(Expressions.hours(fs.head.name))
+            case TupleCluster(_) =>
+              fs.map(f => Expressions.identity(f.name)
+                : org.apache.spark.sql.connector.expressions.Expression)
+                .toArray
+          }
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(Array(expr), keys.values.toSet.size)
+          .KeyGroupedPartitioning(exprs, keys.values.toSet.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -1682,16 +1743,17 @@ private class GraftBatchScan(root: String, required: StructType,
       // proven key (the column value, or the bucket id), so Spark can
       // group same-key splits into one task
       clusterInfo match {
-        case Some((spec, f, keys)) =>
-          val dt = spec match {
-            case IdentityCluster(_)     => f.dataType
-            case BucketCluster(_, _)    => IntegerType
-            case TimeCluster(_, "days") => DateType
-            case TimeCluster(_, _)      => IntegerType
+        case Some((spec, fs, keys)) =>
+          val dts: Seq[DataType] = spec match {
+            case IdentityCluster(_)     => Seq(fs.head.dataType)
+            case BucketCluster(_, _)    => Seq(IntegerType)
+            case TimeCluster(_, "days") => Seq(DateType)
+            case TimeCluster(_, _)      => Seq(IntegerType)
+            case TupleCluster(_)        => fs.map(_.dataType)
           }
           ps.map(p => GraftKeyedPartition(
             p.asInstanceOf[CdfFilePartition],
-            keys(e.path), dt): InputPartition)
+            keys(e.path), dts): InputPartition)
         case None => ps
       }
     }.toArray

@@ -1156,6 +1156,105 @@ class CatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cat_month_src")
   } }
 
+  test("multi-column layouts: (d, region) rotation, SPJ on both keys, subset metadata DELETE (X328)") { noBroadcast {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.md (d DATE, region STRING, " +
+      "x BIGINT) PARTITIONED BY (d, region)")
+    val root = s"$wh/md"
+    // 3 days × 3 regions × 10 rows
+    spark.range(90L).select(
+      date_add(lit(java.sql.Date.valueOf("2024-06-01")),
+        (col("id") % 3L).cast("int")).as("d"),
+      element_at(array(lit("AP"), lit("EU"), lit("US")),
+        ((col("id") / 3L) % 3L).cast("int") + 1).as("region"),
+      col("id").as("x")).createOrReplaceTempView("cat_md_src")
+    spark.sql(s"INSERT INTO $cat.md SELECT d, region, x FROM cat_md_src")
+    val es = TableCommit.entries(root)
+    assert(es.size === 9, s"expected 9 rotated (day, region) files: $es")
+    // per-column proofs: min == max + nn witness on BOTH columns;
+    // tags name both columns
+    assert(es.forall(e =>
+      Seq("d", "region").forall(c =>
+        e.stats.get(c).exists(cs => cs.min == cs.max) &&
+          TableCommit.nullFree(e, c))), s"broken tuple layout: $es")
+    assert(es.flatMap(_.part).forall(p =>
+      p.matches("d=2024-06-0[1-3]/region=(AP|EU|US)")),
+      s"tuple tags broken: ${es.flatMap(_.part)}")
+    // both-key pruning plans exactly one file
+    val one = spark.table(s"$cat.md")
+      .filter(col("d") === lit(java.sql.Date.valueOf("2024-06-02")) &&
+        col("region") === "EU")
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.count() === 10L)
+    // SPJ on the full tuple: join ON (d, region) plans zero shuffles
+    spark.sql(s"CREATE TABLE $cat.md2 (d DATE, region STRING, " +
+      "y BIGINT) PARTITIONED BY (d, region)")
+    spark.sql(s"INSERT INTO $cat.md2 SELECT d, region, x * 2 AS y " +
+      "FROM cat_md_src")
+    val j = spark.sql(s"SELECT a.d FROM $cat.md a JOIN $cat.md2 b " +
+      "ON a.d = b.d AND a.region = b.region")
+    assert(j.count() === 900L) // 10×10 per (day, region) × 9
+    j.collect()
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+      "tuple-partitioned tables must storage-partition their join:\n" +
+        j.queryExecution.executedPlan.toString)
+    // GROUP BY the full tuple is exchange-free too
+    val ag = spark.sql(
+      s"SELECT d, region, SUM(x) AS sx FROM $cat.md GROUP BY d, region")
+    ag.collect()
+    assert(!ag.queryExecution.executedPlan.toString.contains("Exchange"),
+      "GROUP BY the tuple must not shuffle")
+    // X324 on a SUBSET conjunct: one day's DELETE drops all three
+    // region files of the day — pure metadata
+    TableCommit.DmlPruneProbe.lastDropped = None
+    spark.sql(s"DELETE FROM $cat.md WHERE d = DATE'2024-06-02'")
+    assert(TableCommit.DmlPruneProbe.lastDropped === Some(3),
+      s"expected 3 whole drops: ${TableCommit.DmlPruneProbe.lastDropped}")
+    assert(!TableCommit.entries(root).exists(
+      _.stats.contains(TableCommit.DvKey)))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.md").collect()(0)
+      .getLong(0) === 60L)
+    // and on the full tuple: exactly one file leaves
+    spark.sql(s"DELETE FROM $cat.md WHERE d = DATE'2024-06-01' " +
+      "AND region = 'EU'")
+    assert(TableCommit.DmlPruneProbe.lastDropped === Some(1))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.md").collect()(0)
+      .getLong(0) === 50L)
+    // maintenance preserves the tuple layout
+    spark.sql(s"INSERT INTO $cat.md SELECT d, region, x + 100 FROM " +
+      "cat_md_src WHERE d = DATE'2024-06-03'")
+    spark.sql(s"SELECT * FROM graft_compact('$root', 4)").collect()
+    val esC = TableCommit.entries(root)
+    assert(esC.forall(e =>
+      Seq("d", "region").forall(c =>
+        e.stats.get(c).exists(cs => cs.min == cs.max) &&
+          TableCommit.nullFree(e, c))),
+      s"compact broke the tuple layout: $esC")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.md").collect()(0)
+      .getLong(0) === 80L)
+    val j2 = spark.sql(s"SELECT a.d FROM $cat.md a JOIN $cat.md2 b " +
+      "ON a.d = b.d AND a.region = b.region")
+    j2.collect()
+    assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+      "SPJ must survive a tuple-layout compact")
+    // NULL in EITHER column refuses
+    def hasNullMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage)
+        .exists(_.contains("NULL partition values")) ||
+        hasNullMsg(t.getCause))
+    val eN = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.md VALUES (DATE'2024-06-01', NULL, 1)")
+    }
+    assert(hasNullMsg(eN), s"expected the NULL refusal, got $eN")
+    // multi-column non-identity transforms refuse at CREATE
+    val eB = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.mbad (d DATE, k BIGINT) " +
+        "PARTITIONED BY (d, bucket(4, k))")
+    }
+    assert(eB.getMessage.contains("identity columns only"), eB.getMessage)
+    spark.catalog.dropTempView("cat_md_src")
+  } }
+
   test("X324 whole-file drops require the null witness — a mixed NULL file keeps the DV path (ADVICE r15)") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.nw (g BIGINT, x BIGINT) " +

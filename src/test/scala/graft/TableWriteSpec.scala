@@ -650,6 +650,35 @@ class TableWriteSpec extends AnyFunSuite {
       s"numRows must subtract DV'd positions: $after")
   }
 
+  test("layout expressions are codegen'd Invokes, not Scala UDFs (VERDICT r16)") {
+    import graft.sources.{GraftBucketFn, GraftLayoutExprs}
+    val df = spark.range(100L).select(col("id").as("k"),
+      when(col("id") % 10L === 0L, lit(null))
+        .otherwise(concat(lit("s"), col("id"))).as("v"),
+      expr("timestampadd(HOUR, CAST(id AS INT), " +
+        "TIMESTAMP'2024-05-01 00:00:00')").as("ts"))
+    val out = df.select(
+      GraftLayoutExprs.bucketCol(LongType, 8, col("k").cast("long"))
+        .as("bk"),
+      GraftLayoutExprs.bucketCol(StringType, 8, col("v")).as("bv"),
+      GraftLayoutExprs.timeCol("days", col("ts")).as("d"),
+      expr("to_date(ts)").as("d2"), // session TZ is UTC = the floor
+      col("k"), col("v"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"),
+      s"layout exprs must stay codegen'd:\n$plan")
+    out.collect().foreach { r =>
+      assert(r.getInt(0) === GraftBucketFn.bucketLong(8, r.getLong(4)))
+      if (r.isNullAt(5)) assert(r.isNullAt(1),
+        "NULL layout values must propagate to NULL buckets")
+      else assert(r.getInt(1) === GraftBucketFn.bucketString(8,
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(r.getString(5))))
+      assert(r.getDate(2) === r.getDate(3),
+        "days() must agree with to_date under UTC")
+    }
+  }
+
   test("identity cluster proof requires the null witness (ADVICE r15)") {
     val r = root()
     val sch = StructType(Seq(StructField("g", LongType),
