@@ -1517,10 +1517,11 @@ private class GraftBatchScan(root: String, required: StructType,
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    // a clustered scan's partitioning contract is exact (Spark verifies
-    // the re-plan preserves it) — file-level pruning would drop whole
-    // key groups, so runtime filters are declined there
-    if (clusterInfo.isDefined) return
+    // X329 (VERDICT r15 task 4): clustered scans ACCEPT runtime
+    // filters too — the compose with the partitioning contract
+    // happens in planInputPartitions (within-group pruning + a group
+    // witness), which is exactly what Spark's post-filter check
+    // requires: the surviving key-value set must be IDENTICAL.
     val translated = predicates
       .flatMap(GraftBatchScan.fromV2Predicate(required))
       .filter(GraftBatchScan.translatable(required))
@@ -1692,10 +1693,28 @@ private class GraftBatchScan(root: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    def keep(e: TableCommit.Entry): Boolean =
+      runtime.forall(f => GraftBatchScan.mightMatch(physFull, e, f))
     val es =
       if (runtime.isEmpty) staticEntries
-      else staticEntries.filter(e => runtime.forall(f =>
-        GraftBatchScan.mightMatch(physFull, e, f)))
+      else clusterInfo match {
+        // X329: runtime pruning WITHIN key groups — Spark's
+        // post-filter check demands the surviving key-value set stay
+        // identical, so a group whose files ALL prune keeps its
+        // smallest file as the group witness (lossless: the join
+        // re-evaluates rows). At 100 TB this is most of X313's win on
+        // a clustered fact: a day with 1,000 files under a 3-day
+        // IN-set plans 1,000 files for live days and ONE for dead.
+        case Some((_, _, keys)) =>
+          staticEntries.groupBy(e => keys(e.path)).values.flatMap { g =>
+            val kept = g.filter(keep)
+            if (kept.nonEmpty) kept
+            else Seq(g.minBy(e => GraftBatchScan.fileSize(
+              if (e.path.startsWith("/")) e.path
+              else s"$root/${e.path}").getOrElse(Long.MaxValue)))
+          }.toSeq
+        case None => staticEntries.filter(keep)
+      }
     if (runtime.nonEmpty) GraftScanProbe.lastRuntimeKept = Some(es.size)
     // X295: serve raw ColumnarBatches when the WHOLE scan can — every
     // file DV-free and every projected type vectorized-decodable.

