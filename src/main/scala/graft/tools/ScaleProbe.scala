@@ -587,6 +587,144 @@ object ScaleProbe {
               f"heapDelta=${(h1 - h0) / 1048576}%d MiB " +
               f"files=${es.size} dvFiles=$dvFiles liveRows=$rows%,d")
         }
+      case "statsbcast" =>
+        // X325 evidence (VERDICT r15 task 1): manifest statistics to
+        // the planner — with AQE OFF, a facet-read small dim must
+        // plan-time BroadcastHashJoin against a facet-read fact
+        // (before X325 it planned SMJ: both sides carried the default
+        // size estimate). A/B: the same join forced to SMJ
+        // (autoBroadcastJoinThreshold = -1) pays the two-sided
+        // exchange the statistics remove.
+        val dir = args(1)
+        import org.apache.spark.sql.types._
+        val base = graft.engine.TempWarehouse.createManaged("graft_sb_")
+        val rF = s"$base/fact"; val rD = s"$base/dim"
+        graft.engine.TableCommit.commitAppend(
+          graft.engine.Tables.lineitem(spark, dir).select(
+            col("l_suppkey").as("sk"),
+            col("l_extendedprice").cast("double").as("price")),
+          rF, retain = 4, statsCols = Seq("sk"))
+        graft.engine.TableCommit.commitAppend(
+          graft.engine.Tables.supplier(spark, dir).select(
+            col("s_suppkey").as("sk"), col("s_name").as("name")),
+          rD, retain = 4, statsCols = Seq("sk"))
+        val schF = StructType(Seq(StructField("sk", LongType),
+          StructField("price", DoubleType)))
+        val schD = StructType(Seq(StructField("sk", LongType),
+          StructField("name", StringType)))
+        def rd(r: String, sch: StructType) = spark.read
+          .format("graft-table").schema(sch).option("root", r).load()
+        def q() = rd(rF, schF).join(rd(rD, schD), "sk")
+          .agg(count(lit(1)), sum(col("price")))
+        def med3(f: () => Unit): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val planB = q().queryExecution.executedPlan.toString
+        val bcast = planB.contains("BroadcastHashJoin")
+        val bT = med3(() => { q().collect(); () })
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val planS = q().queryExecution.executedPlan.toString
+        val smj = planS.contains("SortMergeJoin")
+        val sT = med3(() => { q().collect(); () })
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        println(f"[probe] statsbcast plan_broadcast=$bcast " +
+          f"forced_smj=$smj bhj=$bT%.2f s smj=$sT%.2f s " +
+          f"bhj/smj=${bT / sT}%.2f")
+      case "rtcluster" =>
+        // X329 evidence: runtime pruning on a CLUSTERED scan — 8 key
+        // groups × 8 files each; a broadcast dim surviving 1 key.
+        // The composed scan plans the live group's 8 files plus one
+        // witness per dead group (15 of 64); the r15 behavior
+        // (clustered scans decline runtime filters) scanned all 64.
+        val dir = args(1)
+        import org.apache.spark.sql.types._
+        val root = graft.engine.TempWarehouse
+          .createManaged("graft_rtc_") + "/t"
+        (0 until 8).foreach { b =>
+          val df = graft.engine.Tables.lineitem(spark, dir).select(
+            pmod(col("l_orderkey"), lit(8L)).as("g"),
+            (col("l_orderkey") + b * 100000000L).as("x"))
+            .repartition(8, col("g"))
+          graft.engine.TableCommit.commitAppend(df, root, retain = 4,
+            statsCols = Seq("g"), partCol = Some("g"))
+        }
+        val es = graft.engine.TableCommit.entries(root)
+        val sch = StructType(Seq(StructField("g", LongType),
+          StructField("x", LongType)))
+        val dim = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(3L, 1),
+            org.apache.spark.sql.Row(99L, 2))),
+          StructType(Seq(StructField("dg", LongType),
+            StructField("grp", IntegerType)))).filter(col("grp") === 1)
+        def run(): Long = {
+          val f = spark.read.format("graft-table").schema(sch)
+            .option("root", root).option("clusterby", "g").load()
+          f.join(broadcast(dim), col("g") === col("dg")).count()
+        }
+        def medR(f: () => Unit): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        graft.sources.GraftScanProbe.lastRuntimeKept = None
+        val n1 = run()
+        val kept = graft.sources.GraftScanProbe.lastRuntimeKept
+        val onT = medR(() => { run(); () })
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+        val n2 = run()
+        val offT = medR(() => { run(); () })
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        assert(n1 == n2, s"pruned and unpruned joins disagree: $n1 vs $n2")
+        println(f"[probe] rtcluster files=${es.size} " +
+          f"kept=${kept.getOrElse(-1)} rows_out=$n1%,d: " +
+          f"compose_on=$onT%.2f s off=$offT%.2f s " +
+          f"on/off=${onT / offT}%.2f")
+      case "nestedparity" =>
+        // X330 evidence: an ARRAY-bearing schema through the facet's
+        // vectorized path vs the same files through spark.read.parquet
+        // — the 0.9–1.1× parity band (the r15 whitelist criterion),
+        // on the embeddings table's FLOAT[] column.
+        val dir = args(1)
+        import org.apache.spark.sql.types._
+        val root = graft.engine.TempWarehouse
+          .createManaged("graft_np_") + "/t"
+        // 50× replication: the raw table is 2k rows — too small to
+        // separate decode cost from session overhead
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .crossJoin(spark.range(50L).select(col("id").as("rep")))
+          .select((col("vec_id") * 50L + col("rep")).as("vec_id"),
+            col("embedding"), col("label"))
+        graft.engine.TableCommit.commitAppend(
+          emb.repartition(8), root, retain = 4)
+        val sch = StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("label", IntegerType)))
+        val paths = graft.engine.TableCommit.entries(root)
+          .map(e => s"$root/${e.path}")
+        def agg(df: org.apache.spark.sql.DataFrame): Double =
+          df.select(sum(expr(
+            "aggregate(embedding, 0D, (a, x) -> a + x)")))
+            .collect()(0).getDouble(0)
+        def medN(f: () => Double): (Double, Double) = {
+          val xs = (1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            val v = f()
+            ((System.nanoTime() - t0) / 1e9, v)
+          }
+          (xs.map(_._1).sorted.apply(2), xs.head._2)
+        }
+        val facet = () => agg(spark.read.format("graft-table")
+          .schema(sch).option("root", root).load())
+        val native = () => agg(spark.read.schema(sch).parquet(paths: _*))
+        val (fT, fV) = medN(facet)
+        val (nT, nV) = medN(native)
+        assert(math.abs(fV - nV) < 1e-6 * math.abs(nV),
+          s"facet and native disagree: $fV vs $nV")
+        println(f"[probe] nestedparity rows=${emb.count()}%,d " +
+          f"facet=$fT%.3f s native=$nT%.3f s ratio=${fT / nT}%.2f")
       case other =>
         System.err.println(s"unknown probe: $other")
         sys.exit(1)
