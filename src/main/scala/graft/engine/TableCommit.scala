@@ -4667,6 +4667,54 @@ object TableCommit {
     }
   }
 
+  /** X331: publish a DYNAMIC PARTITION OVERWRITE — the written files
+    * replace exactly the layout keys they carry, every other partition
+    * survives byte-identical (the `INSERT OVERWRITE … partitionOverwriteMode=dynamic`
+    * daily-reload idiom; Iceberg's dynamic overwrite). Correctness
+    * stands on the layout PROOF: each staged file names its key (the
+    * rotating writer guarantees it), and every EXISTING entry must be
+    * provably keyed too — witnessed single-valued stats for identity/
+    * tuple layouts, namespaced tags for bucket/time. An unprovable
+    * existing file refuses LOUDLY (replacing "around" a file whose
+    * keys are unknown could silently keep rows of an overwritten
+    * partition): compact the table once and the proof holds from then
+    * on. Returns the published version. */
+  private[graft] def publishDynamicOverwrite(root: String,
+      expected: Long, staged: Seq[Entry], retain: Int): Long = {
+    import graft.sources.{GraftBucketPart, GraftRotate, GraftTimePart}
+    val (pc, rot) = graft.sources.GraftCatalog.partitionLayoutOf(root)
+      .getOrElse(throw new UnsupportedOperationException(
+        "dynamic partition overwrite requires a PARTITIONED BY table"))
+    def keyOf(e: Entry): Option[Seq[String]] = rot match {
+      case GraftRotate.Bucket(_) =>
+        e.part.flatMap(GraftBucketPart.parse).map(i => Seq(i.toString))
+      case GraftRotate.Time(u) =>
+        e.part.flatMap(GraftTimePart.parse(u, _)).map(Seq(_))
+      case GraftRotate.Tuple(rest) =>
+        val vs = (pc +: rest).map(c =>
+          e.stats.get(c).filter(cs => cs.min == cs.max).map(_.min)
+            .filter(_ => nullFree(e, c)))
+        if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+      case GraftRotate.Identity =>
+        e.stats.get(pc).filter(cs => cs.min == cs.max).map(_.min)
+          .filter(_ => nullFree(e, pc)).map(Seq(_))
+    }
+    val writtenKeys = staged.map(e => keyOf(e).getOrElse(
+      throw new IllegalStateException(
+        s"dynamic overwrite staged a file without a layout proof: $e")))
+      .toSet
+    val current = entriesAt(root, expected)
+    val unproven = current.filter(e => keyOf(e).isEmpty)
+    require(unproven.isEmpty,
+      s"dynamic partition overwrite refused: ${unproven.size} existing " +
+        s"file(s) carry no layout proof (e.g. ${unproven.head.path}) — " +
+        "their partition keys are unknown, so replacing around them " +
+        "could silently keep rows of an overwritten partition. Run " +
+        "graft_compact('<root>', n) once to restore the proof")
+    val keep = current.filter(e => !keyOf(e).exists(writtenKeys))
+    publish(root, keep ++ staged, retain, expected = Some(expected))
+  }
+
   /** Run `txn` (a full read-stage-publish transaction body) and, when it
     * loses the optimistic race, RE-RUN it against the new current version
     * — the retry loop every optimistic-concurrency writer needs, provided

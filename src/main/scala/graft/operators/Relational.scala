@@ -2307,6 +2307,62 @@ object Relational {
       |FROM base WHERE d < DATE '1996-01-01' OR d >= DATE '1997-01-01'
       |GROUP BY 1, 2 ORDER BY y, st""".stripMargin
 
+  // `q_sql_dynamic_overwrite` (X331): INSERT OVERWRITE by partition
+
+  /** `q_sql_dynamic_overwrite` (X331): `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` replaces
+    * EXACTLY the layout keys the written files carry — the
+    * daily-reload idiom (re-materialize one day/status slice, leave
+    * everything else byte-identical), Iceberg's dynamic overwrite.
+    * Correctness stands on the layout proof: written files name
+    * their key by construction; every existing file must be provably
+    * keyed too, or the statement refuses loudly (CatalogSpec pins the
+    * refusal + the compact that restores the proof). Fixture: orders
+    * partitioned by status, the 'O' slice re-loaded with re-priced
+    * rows, per-status rollup — the oracle recomputes the blend. */
+  def sqlDynamicOverwriteQ(spark: SparkSession, sfDir: String): DataFrame =
+    withSqlCatalogWh(spark, sfDir) { (cat, src, wh) =>
+      spark.sql(s"CREATE TABLE $cat.dyn (k BIGINT, st STRING, " +
+        "c BIGINT) PARTITIONED BY (st)")
+      spark.sql(s"INSERT INTO $cat.dyn SELECT k, st, c FROM $src")
+      val root = s"$wh/dyn"
+      val before = graft.engine.TableCommit.entries(root)
+        .map(e => e.path -> e.stats.get("st").map(_.min)).toMap
+      val prev = spark.conf
+        .get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        spark.sql(s"INSERT OVERWRITE $cat.dyn " +
+          s"SELECT k, st, c * 2 AS c FROM $src WHERE st = 'O'")
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prev)
+      val after = graft.engine.TableCommit.entries(root)
+      // untouched-status files survived under their exact paths;
+      // every 'O' file was replaced
+      val untouchedKept = before.toSeq.forall { case (p, st) =>
+        st.contains("O") != after.exists(_.path == p) }
+      spark.sql(
+        s"""SELECT st, COUNT(*) AS n_orders, SUM(c) AS total_cents,
+           |  SUM(k) AS key_sum
+           |FROM $cat.dyn GROUP BY st ORDER BY st""".stripMargin)
+        .withColumn("partition_scoped", lit(untouchedKept))
+    }.orderBy(col("st"))
+
+  val sqlDynamicOverwriteOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |blended AS (
+      |  SELECT k, st, c FROM base WHERE st <> 'O'
+      |  UNION ALL SELECT k, st, c * 2 FROM base WHERE st = 'O')
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS total_cents,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum,
+      |  TRUE AS partition_scoped
+      |FROM blended GROUP BY 1 ORDER BY st""".stripMargin
+
   // `q_write_idempotent` (X288): exactly-once batch writes, gated
 
   /** `q_write_idempotent` (X288/ADVICE r13): the orchestrator-retry

@@ -680,6 +680,12 @@ private[graft] class GraftCatalogTable(schema0: StructType,
     val s = java.util.EnumSet.copyOf(super.capabilities())
     s.add(org.apache.spark.sql.connector.catalog.TableCapability
       .AUTOMATIC_SCHEMA_EVOLUTION)
+    // X331: partitioned tables serve INSERT OVERWRITE under
+    // partitionOverwriteMode=dynamic (written keys replace, the rest
+    // survives byte-identical)
+    if (partCols.nonEmpty)
+      s.add(org.apache.spark.sql.connector.catalog.TableCapability
+        .OVERWRITE_DYNAMIC)
     s
   }
   override protected def asOfVersion: Option[Long] = asOf

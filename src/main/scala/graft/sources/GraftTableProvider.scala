@@ -137,9 +137,16 @@ private[graft] class GraftWriteTable(schema0: StructType,
         .map(IdentityCluster(_): GraftClusterSpec)
         .orElse(declaredCluster))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var replaceAll = false
+      private var dynamicParts = false
       override def truncate(): WriteBuilder = { replaceAll = true; this }
+      // X331: INSERT OVERWRITE under partitionOverwriteMode=dynamic —
+      // written files replace exactly the layout keys they carry
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamicParts = true; this
+      }
       override def build(): Write = {
         val retain = Option(properties.get("retain")).map(_.toInt).getOrElse(1)
         val failAt = Option(properties.get("failatpartition")).map(_.toInt)
@@ -165,7 +172,7 @@ private[graft] class GraftWriteTable(schema0: StructType,
           else None
         new GraftWrite(root, physSchema(info.schema()), replaceAll,
           retain, failAt, retries, crashAfter, txnId, txnApp, txnMigrate,
-          pIdx)
+          pIdx, dynamicParts)
       }
     }
 }
@@ -175,7 +182,8 @@ private class GraftWrite(root: String, schema: StructType,
     conflictRetries: Int, crashAfterEpoch: Option[Long] = None,
     txnId: Option[Long] = None, txnApp: Option[String] = None,
     txnMigrate: Option[String] = None,
-    partCol: Option[(Seq[String], Seq[Int], GraftRotate)] = None)
+    partCol: Option[(Seq[String], Seq[Int], GraftRotate)] = None,
+    dynamicParts: Boolean = false)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -212,7 +220,7 @@ private class GraftWrite(root: String, schema: StructType,
 
   override def toBatch: BatchWrite = new GraftBatchWrite(
     root, schema, replaceAll, retain, failAt, conflictRetries, txnId,
-    txnApp, partCol.map { case (_, is, r) => (is, r) })
+    txnApp, partCol.map { case (_, is, r) => (is, r) }, dynamicParts)
   override def toStreaming: StreamingWrite = {
     require(!replaceAll,
       "graft-table streaming supports outputMode(\"append\") only — " +
@@ -239,7 +247,8 @@ private class GraftBatchWrite(root: String, schema: StructType,
     replaceAll: Boolean, retain: Int, failAt: Option[Int],
     conflictRetries: Int, txnId: Option[Long] = None,
     txnApp: Option[String] = None,
-    partIdx: Option[(Seq[Int], GraftRotate)] = None)
+    partIdx: Option[(Seq[Int], GraftRotate)] = None,
+    dynamicParts: Boolean = false)
     extends BatchWrite {
   require(txnApp.isEmpty || txnId.isDefined,
     "graft-table batch: option(\"txnappid\") namespaces the idempotence " +
@@ -296,7 +305,14 @@ private class GraftBatchWrite(root: String, schema: StructType,
         // X303: appends publish DELTA manifests (checkpoint-folded),
         // so a SQL INSERT costs O(batch) manifest bytes, not O(table);
         // overwrite still swaps the whole list by definition
-        if (replaceAll)
+        if (dynamicParts)
+          // X331: replace exactly the written layout keys; a commit
+          // race recomputes the keep-set against the new head (the
+          // overwrite's semantics are per-partition, so a racing
+          // commit to an UNTOUCHED partition composes cleanly)
+          TableCommit.publishDynamicOverwrite(root, expected, entries,
+            retain)
+        else if (replaceAll)
           TableCommit.publish(root, entries, retain,
             expected = Some(expected),
             txnId = if (txnApp.isEmpty) txnId else None,

@@ -1255,6 +1255,72 @@ class CatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cat_md_src")
   } }
 
+  test("INSERT OVERWRITE under dynamic mode replaces only the written partitions (X331)") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.dyo (g BIGINT, x BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.range(300L).select((col("id") % 6L).as("g"),
+      col("id").as("x")).createOrReplaceTempView("cat_dyo_src")
+    spark.sql(s"INSERT INTO $cat.dyo SELECT g, x FROM cat_dyo_src")
+    val root = s"$wh/dyo"
+    val fpBefore = dataFingerprint(root)
+    val esBefore = TableCommit.entries(root)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      spark.sql(s"INSERT OVERWRITE $cat.dyo " +
+        s"SELECT g, x + 10000 AS x FROM cat_dyo_src WHERE g IN (1, 4)")
+      val es = TableCommit.entries(root)
+      // untouched partitions survive BYTE-IDENTICAL
+      val survivors = esBefore.filter(e =>
+        !Set("1", "4")(e.stats("g").min))
+      assert(survivors.size === 4)
+      val fpAfter = dataFingerprint(root)
+      survivors.foreach { e =>
+        assert(es.exists(_.path == e.path),
+          s"untouched partition file ${e.path} must survive")
+        assert(fpAfter(s"$root/${e.path}") == fpBefore(s"$root/${e.path}"),
+          "untouched partition files must be byte-identical")
+      }
+      // replaced partitions carry exactly the new rows
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dyo").collect()(0)
+        .getLong(0) === 300L)
+      assert(spark.sql(s"SELECT MIN(x) FROM $cat.dyo WHERE g = 1")
+        .collect()(0).getLong(0) >= 10000L)
+      assert(spark.sql(s"SELECT MAX(x) FROM $cat.dyo WHERE g = 0")
+        .collect()(0).getLong(0) < 10000L)
+      // an existing file WITHOUT a layout proof refuses loudly —
+      // replacing around unknown keys could keep overwritten rows
+      val rogue = spark.range(5L).select(lit(1L).as("g"),
+        (col("id") + 90000L).as("x"))
+      TableCommit.commitAppend(rogue.coalesce(1), root) // no stats
+      def overwrite(): Unit =
+        spark.sql(s"INSERT OVERWRITE $cat.dyo " +
+          s"SELECT g, x FROM cat_dyo_src WHERE g = 1")
+      def hasMsg(t: Throwable, m: String): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains(m)) ||
+          hasMsg(t.getCause, m))
+      val e = intercept[Exception] { overwrite() }
+      assert(hasMsg(e, "no layout proof"), s"expected the refusal: $e")
+      // compact restores the proof; the overwrite then lands
+      spark.sql(s"SELECT * FROM graft_compact('$root', 6)").collect()
+      overwrite()
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dyo WHERE g = 1")
+        .collect()(0).getLong(0) === 50L)
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM $cat.dyo WHERE x >= 90000").collect()(0)
+        .getLong(0) === 0L, "the rogue file's rows were g=1 and must go")
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prev)
+    // static mode (the default) still truncate-replaces the whole table
+    spark.sql(s"INSERT OVERWRITE $cat.dyo " +
+      s"SELECT g, x FROM cat_dyo_src WHERE g = 2")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.dyo").collect()(0)
+      .getLong(0) === 50L)
+    spark.catalog.dropTempView("cat_dyo_src")
+  }
+
   test("X324 whole-file drops require the null witness — a mixed NULL file keeps the DV path (ADVICE r15)") {
     val (cat, wh) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.nw (g BIGINT, x BIGINT) " +
