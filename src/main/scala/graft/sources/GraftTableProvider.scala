@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 import graft.engine.TableCommit
 
 /** A DataSourceV2 WRITE path backed by the [[TableCommit]] log —
@@ -605,12 +606,9 @@ private class GraftDataWriter(root: String, batch: String,
     schema: StructType, partitionId: Int, taskId: Long,
     failAt: Option[Int], suffix: String = "")
     extends DataWriter[InternalRow] {
-  import org.apache.parquet.example.data.simple.SimpleGroupFactory
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
 
   private val relPath = s"$batch/part-$partitionId-$taskId$suffix.parquet"
   private val msgType = GraftDataWriter.messageType(schema)
-  private val factory = new SimpleGroupFactory(msgType)
   private var rows = 0L
   // X298: per-column min/max tracked AS WRITTEN (the footer-stats
   // analogue), riding the commit message into the manifest's X207
@@ -620,47 +618,52 @@ private class GraftDataWriter(root: String, batch: String,
   // comparator (decimal text for integers, Double.toString for
   // floats, raw text for strings). Colon-named columns are skipped
   // (the channel reserves ':' for engine keys).
-  private val statMin = new Array[Any](schema.fields.length)
-  private val statMax = new Array[Any](schema.fields.length)
   // ADVICE r15: min/max witness NON-NULL rows only — track whether any
   // null was written so commit() can mint the `nn:<col>` null-free
   // marker the all-rows consumers (X324 whole-file DML drop, X314
   // identity-cluster proof) require beside a min == max envelope
   private val statSawNull = new Array[Boolean](schema.fields.length)
-  private val statable = schema.fields.map(f =>
-    !f.name.contains(":") && (f.dataType match {
-      case LongType | IntegerType | DoubleType | StringType |
-          DateType | TimestampType => true
-      case _ => false
-    }))
-
-  private def trackStat(i: Int, v: Any): Unit = {
-    if (!statable(i)) return
-    // NaN never enters the envelope (parquet's own rule): a NaN
-    // min/max would order as "less than nothing" at prune time and
-    // silently drop matching files
-    v match {
-      case d: Double if d.isNaN => return
-      case _ => ()
-    }
-    def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long)     => x < y
-      case (x: Int, y: Int)       => x < y
-      case (x: Double, y: Double) => x < y
-      // UTF-8 byte order, matching the prune side and parquet footer
-      // stats — never Java's UTF-16 code-unit order (ADVICE r14)
-      case (x: String, y: String) => GraftBatchScan.utf8Lt(x, y)
-      case _                      => false
-    }
-    if (statMin(i) == null || lt(v, statMin(i))) statMin(i) = v
-    if (statMax(i) == null || lt(statMax(i), v)) statMax(i) = v
+  // r16 write-path rewrite (guide §1.2 step 2): the per-row loop is the
+  // hottest code in every facet write (SQL INSERT/CTAS, DSv2 batch,
+  // streaming epochs, rotation files), so the type dispatch is resolved
+  // ONCE into an int tag and the per-row work is a branch on it — no
+  // per-row pattern match, no closure, no boxing. Tags: -1 unsupported,
+  // 0 long-kind (LongType/TimestampType), 1 int-kind (IntegerType/
+  // DateType), 2 double, 3 string.
+  private val typeTag: Array[Int] = schema.fields.map(_.dataType match {
+    case LongType | TimestampType => 0
+    case IntegerType | DateType   => 1
+    case DoubleType               => 2
+    case StringType               => 3
+    case _                        => -1
+  })
+  private val statable = schema.fields.zipWithIndex.map { case (f, i) =>
+    !f.name.contains(":") && typeTag(i) >= 0
   }
+  // typed min/max slots (long-kind and int-kind share the long pair) so
+  // stat tracking never allocates on the row path; strings hold cloned
+  // UTF8Strings (row buffers are reused by the caller) compared in
+  // UTF-8 byte order — UTF8String.compareTo IS binary order, matching
+  // the prune side and parquet footer stats (ADVICE r14), never Java's
+  // UTF-16 code-unit order
+  private val statSet = new Array[Boolean](schema.fields.length)
+  private val statMinL = new Array[Long](schema.fields.length)
+  private val statMaxL = new Array[Long](schema.fields.length)
+  private val statMinD = new Array[Double](schema.fields.length)
+  private val statMaxD = new Array[Double](schema.fields.length)
+  private val statMinS = new Array[UTF8String](schema.fields.length)
+  private val statMaxS = new Array[UTF8String](schema.fields.length)
+
   private lazy val writer = {
     val p = new org.apache.hadoop.fs.Path(
       java.nio.file.Paths.get(root, relPath).toUri)
-    ExampleParquetWriter.builder(p)
-      .withConf(new org.apache.hadoop.conf.Configuration())
-      .withType(msgType)
+    new GraftDataWriter.RowWriterBuilder(p, msgType, typeTag,
+      schema.fields.map(_.name))
+      // one shared read-only Configuration: constructing a fresh one
+      // loads the Hadoop XML defaults per FILE, which the rotation
+      // writer (one file per layout key) paid hundreds of times per
+      // INSERT
+      .withConf(GraftDataWriter.sharedConf)
       .build()
   }
 
@@ -668,32 +671,43 @@ private class GraftDataWriter(root: String, batch: String,
     failAt.filter(_ == partitionId).foreach { p =>
       throw new RuntimeException(s"injected task failure at partition $p")
     }
-    val g = factory.newGroup()
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (!row.isNullAt(i)) f.dataType match {
-        case LongType =>
-          val v = row.getLong(i); g.add(f.name, v); trackStat(i, v)
-        case IntegerType =>
-          val v = row.getInt(i); g.add(f.name, v); trackStat(i, v)
-        case DoubleType =>
-          val v = row.getDouble(i); g.add(f.name, v); trackStat(i, v)
-        case StringType =>
-          val v = row.getUTF8String(i).toString
-          g.add(f.name, v); trackStat(i, v)
-        // DATE rides as its epoch-day Int (ordered like the ISO text
-        // the stats channel canonicalizes it to at commit); TIMESTAMP
-        // as raw micros (the footer-stats canonical form is the same
-        // decimal text)
-        case DateType =>
-          val v = row.getInt(i); g.add(f.name, v); trackStat(i, v)
-        case TimestampType =>
-          val v = row.getLong(i); g.add(f.name, v); trackStat(i, v)
-        case other => throw new IllegalArgumentException(
-          s"graft-table: unsupported type $other for column ${f.name}")
+    val n = typeTag.length
+    var i = 0
+    while (i < n) {
+      if (row.isNullAt(i)) statSawNull(i) = true
+      else if (statable(i)) typeTag(i) match {
+        case 0 | 1 =>
+          val v = if (typeTag(i) == 0) row.getLong(i) else row.getInt(i).toLong
+          if (!statSet(i)) { statMinL(i) = v; statMaxL(i) = v; statSet(i) = true }
+          else {
+            if (v < statMinL(i)) statMinL(i) = v
+            if (v > statMaxL(i)) statMaxL(i) = v
+          }
+        case 2 =>
+          val v = row.getDouble(i)
+          // NaN never enters the envelope (parquet's own rule): a NaN
+          // min/max would order as "less than nothing" at prune time
+          // and silently drop matching files
+          if (!v.isNaN) {
+            if (!statSet(i)) { statMinD(i) = v; statMaxD(i) = v; statSet(i) = true }
+            else {
+              if (v < statMinD(i)) statMinD(i) = v
+              if (v > statMaxD(i)) statMaxD(i) = v
+            }
+          }
+        case _ =>
+          val v = row.getUTF8String(i)
+          if (!statSet(i)) {
+            val c = v.clone(); statMinS(i) = c; statMaxS(i) = c
+            statSet(i) = true
+          } else {
+            if (v.compareTo(statMinS(i)) < 0) statMinS(i) = v.clone()
+            if (v.compareTo(statMaxS(i)) > 0) statMaxS(i) = v.clone()
+          }
       }
-      else statSawNull(i) = true
+      i += 1
     }
-    writer.write(g)
+    writer.write(row)
     rows += 1
   }
 
@@ -701,18 +715,26 @@ private class GraftDataWriter(root: String, batch: String,
     writer.close()
     // canonical stat text per ColStats' contract: ISO for DATE
     // (lexical = chronological), decimal text otherwise
-    def canon(i: Int, v: Any): String = schema.fields(i).dataType match {
-      case DateType => java.time.LocalDate
-        .ofEpochDay(v.asInstanceOf[Int].toLong).toString
-      case _ => v.toString
-    }
+    def canon(i: Int, maxSide: Boolean): String =
+      schema.fields(i).dataType match {
+        case DateType => java.time.LocalDate
+          .ofEpochDay(if (maxSide) statMaxL(i) else statMinL(i)).toString
+        case IntegerType =>
+          (if (maxSide) statMaxL(i) else statMinL(i)).toString
+        case LongType | TimestampType =>
+          (if (maxSide) statMaxL(i) else statMinL(i)).toString
+        case DoubleType =>
+          (if (maxSide) statMaxD(i) else statMinD(i)).toString
+        case _ =>
+          (if (maxSide) statMaxS(i) else statMinS(i)).toString
+      }
     val stats = schema.fields.indices.collect {
-      case i if statMin(i) != null =>
-        schema.fields(i).name ->
-          (canon(i, statMin(i)), canon(i, statMax(i)))
+      case i if statSet(i) =>
+        schema.fields(i).name -> (canon(i, maxSide = false),
+          canon(i, maxSide = true))
     }.toMap
     val witnessed = schema.fields.indices.collect {
-      case i if statMin(i) != null && !statSawNull(i) =>
+      case i if statSet(i) && !statSawNull(i) =>
         (graft.engine.TableCommit.NullFreePrefix +
           schema.fields(i).name) -> ("0", "0")
     }.toMap
@@ -1801,6 +1823,72 @@ private class GraftBatchScan(root: String, required: StructType,
 private object GraftDataWriter {
   import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  /** One read-only Hadoop Configuration shared by every writer: the
+    * constructor loads and parses the XML defaults, which at a file per
+    * rotation key (X316 partitioned INSERTs plan one file per (task,
+    * key)) was paid hundreds of times per statement. */
+  lazy val sharedConf = new org.apache.hadoop.conf.Configuration()
+
+  /** r16 write-path rewrite: direct InternalRow → RecordConsumer
+    * WriteSupport. The previous writer went through parquet's example
+    * Group API — per ROW one SimpleGroup allocation plus per VALUE a
+    * name→index lookup and a boxed Primitive append; this emits each
+    * value straight from the unsafe row into the column writers. The
+    * emitted file is logically identical (same MessageType, same
+    * optional-field skip for nulls, same UTF-8 string bytes — without
+    * the UTF-16 String round trip). */
+  private class InternalRowWriteSupport(msgType: MessageType,
+      names: Array[String], typeTag: Array[Int])
+      extends org.apache.parquet.hadoop.api.WriteSupport[InternalRow] {
+    import org.apache.parquet.io.api.{Binary, RecordConsumer}
+    private var consumer: RecordConsumer = _
+    override def init(conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
+      new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(
+        msgType, java.util.Collections.emptyMap[String, String]())
+    override def prepareForWrite(rc: RecordConsumer): Unit = consumer = rc
+    override def write(row: InternalRow): Unit = {
+      val rc = consumer
+      rc.startMessage()
+      val n = typeTag.length
+      var i = 0
+      while (i < n) {
+        if (!row.isNullAt(i)) {
+          rc.startField(names(i), i)
+          typeTag(i) match {
+            case 0 => rc.addLong(row.getLong(i))
+            case 1 => rc.addInteger(row.getInt(i))
+            case 2 => rc.addDouble(row.getDouble(i))
+            case 3 =>
+              // getBytes copies out of the row buffer here (the string
+              // sits inside an UnsafeRow, never exactly spanning its
+              // backing array), so the Binary wrapper owns its bytes
+              rc.addBinary(
+                Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+            case _ => throw new IllegalArgumentException(
+              s"graft-table: unsupported type for column ${names(i)}")
+          }
+          rc.endField(names(i), i)
+        }
+        i += 1
+      }
+      rc.endMessage()
+    }
+  }
+
+  /** Standard ParquetWriter.Builder over [[InternalRowWriteSupport]] —
+    * identical writer defaults (codec, page/row-group sizing, writer
+    * version) to the example builder it replaces. */
+  class RowWriterBuilder(path: org.apache.hadoop.fs.Path,
+      msgType: MessageType, typeTag: Array[Int], names: Array[String])
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        InternalRow, RowWriterBuilder](path) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new InternalRowWriteSupport(msgType, names, typeTag)
+  }
 
   /** StructType → parquet MessageType for the primitive column types the
     * commit-layer gates use. All fields optional (Spark nullability is
