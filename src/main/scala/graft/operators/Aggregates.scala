@@ -420,9 +420,14 @@ object Aggregates {
         .select(col("ok"), col("p_brand").as("b"))
         .repartition(col("ok"))
         .dropDuplicates("ok", "b"))
-    val nOrders = ob.select(col("ok")).distinct()
-      .agg(Num.countStar.as("n_orders"))
-    val brandCnt = ob.groupBy(col("b")).agg(Num.countStar.as("cnt"))
+    // n_orders as a DRIVER scalar, brandCnt disk-backed: both marginal
+    // frames fan into several join branches, and Spark has no cross-branch
+    // subexpression reuse — the r16 before-plan shows the ob aggregate
+    // subtrees inlined 5×, each re-reading the 555k-row cache. One count
+    // job + one 25-row materialization compute each marginal exactly once.
+    val nOrders = ob.select(col("ok")).distinct().count()
+    val brandCnt = graft.engine.Materialize.diskBacked(
+      ob.groupBy(col("b")).agg(Num.countStar.as("cnt")))
     ob.as("x").join(ob.as("y"),
         col("x.ok") === col("y.ok") && col("x.b") =!= col("y.b"))
       .groupBy(col("x.b").as("antecedent"), col("y.b").as("consequent"))
@@ -431,11 +436,10 @@ object Aggregates {
         col("cnt").as("supp_a"))), Seq("antecedent"))
       .join(broadcast(brandCnt.select(col("b").as("consequent"),
         col("cnt").as("supp_c"))), Seq("consequent"))
-      .crossJoin(broadcast(nOrders))
       .select(col("antecedent"), col("consequent"), col("supp_ab"),
         col("supp_a"),
         Num.divLong(col("supp_ab") * 1000L, col("supp_a")).as("conf_pm"),
-        ((col("supp_ab").cast("double") * col("n_orders").cast("double"))
+        ((col("supp_ab").cast("double") * lit(nOrders).cast("double"))
           / (col("supp_a").cast("double") * col("supp_c").cast("double")))
           .as("lift"))
       .orderBy(col("conf_pm").desc, col("antecedent"), col("consequent"))
@@ -497,8 +501,13 @@ object Aggregates {
         .select(col("ok"), col("p_brand").as("b"))
         .repartition(col("ok"))
         .dropDuplicates("ok", "b"))
-    val nOrders = ob.select(col("ok")).distinct()
-      .agg(Num.countStar.as("n_orders"))
+    // n_orders as a DRIVER scalar: it was a 1-row frame crossJoined under
+    // l2, and l2 feeds FOUR consumers (the candidate build's p and q legs,
+    // the Apriori membership semi, and the basket-pair prefilter) — with
+    // no cross-branch subexpression reuse every consumer re-ran the
+    // 555k-row distinct+count (the r16 before-plan shows that aggregate
+    // subtree 26×). One count job computes the same number once.
+    val nOrders = ob.select(col("ok")).distinct().count()
     // The basket PAIR frame feeds both L2 (support filter) and the triple
     // extend — materialize it once (the ob self-join is the op's only
     // data-sized shuffle; round-9 bench caught the unfenced form running
@@ -508,13 +517,14 @@ object Aggregates {
           col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
         .select(col("x.ok").as("ok"), col("x.b").as("brand_a"),
           col("y.b").as("brand_b")))
-    // L2: support-filtered pairs (brand-domain bounded)
-    val l2 = pairs
+    // L2: support-filtered pairs (brand-domain bounded) — disk-backed for
+    // the same reason as n_orders: four consumers, so the unfenced form
+    // re-aggregated the 900k-row pair cache per consumer.
+    val l2 = graft.engine.Materialize.diskBacked(pairs
       .groupBy(col("brand_a").as("i1"), col("brand_b").as("i2"))
       .agg(Num.countStar.as("s2"))
-      .crossJoin(broadcast(nOrders))
-      .filter(col("s2") * 1000 >= col("n_orders") * Itemset3MinPermille)
-      .select(col("i1"), col("i2"))
+      .filter(col("s2") * 1000 >= lit(nOrders * Itemset3MinPermille))
+      .select(col("i1"), col("i2")))
     // candidate triples: {a,b} ⋈ {a,c}, b < c, with {b,c} ∈ L2 (Apriori)
     val cand = l2.as("p").join(l2.as("q"),
         col("p.i1") === col("q.i1") && col("p.i2") < col("q.i2"))
@@ -533,8 +543,7 @@ object Aggregates {
       .join(broadcast(cand), Seq("brand_a", "brand_b", "brand_c"), "left_semi")
       .groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
       .agg(Num.countStar.as("support"))
-      .crossJoin(broadcast(nOrders))
-      .filter(col("support") * 1000 >= col("n_orders") * Itemset3MinPermille)
+      .filter(col("support") * 1000 >= lit(nOrders * Itemset3MinPermille))
       .select(col("brand_a"), col("brand_b"), col("brand_c"), col("support"))
       .orderBy(col("support").desc, col("brand_a"), col("brand_b"),
         col("brand_c"))

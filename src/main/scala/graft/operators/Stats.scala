@@ -3615,7 +3615,14 @@ object Stats {
       Tables.orders(spark, sfDir)
         .groupBy(to_date(col("o_orderdate")).as("d"))
         .agg(Num.divLong(sum(cents), Num.countStar).as("x")))
-    val pairs = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+    // The C(days,2) fan-out is an inequality-only join → BNLJ, and its
+    // task count is the STREAMED side's partition count — which for the
+    // tiny cached daily frame is 1 after AQE coalescing, so the whole
+    // quadratic eval ran single-core (r16 JobBreak: one 2.3 s job).
+    // Round-robin the streamed side across the session's cores first;
+    // the pair count is calendar-bounded, the fix is pure parallelism.
+    val pairs = daily.repartition(spark.sparkContext.defaultParallelism)
+      .as("a").join(daily.as("b"), col("a.d") < col("b.d"))
       .select((col("b.x") - col("a.x")).as("dy"),
         datediff(col("b.d"), col("a.d")).cast("long").as("dd"))
       .select(when(col("dy") < 0L,
@@ -3624,12 +3631,32 @@ object Stats {
         .as("slope_milli"))
     // median by the X22 rank walk over the SLOPE-VALUE histogram — the
     // C(days,2) pair stream folds map-side before any window touches it
-    val shist = pairs.groupBy(col("slope_milli"))
-      .agg(Num.countStar.as("cnt"))
-    val byS = Window.orderBy(col("slope_milli"))
-    val walked = shist
-      .withColumn("cum", sum(col("cnt")).over(byS))
-      .withColumn("m", sum(col("cnt")).over(Window.partitionBy()))
+    val shist = Materialize.diskBacked(pairs.groupBy(col("slope_milli"))
+      .agg(Num.countStar.as("cnt")))
+    // DISTRIBUTED exact rank walk (r16): the histogram barely folds —
+    // 2.65M of the 2.89M slopes are distinct at sf0.1 — so the global
+    // single-partition cumulative window sorted millions of rows on ONE
+    // core (the query's dominant job, 2.2 s of its 3.9 s median).
+    // Range-partition the histogram instead, stamp the partition id, and
+    // materialize so both consumers (per-partition offsets, per-partition
+    // cumulative) see the SAME sampled bounds; the global running sum is
+    // then offset + parallel per-partition cumulative — exact, because
+    // grouped slopes are unique and range partitioning preserves their
+    // total order.
+    val parts = Materialize.diskBacked(
+      shist.repartitionByRange(spark.sparkContext.defaultParallelism,
+          col("slope_milli"))
+        .withColumn("_pid", spark_partition_id()))
+    val offs = parts.groupBy(col("_pid")).agg(sum(col("cnt")).as("pcnt"))
+      .select(col("_pid"),
+        (sum(col("pcnt")).over(Window.orderBy(col("_pid")))
+          - col("pcnt")).as("off"),
+        sum(col("pcnt")).over(Window.partitionBy()).as("m"))
+    val byPS = Window.partitionBy(col("_pid")).orderBy(col("slope_milli"))
+    val walked = parts
+      .withColumn("cumw", sum(col("cnt")).over(byPS))
+      .join(broadcast(offs), Seq("_pid"))
+      .withColumn("cum", col("cumw") + col("off"))
     // OLS slope for contrast: clear denominators — exact integer
     // moments, one final sign-split division to millis. t anchors at
     // the series START (not the epoch): with epoch days ~2·10⁴ the
