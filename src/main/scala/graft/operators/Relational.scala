@@ -20,11 +20,17 @@ object Relational {
     * corpus scan at scale. `input_file_name()` survives only as an output
     * column; PlanSpec asserts the plan has no post-scan Filter at all. */
   def scanMetaQ(spark: SparkSession, sfDir: String): DataFrame =
+    // regexp AFTER the aggregate: grouping directly on the raw path folds
+    // the corpus to one row per FILE first, so the filename regex runs
+    // per file, not per row (600k regex execs → ~#files at sf0.1); the
+    // re-aggregate on the extracted name is files-sized and exact.
     spark.read.option("pathGlobFilter", "lineitem*.parquet").parquet(sfDir)
-      .withColumn("file_name",
-        regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1))
+      .groupBy(input_file_name().as("file_path"))
+      .agg(Num.countStar.as("n0"))
+      .select(regexp_extract(col("file_path"), "([^/]+)\\.parquet", 1)
+        .as("file_name"), col("n0"))
       .groupBy(col("file_name"))
-      .agg(Num.countStar.as("n"))
+      .agg(sum(col("n0")).as("n"))
       .orderBy(col("file_name"))
 
   val scanMetaOracle: String =
@@ -190,7 +196,12 @@ object Relational {
     val path = fixturePath("sink_orders", sfDir)
     val orders = Tables.orders(spark, sfDir)
       .withColumn("yr", year(col("o_orderdate")).cast("long"))
-    orders.write.mode("overwrite")
+    // Cluster on the partition column before the write (guide §6 file
+    // sizing): without it every input split writes one file per year it
+    // touches (splits × years small files); clustered, each year lands in
+    // one task → one right-sized file per partition, and the read-back
+    // aggregate scans files-not-fragments. Same rows, same slices.
+    orders.repartition(col("yr")).write.mode("overwrite")
       .partitionBy("yr")
       .parquet(path)
     // D1: replace only the newest year's slice; dynamic mode leaves every
