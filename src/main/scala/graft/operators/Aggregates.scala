@@ -265,7 +265,10 @@ object Aggregates {
         .dropDuplicates("ok", "b"))
     val nOrders = ob.select(col("ok")).distinct()
       .agg(Num.countStar.as("n_orders"))
-    val brandCnt = ob.groupBy(col("b")).agg(Num.countStar.as("cnt"))
+    // fenced for the same reason as assoc_rules: two broadcast consumers
+    // of the brand marginal otherwise re-aggregate the ownership cache
+    val brandCnt = graft.engine.Materialize.diskBacked(
+      ob.groupBy(col("b")).agg(Num.countStar.as("cnt")))
     ob.as("x").join(ob.as("y"),
         col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
       .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
@@ -344,7 +347,11 @@ object Aggregates {
         // one shuffle total (the X65 layout rule)
         .repartition(col("cust"))
         .dropDuplicates("cust", "b"))
-    val owners = owned.groupBy(col("b")).agg(Num.countStar.as("n"))
+    // brand-marginal frame fenced: two broadcast consumers, and without
+    // the fence each re-ran the owner-set aggregate over the cached
+    // ownership frame (the assoc_rules finding, same shape)
+    val owners = graft.engine.Materialize.diskBacked(
+      owned.groupBy(col("b")).agg(Num.countStar.as("n")))
     val pairs = owned.as("x").join(owned.as("y"),
         col("x.cust") === col("y.cust") && col("x.b") =!= col("y.b"))
       .groupBy(col("x.b").as("brand"), col("y.b").as("neighbor"))
