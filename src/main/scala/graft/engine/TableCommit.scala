@@ -168,6 +168,23 @@ object TableCommit {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  /** Driver-side bounded-parallel map over per-file footer work. Staging
+    * reads one parquet footer per written file; sequentially, a many-file
+    * rewrite (compact/melt at 100× file counts) pays file-count × footer
+    * open latency on the driver. Order of the result matches `ps` (and
+    * every caller still sorts by path afterward); the pool is bounded so
+    * a huge rewrite cannot fork unbounded threads. */
+  private def parFiles[A](ps: Seq[Path])(f: Path => A): Seq[A] =
+    if (ps.lengthCompare(2) < 0) ps.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(ps.size, 8))
+      try ps.map(p => pool.submit(
+          new java.util.concurrent.Callable[A] { def call(): A = f(p) }))
+        .map(_.get())
+      finally pool.shutdown()
+    }
+
   /** Highest committed version, or None for a never-committed root. */
   def currentVersion(root: String): Option[Long] = {
     val dir = logDir(root)
@@ -580,10 +597,9 @@ object TableCommit {
     }
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val base = Paths.get(dest)
-    walkFiles(base)
+    parFiles(walkFiles(base)
       .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
+        p.getFileName.toString.endsWith(".parquet"))) { p =>
         val rel = base.relativize(p).toString
         // stored part value = the dir segment minus the "_p=" marker, still
         // in Spark's escaped-dir-name form — both the replace set and the
@@ -595,7 +611,7 @@ object TableCommit {
             (Map.empty[String, ColStats], footerRowCount(conf, p))
           else (Map.empty[String, ColStats], None)
         Entry(s"$batch/$rel", part, stats, rows)
-      }.toSeq.sortBy(_.path)
+      }.sortBy(_.path)
   }
 
   /** Per-file min/max for `statsCols`, read from the parquet FOOTER the
@@ -3214,12 +3230,20 @@ object TableCommit {
       if (preserveRowIds) es
       else pruneDmlCandidates(spark, schema, predicate, es)
     if (cands.isEmpty) return base
+    // Victims are consumed TWICE (the DV position fold and the updated
+    // images) — unfenced, each consumer re-ran the full live scan +
+    // predicate (r16 ProfileCommit: the id-preserving update was the
+    // costliest verb in the CDC fixture). The matched set is
+    // damage-sized, so a spill-safe persist is right-sized at any table
+    // size; it also pins ONE evaluation for both consumers.
     val victims =
       (if (preserveRowIds)
          liveWithIdsAndPos(spark, root, schema, es)
            .getOrElse(return base)
        else liveWithPos(spark, root, schema, cands))
         .filter(predicate)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // distributed fold+encode (victims are LIVE rows, so a non-empty
     // match always changes at least one vector; empty = no-op)
     val encoded = dvEncodeDistributed(spark, root,
@@ -3246,6 +3270,7 @@ object TableCommit {
       retain, conflictRetries,
       ridHighWater =
         if (preserveRowIds) Some(rowIdHighWaterAt(root, base)) else None)
+    } finally victims.unpersist(blocking = false)
   }
 
   /** A `WHEN NOT MATCHED BY SOURCE` clause for [[commitMergeRows]]
@@ -4423,10 +4448,9 @@ object TableCommit {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val base = Paths.get(dest)
     val allStats = (statsCols ++ cols).distinct
-    walkFiles(base)
+    parFiles(walkFiles(base)
       .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
+        p.getFileName.toString.endsWith(".parquet"))) { p =>
         val rel = base.relativize(p).toString
         val segs = rel.split('/').filter(_.startsWith("_p"))
         val part =
@@ -4440,7 +4464,7 @@ object TableCommit {
         val (stats, rows) = footerStats(conf, p, allStats)
         Entry(s"$batch/$rel", part, stats,
           rows.orElse(if (collectRows) footerRowCount(conf, p) else None))
-      }.toSeq.sortBy(_.path)
+      }.sortBy(_.path)
   }
 
   /** X322: stage a DML/MERGE image batch honoring the table's DECLARED
